@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables => T}
+
+/** Relational query surface (SURVEY.md §2 B-series): the query shapes
+  * a warehouse-backed data platform serves. Declarative
+  * DataFrame plans — Catalyst handles pushdown, column pruning, join
+  * strategy (small dims broadcast), and AQE handles runtime re-plan.
+  *
+  * Determinism for the hash-compare oracle gate: money sums are
+  * computed as exact integer cents — `sum(round(x*100))/100.0` — so
+  * the result is independent of partitioning/accumulation order
+  * (each per-row rounding is IEEE-deterministic; integer-valued
+  * double addition is exact). See SURVEY.md §5.
+  */
+object Relational {
+
+  /** sum(round(expr*100))/100.0 — order-independent money sum. */
+  private def cents(e: Column): Column = sum(round(e * lit(100.0))) / lit(100.0)
+  private val revExpr: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0)
+  private def rev: Column = sum(round(revExpr)) / lit(100.0)
+
+  // B1: scan + filter + project — predicate and column pruning reach
+  // the parquet scan (PushedFilters / ReadSchema in .explain).
+  def qFilterProject(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1996-01-01") && col("l_discount") > lit(0.05))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val oFilterProject =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // B2: TPC-H Q1 shape — multi-aggregate groupBy; partial (map-side)
+  // aggregation collapses before the single shuffle.
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        cents(col("l_extendedprice")).as("sum_base_price"),
+        rev.as("revenue"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val oQ1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(round(l_extendedprice*100))/100.0 AS sum_base_price,
+      |  sum(round(l_extendedprice*(1.0-l_discount)*100.0))/100.0 AS revenue,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // B3: TPC-H Q3 shape — join + agg + deterministic top-k (ties
+  // broken by key so LIMIT is stable across engines).
+  def q3Topk(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d).filter(col("c_mktsegment") === lit("BUILDING"))
+    val o = T.orders(s, d).filter(col("o_orderdate") < lit("1997-03-15"))
+    val l = T.lineitem(s, d).filter(col("l_shipdate") > lit("1997-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(rev.as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val oQ3 =
+    """SELECT o_orderkey,
+      |  sum(round(l_extendedprice*(1.0-l_discount)*100.0))/100.0 AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-03-15'
+      |  AND l_shipdate  > TIMESTAMP '1997-03-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // B4: multi-join with broadcast dims (Q5 shape, star-join chain).
+  def q5Multijoin(s: SparkSession, d: String): DataFrame = {
+    val cust = T.customer(s, d)
+    val ord = T.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = T.lineitem(s, d)
+    val sup = T.supplier(s, d)
+    val nat = T.nation(s, d)
+    val reg = T.region(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val oQ5 =
+    """SELECT r_name, n_name,
+      |  sum(round(l_extendedprice*(1.0-l_discount)*100.0))/100.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // B5: window rank per group — full ORDER BY tiebreak keeps
+  // row_number deterministic across engines.
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  private val oWindowRank =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
+
+  // B6: semi/anti join — EXISTS and NOT EXISTS as left_semi/left_anti
+  // (no row multiplication, no dedup shuffle).
+  def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d)
+    val o = T.orders(s, d).select(col("o_custkey"))
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+    withO.unionByName(without).orderBy(col("kind"))
+  }
+
+  private val oSemiAnti =
+    """SELECT kind, n FROM (
+      |  SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+      |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+      |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) t
+      |ORDER BY kind""".stripMargin
+
+  // B7: distinct aggregation (exact; Spark plans expand+two-phase agg).
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  private val oDistinct =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // B8: rollup aggregation (grouping sets in one pass).
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val oRollup =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // B9: tumbling time-window aggregation over the event stream table
+  // (batch shape of the Structured Streaming windowed agg). `ts` is
+  // bigint nanos (see Verify session config); µs truncation matches
+  // DuckDB's TIMESTAMP(NANOS)→TIMESTAMP read.
+  def qEventWindows(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(
+        date_format(date_trunc("day", timestamp_micros(expr("ts div 1000"))), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  private val oEventWindows =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+      |  count(*) AS n, sum(round(value*100))/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // B10: JSON extraction over event props (codegen'd path, no UDF).
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy((col("k") % 10).as("kmod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("kmod"))
+
+  private val oJsonExtract =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod,
+      |  count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY kmod""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
+    QueryDef("q1_agg", q1Agg, Some(oQ1)),
+    QueryDef("q3_topk", q3Topk, Some(oQ3)),
+    QueryDef("q5_multijoin", q5Multijoin, Some(oQ5)),
+    QueryDef("q_window_rank", qWindowRank, Some(oWindowRank)),
+    QueryDef("q_semi_anti", qSemiAnti, Some(oSemiAnti)),
+    QueryDef("q_distinct", qDistinct, Some(oDistinct)),
+    QueryDef("q_rollup", qRollup, Some(oRollup)),
+    QueryDef("q_event_windows", qEventWindows, Some(oEventWindows)),
+    QueryDef("q_json_extract", qJsonExtract, Some(oJsonExtract)),
+  )
+}

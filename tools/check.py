@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+
+Runs nothing itself — expects `sbt "runMain graft.Verify <sfdir> <outdir>"`
+to have produced <outdir>/<name>/ parquet dirs + oracle_sql.json.
+Then runs each oracle SQL in DuckDB over the same parquet tables and
+compares: row count, sorted column names, and exact cell values
+(rows sorted by all columns). Strict — mirrors a hash compare.
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm_cell(v):
+    # Make pandas/duckdb/pyarrow scalars comparable.
+    import math, datetime
+    import numpy as np
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    if isinstance(v, (datetime.datetime,)):
+        return v.isoformat()
+    if isinstance(v, np.datetime64):
+        return str(v)
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+def frame_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in r) for r in df[cols].itertuples(index=False, name=None)]
+    rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    return cols, rows
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    fails = []
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name); continue
+        spark_df = pq.read_table(files[0]).to_pandas()
+        if name not in oracles:
+            print(f"ROWS {name}: rows={len(spark_df)} (no oracle)")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; fails.append(name); continue
+        sc, sr = frame_rows(spark_df)
+        dc, dr = frame_rows(duck_df)
+        if sc != dc:
+            print(f"FAIL {name}: columns {sc} != {dc}"); n_fail += 1; fails.append(name); continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount {len(sr)} != {len(dr)}"); n_fail += 1; fails.append(name); continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first at {i}:\n  spark={a}\n  duck ={b}")
+            n_fail += 1; fails.append(name); continue
+        print(f"PASS {name}: {len(sr)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else ""))
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
