@@ -1,0 +1,274 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+import TypedProjection.{FieldSpec, Cast}
+import org.apache.spark.sql.types.LongType
+
+/** Driver-gated correctness queries for the CDC core (SURVEY.md §2
+  * A-series), run through the real library components over the
+  * canonical events→CDC mapping (SURVEY.md §4). Each oracle restates
+  * the same semantics in DuckDB SQL over the raw events table.
+  *
+  * DuckDB reads the ns-precision `ts` as µs-truncated TIMESTAMP;
+  * Spark reads bigint nanos and floor-divides — identical µs values,
+  * so `epoch_us(ts)` ⟷ `ts div 1000` everywhere.
+  */
+object CdcQueries {
+
+  private val W0 = CdcEnvelope.epochUs("2024-01-10T00:00:00Z")
+  private val W1 = CdcEnvelope.epochUs("2024-01-20T00:00:00Z")
+
+  private def env(s: SparkSession, d: String): DataFrame =
+    CdcEnvelope.fromEvents(T.events(s, d))
+
+  // DuckDB fragments for the same canonical mapping.
+  private val dOp = "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+  private val dWin =
+    "ts > TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'"
+  private val dK = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+  // A1: envelope parse + default-cast typed projection.
+  def cdcParse(s: SparkSession, d: String): DataFrame =
+    TypedProjection.project(env(s, d), CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("event_id", "user_id", CdcEnvelope.OpCol, CdcEnvelope.PosCol))
+      .withColumnRenamed(CdcEnvelope.OpCol, "op")
+      .withColumnRenamed(CdcEnvelope.PosCol, "pos")
+      .orderBy(col("event_id"))
+
+  private val oParse =
+    s"""SELECT event_id, user_id, $dOp AS op, event_id AS pos, $dK AS k
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // A2: incremental window (half-open (start, end]) — counts only,
+  // the window members feed every other A-query.
+  def cdcWindow(s: SparkSession, d: String): DataFrame =
+    CdcEnvelope.window(env(s, d), W0, W1)
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+
+  private val oWindow =
+    s"""SELECT count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+       |FROM events WHERE $dWin""".stripMargin
+
+  // A3: newest-change-per-key compaction inside the window.
+  def cdcCompact(s: SparkSession, d: String): DataFrame =
+    ChangeCompaction.latestPerKey(CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col(CdcEnvelope.OpCol).as("last_op"),
+        get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("last_k"))
+      .orderBy(col("user_id"))
+
+  private val oCompact =
+    s"""SELECT user_id, event_id AS last_event_id, $dOp AS last_op, $dK AS last_k
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM events WHERE $dWin) t
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // A4: log_v_i — newest per key among non-deletes.
+  def cdcUpserts(s: SparkSession, d: String): DataFrame =
+    ChangeCompaction.upsertSet(CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("k"),
+        col("value"))
+      .orderBy(col("user_id"))
+
+  private val oUpserts =
+    s"""SELECT user_id, event_id, $dK AS k, value
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM events WHERE $dWin AND event_type != 'error') t
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // A5: log_v_d — newest delete per key, suppressed when a newer
+  // upsert exists (merge.sql:335–349).
+  def cdcDeletes(s: SparkSession, d: String): DataFrame =
+    ChangeCompaction.deleteSet(CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
+      .select(col("user_id"), col("event_id").as("delete_event_id"),
+        col(CdcEnvelope.TsCol).as("del_ts_us"))
+      .orderBy(col("user_id"))
+
+  private val oDeletes =
+    s"""WITH dels AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS del_ts_us
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM events WHERE $dWin AND event_type = 'error') t
+       |  WHERE rn = 1),
+       |ups AS (
+       |  SELECT user_id, epoch_us(ts) AS up_ts_us
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM events WHERE $dWin AND event_type != 'error') t
+       |  WHERE rn = 1)
+       |SELECT d.user_id, d.event_id AS delete_event_id, d.del_ts_us
+       |FROM dels d LEFT JOIN ups u ON d.user_id = u.user_id
+       |WHERE u.user_id IS NULL OR u.up_ts_us < d.del_ts_us
+       |ORDER BY d.user_id""".stripMargin
+
+  // A6: full snapshot merge — pre-window history builds the target,
+  // the window's compacted changes are merged in (upserts replace,
+  // deletes remove). The end-to-end semantics of the reference
+  // procedure's transaction (merge.sql:403–436).
+  def cdcMerge(s: SparkSession, d: String): DataFrame = {
+    val e = env(s, d)
+    val projected = TypedProjection.project(e, CdcEnvelope.DataCol,
+      Seq(FieldSpec("k", Cast(LongType))),
+      keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val targetCols = Seq("user_id", "event_id", "k", "value")
+    val target = SnapshotMerge.fromHistory(
+      projected.filter(col(CdcEnvelope.LoadTsCol) <= lit(W0)), Seq("user_id"), targetCols)
+    val changes = ChangeCompaction.latestPerKey(
+      CdcEnvelope.window(projected, W0, W1), Seq("user_id"))
+    SnapshotMerge.merge(target, changes, Seq("user_id"))
+      .withColumnRenamed("event_id", "src_event_id")
+      .orderBy(col("user_id"))
+  }
+
+  private val oMerge =
+    s"""WITH tgt AS (SELECT user_id, event_id, k, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |          FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |  WHERE rn2 = 1 AND op != 'd'),
+       |chg AS (SELECT user_id, event_id, k, value, op FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn3
+       |    FROM events WHERE $dWin) w
+       |  WHERE rn3 = 1)
+       |SELECT user_id, event_id AS src_event_id, k, value
+       |FROM (
+       |  SELECT t.user_id, t.event_id, t.k, t.value FROM tgt t
+       |  WHERE t.user_id NOT IN (SELECT user_id FROM chg)
+       |  UNION ALL
+       |  SELECT c.user_id, c.event_id, c.k, c.value FROM chg c WHERE c.op != 'd') m
+       |ORDER BY user_id""".stripMargin
+
+  // A7: typed projection rules (epoch-sec, epoch-day, bit→int,
+  // datetime→int) through a JSON payload built in-flight — the Spark
+  // path parses JSON with the real rules; the oracle computes the
+  // expected value directly.
+  def cdcTypedProjection(s: SparkSession, d: String): DataFrame = {
+    import TypedProjection._
+    val e = T.events(s, d)
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    val tsUtc = timestamp_micros(expr("ts div 1000"))
+    val withJson = e.select(
+      col("event_id"),
+      to_json(struct(
+        k.as("k"),
+        when(k % 2 === 0, lit("true")).otherwise(lit("false")).as("flag"),
+        date_format(tsUtc, "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dt_iso"))).as("data"))
+    project(withJson, "data", Seq(
+        FieldSpec("k", EpochSeconds, "k_ts_raw"),
+        FieldSpec("k", EpochDays, "k_day_raw"),
+        FieldSpec("flag", BitToInt, "flag_int"),
+        FieldSpec("dt_iso", DatetimeToInt, "dt_int")),
+        keep = Seq("event_id"))
+      .select(col("event_id"),
+        date_format(col("k_ts_raw"), "yyyy-MM-dd HH:mm:ss").as("k_ts"),
+        col("k_day_raw").cast("string").as("k_day"),
+        col("flag_int"), col("dt_int"))
+      .orderBy(col("event_id"))
+  }
+
+  private val oTypedProjection =
+    s"""SELECT event_id,
+       |  strftime(make_timestamp($dK * 1000000), '%Y-%m-%d %H:%M:%S') AS k_ts,
+       |  CAST(CAST(DATE '1970-01-01' + INTERVAL ($dK) DAY AS DATE) AS VARCHAR) AS k_day,
+       |  CASE WHEN $dK % 2 = 0 THEN 1 ELSE 0 END AS flag_int,
+       |  CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) AS dt_int
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // A8: multi-PK compaction — composite key (user_id, event_type),
+  // the step-7/8 multi-PK surface.
+  def cdcMultipk(s: SparkSession, d: String): DataFrame =
+    ChangeCompaction.latestPerKey(CdcEnvelope.window(env(s, d), W0, W1),
+        Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+        get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("last_k"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val oMultipk =
+    s"""SELECT user_id, event_type, event_id AS last_event_id, $dK AS last_k
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |        ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM events WHERE $dWin) t
+       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // A9: the job-log record for one run — insert/delete counts and the
+  // window actually observed (merge.sql:360–366 collects the same).
+  def cdcRunStats(s: SparkSession, d: String): DataFrame = {
+    val (ups, dels) = ChangeCompaction.routed(
+      CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
+    val winAgg = CdcEnvelope.window(env(s, d), W0, W1)
+      .agg(min(col(CdcEnvelope.LoadTsCol)).as("cdc_start_us"),
+        max(col(CdcEnvelope.LoadTsCol)).as("cdc_end_us"))
+    val upsN = ups.agg(count(lit(1)).as("records_inserted"))
+    val delsN = dels.agg(count(lit(1)).as("records_deleted"))
+    upsN.crossJoin(delsN).crossJoin(winAgg)
+  }
+
+  private val oRunStats =
+    s"""WITH latest AS (
+       |  SELECT $dOp AS op FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE $dWin) t
+       |  WHERE rn = 1)
+       |SELECT
+       |  (SELECT count(*) FROM latest WHERE op != 'd') AS records_inserted,
+       |  (SELECT count(*) FROM latest WHERE op = 'd') AS records_deleted,
+       |  (SELECT min(epoch_us(ts)) FROM events WHERE $dWin) AS cdc_start_us,
+       |  (SELECT max(epoch_us(ts)) FROM events WHERE $dWin) AS cdc_end_us""".stripMargin
+
+  // A10: row-key conversions — epoch-nanos, base64 big-endian int64,
+  // row-key timestamp (merge.sql:228–247).
+  def cdcRowkey(s: SparkSession, d: String): DataFrame = {
+    import TypedProjection._
+    val e = T.events(s, d)
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    val tsUtc = timestamp_micros(expr("ts div 1000"))
+    val withJson = e.select(
+      col("event_id"),
+      to_json(struct(
+        ((k + lit(1700000000L)) * lit(1000000000L)).as("ns"),
+        base64(lpad(k.cast("string"), 8, "0").cast("binary")).as("rk"),
+        date_format(tsUtc, "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dt_iso"))).as("data"))
+    project(withJson, "data", Seq(
+        FieldSpec("ns", EpochNanos, "ns_ts_raw"),
+        FieldSpec("rk", RowKeyBinary, "rowkeynum"),
+        FieldSpec("dt_iso", RowKeyTimestamp, "rowkey_ts")),
+        keep = Seq("event_id"))
+      .select(col("event_id"),
+        date_format(col("ns_ts_raw"), "yyyy-MM-dd HH:mm:ss").as("ns_ts"),
+        col("rowkeynum"), col("rowkey_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val oRowkey = {
+    val rkSum = (1 to 8).map(i =>
+      s"ascii(substr(lpad(CAST($dK AS VARCHAR), 8, '0'), $i, 1)) * ${java.lang.Long.toString(1L << (8 * (8 - i)))}"
+    ).mkString(" + ")
+    s"""SELECT event_id,
+       |  strftime(make_timestamp(($dK + 1700000000) * 1000000), '%Y-%m-%d %H:%M:%S') AS ns_ts,
+       |  $rkSum AS rowkeynum,
+       |  epoch(date_trunc('second', ts))::BIGINT AS rowkey_ts
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_parse", cdcParse, Some(oParse)),
+    QueryDef("cdc_window", cdcWindow, Some(oWindow)),
+    QueryDef("cdc_compact", cdcCompact, Some(oCompact)),
+    QueryDef("cdc_upserts", cdcUpserts, Some(oUpserts)),
+    QueryDef("cdc_deletes", cdcDeletes, Some(oDeletes)),
+    QueryDef("cdc_merge", cdcMerge, Some(oMerge)),
+    QueryDef("cdc_typed_projection", cdcTypedProjection, Some(oTypedProjection)),
+    QueryDef("cdc_multipk", cdcMultipk, Some(oMultipk)),
+    QueryDef("cdc_run_stats", cdcRunStats, Some(oRunStats)),
+    QueryDef("cdc_rowkey", cdcRowkey, Some(oRowkey)),
+  )
+}

@@ -1,0 +1,68 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Newest-change-per-key compaction.
+  *
+  * The reference ranks with `ROW_NUMBER() OVER (PARTITION BY pk
+  * ORDER BY __ts_ns DESC, __source_pos DESC) ... WHERE rn = 1`
+  * (bigquery_syntex_merge_sql/merge.sql:309–325, mysql step-8 §6).
+  * A window rank shuffles *and sorts* every event. Spark-side we
+  * compute the same result as a hash aggregation —
+  * `groupBy(pk).agg(max_by(struct(payload), struct(orderCols)))` —
+  * which gets map-side partial combine: at 100 TB each task collapses
+  * its hot keys locally, so shuffle volume ≈ |distinct keys|, not
+  * |events|, and no sort anywhere (SURVEY.md §5). Order keys must be
+  * totally ordering (ts + source position) so ties are impossible and
+  * the result is deterministic.
+  */
+object ChangeCompaction {
+
+  /** Newest row per `pkCols` by lexicographic `orderCols`. Keeps
+    * every non-key column.
+    */
+  def latestPerKey(df: DataFrame, pkCols: Seq[String],
+      orderCols: Seq[String] = CdcEnvelope.orderCols): DataFrame = {
+    val payload = df.columns.filterNot(pkCols.contains).toSeq
+    val ord = struct((orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)
+    // max_by's ordering key leads with orderCols; remaining payload
+    // columns are tail tiebreak only (unreachable when orderCols are
+    // a total order, but keeps the result well-defined regardless).
+    df.groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ord).as("_latest"))
+      .select(pkCols.map(col) ++ payload.map(c => col("_latest").getField(c).as(c)): _*)
+  }
+
+  /** The reference's `log_v_i`: newest change per key **among
+    * non-deletes** (deletes are excluded before ranking;
+    * merge.sql:315).
+    */
+  def upsertSet(env: DataFrame, pkCols: Seq[String]): DataFrame =
+    latestPerKey(env.filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete)), pkCols)
+
+  /** The reference's `log_v_d`: newest delete per key, dropped when a
+    * newer upsert exists for the same key (merge.sql:335–349: delete
+    * kept iff no upsert or upsert's ts < delete's ts).
+    */
+  def deleteSet(env: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val dels = latestPerKey(env.filter(col(CdcEnvelope.OpCol) === lit(CdcEnvelope.Delete)), pkCols)
+    val ups = upsertSet(env, pkCols)
+      .select(pkCols.map(col) :+ col(CdcEnvelope.TsCol).as("_up_ts"): _*)
+    dels.join(ups, pkCols, "left")
+      .filter(col("_up_ts").isNull || col("_up_ts") < col(CdcEnvelope.TsCol))
+      .drop("_up_ts")
+  }
+
+  /** One-pass routing (SURVEY.md §5): compact over *all* ops, then
+    * split on `__op`. `routed._1` are rows whose newest change is an
+    * upsert, `routed._2` keys whose newest change is a delete. The
+    * upsert-vs-delete resolution of upsertSet/deleteSet falls out for
+    * free — one scan, one shuffle, no join.
+    */
+  def routed(env: DataFrame, pkCols: Seq[String]): (DataFrame, DataFrame) = {
+    val latest = latestPerKey(env, pkCols)
+    (latest.filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete)),
+      latest.filter(col(CdcEnvelope.OpCol) === lit(CdcEnvelope.Delete)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Applies a compacted change set onto a target snapshot — the
+  * Spark re-expression of the reference's two MERGE statements
+  * (upsert MERGE at bigquery_syntex_merge_sql/merge.sql:403–418,
+  * delete MERGE at merge.sql:428–436).
+  *
+  * Parquet has no transactional MERGE, so the merge is computed
+  * functionally: the next snapshot = target rows whose key saw no
+  * change, plus the projected upserts; keys whose newest change is a
+  * delete simply don't come back. `CdcPipeline` makes the swap
+  * atomic-enough with a versioned directory + pointer file; on a
+  * cluster with Delta/Iceberg the same change set feeds `MERGE INTO`.
+  *
+  * Scale notes (SURVEY.md §5): the anti-join shuffles on the PK — the
+  * join Spark picks is hash on pk, and because the compacted delta is
+  * usually ≪ target, AQE turns it into a broadcast of the delta's
+  * keys, leaving the target un-shuffled. Keeping the target
+  * hash-partitioned by pk on disk (writer uses repartition(pk))
+  * makes successive merges reuse the layout.
+  */
+object SnapshotMerge {
+
+  /** target ⟵ changes. `changes` must be compacted (one row per key,
+    * `ChangeCompaction.latestPerKey`) and carry `__op`; its payload
+    * columns must be a superset of the target's columns.
+    */
+  def merge(target: DataFrame, changes: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val targetCols = target.columns.toSeq
+    val changedKeys = changes.select(pkCols.map(col): _*)
+    val upserts = changes
+      .filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete))
+      .select(targetCols.map(col): _*)
+    target
+      .join(changedKeys, pkCols, "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** Build a first snapshot from history alone: newest change per
+    * key, dropping keys whose newest change is a delete.
+    */
+  def fromHistory(env: DataFrame, pkCols: Seq[String], targetCols: Seq[String]): DataFrame =
+    ChangeCompaction.routed(env, pkCols)._1.select(targetCols.map(col): _*)
+}

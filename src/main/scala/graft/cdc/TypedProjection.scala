@@ -1,0 +1,93 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+import graft.functions.longDiv
+
+/** JSON payload → typed target columns.
+  *
+  * The reference builds a per-column SQL projection from
+  * INFORMATION_SCHEMA + per-table config lists (epoch columns, bit
+  * columns, row-key conversions, ...) via dynamic SQL
+  * (bigquery_syntex_merge_sql/merge.sql:220–304;
+  * merge_procedures_mysql/step-8:§5). Spark-side the same rules are
+  * plain `Column` builders over `get_json_object` — fully visible to
+  * Catalyst (codegen'd, prunable), no string splicing.
+  *
+  * All timestamps land as session-UTC µs; rule semantics cite the
+  * reference condition they re-express.
+  */
+object TypedProjection {
+
+  /** How one target column is derived from the JSON payload. */
+  sealed trait Rule
+
+  /** JSON value is epoch seconds → timestamp (merge.sql "epoc_cols";
+    * step-8 FROM_UNIXTIME branch). */
+  case object EpochSeconds extends Rule
+
+  /** Epoch nanoseconds → timestamp via integer µs division
+    * (merge.sql:246–247 TIMESTAMP_MICROS(DIV(v,1000))). */
+  case object EpochNanos extends Rule
+
+  /** Days since 1970-01-01 → date (merge.sql:250–251). */
+  case object EpochDays extends Rule
+
+  /** 'true'/'false' string → 1/0 (merge.sql:254–255 bit_to_int). */
+  case object BitToInt extends Rule
+
+  /** 'true'/'1'/'false'/'0' → boolean (merge.sql:266–269 BOOL). */
+  case object BoolParse extends Rule
+
+  /** ISO-8601 datetime string → timestamp (merge.sql:258–259
+    * non_epoch_datetime_col). */
+  case object IsoDatetime extends Rule
+
+  /** ISO datetime string → bigint yyyyMMddHHmmss
+    * (merge.sql:262–263 datetime_to_int_val_col). */
+  case object DatetimeToInt extends Rule
+
+  /** Base64-encoded 8 bytes → big-endian int64 (merge.sql:228–234
+    * row_key_binary: FROM_BASE64 → code points → shifted sum). */
+  case object RowKeyBinary extends Rule
+
+  /** ISO datetime string → epoch seconds bigint (merge.sql:237–243
+    * row_key_timestamp: UNIX_SECONDS(TIMESTAMP(v))). */
+  case object RowKeyTimestamp extends Rule
+
+  /** Default: CAST the JSON string to the target type
+    * (merge.sql:284–285). */
+  final case class Cast(to: DataType) extends Rule
+
+  final case class FieldSpec(field: String, rule: Rule, as: String)
+  object FieldSpec {
+    def apply(field: String, rule: Rule): FieldSpec = FieldSpec(field, rule, field)
+  }
+
+  /** The rule applied to one JSON payload column. */
+  def column(data: Column, spec: FieldSpec): Column = {
+    val v = get_json_object(data, "$." + spec.field)
+    val c = spec.rule match {
+      case EpochSeconds => timestamp_seconds(v.cast("long"))
+      case EpochNanos => timestamp_micros(longDiv(v.cast("long"), lit(1000L)))
+      case EpochDays => date_add(to_date(lit("1970-01-01")), v.cast("int"))
+      case BitToInt =>
+        when(v === lit("true"), lit(1)).when(v === lit("false"), lit(0)).otherwise(lit(null).cast("int"))
+      case BoolParse =>
+        when(lower(v).isin("true", "1"), lit(true))
+          .when(lower(v).isin("false", "0"), lit(false))
+          .otherwise(lit(null).cast("boolean"))
+      case IsoDatetime => to_timestamp(v)
+      case DatetimeToInt => date_format(to_timestamp(v), "yyyyMMddHHmmss").cast("long")
+      case RowKeyBinary => conv(hex(unbase64(v)), 16, 10).cast("long")
+      case RowKeyTimestamp => unix_timestamp(to_timestamp(v))
+      case Cast(t) => v.cast(t)
+    }
+    c.as(spec.as)
+  }
+
+  /** Project the payload into typed columns, keeping `keep` as-is. */
+  def project(df: DataFrame, dataCol: String, specs: Seq[FieldSpec], keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) ++ specs.map(s => column(col(dataCol), s)): _*)
+}
