@@ -9,7 +9,7 @@ import graft.queries.Relational
   */
 object SparkEntry {
   private def all: Seq[QueryDef] =
-    Relational.defs ++ cdc.CdcQueries.defs
+    Relational.defs ++ cdc.CdcQueries.defs ++ ops.OpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

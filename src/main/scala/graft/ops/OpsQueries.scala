@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+
+/** Driver-gated queries for the LLM-data-pipeline operators
+  * (SURVEY.md §2 C-series) over the documents/embeddings tables.
+  * SQL-expressible ops carry a DuckDB oracle; the LSH/banding ops
+  * (Spark-hash-dependent) are deterministic but rows-only.
+  */
+object OpsQueries {
+
+  private val stopListSql = TextAnalysis.Stopwords.map { case (l, ws) =>
+    l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  }.toMap
+
+  // C1: exact dedup groups.
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(T.documents(s, d)).orderBy(col("keep_id"))
+
+  private val oDedupExact =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // C2: MinHash+LSH candidate pairs (rows-only: Spark xxhash64 seeds
+  // the permutations; not oracle-portable).
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(T.documents(s, d)).orderBy(col("id_a"), col("id_b"))
+
+  // C3: SimHash near-dup pairs (rows-only).
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(T.documents(s, d)).orderBy(col("id_a"), col("id_b"))
+
+  // C4: exact n-gram Jaccard verification over the LSH candidates
+  // (rows-only: candidate set comes from C2).
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardVerify(Dedup.minhashCandidates(T.documents(s, d)), T.documents(s, d))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // C5: embedding-cosine near-dup pairs; τ=0.42 sits in a measured
+  // 1.7e-3 margin of this corpus (no pair within it), so float64
+  // engine differences can't flip membership.
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairs(T.embeddings(s, d), 0.42).orderBy(col("id_a"), col("id_b"))
+
+  private val oDedupEmbedding =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.42
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // C6: brute-force cosine top-k (query set = vec_id < 10).
+  def annCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    Similarity.cosineTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private val oAnnCosineTopk =
+    """SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rnk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) t
+      |WHERE rnk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+
+  // C7: LSH-bucketed ANN (rows-only: buckets from Spark xxhash64).
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    Similarity.annLshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // C8: language ID.
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val oTextLangid = {
+    val scores = TextAnalysis.Stopwords.map { case (l, _) =>
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains(${stopListSql(l)}, t))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.init.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT doc_id,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, CASE WHEN m = 0 THEN 'und' $pick ELSE '${langs.last}' END AS lang_pred
+       |FROM (SELECT doc_id, s_${langs.mkString(", s_")}, $m AS m FROM s) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // C9: quality metrics.
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .select("doc_id", "n_chars_m", "n_tokens", "punct_n", "stop_n", "quality_score")
+      .orderBy(col("doc_id"))
+
+  private val oTextQuality =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_m,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS punct_n,
+       |  len(list_filter(string_split(lower(text), ' '),
+       |      t -> list_contains(${stopListSql("en")}, t))) AS stop_n,
+       |  round(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t)))
+       |        / len(string_split(text, ' '))
+       |      + 1.0 / (1.0 + len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}'))), 6)
+       |    AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // C10: token counting (whitespace + BPE-ish regex).
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val oTextTokens =
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // C11: rolling-hash fingerprint.
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val oTextFingerprint =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |        i -> CAST(ascii(substr(text, i::INT, 1)) AS BIGINT))),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
+    QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
+    QueryDef("dedup_simhash", dedupSimhash, None),
+    QueryDef("dedup_ngram_jaccard", dedupNgramJaccard, None),
+    QueryDef("dedup_embedding", dedupEmbedding, Some(oDedupEmbedding)),
+    QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
+    QueryDef("ann_lsh", annLsh, None),
+    QueryDef("text_langid", textLangid, Some(oTextLangid)),
+    QueryDef("text_quality", textQuality, Some(oTextQuality)),
+    QueryDef("text_tokens", textTokens, Some(oTextTokens)),
+    QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
+  )
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.shiftL
+
+/** Embedding similarity search (SURVEY.md §2 C5–C7).
+  *
+  * Cosine is computed in float64 with a sequential left fold
+  * (`aggregate` over the zipped arrays) — deterministic and
+  * bit-matching a scalar loop, which is what the DuckDB oracle does.
+  *
+  * Scale paths: brute force is O(N·Q·d) — correct baseline, used for
+  * verification; the LSH variant buckets by random-hyperplane sign
+  * bits so a probe touches ~1 bucket (≈ N/2^planes of the corpus)
+  * per table, trading recall for a 2^planes fan-in reduction. At
+  * 100 TB the bucketed layout is the difference between an
+  * all-to-all broadcast and a co-partitioned join on bucket id.
+  */
+object Similarity {
+
+  /** Arrays as float64 — float32 products differ from float64 ones. */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two float vectors, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
+  }
+
+  /** All pairs (id_a < id_b) with cosine ≥ minCos — brute force,
+    * O(N²); the exact reference for the LSH variants.
+    */
+  def cosinePairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= lit(minCos))
+      .select("id_a", "id_b")
+  }
+
+  /** Brute-force top-k neighbors for each query vector. Output is the
+    * (query_id, neighbor_id) membership set — ranks are implied by
+    * cosine but not exported (cross-engine float ties on *rank* are
+    * possible; set membership has a measured 1e-5 margin on this
+    * corpus, see SURVEY.md §5).
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+    val scored = q.crossJoin(broadcast(c))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("emb_q"), col("emb_c")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** Deterministic pseudo-random hyperplane weights: plane h,
+    * dimension j → uniform in [-1, 1] from xxhash64.
+    */
+  private def planeWeights(h: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      j => (pmod(xxhash64(h, j), lit(2001L)).cast("double") - lit(1000.0)) / lit(1000.0))
+
+  /** LSH bucket id: sign bits of the vector against `planes` random
+    * hyperplanes.
+    */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, h) => acc.bitwiseOR(
+        when(dotD(asDouble(v), planeWeights(h, dims)) > 0,
+          shiftL(lit(1L), h.cast("int"))).otherwise(lit(0L))))
+
+  /** (table, bucket) pairs for multi-table LSH: table t's bucket is
+    * the sign-bit code against its own `planes` hyperplanes (plane
+    * ids offset by t*planes so tables are independent).
+    */
+  private def lshTableBuckets(v: Column, tables: Int, planes: Int, dims: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)),
+      t => struct(t.as("tbl"),
+        aggregate(sequence(t * lit(planes), t * lit(planes) + lit(planes - 1)), lit(0L),
+          (acc, h) => acc.bitwiseOR(
+            when(dotD(asDouble(v), planeWeights(h, dims)) > 0,
+              shiftL(lit(1L), pmod(h, lit(planes)).cast("int"))).otherwise(lit(0L))))
+          .as("bucket")))
+
+  /** Bucketed ANN, multi-table: a candidate is any corpus vector
+    * sharing a bucket with the query in ≥1 of `tables` independent
+    * hash tables; exact cosine ranks the candidates. Single-table
+    * sign-LSH has recall p^planes (p = 1 − θ/π) — e.g. 0.04 on this
+    * corpus — so production LSH is always multi-table:
+    * 1 − (1 − p^planes)^tables. Recall < 1 by design; brute force
+    * above is the correctness baseline. At scale each table is a
+    * co-partitioned join on (tbl, bucket) — candidate volume
+    * ≈ tables·N/2^planes per query, never the corpus.
+    */
+  def annLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 4, planes: Int = 4, dims: Int = 64): DataFrame = {
+    def keyed(df: DataFrame, idAs: String, embAs: String) = df
+      .select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        explode(lshTableBuckets(col("embedding"), tables, planes, dims)).as("tb"))
+      .select(col(idAs), col(embAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = keyed(queries, "query_id", "emb_q")
+    val c = keyed(corpus, "neighbor_id", "emb_c")
+    val scored = q.join(c, Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("emb_q"), col("emb_c")).as("cos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+}

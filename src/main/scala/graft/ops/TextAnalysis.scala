@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM-data pipeline (SURVEY.md §2
+  * C8–C11): language ID, quality scoring, token counting, document
+  * fingerprinting. All pure `Column` expressions (whole-stage
+  * codegen, no UDFs) — at 100 TB these are embarrassingly parallel
+  * map work, so the only scale concern is staying inside codegen and
+  * pruning to the `text` column at the scan.
+  */
+object TextAnalysis {
+
+  /** Single-space tokenization — matches the corpus format (and the
+    * DuckDB oracle's string_split(text, ' ') exactly).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: letter runs, digit runs, single
+    * non-alphanumeric marks.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Tiny per-language stopword inventories for the n-gram/stopword
+    * language-ID heuristic. Deterministic and oracle-portable; real
+    * deployments would swap in larger lists (the operator shape is
+    * what matters).
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language ID: per-language stopword hit count; argmax with a
+    * fixed precedence (list order) on ties; no hits at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = Stopwords.map { case (l, ws) => l -> stopCount(toks, ws) }
+    // strictly-greater chain in fixed order = deterministic argmax
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl: Column, bs: Column), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+  private def langIdScores(text: Column): Seq[(String, Column)] =
+    Stopwords.map { case (l, ws) => l -> stopCount(tokens(lower(text)), ws) }
+
+  val PunctPattern = "[.,!?;:]"
+
+  /** Quality metrics: length, token count, punctuation count,
+    * stopword count (en), and a deterministic composite score.
+    */
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val punctN = size(regexp_extract_all(text, lit(PunctPattern), lit(0)))
+    val stopN = stopCount(tokens(lower(text)), Stopwords.head._2)
+    df.withColumn("n_chars_m", length(text))
+      .withColumn("n_tokens", nTok)
+      .withColumn("punct_n", punctN)
+      .withColumn("stop_n", stopN)
+      // int/int division in double is IEEE-exact per row; round(…,6)
+      // guards nothing here but keeps the export canonical.
+      .withColumn("quality_score",
+        round(col("stop_n") / col("n_tokens") + lit(1.0) / (lit(1.0) + col("punct_n")), 6))
+  }
+
+  /** Character codes of `text`, in order. */
+  def charCodes(text: Column): Column =
+    transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
+
+  /** Rolling polynomial fingerprint over the character codes:
+    * h ← (h*31 + code) mod 1e9+7. Sequential left fold — order is
+    * part of the semantics (it's a *rolling* hash), and `aggregate`
+    * over the array is exactly that.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(charCodes(text), lit(0L),
+      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+}
