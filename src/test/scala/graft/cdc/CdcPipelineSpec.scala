@@ -1,0 +1,88 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.{LocalSpark, Tables => T}
+import java.nio.file.Files
+
+/** A13/A14: the config-driven pipeline run end-to-end on the events
+  * table — incremental runs converge to the one-shot result, the
+  * watermark advances, and both outcomes land in the job log.
+  */
+class CdcPipelineSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import TypedProjection.{FieldSpec, Cast}
+
+  private def tmp(): String = Files.createTempDirectory("graft").toString
+
+  private def cfg(target: String) = CdcTableConfig(
+    cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+    targetTable = "events_snapshot", targetPath = target,
+    pk = Seq("user_id"),
+    fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+    passthrough = Seq("event_id", "value"))
+
+  private val w0 = CdcEnvelope.epochUs("2024-01-08T00:00:00Z")
+  private val w1 = CdcEnvelope.epochUs("2024-01-16T00:00:00Z")
+  private val w2 = CdcEnvelope.epochUs("2024-01-31T00:00:00Z")
+
+  test("two incremental runs converge to the one-shot snapshot; watermark advances") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+
+    // incremental: epoch→w1 then w1→w2
+    val incTarget = tmp(); val incLog = tmp()
+    val c1 = cfg(incTarget)
+    val r1 = CdcPipeline.run(spark, c1, env, incLog, w1)
+    assert(r1.status === "SUCCESS" && r1.windowStartUs === 0L && r1.windowEndUs === w1)
+    val r2 = CdcPipeline.run(spark, c1, env, incLog, w2)
+    assert(r2.windowStartUs === w1, "watermark must advance to the previous window end")
+    assert(r2.version === r1.version + 1)
+
+    // one-shot: epoch→w2
+    val oneTarget = tmp(); val oneLog = tmp()
+    val r3 = CdcPipeline.run(spark, cfg(oneTarget), env, oneLog, w2)
+    assert(r3.status === "SUCCESS")
+
+    val inc = CdcPipeline.readSnapshot(spark, incTarget).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val one = CdcPipeline.readSnapshot(spark, oneTarget).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(inc === one, "incremental must converge to one-shot")
+
+    // job log has two SUCCESS rows for the incremental target
+    val log = JobLog.read(spark, incLog).get
+    assert(log.filter(col("run_status") === "SUCCESS").count() === 2)
+  }
+
+  test("empty window still advances the watermark") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target)
+    CdcPipeline.run(spark, c, env, log, w2)
+    // second run over a window with no events (data ends 2024-01-30)
+    val w3 = CdcEnvelope.epochUs("2024-02-15T00:00:00Z")
+    val r = CdcPipeline.run(spark, c, env, log, w3)
+    assert(r.status === "SUCCESS" && r.inserted === 0L)
+    assert(JobLog.lastWatermark(spark, log, c) === w3)
+  }
+
+  test("inactive config is skipped without touching the target") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val r = CdcPipeline.run(spark, cfg(target).copy(isActive = false), env, log, w1)
+    assert(r.status === "SKIPPED")
+    assert(CdcPipeline.currentVersion(target).isEmpty)
+  }
+
+  test("config parsing: pk split + rule lists") {
+    assert(CdcConfig.parsePk("a, b ,c") === Seq("a", "b", "c"))
+    val specs = CdcConfig.specsFromLists(Map(
+      "epoc_cols" -> "created_at, updated_at",
+      "bit_to_int_col" -> "active"))
+    assert(specs.map(s => (s.field, s.rule)).toSet === Set(
+      ("created_at", TypedProjection.EpochSeconds),
+      ("updated_at", TypedProjection.EpochSeconds),
+      ("active", TypedProjection.BitToInt)))
+  }
+}

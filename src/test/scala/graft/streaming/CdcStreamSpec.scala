@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.LongType
+import graft.LocalSpark
+import graft.cdc._
+import java.nio.file.Files
+
+/** A11/A12: streaming CDC merge converges to the batch merge across
+  * micro-batches; stateful first-seen dedup emits once per key.
+  */
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  // (user_id, op, ts_us, pos, load_ts_us, data, event_id, value)
+  private type Env = (Long, String, Long, Long, Long, String, Long, Double)
+  private def toDf(rows: Seq[Env]) = {
+    import spark.implicits._
+    rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+      CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+  }
+
+  private val cfg = CdcTableConfig(
+    cdcTable = "mem_cdc", sourcePath = "mem", targetDb = "graft",
+    targetTable = "t", targetPath = s"mem-${java.util.UUID.randomUUID()}",
+    pk = Seq("user_id"),
+    fieldSpecs = Seq(TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType))),
+    passthrough = Seq("event_id", "value"))
+
+  private val batch1: Seq[Env] = Seq(
+    (1L, "u", 100L, 1L, 100L, """{"k":10}""", 1L, 1.0),
+    (2L, "u", 100L, 2L, 100L, """{"k":20}""", 2L, 2.0),
+    (3L, "u", 100L, 3L, 100L, """{"k":30}""", 3L, 3.0))
+  private val batch2: Seq[Env] = Seq(
+    (2L, "d", 200L, 4L, 200L, """{"k":20}""", 4L, 2.0),  // delete 2
+    (3L, "u", 200L, 5L, 200L, """{"k":31}""", 5L, 3.5),  // update 3
+    (4L, "u", 200L, 6L, 200L, """{"k":40}""", 6L, 4.0))  // insert 4
+
+  test("streaming merge across micro-batches equals the batch merge") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Env]
+    val env = mem.toDF().toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+      CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = CdcStream.startMerge(env, cfg, ckpt)()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = SnapshotStore.get(cfg.targetPath).get
+      .orderBy("user_id").select("user_id", "k", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === Seq((1L, 10L, 1L, 1.0), (3L, 31L, 5L, 3.5), (4L, 40L, 6L, 4.0)))
+
+    // batch reference over the same rows
+    val all = TypedProjection.project(toDf(batch1 ++ batch2), CdcEnvelope.DataCol,
+      cfg.fieldSpecs, keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+        CdcEnvelope.PosCol, "event_id", "value"))
+    val batchRef = SnapshotMerge.fromHistory(all, Seq("user_id"), cfg.targetCols)
+      .orderBy("user_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === batchRef)
+    SnapshotStore.clear(cfg.targetPath)
+  }
+
+  test("stateful first-seen dedup emits each key once across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[CdcStream.DedupEvent]
+    val out = CdcStream.firstSeen(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt2").toString)
+      .start()
+    try {
+      mem.addData(CdcStream.DedupEvent(1, 5), CdcStream.DedupEvent(1, 3),
+        CdcStream.DedupEvent(2, 7))
+      q.processAllAvailable()
+      mem.addData(CdcStream.DedupEvent(1, 9), CdcStream.DedupEvent(3, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").as[CdcStream.DedupEvent]
+      .collect().map(e => (e.key, e.pos)).sorted.toSeq
+    assert(got === Seq((1L, 3L), (2L, 7L), (3L, 1L)))
+  }
+}
