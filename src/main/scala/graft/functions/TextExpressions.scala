@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hashing expressions.
+  *
+  * The composable HigherOrderFunction formulations (transform /
+  * aggregate lambdas) are interpreted per element, and any non-lambda
+  * subexpression embedded in a lambda body is RE-EVALUATED per
+  * element — a `transform(sequence(...), i -> slice(split(text), ...))`
+  * re-splits the whole document once per shingle, and nesting the
+  * signature transform multiplies again: measured 336 s for
+  * MinHash+LSH over 5 000 docs at sf0.1. These expressions do the
+  * whole chain in one Scala pass per row (~100× less work), using the
+  * same xxhash64 core as Spark's hash function. CodegenFallback is
+  * fine: the cost is the per-row loop, not the call boundary.
+  */
+object TextHashing {
+  private val StrType = StringType
+
+  @inline def hashString(s: UTF8String, seed: Long): Long =
+    XxHash64Function.hash(s, StrType, seed)
+
+  /** Word w-shingles (distinct, order of first occurrence). */
+  def shingleStrings(text: UTF8String, w: Int): Array[UTF8String] = {
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    if (toks.length <= w) Array(UTF8String.concatWs(UTF8String.fromString(" "), toks: _*))
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i + w <= toks.length) {
+        seen.add(UTF8String.concatWs(UTF8String.fromString(" "),
+          java.util.Arrays.copyOfRange(toks, i, i + w): _*))
+        i += 1
+      }
+      seen.toArray(new Array[UTF8String](0))
+    }
+  }
+
+  /** k MinHash values by double hashing: g_i(s) = h1(s) + i·h2(s)
+    * (Kirsch–Mitzenmacher); min over shingles per i.
+    */
+  def minhash(shingles: Array[UTF8String], k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val h1 = hashString(shingles(si), 0xA5A5A5A5L)
+      val h2 = hashString(shingles(si), 0x5A5A5A5AL) | 1L
+      var i = 0
+      while (i < k) {
+        val g = h1 + i * h2
+        if (g < mins(i)) mins(i) = g
+        i += 1
+      }
+      si += 1
+    }
+    mins
+  }
+}
+
+/** text → array<string> of word w-shingles, one pass. */
+case class WordShingles(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"needs string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHashing.shingleStrings(v.asInstanceOf[UTF8String], w).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text → array<long>: LSH band buckets of the doc's MinHash
+  * signature (k = b·r hashes; bucket i hashes signature rows
+  * [i·r, i·r+r)). Band index = array position (posexplode downstream).
+  */
+case class MinHashBandBuckets(child: Expression, b: Int, r: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"needs string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any = {
+    val sig = TextHashing.minhash(TextHashing.shingleStrings(v.asInstanceOf[UTF8String], 3), b * r)
+    val buckets = new Array[Any](b)
+    var band = 0
+    while (band < b) {
+      var h = band.toLong * 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < r) {
+        h = java.lang.Long.rotateLeft(h ^ (sig(band * r + j) * 0xC2B2AE3D27D4EB4FL), 31) * 0x9E3779B185EBCA87L
+        j += 1
+      }
+      buckets(band) = h
+      band += 1
+    }
+    new GenericArrayData(buckets)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** tokens-as-text → 64-bit SimHash (per token ±1 vote per bit of the
+  * token's xxhash64; sign → bit).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"needs string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = TextHashing.hashString(toks(t), 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExpressions {
+  def wordShingles(text: Column, w: Int = 3): Column = toCol(WordShingles(toExpr(text), w))
+  def minhashBandBuckets(text: Column, b: Int = 8, r: Int = 2): Column =
+    toCol(MinHashBandBuckets(toExpr(text), b, r))
+  def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+}

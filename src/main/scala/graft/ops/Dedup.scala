@@ -23,29 +23,13 @@ object Dedup {
     docs.groupBy(md5(text).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word w-shingles of the token array. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(w)), " ")))
-  }
-
-  /** MinHash signature: element h is min over shingles of
-    * xxhash64(h, shingle) — k independent permutations via the
-    * seed-mixing first argument.
+  /** Word w-shingles — single-pass custom expression. (The
+    * transform/slice/array_join composition re-evaluates the
+    * embedded split() once per shingle on the interpreted
+    * HigherOrderFunction path; see TextExpressions.)
     */
-  def minhashSignature(sh: Column, k: Int = 16): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      h => array_min(transform(sh, s => xxhash64(h, s))))
-
-  /** (band, bucket) keys for LSH banding: b bands of r signature
-    * rows; bucket = hash of the band's slice.
-    */
-  def lshBands(sig: Column, b: Int = 8, r: Int = 2): Column =
-    transform(sequence(lit(0), lit(b - 1)),
-      band => struct(band.as("band"),
-        xxhash64(band, slice(sig, band * lit(r) + lit(1), lit(r)).cast("string")).as("bucket")))
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.functions.TextExpressions.wordShingles(text, w)
 
   /** Candidate near-duplicate pairs from MinHash+LSH banding:
     * docs sharing any band bucket, deduped across bands.
@@ -53,9 +37,9 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, text: Column = col("text"),
       k: Int = 16, b: Int = 8, r: Int = 2, maxBucket: Int = 100): DataFrame = {
     val keyed = docs
-      .select(col("doc_id"), lshBands(minhashSignature(shingles(text), k), b, r).as("bands"))
-      .select(col("doc_id"), explode(col("bands")).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExpressions.minhashBandBuckets(text, b, r))
+          .as(Seq("band", "bucket")))
     val small = keyed
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
@@ -88,26 +72,15 @@ object Dedup {
     * by each token hash's bit; sign → bit. Pure fold — one pass over
     * the tokens, no shuffle.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val counts = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(shiftR(xxhash64(t), b.cast("int")).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-            .otherwise(lit(-1L))),
-        (a, v) => a + v))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, b) => acc.bitwiseOR(
-        when(element_at(counts, (b + lit(1)).cast("int")) > 0, shiftL(lit(1L), b.cast("int")))
-          .otherwise(lit(0L))))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextExpressions.simhash64(text)
 
   /** SimHash near-duplicate pairs: 4 bands of 16 bits as LSH on the
     * 64-bit fingerprint, then exact Hamming-distance verification
     * with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, text: Column = col("text"),
-      maxHamming: Int = 10, maxBucket: Int = 100): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     val sh = docs.select(col("doc_id"), simhash(text).as("sim"))
     val keyed = sh.select(col("doc_id"), col("sim"), posexplode(
         array((0 to 3).map(b =>

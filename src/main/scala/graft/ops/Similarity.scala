@@ -25,11 +25,13 @@ object Similarity {
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity of two float vectors, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
-  }
+  /** Cosine similarity of two float vectors, computed in double.
+    * Native codegen expression — the equivalent
+    * aggregate/zip_with fold runs interpreted per element and made
+    * the O(N²) scans ~50× slower (see CosineSimilarity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** All pairs (id_a < id_b) with cosine ≥ minCos — brute force,
     * O(N²); the exact reference for the LSH variants.
