@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- Seq("q_filter_project", "q1_agg", "q3_topk", "q5_multijoin", "cdc_compact", "cdc_merge")) {
+      println(s"========== $name ==========")
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      // keep it grep-able
+      println(plan.linesIterator.filter(l =>
+        l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
+        l.contains("Exchange") || l.contains("Broadcast") || l.contains("WholeStageCodegen") ||
+        l.contains("HashAggregate") || l.contains("Join") || l.contains("Sort")
+      ).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

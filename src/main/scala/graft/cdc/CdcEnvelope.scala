@@ -72,4 +72,17 @@ object CdcEnvelope {
     */
   def window(env: DataFrame, startUs: Long, endUs: Long): DataFrame =
     env.filter(col(LoadTsCol) > lit(startUs) && col(LoadTsCol) <= lit(endUs))
+
+  /** Window + events→envelope in one step, with the window predicate
+    * on the RAW nanosecond column: `ts div 1000 > s` is a function of
+    * the column and never reaches the parquet scan (PushedFilters
+    * shows only IsNotNull), while the equivalent
+    * `ts >= (s+1)*1000 AND ts < (e+1)*1000` is a plain range that
+    * pushes down — at 100 TB the difference between scanning the
+    * window and scanning the history. (Same idea as the reference's
+    * explicit PARTITION(p050..) pruning, step-8 §5a.)
+    */
+  def eventsWindowed(events: DataFrame, startUs: Long, endUs: Long): DataFrame =
+    fromEvents(events.filter(
+      col("ts") >= lit((startUs + 1) * 1000L) && col("ts") < lit((endUs + 1) * 1000L)))
 }

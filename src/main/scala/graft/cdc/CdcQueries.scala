@@ -45,7 +45,7 @@ object CdcQueries {
   // A2: incremental window (half-open (start, end]) — counts only,
   // the window members feed every other A-query.
   def cdcWindow(s: SparkSession, d: String): DataFrame =
-    CdcEnvelope.window(env(s, d), W0, W1)
+    CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1)
       .agg(count(lit(1)).as("n"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
 
@@ -55,7 +55,7 @@ object CdcQueries {
 
   // A3: newest-change-per-key compaction inside the window.
   def cdcCompact(s: SparkSession, d: String): DataFrame =
-    ChangeCompaction.latestPerKey(CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
+    ChangeCompaction.latestPerKey(CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1), Seq("user_id"))
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col(CdcEnvelope.OpCol).as("last_op"),
         get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("last_k"))
@@ -70,7 +70,7 @@ object CdcQueries {
 
   // A4: log_v_i — newest per key among non-deletes.
   def cdcUpserts(s: SparkSession, d: String): DataFrame =
-    ChangeCompaction.upsertSet(CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
+    ChangeCompaction.upsertSet(CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1), Seq("user_id"))
       .select(col("user_id"), col("event_id"),
         get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("k"),
         col("value"))
@@ -86,7 +86,7 @@ object CdcQueries {
   // A5: log_v_d — newest delete per key, suppressed when a newer
   // upsert exists (merge.sql:335–349).
   def cdcDeletes(s: SparkSession, d: String): DataFrame =
-    ChangeCompaction.deleteSet(CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
+    ChangeCompaction.deleteSet(CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1), Seq("user_id"))
       .select(col("user_id"), col("event_id").as("delete_event_id"),
         col(CdcEnvelope.TsCol).as("del_ts_us"))
       .orderBy(col("user_id"))
@@ -187,7 +187,7 @@ object CdcQueries {
   // A8: multi-PK compaction — composite key (user_id, event_type),
   // the step-7/8 multi-PK surface.
   def cdcMultipk(s: SparkSession, d: String): DataFrame =
-    ChangeCompaction.latestPerKey(CdcEnvelope.window(env(s, d), W0, W1),
+    ChangeCompaction.latestPerKey(CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1),
         Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
         get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("last_k"))
@@ -204,8 +204,8 @@ object CdcQueries {
   // window actually observed (merge.sql:360–366 collects the same).
   def cdcRunStats(s: SparkSession, d: String): DataFrame = {
     val (ups, dels) = ChangeCompaction.routed(
-      CdcEnvelope.window(env(s, d), W0, W1), Seq("user_id"))
-    val winAgg = CdcEnvelope.window(env(s, d), W0, W1)
+      CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1), Seq("user_id"))
+    val winAgg = CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1)
       .agg(min(col(CdcEnvelope.LoadTsCol)).as("cdc_start_us"),
         max(col(CdcEnvelope.LoadTsCol)).as("cdc_end_us"))
     val upsN = ups.agg(count(lit(1)).as("records_inserted"))

@@ -25,12 +25,14 @@ object ChangeCompaction {
   def latestPerKey(df: DataFrame, pkCols: Seq[String],
       orderCols: Seq[String] = CdcEnvelope.orderCols): DataFrame = {
     val payload = df.columns.filterNot(pkCols.contains).toSeq
-    val ord = struct((orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)
-    // max_by's ordering key leads with orderCols; remaining payload
-    // columns are tail tiebreak only (unreachable when orderCols are
-    // a total order, but keeps the result well-defined regardless).
+    // LatestByOrder (TypedImperativeAggregate) instead of
+    // max_by(struct, struct): the struct-buffer declarative form
+    // plans SortAggregate (sorts both sides of the shuffle); this
+    // runs in ObjectHashAggregateExec — hash table, map-side partial
+    // combine, no sort (see graft.functions.LatestByOrder).
     df.groupBy(pkCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), ord).as("_latest"))
+      .agg(graft.functions.LatestByOrder(
+        struct(payload.map(col): _*), col(orderCols.head), col(orderCols(1))).as("_latest"))
       .select(pkCols.map(col) ++ payload.map(c => col("_latest").getField(c).as(c)): _*)
   }
 
