@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, LatestByOrder, MinHashBandBuckets, SimHash64, WordShingles}
+
+/** SQL surface of the graft function library, registered through the
+  * sanctioned `SparkSessionExtensions` hook:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   — or —
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * gives `SELECT cosine_similarity(a, b)`, `simhash64(text)`,
+  * `word_shingles(text, 3)`, `minhash_band_buckets(text, 8, 2)`,
+  * `latest_by(value, ord1, ord2)` in plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  /** (name, info, builder) triples — the shape injectFunction takes. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        if (args.length > 1) intLit(args(1), "w") else 3)),
+    (FunctionIdentifier("minhash_band_buckets"),
+      new ExpressionInfo(classOf[MinHashBandBuckets].getName, "minhash_band_buckets"),
+      (args: Seq[Expression]) => MinHashBandBuckets(args(0),
+        if (args.length > 1) intLit(args(1), "b") else 8,
+        if (args.length > 2) intLit(args(2), "r") else 2)),
+    (FunctionIdentifier("latest_by"),
+      new ExpressionInfo(classOf[LatestByOrder].getName, "latest_by"),
+      (args: Seq[Expression]) =>
+        LatestByOrder(args(1), args(2), args(0)).toAggregateExpression()))
+
+  /** Register into an already-built session (tests, REPLs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

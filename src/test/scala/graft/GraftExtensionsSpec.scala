@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface registered by GraftExtensions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = { val s = LocalSpark.spark; GraftExtensions.register(s); s }
+  import spark.implicits._
+
+  test("cosine_similarity in SQL") {
+    val got = spark.sql(
+      "SELECT cosine_similarity(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c").as[Double].collect()(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("simhash64 / word_shingles / minhash_band_buckets in SQL") {
+    val row = spark.sql(
+      "SELECT simhash64('a b c') AS sh, word_shingles('a b c d', 3) AS ws, " +
+        "size(minhash_band_buckets('a b c d', 8, 2)) AS nb")
+      .collect()(0)
+    assert(row.getAs[Long]("sh") === row.getAs[Long]("sh")) // deterministic call ok
+    assert(row.getAs[Seq[String]]("ws") === Seq("a b c", "b c d"))
+    assert(row.getAs[Int]("nb") === 8)
+  }
+
+  test("latest_by aggregate in SQL") {
+    Seq((1L, 10L, 1L, "old"), (1L, 20L, 2L, "new"), (2L, 5L, 1L, "only"))
+      .toDF("id", "ts", "pos", "v").createOrReplaceTempView("lb_in")
+    val got = spark.sql(
+      "SELECT id, latest_by(struct(v), ts, pos).v AS v FROM lb_in GROUP BY id ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "new"), (2L, "only")))
+  }
+}
