@@ -38,8 +38,12 @@ object CdcConfig {
   def parsePk(pk: String): Seq[String] =
     pk.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  /** The reference's per-rule config lists, by rule name. */
-  def specsFromLists(lists: Map[String, String]): Seq[TypedProjection.FieldSpec] = {
+  /** The reference's per-rule config lists, by rule name. The
+    * `datetime_null` sentinel (a per-table scalar, step-8 §2)
+    * upgrades every IsoDatetime column to the null-sentinel variant.
+    */
+  def specsFromLists(lists: Map[String, String],
+      datetimeNull: Option[String] = None): Seq[TypedProjection.FieldSpec] = {
     import TypedProjection._
     val ruleOf: Map[String, Rule] = Map(
       "epoc_cols" -> EpochSeconds,
@@ -48,11 +52,18 @@ object CdcConfig {
       "bit_to_int_col" -> BitToInt,
       "non_epoch_datetime_col" -> IsoDatetime,
       "datetime_to_int_val_col" -> DatetimeToInt,
+      "epoc_datetime_ist" -> EpochSecondsIst,
+      "col_value_as_current_time_ist" -> CurrentTimeIst,
       "row_key_binary" -> RowKeyBinary,
       "row_key_timestamp" -> RowKeyTimestamp)
     lists.toSeq.flatMap { case (list, cols) =>
-      ruleOf.get(list).toSeq.flatMap(rule =>
-        parsePk(cols).map(c => FieldSpec(c, rule)))
+      ruleOf.get(list).toSeq.flatMap { rule =>
+        val effective = (rule, datetimeNull) match {
+          case (IsoDatetime, Some(sentinel)) => IsoDatetimeNullIf(sentinel)
+          case _ => rule
+        }
+        parsePk(cols).map(c => FieldSpec(c, effective))
+      }
     }
   }
 
@@ -66,7 +77,7 @@ object CdcConfig {
         if (df.columns.contains(n)) Option(r.getAs[String](n)).filter(_.nonEmpty) else None
       val lists = Seq("epoc_cols", "epoc_nano_cols", "epoc_day_cols", "bit_to_int_col",
         "non_epoch_datetime_col", "datetime_to_int_val_col", "row_key_binary",
-        "row_key_timestamp")
+        "row_key_timestamp", "epoc_datetime_ist", "col_value_as_current_time_ist")
         .flatMap(n => opt(n).map(n -> _)).toMap
       CdcTableConfig(
         cdcTable = s("cdc_table"),
@@ -75,7 +86,7 @@ object CdcConfig {
         targetTable = s("target_table"),
         targetPath = s("target_fp"),
         pk = parsePk(s("pk")),
-        fieldSpecs = specsFromLists(lists),
+        fieldSpecs = specsFromLists(lists, opt("datetime_null")),
         passthrough = opt("passthrough").map(parsePk).getOrElse(Nil),
         partitionField = opt("partition_field"),
         isActive = true)

@@ -64,12 +64,13 @@ object CdcPipeline {
     if (!cfg.isActive) // is_active gate, merge.sql:92–94
       return RunResult("SKIPPED", 0, 0, 0, 0, currentVersion(cfg.targetPath).getOrElse(-1))
     val startUs = JobLog.lastWatermark(spark, logDir, cfg)
-    val win = CdcEnvelope.window(source, startUs, nowUs)
-    val projected = TypedProjection.project(win, CdcEnvelope.DataCol, cfg.fieldSpecs,
-      keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
-        CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
-    val changes = ChangeCompaction.latestPerKey(projected, cfg.pk).cache()
+    var changes: DataFrame = null
     try {
+      val win = CdcEnvelope.window(source, startUs, nowUs)
+      val projected = TypedProjection.project(win, CdcEnvelope.DataCol, cfg.fieldSpecs,
+        keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
+      changes = ChangeCompaction.latestPerKey(projected, cfg.pk).cache()
       val nIns = changes.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete).count()
       val nDel = changes.filter(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete).count()
       val bounds = win.agg(min(col(CdcEnvelope.LoadTsCol)), max(col(CdcEnvelope.LoadTsCol))).collect()(0)
@@ -92,6 +93,6 @@ object CdcPipeline {
           java.util.UUID.randomUUID().toString, cfg.cdcTable, cfg.targetDb, cfg.targetTable,
           startUs, nowUs, nowUs, "FAILED", String.valueOf(e.getMessage), 0, 0))
         throw e
-    } finally changes.unpersist()
+    } finally if (changes != null) changes.unpersist()
   }
 }

@@ -162,17 +162,23 @@ object CdcQueries {
       to_json(struct(
         k.as("k"),
         when(k % 2 === 0, lit("true")).otherwise(lit("false")).as("flag"),
-        date_format(tsUtc, "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dt_iso"))).as("data"))
+        date_format(tsUtc, "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dt_iso"),
+        when(k % 5 === 0, lit("0000-00-00 00:00:00"))
+          .otherwise(date_format(tsUtc, "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("dt_n"))).as("data"))
     project(withJson, "data", Seq(
         FieldSpec("k", EpochSeconds, "k_ts_raw"),
         FieldSpec("k", EpochDays, "k_day_raw"),
         FieldSpec("flag", BitToInt, "flag_int"),
-        FieldSpec("dt_iso", DatetimeToInt, "dt_int")),
+        FieldSpec("dt_iso", DatetimeToInt, "dt_int"),
+        FieldSpec("k", EpochSecondsIst, "k_ist_raw"),
+        FieldSpec("dt_n", IsoDatetimeNullIf("0000-00-00 00:00:00"), "dt_null_raw")),
         keep = Seq("event_id"))
       .select(col("event_id"),
         date_format(col("k_ts_raw"), "yyyy-MM-dd HH:mm:ss").as("k_ts"),
         col("k_day_raw").cast("string").as("k_day"),
-        col("flag_int"), col("dt_int"))
+        col("flag_int"), col("dt_int"),
+        date_format(col("k_ist_raw"), "yyyy-MM-dd HH:mm:ss").as("k_ist"),
+        date_format(col("dt_null_raw"), "yyyy-MM-dd HH:mm:ss").as("dt_null"))
       .orderBy(col("event_id"))
   }
 
@@ -181,7 +187,10 @@ object CdcQueries {
        |  strftime(make_timestamp($dK * 1000000), '%Y-%m-%d %H:%M:%S') AS k_ts,
        |  CAST(CAST(DATE '1970-01-01' + INTERVAL ($dK) DAY AS DATE) AS VARCHAR) AS k_day,
        |  CASE WHEN $dK % 2 = 0 THEN 1 ELSE 0 END AS flag_int,
-       |  CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) AS dt_int
+       |  CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) AS dt_int,
+       |  strftime(make_timestamp(($dK + 19800) * 1000000), '%Y-%m-%d %H:%M:%S') AS k_ist,
+       |  CASE WHEN $dK % 5 = 0 THEN NULL
+       |       ELSE strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') END AS dt_null
        |FROM events ORDER BY event_id""".stripMargin
 
   // A8: multi-PK compaction — composite key (user_id, event_type),

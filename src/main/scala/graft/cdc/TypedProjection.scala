@@ -56,6 +56,23 @@ object TypedProjection {
     * row_key_timestamp: UNIX_SECONDS(TIMESTAMP(v))). */
   case object RowKeyTimestamp extends Rule
 
+  /** Epoch seconds → IST wall-clock datetime (step-8's
+    * `epoc_datetime_ist`: FROM_UNIXTIME shifted to +05:30). */
+  case object EpochSecondsIst extends Rule
+
+  /** Column is stamped with the current IST time, ignoring the
+    * payload (step-8's `col_value_as_current_time_ist`:
+    * CONVERT_TZ(NOW(), @@session.time_zone, '+05:30')).
+    * Nondeterministic by definition — excluded from oracle queries.
+    */
+  case object CurrentTimeIst extends Rule
+
+  /** ISO datetime with a null-sentinel: the configured placeholder
+    * value (step-8's `datetime_null`, e.g. '0000-00-00 00:00:00')
+    * parses to NULL instead of an error/garbage date.
+    */
+  final case class IsoDatetimeNullIf(sentinel: String) extends Rule
+
   /** Default: CAST the JSON string to the target type
     * (merge.sql:284–285). */
   final case class Cast(to: DataType) extends Rule
@@ -79,6 +96,11 @@ object TypedProjection {
           .when(lower(v).isin("false", "0"), lit(false))
           .otherwise(lit(null).cast("boolean"))
       case IsoDatetime => to_timestamp(v)
+      case EpochSecondsIst =>
+        from_utc_timestamp(timestamp_seconds(v.cast("long")), "+05:30")
+      case CurrentTimeIst => from_utc_timestamp(current_timestamp(), "+05:30")
+      case IsoDatetimeNullIf(sentinel) =>
+        when(v === lit(sentinel), lit(null).cast("timestamp")).otherwise(to_timestamp(v))
       case DatetimeToInt => date_format(to_timestamp(v), "yyyyMMddHHmmss").cast("long")
       case RowKeyBinary => conv(hex(unbase64(v)), 16, 10).cast("long")
       case RowKeyTimestamp => unix_timestamp(to_timestamp(v))

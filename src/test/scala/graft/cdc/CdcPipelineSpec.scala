@@ -85,4 +85,22 @@ class CdcPipelineSpec extends AnyFunSuite {
       ("updated_at", TypedProjection.EpochSeconds),
       ("active", TypedProjection.BitToInt)))
   }
+
+  test("a failing run writes a FAILED job-log row and leaves the snapshot untouched") {
+    val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val good = cfg(target)
+    CdcPipeline.run(spark, good, env, log, w1)
+    val vBefore = CdcPipeline.currentVersion(target)
+    // break the config: projection keeps a column that doesn't exist
+    val bad = good.copy(passthrough = Seq("event_id", "value", "no_such_col"))
+    intercept[Throwable] {
+      CdcPipeline.run(spark, bad, env, log, w2)
+    }
+    assert(CdcPipeline.currentVersion(target) === vBefore)
+    val logDf = JobLog.read(spark, log).get
+    assert(logDf.filter(org.apache.spark.sql.functions.col("run_status") === "FAILED").count() === 1)
+    // watermark ignores FAILED runs: next window retries from w1
+    assert(JobLog.lastWatermark(spark, log, good) === w1)
+  }
 }

@@ -86,4 +86,31 @@ class CdcStreamSpec extends AnyFunSuite {
       .collect().map(e => (e.key, e.pos)).sorted.toSeq
     assert(got === Seq((1L, 3L), (2L, 7L), (3L, 1L)))
   }
+
+  test("watermarked windowed aggregation finalizes windows as event time advances") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // (epoch-second, key, value)
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("sec", "k", "value")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"sec").as("ts"), $"k", $"value")
+    val agg = StreamOps.windowedAgg(events, "ts", "k", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt3").toString)
+      .start()
+    try {
+      // window [0,600): 2 events for a, 1 for b
+      mem.addData((10L, "a", 1.0), (20L, "a", 2.0), (30L, "b", 5.0))
+      q.processAllAvailable()
+      // event time jumps past 600+300 => first window finalizes
+      mem.addData((1000L, "a", 9.0))
+      q.processAllAvailable()
+      mem.addData((2000L, "a", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("win_out")
+      .select($"k", $"n", $"sum_value").as[(String, Long, Double)]
+      .collect().toSet
+    assert(got.contains(("a", 2L, 3.0)) && got.contains(("b", 1L, 5.0)))
+  }
 }
