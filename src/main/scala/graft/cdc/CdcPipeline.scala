@@ -70,7 +70,7 @@ object CdcPipeline {
       val projected = TypedProjection.project(win, CdcEnvelope.DataCol, cfg.fieldSpecs,
         keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
           CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
-      changes = ChangeCompaction.latestPerKey(projected, cfg.pk).cache()
+      changes = ChangeCompaction.compactForMerge(projected, cfg.pk).cache()
       val nIns = changes.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete).count()
       val nDel = changes.filter(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete).count()
       val bounds = win.agg(min(col(CdcEnvelope.LoadTsCol)), max(col(CdcEnvelope.LoadTsCol))).collect()(0)

@@ -122,7 +122,7 @@ object CdcQueries {
     val targetCols = Seq("user_id", "event_id", "k", "value")
     val target = SnapshotMerge.fromHistory(
       projected.filter(col(CdcEnvelope.LoadTsCol) <= lit(W0)), Seq("user_id"), targetCols)
-    val changes = ChangeCompaction.latestPerKey(
+    val changes = ChangeCompaction.compactForMerge(
       CdcEnvelope.window(projected, W0, W1), Seq("user_id"))
     SnapshotMerge.merge(target, changes, Seq("user_id"))
       .withColumnRenamed("event_id", "src_event_id")

@@ -23,18 +23,38 @@ object ChangeCompaction {
     * every non-key column.
     */
   def latestPerKey(df: DataFrame, pkCols: Seq[String],
-      orderCols: Seq[String] = CdcEnvelope.orderCols): DataFrame = {
+      orderCols: Seq[String] = CdcEnvelope.orderCols): DataFrame =
+    latestPerKeyOrd(df, pkCols, col(orderCols.head), col(orderCols(1)))
+
+  /** Compaction with explicit (ord1, ord2) bigint ordering columns.
+    * LatestByOrder (TypedImperativeAggregate) instead of
+    * max_by(struct, struct): the struct-buffer declarative form
+    * plans SortAggregate (sorts both sides of the shuffle); this
+    * runs in ObjectHashAggregateExec — hash table, map-side partial
+    * combine, no sort (see graft.functions.LatestByOrder).
+    */
+  def latestPerKeyOrd(df: DataFrame, pkCols: Seq[String],
+      ord1: Column, ord2: Column): DataFrame = {
     val payload = df.columns.filterNot(pkCols.contains).toSeq
-    // LatestByOrder (TypedImperativeAggregate) instead of
-    // max_by(struct, struct): the struct-buffer declarative form
-    // plans SortAggregate (sorts both sides of the shuffle); this
-    // runs in ObjectHashAggregateExec — hash table, map-side partial
-    // combine, no sort (see graft.functions.LatestByOrder).
     df.groupBy(pkCols.map(col): _*)
       .agg(graft.functions.LatestByOrder(
-        struct(payload.map(col): _*), col(orderCols.head), col(orderCols(1))).as("_latest"))
+        struct(payload.map(col): _*), ord1, ord2).as("_latest"))
       .select(pkCols.map(col) ++ payload.map(c => col("_latest").getField(c).as(c)): _*)
   }
+
+  /** Merge-semantics compaction: the reference applies the newest
+    * upsert (log_v_i), then the newest delete only if STRICTLY newer
+    * than that upsert (merge.sql:348 `i.ts < d.ts`) — so on an exact
+    * timestamp tie between an upsert and a delete, the upsert wins,
+    * regardless of source position. Encoded in one pass by packing
+    * the tiebreak into the primary order: (ts·2 + isUpsert, pos).
+    * (ts is µs < 2^62, so the shift cannot overflow.)
+    */
+  def compactForMerge(env: DataFrame, pkCols: Seq[String]): DataFrame =
+    latestPerKeyOrd(env, pkCols,
+      col(CdcEnvelope.TsCol) * lit(2L) +
+        when(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete), lit(1L)).otherwise(lit(0L)),
+      col(CdcEnvelope.PosCol))
 
   /** The reference's `log_v_i`: newest change per key **among
     * non-deletes** (deletes are excluded before ranking;
@@ -56,14 +76,16 @@ object ChangeCompaction {
       .drop("_up_ts")
   }
 
-  /** One-pass routing (SURVEY.md §5): compact over *all* ops, then
-    * split on `__op`. `routed._1` are rows whose newest change is an
-    * upsert, `routed._2` keys whose newest change is a delete. The
-    * upsert-vs-delete resolution of upsertSet/deleteSet falls out for
-    * free — one scan, one shuffle, no join.
+  /** One-pass routing (SURVEY.md §5): compact over *all* ops with the
+    * merge ordering, then split on `__op`. `routed._1` are rows whose
+    * winning change is an upsert, `routed._2` keys whose winning
+    * change is a delete. Equivalent to the reference's two-view
+    * (log_v_i MERGE, then suppressed log_v_d MERGE) resolution —
+    * property-tested in MergeLawsSpec — with one scan, one shuffle,
+    * no join.
     */
   def routed(env: DataFrame, pkCols: Seq[String]): (DataFrame, DataFrame) = {
-    val latest = latestPerKey(env, pkCols)
+    val latest = compactForMerge(env, pkCols)
     (latest.filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete)),
       latest.filter(col(CdcEnvelope.OpCol) === lit(CdcEnvelope.Delete)))
   }

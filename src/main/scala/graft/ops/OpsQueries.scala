@@ -38,6 +38,40 @@ object OpsQueries {
     Dedup.ngramJaccardVerify(Dedup.minhashCandidates(T.documents(s, d)), T.documents(s, d))
       .orderBy(col("id_a"), col("id_b"))
 
+  // C4b: exact all-pairs n-gram Jaccard (no LSH prefilter) — the
+  // oracle-gated ground truth the C4 LSH+verify path approximates.
+  // Jaccard is a ratio of two integers, so both engines compute the
+  // identical double: the threshold needs no float margin.
+  def textJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val oTextJaccardPairs =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |                range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+      |    END AS sh
+      |  FROM documents WHERE doc_id < 1000)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(len(list_intersect(a.sh, b.sh))
+      |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
   // C5: embedding-cosine near-dup pairs; τ=0.42 sits in a measured
   // 1.7e-3 margin of this corpus (no pair within it), so float64
   // engine differences can't flip membership.
@@ -149,6 +183,7 @@ object OpsQueries {
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
     QueryDef("dedup_simhash", dedupSimhash, None),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard, None),
+    QueryDef("text_jaccard_pairs", textJaccardPairs, Some(oTextJaccardPairs)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(oDedupEmbedding)),
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
     QueryDef("ann_lsh", annLsh, None),

@@ -34,7 +34,7 @@ object CdcStream {
           cfg.fieldSpecs,
           keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
             CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
-        val changes = ChangeCompaction.latestPerKey(projected, cfg.pk)
+        val changes = ChangeCompaction.compactForMerge(projected, cfg.pk)
         SnapshotStore.merge(cfg, changes)
         onBatch(SnapshotStore.get(cfg.targetPath).orNull, batchId)
         ()
