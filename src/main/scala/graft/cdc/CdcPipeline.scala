@@ -95,4 +95,19 @@ object CdcPipeline {
         throw e
     } finally if (changes != null) changes.unpersist()
   }
+
+  /** Run every active config against its source — the platform loop
+    * the reference drives via a scheduler calling the procedure per
+    * (db, table, cdc_table). `sources` resolves a config's
+    * `sourcePath` to its envelope DataFrame. Failures are isolated
+    * per table (logged FAILED by `run`, surfaced in the result).
+    */
+  def runAll(spark: SparkSession, configs: Seq[CdcTableConfig],
+      sources: CdcTableConfig => DataFrame, logDir: String,
+      nowUs: Long): Map[String, Either[Throwable, RunResult]] =
+    configs.map { cfg =>
+      val key = s"${cfg.targetDb}.${cfg.targetTable}"
+      key -> (try Right(run(spark, cfg, sources(cfg), logDir, nowUs))
+      catch { case e: Throwable => Left(e) })
+    }.toMap
 }

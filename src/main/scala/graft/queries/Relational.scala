@@ -223,6 +223,64 @@ object Relational {
       |  count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       |FROM events GROUP BY 1 ORDER BY kmod""".stripMargin
 
+  // B11: pivot / conditional aggregation (counts per event type as
+  // columns). Pivot values are fixed so the schema is deterministic;
+  // empty cells are coalesced to 0 to match FILTER-aggregation.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .select(col("bucket") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("bucket"))
+
+  private val oPivot = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS $t").mkString(", ")
+    s"""SELECT user_id % 10 AS bucket, $cols
+       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  // B12: set operations (INTERSECT / EXCEPT are distinct-set ops in
+  // both engines).
+  def qSetops(s: SparkSession, d: String): DataFrame = {
+    val withOrders = T.orders(s, d).select(col("o_custkey").as("key")).distinct()
+    val building = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"))
+    withOrders.intersect(building).select(lit("both").as("kind"), col("key"))
+      .unionByName(withOrders.except(building).select(lit("orders_only").as("kind"), col("key")))
+      .orderBy(col("kind"), col("key"))
+  }
+
+  private val oSetops =
+    """SELECT kind, key FROM (
+      |  SELECT 'both' AS kind, key FROM (
+      |    SELECT DISTINCT o_custkey AS key FROM orders
+      |    INTERSECT
+      |    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING') a
+      |  UNION ALL
+      |  SELECT 'orders_only' AS kind, key FROM (
+      |    SELECT DISTINCT o_custkey AS key FROM orders
+      |    EXCEPT
+      |    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING') b) t
+      |ORDER BY kind, key""".stripMargin
+
+  // B13: median over exact integer cents — both engines do exact
+  // float64 arithmetic on integers ±.5, so the interpolated middle
+  // is bit-identical despite different interpolation formulas.
+  def qMedian(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(median(round(col("o_totalprice") * 100)).as("median_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val oMedian =
+    """SELECT o_orderpriority, median(round(o_totalprice * 100)) AS median_cents,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -234,5 +292,8 @@ object Relational {
     QueryDef("q_rollup", qRollup, Some(oRollup)),
     QueryDef("q_event_windows", qEventWindows, Some(oEventWindows)),
     QueryDef("q_json_extract", qJsonExtract, Some(oJsonExtract)),
+    QueryDef("q_pivot", qPivot, Some(oPivot)),
+    QueryDef("q_setops", qSetops, Some(oSetops)),
+    QueryDef("q_median", qMedian, Some(oMedian)),
   )
 }

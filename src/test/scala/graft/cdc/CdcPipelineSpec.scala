@@ -103,4 +103,15 @@ class CdcPipelineSpec extends AnyFunSuite {
     // watermark ignores FAILED runs: next window retries from w1
     assert(JobLog.lastWatermark(spark, log, good) === w1)
   }
+
+  test("runAll executes every active config and isolates failures") {
+    val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
+    val t1 = tmp(); val t2 = tmp(); val log = tmp()
+    val good = cfg(t1)
+    val bad = cfg(t2).copy(targetTable = "broken", passthrough = Seq("no_such_col"))
+    val results = CdcPipeline.runAll(spark, Seq(good, bad), _ => env, log, w1)
+    assert(results("graft.events_snapshot").isRight)
+    assert(results("graft.broken").isLeft)
+    assert(CdcPipeline.readSnapshot(spark, t1).get.count() > 0)
+  }
 }
