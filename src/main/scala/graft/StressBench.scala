@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.cdc._
+
+/** Compaction/merge throughput at volumes beyond the test parquet —
+  * events are synthesized in-flight (explode of the sf0.1 table, no
+  * testdata writes) to validate the §5 scale claims on this machine:
+  *
+  *  - uniform keys: shuffle volume ≈ |distinct keys|, so compaction
+  *    throughput should be scan-bound;
+  *  - one hot key (50% of all events): map-side partial combine must
+  *    absorb the skew (a sort- or window-based compaction would put
+  *    half the data in one task).
+  *
+  *   sbt 'runMain graft.StressBench [multiplier]'
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 100k base events × mult, replica i shifts key space and position.
+    val base = Tables.events(spark, "/root/testdata/sf0.1")
+    val env0 = CdcEnvelope.fromEvents(base)
+    val big = env0
+      .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+      .withColumn("user_id", col("user_id") + col("rep") * 1000L)
+      .withColumn(CdcEnvelope.PosCol, col(CdcEnvelope.PosCol) * mult + col("rep"))
+      .drop("rep")
+    val n = big.count()
+
+    def time[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s  (${n / 1e6}%.1f M rows)")
+      r
+    }
+
+    // warm-up
+    big.limit(1000).groupBy("user_id").count().count()
+
+    time("uniform-key compaction") {
+      ChangeCompaction.compactForMerge(big, Seq("user_id")).count()
+    }
+
+    // skew: half of all events on one key
+    val skewed = big.withColumn("user_id",
+      when(pmod(col(CdcEnvelope.PosCol), lit(2)) === 0, lit(0L)).otherwise(col("user_id")))
+    time("hot-key (50% on one key) compaction") {
+      ChangeCompaction.compactForMerge(skewed, Seq("user_id")).count()
+    }
+
+    val target = ChangeCompaction.compactForMerge(
+      big.filter(col(CdcEnvelope.TsCol) % 2 === 0), Seq("user_id"))
+      .filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete)
+    val changes = ChangeCompaction.compactForMerge(
+      big.filter(col(CdcEnvelope.TsCol) % 2 === 1), Seq("user_id"))
+    time("snapshot merge (anti-join + union)") {
+      SnapshotMerge.merge(target, changes, Seq("user_id")).count()
+    }
+    time("snapshot merge (large-delta shuffled-hash path)") {
+      SnapshotMerge.merge(target, changes, Seq("user_id"), Some(n / 2)).count()
+    }
+    spark.stop()
+  }
+}

@@ -77,7 +77,7 @@ object CdcPipeline {
       val (cdcStart, cdcEnd) =
         if (bounds.isNullAt(0)) (nowUs, nowUs) else (bounds.getLong(0), bounds.getLong(1))
       val merged = readSnapshot(spark, cfg.targetPath) match {
-        case Some(target) => SnapshotMerge.merge(target, changes, cfg.pk)
+        case Some(target) => SnapshotMerge.merge(target, changes, cfg.pk, Some(nIns + nDel))
         case None => SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
       }
       val version = publish(merged.select(cfg.targetCols.map(col): _*), cfg.targetPath, cfg.pk)
