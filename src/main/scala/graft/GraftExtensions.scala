@@ -17,8 +17,10 @@ import graft.functions.{CosineSimilarity, LatestByOrder, MinHashBandBuckets, Sim
   * `latest_by(value, ord1, ord2)` in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberToLatestBy)
+  }
 }
 
 object GraftExtensions {

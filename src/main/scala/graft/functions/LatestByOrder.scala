@@ -37,14 +37,15 @@ case class LatestByOrder(
   override def createAggregationBuffer(): LatestByOrder.Buf = new LatestByOrder.Buf()
 
   override def update(buf: LatestByOrder.Buf, input: InternalRow): LatestByOrder.Buf = {
+    // null order keys sort lowest — the DESC NULLS LAST contract of
+    // the window form this aggregate replaces (RowNumberToLatestBy).
     val o1 = ord1.eval(input)
-    if (o1 != null) {
-      val t = o1.asInstanceOf[Long]
-      val p = ord2.eval(input).asInstanceOf[Long]
-      if (buf.row == null || t > buf.ord1 || (t == buf.ord1 && p > buf.ord2)) {
-        buf.ord1 = t; buf.ord2 = p
-        buf.row = toUnsafe(value.eval(input).asInstanceOf[InternalRow]).copy()
-      }
+    val t = if (o1 == null) Long.MinValue else o1.asInstanceOf[Long]
+    val o2 = ord2.eval(input)
+    val p = if (o2 == null) Long.MinValue else o2.asInstanceOf[Long]
+    if (buf.row == null || t > buf.ord1 || (t == buf.ord1 && p > buf.ord2)) {
+      buf.ord1 = t; buf.ord2 = p
+      buf.row = toUnsafe(value.eval(input).asInstanceOf[InternalRow]).copy()
     }
     buf
   }

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+import graft.functions.LatestByOrder
+
+/** Optimizer rule: rewrite the reference's compaction idiom
+  *
+  *   ... ROW_NUMBER() OVER (PARTITION BY pk
+  *                          ORDER BY ts DESC, pos DESC) AS rn
+  *   ... WHERE rn = 1
+  *
+  * (bigquery_syntex_merge_sql/merge.sql:309–325 — the shape every
+  * CDC-on-SQL pipeline writes) into the LatestByOrder hash
+  * aggregation. The window form shuffles AND sorts every partition;
+  * the aggregate form is ObjectHashAggregate with map-side partial
+  * combine — same result, no sort, shuffle ≈ |distinct keys|
+  * (measured 10 M rows: 1.0 s vs a full sort; StressBench).
+  *
+  * Conservative guards: exactly one window expression (the
+  * row_number), two DESC NULLS LAST order keys (matching
+  * LatestByOrder's null-as-minus-infinity contract), both bigint
+  * child attributes, rn only used as the `= 1` filter and dropped
+  * by the surrounding projection.
+  *
+  * Registered by GraftExtensions (injectOptimizerRule) or
+  * `spark.experimental.extraOptimizations`.
+  */
+object RowNumberToLatestBy extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, FilteredRn(rnAttr, w))
+        if eligible(w) && !projectList.exists(_.references.contains(rnAttr)) &&
+          projectList.forall(_.references.subsetOf(w.child.outputSet)) =>
+      Project(projectList, rewrite(w))
+  }
+
+  /** Filter(rn = 1, Window(...)) with the rn from that window. */
+  private object FilteredRn {
+    def unapply(plan: LogicalPlan): Option[(Attribute, Window)] = plan match {
+      case Filter(EqualTo(a: Attribute, IntegerLiteral(1)), w: Window)
+          if isRnWindow(w, a) => Some((a, w))
+      case Filter(EqualTo(IntegerLiteral(1), a: Attribute), w: Window)
+          if isRnWindow(w, a) => Some((a, w))
+      case _ => None
+    }
+  }
+
+  private def isRnWindow(w: Window, rn: Attribute): Boolean = w.windowExpressions match {
+    case Seq(al @ Alias(WindowExpression(RowNumber(), _), _)) => al.exprId == rn.exprId
+    case _ => false
+  }
+
+  private def eligible(w: Window): Boolean = {
+    val pksOk = w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+      case a: Attribute => w.child.outputSet.contains(a)
+      case _ => false
+    }
+    val ordOk = w.orderSpec match {
+      case Seq(SortOrder(o1: Attribute, Descending, NullsLast, _),
+          SortOrder(o2: Attribute, Descending, NullsLast, _)) =>
+        // NULLS LAST ⇔ LatestByOrder's null-as-minus-infinity contract
+        o1.dataType == LongType && o2.dataType == LongType &&
+          w.child.outputSet.contains(o1) && w.child.outputSet.contains(o2)
+      case _ => false
+    }
+    pksOk && ordOk
+  }
+
+  private def rewrite(w: Window): LogicalPlan = {
+    val pks = w.partitionSpec.map(_.asInstanceOf[Attribute])
+    val Seq(SortOrder(ord1: Attribute, _, _, _), SortOrder(ord2: Attribute, _, _, _)) = w.orderSpec
+    // The optimizer may have inserted a WindowGroupLimit (rank-limit
+    // pre-filter) below the window; the aggregate replaces it — left
+    // in place it would re-introduce the per-partition sorts this
+    // rewrite removes.
+    val child = w.child match {
+      case wgl: WindowGroupLimit => wgl.child
+      case c => c
+    }
+    val payload = child.output.filterNot(a => pks.exists(_.exprId == a.exprId))
+    val latest = AggregateExpression(
+      LatestByOrder(ord1, ord2, CreateStruct(payload)), Complete, isDistinct = false)
+    val payloadAliases = payload.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(latest, i, Some(a.name)), a.name)(exprId = a.exprId)
+    }
+    // Restore the child's column order so downstream attribute
+    // binding is untouched.
+    val byId = (pks.map(a => a.exprId -> (a: NamedExpression)) ++
+      payloadAliases.map(a => a.exprId -> (a: NamedExpression))).toMap
+    Aggregate(pks, child.output.map(a => byId(a.exprId)), child)
+  }
+
+  private object IntegerLiteral {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => Some(v)
+      case _ => None
+    }
+  }
+}
