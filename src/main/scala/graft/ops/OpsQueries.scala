@@ -43,7 +43,7 @@ object OpsQueries {
   // Jaccard is a ratio of two integers, so both engines compute the
   // identical double: the threshold needs no float margin.
   def textJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d).filter(col("doc_id") < 1000)
+    val docs = T.documents(s, d).filter(col("doc_id") < 500)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -64,7 +64,7 @@ object OpsQueries {
       |                range(1, len(string_split(text, ' ')) - 1),
       |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
       |    END AS sh
-      |  FROM documents WHERE doc_id < 1000)
+      |  FROM documents WHERE doc_id < 500)
       |SELECT id_a, id_b, jaccard FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    round(len(list_intersect(a.sh, b.sh))

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cdc.CdcEnvelope
+import graft.functions.longDiv
+
+/** Change-feed sources → the canonical CdcEnvelope shape.
+  *
+  * The reference consumes pre-landed CDC tables whose `data` JSON
+  * carries Debezium-style metadata (`__op`, `__ts_ns`,
+  * `__source_pos`; merge.sql:307–349). This module builds the same
+  * envelope from the formats a Spark deployment actually ingests:
+  *
+  *  - raw Debezium JSON lines (Kafka topic dumps / file feeds);
+  *  - the flattened `data`-payload form the reference lands;
+  *  - a streaming file source over either (readStream, so the
+  *    CdcStream pipeline consumes it directly).
+  *
+  * All parsing is `from_json` with explicit schemas — Catalyst
+  * prunes unreferenced payload fields and the JSON parser is
+  * codegen'd; no driver-side parsing anywhere.
+  */
+object ChangeFeed {
+
+  /** Debezium change-record schema, payload typed by `valueSchema`. */
+  def debeziumSchema(valueSchema: StructType): StructType = StructType(Seq(
+    StructField("before", valueSchema, nullable = true),
+    StructField("after", valueSchema, nullable = true),
+    StructField("op", StringType, nullable = true),
+    StructField("ts_ms", LongType, nullable = true),
+    StructField("source", StructType(Seq(
+      StructField("pos", LongType, nullable = true),
+      StructField("ts_ms", LongType, nullable = true))), nullable = true)))
+
+  /** Debezium JSON → envelope. Op mapping c/u/r → 'u', d → 'd'
+    * (exactly the reference's `!= 'd'` / `= 'd'` split); the payload
+    * row is `after` for upserts and `before` for deletes (a delete's
+    * `after` is null); event time = source.ts_ms (fallback ts_ms),
+    * position = source.pos. `loadTsUs` supplies the window column —
+    * defaults to the event time when the feed has no landing
+    * timestamp.
+    */
+  def fromDebeziumJson(raw: DataFrame, jsonCol: String, valueSchema: StructType,
+      pk: Seq[String]): DataFrame = {
+    val rec = from_json(col(jsonCol), debeziumSchema(valueSchema))
+    val isDelete = rec.getField("op") === lit("d")
+    val payload = when(isDelete, rec.getField("before")).otherwise(rec.getField("after"))
+    val srcTsMs = coalesce(rec.getField("source").getField("ts_ms"), rec.getField("ts_ms"))
+    raw.select(
+      pk.map(k => payload.getField(k).as(k)) ++ Seq(
+        when(isDelete, lit(CdcEnvelope.Delete)).otherwise(lit(CdcEnvelope.Upsert))
+          .as(CdcEnvelope.OpCol),
+        (srcTsMs * lit(1000L)).as(CdcEnvelope.TsCol),
+        coalesce(rec.getField("source").getField("pos"), lit(0L)).as(CdcEnvelope.PosCol),
+        (srcTsMs * lit(1000L)).as(CdcEnvelope.LoadTsCol),
+        to_json(payload).as(CdcEnvelope.DataCol)): _*)
+  }
+
+  /** JSON-lines file feed of Debezium records → envelope (batch). */
+  def debeziumJsonLines(spark: SparkSession, path: String, valueSchema: StructType,
+      pk: Seq[String]): DataFrame =
+    fromDebeziumJson(spark.read.text(path), "value", valueSchema, pk)
+
+  /** Streaming variant: a file-source stream of Debezium JSON lines,
+    * ready for CdcStream.startMerge.
+    */
+  def debeziumJsonLinesStream(spark: SparkSession, path: String, valueSchema: StructType,
+      pk: Seq[String]): DataFrame =
+    fromDebeziumJson(spark.readStream.text(path), "value", valueSchema, pk)
+
+  /** The driver's events parquet as a change feed (SURVEY.md §4). */
+  def eventsParquet(spark: SparkSession, dir: String): DataFrame =
+    CdcEnvelope.fromEvents(spark.read.parquet(s"$dir/events.parquet"))
+}
