@@ -178,6 +178,57 @@ object OpsQueries {
       |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // B14: gap-based sessionization (1-hour gap) — per-user session
+  // counts and the longest session, all integer outputs.
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("event_id"))
+    Temporal.sessionize(ev, Seq("user_id"), "ts_us", "event_id", 3600L * 1000000)
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("longest_session"))
+      .orderBy(col("user_id"))
+  }
+
+  private val oSessionize =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000 THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      |  FROM g),
+      |c AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // B15: as-of join — each purchase gets the newest prior-or-equal
+  // click of the same user (DuckDB ASOF JOIN is the oracle; Spark
+  // composes it from an interleaved window, Temporal.asofJoin).
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_event_id"))
+    Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts_us", "click_ts_us", Seq("click_event_id"), "click_event_id")
+      .select("event_id", "user_id", "ts_us", "click_event_id")
+      .orderBy(col("event_id"))
+  }
+
+  private val oAsofJoin =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.event_id AS click_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)
+      |ORDER BY p.event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
@@ -191,5 +242,7 @@ object OpsQueries {
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
+    QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
+    QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),
   )
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over event streams: as-of join and
+  * sessionization — the two event-pipeline primitives Spark's
+  * DataFrame API lacks as built-ins, composed from windows per the
+  * preference order (built-in composition before custom plans).
+  *
+  * Scale: both are one shuffle on the key with a per-key sort —
+  * the minimal plan for order-dependent semantics (Spark's
+  * WindowExec). The as-of union trick in particular avoids the
+  * naive per-left-row range join (O(L·R) with a fat inequality
+  * join) — the union form is O((L+R) log(L+R)) per key.
+  */
+object Temporal {
+
+  /** For each left row, attach the payload of the newest right row
+    * with the same key and `rightTs <= leftTs` (ASOF LEFT JOIN).
+    * Implemented by interleaving both sides on (ts, isLeft) per key
+    * and carrying the last non-null payload forward: right rows sort
+    * before left rows at equal ts, which gives the inclusive bound.
+    * Ties beyond (ts) are broken by `rightPos` so the result is
+    * deterministic even with duplicate right timestamps.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightPos: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_ts", col(leftTs)).withColumn("_is_left", lit(1))
+      .withColumn("_pos", lit(Long.MaxValue))
+      .select((keys ++ Seq("_ts", "_is_left", "_pos")).map(col) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")): _*)
+    val rTagged = right
+      .withColumn("_ts", col(rightTs)).withColumn("_is_left", lit(0))
+      .withColumn("_pos", col(rightPos))
+      .select((keys ++ Seq("_ts", "_is_left", "_pos")).map(col) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(c => col(c).as(s"_p_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_is_left"), col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .select((keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) ++
+        Seq(col("_is_left")) ++
+        payload.map(c => last(col(s"_p_$c"), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("_is_left") === 1).drop("_is_left")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same key exceeds `gapUs`. Adds
+    * `session_id` (0-based per key, ordered by (ts, pos)).
+    */
+  def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
+      posCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(posCol))
+    events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull || col(tsCol) - col("_prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("_prev_ts", "_new_session")
+  }
+}
