@@ -26,7 +26,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout (forwarded verbatim via run/outputStrategy := StdoutOutput)
+    // plus stderr as a belt-and-braces copy for the driver's parser.
+    println(line)
+    System.err.println(line)
     spark.stop()
   }
 }

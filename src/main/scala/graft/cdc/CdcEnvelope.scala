@@ -47,13 +47,22 @@ object CdcEnvelope {
     * event time = ts (bigint nanos → µs), position = event_id,
     * payload = props. `value` and `event_id` ride along as payload.
     */
+  /** ns → µs floor division. `ts div 1000` truncates toward zero,
+    * which diverges from DuckDB's ns→µs timestamp floor for pre-1970
+    * times; pmod-adjusted floor matches for ALL ts, and makes the
+    * eventsWindowed range rewrite an exact equivalence (not just for
+    * ts >= 0).
+    */
+  def nsToUs(colName: String): Column =
+    expr(s"($colName - pmod($colName, 1000)) div 1000")
+
   def fromEvents(events: DataFrame): DataFrame =
     events.select(
       col("user_id"),
       when(col("event_type") === lit("error"), lit(Delete)).otherwise(lit(Upsert)).as(OpCol),
-      expr("ts div 1000").as(TsCol),
+      nsToUs("ts").as(TsCol),
       col("event_id").as(PosCol),
-      expr("ts div 1000").as(LoadTsCol),
+      nsToUs("ts").as(LoadTsCol),
       col("props").as(DataCol),
       col("event_id"),
       col("event_type"),
@@ -73,14 +82,41 @@ object CdcEnvelope {
   def window(env: DataFrame, startUs: Long, endUs: Long): DataFrame =
     env.filter(col(LoadTsCol) > lit(startUs) && col(LoadTsCol) <= lit(endUs))
 
+  /** UTC day (yyyy-MM-dd) of an epoch-µs instant — partition literals. */
+  def dayOfUs(us: Long): String =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  /** Window filter + day-partition pruning: when the source is laid
+    * out by a date partition column (config `partition_field`), the
+    * window predicate additionally bounds that column so Catalyst
+    * prunes partition directories — the Spark analogue of the
+    * reference's explicit `PARTITION (p050,...)` list
+    * (step-8-etl_job_incremental-date.sql:352–376). The day bounds
+    * are the closure of (startUs, endUs]: every load_ts in the window
+    * falls on a day in [day(startUs), day(endUs)], so adding the
+    * partition bound never drops window rows. ISO yyyy-MM-dd compares
+    * correctly as string or date.
+    */
+  def window(env: DataFrame, startUs: Long, endUs: Long,
+      partitionField: Option[String]): DataFrame = {
+    val base = window(env, startUs, endUs)
+    partitionField match {
+      case Some(p) =>
+        base.filter(col(p) >= lit(dayOfUs(startUs)) && col(p) <= lit(dayOfUs(endUs)))
+      case None => base
+    }
+  }
+
   /** Window + events→envelope in one step, with the window predicate
-    * on the RAW nanosecond column: `ts div 1000 > s` is a function of
-    * the column and never reaches the parquet scan (PushedFilters
-    * shows only IsNotNull), while the equivalent
+    * on the RAW nanosecond column: `floorDiv(ts,1000) > s` is a
+    * function of the column and never reaches the parquet scan
+    * (PushedFilters shows only IsNotNull), while the equivalent
     * `ts >= (s+1)*1000 AND ts < (e+1)*1000` is a plain range that
     * pushes down — at 100 TB the difference between scanning the
     * window and scanning the history. (Same idea as the reference's
-    * explicit PARTITION(p050..) pruning, step-8 §5a.)
+    * explicit PARTITION(p050..) pruning, step-8 §5a.) With floor
+    * division the rewrite is exact for all ts, negatives included.
     */
   def eventsWindowed(events: DataFrame, startUs: Long, endUs: Long): DataFrame =
     fromEvents(events.filter(

@@ -66,7 +66,7 @@ object CdcPipeline {
     val startUs = JobLog.lastWatermark(spark, logDir, cfg)
     var changes: DataFrame = null
     try {
-      val win = CdcEnvelope.window(source, startUs, nowUs)
+      val win = CdcEnvelope.window(source, startUs, nowUs, cfg.partitionField)
       val projected = TypedProjection.project(win, CdcEnvelope.DataCol, cfg.fieldSpecs,
         keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
           CdcEnvelope.LoadTsCol) ++ cfg.passthrough)

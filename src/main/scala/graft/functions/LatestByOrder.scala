@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
@@ -34,6 +35,18 @@ case class LatestByOrder(
   override def dataType: DataType = value.dataType
   override def nullable: Boolean = true
 
+  // SQL-exposed via GraftExtensions, so bad argument types must be
+  // analysis errors, not executor-side ClassCastExceptions.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (ord1.dataType != LongType || ord2.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"latest_by order keys must be BIGINT, got (${ord1.dataType.sql}, ${ord2.dataType.sql})")
+    else if (!value.dataType.isInstanceOf[StructType])
+      TypeCheckResult.TypeCheckFailure(
+        s"latest_by value must be a STRUCT, got ${value.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): LatestByOrder.Buf = new LatestByOrder.Buf()
 
   override def update(buf: LatestByOrder.Buf, input: InternalRow): LatestByOrder.Buf = {
@@ -43,9 +56,13 @@ case class LatestByOrder(
     val t = if (o1 == null) Long.MinValue else o1.asInstanceOf[Long]
     val o2 = ord2.eval(input)
     val p = if (o2 == null) Long.MinValue else o2.asInstanceOf[Long]
-    if (buf.row == null || t > buf.ord1 || (t == buf.ord1 && p > buf.ord2)) {
+    val v = value.eval(input)
+    // NULL value structs are skipped (like max_by over nulls) rather
+    // than NPE-ing in the unsafe projection.
+    if (v != null &&
+        (buf.row == null || t > buf.ord1 || (t == buf.ord1 && p > buf.ord2))) {
       buf.ord1 = t; buf.ord2 = p
-      buf.row = toUnsafe(value.eval(input).asInstanceOf[InternalRow]).copy()
+      buf.row = toUnsafe(v.asInstanceOf[InternalRow]).copy()
     }
     buf
   }

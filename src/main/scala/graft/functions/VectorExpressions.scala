@@ -36,25 +36,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"cosine_similarity needs array<float> inputs, got ${left.dataType}, ${right.dataType}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    CosineSimilarity.compute(x, y)
+    val r = CosineSimilarity.compute(x, y)
+    if (r.isNaN) null else r // zero-norm input → NULL, not NaN
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSimilarity.compute(" +
-        s"$a.toFloatArray(), $b.toFloatArray());")
+      s"""${ev.value} = graft.functions.CosineSimilarity.compute(
+         |  $a.toFloatArray(), $b.toFloatArray());
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object CosineSimilarity {
-  /** Shared by interpreted + codegen paths. */
+  /** Shared by interpreted + codegen paths. Mismatched lengths are an
+    * error (the oracle's list_cosine_similarity errors too — silent
+    * prefix truncation would hide data corruption); zero-norm inputs
+    * produce NaN here, mapped to NULL by the expression.
+    */
   def compute(x: Array[Float], y: Array[Float]): Double = {
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"cosine_similarity: vector lengths differ (${x.length} vs ${y.length})")
+    val n = x.length
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

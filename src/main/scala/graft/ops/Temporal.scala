@@ -29,25 +29,32 @@ object Temporal {
       leftTs: String, rightTs: String, payload: Seq[String],
       rightPos: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // All payload columns ride in ONE struct per right row, so the
+    // last-non-null carry-forward attaches the single matched right
+    // row (true ASOF semantics): a NULL payload value in the matched
+    // row stays NULL instead of falling back to an older right row,
+    // and multiple payload columns can't come from different rows.
+    val pStructType = org.apache.spark.sql.types.StructType(payload.map(right.schema(_)))
     val lTagged = left
       .withColumn("_ts", col(leftTs)).withColumn("_is_left", lit(1))
       .withColumn("_pos", lit(Long.MaxValue))
       .select((keys ++ Seq("_ts", "_is_left", "_pos")).map(col) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(pStructType).as("_p"): _*)
     val rTagged = right
       .withColumn("_ts", col(rightTs)).withColumn("_is_left", lit(0))
       .withColumn("_pos", col(rightPos))
       .select((keys ++ Seq("_ts", "_is_left", "_pos")).map(col) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(c).as(s"_p_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_p"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_is_left"), col("_pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("_p"), ignoreNulls = true).over(w)
     lTagged.unionByName(rTagged)
       .select((keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) ++
         Seq(col("_is_left")) ++
-        payload.map(c => last(col(s"_p_$c"), ignoreNulls = true).over(w).as(c))): _*)
+        payload.map(c => matched.getField(c).as(c))): _*)
       .filter(col("_is_left") === 1).drop("_is_left")
   }
 

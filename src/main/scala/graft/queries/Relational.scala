@@ -220,7 +220,8 @@ object Relational {
 
   private val oJsonExtract =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod,
-      |  count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY kmod""".stripMargin
 
   // B11: pivot / conditional aggregation (counts per event type as

@@ -104,6 +104,42 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(JobLog.lastWatermark(spark, log, good) === w1)
   }
 
+  test("partition_field prunes the scan to the window's day partitions") {
+    // Lay the envelope out date-partitioned (the production layout the
+    // reference prunes with an explicit PARTITION list, step-8 §5a).
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+      .withColumn("load_date",
+        date_format(timestamp_micros(col(CdcEnvelope.LoadTsCol)), "yyyy-MM-dd"))
+    val srcDir = tmp()
+    env.write.partitionBy("load_date").parquet(s"$srcDir/events_cdc")
+    val part = spark.read.parquet(s"$srcDir/events_cdc")
+
+    // Plan check: the day bounds land in PartitionFilters, so Catalyst
+    // lists only the window's directories.
+    val win = CdcEnvelope.window(part, w0, w1, Some("load_date"))
+    val scans = win.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pf = scans.head.partitionFilters.mkString(";")
+    assert(pf.contains("load_date"), s"expected load_date in PartitionFilters, got: $pf")
+    // Pruning must not change the window contents.
+    val expected = CdcEnvelope.window(part.drop("load_date"), w0, w1).count()
+    assert(win.count() === expected)
+
+    // End-to-end: a partitioned run equals the unpartitioned run.
+    val t1 = tmp(); val l1 = tmp(); val t2 = tmp(); val l2 = tmp()
+    val rPart = CdcPipeline.run(spark, cfg(t1).copy(partitionField = Some("load_date")),
+      part, l1, w1)
+    val rFlat = CdcPipeline.run(spark, cfg(t2),
+      CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf)), l2, w1)
+    assert(rPart.status === "SUCCESS" && rFlat.status === "SUCCESS")
+    assert(rPart.inserted === rFlat.inserted && rPart.deleted === rFlat.deleted)
+    val a = CdcPipeline.readSnapshot(spark, t1).get.orderBy("user_id").collect().map(_.toSeq).toSeq
+    val b = CdcPipeline.readSnapshot(spark, t2).get.orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("runAll executes every active config and isolates failures") {
     val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
     val t1 = tmp(); val t2 = tmp(); val log = tmp()

@@ -41,7 +41,11 @@ def frame_rows(df):
     cols = sorted(df.columns)
     rows = [tuple(norm_cell(v) for v in r) for r in df[cols].itertuples(index=False, name=None)]
     rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
-    return cols, rows
+    # Normalized dtype kind per column: the driver's hash compare is
+    # cell-type-sensitive (int64 44820 != float64 44820.0), so the local
+    # gate must be too. Kinds: i=int, f=float, b=bool, O=object, M=datetime.
+    kinds = [df[c].dtype.kind for c in cols]
+    return cols, rows, kinds
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -68,10 +72,13 @@ def main():
             duck_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; fails.append(name); continue
-        sc, sr = frame_rows(spark_df)
-        dc, dr = frame_rows(duck_df)
+        sc, sr, sk = frame_rows(spark_df)
+        dc, dr, dk = frame_rows(duck_df)
         if sc != dc:
             print(f"FAIL {name}: columns {sc} != {dc}"); n_fail += 1; fails.append(name); continue
+        if sk != dk:
+            print(f"FAIL {name}: dtype kinds differ: spark={list(zip(sc, sk))} duck={list(zip(dc, dk))}")
+            n_fail += 1; fails.append(name); continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rowcount {len(sr)} != {len(dr)}"); n_fail += 1; fails.append(name); continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
