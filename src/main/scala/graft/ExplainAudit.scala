@@ -11,7 +11,8 @@ object ExplainAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- Seq("q_filter_project", "q1_agg", "q3_topk", "q5_multijoin", "cdc_compact", "cdc_merge")) {
+    for (name <- Seq("q_filter_project", "q1_agg", "q3_topk", "q5_multijoin", "cdc_compact", "cdc_merge",
+        "dedup_minhash_lsh", "dedup_embedding_lsh", "ann_lsh")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able

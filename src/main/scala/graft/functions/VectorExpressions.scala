@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Cosine similarity of two float vectors as a native Catalyst
   * expression.
@@ -53,6 +53,83 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** embedding → array<struct<tbl:int,bucket:long>>: the vector's
+  * random-hyperplane LSH bucket in each of `tables` independent hash
+  * tables (bucket = sign bits against `planes` hyperplanes).
+  *
+  * Replaces the composable formulation (transform/aggregate/zip_with
+  * lambdas), which ran on the interpreted HigherOrderFunction path
+  * AND regenerated every plane-weight array per (row, plane) — the
+  * same anti-pattern MinHashBandBuckets replaced for text (measured
+  * there at ~100× — SURVEY.md §5 "codegen-friendly"). Here the
+  * [tables·planes × dims] plane matrix is built once per executor
+  * (lazy, from the expression's parameters) and each row pays one
+  * primitive dot-product loop per plane.
+  *
+  * Arithmetic contract (bit-identical to the previous formulation so
+  * bucket assignments are unchanged): weight(h, j) =
+  * (pmod(xxhash64(h, j), 2001) − 1000)/1000 with Spark's seed-42
+  * chained xxhash64 over two ints; dot = sequential float64 fold;
+  * bit i of table t set iff dot(v, plane t·planes+i) > 0.
+  */
+case class LshTableBuckets(child: Expression, tables: Int, planes: Int, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tbl", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_table_buckets needs array<float>, got $other")
+    }
+
+  // Plane matrix, built once per executor instance — NOT per row.
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(tables * planes) { h =>
+      val hSeed = XxHash64Function.hash(h, IntegerType, 42L)
+      Array.tabulate(dims) { j =>
+        val x = XxHash64Function.hash(j, IntegerType, hSeed)
+        (((x % 2001L) + 2001L) % 2001L - 1000.0) / 1000.0
+      }
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(dims, arr.length)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var i = 0
+      while (i < planes) {
+        val w = weights(t * planes + i)
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += arr(j).toDouble * w(j); j += 1 }
+        if (dot > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = new GenericInternalRow(Array[Any](t, bucket))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LshTableBuckets {
+  def apply(v: Column, tables: Int, planes: Int, dims: Int): Column =
+    toCol(LshTableBuckets(toExpr(v), tables, planes, dims))
 }
 
 object CosineSimilarity {

