@@ -28,10 +28,24 @@ object CdcPipeline {
 
   private val VersionFile = "_VERSION"
 
-  def currentVersion(targetDir: String): Option[Long] = {
+  /** Pointer contents: `<version>[ <batchId>]` — one line, swapped
+    * atomically, so the committed version and the streaming batch
+    * that produced it are one unit (no separate marker to tear).
+    */
+  private def pointer(targetDir: String): Option[(Long, Long)] = {
     val p = Paths.get(targetDir, VersionFile)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+    if (Files.exists(p)) {
+      val toks = Files.readString(p).trim.split("\\s+")
+      Some((toks(0).toLong, if (toks.length > 1) toks(1).toLong else -1L))
+    } else None
   }
+
+  def currentVersion(targetDir: String): Option[Long] = pointer(targetDir).map(_._1)
+
+  /** Highest streaming batchId committed into this target (-1 when the
+    * target was only ever written by batch runs).
+    */
+  def lastCommittedBatch(targetDir: String): Option[Long] = pointer(targetDir).map(_._2)
 
   def readSnapshot(spark: SparkSession, targetDir: String): Option[DataFrame] =
     currentVersion(targetDir).map(v => spark.read.parquet(s"$targetDir/v$v"))
@@ -40,8 +54,11 @@ object CdcPipeline {
     * The pointer write is a same-directory atomic move, so a reader
     * sees either the old or the new version, never a torn state (the
     * object-store deployment would swap a manifest the same way).
+    * `batchId` records the streaming micro-batch that produced this
+    * version (exactly-once replay guard; -1 for batch runs).
     */
-  private def publish(df: DataFrame, targetDir: String, pkCols: Seq[String]): Long = {
+  private[graft] def publish(df: DataFrame, targetDir: String, pkCols: Seq[String],
+      batchId: Long = -1L): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     // Hash-layout by PK so the next merge's anti-join and any
     // point-lookup reads co-locate (SURVEY.md §5).
@@ -49,7 +66,7 @@ object CdcPipeline {
         pkCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$targetDir/v$next")
     val tmp = Paths.get(targetDir, s".$VersionFile.tmp")
-    Files.writeString(tmp, next.toString)
+    Files.writeString(tmp, s"$next $batchId")
     Files.move(tmp, Paths.get(targetDir, VersionFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     next

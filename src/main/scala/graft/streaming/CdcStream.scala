@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import graft.cdc.{CdcEnvelope, CdcTableConfig, ChangeCompaction, SnapshotMerge, TypedProjection}
+import graft.cdc.{CdcEnvelope, CdcPipeline, CdcTableConfig, ChangeCompaction, SnapshotMerge, TypedProjection}
 
 /** Structured-Streaming form of the CDC pipeline (SURVEY.md §2
   * A11/A12): the reference's scheduled stored-procedure loop becomes
@@ -19,10 +19,57 @@ import graft.cdc.{CdcEnvelope, CdcTableConfig, ChangeCompaction, SnapshotMerge, 
   */
 object CdcStream {
 
-  /** Start a streaming merge: every micro-batch of envelope rows is
-    * compacted and merged into the in-memory `SnapshotStore` keyed by
-    * the config's target path (a stand-in for the versioned parquet
-    * target — tests assert stream-end state equals the batch result).
+  /** Compact + project one micro-batch of envelope rows and merge it
+    * into the versioned parquet target (the same publish path as the
+    * batch pipeline). Exactly-once: the checkpoint replays at-least-
+    * once, and the version pointer records the batchId that produced
+    * each committed version, so a replayed batch (same batchId, same
+    * data — file/Kafka sources are replayable) is skipped instead of
+    * re-merged. Returns true when the batch was applied, false when
+    * it was a replay of an already-committed batch.
+    */
+  def mergeBatchToTarget(batch: DataFrame, batchId: Long, cfg: CdcTableConfig): Boolean = {
+    if (CdcPipeline.lastCommittedBatch(cfg.targetPath).exists(_ >= batchId)) false
+    else {
+      val projected = TypedProjection.project(batch, CdcEnvelope.DataCol,
+        cfg.fieldSpecs,
+        keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
+      val changes = ChangeCompaction.compactForMerge(projected, cfg.pk)
+      val spark = batch.sparkSession
+      val merged = CdcPipeline.readSnapshot(spark, cfg.targetPath) match {
+        case Some(target) => SnapshotMerge.merge(target, changes, cfg.pk)
+        case None => SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
+      }
+      CdcPipeline.publish(merged.select(cfg.targetCols.map(col): _*),
+        cfg.targetPath, cfg.pk, batchId)
+      true
+    }
+  }
+
+  /** PRODUCTION streaming merge: readStream envelope → foreachBatch →
+    * versioned parquet target (`cfg.targetPath`), batchId-idempotent.
+    * The reference's transactional MERGE+COMMIT (merge.sql:403–449)
+    * in the Structured Streaming setting: a crash between merge and
+    * checkpoint replays the batch, which the version pointer's
+    * batchId then skips; a crash before publish leaves the previous
+    * version live (= ROLLBACK).
+    */
+  def startMergeToTarget(env: DataFrame, cfg: CdcTableConfig,
+      checkpoint: String): StreamingQuery =
+    env.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeBatchToTarget(batch.toDF(), batchId, cfg)
+        ()
+      }
+      .start()
+
+  /** Test/demo streaming merge into the in-memory `SnapshotStore`
+    * (driver-side; see SnapshotStore docs) — specs assert stream-end
+    * state equals the batch result without filesystem churn. The
+    * production path is `startMergeToTarget`.
     */
   def startMerge(env: DataFrame, cfg: CdcTableConfig, checkpoint: String)(
       onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
@@ -35,7 +82,7 @@ object CdcStream {
           keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
             CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
         val changes = ChangeCompaction.compactForMerge(projected, cfg.pk)
-        SnapshotStore.merge(cfg, changes)
+        SnapshotStore.merge(cfg, changes, batchId)
         onBatch(SnapshotStore.get(cfg.targetPath).orNull, batchId)
         ()
       }
@@ -69,16 +116,21 @@ object CdcStream {
 /** Driver-local snapshot state for streaming tests — maps a target
   * path to its current merged snapshot (collected rows + schema kept
   * as a DataFrame). Stands in for the parquet/Delta target so specs
-  * can assert convergence without filesystem races.
+  * can assert convergence without filesystem races. Tracks the last
+  * applied batchId per target so a replayed micro-batch is skipped —
+  * the same guard the production versioned-parquet path gets from
+  * the version pointer.
   */
 object SnapshotStore {
-  private val store = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val store = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
 
-  def get(path: String): Option[DataFrame] = store.get(path)
+  def get(path: String): Option[DataFrame] = store.get(path).map(_._1)
+  def lastBatch(path: String): Option[Long] = store.get(path).map(_._2)
 
-  def merge(cfg: CdcTableConfig, changes: DataFrame): Unit = synchronized {
+  def merge(cfg: CdcTableConfig, changes: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (store.get(cfg.targetPath).exists(_._2 >= batchId) && batchId >= 0) return
     val next = store.get(cfg.targetPath) match {
-      case Some(target) => SnapshotMerge.merge(target, changes, cfg.pk)
+      case Some((target, _)) => SnapshotMerge.merge(target, changes, cfg.pk)
       case None => SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
     }
     // Materialize: foreachBatch DataFrames are only valid within the
@@ -87,7 +139,7 @@ object SnapshotStore {
     val rows = next.select(cfg.targetCols.map(col): _*).collect().toSeq
     val schema = next.select(cfg.targetCols.map(col): _*).schema
     store.put(cfg.targetPath,
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+      (spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema), batchId))
   }
 
   def clear(path: String): Unit = store.remove(path)

@@ -66,6 +66,79 @@ class CdcStreamSpec extends AnyFunSuite {
     SnapshotStore.clear(cfg.targetPath)
   }
 
+  test("production sink: Debezium stream -> versioned parquet, kill+resume equals batch") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val valueSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("k", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val pCfg = CdcTableConfig(
+      cdcTable = "dbz_cdc", sourcePath = "dbz", targetDb = "graft",
+      targetTable = "t", targetPath = Files.createTempDirectory("graft-tgt").toString,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(
+        TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("event_id", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("value", TypedProjection.Cast(DoubleType))))
+
+    def rec(op: String, uid: Long, k: Long, eid: Long, v: Double, tsMs: Long, pos: Long): String = {
+      val row = s"""{"user_id":$uid,"k":$k,"event_id":$eid,"value":$v}"""
+      val (before, after) = if (op == "d") (row, "null") else ("null", row)
+      s"""{"before":$before,"after":$after,"op":"$op","ts_ms":$tsMs,"source":{"pos":$pos,"ts_ms":$tsMs}}"""
+    }
+    val file1 = Seq(
+      rec("c", 1, 10, 1, 1.0, 100, 1),
+      rec("c", 2, 20, 2, 2.0, 100, 2),
+      rec("c", 3, 30, 3, 3.0, 100, 3))
+    val file2 = Seq(
+      rec("d", 2, 20, 4, 2.0, 200, 4),  // delete 2
+      rec("u", 3, 31, 5, 3.5, 200, 5),  // update 3
+      rec("c", 4, 40, 6, 4.0, 200, 6))  // insert 4
+
+    val inDir = Files.createTempDirectory("graft-dbz").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt4").toString
+    def startQuery() = CdcStream.startMergeToTarget(
+      graft.sources.ChangeFeed.debeziumJsonLinesStream(spark, inDir, valueSchema, Seq("user_id")),
+      pCfg, ckpt)
+
+    // First life of the query: file1 only.
+    Files.write(java.nio.file.Paths.get(inDir, "f1.jsonl"),
+      file1.mkString("\n").getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val v1 = CdcPipeline.currentVersion(pCfg.targetPath)
+    assert(v1.nonEmpty, "first batch must publish a version")
+
+    // Kill + resume from the same checkpoint: file2 arrives while down.
+    Files.write(java.nio.file.Paths.get(inDir, "f2.jsonl"),
+      file2.mkString("\n").getBytes)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = CdcPipeline.readSnapshot(spark, pCfg.targetPath).get
+      .orderBy("user_id").select("user_id", "k", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === Seq((1L, 10L, 1L, 1.0), (3L, 31L, 5L, 3.5), (4L, 40L, 6L, 4.0)))
+
+    // Batch reference over the same feed.
+    val all = graft.sources.ChangeFeed.debeziumJsonLines(spark, inDir, valueSchema, Seq("user_id"))
+    val projected = TypedProjection.project(all, CdcEnvelope.DataCol, pCfg.fieldSpecs,
+      keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol))
+    val batchRef = SnapshotMerge.fromHistory(projected, Seq("user_id"), pCfg.targetCols)
+      .orderBy("user_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === batchRef)
+
+    // Replay guard: re-applying the last committed batchId is a no-op.
+    val vBefore = CdcPipeline.currentVersion(pCfg.targetPath).get
+    val lastBatch = CdcPipeline.lastCommittedBatch(pCfg.targetPath).get
+    assert(lastBatch >= 0)
+    val replayed = CdcStream.mergeBatchToTarget(
+      graft.sources.ChangeFeed.debeziumJsonLines(spark, inDir, valueSchema, Seq("user_id")),
+      lastBatch, pCfg)
+    assert(!replayed)
+    assert(CdcPipeline.currentVersion(pCfg.targetPath).get === vBefore)
+  }
+
   test("stateful first-seen dedup emits each key once across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
