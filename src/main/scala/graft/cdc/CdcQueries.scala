@@ -199,6 +199,40 @@ object CdcQueries {
        |       ELSE strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') END AS dt_null
        |FROM events ORDER BY event_id""".stripMargin
 
+  // A7b: the remaining projection rules — constant end-of-time
+  // datetime (merge.sql:224–225 SysEndTime), JSON-typed passthrough
+  // (merge.sql:280–281 safe.parse_json), 'null'-string sentinel
+  // (step-8:308–311 NULLIF(...,'null')), and bool parsing.
+  def cdcTypedProjectionV2(s: SparkSession, d: String): DataFrame = {
+    import TypedProjection._
+    val e = T.events(s, d)
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    val withJson = e.select(
+      col("event_id"),
+      to_json(struct(
+        struct(k.as("a"), (k % 7).as("b")).as("obj"),
+        when(k % 3 === 0, lit("null")).otherwise(k.cast("string")).as("maybe"),
+        when(k % 2 === 0, lit("1")).otherwise(lit("false")).as("flag"))).as("data"))
+    project(withJson, "data", Seq(
+        FieldSpec("obj", JsonPassthrough, "obj_json"),
+        FieldSpec("maybe", CastNullIf(LongType), "maybe_k"),
+        FieldSpec("flag", BoolParse, "flag_raw"),
+        FieldSpec("sys_end", ConstantDatetime("9999-12-31 23:59:59"), "sys_end_raw")),
+        keep = Seq("event_id"))
+      .select(col("event_id"), col("obj_json"), col("maybe_k"),
+        col("flag_raw").cast("int").as("flag_int"),
+        date_format(col("sys_end_raw"), "yyyy-MM-dd HH:mm:ss").as("sys_end"))
+      .orderBy(col("event_id"))
+  }
+
+  private val oTypedProjectionV2 =
+    s"""SELECT event_id,
+       |  '{"a":' || $dK || ',"b":' || ($dK % 7) || '}' AS obj_json,
+       |  CASE WHEN $dK % 3 = 0 THEN NULL ELSE $dK END AS maybe_k,
+       |  CASE WHEN $dK % 2 = 0 THEN 1 ELSE 0 END AS flag_int,
+       |  '9999-12-31 23:59:59' AS sys_end
+       |FROM events ORDER BY event_id""".stripMargin
+
   // A8: multi-PK compaction — composite key (user_id, event_type),
   // the step-7/8 multi-PK surface.
   def cdcMultipk(s: SparkSession, d: String): DataFrame =
@@ -282,6 +316,7 @@ object CdcQueries {
     QueryDef("cdc_deletes", cdcDeletes, Some(oDeletes)),
     QueryDef("cdc_merge", cdcMerge, Some(oMerge)),
     QueryDef("cdc_typed_projection", cdcTypedProjection, Some(oTypedProjection)),
+    QueryDef("cdc_typed_projection_v2", cdcTypedProjectionV2, Some(oTypedProjectionV2)),
     QueryDef("cdc_multipk", cdcMultipk, Some(oMultipk)),
     QueryDef("cdc_run_stats", cdcRunStats, Some(oRunStats)),
     QueryDef("cdc_rowkey", cdcRowkey, Some(oRowkey)),

@@ -73,6 +73,24 @@ object TypedProjection {
     */
   final case class IsoDatetimeNullIf(sentinel: String) extends Rule
 
+  /** Constant datetime stamped into the column, ignoring the payload
+    * (merge.sql:224–225: the SysEndTime column is set to a fixed
+    * end-of-time datetime literal on every merged row).
+    */
+  final case class ConstantDatetime(iso: String) extends Rule
+
+  /** JSON-typed passthrough: the payload subtree passes through as
+    * its JSON text, NULL when not valid JSON (merge.sql:280–281
+    * `safe.parse_json(v)` — SAFE. returns NULL on parse failure).
+    */
+  case object JsonPassthrough extends Rule
+
+  /** Cast with a string null-sentinel: the literal sentinel (the
+    * reference uses 'null') becomes NULL before the cast
+    * (step-8:308–311 `NULLIF(JSON_UNQUOTE(...), 'null')`).
+    */
+  final case class CastNullIf(to: DataType, sentinel: String = "null") extends Rule
+
   /** Default: CAST the JSON string to the target type
     * (merge.sql:284–285). */
   final case class Cast(to: DataType) extends Rule
@@ -104,6 +122,13 @@ object TypedProjection {
       case DatetimeToInt => date_format(to_timestamp(v), "yyyyMMddHHmmss").cast("long")
       case RowKeyBinary => conv(hex(unbase64(v)), 16, 10).cast("long")
       case RowKeyTimestamp => unix_timestamp(to_timestamp(v))
+      case ConstantDatetime(iso) => to_timestamp(lit(iso))
+      case JsonPassthrough =>
+        // get_json_object(v, "$") round-trips v iff it parses — the
+        // codegen'd equivalent of SAFE.PARSE_JSON's null-on-invalid.
+        when(get_json_object(v, "$").isNotNull, v)
+      case CastNullIf(t, sentinel) =>
+        when(v === lit(sentinel), lit(null).cast(t)).otherwise(v.cast(t))
       case Cast(t) => v.cast(t)
     }
     c.as(spec.as)

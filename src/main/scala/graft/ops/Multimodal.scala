@@ -8,17 +8,22 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata, batch-shaped per-partition
   * feature extraction.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * libs): `decodeStub` derives a deterministic fake feature vector
-  * from the bytes. Everything around it is real — the schema
-  * contract, the mapPartitions batch boundary (where a JVM codec or
-  * an Arrow hand-off to a Python worker would sit), and the
-  * partition sizing: media blobs make rows huge, so the operator
-  * repartitions by a size budget, not a row count, before the
-  * decode pass — at 100 TB that's the difference between balanced
-  * decode tasks and one task OOMing on a partition of 4K videos.
+  * PNG decode is REAL (pure-JVM javax.imageio — no native libs
+  * needed): features are per-strip mean luminance over the actual
+  * pixels. Other media types fall back to `decodeStub` (this
+  * container has no audio/video codecs): a deterministic fake
+  * vector from the bytes, clearly marked. Everything around the
+  * decode is real either way — the schema contract, the
+  * mapPartitions batch boundary (where ffmpeg-via-JNI or an Arrow
+  * hand-off to a Python worker would sit), and the partition
+  * sizing: media blobs make rows huge, so the operator repartitions
+  * by a size budget, not a row count, before the decode pass — at
+  * 100 TB that's the difference between balanced decode tasks and
+  * one task OOMing on a partition of 4K videos.
   */
 object Multimodal {
+
+  final case class MediaFeatures(media_id: Long, n_bytes: Long, features: Seq[Float])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -43,9 +48,52 @@ object Multimodal {
       length(col(payloadCol)).as("width"),
       lit(1).as("height"))
 
-  /** STUB decode: ??? in a real deployment (libjpeg/ffmpeg via JNI,
-    * or Arrow → Python worker). Deterministic fake: feature j =
-    * mean of bytes with index ≡ j (mod dim), scaled to [0,1).
+  /** Real PNG decode, pure JVM: ImageIO parses the PNG and the
+    * feature vector is the mean luminance (Rec. 601 weights) of `dim`
+    * equal-width vertical strips, scaled to [0,1) — an actual
+    * pixel-derived signature usable for near-dup blocking. Returns
+    * null for bytes ImageIO can't parse (caller falls back to the
+    * stub, mirroring SAFE-decode pipelines that quarantine bad blobs).
+    */
+  def decodePng(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val strip = math.min(dim - 1, x * dim / w)
+        sums(strip) += luma
+        counts(strip) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j) / counts(j) / 256.0).toFloat)
+  }
+
+  /** Decode dispatch by declared media type: PNG decodes for real;
+    * everything else (and undecodable PNG bytes) takes the stub.
+    */
+  def decode(mediaType: String, bytes: Array[Byte], dim: Int): Array[Float] =
+    if (mediaType == "image/png") {
+      val f = decodePng(bytes, dim)
+      if (f != null) f else decodeStub(bytes, dim)
+    } else decodeStub(bytes, dim)
+
+  /** STUB decode for media types without a JVM codec in this
+    * container (audio/video/jpeg): a real deployment routes these to
+    * libjpeg/ffmpeg via JNI or an Arrow hand-off to a Python worker.
+    * Deterministic fake: feature j = mean of bytes with index ≡ j
+    * (mod dim), scaled to [0,1).
     */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
@@ -62,25 +110,28 @@ object Multimodal {
 
   /** Per-partition batched feature extraction. `targetPartitionBytes`
     * re-splits by payload volume first so decode tasks are balanced
-    * regardless of blob-size skew.
+    * regardless of blob-size skew. Typed Dataset mapPartitions (not
+    * RDD + createDataFrame): rows stay in Tungsten binary format and
+    * the surrounding plan keeps its optimizations; the iterator is
+    * the batch boundary an Arrow hand-off would use.
     */
   def extractFeatures(media: DataFrame, dim: Int = 8,
       targetPartitionBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val spark = media.sparkSession
+    import spark.implicits._
     val totalBytes = media.agg(sum(length(col("bytes")))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetPartitionBytes).toInt)
-    val rdd = media.select("media_id", "bytes").repartition(parts)
-      .rdd.mapPartitions { rows =>
-        // batch boundary: one iterator = one decode batch (Arrow
-        // RecordBatch in the Python-worker deployment)
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("bytes")
-          Row(r.getLong(0), bytes.length.toLong, decodeStub(bytes, dim).toSeq)
+    media.select(col("media_id"), col("media_type"), col("bytes"))
+      .repartition(parts)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mediaType, bytes) =>
+          MediaFeatures(id, bytes.length.toLong, decode(mediaType, bytes, dim).toSeq)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 }

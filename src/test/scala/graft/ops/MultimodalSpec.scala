@@ -16,7 +16,8 @@ class MultimodalSpec extends AnyFunSuite {
       Seq("media_id", "media_type", "bytes", "width", "height"))
 
     val feats = Multimodal.extractFeatures(media, dim = 8)
-    assert(feats.schema === Multimodal.featureSchema)
+    assert(feats.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ===
+      Multimodal.featureSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
     assert(feats.count() === docs.count())
 
     // deterministic across runs
@@ -35,5 +36,48 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.decodeStub(Array[Byte](0, 64, -128, 64), 2)
     // dim 0: bytes 0,128 → mean 64 → .25 ; dim 1: bytes 64,64 → 64 → .25
     assert(f.toSeq === Seq(0.25f, 0.25f))
+  }
+
+  private def pngBytes(fillStrips: Seq[Int], w: Int = 64, h: Int = 16): Array[Byte] = {
+    // Vertical strips of the given gray levels, encoded as a real PNG.
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = fillStrips(math.min(fillStrips.size - 1, x * fillStrips.size / w))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("PNG decode extracts real pixel-derived features") {
+    // Half-black / half-white image: strip means 0 and 255/256.
+    val f = Multimodal.decodePng(pngBytes(Seq(0, 255)), 2)
+    assert(math.abs(f(0) - 0f) < 1e-6 && math.abs(f(1) - 255f / 256f) < 1e-6,
+      s"got ${f.toSeq}")
+    // Solid gray 128 → every strip 0.5 (luma weights sum to 1).
+    val g = Multimodal.decodePng(pngBytes(Seq(128)), 4)
+    assert(g.forall(v => math.abs(v - 0.5f) < 1e-3), s"got ${g.toSeq}")
+    // Garbage bytes → null (caller falls back to the stub).
+    assert(Multimodal.decodePng(Array[Byte](1, 2, 3), 2) == null)
+  }
+
+  test("end-to-end: PNG media rows decode through extractFeatures") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(1L, "image/png", pngBytes(Seq(0, 255)), 64, 16),
+      Row(2L, "image/png", pngBytes(Seq(128)), 64, 16),
+      Row(3L, "application/octet-stream", Array[Byte](0, 64, -128, 64), 4, 1))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media, dim = 2)
+      .orderBy("media_id").collect()
+    val f1 = feats(0).getSeq[Float](2)
+    assert(math.abs(f1(0)) < 1e-6 && math.abs(f1(1) - 255f / 256f) < 1e-6)
+    val f2 = feats(1).getSeq[Float](2)
+    assert(f2.forall(v => math.abs(v - 0.5f) < 1e-3))
+    // Non-PNG rows take the deterministic stub path.
+    assert(feats(2).getSeq[Float](2).toSeq === Seq(0.25f, 0.25f))
   }
 }
