@@ -104,6 +104,45 @@ object OpsQueries {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.42
       |ORDER BY id_a, id_b""".stripMargin
 
+  // C13: duplicate-cluster resolution — connected components over the
+  // LSH+verify pair graph, canonical = min doc_id per component. The
+  // oracle recomputes components from the ALL-PAIRS J≥0.5 graph with
+  // a recursive CTE, so the gate covers LSH recall AND the iterative
+  // label propagation.
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val pairs = Dedup.ngramJaccardVerify(Dedup.minhashCandidates(docs), docs)
+      .select("id_a", "id_b")
+    Clusters.canonicalAssignment(pairs).orderBy(col("doc_id"))
+  }
+
+  private val oDedupClusters =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |                range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+      |    END AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      len(list_intersect(a.sh, b.sh))
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      |  WHERE jaccard >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM e
+      |  UNION
+      |  SELECT e.dst AS id, r.comp FROM reach r JOIN e ON e.src = r.id)
+      |SELECT id AS doc_id, min(comp) AS canonical_id,
+      |  (id = min(comp)) AS is_canonical
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // C5 scale path (primary): LSH buckets → exact cosine verify. Same
   // oracle as dedup_embedding — the hash compare proves the bucketed
   // path reproduces the exact all-pairs result (100% recall at the
@@ -129,6 +168,54 @@ object OpsQueries {
       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) t
       |WHERE rnk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
 
+  // C16: IVF ANN — centroids = deterministic corpus sample
+  // (vec_id % 20 == 0), 4 probes. The oracle re-expresses the SAME
+  // IVF semantics in SQL, so the gate checks the inverted-list
+  // machinery exactly at any nprobe (recall vs brute force is the
+  // separate honest measure, reported in OpsSpec).
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    Similarity.annIvfTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        e.filter(col("vec_id") >= 10 && col("vec_id") % 20 === 0), 5, 4)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private val oAnnIvf =
+    """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+      |              WHERE vec_id >= 10 AND vec_id % 20 = 0),
+      |corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+      |qry AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |assign AS (
+      |  SELECT neighbor_id, cid FROM (
+      |    SELECT c.vec_id AS neighbor_id, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                        CAST(ct.embedding AS DOUBLE[])) DESC,
+      |                 ct.cid) AS r
+      |    FROM corp c CROSS JOIN cent ct) t WHERE r = 1),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.vec_id AS query_id, ct.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(ct.embedding AS DOUBLE[])) DESC,
+      |                 ct.cid) AS r
+      |    FROM qry q CROSS JOIN cent ct) t WHERE r <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS cos
+      |  FROM probes p JOIN assign a ON p.cid = a.cid
+      |  JOIN qry q ON q.vec_id = p.query_id
+      |  JOIN corp c ON c.vec_id = a.neighbor_id)
+      |SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+
   // C7: LSH-bucketed ANN (rows-only: buckets from Spark xxhash64).
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
@@ -142,7 +229,9 @@ object OpsQueries {
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  private val oTextLangid = {
+  /** Per-doc langid SELECT (no ORDER BY) — reused by text_langid and
+    * as a CTE body in corpus_stats. */
+  private val oTextLangidBody = {
     val scores = TextAnalysis.Stopwords.map { case (l, _) =>
       s"len(list_filter(string_split(lower(text), ' '), t -> list_contains(${stopListSql(l)}, t))) AS s_$l"
     }.mkString(",\n  ")
@@ -153,9 +242,37 @@ object OpsQueries {
        |  $scores
        |FROM documents)
        |SELECT doc_id, CASE WHEN m = 0 THEN 'und' $pick ELSE '${langs.last}' END AS lang_pred
-       |FROM (SELECT doc_id, s_${langs.mkString(", s_")}, $m AS m FROM s) t
-       |ORDER BY doc_id""".stripMargin
+       |FROM (SELECT doc_id, s_${langs.mkString(", s_")}, $m AS m FROM s) t""".stripMargin
   }
+
+  private val oTextLangid = oTextLangidBody + "\nORDER BY doc_id"
+
+  // C15: per-language corpus statistics — the profile report a
+  // training-data pipeline emits per snapshot (doc counts, token
+  // volume, token median, longest doc). Integer/median-exact outputs.
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(TextAnalysis.langId(col("text")).as("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("tokens"),
+        length(col("text")).cast("bigint").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        median(col("tokens")).as("median_tokens"),
+        max(col("chars")).as("max_chars"))
+      .orderBy("lang")
+
+  private val oCorpusStats =
+    s"""WITH lang AS ($oTextLangidBody),
+       |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+       |               CAST(length(text) AS BIGINT) AS chars
+       |        FROM documents)
+       |SELECT l.lang_pred AS lang, count(*) AS n_docs,
+       |  CAST(sum(t.tokens) AS BIGINT) AS sum_tokens,
+       |  median(t.tokens) AS median_tokens,
+       |  max(t.chars) AS max_chars
+       |FROM lang l JOIN tok t ON l.doc_id = t.doc_id
+       |GROUP BY 1 ORDER BY lang""".stripMargin
 
   // C9: quality metrics.
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -204,6 +321,25 @@ object OpsQueries {
       |        i -> CAST(ascii(substr(text, i::INT, 1)) AS BIGINT))),
       |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // C14: token-budget sequence packing — whitespace tokens, 512-token
+  // sequences, 8 shards. All-integer outputs, exact oracle.
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    Packing.packSequences(T.documents(s, d),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint"), 512L, 8)
+      .orderBy(col("doc_id"))
+
+  private val oPackSequences =
+    """SELECT doc_id, shard, tokens,
+      |  (cum - tokens) // 512 AS seq_in_shard,
+      |  (cum - tokens) - ((cum - tokens) // 512) * 512 AS offset_in_seq
+      |FROM (
+      |  SELECT doc_id, doc_id % 8 AS shard, tokens,
+      |    CAST(sum(tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |        FROM documents) t) c
+      |ORDER BY doc_id""".stripMargin
 
   // B14: gap-based sessionization (1-hour gap) — per-user session
   // counts and the longest session, all integer outputs.
@@ -264,9 +400,13 @@ object OpsQueries {
     QueryDef("text_jaccard_pairs", textJaccardPairs, Some(oTextJaccardPairs)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(oDedupEmbedding)),
     QueryDef("dedup_embedding_lsh", dedupEmbeddingLsh, Some(oDedupEmbedding)),
+    QueryDef("dedup_clusters", dedupClusters, Some(oDedupClusters)),
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
     QueryDef("ann_lsh", annLsh, None),
+    QueryDef("ann_ivf", annIvf, Some(oAnnIvf)),
     QueryDef("text_langid", textLangid, Some(oTextLangid)),
+    QueryDef("corpus_stats", corpusStats, Some(oCorpusStats)),
+    QueryDef("pack_sequences", packSequences, Some(oPackSequences)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),

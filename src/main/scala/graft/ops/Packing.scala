@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing (SURVEY.md §2 C14): assign each document
+  * to a fixed-token-budget training sequence, the step between a
+  * cleaned corpus and an LLM data loader.
+  *
+  * Deterministic contract (identical in the DuckDB oracle): documents
+  * are sharded by `pmod(doc_id, shards)`, ordered by doc_id within a
+  * shard, and binned by EXCLUSIVE prefix sum — a doc starts in
+  * sequence `floor(prefix_tokens / budget)` of its shard. A doc
+  * whose tokens straddle a boundary stays in the sequence its start
+  * falls in (streaming-fill packing); callers pre-split documents
+  * longer than the budget. True first-fit bin packing is inherently
+  * sequential — the prefix-sum form gives ≥ budget/(budget+maxDoc)
+  * fill at one window pass, with no cross-shard coordination.
+  *
+  * Scale: one shuffle on shard, per-shard sort by doc_id — shards are
+  * independent, so packing 100 TB is embarrassingly parallel and the
+  * shard count (not the corpus) bounds any task's window state.
+  */
+object Packing {
+
+  def packSequences(docs: DataFrame, tokens: Column, budget: Long,
+      shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        tokens.as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        expr(s"(cum - tokens) div ${budget}L").as("seq_in_shard"),
+        expr(s"(cum - tokens) - ((cum - tokens) div ${budget}L) * ${budget}L")
+          .as("offset_in_seq"))
+  }
+}

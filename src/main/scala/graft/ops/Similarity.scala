@@ -109,6 +109,50 @@ object Similarity {
   private def lshTableBuckets(v: Column, tables: Int, planes: Int, dims: Int): Column =
     graft.functions.LshTableBuckets(v, tables, planes, dims)
 
+  /** IVF-style ANN (SURVEY.md §2 C16): coarse-quantize the corpus
+    * into `centroids`' inverted lists (each corpus vector joins its
+    * argmax-cosine centroid), probe the `nprobe` nearest centroids
+    * per query, exact-search only those lists. The second scale path
+    * next to sign-LSH: centroids broadcast (small), corpus shuffles
+    * ONCE on centroid id to form lists, and each query touches
+    * nprobe/M of the corpus — at 100 TB the probe join is
+    * co-partitioned on cid, never all-to-all.
+    *
+    * Centroids here are a deterministic id-sample of the corpus
+    * (training-free quantizer — production would k-means); recall
+    * depends on how clustered the data is. Implementation is
+    * exact-checked by a DuckDB oracle that re-expresses the same IVF
+    * semantics, independent of recall.
+    */
+  def annIvfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
+    // Inverted lists: argmax-cosine centroid per corpus vector.
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("neighbor_id").orderBy(col("cos_c").desc, col("cid"))
+    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("emb_c"), col("emb_cent")))
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col("cid"), col("neighbor_id"), col("emb_c"))
+    // Probe set: top-nprobe centroids per query.
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_q").desc, col("cid"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_q", cosine(col("emb_q"), col("emb_cent")))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("emb_q"), col("cid"))
+    // Exact search within the probed lists only.
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(lists, "cid")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("emb_q"), col("emb_c")).as("cos"))
+      .withColumn("rnk", row_number().over(wRank)).filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
   /** Bucketed ANN, multi-table: a candidate is any corpus vector
     * sharing a bucket with the query in ≥1 of `tables` independent
     * hash tables; exact cosine ranks the candidates. Single-table

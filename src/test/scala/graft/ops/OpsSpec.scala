@@ -79,6 +79,37 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("IVF ANN: exact when probing all lists; probe-limited recall reported") {
+    val e = T.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") % 20 === 0)
+    val m = cent.count().toInt
+    val brute = Similarity.cosineTopK(q, c, 5).as[(Long, Long)].collect().toSet
+    // nprobe = M searches every inverted list → must equal brute force.
+    val full = Similarity.annIvfTopK(q, c, cent, 5, m).as[(Long, Long)].collect().toSet
+    assert(full === brute)
+    // probe-limited: subset search; recall is the honest quality number
+    // (this corpus is unclustered noise, so expect ~nprobe/M).
+    val limited = Similarity.annIvfTopK(q, c, cent, 5, 4).as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(limited).size.toDouble / brute.size
+    assert(recall > 0.0 && limited.size <= brute.size * 5)
+    info(f"ivf nprobe=4/M=$m recall=$recall%.2f")
+  }
+
+  test("connected components: chains collapse, components stay separate") {
+    // 1-2-3-4 chain (diameter 3) + separate pair 10-11 + triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val canon = Clusters.canonicalAssignment(pairs)
+      .filter(col("is_canonical")).select("doc_id").as[Long].collect().toSet
+    assert(canon === Set(1L, 10L, 20L))
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     val e = T.embeddings(spark, sf).limit(3)
     val selfCos = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
