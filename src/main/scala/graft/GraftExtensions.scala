@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, LatestByOrder, MinHashBandBuckets, SimHash64, WordShingles}
+import graft.functions.{CosineSimilarity, LatestByOrder, LshTableBuckets, MinHashBandBuckets, SimHash64, WordShingles}
 
 /** SQL surface of the graft function library, registered through the
   * sanctioned `SparkSessionExtensions` hook:
@@ -46,6 +46,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashBandBuckets(args(0),
         if (args.length > 1) intLit(args(1), "b") else 8,
         if (args.length > 2) intLit(args(2), "r") else 2)),
+    (FunctionIdentifier("lsh_table_buckets"),
+      new ExpressionInfo(classOf[LshTableBuckets].getName, "lsh_table_buckets"),
+      (args: Seq[Expression]) => LshTableBuckets(args(0),
+        if (args.length > 1) intLit(args(1), "tables") else 4,
+        if (args.length > 2) intLit(args(2), "planes") else 4,
+        if (args.length > 3) intLit(args(3), "dims") else 64)),
     (FunctionIdentifier("latest_by"),
       new ExpressionInfo(classOf[LatestByOrder].getName, "latest_by"),
       (args: Seq[Expression]) =>

@@ -341,6 +341,44 @@ object OpsQueries {
       |        FROM documents) t) c
       |ORDER BY doc_id""".stripMargin
 
+  // C17: PII scrubbing — each doc gets deterministic synthetic PII
+  // appended (so the gate is non-vacuous on a clean corpus), then the
+  // redaction chain runs; output is the md5 of the redacted text.
+  def textScrub(s: SparkSession, d: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example-site.org at 10.1."),
+      (col("doc_id") % 250).cast("string"), lit(".7 or +1 (555) 010-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    T.documents(s, d)
+      .select(col("doc_id"), md5(Scrub.redact(pii)).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextScrub =
+    s"""SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(
+       |    text || ' contact user' || doc_id || '@example-site.org at 10.1.'
+       |         || (doc_id % 250) || '.7 or +1 (555) 010-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+       |    '${Scrub.EmailPattern}', '<EMAIL>', 'g'),
+       |    '${Scrub.Ipv4Pattern}', '<IP>', 'g'),
+       |    '${Scrub.PhonePattern}', '<PHONE>', 'g')) AS scrub_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // C18: deterministic train/val/test split — overflow-free mod-prime
+  // bucket, stable under corpus growth, identical arithmetic in SQL.
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Packing.splitAssign(T.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), col("split_bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val oSplitAssign =
+    """SELECT doc_id, b AS split_bucket,
+      |  CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ((doc_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   // B14: gap-based sessionization (1-hour gap) — per-user session
   // counts and the longest session, all integer outputs.
   def qSessionize(s: SparkSession, d: String): DataFrame = {
@@ -407,6 +445,8 @@ object OpsQueries {
     QueryDef("text_langid", textLangid, Some(oTextLangid)),
     QueryDef("corpus_stats", corpusStats, Some(oCorpusStats)),
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),
+    QueryDef("text_scrub", textScrub, Some(oTextScrub)),
+    QueryDef("split_assign", splitAssign, Some(oSplitAssign)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),

@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Deterministic train/val/test assignment (SURVEY.md §2 C18): a
+    * multiplicative hash of the id picks a bucket in [0, 1000); the
+    * split is a bucket-range cut, so membership is stable under
+    * corpus growth and reproducible on any engine (the arithmetic is
+    * overflow-free mod-prime, identical in the DuckDB oracle —
+    * deliberately NOT a platform hash function).
+    */
+  def splitAssign(docs: DataFrame, idCol: Column, trainPermille: Int = 980,
+      valPermille: Int = 10): DataFrame = {
+    val P = 1000000007L
+    val M = 1000003L
+    val bucket = pmod(pmod(idCol.cast("long"), lit(P)) * lit(M), lit(P)) % lit(1000L)
+    docs.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < trainPermille, lit("train"))
+          .when(col("split_bucket") < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
       shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -24,6 +24,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("nb") === 8)
   }
 
+  test("lsh_table_buckets in SQL") {
+    val row = spark.sql(
+      "SELECT lsh_table_buckets(array(cast(0.5 as float), cast(-0.25 as float)), 3, 4, 2) AS tb")
+      .selectExpr("size(tb) AS n", "tb[0].tbl AS t0", "tb[2].tbl AS t2")
+      .collect()(0)
+    assert(row.getAs[Int]("n") === 3)
+    assert(row.getAs[Int]("t0") === 0 && row.getAs[Int]("t2") === 2)
+  }
+
   test("latest_by aggregate in SQL") {
     Seq((1L, 10L, 1L, "old"), (1L, 20L, 2L, "new"), (2L, 5L, 1L, "only"))
       .toDF("id", "ts", "pos", "v").createOrReplaceTempView("lb_in")
