@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming aggregation operators — the continuous counterparts of
   * the batch B9 time-window query (readStream → watermark → windowed
@@ -23,4 +24,63 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
+
+  final case class SessionEvent(key: Long, tsUs: Long)
+  final case class SessionOut(key: Long, startUs: Long, endUs: Long, n: Long)
+  final case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+  /** Streaming gap sessionization — the continuous counterpart of the
+    * batch B14 operator (Temporal.sessionize): per key, events closer
+    * than `gapUs` extend the open session; a session closes and emits
+    * when a later event of the same key arrives past the gap, or —
+    * with `idleTimeout=true` — when a processing-time timeout of the
+    * gap elapses with no events. Custom state via
+    * flatMapGroupsWithState: one (start, end, n) triple per open
+    * key — state is O(active keys), the timeout is the eviction
+    * policy, so an unbounded stream runs in bounded memory.
+    * (`idleTimeout=false` gives a deterministic drain for tests and
+    * replay jobs: trailing open sessions stay in state.)
+    *
+    * (Spark's built-in session_window needs a watermark-driven event
+    * stream; this form also serves feeds without reliable event-time
+    * watermarks, matching the batch operator's pos-tiebreak contract.)
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,
+      idleTimeout: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (key: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // gap elapsed with no events: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsUs - s.endUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, e.tsUs, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(key, s.startUs, s.endUs, s.n)
+                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleTimeout) state.setTimeoutDuration(gapUs / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -160,6 +160,29 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L), (2L, 7L), (3L, 1L)))
   }
 
+  test("streaming sessionization closes a session when the gap is exceeded in-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    // idleTimeout=false: deterministic drain (processing-time timeouts
+    // would keep scheduling micro-batches under processAllAvailable)
+    val out = StreamOps.sessionizeStream(mem.toDS(), gapUs = 1000000L, idleTimeout = false)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt5").toString)
+      .start()
+    try {
+      // key 1: two events 0.5s apart (one session), then a 10s jump
+      // starts a second session -> the first closes and emits.
+      mem.addData(StreamOps.SessionEvent(1, 0L), StreamOps.SessionEvent(1, 500000L))
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionEvent(1, 10000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_out").as[StreamOps.SessionOut].collect().toSeq
+    assert(got === Seq(StreamOps.SessionOut(1, 0L, 500000L, 2)))
+  }
+
   test("watermarked windowed aggregation finalizes windows as event time advances") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
