@@ -160,8 +160,12 @@ object CdcQueries {
   // expected value directly.
   def cdcTypedProjection(s: SparkSession, d: String): DataFrame = {
     import TypedProjection._
+    // Hoist k into its own projection: referenced 4× below, and
+    // CollapseProject won't inline a multiply-referenced non-cheap
+    // expression — so props is JSON-scanned once, not 4×.
     val e = T.events(s, d)
-    val k = get_json_object(col("props"), "$.k").cast("bigint")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    val k = col("k")
     val tsUtc = timestamp_micros(expr("ts div 1000"))
     val withJson = e.select(
       col("event_id"),
@@ -206,7 +210,8 @@ object CdcQueries {
   def cdcTypedProjectionV2(s: SparkSession, d: String): DataFrame = {
     import TypedProjection._
     val e = T.events(s, d)
-    val k = get_json_object(col("props"), "$.k").cast("bigint")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    val k = col("k")
     val withJson = e.select(
       col("event_id"),
       to_json(struct(
@@ -278,7 +283,8 @@ object CdcQueries {
   def cdcRowkey(s: SparkSession, d: String): DataFrame = {
     import TypedProjection._
     val e = T.events(s, d)
-    val k = get_json_object(col("props"), "$.k").cast("bigint")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    val k = col("k")
     val tsUtc = timestamp_micros(expr("ts div 1000"))
     val withJson = e.select(
       col("event_id"),

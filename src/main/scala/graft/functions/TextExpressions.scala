@@ -138,9 +138,72 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** text → bigint: rolling polynomial hash over the code points,
+  * h ← (h·31 + codepoint) mod 1e9+7 — single pass. The composable
+  * form (transform(sequence(1, length), i → ascii(substr(text, i))))
+  * re-slices the string per character on the interpreted HOF path:
+  * O(n²) per document and the slowest honest-bench projection query.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"needs string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any = {
+    var h = 0L
+    val it = v.asInstanceOf[UTF8String].toString.codePoints().iterator()
+    while (it.hasNext) {
+      h = (h * 31L + it.nextInt()) % 1000000007L
+    }
+    java.lang.Long.valueOf(h)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text → array<int>: per-list stopword hit counts in ONE tokenize
+  * pass (duplicates count, like size(filter(tokens, isin(...)))).
+  * The composable form re-tokenizes the document once per language
+  * AND filters interpreted per element; this expression lowercases,
+  * splits, and probes precomputed hash sets in a single loop.
+  */
+case class StopwordScores(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"needs string, got ${child.dataType}")
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    lists.map { ws =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toLowerCase
+      .split(UTF8String.fromString(" "), -1)
+    val counts = new Array[Int](lists.length)
+    var t = 0
+    while (t < toks.length) {
+      var l = 0
+      while (l < counts.length) {
+        if (sets(l).contains(toks(t))) counts(l) += 1
+        l += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(counts.map(Integer.valueOf).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, w: Int = 3): Column = toCol(WordShingles(toExpr(text), w))
   def minhashBandBuckets(text: Column, b: Int = 8, r: Int = 2): Column =
     toCol(MinHashBandBuckets(toExpr(text), b, r))
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+  def stopwordScores(text: Column, lists: Seq[Seq[String]]): Column =
+    toCol(StopwordScores(toExpr(text), lists))
+  def rollingHash(text: Column): Column = toCol(RollingHash(toExpr(text)))
 }

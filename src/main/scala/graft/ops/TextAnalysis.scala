@@ -36,15 +36,22 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "des", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
-  private def stopCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+  /** All per-language stopword counts in one tokenize pass (native
+    * StopwordScores expression — the filter/isin HOF form
+    * re-tokenized per language and ran interpreted per element).
+    */
+  private def allStopScores(text: Column): Column =
+    graft.functions.TextExpressions.stopwordScores(text, Stopwords.map(_._2))
+
+  private def stopCount(text: Column, langIdx: Int): Column =
+    allStopScores(text).getItem(langIdx)
 
   /** Language ID: per-language stopword hit count; argmax with a
     * fixed precedence (list order) on ties; no hits at all → "und".
     */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores = Stopwords.map { case (l, ws) => l -> stopCount(toks, ws) }
+    val scoresArr = allStopScores(text)
+    val scores = Stopwords.zipWithIndex.map { case ((l, _), i) => l -> scoresArr.getItem(i) }
     // strictly-greater chain in fixed order = deterministic argmax
     val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bl: Column, bs: Column), (l, s)) =>
@@ -52,8 +59,6 @@ object TextAnalysis {
     }
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
-  private def langIdScores(text: Column): Seq[(String, Column)] =
-    Stopwords.map { case (l, ws) => l -> stopCount(tokens(lower(text)), ws) }
 
   val PunctPattern = "[.,!?;:]"
 
@@ -64,7 +69,7 @@ object TextAnalysis {
     val toks = tokens(text)
     val nTok = size(toks)
     val punctN = size(regexp_extract_all(text, lit(PunctPattern), lit(0)))
-    val stopN = stopCount(tokens(lower(text)), Stopwords.head._2)
+    val stopN = stopCount(text, 0) // index 0 = "en"
     df.withColumn("n_chars_m", length(text))
       .withColumn("n_tokens", nTok)
       .withColumn("punct_n", punctN)
@@ -79,12 +84,12 @@ object TextAnalysis {
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
 
-  /** Rolling polynomial fingerprint over the character codes:
-    * h ← (h*31 + code) mod 1e9+7. Sequential left fold — order is
-    * part of the semantics (it's a *rolling* hash), and `aggregate`
-    * over the array is exactly that.
+  /** Rolling polynomial fingerprint over the code points:
+    * h ← (h*31 + code) mod 1e9+7. Sequential — order is part of the
+    * semantics (it's a *rolling* hash). Native single-pass expression;
+    * the aggregate-over-charCodes composition re-sliced the string per
+    * character (O(n²) per doc on the interpreted HOF path).
     */
   def fingerprint(text: Column): Column =
-    aggregate(charCodes(text), lit(0L),
-      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+    graft.functions.TextExpressions.rollingHash(text)
 }
