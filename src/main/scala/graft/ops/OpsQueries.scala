@@ -430,6 +430,81 @@ object OpsQueries {
       |  ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)
       |ORDER BY p.event_id""".stripMargin
 
+  // B16: keyed interval join — clicks within the hour before each
+  // purchase of the same user, counted per purchase (LEFT so
+  // zero-click purchases stay).
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts_us").as("c_ts_us"),
+        col("event_id").as("click_id"))
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts_us") >= col("ts_us") - lit(3600L * 1000000) &&
+          col("c_ts_us") <= col("ts_us"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("click_id")).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  private val oIntervalJoin =
+    """SELECT p.event_id, count(c.event_id) AS n_clicks
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
+  // B17: keyless range join — how many signup 7-day windows cover
+  // each purchase, via the day-bucketed containment join (the
+  // bucket-local plan, not a cross join).
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("event_id"),
+      expr("ts div 1000").as("ts_us"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_us").as("s_start"),
+        (col("ts_us") + lit(7L * 86400000000L)).as("s_end"))
+    Temporal.rangeJoinBucketed(p, "ts_us", sgn, "s_start", "s_end", 86400000000L)
+      .groupBy(col("event_id"))
+      .agg(count(col("signup_id")).as("n_windows"))
+      .orderBy(col("event_id"))
+  }
+
+  private val oRangeJoin =
+    """SELECT p.event_id, count(*) AS n_windows
+      |FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'purchase') p
+      |JOIN (SELECT epoch_us(ts) AS s_start, epoch_us(ts) + 604800000000 AS s_end
+      |      FROM events WHERE event_type = 'signup') s
+      |  ON p.ts_us >= s.s_start AND p.ts_us <= s.s_end
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
+  // B18: approximate distinct with a checked error bound — the query
+  // exports exact + whether HLL landed within 5%; the oracle asserts
+  // the bound (TRUE), so a sketch regression fails the hash gate.
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_raw"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_raw") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("event_type"))
+
+  private val oApproxDistinct =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
@@ -452,5 +527,8 @@ object OpsQueries {
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),
+    QueryDef("q_interval_join", qIntervalJoin, Some(oIntervalJoin)),
+    QueryDef("q_range_join", qRangeJoin, Some(oRangeJoin)),
+    QueryDef("q_approx_distinct", qApproxDistinct, Some(oApproxDistinct)),
   )
 }

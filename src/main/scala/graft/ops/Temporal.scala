@@ -58,6 +58,41 @@ object Temporal {
       .filter(col("_is_left") === 1).drop("_is_left")
   }
 
+  /** Keyed interval join (a streaming-SQL staple — Flink's interval
+    * join, KSQL's WITHIN): left joined to right rows of the same key
+    * with rightTs ∈ [leftTs − lookbackUs, leftTs]. One equi-shuffle
+    * on the key; the time bound is a post-join filter, so the plan is
+    * an ordinary hash join at any scale (skewed keys → AQE skew
+    * split, same as any equi-join).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, lookbackUs: Long): DataFrame =
+    left.join(right,
+      keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+        right(rightTs) >= left(leftTs) - lit(lookbackUs) &&
+        right(rightTs) <= left(leftTs),
+      "inner")
+
+  /** KEYLESS interval-containment join via time bucketing: each right
+    * interval [startCol, endCol] is exploded to the `bucketUs`-sized
+    * time buckets it covers; left rows join their single bucket, then
+    * the exact containment filters. Candidate pairs are bucket-local
+    * — O(per-bucket products), never |L|·|R| — which is the
+    * difference between a broadcast-nested-loop cross join and a
+    * shuffle hash join at 100 TB. Choose bucketUs ≈ the median
+    * interval length: the explosion factor is len/bucketUs + 1.
+    * Assumes non-negative epoch-µs times (`div` = floor there).
+    */
+  def rangeJoinBucketed(left: DataFrame, leftTs: String, right: DataFrame,
+      startCol: String, endCol: String, bucketUs: Long): DataFrame = {
+    val lb = left.withColumn("_bucket", expr(s"$leftTs div ${bucketUs}L"))
+    val rb = right.withColumn("_bucket",
+      explode(sequence(expr(s"$startCol div ${bucketUs}L"), expr(s"$endCol div ${bucketUs}L"))))
+    lb.join(rb, "_bucket")
+      .filter(col(leftTs) >= col(startCol) && col(leftTs) <= col(endCol))
+      .drop("_bucket")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapUs`. Adds
     * `session_id` (0-based per key, ordered by (ts, pos)).
