@@ -70,6 +70,27 @@ object StressBench {
     time("snapshot merge (large-delta shuffled-hash path)") {
       SnapshotMerge.merge(target, changes, Seq("user_id"), Some(n / 2)).count()
     }
+
+    // New-operator scale probes (r2): all shapes that must stay
+    // shuffle-local at 100 TB.
+    time("interval join (keyed lookback, 10M left x 10M right, bucketed)") {
+      val l = big.select(col("user_id"), col(CdcEnvelope.TsCol).as("l_ts"))
+      val r = big.select(col("user_id"), col(CdcEnvelope.TsCol).as("r_ts"))
+      graft.ops.Temporal.intervalJoin(l, r, Seq("user_id"), "l_ts", "r_ts", 60000000L)
+        .groupBy("user_id").count().count()
+    }
+    time("sequence packing (windowed prefix sum per shard)") {
+      graft.ops.Packing.packSequences(
+        big.select(col(CdcEnvelope.PosCol).as("doc_id"),
+          (pmod(col(CdcEnvelope.PosCol), lit(400L)) + 1).as("len")),
+        col("len"), 2048L, 256)
+        .agg(max(col("seq_in_shard"))).count()
+    }
+    time("split assign (mod-prime bucketing)") {
+      graft.ops.Packing.splitAssign(
+        big.select(col(CdcEnvelope.PosCol).as("doc_id")), col("doc_id"))
+        .groupBy("split").count().count()
+    }
     spark.stop()
   }
 }

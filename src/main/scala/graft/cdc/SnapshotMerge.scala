@@ -24,12 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotMerge {
 
-  /** Above this many delta rows the anti-join is hinted to a
-    * shuffled-hash join: the delta won't broadcast, and the default
-    * sort-merge join sorts the full-width target on both sides of
-    * the shuffle (measured 2.8× slower at 10 M rows, StressBench).
-    * Below it, no hint — AQE broadcasts the key set at runtime and
-    * the target is never shuffled at all.
+  /** Below this many delta rows the anti-join explicitly broadcasts
+    * the compacted key set (the target is never shuffled at all);
+    * above it — or when the count is unknown — the join is hinted to
+    * shuffled-hash. NEVER sort-merge: on an in-flight delta Catalyst
+    * has no stats, guesses big, and SMJ sorts the full-width target
+    * on both sides of the shuffle (measured 46 s vs 9.6 s at 10 M
+    * rows, StressBench r2; the r1 measurement that looked fine relied
+    * on AQE having small-stats luck at sf0.01).
     */
   val LargeDeltaRows: Long = 1000000L
 
@@ -43,8 +45,10 @@ object SnapshotMerge {
       deltaRows: Option[Long] = None): DataFrame = {
     val targetCols = target.columns.toSeq
     val keys = changes.select(pkCols.map(col): _*)
-    val changedKeys =
-      if (deltaRows.exists(_ > LargeDeltaRows)) keys.hint("shuffle_hash") else keys
+    val changedKeys = deltaRows match {
+      case Some(nr) if nr <= LargeDeltaRows => broadcast(keys)
+      case _ => keys.hint("shuffle_hash")
+    }
     val upserts = changes
       .filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete))
       .select(targetCols.map(col): _*)

@@ -439,15 +439,15 @@ object OpsQueries {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts_us").as("c_ts_us"),
+      .select(col("user_id"), col("ts_us").as("c_ts_us"),
         col("event_id").as("click_id"))
-    p.join(c,
-        col("user_id") === col("c_user_id") &&
-          col("c_ts_us") >= col("ts_us") - lit(3600L * 1000000) &&
-          col("c_ts_us") <= col("ts_us"),
-        "left")
-      .groupBy(col("event_id"))
-      .agg(count(col("click_id")).as("n_clicks"))
+    // bucketed inner interval join, then counts re-attached LEFT so
+    // zero-click purchases keep a row
+    val counts = Temporal.intervalJoin(p, c, Seq("user_id"),
+        "ts_us", "c_ts_us", 3600L * 1000000)
+      .groupBy(col("event_id")).agg(count(col("click_id")).as("n"))
+    p.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
       .orderBy(col("event_id"))
   }
 
