@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, LatestByOrder, LshTableBuckets, MinHashBandBuckets, SimHash64, WordShingles}
+import graft.functions.{CosineSimilarity, LatestByOrder, LshTableBuckets, MinHashBandBuckets, SimHash64, TopKByOrder, WordShingles}
 
 /** SQL surface of the graft function library, registered through the
   * sanctioned `SparkSessionExtensions` hook:
@@ -55,7 +55,11 @@ object GraftExtensions {
     (FunctionIdentifier("latest_by"),
       new ExpressionInfo(classOf[LatestByOrder].getName, "latest_by"),
       (args: Seq[Expression]) =>
-        LatestByOrder(args(1), args(2), args(0)).toAggregateExpression()))
+        LatestByOrder(args(1), args(2), args(0)).toAggregateExpression()),
+    (FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKByOrder].getName, "top_k_by"),
+      (args: Seq[Expression]) =>
+        TopKByOrder(intLit(args(3), "k"), args(1), args(2), args(0)).toAggregateExpression()))
 
   /** Register into an already-built session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

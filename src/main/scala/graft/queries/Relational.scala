@@ -143,6 +143,23 @@ object Relational {
       |  FROM orders) t
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
 
+  // B19: top-k per group as a bounded hash aggregation — identical
+  // result to the B5 window form (same oracle SQL), but the plan is
+  // ObjectHashAggregate with map-side partial combine: each task
+  // ships at most k rows per group, no partition-wide sort. Prices
+  // have 2 decimals, so cents-as-long is an exact order key.
+  def qTopkAgg(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKByOrder(
+        struct(col("o_orderkey"), col("o_totalprice")),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rnk"),
+        col("r.o_orderkey").as("o_orderkey"), col("r.o_totalprice").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+
   // B6: semi/anti join — EXISTS and NOT EXISTS as left_semi/left_anti
   // (no row multiplication, no dedup shuffle).
   def qSemiAnti(s: SparkSession, d: String): DataFrame = {
@@ -288,6 +305,7 @@ object Relational {
     QueryDef("q3_topk", q3Topk, Some(oQ3)),
     QueryDef("q5_multijoin", q5Multijoin, Some(oQ5)),
     QueryDef("q_window_rank", qWindowRank, Some(oWindowRank)),
+    QueryDef("q_topk_agg", qTopkAgg, Some(oWindowRank)),
     QueryDef("q_semi_anti", qSemiAnti, Some(oSemiAnti)),
     QueryDef("q_distinct", qDistinct, Some(oDistinct)),
     QueryDef("q_rollup", qRollup, Some(oRollup)),

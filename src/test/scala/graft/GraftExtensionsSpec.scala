@@ -41,4 +41,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(got === Seq((1L, "new"), (2L, "only")))
   }
+
+  test("top_k_by aggregate in SQL") {
+    Seq((1L, 10L, 1L), (1L, 30L, 2L), (1L, 20L, 3L), (2L, 7L, 4L))
+      .toDF("id", "v", "pos").createOrReplaceTempView("tk_in")
+    val got = spark.sql(
+      "SELECT id, transform(top_k_by(struct(v), v, pos, 2), r -> r.v) AS vs " +
+        "FROM tk_in GROUP BY id ORDER BY id")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(got === Seq((1L, Seq(30L, 20L)), (2L, Seq(7L))))
+  }
 }
