@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
-import graft.functions.LatestByOrder
+import graft.functions.{LatestByOrder, TopKByOrder}
 
 /** Optimizer rule: rewrite the reference's compaction idiom
   *
@@ -32,19 +32,27 @@ import graft.functions.LatestByOrder
 object RowNumberToLatestBy extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(projectList, FilteredRn(rnAttr, w))
+    case p @ Project(projectList, FilteredRn(rnAttr, k, w))
         if eligible(w) && !projectList.exists(_.references.contains(rnAttr)) &&
           projectList.forall(_.references.subsetOf(w.child.outputSet)) =>
-      Project(projectList, rewrite(w))
+      Project(projectList, if (k == 1) rewrite(w) else rewriteTopK(w, k))
   }
 
-  /** Filter(rn = 1, Window(...)) with the rn from that window. */
+  /** Filter(rn = 1 | rn <= k, Window(...)) with the rn from that
+    * window; yields the effective k (1 for the equality form).
+    */
   private object FilteredRn {
-    def unapply(plan: LogicalPlan): Option[(Attribute, Window)] = plan match {
+    def unapply(plan: LogicalPlan): Option[(Attribute, Int, Window)] = plan match {
       case Filter(EqualTo(a: Attribute, IntegerLiteral(1)), w: Window)
-          if isRnWindow(w, a) => Some((a, w))
+          if isRnWindow(w, a) => Some((a, 1, w))
       case Filter(EqualTo(IntegerLiteral(1), a: Attribute), w: Window)
-          if isRnWindow(w, a) => Some((a, w))
+          if isRnWindow(w, a) => Some((a, 1, w))
+      case Filter(LessThanOrEqual(a: Attribute, IntegerLiteral(k)), w: Window)
+          if k >= 1 && isRnWindow(w, a) => Some((a, k, w))
+      case Filter(GreaterThanOrEqual(IntegerLiteral(k), a: Attribute), w: Window)
+          if k >= 1 && isRnWindow(w, a) => Some((a, k, w))
+      case Filter(LessThan(a: Attribute, IntegerLiteral(k)), w: Window)
+          if k >= 2 && isRnWindow(w, a) => Some((a, k - 1, w))
       case _ => None
     }
   }
@@ -92,6 +100,37 @@ object RowNumberToLatestBy extends Rule[LogicalPlan] {
     val byId = (pks.map(a => a.exprId -> (a: NamedExpression)) ++
       payloadAliases.map(a => a.exprId -> (a: NamedExpression))).toMap
     Aggregate(pks, child.output.map(a => byId(a.exprId)), child)
+  }
+
+  /** rn <= k (k > 1): aggregate to a k-bounded top-k array, then
+    * explode it back to rows — ObjectHashAggregate + Generate instead
+    * of the per-partition window sort. The rank itself must not be
+    * referenced (guard in apply), so only row membership matters and
+    * explode order is free to follow the buffer's (ord1 desc, ord2
+    * asc) layout.
+    */
+  private def rewriteTopK(w: Window, k: Int): LogicalPlan = {
+    val pks = w.partitionSpec.map(_.asInstanceOf[Attribute])
+    val Seq(SortOrder(ord1: Attribute, _, _, _), SortOrder(ord2: Attribute, _, _, _)) = w.orderSpec
+    val child = w.child match {
+      case wgl: WindowGroupLimit => wgl.child
+      case c => c
+    }
+    val payload = child.output.filterNot(a => pks.exists(_.exprId == a.exprId))
+    val topk = AggregateExpression(
+      TopKByOrder(k, ord1, ord2, CreateStruct(payload)), Complete, isDistinct = false)
+    val topkAlias = Alias(topk, "_graft_topk")()
+    val agg = Aggregate(pks, pks.map(a => a: NamedExpression) :+ topkAlias, child)
+    val elemAttr = AttributeReference("_graft_row",
+      CreateStruct(payload).dataType, nullable = false)()
+    val gen = Generate(Explode(topkAlias.toAttribute), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(elemAttr), agg)
+    val payloadAliases = payload.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(elemAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
+    }
+    val byId = (pks.map(a => a.exprId -> (a: NamedExpression)) ++
+      payloadAliases.map(a => a.exprId -> (a: NamedExpression))).toMap
+    Project(child.output.map(a => byId(a.exprId)), gen)
   }
 
   private object IntegerLiteral {

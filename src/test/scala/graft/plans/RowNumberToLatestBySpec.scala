@@ -44,6 +44,44 @@ class RowNumberToLatestBySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  private def rnTopKQuery() = {
+    val ev = T.events(spark, LocalSpark.sf)
+      .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+    ev.withColumn("rn", row_number().over(w)).filter($"rn" <= 3).drop("rn")
+  }
+
+  test("ROW_NUMBER<=k is rewritten to TopKByOrder aggregation + explode") {
+    val q = rnTopKQuery()
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("topkbyorder"), optimized)
+    assert(!optimized.contains("row_number"), optimized)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("ObjectHashAggregate"), physical)
+    assert(!physical.toLowerCase.contains("window"), physical)
+  }
+
+  test("rewritten top-k result equals the un-rewritten window result") {
+    def rows() = rnTopKQuery()
+      .select($"user_id", $"ts_us", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    val got = rows()
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val want = try rows() finally spark.experimental.extraOptimizations = prev
+    assert(got === want)
+  }
+
+  test("a projection that uses the rank is left alone") {
+    val ev = T.events(spark, LocalSpark.sf)
+      .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+    val q = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"user_id", $"rn")
+    assert(q.queryExecution.optimizedPlan.toString.contains("row_number"))
+    assert(q.count() > 0)
+  }
+
   test("ascending or single-key orderings are left alone") {
     val ev = T.events(spark, LocalSpark.sf)
       .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id")
