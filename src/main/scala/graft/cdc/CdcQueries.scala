@@ -314,6 +314,30 @@ object CdcQueries {
        |FROM events ORDER BY event_id""".stripMargin
   }
 
+  // A15b: the reference's landed CDC-table shape — data JSON carrying
+  // __op/__ts_ns/__source_pos inline (merge.sql:307–349), parsed by
+  // ChangeFeed.landedTable in one from_json pass.
+  def cdcLandedParse(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val landed = ev.select(
+      to_json(struct(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("__op"),
+        col("ts").as("__ts_ns"),
+        col("event_id").as("__source_pos"))).as("data"),
+      expr("ts div 1000").as("load_us"))
+    graft.sources.ChangeFeed.landedTable(landed, "data", "load_us", Seq("user_id"))
+      .select(col("user_id"), col(CdcEnvelope.OpCol).as("op"),
+        col(CdcEnvelope.TsCol).as("ts_us"), col(CdcEnvelope.PosCol).as("pos"),
+        get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("k"))
+      .orderBy(col("pos"))
+  }
+
+  private val oLandedParse =
+    s"""SELECT user_id, $dOp AS op, epoch_us(ts) AS ts_us, event_id AS pos, $dK AS k
+       |FROM events ORDER BY pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(oParse)),
     QueryDef("cdc_window", cdcWindow, Some(oWindow)),
@@ -326,5 +350,6 @@ object CdcQueries {
     QueryDef("cdc_multipk", cdcMultipk, Some(oMultipk)),
     QueryDef("cdc_run_stats", cdcRunStats, Some(oRunStats)),
     QueryDef("cdc_rowkey", cdcRowkey, Some(oRowkey)),
+    QueryDef("cdc_landed_parse", cdcLandedParse, Some(oLandedParse)),
   )
 }

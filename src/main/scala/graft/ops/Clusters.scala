@@ -34,8 +34,13 @@ object Clusters {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // localCheckpoint (not cache) each round: an iterative plan's
+    // lineage otherwise grows exponentially — by ~20 rounds even
+    // PLANNING the query blows the driver heap. Checkpointing pins
+    // the round's result and restarts the lineage, which is the
+    // standard shape for iterative Spark algorithms.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -47,11 +52,9 @@ object Clusters {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()
-      val prev = labels
       labels = next.select("id", "label")
-      prev.unpersist()
       iter += 1
     }
     edges.unpersist()

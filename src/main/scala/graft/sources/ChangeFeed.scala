@@ -70,6 +70,35 @@ object ChangeFeed {
       pk: Seq[String]): DataFrame =
     fromDebeziumJson(spark.readStream.text(path), "value", valueSchema, pk)
 
+  /** The reference's LANDED CDC-table shape (merge.sql:307–349): each
+    * row is a `data` JSON string that itself carries the Debezium
+    * metadata — `__op` (c/u/r/d), `__ts_ns`, `__source_pos` — among
+    * the source columns, plus an envelope-level load-timestamp column
+    * (`bq_load_ts`/`mysql_load_ts`) used for windowing. One from_json
+    * parse extracts pk + metadata; the payload string rides through
+    * for TypedProjection, so the scan reads exactly two columns.
+    *
+    * `loadTsIsMicros`: the landed column is epoch-µs (bigint); a
+    * timestamp-typed landing would cast upstream.
+    */
+  def landedTable(df: DataFrame, dataCol: String, loadTsCol: String,
+      pk: Seq[String]): DataFrame = {
+    val metaFields = Seq("__op", "__ts_ns", "__source_pos")
+    val schema = StructType((pk ++ metaFields).map(StructField(_, StringType)))
+    // Parse once; separate projection so CollapseProject keeps it single.
+    val parsed = df.withColumn("_graft_landed", from_json(col(dataCol), schema))
+    val rec = col("_graft_landed")
+    parsed.select(
+      pk.map(k => rec.getField(k).cast("long").as(k)) ++ Seq(
+        when(rec.getField("__op") === lit("d"), lit(CdcEnvelope.Delete))
+          .otherwise(lit(CdcEnvelope.Upsert)).as(CdcEnvelope.OpCol),
+        expr("(CAST(_graft_landed.__ts_ns AS BIGINT) - pmod(CAST(_graft_landed.__ts_ns AS BIGINT), 1000)) div 1000")
+          .as(CdcEnvelope.TsCol),
+        rec.getField("__source_pos").cast("long").as(CdcEnvelope.PosCol),
+        col(loadTsCol).cast("long").as(CdcEnvelope.LoadTsCol),
+        col(dataCol).as(CdcEnvelope.DataCol)): _*)
+  }
+
   /** The driver's events parquet as a change feed (SURVEY.md §4). */
   def eventsParquet(spark: SparkSession, dir: String): DataFrame =
     CdcEnvelope.fromEvents(spark.read.parquet(s"$dir/events.parquet"))

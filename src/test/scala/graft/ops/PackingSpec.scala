@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.LocalSpark
+
+/** Laws for sequence packing, split assignment, and connected
+  * components (random-graph check against a local union-find).
+  */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  test("packing conserves tokens, bounds offsets, and chains within a bin") {
+    val docs = spark.range(0, 5000)
+      .select(col("id").as("doc_id"), (pmod(col("id") * 37, lit(400)) + 1).as("len"))
+    val packed = Packing.packSequences(docs, col("len"), 512L, 8)
+      .select($"doc_id", $"shard", $"tokens", $"seq_in_shard", $"offset_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+
+    // conservation
+    assert(packed.map(_._3).sum ===
+      docs.agg(sum("len")).as[Long].collect()(0))
+    // every doc STARTS inside its bin
+    assert(packed.forall(r => r._5 >= 0 && r._5 < 512))
+    // within a (shard, seq): docs ordered by id chain exactly
+    packed.groupBy(r => (r._2, r._4)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val expected = a._5 + a._3
+          // either chains within the bin, or b starts a later bin (not this group)
+          assert(expected === b._5 || expected >= 512,
+            s"broken chain: $a -> $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("split assignment is a stable partition with ~98/1/1 mass") {
+    val docs = spark.range(0, 100000).select(col("id").as("doc_id"))
+    val splits = Packing.splitAssign(docs, col("doc_id"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet === Set("train", "val", "test"))
+    assert(splits("train") > 95000 && splits("val") > 500 && splits("test") > 500)
+    // stability: membership of a doc never depends on the corpus
+    val subset = Packing.splitAssign(docs.filter(col("doc_id") < 1000), col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = Packing.splitAssign(docs, col("doc_id"))
+      .filter(col("doc_id") < 1000)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(subset === full)
+  }
+
+  test("connected components agree with a local union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // local union-find truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val truth = nodes.map(n => n -> find(n)).toMap
+    // distributed result
+    val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === truth)
+  }
+}
