@@ -341,6 +341,39 @@ object OpsQueries {
       |        FROM documents) t) c
       |ORDER BY doc_id""".stripMargin
 
+  // C14b: packed-sequence text assembly — the step after packing:
+  // each (shard, seq) bin's documents concatenated in doc_id order
+  // with a separator. collect_list is order-nondeterministic, so the
+  // struct array is sorted before joining; export md5 + counts.
+  def packTexts(s: SparkSession, d: String): DataFrame = {
+    val packed = Packing.packSequences(T.documents(s, d),
+      size(TextAnalysis.tokens(col("text"))).cast("bigint"), 512L, 8)
+    packed.join(T.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("seq_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          r => r.getField("text")), "\n")).as("seq_md5"))
+      .orderBy(col("shard"), col("seq_in_shard"))
+  }
+
+  private val oPackTexts =
+    """WITH packed AS (
+      |  SELECT doc_id, shard, tokens,
+      |    (cum - tokens) // 512 AS seq_in_shard
+      |  FROM (
+      |    SELECT doc_id, doc_id % 8 AS shard, tokens,
+      |      CAST(sum(tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |    FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |          FROM documents) t) c)
+      |SELECT p.shard, p.seq_in_shard, count(*) AS n_docs,
+      |  CAST(sum(p.tokens) AS BIGINT) AS seq_tokens,
+      |  md5(string_agg(d.text, chr(10) ORDER BY p.doc_id)) AS seq_md5
+      |FROM packed p JOIN documents d ON p.doc_id = d.doc_id
+      |GROUP BY 1, 2 ORDER BY shard, seq_in_shard""".stripMargin
+
   // C17: PII scrubbing — each doc gets deterministic synthetic PII
   // appended (so the gate is non-vacuous on a clean corpus), then the
   // redaction chain runs; output is the md5 of the redacted text.
@@ -520,6 +553,7 @@ object OpsQueries {
     QueryDef("text_langid", textLangid, Some(oTextLangid)),
     QueryDef("corpus_stats", corpusStats, Some(oCorpusStats)),
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),
+    QueryDef("pack_texts", packTexts, Some(oPackTexts)),
     QueryDef("text_scrub", textScrub, Some(oTextScrub)),
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
