@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
+import graft.cdc.CdcEnvelope
 
 /** Driver-gated queries for the LLM-data-pipeline operators
   * (SURVEY.md §2 C-series) over the documents/embeddings tables.
@@ -538,6 +539,32 @@ object OpsQueries {
       |  TRUE AS within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // C19: incremental distinct maintenance — sketch two disjoint
+  // load-ts windows separately (as successive pipeline runs would),
+  // union the sketches, and check the estimate against the exact
+  // distinct over the whole span. Oracle asserts the 5% bound (TRUE),
+  // so both a sketch regression AND a broken merge fail the gate.
+  def qHllIncremental(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("event_type"), col("user_id"),
+      expr("ts div 1000").as("ts_us"))
+    val mid = CdcEnvelope.epochUs("2024-01-15T00:00:00Z")
+    val w1 = Sketches.sketchBy(ev.filter(col("ts_us") <= mid), Seq("event_type"), col("user_id"))
+    val w2 = Sketches.sketchBy(ev.filter(col("ts_us") > mid), Seq("event_type"), col("user_id"))
+    val merged = Sketches.unionEstimate(w1.unionByName(w2), Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_distinct") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val oHllIncremental =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
@@ -564,5 +591,6 @@ object OpsQueries {
     QueryDef("q_interval_join", qIntervalJoin, Some(oIntervalJoin)),
     QueryDef("q_range_join", qRangeJoin, Some(oRangeJoin)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(oApproxDistinct)),
+    QueryDef("q_hll_incremental", qHllIncremental, Some(oHllIncremental)),
   )
 }

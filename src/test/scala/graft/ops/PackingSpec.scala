@@ -52,6 +52,23 @@ class PackingSpec extends AnyFunSuite {
     assert(subset === full)
   }
 
+  test("windowed HLL sketches merge to exactly the one-shot estimate") {
+    val df = spark.range(0, 50000)
+      .select((col("id") % 5).as("g"), (col("id") % 7919).as("v"), col("id"))
+    val oneShot = Sketches.unionEstimate(
+      Sketches.sketchBy(df, Seq("g"), col("v")), Seq("g"))
+      .as[(Long, Long)].collect().toMap
+    // split into 3 disjoint windows, sketch each, union
+    val parts = (0 until 3).map(i => Sketches.sketchBy(
+      df.filter(pmod(col("id"), lit(3)) === i), Seq("g"), col("v")))
+    val merged = Sketches.unionEstimate(
+      parts.reduce(_ unionByName _), Seq("g"))
+      .as[(Long, Long)].collect().toMap
+    // HLL register merge is max(): union of window sketches ==
+    // sketch of the union, bit-exact
+    assert(merged === oneShot)
+  }
+
   test("connected components agree with a local union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = (1 to 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
