@@ -14,7 +14,10 @@ import graft.functions.{CosineSimilarity, LatestByOrder, LshTableBuckets, MinHas
   *
   * gives `SELECT cosine_similarity(a, b)`, `simhash64(text)`,
   * `word_shingles(text, 3)`, `minhash_band_buckets(text, 8, 2)`,
-  * `latest_by(value, ord1, ord2)` in plain SQL.
+  * `lsh_table_buckets(emb, tables, planes, dims)`,
+  * `latest_by(value, ord1, ord2)`, and
+  * `top_k_by(value, ord1, ord2, k)` in plain SQL, plus the
+  * ROW_NUMBER-idiom optimizer rewrites.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
