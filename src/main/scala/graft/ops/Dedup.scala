@@ -37,6 +37,11 @@ object Dedup {
     * `count().over(Window.partitionBy(band, bucket))` this never
     * sorts — WindowExec would shuffle AND sort every (doc, band) row
     * just to count bucket sizes (VERDICT r1 "What's wrong" #4).
+    * Tradeoff: the keyed relation (and its hash expression) evaluates
+    * twice — once for the counts, once for the join input. That's 2×
+    * map CPU with no extra shuffled bytes, vs the window form's
+    * full shuffle-sort; at scale CPU re-hash wins. Callers looping
+    * over the same corpus should cache the docs DataFrame.
     */
   private def dropOversized(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val oversized = keyed.groupBy("band", "bucket")
