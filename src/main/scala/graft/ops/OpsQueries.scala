@@ -413,6 +413,30 @@ object OpsQueries {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  // C20: stratified downsampling — keep 10% of 'en' docs and 50% of
+  // every other language, deterministically by the shared permille
+  // bucket. Exports per-language totals + sampled counts.
+  def sampleStratifiedQ(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+    val sampled = Packing.sampleStratified(docs, col("lang"), col("doc_id"),
+      Map("en" -> 100), defaultPermille = 500)
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(sampled.groupBy("lang").agg(count(lit(1)).as("n_sampled")), Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  private val oSampleStratified =
+    s"""WITH lang AS ($oTextLangidBody),
+       |b AS (SELECT doc_id, lang_pred AS lang,
+       |        ((doc_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+       |      FROM lang)
+       |SELECT lang, count(*) AS n_total,
+       |  count(*) FILTER (b < CASE WHEN lang = 'en' THEN 100 ELSE 500 END) AS n_sampled
+       |FROM b GROUP BY 1 ORDER BY lang""".stripMargin
+
   // B14: gap-based sessionization (1-hour gap) — per-user session
   // counts and the longest session, all integer outputs.
   def qSessionize(s: SparkSession, d: String): DataFrame = {
@@ -521,6 +545,25 @@ object OpsQueries {
       |  ON p.ts_us >= s.s_start AND p.ts_us <= s.s_end
       |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
 
+  // B20: approximate quantile with a checked error bound (same gate
+  // pattern as B18): exact median of integer cents vs
+  // percentile_approx at high accuracy, within 1%.
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(median(round(col("o_totalprice") * 100)).as("exact_median_cents"),
+        percentile_approx(round(col("o_totalprice") * 100), lit(0.5), lit(10000))
+          .as("approx_raw"))
+      .select(col("o_orderpriority"), col("exact_median_cents"),
+        (abs(col("approx_raw") - col("exact_median_cents")) <=
+          col("exact_median_cents") * lit(0.01)).as("within_1pct"))
+      .orderBy(col("o_orderpriority"))
+
+  private val oApproxQuantile =
+    """SELECT o_orderpriority, median(round(o_totalprice * 100)) AS exact_median_cents,
+      |  TRUE AS within_1pct
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   // B18: approximate distinct with a checked error bound — the query
   // exports exact + whether HLL landed within 5%; the oracle asserts
   // the bound (TRUE), so a sketch regression fails the hash gate.
@@ -592,5 +635,7 @@ object OpsQueries {
     QueryDef("q_range_join", qRangeJoin, Some(oRangeJoin)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(oApproxDistinct)),
     QueryDef("q_hll_incremental", qHllIncremental, Some(oHllIncremental)),
+    QueryDef("sample_stratified", sampleStratifiedQ, Some(oSampleStratified)),
+    QueryDef("q_approx_quantile", qApproxQuantile, Some(oApproxQuantile)),
   )
 }

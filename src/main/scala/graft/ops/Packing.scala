@@ -33,14 +33,35 @@ object Packing {
     */
   def splitAssign(docs: DataFrame, idCol: Column, trainPermille: Int = 980,
       valPermille: Int = 10): DataFrame = {
-    val P = 1000000007L
-    val M = 1000003L
-    val bucket = pmod(pmod(idCol.cast("long"), lit(P)) * lit(M), lit(P)) % lit(1000L)
-    docs.withColumn("split_bucket", bucket)
+    docs.withColumn("split_bucket", permilleBucket(idCol))
       .withColumn("split",
         when(col("split_bucket") < trainPermille, lit("train"))
           .when(col("split_bucket") < trainPermille + valPermille, lit("val"))
           .otherwise(lit("test")))
+  }
+
+  /** The split/sample bucket: overflow-free mod-prime hash of the id
+    * onto [0, 1000) — shared by splitAssign and sampleStratified so
+    * sampling and splitting stay consistent and engine-reproducible.
+    */
+  def permilleBucket(idCol: Column): Column = {
+    val P = 1000000007L
+    val M = 1000003L
+    pmod(pmod(idCol.cast("long"), lit(P)) * lit(M), lit(P)) % lit(1000L)
+  }
+
+  /** Stratified downsampling (SURVEY.md §2 C20): keep a per-stratum
+    * permille of rows, decided by the deterministic id bucket — the
+    * corpus-rebalancing step (e.g. downsample over-represented
+    * languages) with reproducible membership at any scale: a pure
+    * filter, no shuffle, no RNG.
+    */
+  def sampleStratified(docs: DataFrame, strataCol: Column, idCol: Column,
+      permilleByStratum: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, pm)) => when(strataCol === lit(stratum), lit(pm)).otherwise(acc)
+    }
+    docs.filter(permilleBucket(idCol) < rate)
   }
 
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
