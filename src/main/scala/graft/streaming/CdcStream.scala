@@ -90,12 +90,45 @@ object CdcStream {
   }
 
   final case class DedupEvent(key: Long, pos: Long)
+  final case class TimedEvent(key: Long, pos: Long, eventTime: java.sql.Timestamp)
+
+  /** Production streaming dedup with a TTL: emit a key's first
+    * occurrence within each `ttl`-long event-time window, evicting
+    * state as the watermark passes lastSeen + ttl. This is the
+    * bounded-memory form of `firstSeen`: state is O(keys active in
+    * the TTL window), not O(all keys ever) — the difference between
+    * running forever and OOMing on an unbounded stream. The caller
+    * must `withWatermark` the input; eviction (and thus re-emission
+    * of a key after the TTL) is driven by event time, so replays are
+    * deterministic.
+    */
+  def firstSeenTtl(events: Dataset[TimedEvent], ttlMs: Long): Dataset[DedupEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DedupEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[TimedEvent], state: GroupState[Long]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove() // TTL elapsed: forget the key
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val maxTime = batch.map(_.eventTime.getTime).max
+            val out =
+              if (state.exists) Iterator.empty
+              else Iterator(DedupEvent(key, batch.minBy(_.pos).pos))
+            state.update(maxTime)
+            state.setTimeoutTimestamp(maxTime + ttlMs)
+            out
+          }
+      }
+  }
 
   /** Streaming exact dedup: emit each key's first occurrence only,
     * keeping seen-keys in keyed state (flatMapGroupsWithState). The
     * streaming analogue of `Dedup.exact`; state is one boolean per
-    * key, so memory is |distinct keys| — watermark/timeout evicts in
-    * production.
+    * key, so memory is |distinct keys| — `firstSeenTtl` is the
+    * bounded-state production variant.
     */
   def firstSeen(events: Dataset[DedupEvent]): Dataset[DedupEvent] = {
     import events.sparkSession.implicits._

@@ -160,6 +160,40 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L), (2L, 7L), (3L, 1L)))
   }
 
+  test("TTL dedup re-emits a key after its state is watermark-evicted") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)] // (key, pos, epochSec)
+    val events = mem.toDS()
+      .select($"_1".as("key"), $"_2".as("pos"),
+        org.apache.spark.sql.functions.timestamp_seconds($"_3").as("eventTime"))
+      .withWatermark("eventTime", "0 seconds")
+      .as[CdcStream.TimedEvent]
+    val out = CdcStream.firstSeenTtl(events, ttlMs = 60000L) // 1-minute TTL
+    val q = out.writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt6").toString)
+      .start()
+    try {
+      // batch 1: key 1 emits once (dup suppressed)
+      mem.addData((1L, 5L, 100L), (1L, 7L, 101L))
+      q.processAllAvailable()
+      // batch 2: key 1 again within TTL -> suppressed; key 2 emits.
+      mem.addData((1L, 9L, 110L), (2L, 1L, 110L))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark past both
+      // keys' TTLs (state evicts)...
+      mem.addData((3L, 1L, 10000L))
+      q.processAllAvailable()
+      // batch 4: ...so key 1 re-emits as a fresh first-seen.
+      mem.addData((1L, 42L, 10001L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ttl_out").as[CdcStream.DedupEvent]
+      .collect().map(e => (e.key, e.pos)).sorted.toSeq
+    assert(got === Seq((1L, 5L), (1L, 42L), (2L, 1L), (3L, 1L)))
+  }
+
   test("streaming sessionization closes a session when the gap is exceeded in-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
