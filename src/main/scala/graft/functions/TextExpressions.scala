@@ -198,7 +198,35 @@ case class StopwordScores(child: Expression, lists: Seq[Seq[String]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** text → text with the given tokens removed (single pass: split on
+  * spaces, drop hash-set members, re-join). The removal set is fixed
+  * at plan time — the fit/transform shape: a tiny corpus-derived
+  * vocabulary collected once, then applied as a map-only expression.
+  */
+case class RemoveTokens(child: Expression, toks: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"needs string, got ${child.dataType}")
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    toks.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val parts = v.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val kept = parts.filterNot(set.contains)
+    UTF8String.concatWs(UTF8String.fromString(" "), kept: _*)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
+  def removeTokens(text: Column, toks: Seq[String]): Column =
+    toCol(RemoveTokens(toExpr(text), toks))
   def wordShingles(text: Column, w: Int = 3): Column = toCol(WordShingles(toExpr(text), w))
   def minhashBandBuckets(text: Column, b: Int = 8, r: Int = 2): Column =
     toCol(MinHashBandBuckets(toExpr(text), b, r))

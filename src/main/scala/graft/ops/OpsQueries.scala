@@ -375,6 +375,38 @@ object OpsQueries {
       |FROM packed p JOIN documents d ON p.doc_id = d.doc_id
       |GROUP BY 1, 2 ORDER BY shard, seq_in_shard""".stripMargin
 
+  // C21: boilerplate-token pruning — tokens in ≥80% of docs are
+  // corpus boilerplate; strip them and export the kept-token count +
+  // md5 of the cleaned text. The oracle recomputes the common set
+  // and the filtered join, so both the DF aggregation and the
+  // removal expression are hash-gated. (This synthetic corpus has a
+  // ~31-token vocabulary, so lower thresholds would swallow whole
+  // documents — the operator takes the fraction as a parameter.)
+  def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val common = Vocab.commonTokens(docs, col("text"), 0.8)
+    val cleaned = Vocab.removeTokens(col("text"), common)
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(cleaned)).as("n_kept"),
+        md5(cleaned).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextBoilerplate =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |common AS (
+      |  SELECT t FROM tok GROUP BY t
+      |  HAVING count(*) >= 0.8 * (SELECT count(*) FROM documents)),
+      |cl AS (SELECT coalesce(list(t), []) AS cs FROM common)
+      |SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '),
+      |      x -> NOT list_contains(cs, x))) AS n_kept,
+      |  md5(array_to_string(list_filter(string_split(text, ' '),
+      |      x -> NOT list_contains(cs, x)), ' ')) AS kept_md5
+      |FROM documents CROSS JOIN cl ORDER BY doc_id""".stripMargin
+
   // C17: PII scrubbing — each doc gets deterministic synthetic PII
   // appended (so the gate is non-vacuous on a clean corpus), then the
   // redaction chain runs; output is the md5 of the redacted text.
@@ -625,6 +657,7 @@ object OpsQueries {
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),
     QueryDef("pack_texts", packTexts, Some(oPackTexts)),
     QueryDef("text_scrub", textScrub, Some(oTextScrub)),
+    QueryDef("text_boilerplate", textBoilerplate, Some(oTextBoilerplate)),
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
