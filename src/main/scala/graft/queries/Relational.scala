@@ -284,6 +284,63 @@ object Relational {
       |    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING') b) t
       |ORDER BY kind, key""".stripMargin
 
+  // B21: multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+  // duplicates (bag semantics), unlike B12's distinct-set forms.
+  def qSetopsAll(s: SparkSession, d: String): DataFrame = {
+    val a = T.orders(s, d).select(col("o_custkey").as("key")) // dups preserved
+    val b = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"))
+    a.intersectAll(b).select(lit("both").as("kind"), col("key"))
+      .unionByName(a.exceptAll(b).select(lit("orders_only").as("kind"), col("key")))
+      .orderBy(col("kind"), col("key"))
+  }
+
+  private val oSetopsAll =
+    """SELECT kind, key FROM (
+      |  SELECT 'both' AS kind, key FROM (
+      |    SELECT o_custkey AS key FROM orders
+      |    INTERSECT ALL
+      |    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING') a
+      |  UNION ALL
+      |  SELECT 'orders_only' AS kind, key FROM (
+      |    SELECT o_custkey AS key FROM orders
+      |    EXCEPT ALL
+      |    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING') b) t
+      |ORDER BY kind, key""".stripMargin
+
+  // B22: NULL semantics — aggregate NULL skipping, the NULL group,
+  // and null-safe (<=>) vs plain equality joins, pinned against the
+  // oracle (IS NOT DISTINCT FROM) because engines diverge here.
+  def qNullSemantics(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d).select(
+      when(col("user_id") % 7 === 0, lit(null).cast("bigint"))
+        .otherwise(col("user_id") % 7).as("nk"))
+    val counts = e.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("nk")).as("n_nonnull"),
+      countDistinct(col("nk")).as("n_distinct"))
+    val nGroups = e.groupBy("nk").count()
+      .agg(count(lit(1)).as("n_groups"))
+    val vals = e.distinct()
+    val nullsafe = vals.as("l").join(vals.as("r"),
+      col("l.nk") <=> col("r.nk")).agg(count(lit(1)).as("nullsafe_pairs"))
+    val plain = vals.as("l").join(vals.as("r"),
+      col("l.nk") === col("r.nk")).agg(count(lit(1)).as("plain_pairs"))
+    counts.crossJoin(nGroups).crossJoin(nullsafe).crossJoin(plain)
+  }
+
+  private val oNullSemantics =
+    """WITH e AS (SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 7 END AS nk
+      |           FROM events),
+      |v AS (SELECT DISTINCT nk FROM e)
+      |SELECT
+      |  (SELECT count(*) FROM e) AS n_rows,
+      |  (SELECT count(nk) FROM e) AS n_nonnull,
+      |  (SELECT count(DISTINCT nk) FROM e) AS n_distinct,
+      |  (SELECT count(*) FROM (SELECT nk FROM e GROUP BY nk) g) AS n_groups,
+      |  (SELECT count(*) FROM v l JOIN v r ON l.nk IS NOT DISTINCT FROM r.nk) AS nullsafe_pairs,
+      |  (SELECT count(*) FROM v l JOIN v r ON l.nk = r.nk) AS plain_pairs""".stripMargin
+
   // B13: median over exact integer cents — both engines do exact
   // float64 arithmetic on integers ±.5, so the interpolated middle
   // is bit-identical despite different interpolation formulas.
@@ -313,6 +370,8 @@ object Relational {
     QueryDef("q_json_extract", qJsonExtract, Some(oJsonExtract)),
     QueryDef("q_pivot", qPivot, Some(oPivot)),
     QueryDef("q_setops", qSetops, Some(oSetops)),
+    QueryDef("q_setops_all", qSetopsAll, Some(oSetopsAll)),
+    QueryDef("q_null_semantics", qNullSemantics, Some(oNullSemantics)),
     QueryDef("q_median", qMedian, Some(oMedian)),
   )
 }
