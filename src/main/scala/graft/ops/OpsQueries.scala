@@ -577,23 +577,25 @@ object OpsQueries {
       |  ON p.ts_us >= s.s_start AND p.ts_us <= s.s_end
       |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
 
-  // B20: approximate quantile with a checked error bound (same gate
-  // pattern as B18): exact median of integer cents vs
-  // percentile_approx at high accuracy, within 1%.
+  // B20: approximate quantile — percentile_approx keeps exact samples
+  // until the group outgrows `accuracy`, so at the gated SF it must
+  // EQUAL the discrete median (a real data point; an interpolated
+  // median sits between far-apart neighbors in small groups, which
+  // is why a relative bound is the wrong gate). At 100 TB the same
+  // expression degrades gracefully to a GK sketch within 1/accuracy
+  // rank error.
   def qApproxQuantile(s: SparkSession, d: String): DataFrame =
     T.orders(s, d)
       .groupBy(col("o_orderpriority"))
-      .agg(median(round(col("o_totalprice") * 100)).as("exact_median_cents"),
-        percentile_approx(round(col("o_totalprice") * 100), lit(0.5), lit(10000))
-          .as("approx_raw"))
-      .select(col("o_orderpriority"), col("exact_median_cents"),
-        (abs(col("approx_raw") - col("exact_median_cents")) <=
-          col("exact_median_cents") * lit(0.01)).as("within_1pct"))
+      .agg(percentile_approx(round(col("o_totalprice") * 100), lit(0.5), lit(100000))
+          .as("q50_cents"),
+        count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
   private val oApproxQuantile =
-    """SELECT o_orderpriority, median(round(o_totalprice * 100)) AS exact_median_cents,
-      |  TRUE AS within_1pct
+    """SELECT o_orderpriority,
+      |  quantile_disc(round(o_totalprice * 100), 0.5) AS q50_cents,
+      |  count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
   // B18: approximate distinct with a checked error bound — the query
