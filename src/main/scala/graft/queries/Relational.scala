@@ -160,6 +160,31 @@ object Relational {
         col("r.o_orderkey").as("o_orderkey"), col("r.o_totalprice").as("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rnk"))
 
+  // B5b: ranking-function breadth — ntile/percent_rank/cume_dist over
+  // a totally-ordered window (same IEEE division both engines, so
+  // the fractions hash-match exactly). Output thinned to 1% of rows.
+  def qWindowStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    T.orders(s, d)
+      .withColumn("q4", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("q4"), col("pr"), col("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val oWindowStats =
+    """SELECT o_orderkey, o_orderpriority, q4, pr, cd FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    ntile(4) OVER w AS q4,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
+      |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+
   // B6: semi/anti join — EXISTS and NOT EXISTS as left_semi/left_anti
   // (no row multiplication, no dedup shuffle).
   def qSemiAnti(s: SparkSession, d: String): DataFrame = {
@@ -386,6 +411,7 @@ object Relational {
     QueryDef("q5_multijoin", q5Multijoin, Some(oQ5)),
     QueryDef("q_window_rank", qWindowRank, Some(oWindowRank)),
     QueryDef("q_topk_agg", qTopkAgg, Some(oWindowRank)),
+    QueryDef("q_window_stats", qWindowStats, Some(oWindowStats)),
     QueryDef("q_semi_anti", qSemiAnti, Some(oSemiAnti)),
     QueryDef("q_distinct", qDistinct, Some(oDistinct)),
     QueryDef("q_rollup", qRollup, Some(oRollup)),
