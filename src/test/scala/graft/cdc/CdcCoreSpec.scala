@@ -79,6 +79,24 @@ class CdcCoreSpec extends AnyFunSuite {
     assert(got === Map(1 -> 10.0, 2 -> 21.0, 4 -> 40.0))
   }
 
+  test("mergeEvolving: new payload columns appear, old rows take NULL") {
+    val target = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    // changes carry a NEW column v2 the target has never seen
+    val changes = Seq(
+      (2, "u", 100L, 1L, 100L, """{"k":2}""", 21.0, "x2"),
+      (3, "u", 100L, 2L, 100L, """{"k":3}""", 30.0, "x3"))
+      .toDF("id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "v", "v2")
+    val got = SnapshotMerge.mergeEvolving(target, changes, Seq("id"))
+    assert(got.columns.toSeq === Seq("id", "v", "v2"))
+    val rows = got.select("id", "v", "v2").as[(Int, Double, Option[String])]
+      .collect().map { case (i, v, v2) => i -> (v, v2) }.toMap
+    assert(rows === Map(
+      1 -> (10.0, None),          // untouched row: NULL for the new col
+      2 -> (21.0, Some("x2")),    // updated row carries it
+      3 -> (30.0, Some("x3"))))   // inserted row carries it
+  }
+
   test("typed projection rules") {
     import TypedProjection._
     val df = Seq(
