@@ -20,12 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
   *
   * Determinism: (ord1, ord2) must be a total order per group —
   * callers pass a unique tiebreak (e.g. the key) as ord2.
+  *
+  * `ord2Desc` flips the tiebreak direction (and the null sentinel):
+  * false = (ord1 DESC, ord2 ASC) — the natural "rank by score, break
+  * ties by id" shape; true = (ord1 DESC, ord2 DESC) — the shape of
+  * the reference's compaction window (merge.sql:309–310), which
+  * RowNumberToLatestBy rewrites onto this aggregate. Both treat a
+  * null key as sorting last (NULLS LAST of the window form).
   */
 case class TopKByOrder(
     k: Int,
     ord1: Expression,
     ord2: Expression,
     value: Expression,
+    ord2Desc: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKByOrder.Buf] {
@@ -48,7 +56,7 @@ case class TopKByOrder(
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  override def createAggregationBuffer(): TopKByOrder.Buf = new TopKByOrder.Buf(k)
+  override def createAggregationBuffer(): TopKByOrder.Buf = new TopKByOrder.Buf(k, ord2Desc)
 
   override def update(buf: TopKByOrder.Buf, input: InternalRow): TopKByOrder.Buf = {
     val o1 = ord1.eval(input)
@@ -57,7 +65,9 @@ case class TopKByOrder(
     if (v != null) {
       buf.offer(
         if (o1 == null) Long.MinValue else o1.asInstanceOf[Long],
-        if (o2 == null) Long.MaxValue else o2.asInstanceOf[Long],
+        // null ord2 sorts last in either direction
+        if (o2 == null) { if (ord2Desc) Long.MinValue else Long.MaxValue }
+        else o2.asInstanceOf[Long],
         // copy lazily: offer tells us whether the row made the cut
         () => toUnsafe(v.asInstanceOf[InternalRow]).copy())
     }
@@ -93,7 +103,7 @@ case class TopKByOrder(
   }
 
   override def deserialize(bytes: Array[Byte]): TopKByOrder.Buf = {
-    val buf = new TopKByOrder.Buf(k)
+    val buf = new TopKByOrder.Buf(k, ord2Desc)
     val in = java.nio.ByteBuffer.wrap(bytes)
     val n = in.getInt()
     var i = 0
@@ -120,18 +130,20 @@ case class TopKByOrder(
 }
 
 object TopKByOrder {
-  /** Sorted bounded buffer: slot 0 is the best (ord1 desc, ord2 asc).
-    * k is small (top-k reporting), so insertion is O(k) array moves —
-    * cheaper and flatter than a heap at these sizes.
+  /** Sorted bounded buffer: slot 0 is the best — (ord1 desc, ord2
+    * asc), or (ord1 desc, ord2 desc) when `ord2Desc`. k is small
+    * (top-k reporting), so insertion is O(k) array moves — cheaper
+    * and flatter than a heap at these sizes.
     */
-  final class Buf(k: Int) {
+  final class Buf(k: Int, ord2Desc: Boolean = false) {
     val ord1s = new Array[Long](k)
     val ord2s = new Array[Long](k)
     val rows = new Array[UnsafeRow](k)
     var size = 0
 
     private def beats(o1: Long, o2: Long, i: Int): Boolean =
-      o1 > ord1s(i) || (o1 == ord1s(i) && o2 < ord2s(i))
+      o1 > ord1s(i) || (o1 == ord1s(i) &&
+        (if (ord2Desc) o2 > ord2s(i) else o2 < ord2s(i)))
 
     def offer(o1: Long, o2: Long, row: () => UnsafeRow): Unit = {
       if (size == k && !beats(o1, o2, k - 1)) return
@@ -148,4 +160,11 @@ object TopKByOrder {
   /** top_k_by(valueStruct, ord1 desc, ord2 asc, k) as a Column. */
   def apply(value: Column, ord1: Column, ord2: Column, k: Int): Column =
     toCol(TopKByOrder(k, toExpr(ord1), toExpr(ord2), toExpr(value)).toAggregateExpression())
+
+  /** Variant with an explicit ord2 direction (desc = true mirrors a
+    * (ord1 DESC, ord2 DESC) window).
+    */
+  def apply(value: Column, ord1: Column, ord2: Column, k: Int, ord2Desc: Boolean): Column =
+    toCol(TopKByOrder(k, toExpr(ord1), toExpr(ord2), toExpr(value), ord2Desc)
+      .toAggregateExpression())
 }

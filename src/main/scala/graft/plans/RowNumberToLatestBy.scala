@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, TimestampType}
 import graft.functions.{LatestByOrder, TopKByOrder}
 
 /** Optimizer rule: rewrite the reference's compaction idiom
@@ -22,8 +22,10 @@ import graft.functions.{LatestByOrder, TopKByOrder}
   *
   * Conservative guards: exactly one window expression (the
   * row_number), two DESC NULLS LAST order keys (matching
-  * LatestByOrder's null-as-minus-infinity contract), both bigint
-  * child attributes, rn only used as the `= 1` filter and dropped
+  * LatestByOrder's null-as-minus-infinity contract), both child
+  * attributes of an exactly-long-encodable type (bigint, int,
+  * smallint, or timestamp — the reference orders by a timestamp,
+  * merge.sql:310), rn only used as the `= 1` filter and dropped
   * by the surrounding projection.
   *
   * Registered by GraftExtensions (injectOptimizerRule) or
@@ -71,11 +73,29 @@ object RowNumberToLatestBy extends Rule[LogicalPlan] {
       case Seq(SortOrder(o1: Attribute, Descending, NullsLast, _),
           SortOrder(o2: Attribute, Descending, NullsLast, _)) =>
         // NULLS LAST ⇔ LatestByOrder's null-as-minus-infinity contract
-        o1.dataType == LongType && o2.dataType == LongType &&
+        supportedKey(o1.dataType) && supportedKey(o2.dataType) &&
           w.child.outputSet.contains(o1) && w.child.outputSet.contains(o2)
       case _ => false
     }
     pksOk && ordOk
+  }
+
+  /** Key types whose order embeds exactly into BIGINT. (No date: the
+    * CDC idiom orders by event timestamp/position; widen if needed.)
+    */
+  private def supportedKey(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | TimestampType => true
+    case _ => false
+  }
+
+  /** Normalize a supported key to BIGINT preserving order and nulls:
+    * int/smallint widen exactly; timestamp → UnixMicros (CAST floors
+    * to whole seconds and would merge sub-second-distinct events).
+    */
+  private def toLongKey(a: Attribute): Expression = a.dataType match {
+    case LongType => a
+    case TimestampType => UnixMicros(a)
+    case _ => Cast(a, LongType)
   }
 
   private def rewrite(w: Window): LogicalPlan = {
@@ -91,7 +111,8 @@ object RowNumberToLatestBy extends Rule[LogicalPlan] {
     }
     val payload = child.output.filterNot(a => pks.exists(_.exprId == a.exprId))
     val latest = AggregateExpression(
-      LatestByOrder(ord1, ord2, CreateStruct(payload)), Complete, isDistinct = false)
+      LatestByOrder(toLongKey(ord1), toLongKey(ord2), CreateStruct(payload)),
+      Complete, isDistinct = false)
     val payloadAliases = payload.zipWithIndex.map { case (a, i) =>
       Alias(GetStructField(latest, i, Some(a.name)), a.name)(exprId = a.exprId)
     }
@@ -107,7 +128,7 @@ object RowNumberToLatestBy extends Rule[LogicalPlan] {
     * of the per-partition window sort. The rank itself must not be
     * referenced (guard in apply), so only row membership matters and
     * explode order is free to follow the buffer's (ord1 desc, ord2
-    * asc) layout.
+    * desc) layout.
     */
   private def rewriteTopK(w: Window, k: Int): LogicalPlan = {
     val pks = w.partitionSpec.map(_.asInstanceOf[Attribute])
@@ -117,8 +138,13 @@ object RowNumberToLatestBy extends Rule[LogicalPlan] {
       case c => c
     }
     val payload = child.output.filterNot(a => pks.exists(_.exprId == a.exprId))
+    // ord2Desc: the accepted window shape is (ord1 DESC, ord2 DESC),
+    // so the aggregate's tiebreak must also be DESC — with the ASC
+    // default, ord1 ties straddling the k boundary would keep the
+    // wrong rows (and disagree with the k = 1 LatestByOrder path).
     val topk = AggregateExpression(
-      TopKByOrder(k, ord1, ord2, CreateStruct(payload)), Complete, isDistinct = false)
+      TopKByOrder(k, toLongKey(ord1), toLongKey(ord2), CreateStruct(payload), ord2Desc = true),
+      Complete, isDistinct = false)
     val topkAlias = Alias(topk, "_graft_topk")()
     val agg = Aggregate(pks, pks.map(a => a: NamedExpression) :+ topkAlias, child)
     val elemAttr = AttributeReference("_graft_row",

@@ -72,6 +72,52 @@ class RowNumberToLatestBySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("top-k rewrite keeps the window's rows when ord1 ties straddle the k boundary") {
+    // All six rows tie on ord1, so membership in the top 3 is decided
+    // entirely by the DESC tiebreak: the window keeps ord2 = 6, 5, 4.
+    // (This is the ADVICE r2 case: an ASC-tiebreak aggregate would
+    // keep 1, 2, 3 — silently different results.)
+    def q() = {
+      val df = Seq((1L, 100L, 1L), (1L, 100L, 2L), (1L, 100L, 3L),
+        (1L, 100L, 4L), (1L, 100L, 5L), (1L, 100L, 6L))
+        .toDF("pk", "ord1", "ord2")
+      val w = Window.partitionBy($"pk").orderBy($"ord1".desc, $"ord2".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3).drop("rn")
+    }
+    val got = q()
+    assert(got.queryExecution.optimizedPlan.toString.contains("topkbyorder"))
+    assert(got.select($"ord2").as[Long].collect().sorted.toSeq === Seq(4L, 5L, 6L))
+    // and k = 1 agrees with the same direction (largest ord2 wins)
+    def q1() = {
+      val df = Seq((1L, 100L, 1L), (1L, 100L, 9L)).toDF("pk", "ord1", "ord2")
+      val w = Window.partitionBy($"pk").orderBy($"ord1".desc, $"ord2".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    }
+    assert(q1().select($"ord2").as[Long].collect().toSeq === Seq(9L))
+  }
+
+  test("timestamp-ordered rn=1 is rewritten with sub-second order preserved") {
+    // The reference idiom orders by an event timestamp (merge.sql:310).
+    // Sub-second differences must survive the long encoding — a CAST
+    // would floor to seconds and pick the wrong row here.
+    def q() = {
+      val df = Seq(
+        (1L, "2024-01-01 00:00:00.000001", "old"),
+        (1L, "2024-01-01 00:00:00.000002", "new"),
+        (2L, "2024-01-01 00:00:01.5", "only"))
+        .toDF("pk", "ts_s", "v")
+        .select($"pk", $"ts_s".cast("timestamp").as("ts"), $"v", lit(0).as("pos"))
+      val w = Window.partitionBy($"pk").orderBy($"ts".desc, $"pos".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    }
+    val got = q()
+    val optimized = got.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("latestbyorder"), optimized)
+    assert(!optimized.contains("row_number"), optimized)
+    assert(got.select($"pk", $"v").as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "new"), (2L, "only")))
+  }
+
   test("a projection that uses the rank is left alone") {
     val ev = T.events(spark, LocalSpark.sf)
       .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id")
