@@ -55,6 +55,52 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Order-preserving BIGINT encoding of a double: signed-long
+  * comparison of the encoded values equals IEEE-754 total order on
+  * the doubles (sign-magnitude → two's complement flip; the standard
+  * sortable-bits trick from columnar index formats). Exists so
+  * argmax/top-k over a double score can run in the LatestByOrder/
+  * TopKByOrder hash aggregates — whose order keys are BIGINT —
+  * instead of a row_number window, which shuffles AND sorts every
+  * (row × candidate) pair. Codegen'd; NULL passes through (and the
+  * aggregates treat a null key as -infinity, matching DESC NULLS
+  * LAST).
+  */
+case class SortableDoubleBits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sortable_double_bits needs DOUBLE, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SortableDoubleBits.encode(v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SortableDoubleBits.encode($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SortableDoubleBits {
+  /** positive doubles keep their bits (already ascending); negative
+    * doubles flip their magnitude bits so "more negative" is "more
+    * negative" in two's complement too.
+    */
+  def encode(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    bits ^ ((bits >> 63) & Long.MaxValue)
+  }
+
+  def apply(c: Column): Column = toCol(SortableDoubleBits(toExpr(c)))
+}
+
 /** embedding → array<struct<tbl:int,bucket:long>>: the vector's
   * random-hyperplane LSH bucket in each of `tables` independent hash
   * tables (bucket = sign bits against `planes` hyperplanes).

@@ -169,22 +169,26 @@ object OpsQueries {
       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) t
       |WHERE rnk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
 
-  // C16: IVF ANN — centroids = deterministic corpus sample
-  // (vec_id % 20 == 0), 4 probes. The oracle re-expresses the SAME
-  // IVF semantics in SQL, so the gate checks the inverted-list
-  // machinery exactly at any nprobe (recall vs brute force is the
-  // separate honest measure, reported in OpsSpec).
+  // C16: IVF ANN — centroids = deterministic FIXED-SIZE corpus sample
+  // (the 32 lowest corpus ids), 4 probes. Fixed M is the scale
+  // contract: the quantizer's centroid table must stay broadcastable
+  // no matter how big the corpus grows (the r2 gate's `vec_id % 20`
+  // set grew with N, breaking the broadcast claim at 100×). The
+  // oracle re-expresses the SAME IVF semantics in SQL, so the gate
+  // checks the inverted-list machinery exactly at any nprobe (recall
+  // vs brute force is the separate honest measure, reported in
+  // OpsSpec).
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
     Similarity.annIvfTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
-        e.filter(col("vec_id") >= 10 && col("vec_id") % 20 === 0), 5, 4)
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 42), 5, 4)
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   private val oAnnIvf =
     """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
-      |              WHERE vec_id >= 10 AND vec_id % 20 = 0),
+      |              WHERE vec_id >= 10 AND vec_id < 42),
       |corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
       |qry AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
       |assign AS (

@@ -83,7 +83,9 @@ class OpsSpec extends AnyFunSuite {
     val e = T.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
     val c = e.filter(col("vec_id") >= 10)
-    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") % 20 === 0)
+    // fixed-M centroid sample — same contract as the driver gate
+    // (centroid count must not grow with the corpus)
+    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") < 42)
     val m = cent.count().toInt
     val brute = Similarity.cosineTopK(q, c, 5).as[(Long, Long)].collect().toSet
     // nprobe = M searches every inverted list → must equal brute force.
