@@ -31,24 +31,33 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     graft.functions.TextExpressions.wordShingles(text, w)
 
-  /** Drop rows in oversized (band, bucket) groups. groupBy+count then
-    * a broadcast anti-join back: the oversized list is tiny (only
-    * degenerate buckets), and unlike
-    * `count().over(Window.partitionBy(band, bucket))` this never
-    * sorts — WindowExec would shuffle AND sort every (doc, band) row
-    * just to count bucket sizes (VERDICT r1 "What's wrong" #4).
-    * Tradeoff: the keyed relation (and its hash expression) evaluates
-    * twice — once for the counts, once for the join input. That's 2×
-    * map CPU with no extra shuffled bytes, vs the window form's
-    * full shuffle-sort; at scale CPU re-hash wins. Callers looping
-    * over the same corpus should cache the docs DataFrame.
+  /** Bucket-local candidate pairs from a keyed relation
+    * (doc_id[, payload], band, bucket): ONE BoundedCollectLongPairs
+    * aggregation materializes each (band, bucket) member list —
+    * sorted, capped at `maxBucket` (oversized buckets arrive as NULL
+    * and are dropped: a giant bucket is a degenerate band and would
+    * expand |B|² pairs) — then pairs expand locally from the array.
+    * Replaces the r2 count-then-anti-join guard, which evaluated the
+    * band-hash expression (the dominant per-row CPU) twice and
+    * shuffled the keyed relation twice; this shape hashes each doc
+    * once and ships one (band, bucket, ids) row per bucket. The pair
+    * expansion is a lambda over a ≤ maxBucket array — interpreted,
+    * but bounded at maxBucket²/2 tuples per bucket row, off the
+    * per-doc hot path.
     */
-  private def dropOversized(keyed: DataFrame, maxBucket: Int): DataFrame = {
-    val oversized = keyed.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
-      .select("band", "bucket")
-    keyed.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-  }
+  private def bucketPairs(keyed: DataFrame, maxBucket: Int,
+      payload: Column = lit(0L)): DataFrame =
+    keyed.groupBy("band", "bucket")
+      .agg(graft.functions.BoundedCollectLongPairs(
+        col("doc_id"), payload, maxBucket).as("ms"))
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    struct(x.a AS id_a, y.a AS id_b, x.b AS pay_a, y.b AS pay_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.pay_a"), col("p.pay_b"))
+      .distinct()
 
   /** Candidate near-duplicate pairs from MinHash+LSH banding:
     * docs sharing any band bucket, deduped across bands.
@@ -59,12 +68,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.TextExpressions.minhashBandBuckets(text, b, r))
           .as(Seq("band", "bucket")))
-    val small = dropOversized(keyed, maxBucket)
-    val a = small.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val bdf = small.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    a.join(bdf, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    bucketPairs(keyed, maxBucket).select("id_a", "id_b")
   }
 
   /** Jaccard similarity of the two docs' shingle sets — the exact
@@ -102,14 +106,11 @@ object Dedup {
         array((0 to 3).map(b =>
           shiftright(col("sim"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
       ).as(Seq("band", "bucket")))
-    val small = dropOversized(keyed, maxBucket)
-    val a = small.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val b = small.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // The fingerprint rides through the bucket arrays as the pair
+    // payload, so the Hamming verify needs no join back to the docs.
+    bucketPairs(keyed, maxBucket, payload = col("sim"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+        bit_count(col("pay_a").bitwiseXOR(col("pay_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
