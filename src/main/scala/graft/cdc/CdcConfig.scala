@@ -24,7 +24,13 @@ final case class CdcTableConfig(
     fieldSpecs: Seq[TypedProjection.FieldSpec],
     passthrough: Seq[String] = Nil,
     partitionField: Option[String] = None,
-    isActive: Boolean = true) {
+    isActive: Boolean = true,
+    /** PK-hash bucket count of the target's incremental-publish
+      * layout — fixed at the target's first publish. None = the
+      * session's shuffle parallelism. Size it like any file layout:
+      * ~target_size / desired_file_size.
+      */
+    numBuckets: Option[Int] = None) {
   /** Target schema = pk ++ projected ++ passthrough columns. */
   def targetCols: Seq[String] =
     (pk ++ fieldSpecs.map(_.as) ++ passthrough).distinct

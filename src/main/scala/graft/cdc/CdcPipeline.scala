@@ -1,8 +1,10 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** One incremental merge run — the whole of the reference procedure
   * `PS_SP_ETL_MERGE_JOB` (bigquery_syntex_merge_sql/merge.sql) /
@@ -19,14 +21,48 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    (parquet has no MERGE; a failed run never touches the live
   *    version, which is the reference's ROLLBACK — merge.sql:441–457);
   *  - the job-log row is written for both SUCCESS and FAILED runs.
+  *
+  * == Bucketed incremental publish ==
+  *
+  * A MERGE in the reference touches only matched rows; a naive
+  * versioned-parquet swap rewrites the whole snapshot per run. The
+  * target is therefore laid out as `numBuckets` PK-hash buckets
+  * (directories `v{n}/_graft_bucket={b}`), and each version carries a
+  * manifest mapping every bucket to the version directory holding its
+  * current files. A merge then
+  *   1. computes the delta's touched bucket set (≤ numBuckets ids,
+  *      collected driver-side),
+  *   2. reads ONLY those buckets as the merge's target side,
+  *   3. writes ONLY those buckets into the new version,
+  *   4. writes a manifest carrying every untouched bucket forward
+  *      by reference.
+  * Read and write I/O are both ∝ delta (bucket granularity), not
+  * target size — the cost profile of the reference's MERGE
+  * (merge.sql:403–436) on an immutable-file store, and the same
+  * file-pruning shape Delta/Iceberg MERGE gets from data skipping.
+  * The pointer swap stays a one-line atomic move, so readers see the
+  * old or the new manifest, never a torn state.
   */
 object CdcPipeline {
 
   final case class RunResult(
-      status: String, inserted: Long, deleted: Long,
+      status: String, inserted: Long, updated: Long, deleted: Long,
       windowStartUs: Long, windowEndUs: Long, version: Long)
 
   private val VersionFile = "_VERSION"
+  private val ManifestFile = "_MANIFEST"
+  private[graft] val BucketCol = "_graft_bucket"
+
+  /** Per-version manifest: bucket id → version directory (e.g. "v3")
+    * whose `_graft_bucket={id}` directory holds the bucket's current
+    * files. Absent ids are empty buckets. `schemaJson` pins the
+    * snapshot schema so carried-over buckets from before an additive
+    * schema evolution read with NULLs for the new columns.
+    */
+  private[graft] final case class Manifest(
+      numBuckets: Int, schemaJson: String, buckets: Map[Int, String]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
 
   /** Pointer contents: `<version>[ <batchId>]` — one line, swapped
     * atomically, so the committed version and the streaming batch
@@ -47,29 +83,176 @@ object CdcPipeline {
     */
   def lastCommittedBatch(targetDir: String): Option[Long] = pointer(targetDir).map(_._2)
 
-  def readSnapshot(spark: SparkSession, targetDir: String): Option[DataFrame] =
-    currentVersion(targetDir).map(v => spark.read.parquet(s"$targetDir/v$v"))
+  private[graft] def manifest(targetDir: String, version: Long): Option[Manifest] = {
+    val p = Paths.get(targetDir, s"v$version", ManifestFile)
+    if (!Files.exists(p)) None
+    else {
+      var nb = 0
+      var schema = ""
+      val bs = Map.newBuilder[Int, String]
+      Files.readAllLines(p).asScala.foreach { l =>
+        l.split("=", 2) match {
+          case Array("numBuckets", v) => nb = v.toInt
+          case Array("schema", v) => schema = v
+          case Array(k, v) if k.startsWith("bucket.") =>
+            bs += (k.stripPrefix("bucket.").toInt -> v)
+          case _ => ()
+        }
+      }
+      Some(Manifest(nb, schema, bs.result()))
+    }
+  }
 
-  /** Publish `df` as the next snapshot version and move the pointer.
-    * The pointer write is a same-directory atomic move, so a reader
-    * sees either the old or the new version, never a torn state (the
-    * object-store deployment would swap a manifest the same way).
-    * `batchId` records the streaming micro-batch that produced this
-    * version (exactly-once replay guard; -1 for batch runs).
+  private def writeManifest(targetDir: String, version: Long, m: Manifest): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"numBuckets=${m.numBuckets}\n")
+    sb.append(s"schema=${m.schemaJson}\n")
+    m.buckets.toSeq.sortBy(_._1).foreach { case (b, v) => sb.append(s"bucket.$b=$v\n") }
+    val dir = Paths.get(targetDir, s"v$version")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(ManifestFile), sb.toString)
+  }
+
+  /** PK-hash bucket of a row — Spark's Murmur3 `hash`, so the layout
+    * is stable across sessions and the delta's touched-bucket set is
+    * computable from the keys alone.
     */
-  private[graft] def publish(df: DataFrame, targetDir: String, pkCols: Seq[String],
-      batchId: Long = -1L): Long = {
-    val next = currentVersion(targetDir).getOrElse(-1L) + 1
-    // Hash-layout by PK so the next merge's anti-join and any
-    // point-lookup reads co-locate (SURVEY.md §5).
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        pkCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$targetDir/v$next")
+  private[graft] def bucketExpr(pkCols: Seq[String], numBuckets: Int): Column =
+    pmod(hash(pkCols.map(col): _*), lit(numBuckets))
+
+  private def swapPointer(targetDir: String, version: Long, batchId: Long): Unit = {
     val tmp = Paths.get(targetDir, s".$VersionFile.tmp")
-    Files.writeString(tmp, s"$next $batchId")
+    Files.writeString(tmp, s"$version $batchId")
     Files.move(tmp, Paths.get(targetDir, VersionFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write `df` into `dir` as one directory per PK-hash bucket
+    * (repartitioned on the bucket id so each bucket's rows co-locate
+    * into a task before the partitioned write).
+    */
+  private def writeBuckets(df: DataFrame, pkCols: Seq[String], numBuckets: Int,
+      dir: String): Unit =
+    df.withColumn(BucketCol, bucketExpr(pkCols, numBuckets))
+      .repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Bucket ids that actually produced files under `dir` (a bucket
+    * with no surviving rows writes no directory and drops out of the
+    * manifest).
+    */
+  private def writtenBuckets(dir: String): Set[Int] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(BucketCol + "="))
+      .map(_.getName.stripPrefix(BucketCol + "=").toInt)
+      .toSet
+
+  /** Read the named buckets through the manifest (all buckets =
+    * the full snapshot). The explicit schema keeps carried-over
+    * pre-evolution files consistent (missing columns → NULL) and
+    * skips footer merging.
+    */
+  private[graft] def readBuckets(spark: SparkSession, targetDir: String, m: Manifest,
+      buckets: Set[Int]): DataFrame = {
+    val paths = buckets.toSeq.sorted.flatMap(b =>
+      m.buckets.get(b).map(ver => s"$targetDir/$ver/$BucketCol=$b"))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else spark.read.schema(m.schema).parquet(paths: _*)
+  }
+
+  def readSnapshot(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    currentVersion(targetDir).map { v =>
+      manifest(targetDir, v) match {
+        case Some(m) => readBuckets(spark, targetDir, m, m.buckets.keySet)
+        case None => spark.read.parquet(s"$targetDir/v$v") // pre-manifest layout
+      }
+    }
+
+  /** Publish `df` as the next FULL snapshot version and move the
+    * pointer: every bucket is written and the manifest points them
+    * all at the new version. Used for first builds and legacy-layout
+    * migration; incremental runs go through `publishDelta`.
+    */
+  private[graft] def publish(df: DataFrame, targetDir: String, pkCols: Seq[String],
+      batchId: Long = -1L, buckets: Option[Int] = None): Long = {
+    val next = currentVersion(targetDir).getOrElse(-1L) + 1
+    // Bucket count is fixed at first publish (a repartition-in-place
+    // of the whole target would be needed to change it; ~parallelism
+    // is the right default at any scale where this runs).
+    val numBuckets = currentVersion(targetDir)
+      .flatMap(v => manifest(targetDir, v)).map(_.numBuckets)
+      .orElse(buckets)
+      .getOrElse(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val dir = s"$targetDir/v$next"
+    writeBuckets(df, pkCols, numBuckets, dir)
+    writeManifest(targetDir, next, Manifest(numBuckets, df.schema.json,
+      writtenBuckets(dir).map(_ -> s"v$next").toMap))
+    swapPointer(targetDir, next, batchId)
     next
+  }
+
+  /** Publish a merge that only recomputed `touched` buckets: write
+    * those, carry every other bucket forward by manifest reference.
+    * Publish I/O ∝ delta, not target.
+    */
+  private[graft] def publishDelta(mergedSubset: DataFrame, targetDir: String,
+      pkCols: Seq[String], prev: Manifest, touched: Set[Int], batchId: Long): Long = {
+    val next = currentVersion(targetDir).getOrElse(-1L) + 1
+    val dir = s"$targetDir/v$next"
+    writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
+    val carried = prev.buckets -- touched
+    val fresh = writtenBuckets(dir).map(_ -> s"v$next").toMap
+    writeManifest(targetDir, next,
+      Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh))
+    swapPointer(targetDir, next, batchId)
+    next
+  }
+
+  private[graft] final case class MergeOutcome(version: Long, updated: Long)
+
+  /** Merge compacted `changes` into cfg's target and publish the next
+    * version — the shared apply path of the batch pipeline and the
+    * streaming foreachBatch. With a bucketed target this reads and
+    * rewrites only the buckets the delta touches; `deltaRows` (the
+    * caller counts the compacted set anyway) picks the merge join
+    * strategy, so a typical small delta broadcasts its key set and
+    * the target side is never shuffled. Also computes the
+    * records_updated split: upsert PKs already present in the
+    * pre-merge target (the reference MERGE's matched-update count,
+    * merge.sql:520–534) — evaluated against the touched-bucket
+    * subset, which contains every possibly-matching PK by
+    * construction.
+    */
+  private[graft] def mergeAndPublish(spark: SparkSession, cfg: CdcTableConfig,
+      changes: DataFrame, deltaRows: Long, batchId: Long = -1L): MergeOutcome = {
+    val targetCols = cfg.targetCols.map(col)
+    currentVersion(cfg.targetPath) match {
+      case None =>
+        val merged = SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
+        MergeOutcome(publish(merged, cfg.targetPath, cfg.pk, batchId, cfg.numBuckets), 0L)
+      case Some(v) =>
+        manifest(cfg.targetPath, v) match {
+          case Some(m) =>
+            val touched = changes
+              .select(bucketExpr(cfg.pk, m.numBuckets).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            val subset = readBuckets(spark, cfg.targetPath, m, touched)
+            val updated = SnapshotMerge
+              .matchedUpsertKeys(subset, changes, cfg.pk, Some(deltaRows)).count()
+            val merged = SnapshotMerge.merge(subset, changes, cfg.pk, Some(deltaRows))
+              .select(targetCols: _*)
+            MergeOutcome(
+              publishDelta(merged, cfg.targetPath, cfg.pk, m, touched, batchId), updated)
+          case None => // pre-manifest flat snapshot: merge full, migrate layout
+            val target = spark.read.parquet(s"${cfg.targetPath}/v$v")
+            val updated = SnapshotMerge
+              .matchedUpsertKeys(target, changes, cfg.pk, Some(deltaRows)).count()
+            val merged = SnapshotMerge.merge(target, changes, cfg.pk, Some(deltaRows))
+              .select(targetCols: _*)
+            MergeOutcome(publish(merged, cfg.targetPath, cfg.pk, batchId, cfg.numBuckets), updated)
+        }
+    }
   }
 
   /** Run one incremental merge for `cfg`, reading envelope rows from
@@ -79,7 +262,7 @@ object CdcPipeline {
   def run(spark: SparkSession, cfg: CdcTableConfig, source: DataFrame,
       logDir: String, nowUs: Long): RunResult = {
     if (!cfg.isActive) // is_active gate, merge.sql:92–94
-      return RunResult("SKIPPED", 0, 0, 0, 0, currentVersion(cfg.targetPath).getOrElse(-1))
+      return RunResult("SKIPPED", 0, 0, 0, 0, 0, currentVersion(cfg.targetPath).getOrElse(-1))
     val startUs = JobLog.lastWatermark(spark, logDir, cfg)
     var changes: DataFrame = null
     try {
@@ -88,27 +271,27 @@ object CdcPipeline {
         keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
           CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
       changes = ChangeCompaction.compactForMerge(projected, cfg.pk).cache()
-      val nIns = changes.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete).count()
+      val nUps = changes.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete).count()
       val nDel = changes.filter(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete).count()
       val bounds = win.agg(min(col(CdcEnvelope.LoadTsCol)), max(col(CdcEnvelope.LoadTsCol))).collect()(0)
       val (cdcStart, cdcEnd) =
         if (bounds.isNullAt(0)) (nowUs, nowUs) else (bounds.getLong(0), bounds.getLong(1))
-      val merged = readSnapshot(spark, cfg.targetPath) match {
-        case Some(target) => SnapshotMerge.merge(target, changes, cfg.pk, Some(nIns + nDel))
-        case None => SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
-      }
-      val version = publish(merged.select(cfg.targetCols.map(col): _*), cfg.targetPath, cfg.pk)
+      val outcome = mergeAndPublish(spark, cfg, changes, nUps + nDel)
+      // insert/update split: updated = upserts whose PK pre-existed
+      // in the target; inserted = genuinely new PKs (the reference
+      // logs both — merge.sql:520–534).
+      val inserted = nUps - outcome.updated
       // Watermark advances to the *window end*, not max(load_ts) —
       // an empty window must still move time forward.
       JobLog.append(spark, logDir, JobLog.RunRecord(
         java.util.UUID.randomUUID().toString, cfg.cdcTable, cfg.targetDb, cfg.targetTable,
-        cdcStart, nowUs, nowUs, "SUCCESS", "", nIns, nDel))
-      RunResult("SUCCESS", nIns, nDel, startUs, nowUs, version)
+        cdcStart, nowUs, nowUs, "SUCCESS", "", inserted, outcome.updated, nDel))
+      RunResult("SUCCESS", inserted, outcome.updated, nDel, startUs, nowUs, outcome.version)
     } catch {
       case e: Throwable =>
         JobLog.append(spark, logDir, JobLog.RunRecord(
           java.util.UUID.randomUUID().toString, cfg.cdcTable, cfg.targetDb, cfg.targetTable,
-          startUs, nowUs, nowUs, "FAILED", String.valueOf(e.getMessage), 0, 0))
+          startUs, nowUs, nowUs, "FAILED", String.valueOf(e.getMessage), 0, 0, 0))
         throw e
     } finally if (changes != null) changes.unpersist()
   }

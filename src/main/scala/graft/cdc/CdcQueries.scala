@@ -254,26 +254,49 @@ object CdcQueries {
        |      FROM events WHERE $dWin) t
        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
-  // A9: the job-log record for one run — insert/delete counts and the
-  // window actually observed (merge.sql:360–366 collects the same).
+  // A9: the job-log record for one run — insert/UPDATE/delete counts
+  // and the window actually observed (merge.sql:360–366 collects the
+  // window; :520–534 logs records_inserted AND records_updated). An
+  // upsert counts as updated iff its PK already exists in the
+  // pre-merge target (here: the pre-window snapshot), inserted
+  // otherwise — the MERGE's matched/not-matched split, computed by
+  // SnapshotMerge.matchedUpsertKeys as a pk-pruned semi-join against
+  // the broadcast delta keys.
   def cdcRunStats(s: SparkSession, d: String): DataFrame = {
-    val (ups, dels) = ChangeCompaction.routed(
-      CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1), Seq("user_id"))
-    val winAgg = CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1)
+    val ev = T.events(s, d)
+    val env = CdcEnvelope.eventsWindowed(ev, W0, W1)
+    val (ups, dels) = ChangeCompaction.routed(env, Seq("user_id"))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target = SnapshotMerge.fromHistory(history, Seq("user_id"), Seq("user_id"))
+    val changes = ChangeCompaction.compactForMerge(env, Seq("user_id"))
+    val winAgg = env
       .agg(min(col(CdcEnvelope.LoadTsCol)).as("cdc_start_us"),
         max(col(CdcEnvelope.LoadTsCol)).as("cdc_end_us"))
-    val upsN = ups.agg(count(lit(1)).as("records_inserted"))
+    val upsN = ups.agg(count(lit(1)).as("n_ups"))
+    val updN = SnapshotMerge.matchedUpsertKeys(target, changes, Seq("user_id"), Some(1L))
+      .agg(count(lit(1)).as("records_updated"))
     val delsN = dels.agg(count(lit(1)).as("records_deleted"))
-    upsN.crossJoin(delsN).crossJoin(winAgg)
+    upsN.crossJoin(updN).crossJoin(delsN).crossJoin(winAgg)
+      .select((col("n_ups") - col("records_updated")).as("records_inserted"),
+        col("records_updated"), col("records_deleted"),
+        col("cdc_start_us"), col("cdc_end_us"))
   }
 
   private val oRunStats =
     s"""WITH latest AS (
-       |  SELECT $dOp AS op FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |  SELECT user_id, $dOp AS op FROM (SELECT *, row_number() OVER (PARTITION BY user_id
        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE $dWin) t
-       |  WHERE rn = 1)
+       |  WHERE rn = 1),
+       |tgt AS (SELECT user_id FROM (
+       |    SELECT user_id, $dOp AS op, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-10') h
+       |  WHERE rn2 = 1 AND op != 'd')
        |SELECT
-       |  (SELECT count(*) FROM latest WHERE op != 'd') AS records_inserted,
+       |  (SELECT count(*) FROM latest WHERE op != 'd'
+       |     AND user_id NOT IN (SELECT user_id FROM tgt)) AS records_inserted,
+       |  (SELECT count(*) FROM latest WHERE op != 'd'
+       |     AND user_id IN (SELECT user_id FROM tgt)) AS records_updated,
        |  (SELECT count(*) FROM latest WHERE op = 'd') AS records_deleted,
        |  (SELECT min(epoch_us(ts)) FROM events WHERE $dWin) AS cdc_start_us,
        |  (SELECT max(epoch_us(ts)) FROM events WHERE $dWin) AS cdc_end_us""".stripMargin

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * merge.sql:520–581). A tiny append-only parquet log; the next run's
   * window start = MAX(cdc_end_us) for the (cdc_table, target) pair
   * (merge.sql:111–115), epoch when absent.
+  *
+  * records_inserted / records_updated are the reference's MERGE
+  * outcome split (merge.sql:520–534): an upsert counts as *updated*
+  * iff its PK already existed in the pre-merge target, *inserted*
+  * otherwise.
   */
 object JobLog {
 
@@ -24,6 +29,7 @@ object JobLog {
       run_status: String,
       error_msg: String,
       records_inserted: Long,
+      records_updated: Long,
       records_deleted: Long)
 
   def read(spark: SparkSession, logDir: String): Option[DataFrame] = {

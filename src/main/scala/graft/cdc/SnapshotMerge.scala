@@ -57,6 +57,24 @@ object SnapshotMerge {
       .unionByName(upserts)
   }
 
+  /** PKs of `changes`' upserts already present in `target` — the
+    * reference MERGE's matched-update set, which its job log records
+    * as records_updated next to records_inserted (merge.sql:520–534).
+    * Same delta-size-driven join-strategy choice as `merge`; target
+    * side reads PK columns only (column-pruned scan).
+    */
+  def matchedUpsertKeys(target: DataFrame, changes: DataFrame, pkCols: Seq[String],
+      deltaRows: Option[Long] = None): DataFrame = {
+    val ups = changes
+      .filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete))
+      .select(pkCols.map(col): _*)
+    val keys = deltaRows match {
+      case Some(nr) if nr <= LargeDeltaRows => broadcast(ups)
+      case _ => ups.hint("shuffle_hash")
+    }
+    target.select(pkCols.map(col): _*).join(keys, pkCols, "left_semi")
+  }
+
   /** Schema-evolving merge: `changes` may carry payload columns the
     * target has never seen (the reference re-reads
     * INFORMATION_SCHEMA every run and splices the current column

@@ -20,31 +20,40 @@ import graft.cdc.{CdcEnvelope, CdcPipeline, CdcTableConfig, ChangeCompaction, Sn
 object CdcStream {
 
   /** Compact + project one micro-batch of envelope rows and merge it
-    * into the versioned parquet target (the same publish path as the
-    * batch pipeline). Exactly-once: the checkpoint replays at-least-
-    * once, and the version pointer records the batchId that produced
-    * each committed version, so a replayed batch (same batchId, same
-    * data — file/Kafka sources are replayable) is skipped instead of
-    * re-merged. Returns true when the batch was applied, false when
-    * it was a replay of an already-committed batch.
+    * into the versioned parquet target via the batch pipeline's
+    * bucketed `mergeAndPublish`: the compacted batch is counted
+    * (it's cached and typically tiny), so the anti-join broadcasts
+    * the delta keys instead of shuffling the full-width target every
+    * micro-batch (ADVICE r2), and only the touched PK-hash buckets
+    * are read and rewritten. Exactly-once: the checkpoint replays
+    * at-least-once, and the version pointer records the batchId that
+    * produced each committed version, so a replayed batch (same
+    * batchId, same data — file/Kafka sources are replayable) is
+    * skipped instead of re-merged. Returns true when the batch was
+    * applied, false when it was a replay of an already-committed
+    * batch.
     */
   def mergeBatchToTarget(batch: DataFrame, batchId: Long, cfg: CdcTableConfig): Boolean = {
     if (CdcPipeline.lastCommittedBatch(cfg.targetPath).exists(_ >= batchId)) false
     else {
-      val projected = TypedProjection.project(batch, CdcEnvelope.DataCol,
-        cfg.fieldSpecs,
-        keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
-          CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
-      val changes = ChangeCompaction.compactForMerge(projected, cfg.pk)
-      val spark = batch.sparkSession
-      val merged = CdcPipeline.readSnapshot(spark, cfg.targetPath) match {
-        case Some(target) => SnapshotMerge.merge(target, changes, cfg.pk)
-        case None => SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
-      }
-      CdcPipeline.publish(merged.select(cfg.targetCols.map(col): _*),
-        cfg.targetPath, cfg.pk, batchId)
-      true
+      val changes = compactBatch(batch, cfg).cache()
+      try {
+        val deltaRows = changes.count()
+        CdcPipeline.mergeAndPublish(batch.sparkSession, cfg, changes, deltaRows, batchId)
+        true
+      } finally changes.unpersist()
     }
+  }
+
+  /** Projection + compaction of one micro-batch — the delta a merge
+    * applies. Exposed for plan-shape specs.
+    */
+  private[graft] def compactBatch(batch: DataFrame, cfg: CdcTableConfig): DataFrame = {
+    val projected = TypedProjection.project(batch, CdcEnvelope.DataCol,
+      cfg.fieldSpecs,
+      keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
+    ChangeCompaction.compactForMerge(projected, cfg.pk)
   }
 
   /** PRODUCTION streaming merge: readStream envelope → foreachBatch →
@@ -77,11 +86,7 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val projected = TypedProjection.project(batch.toDF(), CdcEnvelope.DataCol,
-          cfg.fieldSpecs,
-          keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
-            CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
-        val changes = ChangeCompaction.compactForMerge(projected, cfg.pk)
+        val changes = compactBatch(batch.toDF(), cfg)
         SnapshotStore.merge(cfg, changes, batchId)
         onBatch(SnapshotStore.get(cfg.targetPath).orNull, batchId)
         ()

@@ -55,6 +55,50 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(log.filter(col("run_status") === "SUCCESS").count() === 2)
   }
 
+  test("incremental publish: a small delta rewrites few buckets and splits insert/update counts") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    // 32 buckets regardless of the 4-partition test session — the
+    // bucket count is a property of the target layout, not the session
+    val c = cfg(target).copy(numBuckets = Some(32))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 200L).map(u => (u, "u", 100L, u, 100L, s"""{"k":${u * 10}}""", u, 1.0))
+    val delta = Seq(
+      (5L, "u", 200L, 1000L, 1500L, """{"k":555}""", 1000L, 5.0), // update existing
+      (501L, "u", 200L, 1001L, 1500L, """{"k":5010}""", 1001L, 5.0), // insert new
+      (6L, "d", 200L, 1002L, 1500L, """{"k":60}""", 1002L, 0.0)) // delete existing
+
+    val r1 = CdcPipeline.run(spark, c, env(initial), log, 1000L)
+    assert(r1.inserted === 200L && r1.updated === 0L && r1.deleted === 0L)
+    val r2 = CdcPipeline.run(spark, c, env(delta), log, 2000L)
+    // the MERGE outcome split: 501 is new, 5 pre-existed, 6 deleted
+    assert(r2.inserted === 1L && r2.updated === 1L && r2.deleted === 1L)
+
+    // publish I/O ∝ delta: the delta's 3 PKs touch ≤ 3 buckets; the
+    // other ~29 of the initial load's buckets carry by manifest
+    // reference instead of being rewritten
+    def bucketDirs(ver: Long): Set[String] =
+      Option(new java.io.File(s"$target/v$ver").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("_graft_bucket="))
+        .map(_.getName).toSet
+    val b0 = bucketDirs(r1.version); val b1 = bucketDirs(r2.version)
+    assert(b0.size > 10, s"initial load should spread over many buckets, got ${b0.size}")
+    assert(b1.size <= 3, s"delta rewrote ${b1.size} buckets, expected <= 3")
+
+    // and the snapshot is exactly right across carried + fresh buckets
+    val snap = CdcPipeline.readSnapshot(spark, target).get
+    assert(snap.count() === 200L) // 200 - 1 delete + 1 insert
+    assert(snap.filter(col("user_id") === 5).select("k").as[Long].head() === 555L)
+    assert(snap.filter(col("user_id") === 6).count() === 0L)
+    assert(snap.filter(col("user_id") === 501).count() === 1L)
+    // job log carries the 4-way counts
+    val rec = JobLog.read(spark, log).get.orderBy(col("cdc_end_us").desc).limit(1)
+    assert(rec.select("records_inserted", "records_updated", "records_deleted")
+      .as[(Long, Long, Long)].head() === ((1L, 1L, 1L)))
+  }
+
   test("empty window still advances the watermark") {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
     val target = tmp(); val log = tmp()

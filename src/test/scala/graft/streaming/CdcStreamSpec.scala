@@ -139,6 +139,41 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(CdcPipeline.currentVersion(pCfg.targetPath).get === vBefore)
   }
 
+  test("micro-batch merge broadcasts the delta keys instead of shuffling the target") {
+    // ADVICE r2: the streaming path must pass the delta count so a
+    // small micro-batch takes the broadcast anti-join, leaving the
+    // target un-shuffled. mergeBatchToTarget IS the foreachBatch body.
+    val mCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-tgt-mb").toString)
+    assert(CdcStream.mergeBatchToTarget(toDf(batch1), 0L, mCfg))
+
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(CdcStream.mergeBatchToTarget(toDf(batch2), 1L, mCfg))
+      // listener delivery is async — poll for the merge's write plan
+      val deadline = System.currentTimeMillis() + 30000
+      def mergePlan: Option[String] =
+        plans.synchronized { plans.find(_.contains("LeftAnti")).map(identity) }
+      while (mergePlan.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val p = mergePlan.getOrElse(fail("no merge plan captured within 30s"))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"), p)
+    } finally spark.listenerManager.unregister(listener)
+
+    import spark.implicits._
+    val out = CdcPipeline.readSnapshot(spark, mCfg.targetPath).get
+      .orderBy("user_id").select("user_id", "k", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 10L, 1L, 1.0), (3L, 31L, 5L, 3.5), (4L, 40L, 6L, 4.0)))
+  }
+
   test("stateful first-seen dedup emits each key once across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
