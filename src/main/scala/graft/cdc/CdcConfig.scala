@@ -73,10 +73,26 @@ object CdcConfig {
     }
   }
 
-  /** Load active configs from a config table (parquet or DataFrame
-    * with config_file5-shaped columns).
+  /** The reference DDL's literal column names → the normalized names
+    * this loader reads (tables_list.sql:5–22 `config_file5`: the
+    * target columns are prefixed `mysql_`), so a config table shaped
+    * exactly like the reference loads without renaming.
     */
-  def loadActive(df: DataFrame): Seq[CdcTableConfig] =
+  private val ColumnAliases = Map(
+    "mysql_target_database" -> "target_db",
+    "mysql_target_table" -> "target_table",
+    "mysql_partition_field" -> "partition_field")
+
+  /** Load active configs from a config table (parquet or DataFrame
+    * with config_file5-shaped columns — either the normalized names
+    * or the reference DDL's literal `mysql_*` names).
+    */
+  def loadActive(df0: DataFrame): Seq[CdcTableConfig] = {
+    val df = ColumnAliases.foldLeft(df0) { case (d, (from, to)) =>
+      if (d.columns.contains(from) && !d.columns.contains(to))
+        d.withColumnRenamed(from, to)
+      else d
+    }
     df.filter(col("is_active") === 1).collect().toSeq.map { r =>
       def s(n: String): String = r.getAs[String](n)
       def opt(n: String): Option[String] =
@@ -97,4 +113,5 @@ object CdcConfig {
         partitionField = opt("partition_field"),
         isActive = true)
     }
+  }
 }

@@ -40,10 +40,12 @@ object ChangeFeed {
     * `after` is null); event time = source.ts_ms (fallback ts_ms),
     * position = source.pos. `loadTsUs` supplies the window column —
     * defaults to the event time when the feed has no landing
-    * timestamp.
+    * timestamp (a Kafka frame passes the broker timestamp, the
+    * reference's bq_load_ts analogue).
     */
   def fromDebeziumJson(raw: DataFrame, jsonCol: String, valueSchema: StructType,
-      pk: Seq[String]): DataFrame = {
+      pk: Seq[String], loadTsUs: Option[Column] = None,
+      posFallback: Option[Column] = None): DataFrame = {
     val rec = from_json(col(jsonCol), debeziumSchema(valueSchema))
     val isDelete = rec.getField("op") === lit("d")
     val payload = when(isDelete, rec.getField("before")).otherwise(rec.getField("after"))
@@ -53,10 +55,31 @@ object ChangeFeed {
         when(isDelete, lit(CdcEnvelope.Delete)).otherwise(lit(CdcEnvelope.Upsert))
           .as(CdcEnvelope.OpCol),
         (srcTsMs * lit(1000L)).as(CdcEnvelope.TsCol),
-        coalesce(rec.getField("source").getField("pos"), lit(0L)).as(CdcEnvelope.PosCol),
-        (srcTsMs * lit(1000L)).as(CdcEnvelope.LoadTsCol),
+        coalesce(rec.getField("source").getField("pos"),
+          posFallback.getOrElse(lit(0L))).as(CdcEnvelope.PosCol),
+        loadTsUs.getOrElse(srcTsMs * lit(1000L)).as(CdcEnvelope.LoadTsCol),
         to_json(payload).as(CdcEnvelope.DataCol)): _*)
   }
+
+  /** A Kafka source frame (the spark-sql-kafka schema: `key` binary,
+    * `value` binary, `topic`, `partition`, `offset`, `timestamp`,
+    * ...) of Debezium records → envelope. Works identically on
+    * `spark.readStream.format("kafka")` and on any frame with the
+    * same columns (specs drive it from an in-memory stream), so the
+    * pipeline needs no code change between a file feed and a live
+    * topic. Event position falls back to the Kafka offset when the
+    * record has no source.pos (both are monotone per key within a
+    * partition — the Debezium key-hash partitioning contract); the
+    * window column is the broker ingestion `timestamp` (µs), playing
+    * the reference's bq_load_ts role (merge.sql:111–115).
+    */
+  def fromKafkaFrame(kafka: DataFrame, valueSchema: StructType,
+      pk: Seq[String]): DataFrame =
+    fromDebeziumJson(
+      kafka.withColumn("_graft_value", col("value").cast("string")),
+      "_graft_value", valueSchema, pk,
+      loadTsUs = Some(unix_micros(col("timestamp"))),
+      posFallback = Some(col("offset")))
 
   /** JSON-lines file feed of Debezium records → envelope (batch). */
   def debeziumJsonLines(spark: SparkSession, path: String, valueSchema: StructType,

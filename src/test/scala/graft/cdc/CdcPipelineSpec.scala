@@ -130,6 +130,36 @@ class CdcPipelineSpec extends AnyFunSuite {
       ("active", TypedProjection.BitToInt)))
   }
 
+  test("loadActive accepts a table shaped exactly like the reference config_file5 DDL") {
+    import spark.implicits._
+    // literal column names from tables_list.sql:5-22 (mysql_-prefixed
+    // target columns, is_active tinyint)
+    val refShaped = Seq(
+      ("orders_cdc", "s3://feed/orders", "srcdb", "/tmp/tgt_orders", "orders",
+        "order_id, region", "salesdb", "load_date",
+        "created_at", "", "ship_date", "note_time", "yyyymmdd_col", "0000-00-00 00:00:00",
+        "", "", 1),
+      ("inactive_cdc", "s3://feed/x", "srcdb", "/tmp/tgt_x", "x",
+        "id", "salesdb", null,
+        "", "", "", "", "", null, "", "", 0))
+      .toDF("cdc_table", "source_fp", "source_db", "target_fp", "mysql_target_table",
+        "pk", "mysql_target_database", "mysql_partition_field",
+        "epoc_cols", "epoc_nano_cols", "epoc_day_cols", "non_epoch_datetime_col",
+        "datetime_to_int_val_col", "datetime_null",
+        "col_value_as_current_time_ist", "epoc_datetime_ist", "is_active")
+    val configs = CdcConfig.loadActive(refShaped)
+    assert(configs.size === 1, "is_active=0 rows are skipped")
+    val c = configs.head
+    assert(c.targetDb === "salesdb" && c.targetTable === "orders")
+    assert(c.pk === Seq("order_id", "region"))
+    assert(c.partitionField === Some("load_date"))
+    assert(c.fieldSpecs.map(s => (s.field, s.rule)).toSet === Set(
+      ("created_at", TypedProjection.EpochSeconds),
+      ("ship_date", TypedProjection.EpochDays),
+      ("note_time", TypedProjection.IsoDatetimeNullIf("0000-00-00 00:00:00")),
+      ("yyyymmdd_col", TypedProjection.DatetimeToInt)))
+  }
+
   test("a failing run writes a FAILED job-log row and leaves the snapshot untouched") {
     val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
     val target = tmp(); val log = tmp()

@@ -54,4 +54,58 @@ class ChangeFeedSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("feed_out").count() === records.length)
   }
+
+  test("Kafka frame → envelope: offset fallback for pos, broker timestamp as load ts") {
+    // spark-sql-kafka column shape; source.pos absent → pos = offset
+    val rows = Seq(
+      (7L, 1000L, """{"op":"c","ts_ms":1000,"source":{"ts_ms":1000},"after":{"id":1,"v":"a"},"before":null}"""))
+      .map { case (off, tsMs, json) =>
+        (Array.empty[Byte], json.getBytes("UTF-8"), "topic", 0, off,
+          new java.sql.Timestamp(tsMs), 0) }
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val env = ChangeFeed.fromKafkaFrame(rows, valueSchema, Seq("id"))
+    val r = env.select(col("id"), col(CdcEnvelope.OpCol), col(CdcEnvelope.PosCol),
+        col(CdcEnvelope.LoadTsCol))
+      .as[(Long, String, Long, Long)].head()
+    assert(r === ((1L, "u", 7L, 1000L * 1000L)))
+  }
+
+  test("Kafka frame drives the streaming merge end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.cdc.{CdcTableConfig, TypedProjection}
+    import graft.streaming.CdcStream
+    implicit val sq = spark.sqlContext
+    // (key, value, topic, partition, offset, timestamp, timestampType)
+    type KRow = (Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)
+    def kRec(offset: Long, tsMs: Long, json: String): KRow =
+      (Array.empty[Byte], json.getBytes("UTF-8"), "topic", 0, offset,
+        new java.sql.Timestamp(tsMs), 0)
+
+    val cfg = CdcTableConfig(
+      cdcTable = "kafka_cdc", sourcePath = "kafka", targetDb = "graft",
+      targetTable = "t", targetPath = Files.createTempDirectory("graft-ktgt").toString,
+      pk = Seq("id"),
+      fieldSpecs = Seq(TypedProjection.FieldSpec("v", TypedProjection.Cast(StringType))))
+
+    val mem = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)]
+    val frame = mem.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val env = ChangeFeed.fromKafkaFrame(frame, valueSchema, Seq("id"))
+    val ckpt = Files.createTempDirectory("graft-kckpt").toString
+    val q = CdcStream.startMergeToTarget(env, cfg, ckpt)
+    try {
+      mem.addData(
+        kRec(1, 1000, """{"op":"c","ts_ms":1000,"source":{"ts_ms":1000},"after":{"id":1,"v":"a"},"before":null}"""),
+        kRec(2, 1000, """{"op":"c","ts_ms":1000,"source":{"ts_ms":1000},"after":{"id":2,"v":"x"},"before":null}"""))
+      q.processAllAvailable()
+      mem.addData(
+        kRec(3, 2000, """{"op":"u","ts_ms":2000,"source":{"ts_ms":2000},"after":{"id":1,"v":"b"},"before":{"id":1,"v":"a"}}"""),
+        kRec(4, 3000, """{"op":"d","ts_ms":3000,"source":{"ts_ms":3000},"after":null,"before":{"id":2,"v":"x"}}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val snap = graft.cdc.CdcPipeline.readSnapshot(spark, cfg.targetPath).get
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(snap === Seq((1L, "b")), "id 1 at latest value, id 2 deleted")
+  }
 }
