@@ -25,28 +25,53 @@ object Bench {
       try run(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => () }
     }
     // Two timed passes, keep the min, GC between queries: one JVM
-    // runs all 45 queries back-to-back, so a neighbor's garbage
+    // runs all queries back-to-back, so a neighbor's garbage
     // otherwise leaks into the next timing (observed 5x swings on
-    // the same plan).
+    // the same plan). A query that throws records the sentinel -1
+    // and is listed in "failed" instead of silently skewing the
+    // total (ADVICE r2).
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     // stdout (forwarded verbatim via run/outputStrategy := StdoutOutput)
     // plus stderr as a belt-and-braces copy for the driver's parser.
     println(line)
     System.err.println(line)
+    // Per-query delta vs a previous bench artifact (regression catch;
+    // stderr only, so the driver's one-line JSON contract holds).
+    sys.env.get("SPARK_GRAFT_PREV_BENCH").foreach { prevPath =>
+      try {
+        val prev = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)))
+        // tolerate a raw bench line OR one embedded (escaped) in a
+        // driver artifact, hence the optional backslash before ":
+        val pat = java.util.regex.Pattern.compile("\"([a-z0-9_]+)\\\\?\":(-?[0-9.]+)")
+        val m = pat.matcher(prev)
+        val prevTimes = scala.collection.mutable.Map.empty[String, Double]
+        while (m.find()) prevTimes(m.group(1)) = m.group(2).toDouble
+        System.err.println(f"${"query"}%-28s ${"prev"}%8s ${"now"}%8s ${"delta"}%8s")
+        names.foreach { n =>
+          (prevTimes.get(n), results.get(n)) match {
+            case (Some(p), Some(c)) if p >= 0 && c >= 0 =>
+              System.err.println(f"$n%-28s $p%8.2f $c%8.2f ${c - p}%+8.2f")
+            case _ => ()
+          }
+        }
+      } catch { case e: Throwable => System.err.println(s"[bench] delta skipped: $e") }
+    }
     spark.stop()
   }
 }

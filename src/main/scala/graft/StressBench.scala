@@ -91,6 +91,34 @@ object StressBench {
         big.select(col(CdcEnvelope.PosCol).as("doc_id")), col("doc_id"))
         .groupBy("split").count().count()
     }
+
+    // Incremental publish: write I/O must scale with the DELTA, not
+    // the target (r3 bucketed manifest layout). A small-key delta
+    // onto a full target should write a few buckets' worth of bytes.
+    locally {
+      def dirBytes(d: java.io.File): Long =
+        Option(d.listFiles()).toSeq.flatten
+          .map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
+      val tdir = java.nio.file.Files.createTempDirectory("graft-stress-tgt").toString
+      val cfg = CdcTableConfig("stress_cdc", "mem", "graft", "t", tdir,
+        pk = Seq("user_id"), fieldSpecs = Nil,
+        passthrough = Seq("event_id", "value"), numBuckets = Some(64))
+      val initial = ChangeCompaction.compactForMerge(big, Seq("user_id"))
+      val v0 = time("bucketed publish: initial full build") {
+        CdcPipeline.mergeAndPublish(spark, cfg, initial, n, -1L).version
+      }
+      // a handful of keys — the typical micro-batch regime; ≤ 5 of
+      // the 64 buckets get rewritten, the rest carry by reference
+      val delta = ChangeCompaction.compactForMerge(
+        big.filter(col("user_id") < 5), Seq("user_id"))
+      val dRows = delta.count()
+      val v1 = time(s"bucketed publish: $dRows-key delta onto the full target") {
+        CdcPipeline.mergeAndPublish(spark, cfg, delta, dRows, -1L).version
+      }
+      val b0 = dirBytes(new java.io.File(s"$tdir/v$v0"))
+      val b1 = dirBytes(new java.io.File(s"$tdir/v$v1"))
+      println(f"[stress] publish bytes: full v$v0 ${b0 / 1e6}%.1f MB, delta v$v1 ${b1 / 1e6}%.1f MB (${100.0 * b1 / b0}%.1f%%)")
+    }
     spark.stop()
   }
 }

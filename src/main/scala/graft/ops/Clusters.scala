@@ -58,6 +58,15 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
+    // Exhausting maxIter with labels still moving means the returned
+    // assignment is WRONG (components not yet merged), not just slow —
+    // fail loudly rather than hand back silently bad clusters
+    // (ADVICE r2). Graph diameter bounds the rounds needed; raise
+    // maxIter for pathological chain-shaped duplicate graphs.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -58,7 +58,13 @@ object Multimodal {
   def decodePng(bytes: Array[Byte], dim: Int): Array[Float] = {
     val img = try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    } catch { case _: java.io.IOException => null }
+    } catch {
+      // ImageIO decoders throw RuntimeExceptions (IllegalArgument,
+      // ArrayIndexOutOfBounds, ...) on some corrupt inputs, not just
+      // IOException — any decode failure must quarantine the blob,
+      // never fail the task (ADVICE r2).
+      case scala.util.control.NonFatal(_) => null
+    }
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](dim)
