@@ -209,6 +209,41 @@ object CdcPipeline {
     next
   }
 
+  /** Garbage-collect version directories no longer reachable: a
+    * version dir is LIVE iff it is the current version, one of the
+    * `keepVersions` most recent (time-travel/reader grace window), or
+    * referenced by the current manifest (a carried bucket keeps its
+    * old version dir alive indefinitely — reference counting is the
+    * manifest itself). The reference's MERGE mutates in place and
+    * needs no GC; an immutable-file target does — this is the VACUUM
+    * analogue, and without it every delta run leaks the superseded
+    * copies of its touched buckets forever. Deleting only
+    * UNreferenced dirs means a concurrent reader of the current (or
+    * any kept) version is never broken. Returns the deleted version
+    * numbers.
+    */
+  def vacuum(targetDir: String, keepVersions: Int = 2): Seq[Long] = {
+    val cur = currentVersion(targetDir).getOrElse(return Nil)
+    // every kept version must stay fully READABLE, so its manifest's
+    // carried-bucket references are live too, not just its own dir
+    val keptVersions = (math.max(0L, cur - keepVersions + 1) to cur).toSeq
+    val live: Set[String] =
+      keptVersions.map(v => s"v$v").toSet ++
+        keptVersions.flatMap(v =>
+          manifest(targetDir, v).map(_.buckets.values.toSet).getOrElse(Set.empty))
+    val versionDirs = Option(new java.io.File(targetDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    val doomed = versionDirs.filterNot(f => live(f.getName))
+    doomed.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    doomed.map(_.getName.stripPrefix("v").toLong).sorted
+  }
+
   private[graft] final case class MergeOutcome(version: Long, updated: Long)
 
   /** Merge compacted `changes` into cfg's target and publish the next

@@ -299,6 +299,31 @@ object OpsQueries {
        |    AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // C22 (r3): Gopher-style repetition signals — duplicate-word /
+  // duplicate-trigram fractions and top-bigram coverage, the
+  // pretrain-corpus repetition filters (see
+  // TextAnalysis.repetitionSignals for the scale shape).
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(T.documents(s, d)).orderBy(col("doc_id"))
+
+  private val oTextRepetition =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+      |topb AS (SELECT doc_id,
+      |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS top_bigram_frac
+      |  FROM (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1)
+      |SELECT t.doc_id,
+      |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+      |    AS dup_word_frac,
+      |  CASE WHEN len(toks) < 3 THEN 0.0
+      |    ELSE round(1 - CAST(len(list_distinct(list_transform(
+      |        generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS DOUBLE)
+      |      / (len(toks) - 2), 6) END AS dup_trigram_frac,
+      |  coalesce(topb.top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM t LEFT JOIN topb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // C10: token counting (whitespace + BPE-ish regex).
   def textTokens(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -666,6 +691,7 @@ object OpsQueries {
     QueryDef("text_boilerplate", textBoilerplate, Some(oTextBoilerplate)),
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
+    QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),

@@ -80,6 +80,48 @@ object TextAnalysis {
         round(col("stop_n") / col("n_tokens") + lit(1.0) / (lit(1.0) + col("punct_n")), 6))
   }
 
+  /** Gopher-style repetition signals (the quality filters a pretrain
+    * corpus applies before training — Rae et al. 2021 §A1.2 shape,
+    * re-expressed on word n-grams since this corpus is single-line):
+    *
+    *  - dup_word_frac:    1 − |distinct tokens| / |tokens|
+    *  - dup_trigram_frac: fraction of word trigrams occurring > once
+    *  - top_bigram_frac:  occurrences of the most frequent word
+    *                      bigram / total bigrams
+    *
+    * Scale shape: the two duplicate fractions are pure per-row
+    * expressions (array_distinct over a doc-bounded array — no
+    * shuffle at all); the top-bigram multiplicity is an explode →
+    * (doc, bigram) count → per-doc max — two hash aggregations with
+    * map-side combine, never a per-doc O(n²) lambda, so it holds at
+    * any corpus size. Docs with < 2 tokens get 0.0 fractions for the
+    * degenerate n-gram denominators.
+    */
+  def repetitionSignals(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(text).as("toks"))
+    def grams(n: Int): String =
+      s"""CASE WHEN size(toks) < $n THEN array()
+         |ELSE transform(sequence(0, size(toks) - $n),
+         |  i -> ${(0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")})
+         |END""".stripMargin
+    val perRow = toks.select(col("doc_id"), col("toks"),
+      expr(grams(3)).as("tg"))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")), 6).as("dup_word_frac"),
+        when(size(col("tg")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - size(array_distinct(col("tg"))).cast("double")
+            / size(col("tg")), 6)).as("dup_trigram_frac"))
+    val topBigram = toks
+      .select(col("doc_id"), explode(expr(grams(2))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"))
+    perRow.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_word_frac"), col("dup_trigram_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Character codes of `text`, in order. */
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))

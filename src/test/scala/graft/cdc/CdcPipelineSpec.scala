@@ -130,6 +130,45 @@ class CdcPipelineSpec extends AnyFunSuite {
       ("active", TypedProjection.BitToInt)))
   }
 
+  test("vacuum deletes unreachable versions but keeps every carried-bucket reference") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(32))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 100L).map(u => (u, "u", 100L, u, 100L, s"""{"k":$u}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L) // v0: full
+    // three tiny delta runs -> v1, v2, v3, each touching ~1 bucket
+    (1 to 3).foreach { i =>
+      val d = Seq((i.toLong, "u", 100L + i, 500L + i, 1000L + i * 100L,
+        s"""{"k":${1000 + i}}""", 500L + i, 9.0))
+      CdcPipeline.run(spark, c, env(d), log, 1000L + i * 200L)
+    }
+    val before = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val deleted = CdcPipeline.vacuum(target, keepVersions = 1)
+    // v0 must SURVIVE even though it's old: the current manifest still
+    // carries most buckets from it. v1/v2 are unreachable iff their
+    // buckets were superseded and they're outside the grace window.
+    assert(!deleted.contains(0L), "v0 is still referenced by carried buckets")
+    assert(!deleted.contains(3L), "the current version is never deleted")
+    val after = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(after === before, "vacuum must not change the visible snapshot")
+    // force v1 to become garbage: rewrite key 1 again (supersedes
+    // v1's only bucket), then vacuum — v1 must be collected by now
+    // (already in `deleted` if keys 2/3 shared its bucket).
+    val d4 = Seq((1L, "u", 200L, 900L, 2000L, """{"k":7777}""", 900L, 9.9))
+    CdcPipeline.run(spark, c, env(d4), log, 3000L) // v4 supersedes v1's bucket
+    val deleted2 = CdcPipeline.vacuum(target, keepVersions = 1)
+    assert((deleted ++ deleted2).contains(1L),
+      s"v1's bucket was superseded, expected it collected: $deleted / $deleted2")
+    val finalSnap = CdcPipeline.readSnapshot(spark, target).get
+    assert(finalSnap.filter(col("user_id") === 1).select("k").as[Long].head() === 7777L)
+    assert(finalSnap.count() === 100L)
+  }
+
   test("loadActive accepts a table shaped exactly like the reference config_file5 DDL") {
     import spark.implicits._
     // literal column names from tables_list.sql:5-22 (mysql_-prefixed
