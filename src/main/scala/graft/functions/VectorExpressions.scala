@@ -178,6 +178,111 @@ object LshTableBuckets {
     toCol(LshTableBuckets(toExpr(v), tables, planes, dims))
 }
 
+/** Element-wise mean of float vectors — the centroid-update kernel
+  * of k-means (Similarity.kmeansFit). Accumulates in float64 (one
+  * double[] + count per group) inside ObjectHashAggregateExec with
+  * map-side partial combine: each task collapses its cluster members
+  * locally, so the shuffle carries one partial-sum vector per
+  * (task, cluster) — at any corpus size the reduce side sees
+  * |clusters|·|tasks| rows, never the corpus. Mismatched vector
+  * lengths are an error (silent truncation hides data corruption,
+  * same contract as CosineSimilarity); NULL inputs are skipped;
+  * empty group → NULL.
+  */
+case class VectorAvg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[VectorAvg.Buf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_avg needs array<float>, got $other")
+    }
+
+  override def createAggregationBuffer(): VectorAvg.Buf = new VectorAvg.Buf()
+
+  override def update(buf: VectorAvg.Buf, input: InternalRow): VectorAvg.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData].toFloatArray())
+    buf
+  }
+
+  override def merge(buf: VectorAvg.Buf, other: VectorAvg.Buf): VectorAvg.Buf = {
+    if (other.sums != null) {
+      if (buf.sums == null) { buf.sums = other.sums; buf.n = other.n }
+      else {
+        require(buf.sums.length == other.sums.length,
+          s"vector_avg: vector lengths differ (${buf.sums.length} vs ${other.sums.length})")
+        var i = 0
+        while (i < buf.sums.length) { buf.sums(i) += other.sums(i); i += 1 }
+        buf.n += other.n
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VectorAvg.Buf): Any = {
+    if (buf.sums == null) return null
+    val out = new Array[Any](buf.sums.length)
+    var i = 0
+    while (i < buf.sums.length) { out(i) = (buf.sums(i) / buf.n).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: VectorAvg.Buf): Array[Byte] = {
+    if (buf.sums == null) return Array.emptyByteArray
+    val out = java.nio.ByteBuffer.allocate(12 + 8 * buf.sums.length)
+    out.putLong(buf.n).putInt(buf.sums.length)
+    buf.sums.foreach(out.putDouble)
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorAvg.Buf = {
+    val buf = new VectorAvg.Buf()
+    if (bytes.nonEmpty) {
+      val in = java.nio.ByteBuffer.wrap(bytes)
+      buf.n = in.getLong()
+      buf.sums = Array.fill(in.getInt())(in.getDouble())
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren(0))
+}
+
+object VectorAvg {
+  final class Buf {
+    var sums: Array[Double] = null
+    var n: Long = 0L
+
+    def add(arr: Array[Float]): Unit = {
+      if (sums == null) sums = new Array[Double](arr.length)
+      require(sums.length == arr.length,
+        s"vector_avg: vector lengths differ (${sums.length} vs ${arr.length})")
+      var i = 0
+      while (i < arr.length) { sums(i) += arr(i); i += 1 }
+      n += 1
+    }
+  }
+
+  def apply(v: Column): Column =
+    toCol(VectorAvg(toExpr(v)).toAggregateExpression())
+}
+
 object CosineSimilarity {
   /** Shared by interpreted + codegen paths. Mismatched lengths are an
     * error (the oracle's list_cosine_similarity errors too — silent

@@ -183,6 +183,50 @@ object Similarity {
     topByOrd(scored, k).select("query_id", "neighbor_id")
   }
 
+  /** K-means centroid training for the IVF quantizer (cosine /
+    * spherical variant — cosine is scale-invariant, so the plain
+    * member mean is a valid centroid). annIvfTopK's doc notes its
+    * id-sample centroids are the training-free stand-in "production
+    * would k-means"; this is that trainer, built from the same
+    * scale kernels the query path uses:
+    *
+    *   assign  = broadcast(centroids) crossJoin → LatestByOrder
+    *             argmax (identical plan to the IVF list assignment —
+    *             no sort, no window, shuffle = one row per vector);
+    *   update  = groupBy(cid) + VectorAvg (map-side partial combine:
+    *             reduce side sees |k|·|tasks| partial sums, never the
+    *             corpus);
+    *   each round localCheckpoints the k-row centroid frame so the
+    *   iterative plan's lineage stays flat (same discipline as
+    *   Clusters.connectedComponents).
+    *
+    * Init = the k lowest-id corpus vectors (deterministic); a cluster
+    * that loses all members drops out (k shrinks) rather than being
+    * respawned. Returns (cid, embedding) ready for `annIvfTopK`.
+    */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    var cent = base.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val assigned = base
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          ordOf(cosine(col("embedding"), col("emb_cent"))).as("ord"))
+        .groupBy("vec_id")
+        .agg(graft.functions.LatestByOrder(struct(col("cid"), col("embedding")),
+          col("ord"), -col("cid")).as("best"))
+        .select(col("best.cid").as("cid"), col("best.embedding").as("embedding"))
+      cent = assigned.groupBy("cid")
+        .agg(graft.functions.VectorAvg(col("embedding")).as("emb_cent"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cent.select(col("cid").as("vec_id"), col("emb_cent").as("embedding"))
+  }
+
   /** Bucketed ANN, multi-table: a candidate is any corpus vector
     * sharing a bucket with the query in ≥1 of `tables` independent
     * hash tables; exact cosine ranks the candidates. Single-table

@@ -99,6 +99,55 @@ class OpsSpec extends AnyFunSuite {
     info(f"ivf nprobe=4/M=$m recall=$recall%.2f")
   }
 
+  test("k-means fit recovers planted clusters and lifts IVF recall over id-sample centroids") {
+    import org.apache.spark.sql.functions.broadcast
+    val rnd = new scala.util.Random(42)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    def noisy(c: Array[Float]): Array[Float] =
+      c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+    // classes live in ID BLOCKS (0-29, 30-59, 60-89), so the naive
+    // id-sample quantizer (lowest ids) picks 3 centroids from the
+    // SAME cluster — the regime where training matters
+    val corpusPts = (0 until 90).map(i => (i.toLong, noisy(centers(i / 30))))
+    val queryPts = (0 until 6).map(i => ((1000 + i).toLong, noisy(centers(i % 3))))
+    val corpus = corpusPts.toDF("vec_id", "embedding")
+    val queries = queryPts.toDF("vec_id", "embedding")
+
+    val trained = Similarity.kmeansFit(corpus, 3, 5)
+    assert(trained.count() === 3)
+
+    // trained centroids induce exactly the planted partition
+    val cents = trained.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val byClass = corpusPts.groupBy(_._1 / 30).map { case (cls, pts) =>
+      cls -> pts.map(p => cents.maxBy(c => cos(c._2, p._2))._1).toSet
+    }
+    assert(byClass.values.forall(_.size === 1), s"each planted class maps to one centroid: $byClass")
+    assert(byClass.values.flatten.toSet.size === 3, "distinct classes get distinct centroids")
+
+    // recall at nprobe=1: trained quantizer must beat the id-sample
+    val brute = Similarity.cosineTopK(queries, corpus, 5)
+      .as[(Long, Long)].collect().toSet
+    val idSample = corpus.orderBy(col("vec_id")).limit(3)
+    def recall(cent: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.annIvfTopK(queries, corpus, cent, 5, 1)
+        .as[(Long, Long)].collect().toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val rTrained = recall(trained); val rId = recall(idSample)
+    info(f"ivf recall nprobe=1: kmeans=$rTrained%.2f id-sample=$rId%.2f")
+    assert(rTrained >= 0.9, s"trained recall $rTrained")
+    assert(rTrained > rId, s"training must lift recall: $rTrained vs $rId")
+  }
+
   test("connected components: chains collapse, components stay separate") {
     // 1-2-3-4 chain (diameter 3) + separate pair 10-11 + triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
