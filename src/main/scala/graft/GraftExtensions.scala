@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, LatestByOrder, LshTableBuckets, MinHashBandBuckets, SimHash64, TopKByOrder, WordShingles}
+import graft.functions.{BoundedCollectLongPairs, CosineSimilarity, LatestByOrder, LshTableBuckets, MinHashBandBuckets, SimHash64, SortableDoubleBits, TopKByOrder, VectorAvg, WordShingles}
 
 /** SQL surface of the graft function library, registered through the
   * sanctioned `SparkSessionExtensions` hook:
@@ -15,9 +15,11 @@ import graft.functions.{CosineSimilarity, LatestByOrder, LshTableBuckets, MinHas
   * gives `SELECT cosine_similarity(a, b)`, `simhash64(text)`,
   * `word_shingles(text, 3)`, `minhash_band_buckets(text, 8, 2)`,
   * `lsh_table_buckets(emb, tables, planes, dims)`,
-  * `latest_by(value, ord1, ord2)`, and
-  * `top_k_by(value, ord1, ord2, k)` in plain SQL, plus the
-  * ROW_NUMBER-idiom optimizer rewrites.
+  * `latest_by(value, ord1, ord2)`,
+  * `top_k_by(value, ord1, ord2, k[, ord2_desc])`,
+  * `sortable_double_bits(x)`, `vector_avg(emb)`, and
+  * `bounded_collect_pairs(key, payload, limit)` in plain SQL, plus
+  * the ROW_NUMBER-idiom optimizer rewrites.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -62,7 +64,22 @@ object GraftExtensions {
     (FunctionIdentifier("top_k_by"),
       new ExpressionInfo(classOf[TopKByOrder].getName, "top_k_by"),
       (args: Seq[Expression]) =>
-        TopKByOrder(intLit(args(3), "k"), args(1), args(2), args(0)).toAggregateExpression()))
+        TopKByOrder(intLit(args(3), "k"), args(1), args(2), args(0),
+          ord2Desc = args.length > 4 && (args(4) match {
+            case Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              s"top_k_by ord2_desc must be a boolean literal, got $other")
+          })).toAggregateExpression()),
+    (FunctionIdentifier("sortable_double_bits"),
+      new ExpressionInfo(classOf[SortableDoubleBits].getName, "sortable_double_bits"),
+      (args: Seq[Expression]) => SortableDoubleBits(args(0))),
+    (FunctionIdentifier("vector_avg"),
+      new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
+      (args: Seq[Expression]) => VectorAvg(args(0)).toAggregateExpression()),
+    (FunctionIdentifier("bounded_collect_pairs"),
+      new ExpressionInfo(classOf[BoundedCollectLongPairs].getName, "bounded_collect_pairs"),
+      (args: Seq[Expression]) => BoundedCollectLongPairs(
+        intLit(args(2), "limit"), args(0), args(1)).toAggregateExpression()))
 
   /** Register into an already-built session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

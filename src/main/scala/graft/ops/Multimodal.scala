@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata, batch-shaped per-partition
   * feature extraction.
   *
-  * PNG decode is REAL (pure-JVM javax.imageio — no native libs
-  * needed): features are per-strip mean luminance over the actual
-  * pixels. Other media types fall back to `decodeStub` (this
-  * container has no audio/video codecs): a deterministic fake
+  * Image decode is REAL (pure-JVM javax.imageio — no native libs
+  * needed; PNG/JPEG/GIF/BMP/WBMP): features are per-strip mean
+  * luminance over the actual pixels. Other media types fall back to
+  * `decodeStub` (this container has no audio/video codecs): a
+  * deterministic fake
   * vector from the bytes, clearly marked. Everything around the
   * decode is real either way — the schema contract, the
   * mapPartitions batch boundary (where ffmpeg-via-JNI or an Arrow
@@ -48,14 +49,17 @@ object Multimodal {
       length(col(payloadCol)).as("width"),
       lit(1).as("height"))
 
-  /** Real PNG decode, pure JVM: ImageIO parses the PNG and the
-    * feature vector is the mean luminance (Rec. 601 weights) of `dim`
-    * equal-width vertical strips, scaled to [0,1) — an actual
-    * pixel-derived signature usable for near-dup blocking. Returns
-    * null for bytes ImageIO can't parse (caller falls back to the
-    * stub, mirroring SAFE-decode pipelines that quarantine bad blobs).
+  /** Real image decode, pure JVM: ImageIO parses the bytes (PNG,
+    * JPEG, GIF, BMP, WBMP — every format the JDK ships a reader for;
+    * ImageIO sniffs the actual container, so a mislabeled media_type
+    * still decodes) and the feature vector is the mean luminance
+    * (Rec. 601 weights) of `dim` equal-width vertical strips, scaled
+    * to [0,1) — an actual pixel-derived signature usable for near-dup
+    * blocking. Returns null for bytes no installed reader can parse
+    * (caller falls back to the stub, mirroring SAFE-decode pipelines
+    * that quarantine bad blobs).
     */
-  def decodePng(bytes: Array[Byte], dim: Int): Array[Float] = {
+  def decodeImage(bytes: Array[Byte], dim: Int): Array[Float] = {
     val img = try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     } catch {
@@ -86,18 +90,19 @@ object Multimodal {
     Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j) / counts(j) / 256.0).toFloat)
   }
 
-  /** Decode dispatch by declared media type: PNG decodes for real;
-    * everything else (and undecodable PNG bytes) takes the stub.
+  /** Decode dispatch by declared media type: images decode for real
+    * through ImageIO; everything else (and bytes no reader accepts)
+    * takes the stub.
     */
   def decode(mediaType: String, bytes: Array[Byte], dim: Int): Array[Float] =
-    if (mediaType == "image/png") {
-      val f = decodePng(bytes, dim)
+    if (mediaType.startsWith("image/") && mediaType != "image/stub") {
+      val f = decodeImage(bytes, dim)
       if (f != null) f else decodeStub(bytes, dim)
     } else decodeStub(bytes, dim)
 
   /** STUB decode for media types without a JVM codec in this
-    * container (audio/video/jpeg): a real deployment routes these to
-    * libjpeg/ffmpeg via JNI or an Arrow hand-off to a Python worker.
+    * container (audio/video): a real deployment routes these to
+    * codec libraries via JNI or an Arrow hand-off to a Python worker.
     * Deterministic fake: feature j = mean of bytes with index ≡ j
     * (mod dim), scaled to [0,1).
     */

@@ -51,4 +51,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().toSeq
     assert(got === Seq((1L, Seq(30L, 20L)), (2L, Seq(7L))))
   }
+
+  test("top_k_by with ord2_desc; sortable_double_bits order embedding") {
+    // all ord1 tie -> membership decided by the tiebreak direction
+    Seq((1L, 100L, 1L), (1L, 100L, 2L), (1L, 100L, 3L))
+      .toDF("id", "o1", "o2").createOrReplaceTempView("tkd_in")
+    val asc = spark.sql(
+      "SELECT transform(top_k_by(struct(o2), o1, o2, 2), r -> r.o2) AS vs FROM tkd_in GROUP BY id")
+      .as[Seq[Long]].collect()(0)
+    val desc = spark.sql(
+      "SELECT transform(top_k_by(struct(o2), o1, o2, 2, true), r -> r.o2) AS vs FROM tkd_in GROUP BY id")
+      .as[Seq[Long]].collect()(0)
+    assert(asc === Seq(1L, 2L) && desc === Seq(3L, 2L))
+    // sortable bits: signed-long order == double order across signs
+    val bits = spark.sql(
+      "SELECT sortable_double_bits(cast(-1.5 as double)) AS a, " +
+        "sortable_double_bits(cast(-0.1 as double)) AS b, " +
+        "sortable_double_bits(cast(0.0 as double)) AS c, " +
+        "sortable_double_bits(cast(2.5 as double)) AS d")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(bits._1 < bits._2 && bits._2 < bits._3 && bits._3 < bits._4)
+  }
+
+  test("vector_avg and bounded_collect_pairs aggregates in SQL") {
+    Seq((1L, Array(1f, 3f)), (1L, Array(3f, 5f)), (2L, Array(2f, 2f)))
+      .toDF("id", "emb").createOrReplaceTempView("va_in")
+    val avg = spark.sql(
+      "SELECT id, vector_avg(emb) AS m FROM va_in GROUP BY id ORDER BY id")
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(avg === Seq((1L, Seq(2f, 4f)), (2L, Seq(2f, 2f))))
+
+    Seq((10L, 7L, 0L), (11L, 8L, 0L), (12L, 9L, 0L))
+      .toDF("k", "p", "g").createOrReplaceTempView("bc_in")
+    val pairs = spark.sql(
+      "SELECT bounded_collect_pairs(k, p, 10) AS ms, bounded_collect_pairs(k, p, 2) AS cap " +
+        "FROM bc_in GROUP BY g")
+    val row = pairs.selectExpr("transform(ms, x -> x.a) AS ks", "cap IS NULL AS overflowed")
+      .as[(Seq[Long], Boolean)].collect()(0)
+    assert(row._1 === Seq(10L, 11L, 12L), "sorted member list")
+    assert(row._2, "over-limit group collapses to NULL")
+  }
 }

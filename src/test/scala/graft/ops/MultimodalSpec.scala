@@ -52,14 +52,34 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("PNG decode extracts real pixel-derived features") {
     // Half-black / half-white image: strip means 0 and 255/256.
-    val f = Multimodal.decodePng(pngBytes(Seq(0, 255)), 2)
+    val f = Multimodal.decodeImage(pngBytes(Seq(0, 255)), 2)
     assert(math.abs(f(0) - 0f) < 1e-6 && math.abs(f(1) - 255f / 256f) < 1e-6,
       s"got ${f.toSeq}")
     // Solid gray 128 → every strip 0.5 (luma weights sum to 1).
-    val g = Multimodal.decodePng(pngBytes(Seq(128)), 4)
+    val g = Multimodal.decodeImage(pngBytes(Seq(128)), 4)
     assert(g.forall(v => math.abs(v - 0.5f) < 1e-3), s"got ${g.toSeq}")
     // Garbage bytes → null (caller falls back to the stub).
-    assert(Multimodal.decodePng(Array[Byte](1, 2, 3), 2) == null)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3), 2) == null)
+  }
+
+  test("JPEG/GIF/BMP decode for real through the same ImageIO path") {
+    def encoded(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 64) img.setRGB(x, y, 0x808080)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val f = Multimodal.decodeImage(encoded(fmt), 4)
+      assert(f != null, s"$fmt must decode")
+      // solid gray 128 → ~0.5 everywhere (JPEG is lossy: loose bound)
+      assert(f.forall(v => math.abs(v - 0.5f) < 0.02f), s"$fmt gave ${f.toSeq}")
+      // dispatch: any image/* type routes to the real decoder
+      val viaDispatch = Multimodal.decode(s"image/$fmt", encoded(fmt), 4)
+      assert(viaDispatch.toSeq === f.toSeq)
+    }
   }
 
   test("end-to-end: PNG media rows decode through extractFeatures") {

@@ -139,6 +139,49 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(CdcPipeline.currentVersion(pCfg.targetPath).get === vBefore)
   }
 
+  test("scheduled drain (Trigger.AvailableNow) resumes from the checkpoint like the reference's cron job") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val valueSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("k", LongType)))
+    val dCfg = CdcTableConfig(
+      cdcTable = "drain_cdc", sourcePath = "drain", targetDb = "graft",
+      targetTable = "t", targetPath = Files.createTempDirectory("graft-drain-tgt").toString,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType))))
+    def rec(op: String, uid: Long, k: Long, tsMs: Long, pos: Long): String = {
+      val row = s"""{"user_id":$uid,"k":$k}"""
+      val (b, a) = if (op == "d") (row, "null") else ("null", row)
+      s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$tsMs,"source":{"pos":$pos,"ts_ms":$tsMs}}"""
+    }
+    val inDir = Files.createTempDirectory("graft-drain-in").toString
+    val ckpt = Files.createTempDirectory("graft-drain-ckpt").toString
+    def drain(): Unit = CdcStream.drainToTarget(
+      graft.sources.ChangeFeed.debeziumJsonLinesStream(spark, inDir, valueSchema, Seq("user_id")),
+      dCfg, ckpt)
+    def snap(): Seq[(Long, Long)] = CdcPipeline.readSnapshot(spark, dCfg.targetPath).get
+      .select("user_id", "k").as[(Long, Long)].collect().sorted.toSeq
+
+    // invocation 1 drains file 1 and STOPS (returns)
+    Files.write(java.nio.file.Paths.get(inDir, "d1.jsonl"),
+      Seq(rec("c", 1, 10, 100, 1), rec("c", 2, 20, 100, 2)).mkString("\n").getBytes)
+    drain()
+    assert(snap() === Seq((1L, 10L), (2L, 20L)))
+
+    // invocation 2 (new "cron tick") picks up ONLY the new file
+    val vAfter1 = CdcPipeline.currentVersion(dCfg.targetPath).get
+    Files.write(java.nio.file.Paths.get(inDir, "d2.jsonl"),
+      Seq(rec("u", 1, 11, 200, 3), rec("d", 2, 20, 200, 4)).mkString("\n").getBytes)
+    drain()
+    assert(snap() === Seq((1L, 11L)))
+    assert(CdcPipeline.currentVersion(dCfg.targetPath).get > vAfter1)
+
+    // invocation 3 with nothing new leaves the target version alone
+    val vAfter2 = CdcPipeline.currentVersion(dCfg.targetPath).get
+    drain()
+    assert(CdcPipeline.currentVersion(dCfg.targetPath).get === vAfter2)
+  }
+
   test("micro-batch merge broadcasts the delta keys instead of shuffling the target") {
     // ADVICE r2: the streaming path must pass the delta count so a
     // small micro-batch takes the broadcast anti-join, leaving the
