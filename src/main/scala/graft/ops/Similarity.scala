@@ -105,7 +105,12 @@ object Similarity {
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
-    val scored = q.crossJoin(broadcast(c))
+    // broadcast the QUERY side: an ANN batch has queries ≪ corpus, so
+    // the corpus streams through the scan untouched and the top-k
+    // partials combine map-side — k rows per (task, query) hit the
+    // shuffle. Broadcasting the corpus (the r2 shape) capped the
+    // baseline at corpus-fits-in-memory.
+    val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
         ordOf(cosine(col("emb_q"), col("emb_c"))).as("ord"))
     topByOrd(scored, k).select("query_id", "neighbor_id")
