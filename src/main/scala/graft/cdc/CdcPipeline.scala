@@ -42,6 +42,12 @@ import scala.jdk.CollectionConverters._
   * file-pruning shape Delta/Iceberg MERGE gets from data skipping.
   * The pointer swap stays a one-line atomic move, so readers see the
   * old or the new manifest, never a torn state.
+  *
+  * Writer contract: ONE writer per target at a time (the reference's
+  * scheduler likewise runs the procedure serially per table) —
+  * readers and `vacuum` are safe concurrently with that writer, but
+  * two concurrent publishes to the same target would race on the
+  * next version number.
   */
 object CdcPipeline {
 
@@ -233,6 +239,9 @@ object CdcPipeline {
           manifest(targetDir, v).map(_.buckets.values.toSet).getOrElse(Set.empty))
     val versionDirs = Option(new java.io.File(targetDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      // never touch versions ABOVE the pointer: v{cur+1} may be an
+      // in-flight publish that hasn't swapped the pointer yet
+      .filterNot(_.getName.stripPrefix("v").toLong > cur)
     val doomed = versionDirs.filterNot(f => live(f.getName))
     doomed.foreach { d =>
       def rm(f: java.io.File): Unit = {

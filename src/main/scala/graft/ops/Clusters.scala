@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   * converged/changed counters, no collected data.
   *
   * At 100 TB: |edges| ≈ |near-dup pairs| ≪ |docs|; label state is
-  * two longs per node in the pair graph. The alternating small-star/
-  * large-star optimization (Kiveris et al., "Connected Components in
-  * MapReduce") drops rounds to O(log d) — not needed at dedup
-  * diameters.
+  * two longs per node in the pair graph. Two algorithms:
+  * `connectedComponents` (min-label propagation, O(diameter) rounds
+  * — the simple reference implementation) and
+  * `connectedComponentsStar` (alternating large-star/small-star
+  * contraction after Kiveris et al., "Connected Components in
+  * MapReduce and Beyond" — O(log²) rounds independent of diameter,
+  * the one that survives adversarial chain graphs). The star variant
+  * is the default in `canonicalAssignment` (and thus oracle-gated by
+  * `dedup_clusters`); the propagation variant cross-checks it in
+  * specs.
   */
 object Clusters {
 
@@ -70,11 +76,65 @@ object Clusters {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Star-contraction components: alternate large-star and
+    * small-star rounds over the directed edge list until fixpoint —
+    * O(log²) rounds regardless of graph diameter (label propagation
+    * needs `diameter` rounds, which a 10k-node duplicate chain turns
+    * into 10k shuffles). Each round is two hash-shuffles over the
+    * edge list (a per-node min aggregation + a join back to re-point
+    * edges) — no sorts, no collected adjacency lists, so a
+    * billion-edge pair graph runs the same plan shape. Fixpoint =
+    * the round changed nothing (exact exceptAll emptiness probe, not
+    * a checksum). At fixpoint every surviving edge is (node,
+    * component-min); output matches `connectedComponents`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star: u's smaller-or-self min m; re-point every LARGER
+      // neighbor v > u at m (keeps small edges as-is)
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lMin = sym.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val large = sym.join(lMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star: edges oriented big→small; every node of the
+      // star (including the center) points at the min
+      val sMin = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val next = large.join(sMin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(sMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      done = next.exceptAll(edges).limit(1).count() == 0 &&
+        edges.exceptAll(next).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // stars: (v, min) for every non-min node; add the roots themselves
+    edges.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("cluster_id")).distinct())
+      .distinct()
+  }
+
   /** One keep/drop decision per clustered doc: canonical = min id of
-    * its component (the doc a dedup pass retains).
+    * its component (the doc a dedup pass retains). Uses the
+    * star-contraction algorithm (diameter-independent rounds).
     */
   def canonicalAssignment(pairs: DataFrame): DataFrame =
-    connectedComponents(pairs)
+    connectedComponentsStar(pairs)
       .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"),
         (col("id") === col("cluster_id")).as("is_canonical"))
 }

@@ -161,6 +161,26 @@ class OpsSpec extends AnyFunSuite {
     assert(canon === Set(1L, 10L, 20L))
   }
 
+  test("star-contraction components equal label propagation; deep chains converge in O(log) rounds") {
+    // random-ish graph: star answers must match label propagation
+    val rnd = new scala.util.Random(7)
+    val randPairs = (0 until 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val viaStar = Clusters.connectedComponentsStar(randPairs)
+      .as[(Long, Long)].collect().toMap
+    val viaProp = Clusters.connectedComponents(randPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar === viaProp)
+
+    // a 600-node chain has diameter 599: label propagation's default
+    // 20 rounds cannot finish it (and now throws); star contraction
+    // converges well inside its 50-round bound
+    val chain = (0L until 599L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] { Clusters.connectedComponents(chain).count() }
+    val labels = Clusters.connectedComponentsStar(chain).as[(Long, Long)].collect()
+    assert(labels.length === 600 && labels.forall(_._2 === 0L))
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     val e = T.embeddings(spark, sf).limit(3)
     val selfCos = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
