@@ -324,6 +324,28 @@ object OpsQueries {
       |  coalesce(topb.top_bigram_frac, 0.0) AS top_bigram_frac
       |FROM t LEFT JOIN topb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // C24 (r3): decontamination — corpus docs (doc_id < 400) sharing
+  // any 8-gram with the synthetic benchmark slice (doc_id >= 400).
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    TextAnalysis.benchmarkOverlap(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextDecontaminate = {
+    val join8 = (0 until 8).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+       |         i -> $join8)) AS gram
+       |       FROM t WHERE doc_id < 400),
+       |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 7),
+       |         i -> $join8)) AS gram
+       |       FROM t WHERE doc_id >= 400)
+       |SELECT doc_id, count(DISTINCT gram) AS n_overlap
+       |FROM cg JOIN bg USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // C10: token counting (whitespace + BPE-ish regex).
   def textTokens(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -692,6 +714,7 @@ object OpsQueries {
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
+    QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),

@@ -122,6 +122,31 @@ object TextAnalysis {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Decontamination screen (the step between crawling and training:
+    * drop corpus docs that leak the eval set): flag every corpus doc
+    * sharing at least one word n-gram with any benchmark doc, with
+    * the count of distinct overlapping n-grams as evidence. n = 8 is
+    * the common contamination window (long enough that chance
+    * collisions vanish).
+    *
+    * Scale shape: both sides explode to (doc, n-gram) via the native
+    * single-pass WordShingles expression; the benchmark side
+    * de-dups to its distinct gram set (benchmarks are tiny next to
+    * the corpus — AQE broadcasts it); the join is a hash join on the
+    * gram, then a per-doc count with map-side combine. Production
+    * would join on a 64-bit gram hash to cut shuffle width — raw
+    * strings here keep the oracle exact.
+    */
+  def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      text: Column = col("text")): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingles(text, n)).as("gram"))
+    val bg = grams(benchmark).select("gram").distinct()
+    grams(corpus).join(bg, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_overlap"))
+  }
+
   /** Character codes of `text`, in order. */
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))

@@ -258,6 +258,34 @@ object Relational {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY rf, ls, g_rf, g_ls""".stripMargin
 
+  // B8c (r3): arbitrary GROUPING SETS — the general form rollup/cube
+  // specialize ((rf, ls), (ls), ()): Catalyst expands the sets into
+  // one Expand + hash aggregate, same single-pass plan as cube, not
+  // one scan per set.
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf").cast("int").as("g_rf"), col("g_ls").cast("int").as("g_ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"), col("g_rf"), col("g_ls"))
+
+  private val oGroupingSets =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY rf, ls, g_rf, g_ls""".stripMargin
+
   // B9: tumbling time-window aggregation over the event stream table
   // (batch shape of the Structured Streaming windowed agg). `ts` is
   // bigint nanos (see Verify session config); µs truncation matches
@@ -416,6 +444,7 @@ object Relational {
     QueryDef("q_distinct", qDistinct, Some(oDistinct)),
     QueryDef("q_rollup", qRollup, Some(oRollup)),
     QueryDef("q_cube", qCube, Some(oCube)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(oGroupingSets)),
     QueryDef("q_event_windows", qEventWindows, Some(oEventWindows)),
     QueryDef("q_json_extract", qJsonExtract, Some(oJsonExtract)),
     QueryDef("q_pivot", qPivot, Some(oPivot)),
