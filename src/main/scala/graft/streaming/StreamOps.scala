@@ -25,6 +25,32 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Watermarked stream–stream interval join — the continuous
+    * counterpart of the batch B16 operator (Temporal.intervalJoin):
+    * left events pair with same-key right events whose event time is
+    * within [left.ts − lookback, left.ts]. Both sides are
+    * watermarked and the join condition carries the explicit time
+    * range, which is what lets Spark bound the buffered state: a
+    * side's rows are evicted once the other side's watermark passes
+    * their ts + lookback + delay — without the range the state grows
+    * forever. At scale each micro-batch shuffles only on the key, the
+    * same plan as the batch join.
+    *
+    * Column contract: left (key, `lTs` timestamp, payload...), right
+    * (key, `rTs` timestamp, payload...); both event-time columns must
+    * be distinct names.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lTs: String, rTs: String, lookback: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(lTs, watermark)
+    val r = right.withWatermark(rTs, watermark).withColumnRenamed(key, s"_r_$key")
+    l.join(r,
+      col(key) === col(s"_r_$key") &&
+        col(rTs) >= col(lTs) - expr(s"INTERVAL $lookback") &&
+        col(rTs) <= col(lTs))
+      .drop(s"_r_$key")
+  }
+
   final case class SessionEvent(key: Long, tsUs: Long)
   final case class SessionOut(key: Long, startUs: Long, endUs: Long, n: Long)
   final case class SessionState(startUs: Long, endUs: Long, n: Long)

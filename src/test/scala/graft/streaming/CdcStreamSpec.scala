@@ -321,4 +321,37 @@ class CdcStreamSpec extends AnyFunSuite {
       .collect().toSet
     assert(got.contains(("a", 2L, 3.0)) && got.contains(("b", 1L, 5.0)))
   }
+
+  test("stream-stream interval join pairs within the lookback, bounded by watermarks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Long)] // (key, sec, l_id)
+    val rMem = MemoryStream[(Long, Long, Long)] // (key, sec, r_id)
+    val l = lMem.toDF().toDF("key", "sec", "l_id")
+      .select($"key", timestamp_seconds($"sec").as("l_ts"), $"l_id")
+    val r = rMem.toDF().toDF("key", "sec", "r_id")
+      .select($"key", timestamp_seconds($"sec").as("r_ts"), $"r_id")
+    val joined = StreamOps.streamIntervalJoin(l, r, "key",
+      "l_ts", "r_ts", "60 seconds", "10 seconds")
+    val q = joined.select($"key", $"l_id", $"r_id")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssj-ckpt").toString)
+      .start()
+    try {
+      // right events at 100 and 200; left at 130 (catches 100, not
+      // yet 200), left at 190 (catches 130-190 window: r at... none)
+      rMem.addData((1L, 100L, 101L), (1L, 200L, 102L), (2L, 100L, 201L))
+      lMem.addData((1L, 130L, 11L), (1L, 210L, 12L), (3L, 130L, 31L))
+      q.processAllAvailable()
+      // advance both watermarks so all pairs finalize
+      rMem.addData((9L, 1000L, 999L)); lMem.addData((9L, 1000L, 998L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_out").as[(Long, Long, Long)].collect().toSet
+    // l_id 11 (t=130) pairs r_id 101 (t=100, within 60s lookback);
+    // l_id 12 (t=210) pairs r_id 102 (t=200); key 2's right and key
+    // 3's left have no partner; 999/998 pair on key 9 (same instant)
+    assert(got === Set((1L, 11L, 101L), (1L, 12L, 102L), (9L, 998L, 999L)))
+  }
 }
