@@ -83,6 +83,35 @@ class MergeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed incremental publish over random window splits equals the model, vacuum interleaved") {
+    // End-to-end law for the r3 publish layer: running the pipeline
+    // over ANY window split of a random history — through the real
+    // bucketed target on disk, with vacuum fired at random points —
+    // must land exactly the model snapshot. Covers window filtering,
+    // compaction, touched-bucket subset merge, manifest carry-over,
+    // and GC safety in one property.
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val evs = genHistory(rnd)
+      val env = toEnv(evs).withColumn("v", col(CdcEnvelope.PosCol))
+      val target = java.nio.file.Files.createTempDirectory("graft-law-tgt").toString
+      val log = java.nio.file.Files.createTempDirectory("graft-law-log").toString
+      val cfg = CdcTableConfig("law_cdc", "mem", "graft", "law", target,
+        pk = Seq("pk"), fieldSpecs = Nil, passthrough = Seq("v"),
+        numBuckets = Some(16))
+      val cuts = (Seq.fill(rnd.nextInt(3))(1L + rnd.nextInt(40).toLong) :+ 41L)
+        .distinct.sorted
+      cuts.foreach { end =>
+        CdcPipeline.run(spark, cfg, env, log, end)
+        if (rnd.nextBoolean()) CdcPipeline.vacuum(target, keepVersions = 1)
+      }
+      val got = CdcPipeline.readSnapshot(spark, target).get
+        .select("pk", "v").as[(Int, Long)].collect().toSet
+      val model = snapshotOf(evs).map { case (pk, _, pos) => (pk, pos) }
+      assert(got === model, s"trial=$trial cuts=$cuts evs=$evs")
+    }
+  }
+
   test("one-pass routing equals the two-view upsert/delete resolution") {
     val rnd = new scala.util.Random(1234)
     for (_ <- 1 to 15) {
