@@ -60,10 +60,11 @@ object Dedup {
       .distinct()
 
   /** Candidate near-duplicate pairs from MinHash+LSH banding:
-    * docs sharing any band bucket, deduped across bands.
+    * docs sharing any band bucket, deduped across bands. Signature
+    * length = b·r minhash permutations (b bands of r rows).
     */
   def minhashCandidates(docs: DataFrame, text: Column = col("text"),
-      k: Int = 16, b: Int = 8, r: Int = 2, maxBucket: Int = 100): DataFrame = {
+      b: Int = 8, r: Int = 2, maxBucket: Int = 100): DataFrame = {
     val keyed = docs
       .select(col("doc_id"),
         posexplode(graft.functions.TextExpressions.minhashBandBuckets(text, b, r))
