@@ -130,6 +130,39 @@ class CdcPipelineSpec extends AnyFunSuite {
       ("active", TypedProjection.BitToInt)))
   }
 
+  test("a pre-manifest flat target migrates to the bucketed layout on its next merge") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = cfg(target)
+    // hand-build the r2-era layout: flat parquet under v0 + pointer,
+    // NO manifest
+    val legacy = Seq((1L, 10L, 1L, 1.0), (2L, 20L, 2L, 2.0))
+      .toDF("user_id", "k", "event_id", "value")
+    legacy.write.parquet(s"$target/v0")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(target, "_VERSION"), "0 -1")
+    assert(CdcPipeline.readSnapshot(spark, target).get.count() === 2L)
+
+    // a delta run against the legacy target: full merge + migration
+    val delta = Seq((2L, "u", 200L, 10L, 1500L, """{"k":21}""", 10L, 2.5))
+      .toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val r = CdcPipeline.run(spark, c, delta, log, 2000L)
+    assert(r.status === "SUCCESS" && r.updated === 1L && r.inserted === 0L)
+    // v1 is bucketed with a manifest now
+    assert(CdcPipeline.manifest(target, r.version).nonEmpty, "migrated to manifest layout")
+    val snap = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").select("user_id", "k").as[(Long, Long)].collect().toSeq
+    assert(snap === Seq((1L, 10L), (2L, 21L)))
+
+    // and the run AFTER migration takes the incremental path
+    val delta2 = Seq((3L, "u", 300L, 11L, 2500L, """{"k":30}""", 11L, 3.0))
+      .toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val r2 = CdcPipeline.run(spark, c, delta2, log, 3000L)
+    assert(r2.inserted === 1L)
+    assert(CdcPipeline.readSnapshot(spark, target).get.count() === 3L)
+  }
+
   test("vacuum deletes unreachable versions but keeps every carried-bucket reference") {
     import spark.implicits._
     val target = tmp(); val log = tmp()
