@@ -303,6 +303,28 @@ object Relational {
       |  count(*) AS n, sum(round(value*100))/100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // B9b (r3): SLIDING time windows — size 2 days, slide 1 day, so
+  // every event feeds exactly two windows. Catalyst expands the
+  // overlap factor (size/slide) inline before one hash aggregation —
+  // no self-union, no window function; the oracle re-derives the
+  // same two aligned starts per event with integer µs arithmetic
+  // (Spark's window origin is the epoch).
+  def qSlidingWindows(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(
+        window(timestamp_micros(expr("ts div 1000")), "2 days", "1 day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
+
+  private val oSlidingWindows =
+    """SELECT (epoch_us(ts) // 86400000000 - k) * 86400000000 AS ws_us,
+      |  event_type, count(*) AS n, sum(round(value*100))/100.0 AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) grid
+      |GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
+
   // B10: JSON extraction over event props (codegen'd path, no UDF).
   def qJsonExtract(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
@@ -446,6 +468,7 @@ object Relational {
     QueryDef("q_cube", qCube, Some(oCube)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(oGroupingSets)),
     QueryDef("q_event_windows", qEventWindows, Some(oEventWindows)),
+    QueryDef("q_sliding_windows", qSlidingWindows, Some(oSlidingWindows)),
     QueryDef("q_json_extract", qJsonExtract, Some(oJsonExtract)),
     QueryDef("q_pivot", qPivot, Some(oPivot)),
     QueryDef("q_setops", qSetops, Some(oSetops)),
