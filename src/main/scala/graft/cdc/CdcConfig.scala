@@ -97,6 +97,18 @@ object CdcConfig {
       def s(n: String): String = r.getAs[String](n)
       def opt(n: String): Option[String] =
         if (df.columns.contains(n)) Option(r.getAs[String](n)).filter(_.nonEmpty) else None
+      // Optional bucket-count column (int or numeric string): lets a
+      // config-table deployment size the fixed publish layout
+      // deliberately instead of inheriting the session's
+      // shuffle-partition count at first publish (after which the
+      // manifest freezes it).
+      def optBuckets(n: String): Option[Int] =
+        if (!df.columns.contains(n)) None
+        else Option(r.get(r.fieldIndex(n))).flatMap {
+          case i: Int => Some(i)
+          case l: Long => Some(l.toInt)
+          case v => scala.util.Try(v.toString.trim.toInt).toOption
+        }.filter(_ > 0)
       val lists = Seq("epoc_cols", "epoc_nano_cols", "epoc_day_cols", "bit_to_int_col",
         "non_epoch_datetime_col", "datetime_to_int_val_col", "row_key_binary",
         "row_key_timestamp", "epoc_datetime_ist", "col_value_as_current_time_ist")
@@ -111,7 +123,8 @@ object CdcConfig {
         fieldSpecs = specsFromLists(lists, opt("datetime_null")),
         passthrough = opt("passthrough").map(parsePk).getOrElse(Nil),
         partitionField = opt("partition_field"),
-        isActive = true)
+        isActive = true,
+        numBuckets = optBuckets("num_buckets"))
     }
   }
 }

@@ -36,7 +36,12 @@ object JobLog {
     val d = new java.io.File(logDir)
     // an existing-but-empty dir (fresh deployment) has no schema
     val hasData = d.exists() && Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
-    if (hasData) Some(spark.read.parquet(logDir)) else None
+    // mergeSchema: a log dir that predates the r3 insert/update split
+    // has files without records_inserted/records_updated; the default
+    // sampled-footer schema read could miss (or inconsistently
+    // surface) the new columns on such mixed directories. The log is
+    // tiny (one row per run), so merging every footer is free.
+    if (hasData) Some(spark.read.option("mergeSchema", "true").parquet(logDir)) else None
   }
 
   /** Previous watermark for this (cdc_table, target), epoch if none —

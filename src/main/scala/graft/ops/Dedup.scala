@@ -59,17 +59,25 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.pay_a"), col("p.pay_b"))
       .distinct()
 
+  /** MinHash+LSH banding parameters: signature length = bands ·
+    * rowsPerBand minhash permutations. A distinct type (rather than
+    * bare Int positionals) so a stale call site written against an
+    * older (k, b, r) signature fails to compile instead of silently
+    * reinterpreting its arguments.
+    */
+  final case class MinHashLsh(bands: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Int = 100)
+
   /** Candidate near-duplicate pairs from MinHash+LSH banding:
-    * docs sharing any band bucket, deduped across bands. Signature
-    * length = b·r minhash permutations (b bands of r rows).
+    * docs sharing any band bucket, deduped across bands.
     */
   def minhashCandidates(docs: DataFrame, text: Column = col("text"),
-      b: Int = 8, r: Int = 2, maxBucket: Int = 100): DataFrame = {
+      lsh: MinHashLsh = MinHashLsh()): DataFrame = {
     val keyed = docs
       .select(col("doc_id"),
-        posexplode(graft.functions.TextExpressions.minhashBandBuckets(text, b, r))
-          .as(Seq("band", "bucket")))
-    bucketPairs(keyed, maxBucket).select("id_a", "id_b")
+        posexplode(graft.functions.TextExpressions.minhashBandBuckets(
+          text, lsh.bands, lsh.rowsPerBand)).as(Seq("band", "bucket")))
+    bucketPairs(keyed, lsh.maxBucket).select("id_a", "id_b")
   }
 
   /** Jaccard similarity of the two docs' shingle sets — the exact

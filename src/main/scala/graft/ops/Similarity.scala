@@ -102,15 +102,30 @@ object Similarity {
     * possible; set membership has a measured 1e-5 margin on this
     * corpus, see SURVEY.md §5).
     */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  /** Above this many query vectors the query-side broadcast is
+    * dropped (same known-row-count gating pattern as
+    * SnapshotMerge.LargeDeltaRows): a corpus-vs-corpus self-join
+    * style batch would OOM the driver/executors if force-broadcast,
+    * while an un-hinted cross join merely shuffles.
+    */
+  val BroadcastQueryRows: Long = 100000L
+
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      queryRows: Option[Long] = None): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
     // broadcast the QUERY side: an ANN batch has queries ≪ corpus, so
     // the corpus streams through the scan untouched and the top-k
     // partials combine map-side — k rows per (task, query) hit the
     // shuffle. Broadcasting the corpus (the r2 shape) capped the
-    // baseline at corpus-fits-in-memory.
-    val scored = c.crossJoin(broadcast(q))
+    // baseline at corpus-fits-in-memory. Pass `queryRows` when the
+    // caller knows the batch size; a large batch falls back to an
+    // un-hinted join instead of an OOM-prone forced broadcast.
+    val qSide = queryRows match {
+      case Some(nr) if nr > BroadcastQueryRows => q
+      case _ => broadcast(q)
+    }
+    val scored = c.crossJoin(qSide)
       .select(col("query_id"), col("neighbor_id"),
         ordOf(cosine(col("emb_q"), col("emb_c"))).as("ord"))
     topByOrd(scored, k).select("query_id", "neighbor_id")

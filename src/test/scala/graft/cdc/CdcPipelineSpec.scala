@@ -232,6 +232,45 @@ class CdcPipelineSpec extends AnyFunSuite {
       ("yyyymmdd_col", TypedProjection.DatetimeToInt)))
   }
 
+  test("loadActive reads an optional num_buckets column into the publish layout") {
+    import spark.implicits._
+    val withBuckets = Seq(
+      ("t1_cdc", "s3://feed/t1", "db", "t1", "/tmp/t1", "id", 1, 64),
+      ("t2_cdc", "s3://feed/t2", "db", "t2", "/tmp/t2", "id", 1, 0))
+      .toDF("cdc_table", "source_fp", "target_db", "target_table", "target_fp",
+        "pk", "is_active", "num_buckets")
+    val cs = CdcConfig.loadActive(withBuckets).map(c => c.cdcTable -> c.numBuckets).toMap
+    assert(cs("t1_cdc") === Some(64))
+    assert(cs("t2_cdc") === None, "non-positive bucket counts fall back to the session default")
+    // absent column → None (pre-r3 config tables keep loading)
+    val without = withBuckets.drop("num_buckets")
+    assert(CdcConfig.loadActive(without).forall(_.numBuckets.isEmpty))
+  }
+
+  test("JobLog.read merges mixed pre/post insert-update-split schemas") {
+    import spark.implicits._
+    val log = tmp()
+    // an r2-era file: no records_inserted/records_updated columns
+    Seq(("run0", "t_cdc", "db", "t", 0L, 100L, 100L, "SUCCESS", "", 5L))
+      .toDF("run_id", "cdc_table", "target_db", "target_table", "cdc_start_us",
+        "cdc_end_us", "insert_ts_us", "run_status", "error_msg", "records_deleted")
+      .coalesce(1).write.mode("append").parquet(log)
+    JobLog.append(spark, log, JobLog.RunRecord("run1", "t_cdc", "db", "t",
+      100L, 200L, 200L, "SUCCESS", "", records_inserted = 3L,
+      records_updated = 2L, records_deleted = 1L))
+    val df = JobLog.read(spark, log).get
+    // regardless of which footer the reader samples, the merged schema
+    // must expose the new columns, with NULL backfill on the old row
+    assert(df.columns.contains("records_updated"))
+    val byRun = df.select("run_id", "records_updated")
+      .as[(String, Option[Long])].collect().toMap
+    assert(byRun("run0") === None)
+    assert(byRun("run1") === Some(2L))
+    // and the watermark contract is unaffected by the mixed dir
+    val c = cfg("/tmp/unused").copy(cdcTable = "t_cdc", targetDb = "db", targetTable = "t")
+    assert(JobLog.lastWatermark(spark, log, c) === 200L)
+  }
+
   test("a failing run writes a FAILED job-log row and leaves the snapshot untouched") {
     val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
     val target = tmp(); val log = tmp()

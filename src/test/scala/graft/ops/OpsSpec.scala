@@ -79,6 +79,33 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("cosineTopK drops the query-side broadcast hint above the batch-size gate") {
+    val e = T.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val hinted = Similarity.cosineTopK(q, c, 5)
+    val unhinted = Similarity.cosineTopK(q, c, 5,
+      queryRows = Some(Similarity.BroadcastQueryRows + 1))
+    assert(hasHint(hinted), "small/unknown batch keeps the broadcast hint")
+    assert(!hasHint(unhinted), "large known batch must not force a broadcast")
+    // Results are identical either way — only the physical strategy moves.
+    assert(hinted.as[(Long, Long)].collect().toSet ===
+      unhinted.as[(Long, Long)].collect().toSet)
+  }
+
+  test("minhashCandidates with explicit MinHashLsh params matches the defaults") {
+    val docs = T.documents(spark, sf)
+    val byDefault = Dedup.minhashCandidates(docs).as[(Long, Long)].collect().toSet
+    val explicit = Dedup.minhashCandidates(docs, col("text"),
+      Dedup.MinHashLsh(bands = 8, rowsPerBand = 2, maxBucket = 100))
+      .as[(Long, Long)].collect().toSet
+    assert(explicit === byDefault)
+  }
+
   test("IVF ANN: exact when probing all lists; probe-limited recall reported") {
     val e = T.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
