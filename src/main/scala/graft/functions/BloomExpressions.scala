@@ -1,0 +1,80 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter membership probe as a native Catalyst expression.
+  *
+  * The scale role (SURVEY.md §5): a semi-join against a small-ish
+  * build side (benchmark n-grams, a blocklist, a dictionary) normally
+  * ships EVERY probe-side row through the join's shuffle. Evaluating
+  * a pre-built Bloom filter map-side keeps the (1 − fpp) non-matching
+  * majority out of the exchange entirely — at a 100 TB probe side the
+  * shuffle shrinks from corpus-sized to match-sized. The filter may
+  * report false positives, so callers MUST keep an exact join (or
+  * equality verify) after the probe: the filter only prunes, it never
+  * decides. False negatives are impossible, which is what makes the
+  * prune safe.
+  *
+  * The deserialized filter is one reference object per task binary
+  * (`addReferenceObj`), so the probe stays inside whole-stage codegen
+  * with no per-row deserialization.
+  *
+  * Input types mirror what `DataFrameStatFunctions.bloomFilter`
+  * inserts: STRING probes test the UTF-8 bytes, integral probes test
+  * the long value.
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain needs a string or bigint probe, got $t")
+  }
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => filter.mightContainBinary(s.getBytes)
+    case l: java.lang.Long => filter.mightContainLong(l)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("bloomFilter", filter, classOf[BloomFilter].getName)
+    child.dataType match {
+      case StringType =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = $f.mightContainBinary($c.getBytes());")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = $f.mightContainLong($c);")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  /** Serialize a fitted filter once (driver-side) for embedding. */
+  def serialize(filter: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    filter.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def apply(probe: Column, filter: BloomFilter): Column =
+    toCol(BloomMightContain(toExpr(probe), serialize(filter)))
+}

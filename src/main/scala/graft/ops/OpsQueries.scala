@@ -346,6 +346,16 @@ object OpsQueries {
        |FROM cg JOIN bg USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // C25 (r4): the same screen behind the Bloom pre-filter — the
+  // shuffle-minimizing scale path. Identical oracle: the filter only
+  // prunes; the exact join decides.
+  def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    TextAnalysis.benchmarkOverlapBloom(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+      .orderBy(col("doc_id"))
+  }
+
   // C10: token counting (whitespace + BPE-ish regex).
   def textTokens(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -715,6 +725,7 @@ object OpsQueries {
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),
+    QueryDef("text_decontaminate_bloom", textDecontaminateBloom, Some(oTextDecontaminate)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),

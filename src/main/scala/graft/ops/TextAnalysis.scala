@@ -147,6 +147,36 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_overlap"))
   }
 
+  /** benchmarkOverlap with a Bloom pre-filter on the corpus side —
+    * the 100 TB shape of the same screen. The exploded corpus grams
+    * are the dominant shuffle (≈ tokens-per-doc × corpus rows);
+    * probing a filter built over the benchmark's distinct grams
+    * INSIDE the corpus scan stage drops the ≥ (1 − fpp) clean
+    * majority before the exchange, so shuffle volume tracks the
+    * contamination rate instead of the corpus size. The exact hash
+    * join that follows removes the filter's false positives — the
+    * result is bit-identical to [[benchmarkOverlap]] (both run
+    * against the same DuckDB oracle).
+    *
+    * `expectedGrams` sizes the filter; when absent the benchmark
+    * side is counted first (one extra action over the SMALL side —
+    * a production pipeline passes the known benchmark size).
+    */
+  def benchmarkOverlapBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      text: Column = col("text"), fpp: Double = 0.01,
+      expectedGrams: Option[Long] = None): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingles(text, n)).as("gram"))
+    val bg = grams(benchmark).select("gram").distinct()
+    val nGrams = math.max(expectedGrams.getOrElse(bg.count()), 1L)
+    val filter = bg.stat.bloomFilter("gram", nGrams, fpp)
+    grams(corpus)
+      .filter(graft.functions.BloomMightContain(col("gram"), filter))
+      .join(bg, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_overlap"))
+  }
+
   /** Character codes of `text`, in order. */
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))

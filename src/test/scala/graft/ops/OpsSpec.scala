@@ -208,6 +208,32 @@ class OpsSpec extends AnyFunSuite {
     assert(labels.length === 600 && labels.forall(_._2 === 0L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact screen and prunes the scan side") {
+    val docs = T.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bench = docs.filter(col("doc_id") >= 400)
+    val exact = TextAnalysis.benchmarkOverlap(corpus, bench)
+      .as[(Long, Long)].collect().toSet
+    val bloomed = TextAnalysis.benchmarkOverlapBloom(corpus, bench)
+    assert(bloomed.as[(Long, Long)].collect().toSet === exact,
+      "the filter only prunes; the exact join must make results identical")
+    // the probe must run in the corpus scan stage, below the join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"probe missing from plan:\n$plan")
+  }
+
+  test("BloomMightContain: no false negatives, low false-positive rate, codegen probe") {
+    val members = (0 until 2000).map(i => s"member_$i")
+    val bg = members.toDF("v")
+    val filter = bg.stat.bloomFilter("v", members.size.toLong, 0.01)
+    val probeCol = graft.functions.BloomMightContain(col("v"), filter)
+    val hits = bg.filter(probeCol).count()
+    assert(hits === members.size.toLong, "a Bloom filter can never report false negatives")
+    val nonMembers = (0 until 2000).map(i => s"other_$i").toDF("v")
+    val fp = nonMembers.filter(probeCol).count()
+    assert(fp < 100, s"false-positive rate out of spec: $fp/2000")
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     val e = T.embeddings(spark, sf).limit(3)
     val selfCos = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
