@@ -361,6 +361,60 @@ object CdcQueries {
     s"""SELECT user_id, $dOp AS op, epoch_us(ts) AS ts_us, event_id AS pos, $dK AS k
        |FROM events ORDER BY pos""".stripMargin
 
+  // A23 (r4): incremental aggregate maintenance — a per-group rollup
+  // (count + exact cents sum) advanced across TWO merge windows by
+  // deltas only (IncrementalAgg.applyDelta); the oracle recomputes
+  // the same rollup from the fully-merged snapshot, so a hash match
+  // proves increment ≡ recompute including group moves, deletes, and
+  // group births/deaths.
+  def cdcIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val W2 = CdcEnvelope.epochUs("2024-01-30T00:00:00Z")
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    // the maintained measures: group = k % 8, value = exact cents
+    def derive(df: DataFrame): DataFrame = df
+      .withColumn("grp", col("k") % lit(8L))
+      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val targetCols = Seq("user_id", "event_id", "k", "value", "grp", "cents")
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(derive(proj(history)), pk, targetCols)
+    val chg1 = ChangeCompaction.compactForMerge(
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W0, W1))), pk)
+    val chg2 = ChangeCompaction.compactForMerge(
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W1, W2))), pk)
+    val state0 = IncrementalAgg.fromSnapshot(target0, Seq("grp"), "cents")
+    val state1 = IncrementalAgg.applyDelta(state0, target0, chg1, pk, Seq("grp"), "cents")
+    val target1 = SnapshotMerge.merge(target0, chg1, pk)
+    val state2 = IncrementalAgg.applyDelta(state1, target1, chg2, pk, Seq("grp"), "cents")
+    state2.orderBy(col("grp"))
+  }
+
+  private val oIncrAgg =
+    s"""WITH tgt AS (SELECT user_id, k, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |          FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |  WHERE rn2 = 1 AND op != 'd'),
+       |chg AS (SELECT user_id, k, value, op FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn3
+       |    FROM events
+       |    WHERE ts > TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-30') w
+       |  WHERE rn3 = 1),
+       |m AS (
+       |  SELECT t.user_id, t.k, t.value FROM tgt t
+       |  WHERE t.user_id NOT IN (SELECT user_id FROM chg)
+       |  UNION ALL
+       |  SELECT c.user_id, c.k, c.value FROM chg c WHERE c.op != 'd')
+       |SELECT k % 8 AS grp, count(*) AS n_rows,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(oParse)),
     QueryDef("cdc_window", cdcWindow, Some(oWindow)),
@@ -374,5 +428,6 @@ object CdcQueries {
     QueryDef("cdc_run_stats", cdcRunStats, Some(oRunStats)),
     QueryDef("cdc_rowkey", cdcRowkey, Some(oRowkey)),
     QueryDef("cdc_landed_parse", cdcLandedParse, Some(oLandedParse)),
+    QueryDef("cdc_incr_agg", cdcIncrAgg, Some(oIncrAgg)),
   )
 }

@@ -79,6 +79,30 @@ class CdcCoreSpec extends AnyFunSuite {
     assert(got === Map(1 -> 10.0, 2 -> 21.0, 4 -> 40.0))
   }
 
+  test("incremental aggregate maintenance ≡ recompute: group move, death, birth, missing-key delete") {
+    // state over groups of `g` summing long `cents`
+    val target = Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L))
+      .toDF("id", "g", "cents")
+    val changes = Seq(
+      (2, "u", "c", 21L),  // update that MOVES id=2 from group a to a NEW group c
+      (4, "u", "a", 40L),  // insert into group a
+      (3, "d", "b", 0L),   // delete the only member of group b → group dies
+      (9, "d", "z", 0L))   // delete of a missing key → must be a no-op
+      .toDF("id", CdcEnvelope.OpCol, "g", "cents")
+    val state0 = IncrementalAgg.fromSnapshot(target, Seq("g"), "cents")
+    val state1 = IncrementalAgg.applyDelta(state0, target, changes,
+      Seq("id"), Seq("g"), "cents", deltaRows = Some(4L))
+    val got = state1.select("g", "n_rows", "sum_cents")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // recompute from the merged snapshot must agree exactly
+    val merged = SnapshotMerge.merge(target, changes, Seq("id"))
+    val want = IncrementalAgg.fromSnapshot(merged, Seq("g"), "cents")
+      .select("g", "n_rows", "sum_cents")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got === want)
+    assert(got === Map("a" -> (2L, 50L), "c" -> (1L, 21L)), "group b must die, c must be born")
+  }
+
   test("mergeEvolving: new payload columns appear, old rows take NULL") {
     val target = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
     // changes carry a NEW column v2 the target has never seen
