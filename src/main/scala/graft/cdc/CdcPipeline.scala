@@ -175,6 +175,73 @@ object CdcPipeline {
       }
     }
 
+  /** Time-travel: the snapshot as of `version` (≤ the current
+    * pointer). Any version whose manifest survives `vacuum`'s
+    * keep-window reads exactly as it was published — carried buckets
+    * resolve through that version's own manifest, so later publishes
+    * never disturb it. None when the version was vacuumed or never
+    * existed.
+    */
+  def readSnapshotAt(spark: SparkSession, targetDir: String, version: Long): Option[DataFrame] =
+    currentVersion(targetDir).filter(version <= _).flatMap { _ =>
+      manifest(targetDir, version) match {
+        case Some(m) => Some(readBuckets(spark, targetDir, m, m.buckets.keySet))
+        case None =>
+          val d = new java.io.File(s"$targetDir/v$version")
+          if (d.isDirectory) Some(spark.read.parquet(d.toString)) else None
+      }
+    }
+
+  /** Buckets whose content can differ between two manifests. A bucket
+    * carried by reference points at the SAME immutable files in both
+    * versions, so it cannot have changed — the diff only ever reads
+    * buckets the intervening merges touched.
+    */
+  private[graft] def changedBuckets(from: Manifest, to: Manifest): Set[Int] =
+    (from.buckets.keySet ++ to.buckets.keySet)
+      .filter(b => from.buckets.get(b) != to.buckets.get(b))
+
+  /** Change feed between two committed versions (the CDF/
+    * `table_changes` analogue of the versioned store): one row per PK
+    * whose row was inserted (`i`), updated (`u` — any column
+    * differs), or deleted (`d`) between `fromVersion` and
+    * `toVersion`, carrying the row image (the new one; the old one
+    * for deletes).
+    *
+    * Scale shape: bucket-version references make "unchanged" a
+    * metadata fact — only buckets the manifests disagree on are read,
+    * from both versions, and the PK-bucketed layout means the
+    * full-outer join co-partitions on exactly the bucket key. Read
+    * and join I/O ∝ touched buckets, never the target.
+    */
+  def snapshotDiff(spark: SparkSession, targetDir: String, fromVersion: Long,
+      toVersion: Long, pkCols: Seq[String]): Option[DataFrame] =
+    (manifest(targetDir, fromVersion), manifest(targetDir, toVersion)) match {
+      case (Some(mf), Some(mt)) =>
+        val touched = changedBuckets(mf, mt)
+        val before = readBuckets(spark, targetDir, mf, touched)
+        val after = readBuckets(spark, targetDir, mt, touched)
+        val cols = mt.schema.fieldNames.toSeq
+        val b = before.select(cols.map(c => col(c).as(s"_b_$c")): _*)
+        val a = after.select(cols.map(c => col(c).as(s"_a_$c")): _*)
+        val joinCond = pkCols.map(k => b(s"_b_$k") <=> a(s"_a_$k")).reduce(_ && _)
+        val payload = cols.filterNot(pkCols.contains)
+        val differs = payload
+          .map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val image = cols.map(c =>
+          coalesce(col(s"_a_$c"), col(s"_b_$c")).as(c))
+        Some(b.join(a, joinCond, "full_outer")
+          .withColumn(CdcEnvelope.OpCol,
+            when(col(s"_b_${pkCols.head}").isNull, lit("i"))
+              .when(col(s"_a_${pkCols.head}").isNull, lit("d"))
+              .otherwise(lit("u")))
+          .filter(col(s"_b_${pkCols.head}").isNull ||
+            col(s"_a_${pkCols.head}").isNull || differs)
+          .select(image :+ col(CdcEnvelope.OpCol): _*))
+      case _ => None
+    }
+
   /** Publish `df` as the next FULL snapshot version and move the
     * pointer: every bucket is written and the manifest points them
     * all at the new version. Used for first builds and legacy-layout

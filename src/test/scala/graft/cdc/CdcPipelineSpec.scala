@@ -232,6 +232,45 @@ class CdcPipelineSpec extends AnyFunSuite {
       ("yyyymmdd_col", TypedProjection.DatetimeToInt)))
   }
 
+  test("time travel reads old versions verbatim; snapshotDiff classifies i/u/d reading changed buckets only") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16))
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Option[Long], Long, Double)] =
+      df.select("user_id", "k", "event_id", "value")
+        .as[(Long, Option[Long], Long, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val r1 = CdcPipeline.run(spark, c, env, log, w1)
+    val atV1 = rows(CdcPipeline.readSnapshot(spark, target).get)
+    val r2 = CdcPipeline.run(spark, c, env, log, w2)
+    // the old version still reads exactly as published
+    val tt = CdcPipeline.readSnapshotAt(spark, target, r1.version).get
+    assert(rows(tt) === atV1)
+    // a version above the pointer doesn't exist
+    assert(CdcPipeline.readSnapshotAt(spark, target, r2.version + 1).isEmpty)
+
+    val atV2 = rows(CdcPipeline.readSnapshot(spark, target).get)
+    val diff = CdcPipeline.snapshotDiff(spark, target, r1.version, r2.version, Seq("user_id")).get
+      .select("user_id", CdcEnvelope.OpCol).as[(Long, String)].collect().toMap
+    val expected =
+      (atV2.keySet -- atV1.keySet).map(_ -> "i") ++
+      (atV1.keySet -- atV2.keySet).map(_ -> "d") ++
+      atV1.keySet.intersect(atV2.keySet).filter(k => atV1(k) != atV2(k)).map(_ -> "u")
+    assert(diff === expected.toMap)
+    assert(diff.nonEmpty, "the second window must have produced changes")
+
+    // unchanged buckets are skipped as a METADATA fact (carried refs)
+    val m1 = CdcPipeline.manifest(target, r1.version).get
+    val m2 = CdcPipeline.manifest(target, r2.version).get
+    val touched = CdcPipeline.changedBuckets(m1, m2)
+    assert(touched.size < 16, s"small delta must touch a strict subset: $touched")
+    val changedPkBuckets = diff.keySet.toSeq.toDF("user_id")
+      .select(CdcPipeline.bucketExpr(Seq("user_id"), 16).as("b"))
+      .as[Int].collect().toSet
+    assert(changedPkBuckets.subsetOf(touched))
+  }
+
   test("loadActive reads an optional num_buckets column into the publish layout") {
     import spark.implicits._
     val withBuckets = Seq(
