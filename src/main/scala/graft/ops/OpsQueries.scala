@@ -228,6 +228,19 @@ object OpsQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // C26 (r4): PQ ANN, two-stage (ADC shortlist → exact rerank).
+  // Rows-only: codebooks are float-seeded k-means, not SQL-expressible;
+  // the recall gate vs brute force lives in OpsSpec (0.92 at refine=4
+  // on this corpus; ADC-only 0.62).
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val model = Pq.fitDf(c.orderBy(col("vec_id")), m = 16, k = 64, iters = 10)
+    Pq.adcTopKRerank(q, Pq.encode(c, model), c, model, 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // C8: language ID.
   def textLangid(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -715,6 +728,7 @@ object OpsQueries {
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
     QueryDef("ann_lsh", annLsh, None),
     QueryDef("ann_ivf", annIvf, Some(oAnnIvf)),
+    QueryDef("ann_pq", annPq, None),
     QueryDef("text_langid", textLangid, Some(oTextLangid)),
     QueryDef("corpus_stats", corpusStats, Some(oCorpusStats)),
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),

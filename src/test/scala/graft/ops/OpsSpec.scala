@@ -126,6 +126,40 @@ class OpsSpec extends AnyFunSuite {
     info(f"ivf nprobe=4/M=$m recall=$recall%.2f")
   }
 
+  test("PQ ANN: valid compact codes, deterministic encode, ADC recall vs brute force") {
+    val e = T.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val model = Pq.fitDf(c.orderBy(col("vec_id")), m = 16, k = 64, iters = 10)
+    val enc = Pq.encode(c, model)
+    // every code addresses a real centroid; norms are positive
+    val bad = enc.select(explode(col("codes")).as("cd"))
+      .filter(col("cd") < 0 || col("cd") >= 64).count()
+    assert(bad === 0L)
+    assert(enc.filter(col("recon_norm") <= 0).count() === 0L)
+    assert(enc.select(size(col("codes"))).distinct().as[Int].collect().toSeq === Seq(16),
+      "64 dims → 16 codes per vector (16× compression vs float32)")
+    // encode is deterministic (train/executor kernels agree)
+    val enc2 = Pq.encode(c, model).select("vec_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(enc.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap === enc2)
+    // recall against the exact scan — the honest quality number
+    val brute = Similarity.cosineTopK(q, c, 5).as[(Long, Long)].collect().toSet
+    val pq = Pq.adcTopK(q, enc, model, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    info(f"pq m=16 k=64 adc-only recall=$recall%.2f")
+    assert(recall > 0.25, s"adc recall=$recall")
+    // two-stage (ADC shortlist → exact rerank): the production shape;
+    // refine=4 must buy most of the quantization error back
+    val reranked = Pq.adcTopKRerank(q, enc, c, model, 5, refine = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rerankRecall = brute.intersect(reranked).size.toDouble / brute.size
+    info(f"pq reranked refine=4 recall=$rerankRecall%.2f")
+    assert(rerankRecall > 0.7, s"reranked recall=$rerankRecall")
+    assert(rerankRecall >= recall, "rerank must never hurt recall")
+  }
+
   test("k-means fit recovers planted clusters and lifts IVF recall over id-sample centroids") {
     import org.apache.spark.sql.functions.broadcast
     val rnd = new scala.util.Random(42)
