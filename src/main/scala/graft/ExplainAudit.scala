@@ -14,7 +14,8 @@ object ExplainAudit {
     for (name <- Seq("q_filter_project", "q1_agg", "q3_topk", "q5_multijoin", "cdc_compact", "cdc_merge",
         "dedup_minhash_lsh", "dedup_embedding_lsh", "ann_lsh", "ann_ivf", "ann_cosine_topk",
         "q_interval_join", "q_range_join", "q_grouping_sets", "q_sliding_windows",
-        "text_repetition", "text_decontaminate")) {
+        "text_repetition", "text_decontaminate", "text_decontaminate_bloom",
+        "cdc_incr_agg", "ann_pq")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able

@@ -74,8 +74,11 @@ object IncrementalAgg {
       .agg(sum(col("_dn")).as("_dn"), sum(col("_dsum")).as("_dsum"))
     // state ⟗ adjustments on the group key: both sides are
     // aggregate-sized (≪ fact table); a full-outer hash join keeps
-    // appearing and disappearing groups correct.
-    state.join(adj, groupCols, "full_outer")
+    // appearing and disappearing groups correct. shuffle_hash: a
+    // full outer can't broadcast, and without the hint Catalyst
+    // plans SMJ — sorting both sides for a key-equality merge
+    // nothing needs sorted.
+    state.join(adj.hint("shuffle_hash"), groupCols, "full_outer")
       .select(groupCols.map(col)
         :+ (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n_rows")
         :+ (coalesce(col(sumCol), lit(0L)) + coalesce(col("_dsum"), lit(0L))).as(sumCol): _*)

@@ -156,13 +156,16 @@ object Pq {
     */
   def adcTopKRerank(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
       model: PqModel, topK: Int, refine: Int = 4): DataFrame = {
+    // Q·topK·refine rows with their query vectors attached — bounded
+    // small by construction, so it BROADCASTS and the corpus streams
+    // through its scan (never shuffled, never broadcast).
     val shortlist = adcTopK(queries, encoded, model, topK * refine)
       .select(col("query_id"), col("neighbor_id"))
-    val scored = shortlist
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("emb_q"))), "query_id")
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("emb_c")), "neighbor_id")
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+      .join(broadcast(shortlist), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.SortableDoubleBits(
           Similarity.cosine(col("emb_q"), col("emb_c"))).as("ord"))
