@@ -282,6 +282,32 @@ object CdcPipeline {
     next
   }
 
+  /** Change the target's frozen bucket count — the layout-maintenance
+    * op for a target that outgrew its first-publish sizing (64
+    * buckets at 1 GB each is right at 64 GB and wrong at 10 TB). One
+    * full read → re-bucket → publish of the next version; every later
+    * delta publish then uses the new count. Readers are never broken:
+    * old versions keep their own manifests (and bucket counts), the
+    * pointer swap is atomic, and an in-flight delta publish against
+    * the old layout loses the pointer race benignly (its version is
+    * simply never pointed at). Returns the new version, None when the
+    * target doesn't exist yet.
+    */
+  def rebucket(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      newBuckets: Int): Option[Long] = {
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
+      val next = currentVersion(targetDir).get + 1
+      val dir = s"$targetDir/v$next"
+      writeBuckets(snap, pkCols, newBuckets, dir)
+      writeManifest(targetDir, next, Manifest(newBuckets, m.schemaJson,
+        writtenBuckets(dir).map(_ -> s"v$next").toMap))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+  }
+
   /** Garbage-collect version directories no longer reachable: a
     * version dir is LIVE iff it is the current version, one of the
     * `keepVersions` most recent (time-travel/reader grace window), or

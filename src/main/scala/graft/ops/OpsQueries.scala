@@ -364,8 +364,12 @@ object OpsQueries {
   // prunes; the exact join decides.
   def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
+    // expectedGrams: a known benchmark-size bound (the production
+    // contract) — skips the sizing count; overestimating only pads
+    // the filter (~1.2 MB per million grams at 1% fpp).
     TextAnalysis.benchmarkOverlapBloom(
-        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        expectedGrams = Some(1L << 20))
       .orderBy(col("doc_id"))
   }
 

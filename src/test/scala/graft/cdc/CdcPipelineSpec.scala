@@ -271,6 +271,36 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(changedPkBuckets.subsetOf(touched))
   }
 
+  test("rebucket resizes the frozen layout; content survives and later deltas use the new count") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(4))
+    CdcPipeline.run(spark, c, env, log, w1)
+    assert(CdcPipeline.manifest(target, CdcPipeline.currentVersion(target).get).get.numBuckets === 4)
+    def rows(): Map[Long, Long] = CdcPipeline.readSnapshot(spark, target).get
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    val before = rows()
+    val v = CdcPipeline.rebucket(spark, target, Seq("user_id"), 16).get
+    val m = CdcPipeline.manifest(target, v).get
+    assert(m.numBuckets === 16)
+    assert(m.buckets.values.forall(_ === s"v$v"), "a rebucket is a full rewrite")
+    assert(rows() === before, "rebucketing must not change the table")
+    // the next incremental run publishes deltas against the NEW layout
+    CdcPipeline.run(spark, c, env, log, w2)
+    val m2 = CdcPipeline.manifest(target, CdcPipeline.currentVersion(target).get).get
+    assert(m2.numBuckets === 16)
+    // post-rebucket incremental state equals a one-shot run (carry-
+    // over of untouched buckets is covered by the time-travel spec)
+    val oneTarget = tmp()
+    CdcPipeline.run(spark, cfg(oneTarget), env, tmp(), w2)
+    val oneShot = CdcPipeline.readSnapshot(spark, oneTarget).get
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(rows() === oneShot)
+    // rebucketing a non-existent target is a no-op
+    assert(CdcPipeline.rebucket(spark, tmp(), Seq("user_id"), 8).isEmpty)
+  }
+
   test("loadActive reads an optional num_buckets column into the publish layout") {
     import spark.implicits._
     val withBuckets = Seq(

@@ -217,6 +217,50 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(out === Seq((1L, 10L, 1L, 1.0), (3L, 31L, 5L, 3.5), (4L, 40L, 6L, 4.0)))
   }
 
+  test("streaming-maintained rollup: IVM state in foreachBatch equals recompute from the final target") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Env]
+    val env = mem.toDF().toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+      CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val sCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-tgt").toString,
+      numBuckets = Some(4))
+    val ckpt = Files.createTempDirectory("graft-ivm-ckpt").toString
+    // the maintained rollup: groups of k % 2, exact cents of `value`
+    def derive(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("grp", col("k") % lit(2L))
+      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+    def emptyTarget = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("user_id", "k", "event_id", "value")
+    var state = Seq.empty[(Long, Long, Long)].toDF("grp", "n_rows", "sum_cents")
+    val q = env.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val pre = CdcPipeline.readSnapshot(spark, sCfg.targetPath).getOrElse(emptyTarget)
+        val changes = CdcStream.compactBatch(batch.toDF(), sCfg)
+        // state advances from the delta BEFORE the merge commits the
+        // batch — the same pre-target the merge itself reads
+        state = IncrementalAgg.applyDelta(state, derive(pre), derive(changes),
+          Seq("user_id"), Seq("grp"), "cents").localCheckpoint(true)
+        CdcStream.mergeBatchToTarget(batch.toDF(), id, sCfg)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = state.select("grp", "n_rows", "sum_cents")
+      .as[(Long, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+    val want = IncrementalAgg.fromSnapshot(
+        derive(CdcPipeline.readSnapshot(spark, sCfg.targetPath).get), Seq("grp"), "cents")
+      .select("grp", "n_rows", "sum_cents")
+      .as[(Long, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum === 3L, "final target holds users 1, 3, 4")
+  }
+
   test("stateful first-seen dedup emits each key once across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
