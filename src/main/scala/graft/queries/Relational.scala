@@ -454,6 +454,45 @@ object Relational {
       |  count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // B23 (r4): LATERAL-style explode with ordinality (LATERAL VIEW
+  // posexplode ≙ UNNEST WITH ORDINALITY) — the array-to-rows surface.
+  // split+posexplode stay in one WholeStageCodegen span; the only
+  // exchange is the presentation sort.
+  def qExplodeOrdinality(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  private val oExplodeOrdinality =
+    """SELECT doc_id,
+      |  unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+      |  unnest(string_split(text, ' ')) AS tok
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin
+
+  // B24 (r4): RANGE-framed running window — trailing 7-day cents sum
+  // per user ordered by event time. The frame is a VALUE range
+  // (ties/gaps resolved by the frame spec, so the result is
+  // deterministic under equal timestamps, unlike a ROWS frame);
+  // exact integer cents keep the running sum hash-stable.
+  def qRangeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-604800000000L, 0L)
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * lit(100.0)).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        sum(col("cents")).over(w).as("run_cents"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private val oRangeWindow =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+      |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -475,5 +514,7 @@ object Relational {
     QueryDef("q_setops_all", qSetopsAll, Some(oSetopsAll)),
     QueryDef("q_null_semantics", qNullSemantics, Some(oNullSemantics)),
     QueryDef("q_median", qMedian, Some(oMedian)),
+    QueryDef("q_explode_ordinality", qExplodeOrdinality, Some(oExplodeOrdinality)),
+    QueryDef("q_range_window", qRangeWindow, Some(oRangeWindow)),
   )
 }
