@@ -79,7 +79,17 @@ object GraftExtensions {
     (FunctionIdentifier("bounded_collect_pairs"),
       new ExpressionInfo(classOf[BoundedCollectLongPairs].getName, "bounded_collect_pairs"),
       (args: Seq[Expression]) => BoundedCollectLongPairs(
-        intLit(args(2), "limit"), args(0), args(1)).toAggregateExpression()))
+        intLit(args(2), "limit"), args(0), args(1)).toAggregateExpression()),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => graft.functions.BloomMightContain(args(0), args(1) match {
+        // the serialized filter arrives as a binary literal (X'…' in
+        // SQL text, or lit(bytes) from code) — driver-built state,
+        // same contract as the DataFrame API
+        case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain filter must be a binary literal, got $other")
+      })))
 
   /** Register into an already-built session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

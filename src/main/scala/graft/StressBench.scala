@@ -118,6 +118,88 @@ object StressBench {
       val b0 = dirBytes(new java.io.File(s"$tdir/v$v0"))
       val b1 = dirBytes(new java.io.File(s"$tdir/v$v1"))
       println(f"[stress] publish bytes: full v$v0 ${b0 / 1e6}%.1f MB, delta v$v1 ${b1 / 1e6}%.1f MB (${100.0 * b1 / b0}%.1f%%)")
+
+      // r4: change feed — reads only the buckets the delta touched.
+      val (mf, mt) = (CdcPipeline.manifest(tdir, v0).get, CdcPipeline.manifest(tdir, v1).get)
+      val touched = CdcPipeline.changedBuckets(mf, mt)
+      time(s"snapshotDiff v$v0->v$v1 (${touched.size}/${mf.numBuckets} buckets read)") {
+        CdcPipeline.snapshotDiff(spark, tdir, v0, v1, Seq("user_id")).get.count()
+      }
+    }
+
+    // r4: incremental aggregate maintenance on a 10M-KEY bucketed
+    // target (pk = position, every event its own row): a micro-batch
+    // delta advances the rollup reading only its own buckets (retired
+    // rows can't hash anywhere else), while the avoided recompute
+    // must rescan and re-aggregate the whole fact table. This is the
+    // claim "update cost ∝ delta + state, never the fact table" in
+    // numbers.
+    locally {
+      val tdir = java.nio.file.Files.createTempDirectory("graft-stress-ivm").toString
+      val cfg = CdcTableConfig("stress_ivm", "mem", "graft", "t", tdir,
+        pk = Seq("pk"), fieldSpecs = Nil,
+        passthrough = Seq("user_id", "value"), numBuckets = Some(64))
+      val facts = big.withColumn("pk", col(CdcEnvelope.PosCol))
+      val compacted = ChangeCompaction.compactForMerge(facts, Seq("pk"))
+      time("ivm: 10M-key bucketed target build (one-time)") {
+        CdcPipeline.mergeAndPublish(spark, cfg, compacted, n, -1L)
+      }
+      def withGrp(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("grp", pmod(col("user_id"), lit(1024L)))
+      val m = CdcPipeline.manifest(tdir, CdcPipeline.currentVersion(tdir).get).get
+      val state0 = IncrementalAgg.fromSnapshot(
+        withGrp(CdcPipeline.readSnapshot(spark, tdir).get), Seq("grp"), "value")
+        .localCheckpoint(true)
+      // micro-batch-sized delta, checkpointed so the timing below
+      // measures the update, not the synthetic delta's lineage
+      val delta = ChangeCompaction.compactForMerge(
+        facts.filter(col("pk") < 10), Seq("pk")).localCheckpoint(true)
+      val dRows = delta.count()
+      val deltaBuckets = delta
+        .select(CdcPipeline.bucketExpr(Seq("pk"), m.numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val preSlice = withGrp(CdcPipeline.readBuckets(spark, tdir, m, deltaBuckets))
+      time(s"ivm applyDelta, $dRows-key delta (pre-target = ${deltaBuckets.size}/${m.numBuckets} buckets)") {
+        IncrementalAgg.applyDelta(state0, preSlice, withGrp(delta),
+          Seq("pk"), Seq("grp"), "value", Some(dRows)).count()
+      }
+      time("ivm full recompute over the 10M-row target (the avoided cost)") {
+        IncrementalAgg.fromSnapshot(
+          withGrp(CdcPipeline.readSnapshot(spark, tdir).get), Seq("grp"), "value").count()
+      }
+      // wall-clock at local[16] understates the gap (the page cache
+      // serves the full rescan at memory speed); the scale claim is
+      // the read VOLUME, which a 1000-executor cluster pays for over
+      // the network:
+      val preRows = preSlice.count()
+      val allRows = CdcPipeline.readSnapshot(spark, tdir).get.count()
+      println(f"[stress] ivm read volume: applyDelta ${preRows / 1e6}%.2f M target rows vs recompute ${allRows / 1e6}%.2f M (${100.0 * preRows / allRows}%.1f%%)")
+    }
+
+    // r4: Bloom-prefiltered decontamination, in the regime it exists
+    // for — a benchmark-gram set too big to broadcast (at real
+    // benchmark-suite sizes the build side is GBs): the exact join
+    // then shuffles EVERY exploded corpus gram, while the bloom probe
+    // keeps the ≥99% clean majority out of that exchange. Broadcast
+    // is disabled to model exactly that regime at local scale.
+    locally {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      val corpus = docs
+        .withColumn("rep", explode(sequence(lit(0), lit(19))))
+        .withColumn("doc_id", col("doc_id") * lit(20L) + col("rep"))
+        .drop("rep")
+      val bench = docs.filter(col("doc_id") < 50)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        time("decontamination screen, exact join, no-broadcast regime (100k docs)") {
+          graft.ops.TextAnalysis.benchmarkOverlap(corpus, bench).count()
+        }
+        time("decontamination screen, bloom-prefiltered, no-broadcast regime (100k docs)") {
+          graft.ops.TextAnalysis.benchmarkOverlapBloom(corpus, bench,
+            expectedGrams = Some(1L << 20)).count()
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
     spark.stop()
   }

@@ -73,6 +73,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(bits._1 < bits._2 && bits._2 < bits._3 && bits._3 < bits._4)
   }
 
+  test("bloom_might_contain in SQL with a binary-literal filter") {
+    val filter = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq("alpha", "beta", "gamma").foreach(filter.putString)
+    val hex = graft.functions.BloomMightContain.serialize(filter)
+      .map(b => f"$b%02X").mkString
+    val got = spark.sql(
+      s"SELECT v, bloom_might_contain(v, X'$hex') AS hit FROM " +
+        "(SELECT explode(array('alpha', 'beta', 'nope_1', 'nope_2')) AS v)")
+      .as[(String, Boolean)].collect().toMap
+    assert(got("alpha") && got("beta"), "members always hit")
+  }
+
   test("vector_avg and bounded_collect_pairs aggregates in SQL") {
     Seq((1L, Array(1f, 3f)), (1L, Array(3f, 5f)), (2L, Array(2f, 2f)))
       .toDF("id", "emb").createOrReplaceTempView("va_in")
