@@ -176,6 +176,45 @@ object StressBench {
       println(f"[stress] ivm read volume: applyDelta ${preRows / 1e6}%.2f M target rows vs recompute ${allRows / 1e6}%.2f M (${100.0 * preRows / allRows}%.1f%%)")
     }
 
+    // r4: hot-key equi-join — 50% of the fact side on one key, the
+    // dim side too big to broadcast. AQE's skew handling and the
+    // explicit salt both bound the straggler; the AQE-off row shows
+    // the unmitigated cost the salt exists for (streaming joins and
+    // other plans AQE can't rewrite).
+    locally {
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // checkpointed so the timings measure the JOIN, not the
+        // synthetic fact's explode lineage; 90% of rows on key 0
+        val fact = big
+          .withColumn("k", when(pmod(col(CdcEnvelope.PosCol), lit(10)) =!= 0, lit(0L))
+            .otherwise(col("user_id")))
+          .select(col("k"), col(CdcEnvelope.PosCol).as("payload"))
+          .localCheckpoint(true)
+        val dim = spark.range(0, 200000)
+          .select(col("id").as("k"), (col("id") * 7).as("dim"))
+          .localCheckpoint(true)
+        time("hot-key join (50% one key), plain, AQE skew handling") {
+          fact.join(dim, Seq("k")).count()
+        }
+        time("hot-key join, salted x16") {
+          graft.ops.Skew.saltedJoin(fact, dim, Seq("k"), 16).count()
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        time("hot-key join, plain, AQE off (the unmitigated straggler)") {
+          fact.join(dim, Seq("k")).count()
+        }
+        time("hot-key join, salted x16, AQE off") {
+          graft.ops.Skew.saltedJoin(fact, dim, Seq("k"), 16).count()
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+
     // r4: Bloom-prefiltered decontamination, in the regime it exists
     // for — a benchmark-gram set too big to broadcast (at real
     // benchmark-suite sizes the build side is GBs): the exact join

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** Bloom-filter membership probe as a native Catalyst expression.
   *
@@ -77,4 +77,61 @@ object BloomMightContain {
 
   def apply(probe: Column, filter: BloomFilter): Column =
     toCol(BloomMightContain(toExpr(probe), serialize(filter)))
+}
+
+/** Count-min-sketch frequency estimate as a native expression — the
+  * counting sibling of [[BloomMightContain]]. The estimate is
+  * one-sided (≥ the true count, ≤ true + ε·N with confidence 1−δ),
+  * so `cms_estimate(x) >= threshold` is a SAFE map-side prune for
+  * heavy-hitter queries: a key the sketch puts under the threshold
+  * provably is, so only candidate keys reach the exact-count
+  * exchange and the shuffle tracks the number of frequent keys, not
+  * the corpus. Exact counting of the survivors then removes the
+  * overestimates — sketch proposes, exact disposes, identical
+  * results to the unfiltered aggregation.
+  */
+case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate needs a string or bigint probe, got $t")
+  }
+
+  @transient private lazy val sketch: CountMinSketch =
+    CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => sketch.estimateCount(s.getBytes)
+    case l: java.lang.Long => sketch.estimateCount(l)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("cmSketch", sketch, classOf[CountMinSketch].getName)
+    child.dataType match {
+      case StringType =>
+        nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $s.estimateCount($c.getBytes());")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = $s.estimateCount(Long.valueOf($c));")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CmsEstimate {
+  def serialize(sketch: CountMinSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def apply(probe: Column, sketch: CountMinSketch): Column =
+    toCol(CmsEstimate(toExpr(probe), serialize(sketch)))
 }

@@ -373,6 +373,18 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // C27 (r4): CMS-pruned heavy hitters — exact counts, sketch-sized
+  // shuffle (oracle is the plain GROUP BY/HAVING; identical results
+  // because the CMS prune is one-sided).
+  def textHeavyHitters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heavyHitters(T.documents(s, d), minCount = 100)
+      .orderBy(col("tok"))
+
+  private val oTextHeavyHitters =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok HAVING count(*) >= 100 ORDER BY tok""".stripMargin
+
   // C10: token counting (whitespace + BPE-ish regex).
   def textTokens(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -744,6 +756,7 @@ object OpsQueries {
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),
     QueryDef("text_decontaminate_bloom", textDecontaminateBloom, Some(oTextDecontaminate)),
+    QueryDef("text_heavy_hitters", textHeavyHitters, Some(oTextHeavyHitters)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),

@@ -177,6 +177,30 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_overlap"))
   }
 
+  /** Corpus heavy hitters: tokens whose exact count ≥ `minCount`,
+    * with a count-min-sketch map-side prune (SURVEY.md §2 C27).
+    *
+    * The naive form shuffles every (token, 1) to the count exchange —
+    * vocabulary-sized at best, corpus-sized before combine. Here a
+    * one-pass CMS (driver-merged, ε/δ-sized) is probed INSIDE the
+    * token scan: `estimate < minCount` proves the true count is below
+    * threshold (CMS never underestimates), so only candidate tokens
+    * reach the exact count, whose HAVING then drops the sketch's
+    * overestimates. Same sketch-proposes/exact-disposes contract as
+    * the Bloom screen — results are bit-identical to the unfiltered
+    * aggregation, and the shuffle tracks the number of frequent
+    * tokens, not the corpus.
+    */
+  def heavyHitters(docs: DataFrame, minCount: Long, eps: Double = 0.0001,
+      confidence: Double = 0.99, text: Column = col("text")): DataFrame = {
+    val toks = docs.select(explode(tokens(text)).as("tok"))
+    val sketch = toks.stat.countMinSketch("tok", eps, confidence, seed = 42)
+    toks
+      .filter(graft.functions.CmsEstimate(col("tok"), sketch) >= minCount)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Character codes of `text`, in order. */
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))

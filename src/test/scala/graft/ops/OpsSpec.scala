@@ -268,6 +268,37 @@ class OpsSpec extends AnyFunSuite {
     assert(fp < 100, s"false-positive rate out of spec: $fp/2000")
   }
 
+  test("CMS-pruned heavy hitters equal the unfiltered aggregation; prune is real") {
+    val docs = T.documents(spark, sf)
+    val plain = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().filter(col("count") >= 100)
+      .as[(String, Long)].collect().toMap
+    val pruned = TextAnalysis.heavyHitters(docs, 100)
+      .as[(String, Long)].collect().toMap
+    assert(pruned === plain, "one-sided CMS prune must never lose a true heavy hitter")
+    assert(plain.nonEmpty)
+    // and the sketch actually filters: rare tokens must be pruned
+    // before the exchange (estimate below threshold somewhere)
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sketch = toks.stat.countMinSketch("tok", 0.0001, 0.99, 42)
+    val kept = toks.filter(graft.functions.CmsEstimate(col("tok"), sketch) >= 100).count()
+    assert(kept < toks.count(), "the prune must drop below-threshold tokens map-side")
+  }
+
+  test("salted join equals the plain join on skewed keys") {
+    val left = spark.range(0, 10000)
+      .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = spark.range(0, 5000).select(col("id").as("k"), (col("id") * 10).as("dim"))
+    def counted(df: org.apache.spark.sql.DataFrame): Map[(Long, Long, Long), Long] =
+      df.select("k", "payload", "dim").as[(Long, Long, Long)]
+        .collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val plain = counted(left.join(right, Seq("k")))
+    val salted = counted(Skew.saltedJoin(left, right, Seq("k"), 16))
+    assert(salted === plain, "salting must be invisible in the result multiset")
+    assert(plain.nonEmpty)
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     val e = T.embeddings(spark, sf).limit(3)
     val selfCos = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
