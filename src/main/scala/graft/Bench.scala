@@ -42,14 +42,25 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values: ms resolution is all the timing loop can
+    // resolve anyway, and the shorter line keeps the full record
+    // inside the driver's fixed-size stdout tail (r4's 9-decimal
+    // line outgrew it and the round lost its parsed perf total).
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // Compact fallback AFTER the full line: if the tail capture ever
+    // starts mid-way through the full record again, the last complete
+    // line still carries the headline total.
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${names.size},"failed":$fs,"sf":"$sfDir"}"""
     // stdout (forwarded verbatim via run/outputStrategy := StdoutOutput)
     // plus stderr as a belt-and-braces copy for the driver's parser.
     println(line)
+    println(compact)
     System.err.println(line)
     // Per-query delta vs a previous bench artifact (regression catch;
     // stderr only, so the driver's one-line JSON contract holds).

@@ -373,6 +373,36 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // C29 (r5): the end-to-end filter — the corpus a pipeline keeps
+  // after the screen: docs with ≤ 2 overlapping 8-grams survive,
+  // n_overlap retained as provenance.
+  def textDecontaminateFiltered(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        maxOverlap = 2L, expectedGrams = Some(1L << 20))
+      .select(col("doc_id"), col("n_overlap"), length(col("text")).as("n_chars_m"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextDecontaminateFiltered = {
+    val join8 = (0 until 8).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+       |         i -> $join8)) AS gram
+       |       FROM t WHERE doc_id < 400),
+       |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 7),
+       |         i -> $join8)) AS gram
+       |       FROM t WHERE doc_id >= 400),
+       |ov AS (SELECT doc_id, count(DISTINCT gram) AS n_overlap
+       |       FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  length(t.text) AS n_chars_m
+       |FROM t LEFT JOIN ov USING (doc_id)
+       |WHERE t.doc_id < 400 AND coalesce(ov.n_overlap, 0) <= 2
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // C27 (r4): CMS-pruned heavy hitters — exact counts, sketch-sized
   // shuffle (oracle is the plain GROUP BY/HAVING; identical results
   // because the CMS prune is one-sided).
@@ -756,6 +786,7 @@ object OpsQueries {
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),
     QueryDef("text_decontaminate_bloom", textDecontaminateBloom, Some(oTextDecontaminate)),
+    QueryDef("text_decontaminate_filtered", textDecontaminateFiltered, Some(oTextDecontaminateFiltered)),
     QueryDef("text_heavy_hitters", textHeavyHitters, Some(oTextHeavyHitters)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),

@@ -18,19 +18,52 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join with the left (fact) side salted. The salt is a
-    * deterministic hash of the whole left row — no RNG, so task
-    * retries and replays land on the same sub-key. The right side
-    * replicates ×`salt` (dimension-sized, so the replication is the
-    * cheap part by construction).
+  /** Internal salt column — name-guarded so a caller column can't
+    * silently collide with the join key we add.
+    */
+  val SaltCol = "_graft_salt"
+
+  /** Equi-join with the left (fact) side salted; `inner` (default)
+    * and `left`/`left_outer` joins are supported. Left-outer is safe
+    * because each left row carries exactly ONE salt value, so an
+    * unmatched row null-extends once; right/full outer would emit one
+    * null-extended copy of an unmatched right row PER REPLICA and are
+    * rejected.
+    *
+    * The salt is a deterministic hash — no RNG, so task retries and
+    * replays land on the same sub-key. By default it hashes the whole
+    * left row, which has one blind spot: *identical duplicate rows*
+    * hash to the same salt, so a hot key made entirely of identical
+    * rows does not split. When the fact table has a unique (or
+    * near-unique) column — a row id, an event timestamp, an offset —
+    * name it via `saltSource` and duplicates spread uniformly.
+    *
+    * The right side replicates ×`salt` (dimension-sized, so the
+    * replication is the cheap part by construction).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      salt: Int): DataFrame = {
+      salt: Int, joinType: String = "inner",
+      saltSource: Option[String] = None): DataFrame = {
     require(salt > 0, s"salt must be positive: $salt")
-    val l = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)))
-    val r = right.withColumn("_salt",
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner and left joins only, got: $joinType " +
+        "(right/full outer would duplicate unmatched right rows per salt replica)")
+    require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"input already has a $SaltCol column — rename it before salting")
+    saltSource.foreach { c =>
+      require(left.columns.contains(c),
+        s"saltSource column '$c' not found in left columns: ${left.columns.mkString(", ")}")
+    }
+    val saltBasis = saltSource match {
+      case Some(c) => Seq(col(c))
+      case None    => left.columns.toSeq.map(col)
+    }
+    val l = left.withColumn(SaltCol,
+      pmod(xxhash64(saltBasis: _*), lit(salt.toLong)))
+    val r = right.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    l.join(r, keys :+ "_salt").drop("_salt")
+    l.join(r, keys :+ SaltCol, if (jt == "inner") "inner" else "left_outer")
+      .drop(SaltCol)
   }
 }

@@ -177,6 +177,30 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_overlap"))
   }
 
+  /** End-to-end decontamination: the *filtered corpus* — every corpus
+    * doc whose distinct-overlapping-n-gram count against the benchmark
+    * is ≤ `maxOverlap`, with that count kept as provenance
+    * (`n_overlap` = 0 for untouched docs). This is the operator a
+    * pipeline actually runs: [[benchmarkOverlap]]/[[benchmarkOverlapBloom]]
+    * emit the evidence table; this composes it back onto the corpus
+    * and drops the contaminated rows.
+    *
+    * Scale shape: the overlap side holds only contaminated docs — a
+    * tiny fraction of the corpus by construction (that is the point of
+    * the screen) — so the left join back is a broadcast against the
+    * corpus scan; no corpus-sized shuffle is added on top of the
+    * Bloom-pruned gram join inside [[benchmarkOverlapBloom]].
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      maxOverlap: Long = 0L, text: Column = col("text"), fpp: Double = 0.01,
+      expectedGrams: Option[Long] = None): DataFrame = {
+    val overlap =
+      benchmarkOverlapBloom(corpus, benchmark, n, text, fpp, expectedGrams)
+    corpus.join(broadcast(overlap), Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .filter(col("n_overlap") <= maxOverlap)
+  }
+
   /** Corpus heavy hitters: tokens whose exact count ≥ `minCount`,
     * with a count-min-sketch map-side prune (SURVEY.md §2 C27).
     *

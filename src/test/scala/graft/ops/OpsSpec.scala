@@ -299,6 +299,44 @@ class OpsSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salted join: left-outer equality, saltSource duplicate-row spread, guards") {
+    // even ids collapse onto hot key 0 (matched in right); odd ids get
+    // keys >= 10000 that right lacks, so left-outer must null-extend
+    // each exactly once despite the x16 dim replication.
+    val left = spark.range(0, 2000)
+      .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") + 10000).as("k"),
+        lit(7L).as("payload"), col("id").as("row_id"))
+    val right = spark.range(0, 5000).select(col("id").as("k"), (col("id") * 10).as("dim"))
+    def counted(df: org.apache.spark.sql.DataFrame): Map[(Long, Long, Long, Option[Long]), Long] =
+      df.select("k", "payload", "row_id", "dim").as[(Long, Long, Long, Option[Long])]
+        .collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val plain = counted(left.join(right, Seq("k"), "left"))
+    val salted = counted(Skew.saltedJoin(left, right, Seq("k"), 16,
+      joinType = "left", saltSource = Some("row_id")))
+    assert(salted === plain, "salting must be invisible under left-outer too")
+    assert(plain.exists(_._1._4.isEmpty), "the fixture must exercise unmatched rows")
+    // The documented blind spot: rows identical in every column share a
+    // whole-row-hash salt (hot key 0 here has constant (k, payload)),
+    // while a caller-named unique column spreads them across sub-keys.
+    val dupSalts = left.where(col("k") === 0)
+      .select(pmod(xxhash64(col("k"), col("payload")), lit(16L)).as("s"))
+      .distinct().count()
+    assert(dupSalts === 1L, "identical rows collapse onto one salt by construction")
+    val idSalts = left.where(col("k") === 0)
+      .select(pmod(xxhash64(col("row_id")), lit(16L)).as("s"))
+      .distinct().count()
+    assert(idSalts > 8L, s"unique saltSource must spread the hot key, got $idSalts/16 salts")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left.withColumn(Skew.SaltCol, lit(1)), right, Seq("k"), 16)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, Seq("k"), 16, joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, Seq("k"), 16, saltSource = Some("nope"))
+    }
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     val e = T.embeddings(spark, sf).limit(3)
     val selfCos = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
