@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions.col
   * `TypedProjection.FieldSpec`s; the INFORMATION_SCHEMA lookup
   * becomes the target schema the caller already holds.
   */
+/** A derived aggregate table the pipeline maintains *incrementally*
+  * alongside its target (the reference refreshes its derived/job-log
+  * tables inside the merge procedure — merge.sql:520–581; this
+  * generalizes that to per-group count/sum rollups via
+  * [[IncrementalAgg]]).
+  *
+  * `groupCols`/`valueCol` name columns of the target schema after
+  * `derive` ran — `derive` (default identity) lets a rollup group on
+  * computed columns (e.g. a bucketed timestamp) without widening the
+  * target itself. State lives in its own small versioned bucketed
+  * store under the target (see `CdcPipeline.rollupPath`), committed
+  * with the target-version idempotence key, so crash replays never
+  * double-apply a delta.
+  */
+final case class RollupSpec(
+    name: String,
+    groupCols: Seq[String],
+    valueCol: String,
+    derive: DataFrame => DataFrame = identity,
+    numBuckets: Option[Int] = None) {
+  require(name.matches("[A-Za-z0-9_-]+"), s"rollup name must be path-safe: $name")
+  require(groupCols.nonEmpty, "rollup needs at least one group column")
+}
+
 final case class CdcTableConfig(
     cdcTable: String,
     sourcePath: String,
@@ -30,7 +54,12 @@ final case class CdcTableConfig(
       * session's shuffle parallelism. Size it like any file layout:
       * ~target_size / desired_file_size.
       */
-    numBuckets: Option[Int] = None) {
+    numBuckets: Option[Int] = None,
+    /** Rollups the pipeline maintains automatically after every merge
+      * window / micro-batch (batch `run` and streaming
+      * `mergeBatchToTarget` both call `maintainRollups`).
+      */
+    rollups: Seq[RollupSpec] = Nil) {
   /** Target schema = pk ++ projected ++ passthrough columns. */
   def targetCols: Seq[String] =
     (pk ++ fieldSpecs.map(_.as) ++ passthrough).distinct
@@ -72,6 +101,21 @@ object CdcConfig {
       }
     }
   }
+
+  /** Parse a config-table rollup list: `name:grp1+grp2:valueCol`
+    * entries separated by `;` (derive is identity — a config table can
+    * only name existing target columns; computed-column rollups are
+    * declared in code via [[RollupSpec]]).
+    */
+  def parseRollups(s: String): Seq[RollupSpec] =
+    s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
+      entry.split(":").map(_.trim) match {
+        case Array(n, g, v) =>
+          RollupSpec(n, g.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq, v)
+        case _ => throw new IllegalArgumentException(
+          s"rollup entry must be name:grp1+grp2:valueCol, got: $entry")
+      }
+    }
 
   /** The reference DDL's literal column names → the normalized names
     * this loader reads (tables_list.sql:5–22 `config_file5`: the
@@ -124,7 +168,8 @@ object CdcConfig {
         passthrough = opt("passthrough").map(parsePk).getOrElse(Nil),
         partitionField = opt("partition_field"),
         isActive = true,
-        numBuckets = optBuckets("num_buckets"))
+        numBuckets = optBuckets("num_buckets"),
+        rollups = opt("rollups").map(parseRollups).getOrElse(Nil))
     }
   }
 }

@@ -392,6 +392,89 @@ object CdcPipeline {
     }
   }
 
+  /** Directory of the maintained rollup `name` — itself a versioned
+    * bucketed store (pointer, manifests, vacuum-able) nested under the
+    * target, so the state shares the target's crash contract and a
+    * `readSnapshot`/`vacuum` on it behaves like any other store. The
+    * `_rollups` prefix keeps it invisible to the target's own
+    * `v\d+`-matching maintenance.
+    */
+  def rollupPath(cfg: CdcTableConfig, name: String): String =
+    s"${cfg.targetPath}/_rollups/$name"
+
+  /** Current state of a maintained rollup: one row per group with
+    * `n_rows` and `sum_<valueCol>` columns, exactly
+    * `IncrementalAgg.fromSnapshot(derive(target))` at the rollup's
+    * committed target version.
+    */
+  def readRollup(spark: SparkSession, cfg: CdcTableConfig, name: String): Option[DataFrame] =
+    readSnapshot(spark, rollupPath(cfg, name))
+
+  /** Target version a rollup's state reflects (the rollup store's
+    * pointer reuses the batchId slot for this — one atomic line holds
+    * state version AND idempotence key, so there is no separate
+    * marker to tear).
+    */
+  def rollupAsOfVersion(cfg: CdcTableConfig, name: String): Long =
+    lastCommittedBatch(rollupPath(cfg, name)).getOrElse(-1L)
+
+  /** Bring every declared rollup up to the target's CURRENT version —
+    * called by the batch `run` and the streaming foreachBatch after
+    * (or instead of, on a replay) the target publish.
+    *
+    * Crash safety: the rollup commit is its own atomic pointer swap
+    * carrying the target version it reflects. Every crash window
+    * converges on replay:
+    *   - crash before the target publish → nothing moved;
+    *   - crash between target publish and rollup publish → the replay
+    *     skips the merge (batchId guard) but sees the rollup trailing
+    *     by one version and applies the delta against the PRE-merge
+    *     snapshot read by time travel (`readSnapshotAt(curV - 1)` —
+    *     the default vacuum keep-window holds it);
+    *   - replay of a fully-committed batch → rollup is current,
+    *     nothing is touched (never double-applied).
+    *
+    * `changesMatchCurrent` says `changes` is the delta that produced
+    * the current target version; when it isn't (an out-of-band caller
+    * replaying an old batch), or the rollup trails by more than one
+    * version (declared after the target existed, or its pre-state was
+    * vacuumed), the state is recomputed from the current snapshot —
+    * cost ∝ target, the always-correct repair path. The steady-state
+    * path costs ∝ |delta| + |state| only.
+    */
+  private[graft] def maintainRollups(spark: SparkSession, cfg: CdcTableConfig,
+      changes: DataFrame, deltaRows: Option[Long],
+      changesMatchCurrent: Boolean): Unit = {
+    if (cfg.rollups.isEmpty) return
+    val curV = currentVersion(cfg.targetPath).getOrElse(return)
+    cfg.rollups.foreach { rs =>
+      val dir = rollupPath(cfg, rs.name)
+      val asOf = lastCommittedBatch(dir).getOrElse(-1L)
+      if (asOf < curV) {
+        val incremental: Option[DataFrame] =
+          if (changesMatchCurrent && asOf == curV - 1) {
+            val preOpt =
+              if (asOf < 0) Some(changes.select(cfg.targetCols.map(col): _*).filter(lit(false)))
+              else readSnapshotAt(spark, cfg.targetPath, asOf)
+            preOpt.map { pre =>
+              val state0 = readSnapshot(spark, dir).getOrElse(
+                IncrementalAgg.fromSnapshot(
+                  rs.derive(pre).filter(lit(false)), rs.groupCols, rs.valueCol))
+              IncrementalAgg.applyDelta(state0, rs.derive(pre), rs.derive(changes),
+                cfg.pk, rs.groupCols, rs.valueCol, deltaRows)
+            }
+          } else None
+        val state1 = incremental.getOrElse(
+          IncrementalAgg.fromSnapshot(
+            rs.derive(readSnapshot(spark, cfg.targetPath)
+              .getOrElse(changes.select(cfg.targetCols.map(col): _*).filter(lit(false)))),
+            rs.groupCols, rs.valueCol))
+        publish(state1, dir, rs.groupCols, batchId = curV, buckets = rs.numBuckets)
+        ()
+      }
+    }
+  }
+
   /** Run one incremental merge for `cfg`, reading envelope rows from
     * `source` (already in CdcEnvelope shape), windowed to
     * (last watermark, nowUs].
@@ -414,6 +497,10 @@ object CdcPipeline {
       val (cdcStart, cdcEnd) =
         if (bounds.isNullAt(0)) (nowUs, nowUs) else (bounds.getLong(0), bounds.getLong(1))
       val outcome = mergeAndPublish(spark, cfg, changes, nUps + nDel)
+      // this window's changes produced the now-current version, so the
+      // declared rollups advance by delta (reference: the derived-table
+      // refresh inside the procedure, merge.sql:520–581)
+      maintainRollups(spark, cfg, changes, Some(nUps + nDel), changesMatchCurrent = true)
       // insert/update split: updated = upserts whose PK pre-existed
       // in the target; inserted = genuinely new PKs (the reference
       // logs both — merge.sql:520–534).

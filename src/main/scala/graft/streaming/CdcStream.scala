@@ -32,15 +32,36 @@ object CdcStream {
     * skipped instead of re-merged. Returns true when the batch was
     * applied, false when it was a replay of an already-committed
     * batch.
+    *
+    * Declared `cfg.rollups` are maintained here too, AFTER the target
+    * publish, each under its own target-version idempotence key — see
+    * `CdcPipeline.maintainRollups` for the crash-window analysis. A
+    * replay that finds the target committed but a rollup trailing
+    * (crash between the two publishes) finishes the rollup from the
+    * time-traveled pre-merge snapshot instead of double-applying.
     */
   def mergeBatchToTarget(batch: DataFrame, batchId: Long, cfg: CdcTableConfig): Boolean = {
-    if (CdcPipeline.lastCommittedBatch(cfg.targetPath).exists(_ >= batchId)) false
+    val committedBatch = CdcPipeline.lastCommittedBatch(cfg.targetPath)
+    val targetFresh = !committedBatch.exists(_ >= batchId)
+    val curV = CdcPipeline.currentVersion(cfg.targetPath).getOrElse(-1L)
+    // a crash between the target publish and a rollup publish leaves a
+    // rollup trailing the pointer; the replayed batch must finish it
+    // even though the merge itself is skipped
+    val rollupsStale = cfg.rollups.exists(rs =>
+      CdcPipeline.rollupAsOfVersion(cfg, rs.name) < curV)
+    if (!targetFresh && !rollupsStale) false
     else {
       val changes = compactBatch(batch, cfg).cache()
       try {
         val deltaRows = changes.count()
-        CdcPipeline.mergeAndPublish(batch.sparkSession, cfg, changes, deltaRows, batchId)
-        true
+        if (targetFresh)
+          CdcPipeline.mergeAndPublish(batch.sparkSession, cfg, changes, deltaRows, batchId)
+        // changesMatchCurrent: this batch produced the current version
+        // (either just now, or before the crash being replayed — the
+        // pointer records which batch made it)
+        CdcPipeline.maintainRollups(batch.sparkSession, cfg, changes, Some(deltaRows),
+          changesMatchCurrent = targetFresh || committedBatch.contains(batchId))
+        targetFresh
       } finally changes.unpersist()
     }
   }

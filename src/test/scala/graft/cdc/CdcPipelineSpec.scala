@@ -55,6 +55,36 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(log.filter(col("run_status") === "SUCCESS").count() === 2)
   }
 
+  test("declared rollups: run() maintains durable IVM state across incremental windows") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(
+      rollups = Seq(RollupSpec("by_k", Seq("k"), "event_id", numBuckets = Some(2))))
+    def state(): Map[Long, (Long, Long)] =
+      CdcPipeline.readRollup(spark, c, "by_k").get
+        .select("k", "n_rows", "sum_event_id")
+        .as[(Long, Long, Long)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+    def recompute(): Map[Long, (Long, Long)] =
+      IncrementalAgg.fromSnapshot(
+          CdcPipeline.readSnapshot(spark, target).get, Seq("k"), "event_id")
+        .select("k", "n_rows", "sum_event_id")
+        .as[(Long, Long, Long)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    assert(state() === recompute(), "window 1: state must equal full recompute")
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    assert(state() === recompute(), "window 2: delta-maintained state must equal full recompute")
+    assert(state().nonEmpty)
+    assert(CdcPipeline.rollupAsOfVersion(c, "by_k") ===
+      CdcPipeline.currentVersion(target).get)
+    // config-table rollup declaration round-trips (fields, not case
+    // equality — the derive function member defeats ==)
+    val parsed = CdcConfig.parseRollups("by_k:k:event_id; daily:day+k:amount")
+    assert(parsed.map(r => (r.name, r.groupCols, r.valueCol)) ===
+      Seq(("by_k", Seq("k"), "event_id"), ("daily", Seq("day", "k"), "amount")))
+  }
+
   test("incremental publish: a small delta rewrites few buckets and splits insert/update counts") {
     import spark.implicits._
     val target = tmp(); val log = tmp()

@@ -217,32 +217,43 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(out === Seq((1L, 10L, 1L, 1.0), (3L, 31L, 5L, 3.5), (4L, 40L, 6L, 4.0)))
   }
 
-  test("streaming-maintained rollup: IVM state in foreachBatch equals recompute from the final target") {
+  // the maintained rollup used by the A26 tests: groups of k % 2,
+  // exact cents of `value` (long arithmetic — no float comparisons)
+  private def derive(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("grp", col("k") % lit(2L))
+    .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+
+  private def rollupState(rCfg: CdcTableConfig, name: String): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    CdcPipeline.readRollup(spark, rCfg, name).get
+      .select("grp", "n_rows", "sum_cents")
+      .as[(Long, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+  }
+
+  private def rollupRecompute(rCfg: CdcTableConfig): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    IncrementalAgg.fromSnapshot(
+        derive(CdcPipeline.readSnapshot(spark, rCfg.targetPath).get), Seq("grp"), "cents")
+      .select("grp", "n_rows", "sum_cents")
+      .as[(Long, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+  }
+
+  test("declared rollup: foreachBatch maintains durable IVM state equal to recompute; replay is a no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Env]
     val env = mem.toDF().toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
       CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
     val sCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-tgt").toString,
-      numBuckets = Some(4))
+      numBuckets = Some(4),
+      rollups = Seq(RollupSpec("by_grp", Seq("grp"), "cents", derive _, Some(2))))
     val ckpt = Files.createTempDirectory("graft-ivm-ckpt").toString
-    // the maintained rollup: groups of k % 2, exact cents of `value`
-    def derive(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("grp", col("k") % lit(2L))
-      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
-    def emptyTarget = Seq.empty[(Long, Long, Long, Double)]
-      .toDF("user_id", "k", "event_id", "value")
-    var state = Seq.empty[(Long, Long, Long)].toDF("grp", "n_rows", "sum_cents")
+    // the production foreachBatch body IS mergeBatchToTarget — no
+    // driver-side state anywhere
     val q = env.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val pre = CdcPipeline.readSnapshot(spark, sCfg.targetPath).getOrElse(emptyTarget)
-        val changes = CdcStream.compactBatch(batch.toDF(), sCfg)
-        // state advances from the delta BEFORE the merge commits the
-        // batch — the same pre-target the merge itself reads
-        state = IncrementalAgg.applyDelta(state, derive(pre), derive(changes),
-          Seq("user_id"), Seq("grp"), "cents").localCheckpoint(true)
         CdcStream.mergeBatchToTarget(batch.toDF(), id, sCfg)
         ()
       }
@@ -251,14 +262,52 @@ class CdcStreamSpec extends AnyFunSuite {
       mem.addData(batch1: _*); q.processAllAvailable()
       mem.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val got = state.select("grp", "n_rows", "sum_cents")
-      .as[(Long, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
-    val want = IncrementalAgg.fromSnapshot(
-        derive(CdcPipeline.readSnapshot(spark, sCfg.targetPath).get), Seq("grp"), "cents")
-      .select("grp", "n_rows", "sum_cents")
-      .as[(Long, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
-    assert(got === want)
+    val got = rollupState(sCfg, "by_grp")
+    assert(got === rollupRecompute(sCfg))
     assert(got.values.map(_._1).sum === 3L, "final target holds users 1, 3, 4")
+    assert(CdcPipeline.rollupAsOfVersion(sCfg, "by_grp") ===
+      CdcPipeline.currentVersion(sCfg.targetPath).get)
+
+    // forced replay of the last committed batch ("restart" after the
+    // checkpoint write was lost): merge skipped AND the rollup version
+    // must not move — the delta is never double-applied
+    val lastB = CdcPipeline.lastCommittedBatch(sCfg.targetPath).get
+    val rollupVer = CdcPipeline.currentVersion(CdcPipeline.rollupPath(sCfg, "by_grp"))
+    assert(!CdcStream.mergeBatchToTarget(toDf(batch2), lastB, sCfg))
+    assert(CdcPipeline.currentVersion(CdcPipeline.rollupPath(sCfg, "by_grp")) === rollupVer,
+      "a fully-committed batch replay must not publish a new rollup version")
+    assert(rollupState(sCfg, "by_grp") === got)
+  }
+
+  test("torn publish: target committed but rollup trailing — the replayed batch finishes it incrementally") {
+    val tCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-torn").toString,
+      numBuckets = Some(4),
+      rollups = Seq(RollupSpec("by_grp", Seq("grp"), "cents", derive _, Some(2))))
+    assert(CdcStream.mergeBatchToTarget(toDf(batch1), 0L, tCfg))
+    assert(rollupState(tCfg, "by_grp") === rollupRecompute(tCfg))
+
+    // simulate the crash window: batch 1's target merge commits, the
+    // process dies before maintainRollups runs
+    val changes = CdcStream.compactBatch(toDf(batch2), tCfg).cache()
+    try CdcPipeline.mergeAndPublish(spark, tCfg, changes, changes.count(), batchId = 1L)
+    finally changes.unpersist()
+    val curV = CdcPipeline.currentVersion(tCfg.targetPath).get
+    assert(CdcPipeline.rollupAsOfVersion(tCfg, "by_grp") === curV - 1,
+      "rollup must trail the pointer after the torn publish")
+
+    // the engine replays batch 1: merge is skipped (batchId guard) but
+    // the rollup catches up against the time-traveled pre-merge
+    // snapshot — state ≡ recompute, applied exactly once
+    assert(!CdcStream.mergeBatchToTarget(toDf(batch2), 1L, tCfg))
+    assert(CdcPipeline.rollupAsOfVersion(tCfg, "by_grp") === curV)
+    assert(rollupState(tCfg, "by_grp") === rollupRecompute(tCfg))
+
+    // repair path: a rollup declared AFTER the target already evolved
+    // (asOf gap > 1) bootstraps by full recompute on the next batch
+    val late = tCfg.copy(rollups = Seq(RollupSpec("late", Seq("grp"), "cents", derive _, Some(2))))
+    assert(!CdcStream.mergeBatchToTarget(toDf(batch2), 1L, late))
+    assert(CdcPipeline.rollupAsOfVersion(late, "late") === curV)
+    assert(rollupState(late, "late") === rollupRecompute(late))
   }
 
   test("stateful first-seen dedup emits each key once across batches") {
