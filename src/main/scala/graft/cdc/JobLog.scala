@@ -58,8 +58,54 @@ object JobLog {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }.getOrElse(0L)
 
-  def append(spark: SparkSession, logDir: String, rec: RunRecord): Unit = {
+  /** Appends one run row — and keeps the directory bounded: every
+    * append leaves one more small file, so a target merged every
+    * minute for a year is ~500k files of one row each, and the
+    * footer-merging `read` (hence every watermark lookup) degrades
+    * with the file count, not the row count. Once the directory holds
+    * `autoCompactAt` files the append triggers [[compact]], so steady
+    * state is O(autoCompactAt) files regardless of run count. Pass
+    * `autoCompactAt = 0` to disable (callers that schedule `compact`
+    * themselves).
+    */
+  def append(spark: SparkSession, logDir: String, rec: RunRecord,
+      autoCompactAt: Int = 64): Unit = {
     import spark.implicits._
     Seq(rec).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(logDir)
+    if (autoCompactAt > 0) { compact(spark, logDir, minFiles = autoCompactAt); () }
+  }
+
+  private def parquetFiles(logDir: String): Seq[java.io.File] =
+    Option(new java.io.File(logDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Rewrite the log's current files into ONE (when at least
+    * `minFiles` have accumulated), under the pipeline's single-writer
+    * contract. Crash-safe by ordering: the combined file is written
+    * BEFORE the inputs are deleted, so a crash in between leaves
+    * duplicate rows, never lost ones — and duplicates are harmless to
+    * every consumer (`lastWatermark` is a MAX) and are healed by the
+    * next compact's `run_id` dedup. Concurrent READERS of the
+    * directory (other sessions) may transiently see those duplicates;
+    * the writer itself never races because it is the one calling this.
+    * Returns the number of input files removed (0 = below threshold).
+    */
+  def compact(spark: SparkSession, logDir: String, minFiles: Int = 16): Int = {
+    val files = parquetFiles(logDir)
+    if (files.size < minFiles) 0
+    else {
+      // pin the read to this exact file snapshot: the combined file we
+      // append below must not feed its own input
+      val all = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.getAbsolutePath): _*)
+        .dropDuplicates("run_id")
+      all.coalesce(1).write.mode(SaveMode.Append).parquet(logDir)
+      files.foreach { f =>
+        // the local Hadoop FS keeps a .<name>.crc sibling per file
+        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+        f.delete()
+      }
+      files.size
+    }
   }
 }

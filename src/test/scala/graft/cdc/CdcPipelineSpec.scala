@@ -370,6 +370,32 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(JobLog.lastWatermark(spark, log, c) === 200L)
   }
 
+  test("job-log compaction bounds the file count; watermark and history survive, dupes heal") {
+    val log = tmp()
+    def rec(i: Int) = JobLog.RunRecord(s"run-$i", "events_cdc", "graft",
+      "events_snapshot", i * 100L, (i + 1) * 100L, i.toLong, "SUCCESS", "", 1, 0, 0)
+    def nFiles: Int = Option(new java.io.File(log).listFiles()).toSeq.flatten
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    (0 until 20).foreach(i => JobLog.append(spark, log, rec(i), autoCompactAt = 0))
+    assert(nFiles >= 20, "append-per-run leaves one file per run")
+    assert(JobLog.compact(spark, log, minFiles = 16) === 20)
+    assert(nFiles === 1, "compaction rewrites the log into one file")
+    assert(JobLog.read(spark, log).get.count() === 20)
+    assert(JobLog.lastWatermark(spark, log, cfg(tmp())) === 2000L,
+      "watermark must survive compaction byte-for-byte")
+    assert(JobLog.compact(spark, log, minFiles = 16) === 0, "below threshold is a no-op")
+    // crash window: combined file written, inputs not yet deleted →
+    // duplicate rows; the next compact's run_id dedup heals them
+    (0 until 20).foreach(_ => JobLog.append(spark, log, rec(0), autoCompactAt = 0))
+    assert(JobLog.compact(spark, log, minFiles = 16) > 0)
+    assert(JobLog.read(spark, log).get.count() === 20, "run_id dedup collapses replayed rows")
+    // steady state under auto-compaction stays bounded no matter how
+    // many runs append
+    (0 until 40).foreach(i => JobLog.append(spark, log, rec(100 + i), autoCompactAt = 8))
+    assert(nFiles <= 8, s"auto-compaction must bound the directory, got $nFiles files")
+    assert(JobLog.read(spark, log).get.count() === 60)
+  }
+
   test("a failing run writes a FAILED job-log row and leaves the snapshot untouched") {
     val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
     val target = tmp(); val log = tmp()
