@@ -241,6 +241,21 @@ object OpsQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // C16∘C26 (r5): IVF×PQ — probe-limited ADC over inverted lists of
+  // PQ codes + exact rerank. Rows-only (float-seeded codebooks);
+  // the OpsSpec gate proves recall ≥ plain IVF at the same probe
+  // budget and ADC-scored rows ∝ probed lists.
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") < 42)
+    val model = Pq.fitDf(c.orderBy(col("vec_id")), m = 16, k = 64, iters = 10)
+    Pq.ivfPqTopK(q, Pq.ivfPqIndex(c, cent, model), c, cent, model,
+        topK = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // C8: language ID.
   def textLangid(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -775,6 +790,7 @@ object OpsQueries {
     QueryDef("ann_lsh", annLsh, None),
     QueryDef("ann_ivf", annIvf, Some(oAnnIvf)),
     QueryDef("ann_pq", annPq, None),
+    QueryDef("ann_ivf_pq", annIvfPq, None),
     QueryDef("text_langid", textLangid, Some(oTextLangid)),
     QueryDef("corpus_stats", corpusStats, Some(oCorpusStats)),
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),

@@ -176,6 +176,118 @@ object Pq {
       .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rnk"))
   }
+  /** IVF×PQ composed index (SURVEY.md §2 C16 ∘ C26) — the production
+    * 100 TB vector-index shape: inverted lists whose entries are PQ
+    * CODES, so probing is list-limited (IVF's win) AND code-width
+    * (PQ's win). One pass over the corpus: encode + argmax-cosine
+    * centroid assignment fused in the same projection; the
+    * LatestByOrder hash-agg shuffle then carries (cid, 16-byte codes),
+    * never the float column — the persisted index is
+    * (cid, vec_id, codes, recon_norm) and the embedding column is
+    * only ever read again by the rerank stage.
+    */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, model: PqModel,
+      id: Column = col("vec_id"), vec: Column = col("embedding")): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
+    corpus
+      .select(id.as("neighbor_id"), vec.as("emb_c"),
+        graft.functions.toCol(graft.functions.PqEncode(
+          graft.functions.toExpr(vec), model.m, model.k, model.codebooks)).as("pq"))
+      .crossJoin(broadcast(cent))
+      .select(col("neighbor_id"), col("pq"), col("cid"),
+        graft.functions.SortableDoubleBits(
+          Similarity.cosine(col("emb_c"), col("emb_cent"))).as("ord"))
+      .groupBy("neighbor_id")
+      .agg(graft.functions.LatestByOrder(struct(col("cid"), col("pq")),
+        col("ord"), -col("cid")).as("best"))
+      .select(col("best.cid").as("cid"), col("neighbor_id"),
+        col("best.pq.codes").as("codes"), col("best.pq.recon_norm").as("recon_norm"))
+  }
+
+  /** Top-`nprobe` centroids per query — the probe set both
+    * [[ivfPqTopK]] and its scored-row-count spec gate share (so the
+    * gate measures exactly what the query touches). Bounded hash agg,
+    * |Q|·nprobe output rows.
+    */
+  def probeSet(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cid"),
+        graft.functions.SortableDoubleBits(
+          Similarity.cosine(col("emb_q"), col("emb_cent"))).as("ord"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByOrder(struct(col("cid")),
+        col("ord"), col("cid"), nprobe).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.cid").as("cid"))
+  }
+
+  /** Probe-limited two-stage search over an [[ivfPqIndex]]: ADC
+    * scores ONLY the probed lists' codes (scored rows ∝ probed lists,
+    * not corpus — the composition C16 alone lacks: its probed lists
+    * hold floats; and C26 alone lacks: its ADC scans every code),
+    * shortlists `topK·refine` per query, then exact-cosine reranks
+    * just those rows against the float column. Queries are a bounded
+    * ANN batch (ADC tables are Q·M·K driver-side floats; probes and
+    * shortlist broadcast).
+    */
+  def ivfPqTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, model: PqModel, topK: Int, nprobe: Int,
+      refine: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (m, k, dsub) = (model.m, model.k, model.dsub)
+    val tables = new Array[Float](q.length * m * k)
+    q.zipWithIndex.foreach { case ((_, vec), qi) =>
+      val qNorm = math.sqrt(vec.map(v => v.toDouble * v).sum)
+      val inv = if (qNorm > 0) 1.0 / qNorm else 0.0
+      for (mi <- 0 until m; ki <- 0 until k) {
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          d += vec(mi * dsub + j) * model.codebooks((mi * k + ki) * dsub + j)
+          j += 1
+        }
+        tables(qi * m * k + mi * k + ki) = (d * inv).toFloat
+      }
+    }
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qIdx = q.map(_._1).zipWithIndex.map { case (id, i) => (id, i) }
+      .toSeq.toDF("query_id", "_qi")
+    val probes = probeSet(queries, centroids, nprobe).join(qIdx, "query_id")
+    val dot = graft.functions.toCol(graft.functions.PqAdcDot(
+      graft.functions.toExpr(col("_qi")), graft.functions.toExpr(col("codes")),
+      m, k, tables))
+    // ADC stage: probed lists only — the broadcast probe join prunes
+    // un-probed lists at the index scan, and each surviving row costs
+    // M table lookups, no float math.
+    val scored = index.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.SortableDoubleBits(
+          dot / greatest(col("recon_norm"), lit(1e-30))).as("ord"))
+    val shortlist = scored.groupBy("query_id")
+      .agg(graft.functions.TopKByOrder(struct(col("neighbor_id")),
+        col("ord"), col("neighbor_id"), topK * refine).as("top"))
+      .select(col("query_id"), explode(col("top")).as("r"))
+      .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("emb_q"))), "query_id")
+    // exact rerank touches |Q|·topK·refine float rows, never the corpus
+    val reranked = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.SortableDoubleBits(
+          Similarity.cosine(col("emb_q"), col("emb_c"))).as("ord"))
+    reranked.groupBy("query_id")
+      .agg(graft.functions.TopKByOrder(struct(col("neighbor_id")),
+        col("ord"), col("neighbor_id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
 }
 
 /** Shared argmin kernel for fit (driver) — mirrors PqOps.encode's

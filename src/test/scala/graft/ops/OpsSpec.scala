@@ -160,6 +160,40 @@ class OpsSpec extends AnyFunSuite {
     assert(rerankRecall >= recall, "rerank must never hurt recall")
   }
 
+  test("IVF×PQ: recall >= plain IVF at equal probe budget; ADC-scored rows are probed lists only") {
+    val e = T.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") < 42)
+    val model = Pq.fitDf(c.orderBy(col("vec_id")), m = 16, k = 64, iters = 10)
+    val index = Pq.ivfPqIndex(c, cent, model)
+    assert(index.count() === c.count(), "every corpus vector lands in exactly one list")
+    assert(index.select(size(col("codes"))).distinct().as[Int].collect().toSeq === Seq(16),
+      "the index stores 16-byte-ish codes, not floats")
+
+    val brute = Similarity.cosineTopK(q, c, 5).as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvfTopK(q, c, cent, 5, 4).as[(Long, Long)].collect().toSet
+    val ivfpq = Pq.ivfPqTopK(q, index, c, cent, model, topK = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rIvf = brute.intersect(ivf).size.toDouble / brute.size
+    val rIvfPq = brute.intersect(ivfpq).size.toDouble / brute.size
+    info(f"ivf recall=$rIvf%.2f  ivf-pq recall=$rIvfPq%.2f (nprobe=4, refine=4)")
+    assert(rIvfPq >= rIvf,
+      s"exact rerank over the same probed lists must not lose recall: $rIvfPq < $rIvf")
+
+    // probe-limit semantics: every result comes from a probed list,
+    // and the ADC stage's input is the probed lists' rows — a fixed
+    // nprobe/M fraction of the corpus, not the corpus
+    val probes = Pq.probeSet(q, cent, 4)
+    val probedPairs = probes.join(index, "cid")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.subsetOf(probedPairs), "results must come only from probed lists")
+    val scoredRows = probedPairs.size.toLong
+    val bruteRows = q.count() * c.count()
+    assert(scoredRows <= bruteRows / 4,
+      s"ADC must score probed lists (~nprobe/M of the corpus), got $scoredRows of $bruteRows")
+  }
+
   test("k-means fit recovers planted clusters and lifts IVF recall over id-sample centroids") {
     import org.apache.spark.sql.functions.broadcast
     val rnd = new scala.util.Random(42)
