@@ -111,24 +111,35 @@ object Similarity {
   val BroadcastQueryRows: Long = 100000L
 
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      queryRows: Option[Long] = None): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
-    // broadcast the QUERY side: an ANN batch has queries ≪ corpus, so
-    // the corpus streams through the scan untouched and the top-k
-    // partials combine map-side — k rows per (task, query) hit the
-    // shuffle. Broadcasting the corpus (the r2 shape) capped the
-    // baseline at corpus-fits-in-memory. Pass `queryRows` when the
-    // caller knows the batch size; a large batch falls back to an
-    // un-hinted join instead of an OOM-prone forced broadcast.
-    val qSide = queryRows match {
-      case Some(nr) if nr > BroadcastQueryRows => q
-      case _ => broadcast(q)
-    }
-    val scored = c.crossJoin(qSide)
-      .select(col("query_id"), col("neighbor_id"),
-        ordOf(cosine(col("emb_q"), col("emb_c"))).as("ord"))
-    topByOrd(scored, k).select("query_id", "neighbor_id")
+      queryRows: Option[Long] = None,
+      largeBatchTables: Int = 48, largeBatchPlanes: Int = 4,
+      dims: Int = 64): DataFrame = queryRows match {
+    // Corpus-sized query batch (a self-join regime, not an ANN probe):
+    // neither side can broadcast, and an un-hinted cartesian would be
+    // |Q|·|N| scored rows through a nested-loop — the one plan that
+    // cannot survive scale. Route through the multi-table bucketed LSH
+    // instead: both sides key on (tbl, bucket), the join co-partitions,
+    // and candidate volume is ≈ tables·|Q|·|N|/2^planes. The deep
+    // default (48×4 — top-k pairs reach lower cosine than the τ≈0.42
+    // dedup floor, needing twice its 24 tables) is recall-tested at
+    // small SF (OpsSpec: equality vs brute force on this corpus);
+    // production tunes tables/planes to its similarity floor.
+    case Some(nr) if nr > BroadcastQueryRows =>
+      annLshTopK(queries, corpus, k, largeBatchTables, largeBatchPlanes, dims)
+        .select("query_id", "neighbor_id")
+    case _ =>
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+      // broadcast the QUERY side: an ANN batch has queries ≪ corpus, so
+      // the corpus streams through the scan untouched and the top-k
+      // partials combine map-side — k rows per (task, query) hit the
+      // shuffle. Broadcasting the corpus (the r2 shape) capped the
+      // baseline at corpus-fits-in-memory. Pass `queryRows` when the
+      // caller knows the batch size.
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("neighbor_id"),
+          ordOf(cosine(col("emb_q"), col("emb_c"))).as("ord"))
+      topByOrd(scored, k).select("query_id", "neighbor_id")
   }
 
   /** LSH bucket id in one hash table: sign bits of the vector against

@@ -88,13 +88,20 @@ class OpsSpec extends AnyFunSuite {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
       }.nonEmpty
     val hinted = Similarity.cosineTopK(q, c, 5)
-    val unhinted = Similarity.cosineTopK(q, c, 5,
+    val large = Similarity.cosineTopK(q, c, 5,
       queryRows = Some(Similarity.BroadcastQueryRows + 1))
     assert(hasHint(hinted), "small/unknown batch keeps the broadcast hint")
-    assert(!hasHint(unhinted), "large known batch must not force a broadcast")
-    // Results are identical either way — only the physical strategy moves.
-    assert(hinted.as[(Long, Long)].collect().toSet ===
-      unhinted.as[(Long, Long)].collect().toSet)
+    assert(!hasHint(large), "large known batch must not force a broadcast")
+    // A corpus-sized batch routes through the bucketed LSH join: the
+    // plan must contain NO cartesian of any kind — both sides key on
+    // (tbl, bucket) and co-partition.
+    val phys = large.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+      phys.linesIterator.take(30).mkString("\n"))
+    // Deep-table equality at small SF: the routed result must equal
+    // brute force on this corpus (recall is spec-checked, not assumed).
+    assert(large.as[(Long, Long)].collect().toSet ===
+      hinted.as[(Long, Long)].collect().toSet)
   }
 
   test("minhashCandidates with explicit MinHashLsh params matches the defaults") {
