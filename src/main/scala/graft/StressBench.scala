@@ -240,6 +240,21 @@ object StressBench {
         }
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+    // r5: job-log compaction — the run log must stay O(bounded) files
+    // however many runs append (un-compacted, every watermark lookup
+    // footer-merges one file per historical run).
+    locally {
+      val log = java.nio.file.Files.createTempDirectory("graft-stress-log").toString
+      def rec(i: Int) = JobLog.RunRecord(s"run-$i", "stress_cdc", "graft", "t",
+        i * 1000L, (i + 1) * 1000L, i.toLong, "SUCCESS", "", 1, 0, 0)
+      time("job log: 200 appends, auto-compaction at 32 files") {
+        (0 until 200).foreach(i => JobLog.append(spark, log, rec(i), autoCompactAt = 32))
+      }
+      val files = Option(new java.io.File(log).listFiles()).toSeq.flatten
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val rows = JobLog.read(spark, log).get.count()
+      println(s"[stress] job-log after 200 runs: $files files (bound 32), $rows rows intact")
+    }
     spark.stop()
   }
 }
