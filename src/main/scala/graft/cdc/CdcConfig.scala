@@ -59,7 +59,14 @@ final case class CdcTableConfig(
       * window / micro-batch (batch `run` and streaming
       * `mergeBatchToTarget` both call `maintainRollups`).
       */
-    rollups: Seq[RollupSpec] = Nil) {
+    rollups: Seq[RollupSpec] = Nil,
+    /** When set, every successful publish vacuums the target AND each
+      * rollup store down to this many recent versions — without it a
+      * streaming merge leaks one superseded version per micro-batch
+      * forever. Clamped to ≥ 2: the torn-publish rollup catch-up reads
+      * version−1 by time travel, which must survive the GC window.
+      */
+    autoVacuumKeep: Option[Int] = None) {
   /** Target schema = pk ++ projected ++ passthrough columns. */
   def targetCols: Seq[String] =
     (pk ++ fieldSpecs.map(_.as) ++ passthrough).distinct
@@ -169,7 +176,8 @@ object CdcConfig {
         partitionField = opt("partition_field"),
         isActive = true,
         numBuckets = optBuckets("num_buckets"),
-        rollups = opt("rollups").map(parseRollups).getOrElse(Nil))
+        rollups = opt("rollups").map(parseRollups).getOrElse(Nil),
+        autoVacuumKeep = optBuckets("auto_vacuum_keep"))
     }
   }
 }

@@ -475,6 +475,18 @@ object CdcPipeline {
     }
   }
 
+  /** Vacuum the target and every rollup store down to
+    * `cfg.autoVacuumKeep` versions (no-op when unset). Keep is
+    * clamped to ≥ 2 so the rollup catch-up's time travel to
+    * version−1 always finds its manifest.
+    */
+  private[graft] def autoVacuum(cfg: CdcTableConfig): Unit =
+    cfg.autoVacuumKeep.foreach { keep =>
+      val k = math.max(2, keep)
+      vacuum(cfg.targetPath, k)
+      cfg.rollups.foreach(rs => vacuum(rollupPath(cfg, rs.name), k))
+    }
+
   /** Run one incremental merge for `cfg`, reading envelope rows from
     * `source` (already in CdcEnvelope shape), windowed to
     * (last watermark, nowUs].
@@ -501,6 +513,7 @@ object CdcPipeline {
       // declared rollups advance by delta (reference: the derived-table
       // refresh inside the procedure, merge.sql:520–581)
       maintainRollups(spark, cfg, changes, Some(nUps + nDel), changesMatchCurrent = true)
+      autoVacuum(cfg)
       // insert/update split: updated = upserts whose PK pre-existed
       // in the target; inserted = genuinely new PKs (the reference
       // logs both — merge.sql:520–534).

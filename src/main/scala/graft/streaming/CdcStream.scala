@@ -61,6 +61,7 @@ object CdcStream {
         // pointer records which batch made it)
         CdcPipeline.maintainRollups(batch.sparkSession, cfg, changes, Some(deltaRows),
           changesMatchCurrent = targetFresh || committedBatch.contains(batchId))
+        CdcPipeline.autoVacuum(cfg)
         targetFresh
       } finally changes.unpersist()
     }

@@ -310,6 +310,33 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(rollupState(late, "late") === rollupRecompute(late))
   }
 
+  test("autoVacuumKeep bounds target and rollup version dirs across micro-batches") {
+    val vCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-vac").toString,
+      numBuckets = Some(4),
+      rollups = Seq(RollupSpec("by_grp", Seq("grp"), "cents", derive _, Some(2))),
+      autoVacuumKeep = Some(2))
+    def versionDirs(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+    // a long-running stream: replay batch2's content as fresh batches
+    assert(CdcStream.mergeBatchToTarget(toDf(batch1), 0L, vCfg))
+    (1L to 5L).foreach(id => assert(CdcStream.mergeBatchToTarget(toDf(batch2), id, vCfg)))
+    assert(CdcPipeline.currentVersion(vCfg.targetPath).get === 5L)
+    // the rollup store rewrites every bucket per publish (state-sized),
+    // so superseded versions are fully unreachable: exactly `keep` live
+    assert(versionDirs(CdcPipeline.rollupPath(vCfg, "by_grp")) <= 2,
+      "rollup store must not leak a version per micro-batch")
+    // the target carries buckets by reference, so only UNreferenced
+    // version dirs can go — but the leak must be bounded, not ∝ batches
+    assert(versionDirs(vCfg.targetPath) < 6,
+      "target must vacuum versions no kept manifest references")
+    // correctness survives the GC: state ≡ recompute, time travel to
+    // version−1 (the torn-publish window) still readable
+    assert(rollupState(vCfg, "by_grp") === rollupRecompute(vCfg))
+    assert(CdcPipeline.readSnapshotAt(spark,
+      vCfg.targetPath, 4L).nonEmpty, "keep=2 must retain version-1 for catch-up")
+  }
+
   test("stateful first-seen dedup emits each key once across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
