@@ -80,6 +80,66 @@ object Dedup {
     bucketPairs(keyed, lsh.maxBucket).select("id_a", "id_b")
   }
 
+  /** Banded LSH postings of a doc set — (band, bucket, doc_id), the
+    * relation [[incrementalMinhash]] persists between ingest batches.
+    */
+  def minhashEntries(docs: DataFrame, text: Column = col("text"),
+      lsh: MinHashLsh = MinHashLsh()): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.TextExpressions.minhashBandBuckets(
+        text, lsh.bands, lsh.rowsPerBand)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id"))
+
+  /** Incremental near-dup ingestion (SURVEY.md §2 C32) — dedup for a
+    * corpus that GROWS: each ingest batch is LSH-hashed once, probed
+    * against the persisted postings index, and appended to it — the
+    * full corpus is never re-hashed or re-paired. Per batch:
+    * candidate pairs = (new × new) within-bucket ∪ (index × new)
+    * same-bucket, both capped by the same oversized-bucket guard as
+    * the one-shot path (evaluated against the corpus-so-far bucket
+    * size, so a batch never expands a degenerate bucket).
+    *
+    * Returns (pairs, newEntries); the caller appends newEntries to
+    * the index (e.g. parquet partitioned/bucketed by (band, bucket),
+    * so the probe join co-partitions and touches only the new
+    * buckets' postings).
+    *
+    * Equality contract: ingesting a corpus in ANY batch order yields
+    * exactly the one-shot [[minhashCandidates]] pair set, as long as
+    * no bucket crosses `maxBucket` mid-stream (spec-gated). Emission
+    * is monotone — an incremental pipeline cannot retract — so a
+    * bucket that exceeds the cap only as later batches arrive keeps
+    * the pairs it emitted while legal, where the one-shot run drops
+    * the whole bucket.
+    *
+    * Scale shape: the index is bands·N small rows; the per-batch cost
+    * is hash(newDocs) + two bucket-local joins ∝ |batch| postings —
+    * never ∝ corpus. This is the 100 TB ingest loop: the alternative
+    * (re-run one-shot LSH per ingest) re-pays the whole corpus every
+    * batch.
+    */
+  def incrementalMinhash(newDocs: DataFrame, index: DataFrame,
+      text: Column = col("text"), lsh: MinHashLsh = MinHashLsh()): (DataFrame, DataFrame) = {
+    val newEntries = minhashEntries(newDocs, text, lsh)
+    val oversized = index.select("band", "bucket", "doc_id")
+      .unionByName(newEntries)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > lsh.maxBucket)
+      .select("band", "bucket")
+    val keptNew = newEntries.join(oversized, Seq("band", "bucket"), "left_anti")
+    val keptOld = index.join(oversized, Seq("band", "bucket"), "left_anti")
+    val withinNew = bucketPairs(keptNew, lsh.maxBucket).select("id_a", "id_b")
+    val crossOld = keptOld
+      .select(col("band"), col("bucket"), col("doc_id").as("old_id"))
+      .join(keptNew.select(col("band"), col("bucket"), col("doc_id").as("new_id")),
+        Seq("band", "bucket"))
+      .select(least(col("old_id"), col("new_id")).as("id_a"),
+        greatest(col("old_id"), col("new_id")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    (withinNew.unionByName(crossOld).distinct(), newEntries)
+  }
+
   /** Jaccard similarity of the two docs' shingle sets — the exact
     * verification pass over LSH candidates (candidates ≪ corpus², so
     * carrying the shingle arrays through the join is cheap).

@@ -307,6 +307,41 @@ object OpsQueries {
        |FROM lang l JOIN tok t ON l.doc_id = t.doc_id
        |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // C32 (r5): incremental minhash ingestion — two batches through the
+  // postings index; rows-only (Spark-hash-seeded like C2), the
+  // equality-with-one-shot gate lives in OpsSpec.
+  def dedupMinhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val empty = Dedup.minhashEntries(docs.limit(0))
+    val (p1, e1) = Dedup.incrementalMinhash(docs.filter(col("doc_id") < 250), empty)
+    val (p2, _) = Dedup.incrementalMinhash(docs.filter(col("doc_id") >= 250), e1)
+    p1.unionByName(p2).orderBy(col("id_a"), col("id_b"))
+  }
+
+  // C31 (r5): the end-to-end quality gate — the kept corpus after
+  // language/length/quality/repetition screening, one codegen'd
+  // projection + filter over the scan (no shuffle, no joins).
+  def corpusFiltered(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFilter(T.documents(s, d)).orderBy(col("doc_id"))
+
+  private val oCorpusFiltered =
+    s"""WITH lang AS ($oTextLangidBody),
+       |sig AS (SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  round(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t)))
+       |        / len(string_split(text, ' '))
+       |      + 1.0 / (1.0 + len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}'))), 6)
+       |    AS quality_score,
+       |  round(1 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS dup_word_frac
+       |FROM documents)
+       |SELECT s.doc_id, s.n_tokens, s.quality_score, s.dup_word_frac, l.lang_pred
+       |FROM sig s JOIN lang l ON s.doc_id = l.doc_id
+       |WHERE s.n_tokens >= 20 AND s.dup_word_frac <= 0.5
+       |  AND s.quality_score >= 1.05 AND l.lang_pred <> 'und'
+       |ORDER BY s.doc_id""".stripMargin
+
   // C9: quality metrics.
   def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
@@ -780,6 +815,7 @@ object OpsQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
+    QueryDef("dedup_minhash_incremental", dedupMinhashIncremental, None),
     QueryDef("dedup_simhash", dedupSimhash, None),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard, Some(oDedupNgramJaccard)),
     QueryDef("text_jaccard_pairs", textJaccardPairs, Some(oTextJaccardPairs)),
@@ -793,6 +829,7 @@ object OpsQueries {
     QueryDef("ann_ivf_pq", annIvfPq, None),
     QueryDef("text_langid", textLangid, Some(oTextLangid)),
     QueryDef("corpus_stats", corpusStats, Some(oCorpusStats)),
+    QueryDef("corpus_filtered", corpusFiltered, Some(oCorpusFiltered)),
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),
     QueryDef("pack_texts", packTexts, Some(oPackTexts)),
     QueryDef("text_scrub", textScrub, Some(oTextScrub)),

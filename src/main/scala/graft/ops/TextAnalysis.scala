@@ -177,6 +177,32 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_overlap"))
   }
 
+  /** End-to-end quality gate (SURVEY.md §2 C31): the kept corpus
+    * after language/length/quality/repetition screening — the
+    * materialization a training run actually reads, with every signal
+    * retained as provenance. ALL signals here are per-row expressions
+    * (language ID, stopword quality score, duplicate-word fraction),
+    * so the whole gate is ONE codegen'd projection + filter on the
+    * corpus scan: zero shuffle, zero joins, embarrassingly parallel at
+    * any corpus size. (The shuffle-bearing signals — top-bigram
+    * coverage, dup-trigram — stay in [[repetitionSignals]] for
+    * pipelines that want them; this gate is the cheap first pass that
+    * drops the bulk.)
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 20,
+      maxDupWordFrac: Double = 0.5, minQuality: Double = 1.05,
+      text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val punctN = size(regexp_extract_all(text, lit(PunctPattern), lit(0)))
+    val qscore = round(stopCount(text, 0) / nTok + lit(1.0) / (lit(1.0) + punctN), 6)
+    val dupFrac = round(lit(1.0) - size(array_distinct(toks)).cast("double") / nTok, 6)
+    docs.select(col("doc_id"), nTok.as("n_tokens"), qscore.as("quality_score"),
+        dupFrac.as("dup_word_frac"), langId(text).as("lang_pred"))
+      .filter(col("n_tokens") >= minTokens && col("dup_word_frac") <= maxDupWordFrac &&
+        col("quality_score") >= minQuality && col("lang_pred") =!= "und")
+  }
+
   /** End-to-end decontamination: the *filtered corpus* — every corpus
     * doc whose distinct-overlapping-n-gram count against the benchmark
     * is ≤ `maxOverlap`, with that count kept as provenance

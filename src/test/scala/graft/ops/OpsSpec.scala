@@ -25,6 +25,26 @@ class OpsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed ${missed.size} true pairs: ${missed.take(5)}")
   }
 
+  test("incremental minhash ingestion equals the one-shot candidate set across 3 batches") {
+    val docs = T.documents(spark, sf)
+    val oneShot = Dedup.minhashCandidates(docs).as[(Long, Long)].collect().toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.as[(Long, Long)].collect().toSet
+    val empty = Dedup.minhashEntries(docs.limit(0))
+    val (p1, e1) = Dedup.incrementalMinhash(docs.filter(col("doc_id") % 3 === 0), empty)
+    val i1 = e1.localCheckpoint(true)
+    val (p2, e2) = Dedup.incrementalMinhash(docs.filter(col("doc_id") % 3 === 1), i1)
+    val i2 = i1.unionByName(e2).localCheckpoint(true)
+    val (p3, e3) = Dedup.incrementalMinhash(docs.filter(col("doc_id") % 3 === 2), i2)
+    val got = pairs(p1) ++ pairs(p2) ++ pairs(p3)
+    assert(got === oneShot,
+      s"incremental=${got.size} oneshot=${oneShot.size} " +
+        s"missed=${(oneShot -- got).take(3)} extra=${(got -- oneShot).take(3)}")
+    assert(pairs(p2).nonEmpty || pairs(p3).nonEmpty, "cross-batch pairs must exist")
+    // the final index holds every posting exactly once
+    assert(i2.unionByName(e3).count() === Dedup.minhashEntries(docs).count())
+  }
+
   test("simhash LSH pairs equal the exact all-pairs Hamming<=3 truth") {
     // 4 bands × 16 bits give GUARANTEED recall for Hamming ≤ 3: three
     // flipped bits can touch at most 3 bands, so one band always
