@@ -240,6 +240,41 @@ object StressBench {
         }
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+    // r5: IVF×PQ at 1M vectors — the composed index's scale contract:
+    // the one corpus-sized cost is the build (encode + centroid
+    // assignment, single pass); a query then ADC-scores only the
+    // probed lists' CODES (nprobe/M of the corpus, 16 lookups per
+    // row, no float math) before the bounded exact rerank.
+    locally {
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val corpus = emb
+        .withColumn("rep", explode(sequence(lit(0), lit(49))))
+        .withColumn("vec_id", col("vec_id") * 50L + col("rep"))
+        .drop("rep")
+        .localCheckpoint(true)
+      val nVec = corpus.count()
+      val queries = emb.filter(col("vec_id") < 10)
+      val cent = corpus.filter(pmod(col("vec_id"), lit(512L)) === 0)
+        .localCheckpoint(true)
+      val nCent = cent.count()
+      val model = graft.ops.Pq.fitDf(
+        corpus.filter(col("vec_id") < 2000), m = 16, k = 64, iters = 5)
+      time(f"ann: brute-force top-5, 10 queries x ${nVec / 1e6}%.1f M vectors") {
+        graft.ops.Similarity.cosineTopK(queries, corpus, 5).count()
+      }
+      var index: org.apache.spark.sql.DataFrame = null
+      time(s"ann: IVF x PQ index build ($nVec vectors, $nCent lists, one pass)") {
+        index = graft.ops.Pq.ivfPqIndex(corpus, cent, model).localCheckpoint(true)
+        index.count()
+      }
+      time(s"ann: IVF x PQ top-5 query, nprobe 8/$nCent lists") {
+        graft.ops.Pq.ivfPqTopK(queries, index, corpus, cent, model, 5, 8).count()
+      }
+      val scored = index.join(
+        graft.ops.Pq.probeSet(queries, cent, 8), "cid").count()
+      println(f"[stress] ann scored rows: ADC ${scored / 1e3}%.0f k codes vs brute ${10L * nVec / 1e6}%.1f M float pairs (${100.0 * scored / (10L * nVec)}%.1f%%)")
+    }
+
     // r5: job-log compaction — the run log must stay O(bounded) files
     // however many runs append (un-compacted, every watermark lookup
     // footer-merges one file per historical run).

@@ -179,29 +179,40 @@ object Pq {
   /** IVF×PQ composed index (SURVEY.md §2 C16 ∘ C26) — the production
     * 100 TB vector-index shape: inverted lists whose entries are PQ
     * CODES, so probing is list-limited (IVF's win) AND code-width
-    * (PQ's win). One pass over the corpus: encode + argmax-cosine
-    * centroid assignment fused in the same projection; the
-    * LatestByOrder hash-agg shuffle then carries (cid, 16-byte codes),
-    * never the float column — the persisted index is
-    * (cid, vec_id, codes, recon_norm) and the embedding column is
-    * only ever read again by the rerank stage.
+    * (PQ's win). The persisted index is (cid, vec_id, codes,
+    * recon_norm); the embedding column is only ever read again by the
+    * rerank stage.
+    *
+    * Build shape: the N×M assignment candidate stream reduces through
+    * a codegen'd `max_by(cid, (ord, -cid))` HASH aggregate — scalar
+    * values only, map-side combine, lexicographic struct order gives
+    * the same argmax-cosine/lowest-cid-tie semantics as the query
+    * path's LatestByOrder. The codes come from their own single
+    * encode pass and join back co-partitioned on the id. (A fused
+    * single pass that carried the codes struct through the object
+    * aggregate paid an array copy per CANDIDATE row — N·M copies,
+    * measured 9× slower at 100 k×196 — the codes must never ride the
+    * assignment reduction.)
     */
   def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, model: PqModel,
       id: Column = col("vec_id"), vec: Column = col("embedding")): DataFrame = {
     val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
-    corpus
-      .select(id.as("neighbor_id"), vec.as("emb_c"),
+    val assign = corpus.select(id.as("neighbor_id"), vec.as("emb_c"))
+      .crossJoin(broadcast(cent))
+      .select(col("neighbor_id"), col("cid"),
+        struct(
+          graft.functions.SortableDoubleBits(
+            Similarity.cosine(col("emb_c"), col("emb_cent"))).as("ord"),
+          (-col("cid")).as("tb")).as("key"))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cid"), col("key")).as("cid"))
+    val encoded = corpus.select(id.as("neighbor_id"),
         graft.functions.toCol(graft.functions.PqEncode(
           graft.functions.toExpr(vec), model.m, model.k, model.codebooks)).as("pq"))
-      .crossJoin(broadcast(cent))
-      .select(col("neighbor_id"), col("pq"), col("cid"),
-        graft.functions.SortableDoubleBits(
-          Similarity.cosine(col("emb_c"), col("emb_cent"))).as("ord"))
-      .groupBy("neighbor_id")
-      .agg(graft.functions.LatestByOrder(struct(col("cid"), col("pq")),
-        col("ord"), -col("cid")).as("best"))
-      .select(col("best.cid").as("cid"), col("neighbor_id"),
-        col("best.pq.codes").as("codes"), col("best.pq.recon_norm").as("recon_norm"))
+      .select(col("neighbor_id"), col("pq.codes").as("codes"),
+        col("pq.recon_norm").as("recon_norm"))
+    encoded.join(assign.hint("shuffle_hash"), "neighbor_id")
+      .select(col("cid"), col("neighbor_id"), col("codes"), col("recon_norm"))
   }
 
   /** Top-`nprobe` centroids per query — the probe set both

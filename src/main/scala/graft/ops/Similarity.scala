@@ -176,21 +176,26 @@ object Similarity {
   def annIvfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
-    // Inverted lists: argmax-cosine centroid per corpus vector, as a
-    // LatestByOrder hash-agg (ord2 = -cid ⇒ ties pick the smallest
-    // cid, the oracle's ORDER BY cos DESC, cid). The r2 form was a
-    // row_number window here — N·M scored rows through shuffle+sort;
-    // this plans ObjectHashAggregate with map-side combine: the
-    // shuffle carries one best-so-far row per corpus vector and
-    // nothing is ever sorted (VERDICT r2 "What's wrong" #1).
-    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+    // Inverted lists: argmax-cosine centroid per corpus vector. The
+    // r2 form was a row_number window (N·M scored rows through
+    // shuffle+sort); r4 used LatestByOrder carrying the embedding in
+    // the aggregate value — an array copy per CANDIDATE row, N·M of
+    // them (measured 9× slower at 100 k×196 on the PQ variant). Now
+    // the N·M stream reduces through a codegen'd
+    // max_by(cid, (ord, -cid)) HASH aggregate — scalars only, map-side
+    // combine, lexicographic struct order = argmax cosine with
+    // smallest-cid ties (the oracle's ORDER BY cos DESC, cid) — and
+    // the embedding joins back co-partitioned on the id.
+    val assign = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
       .crossJoin(broadcast(cent))
-      .select(col("neighbor_id"), col("emb_c"), col("cid"),
-        ordOf(cosine(col("emb_c"), col("emb_cent"))).as("ord"))
+      .select(col("neighbor_id"), col("cid"),
+        struct(ordOf(cosine(col("emb_c"), col("emb_cent"))).as("ord"),
+          (-col("cid")).as("tb")).as("key"))
       .groupBy("neighbor_id")
-      .agg(graft.functions.LatestByOrder(struct(col("cid"), col("emb_c")),
-        col("ord"), -col("cid")).as("best"))
-      .select(col("best.cid").as("cid"), col("neighbor_id"), col("best.emb_c").as("emb_c"))
+      .agg(max_by(col("cid"), col("key")).as("cid"))
+    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+      .join(assign.hint("shuffle_hash"), "neighbor_id")
+      .select(col("cid"), col("neighbor_id"), col("emb_c"))
     // Probe set: top-nprobe centroids per query — same shape, bounded
     // top-k buffer instead of a window.
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
@@ -221,9 +226,10 @@ object Similarity {
     * would k-means"; this is that trainer, built from the same
     * scale kernels the query path uses:
     *
-    *   assign  = broadcast(centroids) crossJoin → LatestByOrder
+    *   assign  = broadcast(centroids) crossJoin → codegen'd max_by
     *             argmax (identical plan to the IVF list assignment —
-    *             no sort, no window, shuffle = one row per vector);
+    *             no sort, no window, no array-valued aggregate,
+    *             shuffle = one scalar row per vector);
     *   update  = groupBy(cid) + VectorAvg (map-side partial combine:
     *             reduce side sees |k|·|tasks| partial sums, never the
     *             corpus);
@@ -242,15 +248,18 @@ object Similarity {
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
-      val assigned = base
+      // scalars-only max_by assignment + join-back, same shape (and
+      // reason) as annIvfTopK's list build: the embedding must never
+      // ride the N·k aggregate value.
+      val assign = base
         .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          ordOf(cosine(col("embedding"), col("emb_cent"))).as("ord"))
+        .select(col("vec_id"), col("cid"),
+          struct(ordOf(cosine(col("embedding"), col("emb_cent"))).as("ord"),
+            (-col("cid")).as("tb")).as("key"))
         .groupBy("vec_id")
-        .agg(graft.functions.LatestByOrder(struct(col("cid"), col("embedding")),
-          col("ord"), -col("cid")).as("best"))
-        .select(col("best.cid").as("cid"), col("best.embedding").as("embedding"))
-      cent = assigned.groupBy("cid")
+        .agg(max_by(col("cid"), col("key")).as("cid"))
+      cent = base.join(assign.hint("shuffle_hash"), "vec_id")
+        .groupBy("cid")
         .agg(graft.functions.VectorAvg(col("embedding")).as("emb_cent"))
         .localCheckpoint(true)
       it += 1
