@@ -493,6 +493,73 @@ object Relational {
       |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
       |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  // B25 (r5): window navigation — lag/lead/first_value/last_value,
+  // the offset family B5/B5b's ranking functions don't cover. Full
+  // ORDER BY tiebreak (price, key) keeps every offset deterministic;
+  // last_value needs the explicit whole-partition ROWS frame in both
+  // engines (the default frame stops at CURRENT ROW). One window =
+  // one Exchange + one in-partition sort; output thinned to 1%.
+  def qLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.orders(s, d)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(wFull))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("prev_price"),
+        col("next_key"), col("first_key"), col("last_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val oLagLead =
+    """SELECT o_orderkey, o_orderpriority, prev_price, next_key, first_key, last_key FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    lag(o_totalprice) OVER w AS prev_price,
+      |    lead(o_orderkey) OVER w AS next_key,
+      |    first_value(o_orderkey) OVER w AS first_key,
+      |    last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
+      |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // B26 (r5): UNPIVOT / melt — wide per-priority measures back to
+  // (priority, measure, value) long form via stack(), the inverse of
+  // B11's pivot. Measures are derived from exact integer cents so the
+  // doubles hash-match; stack() is a codegen'd Generate (one pass, no
+  // shuffle beyond the aggregation that built the wide row).
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n_orders"), sum(cents).as("sum_cents"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        (col("sum_cents") / 100.0).as("sum_price"),
+        round(col("sum_cents") / (lit(100.0) * col("n_orders")), 6).as("avg_price"))
+      .selectExpr("o_orderpriority",
+        "stack(3, 'n_orders', n_orders, 'sum_price', sum_price, 'avg_price', avg_price) AS (measure, value)")
+      .orderBy(col("o_orderpriority"), col("measure"))
+  }
+
+  private val oUnpivot =
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    CAST(count(*) AS DOUBLE) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders GROUP BY 1),
+      |w2 AS (
+      |  SELECT o_orderpriority, n_orders, sum_cents / 100.0 AS sum_price,
+      |    round(sum_cents / (100.0 * n_orders), 6) AS avg_price FROM wide)
+      |SELECT o_orderpriority, measure, value FROM (
+      |  SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM w2
+      |  UNION ALL SELECT o_orderpriority, 'sum_price', sum_price FROM w2
+      |  UNION ALL SELECT o_orderpriority, 'avg_price', avg_price FROM w2) u
+      |ORDER BY o_orderpriority, measure""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -516,5 +583,7 @@ object Relational {
     QueryDef("q_median", qMedian, Some(oMedian)),
     QueryDef("q_explode_ordinality", qExplodeOrdinality, Some(oExplodeOrdinality)),
     QueryDef("q_range_window", qRangeWindow, Some(oRangeWindow)),
+    QueryDef("q_lag_lead", qLagLead, Some(oLagLead)),
+    QueryDef("q_unpivot", qUnpivot, Some(oUnpivot)),
   )
 }
