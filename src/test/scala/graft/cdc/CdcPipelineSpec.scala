@@ -346,6 +346,22 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcConfig.loadActive(without).forall(_.numBuckets.isEmpty))
   }
 
+  test("loadActive reads optional rollups and auto_vacuum_keep columns") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1_cdc", "s3://feed/t1", "db", "t1", "/tmp/t1", "id", 1,
+        "daily:day:amount; by_cat:cat+region:amount", 3),
+      ("t2_cdc", "s3://feed/t2", "db", "t2", "/tmp/t2", "id", 1, "", 0))
+      .toDF("cdc_table", "source_fp", "target_db", "target_table", "target_fp",
+        "pk", "is_active", "rollups", "auto_vacuum_keep")
+    val cs = CdcConfig.loadActive(df).map(c => c.cdcTable -> c).toMap
+    assert(cs("t1_cdc").rollups.map(r => (r.name, r.groupCols, r.valueCol)) ===
+      Seq(("daily", Seq("day"), "amount"), ("by_cat", Seq("cat", "region"), "amount")))
+    assert(cs("t1_cdc").autoVacuumKeep === Some(3))
+    assert(cs("t2_cdc").rollups.isEmpty, "empty rollup string declares nothing")
+    assert(cs("t2_cdc").autoVacuumKeep === None)
+  }
+
   test("JobLog.read merges mixed pre/post insert-update-split schemas") {
     import spark.implicits._
     val log = tmp()
