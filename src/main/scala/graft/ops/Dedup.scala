@@ -45,7 +45,7 @@ object Dedup {
     * but bounded at maxBucket²/2 tuples per bucket row, off the
     * per-doc hot path.
     */
-  private def bucketPairs(keyed: DataFrame, maxBucket: Int,
+  private[ops] def bucketPairs(keyed: DataFrame, maxBucket: Int,
       payload: Column = lit(0L)): DataFrame =
     keyed.groupBy("band", "bucket")
       .agg(graft.functions.BoundedCollectLongPairs(

@@ -57,16 +57,32 @@ object Similarity {
     * the join is co-partitioned on (tbl, bucket), never all-to-all;
     * the verify join fans the candidate ids back to embeddings by id.
     */
+  /** Buckets of `keyed` (tbl, bucket, …) whose member count exceeds
+    * `maxBucket` — the degenerate-band guard every LSH pair/probe
+    * join needs: a bucket holding B members expands B² candidate
+    * tuples ON ONE TASK, and a pathological corpus (near-zero
+    * vectors collapsing to one sign pattern) makes B corpus-sized.
+    * Same contract as Dedup.bucketPairs: oversized buckets are
+    * dropped (documented recall trade; production would salt-split).
+    */
+  private def oversizedBuckets(keyed: DataFrame, maxBucket: Int): DataFrame =
+    keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select("tbl", "bucket")
+
   def cosinePairsLsh(emb: DataFrame, minCos: Double, tables: Int = 24,
-      planes: Int = 4, dims: Int = 64): DataFrame = {
-    val keyed = emb.select(col("vec_id"),
+      planes: Int = 4, dims: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    // Same bounded-bucket shape as the MinHash path (Dedup.bucketPairs):
+    // ONE hash evaluation per vector, one aggregation materializing
+    // each (table, bucket) member list capped at maxBucket — a
+    // degenerate bucket (near-zero vectors collapsing onto one sign
+    // pattern) arrives NULL and is dropped instead of expanding B²
+    // pairs on one task. The r4 form self-joined the keyed relation:
+    // correct, but unguarded and it hashed every vector twice.
+    val keyed = emb.select(col("vec_id").as("doc_id"),
         explode(lshTableBuckets(col("embedding"), tables, planes, dims)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
-      .join(keyed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select(col("doc_id"), col("tb.tbl").as("band"), col("tb.bucket").as("bucket"))
+    val cand = Dedup.bucketPairs(keyed, maxBucket).select("id_a", "id_b")
     val e = emb.select(col("vec_id"), col("embedding"))
     cand.join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
@@ -278,13 +294,20 @@ object Similarity {
     * ≈ tables·N/2^planes per query, never the corpus.
     */
   def annLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      tables: Int = 4, planes: Int = 4, dims: Int = 64): DataFrame = {
+      tables: Int = 4, planes: Int = 4, dims: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
     def keyed(df: DataFrame, idAs: String, embAs: String) = df
       .select(col("vec_id").as(idAs), col("embedding").as(embAs),
         explode(lshTableBuckets(col("embedding"), tables, planes, dims)).as("tb"))
       .select(col(idAs), col(embAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = keyed(queries, "query_id", "emb_q")
-    val c = keyed(corpus, "neighbor_id", "emb_c")
+    // degenerate-bucket guard on the corpus side: an oversized bucket
+    // would pair with every probing query on one task. Costs a second
+    // corpus hash pass (a persisted deployment hashes once and keeps
+    // the keyed index); candidates lost to the cap are the documented
+    // recall trade.
+    val c0 = keyed(corpus, "neighbor_id", "emb_c")
+    val c = c0.join(oversizedBuckets(c0, maxBucket), Seq("tbl", "bucket"), "left_anti")
     val scored = q.join(c, Seq("tbl", "bucket"))
       .select(col("query_id"), col("neighbor_id"),
         ordOf(cosine(col("emb_q"), col("emb_c"))).as("ord"))

@@ -99,6 +99,22 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("LSH bucket guard drops degenerate buckets instead of expanding them") {
+    // 50 identical vectors collapse onto ONE bucket in every table —
+    // the pathological shape that expands B² pairs on a single task
+    val clones = (0 until 50).map(i => (i.toLong, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairsLsh(clones, 0.9, tables = 2, planes = 4,
+      maxBucket = 10).count() === 0L, "oversized buckets must be dropped, not expanded")
+    assert(Similarity.cosinePairsLsh(clones, 0.9, tables = 2, planes = 4,
+      maxBucket = 100).count() === 50L * 49 / 2)
+    val q = Seq((1000L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.annLshTopK(q, clones, 5, tables = 2, planes = 4,
+      maxBucket = 10).count() === 0L)
+    assert(Similarity.annLshTopK(q, clones, 5, tables = 2, planes = 4,
+      maxBucket = 100).count() === 5L)
+  }
+
   test("cosineTopK drops the query-side broadcast hint above the batch-size gate") {
     val e = T.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
