@@ -812,6 +812,51 @@ object OpsQueries {
       |  TRUE AS within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // C33 (r5): incremental quantile maintenance — two disjoint windows
+  // sketched separately (as successive pipeline runs would), merged
+  // losslessly, and the estimate checked against the exact k-th
+  // smallest (k = ceil(0.5·n)) with the provable one-bin-width bound.
+  // The oracle asserts the bound (TRUE), so a sketch/merge regression
+  // fails the hash gate — same contract as C19's HLL gate.
+  def qQuantileIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lo, hi, bins) = (0L, 60000L, 1024)
+    val width = (hi - lo).toDouble / bins
+    val ev = T.events(s, d).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      expr("ts div 1000").as("ts_us"))
+    val mid = CdcEnvelope.epochUs("2024-01-15T00:00:00Z")
+    val s1 = Sketches.histSketch(ev.filter(col("ts_us") <= mid),
+      Seq("event_type"), col("cents"), lo, hi, bins)
+    val s2 = Sketches.histSketch(ev.filter(col("ts_us") > mid),
+      Seq("event_type"), col("cents"), lo, hi, bins)
+    val est = Sketches.histQuantile(
+      Sketches.histMerge(s1.unionByName(s2), Seq("event_type")),
+      Seq("event_type"), 0.5, lo, hi, bins)
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val exact = ev.join(counts, "event_type")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
+      .select(col("event_type"), col("n"), col("cents").as("exact_cents"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("n"), col("exact_cents"),
+        (abs(col("q_est") - col("exact_cents")) <= lit(width)).as("within_bin"))
+      .orderBy(col("event_type"))
+  }
+
+  private val oQuantileIncremental =
+    """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |            FROM events),
+      |k AS (SELECT event_type, cents,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM ev)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, cents AS exact_cents,
+      |  TRUE AS within_bin
+      |FROM k WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
@@ -849,6 +894,7 @@ object OpsQueries {
     QueryDef("q_range_join", qRangeJoin, Some(oRangeJoin)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(oApproxDistinct)),
     QueryDef("q_hll_incremental", qHllIncremental, Some(oHllIncremental)),
+    QueryDef("q_quantile_incremental", qQuantileIncremental, Some(oQuantileIncremental)),
     QueryDef("sample_stratified", sampleStratifiedQ, Some(oSampleStratified)),
     QueryDef("q_approx_quantile", qApproxQuantile, Some(oApproxQuantile)),
   )

@@ -421,6 +421,34 @@ class OpsSpec extends AnyFunSuite {
     assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-12))
   }
 
+  test("histogram quantile sketch: merge is lossless, bound holds at q=0.1/0.5/0.9") {
+    val (lo, hi, bins) = (0L, 60000L, 256)
+    val width = (hi - lo).toDouble / bins
+    val ev = T.events(spark, sf).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Sketches.histSketch(df, Seq("event_type"), col("cents"), lo, hi, bins)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[(String, Int), Long] =
+      df.as[(String, Int, Long)].collect().map { case (g, b, n) => (g, b) -> n }.toMap
+    // lossless merge: merge(hist(A), hist(B)) ≡ hist(A ∪ B) bit-for-bit
+    val a = ev.filter(col("cents") % 2 === 0)
+    val b = ev.filter(col("cents") % 2 =!= 0)
+    val merged = Sketches.histMerge(hist(a).unionByName(hist(b)), Seq("event_type"))
+    assert(asMap(merged) === asMap(hist(ev)))
+    // bound: estimate within one bin width of the exact k-th smallest
+    val exactByGroup = ev.as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = Sketches.histQuantile(merged, Seq("event_type"), q, lo, hi, bins)
+        .select("event_type", "q_est").as[(String, Double)].collect().toMap
+      exactByGroup.foreach { case (g, sorted) =>
+        val exact = sorted(math.ceil(q * sorted.length).toInt - 1)
+        assert(math.abs(est(g) - exact) <= width,
+          s"q=$q group=$g est=${est(g)} exact=$exact width=$width")
+      }
+    }
+  }
+
   test("langid is deterministic and covers the whole corpus") {
     val out = T.documents(spark, sf)
       .select(TextAnalysis.langId(col("text")).as("l"))
