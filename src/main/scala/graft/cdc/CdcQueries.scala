@@ -415,8 +415,31 @@ object CdcQueries {
        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
        |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
 
+  // A29 (r5): SCD Type-2 history — every version of every PK with its
+  // half-open validity interval; a delete closes the current slice
+  // and opens none. The one-shot build (window-lead per PK) is the
+  // oracle-gated surface; the incremental applyDelta is spec-gated
+  // against it (CdcPipelineSpec).
+  def cdcScd2(s: SparkSession, d: String): DataFrame = {
+    val envK = env(s, d)
+      .withColumn("k", get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint"))
+    Scd2.fromHistory(envK, Seq("user_id"), Seq("event_id", "k", "value"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  private val oScd2 =
+    s"""SELECT user_id, event_id, k, value, valid_from_us, valid_to_us FROM (
+       |  SELECT user_id, event_id, $dK AS k, value, event_type,
+       |    epoch_us(ts) AS valid_from_us,
+       |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS valid_to_us
+       |  FROM events) t
+       |WHERE event_type <> 'error'
+       |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(oParse)),
+    QueryDef("cdc_scd2", cdcScd2, Some(oScd2)),
     QueryDef("cdc_window", cdcWindow, Some(oWindow)),
     QueryDef("cdc_compact", cdcCompact, Some(oCompact)),
     QueryDef("cdc_upserts", cdcUpserts, Some(oUpserts)),

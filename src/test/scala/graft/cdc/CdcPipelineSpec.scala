@@ -386,6 +386,29 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(JobLog.lastWatermark(spark, log, c) === 200L)
   }
 
+  test("SCD2: incremental applyDelta across windows equals the one-shot history") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+      .withColumn("k", get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint"))
+    val pk = Seq("user_id"); val pay = Seq("event_id", "k", "value")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+      df.select((pk ++ pay ++ Seq("valid_from_us", "valid_to_us")).map(col): _*)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val oneShot = Scd2.fromHistory(CdcEnvelope.window(env, 0L, w2), pk, pay)
+    val empty = oneShot.limit(0)
+    val h1 = Scd2.applyDelta(empty, CdcEnvelope.window(env, 0L, w1), pk, pay)
+      .localCheckpoint(true)
+    val h2 = Scd2.applyDelta(h1, CdcEnvelope.window(env, w1, w2), pk, pay)
+    assert(rows(h2) === rows(oneShot),
+      "windowed SCD2 maintenance must equal the one-shot rebuild")
+    // invariants: at most one open slice per PK; slices tile (each
+    // close time is the next slice's open time)
+    val open = h2.filter(col("valid_to_us").isNull)
+      .groupBy("user_id").count().filter(col("count") > 1).count()
+    assert(open === 0L, "a PK can have at most one current slice")
+    assert(h2.count() > h2.filter(col("valid_to_us").isNull).count(),
+      "the fixture must exercise closed (historical) slices")
+  }
+
   test("job-log compaction bounds the file count; watermark and history survive, dupes heal") {
     val log = tmp()
     def rec(i: Int) = JobLog.RunRecord(s"run-$i", "events_cdc", "graft",
