@@ -175,6 +175,32 @@ object CdcPipeline {
       }
     }
 
+  /** Point/key lookup against the current snapshot: reads ONLY the
+    * buckets the requested keys hash to — I/O ∝ |key set| buckets
+    * (one bucket per key in the worst case), never the target. The
+    * PK-hash layout makes this exact: a key's row can live nowhere
+    * but its hash bucket, the same routing the merge itself uses.
+    * `keys` is a (small) DataFrame holding the PK columns; it
+    * broadcasts into a semi join over the pruned scan. This is the
+    * serving-path read the reference gets from its MySQL target's
+    * PRIMARY KEY — re-expressed as bucket pruning on immutable files.
+    */
+  def readKeys(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      keys: DataFrame): Option[DataFrame] =
+    currentVersion(targetDir).map { v =>
+      manifest(targetDir, v) match {
+        case Some(m) =>
+          val touched = keys
+            .select(bucketExpr(pkCols, m.numBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          readBuckets(spark, targetDir, m, touched)
+            .join(broadcast(keys.select(pkCols.map(col): _*)), pkCols, "left_semi")
+        case None => // pre-manifest flat layout: no pruning possible
+          spark.read.parquet(s"$targetDir/v$v")
+            .join(broadcast(keys.select(pkCols.map(col): _*)), pkCols, "left_semi")
+      }
+    }
+
   /** Time-travel: the snapshot as of `version` (≤ the current
     * pointer). Any version whose manifest survives `vacuum`'s
     * keep-window reads exactly as it was published — carried buckets

@@ -386,6 +386,25 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(JobLog.lastWatermark(spark, log, c) === 200L)
   }
 
+  test("readKeys prunes to the keys' hash buckets and equals the full-scan filter") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16))
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val keys = Seq(1L, 2L, 3L).toDF("user_id")
+    val looked = CdcPipeline.readKeys(spark, target, Seq("user_id"), keys).get
+    val full = CdcPipeline.readSnapshot(spark, target).get
+    assert(looked.orderBy("user_id").collect().map(_.toSeq).toSeq ===
+      full.filter(col("user_id").isin(1L, 2L, 3L)).orderBy("user_id")
+        .collect().map(_.toSeq).toSeq)
+    // the lookup must SCAN fewer files than the snapshot (bucket
+    // pruning is visible in the plan's input files)
+    assert(looked.inputFiles.length < full.inputFiles.length,
+      s"expected pruned scan: ${looked.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(looked.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+  }
+
   test("SCD2: incremental applyDelta across windows equals the one-shot history") {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
       .withColumn("k", get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint"))
