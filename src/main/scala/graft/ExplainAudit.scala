@@ -15,7 +15,9 @@ object ExplainAudit {
         "dedup_minhash_lsh", "dedup_embedding_lsh", "ann_lsh", "ann_ivf", "ann_cosine_topk",
         "q_interval_join", "q_range_join", "q_grouping_sets", "q_sliding_windows",
         "text_repetition", "text_decontaminate", "text_decontaminate_bloom",
-        "cdc_incr_agg", "ann_pq", "ann_ivf_pq", "text_decontaminate_filtered")) {
+        "cdc_incr_agg", "ann_pq", "ann_ivf_pq", "text_decontaminate_filtered",
+        "cdc_scd2", "q_quantile_incremental", "corpus_filtered",
+        "dedup_minhash_incremental", "q_lag_lead", "q_unpivot")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able

@@ -125,6 +125,20 @@ object StressBench {
       time(s"snapshotDiff v$v0->v$v1 (${touched.size}/${mf.numBuckets} buckets read)") {
         CdcPipeline.snapshotDiff(spark, tdir, v0, v1, Seq("user_id")).get.count()
       }
+
+      // r5: point lookup — key-hash bucket pruning vs the full scan
+      locally {
+        import spark.implicits._
+        val keys = Seq(1L, 2L, 3L).toDF("user_id")
+        val looked = CdcPipeline.readKeys(spark, tdir, Seq("user_id"), keys).get
+        time(s"point lookup: 3 keys, ${looked.inputFiles.length} files scanned (bucket-pruned)") {
+          looked.count()
+        }
+        val full = CdcPipeline.readSnapshot(spark, tdir).get
+        time(s"point lookup: full-scan filter, ${full.inputFiles.length} files (the avoided cost)") {
+          full.filter(col("user_id").isin(1L, 2L, 3L)).count()
+        }
+      }
     }
 
     // r4: incremental aggregate maintenance on a 10M-KEY bucketed

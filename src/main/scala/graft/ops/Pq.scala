@@ -184,15 +184,15 @@ object Pq {
     * rerank stage.
     *
     * Build shape: the N×M assignment candidate stream reduces through
-    * a codegen'd `max_by(cid, (ord, -cid))` HASH aggregate — scalar
-    * values only, map-side combine, lexicographic struct order gives
-    * the same argmax-cosine/lowest-cid-tie semantics as the query
-    * path's LatestByOrder. The codes come from their own single
-    * encode pass and join back co-partitioned on the id. (A fused
-    * single pass that carried the codes struct through the object
-    * aggregate paid an array copy per CANDIDATE row — N·M copies,
-    * measured 9× slower at 100 k×196 — the codes must never ride the
-    * assignment reduction.)
+    * LatestByOrder with a SCALAR-ONLY value (just the cid) —
+    * ObjectHashAggregate with map-side combine, nothing sorted. Two
+    * wrong shapes measured at 100 k×196: carrying the codes struct
+    * through the aggregate value costs an array copy per CANDIDATE
+    * row (163.7 s vs ~12 s); and `max_by(cid, struct(ord, tb))`
+    * plans SortAggregate, which SORTS the N×M stream on the group
+    * key — fine locally, the classic straggler at 100 TB. The codes
+    * come from their own single encode pass and join back
+    * co-partitioned on the id.
     */
   def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, model: PqModel,
       id: Column = col("vec_id"), vec: Column = col("embedding")): DataFrame = {
@@ -200,12 +200,12 @@ object Pq {
     val assign = corpus.select(id.as("neighbor_id"), vec.as("emb_c"))
       .crossJoin(broadcast(cent))
       .select(col("neighbor_id"), col("cid"),
-        struct(
-          graft.functions.SortableDoubleBits(
-            Similarity.cosine(col("emb_c"), col("emb_cent"))).as("ord"),
-          (-col("cid")).as("tb")).as("key"))
+        graft.functions.SortableDoubleBits(
+          Similarity.cosine(col("emb_c"), col("emb_cent"))).as("ord"))
       .groupBy("neighbor_id")
-      .agg(max_by(col("cid"), col("key")).as("cid"))
+      .agg(graft.functions.LatestByOrder(struct(col("cid")),
+        col("ord"), -col("cid")).as("best"))
+      .select(col("neighbor_id"), col("best.cid").as("cid"))
     val encoded = corpus.select(id.as("neighbor_id"),
         graft.functions.toCol(graft.functions.PqEncode(
           graft.functions.toExpr(vec), model.m, model.k, model.codebooks)).as("pq"))

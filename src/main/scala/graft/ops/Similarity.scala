@@ -194,21 +194,23 @@ object Similarity {
     val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
     // Inverted lists: argmax-cosine centroid per corpus vector. The
     // r2 form was a row_number window (N·M scored rows through
-    // shuffle+sort); r4 used LatestByOrder carrying the embedding in
-    // the aggregate value — an array copy per CANDIDATE row, N·M of
-    // them (measured 9× slower at 100 k×196 on the PQ variant). Now
-    // the N·M stream reduces through a codegen'd
-    // max_by(cid, (ord, -cid)) HASH aggregate — scalars only, map-side
-    // combine, lexicographic struct order = argmax cosine with
-    // smallest-cid ties (the oracle's ORDER BY cos DESC, cid) — and
-    // the embedding joins back co-partitioned on the id.
+    // shuffle+sort); r4's LatestByOrder carried the EMBEDDING in the
+    // aggregate value — an array copy per CANDIDATE row, N·M of them
+    // (measured 163.7 s vs ~12 s at 100 k×196 on the PQ variant);
+    // max_by(cid, struct) plans SortAggregate and sorts the N·M
+    // stream. The shape that survives 100 TB: LatestByOrder with a
+    // SCALAR-ONLY value (the cid) — ObjectHashAggregate, map-side
+    // combine, ties to the smallest cid (the oracle's ORDER BY cos
+    // DESC, cid) — then the embedding joins back co-partitioned on
+    // the id.
     val assign = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
       .crossJoin(broadcast(cent))
       .select(col("neighbor_id"), col("cid"),
-        struct(ordOf(cosine(col("emb_c"), col("emb_cent"))).as("ord"),
-          (-col("cid")).as("tb")).as("key"))
+        ordOf(cosine(col("emb_c"), col("emb_cent"))).as("ord"))
       .groupBy("neighbor_id")
-      .agg(max_by(col("cid"), col("key")).as("cid"))
+      .agg(graft.functions.LatestByOrder(struct(col("cid")),
+        col("ord"), -col("cid")).as("best"))
+      .select(col("neighbor_id"), col("best.cid").as("cid"))
     val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
       .join(assign.hint("shuffle_hash"), "neighbor_id")
       .select(col("cid"), col("neighbor_id"), col("emb_c"))
@@ -242,10 +244,10 @@ object Similarity {
     * would k-means"; this is that trainer, built from the same
     * scale kernels the query path uses:
     *
-    *   assign  = broadcast(centroids) crossJoin → codegen'd max_by
-    *             argmax (identical plan to the IVF list assignment —
-    *             no sort, no window, no array-valued aggregate,
-    *             shuffle = one scalar row per vector);
+    *   assign  = broadcast(centroids) crossJoin → scalar-only
+    *             LatestByOrder argmax (identical plan to the IVF list
+    *             assignment — no sort, no window, no array-valued
+    *             aggregate, shuffle = one scalar row per vector);
     *   update  = groupBy(cid) + VectorAvg (map-side partial combine:
     *             reduce side sees |k|·|tasks| partial sums, never the
     *             corpus);
@@ -264,16 +266,17 @@ object Similarity {
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
-      // scalars-only max_by assignment + join-back, same shape (and
-      // reason) as annIvfTopK's list build: the embedding must never
-      // ride the N·k aggregate value.
+      // scalars-only LatestByOrder assignment + join-back, same shape
+      // (and reason) as annIvfTopK's list build: the embedding must
+      // never ride the N·k aggregate value, and max_by would sort.
       val assign = base
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"),
-          struct(ordOf(cosine(col("embedding"), col("emb_cent"))).as("ord"),
-            (-col("cid")).as("tb")).as("key"))
+          ordOf(cosine(col("embedding"), col("emb_cent"))).as("ord"))
         .groupBy("vec_id")
-        .agg(max_by(col("cid"), col("key")).as("cid"))
+        .agg(graft.functions.LatestByOrder(struct(col("cid")),
+          col("ord"), -col("cid")).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
       cent = base.join(assign.hint("shuffle_hash"), "vec_id")
         .groupBy("cid")
         .agg(graft.functions.VectorAvg(col("embedding")).as("emb_cent"))
