@@ -51,6 +51,19 @@ object Scd2 {
       .select((pkCols ++ payloadCols :+ From :+ To).map(col): _*)
   }
 
+  /** The snapshot as of `tsUs`, reconstructed from the history: the
+    * slice containing the instant, per PK (half-open intervals make
+    * the containment test exact and non-overlapping). This is
+    * timestamp time travel WITHOUT versioned storage — any instant,
+    * not just publish points — at the cost of storing every version;
+    * a history table partitioned on `valid_to_us IS NULL` serves
+    * "current" reads from the open partition and as-of reads with a
+    * partition-wide interval filter.
+    */
+  def asOf(history: DataFrame, tsUs: Long): DataFrame =
+    history.filter(col(From) <= lit(tsUs) &&
+      (col(To).isNull || col(To) > lit(tsUs)))
+
   /** Advance a stored history across one merge window: close the open
     * slices of PKs this window touches (at the window's first event
     * time for that PK), append the window's own slices. Equal to

@@ -426,6 +426,15 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(open === 0L, "a PK can have at most one current slice")
     assert(h2.count() > h2.filter(col("valid_to_us").isNull).count(),
       "the fixture must exercise closed (historical) slices")
+    // asOf reconstruction at w1 equals the type-1 snapshot of the
+    // same span (non-deleted newest-per-PK at that instant)
+    val asOf = Scd2.asOf(h2, w1)
+      .select((pk ++ pay).map(col): _*).collect().map(_.toSeq).toSet
+    val type1 = SnapshotMerge.fromHistory(
+        CdcEnvelope.window(env, 0L, w1), pk, pk ++ pay)
+      .select((pk ++ pay).map(col): _*).collect().map(_.toSeq).toSet
+    assert(asOf === type1, "asOf(history, t) must equal the type-1 merge at t")
+    assert(asOf.nonEmpty)
   }
 
   test("job-log compaction bounds the file count; watermark and history survive, dupes heal") {
