@@ -20,22 +20,24 @@ import org.apache.spark.sql.functions.col
   * generalizes that to per-group count/sum rollups via
   * [[IncrementalAgg]]).
   *
-  * `groupCols`/`valueCol` name columns of the target schema after
+  * `groupCols`/`valueCols` name columns of the target schema after
   * `derive` ran — `derive` (default identity) lets a rollup group on
   * computed columns (e.g. a bucketed timestamp) without widening the
-  * target itself. State lives in its own small versioned bucketed
-  * store under the target (see `CdcPipeline.rollupPath`), committed
-  * with the target-version idempotence key, so crash replays never
-  * double-apply a delta.
+  * target itself; each value column contributes a maintained
+  * `sum_<col>` next to the shared `n_rows`. State lives in its own
+  * small versioned bucketed store under the target (see
+  * `CdcPipeline.rollupPath`), committed with the target-version
+  * idempotence key, so crash replays never double-apply a delta.
   */
 final case class RollupSpec(
     name: String,
     groupCols: Seq[String],
-    valueCol: String,
+    valueCols: Seq[String],
     derive: DataFrame => DataFrame = identity,
     numBuckets: Option[Int] = None) {
   require(name.matches("[A-Za-z0-9_-]+"), s"rollup name must be path-safe: $name")
   require(groupCols.nonEmpty, "rollup needs at least one group column")
+  require(valueCols.nonEmpty, "rollup needs at least one value column")
 }
 
 final case class CdcTableConfig(
@@ -109,7 +111,7 @@ object CdcConfig {
     }
   }
 
-  /** Parse a config-table rollup list: `name:grp1+grp2:valueCol`
+  /** Parse a config-table rollup list: `name:grp1+grp2:val1+val2`
     * entries separated by `;` (derive is identity — a config table can
     * only name existing target columns; computed-column rollups are
     * declared in code via [[RollupSpec]]).
@@ -118,9 +120,10 @@ object CdcConfig {
     s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
       entry.split(":").map(_.trim) match {
         case Array(n, g, v) =>
-          RollupSpec(n, g.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq, v)
+          RollupSpec(n, g.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq,
+            v.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq)
         case _ => throw new IllegalArgumentException(
-          s"rollup entry must be name:grp1+grp2:valueCol, got: $entry")
+          s"rollup entry must be name:grp1+grp2:val1+val2, got: $entry")
       }
     }
 

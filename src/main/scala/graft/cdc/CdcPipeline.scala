@@ -429,7 +429,7 @@ object CdcPipeline {
     s"${cfg.targetPath}/_rollups/$name"
 
   /** Current state of a maintained rollup: one row per group with
-    * `n_rows` and `sum_<valueCol>` columns, exactly
+    * `n_rows` and one `sum_<col>` per declared value column, exactly
     * `IncrementalAgg.fromSnapshot(derive(target))` at the rollup's
     * committed target version.
     */
@@ -485,16 +485,16 @@ object CdcPipeline {
             preOpt.map { pre =>
               val state0 = readSnapshot(spark, dir).getOrElse(
                 IncrementalAgg.fromSnapshot(
-                  rs.derive(pre).filter(lit(false)), rs.groupCols, rs.valueCol))
+                  rs.derive(pre).filter(lit(false)), rs.groupCols, rs.valueCols))
               IncrementalAgg.applyDelta(state0, rs.derive(pre), rs.derive(changes),
-                cfg.pk, rs.groupCols, rs.valueCol, deltaRows)
+                cfg.pk, rs.groupCols, rs.valueCols, deltaRows)
             }
           } else None
         val state1 = incremental.getOrElse(
           IncrementalAgg.fromSnapshot(
             rs.derive(readSnapshot(spark, cfg.targetPath)
               .getOrElse(changes.select(cfg.targetCols.map(col): _*).filter(lit(false)))),
-            rs.groupCols, rs.valueCol))
+            rs.groupCols, rs.valueCols))
         publish(state1, dir, rs.groupCols, batchId = curV, buckets = rs.numBuckets)
         ()
       }

@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Initial state: one row per group — `n_rows` (count) and
-    * `sum_<valueCol>` (long sum) — from a full snapshot scan. Runs
+  /** Initial state: one row per group — `n_rows` (count) and one
+    * `sum_<col>` per value column — from a full snapshot scan. Runs
     * once at bootstrap; afterwards only [[applyDelta]] touches it.
     */
   def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame =
+      valueCols: Seq[String]): DataFrame =
     snapshot.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as(s"sum_$valueCol"))
+      .agg(count(lit(1)).as("n_rows"),
+        valueCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+
+  def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    fromSnapshot(snapshot, groupCols, Seq(valueCol))
 
   /** Advance the aggregate state across one merge window.
     *
@@ -49,29 +54,29 @@ object IncrementalAgg {
     * increments the other. Groups whose count reaches zero drop out.
     */
   def applyDelta(state: DataFrame, preMergeTarget: DataFrame, changes: DataFrame,
-      pkCols: Seq[String], groupCols: Seq[String], valueCol: String,
-      deltaRows: Option[Long] = None): DataFrame = {
-    val sumCol = s"sum_$valueCol"
+      pkCols: Seq[String], groupCols: Seq[String], valueCols: Seq[String],
+      deltaRows: Option[Long]): DataFrame = {
     val keys = changes.select(pkCols.map(col): _*)
     val changedKeys = deltaRows match {
       case Some(nr) if nr <= SnapshotMerge.LargeDeltaRows => broadcast(keys)
       case _ => keys.hint("shuffle_hash")
     }
     // old contributions: target rows being replaced or deleted.
-    // Column-pruned to pk+group+value; the semi join never widens or
+    // Column-pruned to pk+group+values; the semi join never widens or
     // shuffles the target.
     val retired = preMergeTarget
-      .select((pkCols ++ groupCols :+ valueCol).distinct.map(col): _*)
+      .select((pkCols ++ groupCols ++ valueCols).distinct.map(col): _*)
       .join(changedKeys, pkCols, "left_semi")
       .select(groupCols.map(col) :+ lit(-1L).as("_dn")
-        :+ (-col(valueCol)).as("_dsum"): _*)
+        :++ valueCols.map(c => (-col(c)).as(s"_dsum_$c")): _*)
     val added = changes
       .filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete))
       .select(groupCols.map(col) :+ lit(1L).as("_dn")
-        :+ col(valueCol).as("_dsum"): _*)
+        :++ valueCols.map(c => col(c).as(s"_dsum_$c")): _*)
     val adj = retired.unionByName(added)
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("_dn")).as("_dn"), sum(col("_dsum")).as("_dsum"))
+      .agg(sum(col("_dn")).as("_dn"),
+        valueCols.map(c => sum(col(s"_dsum_$c")).as(s"_dsum_$c")): _*)
     // state ⟗ adjustments on the group key: both sides are
     // aggregate-sized (≪ fact table); a full-outer hash join keeps
     // appearing and disappearing groups correct. shuffle_hash: a
@@ -81,7 +86,16 @@ object IncrementalAgg {
     state.join(adj.hint("shuffle_hash"), groupCols, "full_outer")
       .select(groupCols.map(col)
         :+ (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n_rows")
-        :+ (coalesce(col(sumCol), lit(0L)) + coalesce(col("_dsum"), lit(0L))).as(sumCol): _*)
+        :++ valueCols.map { c =>
+          (coalesce(col(s"sum_$c"), lit(0L)) +
+            coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c")
+        }: _*)
       .filter(col("n_rows") > 0)
   }
+
+  def applyDelta(state: DataFrame, preMergeTarget: DataFrame, changes: DataFrame,
+      pkCols: Seq[String], groupCols: Seq[String], valueCol: String,
+      deltaRows: Option[Long] = None): DataFrame =
+    applyDelta(state, preMergeTarget, changes, pkCols, groupCols,
+      Seq(valueCol), deltaRows)
 }

@@ -60,16 +60,19 @@ class CdcPipelineSpec extends AnyFunSuite {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
     val target = tmp(); val log = tmp()
     val c = cfg(target).copy(
-      rollups = Seq(RollupSpec("by_k", Seq("k"), "event_id", numBuckets = Some(2))))
-    def state(): Map[Long, (Long, Long)] =
+      rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id", "user_id"), numBuckets = Some(2))))
+    def state(): Map[Long, (Long, Long, Long)] =
       CdcPipeline.readRollup(spark, c, "by_k").get
-        .select("k", "n_rows", "sum_event_id")
-        .as[(Long, Long, Long)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
-    def recompute(): Map[Long, (Long, Long)] =
+        .select("k", "n_rows", "sum_event_id", "sum_user_id")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (k, n, s, u) => k -> ((n, s, u)) }.toMap
+    def recompute(): Map[Long, (Long, Long, Long)] =
       IncrementalAgg.fromSnapshot(
-          CdcPipeline.readSnapshot(spark, target).get, Seq("k"), "event_id")
-        .select("k", "n_rows", "sum_event_id")
-        .as[(Long, Long, Long)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+          CdcPipeline.readSnapshot(spark, target).get, Seq("k"),
+          Seq("event_id", "user_id"))
+        .select("k", "n_rows", "sum_event_id", "sum_user_id")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (k, n, s, u) => k -> ((n, s, u)) }.toMap
 
     assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
     assert(state() === recompute(), "window 1: state must equal full recompute")
@@ -80,9 +83,10 @@ class CdcPipelineSpec extends AnyFunSuite {
       CdcPipeline.currentVersion(target).get)
     // config-table rollup declaration round-trips (fields, not case
     // equality — the derive function member defeats ==)
-    val parsed = CdcConfig.parseRollups("by_k:k:event_id; daily:day+k:amount")
-    assert(parsed.map(r => (r.name, r.groupCols, r.valueCol)) ===
-      Seq(("by_k", Seq("k"), "event_id"), ("daily", Seq("day", "k"), "amount")))
+    val parsed = CdcConfig.parseRollups("by_k:k:event_id; daily:day+k:amount+qty")
+    assert(parsed.map(r => (r.name, r.groupCols, r.valueCols)) ===
+      Seq(("by_k", Seq("k"), Seq("event_id")),
+        ("daily", Seq("day", "k"), Seq("amount", "qty"))))
   }
 
   test("incremental publish: a small delta rewrites few buckets and splits insert/update counts") {
@@ -355,8 +359,9 @@ class CdcPipelineSpec extends AnyFunSuite {
       .toDF("cdc_table", "source_fp", "target_db", "target_table", "target_fp",
         "pk", "is_active", "rollups", "auto_vacuum_keep")
     val cs = CdcConfig.loadActive(df).map(c => c.cdcTable -> c).toMap
-    assert(cs("t1_cdc").rollups.map(r => (r.name, r.groupCols, r.valueCol)) ===
-      Seq(("daily", Seq("day"), "amount"), ("by_cat", Seq("cat", "region"), "amount")))
+    assert(cs("t1_cdc").rollups.map(r => (r.name, r.groupCols, r.valueCols)) ===
+      Seq(("daily", Seq("day"), Seq("amount")),
+        ("by_cat", Seq("cat", "region"), Seq("amount"))))
     assert(cs("t1_cdc").autoVacuumKeep === Some(3))
     assert(cs("t2_cdc").rollups.isEmpty, "empty rollup string declares nothing")
     assert(cs("t2_cdc").autoVacuumKeep === None)

@@ -246,7 +246,7 @@ class CdcStreamSpec extends AnyFunSuite {
       CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
     val sCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-tgt").toString,
       numBuckets = Some(4),
-      rollups = Seq(RollupSpec("by_grp", Seq("grp"), "cents", derive _, Some(2))))
+      rollups = Seq(RollupSpec("by_grp", Seq("grp"), Seq("cents"), derive _, Some(2))))
     val ckpt = Files.createTempDirectory("graft-ivm-ckpt").toString
     // the production foreachBatch body IS mergeBatchToTarget — no
     // driver-side state anywhere
@@ -282,7 +282,7 @@ class CdcStreamSpec extends AnyFunSuite {
   test("torn publish: target committed but rollup trailing — the replayed batch finishes it incrementally") {
     val tCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-torn").toString,
       numBuckets = Some(4),
-      rollups = Seq(RollupSpec("by_grp", Seq("grp"), "cents", derive _, Some(2))))
+      rollups = Seq(RollupSpec("by_grp", Seq("grp"), Seq("cents"), derive _, Some(2))))
     assert(CdcStream.mergeBatchToTarget(toDf(batch1), 0L, tCfg))
     assert(rollupState(tCfg, "by_grp") === rollupRecompute(tCfg))
 
@@ -304,7 +304,7 @@ class CdcStreamSpec extends AnyFunSuite {
 
     // repair path: a rollup declared AFTER the target already evolved
     // (asOf gap > 1) bootstraps by full recompute on the next batch
-    val late = tCfg.copy(rollups = Seq(RollupSpec("late", Seq("grp"), "cents", derive _, Some(2))))
+    val late = tCfg.copy(rollups = Seq(RollupSpec("late", Seq("grp"), Seq("cents"), derive _, Some(2))))
     assert(!CdcStream.mergeBatchToTarget(toDf(batch2), 1L, late))
     assert(CdcPipeline.rollupAsOfVersion(late, "late") === curV)
     assert(rollupState(late, "late") === rollupRecompute(late))
@@ -313,7 +313,7 @@ class CdcStreamSpec extends AnyFunSuite {
   test("autoVacuumKeep bounds target and rollup version dirs across micro-batches") {
     val vCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-vac").toString,
       numBuckets = Some(4),
-      rollups = Seq(RollupSpec("by_grp", Seq("grp"), "cents", derive _, Some(2))),
+      rollups = Seq(RollupSpec("by_grp", Seq("grp"), Seq("cents"), derive _, Some(2))),
       autoVacuumKeep = Some(2))
     def versionDirs(dir: String): Int =
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
