@@ -3,8 +3,6 @@ package graft.cdc
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** One incremental merge run — the whole of the reference procedure
   * `PS_SP_ETL_MERGE_JOB` (bigquery_syntex_merge_sql/merge.sql) /
@@ -75,9 +73,9 @@ object CdcPipeline {
     * that produced it are one unit (no separate marker to tear).
     */
   private def pointer(targetDir: String): Option[(Long, Long)] = {
-    val p = Paths.get(targetDir, VersionFile)
-    if (Files.exists(p)) {
-      val toks = Files.readString(p).trim.split("\\s+")
+    val p = s"$targetDir/$VersionFile"
+    if (StoreFs.exists(p)) {
+      val toks = StoreFs.readString(p).trim.split("\\s+")
       Some((toks(0).toLong, if (toks.length > 1) toks(1).toLong else -1L))
     } else None
   }
@@ -90,13 +88,13 @@ object CdcPipeline {
   def lastCommittedBatch(targetDir: String): Option[Long] = pointer(targetDir).map(_._2)
 
   private[graft] def manifest(targetDir: String, version: Long): Option[Manifest] = {
-    val p = Paths.get(targetDir, s"v$version", ManifestFile)
-    if (!Files.exists(p)) None
+    val p = s"$targetDir/v$version/$ManifestFile"
+    if (!StoreFs.exists(p)) None
     else {
       var nb = 0
       var schema = ""
       val bs = Map.newBuilder[Int, String]
-      Files.readAllLines(p).asScala.foreach { l =>
+      StoreFs.readString(p).split("\n").foreach { l =>
         l.split("=", 2) match {
           case Array("numBuckets", v) => nb = v.toInt
           case Array("schema", v) => schema = v
@@ -114,9 +112,7 @@ object CdcPipeline {
     sb.append(s"numBuckets=${m.numBuckets}\n")
     sb.append(s"schema=${m.schemaJson}\n")
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, v) => sb.append(s"bucket.$b=$v\n") }
-    val dir = Paths.get(targetDir, s"v$version")
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve(ManifestFile), sb.toString)
+    StoreFs.writeString(s"$targetDir/v$version/$ManifestFile", sb.toString)
   }
 
   /** PK-hash bucket of a row — Spark's Murmur3 `hash`, so the layout
@@ -127,10 +123,9 @@ object CdcPipeline {
     pmod(hash(pkCols.map(col): _*), lit(numBuckets))
 
   private def swapPointer(targetDir: String, version: Long, batchId: Long): Unit = {
-    val tmp = Paths.get(targetDir, s".$VersionFile.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, Paths.get(targetDir, VersionFile),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = s"$targetDir/.$VersionFile.tmp"
+    StoreFs.writeString(tmp, s"$version $batchId")
+    StoreFs.atomicReplace(tmp, s"$targetDir/$VersionFile")
   }
 
   /** Write `df` into `dir` as one directory per PK-hash bucket
@@ -148,9 +143,9 @@ object CdcPipeline {
     * manifest).
     */
   private def writtenBuckets(dir: String): Set[Int] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(BucketCol + "="))
-      .map(_.getName.stripPrefix(BucketCol + "=").toInt)
+    StoreFs.listDirNames(dir)
+      .filter(_.startsWith(BucketCol + "="))
+      .map(_.stripPrefix(BucketCol + "=").toInt)
       .toSet
 
   /** Read the named buckets through the manifest (all buckets =
@@ -213,8 +208,8 @@ object CdcPipeline {
       manifest(targetDir, version) match {
         case Some(m) => Some(readBuckets(spark, targetDir, m, m.buckets.keySet))
         case None =>
-          val d = new java.io.File(s"$targetDir/v$version")
-          if (d.isDirectory) Some(spark.read.parquet(d.toString)) else None
+          val d = s"$targetDir/v$version"
+          if (StoreFs.exists(d)) Some(spark.read.parquet(d)) else None
       }
     }
 
@@ -356,20 +351,14 @@ object CdcPipeline {
       keptVersions.map(v => s"v$v").toSet ++
         keptVersions.flatMap(v =>
           manifest(targetDir, v).map(_.buckets.values.toSet).getOrElse(Set.empty))
-    val versionDirs = Option(new java.io.File(targetDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    val versionDirs = StoreFs.listDirNames(targetDir)
+      .filter(_.matches("v\\d+"))
       // never touch versions ABOVE the pointer: v{cur+1} may be an
       // in-flight publish that hasn't swapped the pointer yet
-      .filterNot(_.getName.stripPrefix("v").toLong > cur)
-    val doomed = versionDirs.filterNot(f => live(f.getName))
-    doomed.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
-    doomed.map(_.getName.stripPrefix("v").toLong).sorted
+      .filterNot(_.stripPrefix("v").toLong > cur)
+    val doomed = versionDirs.filterNot(live)
+    doomed.foreach(d => StoreFs.deleteRecursive(s"$targetDir/$d"))
+    doomed.map(_.stripPrefix("v").toLong).sorted
   }
 
   private[graft] final case class MergeOutcome(version: Long, updated: Long)

@@ -33,9 +33,8 @@ object JobLog {
       records_deleted: Long)
 
   def read(spark: SparkSession, logDir: String): Option[DataFrame] = {
-    val d = new java.io.File(logDir)
     // an existing-but-empty dir (fresh deployment) has no schema
-    val hasData = d.exists() && Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+    val hasData = parquetFiles(logDir).nonEmpty
     // mergeSchema: a log dir that predates the r3 insert/update split
     // has files without records_inserted/records_updated; the default
     // sampled-footer schema read could miss (or inconsistently
@@ -75,9 +74,11 @@ object JobLog {
     if (autoCompactAt > 0) { compact(spark, logDir, minFiles = autoCompactAt); () }
   }
 
-  private def parquetFiles(logDir: String): Seq[java.io.File] =
-    Option(new java.io.File(logDir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  // fully-qualified paths via the Hadoop FileSystem API, so the log
+  // works on any scheme (a java.io listing on hdfs://s3a:// returns
+  // null and auto-compaction would silently stop — ADVICE r5)
+  private def parquetFiles(logDir: String): Seq[String] =
+    StoreFs.listFilePaths(logDir, ".parquet")
 
   /** Rewrite the log's current files into ONE (when at least
     * `minFiles` have accumulated), under the pipeline's single-writer
@@ -97,14 +98,12 @@ object JobLog {
       // pin the read to this exact file snapshot: the combined file we
       // append below must not feed its own input
       val all = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.getAbsolutePath): _*)
+        .parquet(files: _*)
         .dropDuplicates("run_id")
       all.coalesce(1).write.mode(SaveMode.Append).parquet(logDir)
-      files.foreach { f =>
-        // the local Hadoop FS keeps a .<name>.crc sibling per file
-        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
-        f.delete()
-      }
+      // FileSystem.delete on a checksum FS removes the .crc sibling
+      // with the file — no hand-rolled cleanup
+      files.foreach(StoreFs.deleteFile)
       files.size
     }
   }

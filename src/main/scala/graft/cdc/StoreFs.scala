@@ -1,0 +1,109 @@
+package graft.cdc
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+
+/** Control-plane file operations of the versioned store (pointer,
+  * manifest, vacuum, job-log compaction), on the Hadoop `FileSystem`
+  * API so the store runs wherever the data does — `file://` in tests,
+  * `hdfs://`/`s3a://` where a 100 TB deployment actually lives. The
+  * reference's control plane is its warehouse's metadata (BigQuery
+  * job atomicity / MySQL transactions — merge.sql:441–457); on
+  * immutable files it is these few operations, and they must go
+  * through the same FS abstraction as the data files or the store is
+  * local-disk-only.
+  *
+  * Atomic-replace contract, per scheme:
+  *  - `hdfs://` and `file://`: `FileContext.rename(OVERWRITE)` is an
+  *    atomic metadata op — readers see the old or the new pointer,
+  *    never a torn one. This is the contract the pointer swap relies
+  *    on.
+  *  - object stores (`s3a://`): rename is copy+delete, NOT atomic,
+  *    but the final object PUT is — a reader sees the old pointer,
+  *    the new pointer, or (in the copy window) a transient miss,
+  *    never a partial file. Single-writer-per-target (the store's
+  *    standing contract) keeps last-writer-wins sufficient; a
+  *    deployment needing stronger pointer semantics puts ONLY the
+  *    pointer on a consistent store (DynamoDB-style commit service —
+  *    what Delta does on S3) while data files stay put.
+  */
+private[graft] object StoreFs {
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fs(p).exists(p)
+  }
+
+  def readString(path: String): String = {
+    val p = new Path(path)
+    val in = fs(p).open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Write (overwrite) a small control file, creating parents. */
+  def writeString(path: String, s: String): Unit = {
+    val p = new Path(path)
+    val f = fs(p)
+    val parent = p.getParent
+    if (parent != null) { f.mkdirs(parent); () }
+    val out = f.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Replace `dstPath` with `tmpPath` in one rename (see the
+    * per-scheme contract in the object doc).
+    */
+  def atomicReplace(tmpPath: String, dstPath: String): Unit = {
+    val dst = new Path(dstPath)
+    val fc = FileContext.getFileContext(dst.toUri, conf)
+    fc.rename(new Path(tmpPath), dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Names of immediate subdirectories (empty when the path is
+    * missing — a fresh target — rather than an error).
+    */
+  def listDirNames(path: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  /** Immediate child files matching `suffix`, as fully-qualified path
+    * strings (empty when the path is missing).
+    */
+  def listFilePaths(path: String, suffix: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(suffix))
+      .map(_.getPath.toString)
+  }
+
+  /** Recursive delete; false when the path was already gone. On
+    * checksum FSes (the local Hadoop FS) this removes the `.crc`
+    * siblings too — the whole point of not hand-rolling it over
+    * `java.io.File`.
+    */
+  def deleteRecursive(path: String): Boolean = {
+    val p = new Path(path)
+    fs(p).delete(p, true)
+  }
+
+  def deleteFile(path: String): Boolean = {
+    val p = new Path(path)
+    fs(p).delete(p, false)
+  }
+}
