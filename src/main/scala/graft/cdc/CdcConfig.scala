@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions.col
   * small versioned bucketed store under the target (see
   * `CdcPipeline.rollupPath`), committed with the target-version
   * idempotence key, so crash replays never double-apply a delta.
+  *
+  * `derive` contract: it may add/compute columns but MUST pass
+  * through the target's PK columns and (when its input carries one)
+  * the `__op` envelope column — the incremental maintenance retires
+  * old contributions by PK lookup and routes deletes by `__op`
+  * (`IncrementalAgg.applyDelta`), so a derive that projects either
+  * away has no delta path. `maintainRollups` validates this on every
+  * maintenance pass and fails with the rollup's name rather than a
+  * distant unresolved-column analysis error.
   */
 final case class RollupSpec(
     name: String,

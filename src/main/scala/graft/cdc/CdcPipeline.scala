@@ -185,11 +185,19 @@ object CdcPipeline {
     currentVersion(targetDir).map { v =>
       manifest(targetDir, v) match {
         case Some(m) =>
-          val touched = keys
+          // cast the caller's keys to the STORED PK types before
+          // hashing: Murmur3 of an INT differs from the same value as
+          // BIGINT, so an uncast mismatch would scan the wrong buckets
+          // and silently return nothing (ADVICE r5) — while the semi
+          // join alone would have coerced and still matched.
+          val storedType = m.schema.fields.map(f => f.name -> f.dataType).toMap
+          val typedKeys = keys.select(pkCols.map(c => storedType.get(c)
+            .map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+          val touched = typedKeys
             .select(bucketExpr(pkCols, m.numBuckets).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
           readBuckets(spark, targetDir, m, touched)
-            .join(broadcast(keys.select(pkCols.map(col): _*)), pkCols, "left_semi")
+            .join(broadcast(typedKeys), pkCols, "left_semi")
         case None => // pre-manifest flat layout: no pruning possible
           spark.read.parquet(s"$targetDir/v$v")
             .join(broadcast(keys.select(pkCols.map(col): _*)), pkCols, "left_semi")
@@ -463,6 +471,16 @@ object CdcPipeline {
     if (cfg.rollups.isEmpty) return
     val curV = currentVersion(cfg.targetPath).getOrElse(return)
     cfg.rollups.foreach { rs =>
+      // derive pass-through contract (see RollupSpec doc): checked on
+      // the schema only (no job), so a violation names the rollup at
+      // the maintenance site instead of surfacing as an unresolved
+      // column deep inside applyDelta.
+      val derivedCols = rs.derive(changes).columns.toSet
+      val needed = cfg.pk :+ CdcEnvelope.OpCol
+      val dropped = needed.filterNot(derivedCols)
+      require(dropped.isEmpty,
+        s"rollup '${rs.name}': derive must pass through PK and ${CdcEnvelope.OpCol} " +
+          s"columns of the change set; missing ${dropped.mkString(", ")}")
       val dir = rollupPath(cfg, rs.name)
       val asOf = lastCommittedBatch(dir).getOrElse(-1L)
       if (asOf < curV) {

@@ -126,36 +126,47 @@ object Similarity {
     */
   val BroadcastQueryRows: Long = 100000L
 
+  /** Exact top-k unless `approx` opts in. `queryRows` is a PHYSICAL
+    * hint only — above [[BroadcastQueryRows]] it drops the query-side
+    * broadcast (an un-hinted exact cross join shuffles instead of
+    * OOMing) but never changes the result. A corpus-sized batch that
+    * accepts approximation passes `approx = true` to route through
+    * the multi-table bucketed LSH: both sides key on (tbl, bucket),
+    * the join co-partitions, and candidate volume is
+    * ≈ tables·|Q|·|N|/2^planes instead of |Q|·|N|. The deep default
+    * (48×4 — top-k pairs reach lower cosine than the τ≈0.42 dedup
+    * floor, needing twice its 24 tables) is recall-tested at small SF
+    * (OpsSpec: equality vs brute force on this corpus); production
+    * tunes tables/planes to its similarity floor. Result semantics
+    * are the caller's explicit choice, never a side effect of the
+    * batch-size hint (ADVICE r5).
+    */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryRows: Option[Long] = None,
+      approx: Boolean = false,
       largeBatchTables: Int = 48, largeBatchPlanes: Int = 4,
-      dims: Int = 64): DataFrame = queryRows match {
-    // Corpus-sized query batch (a self-join regime, not an ANN probe):
-    // neither side can broadcast, and an un-hinted cartesian would be
-    // |Q|·|N| scored rows through a nested-loop — the one plan that
-    // cannot survive scale. Route through the multi-table bucketed LSH
-    // instead: both sides key on (tbl, bucket), the join co-partitions,
-    // and candidate volume is ≈ tables·|Q|·|N|/2^planes. The deep
-    // default (48×4 — top-k pairs reach lower cosine than the τ≈0.42
-    // dedup floor, needing twice its 24 tables) is recall-tested at
-    // small SF (OpsSpec: equality vs brute force on this corpus);
-    // production tunes tables/planes to its similarity floor.
-    case Some(nr) if nr > BroadcastQueryRows =>
+      dims: Int = 64): DataFrame = {
+    val largeBatch = queryRows.exists(_ > BroadcastQueryRows)
+    if (approx && largeBatch)
       annLshTopK(queries, corpus, k, largeBatchTables, largeBatchPlanes, dims)
         .select("query_id", "neighbor_id")
-    case _ =>
-      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    else {
+      val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
       val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
       // broadcast the QUERY side: an ANN batch has queries ≪ corpus, so
       // the corpus streams through the scan untouched and the top-k
       // partials combine map-side — k rows per (task, query) hit the
       // shuffle. Broadcasting the corpus (the r2 shape) capped the
       // baseline at corpus-fits-in-memory. Pass `queryRows` when the
-      // caller knows the batch size.
-      val scored = c.crossJoin(broadcast(q))
+      // caller knows the batch size; a large known batch drops the
+      // hint (the exact cartesian shuffles both sides, slow but
+      // correct — the scale path is the explicit `approx` opt-in).
+      val q = if (largeBatch) q0 else broadcast(q0)
+      val scored = c.crossJoin(q)
         .select(col("query_id"), col("neighbor_id"),
           ordOf(cosine(col("emb_q"), col("emb_c"))).as("ord"))
       topByOrd(scored, k).select("query_id", "neighbor_id")
+    }
   }
 
   /** LSH bucket id in one hash table: sign bits of the vector against

@@ -128,15 +128,22 @@ class OpsSpec extends AnyFunSuite {
       queryRows = Some(Similarity.BroadcastQueryRows + 1))
     assert(hasHint(hinted), "small/unknown batch keeps the broadcast hint")
     assert(!hasHint(large), "large known batch must not force a broadcast")
-    // A corpus-sized batch routes through the bucketed LSH join: the
-    // plan must contain NO cartesian of any kind — both sides key on
-    // (tbl, bucket) and co-partition.
-    val phys = large.queryExecution.executedPlan.toString
+    // queryRows is a physical hint ONLY: without the explicit approx
+    // opt-in the large-batch result stays exact (ADVICE r5 — a plan
+    // hint must never silently change semantics).
+    assert(large.as[(Long, Long)].collect().toSet ===
+      hinted.as[(Long, Long)].collect().toSet)
+    // The explicit approx opt-in routes through the bucketed LSH
+    // join: the plan must contain NO cartesian of any kind — both
+    // sides key on (tbl, bucket) and co-partition.
+    val approx = Similarity.cosineTopK(q, c, 5,
+      queryRows = Some(Similarity.BroadcastQueryRows + 1), approx = true)
+    val phys = approx.queryExecution.executedPlan.toString
     assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
       phys.linesIterator.take(30).mkString("\n"))
     // Deep-table equality at small SF: the routed result must equal
     // brute force on this corpus (recall is spec-checked, not assumed).
-    assert(large.as[(Long, Long)].collect().toSet ===
+    assert(approx.as[(Long, Long)].collect().toSet ===
       hinted.as[(Long, Long)].collect().toSet)
   }
 
