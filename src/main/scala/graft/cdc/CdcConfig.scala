@@ -43,11 +43,56 @@ final case class RollupSpec(
     groupCols: Seq[String],
     valueCols: Seq[String],
     derive: DataFrame => DataFrame = identity,
-    numBuckets: Option[Int] = None) {
+    numBuckets: Option[Int] = None,
+    /** Columns maintained as `min_<col>`/`max_<col>` next to the sums.
+      * Inserts fold in monotonically; a window that deletes/updates a
+      * group's recorded extreme triggers a rescan of just that group
+      * (see `IncrementalAgg.applyDelta`). Changing a rollup's measure
+      * set later is safe: the next maintenance pass notices the state
+      * schema mismatch and recomputes from the snapshot.
+      */
+    minCols: Seq[String] = Nil,
+    maxCols: Seq[String] = Nil) {
   require(name.matches("[A-Za-z0-9_-]+"), s"rollup name must be path-safe: $name")
   require(groupCols.nonEmpty, "rollup needs at least one group column")
-  require(valueCols.nonEmpty, "rollup needs at least one value column")
+  require(valueCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+    "rollup needs at least one measure column (value/min/max)")
+
+  /** State schema this spec maintains (order is the published one). */
+  def stateCols: Seq[String] =
+    (groupCols :+ "n_rows") ++ valueCols.map("sum_" + _) ++
+      minCols.map("min_" + _) ++ maxCols.map("max_" + _)
 }
+
+/** Declaration of a maintained SCD Type-2 history for a target (the
+  * history-preserving companion of the snapshot merge — see [[Scd2]]
+  * for the slice semantics and [[Scd2Store]] for the storage layout).
+  * Declared on [[CdcTableConfig.scd2]], the pipeline then advances the
+  * persisted history inside every batch `run` / streaming micro-batch
+  * under a per-window idempotence key, with write I/O ∝ delta: closed
+  * slices are append-only, only the open slices of touched PKs are
+  * rewritten (bucket-granular).
+  *
+  * `payloadCols` — the columns carried per slice (empty = every
+  * target column except the PK). `tsCol` — when a target predates its
+  * SCD2 declaration, the bootstrap builds open slices from the current
+  * snapshot and takes `valid_from_us` from this target column (absent
+  * = 0, "valid since the beginning"). `numBuckets` — bucket count of
+  * the open-slice store (default: the target's own).
+  *
+  * Contract: declare SCD2 when the target is created if the full
+  * history matters — a later declaration bootstraps from the current
+  * snapshot ("history begins here") because the pre-declaration
+  * change events are gone; un-declaring and re-declaring likewise
+  * loses the interim windows. A target is maintained by ONE mode
+  * (batch or streaming) — the idempotence key is the watermark window
+  * end in batch mode and the micro-batch id in streaming, and the two
+  * sequences don't compare.
+  */
+final case class Scd2Spec(
+    payloadCols: Seq[String] = Nil,
+    tsCol: Option[String] = None,
+    numBuckets: Option[Int] = None)
 
 final case class CdcTableConfig(
     cdcTable: String,
@@ -77,7 +122,11 @@ final case class CdcTableConfig(
       * forever. Clamped to ≥ 2: the torn-publish rollup catch-up reads
       * version−1 by time travel, which must survive the GC window.
       */
-    autoVacuumKeep: Option[Int] = None) {
+    autoVacuumKeep: Option[Int] = None,
+    /** When set, the pipeline maintains a persisted SCD Type-2
+      * history under the target (see [[Scd2Spec]]/[[Scd2Store]]).
+      */
+    scd2: Option[Scd2Spec] = None) {
   /** Target schema = pk ++ projected ++ passthrough columns. */
   def targetCols: Seq[String] =
     (pk ++ fieldSpecs.map(_.as) ++ passthrough).distinct
@@ -120,21 +169,46 @@ object CdcConfig {
     }
   }
 
-  /** Parse a config-table rollup list: `name:grp1+grp2:val1+val2`
-    * entries separated by `;` (derive is identity — a config table can
-    * only name existing target columns; computed-column rollups are
-    * declared in code via [[RollupSpec]]).
+  /** Parse a config-table rollup list: entries separated by `;`, each
+    * `name:grp1+grp2:val1+val2[:min=a+b][:max=c+d]` (the value list
+    * may be empty when a min/max segment is present; derive is
+    * identity — a config table can only name existing target columns;
+    * computed-column rollups are declared in code via [[RollupSpec]]).
     */
   def parseRollups(s: String): Seq[RollupSpec] =
     s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
+      def split(v: String): Seq[String] =
+        v.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq
       entry.split(":").map(_.trim) match {
-        case Array(n, g, v) =>
-          RollupSpec(n, g.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq,
-            v.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq)
+        case parts if parts.length >= 3 =>
+          val extras = parts.drop(3)
+          val bad = extras.filterNot(p => p.startsWith("min=") || p.startsWith("max="))
+          if (bad.nonEmpty) throw new IllegalArgumentException(
+            s"rollup segments after the value list must be min=/max=, got: $entry")
+          RollupSpec(parts(0), split(parts(1)), split(parts(2)),
+            minCols = extras.filter(_.startsWith("min="))
+              .flatMap(p => split(p.stripPrefix("min="))),
+            maxCols = extras.filter(_.startsWith("max="))
+              .flatMap(p => split(p.stripPrefix("max="))))
         case _ => throw new IllegalArgumentException(
-          s"rollup entry must be name:grp1+grp2:val1+val2, got: $entry")
+          s"rollup entry must be name:grp1+grp2:val1+val2[:min=a][:max=b], got: $entry")
       }
     }
+
+  /** Parse a config-table SCD2 declaration: `*` (all non-PK target
+    * columns) or `col1+col2`, with an optional `@tsCol` suffix naming
+    * the bootstrap valid-from column — e.g. `*@updated_at`.
+    */
+  def parseScd2(s: String): Scd2Spec = {
+    val (colsPart, ts) = s.split("@", 2) match {
+      case Array(c, t) => (c.trim, Some(t.trim).filter(_.nonEmpty))
+      case Array(c) => (c.trim, None)
+    }
+    val pays =
+      if (colsPart == "*" || colsPart.isEmpty) Nil
+      else colsPart.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq
+    Scd2Spec(payloadCols = pays, tsCol = ts)
+  }
 
   /** The reference DDL's literal column names → the normalized names
     * this loader reads (tables_list.sql:5–22 `config_file5`: the
@@ -189,7 +263,8 @@ object CdcConfig {
         isActive = true,
         numBuckets = optBuckets("num_buckets"),
         rollups = opt("rollups").map(parseRollups).getOrElse(Nil),
-        autoVacuumKeep = optBuckets("auto_vacuum_keep"))
+        autoVacuumKeep = optBuckets("auto_vacuum_keep"),
+        scd2 = opt("scd2").map(parseScd2))
     }
   }
 }

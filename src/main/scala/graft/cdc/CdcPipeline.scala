@@ -132,7 +132,7 @@ object CdcPipeline {
     * (repartitioned on the bucket id so each bucket's rows co-locate
     * into a task before the partitioned write).
     */
-  private def writeBuckets(df: DataFrame, pkCols: Seq[String], numBuckets: Int,
+  private[graft] def writeBuckets(df: DataFrame, pkCols: Seq[String], numBuckets: Int,
       dir: String): Unit =
     df.withColumn(BucketCol, bucketExpr(pkCols, numBuckets))
       .repartition(col(BucketCol))
@@ -433,6 +433,18 @@ object CdcPipeline {
   def readRollup(spark: SparkSession, cfg: CdcTableConfig, name: String): Option[DataFrame] =
     readSnapshot(spark, rollupPath(cfg, name))
 
+  /** Bucket-pruned key lookup on a maintained rollup's state — the
+    * same serving-path read as `readKeys`, keyed on the rollup's
+    * group columns (a rollup store is a versioned bucketed store
+    * whose "PK" is the group key).
+    */
+  def readRollupKeys(spark: SparkSession, cfg: CdcTableConfig, name: String,
+      keys: DataFrame): Option[DataFrame] = {
+    val rs = cfg.rollups.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no such rollup: $name"))
+    readKeys(spark, rollupPath(cfg, name), rs.groupCols, keys)
+  }
+
   /** Target version a rollup's state reflects (the rollup store's
     * pointer reuses the batchId slot for this — one atomic line holds
     * state version AND idempotence key, so there is no separate
@@ -484,24 +496,32 @@ object CdcPipeline {
       val dir = rollupPath(cfg, rs.name)
       val asOf = lastCommittedBatch(dir).getOrElse(-1L)
       if (asOf < curV) {
+        // a stored state whose columns don't match the spec (the
+        // rollup's measure set evolved) can't be advanced by delta —
+        // fall through to the recompute path
+        val stored = readSnapshot(spark, dir)
+          .filter(_.columns.toSeq == rs.stateCols)
         val incremental: Option[DataFrame] =
-          if (changesMatchCurrent && asOf == curV - 1) {
+          if (changesMatchCurrent && asOf == curV - 1 &&
+              (stored.nonEmpty || lastCommittedBatch(dir).isEmpty)) {
             val preOpt =
               if (asOf < 0) Some(changes.select(cfg.targetCols.map(col): _*).filter(lit(false)))
               else readSnapshotAt(spark, cfg.targetPath, asOf)
             preOpt.map { pre =>
-              val state0 = readSnapshot(spark, dir).getOrElse(
+              val state0 = stored.getOrElse(
                 IncrementalAgg.fromSnapshot(
-                  rs.derive(pre).filter(lit(false)), rs.groupCols, rs.valueCols))
+                  rs.derive(pre).filter(lit(false)), rs.groupCols, rs.valueCols,
+                  rs.minCols, rs.maxCols))
               IncrementalAgg.applyDelta(state0, rs.derive(pre), rs.derive(changes),
-                cfg.pk, rs.groupCols, rs.valueCols, deltaRows)
+                cfg.pk, rs.groupCols, rs.valueCols, rs.minCols, rs.maxCols,
+                rs.derive(readSnapshot(spark, cfg.targetPath).get), deltaRows)
             }
           } else None
         val state1 = incremental.getOrElse(
           IncrementalAgg.fromSnapshot(
             rs.derive(readSnapshot(spark, cfg.targetPath)
               .getOrElse(changes.select(cfg.targetCols.map(col): _*).filter(lit(false)))),
-            rs.groupCols, rs.valueCols))
+            rs.groupCols, rs.valueCols, rs.minCols, rs.maxCols))
         publish(state1, dir, rs.groupCols, batchId = curV, buckets = rs.numBuckets)
         ()
       }
@@ -511,13 +531,17 @@ object CdcPipeline {
   /** Vacuum the target and every rollup store down to
     * `cfg.autoVacuumKeep` versions (no-op when unset). Keep is
     * clamped to ≥ 2 so the rollup catch-up's time travel to
-    * version−1 always finds its manifest.
+    * version−1 always finds its manifest. The SCD2 open-slice store
+    * is a versioned store too and gets the same GC (its closed dirs
+    * are append-only history and are never vacuumed — compaction, not
+    * GC, is their maintenance: `Scd2Store.compactClosed`).
     */
   private[graft] def autoVacuum(cfg: CdcTableConfig): Unit =
     cfg.autoVacuumKeep.foreach { keep =>
       val k = math.max(2, keep)
       vacuum(cfg.targetPath, k)
       cfg.rollups.foreach(rs => vacuum(rollupPath(cfg, rs.name), k))
+      cfg.scd2.foreach(_ => vacuum(Scd2Store.openPath(cfg), k))
     }
 
   /** Run one incremental merge for `cfg`, reading envelope rows from
@@ -546,6 +570,15 @@ object CdcPipeline {
       // declared rollups advance by delta (reference: the derived-table
       // refresh inside the procedure, merge.sql:520–581)
       maintainRollups(spark, cfg, changes, Some(nUps + nDel), changesMatchCurrent = true)
+      // the SCD2 history advances by the UNcompacted window (every
+      // event keeps its slice), keyed on the window end: a crash-
+      // replay of this window re-merges the target idempotently but
+      // must not re-apply history deltas. targetExistedBefore = a
+      // SUCCESS row predates this window (startUs > 0), so a crash-
+      // replay of the target-creating window still builds its history
+      // incrementally from the window env, not from a bootstrap.
+      Scd2Store.maintain(spark, cfg, projected, seqKey = nowUs,
+        targetExistedBefore = startUs > 0, windowEmpty = nUps + nDel == 0)
       autoVacuum(cfg)
       // insert/update split: updated = upserts whose PK pre-existed
       // in the target; inserted = genuinely new PKs (the reference

@@ -415,6 +415,69 @@ object CdcQueries {
        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
        |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
 
+  // A31 (r6): min/max rollup maintenance — the same two-window delta
+  // advancement as cdc_incr_agg, now carrying min/max measures, which
+  // are monotone on inserts but need a per-group rescan when a delete
+  // or update retires the recorded extreme (IncrementalAgg.applyDelta
+  // routes exactly those groups through the post-merge snapshot). The
+  // oracle recomputes everything from the merged snapshot, so a hash
+  // match proves increment ≡ recompute including extrema retirement.
+  def cdcIncrAggMinmax(s: SparkSession, d: String): DataFrame = {
+    val W2 = CdcEnvelope.epochUs("2024-01-30T00:00:00Z")
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    def derive(df: DataFrame): DataFrame = df
+      .withColumn("grp", col("k") % lit(8L))
+      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val grp = Seq("grp"); val vals = Seq("cents")
+    val mins = Seq("cents", "k"); val maxs = Seq("cents", "k")
+    val targetCols = Seq("user_id", "event_id", "k", "value", "grp", "cents")
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(derive(proj(history)), pk, targetCols)
+    val chg1 = ChangeCompaction.compactForMerge(
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W0, W1))), pk)
+    val chg2 = ChangeCompaction.compactForMerge(
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W1, W2))), pk)
+    val target1 = SnapshotMerge.merge(target0, chg1, pk)
+    val target2 = SnapshotMerge.merge(target1, chg2, pk)
+    val state0 = IncrementalAgg.fromSnapshot(target0, grp, vals, mins, maxs)
+    val state1 = IncrementalAgg.applyDelta(state0, target0, chg1, pk, grp,
+      vals, mins, maxs, target1, None)
+    val state2 = IncrementalAgg.applyDelta(state1, target1, chg2, pk, grp,
+      vals, mins, maxs, target2, None)
+    state2.orderBy(col("grp"))
+  }
+
+  private val oIncrAggMinmax =
+    s"""WITH tgt AS (SELECT user_id, k, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |          FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |  WHERE rn2 = 1 AND op != 'd'),
+       |chg AS (SELECT user_id, k, value, op FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn3
+       |    FROM events
+       |    WHERE ts > TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-30') w
+       |  WHERE rn3 = 1),
+       |m AS (
+       |  SELECT t.user_id, t.k, t.value FROM tgt t
+       |  WHERE t.user_id NOT IN (SELECT user_id FROM chg)
+       |  UNION ALL
+       |  SELECT c.user_id, c.k, c.value FROM chg c WHERE c.op != 'd')
+       |SELECT k % 8 AS grp, count(*) AS n_rows,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       |  CAST(min(k) AS BIGINT) AS min_k,
+       |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+       |  CAST(max(k) AS BIGINT) AS max_k
+       |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -452,5 +515,6 @@ object CdcQueries {
     QueryDef("cdc_rowkey", cdcRowkey, Some(oRowkey)),
     QueryDef("cdc_landed_parse", cdcLandedParse, Some(oLandedParse)),
     QueryDef("cdc_incr_agg", cdcIncrAgg, Some(oIncrAgg)),
+    QueryDef("cdc_incr_agg_minmax", cdcIncrAggMinmax, Some(oIncrAggMinmax)),
   )
 }

@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
-  private val From = "valid_from_us"
-  private val To = "valid_to_us"
+  private[cdc] val From = "valid_from_us"
+  private[cdc] val To = "valid_to_us"
 
   /** One-shot build of the full type-2 history from a change log.
     * `payloadCols` are carried per slice; deletes contribute closure

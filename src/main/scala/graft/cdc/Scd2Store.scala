@@ -1,0 +1,334 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Persisted, pipeline-maintained SCD Type-2 history (the storage
+  * side of [[Scd2]]; declared via [[Scd2Spec]] on a
+  * [[CdcTableConfig]]). The reference maintains its derived tables
+  * inside the merge procedure (merge.sql:520–581); this does the same
+  * for the type-2 history, with the open/closed split expressed in
+  * the LAYOUT so per-run write I/O is delta-sized, never O(history):
+  *
+  * {{{
+  *   <target>/_scd2/
+  *     open/            versioned bucketed store (CdcPipeline layout):
+  *                      ONE open slice per live PK, delta-published —
+  *                      a run rewrites only the PK-hash buckets its
+  *                      window touches
+  *     closed/d<n>/     append-only: the slices advancement n closed,
+  *                      PK-hash-bucket-partitioned (as-of-key lookups
+  *                      prune); never rewritten by later runs
+  * }}}
+  *
+  * Closed history is immutable by construction — a slice, once
+  * closed, never changes — so it appends; only the open slices are
+  * mutable state, and they are exactly a keyed snapshot, which is
+  * what the versioned bucketed store already does ∝-delta.
+  *
+  * == Crash contract ==
+  *
+  * Advancement n writes `closed/d<n>` FIRST, then delta-publishes the
+  * open store, whose atomic pointer swap (to version n, carrying the
+  * window's idempotence key) is the commit point. Readers only admit
+  * closed dirs `d<k>` with k ≤ the open store's committed version, so
+  * a torn `closed/d<n>` write (crash before the open publish) is
+  * invisible and simply overwritten by the replay.
+  *
+  * The idempotence key is the WINDOW (batch mode: the watermark
+  * window end; streaming: the micro-batch id), NOT the target
+  * version: a crashed batch run re-merges its window on replay — the
+  * snapshot merge is idempotent, but re-closing an open slice at the
+  * window's first event time would corrupt the intervals, so the
+  * history must recognize the replayed window itself.
+  *
+  * Unlike rollup state, the history is NOT recomputable from the
+  * current snapshot (intermediate versions exist only in the change
+  * stream) — hence the [[Scd2Spec]] contract: declare at target
+  * creation, or accept a bootstrap that starts history at the
+  * declaration point.
+  */
+object Scd2Store {
+
+  def path(cfg: CdcTableConfig): String = s"${cfg.targetPath}/_scd2"
+  private[graft] def openPath(cfg: CdcTableConfig): String = s"${path(cfg)}/open"
+  private[graft] def closedPath(cfg: CdcTableConfig): String = s"${path(cfg)}/closed"
+
+  /** Idempotence key of the last advancement committed into the
+    * history (-1 when no history exists yet).
+    */
+  def lastAppliedSeq(cfg: CdcTableConfig): Long =
+    CdcPipeline.lastCommittedBatch(openPath(cfg)).getOrElse(-1L)
+
+  private def payloadOf(cfg: CdcTableConfig, spec: Scd2Spec): Seq[String] =
+    if (spec.payloadCols.nonEmpty) spec.payloadCols
+    else cfg.targetCols.filterNot(cfg.pk.contains)
+
+  private def histCols(cfg: CdcTableConfig, spec: Scd2Spec): Seq[String] =
+    cfg.pk ++ payloadOf(cfg, spec) ++ Seq(Scd2.From, Scd2.To)
+
+  /** Closed-slice directories visible at the committed open version.
+    * Two sources compose: the compaction pointer `_GEN` (when present)
+    * names the combined dir holding everything closed up to its
+    * recorded version, and per-advancement dirs `d<k>` cover the rest.
+    * The torn-write guard is the version bound: `d<k>` is admitted iff
+    * genVersion < k ≤ openVersion, so a crash between the closed write
+    * and the open publish leaves an invisible dir the replay simply
+    * overwrites.
+    */
+  private def committedClosedDirs(cfg: CdcTableConfig, openVersion: Long): Seq[String] = {
+    val (genV, genDirs) = readGen(cfg)
+    genDirs ++ StoreFs.listDirNames(closedPath(cfg))
+      .filter(_.matches("d\\d+"))
+      .filter { n =>
+        val k = n.stripPrefix("d").toLong
+        k > genV && k <= openVersion
+      }
+      .sorted
+      .map(n => s"${closedPath(cfg)}/$n")
+  }
+
+  private def genPath(cfg: CdcTableConfig): String = s"${closedPath(cfg)}/_GEN"
+
+  /** Compaction pointer: (version it covers, combined dir paths). */
+  private def readGen(cfg: CdcTableConfig): (Long, Seq[String]) =
+    if (!StoreFs.exists(genPath(cfg))) (-1L, Nil)
+    else {
+      var v = -1L
+      var dirs = Seq.empty[String]
+      StoreFs.readString(genPath(cfg)).split("\n").foreach { l =>
+        l.split("=", 2) match {
+          case Array("version", x) => v = x.toLong
+          case Array("dirs", x) =>
+            dirs = x.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              .map(n => s"${closedPath(cfg)}/$n")
+          case _ => ()
+        }
+      }
+      (v, dirs)
+    }
+
+  /** Leaf `_graft_bucket=*` directories of the given closed dirs,
+    * optionally restricted to a bucket subset. Reading leaves (the
+    * same way `readBuckets` does) sidesteps multi-root partition
+    * inference entirely.
+    */
+  private def closedLeafDirs(dirs: Seq[String], buckets: Option[Set[Int]]): Seq[String] =
+    dirs.flatMap { d =>
+      StoreFs.listDirNames(d)
+        .filter(_.startsWith(CdcPipeline.BucketCol + "="))
+        .filter(n => buckets.forall(_.contains(
+          n.stripPrefix(CdcPipeline.BucketCol + "=").toInt)))
+        .map(n => s"$d/$n")
+    }
+
+  /** The full history — closed slices ∪ open slices — exactly
+    * `Scd2.fromHistory` over every window applied so far. None when
+    * no history exists (SCD2 never declared / never advanced).
+    */
+  def readHistory(spark: SparkSession, cfg: CdcTableConfig): Option[DataFrame] =
+    cfg.scd2.flatMap { spec =>
+      CdcPipeline.currentVersion(openPath(cfg)).map { v =>
+        val open = CdcPipeline.readSnapshot(spark, openPath(cfg)).get
+        val cols = histCols(cfg, spec)
+        val leaves = closedLeafDirs(committedClosedDirs(cfg, v), None)
+        val closed =
+          if (leaves.isEmpty) open.filter(lit(false))
+          else spark.read.schema(open.schema).parquet(leaves: _*)
+        closed.select(cols.map(col): _*).unionByName(open.select(cols.map(col): _*))
+      }
+    }
+
+  /** The target as of `tsUs`, reconstructed from the persisted
+    * history — timestamp time travel at ANY instant, not just publish
+    * points (the versioned store's `readSnapshotAt` is version-
+    * granular; this is event-time-granular).
+    */
+  def readAsOf(spark: SparkSession, cfg: CdcTableConfig, tsUs: Long): Option[DataFrame] =
+    readHistory(spark, cfg).map(h => Scd2.asOf(h, tsUs))
+
+  /** Bucket-pruned key lookup over the history: the slices of the
+    * requested PKs (optionally only the slice live at `asOfUs`),
+    * reading ONLY the PK-hash buckets the keys route to — in the open
+    * store via its manifest, in each closed dir via its bucket
+    * partition directories. I/O ∝ |keys| × advancements, never the
+    * history. (A long-lived deployment bounds the advancement count
+    * by compacting closed dirs — see [[compactClosed]].)
+    */
+  def readKeys(spark: SparkSession, cfg: CdcTableConfig, keys: DataFrame,
+      asOfUs: Option[Long] = None): Option[DataFrame] =
+    cfg.scd2.flatMap { spec =>
+      CdcPipeline.currentVersion(openPath(cfg)).map { v =>
+        val cols = histCols(cfg, spec)
+        val open = CdcPipeline.readKeys(spark, openPath(cfg), cfg.pk, keys).get
+        val m = CdcPipeline.manifest(openPath(cfg), v).get
+        // same type-cast-before-hash contract as CdcPipeline.readKeys
+        val storedType = m.schema.fields.map(f => f.name -> f.dataType).toMap
+        val typedKeys = keys.select(cfg.pk.map(c => storedType.get(c)
+          .map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+        val touched = typedKeys
+          .select(CdcPipeline.bucketExpr(cfg.pk, m.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val bucketDirs = closedLeafDirs(committedClosedDirs(cfg, v), Some(touched))
+        val closed =
+          if (bucketDirs.isEmpty) open.filter(lit(false)).select(cols.map(col): _*)
+          else spark.read.schema(open.select(cols.map(col): _*).schema)
+            .parquet(bucketDirs: _*)
+            .join(broadcast(typedKeys), cfg.pk, "left_semi")
+        val all = closed.select(cols.map(col): _*)
+          .unionByName(open.select(cols.map(col): _*))
+        asOfUs.map(ts => Scd2.asOf(all, ts)).getOrElse(all)
+      }
+    }
+
+  /** Advance the persisted history for one merge window / micro-batch
+    * — called by the batch `run` and the streaming foreachBatch AFTER
+    * the target publish. `env` is the window's PROJECTED (uncompacted)
+    * envelope: the history keeps every event's slice, not just the
+    * compacted newest-per-PK. `seqKey` is the window's idempotence key
+    * (batch: the watermark window end; streaming: the batch id);
+    * `targetExistedBefore` says prior windows were already merged
+    * before this one (batch: a SUCCESS row predates this window;
+    * streaming: the pointer carries an older batch id) — it routes a
+    * first advancement to bootstrap-from-snapshot instead of
+    * incremental-from-empty, and is false on a crash-replay of the
+    * target-creating window, so replay and no-crash paths converge on
+    * identical histories.
+    */
+  private[graft] def maintain(spark: SparkSession, cfg: CdcTableConfig, env: DataFrame,
+      seqKey: Long, targetExistedBefore: Boolean, windowEmpty: Boolean): Unit =
+    cfg.scd2.foreach { spec =>
+      if (lastAppliedSeq(cfg) >= seqKey) () // replayed window: already applied
+      else {
+        val op = openPath(cfg)
+        val openExists = CdcPipeline.currentVersion(op).isDefined
+        if (!openExists && targetExistedBefore) bootstrap(spark, cfg, spec, seqKey)
+        else if (!windowEmpty) advance(spark, cfg, spec, env, seqKey)
+      }
+    }
+
+  /** Late declaration: history begins at the CURRENT snapshot — one
+    * open slice per live row, `valid_from_us` from `spec.tsCol` (0
+    * when absent), no closed slices (the pre-declaration events are
+    * gone; that is the declared contract).
+    */
+  private def bootstrap(spark: SparkSession, cfg: CdcTableConfig, spec: Scd2Spec,
+      seqKey: Long): Unit = {
+    val snap = CdcPipeline.readSnapshot(spark, cfg.targetPath).getOrElse(return)
+    val fromExpr = spec.tsCol
+      .map(c => coalesce(col(c).cast(LongType), lit(0L)))
+      .getOrElse(lit(0L))
+    val open0 = snap
+      .select((cfg.pk ++ payloadOf(cfg, spec)).map(col): _*)
+      .withColumn(Scd2.From, fromExpr)
+      .withColumn(Scd2.To, lit(null).cast(LongType))
+    CdcPipeline.publish(open0, openPath(cfg), cfg.pk, batchId = seqKey,
+      buckets = spec.numBuckets.orElse(cfg.numBuckets))
+    ()
+  }
+
+  private def advance(spark: SparkSession, cfg: CdcTableConfig, spec: Scd2Spec,
+      env: DataFrame, seqKey: Long): Unit = {
+    val pk = cfg.pk
+    val pay = payloadOf(cfg, spec)
+    val cols = histCols(cfg, spec)
+    val op = openPath(cfg)
+    // this window's slices: closed intermediates + (at most) one open
+    // slice per PK; a trailing delete closes and opens nothing
+    val newSlices = Scd2.fromHistory(env, pk, pay)
+    // delta-sized: one row per PK in the window → broadcasts
+    val firstEvt = env.groupBy(pk.map(col): _*)
+      .agg(min(col(CdcEnvelope.TsCol)).as("_first_ts"))
+    CdcPipeline.currentVersion(op) match {
+      case None =>
+        // first window of a target created WITH the declaration: the
+        // window env IS the full change log so far
+        val numBuckets = spec.numBuckets.orElse(cfg.numBuckets)
+          .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        CdcPipeline.writeBuckets(
+          newSlices.filter(col(Scd2.To).isNotNull).select(cols.map(col): _*),
+          pk, numBuckets, s"${closedPath(cfg)}/d0")
+        CdcPipeline.publish(
+          newSlices.filter(col(Scd2.To).isNull).select(cols.map(col): _*),
+          op, pk, batchId = seqKey, buckets = Some(numBuckets))
+        ()
+      case Some(v) =>
+        val m = CdcPipeline.manifest(op, v).get
+        // open-store I/O ∝ delta: only the buckets the window's PKs
+        // hash to are read and rewritten
+        val touched = firstEvt
+          .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val openSubset = CdcPipeline.readBuckets(spark, op, m, touched)
+        // the window's first event closes its PK's current slice
+        val closedNow = openSubset.drop(Scd2.To)
+          .join(broadcast(firstEvt), pk)
+          .withColumnRenamed("_first_ts", Scd2.To)
+          .select(cols.map(col): _*)
+        val newClosed = newSlices.filter(col(Scd2.To).isNotNull).select(cols.map(col): _*)
+        // closed/d<v+1> BEFORE the open publish: the open store's
+        // pointer swap to version v+1 is what makes it visible
+        CdcPipeline.writeBuckets(closedNow.unionByName(newClosed), pk, m.numBuckets,
+          s"${closedPath(cfg)}/d${v + 1}")
+        val stillOpen = openSubset
+          .join(broadcast(firstEvt.select(pk.map(col): _*)), pk, "left_anti")
+        val newOpen = newSlices.filter(col(Scd2.To).isNull).select(cols.map(col): _*)
+        CdcPipeline.publishDelta(stillOpen.select(cols.map(col): _*).unionByName(newOpen),
+          op, pk, m, touched, batchId = seqKey)
+        ()
+    }
+  }
+
+  /** Layout maintenance for a long-lived history: rewrite the live
+    * closed dirs into ONE combined dir (still bucket-partitioned) so
+    * key lookups touch O(|keys|) files again instead of
+    * O(advancements). Content is untouched — closed slices are
+    * immutable facts — and every crash window is safe because the
+    * `_GEN` pointer swap is the only visibility change:
+    *   - crash after writing `c<v>`, before the swap → the combined
+    *     dir is unreferenced and invisible; a retry overwrites it;
+    *   - crash after the swap, before deleting the inputs → readers
+    *     already resolve through `c<v>` only; the superseded dirs are
+    *     orphans the next compaction sweeps.
+    * Shares the store's single-writer contract (run it from the
+    * maintenance slot, like `vacuum`). Returns the number of input
+    * dirs combined (0 = nothing to do).
+    */
+  def compactClosed(spark: SparkSession, cfg: CdcTableConfig): Int =
+    cfg.scd2.map { spec =>
+      CdcPipeline.currentVersion(openPath(cfg)) match {
+        case None => 0
+        case Some(v) =>
+          val live = committedClosedDirs(cfg, v).toSet
+          // orphan sweep: dirs superseded by a previous compaction's
+          // pointer swap whose delete phase crashed (d<k≤genV> and
+          // old c<*>), plus torn advancement dirs above the committed
+          // version (their replay rewrites them anyway)
+          StoreFs.listDirNames(closedPath(cfg))
+            .filter(n => n.matches("[dc]\\d+"))
+            .map(n => s"${closedPath(cfg)}/$n")
+            .filterNot(live)
+            .foreach(StoreFs.deleteRecursive)
+          val dirs = live.toSeq.sorted
+          if (dirs.size <= 1) 0
+          else {
+            val cols = histCols(cfg, spec)
+            val open = CdcPipeline.readSnapshot(spark, openPath(cfg)).get
+            val numBuckets = CdcPipeline.manifest(openPath(cfg), v).get.numBuckets
+            val leaves = closedLeafDirs(dirs, None)
+            val all =
+              (if (leaves.isEmpty) open.filter(lit(false))
+               else spark.read.schema(open.schema).parquet(leaves: _*))
+                .select(cols.map(col): _*)
+            val combined = s"${closedPath(cfg)}/c$v"
+            CdcPipeline.writeBuckets(all, cfg.pk, numBuckets, combined)
+            val tmp = s"${closedPath(cfg)}/._GEN.tmp"
+            StoreFs.writeString(tmp, s"version=$v\ndirs=c$v\n")
+            StoreFs.atomicReplace(tmp, genPath(cfg))
+            dirs.foreach(StoreFs.deleteRecursive)
+            dirs.size
+          }
+      }
+    }.getOrElse(0)
+}

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import graft.cdc.{CdcEnvelope, CdcPipeline, CdcTableConfig, ChangeCompaction, SnapshotMerge, TypedProjection}
+import graft.cdc.{CdcEnvelope, CdcPipeline, CdcTableConfig, ChangeCompaction, Scd2Store, SnapshotMerge, TypedProjection}
 
 /** Structured-Streaming form of the CDC pipeline (SURVEY.md §2
   * A11/A12): the reference's scheduled stored-procedure loop becomes
@@ -44,14 +44,16 @@ object CdcStream {
     val committedBatch = CdcPipeline.lastCommittedBatch(cfg.targetPath)
     val targetFresh = !committedBatch.exists(_ >= batchId)
     val curV = CdcPipeline.currentVersion(cfg.targetPath).getOrElse(-1L)
-    // a crash between the target publish and a rollup publish leaves a
-    // rollup trailing the pointer; the replayed batch must finish it
-    // even though the merge itself is skipped
+    // a crash between the target publish and a rollup/history publish
+    // leaves that state trailing the pointer; the replayed batch must
+    // finish it even though the merge itself is skipped
     val rollupsStale = cfg.rollups.exists(rs =>
       CdcPipeline.rollupAsOfVersion(cfg, rs.name) < curV)
-    if (!targetFresh && !rollupsStale) false
+    val scd2Stale = cfg.scd2.nonEmpty && Scd2Store.lastAppliedSeq(cfg) < batchId
+    if (!targetFresh && !rollupsStale && !scd2Stale) false
     else {
-      val changes = compactBatch(batch, cfg).cache()
+      val projected = projectBatch(batch, cfg)
+      val changes = ChangeCompaction.compactForMerge(projected, cfg.pk).cache()
       try {
         val deltaRows = changes.count()
         if (targetFresh)
@@ -61,22 +63,33 @@ object CdcStream {
         // pointer records which batch made it)
         CdcPipeline.maintainRollups(batch.sparkSession, cfg, changes, Some(deltaRows),
           changesMatchCurrent = targetFresh || committedBatch.contains(batchId))
+        // history advances on the UNcompacted batch, keyed on the
+        // batch id; targetExistedBefore = some OLDER batch built the
+        // target, so a replay of the creating batch still takes the
+        // incremental-from-empty path, never a divergent bootstrap
+        Scd2Store.maintain(batch.sparkSession, cfg, projected, seqKey = batchId,
+          targetExistedBefore = committedBatch.exists(_ < batchId),
+          windowEmpty = deltaRows == 0)
         CdcPipeline.autoVacuum(cfg)
         targetFresh
       } finally changes.unpersist()
     }
   }
 
-  /** Projection + compaction of one micro-batch — the delta a merge
-    * applies. Exposed for plan-shape specs.
+  /** Typed projection of one micro-batch (uncompacted — the SCD2
+    * history consumes every event; the merge compacts it next).
     */
-  private[graft] def compactBatch(batch: DataFrame, cfg: CdcTableConfig): DataFrame = {
-    val projected = TypedProjection.project(batch, CdcEnvelope.DataCol,
+  private[graft] def projectBatch(batch: DataFrame, cfg: CdcTableConfig): DataFrame =
+    TypedProjection.project(batch, CdcEnvelope.DataCol,
       cfg.fieldSpecs,
       keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
         CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
-    ChangeCompaction.compactForMerge(projected, cfg.pk)
-  }
+
+  /** Projection + compaction of one micro-batch — the delta a merge
+    * applies. Exposed for plan-shape specs.
+    */
+  private[graft] def compactBatch(batch: DataFrame, cfg: CdcTableConfig): DataFrame =
+    ChangeCompaction.compactForMerge(projectBatch(batch, cfg), cfg.pk)
 
   /** PRODUCTION streaming merge: readStream envelope → foreachBatch →
     * versioned parquet target (`cfg.targetPath`), batchId-idempotent.

@@ -522,6 +522,275 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("min/max rollups: delta maintenance equals recompute across random histories with extrema deletes") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val rs = RollupSpec("mm", Seq("grp"), Seq("k"),
+      derive = _.withColumn("grp", col("user_id") % lit(4L)),
+      numBuckets = Some(2), minCols = Seq("k"), maxCols = Seq("k", "event_id"))
+    val c = cfg(target).copy(numBuckets = Some(8), rollups = Seq(rs))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    def state(): Seq[Seq[Any]] = CdcPipeline.readRollup(spark, c, "mm").get
+      .select("grp", "n_rows", "sum_k", "min_k", "max_k", "max_event_id")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    def recompute(): Seq[Seq[Any]] = IncrementalAgg.fromSnapshot(
+        rs.derive(CdcPipeline.readSnapshot(spark, target).get),
+        Seq("grp"), Seq("k"), Seq("k"), Seq("k", "event_id"))
+      .select("grp", "n_rows", "sum_k", "min_k", "max_k", "max_event_id")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+
+    // window 1: 40 rows, k = user_id * 10 (each group's extremes known)
+    val initial = (1L to 40L).map(u => (u, "u", 100L, u, 100L, s"""{"k":${u * 10}}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L)
+    assert(state() === recompute()); assert(state().nonEmpty)
+    // window 2 targets the extremes deliberately: delete group 0's max
+    // (u=40), update group 1's min upward (u=1: k 10→9999), insert a
+    // new group-2 min (u=42 → grp 2, k=1), plain insert (u=41)
+    val w2delta = Seq(
+      (40L, "d", 200L, 100L, 1500L, """{"k":400}""", 100L, 0.0),
+      (1L, "u", 200L, 101L, 1500L, """{"k":9999}""", 101L, 1.0),
+      (42L, "u", 200L, 102L, 1500L, """{"k":1}""", 102L, 1.0),
+      (41L, "u", 200L, 103L, 1500L, """{"k":555}""", 103L, 1.0))
+    CdcPipeline.run(spark, c, env(w2delta), log, 2000L)
+    assert(state() === recompute(),
+      "extrema deletes/updates must route through the per-group rescan")
+
+    // randomized windows: seeded ops over a small key space so deletes
+    // of current extrema keep occurring
+    val rnd = new scala.util.Random(42)
+    (3 to 7).foreach { w =>
+      val rows = (0 until 25).map { i =>
+        val u = 1L + rnd.nextInt(45)
+        val op = if (rnd.nextInt(4) == 0) "d" else "u"
+        (u, op, w * 100L, w * 1000L + i, w * 1000L, s"""{"k":${rnd.nextInt(5000)}}""",
+          w * 1000L + i, 1.0)
+      }
+      // one compacted row per PK per window: keep the last op per user
+      val compacted = rows.groupBy(_._1).values.map(_.maxBy(_._4)).toSeq
+      CdcPipeline.run(spark, c, env(compacted), log, w * 1000L)
+      assert(state() === recompute(), s"window $w: delta state must equal recompute")
+    }
+
+    // measure-set evolution: dropping max_event_id forces a recompute
+    // instead of a broken delta advancement
+    val rs2 = rs.copy(maxCols = Seq("k"))
+    val c2 = c.copy(rollups = Seq(rs2))
+    val w9 = Seq((5L, "u", 900L, 9000L, 9000L, """{"k":77}""", 9000L, 1.0))
+    CdcPipeline.run(spark, c2, env(w9), log, 9000L)
+    val evolved = CdcPipeline.readRollup(spark, c2, "mm").get
+    assert(evolved.columns.toSeq === Seq("grp", "n_rows", "sum_k", "min_k", "max_k"))
+    assert(evolved.select("grp", "n_rows", "sum_k", "min_k", "max_k")
+      .orderBy("grp").collect().map(_.toSeq).toSeq ===
+      IncrementalAgg.fromSnapshot(rs2.derive(CdcPipeline.readSnapshot(spark, target).get),
+          Seq("grp"), Seq("k"), Seq("k"), Seq("k"))
+        .select("grp", "n_rows", "sum_k", "min_k", "max_k")
+        .orderBy("grp").collect().map(_.toSeq).toSeq)
+
+    // config round-trip for the min/max segments
+    val parsed = CdcConfig.parseRollups("mm:grp:k:min=k:max=k+event_id; plain:g:v")
+    assert(parsed.map(r => (r.name, r.groupCols, r.valueCols, r.minCols, r.maxCols)) ===
+      Seq(("mm", Seq("grp"), Seq("k"), Seq("k"), Seq("k", "event_id")),
+        ("plain", Seq("g"), Seq("v"), Nil, Nil)))
+  }
+
+  // ---- store-integrated SCD2 (A29) ----------------------------------
+
+  private def projectedWin(env: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+    TypedProjection.project(CdcEnvelope.window(env, lo, hi), CdcEnvelope.DataCol,
+      Seq(TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType))),
+      keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+        CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol, "event_id", "value"))
+
+  private val scd2Pay = Seq("k", "event_id", "value")
+
+  private def histRows(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.select((Seq("user_id") ++ scd2Pay ++ Seq("valid_from_us", "valid_to_us")).map(col): _*)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def parquetInventory(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("SCD2 store: per-window advancement equals one-shot; closed history appends, never rewrites") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    val h1 = Scd2Store.readHistory(spark, c).get
+    assert(histRows(h1) ===
+      histRows(Scd2.fromHistory(projectedWin(env, 0L, w1), Seq("user_id"), scd2Pay)),
+      "window 1 history must equal the one-shot build over its span")
+    val d0 = parquetInventory(s"$target/_scd2/closed/d0")
+    assert(d0.nonEmpty, "the first window must close at least one slice")
+
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val h2 = Scd2Store.readHistory(spark, c).get
+    val oneShot = Scd2.fromHistory(projectedWin(env, 0L, w2), Seq("user_id"), scd2Pay)
+    assert(histRows(h2) === histRows(oneShot),
+      "two maintained windows must equal the one-shot history")
+    // I/O probe: closed history is append-only — window 2 added d1 but
+    // left d0's files untouched (same paths, same mtimes)
+    assert(parquetInventory(s"$target/_scd2/closed/d0") === d0,
+      "closed slices from window 1 must not be rewritten by window 2")
+    assert(new java.io.File(s"$target/_scd2/closed/d1").isDirectory)
+    // open invariant: exactly the live PKs, one slice each, == snapshot
+    val open = h2.filter(col("valid_to_us").isNull)
+    val snap = CdcPipeline.readSnapshot(spark, target).get
+    assert(open.count() === snap.count())
+    assert(open.select("user_id", "k", "event_id", "value").collect().map(_.toSeq).toSet ===
+      snap.select("user_id", "k", "event_id", "value").collect().map(_.toSeq).toSet)
+    // replayed window (same idempotence key) is a no-op
+    Scd2Store.maintain(spark, c, projectedWin(env, w1, w2), seqKey = w2,
+      targetExistedBefore = true, windowEmpty = false)
+    assert(histRows(Scd2Store.readHistory(spark, c).get) === histRows(h2),
+      "a replayed window must not advance the history twice")
+  }
+
+  test("SCD2 store: crash between target publish and history publish converges on replay") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    // simulate the crash window: the w2 merge publishes the target,
+    // then the process dies before Scd2Store.maintain and the job log
+    val w2changes = ChangeCompaction.compactForMerge(projectedWin(env, w1, w2), Seq("user_id"))
+    CdcPipeline.mergeAndPublish(spark, c, w2changes, w2changes.count())
+    assert(Scd2Store.lastAppliedSeq(c) === w1, "history still reflects window 1")
+    // replay: the watermark never advanced, so run() re-merges the
+    // same window (idempotent) and must apply the history delta ONCE
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val oneShot = Scd2.fromHistory(projectedWin(env, 0L, w2), Seq("user_id"), scd2Pay)
+    assert(histRows(Scd2Store.readHistory(spark, c).get) === histRows(oneShot),
+      "history after crash+replay must equal the no-crash one-shot")
+  }
+
+  test("SCD2 store: a torn closed write above the committed version is invisible and healed") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    val h1 = histRows(Scd2Store.readHistory(spark, c).get)
+    // simulate a crash AFTER writing closed/d1 but BEFORE the open
+    // store's pointer swap: junk content lands in d1
+    val junk = Scd2.fromHistory(projectedWin(env, 0L, w1), Seq("user_id"), scd2Pay)
+      .filter(col("valid_to_us").isNotNull).limit(5)
+    CdcPipeline.writeBuckets(junk, Seq("user_id"), 16, s"$target/_scd2/closed/d1")
+    assert(histRows(Scd2Store.readHistory(spark, c).get) === h1,
+      "an uncommitted closed dir must be invisible to readers")
+    // the replayed window overwrites the torn dir and commits
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val oneShot = Scd2.fromHistory(projectedWin(env, 0L, w2), Seq("user_id"), scd2Pay)
+    assert(histRows(Scd2Store.readHistory(spark, c).get) === histRows(oneShot))
+  }
+
+  test("SCD2 store: late declaration bootstraps from the current snapshot, then advances by delta") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val w15 = CdcEnvelope.epochUs("2024-01-22T00:00:00Z")
+    val c = cfg(target).copy(numBuckets = Some(16))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS") // pre-declaration window
+    val c2 = c.copy(scd2 = Some(Scd2Spec()))
+    assert(CdcPipeline.run(spark, c2, env, log, w15).status === "SUCCESS") // declares: bootstrap
+    val boot = Scd2Store.readHistory(spark, c2).get
+    val snapAtBoot = CdcPipeline.readSnapshot(spark, target).get
+    assert(boot.filter(col("valid_to_us").isNotNull).count() === 0L,
+      "bootstrap has no closed slices (pre-declaration events are gone)")
+    assert(boot.count() === snapAtBoot.count(), "bootstrap = one open slice per live row")
+    assert(boot.filter(col("valid_from_us") =!= 0L).count() === 0L,
+      "without tsCol the bootstrap slices are valid since 0")
+    // next window advances the bootstrapped history incrementally
+    val bootPinned = boot.localCheckpoint(true)
+    assert(CdcPipeline.run(spark, c2, env, log, w2).status === "SUCCESS")
+    val expected = Scd2.applyDelta(bootPinned, projectedWin(env, w15, w2),
+      Seq("user_id"), scd2Pay)
+    assert(histRows(Scd2Store.readHistory(spark, c2).get) === histRows(expected),
+      "post-bootstrap windows must advance the history exactly like applyDelta")
+  }
+
+  test("SCD2 ↔ rollup composition: both stores maintained under one run agree with the target") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16),
+      scd2 = Some(Scd2Spec()),
+      rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id"), numBuckets = Some(2))))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    def agg(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      IncrementalAgg.fromSnapshot(df, Seq("k"), Seq("event_id"))
+        .select("k", "n_rows", "sum_event_id").as[(Long, Long, Long)]
+        .collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+    val overHistory = agg(Scd2Store.readAsOf(spark, c, Long.MaxValue).get
+      .select("k", "event_id"))
+    val overTarget = agg(CdcPipeline.readSnapshot(spark, target).get.select("k", "event_id"))
+    val state = CdcPipeline.readRollup(spark, c, "by_k").get
+      .select("k", "n_rows", "sum_event_id").as[(Long, Long, Long)]
+      .collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(overHistory === overTarget,
+      "the history's current slices must reconstruct the target")
+    assert(state === overTarget, "the maintained rollup must equal the recompute")
+  }
+
+  test("SCD2/rollup key lookups prune to the keys' buckets (inputFiles-asserted)") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16),
+      scd2 = Some(Scd2Spec()),
+      rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id"), numBuckets = Some(8))))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+
+    // rollup lookup: equals the full-state filter, reading fewer files
+    val state = CdcPipeline.readRollup(spark, c, "by_k").get
+    val someKs = state.select("k").orderBy("k").limit(2).as[Long].collect().toSeq
+    val rk = CdcPipeline.readRollupKeys(spark, c, "by_k", someKs.toDF("k")).get
+    assert(rk.orderBy("k").collect().map(_.toSeq).toSeq ===
+      state.filter(col("k").isin(someKs: _*)).orderBy("k").collect().map(_.toSeq).toSeq)
+    assert(rk.inputFiles.length < state.inputFiles.length,
+      s"rollup lookup must prune: ${rk.inputFiles.length} vs ${state.inputFiles.length}")
+
+    // history as-of-key lookup: key + instant → that key's slices at
+    // the instant, pruned to the key's buckets in open AND closed dirs
+    val hist = Scd2Store.readHistory(spark, c).get
+    val keys = Seq(1L, 2L).toDF("user_id")
+    val hk = Scd2Store.readKeys(spark, c, keys, asOfUs = Some(w1)).get
+    val expected = Scd2.asOf(hist, w1).filter(col("user_id").isin(1L, 2L))
+    assert(hk.orderBy("user_id").collect().map(_.toSeq).toSeq ===
+      expected.orderBy("user_id").collect().map(_.toSeq).toSeq)
+    assert(hk.inputFiles.length < hist.inputFiles.length,
+      s"history lookup must prune: ${hk.inputFiles.length} vs ${hist.inputFiles.length}")
+    assert(hk.inputFiles.toSet.subsetOf(hist.inputFiles.toSet))
+  }
+
+  test("SCD2 compactClosed: one combined dir, identical content, crash-safe pointer") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val w15 = CdcEnvelope.epochUs("2024-01-22T00:00:00Z")
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+    Seq(w1, w15, w2).foreach(w => assert(CdcPipeline.run(spark, c, env, log, w).status === "SUCCESS"))
+    val before = histRows(Scd2Store.readHistory(spark, c).get)
+    def closedDirs: Set[String] = Option(new java.io.File(s"$target/_scd2/closed").listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.matches("[dc]\\d+"))
+      .map(_.getName).toSet
+    assert(closedDirs.size === 3, s"three windows → three closed dirs, got $closedDirs")
+    assert(Scd2Store.compactClosed(spark, c) === 3)
+    assert(closedDirs === Set("c2"), s"compaction must leave one combined dir, got $closedDirs")
+    assert(histRows(Scd2Store.readHistory(spark, c).get) === before,
+      "compaction must not change the history")
+    assert(Scd2Store.compactClosed(spark, c) === 0, "a compacted store is a no-op")
+    // config parsing of the declaration round-trips
+    assert(CdcConfig.parseScd2("*") === Scd2Spec())
+    assert(CdcConfig.parseScd2("a+b@updated_at") ===
+      Scd2Spec(payloadCols = Seq("a", "b"), tsCol = Some("updated_at")))
+  }
+
   test("runAll executes every active config and isolates failures") {
     val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
     val t1 = tmp(); val t2 = tmp(); val log = tmp()

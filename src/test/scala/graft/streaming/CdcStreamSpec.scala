@@ -139,6 +139,62 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(CdcPipeline.currentVersion(pCfg.targetPath).get === vBefore)
   }
 
+  test("streaming SCD2: history maintained per micro-batch survives kill+resume and equals the one-shot") {
+    import org.apache.spark.sql.types._
+    val valueSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("k", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val sCfg = CdcTableConfig(
+      cdcTable = "scd2_cdc", sourcePath = "dbz", targetDb = "graft",
+      targetTable = "t", targetPath = Files.createTempDirectory("graft-scd2-tgt").toString,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(
+        TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("event_id", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("value", TypedProjection.Cast(DoubleType))),
+      numBuckets = Some(8),
+      scd2 = Some(Scd2Spec()))
+    def rec(op: String, uid: Long, k: Long, eid: Long, v: Double, tsMs: Long, pos: Long): String = {
+      val row = s"""{"user_id":$uid,"k":$k,"event_id":$eid,"value":$v}"""
+      val (before, after) = if (op == "d") (row, "null") else ("null", row)
+      s"""{"before":$before,"after":$after,"op":"$op","ts_ms":$tsMs,"source":{"pos":$pos,"ts_ms":$tsMs}}"""
+    }
+    val inDir = Files.createTempDirectory("graft-scd2-in").toString
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
+    def startQuery() = CdcStream.startMergeToTarget(
+      graft.sources.ChangeFeed.debeziumJsonLinesStream(spark, inDir, valueSchema, Seq("user_id")),
+      sCfg, ckpt)
+    Files.write(java.nio.file.Paths.get(inDir, "f1.jsonl"), Seq(
+      rec("c", 1, 10, 1, 1.0, 100, 1),
+      rec("c", 2, 20, 2, 2.0, 100, 2),
+      rec("u", 1, 11, 3, 1.5, 150, 3)).mkString("\n").getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // kill + resume: new events arrive while down
+    Files.write(java.nio.file.Paths.get(inDir, "f2.jsonl"), Seq(
+      rec("d", 2, 20, 4, 2.0, 200, 4),
+      rec("u", 3, 30, 5, 3.0, 200, 5),
+      rec("u", 1, 12, 6, 1.7, 250, 6)).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val hist = Scd2Store.readHistory(spark, sCfg).get
+    val all = graft.sources.ChangeFeed.debeziumJsonLines(spark, inDir, valueSchema, Seq("user_id"))
+    val oneShot = Scd2.fromHistory(CdcStream.projectBatch(all, sCfg),
+      Seq("user_id"), Seq("k", "event_id", "value"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("user_id", "k", "event_id", "value", "valid_from_us", "valid_to_us")
+        .collect().map(_.toSeq).toSet
+    assert(rows(hist) === rows(oneShot),
+      "streamed history across kill+resume must equal the one-shot build")
+    assert(hist.filter(col("valid_to_us").isNotNull).count() > 0, "closed slices exist")
+    // replaying the last committed batch must not advance the history
+    val lastBatch = CdcPipeline.lastCommittedBatch(sCfg.targetPath).get
+    val histBefore = rows(Scd2Store.readHistory(spark, sCfg).get)
+    CdcStream.mergeBatchToTarget(all, lastBatch, sCfg)
+    assert(rows(Scd2Store.readHistory(spark, sCfg).get) === histBefore)
+  }
+
   test("scheduled drain (Trigger.AvailableNow) resumes from the checkpoint like the reference's cron job") {
     import org.apache.spark.sql.types._
     import spark.implicits._
