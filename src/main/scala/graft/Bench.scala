@@ -30,11 +30,18 @@ object Bench {
     // the same plan). A query that throws records the sentinel -1
     // and is listed in "failed" instead of silently skewing the
     // total (ADVICE r2).
+    // Queries whose official record has swung >1.3x across rounds on
+    // an UNCHANGED plan (r5 verdict: dedup_embedding_lsh 1.9-3.7 s,
+    // dedup_clusters / q_median / q_null_semantics ±1.4x) get a third
+    // timed pass: min-of-3 cuts the scheduling/GC tail that the
+    // min-of-2 record kept catching on these four.
+    val noisy = Set("dedup_embedding_lsh", "dedup_clusters", "q_median", "q_null_semantics")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
-      val times = (1 to 2).map { _ =>
+      val passes = if (noisy(name)) 3 else 2
+      val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

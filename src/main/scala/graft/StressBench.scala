@@ -289,6 +289,54 @@ object StressBench {
       println(f"[stress] ann scored rows: ADC ${scored / 1e3}%.0f k codes vs brute ${10L * nVec / 1e6}%.1f M float pairs (${100.0 * scored / (10L * nVec)}%.1f%%)")
     }
 
+    // r6: salted join feeding an IMMEDIATE aggregation — the one
+    // salt/AQE interplay regime the r4 probe left uncovered. The
+    // salted join's output is partitioned on (k, salt); the following
+    // groupBy(k) must keep its map-side partial aggregation (each
+    // salt sub-key combines locally before the exchange) or the hot
+    // key's rows re-converge on one task and the salt bought nothing.
+    // The plan assert pins it: a partial_sum must appear between the
+    // join and the final aggregate, with AQE on AND off.
+    locally {
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val fact = big
+          .withColumn("k", when(pmod(col(CdcEnvelope.PosCol), lit(10)) =!= 0, lit(0L))
+            .otherwise(col("user_id")))
+          .select(col("k"), col(CdcEnvelope.PosCol).as("payload"))
+          .localCheckpoint(true)
+        val dim = spark.range(0, 200000)
+          .select(col("id").as("k"), (col("id") * 7).as("dim"))
+          .localCheckpoint(true)
+        def saltedAgg = graft.ops.Skew.saltedJoin(fact, dim, Seq("k"), 16)
+          .groupBy("k").agg(sum(col("payload")).as("s"), count(lit(1)).as("n"))
+        def plainAgg = fact.join(dim, Seq("k"))
+          .groupBy("k").agg(sum(col("payload")).as("s"), count(lit(1)).as("n"))
+        def assertPartialAgg(tag: String): Unit = {
+          val plan = saltedAgg.queryExecution.executedPlan.toString
+          require(plan.contains("partial_sum"),
+            s"salted join must keep map-side partial aggregation ($tag); plan:\n$plan")
+        }
+        assertPartialAgg("AQE on")
+        time("hot-key join -> agg, salted x16, AQE on (partial agg asserted)") {
+          saltedAgg.count()
+        }
+        time("hot-key join -> agg, plain, AQE on") { plainAgg.count() }
+        // equality spot-check: same group count, same global sum
+        val sAgg = saltedAgg.agg(sum(col("s")), sum(col("n")), count(lit(1))).collect()(0)
+        val pAgg = plainAgg.agg(sum(col("s")), sum(col("n")), count(lit(1))).collect()(0)
+        require(sAgg == pAgg, s"salted agg must equal plain agg: $sAgg vs $pAgg")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assertPartialAgg("AQE off")
+        time("hot-key join -> agg, salted x16, AQE off") { saltedAgg.count() }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+
     // r5: job-log compaction — the run log must stay O(bounded) files
     // however many runs append (un-compacted, every watermark lookup
     // footer-merges one file per historical run).

@@ -438,13 +438,19 @@ object CdcQueries {
     val mins = Seq("cents", "k"); val maxs = Seq("cents", "k")
     val targetCols = Seq("user_id", "event_id", "k", "value", "grp", "cents")
     val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    // The pipeline reads pre/post-merge targets from the bucketed
+    // store (one scan each); here they are synthesized, so pin them —
+    // otherwise every maintenance step (adjustments, rescan probe,
+    // exact recompute) re-derives the whole merge chain from the raw
+    // events and the query times the fixture, not the operator.
     val target0 = SnapshotMerge.fromHistory(derive(proj(history)), pk, targetCols)
+      .localCheckpoint(true)
     val chg1 = ChangeCompaction.compactForMerge(
-      derive(proj(CdcEnvelope.eventsWindowed(ev, W0, W1))), pk)
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W0, W1))), pk).localCheckpoint(true)
     val chg2 = ChangeCompaction.compactForMerge(
-      derive(proj(CdcEnvelope.eventsWindowed(ev, W1, W2))), pk)
-    val target1 = SnapshotMerge.merge(target0, chg1, pk)
-    val target2 = SnapshotMerge.merge(target1, chg2, pk)
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W1, W2))), pk).localCheckpoint(true)
+    val target1 = SnapshotMerge.merge(target0, chg1, pk).localCheckpoint(true)
+    val target2 = SnapshotMerge.merge(target1, chg2, pk).localCheckpoint(true)
     val state0 = IncrementalAgg.fromSnapshot(target0, grp, vals, mins, maxs)
     val state1 = IncrementalAgg.applyDelta(state0, target0, chg1, pk, grp,
       vals, mins, maxs, target1, None)
