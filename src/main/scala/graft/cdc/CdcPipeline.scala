@@ -387,6 +387,16 @@ object CdcPipeline {
   private[graft] def mergeAndPublish(spark: SparkSession, cfg: CdcTableConfig,
       changes: DataFrame, deltaRows: Long, batchId: Long = -1L): MergeOutcome = {
     val targetCols = cfg.targetCols.map(col)
+    // config evolution: a target column declared after the stored
+    // snapshot was written (the reference picks up upstream column
+    // adds by re-reading INFORMATION_SCHEMA every run —
+    // merge.sql:179–219) routes through the schema-evolving merge, so
+    // untouched stored rows take NULL and the published schema widens
+    def mergeOnto(stored: DataFrame): DataFrame =
+      (if (cfg.targetCols.forall(stored.columns.contains))
+        SnapshotMerge.merge(stored, changes, cfg.pk, Some(deltaRows))
+      else SnapshotMerge.mergeEvolving(stored, changes, cfg.pk, Some(deltaRows)))
+        .select(targetCols: _*)
     currentVersion(cfg.targetPath) match {
       case None =>
         val merged = SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
@@ -400,17 +410,16 @@ object CdcPipeline {
             val subset = readBuckets(spark, cfg.targetPath, m, touched)
             val updated = SnapshotMerge
               .matchedUpsertKeys(subset, changes, cfg.pk, Some(deltaRows)).count()
-            val merged = SnapshotMerge.merge(subset, changes, cfg.pk, Some(deltaRows))
-              .select(targetCols: _*)
             MergeOutcome(
-              publishDelta(merged, cfg.targetPath, cfg.pk, m, touched, batchId), updated)
+              publishDelta(mergeOnto(subset), cfg.targetPath, cfg.pk, m, touched, batchId),
+              updated)
           case None => // pre-manifest flat snapshot: merge full, migrate layout
             val target = spark.read.parquet(s"${cfg.targetPath}/v$v")
             val updated = SnapshotMerge
               .matchedUpsertKeys(target, changes, cfg.pk, Some(deltaRows)).count()
-            val merged = SnapshotMerge.merge(target, changes, cfg.pk, Some(deltaRows))
-              .select(targetCols: _*)
-            MergeOutcome(publish(merged, cfg.targetPath, cfg.pk, batchId, cfg.numBuckets), updated)
+            MergeOutcome(
+              publish(mergeOnto(target), cfg.targetPath, cfg.pk, batchId, cfg.numBuckets),
+              updated)
         }
     }
   }
@@ -443,6 +452,20 @@ object CdcPipeline {
     val rs = cfg.rollups.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no such rollup: $name"))
     readKeys(spark, rollupPath(cfg, name), rs.groupCols, keys)
+  }
+
+  /** Change feed over a maintained rollup's state between two of its
+    * committed versions (the rollup store's own version numbers — one
+    * per advancement): `snapshotDiff` keyed on the group columns, so
+    * a downstream consumer sees one row per group whose aggregates
+    * changed, op-tagged i/u/d, reading only the buckets the two
+    * manifests disagree on.
+    */
+  def rollupDiff(spark: SparkSession, cfg: CdcTableConfig, name: String,
+      fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    val rs = cfg.rollups.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no such rollup: $name"))
+    snapshotDiff(spark, rollupPath(cfg, name), fromVersion, toVersion, rs.groupCols)
   }
 
   /** Target version a rollup's state reflects (the rollup store's

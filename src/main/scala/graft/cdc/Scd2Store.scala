@@ -182,6 +182,35 @@ object Scd2Store {
       }
     }
 
+  /** Append-only change feed of the history: every slice CLOSED after
+    * open-store version `sinceVersion` (exclusive, up to the current
+    * commit). Each advancement's closed dir is immutable, so an
+    * incremental consumer reads only the new dirs — never the
+    * accumulated history. `sinceVersion` must not predate the last
+    * `compactClosed` (whose `_GEN` pointer folds older dirs together);
+    * a consumer that fell that far behind re-reads via `readHistory`.
+    */
+  def closedSince(spark: SparkSession, cfg: CdcTableConfig,
+      sinceVersion: Long): Option[DataFrame] =
+    cfg.scd2.flatMap { spec =>
+      CdcPipeline.currentVersion(openPath(cfg)).map { v =>
+        val (genV, _) = readGen(cfg)
+        require(sinceVersion >= genV,
+          s"closed dirs up to version $genV were compacted; feed from $sinceVersion " +
+            "is no longer dir-addressable — read the full history instead")
+        val open = CdcPipeline.readSnapshot(spark, openPath(cfg)).get
+        val cols = histCols(cfg, spec)
+        val dirs = committedClosedDirs(cfg, v).filter { d =>
+          val n = d.substring(d.lastIndexOf('/') + 1)
+          n.startsWith("d") && n.stripPrefix("d").toLong > sinceVersion
+        }
+        val leaves = closedLeafDirs(dirs, None)
+        (if (leaves.isEmpty) open.filter(lit(false))
+         else spark.read.schema(open.schema).parquet(leaves: _*))
+          .select(cols.map(col): _*)
+      }
+    }
+
   /** Advance the persisted history for one merge window / micro-batch
     * — called by the batch `run` and the streaming foreachBatch AFTER
     * the target publish. `env` is the window's PROJECTED (uncompacted)
@@ -261,20 +290,29 @@ object Scd2Store {
           .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val openSubset = CdcPipeline.readBuckets(spark, op, m, touched)
+        // ADDITIVE schema evolution: a payload column declared after
+        // the store existed is absent from the stored open slices —
+        // allowMissingColumns unions backfill it with NULL (the same
+        // contract the versioned store's pinned-schema reads give
+        // carried pre-evolution buckets), and the post-union select
+        // pins the new column order. Type changes are not supported.
         // the window's first event closes its PK's current slice
         val closedNow = openSubset.drop(Scd2.To)
           .join(broadcast(firstEvt), pk)
           .withColumnRenamed("_first_ts", Scd2.To)
-          .select(cols.map(col): _*)
         val newClosed = newSlices.filter(col(Scd2.To).isNotNull).select(cols.map(col): _*)
         // closed/d<v+1> BEFORE the open publish: the open store's
         // pointer swap to version v+1 is what makes it visible
-        CdcPipeline.writeBuckets(closedNow.unionByName(newClosed), pk, m.numBuckets,
-          s"${closedPath(cfg)}/d${v + 1}")
+        CdcPipeline.writeBuckets(
+          newClosed.unionByName(closedNow, allowMissingColumns = true)
+            .select(cols.map(col): _*),
+          pk, m.numBuckets, s"${closedPath(cfg)}/d${v + 1}")
         val stillOpen = openSubset
           .join(broadcast(firstEvt.select(pk.map(col): _*)), pk, "left_anti")
         val newOpen = newSlices.filter(col(Scd2.To).isNull).select(cols.map(col): _*)
-        CdcPipeline.publishDelta(stillOpen.select(cols.map(col): _*).unionByName(newOpen),
+        CdcPipeline.publishDelta(
+          newOpen.unionByName(stillOpen, allowMissingColumns = true)
+            .select(cols.map(col): _*),
           op, pk, m, touched, batchId = seqKey)
         ()
     }

@@ -769,6 +769,76 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(hk.inputFiles.toSet.subsetOf(hist.inputFiles.toSet))
   }
 
+  test("SCD2 store survives additive schema evolution: old slices read NULL, new slices carry the column") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    val closed1 = Scd2Store.readHistory(spark, c).get.filter(col("valid_to_us").isNotNull).count()
+    // the config evolves: event_type joins the payload
+    val c2 = c.copy(passthrough = Seq("event_id", "value", "event_type"))
+    assert(CdcPipeline.run(spark, c2, env, log, w2).status === "SUCCESS")
+    val hist = Scd2Store.readHistory(spark, c2).get
+    assert(hist.columns.contains("event_type"))
+    // pre-evolution slices backfill NULL; the new window's slices
+    // carry the real value
+    assert(hist.filter(col("valid_from_us") <= lit(w1) && col("event_type").isNotNull)
+      .count() === 0L)
+    assert(hist.filter(col("valid_from_us") > lit(w1) && col("event_type").isNull)
+      .count() === 0L)
+    assert(hist.filter(col("valid_to_us").isNotNull).count() > closed1,
+      "window 2 must have closed more slices")
+    // the open slices still reconstruct the (itself evolved) target
+    val open = hist.filter(col("valid_to_us").isNull)
+      .select("user_id", "k", "event_id", "value", "event_type")
+    val snap = CdcPipeline.readSnapshot(spark, target).get
+      .select("user_id", "k", "event_id", "value", "event_type")
+    assert(open.collect().map(_.toSeq).toSet === snap.collect().map(_.toSeq).toSet)
+    assert(open.count() > 0)
+  }
+
+  test("rollupDiff and closedSince expose incremental feeds over the maintained stores") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val w15 = CdcEnvelope.epochUs("2024-01-22T00:00:00Z")
+    val c = cfg(target).copy(numBuckets = Some(16),
+      scd2 = Some(Scd2Spec()),
+      rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id"), numBuckets = Some(4))))
+    Seq(w1, w15, w2).foreach(w => assert(CdcPipeline.run(spark, c, env, log, w).status === "SUCCESS"))
+
+    // rollup change feed: snapshotDiff over the rollup store agrees
+    // with a hand diff of its two time-traveled states
+    val rdir = CdcPipeline.rollupPath(c, "by_k")
+    def stateAt(v: Long): Map[Long, Seq[Any]] =
+      CdcPipeline.readSnapshotAt(spark, rdir, v).get
+        .collect().map(r => r.getAs[Long]("k") -> r.toSeq).toMap
+    val (s0, s2) = (stateAt(0L), stateAt(2L))
+    val diff = CdcPipeline.rollupDiff(spark, c, "by_k", 0L, 2L).get
+      .select(col("k"), col(CdcEnvelope.OpCol)).as[(Long, String)].collect().toMap
+    val expected =
+      (s2.keySet -- s0.keySet).map(_ -> "i") ++
+        (s0.keySet -- s2.keySet).map(_ -> "d") ++
+        s0.keySet.intersect(s2.keySet).filter(k => s0(k) != s2(k)).map(_ -> "u")
+    assert(diff === expected.toMap)
+    assert(diff.nonEmpty, "the fixture must change some groups")
+
+    // history closed-slice feed: dirs strictly after the version are
+    // read, nothing else (append-only incremental consumption)
+    val hist = Scd2Store.readHistory(spark, c).get
+    val allClosed = histRows(hist.filter(col("valid_to_us").isNotNull))
+    val sinceStart = Scd2Store.closedSince(spark, c, -1L).get
+    assert(histRows(sinceStart) === allClosed)
+    val since0 = Scd2Store.closedSince(spark, c, 0L).get
+    val d0 = parquetInventory(s"$target/_scd2/closed/d0").keySet
+    assert(since0.inputFiles.forall(f => !d0.contains(new java.io.File(new java.net.URI(f)).getAbsolutePath)),
+      "a feed from version 0 must not re-read d0")
+    assert(histRows(since0).values.sum < allClosed.values.sum)
+    assert(Scd2Store.closedSince(spark, c,
+      CdcPipeline.currentVersion(s"$target/_scd2/open").get).get.count() === 0L)
+  }
+
   test("SCD2 compactClosed: one combined dir, identical content, crash-safe pointer") {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
     val target = tmp(); val log = tmp()
