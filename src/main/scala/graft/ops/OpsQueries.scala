@@ -615,6 +615,27 @@ object OpsQueries {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  // C34: deterministic epoch shuffle — seeded md5 order (the one hash
+  // both engines compute bit-identically), exported as the first 100
+  // docs of the epoch plus each one's position. row_number over the
+  // key order makes the gate order-sensitive even though the driver
+  // sorts rows before hashing.
+  def shuffleDeterministicQ(s: SparkSession, d: String): DataFrame = {
+    val shuffled = Packing.shuffleDeterministic(T.documents(s, d), col("doc_id"), "epoch42")
+    shuffled
+      .select(col("doc_id"), col("shuffle_key"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("shuffle_key"), col("doc_id"))).as("pos"))
+      .orderBy(col("pos")).limit(100)
+  }
+
+  private val oShuffleDeterministic =
+    """SELECT doc_id, shuffle_key, pos FROM (
+      |  SELECT doc_id, md5('epoch42:' || doc_id) AS shuffle_key,
+      |    row_number() OVER (ORDER BY md5('epoch42:' || doc_id), doc_id) AS pos
+      |  FROM documents) t
+      |ORDER BY pos LIMIT 100""".stripMargin
+
   // C20: stratified downsampling — keep 10% of 'en' docs and 50% of
   // every other language, deterministically by the shared permille
   // bucket. Exports per-language totals + sampled counts.
@@ -880,6 +901,7 @@ object OpsQueries {
     QueryDef("text_scrub", textScrub, Some(oTextScrub)),
     QueryDef("text_boilerplate", textBoilerplate, Some(oTextBoilerplate)),
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),
+    QueryDef("shuffle_deterministic", shuffleDeterministicQ, Some(oShuffleDeterministic)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),

@@ -64,6 +64,27 @@ object Packing {
     docs.filter(permilleBucket(idCol) < rate)
   }
 
+  /** Deterministic corpus shuffle (SURVEY.md §2 C34): a seeded,
+    * engine-reproducible global permutation — the order an LLM data
+    * loader consumes the corpus in each epoch. The sort key is
+    * `md5("<seed>:<id>")` (bit-identical across engines, unlike
+    * platform hash functions), so the same seed reproduces the epoch
+    * order exactly, different seeds give independent permutations,
+    * and membership-stable corpus growth only inserts rows into the
+    * order without reshuffling the rest.
+    *
+    * Scale: ONE range-partitioned sort on a 32-hex key — Spark's
+    * sampling range partitioner spreads it evenly (no single-task
+    * bottleneck), and a training loader consumes partition files in
+    * partition order. The id tiebreak makes the order total even
+    * under (astronomically unlikely) digest collisions.
+    */
+  def shuffleDeterministic(docs: DataFrame, idCol: Column, seed: String): DataFrame =
+    docs
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed), lit(":"), idCol.cast("string"))))
+      .orderBy(col("shuffle_key"), idCol)
+
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
       shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

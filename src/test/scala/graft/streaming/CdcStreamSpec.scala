@@ -335,6 +335,33 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(rollupState(sCfg, "by_grp") === got)
   }
 
+  test("streaming min/max rollup: extrema retired by a micro-batch trigger the rescan; state equals recompute") {
+    import spark.implicits._
+    // single group; batch2 updates user 3 (k 30→31, retiring max 30)
+    // and inserts k 40 — the streaming path must route through the
+    // per-group rescan exactly like the batch pipeline
+    val mmCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-mm-tgt").toString,
+      numBuckets = Some(4),
+      rollups = Seq(RollupSpec("mm", Seq("grp"), Seq("cents"), derive _, Some(2),
+        minCols = Seq("k"), maxCols = Seq("k"))))
+    assert(CdcStream.mergeBatchToTarget(toDf(batch1), 0L, mmCfg))
+    assert(CdcStream.mergeBatchToTarget(toDf(batch2), 1L, mmCfg))
+    def state(): Seq[Seq[Any]] = CdcPipeline.readRollup(spark, mmCfg, "mm").get
+      .select("grp", "n_rows", "sum_cents", "min_k", "max_k")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val recomputed = IncrementalAgg.fromSnapshot(
+        derive(CdcPipeline.readSnapshot(spark, mmCfg.targetPath).get),
+        Seq("grp"), Seq("cents"), Seq("k"), Seq("k"))
+      .select("grp", "n_rows", "sum_cents", "min_k", "max_k")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(state() === recomputed,
+      "streamed min/max state must equal the full recompute after an extreme retirement")
+    // replay guard holds for the min/max path too
+    val before = state()
+    assert(!CdcStream.mergeBatchToTarget(toDf(batch2), 1L, mmCfg))
+    assert(state() === before)
+  }
+
   test("torn publish: target committed but rollup trailing — the replayed batch finishes it incrementally") {
     val tCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-torn").toString,
       numBuckets = Some(4),
