@@ -27,7 +27,12 @@ object PipelineDemo {
       targetDb = "graft", targetTable = "events_snapshot",
       targetPath = s"$outDir/snapshot", pk = Seq("user_id"),
       fieldSpecs = Seq(TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType))),
-      passthrough = Seq("event_id", "value"))
+      passthrough = Seq("event_id", "value"),
+      // the maintained derived state: a count/sum/min/max rollup and
+      // the SCD2 history, both advanced inside each run
+      rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id"),
+        minCols = Seq("value"), maxCols = Seq("value"))),
+      scd2 = Some(Scd2Spec()))
     val logDir = s"$outDir/joblog"
     val env = CdcEnvelope.fromEvents(Tables.events(spark, sfDir))
 
@@ -38,6 +43,14 @@ object PipelineDemo {
     val snap = CdcPipeline.readSnapshot(spark, cfg.targetPath).get
     println(s"[demo] final snapshot rows=${snap.count()} version=${CdcPipeline.currentVersion(cfg.targetPath).get}")
     snap.orderBy("user_id").show(5)
+    println("[demo] maintained rollup by_k (count/sum/min/max):")
+    CdcPipeline.readRollup(spark, cfg, "by_k").foreach(_.orderBy("k").show(5))
+    println("[demo] SCD2 history (closed + open slices):")
+    Scd2Store.readHistory(spark, cfg).foreach { h =>
+      println(s"[demo] history slices=${h.count()} " +
+        s"open=${h.filter(org.apache.spark.sql.functions.col("valid_to_us").isNull).count()}")
+      h.orderBy("user_id", "valid_from_us").show(5)
+    }
     JobLog.read(spark, logDir).foreach(_.orderBy("insert_ts_us").show(truncate = false))
     spark.stop()
   }
