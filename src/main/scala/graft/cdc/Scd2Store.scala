@@ -233,7 +233,12 @@ object Scd2Store {
         val op = openPath(cfg)
         val openExists = CdcPipeline.currentVersion(op).isDefined
         if (!openExists && targetExistedBefore) bootstrap(spark, cfg, spec, seqKey)
-        else if (!windowEmpty) advance(spark, cfg, spec, env, seqKey)
+        // a declared-from-the-start history is created even by an
+        // EMPTY first window (advance publishes an empty open store),
+        // so later windows always take the incremental path instead
+        // of a lossy bootstrap; an empty window over an existing
+        // store is a pure no-op
+        else if (!windowEmpty || !openExists) advance(spark, cfg, spec, env, seqKey)
       }
     }
 

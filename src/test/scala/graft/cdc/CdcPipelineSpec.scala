@@ -769,6 +769,23 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(hk.inputFiles.toSet.subsetOf(hist.inputFiles.toSet))
   }
 
+  test("SCD2 store: an empty first window still creates the history, keeping later windows incremental") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+    // window 1 predates all events: empty, but the declared history
+    // must come into existence so window 2 advances incrementally
+    // (a bootstrap there would collapse window 2's per-event chains)
+    val wEarly = CdcEnvelope.epochUs("2023-06-01T00:00:00Z")
+    assert(CdcPipeline.run(spark, c, env, log, wEarly).status === "SUCCESS")
+    assert(Scd2Store.readHistory(spark, c).get.count() === 0L,
+      "empty window: the history exists and is empty")
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val oneShot = Scd2.fromHistory(projectedWin(env, 0L, w2), Seq("user_id"), scd2Pay)
+    assert(histRows(Scd2Store.readHistory(spark, c).get) === histRows(oneShot),
+      "the window after an empty first window must keep full per-event history")
+  }
+
   test("SCD2 store survives additive schema evolution: old slices read NULL, new slices carry the column") {
     import spark.implicits._
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
