@@ -92,7 +92,15 @@ final case class RollupSpec(
 final case class Scd2Spec(
     payloadCols: Seq[String] = Nil,
     tsCol: Option[String] = None,
-    numBuckets: Option[Int] = None)
+    numBuckets: Option[Int] = None,
+    /** When set, the maintenance pass compacts the closed-slice dirs
+      * (`Scd2Store.compactClosed`) whenever more than this many are
+      * live — bounding key-lookup fan-out at O(1) dirs however many
+      * windows have run, the same way the job log bounds its file
+      * count. Runs inside the single writer's slot; readers racing the
+      * post-swap delete have the same (brief) exposure `vacuum` has.
+      */
+    autoCompactAt: Option[Int] = None)
 
 final case class CdcTableConfig(
     cdcTable: String,

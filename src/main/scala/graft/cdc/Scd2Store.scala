@@ -123,6 +123,22 @@ object Scd2Store {
         .map(n => s"$d/$n")
     }
 
+  /** Bucket count a closed dir was written with (its `_NB` marker;
+    * dirs from before the marker existed fall back to the open
+    * store's current count, which matches as long as the open store
+    * was never rebucketed).
+    */
+  private def dirBuckets(dir: String, fallback: Int): Int = {
+    val p = s"$dir/_NB"
+    if (StoreFs.exists(p)) StoreFs.readString(p).trim.toInt else fallback
+  }
+
+  private def writeClosedDir(df: DataFrame, pkCols: Seq[String], numBuckets: Int,
+      dir: String): Unit = {
+    CdcPipeline.writeBuckets(df, pkCols, numBuckets, dir)
+    StoreFs.writeString(s"$dir/_NB", numBuckets.toString)
+  }
+
   /** The full history — closed slices ∪ open slices — exactly
     * `Scd2.fromHistory` over every window applied so far. None when
     * no history exists (SCD2 never declared / never advanced).
@@ -167,10 +183,24 @@ object Scd2Store {
         val storedType = m.schema.fields.map(f => f.name -> f.dataType).toMap
         val typedKeys = keys.select(cfg.pk.map(c => storedType.get(c)
           .map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
-        val touched = typedKeys
-          .select(CdcPipeline.bucketExpr(cfg.pk, m.numBuckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val bucketDirs = closedLeafDirs(committedClosedDirs(cfg, v), Some(touched))
+        // each closed dir records its own bucket count (`_NB`) — the
+        // hash routing is per-dir, so lookups stay correct even if
+        // the open store was rebucketed after some dirs were written
+        val dirs = committedClosedDirs(cfg, v)
+        val countOf: Map[String, Int] = dirs.map(d => d -> dirBuckets(d, m.numBuckets)).toMap
+        val touchedByCount: Map[Int, Set[Int]] = countOf.values.toSet.map { nb: Int =>
+          nb -> typedKeys
+            .select(CdcPipeline.bucketExpr(cfg.pk, nb).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        }.toMap
+        val bucketDirs = dirs.flatMap { d =>
+          val touched = touchedByCount(countOf(d))
+          StoreFs.listDirNames(d)
+            .filter(_.startsWith(CdcPipeline.BucketCol + "="))
+            .filter(n => touched.contains(
+              n.stripPrefix(CdcPipeline.BucketCol + "=").toInt))
+            .map(n => s"$d/$n")
+        }
         val closed =
           if (bucketDirs.isEmpty) open.filter(lit(false)).select(cols.map(col): _*)
           else spark.read.schema(open.select(cols.map(col): _*).schema)
@@ -239,6 +269,14 @@ object Scd2Store {
         // of a lossy bootstrap; an empty window over an existing
         // store is a pure no-op
         else if (!windowEmpty || !openExists) advance(spark, cfg, spec, env, seqKey)
+        spec.autoCompactAt.foreach { bound =>
+          CdcPipeline.currentVersion(op).foreach { v =>
+            if (committedClosedDirs(cfg, v).size > math.max(1, bound)) {
+              compactClosed(spark, cfg)
+              ()
+            }
+          }
+        }
       }
     }
 
@@ -280,7 +318,7 @@ object Scd2Store {
         // window env IS the full change log so far
         val numBuckets = spec.numBuckets.orElse(cfg.numBuckets)
           .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-        CdcPipeline.writeBuckets(
+        writeClosedDir(
           newSlices.filter(col(Scd2.To).isNotNull).select(cols.map(col): _*),
           pk, numBuckets, s"${closedPath(cfg)}/d0")
         CdcPipeline.publish(
@@ -308,7 +346,7 @@ object Scd2Store {
         val newClosed = newSlices.filter(col(Scd2.To).isNotNull).select(cols.map(col): _*)
         // closed/d<v+1> BEFORE the open publish: the open store's
         // pointer swap to version v+1 is what makes it visible
-        CdcPipeline.writeBuckets(
+        writeClosedDir(
           newClosed.unionByName(closedNow, allowMissingColumns = true)
             .select(cols.map(col): _*),
           pk, m.numBuckets, s"${closedPath(cfg)}/d${v + 1}")
@@ -365,7 +403,7 @@ object Scd2Store {
                else spark.read.schema(open.schema).parquet(leaves: _*))
                 .select(cols.map(col): _*)
             val combined = s"${closedPath(cfg)}/c$v"
-            CdcPipeline.writeBuckets(all, cfg.pk, numBuckets, combined)
+            writeClosedDir(all, cfg.pk, numBuckets, combined)
             val tmp = s"${closedPath(cfg)}/._GEN.tmp"
             StoreFs.writeString(tmp, s"version=$v\ndirs=c$v\n")
             StoreFs.atomicReplace(tmp, genPath(cfg))

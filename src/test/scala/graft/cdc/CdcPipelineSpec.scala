@@ -876,6 +876,20 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcConfig.parseScd2("*") === Scd2Spec())
     assert(CdcConfig.parseScd2("a+b@updated_at") ===
       Scd2Spec(payloadCols = Seq("a", "b"), tsCol = Some("updated_at")))
+
+    // auto-compaction: the maintenance pass bounds the dir count
+    // itself when the spec declares a threshold
+    val target2 = tmp(); val log2 = tmp()
+    val cAuto = cfg(target2).copy(numBuckets = Some(16),
+      scd2 = Some(Scd2Spec(autoCompactAt = Some(2))))
+    Seq(w1, w15, w2).foreach(w =>
+      assert(CdcPipeline.run(spark, cAuto, env, log2, w).status === "SUCCESS"))
+    val autoDirs = Option(new java.io.File(s"$target2/_scd2/closed").listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.matches("[dc]\\d+"))
+      .map(_.getName).toSet
+    assert(autoDirs === Set("c2"), s"auto-compaction must bound the dirs, got $autoDirs")
+    assert(histRows(Scd2Store.readHistory(spark, cAuto).get) ===
+      histRows(Scd2.fromHistory(projectedWin(env, 0L, w2), Seq("user_id"), scd2Pay)))
   }
 
   test("runAll executes every active config and isolates failures") {
