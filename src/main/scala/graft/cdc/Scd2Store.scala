@@ -365,16 +365,17 @@ object Scd2Store {
     * closed dirs into ONE combined dir (still bucket-partitioned) so
     * key lookups touch O(|keys|) files again instead of
     * O(advancements). Content is untouched — closed slices are
-    * immutable facts — and every crash window is safe because the
-    * `_GEN` pointer swap is the only visibility change:
-    *   - crash after writing `c<v>`, before the swap → the combined
-    *     dir is unreferenced and invisible; a retry overwrites it;
-    *   - crash after the swap, before deleting the inputs → readers
-    *     already resolve through `c<v>` only; the superseded dirs are
-    *     orphans the next compaction sweeps.
-    * Shares the store's single-writer contract (run it from the
-    * maintenance slot, like `vacuum`). Returns the number of input
-    * dirs combined (0 = nothing to do).
+    * immutable facts — and the `_GEN` pointer swap is the ONLY
+    * visibility change: a crash after writing `c<v>` but before the
+    * swap leaves an unreferenced dir a retry overwrites.
+    *
+    * Superseded input dirs are NOT deleted here: a reader that
+    * resolved its dir list just before the swap may still be
+    * scanning them, and the store's contract lets readers run
+    * concurrently with the single writer. They become orphans the
+    * NEXT compaction sweeps — one full generation of grace, the
+    * closed-dir analogue of `vacuum`'s keep-window. Returns the
+    * number of input dirs combined (0 = nothing to do).
     */
   def compactClosed(spark: SparkSession, cfg: CdcTableConfig): Int =
     cfg.scd2.map { spec =>
@@ -407,7 +408,8 @@ object Scd2Store {
             val tmp = s"${closedPath(cfg)}/._GEN.tmp"
             StoreFs.writeString(tmp, s"version=$v\ndirs=c$v\n")
             StoreFs.atomicReplace(tmp, genPath(cfg))
-            dirs.foreach(StoreFs.deleteRecursive)
+            // inputs stay on disk as reader grace; the next
+            // compaction's orphan sweep removes them
             dirs.size
           }
       }
