@@ -337,6 +337,49 @@ object StressBench {
       }
     }
 
+    // r6: store-integrated SCD2 at 10M rows — the scale contract is
+    // advancement I/O ∝ window, never ∝ history: a 5-key window must
+    // append a tiny closed dir and rewrite ≤ 5 of the 64 open-slice
+    // buckets, while the 10M-slice closed history is not touched.
+    locally {
+      import org.apache.spark.sql.types.LongType
+      val tdir = java.nio.file.Files.createTempDirectory("graft-stress-scd2").toString
+      val log = java.nio.file.Files.createTempDirectory("graft-stress-scd2-log").toString
+      val sCfg = CdcTableConfig(
+        cdcTable = "stress_scd2", sourcePath = "synthetic", targetDb = "graft",
+        targetTable = "t", targetPath = tdir, pk = Seq("user_id"),
+        fieldSpecs = Seq(TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType))),
+        passthrough = Seq("event_id", "value"),
+        numBuckets = Some(64), scd2 = Some(Scd2Spec()))
+      val t0 = 1L << 60
+      time("scd2: initial window — merge + full per-event history build") {
+        CdcPipeline.run(spark, sCfg, big, log, t0)
+      }
+      val delta = spark.range(5).select(
+        (col("id") + 1).as("user_id"),
+        lit("u").as(CdcEnvelope.OpCol),
+        (lit(t0) + col("id") + 1).as(CdcEnvelope.TsCol),
+        (col("id") + 1).as(CdcEnvelope.PosCol),
+        lit(t0 + 10).as(CdcEnvelope.LoadTsCol),
+        concat(lit("{\"k\":"), col("id"), lit("}")).as(CdcEnvelope.DataCol),
+        col("id").as("event_id"),
+        lit(1.5).as("value"))
+      time("scd2: 5-key window advancement onto the 10M-slice history") {
+        CdcPipeline.run(spark, sCfg, delta, log, t0 + 100)
+      }
+      def du(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else f.length()
+        walk(new java.io.File(p))
+      }
+      val init = du(s"$tdir/_scd2/closed/d0") + du(s"$tdir/_scd2/open/v0")
+      val adv = du(s"$tdir/_scd2/closed/d1") + du(s"$tdir/_scd2/open/v1")
+      val openBuckets = Option(new java.io.File(s"$tdir/_scd2/open/v1").listFiles())
+        .toSeq.flatten.count(f => f.isDirectory && f.getName.startsWith("_graft_bucket="))
+      println(f"[stress] scd2 advancement wrote ${adv / 1e3}%.0f KB ($openBuckets/64 open buckets) vs initial history ${init / 1e6}%.1f MB (${100.0 * adv / init}%.2f%%)")
+    }
+
     // r5: job-log compaction — the run log must stay O(bounded) files
     // however many runs append (un-compacted, every watermark lookup
     // footer-merges one file per historical run).

@@ -78,7 +78,7 @@ object Scd2Store {
     * overwrites.
     */
   private def committedClosedDirs(cfg: CdcTableConfig, openVersion: Long): Seq[String] = {
-    val (genV, genDirs) = readGen(cfg)
+    val (genV, _, genDirs) = readGen(cfg)
     genDirs ++ StoreFs.listDirNames(closedPath(cfg))
       .filter(_.matches("d\\d+"))
       .filter { n =>
@@ -91,22 +91,29 @@ object Scd2Store {
 
   private def genPath(cfg: CdcTableConfig): String = s"${closedPath(cfg)}/_GEN"
 
-  /** Compaction pointer: (version it covers, combined dir paths). */
-  private def readGen(cfg: CdcTableConfig): (Long, Seq[String]) =
-    if (!StoreFs.exists(genPath(cfg))) (-1L, Nil)
+  /** Compaction pointer: (version it covers, generation counter,
+    * combined dir paths). The generation counter names each combined
+    * dir (`g<n>`) uniquely, so a rewrite-in-place collision is
+    * impossible even when compaction runs twice at one open version
+    * (e.g. a retention pass with no advancement in between).
+    */
+  private def readGen(cfg: CdcTableConfig): (Long, Long, Seq[String]) =
+    if (!StoreFs.exists(genPath(cfg))) (-1L, 0L, Nil)
     else {
       var v = -1L
+      var g = 0L
       var dirs = Seq.empty[String]
       StoreFs.readString(genPath(cfg)).split("\n").foreach { l =>
         l.split("=", 2) match {
           case Array("version", x) => v = x.toLong
+          case Array("gen", x) => g = x.toLong
           case Array("dirs", x) =>
             dirs = x.split(",").map(_.trim).filter(_.nonEmpty).toSeq
               .map(n => s"${closedPath(cfg)}/$n")
           case _ => ()
         }
       }
-      (v, dirs)
+      (v, g, dirs)
     }
 
   /** Leaf `_graft_bucket=*` directories of the given closed dirs,
@@ -224,7 +231,7 @@ object Scd2Store {
       sinceVersion: Long): Option[DataFrame] =
     cfg.scd2.flatMap { spec =>
       CdcPipeline.currentVersion(openPath(cfg)).map { v =>
-        val (genV, _) = readGen(cfg)
+        val (genV, _, _) = readGen(cfg)
         require(sinceVersion >= genV,
           s"closed dirs up to version $genV were compacted; feed from $sinceVersion " +
             "is no longer dir-addressable — read the full history instead")
@@ -376,37 +383,53 @@ object Scd2Store {
     * NEXT compaction sweeps — one full generation of grace, the
     * closed-dir analogue of `vacuum`'s keep-window. Returns the
     * number of input dirs combined (0 = nothing to do).
+    *
+    * `dropClosedBeforeUs` is the RETENTION horizon: slices whose
+    * `valid_to_us` ≤ the horizon are dropped during the rewrite —
+    * the data-removal op a history table eventually needs (storage
+    * bounds, right-to-erasure). It is a declared loss: `asOf`/key
+    * lookups at instants before the horizon become incomplete; the
+    * open slices and everything closed after the horizon are
+    * untouched, so the CURRENT reconstruction never changes. A
+    * retention pass runs even when only one combined dir is live
+    * (the generation counter gives the rewrite a fresh name).
     */
-  def compactClosed(spark: SparkSession, cfg: CdcTableConfig): Int =
+  def compactClosed(spark: SparkSession, cfg: CdcTableConfig,
+      dropClosedBeforeUs: Option[Long] = None): Int =
     cfg.scd2.map { spec =>
       CdcPipeline.currentVersion(openPath(cfg)) match {
         case None => 0
         case Some(v) =>
           val live = committedClosedDirs(cfg, v).toSet
           // orphan sweep: dirs superseded by a previous compaction's
-          // pointer swap whose delete phase crashed (d<k≤genV> and
-          // old c<*>), plus torn advancement dirs above the committed
-          // version (their replay rewrites them anyway)
+          // pointer swap (kept one generation as reader grace), plus
+          // torn advancement dirs above the committed version (their
+          // replay rewrites them anyway)
           StoreFs.listDirNames(closedPath(cfg))
-            .filter(n => n.matches("[dc]\\d+"))
+            .filter(n => n.matches("[dcg]\\d+"))
             .map(n => s"${closedPath(cfg)}/$n")
             .filterNot(live)
             .foreach(StoreFs.deleteRecursive)
           val dirs = live.toSeq.sorted
-          if (dirs.size <= 1) 0
+          if (dirs.size <= 1 && dropClosedBeforeUs.isEmpty) 0
+          else if (dirs.isEmpty) 0
           else {
             val cols = histCols(cfg, spec)
             val open = CdcPipeline.readSnapshot(spark, openPath(cfg)).get
             val numBuckets = CdcPipeline.manifest(openPath(cfg), v).get.numBuckets
             val leaves = closedLeafDirs(dirs, None)
-            val all =
+            val all0 =
               (if (leaves.isEmpty) open.filter(lit(false))
                else spark.read.schema(open.schema).parquet(leaves: _*))
                 .select(cols.map(col): _*)
-            val combined = s"${closedPath(cfg)}/c$v"
-            writeClosedDir(all, cfg.pk, numBuckets, combined)
+            val all = dropClosedBeforeUs
+              .map(cut => all0.filter(col(Scd2.To) > lit(cut)))
+              .getOrElse(all0)
+            val (_, gen, _) = readGen(cfg)
+            val combined = s"g${gen + 1}"
+            writeClosedDir(all, cfg.pk, numBuckets, s"${closedPath(cfg)}/$combined")
             val tmp = s"${closedPath(cfg)}/._GEN.tmp"
-            StoreFs.writeString(tmp, s"version=$v\ndirs=c$v\n")
+            StoreFs.writeString(tmp, s"version=$v\ngen=${gen + 1}\ndirs=$combined\n")
             StoreFs.atomicReplace(tmp, genPath(cfg))
             // inputs stay on disk as reader grace; the next
             // compaction's orphan sweep removes them

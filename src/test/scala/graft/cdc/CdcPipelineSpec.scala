@@ -864,17 +864,31 @@ class CdcPipelineSpec extends AnyFunSuite {
     Seq(w1, w15, w2).foreach(w => assert(CdcPipeline.run(spark, c, env, log, w).status === "SUCCESS"))
     val before = histRows(Scd2Store.readHistory(spark, c).get)
     def closedDirs: Set[String] = Option(new java.io.File(s"$target/_scd2/closed").listFiles())
-      .toSeq.flatten.filter(f => f.isDirectory && f.getName.matches("[dc]\\d+"))
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.matches("[dcg]\\d+"))
       .map(_.getName).toSet
     assert(closedDirs.size === 3, s"three windows → three closed dirs, got $closedDirs")
     assert(Scd2Store.compactClosed(spark, c) === 3)
-    assert(closedDirs.contains("c2"), s"compaction must produce the combined dir, got $closedDirs")
+    assert(closedDirs.contains("g1"), s"compaction must produce the combined dir, got $closedDirs")
     assert(histRows(Scd2Store.readHistory(spark, c).get) === before,
       "compaction must not change the history")
     // superseded inputs linger as reader grace; the NEXT compaction's
     // orphan sweep removes them, then finds nothing left to combine
     assert(Scd2Store.compactClosed(spark, c) === 0, "a compacted store is a no-op")
-    assert(closedDirs === Set("c2"), s"the sweep must drop the superseded dirs, got $closedDirs")
+    assert(closedDirs === Set("g1"), s"the sweep must drop the superseded dirs, got $closedDirs")
+
+    // retention: dropping closed slices before w15 is a declared,
+    // surgical loss — the current reconstruction is untouched
+    val openBefore = histRows(Scd2Store.readHistory(spark, c).get
+      .filter(col("valid_to_us").isNull))
+    assert(Scd2Store.compactClosed(spark, c, dropClosedBeforeUs = Some(w15)) === 1)
+    val kept = Scd2Store.readHistory(spark, c).get
+    assert(kept.filter(col("valid_to_us").isNotNull && col("valid_to_us") <= lit(w15))
+      .count() === 0L, "slices closed at/before the horizon are gone")
+    assert(histRows(kept) === before.filter { case (row, _) =>
+      row.last == null || row.last.asInstanceOf[Long] > w15 }, // last col = valid_to_us
+      "retention must keep exactly the post-horizon and open slices")
+    assert(histRows(kept.filter(col("valid_to_us").isNull)) === openBefore,
+      "open slices are never touched by retention")
     // config parsing of the declaration round-trips
     assert(CdcConfig.parseScd2("*") === Scd2Spec())
     assert(CdcConfig.parseScd2("a+b@updated_at") ===
@@ -888,13 +902,13 @@ class CdcPipelineSpec extends AnyFunSuite {
     Seq(w1, w15, w2).foreach(w =>
       assert(CdcPipeline.run(spark, cAuto, env, log2, w).status === "SUCCESS"))
     def autoDirs: Set[String] = Option(new java.io.File(s"$target2/_scd2/closed").listFiles())
-      .toSeq.flatten.filter(f => f.isDirectory && f.getName.matches("[dc]\\d+"))
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.matches("[dcg]\\d+"))
       .map(_.getName).toSet
-    assert(autoDirs.contains("c2"), s"auto-compaction must produce the combined dir, got $autoDirs")
+    assert(autoDirs.contains("g1"), s"auto-compaction must produce the combined dir, got $autoDirs")
     assert(histRows(Scd2Store.readHistory(spark, cAuto).get) ===
       histRows(Scd2.fromHistory(projectedWin(env, 0L, w2), Seq("user_id"), scd2Pay)))
     assert(Scd2Store.compactClosed(spark, cAuto) === 0)
-    assert(autoDirs === Set("c2"), s"grace dirs swept on the next pass, got $autoDirs")
+    assert(autoDirs === Set("g1"), s"grace dirs swept on the next pass, got $autoDirs")
   }
 
   test("runAll executes every active config and isolates failures") {
