@@ -617,16 +617,19 @@ object OpsQueries {
 
   // C34: deterministic epoch shuffle — seeded md5 order (the one hash
   // both engines compute bit-identically), exported as the first 100
-  // docs of the epoch plus each one's position. row_number over the
-  // key order makes the gate order-sensitive even though the driver
-  // sorts rows before hashing.
+  // docs of the epoch plus each one's position. The limit runs FIRST
+  // (TakeOrderedAndProject — a distributed top-k, no single-task
+  // global window); positions within the top-100 equal the global
+  // positions by construction, and exporting them makes the gate
+  // order-sensitive even though the driver sorts rows before hashing.
   def shuffleDeterministicQ(s: SparkSession, d: String): DataFrame = {
-    val shuffled = Packing.shuffleDeterministic(T.documents(s, d), col("doc_id"), "epoch42")
-    shuffled
-      .select(col("doc_id"), col("shuffle_key"),
+    val top = Packing.shuffleDeterministic(T.documents(s, d), col("doc_id"), "epoch42")
+      .select("doc_id", "shuffle_key")
+      .limit(100)
+    top.select(col("doc_id"), col("shuffle_key"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("shuffle_key"), col("doc_id"))).as("pos"))
-      .orderBy(col("pos")).limit(100)
+      .orderBy(col("pos"))
   }
 
   private val oShuffleDeterministic =

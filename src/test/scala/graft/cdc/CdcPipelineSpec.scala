@@ -856,6 +856,50 @@ class CdcPipelineSpec extends AnyFunSuite {
       CdcPipeline.currentVersion(s"$target/_scd2/open").get).get.count() === 0L)
   }
 
+  test("SCD2 store handles composite primary keys end-to-end") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = CdcTableConfig(
+      cdcTable = "mpk_cdc", sourcePath = "mem", targetDb = "graft",
+      targetTable = "t", targetPath = target, pk = Seq("uid", "part"),
+      fieldSpecs = Seq(TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType))),
+      numBuckets = Some(8), scd2 = Some(Scd2Spec()))
+    def env(rows: Seq[(Long, String, String, Long, Long, Long, String)]) =
+      rows.toDF("uid", "part", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+        CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol)
+    val w1rows = Seq(
+      (1L, "a", "u", 100L, 1L, 100L, """{"k":10}"""),
+      (1L, "b", "u", 100L, 2L, 100L, """{"k":20}"""),
+      (2L, "a", "u", 100L, 3L, 100L, """{"k":30}"""))
+    val w2rows = Seq(
+      (1L, "a", "u", 200L, 4L, 1500L, """{"k":11}"""), // new version of (1,a)
+      (1L, "b", "d", 200L, 5L, 1500L, """{"k":0}"""),  // delete (1,b)
+      (3L, "a", "u", 200L, 6L, 1500L, """{"k":40}""")) // insert (3,a)
+    assert(CdcPipeline.run(spark, c, env(w1rows), log, 1000L).status === "SUCCESS")
+    assert(CdcPipeline.run(spark, c, env(w2rows), log, 2000L).status === "SUCCESS")
+    val hist = Scd2Store.readHistory(spark, c).get
+    def projectedAll = TypedProjection.project(env(w1rows ++ w2rows), CdcEnvelope.DataCol,
+      c.fieldSpecs, keep = Seq("uid", "part", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+        CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol))
+    val oneShot = Scd2.fromHistory(projectedAll, Seq("uid", "part"), Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("uid", "part", "k", "valid_from_us", "valid_to_us")
+        .collect().map(_.toSeq).toSet
+    assert(rows(hist) === rows(oneShot))
+    // (1,a) has a closed + an open slice; (1,b) only a closed one;
+    // the composite key is the slice identity, not uid alone
+    assert(hist.filter(col("uid") === 1 && col("part") === "a").count() === 2L)
+    assert(hist.filter(col("uid") === 1 && col("part") === "b" &&
+      col("valid_to_us").isNull).count() === 0L)
+    assert(hist.filter(col("valid_to_us").isNull).count() ===
+      CdcPipeline.readSnapshot(spark, target).get.count())
+    // composite-key lookup prunes and matches the full-history filter
+    val keys = Seq((1L, "a")).toDF("uid", "part")
+    val hk = Scd2Store.readKeys(spark, c, keys).get
+    assert(rows(hk) === rows(hist.filter(col("uid") === 1 && col("part") === "a")))
+    assert(hk.inputFiles.length < hist.inputFiles.length)
+  }
+
   test("SCD2 compactClosed: one combined dir, identical content, crash-safe pointer") {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
     val target = tmp(); val log = tmp()
