@@ -149,6 +149,13 @@ object Scd2Store {
   /** The full history — closed slices ∪ open slices — exactly
     * `Scd2.fromHistory` over every window applied so far. None when
     * no history exists (SCD2 never declared / never advanced).
+    *
+    * Schema-evolution note: a widened payload declaration takes
+    * effect at the NEXT advancement (which re-pins the open store's
+    * schema; older slices then read NULL for the new column). Reading
+    * with a widened config before that advancement fails on the
+    * missing column — the store cannot know the new column's type
+    * until an advancement has written it.
     */
   def readHistory(spark: SparkSession, cfg: CdcTableConfig): Option[DataFrame] =
     cfg.scd2.flatMap { spec =>
