@@ -600,8 +600,12 @@ object CdcPipeline {
       // SUCCESS row predates this window (startUs > 0), so a crash-
       // replay of the target-creating window still builds its history
       // incrementally from the window env, not from a bootstrap.
+      // seqIsLoadTs: the window end IS a load_ts bound, so a replay
+      // whose scheduler passed fresh wall-clock (superset window,
+      // larger seqKey) applies only the not-yet-applied suffix.
       Scd2Store.maintain(spark, cfg, projected, seqKey = nowUs,
-        targetExistedBefore = startUs > 0, windowEmpty = nUps + nDel == 0)
+        targetExistedBefore = startUs > 0, windowEmpty = nUps + nDel == 0,
+        seqIsLoadTs = true)
       autoVacuum(cfg)
       // insert/update split: updated = upserts whose PK pre-existed
       // in the target; inserted = genuinely new PKs (the reference

@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** Persisted, pipeline-maintained SCD Type-2 history (the storage
   * side of [[Scd2]]; declared via [[Scd2Spec]] on a
@@ -67,6 +67,34 @@ object Scd2Store {
 
   private def histCols(cfg: CdcTableConfig, spec: Scd2Spec): Seq[String] =
     cfg.pk ++ payloadOf(cfg, spec) ++ Seq(Scd2.From, Scd2.To)
+
+  /** Best-available type for a payload column the stored history has
+    * not written yet (declared via a widened config — see the
+    * schema-evolution note on [[readHistory]]): the target store's
+    * committed schema when the target already carries the column,
+    * else the config projection rule's output type, else string (a
+    * passthrough column's type is unknown until first written).
+    */
+  private def declaredType(cfg: CdcTableConfig, name: String): DataType =
+    CdcPipeline.currentVersion(cfg.targetPath)
+      .flatMap(v => CdcPipeline.manifest(cfg.targetPath, v))
+      .flatMap(_.schema.fields.find(_.name == name).map(_.dataType))
+      .orElse(cfg.fieldSpecs.find(_.as == name)
+        .map(s => TypedProjection.outputType(s.rule)))
+      .getOrElse(StringType)
+
+  /** Select `cols` from `df`, adding any column the stored schema
+    * does not yet carry as a typed NULL — the open store's
+    * pinned-schema read contract, extended to declared-but-unadvanced
+    * payload columns so a widened declaration is readable immediately
+    * instead of erroring until the next advancement.
+    */
+  private def selectBackfilled(cfg: CdcTableConfig, df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(cols.map(c =>
+      if (have(c)) col(c) else lit(null).cast(declaredType(cfg, c)).as(c)): _*)
+  }
 
   /** Closed-slice directories visible at the committed open version.
     * Two sources compose: the compaction pointer `_GEN` (when present)
@@ -150,23 +178,26 @@ object Scd2Store {
     * `Scd2.fromHistory` over every window applied so far. None when
     * no history exists (SCD2 never declared / never advanced).
     *
-    * Schema-evolution note: a widened payload declaration takes
-    * effect at the NEXT advancement (which re-pins the open store's
-    * schema; older slices then read NULL for the new column). Reading
-    * with a widened config before that advancement fails on the
-    * missing column — the store cannot know the new column's type
-    * until an advancement has written it.
+    * Schema-evolution note: a widened payload declaration is written
+    * from the NEXT advancement on (which re-pins the open store's
+    * schema). Reads in the gap — declared but not yet advanced — see
+    * the new column as a typed NULL (typed from the target's schema
+    * or the config's projection rule; the reference tolerates the
+    * same gap by re-reading INFORMATION_SCHEMA every run,
+    * merge.sql:179–219), matching what pre-evolution slices read
+    * forever after.
     */
   def readHistory(spark: SparkSession, cfg: CdcTableConfig): Option[DataFrame] =
     cfg.scd2.flatMap { spec =>
       CdcPipeline.currentVersion(openPath(cfg)).map { v =>
-        val open = CdcPipeline.readSnapshot(spark, openPath(cfg)).get
         val cols = histCols(cfg, spec)
+        val open = selectBackfilled(cfg,
+          CdcPipeline.readSnapshot(spark, openPath(cfg)).get, cols)
         val leaves = closedLeafDirs(committedClosedDirs(cfg, v), None)
         val closed =
           if (leaves.isEmpty) open.filter(lit(false))
           else spark.read.schema(open.schema).parquet(leaves: _*)
-        closed.select(cols.map(col): _*).unionByName(open.select(cols.map(col): _*))
+        closed.unionByName(open)
       }
     }
 
@@ -191,7 +222,8 @@ object Scd2Store {
     cfg.scd2.flatMap { spec =>
       CdcPipeline.currentVersion(openPath(cfg)).map { v =>
         val cols = histCols(cfg, spec)
-        val open = CdcPipeline.readKeys(spark, openPath(cfg), cfg.pk, keys).get
+        val open = selectBackfilled(cfg,
+          CdcPipeline.readKeys(spark, openPath(cfg), cfg.pk, keys).get, cols)
         val m = CdcPipeline.manifest(openPath(cfg), v).get
         // same type-cast-before-hash contract as CdcPipeline.readKeys
         val storedType = m.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -216,12 +248,12 @@ object Scd2Store {
             .map(n => s"$d/$n")
         }
         val closed =
-          if (bucketDirs.isEmpty) open.filter(lit(false)).select(cols.map(col): _*)
-          else spark.read.schema(open.select(cols.map(col): _*).schema)
+          if (bucketDirs.isEmpty) open.filter(lit(false))
+          else spark.read.schema(open.schema)
             .parquet(bucketDirs: _*)
             .join(broadcast(typedKeys), cfg.pk, "left_semi")
-        val all = closed.select(cols.map(col): _*)
-          .unionByName(open.select(cols.map(col): _*))
+            .select(cols.map(col): _*)
+        val all = closed.unionByName(open)
         asOfUs.map(ts => Scd2.asOf(all, ts)).getOrElse(all)
       }
     }
@@ -242,16 +274,16 @@ object Scd2Store {
         require(sinceVersion >= genV,
           s"closed dirs up to version $genV were compacted; feed from $sinceVersion " +
             "is no longer dir-addressable — read the full history instead")
-        val open = CdcPipeline.readSnapshot(spark, openPath(cfg)).get
         val cols = histCols(cfg, spec)
+        val open = selectBackfilled(cfg,
+          CdcPipeline.readSnapshot(spark, openPath(cfg)).get, cols)
         val dirs = committedClosedDirs(cfg, v).filter { d =>
           val n = d.substring(d.lastIndexOf('/') + 1)
           n.startsWith("d") && n.stripPrefix("d").toLong > sinceVersion
         }
         val leaves = closedLeafDirs(dirs, None)
-        (if (leaves.isEmpty) open.filter(lit(false))
-         else spark.read.schema(open.schema).parquet(leaves: _*))
-          .select(cols.map(col): _*)
+        if (leaves.isEmpty) open.filter(lit(false))
+        else spark.read.schema(open.schema).parquet(leaves: _*)
       }
     }
 
@@ -268,12 +300,31 @@ object Scd2Store {
     * incremental-from-empty, and is false on a crash-replay of the
     * target-creating window, so replay and no-crash paths converge on
     * identical histories.
+    *
+    * `seqIsLoadTs` says the seqKey domain is the envelope's `load_ts`
+    * (batch mode: the window end), enabling superset-replay
+    * protection: a crash between the history publish and the job-log
+    * SUCCESS row leaves the watermark behind, so a scheduler passing
+    * fresh wall-clock re-runs a SUPERSET window (old watermark,
+    * newNow] whose seqKey exceeds lastAppliedSeq — the already-
+    * applied prefix would re-close slices at first-event times that
+    * precede their valid_from, permanently (the history is not
+    * recomputable). The window is cut on load_ts, so filtering to
+    * load_ts > lastAppliedSeq excludes exactly that prefix. Streaming
+    * batchIds are not in the load_ts domain — a checkpoint replay
+    * carries the identical batch, so no filter is needed (or valid).
     */
   private[graft] def maintain(spark: SparkSession, cfg: CdcTableConfig, env: DataFrame,
-      seqKey: Long, targetExistedBefore: Boolean, windowEmpty: Boolean): Unit =
+      seqKey: Long, targetExistedBefore: Boolean, windowEmpty: Boolean,
+      seqIsLoadTs: Boolean = false): Unit =
     cfg.scd2.foreach { spec =>
-      if (lastAppliedSeq(cfg) >= seqKey) () // replayed window: already applied
+      val lastApplied = lastAppliedSeq(cfg)
+      if (lastApplied >= seqKey) () // replayed window: already applied
       else {
+        val envEff =
+          if (seqIsLoadTs && lastApplied >= 0)
+            env.filter(col(CdcEnvelope.LoadTsCol) > lastApplied)
+          else env
         val op = openPath(cfg)
         val openExists = CdcPipeline.currentVersion(op).isDefined
         if (!openExists && targetExistedBefore) bootstrap(spark, cfg, spec, seqKey)
@@ -282,7 +333,7 @@ object Scd2Store {
         // so later windows always take the incremental path instead
         // of a lossy bootstrap; an empty window over an existing
         // store is a pure no-op
-        else if (!windowEmpty || !openExists) advance(spark, cfg, spec, env, seqKey)
+        else if (!windowEmpty || !openExists) advance(spark, cfg, spec, envEff, seqKey)
         spec.autoCompactAt.foreach { bound =>
           CdcPipeline.currentVersion(op).foreach { v =>
             if (committedClosedDirs(cfg, v).size > math.max(1, bound)) {
@@ -422,13 +473,13 @@ object Scd2Store {
           else if (dirs.isEmpty) 0
           else {
             val cols = histCols(cfg, spec)
-            val open = CdcPipeline.readSnapshot(spark, openPath(cfg)).get
+            val open = selectBackfilled(cfg,
+              CdcPipeline.readSnapshot(spark, openPath(cfg)).get, cols)
             val numBuckets = CdcPipeline.manifest(openPath(cfg), v).get.numBuckets
             val leaves = closedLeafDirs(dirs, None)
             val all0 =
-              (if (leaves.isEmpty) open.filter(lit(false))
-               else spark.read.schema(open.schema).parquet(leaves: _*))
-                .select(cols.map(col): _*)
+              if (leaves.isEmpty) open.filter(lit(false))
+              else spark.read.schema(open.schema).parquet(leaves: _*)
             val all = dropClosedBeforeUs
               .map(cut => all0.filter(col(Scd2.To) > lit(cut)))
               .getOrElse(all0)

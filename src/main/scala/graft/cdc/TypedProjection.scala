@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, IntegerType, LongType, StringType, TimestampType}
 import graft.functions.longDiv
 
 /** JSON payload → typed target columns.
@@ -94,6 +94,23 @@ object TypedProjection {
   /** Default: CAST the JSON string to the target type
     * (merge.sql:284–285). */
   final case class Cast(to: DataType) extends Rule
+
+  /** The Spark type a rule's output column lands as — statically
+    * known per rule, so a reader can type a column a widened config
+    * declares before any run has written it (`Scd2Store`'s
+    * NULL-backfilled reads use this).
+    */
+  def outputType(rule: Rule): DataType = rule match {
+    case EpochSeconds | EpochNanos | IsoDatetime | EpochSecondsIst
+        | CurrentTimeIst | IsoDatetimeNullIf(_) | ConstantDatetime(_) => TimestampType
+    case EpochDays => DateType
+    case BitToInt => IntegerType
+    case BoolParse => BooleanType
+    case DatetimeToInt | RowKeyBinary | RowKeyTimestamp => LongType
+    case JsonPassthrough => StringType
+    case CastNullIf(t, _) => t
+    case Cast(t) => t
+  }
 
   final case class FieldSpec(field: String, rule: Rule, as: String)
   object FieldSpec {

@@ -66,9 +66,17 @@ object CdcStream {
         // history advances on the UNcompacted batch, keyed on the
         // batch id; targetExistedBefore = some OLDER batch built the
         // target, so a replay of the creating batch still takes the
-        // incremental-from-empty path, never a divergent bootstrap
+        // incremental-from-empty path, never a divergent bootstrap.
+        // The pointer alone can't see older batches when the CRASHED
+        // attempt of this very batch already published the target
+        // (committedBatch == batchId) — the store's version count
+        // can: the creating batch publishes v0, so any version > 0
+        // proves older batches ran, and a late declaration's replayed
+        // declaring batch still bootstraps instead of silently
+        // dropping every pre-declaration row (ADVICE r6).
         Scd2Store.maintain(batch.sparkSession, cfg, projected, seqKey = batchId,
-          targetExistedBefore = committedBatch.exists(_ < batchId),
+          targetExistedBefore = committedBatch.exists(_ < batchId) ||
+            CdcPipeline.currentVersion(cfg.targetPath).exists(_ > 0),
           windowEmpty = deltaRows == 0)
         CdcPipeline.autoVacuum(cfg)
         targetFresh

@@ -955,6 +955,85 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(autoDirs === Set("g1"), s"grace dirs swept on the next pass, got $autoDirs")
   }
 
+  test("SCD2 store: crash-replay with a FRESH window end applies only the unapplied suffix") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    // crash scenario (ADVICE r6): the w2 run merges the target AND
+    // advances the history, then dies before the job-log SUCCESS
+    // append — the watermark still points at w1
+    val w2changes = ChangeCompaction.compactForMerge(projectedWin(env, w1, w2), Seq("user_id"))
+    CdcPipeline.mergeAndPublish(spark, c, w2changes, w2changes.count())
+    Scd2Store.maintain(spark, c, projectedWin(env, w1, w2), seqKey = w2,
+      targetExistedBefore = true, windowEmpty = false, seqIsLoadTs = true)
+    assert(Scd2Store.lastAppliedSeq(c) === w2, "history reflects the crashed run's window")
+    // replay: the scheduler passes FRESH wall-clock w3 > w2, so the
+    // re-run's window is the SUPERSET (w1, w3] under a NEW key —
+    // without the load_ts filter the already-applied (w1, w2] prefix
+    // would re-close open slices at first-event times preceding their
+    // valid_from, corrupting the (non-recomputable) history forever
+    val w3 = w2 + 86400L * 1000000L
+    assert(CdcPipeline.run(spark, c, env, log, w3).status === "SUCCESS")
+    val oneShot = Scd2.fromHistory(projectedWin(env, 0L, w3), Seq("user_id"), scd2Pay)
+    assert(histRows(Scd2Store.readHistory(spark, c).get) === histRows(oneShot),
+      "superset-window replay must apply only the not-yet-applied suffix")
+    assert(Scd2Store.readHistory(spark, c).get
+      .filter(col("valid_to_us").isNotNull && col("valid_to_us") < col("valid_from_us"))
+      .count() === 0L, "no inverted validity intervals")
+  }
+
+  test("SCD2 store: widened payload declaration reads as typed NULLs before the next advancement") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    // widen the config: a new projected column the target and history
+    // have never written (the reference picks up such adds by
+    // re-reading INFORMATION_SCHEMA and tolerates the gap —
+    // merge.sql:179–219)
+    val c2 = c.copy(fieldSpecs = c.fieldSpecs :+
+      FieldSpec("k", TypedProjection.EpochSeconds, "k_ts"))
+    val hist = Scd2Store.readHistory(spark, c2).get
+    assert(hist.schema("k_ts").dataType === org.apache.spark.sql.types.TimestampType,
+      "the unwritten column is typed from the config's projection rule")
+    assert(hist.filter(col("k_ts").isNotNull).count() === 0L,
+      "declared-but-unadvanced column reads as NULL")
+    assert(histRows(hist) ===
+      histRows(Scd2.fromHistory(projectedWin(env, 0L, w1), Seq("user_id"), scd2Pay)),
+      "the carried columns are unchanged by the backfill")
+    // readKeys and closedSince tolerate the gap the same way
+    val keys = Seq(1L, 2L, 3L).toDF("user_id")
+    val hk = Scd2Store.readKeys(spark, c2, keys).get
+    assert(hk.columns.contains("k_ts") && hk.filter(col("k_ts").isNotNull).count() === 0L)
+    val cs = Scd2Store.closedSince(spark, c2, -1L).get
+    assert(cs.columns.contains("k_ts") && cs.filter(col("k_ts").isNotNull).count() === 0L)
+    // the NEXT advancement writes the column; pre-widening slices stay NULL
+    assert(CdcPipeline.run(spark, c2, env, log, w2).status === "SUCCESS")
+    val hist2 = Scd2Store.readHistory(spark, c2).get
+    assert(hist2.filter(col("k_ts").isNotNull).count() > 0L,
+      "post-advancement slices carry real values")
+    assert(histRows(hist2) ===
+      histRows(Scd2.fromHistory(projectedWin(env, 0L, w2), Seq("user_id"), scd2Pay)),
+      "two maintained windows still equal the one-shot on the original columns")
+
+    // second widening flavor: explicit payloadCols gain an EXISTING
+    // target column — the type resolves from the target's own schema
+    val target2 = tmp(); val log2 = tmp()
+    val cNarrow = cfg(target2).copy(numBuckets = Some(16),
+      scd2 = Some(Scd2Spec(payloadCols = Seq("k"))))
+    assert(CdcPipeline.run(spark, cNarrow, env, log2, w1).status === "SUCCESS")
+    val cWide = cNarrow.copy(scd2 = Some(Scd2Spec(payloadCols = Seq("k", "value"))))
+    val histW = Scd2Store.readHistory(spark, cWide).get
+    assert(histW.schema("value").dataType === org.apache.spark.sql.types.DoubleType,
+      "an existing target column types from the target store's schema")
+    assert(histW.filter(col("value").isNotNull).count() === 0L)
+    assert(CdcPipeline.run(spark, cWide, env, log2, w2).status === "SUCCESS")
+    assert(Scd2Store.readHistory(spark, cWide).get
+      .filter(col("value").isNotNull).count() > 0L)
+  }
+
   test("runAll executes every active config and isolates failures") {
     val env = CdcEnvelope.fromEvents(graft.Tables.events(spark, graft.LocalSpark.sf))
     val t1 = tmp(); val t2 = tmp(); val log = tmp()

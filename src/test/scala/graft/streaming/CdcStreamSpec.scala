@@ -195,6 +195,38 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(rows(Scd2Store.readHistory(spark, sCfg).get) === histBefore)
   }
 
+  test("streaming SCD2: late declaration whose declaring batch crashes mid-way still bootstraps on replay") {
+    val lCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-late-scd2").toString,
+      numBuckets = Some(8))
+    // batches 0 and 1 run BEFORE the declaration (target reaches v1)
+    assert(CdcStream.mergeBatchToTarget(toDf(batch1), 0, lCfg))
+    assert(CdcStream.mergeBatchToTarget(toDf(batch2), 1, lCfg))
+    // batch 2 DECLARES SCD2, and its first attempt crashes between the
+    // target publish and Scd2Store.maintain — simulate by running only
+    // the merge half
+    val dCfg = lCfg.copy(scd2 = Some(Scd2Spec()))
+    val batch3: Seq[Env] = Seq(
+      (5L, "u", 300L, 7L, 300L, """{"k":50}""", 7L, 5.0), // insert 5
+      (1L, "u", 300L, 8L, 300L, """{"k":12}""", 8L, 1.2)) // update 1
+    val projected = CdcStream.projectBatch(toDf(batch3), dCfg)
+    val changes = ChangeCompaction.compactForMerge(projected, Seq("user_id"))
+    CdcPipeline.mergeAndPublish(spark, dCfg, changes, changes.count(), batchId = 2)
+    assert(Scd2Store.lastAppliedSeq(dCfg) === -1L, "history untouched by the crashed attempt")
+    // checkpoint replays batch 2: the pointer already carries batchId 2,
+    // so committedBatch.exists(_ < batchId) is false — but older batches
+    // DID run (version > 0), so the replay must bootstrap from the
+    // snapshot, not advance-from-empty over just batch 2's events
+    // (which would silently drop every pre-declaration row — ADVICE r6)
+    CdcStream.mergeBatchToTarget(toDf(batch3), 2, dCfg)
+    val hist = Scd2Store.readHistory(spark, dCfg).get
+    val snap = CdcPipeline.readSnapshot(spark, dCfg.targetPath).get
+    assert(hist.filter(col("valid_to_us").isNull).count() === snap.count(),
+      "bootstrap covers every live row, including pre-declaration PKs")
+    assert(hist.filter(col("valid_to_us").isNull).select("user_id")
+      .collect().map(_.getLong(0)).toSet ===
+      snap.select("user_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("scheduled drain (Trigger.AvailableNow) resumes from the checkpoint like the reference's cron job") {
     import org.apache.spark.sql.types._
     import spark.implicits._
