@@ -52,16 +52,34 @@ final case class RollupSpec(
       * schema mismatch and recomputes from the snapshot.
       */
     minCols: Seq[String] = Nil,
-    maxCols: Seq[String] = Nil) {
+    maxCols: Seq[String] = Nil,
+    /** Columns whose running average the rollup serves: the state
+      * stores `sum_<col>` (shared with valueCols) plus the non-null
+      * `cnt_<col>` — both invertible under deletes — and
+      * `CdcPipeline.readRollup` derives `avg_<col>` at read time.
+      * No extra state beyond the count; exact, not approximate.
+      */
+    avgCols: Seq[String] = Nil,
+    /** Columns maintained as mergeable HLL distinct-count sketches
+      * (`hll_<col>`, integral/string/binary input): inserts fold in
+      * mergeably, a window that retires ANY row of a group rescans
+      * that group (sketches support no removal — the A31 rescan
+      * pattern, delta-bounded). `readRollup` derives the
+      * `approx_distinct_<col>` estimate at read time.
+      */
+    distinctCols: Seq[String] = Nil) {
   require(name.matches("[A-Za-z0-9_-]+"), s"rollup name must be path-safe: $name")
   require(groupCols.nonEmpty, "rollup needs at least one group column")
-  require(valueCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
-    "rollup needs at least one measure column (value/min/max)")
+  require(valueCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty ||
+    avgCols.nonEmpty || distinctCols.nonEmpty,
+    "rollup needs at least one measure column (value/min/max/avg/distinct)")
+
+  /** The measure vector [[IncrementalAgg]] maintains for this spec. */
+  def measures: IncrementalAgg.Measures =
+    IncrementalAgg.Measures(valueCols, avgCols, minCols, maxCols, distinctCols)
 
   /** State schema this spec maintains (order is the published one). */
-  def stateCols: Seq[String] =
-    (groupCols :+ "n_rows") ++ valueCols.map("sum_" + _) ++
-      minCols.map("min_" + _) ++ maxCols.map("max_" + _)
+  def stateCols: Seq[String] = measures.stateCols(groupCols)
 }
 
 /** Declaration of a maintained SCD Type-2 history for a target (the
@@ -178,10 +196,11 @@ object CdcConfig {
   }
 
   /** Parse a config-table rollup list: entries separated by `;`, each
-    * `name:grp1+grp2:val1+val2[:min=a+b][:max=c+d]` (the value list
-    * may be empty when a min/max segment is present; derive is
-    * identity — a config table can only name existing target columns;
-    * computed-column rollups are declared in code via [[RollupSpec]]).
+    * `name:grp1+grp2:val1+val2[:min=a+b][:max=c+d][:avg=e][:distinct=f]`
+    * (the value list may be empty when a measure segment is present;
+    * derive is identity — a config table can only name existing
+    * target columns; computed-column rollups are declared in code via
+    * [[RollupSpec]]).
     */
   def parseRollups(s: String): Seq[RollupSpec] =
     s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
@@ -190,16 +209,19 @@ object CdcConfig {
       entry.split(":").map(_.trim) match {
         case parts if parts.length >= 3 =>
           val extras = parts.drop(3)
-          val bad = extras.filterNot(p => p.startsWith("min=") || p.startsWith("max="))
+          val kinds = Seq("min", "max", "avg", "distinct")
+          val bad = extras.filterNot(p => kinds.exists(k => p.startsWith(k + "=")))
           if (bad.nonEmpty) throw new IllegalArgumentException(
-            s"rollup segments after the value list must be min=/max=, got: $entry")
+            s"rollup segments after the value list must be one of " +
+              s"${kinds.map(_ + "=").mkString("/")}, got: $entry")
+          def of(kind: String): Seq[String] = extras.filter(_.startsWith(kind + "="))
+            .flatMap(p => split(p.stripPrefix(kind + "=")))
           RollupSpec(parts(0), split(parts(1)), split(parts(2)),
-            minCols = extras.filter(_.startsWith("min="))
-              .flatMap(p => split(p.stripPrefix("min="))),
-            maxCols = extras.filter(_.startsWith("max="))
-              .flatMap(p => split(p.stripPrefix("max="))))
+            minCols = of("min"), maxCols = of("max"),
+            avgCols = of("avg"), distinctCols = of("distinct"))
         case _ => throw new IllegalArgumentException(
-          s"rollup entry must be name:grp1+grp2:val1+val2[:min=a][:max=b], got: $entry")
+          s"rollup entry must be name:grp1+grp2:val1+val2[:min=a][:max=b]" +
+            s"[:avg=e][:distinct=f], got: $entry")
       }
     }
 

@@ -437,10 +437,24 @@ object CdcPipeline {
   /** Current state of a maintained rollup: one row per group with
     * `n_rows` and one `sum_<col>` per declared value column, exactly
     * `IncrementalAgg.fromSnapshot(derive(target))` at the rollup's
-    * committed target version.
+    * committed target version. Declared `avgCols`/`distinctCols`
+    * additionally surface as DERIVED read-time columns — `avg_<col>`
+    * (= sum/cnt, exact, NULL for an all-NULL group) and
+    * `approx_distinct_<col>` (the HLL sketch's estimate) — computed
+    * from the stored vector, never stored themselves.
     */
   def readRollup(spark: SparkSession, cfg: CdcTableConfig, name: String): Option[DataFrame] =
-    readSnapshot(spark, rollupPath(cfg, name))
+    readSnapshot(spark, rollupPath(cfg, name)).map { state =>
+      cfg.rollups.find(_.name == name).fold(state) { rs =>
+        val withAvg = rs.avgCols.foldLeft(state)((df, c) =>
+          df.withColumn(s"avg_$c",
+            when(col(s"cnt_$c") > 0,
+              col(s"sum_$c").cast("double") / col(s"cnt_$c").cast("double"))))
+        rs.distinctCols.foldLeft(withAvg)((df, c) =>
+          df.withColumn(s"approx_distinct_$c",
+            coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L))))
+      }
+    }
 
   /** Bucket-pruned key lookup on a maintained rollup's state — the
     * same serving-path read as `readKeys`, keyed on the rollup's
@@ -533,10 +547,9 @@ object CdcPipeline {
             preOpt.map { pre =>
               val state0 = stored.getOrElse(
                 IncrementalAgg.fromSnapshot(
-                  rs.derive(pre).filter(lit(false)), rs.groupCols, rs.valueCols,
-                  rs.minCols, rs.maxCols))
+                  rs.derive(pre).filter(lit(false)), rs.groupCols, rs.measures))
               IncrementalAgg.applyDelta(state0, rs.derive(pre), rs.derive(changes),
-                cfg.pk, rs.groupCols, rs.valueCols, rs.minCols, rs.maxCols,
+                cfg.pk, rs.groupCols, rs.measures,
                 rs.derive(readSnapshot(spark, cfg.targetPath).get), deltaRows)
             }
           } else None
@@ -544,7 +557,7 @@ object CdcPipeline {
           IncrementalAgg.fromSnapshot(
             rs.derive(readSnapshot(spark, cfg.targetPath)
               .getOrElse(changes.select(cfg.targetCols.map(col): _*).filter(lit(false)))),
-            rs.groupCols, rs.valueCols, rs.minCols, rs.maxCols))
+            rs.groupCols, rs.measures))
         publish(state1, dir, rs.groupCols, batchId = curV, buckets = rs.numBuckets)
         ()
       }

@@ -484,6 +484,91 @@ object CdcQueries {
        |  CAST(max(k) AS BIGINT) AS max_k
        |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
 
+  // A33 (r7): avg + HLL distinct rollup maintenance — the same
+  // two-window delta advancement as cdc_incr_agg, now carrying a
+  // non-null count (avg = sum/cnt, derived at read) and a mergeable
+  // HLL distinct sketch, which folds inserts in mergeably but must
+  // rescan any group a window retires rows from (sketches support no
+  // removal). Gated three ways per group: the exact avg vector
+  // hash-matches the oracle's recompute, the maintained sketch's
+  // estimate EQUALS the one-shot recompute's estimate (HLL merge is
+  // exact, so increment ≡ recompute bit-for-bit), and the estimate
+  // sits within 5% of the exact distinct count.
+  def cdcIncrAggHll(s: SparkSession, d: String): DataFrame = {
+    val W2 = CdcEnvelope.epochUs("2024-01-30T00:00:00Z")
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    def derive(df: DataFrame): DataFrame = df
+      .withColumn("grp", col("k") % lit(8L))
+      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val m = IncrementalAgg.Measures(valueCols = Seq("cents"), avgCols = Seq("cents"),
+      distinctCols = Seq("k"))
+    val targetCols = Seq("user_id", "event_id", "k", "value", "grp", "cents")
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    // pinned fixture targets, as in cdc_incr_agg_minmax: the bench
+    // must time the maintenance, not a re-derived merge chain
+    val target0 = SnapshotMerge.fromHistory(derive(proj(history)), pk, targetCols)
+      .localCheckpoint(true)
+    val chg1 = ChangeCompaction.compactForMerge(
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W0, W1))), pk).localCheckpoint(true)
+    val chg2 = ChangeCompaction.compactForMerge(
+      derive(proj(CdcEnvelope.eventsWindowed(ev, W1, W2))), pk).localCheckpoint(true)
+    val target1 = SnapshotMerge.merge(target0, chg1, pk).localCheckpoint(true)
+    val target2 = SnapshotMerge.merge(target1, chg2, pk).localCheckpoint(true)
+    val state0 = IncrementalAgg.fromSnapshot(target0, Seq("grp"), m)
+    val state1 = IncrementalAgg.applyDelta(state0, target0, chg1, pk, Seq("grp"),
+      m, target1, None)
+    val state2 = IncrementalAgg.applyDelta(state1, target1, chg2, pk, Seq("grp"),
+      m, target2, None)
+    val recompute = IncrementalAgg.fromSnapshot(target2, Seq("grp"), m)
+      .select(col("grp"), hll_sketch_estimate(col("hll_k")).as("recompute_est"))
+    val exact = target2.groupBy("grp")
+      .agg(countDistinct(col("k")).as("exact_distinct_k"))
+    state2.join(recompute, Seq("grp")).join(exact, Seq("grp"))
+      .select(col("grp"), col("n_rows"), col("sum_cents"), col("cnt_cents"),
+        (col("sum_cents").cast("double") / col("cnt_cents").cast("double"))
+          .as("avg_cents"),
+        col("exact_distinct_k"),
+        (hll_sketch_estimate(col("hll_k")) === col("recompute_est"))
+          .as("maintained_eq_recompute"),
+        (abs(hll_sketch_estimate(col("hll_k")) - col("exact_distinct_k")) <=
+          greatest(lit(1.0), col("exact_distinct_k") * lit(0.05)))
+          .as("distinct_within_5pct"))
+      .orderBy(col("grp"))
+  }
+
+  private val oIncrAggHll =
+    s"""WITH tgt AS (SELECT user_id, k, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |          FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |  WHERE rn2 = 1 AND op != 'd'),
+       |chg AS (SELECT user_id, k, value, op FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn3
+       |    FROM events
+       |    WHERE ts > TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-30') w
+       |  WHERE rn3 = 1),
+       |m AS (
+       |  SELECT t.user_id, t.k, t.value FROM tgt t
+       |  WHERE t.user_id NOT IN (SELECT user_id FROM chg)
+       |  UNION ALL
+       |  SELECT c.user_id, c.k, c.value FROM chg c WHERE c.op != 'd')
+       |SELECT k % 8 AS grp, count(*) AS n_rows,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |  CAST(count(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cnt_cents,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) /
+       |    CAST(count(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS avg_cents,
+       |  CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct_k,
+       |  TRUE AS maintained_eq_recompute,
+       |  TRUE AS distinct_within_5pct
+       |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -522,5 +607,6 @@ object CdcQueries {
     QueryDef("cdc_landed_parse", cdcLandedParse, Some(oLandedParse)),
     QueryDef("cdc_incr_agg", cdcIncrAgg, Some(oIncrAgg)),
     QueryDef("cdc_incr_agg_minmax", cdcIncrAggMinmax, Some(oIncrAggMinmax)),
+    QueryDef("cdc_incr_agg_hll", cdcIncrAggHll, Some(oIncrAggHll)),
   )
 }

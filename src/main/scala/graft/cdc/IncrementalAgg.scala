@@ -8,23 +8,32 @@ import org.apache.spark.sql.functions._
   * reporting rollup kept current without recomputing it from the
   * 100 TB fact snapshot on every merge window).
   *
-  * Maintains the distributive aggregate vector (row count, long sum)
-  * per group — enough for count/sum/avg rollups. The update cost is
+  * Maintains, per group, the distributive aggregate vector — row
+  * count, long sum, non-null count (for avg), min/max, and mergeable
+  * HLL sketches (for approximate distinct counts). The update cost is
   * ∝ |delta| + |aggregate state|, never ∝ |fact table|: the only
   * touch on the big snapshot is the same PK lookup the merge itself
   * performs (broadcast the compacted keys, column-pruned to
   * pk+group+value), and the state update is a join between two
   * small-by-construction tables (adjustments ⟗ groups).
   *
-  * min/max ARE maintained, but with an honest asymmetry: they are
-  * monotone under inserts (`least`/`greatest` fold the delta in with
-  * no data read) yet not invertible under deletes — deleting the
-  * current extreme needs the runner-up, which only the table knows.
-  * The maintenance therefore rescans exactly the groups whose
-  * retired rows touched their recorded extreme, reading the
-  * post-merge snapshot pruned to those groups (a broadcast semi
-  * join; the group set is delta-bounded). A window with no extreme
-  * deletions costs the same as the sum/count path.
+  * Measure families, by delete behavior:
+  *  - count / sum / avg-count are INVERTIBLE: a retired row subtracts
+  *    exactly what it added — pure delta math, no data read.
+  *  - min/max are monotone under inserts (`least`/`greatest` fold the
+  *    delta in with no data read) yet not invertible under deletes —
+  *    deleting the current extreme needs the runner-up, which only
+  *    the table knows. The maintenance rescans exactly the groups
+  *    whose retired rows touched their recorded extreme.
+  *  - HLL distinct sketches are MERGEABLE under inserts (register
+  *    max is order-insensitive and merge-exact: union(sketch(A),
+  *    sketch(B)) ≡ sketch(A ∪ B), see [[graft.ops.Sketches]]) but
+  *    support no removal at all — ANY retired row makes its group's
+  *    sketch uncertain (the retired value may have been the last
+  *    instance), so every group with a retirement rescans. Both
+  *    rescan sets are delta-bounded (broadcast semi join against the
+  *    post-merge snapshot); an insert-only window costs the same as
+  *    the sum/count path.
   *
   * Reference anchor: the rollup views the reference refreshes after
   * each merge window (merge.sql:520–581 writes per-window counts to
@@ -32,28 +41,63 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Initial state: one row per group — `n_rows` (count), one
-    * `sum_<col>` per value column, one `min_<col>`/`max_<col>` per
-    * min/max column — from a full snapshot scan. Runs once at
-    * bootstrap; afterwards only [[applyDelta]] touches it.
+  /** The measure set a maintained aggregate carries.
+    *
+    * `valueCols` → `sum_<c>`; `avgCols` → `cnt_<c>` (non-null count;
+    * the paired `sum_<c>` is shared with valueCols when a column is
+    * in both — avg is DERIVED at read as sum/cnt, never stored);
+    * `minCols`/`maxCols` → `min_<c>`/`max_<c>`; `distinctCols` →
+    * `hll_<c>` binary sketches (input must be an integral, string or
+    * binary column — Spark's datasketches HLL takes no fractional
+    * types; read the estimate via `hll_sketch_estimate`).
     */
-  def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String],
-      valueCols: Seq[String], minCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+  final case class Measures(
+      valueCols: Seq[String] = Nil,
+      avgCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil) {
+    /** Columns carrying a maintained sum (deduped: a column both
+      * summed and averaged keeps ONE `sum_<c>`). */
+    def sumCols: Seq[String] = (valueCols ++ avgCols).distinct
+    def mmCols: Seq[String] = (minCols ++ maxCols).distinct
+    /** Raw columns the maintenance must read from target/changes. */
+    def inputCols: Seq[String] = (sumCols ++ mmCols ++ distinctCols).distinct
+    def needsRescan: Boolean = mmCols.nonEmpty || distinctCols.nonEmpty
+    def nonEmpty: Boolean = inputCols.nonEmpty
+    /** Published state schema (order is the stored one). */
+    def stateCols(groupCols: Seq[String]): Seq[String] =
+      (groupCols :+ "n_rows") ++ sumCols.map("sum_" + _) ++ avgCols.map("cnt_" + _) ++
+        minCols.map("min_" + _) ++ maxCols.map("max_" + _) ++ distinctCols.map("hll_" + _)
+  }
+
+  /** Initial state: one row per group with the declared measure
+    * vector, from a full snapshot scan. Runs once at bootstrap;
+    * afterwards only [[applyDelta]] touches it.
+    */
+  def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String], m: Measures): DataFrame = {
     val measures =
-      valueCols.map(c => sum(col(c)).as(s"sum_$c")) ++
-        minCols.map(c => min(col(c)).as(s"min_$c")) ++
-        maxCols.map(c => max(col(c)).as(s"max_$c"))
+      m.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        m.avgCols.map(c => count(col(c)).as(s"cnt_$c")) ++
+        m.minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        m.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+        m.distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
     snapshot.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), measures: _*)
   }
 
   def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String], minCols: Seq[String], maxCols: Seq[String]): DataFrame =
+    fromSnapshot(snapshot, groupCols,
+      Measures(valueCols = valueCols, minCols = minCols, maxCols = maxCols))
+
+  def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String],
       valueCols: Seq[String]): DataFrame =
-    fromSnapshot(snapshot, groupCols, valueCols, Nil, Nil)
+    fromSnapshot(snapshot, groupCols, Measures(valueCols = valueCols))
 
   def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame =
-    fromSnapshot(snapshot, groupCols, Seq(valueCol), Nil, Nil)
+    fromSnapshot(snapshot, groupCols, Measures(valueCols = Seq(valueCol)))
 
   /** Advance the aggregate state across one merge window.
     *
@@ -66,12 +110,12 @@ object IncrementalAgg {
     * does), and each upsert adds its new contribution — an update
     * that moves a row between groups decrements one group and
     * increments the other. Groups whose count reaches zero drop out.
+    * `postMergeTarget` is only evaluated when a min/max/distinct
+    * measure forces a (delta-bounded) group rescan.
     */
   def applyDelta(state: DataFrame, preMergeTarget: DataFrame, changes: DataFrame,
-      pkCols: Seq[String], groupCols: Seq[String], valueCols: Seq[String],
-      minCols: Seq[String], maxCols: Seq[String],
+      pkCols: Seq[String], groupCols: Seq[String], m: Measures,
       postMergeTarget: => DataFrame, deltaRows: Option[Long]): DataFrame = {
-    val mmCols = (minCols ++ maxCols).distinct
     val keys = changes.select(pkCols.map(col): _*)
     val changedKeys = deltaRows match {
       case Some(nr) if nr <= SnapshotMerge.LargeDeltaRows => broadcast(keys)
@@ -79,35 +123,54 @@ object IncrementalAgg {
     }
     // typed NULL of c's type (never-true CASE), for the union legs
     def nul(df: DataFrame, c: String): Column = when(lit(false), df(c))
+    // only present when HLL measures exist, so sum/min/max-only plans
+    // are unchanged: 1 for a retired row — a group with any retire
+    // must rescan its (removal-free) sketches
+    def retMark(v: Long): Seq[Column] =
+      if (m.distinctCols.isEmpty) Nil else Seq(lit(v).as("_nret"))
     // old contributions: target rows being replaced or deleted.
     // Column-pruned to pk+group+measures; the semi join never widens
     // or shuffles the target.
     val pre = preMergeTarget
-      .select((pkCols ++ groupCols ++ valueCols ++ mmCols).distinct.map(col): _*)
+      .select((pkCols ++ groupCols ++ m.inputCols).distinct.map(col): _*)
     val retired = pre
       .join(changedKeys, pkCols, "left_semi")
       .select(groupCols.map(col) :+ lit(-1L).as("_dn")
-        :++ valueCols.map(c => (-col(c)).as(s"_dsum_$c"))
-        :++ mmCols.map(c => col(c).as(s"_mm_ret_$c"))
-        :++ mmCols.map(c => nul(pre, c).as(s"_mm_ins_$c")): _*)
+        :++ m.sumCols.map(c => (-col(c)).as(s"_dsum_$c"))
+        :++ m.avgCols.map(c =>
+          when(col(c).isNotNull, lit(-1L)).otherwise(lit(0L)).as(s"_dcnt_$c"))
+        :++ m.mmCols.map(c => col(c).as(s"_mm_ret_$c"))
+        :++ m.mmCols.map(c => nul(pre, c).as(s"_mm_ins_$c"))
+        :++ m.distinctCols.map(c => nul(pre, c).as(s"_hv_$c"))
+        :++ retMark(1L): _*)
     val added = changes
       .filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete))
       .select(groupCols.map(col) :+ lit(1L).as("_dn")
-        :++ valueCols.map(c => col(c).as(s"_dsum_$c"))
-        :++ mmCols.map(c => nul(changes, c).as(s"_mm_ret_$c"))
-        :++ mmCols.map(c => col(c).as(s"_mm_ins_$c")): _*)
+        :++ m.sumCols.map(c => col(c).as(s"_dsum_$c"))
+        :++ m.avgCols.map(c =>
+          when(col(c).isNotNull, lit(1L)).otherwise(lit(0L)).as(s"_dcnt_$c"))
+        :++ m.mmCols.map(c => nul(changes, c).as(s"_mm_ret_$c"))
+        :++ m.mmCols.map(c => col(c).as(s"_mm_ins_$c"))
+        :++ m.distinctCols.map(c => col(c).as(s"_hv_$c"))
+        :++ retMark(0L): _*)
     val adjPlan = retired.unionByName(added)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("_dn")).as("_dn"),
-        valueCols.map(c => sum(col(s"_dsum_$c")).as(s"_dsum_$c"))
-          :++ minCols.map(c => min(col(s"_mm_ret_$c")).as(s"_retmin_$c"))
-          :++ maxCols.map(c => max(col(s"_mm_ret_$c")).as(s"_retmax_$c"))
-          :++ minCols.map(c => min(col(s"_mm_ins_$c")).as(s"_insmin_$c"))
-          :++ maxCols.map(c => max(col(s"_mm_ins_$c")).as(s"_insmax_$c")): _*)
-    // with min/max the adjustments feed the merged state AND the
-    // rescan probe — pin the (delta-group-sized) result so the
-    // pre-merge target is scanned exactly once either way
-    val adj = if (mmCols.isEmpty) adjPlan else adjPlan.localCheckpoint(true)
+        m.sumCols.map(c => sum(col(s"_dsum_$c")).as(s"_dsum_$c"))
+          :++ m.avgCols.map(c => sum(col(s"_dcnt_$c")).as(s"_dcnt_$c"))
+          :++ m.minCols.map(c => min(col(s"_mm_ret_$c")).as(s"_retmin_$c"))
+          :++ m.maxCols.map(c => max(col(s"_mm_ret_$c")).as(s"_retmax_$c"))
+          :++ m.minCols.map(c => min(col(s"_mm_ins_$c")).as(s"_insmin_$c"))
+          :++ m.maxCols.map(c => max(col(s"_mm_ins_$c")).as(s"_insmax_$c"))
+          // the window's inserted values, sketched per group: folds
+          // into the state sketch mergeably (no raw values kept)
+          :++ m.distinctCols.map(c => hll_sketch_agg(col(s"_hv_$c")).as(s"_dhll_$c"))
+          :++ (if (m.distinctCols.isEmpty) Nil
+               else Seq(sum(col("_nret")).as("_nret"))): _*)
+    // with a rescanning measure the adjustments feed the merged state
+    // AND the rescan probe — pin the (delta-group-sized) result so
+    // the pre-merge target is scanned exactly once either way
+    val adj = if (!m.needsRescan) adjPlan else adjPlan.localCheckpoint(true)
     // state ⟗ adjustments on the group key: both sides are
     // aggregate-sized (≪ fact table); a full-outer hash join keeps
     // appearing and disappearing groups correct. shuffle_hash: a
@@ -118,24 +181,37 @@ object IncrementalAgg {
     val merged = joined
       .select(groupCols.map(col)
         :+ (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n_rows")
-        :++ valueCols.map { c =>
+        :++ m.sumCols.map { c =>
           (coalesce(col(s"sum_$c"), lit(0L)) +
             coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c")
         }
+        :++ m.avgCols.map { c =>
+          (coalesce(col(s"cnt_$c"), lit(0L)) +
+            coalesce(col(s"_dcnt_$c"), lit(0L))).as(s"cnt_$c")
+        }
         // inserts fold in monotonically (least/greatest skip NULLs);
         // deletions of non-extremes leave the extreme untouched
-        :++ minCols.map(c => least(col(s"min_$c"), col(s"_insmin_$c")).as(s"min_$c"))
-        :++ maxCols.map(c => greatest(col(s"max_$c"), col(s"_insmax_$c")).as(s"max_$c")): _*)
+        :++ m.minCols.map(c => least(col(s"min_$c"), col(s"_insmin_$c")).as(s"min_$c"))
+        :++ m.maxCols.map(c => greatest(col(s"max_$c"), col(s"_insmax_$c")).as(s"max_$c"))
+        // sketches fold in mergeably; groups with retires are
+        // recomputed below anyway, so the stale fold is overwritten
+        :++ m.distinctCols.map { c =>
+          when(col(s"hll_$c").isNull, col(s"_dhll_$c"))
+            .when(col(s"_dhll_$c").isNull, col(s"hll_$c"))
+            .otherwise(hll_union(col(s"hll_$c"), col(s"_dhll_$c"))).as(s"hll_$c")
+        }: _*)
       .filter(col("n_rows") > 0)
-    if (mmCols.isEmpty) merged
+    if (!m.needsRescan) merged
     else {
-      // groups whose RETIRED rows touched their recorded extreme are
-      // the only ones whose min/max is uncertain: rescan exactly
+      // groups whose RETIRED rows touched their recorded extreme —
+      // or retired anything at all, for removal-free HLL sketches —
+      // are the only ones whose state is uncertain: rescan exactly
       // those from the post-merge snapshot, pruned by a broadcast
-      // semi join (the rescan set is delta-bounded; most windows
-      // retire no extremes and skip this branch entirely)
-      val rescanCond = (minCols.map(c => col(s"_retmin_$c") <= col(s"min_$c"))
-        :++ maxCols.map(c => col(s"_retmax_$c") >= col(s"max_$c")))
+      // semi join (the rescan set is delta-bounded; an insert-only
+      // window skips this branch entirely)
+      val rescanCond = (m.minCols.map(c => col(s"_retmin_$c") <= col(s"min_$c"))
+        :++ m.maxCols.map(c => col(s"_retmax_$c") >= col(s"max_$c"))
+        :++ (if (m.distinctCols.isEmpty) Nil else Seq(col("_nret") > 0)))
         .map(e => coalesce(e, lit(false)))
         .reduce(_ || _)
       val rescan = joined.filter(rescanCond)
@@ -144,7 +220,7 @@ object IncrementalAgg {
       else {
         val exact = fromSnapshot(
           postMergeTarget.join(broadcast(rescan), groupCols, "left_semi"),
-          groupCols, valueCols, minCols, maxCols)
+          groupCols, m)
         merged.join(broadcast(rescan), groupCols, "left_anti").unionByName(exact)
       }
     }
@@ -152,9 +228,18 @@ object IncrementalAgg {
 
   def applyDelta(state: DataFrame, preMergeTarget: DataFrame, changes: DataFrame,
       pkCols: Seq[String], groupCols: Seq[String], valueCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      postMergeTarget: => DataFrame, deltaRows: Option[Long]): DataFrame =
+    applyDelta(state, preMergeTarget, changes, pkCols, groupCols,
+      Measures(valueCols = valueCols, minCols = minCols, maxCols = maxCols),
+      postMergeTarget, deltaRows)
+
+  def applyDelta(state: DataFrame, preMergeTarget: DataFrame, changes: DataFrame,
+      pkCols: Seq[String], groupCols: Seq[String], valueCols: Seq[String],
       deltaRows: Option[Long]): DataFrame =
-    applyDelta(state, preMergeTarget, changes, pkCols, groupCols, valueCols,
-      Nil, Nil, sys.error("postMergeTarget is only read for min/max rollups"), deltaRows)
+    applyDelta(state, preMergeTarget, changes, pkCols, groupCols,
+      Measures(valueCols = valueCols),
+      sys.error("postMergeTarget is only read for min/max/distinct rollups"), deltaRows)
 
   def applyDelta(state: DataFrame, preMergeTarget: DataFrame, changes: DataFrame,
       pkCols: Seq[String], groupCols: Seq[String], valueCol: String,

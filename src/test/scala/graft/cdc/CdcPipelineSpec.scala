@@ -595,6 +595,66 @@ class CdcPipelineSpec extends AnyFunSuite {
         ("plain", Seq("g"), Seq("v"), Nil, Nil)))
   }
 
+  test("avg + HLL distinct rollups: delta maintenance equals recompute across random histories with deletes") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val rs = RollupSpec("ad", Seq("grp"), Seq("k"),
+      derive = _.withColumn("grp", col("user_id") % lit(4L)),
+      numBuckets = Some(2), avgCols = Seq("k"), distinctCols = Seq("k"))
+    val c = cfg(target).copy(numBuckets = Some(8), rollups = Seq(rs))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    // compare the stored vector plus the DERIVED read-time columns
+    // (avg, distinct estimate) — HLL merge is exact, so the
+    // maintained sketch's estimate must EQUAL the recompute's
+    def state(): Seq[Seq[Any]] = CdcPipeline.readRollup(spark, c, "ad").get
+      .select("grp", "n_rows", "sum_k", "cnt_k", "avg_k", "approx_distinct_k")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    def recompute(): Seq[Seq[Any]] = {
+      val m = rs.measures
+      IncrementalAgg.fromSnapshot(
+          rs.derive(CdcPipeline.readSnapshot(spark, target).get), Seq("grp"), m)
+        .select(col("grp"), col("n_rows"), col("sum_k"), col("cnt_k"),
+          when(col("cnt_k") > 0,
+            col("sum_k").cast("double") / col("cnt_k").cast("double")).as("avg_k"),
+          coalesce(hll_sketch_estimate(col("hll_k")), lit(0L)).as("approx_distinct_k"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+    }
+
+    val initial = (1L to 40L).map(u => (u, "u", 100L, u, 100L, s"""{"k":${u * 10}}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L)
+    assert(state() === recompute()); assert(state().nonEmpty)
+    // deletes and group-moving updates force the HLL rescan path
+    val w2delta = Seq(
+      (40L, "d", 200L, 100L, 1500L, """{"k":400}""", 100L, 0.0), // delete
+      (1L, "u", 200L, 101L, 1500L, """{"k":70}""", 101L, 1.0),   // update retires k=10
+      (42L, "u", 200L, 102L, 1500L, """{"k":1}""", 102L, 1.0),   // new group row
+      (41L, "u", 200L, 103L, 1500L, """{"k":555}""", 103L, 1.0))
+    CdcPipeline.run(spark, c, env(w2delta), log, 2000L)
+    assert(state() === recompute(),
+      "retired rows must route their groups through the HLL rescan")
+    // randomized windows with a small k space so duplicate values and
+    // deletes of last-instance values both keep occurring
+    val rnd = new scala.util.Random(7)
+    (3 to 7).foreach { w =>
+      val rows = (0 until 25).map { i =>
+        val u = 1L + rnd.nextInt(45)
+        val op = if (rnd.nextInt(4) == 0) "d" else "u"
+        (u, op, w * 100L, w * 1000L + i, w * 1000L, s"""{"k":${rnd.nextInt(30)}}""",
+          w * 1000L + i, 1.0)
+      }
+      val compacted = rows.groupBy(_._1).values.map(_.maxBy(_._4)).toSeq
+      CdcPipeline.run(spark, c, env(compacted), log, w * 1000L)
+      assert(state() === recompute(), s"window $w: delta state must equal recompute")
+    }
+    // config round-trip for the new segments
+    val parsed = CdcConfig.parseRollups("ad:grp:k:avg=k:distinct=k+event_id; plain:g:v")
+    assert(parsed.map(r => (r.name, r.groupCols, r.valueCols, r.avgCols, r.distinctCols)) ===
+      Seq(("ad", Seq("grp"), Seq("k"), Seq("k"), Seq("k", "event_id")),
+        ("plain", Seq("g"), Seq("v"), Nil, Nil)))
+  }
+
   // ---- store-integrated SCD2 (A29) ----------------------------------
 
   private def projectedWin(env: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
