@@ -569,6 +569,71 @@ object CdcQueries {
        |  TRUE AS distinct_within_5pct
        |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
 
+  // A24 (r7): snapshotDiff change feed — the versioned store's
+  // `table_changes` analogue: one op-tagged row (i/u/d) per PK whose
+  // row changed between two committed versions, reading only the
+  // buckets the two manifests disagree on. The query builds a REAL
+  // two-version bucketed store from the fixture windows (publish v0
+  // from the pre-W0 history, merge the (W0,W1] delta into v1), then
+  // exports the diff; the oracle recomputes both states in SQL and
+  // FULL OUTER JOINs them with null-safe column comparison.
+  def cdcSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "snapdiff",
+      targetPath = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    CdcPipeline.snapshotDiff(s, cfg.targetPath, 0L, 1L, pk).get
+      .withColumnRenamed(CdcEnvelope.OpCol, "op")
+      .orderBy(col("user_id"))
+  }
+
+  private val oSnapshotDiff =
+    s"""WITH before_s AS (SELECT user_id, k, event_id, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |          FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |  WHERE rn = 1 AND op != 'd'),
+       |chg AS (SELECT user_id, k, event_id, value, op FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE $dWin) w
+       |  WHERE rn = 1),
+       |after_s AS (
+       |  SELECT b.user_id, b.k, b.event_id, b.value FROM before_s b
+       |  WHERE b.user_id NOT IN (SELECT user_id FROM chg)
+       |  UNION ALL
+       |  SELECT user_id, k, event_id, value FROM chg WHERE op != 'd')
+       |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       |  coalesce(a.k, b.k) AS k,
+       |  coalesce(a.event_id, b.event_id) AS event_id,
+       |  coalesce(a.value, b.value) AS value,
+       |  CASE WHEN b.user_id IS NULL THEN 'i'
+       |       WHEN a.user_id IS NULL THEN 'd'
+       |       ELSE 'u' END AS op
+       |FROM before_s b FULL OUTER JOIN after_s a ON b.user_id = a.user_id
+       |WHERE b.user_id IS NULL OR a.user_id IS NULL
+       |   OR b.k IS DISTINCT FROM a.k
+       |   OR b.event_id IS DISTINCT FROM a.event_id
+       |   OR b.value IS DISTINCT FROM a.value
+       |ORDER BY user_id""".stripMargin
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -608,5 +673,6 @@ object CdcQueries {
     QueryDef("cdc_incr_agg", cdcIncrAgg, Some(oIncrAgg)),
     QueryDef("cdc_incr_agg_minmax", cdcIncrAggMinmax, Some(oIncrAggMinmax)),
     QueryDef("cdc_incr_agg_hll", cdcIncrAggHll, Some(oIncrAggHll)),
+    QueryDef("cdc_snapshot_diff", cdcSnapshotDiff, Some(oSnapshotDiff)),
   )
 }
