@@ -378,6 +378,51 @@ object StressBench {
       val openBuckets = Option(new java.io.File(s"$tdir/_scd2/open/v1").listFiles())
         .toSeq.flatten.count(f => f.isDirectory && f.getName.startsWith("_graft_bucket="))
       println(f"[stress] scd2 advancement wrote ${adv / 1e3}%.0f KB ($openBuckets/64 open buckets) vs initial history ${init / 1e6}%.1f MB (${100.0 * adv / init}%.2f%%)")
+
+      // r7: the layout-maintenance half (VERDICT r6 #7). More small
+      // advancements fan the closed history into one dir each, so a
+      // key lookup touches O(advancements) bucket dirs; compactClosed
+      // must return it to O(|keys|) files, and a retention horizon
+      // must drop bytes by the dropped-slice fraction while leaving
+      // post-horizon content bit-identical.
+      (2 to 9).foreach { i =>
+        val w = spark.range(5).select(
+          (col("id") * 64 + i).as("user_id"),
+          lit("u").as(CdcEnvelope.OpCol),
+          (lit(t0) + lit(i * 100L) + col("id")).as(CdcEnvelope.TsCol),
+          (col("id") + i * 10).as(CdcEnvelope.PosCol),
+          lit(t0 + i * 100L).as(CdcEnvelope.LoadTsCol),
+          concat(lit("{\"k\":"), col("id") + i, lit("}")).as(CdcEnvelope.DataCol),
+          (col("id") + i).as("event_id"),
+          lit(2.0).as("value"))
+        CdcPipeline.run(spark, sCfg, w, log, t0 + i * 100L + 50)
+      }
+      val keys = spark.range(2).select((col("id") * 64 + 1).as("user_id"))
+      def lookupFiles(): Int = Scd2Store.readKeys(spark, sCfg, keys).get.inputFiles.length
+      val filesBefore = lookupFiles()
+      val closedBefore = du(s"$tdir/_scd2/closed")
+      val hist = Scd2Store.readHistory(spark, sCfg).get
+      val keptExpected = hist
+        .filter(col("valid_to_us").isNotNull && col("valid_to_us") > t0).count()
+      val closedSlicesBefore = hist.filter(col("valid_to_us").isNotNull).count()
+      time("scd2: compactClosed over 10 closed dirs at 10M slices") {
+        Scd2Store.compactClosed(spark, sCfg)
+      }
+      Scd2Store.compactClosed(spark, sCfg) // orphan sweep of superseded dirs
+      val filesAfter = lookupFiles()
+      require(filesAfter < filesBefore,
+        s"compaction must shrink lookup fan-out: $filesBefore -> $filesAfter")
+      println(s"[stress] scd2 2-key lookup reads $filesBefore files over 10 dirs -> $filesAfter after compactClosed")
+      time("scd2: retention rewrite dropping pre-horizon closed slices") {
+        Scd2Store.compactClosed(spark, sCfg, dropClosedBeforeUs = Some(t0))
+      }
+      Scd2Store.compactClosed(spark, sCfg) // sweep the superseded generation
+      val closedAfterBytes = du(s"$tdir/_scd2/closed")
+      val closedSlicesAfter = Scd2Store.readHistory(spark, sCfg).get
+        .filter(col("valid_to_us").isNotNull).count()
+      require(closedSlicesAfter == keptExpected,
+        s"retention must keep exactly the post-horizon slices: $closedSlicesAfter vs $keptExpected")
+      println(f"[stress] scd2 retention: $closedSlicesBefore%,d closed slices / ${closedBefore / 1e6}%.1f MB -> $closedSlicesAfter%,d / ${closedAfterBytes / 1e6}%.1f MB (${100.0 * (closedBefore - closedAfterBytes) / closedBefore}%.1f%% bytes dropped)")
     }
 
     // r5: job-log compaction — the run log must stay O(bounded) files
