@@ -24,23 +24,39 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => () }
     }
-    // Two timed passes, keep the min, GC between queries: one JVM
-    // runs all queries back-to-back, so a neighbor's garbage
-    // otherwise leaks into the next timing (observed 5x swings on
-    // the same plan). A query that throws records the sentinel -1
-    // and is listed in "failed" instead of silently skewing the
-    // total (ADVICE r2).
-    // Queries whose official record has swung >1.3x across rounds on
-    // an UNCHANGED plan (r5 verdict: dedup_embedding_lsh 1.9-3.7 s,
-    // dedup_clusters / q_median / q_null_semantics ±1.4x) get a third
-    // timed pass: min-of-3 cuts the scheduling/GC tail that the
-    // min-of-2 record kept catching on these four.
-    val noisy = Set("dedup_embedding_lsh", "dedup_clusters", "q_median", "q_null_semantics")
+    // Pinned calibration workload (r6 verdict #1): a fixed synthetic
+    // plan — 400M rows of hash+sum, no I/O, no shuffle beyond the
+    // final scalar exchange — whose cost tracks THIS machine's
+    // CPU/JVM speed and can never drift with the library. The record
+    // carries its time so cross-machine/cross-round drift divides
+    // out of per-query comparisons (r5→r6's uniform 1.16x was
+    // unattributable without it). Same min-of-3 protocol as the
+    // queries.
+    def calibrationPass(): Double = {
+      val t0 = System.nanoTime()
+      run(spark.range(400000000L)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.hash(
+            org.apache.spark.sql.functions.col("id"))).as("h")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationPass() // its own warm-up
+    val calibration = (1 to 3).map(_ => calibrationPass()).min
+    // Three timed passes for EVERY query, keep the min, GC between
+    // queries: one JVM runs all queries back-to-back, so a neighbor's
+    // garbage otherwise leaks into the next timing (observed 5x
+    // swings on the same plan). ONE pass count for the whole set —
+    // r6's selective min-of-3 for four hand-picked queries biased
+    // exactly those low relative to the min-of-2 rest (ADVICE r6);
+    // the recorded "passes" field keeps future protocol changes
+    // comparable. A query that throws records the sentinel -1 and is
+    // listed in "failed" instead of silently skewing the total
+    // (ADVICE r2).
+    val passes = 3
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
-      val passes = if (noisy(name)) 3 else 2
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
@@ -59,11 +75,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"passes":$passes,"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     // Compact fallback AFTER the full line: if the tail capture ever
     // starts mid-way through the full record again, the last complete
     // line still carries the headline total.
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${names.size},"failed":$fs,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"passes":$passes,"nqueries":${names.size},"failed":$fs,"sf":"$sfDir"}"""
     // stdout (forwarded verbatim via run/outputStrategy := StdoutOutput)
     // plus stderr as a belt-and-braces copy for the driver's parser.
     println(line)
