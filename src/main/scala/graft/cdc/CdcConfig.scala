@@ -67,16 +67,24 @@ final case class RollupSpec(
       * pattern, delta-bounded). `readRollup` derives the
       * `approx_distinct_<col>` estimate at read time.
       */
-    distinctCols: Seq[String] = Nil) {
+    distinctCols: Seq[String] = Nil,
+    /** Columns whose population variance/stddev the rollup serves:
+      * the state adds `sumsq_<col>` next to the shared `sum_<col>`/
+      * `cnt_<col>` — the whole vector is invertible under deletes
+      * (no rescan, unlike min/max/distinct). `readRollup` derives
+      * `var_<col>`/`stddev_<col>` at read. Integral input expected
+      * (the cents idiom): sumsq must not overflow a long.
+      */
+    varCols: Seq[String] = Nil) {
   require(name.matches("[A-Za-z0-9_-]+"), s"rollup name must be path-safe: $name")
   require(groupCols.nonEmpty, "rollup needs at least one group column")
   require(valueCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty ||
-    avgCols.nonEmpty || distinctCols.nonEmpty,
-    "rollup needs at least one measure column (value/min/max/avg/distinct)")
+    avgCols.nonEmpty || distinctCols.nonEmpty || varCols.nonEmpty,
+    "rollup needs at least one measure column (value/min/max/avg/distinct/var)")
 
   /** The measure vector [[IncrementalAgg]] maintains for this spec. */
   def measures: IncrementalAgg.Measures =
-    IncrementalAgg.Measures(valueCols, avgCols, minCols, maxCols, distinctCols)
+    IncrementalAgg.Measures(valueCols, avgCols, minCols, maxCols, distinctCols, varCols)
 
   /** State schema this spec maintains (order is the published one). */
   def stateCols: Seq[String] = measures.stateCols(groupCols)
@@ -209,7 +217,7 @@ object CdcConfig {
       entry.split(":").map(_.trim) match {
         case parts if parts.length >= 3 =>
           val extras = parts.drop(3)
-          val kinds = Seq("min", "max", "avg", "distinct")
+          val kinds = Seq("min", "max", "avg", "distinct", "var")
           val bad = extras.filterNot(p => kinds.exists(k => p.startsWith(k + "=")))
           if (bad.nonEmpty) throw new IllegalArgumentException(
             s"rollup segments after the value list must be one of " +
@@ -218,7 +226,8 @@ object CdcConfig {
             .flatMap(p => split(p.stripPrefix(kind + "=")))
           RollupSpec(parts(0), split(parts(1)), split(parts(2)),
             minCols = of("min"), maxCols = of("max"),
-            avgCols = of("avg"), distinctCols = of("distinct"))
+            avgCols = of("avg"), distinctCols = of("distinct"),
+            varCols = of("var"))
         case _ => throw new IllegalArgumentException(
           s"rollup entry must be name:grp1+grp2:val1+val2[:min=a][:max=b]" +
             s"[:avg=e][:distinct=f], got: $entry")

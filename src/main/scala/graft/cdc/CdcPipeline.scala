@@ -450,7 +450,14 @@ object CdcPipeline {
           df.withColumn(s"avg_$c",
             when(col(s"cnt_$c") > 0,
               col(s"sum_$c").cast("double") / col(s"cnt_$c").cast("double"))))
-        rs.distinctCols.foldLeft(withAvg)((df, c) =>
+        val withVar = rs.varCols.foldLeft(withAvg) { (df, c) =>
+          val mean = col(s"sum_$c").cast("double") / col(s"cnt_$c").cast("double")
+          val v = col(s"sumsq_$c").cast("double") / col(s"cnt_$c").cast("double") -
+            mean * mean
+          df.withColumn(s"var_$c", when(col(s"cnt_$c") > 0, v))
+            .withColumn(s"stddev_$c", when(col(s"cnt_$c") > 0, sqrt(v)))
+        }
+        rs.distinctCols.foldLeft(withVar)((df, c) =>
           df.withColumn(s"approx_distinct_$c",
             coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L))))
       }

@@ -484,16 +484,18 @@ object CdcQueries {
        |  CAST(max(k) AS BIGINT) AS max_k
        |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
 
-  // A33 (r7): avg + HLL distinct rollup maintenance — the same
-  // two-window delta advancement as cdc_incr_agg, now carrying a
-  // non-null count (avg = sum/cnt, derived at read) and a mergeable
-  // HLL distinct sketch, which folds inserts in mergeably but must
-  // rescan any group a window retires rows from (sketches support no
-  // removal). Gated three ways per group: the exact avg vector
-  // hash-matches the oracle's recompute, the maintained sketch's
-  // estimate EQUALS the one-shot recompute's estimate (HLL merge is
-  // exact, so increment ≡ recompute bit-for-bit), and the estimate
-  // sits within 5% of the exact distinct count.
+  // A33 (r7): avg + variance + HLL distinct rollup maintenance — the
+  // same two-window delta advancement as cdc_incr_agg, now carrying a
+  // non-null count and a sum of squares (avg = sum/cnt and var =
+  // sumsq/cnt − mean², both derived at read from an
+  // invertible-under-deletes vector) plus a mergeable HLL distinct
+  // sketch, which folds inserts in mergeably but must rescan any
+  // group a window retires rows from (sketches support no removal).
+  // Gated per group: the exact avg/var vectors hash-match the
+  // oracle's recompute, the maintained sketch's estimate EQUALS the
+  // one-shot recompute's estimate (HLL merge is exact, so increment
+  // ≡ recompute bit-for-bit), and the estimate sits within 5% of the
+  // exact distinct count.
   def cdcIncrAggHll(s: SparkSession, d: String): DataFrame = {
     val W2 = CdcEnvelope.epochUs("2024-01-30T00:00:00Z")
     def proj(e: DataFrame): DataFrame =
@@ -507,7 +509,7 @@ object CdcQueries {
     val ev = T.events(s, d)
     val pk = Seq("user_id")
     val m = IncrementalAgg.Measures(valueCols = Seq("cents"), avgCols = Seq("cents"),
-      distinctCols = Seq("k"))
+      distinctCols = Seq("k"), varCols = Seq("cents"))
     val targetCols = Seq("user_id", "event_id", "k", "value", "grp", "cents")
     val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
     // pinned fixture targets, as in cdc_incr_agg_minmax: the bench
@@ -529,10 +531,13 @@ object CdcQueries {
       .select(col("grp"), hll_sketch_estimate(col("hll_k")).as("recompute_est"))
     val exact = target2.groupBy("grp")
       .agg(countDistinct(col("k")).as("exact_distinct_k"))
+    val mean = col("sum_cents").cast("double") / col("cnt_cents").cast("double")
     state2.join(recompute, Seq("grp")).join(exact, Seq("grp"))
       .select(col("grp"), col("n_rows"), col("sum_cents"), col("cnt_cents"),
-        (col("sum_cents").cast("double") / col("cnt_cents").cast("double"))
-          .as("avg_cents"),
+        col("sumsq_cents"),
+        mean.as("avg_cents"),
+        (col("sumsq_cents").cast("double") / col("cnt_cents").cast("double") -
+          mean * mean).as("var_cents"),
         col("exact_distinct_k"),
         (hll_sketch_estimate(col("hll_k")) === col("recompute_est"))
           .as("maintained_eq_recompute"),
@@ -560,14 +565,18 @@ object CdcQueries {
        |  UNION ALL
        |  SELECT c.user_id, c.k, c.value FROM chg c WHERE c.op != 'd')
        |SELECT k % 8 AS grp, count(*) AS n_rows,
-       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-       |  CAST(count(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cnt_cents,
-       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) /
-       |    CAST(count(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS avg_cents,
+       |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+       |  CAST(count(cents) AS BIGINT) AS cnt_cents,
+       |  CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+       |  CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE) AS avg_cents,
+       |  CAST(sum(cents * cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE) -
+       |    (CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE)) *
+       |    (CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE)) AS var_cents,
        |  CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct_k,
        |  TRUE AS maintained_eq_recompute,
        |  TRUE AS distinct_within_5pct
-       |FROM m GROUP BY 1 ORDER BY grp""".stripMargin
+       |FROM (SELECT k, CAST(round(value * 100) AS BIGINT) AS cents FROM m) mm
+       |GROUP BY 1 ORDER BY grp""".stripMargin
 
   // A24 (r7): snapshotDiff change feed — the versioned store's
   // `table_changes` analogue: one op-tagged row (i/u/d) per PK whose
@@ -656,6 +665,55 @@ object CdcQueries {
        |WHERE event_type <> 'error'
        |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
+  // A32 (r7): the PERSISTED SCD2 history store, oracle-gated end to
+  // end — two incremental pipeline runs advance the on-disk history
+  // (append-only closed dirs + delta-published open store), and
+  // `readHistory` must hash-match the one-shot window-lead build over
+  // the whole span (cdc_scd2's oracle). This gates the maintained
+  // STORE itself — crash contract aside, every slice the two-window
+  // advancement closed or left open — not just the Scd2 operator.
+  def cdcScd2Store(s: SparkSession, d: String): DataFrame = {
+    val endUs = CdcEnvelope.epochUs("2025-01-01T00:00:00Z")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "scd2store",
+      targetPath = java.nio.file.Files.createTempDirectory("graft-scd2q").toString,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      // 8 buckets: the fixture's cost is per-file overhead (two full
+      // publishes + two closed dirs per pass), not data volume — at a
+      // real deployment's sizes the bucket count is a data-volume
+      // knob, here it only multiplies 4-row parquet files
+      numBuckets = Some(8),
+      scd2 = Some(Scd2Spec()))
+    val log = java.nio.file.Files.createTempDirectory("graft-scd2q-log").toString
+    // a deterministic quarter of the keyspace: the gate's strength is
+    // the two-window STORE advancement ≡ one-shot equality, not the
+    // fixture volume — the store build is real disk I/O per bench
+    // pass, so the fixture is bounded like the other declared ones.
+    // Pinned: run() launches many small jobs (counts, bounds, merge,
+    // maintain), and without the pin each re-derives the scan+parse
+    // lineage, so the query times the fixture instead of the store.
+    val quarter = env(s, d).filter(col("user_id") % 4 === 0).localCheckpoint(true)
+    CdcPipeline.run(s, cfg, quarter, log, W1)
+    CdcPipeline.run(s, cfg, quarter, log, endUs)
+    Scd2Store.readHistory(s, cfg).get
+      .select(col("user_id"), col("event_id"), col("k"), col("value"),
+        col(Scd2.From), col(Scd2.To))
+      .orderBy(col("user_id"), col(Scd2.From), col("event_id"))
+  }
+
+  private val oScd2Store =
+    s"""SELECT user_id, event_id, k, value, valid_from_us, valid_to_us FROM (
+       |  SELECT user_id, event_id, $dK AS k, value, event_type,
+       |    epoch_us(ts) AS valid_from_us,
+       |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS valid_to_us
+       |  FROM events WHERE user_id % 4 = 0) t
+       |WHERE event_type <> 'error'
+       |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(oParse)),
     QueryDef("cdc_scd2", cdcScd2, Some(oScd2)),
@@ -674,5 +732,6 @@ object CdcQueries {
     QueryDef("cdc_incr_agg_minmax", cdcIncrAggMinmax, Some(oIncrAggMinmax)),
     QueryDef("cdc_incr_agg_hll", cdcIncrAggHll, Some(oIncrAggHll)),
     QueryDef("cdc_snapshot_diff", cdcSnapshotDiff, Some(oSnapshotDiff)),
+    QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
   )
 }

@@ -46,20 +46,27 @@ object IncrementalAgg {
     * `valueCols` → `sum_<c>`; `avgCols` → `cnt_<c>` (non-null count;
     * the paired `sum_<c>` is shared with valueCols when a column is
     * in both — avg is DERIVED at read as sum/cnt, never stored);
-    * `minCols`/`maxCols` → `min_<c>`/`max_<c>`; `distinctCols` →
-    * `hll_<c>` binary sketches (input must be an integral, string or
-    * binary column — Spark's datasketches HLL takes no fractional
-    * types; read the estimate via `hll_sketch_estimate`).
+    * `varCols` → `sumsq_<c>` next to the shared `sum_<c>`/`cnt_<c>`
+    * (population variance/stddev derive at read as sumsq/cnt −
+    * (sum/cnt)² — the whole vector is invertible under deletes, so
+    * variance needs no rescan either); `minCols`/`maxCols` →
+    * `min_<c>`/`max_<c>`; `distinctCols` → `hll_<c>` binary sketches
+    * (input must be an integral, string or binary column — Spark's
+    * datasketches HLL takes no fractional types; read the estimate
+    * via `hll_sketch_estimate`).
     */
   final case class Measures(
       valueCols: Seq[String] = Nil,
       avgCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
-      distinctCols: Seq[String] = Nil) {
-    /** Columns carrying a maintained sum (deduped: a column both
-      * summed and averaged keeps ONE `sum_<c>`). */
-    def sumCols: Seq[String] = (valueCols ++ avgCols).distinct
+      distinctCols: Seq[String] = Nil,
+      varCols: Seq[String] = Nil) {
+    /** Columns carrying a maintained sum (deduped: a column summed,
+      * averaged and/or varianced keeps ONE `sum_<c>`). */
+    def sumCols: Seq[String] = (valueCols ++ avgCols ++ varCols).distinct
+    /** Columns carrying a maintained non-null count. */
+    def cntCols: Seq[String] = (avgCols ++ varCols).distinct
     def mmCols: Seq[String] = (minCols ++ maxCols).distinct
     /** Raw columns the maintenance must read from target/changes. */
     def inputCols: Seq[String] = (sumCols ++ mmCols ++ distinctCols).distinct
@@ -67,7 +74,8 @@ object IncrementalAgg {
     def nonEmpty: Boolean = inputCols.nonEmpty
     /** Published state schema (order is the stored one). */
     def stateCols(groupCols: Seq[String]): Seq[String] =
-      (groupCols :+ "n_rows") ++ sumCols.map("sum_" + _) ++ avgCols.map("cnt_" + _) ++
+      (groupCols :+ "n_rows") ++ sumCols.map("sum_" + _) ++ cntCols.map("cnt_" + _) ++
+        varCols.map("sumsq_" + _) ++
         minCols.map("min_" + _) ++ maxCols.map("max_" + _) ++ distinctCols.map("hll_" + _)
   }
 
@@ -78,7 +86,8 @@ object IncrementalAgg {
   def fromSnapshot(snapshot: DataFrame, groupCols: Seq[String], m: Measures): DataFrame = {
     val measures =
       m.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
-        m.avgCols.map(c => count(col(c)).as(s"cnt_$c")) ++
+        m.cntCols.map(c => count(col(c)).as(s"cnt_$c")) ++
+        m.varCols.map(c => sum(col(c) * col(c)).as(s"sumsq_$c")) ++
         m.minCols.map(c => min(col(c)).as(s"min_$c")) ++
         m.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
         m.distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
@@ -137,8 +146,9 @@ object IncrementalAgg {
       .join(changedKeys, pkCols, "left_semi")
       .select(groupCols.map(col) :+ lit(-1L).as("_dn")
         :++ m.sumCols.map(c => (-col(c)).as(s"_dsum_$c"))
-        :++ m.avgCols.map(c =>
+        :++ m.cntCols.map(c =>
           when(col(c).isNotNull, lit(-1L)).otherwise(lit(0L)).as(s"_dcnt_$c"))
+        :++ m.varCols.map(c => (-(col(c) * col(c))).as(s"_dsumsq_$c"))
         :++ m.mmCols.map(c => col(c).as(s"_mm_ret_$c"))
         :++ m.mmCols.map(c => nul(pre, c).as(s"_mm_ins_$c"))
         :++ m.distinctCols.map(c => nul(pre, c).as(s"_hv_$c"))
@@ -147,8 +157,9 @@ object IncrementalAgg {
       .filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete))
       .select(groupCols.map(col) :+ lit(1L).as("_dn")
         :++ m.sumCols.map(c => col(c).as(s"_dsum_$c"))
-        :++ m.avgCols.map(c =>
+        :++ m.cntCols.map(c =>
           when(col(c).isNotNull, lit(1L)).otherwise(lit(0L)).as(s"_dcnt_$c"))
+        :++ m.varCols.map(c => (col(c) * col(c)).as(s"_dsumsq_$c"))
         :++ m.mmCols.map(c => nul(changes, c).as(s"_mm_ret_$c"))
         :++ m.mmCols.map(c => col(c).as(s"_mm_ins_$c"))
         :++ m.distinctCols.map(c => col(c).as(s"_hv_$c"))
@@ -157,7 +168,8 @@ object IncrementalAgg {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("_dn")).as("_dn"),
         m.sumCols.map(c => sum(col(s"_dsum_$c")).as(s"_dsum_$c"))
-          :++ m.avgCols.map(c => sum(col(s"_dcnt_$c")).as(s"_dcnt_$c"))
+          :++ m.cntCols.map(c => sum(col(s"_dcnt_$c")).as(s"_dcnt_$c"))
+          :++ m.varCols.map(c => sum(col(s"_dsumsq_$c")).as(s"_dsumsq_$c"))
           :++ m.minCols.map(c => min(col(s"_mm_ret_$c")).as(s"_retmin_$c"))
           :++ m.maxCols.map(c => max(col(s"_mm_ret_$c")).as(s"_retmax_$c"))
           :++ m.minCols.map(c => min(col(s"_mm_ins_$c")).as(s"_insmin_$c"))
@@ -185,9 +197,13 @@ object IncrementalAgg {
           (coalesce(col(s"sum_$c"), lit(0L)) +
             coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c")
         }
-        :++ m.avgCols.map { c =>
+        :++ m.cntCols.map { c =>
           (coalesce(col(s"cnt_$c"), lit(0L)) +
             coalesce(col(s"_dcnt_$c"), lit(0L))).as(s"cnt_$c")
+        }
+        :++ m.varCols.map { c =>
+          (coalesce(col(s"sumsq_$c"), lit(0L)) +
+            coalesce(col(s"_dsumsq_$c"), lit(0L))).as(s"sumsq_$c")
         }
         // inserts fold in monotonically (least/greatest skip NULLs);
         // deletions of non-extremes leave the extreme untouched

@@ -600,24 +600,29 @@ class CdcPipelineSpec extends AnyFunSuite {
     val target = tmp(); val log = tmp()
     val rs = RollupSpec("ad", Seq("grp"), Seq("k"),
       derive = _.withColumn("grp", col("user_id") % lit(4L)),
-      numBuckets = Some(2), avgCols = Seq("k"), distinctCols = Seq("k"))
+      numBuckets = Some(2), avgCols = Seq("k"), distinctCols = Seq("k"),
+      varCols = Seq("k"))
     val c = cfg(target).copy(numBuckets = Some(8), rollups = Seq(rs))
     def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
       rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
         CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
     // compare the stored vector plus the DERIVED read-time columns
-    // (avg, distinct estimate) — HLL merge is exact, so the
-    // maintained sketch's estimate must EQUAL the recompute's
+    // (avg, var/stddev, distinct estimate) — HLL merge is exact, so
+    // the maintained sketch's estimate must EQUAL the recompute's
     def state(): Seq[Seq[Any]] = CdcPipeline.readRollup(spark, c, "ad").get
-      .select("grp", "n_rows", "sum_k", "cnt_k", "avg_k", "approx_distinct_k")
+      .select("grp", "n_rows", "sum_k", "cnt_k", "sumsq_k", "avg_k", "var_k",
+        "stddev_k", "approx_distinct_k")
       .orderBy("grp").collect().map(_.toSeq).toSeq
     def recompute(): Seq[Seq[Any]] = {
       val m = rs.measures
+      val mean = col("sum_k").cast("double") / col("cnt_k").cast("double")
+      val v = col("sumsq_k").cast("double") / col("cnt_k").cast("double") - mean * mean
       IncrementalAgg.fromSnapshot(
           rs.derive(CdcPipeline.readSnapshot(spark, target).get), Seq("grp"), m)
-        .select(col("grp"), col("n_rows"), col("sum_k"), col("cnt_k"),
-          when(col("cnt_k") > 0,
-            col("sum_k").cast("double") / col("cnt_k").cast("double")).as("avg_k"),
+        .select(col("grp"), col("n_rows"), col("sum_k"), col("cnt_k"), col("sumsq_k"),
+          when(col("cnt_k") > 0, mean).as("avg_k"),
+          when(col("cnt_k") > 0, v).as("var_k"),
+          when(col("cnt_k") > 0, sqrt(v)).as("stddev_k"),
           coalesce(hll_sketch_estimate(col("hll_k")), lit(0L)).as("approx_distinct_k"))
         .orderBy("grp").collect().map(_.toSeq).toSeq
     }
@@ -649,10 +654,11 @@ class CdcPipelineSpec extends AnyFunSuite {
       assert(state() === recompute(), s"window $w: delta state must equal recompute")
     }
     // config round-trip for the new segments
-    val parsed = CdcConfig.parseRollups("ad:grp:k:avg=k:distinct=k+event_id; plain:g:v")
-    assert(parsed.map(r => (r.name, r.groupCols, r.valueCols, r.avgCols, r.distinctCols)) ===
-      Seq(("ad", Seq("grp"), Seq("k"), Seq("k"), Seq("k", "event_id")),
-        ("plain", Seq("g"), Seq("v"), Nil, Nil)))
+    val parsed = CdcConfig.parseRollups("ad:grp:k:avg=k:distinct=k+event_id:var=k; plain:g:v")
+    assert(parsed.map(r =>
+      (r.name, r.groupCols, r.valueCols, r.avgCols, r.distinctCols, r.varCols)) ===
+      Seq(("ad", Seq("grp"), Seq("k"), Seq("k"), Seq("k", "event_id"), Seq("k")),
+        ("plain", Seq("g"), Seq("v"), Nil, Nil, Nil)))
   }
 
   // ---- store-integrated SCD2 (A29) ----------------------------------
