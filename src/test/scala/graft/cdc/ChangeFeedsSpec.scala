@@ -122,6 +122,36 @@ class ChangeFeedsSpec extends AnyFunSuite {
     assert(rdiff.forall(_.last != null), "every rollup diff row is op-tagged")
   }
 
+  test("snapshot-diff cursor: a vacuumed base version fails loudly, never silently skips spans") {
+    val target = tmp(); val log = tmp()
+    // one bucket: every publish rewrites it, so no version survives by
+    // carried-bucket reference and the vacuum really reclaims the base
+    // (at 8 buckets the reference counting keeps old manifests alive
+    // as long as any bucket is still carried — the cursor then keeps
+    // working, which the tail of this test covers anyway)
+    val c = cfg(target).copy(numBuckets = Some(1))
+    CdcPipeline.run(spark, c, env(win1), log, 1000L)
+    assert(ChangeFeeds.consumeSnapshotDiff(spark, c, "lagger") { _ => () } === None) // baseline at v0
+    // the consumer lags while many versions publish and vacuum reclaims its base
+    CdcPipeline.run(spark, c, env(win2), log, 2000L)
+    CdcPipeline.run(spark, c, env(win3), log, 3000L)
+    CdcPipeline.run(spark, c, env(Seq(
+      (9L, "u", 400L, 30L, 3500L, """{"k":90}""", 30L, 9.0))), log, 4000L)
+    CdcPipeline.vacuum(target, keepVersions = 2)
+    val e = intercept[IllegalStateException] {
+      ChangeFeeds.consumeSnapshotDiff(spark, c, "lagger") { _ => () }
+    }
+    assert(e.getMessage.contains("vacuumed") || e.getMessage.contains("gone"),
+      s"the failure must name the cause, got: ${e.getMessage}")
+    // a consumer that polls within the keep window keeps working
+    assert(ChangeFeeds.consumeSnapshotDiff(spark, c, "fresh") { _ => () } === None)
+    CdcPipeline.run(spark, c, env(Seq(
+      (10L, "u", 500L, 31L, 4500L, """{"k":100}""", 31L, 10.0))), log, 5000L)
+    var n = -1L
+    ChangeFeeds.consumeSnapshotDiff(spark, c, "fresh") { df => n = df.count() }
+    assert(n === 1L, "one inserted PK between the fresh consumer's spans")
+  }
+
   test("readStream over closed dirs: incremental delivery across restarts from one checkpoint") {
     val target = tmp(); val log = tmp(); val ckpt = tmp()
     val c = cfg(target).copy(scd2 = Some(Scd2Spec()))

@@ -394,6 +394,38 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(state() === before)
   }
 
+  test("streaming avg/var/HLL rollup: retirements in a micro-batch trigger the sketch rescan; state equals recompute") {
+    // batch2 deletes user 2 and updates user 3 — both retirements, so
+    // the HLL sketch path must rescan their group in the streaming
+    // micro-batch exactly like the batch pipeline
+    val aCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-advar-tgt").toString,
+      numBuckets = Some(4),
+      rollups = Seq(RollupSpec("advar", Seq("grp"), Seq("cents"), derive _, Some(2),
+        avgCols = Seq("cents"), distinctCols = Seq("k"), varCols = Seq("cents"))))
+    assert(CdcStream.mergeBatchToTarget(toDf(batch1), 0L, aCfg))
+    assert(CdcStream.mergeBatchToTarget(toDf(batch2), 1L, aCfg))
+    def state(): Seq[Seq[Any]] = CdcPipeline.readRollup(spark, aCfg, "advar").get
+      .select("grp", "n_rows", "sum_cents", "cnt_cents", "sumsq_cents",
+        "avg_cents", "var_cents", "approx_distinct_k")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val m = aCfg.rollups.head.measures
+    val mean = col("sum_cents").cast("double") / col("cnt_cents").cast("double")
+    val v = col("sumsq_cents").cast("double") / col("cnt_cents").cast("double") - mean * mean
+    val recomputed = IncrementalAgg.fromSnapshot(
+        derive(CdcPipeline.readSnapshot(spark, aCfg.targetPath).get), Seq("grp"), m)
+      .select(col("grp"), col("n_rows"), col("sum_cents"), col("cnt_cents"),
+        col("sumsq_cents"),
+        when(col("cnt_cents") > 0, mean).as("avg_cents"),
+        when(col("cnt_cents") > 0, v).as("var_cents"),
+        coalesce(hll_sketch_estimate(col("hll_k")), lit(0L)).as("approx_distinct_k"))
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(state() === recomputed,
+      "streamed avg/var/HLL state must equal the full recompute after retirements")
+    val before = state()
+    assert(!CdcStream.mergeBatchToTarget(toDf(batch2), 1L, aCfg))
+    assert(state() === before, "replay guard holds for the sketch path too")
+  }
+
   test("torn publish: target committed but rollup trailing — the replayed batch finishes it incrementally") {
     val tCfg = cfg.copy(targetPath = Files.createTempDirectory("graft-ivm-torn").toString,
       numBuckets = Some(4),
