@@ -560,6 +560,39 @@ object Relational {
       |  UNION ALL SELECT o_orderpriority, 'avg_price', avg_price FROM w2) u
       |ORDER BY o_orderpriority, measure""".stripMargin
 
+  // B27 (r7): correlated scalar subquery — customers above their own
+  // nation's average balance. Catalyst DECORRELATES the subqueries
+  // into per-nation aggregates joined back (no per-row re-execution —
+  // the only shape that survives at scale; `.explain` shows one
+  // Aggregate over c_nationkey under a join, not a subquery node).
+  // Exactness: the comparison is the integer cross-multiplication
+  // cents·n > Σcents — no division, no float accumulation — so the
+  // boundary set is engine-independent.
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).createOrReplaceTempView("graft_b27_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM graft_b27_customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM graft_b27_customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+        |       FROM graft_b27_customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val oScalarSubquery =
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+      |      (SELECT count(*) FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+      |       FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -585,5 +618,6 @@ object Relational {
     QueryDef("q_range_window", qRangeWindow, Some(oRangeWindow)),
     QueryDef("q_lag_lead", qLagLead, Some(oLagLead)),
     QueryDef("q_unpivot", qUnpivot, Some(oUnpivot)),
+    QueryDef("q_scalar_subquery", qScalarSubquery, Some(oScalarSubquery)),
   )
 }
