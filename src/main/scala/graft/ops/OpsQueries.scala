@@ -663,6 +663,77 @@ object OpsQueries {
        |  count(*) FILTER (b < CASE WHEN lang = 'en' THEN 100 ELSE 500 END) AS n_sampled
        |FROM b GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // C35: quality-prioritized token-budget selection — keep the docs
+  // with the highest integer English-stopword density (permille,
+  // integer-division exact) until the inclusive running token sum
+  // hits 10 000. The oracle states the contract directly as ONE
+  // global window cumsum; the Spark side proves the scalable
+  // histogram + boundary-bucket decomposition computes the same set.
+  def sampleTokenBudgetQ(s: SparkSession, d: String): DataFrame = {
+    val stopEn = graft.functions.TextExpressions
+      .stopwordScores(col("text"), TextAnalysis.Stopwords.map(_._2)).getItem(0)
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), stopEn.cast("long").as("stop_n"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"))
+      .select(col("doc_id"), expr("(1000 * stop_n) div tokens").as("prio"),
+        col("tokens"))
+    Packing.selectTokenBudget(docs, "prio", "tokens", "doc_id", 10000L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val oSampleTokenBudget =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    (1000 * CAST(len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains(${stopListSql("en")}, x))) AS BIGINT))
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS prio,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, prio, tokens,
+       |        sum(tokens) OVER (ORDER BY prio DESC, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM t)
+       |SELECT doc_id, prio, tokens FROM c WHERE cum <= 10000
+       |ORDER BY doc_id""".stripMargin
+
+  // C36: domain-mixture resampling — target token weights 3:3:2:1…
+  // over the source column, 12 000-token target; keep rates are the
+  // declared integer arithmetic and membership is the shared
+  // mod-prime permille bucket, so the whole selection is
+  // engine-reproducible. Exports every kept doc with its source's
+  // rate (doc-level so the gate checks membership, not just counts).
+  def sampleMixtureQ(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"))
+    Packing.sampleMixture(docs, "source", "doc_id", col("tokens"),
+        Map("src0" -> 3L, "src1" -> 3L, "src2" -> 2L),
+        defaultWeight = 1L, targetTokens = 12000L)
+      .select(col("doc_id"), col("source"), col("tokens"), col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oSampleMixture =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    ((doc_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+      |  FROM documents),
+      |avail AS (
+      |  SELECT source, CAST(sum(tokens) AS BIGINT) AS avail,
+      |    CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 3
+      |                     WHEN 'src2' THEN 2 ELSE 1 END AS BIGINT) AS w
+      |  FROM tok GROUP BY source),
+      |r AS (
+      |  SELECT source,
+      |    CAST(least(1000, CASE WHEN avail = 0 THEN 1000
+      |      ELSE (1000 * ((12000 * w) // (SELECT sum(w) FROM avail))) // avail
+      |      END) AS BIGINT) AS keep_rate
+      |  FROM avail)
+      |SELECT t.doc_id, t.source, t.tokens, r.keep_rate
+      |FROM tok t JOIN r ON t.source = r.source
+      |WHERE t.b < r.keep_rate
+      |ORDER BY t.doc_id""".stripMargin
+
   // B14: gap-based sessionization (1-hour gap) — per-user session
   // counts and the longest session, all integer outputs.
   def qSessionize(s: SparkSession, d: String): DataFrame = {
@@ -921,6 +992,8 @@ object OpsQueries {
     QueryDef("q_hll_incremental", qHllIncremental, Some(oHllIncremental)),
     QueryDef("q_quantile_incremental", qQuantileIncremental, Some(oQuantileIncremental)),
     QueryDef("sample_stratified", sampleStratifiedQ, Some(oSampleStratified)),
+    QueryDef("sample_token_budget", sampleTokenBudgetQ, Some(oSampleTokenBudget)),
+    QueryDef("sample_mixture", sampleMixtureQ, Some(oSampleMixture)),
     QueryDef("q_approx_quantile", qApproxQuantile, Some(oApproxQuantile)),
   )
 }

@@ -85,6 +85,83 @@ object Packing {
         md5(concat(lit(seed), lit(":"), idCol.cast("string"))))
       .orderBy(col("shuffle_key"), idCol)
 
+  /** Quality-prioritized token-budget selection (SURVEY.md §2 C35):
+    * keep the best documents whose cumulative token count fits a
+    * global budget — the step that cuts a scored corpus down to a
+    * target training-set size. The selection contract is exact and
+    * engine-reproducible: order docs by (`prio` DESC, `id` ASC) and
+    * keep every doc whose inclusive running token sum ≤ `budget`.
+    *
+    * Scale shape: a naive single `sum() OVER (ORDER BY …)` is one
+    * task holding the whole corpus. Instead: (1) one hash aggregation
+    * builds the per-priority token histogram (`prio` must be a
+    * low-cardinality integer score, e.g. a permille bucket — the
+    * histogram is ≤ |prio values| rows, collected driver-side like a
+    * config); (2) the driver walks the histogram to find the boundary
+    * priority p*: every doc with prio > p* is kept by a pure filter
+    * (no shuffle), every doc with prio < p* is dropped by the same
+    * filter, and only the SINGLE boundary bucket runs a windowed
+    * prefix sum against the residual budget. Worst-case window state
+    * is one priority bucket, not the corpus.
+    */
+  def selectTokenBudget(docs: DataFrame, prioName: String, tokensName: String,
+      idName: String, budget: Long): DataFrame = {
+    val hist = docs.groupBy(col(prioName)).agg(sum(col(tokensName)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (p, _) => -p }
+    var cum = 0L
+    var boundary: Option[(Long, Long)] = None // (p*, residual budget)
+    hist.foreach { case (p, t) =>
+      if (boundary.isEmpty && cum + t > budget) boundary = Some((p, budget - cum))
+      cum += t
+    }
+    boundary match {
+      case None => docs // whole corpus fits the budget
+      case Some((pStar, rem)) =>
+        val w = Window.partitionBy(col(prioName)).orderBy(col(idName))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edge = docs.filter(col(prioName) === lit(pStar))
+          .withColumn("_tb_cum", sum(col(tokensName)).over(w))
+          .filter(col("_tb_cum") <= lit(rem)).drop("_tb_cum")
+        docs.filter(col(prioName) > lit(pStar)).unionByName(edge)
+    }
+  }
+
+  /** Domain-mixture resampling (SURVEY.md §2 C36): resample a corpus
+    * toward target per-source token weights — the mixing step that
+    * turns raw source availability into a declared training mix.
+    * Contract (all overflow-free integer arithmetic, reproducible on
+    * any engine): with `weights` W(s) (unlisted sources get
+    * `defaultWeight`) over the sources PRESENT in the corpus,
+    * per-source token demand is `targetTokens · W(s) div ΣW`, and the
+    * keep rate is `min(1000, 1000·demand div avail(s))` permille —
+    * a source with less material than its demand caps at keep-all
+    * (upsampling is the caller's decision, not silent duplication).
+    * Membership is decided by the shared [[permilleBucket]], so the
+    * mix composes consistently with splits and stratified sampling.
+    *
+    * Scale shape: one hash aggregation for per-source availability
+    * (rows = |sources|, collected driver-side like a config), then a
+    * pure codegen'd filter on the scan — no shuffle touches the
+    * corpus itself.
+    */
+  def sampleMixture(docs: DataFrame, sourceName: String, idName: String,
+      tokensCol: Column, weights: Map[String, Long], defaultWeight: Long,
+      targetTokens: Long): DataFrame = {
+    val avail = docs.groupBy(col(sourceName)).agg(sum(tokensCol).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sumW = avail.map { case (s, _) => weights.getOrElse(s, defaultWeight) }.sum
+    val rates: Map[String, Long] = avail.map { case (s, t) =>
+      val demand = targetTokens * weights.getOrElse(s, defaultWeight) / sumW
+      s -> math.min(1000L, if (t == 0L) 1000L else 1000L * demand / t)
+    }.toMap
+    val rate = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(sourceName) === lit(s), lit(r)).otherwise(acc)
+    }
+    docs.withColumn("keep_rate", rate)
+      .filter(permilleBucket(col(idName)) < col("keep_rate"))
+  }
+
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
       shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

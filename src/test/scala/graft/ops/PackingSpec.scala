@@ -69,6 +69,62 @@ class PackingSpec extends AnyFunSuite {
     assert(merged === oneShot)
   }
 
+  test("token-budget selection equals the global prefix-sum contract at every boundary shape") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 2000L).map(id =>
+      (id, rnd.nextInt(50).toLong, 1L + rnd.nextInt(400).toLong))
+    val docs = rows.toDF("doc_id", "prio", "tokens")
+    val total = rows.map(_._3).sum
+    // reference: ONE global ordering, inclusive running sum <= budget
+    def reference(budget: Long): Set[Long] = {
+      var cum = 0L
+      rows.sortBy { case (id, p, _) => (-p, id) }.flatMap { case (id, _, t) =>
+        cum += t; if (cum <= budget) Some(id) else None
+      }.toSet
+    }
+    // budgets: inside the top bucket, mid-corpus, an EXACT prefix fit
+    // (forces the <=-inclusive edge), everything, and zero
+    val exactFit = {
+      var cum = 0L
+      rows.sortBy { case (id, p, _) => (-p, id) }.map(_._3).take(700).sum
+    }
+    for (budget <- Seq(37L, total / 3, exactFit, total, total + 5, 0L)) {
+      val got = Packing.selectTokenBudget(docs, "prio", "tokens", "doc_id", budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === reference(budget), s"budget $budget")
+    }
+  }
+
+  test("mixture resampling: declared integer rates, keep-all cap, bucket membership") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 3000L).map { id =>
+      (id, s"src${id % 5}", 10L + rnd.nextInt(200).toLong)
+    }
+    val docs = rows.toDF("doc_id", "source", "tokens")
+    val weights = Map("src0" -> 6L, "src1" -> 2L)
+    val kept = Packing.sampleMixture(docs, "source", "doc_id", col("tokens"),
+        weights, defaultWeight = 1L, targetTokens = 150000L)
+      .select("doc_id", "keep_rate").as[(Long, Long)].collect().toMap
+    // local reference of the declared arithmetic
+    val avail = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val sumW = avail.keys.toSeq.map(s => weights.getOrElse(s, 1L)).sum
+    val rates = avail.map { case (s, t) =>
+      s -> math.min(1000L, 1000L * (150000L * weights.getOrElse(s, 1L) / sumW) / t)
+    }
+    def bucket(id: Long): Long = ((id % 1000000007L) * 1000003L) % 1000000007L % 1000L
+    val expect = rows.collect {
+      case (id, s, _) if bucket(id) < rates(s) => id -> rates(s)
+    }.toMap
+    assert(kept === expect)
+    // src0 demands 6/11 of 150k tokens > its ~64k available: capped at keep-all
+    assert(rates("src0") === 1000L)
+    assert(rows.filter(_._2 == "src0").map(_._1).toSet.subsetOf(kept.keySet))
+    // a down-weighted source keeps roughly its rate permille of docs
+    val n1 = rows.count(_._2 == "src1")
+    val k1 = rows.filter(_._2 == "src1").count(r => kept.contains(r._1))
+    assert(math.abs(k1.toDouble / n1 - rates("src1") / 1000.0) < 0.1)
+  }
+
   test("connected components agree with a local union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = (1 to 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
