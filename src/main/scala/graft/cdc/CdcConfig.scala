@@ -160,7 +160,13 @@ final case class CdcTableConfig(
     /** When set, the pipeline maintains a persisted SCD Type-2
       * history under the target (see [[Scd2Spec]]/[[Scd2Store]]).
       */
-    scd2: Option[Scd2Spec] = None) {
+    scd2: Option[Scd2Spec] = None,
+    /** Non-key columns to track per-bucket min/max stats for in the
+      * target's manifest (the data-skipping index behind
+      * `CdcPipeline.readRange`). Numeric or string columns only;
+      * maintenance cost is one delta-sized scan+agg per publish.
+      */
+    statsCols: Seq[String] = Nil) {
   /** Target schema = pk ++ projected ++ passthrough columns. */
   def targetCols: Seq[String] =
     (pk ++ fieldSpecs.map(_.as) ++ passthrough).distinct

@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
 
 /** One incremental merge run — the whole of the reference procedure
   * `PS_SP_ETL_MERGE_JOB` (bigquery_syntex_merge_sql/merge.sql) /
@@ -62,9 +62,19 @@ object CdcPipeline {
     * files. Absent ids are empty buckets. `schemaJson` pins the
     * snapshot schema so carried-over buckets from before an additive
     * schema evolution read with NULLs for the new columns.
+    *
+    * `stats` (since r7) is the data-skipping index: per bucket, the
+    * min/max of each declared stats column (numeric or string),
+    * recomputed whenever a bucket is rewritten and carried by
+    * reference with the bucket otherwise — so like the bucket
+    * pointers themselves, maintenance I/O is ∝ delta. A missing
+    * (bucket, column) entry means UNKNOWN (pre-stats version,
+    * all-NULL bucket, or a column declared later): readers must scan
+    * that bucket — pruning degrades, never lies.
     */
   private[graft] final case class Manifest(
-      numBuckets: Int, schemaJson: String, buckets: Map[Int, String]) {
+      numBuckets: Int, schemaJson: String, buckets: Map[Int, String],
+      stats: Map[Int, Map[String, (String, String)]] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -94,24 +104,44 @@ object CdcPipeline {
       var nb = 0
       var schema = ""
       val bs = Map.newBuilder[Int, String]
+      val st = scala.collection.mutable.Map[Int, Map[String, (String, String)]]()
       StoreFs.readString(p).split("\n").foreach { l =>
         l.split("=", 2) match {
           case Array("numBuckets", v) => nb = v.toInt
           case Array("schema", v) => schema = v
           case Array(k, v) if k.startsWith("bucket.") =>
             bs += (k.stripPrefix("bucket.").toInt -> v)
+          case Array(k, v) if k.startsWith("stats.") =>
+            // stats.<bucket>.<encCol>=<encMin> <encMax>
+            (k.stripPrefix("stats.").split("\\.", 2), v.split(" ", 2)) match {
+              case (Array(b, c), Array(lo, hi)) =>
+                val bid = b.toInt
+                st(bid) = st.getOrElse(bid, Map.empty) +
+                  (statDec(c) -> ((statDec(lo), statDec(hi))))
+              case _ => ()
+            }
           case _ => ()
         }
       }
-      Some(Manifest(nb, schema, bs.result()))
+      Some(Manifest(nb, schema, bs.result(), st.toMap))
     }
   }
+
+  private def statEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def statDec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
 
   private def writeManifest(targetDir: String, version: Long, m: Manifest): Unit = {
     val sb = new StringBuilder
     sb.append(s"numBuckets=${m.numBuckets}\n")
     sb.append(s"schema=${m.schemaJson}\n")
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, v) => sb.append(s"bucket.$b=$v\n") }
+    m.stats.toSeq.sortBy(_._1).foreach { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        sb.append(s"stats.$b.${statEnc(c)}=${statEnc(lo)} ${statEnc(hi)}\n")
+      }
+    }
     StoreFs.writeString(s"$targetDir/v$version/$ManifestFile", sb.toString)
   }
 
@@ -126,6 +156,70 @@ object CdcPipeline {
     val tmp = s"$targetDir/.$VersionFile.tmp"
     StoreFs.writeString(tmp, s"$version $batchId")
     StoreFs.atomicReplace(tmp, s"$targetDir/$VersionFile")
+  }
+
+  /** Per-bucket min/max of the declared stats columns, aggregated
+    * from the files just written under `dir` — reading the
+    * delta-sized output back (ONE extra scan+agg over delta bytes,
+    * none at all when `statsCols` is empty) instead of re-evaluating
+    * the merge lineage a second time. Supported column types: numeric
+    * and string; anything else (and all-NULL buckets) yields no entry
+    * = unknown = never pruned. Values serialize canonically
+    * (BigDecimal for numerics) so the driver-side prune decision is
+    * exact.
+    */
+  private def bucketStats(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Map[Int, Map[String, (String, String)]] = {
+    if (statsCols.isEmpty || writtenBuckets(dir).isEmpty) Map.empty
+    else {
+      val df = spark.read.parquet(dir) // BucketCol comes back as the partition col
+      val cols = statsCols.filter(df.columns.contains).filter { c =>
+        df.schema(c).dataType match {
+          case _: NumericType | StringType => true
+          case _ => false
+        }
+      }
+      if (cols.isEmpty) Map.empty
+      else {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
+        df.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val b = r.getInt(0)
+            b -> cols.flatMap { c =>
+              (Option(r.getAs[Any](s"_lo_$c")), Option(r.getAs[Any](s"_hi_$c"))) match {
+                case (Some(lo), Some(hi)) => Some(c -> ((statStr(lo), statStr(hi))))
+                case _ => None // all-NULL bucket: unknown, never pruned
+              }
+            }.toMap
+          }.toMap.filter(_._2.nonEmpty)
+      }
+    }
+  }
+
+  /** Canonical serialized form of a stat value: numerics through
+    * BigDecimal (exact, parseable back for comparison), strings as-is.
+    */
+  private def statStr(v: Any): String = v match {
+    case s: String => s
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case n => n.toString
+  }
+
+  /** Does a bucket's [lo, hi] stat range overlap the query range?
+    * Missing pieces are conservative (overlap = true).
+    */
+  private def statOverlaps(dt: DataType, stat: (String, String),
+      qLo: Option[Any], qHi: Option[Any]): Boolean = {
+    def cmp(a: String, b: Any): Int = dt match {
+      case StringType => a.compareTo(b.toString)
+      case _ => new java.math.BigDecimal(a)
+        .compareTo(new java.math.BigDecimal(statStr(b)))
+    }
+    val aboveLo = qLo.forall(lo => cmp(stat._2, lo) >= 0) // bucketMax >= qLo
+    val belowHi = qHi.forall(hi => cmp(stat._1, hi) <= 0) // bucketMin <= qHi
+    aboveLo && belowHi
   }
 
   /** Write `df` into `dir` as one directory per PK-hash bucket
@@ -204,6 +298,41 @@ object CdcPipeline {
       }
     }
 
+  /** Range read over a NON-key column through the manifest's
+    * data-skipping stats (the lakehouse file-stats pattern — Delta
+    * `stats`, Iceberg manifest bounds — re-expressed on the bucketed
+    * store): reads ONLY buckets whose recorded [min, max] for
+    * `column` overlaps [lo, hi], then applies the residual filter.
+    * Buckets with no stat entry for the column (pre-stats versions,
+    * all-NULL buckets, columns declared later) are always read —
+    * pruning degrades to a full scan, it never drops a matching row.
+    * Either bound may be None (half-open range). At 100 TB this is
+    * the difference between scanning every bucket for a
+    * `WHERE event_date BETWEEN …` and touching only the slices whose
+    * files can contain it.
+    */
+  def readRange(spark: SparkSession, targetDir: String, column: String,
+      lo: Option[Any], hi: Option[Any]): Option[DataFrame] =
+    currentVersion(targetDir).map { v =>
+      val residual: DataFrame => DataFrame = df => {
+        val bounded = Seq(lo.map(col(column) >= lit(_)), hi.map(col(column) <= lit(_)))
+          .flatten.reduceOption(_ && _)
+        bounded.map(df.filter).getOrElse(df)
+      }
+      manifest(targetDir, v) match {
+        case Some(m) =>
+          val dt = m.schema.fields.find(_.name == column).map(_.dataType)
+          val keep = m.buckets.keySet.filter { b =>
+            m.stats.get(b).flatMap(_.get(column)) match {
+              case Some(st) if dt.isDefined => statOverlaps(dt.get, st, lo, hi)
+              case _ => true // unknown stats: must read
+            }
+          }
+          residual(readBuckets(spark, targetDir, m, keep))
+        case None => residual(spark.read.parquet(s"$targetDir/v$v"))
+      }
+    }
+
   /** Time-travel: the snapshot as of `version` (≤ the current
     * pointer). Any version whose manifest survives `vacuum`'s
     * keep-window reads exactly as it was published — carried buckets
@@ -277,7 +406,8 @@ object CdcPipeline {
     * migration; incremental runs go through `publishDelta`.
     */
   private[graft] def publish(df: DataFrame, targetDir: String, pkCols: Seq[String],
-      batchId: Long = -1L, buckets: Option[Int] = None): Long = {
+      batchId: Long = -1L, buckets: Option[Int] = None,
+      statsCols: Seq[String] = Nil): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     // Bucket count is fixed at first publish (a repartition-in-place
     // of the whole target would be needed to change it; ~parallelism
@@ -289,7 +419,8 @@ object CdcPipeline {
     val dir = s"$targetDir/v$next"
     writeBuckets(df, pkCols, numBuckets, dir)
     writeManifest(targetDir, next, Manifest(numBuckets, df.schema.json,
-      writtenBuckets(dir).map(_ -> s"v$next").toMap))
+      writtenBuckets(dir).map(_ -> s"v$next").toMap,
+      bucketStats(df.sparkSession, dir, statsCols)))
     swapPointer(targetDir, next, batchId)
     next
   }
@@ -299,14 +430,20 @@ object CdcPipeline {
     * Publish I/O ∝ delta, not target.
     */
   private[graft] def publishDelta(mergedSubset: DataFrame, targetDir: String,
-      pkCols: Seq[String], prev: Manifest, touched: Set[Int], batchId: Long): Long = {
+      pkCols: Seq[String], prev: Manifest, touched: Set[Int], batchId: Long,
+      statsCols: Seq[String] = Nil): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     val dir = s"$targetDir/v$next"
     writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
     val carried = prev.buckets -- touched
     val fresh = writtenBuckets(dir).map(_ -> s"v$next").toMap
+    // stats mirror the bucket pointers: recomputed for rewritten
+    // buckets, carried by reference otherwise (their content did not
+    // change, so neither did their min/max)
+    val freshStats = bucketStats(mergedSubset.sparkSession, dir, statsCols)
     writeManifest(targetDir, next,
-      Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh))
+      Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
+        (prev.stats -- touched) ++ freshStats))
     swapPointer(targetDir, next, batchId)
     next
   }
@@ -330,8 +467,12 @@ object CdcPipeline {
       val next = currentVersion(targetDir).get + 1
       val dir = s"$targetDir/v$next"
       writeBuckets(snap, pkCols, newBuckets, dir)
+      // every bucket is rewritten, so stats recompute from scratch for
+      // whatever columns the previous manifest tracked
+      val statsCols = m.stats.values.flatMap(_.keys).toSeq.distinct
       writeManifest(targetDir, next, Manifest(newBuckets, m.schemaJson,
-        writtenBuckets(dir).map(_ -> s"v$next").toMap))
+        writtenBuckets(dir).map(_ -> s"v$next").toMap,
+        bucketStats(spark, dir, statsCols)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -400,7 +541,8 @@ object CdcPipeline {
     currentVersion(cfg.targetPath) match {
       case None =>
         val merged = SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
-        MergeOutcome(publish(merged, cfg.targetPath, cfg.pk, batchId, cfg.numBuckets), 0L)
+        MergeOutcome(publish(merged, cfg.targetPath, cfg.pk, batchId, cfg.numBuckets,
+          cfg.statsCols), 0L)
       case Some(v) =>
         manifest(cfg.targetPath, v) match {
           case Some(m) =>
@@ -411,14 +553,16 @@ object CdcPipeline {
             val updated = SnapshotMerge
               .matchedUpsertKeys(subset, changes, cfg.pk, Some(deltaRows)).count()
             MergeOutcome(
-              publishDelta(mergeOnto(subset), cfg.targetPath, cfg.pk, m, touched, batchId),
+              publishDelta(mergeOnto(subset), cfg.targetPath, cfg.pk, m, touched, batchId,
+                cfg.statsCols),
               updated)
           case None => // pre-manifest flat snapshot: merge full, migrate layout
             val target = spark.read.parquet(s"${cfg.targetPath}/v$v")
             val updated = SnapshotMerge
               .matchedUpsertKeys(target, changes, cfg.pk, Some(deltaRows)).count()
             MergeOutcome(
-              publish(mergeOnto(target), cfg.targetPath, cfg.pk, batchId, cfg.numBuckets),
+              publish(mergeOnto(target), cfg.targetPath, cfg.pk, batchId, cfg.numBuckets,
+                cfg.statsCols),
               updated)
         }
     }
