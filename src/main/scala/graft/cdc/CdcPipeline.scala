@@ -249,8 +249,14 @@ object CdcPipeline {
     */
   private[graft] def readBuckets(spark: SparkSession, targetDir: String, m: Manifest,
       buckets: Set[Int]): DataFrame = {
+    // a manifest value is either a local version dir ("v3") or — for
+    // buckets carried in by a shallow clone — an absolute version dir
+    // of ANOTHER store ("/path/to/source/v3"); anything containing a
+    // separator resolves as-is
     val paths = buckets.toSeq.sorted.flatMap(b =>
-      m.buckets.get(b).map(ver => s"$targetDir/$ver/$BucketCol=$b"))
+      m.buckets.get(b).map(ver =>
+        if (ver.contains("/")) s"$ver/$BucketCol=$b"
+        else s"$targetDir/$ver/$BucketCol=$b"))
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     else spark.read.schema(m.schema).parquet(paths: _*)
@@ -494,12 +500,18 @@ object CdcPipeline {
   def vacuum(targetDir: String, keepVersions: Int = 2): Seq[Long] = {
     val cur = currentVersion(targetDir).getOrElse(return Nil)
     // every kept version must stay fully READABLE, so its manifest's
-    // carried-bucket references are live too, not just its own dir
+    // carried-bucket references are live too, not just its own dir;
+    // version dirs pinned by registered shallow clones stay live until
+    // the pin is dropped (clone references are reads from ANOTHER
+    // store this vacuum cannot see — the pin file is how they count)
     val keptVersions = (math.max(0L, cur - keepVersions + 1) to cur).toSeq
     val live: Set[String] =
       keptVersions.map(v => s"v$v").toSet ++
         keptVersions.flatMap(v =>
-          manifest(targetDir, v).map(_.buckets.values.toSet).getOrElse(Set.empty))
+          manifest(targetDir, v).map(_.buckets.values.toSet).getOrElse(Set.empty)) ++
+        StoreFs.listFilePaths(s"$targetDir/$ClonesDir", "")
+          .flatMap(p => StoreFs.readString(p).split("\n"))
+          .filter(_.matches("v\\d+"))
     val versionDirs = StoreFs.listDirNames(targetDir)
       .filter(_.matches("v\\d+"))
       // never touch versions ABOVE the pointer: v{cur+1} may be an
@@ -509,6 +521,69 @@ object CdcPipeline {
     doomed.foreach(d => StoreFs.deleteRecursive(s"$targetDir/$d"))
     doomed.map(_.stripPrefix("v").toLong).sorted
   }
+
+  private val ClonesDir = "_clones"
+
+  private def clonePinToken(destDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(destDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Snapshot CLONE (the lakehouse zero-copy-clone pattern — Delta
+    * `CLONE`, Iceberg snapshot ref — on the bucketed store). Shallow
+    * (default): the clone is ONE manifest write — its bucket entries
+    * point at the source's version directories by absolute path, so
+    * cloning a 100 TB target moves zero data bytes; the clone then
+    * lives its own life (delta publishes rewrite its touched buckets
+    * locally and keep carrying the rest). A pin file registered under
+    * the source (`_clones/<token>`) lists the referenced version dirs
+    * and the source's `vacuum` keeps them alive until [[dropClonePin]]
+    * — without it a source GC would tear files out from under the
+    * clone. Deep: bucket dirs are copied (bytes ∝ snapshot) and no
+    * pin is needed. Stats, schema, and bucket count carry either way
+    * (the content is identical, so the data-skipping index stays
+    * exact). Cloning a clone re-uses its absolute references as-is —
+    * those stay covered by the ORIGINAL pin, which must outlive every
+    * downstream clone (pins are explicit, never auto-dropped).
+    * Refuses an existing dest. Returns the clone's version (0), None
+    * when the source has no manifest-layout snapshot.
+    */
+  def cloneSnapshot(sourceDir: String, destDir: String,
+      deep: Boolean = false, atVersion: Option[Long] = None): Option[Long] = {
+    require(!StoreFs.exists(s"$destDir/$VersionFile"),
+      s"clone destination already holds a store: $destDir")
+    val v = atVersion.orElse(currentVersion(sourceDir)).getOrElse(return None)
+    manifest(sourceDir, v).map { m =>
+      val resolved: Map[Int, String] = m.buckets.map { case (b, ver) =>
+        b -> (if (ver.contains("/")) ver else s"$sourceDir/$ver")
+      }
+      if (deep) {
+        resolved.foreach { case (b, verDir) =>
+          StoreFs.copyDir(s"$verDir/$BucketCol=$b", s"$destDir/v0/$BucketCol=$b")
+        }
+        writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
+          m.buckets.keySet.map(_ -> "v0").toMap, m.stats))
+      } else {
+        // pin the source-local version dirs this clone references;
+        // nested absolute refs are already pinned at THEIR source
+        val pinned = m.buckets.values.filterNot(_.contains("/")).toSeq.distinct.sorted
+        if (pinned.nonEmpty)
+          StoreFs.writeString(s"$sourceDir/$ClonesDir/${clonePinToken(destDir)}",
+            pinned.mkString("\n"))
+        writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
+          resolved, m.stats))
+      }
+      swapPointer(destDir, 0, -1L)
+      0L
+    }
+  }
+
+  /** Release a shallow clone's hold on its source's version dirs —
+    * call when the clone is deleted or has rewritten every bucket it
+    * borrowed. The next source `vacuum` may then reclaim them.
+    */
+  def dropClonePin(sourceDir: String, destDir: String): Boolean =
+    StoreFs.deleteFile(s"$sourceDir/$ClonesDir/${clonePinToken(destDir)}")
 
   private[graft] final case class MergeOutcome(version: Long, updated: Long)
 

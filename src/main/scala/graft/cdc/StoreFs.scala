@@ -106,4 +106,14 @@ private[graft] object StoreFs {
     val p = new Path(path)
     fs(p).delete(p, false)
   }
+
+  /** Recursive directory copy (deep-clone path) — Hadoop `FileUtil`
+    * so it works across schemes, including src and dst on different
+    * filesystems.
+    */
+  def copyDir(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(fs(s), s, fs(d), d,
+      /* deleteSource = */ false, /* overwrite = */ true, conf)
+  }
 }
