@@ -309,7 +309,9 @@ object CdcConfig {
         numBuckets = optBuckets("num_buckets"),
         rollups = opt("rollups").map(parseRollups).getOrElse(Nil),
         autoVacuumKeep = optBuckets("auto_vacuum_keep"),
-        scd2 = opt("scd2").map(parseScd2))
+        scd2 = opt("scd2").map(parseScd2),
+        // data-skipping stats columns, same comma-list shape as pk
+        statsCols = opt("stats_cols").map(parsePk).getOrElse(Nil))
     }
   }
 }

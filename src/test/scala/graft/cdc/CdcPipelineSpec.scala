@@ -350,6 +350,19 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcConfig.loadActive(without).forall(_.numBuckets.isEmpty))
   }
 
+  test("loadActive reads an optional stats_cols column into the data-skipping index") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1_cdc", "s3://feed/t1", "db", "t1", "/tmp/t1", "id", 1, "value, k"),
+      ("t2_cdc", "s3://feed/t2", "db", "t2", "/tmp/t2", "id", 1, null))
+      .toDF("cdc_table", "source_fp", "target_db", "target_table", "target_fp",
+        "pk", "is_active", "stats_cols")
+    val cs = CdcConfig.loadActive(df).map(c => c.cdcTable -> c.statsCols).toMap
+    assert(cs("t1_cdc") === Seq("value", "k"))
+    assert(cs("t2_cdc") === Nil)
+    assert(CdcConfig.loadActive(df.drop("stats_cols")).forall(_.statsCols.isEmpty))
+  }
+
   test("loadActive reads optional rollups and auto_vacuum_keep columns") {
     import spark.implicits._
     val df = Seq(
