@@ -425,6 +425,51 @@ object StressBench {
       println(f"[stress] scd2 retention: $closedSlicesBefore%,d closed slices / ${closedBefore / 1e6}%.1f MB -> $closedSlicesAfter%,d / ${closedAfterBytes / 1e6}%.1f MB (${100.0 * (closedBefore - closedAfterBytes) / closedBefore}%.1f%% bytes dropped)")
     }
 
+    // r7: data-skipping stats + zero-copy clone on a 10M-row target.
+    // The stats index must cost one delta-sized agg at publish, prune
+    // range-read I/O to the overlapping buckets, and a shallow clone
+    // must be O(manifest) regardless of target size.
+    locally {
+      def duBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else f.length()
+        walk(new java.io.File(p))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-stress-store").toString
+      // v correlates with the PK-hash bucket: each of 64 buckets owns
+      // a disjoint 1M-wide range, so range pruning has real work to do
+      val rows10m = spark.range(0, n).select(col("id"),
+        (pmod(hash(col("id")), lit(64)) * 1000000L + pmod(col("id"), lit(1000000L)))
+          .as("v"))
+      time("store: publish 10M rows, 64 buckets, WITH stats index") {
+        CdcPipeline.publish(rows10m, dir, Seq("id"), buckets = Some(64),
+          statsCols = Seq("v"))
+      }
+      val full = CdcPipeline.readSnapshot(spark, dir).get
+      val pruned = CdcPipeline.readRange(spark, dir, "v",
+        Some(3000000L), Some(4999999L)).get
+      val (fullFiles, prunedFiles) = (full.inputFiles.length, pruned.inputFiles.length)
+      require(prunedFiles * 8 <= fullFiles,
+        s"range read must prune to ~2/64 buckets: $prunedFiles of $fullFiles files")
+      time("store: stats-pruned range read (2/64 buckets)") { pruned.count() }
+      println(s"[stress] readRange touches $prunedFiles of $fullFiles files")
+      val cloneDir = dir + "-clone"
+      time("store: shallow clone of the 10M-row target") {
+        CdcPipeline.cloneSnapshot(dir, cloneDir)
+      }
+      val (srcBytes, cloneBytes) = (duBytes(dir), duBytes(cloneDir))
+      require(cloneBytes * 100 < srcBytes,
+        s"shallow clone must move no data: $cloneBytes B vs $srcBytes B source")
+      println(f"[stress] clone holds ${cloneBytes / 1e3}%.1f KB of metadata vs ${srcBytes / 1e6}%.1f MB cloned")
+      // the clone's pruned reads resolve into the source's files
+      val cPruned = CdcPipeline.readRange(spark, cloneDir, "v",
+        Some(3000000L), Some(4999999L)).get
+      require(cPruned.inputFiles.length == prunedFiles &&
+        cPruned.inputFiles.forall(_.contains(dir)),
+        "clone range reads must prune identically against source files")
+    }
+
     // r5: job-log compaction — the run log must stay O(bounded) files
     // however many runs append (un-compacted, every watermark lookup
     // footer-merges one file per historical run).
