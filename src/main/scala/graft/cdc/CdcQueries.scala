@@ -643,6 +643,58 @@ object CdcQueries {
        |   OR b.value IS DISTINCT FROM a.value
        |ORDER BY user_id""".stripMargin
 
+  // A36 (r7): data-skipping stats — build a REAL two-version bucketed
+  // store (v0 from the pre-W0 history with the stats index, v1 via an
+  // incremental merge so the manifest mixes fresh and carried stat
+  // entries), then read an event_id range through readRange. The
+  // oracle recomputes the post-merge state and filters it directly:
+  // the gate proves the stat-pruned read returns EXACTLY the filter
+  // result whatever mix of rewritten/carried buckets serves it.
+  def cdcStatsPrune(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "statsprune",
+      targetPath = java.nio.file.Files.createTempDirectory("graft-statsprune").toString,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16), statsCols = Seq("event_id"))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets,
+      statsCols = cfg.statsCols) // v0: every bucket gets a stat entry
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1: fresh + carried
+    // bounds = the middle third of the state's event_id span, derived
+    // from the data so the range selects real rows at every SF
+    val b = CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .agg(min("event_id"), max("event_id")).collect()(0)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    CdcPipeline.readRange(s, cfg.targetPath, "event_id",
+      Some(mn + (mx - mn) / 3), Some(mn + 2 * (mx - mn) / 3)).get
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oStatsPrune =
+    s"""WITH snap AS (SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd'),
+       |b AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM snap)
+       |SELECT user_id, k, event_id, value FROM snap, b
+       |WHERE event_id BETWEEN mn + (mx - mn) // 3 AND mn + 2 * (mx - mn) // 3
+       |ORDER BY user_id""".stripMargin
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -732,6 +784,7 @@ object CdcQueries {
     QueryDef("cdc_incr_agg_minmax", cdcIncrAggMinmax, Some(oIncrAggMinmax)),
     QueryDef("cdc_incr_agg_hll", cdcIncrAggHll, Some(oIncrAggHll)),
     QueryDef("cdc_snapshot_diff", cdcSnapshotDiff, Some(oSnapshotDiff)),
+    QueryDef("cdc_stats_prune", cdcStatsPrune, Some(oStatsPrune)),
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
   )
 }
