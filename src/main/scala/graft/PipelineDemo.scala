@@ -32,7 +32,9 @@ object PipelineDemo {
       // the SCD2 history, both advanced inside each run
       rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id"),
         minCols = Seq("value"), maxCols = Seq("value"))),
-      scd2 = Some(Scd2Spec()))
+      scd2 = Some(Scd2Spec()),
+      // per-bucket min/max in the manifest: readRange prunes on it
+      statsCols = Seq("event_id"))
     val logDir = s"$outDir/joblog"
     val env = CdcEnvelope.fromEvents(Tables.events(spark, sfDir))
 
@@ -51,6 +53,20 @@ object PipelineDemo {
         s"open=${h.filter(org.apache.spark.sql.functions.col("valid_to_us").isNull).count()}")
       h.orderBy("user_id", "valid_from_us").show(5)
     }
+    println("[demo] stats-pruned range read (event_id middle third):")
+    val b = snap.agg(org.apache.spark.sql.functions.min("event_id"),
+      org.apache.spark.sql.functions.max("event_id")).collect()(0)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    CdcPipeline.readRange(spark, cfg.targetPath, "event_id",
+        Some(mn + (mx - mn) / 3), Some(mn + 2 * (mx - mn) / 3))
+      .foreach { r =>
+        println(s"[demo] readRange rows=${r.count()} files=${r.inputFiles.length} " +
+          s"(full snapshot: ${snap.inputFiles.length} files)")
+      }
+    println("[demo] zero-copy clone (one manifest write, pinned against vacuum):")
+    val cloneDir = s"$outDir/snapshot_clone"
+    CdcPipeline.cloneSnapshot(cfg.targetPath, cloneDir)
+    println(s"[demo] clone rows=${CdcPipeline.readSnapshot(spark, cloneDir).get.count()}")
     JobLog.read(spark, logDir).foreach(_.orderBy("insert_ts_us").show(truncate = false))
     spark.stop()
   }
