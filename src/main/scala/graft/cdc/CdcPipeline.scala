@@ -208,17 +208,19 @@ object CdcPipeline {
   }
 
   /** Does a bucket's [lo, hi] stat range overlap the query range?
-    * Missing pieces are conservative (overlap = true).
+    * Missing or unparseable pieces are conservative (overlap = true)
+    * — a NaN/Infinity extreme in a float column must widen the scan,
+    * never crash or mis-prune it.
     */
   private def statOverlaps(dt: DataType, stat: (String, String),
       qLo: Option[Any], qHi: Option[Any]): Boolean = {
-    def cmp(a: String, b: Any): Int = dt match {
-      case StringType => a.compareTo(b.toString)
-      case _ => new java.math.BigDecimal(a)
-        .compareTo(new java.math.BigDecimal(statStr(b)))
+    def cmp(a: String, b: Any): Option[Int] = dt match {
+      case StringType => Some(a.compareTo(b.toString))
+      case _ => scala.util.Try(new java.math.BigDecimal(a)
+        .compareTo(new java.math.BigDecimal(statStr(b)))).toOption
     }
-    val aboveLo = qLo.forall(lo => cmp(stat._2, lo) >= 0) // bucketMax >= qLo
-    val belowHi = qHi.forall(hi => cmp(stat._1, hi) <= 0) // bucketMin <= qHi
+    val aboveLo = qLo.forall(lo => cmp(stat._2, lo).forall(_ >= 0)) // bucketMax >= qLo
+    val belowHi = qHi.forall(hi => cmp(stat._1, hi).forall(_ <= 0)) // bucketMin <= qHi
     aboveLo && belowHi
   }
 

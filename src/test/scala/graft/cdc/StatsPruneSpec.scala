@@ -124,6 +124,20 @@ class StatsPruneSpec extends AnyFunSuite {
       "a bucket with only NULL stat values has no entry and must be scanned")
     assert(got.collect().map(_.getLong(1)).forall(v => v >= 3000 && v <= 3999))
 
+    // NaN extremes in a double column must widen the scan, not crash
+    // the prune decision (Spark orders NaN above every double, so a
+    // bucket holding one records max = NaN)
+    val nanDir = tmp()
+    val nans = spark.range(0, 2000).select(col("id"),
+      when(pmod(hash(col("id")), lit(4)) === 1, lit(Double.NaN))
+        .otherwise(pmod(hash(col("id")), lit(4)).cast("double") * 1000.0).as("v"))
+    CdcPipeline.publish(nans, nanDir, Seq("id"), buckets = Some(4),
+      statsCols = Seq("v"))
+    val nanRead = CdcPipeline.readRange(spark, nanDir, "v", Some(2000.0), Some(2999.0)).get
+    assert(touchedBucketDirs(nanRead).contains(1),
+      "a bucket with an unparseable (NaN) stat must be scanned, not pruned")
+    assert(nanRead.collect().map(_.getDouble(1)).forall(v => v >= 2000.0 && v <= 2999.0))
+
     // string stats prune lexically
     val strDir = tmp()
     val strs = spark.range(0, 2000).select(col("id"),
