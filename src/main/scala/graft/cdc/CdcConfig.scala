@@ -75,7 +75,14 @@ final case class RollupSpec(
       * `var_<col>`/`stddev_<col>` at read. Integral input expected
       * (the cents idiom): sumsq must not overflow a long.
       */
-    varCols: Seq[String] = Nil) {
+    varCols: Seq[String] = Nil,
+    /** Group columns to track per-bucket min/max manifest stats for
+      * (the same data-skipping index the target store carries —
+      * [[CdcPipeline.readRange]] on the rollup's path prunes on it).
+      * Group columns are the natural candidates: rollup range reads
+      * filter on groups, measures change every advancement.
+      */
+    statsCols: Seq[String] = Nil) {
   require(name.matches("[A-Za-z0-9_-]+"), s"rollup name must be path-safe: $name")
   require(groupCols.nonEmpty, "rollup needs at least one group column")
   require(valueCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty ||
@@ -223,7 +230,7 @@ object CdcConfig {
       entry.split(":").map(_.trim) match {
         case parts if parts.length >= 3 =>
           val extras = parts.drop(3)
-          val kinds = Seq("min", "max", "avg", "distinct", "var")
+          val kinds = Seq("min", "max", "avg", "distinct", "var", "stats")
           val bad = extras.filterNot(p => kinds.exists(k => p.startsWith(k + "=")))
           if (bad.nonEmpty) throw new IllegalArgumentException(
             s"rollup segments after the value list must be one of " +
@@ -233,7 +240,7 @@ object CdcConfig {
           RollupSpec(parts(0), split(parts(1)), split(parts(2)),
             minCols = of("min"), maxCols = of("max"),
             avgCols = of("avg"), distinctCols = of("distinct"),
-            varCols = of("var"))
+            varCols = of("var"), statsCols = of("stats"))
         case _ => throw new IllegalArgumentException(
           s"rollup entry must be name:grp1+grp2:val1+val2[:min=a][:max=b]" +
             s"[:avg=e][:distinct=f], got: $entry")

@@ -786,7 +786,8 @@ object CdcPipeline {
             rs.derive(readSnapshot(spark, cfg.targetPath)
               .getOrElse(changes.select(cfg.targetCols.map(col): _*).filter(lit(false)))),
             rs.groupCols, rs.measures))
-        publish(state1, dir, rs.groupCols, batchId = curV, buckets = rs.numBuckets)
+        publish(state1, dir, rs.groupCols, batchId = curV, buckets = rs.numBuckets,
+          statsCols = rs.statsCols)
         ()
       }
     }

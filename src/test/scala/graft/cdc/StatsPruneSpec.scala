@@ -166,6 +166,42 @@ class StatsPruneSpec extends AnyFunSuite {
     assert(touchedBucketDirs(r).subsetOf(Set(0, 1, 2, 3)))
   }
 
+  test("rollup stores carry the stats index too: declared statsCols prune rollup range reads") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "events_snapshot", targetPath = target,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id"),
+        numBuckets = Some(4), statsCols = Seq("k"))))
+    val w1 = CdcEnvelope.epochUs("2024-01-16T00:00:00Z")
+    val w2 = CdcEnvelope.epochUs("2024-01-31T00:00:00Z")
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val dir = CdcPipeline.rollupPath(c, "by_k")
+    val v = CdcPipeline.currentVersion(dir).get
+    assert(CdcPipeline.manifest(dir, v).get.stats.nonEmpty,
+      "rollup maintenance must publish the declared stats")
+    val full = CdcPipeline.readSnapshot(spark, dir).get
+    val lo = 1L; val hi = 2L
+    val pruned = CdcPipeline.readRange(spark, dir, "k", Some(lo), Some(hi)).get
+    assert(pruned.select("k", "n_rows").collect().map(_.toSeq).toSet ===
+      full.filter(col("k") >= lo && col("k") <= hi)
+        .select("k", "n_rows").collect().map(_.toSeq).toSet)
+    assert(pruned.inputFiles.length <= full.inputFiles.length)
+  }
+
+  test("parseRollups accepts a stats= segment") {
+    val rs = CdcConfig.parseRollups("by_k:k:event_id:stats=k").head
+    assert(rs.statsCols === Seq("k"))
+    intercept[IllegalArgumentException] {
+      CdcConfig.parseRollups("by_k:k:event_id:bogus=k")
+    }
+  }
+
   test("config-declared statsCols maintain the index through incremental pipeline runs") {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
     val target = tmp(); val log = tmp()
