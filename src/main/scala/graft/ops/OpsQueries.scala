@@ -152,6 +152,41 @@ object OpsQueries {
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairsLsh(T.embeddings(s, d), 0.42).orderBy(col("id_a"), col("id_b"))
 
+  // C37: end-to-end semantic dedup (the SemDeDup shape): LSH-bucketed
+  // cosine pairs → connected components → keep ONE canonical vector
+  // (min id) per near-duplicate cluster, everything else anti-joined
+  // away. Composes the C5b scale path with C13's cluster resolution;
+  // the oracle recomputes the kept set from the EXACT all-pairs graph
+  // with a recursive CTE, so the gate covers LSH recall, component
+  // resolution, AND the final filter in one hash compare.
+  def dedupSemanticKeep(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val pairs = Similarity.cosinePairsLsh(emb, 0.42).select("id_a", "id_b")
+    val losers = Clusters.canonicalAssignment(pairs)
+      .filter(!col("is_canonical")).select(col("doc_id").as("vec_id"))
+    emb.select(col("vec_id"), col("label"))
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  private val oDedupSemanticKeep =
+    """WITH RECURSIVE
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= 0.42),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM e
+      |  UNION
+      |  SELECT e.dst AS id, r.comp FROM reach r JOIN e ON e.src = r.id),
+      |losers AS (SELECT id FROM reach GROUP BY id HAVING id != min(comp))
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id FROM losers)
+      |ORDER BY vec_id""".stripMargin
+
   // C6: brute-force cosine top-k (query set = vec_id < 10).
   def annCosineTopk(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
@@ -962,6 +997,7 @@ object OpsQueries {
     QueryDef("dedup_embedding", dedupEmbedding, Some(oDedupEmbedding)),
     QueryDef("dedup_embedding_lsh", dedupEmbeddingLsh, Some(oDedupEmbedding)),
     QueryDef("dedup_clusters", dedupClusters, Some(oDedupClusters)),
+    QueryDef("dedup_semantic_keep", dedupSemanticKeep, Some(oDedupSemanticKeep)),
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
     QueryDef("ann_lsh", annLsh, None),
     QueryDef("ann_ivf", annIvf, Some(oAnnIvf)),
