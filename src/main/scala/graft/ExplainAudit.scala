@@ -19,7 +19,7 @@ object ExplainAudit {
         "cdc_scd2", "q_quantile_incremental", "corpus_filtered",
         "dedup_minhash_incremental", "q_lag_lead", "q_unpivot",
         "cdc_incr_agg_minmax", "cdc_incr_agg_hll", "q_scalar_subquery",
-        "sample_token_budget", "sample_mixture")) {
+        "sample_token_budget", "sample_mixture", "dedup_semantic_keep")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able
