@@ -172,6 +172,31 @@ object Scd2Store {
       dir: String): Unit = {
     CdcPipeline.writeBuckets(df, pkCols, numBuckets, dir)
     StoreFs.writeString(s"$dir/_NB", numBuckets.toString)
+    // `_RANGE` sidecar: the dir's [min, max] valid_to_us, aggregated
+    // from the just-written files (delta-sized read-back) — the
+    // time-range analogue of the open store's manifest stats, so
+    // history range reads can skip whole closed dirs. A dir without
+    // the sidecar is simply never pruned.
+    val written = StoreFs.listDirNames(dir)
+      .exists(_.startsWith(CdcPipeline.BucketCol + "="))
+    if (written) {
+      val w = df.sparkSession.read.parquet(dir)
+        .agg(min(col(Scd2.To)), max(col(Scd2.To))).collect()(0)
+      if (!w.isNullAt(0))
+        StoreFs.writeString(s"$dir/_RANGE", s"${w.getLong(0)} ${w.getLong(1)}")
+    }
+  }
+
+  /** A closed dir's recorded [min, max] valid_to_us, None when the
+    * sidecar is absent (pre-feature dirs).
+    */
+  private def dirRange(dir: String): Option[(Long, Long)] = {
+    val p = s"$dir/_RANGE"
+    if (!StoreFs.exists(p)) None
+    else StoreFs.readString(p).trim.split("\\s+") match {
+      case Array(lo, hi) => scala.util.Try((lo.toLong, hi.toLong)).toOption
+      case _ => None
+    }
   }
 
   /** The full history — closed slices ∪ open slices — exactly
@@ -198,6 +223,35 @@ object Scd2Store {
           if (leaves.isEmpty) open.filter(lit(false))
           else spark.read.schema(open.schema).parquet(leaves: _*)
         closed.unionByName(open)
+      }
+    }
+
+  /** Slices whose validity interval intersects `[fromUs, toUs]` —
+    * the "history of the last month" read. I/O: every closed dir
+    * records its [min, max] `valid_to_us` in a `_RANGE` sidecar, so
+    * dirs whose every slice closed before `fromUs` are SKIPPED
+    * entirely (at a year of hourly advancements, reading last week
+    * touches ~1/50th of the dirs); open slices are always read.
+    * Dirs without the sidecar (pre-feature layout) are read —
+    * pruning degrades, never lies — and the interval filter applies
+    * either way, so the result is exactly `readHistory` filtered.
+    */
+  def readHistoryRange(spark: SparkSession, cfg: CdcTableConfig, fromUs: Long,
+      toUs: Option[Long] = None): Option[DataFrame] =
+    cfg.scd2.flatMap { spec =>
+      CdcPipeline.currentVersion(openPath(cfg)).map { v =>
+        val cols = histCols(cfg, spec)
+        val open = selectBackfilled(cfg,
+          CdcPipeline.readSnapshot(spark, openPath(cfg)).get, cols)
+        val dirs = committedClosedDirs(cfg, v).filter(d =>
+          dirRange(d).forall { case (_, maxTo) => maxTo >= fromUs })
+        val leaves = closedLeafDirs(dirs, None)
+        val closed =
+          if (leaves.isEmpty) open.filter(lit(false))
+          else spark.read.schema(open.schema).parquet(leaves: _*)
+        closed.unionByName(open)
+          .filter((col(Scd2.To).isNull || col(Scd2.To) >= lit(fromUs)) &&
+            col(Scd2.From) <= lit(toUs.getOrElse(Long.MaxValue)))
       }
     }
 

@@ -695,6 +695,55 @@ class CdcPipelineSpec extends AnyFunSuite {
       .map(f => f.getAbsolutePath -> f.lastModified()).toMap
   }
 
+  test("SCD2 store: time-ranged history reads prune whole closed dirs via _RANGE sidecars") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(4), scd2 = Some(Scd2Spec()))
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val full = Scd2Store.readHistory(spark, c).get
+    // fromUs above every window-1 close: d0 (whose slices all closed
+    // at window-1 event times <= w1) must be skipped entirely
+    val fromUs = w1 + 1
+    def expected(from: Long): Map[Seq[Any], Int] = histRows(
+      full.filter(col("valid_to_us").isNull || col("valid_to_us") >= from))
+    val ranged = Scd2Store.readHistoryRange(spark, c, fromUs).get
+    assert(histRows(ranged) === expected(fromUs))
+    assert(!ranged.inputFiles.exists(_.contains("/closed/d0/")),
+      "a dir whose every slice closed before fromUs must not be scanned")
+    assert(ranged.inputFiles.exists(_.contains("/closed/d")),
+      "later closed dirs must still be read")
+    // a from above EVERY close touches only the open store
+    val maxTo = full.agg(max(col("valid_to_us"))).collect()(0).getLong(0)
+    val openOnly = Scd2Store.readHistoryRange(spark, c, maxTo + 1).get
+    assert(!openOnly.inputFiles.exists(_.contains("/closed/")))
+    assert(histRows(openOnly) === expected(maxTo + 1))
+    // conservatism: without the sidecar the dir is read, result equal
+    assert(StoreFs.deleteFile(s"$target/_scd2/closed/d0/_RANGE"))
+    val conserv = Scd2Store.readHistoryRange(spark, c, fromUs).get
+    assert(histRows(conserv) === expected(fromUs))
+    assert(conserv.inputFiles.exists(_.contains("/closed/d0/")),
+      "a sidecar-less dir must be scanned (never wrongly pruned)")
+    // materialize expectations BEFORE compaction deletes the files
+    // the lazy `full` plan references
+    val expFrom = expected(fromUs)
+    val expOpen = expected(maxTo + 1)
+    val expBounded = histRows(full.filter(col("valid_from_us") <= w1))
+    // compaction rebuilds the combined dir's sidecar; pruning and
+    // results survive
+    Scd2Store.compactClosed(spark, c)
+    Scd2Store.compactClosed(spark, c) // sweep superseded generation
+    val afterCompact = Scd2Store.readHistoryRange(spark, c, fromUs).get
+    assert(histRows(afterCompact) === expFrom)
+    val postOpen = Scd2Store.readHistoryRange(spark, c, maxTo + 1).get
+    assert(!postOpen.inputFiles.exists(_.contains("/closed/")),
+      "the combined dir's recorded range must still prune")
+    assert(histRows(postOpen) === expOpen)
+    // bounded ranges exclude slices that only became valid later
+    val bounded = Scd2Store.readHistoryRange(spark, c, 0L, Some(w1)).get
+    assert(histRows(bounded) === expBounded)
+  }
+
   test("SCD2 store: per-window advancement equals one-shot; closed history appends, never rewrites") {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
     val target = tmp(); val log = tmp()
