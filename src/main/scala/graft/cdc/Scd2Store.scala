@@ -172,18 +172,24 @@ object Scd2Store {
       dir: String): Unit = {
     CdcPipeline.writeBuckets(df, pkCols, numBuckets, dir)
     StoreFs.writeString(s"$dir/_NB", numBuckets.toString)
-    // `_RANGE` sidecar: the dir's [min, max] valid_to_us, aggregated
-    // from the just-written files (delta-sized read-back) — the
+    // `_RANGE` sidecar: the dir's [min, max] valid_to_us — the
     // time-range analogue of the open store's manifest stats, so
-    // history range reads can skip whole closed dirs. A dir without
-    // the sidecar is simply never pruned.
+    // history range reads can skip whole closed dirs. Primary source:
+    // the just-written parquet FOOTERS' column statistics (driver
+    // metadata I/O, zero Spark jobs); fallback: a delta-sized
+    // read-back aggregation. A dir without the sidecar is simply
+    // never pruned.
     val written = StoreFs.listDirNames(dir)
       .exists(_.startsWith(CdcPipeline.BucketCol + "="))
     if (written) {
-      val w = df.sparkSession.read.parquet(dir)
-        .agg(min(col(Scd2.To)), max(col(Scd2.To))).collect()(0)
-      if (!w.isNullAt(0))
-        StoreFs.writeString(s"$dir/_RANGE", s"${w.getLong(0)} ${w.getLong(1)}")
+      val range = StoreFs.footerLongRange(dir, Scd2.To).orElse {
+        val w = df.sparkSession.read.parquet(dir)
+          .agg(min(col(Scd2.To)), max(col(Scd2.To))).collect()(0)
+        if (w.isNullAt(0)) None else Some((w.getLong(0), w.getLong(1)))
+      }
+      range.foreach { case (lo, hi) =>
+        StoreFs.writeString(s"$dir/_RANGE", s"$lo $hi")
+      }
     }
   }
 

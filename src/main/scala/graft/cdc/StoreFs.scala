@@ -116,4 +116,40 @@ private[graft] object StoreFs {
     org.apache.hadoop.fs.FileUtil.copy(fs(s), s, fs(d), d,
       /* deleteSource = */ false, /* overwrite = */ true, conf)
   }
+
+  /** Driver-side [min, max] of a long column across every parquet
+    * file under `dir`, read from the file FOOTERS' column statistics
+    * — metadata I/O only, zero Spark jobs. None when any chunk lacks
+    * usable stats (caller falls back to an aggregation).
+    */
+  def footerLongRange(dir: String, column: String): Option[(Long, Long)] =
+    scala.util.Try {
+      val p = new Path(dir)
+      val it = fs(p).listFiles(p, true)
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var any = false
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == column) {
+                val s = c.getStatistics
+                require(s != null && !s.isEmpty && s.hasNonNullValue,
+                  s"no usable stats for $column")
+                lo = math.min(lo, s.genericGetMin.asInstanceOf[Number].longValue)
+                hi = math.max(hi, s.genericGetMax.asInstanceOf[Number].longValue)
+                any = true
+              }
+            }
+          } finally r.close()
+        }
+      }
+      require(any, s"no parquet stats for $column under $dir")
+      (lo, hi)
+    }.toOption
 }

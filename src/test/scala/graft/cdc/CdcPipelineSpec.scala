@@ -718,6 +718,11 @@ class CdcPipelineSpec extends AnyFunSuite {
     val openOnly = Scd2Store.readHistoryRange(spark, c, maxTo + 1).get
     assert(!openOnly.inputFiles.exists(_.contains("/closed/")))
     assert(histRows(openOnly) === expected(maxTo + 1))
+    // the sidecar's primary source — parquet footer statistics, zero
+    // Spark jobs — must actually serve these files
+    val footer = StoreFs.footerLongRange(s"$target/_scd2/closed/d0", "valid_to_us")
+    assert(footer.isDefined && footer.get._2 <= w1,
+      "footer stats must be readable and bound d0's closes by window 1")
     // conservatism: without the sidecar the dir is read, result equal
     assert(StoreFs.deleteFile(s"$target/_scd2/closed/d0/_RANGE"))
     val conserv = Scd2Store.readHistoryRange(spark, c, fromUs).get
