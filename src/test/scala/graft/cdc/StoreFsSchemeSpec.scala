@@ -54,7 +54,8 @@ class StoreFsSchemeSpec extends AnyFunSuite {
     numBuckets = Some(8),
     rollups = Seq(RollupSpec("by_k", Seq("k"), Seq("event_id"), numBuckets = Some(2))),
     scd2 = Some(Scd2Spec()),
-    autoVacuumKeep = Some(2))
+    autoVacuumKeep = Some(2),
+    statsCols = Seq("event_id"))
 
   private def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) = {
     import spark.implicits._
@@ -107,8 +108,20 @@ class StoreFsSchemeSpec extends AnyFunSuite {
     val successes = JobLog.read(spark, log).get
       .filter(col("run_status") === "SUCCESS").count()
     val wm = JobLog.lastWatermark(spark, log, c)
+    // r7 surface on this scheme: manifest stats + pruned range read,
+    // time-pruned history (RANGE sidecars through StoreFs), and the
+    // zero-copy clone (pin file + absolute cross-dir references)
+    val ranged = CdcPipeline.readRange(spark, target, "event_id", Some(10L), None).get
+      .select("user_id", "event_id").collect().map(_.toSeq).toSet
+    val histRanged = Scd2Store.readHistoryRange(spark, c, 1500L).get
+      .select("user_id", "k", "valid_from_us", "valid_to_us")
+      .collect().map(_.toSeq).toSet
+    val cloneDir = s"$base/clone"
+    CdcPipeline.cloneSnapshot(target, cloneDir)
+    val cloneRows = CdcPipeline.readSnapshot(spark, cloneDir).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
     Seq(snap, hist, keyLookup, rollup, feed, successes, wm,
-      CdcPipeline.currentVersion(target).get)
+      CdcPipeline.currentVersion(target).get, ranged, histRanged, cloneRows)
   }
 
   test("store/SCD2/rollup/job-log end-to-end: raw:// (no-checksum FS) equals file://") {
