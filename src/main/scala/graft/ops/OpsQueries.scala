@@ -698,6 +698,34 @@ object OpsQueries {
        |  count(*) FILTER (b < CASE WHEN lang = 'en' THEN 100 ELSE 500 END) AS n_sampled
        |FROM b GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // C14c: long-document chunk splitting — the pre-pass packSequences
+  // declares as the caller's job. Pure per-row map work (explode over
+  // chunk indices + token slicing), chunk identity (doc_id,
+  // chunk_idx) deterministic on any engine. Split at 20 tokens so the
+  // synthetic ~50-token docs produce real multi-chunk output.
+  def packChunksQ(s: SparkSession, d: String): DataFrame =
+    Packing.splitLongDocs(
+        T.documents(s, d).select(col("doc_id"), col("text")), "text", "doc_id", 20)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val oPackChunks =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |x AS (SELECT doc_id, toks,
+      |        unnest(range(0, greatest(1,
+      |          CAST(ceil(len(toks) / 20.0) AS BIGINT)))) AS chunk_idx
+      |      FROM t),
+      |c AS (SELECT doc_id, chunk_idx,
+      |        array_to_string(list_slice(toks, chunk_idx*20 + 1, chunk_idx*20 + 20), ' ')
+      |          AS chunk
+      |      FROM x)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+      |  md5(chunk) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // C35: quality-prioritized token-budget selection — keep the docs
   // with the highest integer English-stopword density (permille,
   // integer-division exact) until the inclusive running token sum
@@ -1008,6 +1036,7 @@ object OpsQueries {
     QueryDef("corpus_filtered", corpusFiltered, Some(oCorpusFiltered)),
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),
     QueryDef("pack_texts", packTexts, Some(oPackTexts)),
+    QueryDef("pack_chunks", packChunksQ, Some(oPackChunks)),
     QueryDef("text_scrub", textScrub, Some(oTextScrub)),
     QueryDef("text_boilerplate", textBoilerplate, Some(oTextBoilerplate)),
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),

@@ -162,6 +162,29 @@ object Packing {
       .filter(permilleBucket(col(idName)) < col("keep_rate"))
   }
 
+  /** Split documents longer than `maxTokens` into consecutive chunks
+    * (SURVEY.md §2 C14c) — the pre-pass [[packSequences]] declares as
+    * the caller's job: afterwards every row fits a packing bin. Pure
+    * per-row map work (explode over ceil(n/max) chunk indices, token
+    * slicing on the corpus' space tokenization — no shuffle, no UDF),
+    * so it holds at any corpus size. Chunk ids are deterministic:
+    * (`doc_id`, `chunk_idx`) with the text reassembled from the token
+    * slice, short docs pass through as chunk 0.
+    */
+  def splitLongDocs(docs: DataFrame, textName: String, idName: String,
+      maxTokens: Int): DataFrame = {
+    val toks = split(col(textName), " ")
+    docs
+      .withColumn("_n_chunks",
+        greatest(lit(1L), ceil(size(toks) / lit(maxTokens.toDouble))).cast("long"))
+      .select(col("*"),
+        posexplode(sequence(lit(0L), col("_n_chunks") - 1)).as(Seq("chunk_idx", "_c")))
+      .withColumn(textName,
+        concat_ws(" ", slice(toks, (col("chunk_idx") * maxTokens + 1).cast("int"),
+          lit(maxTokens))))
+      .drop("_n_chunks", "_c")
+  }
+
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
       shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -532,6 +532,36 @@ object Relational {
   // B11's pivot. Measures are derived from exact integer cents so the
   // doubles hash-match; stack() is a codegen'd Generate (one pass, no
   // shuffle beyond the aggregation that built the wide row).
+  // B28: aggregate FILTER clauses — several conditionally-filtered
+  // aggregates in ONE grouping pass (the reporting idiom `count(*)
+  // FILTER (WHERE …)`); Spark expresses each as agg(when(cond, …)),
+  // which stays a single hash aggregation over one scan — never N
+  // scans or a self-join per condition. Money stays exact via the
+  // cents idiom.
+  def qAggFilter(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(col("o_totalprice") > 150000.0, lit(1))).as("n_big"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("n_finished"),
+        (sum(when(col("o_orderstatus") === "F",
+            round(col("o_totalprice") * lit(100.0)))) / lit(100.0))
+          .as("sum_finished"),
+        max(when(col("o_orderstatus") =!= "F", col("o_orderkey"))).as("max_open_key"))
+      .orderBy(col("o_orderpriority"))
+
+  private val oAggFilter =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (o_totalprice > 150000.0) AS n_big,
+      |  count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+      |  sum(round(o_totalprice*100)) FILTER (o_orderstatus = 'F')/100.0
+      |    AS sum_finished,
+      |  max(o_orderkey) FILTER (o_orderstatus != 'F') AS max_open_key
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def qUnpivot(s: SparkSession, d: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
     T.orders(s, d)
@@ -618,6 +648,7 @@ object Relational {
     QueryDef("q_range_window", qRangeWindow, Some(oRangeWindow)),
     QueryDef("q_lag_lead", qLagLead, Some(oLagLead)),
     QueryDef("q_unpivot", qUnpivot, Some(oUnpivot)),
+    QueryDef("q_agg_filter", qAggFilter, Some(oAggFilter)),
     QueryDef("q_scalar_subquery", qScalarSubquery, Some(oScalarSubquery)),
   )
 }

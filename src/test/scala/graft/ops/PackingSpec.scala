@@ -125,6 +125,28 @@ class PackingSpec extends AnyFunSuite {
     assert(math.abs(k1.toDouble / n1 - rates("src1") / 1000.0) < 0.1)
   }
 
+  test("long-doc splitting conserves text and bounds every chunk") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 300L).map { id =>
+      val n = 1 + rnd.nextInt(70)
+      (id, (0 until n).map(i => s"w$i").mkString(" "))
+    }
+    val out = Packing.splitLongDocs(rows.toDF("doc_id", "text"), "text", "doc_id", 16)
+      .select("doc_id", "chunk_idx", "text")
+      .as[(Long, Int, String)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    rows.foreach { case (id, orig) =>
+      val chunks = byDoc(id)
+      // chunk indices are dense from 0
+      assert(chunks.map(_._2).toSeq === chunks.indices.toSeq)
+      // reassembly is the original text, token-exact
+      assert(chunks.map(_._3).mkString(" ") === orig, s"doc $id")
+      // every chunk but the last is exactly maxTokens
+      chunks.init.foreach(c => assert(c._3.split(" ").length === 16))
+      assert(chunks.last._3.split(" ").length <= 16)
+    }
+  }
+
   test("connected components agree with a local union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = (1 to 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
