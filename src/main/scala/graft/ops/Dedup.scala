@@ -157,6 +157,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** All word n-gram positions of one corpus pass, one row per
+    * position (the substrate of [[duplicatedSpans]] /
+    * [[spanDupStats]], SURVEY.md §2 C38). Codegen'd
+    * transform(sequence(...)) — every position is kept (no per-doc
+    * dedup, unlike [[shingles]]) so downstream counts are
+    * occurrence-exact; docs shorter than n yield no grams.
+    */
+  def spanGrams(docs: DataFrame, n: Int, text: Column = col("text")): DataFrame = {
+    val g =
+      s"""CASE WHEN size(_toks) < $n THEN array()
+         |ELSE transform(sequence(0, size(_toks) - $n),
+         |  i -> ${(0 until n).map(j => s"_toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")})
+         |END""".stripMargin
+    docs.select(col("doc_id"), split(text, " ").as("_toks"))
+      .select(col("doc_id"), explode(expr(g)).as("gram"))
+  }
+
+  /** Exact duplicated-span detection (substring-level dedup — the
+    * repeated-passage scan of "Deduplicating Training Data Makes
+    * Language Models Better": boilerplate, licenses, templated
+    * passages that document-level dedup can never see): every word
+    * n-gram occurring in ≥ `minDocs` distinct documents, with its
+    * document frequency and total occurrence count.
+    *
+    * Scale shape: explode to (doc, gram) positions, then ONE hash
+    * aggregation keyed by the gram — map-side combine collapses
+    * within-partition repeats before the wire, and no pair expansion
+    * ever happens (the output is per-SPAN, not per-pair, so a
+    * million-doc boilerplate string costs one row, not 10¹² pairs).
+    * Production would aggregate on xxhash64(gram) to cut shuffle
+    * width ~n·word bytes → 8; raw strings here keep the oracle exact.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      text: Column = col("text")): DataFrame =
+    spanGrams(docs, n, text)
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span coverage: of a doc's n-gram
+    * positions, how many carry a gram that also appears in ≥
+    * `minDocs` docs — the signal for dropping (or trimming) docs
+    * dominated by cross-corpus boilerplate. Two aggregations + one
+    * hash join on the gram; docs shorter than n have no positions
+    * and drop out (their coverage is undefined, not 0).
+    */
+  def spanDupStats(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      text: Column = col("text")): DataFrame = {
+    val g = spanGrams(docs, n, text)
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("gram"), lit(1).as("_dup"))
+    g.join(dup, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_dup")).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+  }
+
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 weighted
     * by each token hash's bit; sign → bit. Pure fold — one pass over
     * the tokens, no shuffle.

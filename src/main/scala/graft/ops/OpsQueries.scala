@@ -58,6 +58,42 @@ object OpsQueries {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  // C38: exact duplicated-span detection — every word 8-gram
+  // occurring in ≥2 distinct docs (the repeated-passage scan that
+  // document-level dedup can never see), plus the per-doc coverage
+  // fraction a pipeline uses to drop boilerplate-dominated docs.
+  // Counts are occurrence-exact integers; dup_frac is a ratio of two
+  // integers, so both engines compute the identical double.
+  def textDupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(T.documents(s, d).select("doc_id", "text"))
+      .orderBy(col("gram"))
+
+  private val gram8Sql =
+    (0 until 8).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+
+  private val oTextDupSpans =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+       |        i -> $gram8Sql)) AS gram FROM t)
+       |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+       |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY gram""".stripMargin
+
+  def textDupSpanFrac(s: SparkSession, d: String): DataFrame =
+    Dedup.spanDupStats(T.documents(s, d).select("doc_id", "text"))
+      .orderBy(col("doc_id"))
+
+  private val oTextDupSpanFrac =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+       |        i -> $gram8Sql)) AS gram FROM t),
+       |dup AS (SELECT gram, 1 AS _dup FROM g GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT doc_id, count(*) AS n_grams, count(_dup) AS n_dup,
+       |  round(count(_dup)::DOUBLE / count(*), 6) AS dup_frac
+       |FROM g LEFT JOIN dup USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // C4b: exact all-pairs n-gram Jaccard (no LSH prefilter) — the
   // oracle-gated ground truth the C4 LSH+verify path approximates.
   // Jaccard is a ratio of two integers, so both engines compute the
@@ -1021,6 +1057,8 @@ object OpsQueries {
     QueryDef("dedup_minhash_incremental", dedupMinhashIncremental, None),
     QueryDef("dedup_simhash", dedupSimhash, None),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard, Some(oDedupNgramJaccard)),
+    QueryDef("text_dup_spans", textDupSpans, Some(oTextDupSpans)),
+    QueryDef("text_dup_span_frac", textDupSpanFrac, Some(oTextDupSpanFrac)),
     QueryDef("text_jaccard_pairs", textJaccardPairs, Some(oTextJaccardPairs)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(oDedupEmbedding)),
     QueryDef("dedup_embedding_lsh", dedupEmbeddingLsh, Some(oDedupEmbedding)),

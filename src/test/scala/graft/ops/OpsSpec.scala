@@ -462,4 +462,39 @@ class OpsSpec extends AnyFunSuite {
       .groupBy("l").count().as[(String, Long)].collect().toMap
     assert(out.values.sum === 500L)
   }
+
+  test("duplicated-span detection matches a brute-force scan; planted boilerplate surfaces") {
+    val rnd = new scala.util.Random(7)
+    val boiler = (0 until 12).map(i => s"b$i")
+    val docs = (0L until 60L).map { id =>
+      val words = Vector.fill(5 + rnd.nextInt(20))(s"w${rnd.nextInt(40)}")
+      val text = if (id % 3 == 0) (words.take(4) ++ boiler ++ words.drop(4)).mkString(" ")
+                 else words.mkString(" ")
+      (id, text)
+    }
+    def grams(t: String): Seq[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 8) Seq.empty else toks.sliding(8).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap { case (id, t) => grams(t).map(g => (id, g)) }
+    val truth = all.groupBy(_._2).collect {
+      case (g, occ) if occ.map(_._1).distinct.size >= 2 =>
+        (g, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.toSet
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df)
+      .select("gram", "n_docs", "n_occ").as[(String, Long, Long)].collect().toSet
+    assert(got === truth)
+    // the planted 12-token boilerplate yields 5 duplicated 8-gram positions
+    assert(got.exists(_._1.startsWith("b0 b1 b2")))
+    val dupSet = truth.map(_._1)
+    val covTruth = docs.flatMap { case (id, t) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None
+      else Some((id, gs.size.toLong, gs.count(dupSet.contains).toLong))
+    }.toSet
+    val cov = Dedup.spanDupStats(df)
+      .select("doc_id", "n_grams", "n_dup").as[(Long, Long, Long)].collect().toSet
+    assert(cov === covTruth)
+  }
 }
