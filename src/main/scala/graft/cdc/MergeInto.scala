@@ -1,0 +1,146 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic MERGE INTO builder (SURVEY.md §2 A38) — the Delta-style
+  * `whenMatched…/whenNotMatched…` surface over plain DataFrames,
+  * generalizing the reference's fixed upsert+delete MERGE pair
+  * (bigquery_syntex_merge_sql/merge.sql:403–436) to arbitrary
+  * conditional clauses: conditional updates with per-column SET
+  * expressions, conditional deletes, conditional inserts, first
+  * matching clause wins (ANSI MERGE clause order).
+  *
+  * Spark re-expression: ONE join on the key (full-outer only when an
+  * insert clause exists; left-outer otherwise, which stays
+  * broadcastable for delta-sized sources) followed by a single
+  * codegen'd keep-filter + CASE projection in the same stage — never
+  * one pass per clause. Clause conditions and SET/VALUES expressions
+  * reference the two sides via [[MergeInto.tgt]] / [[MergeInto.src]].
+  * Key comparison is null-safe (`<=>`). Like ANSI/Delta MERGE, a
+  * source with duplicate keys is rejected (non-deterministic
+  * otherwise) — one aggregation over the delta-sized source, skippable
+  * via [[skipDuplicateSourceCheck]] when the caller just compacted.
+  *
+  * Output schema = target schema; update/insert expressions are cast
+  * to the target column's type.
+  */
+final class MergeInto private (
+    target: DataFrame, source: DataFrame, on: Seq[String],
+    matched: Seq[MergeInto.MatchedClause],
+    notMatched: Seq[MergeInto.InsertClause],
+    dupCheck: Boolean) {
+  import MergeInto._
+
+  private def copied(m: Seq[MatchedClause] = matched,
+      nm: Seq[InsertClause] = notMatched, dc: Boolean = dupCheck) =
+    new MergeInto(target, source, on, m, nm, dc)
+
+  /** UPDATE SET clause: columns absent from `set` carry the target
+    * value. Expressions may reference both sides via tgt()/src().
+    */
+  def whenMatchedUpdate(set: Map[String, Column],
+      condition: Column = lit(true)): MergeInto =
+    copied(m = matched :+ MatchedClause(condition, set, delete = false))
+
+  /** UPDATE SET * — every target column takes the same-named source
+    * column (which must exist in the source).
+    */
+  def whenMatchedUpdateAll(condition: Column = lit(true)): MergeInto =
+    whenMatchedUpdate(target.columns.map(c => c -> src(c)).toMap, condition)
+
+  def whenMatchedDelete(condition: Column = lit(true)): MergeInto =
+    copied(m = matched :+ MatchedClause(condition, Map.empty, delete = true))
+
+  /** INSERT VALUES clause: columns absent from `values` insert NULL. */
+  def whenNotMatchedInsert(values: Map[String, Column],
+      condition: Column = lit(true)): MergeInto =
+    copied(nm = notMatched :+ InsertClause(condition, values))
+
+  /** INSERT * — every target column takes the same-named source column. */
+  def whenNotMatchedInsertAll(condition: Column = lit(true)): MergeInto =
+    whenNotMatchedInsert(target.columns.map(c => c -> src(c)).toMap, condition)
+
+  def skipDuplicateSourceCheck(): MergeInto = copied(dc = false)
+
+  /** The merged snapshot. One join + one codegen'd projection/filter;
+    * plus (unless skipped) one aggregation over the source for the
+    * ANSI duplicate-key rejection.
+    */
+  def run(): DataFrame = {
+    require(on.nonEmpty, "MERGE needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs a clause")
+    if (dupCheck) {
+      val dup = source.groupBy(on.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE source has duplicate keys on (${on.mkString(", ")}): " +
+          s"${dup.head.toSeq.init.mkString(", ")} — compact the source first " +
+          "(ChangeCompaction) or call skipDuplicateSourceCheck()")
+    }
+    val tCols = target.columns.toSeq
+    val fields = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val t = target.select(
+      tCols.map(c => col(c).as(s"$TPrefix$c")) :+ lit(true).as("_t_present"): _*)
+    val s = source.select(
+      source.columns.toSeq.map(c => col(c).as(s"$SPrefix$c"))
+        :+ lit(true).as("_s_present"): _*)
+    val joinCond = on.map(k => col(s"$TPrefix$k") <=> col(s"$SPrefix$k"))
+      .reduce(_ && _)
+    // No insert clause → unmatched source rows are no-ops: left-outer
+    // keeps the join broadcast-eligible for delta-sized sources.
+    val joined =
+      if (notMatched.isEmpty) t.join(s, joinCond, "left_outer")
+      else t.join(s, joinCond, "full_outer")
+    val isMatched = col("_t_present") && col("_s_present")
+
+    // First matching clause decides survival; no firing clause = carry.
+    val matchedKeep = matched.foldRight(lit(true)) { (cl, rest) =>
+      when(cl.condition, lit(!cl.delete)).otherwise(rest)
+    }
+    val insertKeep = notMatched.foldRight(lit(false)) { (cl, rest) =>
+      when(cl.condition, lit(true)).otherwise(rest)
+    }
+    val keep = when(isMatched, matchedKeep)
+      .when(col("_t_present"), lit(true))
+      .otherwise(insertKeep)
+
+    val outCols = tCols.map { c =>
+      val carry = col(s"$TPrefix$c")
+      val matchedValue = matched.foldRight(carry) { (cl, rest) =>
+        when(cl.condition,
+          cl.set.get(c).map(_.cast(fields(c))).getOrElse(carry)).otherwise(rest)
+      }
+      val insertValue = notMatched.foldRight(lit(null).cast(fields(c))) {
+        (cl, rest) =>
+          when(cl.condition,
+            cl.values.get(c).map(_.cast(fields(c)))
+              .getOrElse(lit(null).cast(fields(c)))).otherwise(rest)
+      }
+      when(isMatched, matchedValue)
+        .when(col("_t_present"), carry)
+        .otherwise(insertValue)
+        .as(c)
+    }
+    joined.filter(keep).select(outCols: _*)
+  }
+}
+
+object MergeInto {
+  private[cdc] val TPrefix = "_merge_t_"
+  private[cdc] val SPrefix = "_merge_s_"
+
+  private[cdc] final case class MatchedClause(
+    condition: Column, set: Map[String, Column], delete: Boolean)
+  private[cdc] final case class InsertClause(
+    condition: Column, values: Map[String, Column])
+
+  /** A target column, for use inside clause conditions / SET / VALUES. */
+  def tgt(c: String): Column = col(s"$TPrefix$c")
+
+  /** A source column, for use inside clause conditions / SET / VALUES. */
+  def src(c: String): Column = col(s"$SPrefix$c")
+
+  def apply(target: DataFrame, source: DataFrame, on: Seq[String]): MergeInto =
+    new MergeInto(target, source, on, Seq.empty, Seq.empty, dupCheck = true)
+}
