@@ -215,7 +215,14 @@ object CdcPipeline {
   private def statOverlaps(dt: DataType, stat: (String, String),
       qLo: Option[Any], qHi: Option[Any]): Boolean = {
     def cmp(a: String, b: Any): Option[Int] = dt match {
-      case StringType => Some(a.compareTo(b.toString))
+      // Spark's min/max order strings by UTF-8 binary (code-point)
+      // order; Java String.compareTo is UTF-16 code-unit order, and
+      // the two disagree for supplementary-plane characters (an emoji
+      // sorts BELOW U+E000..U+FFFF in UTF-16). Compare the same way
+      // the stats were computed or pruning can lie.
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.toString)))
       case _ => scala.util.Try(new java.math.BigDecimal(a)
         .compareTo(new java.math.BigDecimal(statStr(b)))).toOption
     }

@@ -150,6 +150,23 @@ class StatsPruneSpec extends AnyFunSuite {
       CdcPipeline.readSnapshot(spark, strDir).get.filter(col("v") === "g2").count())
   }
 
+  test("string stats compare in UTF-8 order (supplementary-plane chars never mis-prune)") {
+    // Spark's min/max order strings by UTF-8 code-point order, where
+    // U+1F600 (an emoji) sorts ABOVE U+E000; Java's UTF-16 compareTo
+    // puts the surrogate pair BELOW it. A pruner comparing in UTF-16
+    // would decide bucketMax("😀") < qLo("") and skip a bucket
+    // that holds a matching "a" row — silent row loss.
+    val dir = tmp()
+    val rows = spark.createDataFrame(Seq((1L, "a"), (2L, "😀")))
+      .toDF("id", "v")
+    CdcPipeline.publish(rows, dir, Seq("id"), buckets = Some(1),
+      statsCols = Seq("v"))
+    val got = CdcPipeline.readRange(spark, dir, "v",
+      Some(""), Some("")).get
+    assert(got.count() === 1L, "UTF-16 ordering would prune the only bucket")
+    assert(got.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("rebucket recomputes stats under the new layout") {
     val dir = tmp()
     CdcPipeline.publish(bucketCorrelated(4000, 8), dir, Seq("id"),
