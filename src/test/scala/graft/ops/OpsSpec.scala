@@ -297,10 +297,17 @@ class OpsSpec extends AnyFunSuite {
     // 1-2-3-4 chain (diameter 3) + separate pair 10-11 + triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // default gate resolves this driver-side (union-find)…
     val got = Clusters.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(got === expect)
+    // …and collectEdges = 0 forces the distributed min-label loop:
+    // both physical strategies must return the identical assignment
+    val gotDist = Clusters.connectedComponents(pairs, collectEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDist === expect)
     val canon = Clusters.canonicalAssignment(pairs)
       .filter(col("is_canonical")).select("doc_id").as[Long].collect().toSet
     assert(canon === Set(1L, 10L, 20L))
@@ -313,15 +320,21 @@ class OpsSpec extends AnyFunSuite {
       .filter(p => p._1 != p._2).toDF("id_a", "id_b")
     val viaStar = Clusters.connectedComponentsStar(randPairs)
       .as[(Long, Long)].collect().toMap
-    val viaProp = Clusters.connectedComponents(randPairs)
+    val viaProp = Clusters.connectedComponents(randPairs, collectEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(viaStar === viaProp)
 
-    // a 600-node chain has diameter 599: label propagation's default
-    // 20 rounds cannot finish it (and now throws); star contraction
+    // a 600-node chain has diameter 599: the distributed loop's
+    // default 20 rounds cannot finish it (and throws rather than
+    // returning bad labels); the driver union-find gate has no
+    // iteration limit and resolves it exactly; star contraction
     // converges well inside its 50-round bound
     val chain = (0L until 599L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalStateException] { Clusters.connectedComponents(chain).count() }
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain, collectEdges = 0L).count()
+    }
+    val viaUf = Clusters.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(viaUf.length === 600 && viaUf.forall(_._2 === 0L))
     val labels = Clusters.connectedComponentsStar(chain).as[(Long, Long)].collect()
     assert(labels.length === 600 && labels.forall(_._2 === 0L))
   }
