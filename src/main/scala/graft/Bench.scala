@@ -19,10 +19,16 @@ object Bench {
     // runs the full plan with zero write cost.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    // SPARK_GRAFT_ONLY=a,b,c restricts the timed set — an iteration
+    // aid for optimizing one query without paying the full sweep; the
+    // official driver run leaves it unset and times everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Warm-up at the smallest SF: JVM/codegen/parquet-footer costs land
     // here, so the timed pass measures the plans, not session startup.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try run(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.forall(_.contains(name)))
+        try run(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => () }
     }
     // Pinned calibration workload (r6 verdict #1): a fixed synthetic
     // plan — 400M rows of hash+sum, no I/O, no shuffle beyond the
@@ -54,6 +60,7 @@ object Bench {
     // (ADVICE r2).
     val passes = 3
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
@@ -85,6 +92,14 @@ object Bench {
     println(line)
     println(compact)
     System.err.println(line)
+    // Durable copy of the FULL record: the driver's fixed-size stdout
+    // tail truncated r7's per-query entries (first 16 lost), so the
+    // complete record also lands in a committed file the judge can
+    // always read (r7 verdict #4).
+    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(recordPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] record write skipped: $e") }
     // Per-query delta vs a previous bench artifact (regression catch;
     // stderr only, so the driver's one-line JSON contract holds).
     sys.env.get("SPARK_GRAFT_PREV_BENCH").foreach { prevPath =>
