@@ -154,6 +154,73 @@ object CdcQueries {
        |  SELECT c.user_id, c.event_id, c.k, c.value FROM chg c WHERE c.op != 'd') m
        |ORDER BY user_id""".stripMargin
 
+  // A38: generic conditional-clause MERGE INTO (MergeInto) — same
+  // target/changes fixture as cdc_merge, but the clauses go beyond
+  // the reference's fixed upsert+delete pair: delete on 'd', update
+  // only when the incoming k exceeds the target's (a
+  // condition-carrying SET), insert only non-deleted even-k keys.
+  // The oracle restates all three clauses as a DuckDB FULL OUTER
+  // JOIN + CASE (the textbook MERGE re-expression).
+  def cdcMergeInto(s: SparkSession, d: String): DataFrame = {
+    import MergeInto.{src, tgt}
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val targetCols = Seq("user_id", "event_id", "k", "value")
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target = SnapshotMerge.fromHistory(proj(history), Seq("user_id"), targetCols)
+    val changes = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), Seq("user_id"))
+    MergeInto(target, changes, Seq("user_id"))
+      .skipDuplicateSourceCheck() // compactForMerge guarantees one row/key
+      .whenMatchedDelete(src(CdcEnvelope.OpCol) === CdcEnvelope.Delete)
+      .whenMatchedUpdate(
+        Map("event_id" -> src("event_id"), "k" -> src("k"), "value" -> src("value")),
+        src("k") > tgt("k"))
+      .whenNotMatchedInsert(
+        Map("user_id" -> src("user_id"), "event_id" -> src("event_id"),
+          "k" -> src("k"), "value" -> src("value")),
+        src(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete && src("k") % 2 === 0)
+      .run()
+      .withColumnRenamed("event_id", "src_event_id")
+      .orderBy(col("user_id"))
+  }
+
+  private val oMergeInto =
+    s"""WITH tgt AS (SELECT user_id, event_id, k, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |          FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |  WHERE rn2 = 1 AND op != 'd'),
+       |chg AS (SELECT user_id, event_id, k, value, op FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn3
+       |    FROM events WHERE $dWin) w
+       |  WHERE rn3 = 1)
+       |SELECT user_id, src_event_id, k, value FROM (
+       |  SELECT COALESCE(t.user_id, c.user_id) AS user_id,
+       |    CASE WHEN t.user_id IS NOT NULL AND c.user_id IS NOT NULL
+       |              AND c.op != 'd' AND c.k > t.k THEN c.event_id
+       |         WHEN t.user_id IS NOT NULL THEN t.event_id
+       |         ELSE c.event_id END AS src_event_id,
+       |    CASE WHEN t.user_id IS NOT NULL AND c.user_id IS NOT NULL
+       |              AND c.op != 'd' AND c.k > t.k THEN c.k
+       |         WHEN t.user_id IS NOT NULL THEN t.k
+       |         ELSE c.k END AS k,
+       |    CASE WHEN t.user_id IS NOT NULL AND c.user_id IS NOT NULL
+       |              AND c.op != 'd' AND c.k > t.k THEN c.value
+       |         WHEN t.user_id IS NOT NULL THEN t.value
+       |         ELSE c.value END AS value,
+       |    t.user_id AS tu, c.user_id AS cu, c.op AS cop, c.k AS ck
+       |  FROM tgt t FULL OUTER JOIN chg c ON t.user_id = c.user_id) m
+       |WHERE (tu IS NOT NULL AND cu IS NOT NULL AND cop != 'd')
+       |   OR (tu IS NOT NULL AND cu IS NULL)
+       |   OR (tu IS NULL AND cop != 'd' AND ck % 2 = 0)
+       |ORDER BY user_id""".stripMargin
+
   // A7: typed projection rules (epoch-sec, epoch-day, bit→int,
   // datetime→int) through a JSON payload built in-flight — the Spark
   // path parses JSON with the real rules; the oracle computes the
@@ -774,6 +841,7 @@ object CdcQueries {
     QueryDef("cdc_upserts", cdcUpserts, Some(oUpserts)),
     QueryDef("cdc_deletes", cdcDeletes, Some(oDeletes)),
     QueryDef("cdc_merge", cdcMerge, Some(oMerge)),
+    QueryDef("cdc_merge_into", cdcMergeInto, Some(oMergeInto)),
     QueryDef("cdc_typed_projection", cdcTypedProjection, Some(oTypedProjection)),
     QueryDef("cdc_typed_projection_v2", cdcTypedProjectionV2, Some(oTypedProjectionV2)),
     QueryDef("cdc_multipk", cdcMultipk, Some(oMultipk)),
