@@ -119,6 +119,65 @@ object Multimodal {
     Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j).toFloat / counts(j)) / 256f)
   }
 
+  final case class MediaDims(media_id: Long, width: Int, height: Int, format: String)
+
+  /** Container dims + format sniffed from the ACTUAL bytes (the
+    * ImageIO reader's header parse — no full pixel decode), not the
+    * declared media_type. None when no installed reader accepts the
+    * bytes (caller quarantines, as in decode()).
+    */
+  def imageInfo(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
+  }
+
+  /** (media_id, width, height, format) per decodable blob — the
+    * metadata-probe operator (header parse only, cheap even for huge
+    * blobs); undecodable blobs drop out, mirroring quarantine
+    * pipelines. Same typed-mapPartitions shape as extractFeatures.
+    */
+  def extractDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        imageInfo(bytes).map { case (w, h, f) => MediaDims(id, w, h, f) }
+      }).toDF()
+  }
+
+  /** Deterministic single-gray PNG — the fixture generator for
+    * decode gates and specs: render → decode → every output stat is
+    * predictable arithmetic (dims as given; Rec. 601 luma of
+    * (g,g,g) is exactly g, so strip means land on g/256).
+    */
+  def synthPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Per-partition batched feature extraction. `targetPartitionBytes`
     * re-splits by payload volume first so decode tasks are balanced
     * regardless of blob-size skew. Typed Dataset mapPartitions (not

@@ -1051,7 +1051,47 @@ object OpsQueries {
       |FROM k WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
       |ORDER BY event_type""".stripMargin
 
+  // C12 (driver-gated r8, r7 verdict #7): the REAL image decode path
+  // under the per-round gate. Fixture images are rendered in-flight —
+  // one solid-gray PNG per selected doc, dims and gray level all
+  // arithmetic functions of doc_id — then decoded BACK through the
+  // library's ImageIO operators: extractDims (header parse) for
+  // width/height/format, extractFeatures (full pixel decode) for the
+  // luminance signature. Every output is therefore predictable in
+  // SQL: if decode broke (or fell back to the byte stub), dims or
+  // the pixel-derived gray would diverge and the hash compare fails.
+  def multimodalDims(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 7 === 0)
+      .as[Long]
+      .map { id =>
+        (id, "image/png",
+          Multimodal.synthPng((8 + id % 16).toInt, (4 + id % 8).toInt, (id % 256).toInt))
+      }
+      .toDF("media_id", "media_type", "bytes")
+    val dims = Multimodal.extractDims(media)
+    val gray = Multimodal.extractFeatures(media, dim = 4)
+      .select(col("media_id"),
+        round(element_at(col("features"), 1) * lit(256.0)).cast("long").as("gray"))
+    dims.join(gray, "media_id")
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        col("format"), col("gray"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oMultimodalDims =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(8 + doc_id % 16 AS INT) AS width,
+      |  CAST(4 + doc_id % 8 AS INT) AS height,
+      |  'png' AS format,
+      |  CAST(doc_id % 256 AS BIGINT) AS gray
+      |FROM documents WHERE doc_id % 7 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
     QueryDef("dedup_minhash_incremental", dedupMinhashIncremental, None),

@@ -100,4 +100,27 @@ class MultimodalSpec extends AnyFunSuite {
     // Non-PNG rows take the deterministic stub path.
     assert(feats(2).getSeq[Float](2).toSeq === Seq(0.25f, 0.25f))
   }
+
+  test("synthPng/imageInfo/extractDims: render → header-probe roundtrip") {
+    // imageInfo reads the container header, not the declared type
+    val png = Multimodal.synthPng(13, 5, 77)
+    assert(Multimodal.imageInfo(png) === Some((13, 5, "png")))
+    // garbage bytes are quarantined, not thrown
+    assert(Multimodal.imageInfo(Array[Byte](1, 2, 3, 4)) === None)
+    // the distributed dims probe keeps decodable blobs only
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image/png", Multimodal.synthPng(8, 4, 0), 8, 4),
+      Row(2L, "image/png", Array[Byte](9, 9, 9), 0, 0), // undecodable
+      Row(3L, "application/octet-stream", Multimodal.synthPng(31, 2, 255), 31, 2))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val dims = Multimodal.extractDims(media)
+      .orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(dims.toSeq === Seq((1L, 8, 4, "png"), (3L, 31, 2, "png")))
+    // full pixel decode of a synth image recovers the gray level
+    val f = Multimodal.decodeImage(Multimodal.synthPng(16, 4, 200), 4)
+    assert(f.forall(v => math.abs(v - 200f / 256f) < 1e-4))
+  }
 }
