@@ -551,9 +551,11 @@ object CdcPipeline {
     * clone. Deep: bucket dirs are copied (bytes ∝ snapshot) and no
     * pin is needed. Stats, schema, and bucket count carry either way
     * (the content is identical, so the data-skipping index stays
-    * exact). Cloning a clone re-uses its absolute references as-is —
-    * those stay covered by the ORIGINAL pin, which must outlive every
-    * downstream clone (pins are explicit, never auto-dropped).
+    * exact). Cloning a clone re-uses its absolute references as-is
+    * AND writes its own pin at every store those references resolve
+    * into (r8, ADVICE r7): each clone's survival depends only on its
+    * OWN pins, so dropping an intermediate clone's pin never exposes
+    * a grand-clone to the original source's vacuum.
     * Refuses an existing dest. Returns the clone's version (0), None
     * when the source has no manifest-layout snapshot.
     */
@@ -573,12 +575,23 @@ object CdcPipeline {
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
           m.buckets.keySet.map(_ -> "v0").toMap, m.stats))
       } else {
-        // pin the source-local version dirs this clone references;
-        // nested absolute refs are already pinned at THEIR source
-        val pinned = m.buckets.values.filterNot(_.contains("/")).toSeq.distinct.sorted
-        if (pinned.nonEmpty)
-          StoreFs.writeString(s"$sourceDir/$ClonesDir/${clonePinToken(destDir)}",
-            pinned.mkString("\n"))
+        // every store this clone's references resolve into gets a pin
+        // keyed by THIS clone: source-local refs pin at sourceDir,
+        // inherited absolute refs (cloning a clone) pin at the store
+        // that owns them — so each clone stands on its own pins and
+        // dropClonePin on an intermediate clone can never tear files
+        // out from under a grand-clone (ADVICE r7)
+        m.buckets.values.toSeq.distinct
+          .groupBy(ver =>
+            if (ver.contains("/")) ver.substring(0, ver.lastIndexOf('/'))
+            else sourceDir)
+          .foreach { case (root, vers) =>
+            val names = vers.map(v =>
+              if (v.contains("/")) v.substring(v.lastIndexOf('/') + 1) else v)
+              .distinct.sorted
+            StoreFs.writeString(s"$root/$ClonesDir/${clonePinToken(destDir)}",
+              names.mkString("\n"))
+          }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
           resolved, m.stats))
       }
@@ -587,9 +600,14 @@ object CdcPipeline {
     }
   }
 
-  /** Release a shallow clone's hold on its source's version dirs —
-    * call when the clone is deleted or has rewritten every bucket it
-    * borrowed. The next source `vacuum` may then reclaim them.
+  /** Release ONE clone's hold on ONE store's version dirs — call per
+    * (store, clone) pair when that clone is deleted or has rewritten
+    * every bucket it borrowed from that store. The next `vacuum`
+    * there may then reclaim them. Safe with nested clones: every
+    * clone pins the stores it references under its own token
+    * (cloneSnapshot), so dropping this clone's pin never affects a
+    * grand-clone's — a clone of a clone keeps reading after its
+    * parent's pins are dropped.
     */
   def dropClonePin(sourceDir: String, destDir: String): Boolean =
     StoreFs.deleteFile(s"$sourceDir/$ClonesDir/${clonePinToken(destDir)}")

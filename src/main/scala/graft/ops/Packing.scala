@@ -107,7 +107,16 @@ object Packing {
   def selectTokenBudget(docs: DataFrame, prioName: String, tokensName: String,
       idName: String, budget: Long): DataFrame = {
     val hist = docs.groupBy(col(prioName)).agg(sum(col(tokensName)).as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map { r =>
+        // Row.getLong silently reads NULL as 0 — a null prio would be
+        // binned at priority 0 and a null token sum would corrupt the
+        // boundary walk. The documented contract (low-cardinality
+        // integer prio, non-null tokens) is enforced loudly (ADVICE r7).
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"selectTokenBudget needs non-null $prioName and $tokensName " +
+            s"(saw ${r.get(0)} -> ${r.get(1)}); filter or default them first")
+        (r.getLong(0), r.getLong(1))
+      }
       .sortBy { case (p, _) => -p }
     var cum = 0L
     var boundary: Option[(Long, Long)] = None // (p*, residual budget)
@@ -155,8 +164,12 @@ object Packing {
       val demand = targetTokens * weights.getOrElse(s, defaultWeight) / sumW
       s -> math.min(1000L, if (t == 0L) 1000L else 1000L * demand / t)
     }.toMap
+    // <=> (not ===) so a NULL source matches its own avail row and
+    // gets its allocated rate instead of silently vanishing at
+    // keep_rate 0 (ADVICE r7): a null source is a real partition of
+    // the corpus, weighted via defaultWeight like any unlisted one.
     val rate = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
-      when(col(sourceName) === lit(s), lit(r)).otherwise(acc)
+      when(col(sourceName) <=> lit(s), lit(r)).otherwise(acc)
     }
     docs.withColumn("keep_rate", rate)
       .filter(permilleBucket(col(idName)) < col("keep_rate"))

@@ -83,6 +83,31 @@ class CloneSpec extends AnyFunSuite {
     assert(reclaimed2.contains(0L), "dropped pin frees the version for GC")
   }
 
+  test("a clone of a clone pins the ORIGINAL store itself; parent pin drop is safe") {
+    val src = tmp(); val mid = tmp() + "/mid"; val grand = tmp() + "/grand"
+    CdcPipeline.publish(fixture(500, 1), src, Seq("id"), buckets = Some(1))
+    assert(CdcPipeline.cloneSnapshot(src, mid) === Some(0L))
+    // the grand-clone inherits mid's absolute refs into src, so its
+    // pin must land at SRC under its own token (ADVICE r7)
+    assert(CdcPipeline.cloneSnapshot(mid, grand) === Some(0L))
+    val expected = rows(grand)
+
+    // drop the INTERMEDIATE clone's pin and push src forward: the
+    // grand-clone's own pin must keep v0 alive through vacuum
+    assert(CdcPipeline.dropClonePin(src, mid))
+    CdcPipeline.publish(fixture(500, 1).withColumn("v", col("v") + 1L),
+      src, Seq("id"))
+    val reclaimed = CdcPipeline.vacuum(src, keepVersions = 1)
+    assert(!reclaimed.contains(0L),
+      "grand-clone's own pin must survive the parent's pin drop")
+    assert(rows(grand) === expected, "grand-clone reads intact")
+
+    // dropping the grand-clone's pin at the ORIGINAL frees v0
+    assert(CdcPipeline.dropClonePin(src, grand))
+    val reclaimed2 = CdcPipeline.vacuum(src, keepVersions = 1)
+    assert(reclaimed2.contains(0L))
+  }
+
   test("deep clone is self-contained and survives source deletion") {
     val src = tmp(); val dst = tmp() + "/deep"
     CdcPipeline.publish(fixture(2000, 4), src, Seq("id"), buckets = Some(4),

@@ -125,6 +125,25 @@ class PackingSpec extends AnyFunSuite {
     assert(math.abs(k1.toDouble / n1 - rates("src1") / 1000.0) < 0.1)
   }
 
+  test("mixture resampling gives NULL-source rows their allocated rate; budget selection rejects null prio") {
+    // a NULL source is a real corpus partition: it must draw
+    // defaultWeight and keep its share, not vanish at rate 0 (ADVICE r7)
+    val docs = Seq((0L, Some("a"), 100L), (1L, None, 100L), (2L, None, 100L))
+      .toDF("doc_id", "source", "tokens")
+    val kept = Packing.sampleMixture(docs, "source", "doc_id", col("tokens"),
+        Map.empty, defaultWeight = 1L, targetTokens = 1000000L)
+      .select("doc_id", "keep_rate").as[(Long, Long)].collect().toMap
+    assert(kept.values.forall(_ === 1000L), s"all rates cap at keep-all: $kept")
+    assert(kept.keySet === Set(0L, 1L, 2L), "null-source docs must survive")
+    // a null prio must fail loudly, not bin at priority 0
+    val bad = Seq((0L, Some(1L), 10L), (1L, None, 10L))
+      .toDF("doc_id", "prio", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      Packing.selectTokenBudget(bad, "prio", "tokens", "doc_id", 5L)
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("long-doc splitting conserves text and bounds every chunk") {
     val rnd = new scala.util.Random(3)
     val rows = (0L until 300L).map { id =>
