@@ -178,6 +178,65 @@ object Multimodal {
     baos.toByteArray
   }
 
+  final case class AudioInfo(media_id: Long, sample_rate: Int, channels: Int,
+    frames: Long, encoding: String)
+
+  /** Audio container metadata from the ACTUAL bytes — pure-JVM
+    * javax.sound.sampled header parse (WAV/AIFF/AU ship with the
+    * JDK; no codec needed because only the header is read). None for
+    * bytes no installed provider accepts (quarantine, as imageInfo).
+    */
+  def audioInfo(bytes: Array[Byte]): Option[(Int, Int, Long, String)] =
+    try {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ff.getFormat
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, ff.getFrameLength.toLong,
+        fmt.getEncoding.toString.toLowerCase))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** (media_id, sample_rate, channels, frames, encoding) per
+    * decodable audio blob — the audio twin of [[extractDims]]: header
+    * parse only, cheap at any blob size, undecodable rows quarantined.
+    */
+  def extractAudioInfo(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioInfo(bytes).map { case (sr, ch, fr, enc) =>
+          AudioInfo(id, sr, ch, fr, enc)
+        }
+      }).toDF()
+  }
+
+  /** Deterministic PCM-16 WAV fixture: `frames` frames of a simple
+    * per-frame ramp at the given rate/channel count — rendered
+    * through the JDK's own writer so the gate exercises a real
+    * container roundtrip, like [[synthPng]].
+    */
+  def synthWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels,
+      true, false)
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      val v = ((i * 257) % 32768).toShort // deterministic ramp
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Per-partition batched feature extraction. `targetPartitionBytes`
     * re-splits by payload volume first so decode tasks are balanced
     * regardless of blob-size skew. Typed Dataset mapPartitions (not

@@ -1090,8 +1090,41 @@ object OpsQueries {
       |FROM documents WHERE doc_id % 7 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // C12b (r8): the non-image modality — WAV audio rendered in-flight
+  // (PCM-16, rate/channels/frames arithmetic functions of doc_id via
+  // the JDK's own writer), then probed BACK through extractAudioInfo
+  // (javax.sound.sampled header parse). Same render→probe→predict
+  // shape as multimodal_dims: a broken probe breaks the hash.
+  def multimodalAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 11 === 0)
+      .as[Long]
+      .map { id =>
+        (id, "audio/wav",
+          Multimodal.synthWav((8000 + (id % 4) * 4000).toInt,
+            (1 + id % 2).toInt, (100 + id % 50).toInt))
+      }
+      .toDF("media_id", "media_type", "bytes")
+    Multimodal.extractAudioInfo(media)
+      .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("frames"), col("encoding"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oMultimodalAudio =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(100 + doc_id % 50 AS BIGINT) AS frames,
+      |  'pcm_signed' AS encoding
+      |FROM documents WHERE doc_id % 11 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),
+    QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
     QueryDef("dedup_minhash_incremental", dedupMinhashIncremental, None),

@@ -123,4 +123,21 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.decodeImage(Multimodal.synthPng(16, 4, 200), 4)
     assert(f.forall(v => math.abs(v - 200f / 256f) < 1e-4))
   }
+
+  test("synthWav/audioInfo/extractAudioInfo: WAV render → header-probe roundtrip") {
+    val wav = Multimodal.synthWav(16000, 2, 123)
+    assert(Multimodal.audioInfo(wav) === Some((16000, 2, 123L, "pcm_signed")))
+    // image bytes are not audio; garbage is quarantined, not thrown
+    assert(Multimodal.audioInfo(Multimodal.synthPng(4, 4, 0)) === None)
+    assert(Multimodal.audioInfo(Array[Byte](1, 2, 3)) === None)
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "audio/wav", Multimodal.synthWav(8000, 1, 100), 0, 0),
+      Row(2L, "audio/wav", Array[Byte](9, 9), 0, 0)) // undecodable
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.extractAudioInfo(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq((1L, 8000, 1, 100L, "pcm_signed")))
+  }
 }
