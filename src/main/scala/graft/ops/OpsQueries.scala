@@ -845,6 +845,40 @@ object OpsQueries {
       .orderBy(col("user_id"))
   }
 
+  // B29 (r8): regular-grid resample + forward fill — per user, daily
+  // buckets spanning the user's own event range; each day takes its
+  // last observation (by ts, event_id), empty days carry the prior
+  // day's value forward. Oracle restates it with generate_series +
+  // IGNORE NULLS last_value.
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = T.events(s, d).select(col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+    Temporal.gapFill(ev, Seq("user_id"), "ts_us", dayUs, "value",
+      struct(col("ts_us"), col("event_id")))
+      .orderBy(col("user_id"), col("bucket_ts"))
+  }
+
+  private val oGapFill =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+      |              (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_ts
+      |            FROM events),
+      |pb AS (SELECT user_id, bucket_ts, value FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ts
+      |           ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev) t
+      |       WHERE rn = 1),
+      |bounds AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      |           FROM ev GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 86400000000)) AS bucket_ts
+      |         FROM bounds)
+      |SELECT g.user_id, g.bucket_ts,
+      |  last_value(pb.value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.bucket_ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |FROM grid g LEFT JOIN pb
+      |  ON g.user_id = pb.user_id AND g.bucket_ts = pb.bucket_ts
+      |ORDER BY g.user_id, g.bucket_ts""".stripMargin
+
   private val oSessionize =
     """WITH g AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us,
@@ -1161,6 +1195,7 @@ object OpsQueries {
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
+    QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
     QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),
     QueryDef("q_interval_join", qIntervalJoin, Some(oIntervalJoin)),
     QueryDef("q_range_join", qRangeJoin, Some(oRangeJoin)),

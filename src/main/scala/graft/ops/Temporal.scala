@@ -104,6 +104,50 @@ object Temporal {
       .drop("_bucket")
   }
 
+  /** Resample to a regular grid with forward fill (SURVEY.md §2
+    * B29): per key, buckets of `stepUs` from the key's first to last
+    * observation; each bucket takes the LAST observation inside it
+    * (by `ordCol` — pass a (ts, tiebreak) struct for determinism),
+    * and empty buckets carry the previous bucket's value forward —
+    * the standard time-series densify/as-of-resample (KDB `fill`,
+    * Pandas `resample().ffill()`).
+    *
+    * Scale shape: one hash agg per (key, bucket) with map-side
+    * combine (shuffle volume = one row per OCCUPIED bucket, not per
+    * observation), one |keys|-row agg exploded into the grid
+    * (sequence() — grid rows ∝ span/step per key, never a cross
+    * join), one co-keyed left join, one per-key window for the fill.
+    * No observation-sized window state: the fill windows over the
+    * GRID (bounded by span/step), not the raw events. Grid start is
+    * the key's own first bucket, so the first grid row is always
+    * occupied and the fill is total.
+    */
+  def gapFill(df: DataFrame, keys: Seq[String], tsCol: String, stepUs: Long,
+      valueCol: String, ordCol: Column): DataFrame = {
+    require(stepUs > 0, s"gapFill needs a positive stepUs, got $stepUs")
+    // integer `div`, not `/`: long / long in Spark is DOUBLE division,
+    // and at epoch-µs magnitudes the rounded quotient can floor into
+    // the wrong bucket. Assumes non-negative times (div = floor there),
+    // as rangeJoinBucketed.
+    val bucket = expr(s"`$tsCol` div ${stepUs}L") * stepUs
+    val k = keys.map(col)
+    val perBucket = df
+      .withColumn("_gf_bucket", bucket)
+      .groupBy(k :+ col("_gf_bucket"): _*)
+      .agg(max_by(col(valueCol), ordCol).as("_gf_last"))
+    val grid = df
+      .groupBy(k: _*)
+      .agg(min(bucket).as("_gf_lo"), max(bucket).as("_gf_hi"))
+      .select(k :+ explode(sequence(col("_gf_lo"), col("_gf_hi"), lit(stepUs)))
+        .as("_gf_bucket"): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col("_gf_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, keys :+ "_gf_bucket", "left")
+      .withColumn("_gf_filled", last(col("_gf_last"), ignoreNulls = true).over(w))
+      .select(k ++ Seq(col("_gf_bucket").as("bucket_ts"),
+        col("_gf_filled").as(valueCol)): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapUs`. Adds
     * `session_id` (0-based per key, ordered by (ts, pos)).

@@ -476,6 +476,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.sum === 500L)
   }
 
+  test("gapFill: dense grid per key, last-in-bucket wins, gaps carry forward") {
+    // key 1: obs at t=5 (v=10), t=7 (v=20, later event wins bucket 0
+    //        at step 10), t=25 (v=30) — buckets 0,10,20; bucket 10 is
+    //        a gap and must carry 20
+    // key 2: single obs → single bucket, no fill needed
+    val df = Seq(
+      (1L, 5L, 1L, 10.0), (1L, 7L, 2L, 20.0), (1L, 25L, 3L, 30.0),
+      (2L, 103L, 4L, 7.0))
+      .toDF("k", "ts", "pos", "v")
+    val got = Temporal.gapFill(df, Seq("k"), "ts", 10L, "v",
+        struct(col("ts"), col("pos")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 20.0), (1L, 10L, 20.0), (1L, 20L, 30.0),
+      (2L, 100L, 7.0)))
+    // same-ts tie breaks on the ord tiebreaker (pos)
+    val tie = Seq((1L, 5L, 1L, 1.0), (1L, 5L, 9L, 2.0)).toDF("k", "ts", "pos", "v")
+    val t = Temporal.gapFill(tie, Seq("k"), "ts", 10L, "v",
+        struct(col("ts"), col("pos")))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(t === Seq((1L, 0L, 2.0)))
+  }
+
   test("duplicated-span detection matches a brute-force scan; planted boilerplate surfaces") {
     val rnd = new scala.util.Random(7)
     val boiler = (0 until 12).map(i => s"b$i")
