@@ -485,6 +485,62 @@ object StressBench {
       val rows = JobLog.read(spark, log).get.count()
       println(s"[stress] job-log after 200 runs: $files files (bound 32), $rows rows intact")
     }
+
+    // r8: the two connected-components strategies at scale, on
+    // clique-shaped graphs (the LSH near-dup regime; 4-cliques, 6
+    // edges each). (a) A/B at 3M edges — ABOVE the collect gate —
+    // shows why the gate is conservative: driver union-find loses to
+    // the distributed loop there (measured 10.6 s vs 4.7 s; collect
+    // deserialization dominates), so canonicalAssignment must route
+    // big graphs to the loop. (b) Just under the 2^19 gate the
+    // union-find path must win and agree exactly.
+    locally {
+      val bigCliques = 500000L // 3M edges: distributed regime
+      def cliqueEdges(nc: Long) = spark.range(0, nc)
+        .select(col("id").as("c"),
+          explode(expr("array(struct(0,1),struct(0,2),struct(0,3)," +
+            "struct(1,2),struct(1,3),struct(2,3))")).as("e"))
+        .select((col("c") * 4 + col("e.col1")).as("id_a"),
+          (col("c") * 4 + col("e.col2")).as("id_b"))
+        .localCheckpoint(true)
+      val big3m = cliqueEdges(bigCliques)
+      val losersUf = time(s"components: 3M edges, FORCED driver union-find (A/B)") {
+        graft.ops.Clusters.connectedComponents(big3m, collectEdges = Long.MaxValue)
+          .filter(col("id") =!= col("cluster_id")).count()
+      }
+      val losersDist = time(s"components: 3M edges, distributed min-label loop (the default route)") {
+        graft.ops.Clusters.canonicalAssignment(big3m)
+          .filter(!col("is_canonical")).count()
+      }
+      assert(losersUf == bigCliques * 3 && losersDist == bigCliques * 3,
+        s"strategies must agree: uf=$losersUf dist=$losersDist")
+      val smallCliques = 80000L // 480k edges: just under the 2^19 gate
+      val small = cliqueEdges(smallCliques)
+      val losersSmall = time(s"components: 480k edges, union-find gate (the default route)") {
+        graft.ops.Clusters.canonicalAssignment(small)
+          .filter(!col("is_canonical")).count()
+      }
+      assert(losersSmall == smallCliques * 3)
+    }
+
+    // r8: gapFill at 10M observations — per-(key,bucket) agg + grid
+    // explode + one window over the bounded grid; the probe asserts
+    // the output is grid-sized (keys × span/step), not
+    // observation-sized, and that the fill is total.
+    locally {
+      val obs = big.select(col("user_id"), col(CdcEnvelope.TsCol).as("ts_us"),
+        col(CdcEnvelope.PosCol).as("pos"), col("value"))
+      val dayUs = 86400L * 1000000L
+      val filled = time("gapFill: daily grid over the 10M-row envelope") {
+        graft.ops.Temporal.gapFill(obs, Seq("user_id"), "ts_us", dayUs,
+          "value", struct(col("ts_us"), col("pos")))
+          .localCheckpoint(true)
+      }
+      val gridRows = filled.count()
+      val nulls = filled.filter(col("value").isNull).count()
+      println(s"[stress] gapFill grid: $gridRows rows (vs $n observations), $nulls unfilled")
+      assert(nulls == 0L, "fill must be total (grid starts at each key's first bucket)")
+    }
     spark.stop()
   }
 }

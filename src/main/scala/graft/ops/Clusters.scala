@@ -43,16 +43,20 @@ object Clusters {
     * exact union-find instead of the iterative Spark loop — the same
     * known-size gating philosophy as a broadcast-join threshold. A
     * near-dup pair graph is ≪ the corpus (it holds only docs with at
-    * least one duplicate), so in practice most dedup runs fit: 4M
-    * edges × 2 longs ≈ 64 MB on the driver, resolved in one collect
-    * + linear union-find instead of diameter× (shuffle-join +
-    * checkpoint + count) rounds — measured 2.0 s → 0.3 s on the
-    * sf0.1 gate's 441-edge graph, and the win GROWS under a
-    * contended scheduler (the r7 driver record charged 17 s to this
-    * loop's job overhead). Above the gate — the true 100 TB regime —
-    * the distributed loop runs unchanged.
+    * least one duplicate), so small-to-mid dedup runs fit: ≤ 2^19
+    * edges ≈ 8 MB collected, resolved in one collect + linear
+    * union-find instead of diameter× (shuffle-join + checkpoint +
+    * count) rounds — measured 2.0 s → 0.3 s on the sf0.1 gate's
+    * 441-edge graph, and the win GROWS under a contended scheduler
+    * (the r7 driver record charged 17 s to this loop's job
+    * overhead). The bound is deliberately conservative: collect-side
+    * row deserialization is the driver path's real cost, and a
+    * StressBench A/B at 3M clique edges measured union-find 10.6 s
+    * vs 4.7 s distributed — the crossover sits under a million
+    * edges, so big graphs (the true 100 TB regime) take the
+    * distributed loop.
     */
-  val CollectEdgesThreshold: Long = 1L << 22
+  val CollectEdgesThreshold: Long = 1L << 19
 
   /** (id_a, id_b) undirected pairs → (id, cluster_id) with
     * cluster_id = min node id of the component. Only nodes that
