@@ -122,7 +122,11 @@ object ChangeFeed {
         col(dataCol).as(CdcEnvelope.DataCol)): _*)
   }
 
-  /** The driver's events parquet as a change feed (SURVEY.md §4). */
+  /** The driver's events parquet as a change feed (SURVEY.md §4).
+    * `tsToNanos` absorbs the dataset's ts-column generation (nanos
+    * read as BIGINT vs TIMESTAMP micros) before the envelope mapping.
+    */
   def eventsParquet(spark: SparkSession, dir: String): DataFrame =
-    CdcEnvelope.fromEvents(spark.read.parquet(s"$dir/events.parquet"))
+    CdcEnvelope.fromEvents(graft.Tables.tsToNanos(
+      spark.read.parquet(s"$dir/events.parquet")))
 }
