@@ -173,7 +173,15 @@ final case class CdcTableConfig(
       * `CdcPipeline.readRange`). Numeric or string columns only;
       * maintenance cost is one delta-sized scan+agg per publish.
       */
-    statsCols: Seq[String] = Nil) {
+    statsCols: Seq[String] = Nil,
+    /** Write-time data-quality expectations ([[Expectations]], A39):
+      * applied to every window's upsert rows after typed projection,
+      * BEFORE the merge/rollups/SCD2 history — warn-counted, dropped,
+      * quarantined under `_quarantine/w=<windowEnd>`, or batch-failing
+      * per each declaration's action. Deletes pass ungated (PK-only
+      * payload).
+      */
+    expectations: Seq[Expectations.Expectation] = Nil) {
   /** Target schema = pk ++ projected ++ passthrough columns. */
   def targetCols: Seq[String] =
     (pk ++ fieldSpecs.map(_.as) ++ passthrough).distinct
@@ -244,6 +252,31 @@ object CdcConfig {
         case _ => throw new IllegalArgumentException(
           s"rollup entry must be name:grp1+grp2:val1+val2[:min=a][:max=b]" +
             s"[:avg=e][:distinct=f], got: $entry")
+      }
+    }
+
+  /** Parse a config-table expectations list: entries separated by
+    * `;`, each `name@action@predicate` with action one of
+    * warn/drop/quarantine/fail — the predicate is everything after
+    * the second `@`, so it may itself contain `@` (string literals)
+    * but not `;`. Richer predicates are declared in code via
+    * [[Expectations.Expectation]].
+    */
+  def parseExpectations(s: String): Seq[Expectations.Expectation] =
+    s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
+      entry.split("@", 3) match {
+        case Array(name, action, pred) if pred.trim.nonEmpty =>
+          val act = action.trim.toLowerCase match {
+            case "warn" => Expectations.Warn
+            case "drop" => Expectations.Drop
+            case "quarantine" => Expectations.Quarantine
+            case "fail" => Expectations.Fail
+            case a => throw new IllegalArgumentException(
+              s"expectation action must be warn/drop/quarantine/fail, got: $a")
+          }
+          Expectations.Expectation(name.trim, pred.trim, act)
+        case _ => throw new IllegalArgumentException(
+          s"expectation entry must be name@action@predicate, got: $entry")
       }
     }
 
@@ -318,7 +351,8 @@ object CdcConfig {
         autoVacuumKeep = optBuckets("auto_vacuum_keep"),
         scd2 = opt("scd2").map(parseScd2),
         // data-skipping stats columns, same comma-list shape as pk
-        statsCols = opt("stats_cols").map(parsePk).getOrElse(Nil))
+        statsCols = opt("stats_cols").map(parsePk).getOrElse(Nil),
+        expectations = opt("expectations").map(parseExpectations).getOrElse(Nil))
     }
   }
 }

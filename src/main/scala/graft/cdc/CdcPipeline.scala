@@ -51,7 +51,8 @@ object CdcPipeline {
 
   final case class RunResult(
       status: String, inserted: Long, updated: Long, deleted: Long,
-      windowStartUs: Long, windowEndUs: Long, version: Long)
+      windowStartUs: Long, windowEndUs: Long, version: Long,
+      quarantined: Long = 0L)
 
   private val VersionFile = "_VERSION"
   private val ManifestFile = "_MANIFEST"
@@ -670,6 +671,71 @@ object CdcPipeline {
     }
   }
 
+  /** Apply cfg's write-time expectations ([[Expectations]], A39) to a
+    * projected change window/micro-batch: gates the UPSERT rows
+    * before anything downstream sees them — the returned clean set
+    * (plus the ungated deletes: they carry only the PK, so payload
+    * predicates would read NULL and quarantine every retraction)
+    * feeds the merge, the rollups AND the SCD2 history identically,
+    * so a quarantined row can never leak into any maintained surface.
+    * Quarantined rows persist under `_quarantine/w=<windowKey>`
+    * (overwrite-idempotent per window). Throws
+    * [[Expectations.ExpectationFailedException]] when a Fail-actioned
+    * expectation is violated, BEFORE any write. Returns the gated
+    * frame and the quarantined-row count; identity when no
+    * expectations are declared.
+    */
+  private[graft] def gateExpectations(projected: DataFrame, cfg: CdcTableConfig,
+      windowKey: Long): (DataFrame, Long) =
+    if (cfg.expectations.isEmpty) (projected, 0L)
+    else {
+      val ups = projected.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete)
+      val dels = projected.filter(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete)
+      Expectations.check(ups, cfg.expectations, s"${cfg.targetDb}.${cfg.targetTable}")
+      val sp = Expectations.split(ups, cfg.expectations)
+      (sp.clean.unionByName(dels), writeQuarantine(sp.quarantined, cfg, windowKey))
+    }
+
+  /** Root of the target's quarantine area: one directory per merge
+    * window, named `w=<windowEndUs>` so partition discovery surfaces
+    * the window as a `w` column on read. The `_quarantine` prefix
+    * keeps it invisible to the target's `v\d+` version maintenance
+    * (like `_rollups`/`_clones`).
+    */
+  def quarantinePath(cfg: CdcTableConfig): String =
+    s"${cfg.targetPath}/_quarantine"
+
+  /** Persist a window's quarantined rows (with their
+    * [[Expectations.ViolationsCol]] diagnosis) under the target —
+    * overwrite of THIS window's directory, so a crash-replay of the
+    * window rewrites rather than duplicates (the same idempotence
+    * contract the merge itself has). Empty quarantine writes nothing.
+    * Returns the diverted row count.
+    */
+  private def writeQuarantine(quarantined: DataFrame, cfg: CdcTableConfig,
+      windowEndUs: Long): Long = {
+    val n = quarantined.count()
+    if (n > 0)
+      quarantined.write.mode(SaveMode.Overwrite)
+        .parquet(s"${quarantinePath(cfg)}/w=$windowEndUs")
+    n
+  }
+
+  /** Every quarantined row across all windows (None before the first
+    * non-empty quarantine): the input columns as they entered the
+    * gate, the violated-expectation names, and the discovered `w`
+    * window column — the debugging/backfill view: fix upstream,
+    * re-inject the rows, delete the window directory.
+    */
+  def readQuarantine(spark: SparkSession, cfg: CdcTableConfig): Option[DataFrame] = {
+    val root = quarantinePath(cfg)
+    if (StoreFs.listDirNames(root).exists(_.startsWith("w=")))
+      // partition inference types small keys INT; the window key
+      // contract is long (epoch-µs window end / batch id)
+      Some(spark.read.parquet(root).withColumn("w", col("w").cast("long")))
+    else None
+  }
+
   /** Directory of the maintained rollup `name` — itself a versioned
     * bucketed store (pointer, manifests, vacuum-able) nested under the
     * target, so the state shares the target's crash contract and a
@@ -846,9 +912,14 @@ object CdcPipeline {
     var changes: DataFrame = null
     try {
       val win = CdcEnvelope.window(source, startUs, nowUs, cfg.partitionField)
-      val projected = TypedProjection.project(win, CdcEnvelope.DataCol, cfg.fieldSpecs,
+      val projectedRaw = TypedProjection.project(win, CdcEnvelope.DataCol, cfg.fieldSpecs,
         keep = cfg.pk ++ Seq(CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
           CdcEnvelope.LoadTsCol) ++ cfg.passthrough)
+      // Write-time expectations (A39): Fail-actioned checks throw
+      // here, before any write, and land in the job log as a FAILED
+      // run via the catch below — the reference's all-or-nothing
+      // failure path.
+      val (projected, nQuarantined) = gateExpectations(projectedRaw, cfg, nowUs)
       changes = ChangeCompaction.compactForMerge(projected, cfg.pk).cache()
       val nUps = changes.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete).count()
       val nDel = changes.filter(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete).count()
@@ -883,7 +954,8 @@ object CdcPipeline {
       JobLog.append(spark, logDir, JobLog.RunRecord(
         java.util.UUID.randomUUID().toString, cfg.cdcTable, cfg.targetDb, cfg.targetTable,
         cdcStart, nowUs, nowUs, "SUCCESS", "", inserted, outcome.updated, nDel))
-      RunResult("SUCCESS", inserted, outcome.updated, nDel, startUs, nowUs, outcome.version)
+      RunResult("SUCCESS", inserted, outcome.updated, nDel, startUs, nowUs, outcome.version,
+        nQuarantined)
     } catch {
       case e: Throwable =>
         JobLog.append(spark, logDir, JobLog.RunRecord(

@@ -916,6 +916,44 @@ object CdcQueries {
        |  AND valid_from_us <= mn + 2 * (mx - mn) // 3
        |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
+  // A39: write-time expectations over the window's envelope rows —
+  // one quarantine-actioned, one drop-actioned, one warn-actioned
+  // declaration, all deterministic arithmetic so the oracle can
+  // restate them. The quarantine view carries EVERY violated name
+  // (sorted), the clean view proves warn keeps / drop removes.
+  private val expSpecs = Seq(
+    Expectations.Expectation("ev_mod10", "event_id % 10 != 0", Expectations.Quarantine),
+    Expectations.Expectation("ev_user97", "user_id % 97 != 13", Expectations.Drop),
+    Expectations.Expectation("ev_value_low", "value < 300", Expectations.Warn))
+
+  def cdcExpectations(s: SparkSession, d: String): DataFrame =
+    Expectations.split(CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1), expSpecs)
+      .quarantined
+      .select(col("event_id"), col("user_id"), col("value"),
+        array_join(col(Expectations.ViolationsCol), ",").as("violations"))
+      .orderBy(col("event_id"))
+
+  private val oExpectations =
+    s"""SELECT event_id, user_id, value,
+       |  concat_ws(',',
+       |    CASE WHEN NOT (event_id % 10 != 0) THEN 'ev_mod10' END,
+       |    CASE WHEN NOT (user_id % 97 != 13) THEN 'ev_user97' END,
+       |    CASE WHEN NOT (value < 300) THEN 'ev_value_low' END) AS violations
+       |FROM events WHERE $dWin AND event_id % 10 = 0
+       |ORDER BY event_id""".stripMargin
+
+  def cdcExpectationsClean(s: SparkSession, d: String): DataFrame =
+    Expectations.split(CdcEnvelope.eventsWindowed(T.events(s, d), W0, W1), expSpecs)
+      .clean
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(when(col("value") >= 300, 1L).otherwise(0L)).as("warn_kept"))
+
+  private val oExpectationsClean =
+    s"""SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(CASE WHEN value >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS warn_kept
+       |FROM events
+       |WHERE $dWin AND event_id % 10 != 0 AND user_id % 97 != 13""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(oParse)),
     QueryDef("cdc_scd2", cdcScd2, Some(oScd2)),
@@ -938,5 +976,7 @@ object CdcQueries {
     QueryDef("cdc_stats_prune", cdcStatsPrune, Some(oStatsPrune)),
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),
+    QueryDef("cdc_expectations", cdcExpectations, Some(oExpectations)),
+    QueryDef("cdc_expectations_clean", cdcExpectationsClean, Some(oExpectationsClean)),
   )
 }

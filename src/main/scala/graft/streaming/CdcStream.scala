@@ -52,7 +52,14 @@ object CdcStream {
     val scd2Stale = cfg.scd2.nonEmpty && Scd2Store.lastAppliedSeq(cfg) < batchId
     if (!targetFresh && !rollupsStale && !scd2Stale) false
     else {
-      val projected = projectBatch(batch, cfg)
+      // Write-time expectations gate the micro-batch exactly like the
+      // batch window (CdcPipeline.run): clean upserts + ungated
+      // deletes feed merge/rollups/history; quarantine is keyed on
+      // the batchId (one maintenance mode per target, so the window
+      // keys never mix), and a replayed batch overwrites its own
+      // quarantine directory instead of duplicating it.
+      val projected = CdcPipeline.gateExpectations(
+        projectBatch(batch, cfg), cfg, windowKey = batchId)._1
       val changes = ChangeCompaction.compactForMerge(projected, cfg.pk).cache()
       try {
         val deltaRows = changes.count()
