@@ -494,6 +494,80 @@ object CdcPipeline {
     }
   }
 
+  /** OPTIMIZE (A40) — rewrite the current snapshot's buckets with
+    * their rows CLUSTERED by `sortCols` (the Delta `OPTIMIZE …
+    * ZORDER BY` / Iceberg `rewrite_data_files` sort-order pattern on
+    * the bucketed store, single-dimension linear order):
+    *
+    *  - Within each rewritten bucket the rows are sorted by
+    *    `sortCols` and split at `maxRecordsPerFile`, so each file —
+    *    and each parquet ROW GROUP inside it — covers a tight,
+    *    near-disjoint range of the clustering column. Any later scan
+    *    with a pushed-down predicate on that column (every
+    *    `readRange` residual, every user filter) then skips whole
+    *    row groups via the footer stats Spark's parquet reader
+    *    already consults: bucket-level manifest pruning bounds WHICH
+    *    buckets are read, clustering bounds how much OF a read
+    *    bucket does I/O. At 100 TB that second level is the
+    *    difference between scanning a 100 GB bucket and its few
+    *    matching row groups.
+    *  - `sortCols` join the manifest's tracked stats columns for the
+    *    rewritten buckets, so readRange prunes on the clustered
+    *    column at bucket granularity too.
+    *  - Fragmentation repair: many small delta publishes leave a
+    *    bucket's rows in many small files; the rewrite compacts them
+    *    (small-file compaction is OPTIMIZE's original job).
+    *  - Clone localization: a shallow clone's absolute cross-store
+    *    references become local files, making the clone
+    *    self-contained without a deep copy (`buckets = None` rewrites
+    *    everything; afterwards the source pin can be dropped safely
+    *    — see `dropClonePin`).
+    *
+    * `buckets` restricts the rewrite (incremental OPTIMIZE — run it
+    * bucket-range by bucket-range on a huge target); untouched
+    * buckets carry forward by reference with their stats, exactly
+    * like a delta publish. Content is bit-identical by construction
+    * (same rows, same bucket routing — only order and file layout
+    * change), so every reader contract (readKeys routing, time
+    * travel, snapshotDiff) is unaffected. Publishes the next version;
+    * the previous one stays readable until vacuumed. Returns that
+    * version, None when the target doesn't exist.
+    */
+  def optimize(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      sortCols: Seq[String], maxRecordsPerFile: Long = 0L,
+      buckets: Option[Set[Int]] = None): Option[Long] = {
+    require(sortCols.nonEmpty, "optimize needs at least one clustering column")
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val chosen = buckets.fold(m.buckets.keySet)(_ intersect m.buckets.keySet)
+      val snap = readBuckets(spark, targetDir, m, chosen)
+      val next = currentVersion(targetDir).get + 1
+      val dir = s"$targetDir/v$next"
+      val writer = snap.withColumn(BucketCol, bucketExpr(pkCols, m.numBuckets))
+        .repartition(col(BucketCol))
+        // BucketCol leads the sort: a shuffle partition can hold
+        // several buckets (hash collision), and the dynamic-partition
+        // writer splits files per bucket value — leading with it keeps
+        // each bucket's rows contiguous so the per-bucket sortCols
+        // order survives into the files
+        .sortWithinPartitions((BucketCol +: sortCols).map(col): _*)
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
+      (if (maxRecordsPerFile > 0)
+        writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer).parquet(dir)
+      val carried = m.buckets -- chosen
+      val fresh = writtenBuckets(dir).map(_ -> s"v$next").toMap
+      // rewritten buckets: same rows, so previous stats still hold —
+      // but recompute for the union of tracked + clustering columns
+      // so the manifest index learns the new dimension
+      val trackCols = (m.stats.values.flatMap(_.keys).toSeq ++ sortCols).distinct
+      val freshStats = bucketStats(spark, dir, trackCols)
+      writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+        carried ++ fresh, (m.stats -- chosen) ++ freshStats))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+  }
+
   /** Garbage-collect version directories no longer reachable: a
     * version dir is LIVE iff it is the current version, one of the
     * `keepVersions` most recent (time-travel/reader grace window), or

@@ -790,6 +790,50 @@ object CdcQueries {
        |WHERE event_id BETWEEN mn + (mx - mn) // 3 AND mn + 2 * (mx - mn) // 3
        |ORDER BY user_id""".stripMargin
 
+  // A40 (r8): OPTIMIZE — same real two-version store as
+  // cdc_stats_prune but published WITHOUT any stats declaration, then
+  // optimize() clusters every bucket by event_id (small
+  // maxRecordsPerFile so buckets split into several range-tight
+  // files) and the manifest LEARNS the clustering column. The range
+  // read that follows can only prune through what optimize built, and
+  // its hash must equal the plain filter over the recomputed state —
+  // one compare covering content preservation, the learned stats
+  // index, and pruning honesty on the rewritten layout.
+  def cdcOptimize(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "optimize",
+      targetPath = Fixtures.dirs("optimize", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    CdcPipeline.optimize(s, cfg.targetPath, pk, Seq("event_id"),
+      maxRecordsPerFile = 500L) // v2: clustered + learned stats
+    val b = CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .agg(min("event_id"), max("event_id")).collect()(0)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    CdcPipeline.readRange(s, cfg.targetPath, "event_id",
+      Some(mn + (mx - mn) / 3), Some(mn + 2 * (mx - mn) / 3)).get
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oOptimize = oStatsPrune // same result contract, rebuilt layout
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -976,6 +1020,7 @@ object CdcQueries {
     QueryDef("cdc_stats_prune", cdcStatsPrune, Some(oStatsPrune)),
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),
+    QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_expectations", cdcExpectations, Some(oExpectations)),
     QueryDef("cdc_expectations_clean", cdcExpectationsClean, Some(oExpectationsClean)),
   )
