@@ -494,6 +494,75 @@ object CdcPipeline {
     }
   }
 
+  /** Predicate DELETE (A41) — the Delta `DELETE FROM … WHERE` shape
+    * on the bucketed store: ONE column-pruned scan of the snapshot
+    * finds the buckets that actually contain matching rows (and their
+    * match counts — the same find-touched-files pass Delta's DELETE
+    * runs), then ONLY those buckets are read full-width, filtered,
+    * and republished; every untouched bucket carries forward by
+    * manifest reference with its stats. Rewrite I/O ∝ affected
+    * buckets, not target size; a predicate matching nothing publishes
+    * nothing. A bucket whose every row matches drops out of the
+    * manifest entirely. Returns (new version, deleted-row count) —
+    * (current version, 0) for a no-match predicate. None when the
+    * target doesn't exist (or predates the manifest layout).
+    *
+    * This is the GDPR/retention path ("erase user X", "drop rows
+    * older than Y") the CDC merge can't express: a merge needs a
+    * change event per deleted PK, a predicate delete needs none.
+    */
+  def deleteWhere(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      predicate: Column): Option[(Long, Long)] =
+    rewriteWhere(spark, targetDir, pkCols, predicate)(_.filter(!predicate))
+
+  /** Predicate UPDATE (A41) — `UPDATE … SET col = expr WHERE pred`:
+    * same affected-bucket discovery and delta-publish as
+    * [[deleteWhere]]; matching rows take the SET expressions (cast to
+    * the column's stored type — assignments must not drift the
+    * schema), non-matching rows in rewritten buckets pass through
+    * bit-identical. SET must not touch PK columns: that's a
+    * delete+insert (the row would change buckets), which MERGE
+    * expresses and in-place rewrite must refuse.
+    */
+  def updateWhere(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      predicate: Column, set: Map[String, Column]): Option[(Long, Long)] = {
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    require(!set.keys.exists(pkCols.contains),
+      s"SET must not assign PK columns (${set.keys.filter(pkCols.contains).mkString(",")}): " +
+        "a PK change re-routes the row's bucket — express it as delete+insert via MERGE")
+    rewriteWhere(spark, targetDir, pkCols, predicate) { subset =>
+      val types = subset.schema.fields.map(f => f.name -> f.dataType).toMap
+      subset.select(subset.columns.map { c =>
+        set.get(c).map(e => when(predicate, e.cast(types(c))).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** Shared affected-bucket rewrite: find matching buckets + counts
+    * in one scan, apply `rewrite` to exactly those buckets, publish
+    * the rest by reference.
+    */
+  private def rewriteWhere(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      predicate: Column)(rewrite: DataFrame => DataFrame): Option[(Long, Long)] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
+      // one job: matching buckets AND their match counts. Catalyst
+      // prunes the scan to the predicate + PK columns.
+      val hits = snap.filter(predicate)
+        .groupBy(bucketExpr(pkCols, m.numBuckets).as("b")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (hits.isEmpty) (currentVersion(targetDir).get, 0L)
+      else {
+        val touched = hits.keySet
+        val subset = readBuckets(spark, targetDir, m, touched)
+        val statsCols = m.stats.values.flatMap(_.keys).toSeq.distinct
+        val next = publishDelta(rewrite(subset), targetDir, pkCols, m, touched,
+          batchId = -1L, statsCols)
+        (next, hits.values.sum)
+      }
+    }
+
   /** OPTIMIZE (A40) — rewrite the current snapshot's buckets with
     * their rows CLUSTERED by `sortCols` (the Delta `OPTIMIZE …
     * ZORDER BY` / Iceberg `rewrite_data_files` sort-order pattern on

@@ -834,6 +834,54 @@ object CdcQueries {
 
   private val oOptimize = oStatsPrune // same result contract, rebuilt layout
 
+  // A41 (r8): predicate DELETE + UPDATE on a real bucketed store —
+  // the GDPR/retention path the CDC merge can't express. Delete every
+  // 5th event_id, then bump k by 1000 on every 7th: the final
+  // snapshot must hash-match the oracle's filter+CASE over the
+  // recomputed state, whatever mix of rewritten/carried buckets
+  // serves it.
+  def cdcDeleteUpdate(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "delupd",
+      targetPath = Fixtures.dirs("delupd", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    CdcPipeline.deleteWhere(s, cfg.targetPath, pk, col("event_id") % 5 === 0) // v2
+    CdcPipeline.updateWhere(s, cfg.targetPath, pk, col("event_id") % 7 === 0,
+      Map("k" -> (col("k") + lit(1000L)))) // v3
+    CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oDeleteUpdate =
+    s"""WITH snap AS (SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd')
+       |SELECT user_id,
+       |  CASE WHEN event_id % 7 = 0 THEN k + 1000 ELSE k END AS k,
+       |  event_id, value
+       |FROM snap WHERE event_id % 5 != 0
+       |ORDER BY user_id""".stripMargin
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -1021,6 +1069,7 @@ object CdcQueries {
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
+    QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
     QueryDef("cdc_expectations", cdcExpectations, Some(oExpectations)),
     QueryDef("cdc_expectations_clean", cdcExpectationsClean, Some(oExpectationsClean)),
   )
