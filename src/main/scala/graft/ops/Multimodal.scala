@@ -237,6 +237,142 @@ object Multimodal {
     baos.toByteArray
   }
 
+  final case class VideoInfo(media_id: Long, width: Int, height: Int,
+    duration_ms: Long, brand: String)
+
+  /** Video container metadata from the ACTUAL bytes — a pure-JVM ISO
+    * BMFF (MP4/MOV/M4V) box-structure walk, no codec (only the box
+    * tree is read, never sample data — cheap at any blob size):
+    * `ftyp` major brand, `moov/mvhd` duration over timescale, and the
+    * first `moov/trak/tkhd` with a non-zero 16.16 fixed-point
+    * width/height (the video track; audio tracks carry 0×0). None for
+    * bytes that don't parse as BMFF (quarantine, as imageInfo /
+    * audioInfo). Box layout per ISO/IEC 14496-12.
+    */
+  def videoInfo(bytes: Array[Byte]): Option[(Int, Int, Long, String)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+      def str4(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // walk the box sequence in [lo, hi); returns (type, payloadFrom,
+      // payloadTo) triples
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var off = lo
+          def hasNext: Boolean = off + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val size32 = bb.getInt(off).toLong & 0xffffffffL
+            val tpe = str4(off + 4)
+            val (payload, end) =
+              if (size32 == 1) (off + 16, off + bb.getLong(off + 8)) // largesize
+              else if (size32 == 0) (off + 8, hi.toLong) // box extends to EOF
+              else (off + 8, off + size32)
+            require(end > off && end <= hi, s"box $tpe overruns")
+            val r = (tpe, payload, end.toInt)
+            off = end.toInt
+            r
+          }
+        }
+      def find(lo: Int, hi: Int, tpe: String): Option[(Int, Int)] =
+        boxes(lo, hi).collectFirst { case (`tpe`, p, e) => (p, e) }
+      val brand = find(0, bytes.length, "ftyp")
+        .map { case (p, _) => str4(p) }.getOrElse(return None)
+      val (moovP, moovE) = find(0, bytes.length, "moov").getOrElse(return None)
+      val durationMs = find(moovP, moovE, "mvhd").flatMap { case (p, _) =>
+        bb.get(p) match { // version byte
+          case 0 => Some((bb.getInt(p + 12).toLong & 0xffffffffL,
+            bb.getInt(p + 16).toLong & 0xffffffffL))
+          case 1 => Some((bb.getInt(p + 20).toLong & 0xffffffffL, bb.getLong(p + 24)))
+          case _ => None
+        }
+      }.collect { case (scale, dur) if scale > 0 => dur * 1000L / scale }
+        .getOrElse(return None)
+      // first trak whose tkhd has non-zero dimensions = the video track
+      val dims = boxes(moovP, moovE).collect { case ("trak", tp, te) =>
+        find(tp, te, "tkhd").flatMap { case (p, _) =>
+          val fixedOff = bb.get(p) match {
+            case 0 => p + 76 // v0: 4+4+4+4+4 + 8 + 2+2+2+2 + 36
+            case 1 => p + 88 // v1: 64-bit times
+            case _ => return None
+          }
+          val w = bb.getInt(fixedOff) >>> 16 // 16.16 fixed → integer part
+          val h = bb.getInt(fixedOff + 4) >>> 16
+          if (w > 0 && h > 0) Some((w, h)) else None
+        }
+      }.flatten.nextOption().getOrElse(return None)
+      Some((dims._1, dims._2, durationMs, brand))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** (media_id, width, height, duration_ms, brand) per parseable
+    * video blob — the video twin of [[extractDims]]/[[extractAudioInfo]]:
+    * box-tree parse only, undecodable rows quarantined.
+    */
+  def extractVideoInfo(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoInfo(bytes).map { case (w, h, d, b) => VideoInfo(id, w, h, d, b) }
+      }).toDF()
+  }
+
+  /** Deterministic minimal ISO BMFF fixture: `ftyp` +
+    * `moov(mvhd + trak(tkhd))`, no media data — every byte hand-built
+    * per 14496-12 (there is no JDK MP4 writer to round-trip through),
+    * so the gate proves the box walk against the real container
+    * layout: sizes, versions, the 16.16 fixed-point dims, the
+    * duration/timescale division.
+    */
+  def synthMp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+        .put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put("isom".getBytes).putInt(512).put("mp41".getBytes)
+      bb.array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100) // version 0 payload
+      bb.putInt(0) // version+flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(1000) // timescale: ms
+        .putInt(durationMs.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+        .putInt(0).putInt(0) // reserved
+      // identity matrix
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2) // next_track_ID
+      bb.array()
+    })
+    val tkhd = box("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(84) // version 0 payload
+      bb.putInt(0x000007) // version 0, flags: enabled|in_movie|in_preview
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(1) // track_ID
+        .putInt(0) // reserved
+        .putInt(durationMs.toInt)
+        .putLong(0L) // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, volume, reserved
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      bb.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
+
   /** Per-partition batched feature extraction. `targetPartitionBytes`
     * re-splits by payload volume first so decode tasks are balanced
     * regardless of blob-size skew. Typed Dataset mapPartitions (not

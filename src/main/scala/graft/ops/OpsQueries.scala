@@ -1156,9 +1156,42 @@ object OpsQueries {
       |FROM documents WHERE doc_id % 11 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // C12c: the video modality probe, same gate shape as
+  // multimodal_audio — hand-built ISO BMFF containers with arithmetic
+  // dims/duration per doc_id, box-walked back; the oracle predicts
+  // every parsed field in SQL, so a broken walk (or a stub) breaks
+  // the hash.
+  def multimodalVideo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 13 === 0)
+      .as[Long]
+      .map { id =>
+        (id, "video/mp4",
+          Multimodal.synthMp4((320 + (id % 8) * 160).toInt,
+            (180 + (id % 8) * 90).toInt, 1000L + (id % 120) * 500L))
+      }
+      .toDF("media_id", "media_type", "bytes")
+    Multimodal.extractVideoInfo(media)
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        col("duration_ms"), col("brand"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oMultimodalVideo =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(320 + (doc_id % 8) * 160 AS INT) AS width,
+      |  CAST(180 + (doc_id % 8) * 90 AS INT) AS height,
+      |  CAST(1000 + (doc_id % 120) * 500 AS BIGINT) AS duration_ms,
+      |  'isom' AS brand
+      |FROM documents WHERE doc_id % 13 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),
     QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
+    QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
     QueryDef("dedup_minhash_incremental", dedupMinhashIncremental, None),

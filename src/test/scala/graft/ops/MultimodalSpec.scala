@@ -140,4 +140,24 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
     assert(got.toSeq === Seq((1L, 8000, 1, 100L, "pcm_signed")))
   }
+
+  test("synthMp4/videoInfo/extractVideoInfo: BMFF box walk roundtrip") {
+    val mp4 = Multimodal.synthMp4(640, 360, 5000L)
+    assert(Multimodal.videoInfo(mp4) === Some((640, 360, 5000L, "isom")))
+    // non-BMFF bytes quarantine, never throw — including truncated
+    // boxes and payloads from the OTHER modalities
+    assert(Multimodal.videoInfo(Multimodal.synthPng(4, 4, 0)) === None)
+    assert(Multimodal.videoInfo(Multimodal.synthWav(8000, 1, 10)) === None)
+    assert(Multimodal.videoInfo(Array[Byte](0, 0, 0, 9, 'f', 't', 'y', 'p')) === None)
+    assert(Multimodal.videoInfo(mp4.take(20)) === None)
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "video/mp4", Multimodal.synthMp4(1920, 1080, 60000L), 0, 0),
+      Row(2L, "video/mp4", Array[Byte](9, 9, 9, 9), 0, 0)) // undecodable
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.extractVideoInfo(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq((1L, 1920, 1080, 60000L, "isom")))
+  }
 }
