@@ -549,6 +549,28 @@ object OpsQueries {
        |  len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // C39: char-trigram LM scoring — the integer evidence sums are the
+  // hash-gated surface (float bits_per_char is spec-gated; log isn't
+  // cross-engine bit-stable). Self-scoring: the model is the corpus.
+  def textLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charLmScore(T.documents(s, d))
+      .select(col("doc_id"), col("n_pos"), col("sum_cg"), col("sum_cc"))
+      .orderBy(col("doc_id"))
+
+  private val oTextLmScore =
+    """WITH raw AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, i::INT, 3))) AS g
+      |  FROM documents WHERE length(text) >= 3),
+      |pos AS (SELECT doc_id, g, substr(g, 1, 2) AS c FROM raw),
+      |cg AS (SELECT g, count(*) AS cg FROM pos GROUP BY g),
+      |cc AS (SELECT c, count(*) AS cc FROM pos GROUP BY c)
+      |SELECT p.doc_id, count(*) AS n_pos,
+      |  CAST(sum(cg.cg) AS BIGINT) AS sum_cg,
+      |  CAST(sum(cc.cc) AS BIGINT) AS sum_cc
+      |FROM pos p JOIN cg USING (g) JOIN cc USING (c)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1226,6 +1248,7 @@ object OpsQueries {
     QueryDef("text_decontaminate_filtered", textDecontaminateFiltered, Some(oTextDecontaminateFiltered)),
     QueryDef("text_heavy_hitters", textHeavyHitters, Some(oTextHeavyHitters)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
+    QueryDef("text_lm_score", textLmScore, Some(oTextLmScore)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

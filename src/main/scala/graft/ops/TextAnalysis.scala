@@ -252,6 +252,56 @@ object TextAnalysis {
   }
 
   /** Character codes of `text`, in order. */
+  /** Char-n-gram LM quality scoring (C39) — the CCNet/KenLM-style
+    * filter between crawling and training: score each document by how
+    * surprising its character sequence is under a corpus-wide n-gram
+    * model, then drop the tails (gibberish scores high, boilerplate
+    * scores low). The model here IS the corpus being scored (the
+    * common self-scoring setup; pass a reference corpus as `model` to
+    * score against held-out counts).
+    *
+    * Per position i: P(cₙ | c₁..cₙ₋₁) = cg(gram) / cc(ctx), MLE over
+    * the model corpus — every numerator/denominator an exact integer
+    * count. Output per doc: `n_pos` positions, the exact integer
+    * `sum_cg`/`sum_cc` evidence sums (hash-gateable), and the float
+    * convenience `bits_per_char` = avg −log₂ P (spec-gated with
+    * tolerance; float log is not cross-engine bit-stable).
+    *
+    * Scale shape: ONE explode of the corpus into (doc, gram)
+    * positions; the model is two hash aggregations of that same
+    * explode (gram counts, ctx counts — each bounded by the distinct
+    * n-gram vocabulary, charset^n worst case, far below corpus size);
+    * scoring joins positions to the two model tables on the gram/ctx
+    * key (AQE broadcasts them when small) and finishes with one
+    * per-doc hash agg with map-side combine. No windows, no
+    * per-doc state. Production would join on xxhash64(gram) to cut
+    * shuffle width — raw strings here keep the oracle exact (the C38
+    * note).
+    */
+  def charLmScore(docs: DataFrame, model: Option[DataFrame] = None,
+      n: Int = 3): DataFrame = {
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN length(text) < $n THEN array()
+           |ELSE transform(sequence(1, length(text) - ${n - 1}),
+           |  i -> substring(text, i, $n)) END""".stripMargin)).as("g"))
+      .withColumn("c", substring(col("g"), 1, n - 1))
+    val pos = positions(docs)
+    val modelPos = model.map(positions).getOrElse(pos)
+    val cg = modelPos.groupBy("g").agg(count(lit(1)).as("cg"))
+    val cc = modelPos.groupBy("c").agg(count(lit(1)).as("cc"))
+    // inner joins: a gram absent from the model (impossible when
+    // self-scoring) drops the position — P=0 has no finite score;
+    // n_pos counts only scored positions so the caller can see loss
+    pos.join(cg, Seq("g")).join(cc, Seq("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("cg")).as("sum_cg"),
+        sum(col("cc")).as("sum_cc"),
+        avg(log2(col("cc").cast("double") / col("cg").cast("double")))
+          .as("bits_per_char"))
+  }
+
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
 

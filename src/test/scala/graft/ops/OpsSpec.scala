@@ -533,4 +533,38 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id", "n_grams", "n_dup").as[(Long, Long, Long)].collect().toSet
     assert(cov === covTruth)
   }
+
+  test("charLmScore: MLE trigram math vs a local reference; held-out model drops unseen grams") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcabc"), (2L, "abcd"), (3L, "xy")).toDF("doc_id", "text")
+    // local reference over the same corpus
+    val corpus = Seq("abcabc", "abcd")
+    def gramsOf(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val all = (corpus :+ "xy").flatMap(gramsOf) // doc 3 contributes nothing
+    val cg = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = all.groupBy(_.take(2)).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysis.charLmScore(docs)
+      .select("doc_id", "n_pos", "sum_cg", "sum_cc", "bits_per_char")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(3L), "sub-n docs have no positions")
+    Seq(1L -> "abcabc", 2L -> "abcd").foreach { case (id, t) =>
+      val gs = gramsOf(t)
+      val (exp1, exp2) = (gs.map(cg).sum, gs.map(g => cc(g.take(2))).sum)
+      val expBits = gs.map(g => math.log(cc(g.take(2)).toDouble / cg(g)) / math.log(2.0))
+        .sum / gs.size
+      val (_, nPos, sumCg, sumCc, bits) = got(id)
+      assert(nPos === gs.size.toLong && sumCg === exp1 && sumCc === exp2)
+      assert(math.abs(bits - expBits) < 1e-9, s"doc $id bits")
+    }
+    // held-out model: doc grams absent from the model drop out and
+    // n_pos shrinks accordingly (P=0 has no finite score)
+    val model = Seq((10L, "abcd")).toDF("doc_id", "text")
+    val held = TextAnalysis.charLmScore(docs, Some(model))
+      .select("doc_id", "n_pos").as[(Long, Long)].collect().toMap
+    // model grams: abc, bcd. doc1 "abcabc": positions abc,bca,cab,abc → only 2 score
+    assert(held(1L) === 2L)
+    assert(held(2L) === 2L) // abc, bcd both in model
+  }
 }
