@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, NumericType, StringType, StructType}
 
 /** One incremental merge run — the whole of the reference procedure
   * `PS_SP_ETL_MERGE_JOB` (bigquery_syntex_merge_sql/merge.sql) /
@@ -415,6 +415,35 @@ object CdcPipeline {
           .select(image :+ col(CdcEnvelope.OpCol): _*))
       case _ => None
     }
+
+  /** Multi-version change feed (A42) — Delta's
+    * `table_changes(t, fromVersion, toVersion)` on the versioned
+    * store: the per-commit row-level changes of every version step in
+    * (fromVersion, toVersion], each op-tagged row carrying the
+    * `_commit_version` that produced it, in one DataFrame a
+    * downstream consumer can replay commit by commit (filter on
+    * `_commit_version`, order by it). Composes [[snapshotDiff]] per
+    * step, so each step reads ONLY the buckets its two manifests
+    * disagree on — total I/O ∝ what actually changed across the
+    * range, never #steps × target. None when any version in the range
+    * was vacuumed away (a partial feed would silently lie about the
+    * missing commits); an empty range is an empty feed.
+    */
+  def readChangeFeed(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val steps = (fromVersion until toVersion).map { v =>
+      snapshotDiff(spark, targetDir, v, v + 1, pkCols)
+        .map(_.withColumn("_commit_version", lit(v + 1)))
+    }
+    if (steps.exists(_.isEmpty)) None
+    else if (steps.isEmpty)
+      manifest(targetDir, toVersion).map(m =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          m.schema.add(CdcEnvelope.OpCol, StringType).add("_commit_version", LongType)))
+    else Some(steps.flatten.reduce(_ unionByName _))
+  }
 
   /** Publish `df` as the next FULL snapshot version and move the
     * pointer: every bucket is written and the manifest points them

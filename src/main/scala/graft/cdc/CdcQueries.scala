@@ -790,6 +790,79 @@ object CdcQueries {
        |WHERE event_id BETWEEN mn + (mx - mn) // 3 AND mn + 2 * (mx - mn) // 3
        |ORDER BY user_id""".stripMargin
 
+  // A42 (r8): multi-version change feed — THREE committed versions
+  // (bootstrap publish + two incremental merges), then
+  // readChangeFeed(0, 2) replays both commits in one op-tagged,
+  // version-stamped frame. The oracle recomputes the three snapshots
+  // and unions the two full-outer diffs, so the hash pins per-commit
+  // membership, op tags, row images AND the version stamps.
+  def cdcChangeFeed(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "changefeed",
+      targetPath = Fixtures.dirs("changefeed", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val W2 = CdcEnvelope.epochUs("2024-01-30T00:00:00Z")
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    CdcPipeline.publish(SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols),
+      cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    val chg2 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W1, W2)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg2, chg2.count()) // v2
+    CdcPipeline.readChangeFeed(s, cfg.targetPath, pk, 0L, 2L).get
+      .withColumnRenamed(CdcEnvelope.OpCol, "op")
+      .select("user_id", "k", "event_id", "value", "op", "_commit_version")
+      .orderBy(col("_commit_version"), col("user_id"))
+  }
+
+  /** One per-commit diff of the oracle: snapshots as of `t0`/`t1`
+    * (ISO dates), full-outer joined on user_id, changed rows only,
+    * stamped `cv`.
+    */
+  private def oDiffStep(t0: String, t1: String, cv: Int): String =
+    s"""SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       |  coalesce(a.k, b.k) AS k,
+       |  coalesce(a.event_id, b.event_id) AS event_id,
+       |  coalesce(a.value, b.value) AS value,
+       |  CASE WHEN b.user_id IS NULL THEN 'i'
+       |       WHEN a.user_id IS NULL THEN 'd'
+       |       ELSE 'u' END AS op,
+       |  CAST($cv AS BIGINT) AS _commit_version
+       |FROM (SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$t0') h
+       |  WHERE rn = 1 AND op != 'd') b
+       |FULL OUTER JOIN (SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$t1') h
+       |  WHERE rn = 1 AND op != 'd') a
+       |ON b.user_id = a.user_id
+       |WHERE b.user_id IS NULL OR a.user_id IS NULL
+       |   OR b.k IS DISTINCT FROM a.k
+       |   OR b.event_id IS DISTINCT FROM a.event_id
+       |   OR b.value IS DISTINCT FROM a.value""".stripMargin
+
+  private val oChangeFeed =
+    s"""SELECT * FROM (${oDiffStep("2024-01-10", "2024-01-20", 1)}
+       |UNION ALL
+       |${oDiffStep("2024-01-20", "2024-01-30", 2)}) t
+       |ORDER BY _commit_version, user_id""".stripMargin
+
   // A40 (r8): OPTIMIZE — same real two-version store as
   // cdc_stats_prune but published WITHOUT any stats declaration, then
   // optimize() clusters every bucket by event_id (small
@@ -1070,6 +1143,7 @@ object CdcQueries {
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
+    QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),
     QueryDef("cdc_expectations", cdcExpectations, Some(oExpectations)),
     QueryDef("cdc_expectations_clean", cdcExpectationsClean, Some(oExpectationsClean)),
   )

@@ -122,6 +122,36 @@ class ChangeFeedsSpec extends AnyFunSuite {
     assert(rdiff.forall(_.last != null), "every rollup diff row is op-tagged")
   }
 
+  test("readChangeFeed: per-commit union equals the per-step diffs; vacuumed range → None") {
+    val target = tmp(); val log = tmp()
+    val c = cfg(target)
+    CdcPipeline.run(spark, c, env(win1), log, 1000L) // v0
+    CdcPipeline.run(spark, c, env(win2), log, 2000L) // v1
+    CdcPipeline.run(spark, c, env(win3), log, 3000L) // v2
+    val feed = CdcPipeline.readChangeFeed(spark, target, Seq("user_id"), 0L, 2L).get
+    val expect = (0L until 2L).flatMap { v =>
+      CdcPipeline.snapshotDiff(spark, target, v, v + 1, Seq("user_id")).get
+        .collect().map(_.toSeq :+ (v + 1))
+    }.toSet
+    assert(feed.collect().map(_.toSeq).toSet === expect)
+    // w2 commits 2 updates; w3 one update + one delete, all stamped
+    assert(feed.filter(col("_commit_version") === 1L).count() === 2)
+    assert(feed.filter(col("_commit_version") === 2L &&
+      col(CdcEnvelope.OpCol) === "d").count() === 1)
+    // empty range: zero rows, schema intact
+    val empty = CdcPipeline.readChangeFeed(spark, target, Seq("user_id"), 1L, 1L).get
+    assert(empty.count() === 0 && empty.columns.contains("_commit_version"))
+    // delta publishes carry buckets by reference, so vacuum keeps old
+    // version dirs (and their manifests) alive — the feed stays
+    // readable. A full local rewrite (optimize) + vacuum to 1 version
+    // genuinely retires v0..v2: the feed then refuses the whole
+    // range rather than serving a partial one.
+    CdcPipeline.optimize(spark, target, Seq("user_id"), Seq("k")) // v3, all local
+    CdcPipeline.vacuum(target, keepVersions = 1)
+    assert(CdcPipeline.manifest(target, 0).isEmpty, "v0 must be gone")
+    assert(CdcPipeline.readChangeFeed(spark, target, Seq("user_id"), 0L, 3L).isEmpty)
+  }
+
   test("snapshot-diff cursor: a vacuumed base version fails loudly, never silently skips spans") {
     val target = tmp(); val log = tmp()
     // one bucket: every publish rewrites it, so no version survives by
