@@ -623,6 +623,32 @@ object Relational {
       |       WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // B30 (r8): ordered string aggregation (SQL LISTAGG / string_agg
+  // WITHIN GROUP) — the "journey string" pattern: each user's event
+  // types concatenated in (ts, event_id) order. Spark has no ordered
+  // string_agg aggregate; the scale-correct shape is ONE hash agg
+  // collecting (ts, pos, val) structs + a codegen'd per-GROUP
+  // array_sort/transform/join — per-group state ∝ group size, no
+  // window over the whole table, no second shuffle. Sub-sampled to
+  // every 10th user to keep the gate output bounded.
+  def qStringAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("user_id") % 10 === 0)
+    ev.groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("xs"))
+      .select(col("user_id"),
+        concat_ws(",", expr("transform(array_sort(xs), x -> x.event_type)"))
+          .as("journey"),
+        size(col("xs")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val oStringAgg =
+    """SELECT user_id,
+      |  string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+      |  count(*) AS n_events
+      |FROM events WHERE user_id % 10 = 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -647,6 +673,7 @@ object Relational {
     QueryDef("q_explode_ordinality", qExplodeOrdinality, Some(oExplodeOrdinality)),
     QueryDef("q_range_window", qRangeWindow, Some(oRangeWindow)),
     QueryDef("q_lag_lead", qLagLead, Some(oLagLead)),
+    QueryDef("q_string_agg", qStringAgg, Some(oStringAgg)),
     QueryDef("q_unpivot", qUnpivot, Some(oUnpivot)),
     QueryDef("q_agg_filter", qAggFilter, Some(oAggFilter)),
     QueryDef("q_scalar_subquery", qScalarSubquery, Some(oScalarSubquery)),
