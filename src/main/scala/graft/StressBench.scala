@@ -541,6 +541,48 @@ object StressBench {
       println(s"[stress] gapFill grid: $gridRows rows (vs $n observations), $nulls unfilled")
       assert(nulls == 0L, "fill must be total (grid starts at each key's first bucket)")
     }
+    // r8: store maintenance at 10M rows — publish a 64-bucket store
+    // of the full envelope (PK = user_id+pos, every row distinct),
+    // then (a) OPTIMIZE clustered by event time: the same selective
+    // time-range read must return identical rows and get cheaper via
+    // parquet row-group skip (time is hash-uncorrelated with the PK
+    // buckets, so bucket pruning can't help — the speedup isolates
+    // the clustering); (b) deleteWhere on a 3-key predicate must
+    // rewrite ONLY the buckets those keys hash to, carrying the rest.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stress-store").toString
+      val pk = Seq("user_id", CdcEnvelope.PosCol)
+      val snap = big.select(col("user_id"), col(CdcEnvelope.PosCol),
+        col(CdcEnvelope.TsCol).as("ts_us"), col("value"), col("event_id"))
+      time("store publish: 10M rows, 64 buckets") {
+        CdcPipeline.publish(snap, dir, pk, buckets = Some(64))
+      }
+      val b = snap.agg(min("ts_us"), max("ts_us")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 20)
+      def rangeCount(): Long =
+        CdcPipeline.readRange(spark, dir, "ts_us", Some(lo), Some(hi)).get.count()
+      val preCount = time("range read (5% time slice), pre-optimize")(rangeCount())
+      time("optimize: cluster 64 buckets by ts_us, 200k rows/file") {
+        CdcPipeline.optimize(spark, dir, pk, Seq("ts_us"), maxRecordsPerFile = 200000L)
+      }
+      val postCount = time("range read (5% time slice), post-optimize")(rangeCount())
+      assert(preCount == postCount, s"optimize changed results: $preCount vs $postCount")
+      val keys = snap.select("user_id", CdcEnvelope.PosCol).limit(3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val keyPred = keys.map { case (u, p) =>
+        col("user_id") === u && col(CdcEnvelope.PosCol) === p }.reduce(_ || _)
+      val vBefore = CdcPipeline.currentVersion(dir).get
+      val (vAfter, nDel) = time("deleteWhere: 3 specific PKs out of 10M") {
+        CdcPipeline.deleteWhere(spark, dir, pk, keyPred).get
+      }
+      val mPrev = CdcPipeline.manifest(dir, vBefore).get
+      val mNext = CdcPipeline.manifest(dir, vAfter).get
+      val rewritten = mNext.buckets.count { case (bk, v) => !mPrev.buckets.get(bk).contains(v) }
+      println(s"[stress] deleteWhere: $nDel rows deleted, $rewritten/64 buckets rewritten")
+      assert(nDel == 3 && rewritten <= 3,
+        s"rewrite must be bounded by the keys' buckets: $rewritten")
+      StoreFs.deleteRecursive(dir)
+    }
     spark.stop()
   }
 }
