@@ -635,6 +635,78 @@ object CdcPipeline {
       sortCols: Seq[String], maxRecordsPerFile: Long = 0L,
       buckets: Option[Set[Int]] = None): Option[Long] = {
     require(sortCols.nonEmpty, "optimize needs at least one clustering column")
+    optimizeBy(spark, targetDir, pkCols, sortCols.map(col), sortCols,
+      maxRecordsPerFile, buckets)
+  }
+
+  /** Multi-dimension OPTIMIZE (A43) — Delta `ZORDER BY (a, b, …)`:
+    * clusters each bucket along the Z-ORDER CURVE of 2–4 columns
+    * instead of a linear sort. A linear sort by (a, b) gives files
+    * tight in `a` but spanning ALL of `b`; the Z-curve interleaves the
+    * dimensions' bits, so every file covers a small hyper-rectangle
+    * and range reads filtered on ANY clustered dimension skip row
+    * groups — the layout for "filter sometimes by time, sometimes by
+    * key, sometimes both".
+    *
+    * Key construction (all codegen'd, no UDF): each dimension is
+    * min/max-scaled to a 16-bit rank (one config-sized bounds agg
+    * over the chosen buckets — the Delta-style approximation;
+    * monotone in the original value, which is all a sort key needs),
+    * bits spread by the constant-mask shift cascade, then interleaved
+    * into one long. All clustered dims join the manifest stats index.
+    * Numeric or timestamp-like (castable-to-double) dims only.
+    */
+  def optimizeZorder(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      zCols: Seq[String], maxRecordsPerFile: Long = 0L,
+      buckets: Option[Set[Int]] = None): Option[Long] = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"zorder interleaves 2-4 dimensions, got ${zCols.size}")
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).flatMap { m =>
+      val chosen = buckets.fold(m.buckets.keySet)(_ intersect m.buckets.keySet)
+      val snap = readBuckets(spark, targetDir, m, chosen)
+      optimizeBy(spark, targetDir, pkCols, Seq(zorderKey(snap, zCols)), zCols,
+        maxRecordsPerFile, Some(chosen))
+    }
+  }
+
+  /** The interleaved Z-key of `zCols` over df's value ranges: one
+    * bounds agg, then a pure column expression.
+    */
+  private[graft] def zorderKey(df: DataFrame, zCols: Seq[String]): Column = {
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val dims = zCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      // 16-bit rank, clamped; NULLs rank 0 (sort first, like NULLS FIRST)
+      val rank = coalesce(
+        least(greatest(((col(c).cast("double") - lit(mn)) / lit(span) * lit(65535.0))
+          .cast("long"), lit(0L)), lit(65535L)), lit(0L))
+      spreadBits(rank, zCols.size)
+    }
+    dims.zipWithIndex.map { case (d, i) => shiftleft(d, i) }
+      .reduce((a, b) => a.bitwiseOR(b)).as("_z")
+  }
+
+  /** Spread a 16-bit value's bits `stride` apart — bit j of the input
+    * lands at position j·stride (the morton spread for any 2–4 dim
+    * count). Unrolled to 16 shift/mask/or terms: one flat codegen'd
+    * long expression, no UDF, no loop at runtime.
+    */
+  private def spreadBits(v: Column, stride: Int): Column =
+    if (stride == 1) v
+    else (0 until 16).map { j =>
+      shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), j * stride)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Shared clustered-rewrite core of [[optimize]]/[[optimizeZorder]]:
+    * sort the chosen buckets by `sortExprs`, track `trackCols` in the
+    * manifest stats.
+    */
+  private def optimizeBy(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      sortExprs: Seq[Column], trackColsNew: Seq[String], maxRecordsPerFile: Long,
+      buckets: Option[Set[Int]]): Option[Long] =
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val chosen = buckets.fold(m.buckets.keySet)(_ intersect m.buckets.keySet)
       val snap = readBuckets(spark, targetDir, m, chosen)
@@ -645,9 +717,9 @@ object CdcPipeline {
         // BucketCol leads the sort: a shuffle partition can hold
         // several buckets (hash collision), and the dynamic-partition
         // writer splits files per bucket value — leading with it keeps
-        // each bucket's rows contiguous so the per-bucket sortCols
-        // order survives into the files
-        .sortWithinPartitions((BucketCol +: sortCols).map(col): _*)
+        // each bucket's rows contiguous so the per-bucket sort order
+        // survives into the files
+        .sortWithinPartitions(col(BucketCol) +: sortExprs: _*)
         .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
       (if (maxRecordsPerFile > 0)
         writer.option("maxRecordsPerFile", maxRecordsPerFile)
@@ -656,15 +728,14 @@ object CdcPipeline {
       val fresh = writtenBuckets(dir).map(_ -> s"v$next").toMap
       // rewritten buckets: same rows, so previous stats still hold —
       // but recompute for the union of tracked + clustering columns
-      // so the manifest index learns the new dimension
-      val trackCols = (m.stats.values.flatMap(_.keys).toSeq ++ sortCols).distinct
+      // so the manifest index learns the new dimension(s)
+      val trackCols = (m.stats.values.flatMap(_.keys).toSeq ++ trackColsNew).distinct
       val freshStats = bucketStats(spark, dir, trackCols)
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         carried ++ fresh, (m.stats -- chosen) ++ freshStats))
       swapPointer(targetDir, next, -1L)
       next
     }
-  }
 
   /** Garbage-collect version directories no longer reachable: a
     * version dir is LIVE iff it is the current version, one of the

@@ -102,6 +102,39 @@ class OptimizeSpec extends AnyFunSuite {
     assert(m.stats(0).contains("id") && m.stats(0).contains("v"))
   }
 
+  test("optimizeZorder: every clustered dimension gets locality; linear sort only the first") {
+    def twoDim(n: Int) = spark.range(0, n).select(col("id"),
+      pmod(hash(col("id"), lit(1)), lit(65536)).cast("long").as("a"),
+      pmod(hash(col("id"), lit(2)), lit(65536)).cast("long").as("b"))
+    def medianSpan(dir: String, version: Long, c: String): Double = {
+      val spans = (0 until 4).flatMap(b => bucketFiles(dir, version, b))
+        .flatMap(f => StoreFs.footerLongRange(f, c))
+        .map { case (lo, hi) => (hi - lo).toDouble / 65535.0 }.sorted
+      spans(spans.size / 2)
+    }
+    // linear sort by a: a tight per file, b spans everything
+    val lin = tmp()
+    CdcPipeline.publish(twoDim(20000), lin, Seq("id"), buckets = Some(4))
+    val vLin = CdcPipeline.optimize(spark, lin, Seq("id"), Seq("a"),
+      maxRecordsPerFile = 300L).get
+    assert(medianSpan(lin, vLin, "a") < 0.15, "linear: a must be tight")
+    assert(medianSpan(lin, vLin, "b") > 0.8, "linear: b spans ~everything")
+    // z-order by (a, b): BOTH dims bounded
+    val zo = tmp()
+    CdcPipeline.publish(twoDim(20000), zo, Seq("id"), buckets = Some(4))
+    val before = CdcPipeline.readSnapshot(spark, zo).get
+      .collect().map(_.toSeq).toSet
+    val vZ = CdcPipeline.optimizeZorder(spark, zo, Seq("id"), Seq("a", "b"),
+      maxRecordsPerFile = 300L).get
+    assert(medianSpan(zo, vZ, "a") < 0.5, "zorder: a bounded")
+    assert(medianSpan(zo, vZ, "b") < 0.5, "zorder: b bounded")
+    assert(CdcPipeline.readSnapshot(spark, zo).get.collect().map(_.toSeq).toSet === before,
+      "zorder must not change content")
+    // manifest learned BOTH dims
+    val m = CdcPipeline.manifest(zo, vZ).get
+    assert(m.stats.values.forall(s => s.contains("a") && s.contains("b")))
+  }
+
   test("optimize localizes a shallow clone's cross-store references") {
     val src = tmp(); val dst = tmp()
     CdcPipeline.publish(scrambled(2000), src, Seq("id"), buckets = Some(4))
