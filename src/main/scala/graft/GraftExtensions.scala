@@ -24,6 +24,7 @@ import graft.functions.{BoundedCollectLongPairs, CosineSimilarity, LatestByOrder
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberToLatestBy)
   }
 }
@@ -91,9 +92,89 @@ object GraftExtensions {
           s"bloom_might_contain filter must be a binary literal, got $other")
       })))
 
+  // ---- table-valued functions: the versioned store in plain SQL ----
+  //
+  // `SELECT * FROM graft_snapshot('/path')`, time travel via
+  // `graft_snapshot_at(path, v)`, stat-pruned range reads via
+  // `graft_range(path, col, lo, hi)`, the commit-stamped feed via
+  // `graft_change_feed(path, 'pk1,pk2', fromV, toV)`. Each builder
+  // resolves at ANALYSIS time to the same LogicalPlan the DataFrame
+  // API produces (SparkSession.active is the resolving session), so
+  // predicates, projections, and joins written in SQL optimize
+  // through the identical manifest/bucket machinery — SQL users get
+  // data skipping without touching the Scala API.
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  /** A SQL literal as the plain JVM value readRange's bound builder
+    * expects (UTF8String → String; numerics pass through).
+    */
+  private def boundLit(e: Expression, what: String): Option[Any] = e match {
+    case Literal(null, _) => None
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
+    case Literal(v, _) => Some(v)
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+  private def active = org.apache.spark.sql.SparkSession.active
+  private def plan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.logical
+
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_snapshot"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_snapshot path")
+        plan(graft.cdc.CdcPipeline.readSnapshot(active, path).getOrElse(
+          throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
+    (FunctionIdentifier("graft_snapshot_at"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_snapshot_at"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_snapshot_at path")
+        val v = longLit(args(1), "graft_snapshot_at version")
+        plan(graft.cdc.CdcPipeline.readSnapshotAt(active, path, v).getOrElse(
+          throw new IllegalArgumentException(s"no version $v at $path")))
+      }),
+    (FunctionIdentifier("graft_range"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_range"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_range path")
+        val column = strLit(args(1), "graft_range column")
+        plan(graft.cdc.CdcPipeline.readRange(active, path, column,
+          boundLit(args(2), "graft_range lo"), boundLit(args(3), "graft_range hi"))
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
+    (FunctionIdentifier("graft_change_feed"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_change_feed"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_change_feed path")
+        val pk = strLit(args(1), "graft_change_feed pk list").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val from = longLit(args(2), "graft_change_feed fromVersion")
+        val to = longLit(args(3), "graft_change_feed toVersion")
+        plan(graft.cdc.CdcPipeline.readChangeFeed(active, path, pk, from, to).getOrElse(
+          throw new IllegalArgumentException(
+            s"change feed ($from, $to] unavailable at $path (vacuumed or missing)")))
+      }))
+
   /** Register into an already-built session (tests, REPLs). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    tableFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+  }
 }

@@ -103,4 +103,52 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row._1 === Seq(10L, 11L, 12L), "sorted member list")
     assert(row._2, "over-limit group collapses to NULL")
   }
+
+  test("store table functions: snapshot / time travel / stat-pruned range / change feed in SQL") {
+    import graft.cdc.CdcPipeline
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+    // v0: bucket-correlated v so graft_range has something to prune;
+    // v1: shift ids 0-9 so the feed and time travel see real changes
+    val df0 = spark.range(0, 4000).select(col("id"),
+      (pmod(hash(col("id")), lit(8)) * 1000L + pmod(col("id"), lit(1000L))).as("v"))
+    CdcPipeline.publish(df0, dir, Seq("id"), buckets = Some(8), statsCols = Seq("v"))
+    CdcPipeline.updateWhere(spark, dir, Seq("id"),
+      col("id") < 10, Map("v" -> (col("v") + 100000L)))
+
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft_snapshot('$dir')")
+      .as[Long].collect()(0)
+    assert(n === 4000L)
+    // SQL composes: join the snapshot against itself through a filter
+    val joined = spark.sql(
+      s"""SELECT count(*) FROM graft_snapshot('$dir') a
+         |JOIN graft_snapshot('$dir') b ON a.id = b.id WHERE a.v >= 100000""".stripMargin)
+      .as[Long].collect()(0)
+    assert(joined === 10L)
+    // time travel reads v0's values
+    val oldSum = spark.sql(
+      s"SELECT sum(v) FROM graft_snapshot_at('$dir', 0) WHERE id < 10")
+      .as[Long].collect()(0)
+    val newSum = spark.sql(
+      s"SELECT sum(v) FROM graft_snapshot('$dir') WHERE id < 10")
+      .as[Long].collect()(0)
+    assert(newSum === oldSum + 10L * 100000L)
+    // stat-pruned range: equals the filter, touches only matching buckets
+    val ranged = spark.sql(
+      s"SELECT id, v FROM graft_range('$dir', 'v', 3000, 3999)")
+    val expect = CdcPipeline.readSnapshot(spark, dir).get
+      .filter(col("v") >= 3000 && col("v") <= 3999)
+      .collect().map(_.toSeq).toSet
+    assert(ranged.collect().map(_.toSeq).toSet === expect)
+    assert(ranged.inputFiles.length < CdcPipeline.readSnapshot(spark, dir).get
+      .inputFiles.length, "range TVF must bucket-prune through the manifest stats")
+    // the change feed, commit-stamped
+    val feed = spark.sql(
+      s"""SELECT _commit_version, `__op`, count(*) AS n
+         |FROM graft_change_feed('$dir', 'id', 0, 1)
+         |GROUP BY 1, 2""".stripMargin).collect()
+    assert(feed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
+      Set((1L, "u", 10L)))
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
 }
