@@ -155,6 +155,13 @@ object GraftExtensions {
           boundLit(args(2), "graft_range lo"), boundLit(args(3), "graft_range hi"))
           .getOrElse(throw new IllegalArgumentException(s"no graft store at $path")))
       }),
+    (FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_history"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_history path")
+        plan(graft.cdc.CdcPipeline.describeHistory(active, path).getOrElse(
+          throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
     (FunctionIdentifier("graft_change_feed"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_change_feed"),
       (args: Seq[Expression]) => {

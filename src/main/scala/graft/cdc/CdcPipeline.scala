@@ -75,7 +75,14 @@ object CdcPipeline {
     */
   private[graft] final case class Manifest(
       numBuckets: Int, schemaJson: String, buckets: Map[Int, String],
-      stats: Map[Int, Map[String, (String, String)]] = Map.empty) {
+      stats: Map[Int, Map[String, (String, String)]] = Map.empty,
+      /** Commit metadata (since r8): `op` = which operation produced
+        * this version (bootstrap/merge/rebucket/optimize/zorder/
+        * delete/update/clone), `commit_us` = wall-clock publish time —
+        * the DESCRIBE HISTORY substrate. Absent on pre-r8 versions;
+        * readers must treat every key as optional.
+        */
+      meta: Map[String, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -106,12 +113,15 @@ object CdcPipeline {
       var schema = ""
       val bs = Map.newBuilder[Int, String]
       val st = scala.collection.mutable.Map[Int, Map[String, (String, String)]]()
+      val me = Map.newBuilder[String, String]
       StoreFs.readString(p).split("\n").foreach { l =>
         l.split("=", 2) match {
           case Array("numBuckets", v) => nb = v.toInt
           case Array("schema", v) => schema = v
           case Array(k, v) if k.startsWith("bucket.") =>
             bs += (k.stripPrefix("bucket.").toInt -> v)
+          case Array(k, v) if k.startsWith("meta.") =>
+            me += (statDec(k.stripPrefix("meta.")) -> statDec(v))
           case Array(k, v) if k.startsWith("stats.") =>
             // stats.<bucket>.<encCol>=<encMin> <encMax>
             (k.stripPrefix("stats.").split("\\.", 2), v.split(" ", 2)) match {
@@ -124,7 +134,7 @@ object CdcPipeline {
           case _ => ()
         }
       }
-      Some(Manifest(nb, schema, bs.result(), st.toMap))
+      Some(Manifest(nb, schema, bs.result(), st.toMap, me.result()))
     }
   }
 
@@ -143,8 +153,15 @@ object CdcPipeline {
         sb.append(s"stats.$b.${statEnc(c)}=${statEnc(lo)} ${statEnc(hi)}\n")
       }
     }
+    m.meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append(s"meta.${statEnc(k)}=${statEnc(v)}\n")
+    }
     StoreFs.writeString(s"$targetDir/v$version/$ManifestFile", sb.toString)
   }
+
+  /** Commit metadata for the version a maintenance op is publishing. */
+  private def commitMeta(op: String): Map[String, String] =
+    Map("op" -> op, "commit_us" -> (System.currentTimeMillis() * 1000L).toString)
 
   /** PK-hash bucket of a row — Spark's Murmur3 `hash`, so the layout
     * is stable across sessions and the delta's touched-bucket set is
@@ -452,7 +469,7 @@ object CdcPipeline {
     */
   private[graft] def publish(df: DataFrame, targetDir: String, pkCols: Seq[String],
       batchId: Long = -1L, buckets: Option[Int] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, op: String = "publish"): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     // Bucket count is fixed at first publish (a repartition-in-place
     // of the whole target would be needed to change it; ~parallelism
@@ -465,7 +482,7 @@ object CdcPipeline {
     writeBuckets(df, pkCols, numBuckets, dir)
     writeManifest(targetDir, next, Manifest(numBuckets, df.schema.json,
       writtenBuckets(dir).map(_ -> s"v$next").toMap,
-      bucketStats(df.sparkSession, dir, statsCols)))
+      bucketStats(df.sparkSession, dir, statsCols), commitMeta(op)))
     swapPointer(targetDir, next, batchId)
     next
   }
@@ -476,7 +493,7 @@ object CdcPipeline {
     */
   private[graft] def publishDelta(mergedSubset: DataFrame, targetDir: String,
       pkCols: Seq[String], prev: Manifest, touched: Set[Int], batchId: Long,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, op: String = "merge"): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     val dir = s"$targetDir/v$next"
     writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
@@ -488,7 +505,7 @@ object CdcPipeline {
     val freshStats = bucketStats(mergedSubset.sparkSession, dir, statsCols)
     writeManifest(targetDir, next,
       Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
-        (prev.stats -- touched) ++ freshStats))
+        (prev.stats -- touched) ++ freshStats, commitMeta(op)))
     swapPointer(targetDir, next, batchId)
     next
   }
@@ -517,7 +534,7 @@ object CdcPipeline {
       val statsCols = m.stats.values.flatMap(_.keys).toSeq.distinct
       writeManifest(targetDir, next, Manifest(newBuckets, m.schemaJson,
         writtenBuckets(dir).map(_ -> s"v$next").toMap,
-        bucketStats(spark, dir, statsCols)))
+        bucketStats(spark, dir, statsCols), commitMeta("rebucket")))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -542,7 +559,7 @@ object CdcPipeline {
     */
   def deleteWhere(spark: SparkSession, targetDir: String, pkCols: Seq[String],
       predicate: Column): Option[(Long, Long)] =
-    rewriteWhere(spark, targetDir, pkCols, predicate)(_.filter(!predicate))
+    rewriteWhere(spark, targetDir, pkCols, predicate, "delete")(_.filter(!predicate))
 
   /** Predicate UPDATE (A41) — `UPDATE … SET col = expr WHERE pred`:
     * same affected-bucket discovery and delta-publish as
@@ -559,7 +576,7 @@ object CdcPipeline {
     require(!set.keys.exists(pkCols.contains),
       s"SET must not assign PK columns (${set.keys.filter(pkCols.contains).mkString(",")}): " +
         "a PK change re-routes the row's bucket — express it as delete+insert via MERGE")
-    rewriteWhere(spark, targetDir, pkCols, predicate) { subset =>
+    rewriteWhere(spark, targetDir, pkCols, predicate, "update") { subset =>
       val types = subset.schema.fields.map(f => f.name -> f.dataType).toMap
       subset.select(subset.columns.map { c =>
         set.get(c).map(e => when(predicate, e.cast(types(c))).otherwise(col(c)).as(c))
@@ -573,7 +590,7 @@ object CdcPipeline {
     * the rest by reference.
     */
   private def rewriteWhere(spark: SparkSession, targetDir: String, pkCols: Seq[String],
-      predicate: Column)(rewrite: DataFrame => DataFrame): Option[(Long, Long)] =
+      predicate: Column, op: String)(rewrite: DataFrame => DataFrame): Option[(Long, Long)] =
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
       // one job: matching buckets AND their match counts. Catalyst
@@ -587,7 +604,7 @@ object CdcPipeline {
         val subset = readBuckets(spark, targetDir, m, touched)
         val statsCols = m.stats.values.flatMap(_.keys).toSeq.distinct
         val next = publishDelta(rewrite(subset), targetDir, pkCols, m, touched,
-          batchId = -1L, statsCols)
+          batchId = -1L, statsCols, op = op)
         (next, hits.values.sum)
       }
     }
@@ -665,7 +682,7 @@ object CdcPipeline {
       val chosen = buckets.fold(m.buckets.keySet)(_ intersect m.buckets.keySet)
       val snap = readBuckets(spark, targetDir, m, chosen)
       optimizeBy(spark, targetDir, pkCols, Seq(zorderKey(snap, zCols)), zCols,
-        maxRecordsPerFile, Some(chosen))
+        maxRecordsPerFile, Some(chosen), opLabel = "zorder")
     }
   }
 
@@ -706,7 +723,7 @@ object CdcPipeline {
     */
   private def optimizeBy(spark: SparkSession, targetDir: String, pkCols: Seq[String],
       sortExprs: Seq[Column], trackColsNew: Seq[String], maxRecordsPerFile: Long,
-      buckets: Option[Set[Int]]): Option[Long] =
+      buckets: Option[Set[Int]], opLabel: String = "optimize"): Option[Long] =
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val chosen = buckets.fold(m.buckets.keySet)(_ intersect m.buckets.keySet)
       val snap = readBuckets(spark, targetDir, m, chosen)
@@ -732,9 +749,37 @@ object CdcPipeline {
       val trackCols = (m.stats.values.flatMap(_.keys).toSeq ++ trackColsNew).distinct
       val freshStats = bucketStats(spark, dir, trackCols)
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
-        carried ++ fresh, (m.stats -- chosen) ++ freshStats))
+        carried ++ fresh, (m.stats -- chosen) ++ freshStats, commitMeta(opLabel)))
       swapPointer(targetDir, next, -1L)
       next
+    }
+
+  /** DESCRIBE HISTORY (A45) — one row per still-readable version of
+    * the target, newest first: which operation produced it
+    * (bootstrap `publish`, incremental `merge`, `rebucket`,
+    * `optimize`/`zorder`, predicate `delete`/`update`, `clone`/
+    * `deep-clone`), its wall-clock commit time, and the
+    * rewritten/carried bucket split (the write-amplification record:
+    * a healthy incremental target shows small `rewritten` counts on
+    * every merge). Driver metadata only — reads the version
+    * manifests, zero Spark jobs; versions older than the vacuum
+    * window drop out, pre-metadata versions read with NULL op/time.
+    * The Delta `DESCRIBE HISTORY` / Iceberg snapshots-table surface.
+    */
+  def describeHistory(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    currentVersion(targetDir).map { cur =>
+      import spark.implicits._
+      StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
+        .map(_.stripPrefix("v").toLong).filter(_ <= cur).sorted.reverse
+        .flatMap { v =>
+          manifest(targetDir, v).map { m =>
+            val own = m.buckets.values.count(_ == s"v$v")
+            (v, m.meta.get("op"), m.meta.get("commit_us").map(_.toLong),
+              m.numBuckets, own, m.buckets.size - own)
+          }
+        }
+        .toDF("version", "op", "commit_us", "num_buckets",
+          "rewritten_buckets", "carried_buckets")
     }
 
   /** Garbage-collect version directories no longer reachable: a
@@ -817,7 +862,7 @@ object CdcPipeline {
           StoreFs.copyDir(s"$verDir/$BucketCol=$b", s"$destDir/v0/$BucketCol=$b")
         }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
-          m.buckets.keySet.map(_ -> "v0").toMap, m.stats))
+          m.buckets.keySet.map(_ -> "v0").toMap, m.stats, commitMeta("deep-clone")))
       } else {
         // every store this clone's references resolve into gets a pin
         // keyed by THIS clone: source-local refs pin at sourceDir,
@@ -837,7 +882,7 @@ object CdcPipeline {
               names.mkString("\n"))
           }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
-          resolved, m.stats))
+          resolved, m.stats, commitMeta("clone")))
       }
       swapPointer(destDir, 0, -1L)
       0L

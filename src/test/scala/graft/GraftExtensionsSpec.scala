@@ -149,6 +149,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
          |GROUP BY 1, 2""".stripMargin).collect()
     assert(feed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
       Set((1L, "u", 10L)))
+    // DESCRIBE HISTORY: v0 full publish, v1 bounded update rewrite
+    val hist = spark.sql(
+      s"""SELECT version, op, rewritten_buckets, carried_buckets
+         |FROM graft_history('$dir') ORDER BY version""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(hist(0) === ((0L, "publish", 8, 0)))
+    assert(hist(1)._2 === "update" && hist(1)._3 < 8 && hist(1)._3 + hist(1)._4 === 8,
+      s"update must rewrite only the matching buckets: ${hist(1)}")
+    assert(spark.sql(s"SELECT commit_us FROM graft_history('$dir')")
+      .collect().forall(!_.isNullAt(0)))
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 }
