@@ -188,6 +188,27 @@ object OpsQueries {
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairsLsh(T.embeddings(s, d), 0.42).orderBy(col("id_a"), col("id_b"))
 
+  // C40: semantic decontamination — benchmark = every 10th vector,
+  // corpus = the rest; kept corpus rows hash-matched against the
+  // exact NOT EXISTS oracle, so the compare covers cross-set LSH
+  // recall AND the anti-join in one gate.
+  def decontaminateSemantic(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0), 0.42)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val oDecontaminateSemantic =
+    """SELECT c.vec_id, c.label FROM embeddings c
+      |WHERE c.vec_id % 10 != 0 AND NOT EXISTS (
+      |  SELECT 1 FROM embeddings b WHERE b.vec_id % 10 = 0
+      |    AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= 0.42)
+      |ORDER BY c.vec_id""".stripMargin
+
   // C37: end-to-end semantic dedup (the SemDeDup shape): LSH-bucketed
   // cosine pairs → connected components → keep ONE canonical vector
   // (min id) per near-duplicate cluster, everything else anti-joined
@@ -1226,6 +1247,7 @@ object OpsQueries {
     QueryDef("dedup_embedding_lsh", dedupEmbeddingLsh, Some(oDedupEmbedding)),
     QueryDef("dedup_clusters", dedupClusters, Some(oDedupClusters)),
     QueryDef("dedup_semantic_keep", dedupSemanticKeep, Some(oDedupSemanticKeep)),
+    QueryDef("decontaminate_semantic", decontaminateSemantic, Some(oDecontaminateSemantic)),
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
     QueryDef("ann_lsh", annLsh, None),
     QueryDef("ann_ivf", annIvf, Some(oAnnIvf)),

@@ -328,4 +328,38 @@ object Similarity {
       .distinct()
     topByOrd(scored, k)
   }
+
+  /** Semantic decontamination (C40) — the embedding twin of the C24
+    * n-gram screen: drop every corpus vector within cosine `minCos`
+    * of ANY benchmark vector (eval paraphrases that n-gram overlap
+    * can't see). Cross-set candidates via the same multi-table
+    * sign-LSH keying as [[cosinePairsLsh]] — each table a
+    * co-partitioned join on (tbl, bucket), candidate volume
+    * ≈ tables·|corpus|·|bench|/2^planes bucket-local, never the
+    * cross product — then exact cosine verifies and the flagged ids
+    * anti-join off. The benchmark side is tiny next to the corpus
+    * (AQE broadcasts its keyed form); recall is the C5b multi-table
+    * collision bound, hash-gated against the exact oracle at the
+    * driver's τ.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minCos: Double, tables: Int = 24, planes: Int = 4, dims: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    def keyed(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs),
+        explode(lshTableBuckets(col("embedding"), tables, planes, dims)).as("tb"))
+      .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val ck0 = keyed(corpus, "cid")
+    // degenerate-bucket guard on the corpus side (the benchmark side
+    // is bounded by its own size): same cap-and-drop contract as the
+    // other LSH joins
+    val ck = ck0.join(oversizedBuckets(ck0, maxBucket), Seq("tbl", "bucket"), "left_anti")
+    val contaminated = ck.join(keyed(benchmark, "bid"), Seq("tbl", "bucket"))
+      .select("cid", "bid").distinct()
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("emb_c")), "cid")
+      .join(benchmark.select(col("vec_id").as("bid"), col("embedding").as("emb_b")), "bid")
+      .filter(cosine(col("emb_c"), col("emb_b")) >= lit(minCos))
+      .select(col("cid").as("vec_id")).distinct()
+    corpus.join(contaminated, Seq("vec_id"), "left_anti")
+  }
 }
