@@ -754,6 +754,43 @@ object CdcPipeline {
       next
     }
 
+  /** Writer lease (A46) — opt-in mutual exclusion for the ONE-writer
+    * contract (object doc): two concurrent publishes to the same
+    * target race benignly on the version number, but the loser's work
+    * is silently discarded — a scheduler bug that double-fires a
+    * table's merge deserves a loud failure instead. `withWriterLease`
+    * brackets any maintenance op in an exclusive `_LOCK` file
+    * (atomic create-no-overwrite — the same primitive HDFS leases and
+    * Delta's LogStore mutual exclusion build on): a second writer
+    * throws [[WriterLockedException]] immediately; a lease left by a
+    * crashed writer expires after `staleMs` (default 15 min — longer
+    * than any sane publish, shorter than an ops page) and is broken
+    * by the next caller. Reads never look at the lock. Token-checked
+    * release: only the holder's bracket deletes its own lease.
+    */
+  final class WriterLockedException(msg: String) extends RuntimeException(msg)
+
+  def withWriterLease[T](targetDir: String, staleMs: Long = 15L * 60 * 1000)
+      (f: => T): T = {
+    val lock = s"$targetDir/_LOCK"
+    val token = java.util.UUID.randomUUID().toString
+    def acquire(retry: Boolean): Unit =
+      if (!StoreFs.createExclusive(lock, token)) {
+        val stale = StoreFs.mtimeMs(lock)
+          .exists(_ < System.currentTimeMillis() - staleMs)
+        if (stale && retry) {
+          StoreFs.deleteFile(lock) // break the crashed writer's lease
+          acquire(retry = false)
+        } else throw new WriterLockedException(
+          s"another writer holds $lock" +
+            (if (stale) " (stale, broken on next attempt)" else ""))
+      }
+    acquire(retry = true)
+    try f
+    finally if (scala.util.Try(StoreFs.readString(lock)).toOption.contains(token))
+      StoreFs.deleteFile(lock)
+  }
+
   /** DESCRIBE HISTORY (A45) — one row per still-readable version of
     * the target, newest first: which operation produced it
     * (bootstrap `publish`, incremental `merge`, `rebucket`,

@@ -61,6 +61,34 @@ private[graft] object StoreFs {
     finally out.close()
   }
 
+  /** Exclusive create of a small control file: returns true iff this
+    * call created it (someone else holds it → false). `create` with
+    * overwrite=false is atomic on HDFS and raw local FS — the
+    * mutual-exclusion primitive the writer lease builds on.
+    */
+  def createExclusive(path: String, s: String): Boolean = {
+    val p = new Path(path)
+    val f = fs(p)
+    val parent = p.getParent
+    if (parent != null) { f.mkdirs(parent); () }
+    try {
+      val out = f.create(p, /* overwrite = */ false)
+      try out.write(s.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if exists(path) => false
+    }
+  }
+
+  /** Modification time of a file, epoch millis; None when absent. */
+  def mtimeMs(path: String): Option[Long] = {
+    val p = new Path(path)
+    try Some(fs(p).getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
   /** Replace `dstPath` with `tmpPath` in one rename (see the
     * per-scheme contract in the object doc).
     */

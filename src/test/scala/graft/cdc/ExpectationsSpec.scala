@@ -155,6 +155,31 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(CdcPipeline.readQuarantine(spark, c).get.count() === 1L)
   }
 
+  test("writer lease: exclusion, release, stale break, token-checked cleanup") {
+    import CdcPipeline.{withWriterLease, WriterLockedException}
+    val dir = tmp()
+    // runs and releases: back-to-back brackets both succeed
+    assert(withWriterLease(dir) { 41 + 1 } === 42)
+    assert(withWriterLease(dir) { "again" } === "again")
+    // exclusion: a second writer inside the bracket is refused
+    withWriterLease(dir) {
+      intercept[WriterLockedException](withWriterLease(dir) { fail("must not enter") })
+    }
+    // a crashed writer's stale lease is broken by the next caller
+    StoreFs.writeString(s"$dir/_LOCK", "crashed-writer")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_LOCK"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    assert(withWriterLease(dir) { "recovered" } === "recovered")
+    assert(!StoreFs.exists(s"$dir/_LOCK"))
+    // token-checked release: if OUR lease got broken mid-flight and
+    // re-acquired by someone else, the bracket must not delete theirs
+    withWriterLease(dir) {
+      StoreFs.writeString(s"$dir/_LOCK", "someone-else")
+    }
+    assert(StoreFs.readString(s"$dir/_LOCK") === "someone-else")
+  }
+
   test("config-table round trip: parseExpectations") {
     val parsed = CdcConfig.parseExpectations(
       "nonneg@quarantine@value >= 0; known@drop@event_type IN ('a','b'); " +
