@@ -805,6 +805,32 @@ object OpsQueries {
       |  md5(chunk) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // C41: overlapping-window chunking — window 20, stride 10 (50%
+  // overlap); md5 of every window hash-gated, so slicing arithmetic,
+  // chunk counts, and the short-tail window are all pinned.
+  def packChunksSlidingQ(s: SparkSession, d: String): DataFrame =
+    Packing.slidingChunks(
+        T.documents(s, d).select(col("doc_id"), col("text")), "text", "doc_id", 20, 10)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val oPackChunksSliding =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |x AS (SELECT doc_id, toks,
+      |        unnest(range(0, greatest(0,
+      |          CAST(ceil((len(toks) - 20) / 10.0) AS BIGINT)) + 1)) AS chunk_idx
+      |      FROM t),
+      |c AS (SELECT doc_id, chunk_idx,
+      |        array_to_string(list_slice(toks, chunk_idx*10 + 1, chunk_idx*10 + 20), ' ')
+      |          AS chunk
+      |      FROM x)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+      |  md5(chunk) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // C35: quality-prioritized token-budget selection — keep the docs
   // with the highest integer English-stopword density (permille,
   // integer-division exact) until the inclusive running token sum
@@ -1259,6 +1285,7 @@ object OpsQueries {
     QueryDef("pack_sequences", packSequences, Some(oPackSequences)),
     QueryDef("pack_texts", packTexts, Some(oPackTexts)),
     QueryDef("pack_chunks", packChunksQ, Some(oPackChunks)),
+    QueryDef("pack_chunks_sliding", packChunksSlidingQ, Some(oPackChunksSliding)),
     QueryDef("text_scrub", textScrub, Some(oTextScrub)),
     QueryDef("text_boilerplate", textBoilerplate, Some(oTextBoilerplate)),
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),

@@ -198,6 +198,36 @@ object Packing {
       .drop("_n_chunks", "_c")
   }
 
+  /** Overlapping-window chunking (C41) — the embedding-pipeline twin
+    * of [[splitLongDocs]]: windows of `winTokens` starting every
+    * `strideTokens` (stride < window ⇒ consecutive chunks overlap by
+    * window − stride tokens, the standard long-document embedding
+    * setup so no boundary context is lost). Chunk i covers tokens
+    * [i·stride, i·stride + window); the last window may be shorter;
+    * docs at or under one window pass through as chunk 0. Same pure
+    * per-row map shape as the disjoint splitter: explode over the
+    * per-doc chunk count, token slicing, no shuffle, no UDF.
+    */
+  def slidingChunks(docs: DataFrame, textName: String, idName: String,
+      winTokens: Int, strideTokens: Int): DataFrame = {
+    require(winTokens > 0 && strideTokens > 0,
+      s"window/stride must be positive: $winTokens/$strideTokens")
+    require(strideTokens <= winTokens,
+      s"stride $strideTokens > window $winTokens would skip tokens — use splitLongDocs")
+    val toks = split(col(textName), " ")
+    docs
+      .withColumn("_n_chunks",
+        (greatest(lit(0L),
+          ceil((size(toks) - winTokens) / lit(strideTokens.toDouble)).cast("long"))
+          + 1L))
+      .select(col("*"),
+        posexplode(sequence(lit(0L), col("_n_chunks") - 1)).as(Seq("chunk_idx", "_c")))
+      .withColumn(textName,
+        concat_ws(" ", slice(toks, (col("chunk_idx") * strideTokens + 1).cast("int"),
+          lit(winTokens))))
+      .drop("_n_chunks", "_c")
+  }
+
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
       shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
