@@ -19,7 +19,9 @@ object ExplainAudit {
         "cdc_scd2", "q_quantile_incremental", "corpus_filtered",
         "dedup_minhash_incremental", "q_lag_lead", "q_unpivot",
         "cdc_incr_agg_minmax", "cdc_incr_agg_hll", "q_scalar_subquery",
-        "sample_token_budget", "sample_mixture", "dedup_semantic_keep")) {
+        "sample_token_budget", "sample_mixture", "dedup_semantic_keep",
+        "text_lm_score", "decontaminate_semantic", "q_string_agg",
+        "cdc_expectations", "pack_chunks_sliding")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able
