@@ -9,7 +9,8 @@ import java.nio.file.Files
 /** A39: write-time expectations — annotate/split/count semantics,
   * and the pipeline integration (quarantine store, RunResult count,
   * replay idempotence, Fail → FAILED job log with target untouched,
-  * deletes ungated).
+  * deletes ungated). Also hosts the A46 writer-lease spec (the other
+  * run-bracketing safety surface).
   */
 class ExpectationsSpec extends AnyFunSuite {
   private lazy val spark = LocalSpark.spark
