@@ -649,6 +649,31 @@ object Relational {
       |FROM events WHERE user_id % 10 = 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // B31 (r8): argmax/argmin + conditional-count aggregates (SQL 2023
+  // MAX_BY/MIN_BY/COUNT_IF — the "value at the extremum" idiom that
+  // otherwise costs a window + filter): one hash-agg pass, map-side
+  // combine; the BY ordinal is the unique event_id so ties cannot
+  // make the result engine-dependent. Cents-exact value export.
+  def qArgExtremes(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), col("event_id")).as("last_event_id"),
+        max_by((col("value") * 100).cast("long"), col("event_id")).as("last_value_cents"),
+        min_by((col("value") * 100).cast("long"), col("event_id")).as("first_value_cents"),
+        count_if(col("value") > 100).as("n_big"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private val oArgExtremes =
+    """SELECT event_type,
+      |  arg_max(event_id, event_id) AS last_event_id,
+      |  arg_max(CAST(value * 100 AS BIGINT), event_id) AS last_value_cents,
+      |  arg_min(CAST(value * 100 AS BIGINT), event_id) AS first_value_cents,
+      |  CAST(count_if(value > 100) AS BIGINT) AS n_big,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -674,6 +699,7 @@ object Relational {
     QueryDef("q_range_window", qRangeWindow, Some(oRangeWindow)),
     QueryDef("q_lag_lead", qLagLead, Some(oLagLead)),
     QueryDef("q_string_agg", qStringAgg, Some(oStringAgg)),
+    QueryDef("q_arg_extremes", qArgExtremes, Some(oArgExtremes)),
     QueryDef("q_unpivot", qUnpivot, Some(oUnpivot)),
     QueryDef("q_agg_filter", qAggFilter, Some(oAggFilter)),
     QueryDef("q_scalar_subquery", qScalarSubquery, Some(oScalarSubquery)),
