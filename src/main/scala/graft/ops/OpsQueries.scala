@@ -592,6 +592,23 @@ object OpsQueries {
       |FROM pos p JOIN cg USING (g) JOIN cc USING (c)
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  // C42: frequency vocab + OOV — the tokenizer-coverage statistic;
+  // K=1000 over the corpus, per-doc token/OOV counts hash-gated.
+  def textVocabOov(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.oovStats(T.documents(s, d), 1000)
+      .orderBy(col("doc_id"))
+
+  private val oTextVocabOov =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |v AS (SELECT tok FROM (
+      |        SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+      |        ORDER BY cnt DESC, tok LIMIT 1000))
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |FROM tk t LEFT JOIN v ON t.tok = v.tok
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1298,6 +1315,7 @@ object OpsQueries {
     QueryDef("text_heavy_hitters", textHeavyHitters, Some(oTextHeavyHitters)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_lm_score", textLmScore, Some(oTextLmScore)),
+    QueryDef("text_vocab_oov", textVocabOov, Some(oTextVocabOov)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

@@ -302,6 +302,34 @@ object TextAnalysis {
           .as("bits_per_char"))
   }
 
+  /** Frequency vocabulary + per-doc OOV rate (C42) — the
+    * tokenizer-prep pass: the top-`k` corpus tokens by frequency
+    * (rank ties broken by the token itself, so the vocabulary is
+    * deterministic), and each doc's token/OOV counts against it —
+    * the coverage statistic that decides whether a vocab size is big
+    * enough before training a tokenizer on 100 TB.
+    *
+    * Scale shape: one corpus explode → token-count hash agg (output ∝
+    * DISTINCT tokens, ≪ corpus) → global top-k of that vocab-sized
+    * relation (the only sort, vocab-bounded) → the k-row vocabulary
+    * broadcasts back onto the exploded corpus for a left join + one
+    * per-doc agg with map-side combine.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+
+  def oovStats(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = vocabTopK(docs, k).select(col("tok"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
 
