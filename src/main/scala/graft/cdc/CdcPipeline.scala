@@ -1061,6 +1061,24 @@ object CdcPipeline {
     else None
   }
 
+  /** Quarantine retention — drop all but the `keepWindows` most
+    * recent quarantine window directories, returning the dropped
+    * window keys. Deliberately NOT wired into `autoVacuum`:
+    * quarantined rows are DATA awaiting diagnosis/re-injection, not
+    * derivable state like superseded versions — silently expiring
+    * them would turn the gate into a black hole. Call this explicitly
+    * once a window's rows have been handled.
+    */
+  def vacuumQuarantine(cfg: CdcTableConfig, keepWindows: Int): Seq[Long] = {
+    require(keepWindows >= 0, s"keepWindows must be >= 0: $keepWindows")
+    val root = quarantinePath(cfg)
+    val windows = StoreFs.listDirNames(root)
+      .filter(_.startsWith("w=")).map(_.stripPrefix("w=").toLong).sorted
+    val doomed = windows.dropRight(keepWindows)
+    doomed.foreach(w => StoreFs.deleteRecursive(s"$root/w=$w"))
+    doomed
+  }
+
   /** Directory of the maintained rollup `name` — itself a versioned
     * bucketed store (pointer, manifests, vacuum-able) nested under the
     * target, so the state shares the target's crash contract and a

@@ -156,6 +156,23 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(CdcPipeline.readQuarantine(spark, c).get.count() === 1L)
   }
 
+  test("vacuumQuarantine: drops oldest windows only, never auto-wired") {
+    val target = tmp(); val log = tmp()
+    val c = cfg(target, Seq(Expectation("nonneg", "value >= 0", Quarantine)))
+    // three windows, each quarantining one row
+    Seq(2000L, 4000L, 6000L).zipWithIndex.foreach { case (w, i) =>
+      CdcPipeline.run(spark, c, env(Seq(
+        (10L + i, "u", w - 1000, i.toLong, w - 1000, s"""{"k":$i}""", 20L + i, -1.0))),
+        log, w)
+    }
+    assert(CdcPipeline.readQuarantine(spark, c).get
+      .select("w").collect().map(_.getLong(0)).toSet === Set(2000L, 4000L, 6000L))
+    assert(CdcPipeline.vacuumQuarantine(c, keepWindows = 1) === Seq(2000L, 4000L))
+    assert(CdcPipeline.readQuarantine(spark, c).get
+      .select("w").collect().map(_.getLong(0)).toSet === Set(6000L))
+    assert(CdcPipeline.vacuumQuarantine(c, keepWindows = 1) === Nil, "idempotent")
+  }
+
   test("writer lease: exclusion, release, stale break, token-checked cleanup") {
     import CdcPipeline.{withWriterLease, WriterLockedException}
     val dir = tmp()
