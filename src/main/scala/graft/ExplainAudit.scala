@@ -21,7 +21,8 @@ object ExplainAudit {
         "cdc_incr_agg_minmax", "cdc_incr_agg_hll", "q_scalar_subquery",
         "sample_token_budget", "sample_mixture", "dedup_semantic_keep",
         "text_lm_score", "decontaminate_semantic", "q_string_agg",
-        "cdc_expectations", "pack_chunks_sliding")) {
+        "cdc_expectations", "pack_chunks_sliding",
+        "q_recursive_cte", "q_lateral_topn", "q_percentile_cont", "q_histogram")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able

@@ -674,6 +674,129 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // B32 (r8): recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4's
+  // UnionLoop execution) — the hierarchy/transitive-closure shape a
+  // warehouse serves for org charts and BOM explosions. The fixture
+  // hierarchy is arithmetic (parent(k) = k DIV 2, root = key 1) so
+  // both engines derive the identical tree from the customer table
+  // with no synthesized data. Execution cost is one hash join per
+  // LEVEL, and this tree's depth is log2(maxkey) — ~14 rounds at
+  // sf0.1, far under the engine's recursion limit; the per-depth
+  // aggregate keeps the export bounded (≤ depth rows). At 100 TB the
+  // per-round join is the same shuffle-on-key any equi-join runs;
+  // depth, not data volume, is the round count.
+  def qRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).createOrReplaceTempView("graft_b32_customer")
+    s.sql(
+      """WITH RECURSIVE h AS (
+        |  SELECT CAST(1 AS BIGINT) AS ckey, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey AS ckey, h.depth + 1 AS depth
+        |  FROM graft_b32_customer c JOIN h ON c.c_custkey DIV 2 = h.ckey
+        |  WHERE c.c_custkey > 1
+        |)
+        |SELECT depth, count(*) AS n, CAST(sum(ckey) AS BIGINT) AS sum_keys
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  private val oRecursiveCte =
+    """WITH RECURSIVE h AS (
+      |  SELECT CAST(1 AS BIGINT) AS ckey, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.c_custkey AS ckey, h.depth + 1 AS depth
+      |  FROM customer c JOIN h ON c.c_custkey // 2 = h.ckey
+      |  WHERE c.c_custkey > 1
+      |)
+      |SELECT depth, count(*) AS n, CAST(sum(ckey) AS BIGINT) AS sum_keys
+      |FROM h GROUP BY depth ORDER BY depth""".stripMargin
+
+  // B33 (r8): correlated LATERAL subquery with ORDER BY + LIMIT — the
+  // SQL-standard spelling of "top-N per outer row". Catalyst plans the
+  // correlated limit as a per-key window under a join (DecorrelateInnerQuery),
+  // NOT a per-row re-execution — same engine shape as B19's bounded
+  // top-k, reached from the SQL surface a migrating user writes.
+  // Cents conversion keeps the ORDER BY key integral (ties then
+  // broken by c_custkey, so LIMIT 2 is engine-independent).
+  def qLateralTopn(s: SparkSession, d: String): DataFrame = {
+    T.nation(s, d).createOrReplaceTempView("graft_b33_nation")
+    T.customer(s, d).createOrReplaceTempView("graft_b33_customer")
+    s.sql(
+      """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.bal_cents
+        |FROM graft_b33_nation n,
+        |LATERAL (
+        |  SELECT c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM graft_b33_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, c.c_custkey LIMIT 2
+        |) t
+        |ORDER BY n.n_nationkey, t.bal_cents DESC, t.c_custkey""".stripMargin)
+  }
+
+  private val oLateralTopn =
+    """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.bal_cents
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY bal_cents DESC, c.c_custkey LIMIT 2
+      |) t
+      |ORDER BY n.n_nationkey, t.bal_cents DESC, t.c_custkey""".stripMargin
+
+  // B34 (r8): interpolated percentiles — percentile_cont / WITHIN
+  // GROUP (the ANSI spelling; Spark ≥3.4 and DuckDB agree on the
+  // lo + frac·(hi−lo) interpolation). Exactness: the ordered values
+  // are integer CENTS and the probes are quarters (0.25/0.5/0.75), so
+  // every interpolated result is a dyadic rational — exactly
+  // representable, bit-identical across engines regardless of which
+  // algebraic form of the interpolation each uses. percentile_disc
+  // returns an actual cent value (input type, no interpolation).
+  // One hash agg per group; per-group state is the sorted buffer —
+  // at 100 TB swap in approx_percentile (B20 gates that path's
+  // error bound).
+  def qPercentileCont(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("graft_b34_events")
+    s.sql(
+      """SELECT event_type,
+        |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS p25,
+        |  CAST(percentile_cont(0.50) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS p50,
+        |  CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS p75,
+        |  CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p50_disc,
+        |  count(*) AS n
+        |FROM graft_b34_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val oPercentileCont =
+    """SELECT event_type,
+      |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS p25,
+      |  CAST(percentile_cont(0.50) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS p50,
+      |  CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS p75,
+      |  CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p50_disc,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // B35 (r8): equi-width histogram via width_bucket — the profiling
+  // scan behind every "distribution of X" dashboard: ONE pass, one
+  // small hash agg keyed by bucket (≤ n+2 groups), map-side combine.
+  // DuckDB has no width_bucket, so the oracle re-expresses the
+  // boundary arithmetic (floor((x−lo)/w)+1, clamped) — safe here
+  // because the closest order total sits a full cent from a boundary
+  // (measured 0.01 at sf0.1) while float error at this magnitude is
+  // ~1e-10: no value can land on a different side across engines.
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(expr("width_bucket(o_totalprice, 0.0, 600000.0, 12)").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  private val oHistogram =
+    """SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1, 0), 13) AS bucket,
+      |  count(*) AS n,
+      |  sum(round(o_totalprice * 100)) / 100.0 AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -703,5 +826,9 @@ object Relational {
     QueryDef("q_unpivot", qUnpivot, Some(oUnpivot)),
     QueryDef("q_agg_filter", qAggFilter, Some(oAggFilter)),
     QueryDef("q_scalar_subquery", qScalarSubquery, Some(oScalarSubquery)),
+    QueryDef("q_recursive_cte", qRecursiveCte, Some(oRecursiveCte)),
+    QueryDef("q_lateral_topn", qLateralTopn, Some(oLateralTopn)),
+    QueryDef("q_percentile_cont", qPercentileCont, Some(oPercentileCont)),
+    QueryDef("q_histogram", qHistogram, Some(oHistogram)),
   )
 }
