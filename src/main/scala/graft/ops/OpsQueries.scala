@@ -609,6 +609,58 @@ object OpsQueries {
       |FROM tk t LEFT JOIN v ON t.tok = v.tok
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // C43: BPE merge-pair statistics — the per-round count of every
+  // adjacent token pair, ranked to pick the next merge; top 100 with
+  // deterministic (cnt DESC, a, b) tie-break.
+  def textBpePairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpePairStats(T.documents(s, d), 100)
+
+  private val oTextBpePairs =
+    """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT ts[i] AS a, ts[i + 1] AS b
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g)
+      |SELECT a, b, count(*) AS cnt FROM pairs
+      |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 100""".stripMargin
+
+  // C43 (merge application): the corpus rewritten by ONE BPE merge —
+  // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
+  // The winning pair is vocab-sized driver state (a 1-row collect,
+  // like a config); the rewrite itself is a pure codegen'd map. The
+  // oracle re-derives the same winner in a CTE and re-expresses the
+  // identical double-space replace construction, so a semantics
+  // mismatch in greedy pairing breaks the hash.
+  def textBpeMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val top = TextAnalysis.bpePairStats(docs, 1).select("a", "b").head()
+    val (a, b) = (top.getString(0), top.getString(1))
+    docs.select(col("doc_id"),
+        TextAnalysis.applyBpeMerge(col("text"), a, b).as("m"))
+      .select(col("doc_id"), md5(col("m")).as("text_md5"),
+        size(TextAnalysis.tokens(col("m"))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextBpeMerge =
+    """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT ts[i] AS a, ts[i + 1] AS b
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+      |top AS (SELECT a, b FROM (
+      |  SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b
+      |  ORDER BY cnt DESC, a, b LIMIT 1)),
+      |merged AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      replace(' ' || replace(text, ' ', '  ') || ' ',
+      |        ' ' || (SELECT a FROM top) || '  ' || (SELECT b FROM top) || ' ',
+      |        ' ' || (SELECT a FROM top) || '+' || (SELECT b FROM top) || ' '),
+      |      ' +', ' ', 'g')) AS m
+      |  FROM documents)
+      |SELECT doc_id, md5(m) AS text_md5,
+      |  CAST(len(string_split(m, ' ')) AS BIGINT) AS n_tokens
+      |FROM merged ORDER BY doc_id""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1316,6 +1368,8 @@ object OpsQueries {
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_lm_score", textLmScore, Some(oTextLmScore)),
     QueryDef("text_vocab_oov", textVocabOov, Some(oTextVocabOov)),
+    QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
+    QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

@@ -330,6 +330,56 @@ object TextAnalysis {
         sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** BPE merge-pair statistics (C43) — the inner statistic of every
+    * byte-pair-encoding tokenizer training round: the frequency of
+    * each ADJACENT token pair across the corpus, ranked to pick the
+    * next merge. (A full BPE trainer repeats this count-then-merge
+    * loop; the count is the distributed part — the merge table
+    * itself is vocab-sized driver state.)
+    *
+    * Scale shape: one codegen'd transform(sequence) pair explode per
+    * doc — no self-join of positions — into ONE hash agg keyed by
+    * (a, b) with map-side combine (output ∝ distinct adjacent pairs,
+    * ≪ corpus positions), then a global top-k of that pair-vocab-sized
+    * relation: the only sort, bounded by distinct-pair count. Rank
+    * ties break by the pair itself, so the merge choice is
+    * deterministic. Production aggregates on xxhash64(a || b) to cut
+    * shuffle width (the C38 note); raw strings keep the oracle exact.
+    */
+  def bpePairStats(docs: DataFrame, topK: Int, text: Column = col("text")): DataFrame =
+    docs.select(tokens(text).as("ts"))
+      .select(explode(expr(
+        """CASE WHEN size(ts) < 2 THEN array()
+          |ELSE transform(sequence(0, size(ts) - 2),
+          |  i -> struct(ts[i] AS a, ts[i + 1] AS b)) END""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(topK)
+
+  /** One BPE merge application (C43): rewrite every non-overlapping
+    * occurrence of the adjacent pair (a, b) into the single token
+    * "a+b" — left-to-right greedy, the BPE contract ("x x x" with
+    * pair (x, x) becomes "x+x x", never the overlapping "x+x x+x").
+    * Pure per-row map work, no shuffle; the pair is the winner
+    * `bpePairStats` picked (vocab-sized driver state, like a config).
+    *
+    * Construction is plain `replace`, not regex, so it is codegen'd
+    * AND engine-portable (no lookbehind — RE2-based engines lack it):
+    * doubling the inter-token spaces gives every token its own
+    * private boundary spaces, so replacing " a  b " with " a+b "
+    * consumes no neighbor's boundary — each adjacent occurrence
+    * matches independently while string replace's native
+    * left-to-right non-overlap gives exactly BPE's greedy pairing.
+    * A final collapse of the space runs restores the single-space
+    * token stream.
+    */
+  def applyBpeMerge(text: Column, a: String, b: String): Column = {
+    val spread = concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+    val merged = replace(spread, lit(s" $a  $b "), lit(s" $a+$b "))
+    trim(regexp_replace(merged, " +", " "))
+  }
+
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
 

@@ -567,4 +567,35 @@ class OpsSpec extends AnyFunSuite {
     assert(held(1L) === 2L)
     assert(held(2L) === 2L) // abc, bcd both in model
   }
+
+  test("bpePairStats counts adjacent pairs; applyBpeMerge is left-greedy non-overlapping") {
+    val docs = Seq(
+      (1L, "x x x"),           // self-pair overlap: must merge LEFT pair only
+      (2L, "a b a b"),         // two disjoint occurrences: both merge
+      (3L, "a b b a"),         // one occurrence + reversed (no match)
+      (4L, "solo")             // single token: no pairs
+    ).toDF("doc_id", "text")
+    // hand-counted adjacent pairs
+    val got = TextAnalysis.bpePairStats(docs, 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got(("x", "x")) === 2L) // positions (0,1) and (1,2) both count
+    assert(got(("a", "b")) === 3L)
+    assert(got(("b", "a")) === 2L)
+    assert(got(("b", "b")) === 1L)
+    assert(!got.contains(("solo", "solo")))
+
+    def merge(t: String, a: String, b: String): String =
+      docs.filter(col("text") === t)
+        .select(TextAnalysis.applyBpeMerge(col("text"), a, b)).head().getString(0)
+    assert(merge("x x x", "x", "x") === "x+x x")   // greedy left, no overlap
+    assert(merge("a b a b", "a", "b") === "a+b a+b")
+    assert(merge("a b b a", "a", "b") === "a+b b a")
+    assert(merge("solo", "a", "b") === "solo")
+    // merged token participates in later rounds: a second merge over the
+    // rewritten stream sees ("a+b", "a+b") as an adjacent pair
+    val round2 = TextAnalysis.bpePairStats(
+      docs.select(TextAnalysis.applyBpeMerge(col("text"), "a", "b").as("text")), 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(round2(("a+b", "a+b")) === 1L)
+  }
 }
