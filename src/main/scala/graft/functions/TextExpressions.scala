@@ -224,6 +224,49 @@ case class RemoveTokens(child: Expression, toks: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static normalization helper — top-level object WITHOUT a companion
+  * class, so scalac emits static forwarders the generated Java below
+  * can call directly.
+  */
+object TextNormalizer {
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    // fast path: already-normalized text (all-ASCII always is) keeps
+    // the original UTF8String — no copy, no re-encode
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}
+
+/** text → Unicode-normalized text (NFC/NFD/NFKC/NFKD via
+  * java.text.Normalizer). Spark has no normalization function; this
+  * one stays inside whole-stage codegen — doGenCode emits a direct
+  * static call, no fallback iterator — because normalization sits in
+  * the hot path of every text-cleaning scan. The form is validated at
+  * plan time (valueOf throws on construction of the generated code's
+  * first evaluation; checkInputDataTypes rejects earlier for clarity).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"needs string, got ${child.dataType}")
+    else if (!Seq("NFC", "NFD", "NFKC", "NFKD").contains(form))
+      TypeCheckResult.TypeCheckFailure(s"unknown normalization form $form")
+    else TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(v: Any): Any =
+    TextNormalizer.normalize(v.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.TextNormalizer.normalize($c, "$form")""")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def removeTokens(text: Column, toks: Seq[String]): Column =
     toCol(RemoveTokens(toExpr(text), toks))
@@ -234,4 +277,6 @@ object TextExpressions {
   def stopwordScores(text: Column, lists: Seq[Seq[String]]): Column =
     toCol(StopwordScores(toExpr(text), lists))
   def rollingHash(text: Column): Column = toCol(RollingHash(toExpr(text)))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    toCol(UnicodeNormalize(toExpr(text), form))
 }

@@ -661,6 +661,48 @@ object OpsQueries {
       |  CAST(len(string_split(m, ' ')) AS BIGINT) AS n_tokens
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  // C44: canonical text normalization. The fixture corpus is pure
+  // ASCII (NFC would be vacuous), so the gate first INJECTS the mess
+  // normalization exists to clean — decomposed accents (a + U+0301) on
+  // every 7th doc, uppercasing on every 3rd, whitespace runs on every
+  // 5th — identically on both engines, then normalizes. len_raw ≠
+  // len_norm on the accented docs proves real NFC composition (the
+  // combining pair folds to one code point); the md5 pins casefold
+  // and whitespace collapse. A stubbed or ASCII-only normalize breaks
+  // the hash.
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val t1 = when(col("doc_id") % 7 === 0,
+      replace(col("text"), lit("a"), lit("a\u0301"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 3 === 0, upper(t1)).otherwise(t1)
+    val raw = when(col("doc_id") % 5 === 0, replace(t2, lit(" "), lit("   "))).otherwise(t2)
+    T.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(TextAnalysis.normalizeText(col("raw"))).cast("long").as("len_norm"),
+        md5(TextAnalysis.normalizeText(col("raw"))).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextNormalize =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN replace(t2, ' ', '   ') ELSE t2 END AS raw
+      |  FROM (
+      |    SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN upper(t1) ELSE t1 END AS t2
+      |    FROM (
+      |      SELECT doc_id,
+      |        CASE WHEN doc_id % 7 = 0 THEN replace(text, 'a', 'a' || chr(769))
+      |             ELSE text END AS t1
+      |      FROM documents) a) b),
+      |norm AS (
+      |  SELECT doc_id, raw,
+      |    trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')) AS n
+      |  FROM inj)
+      |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(n) AS BIGINT) AS len_norm, md5(n) AS text_md5
+      |FROM norm ORDER BY doc_id""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1370,6 +1412,7 @@ object OpsQueries {
     QueryDef("text_vocab_oov", textVocabOov, Some(oTextVocabOov)),
     QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
+    QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

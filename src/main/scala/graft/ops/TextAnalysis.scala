@@ -380,6 +380,24 @@ object TextAnalysis {
     trim(regexp_replace(merged, " +", " "))
   }
 
+  /** Canonical text normalization (C44) — the first pass of every
+    * text-curation pipeline: Unicode NFC composition (decomposed
+    * accent sequences fold to their canonical code points, so
+    * visually-identical strings hash identically downstream — exact
+    * dedup, span dedup, and decontamination all depend on it),
+    * optional casefold, optional whitespace-run collapse. Pure
+    * per-row map work on the scan, fully codegen'd (the NFC step is
+    * the custom `UnicodeNormalize` expression — Spark has none);
+    * no shuffle at any corpus size.
+    */
+  def normalizeText(text: Column, form: String = "NFC",
+      casefold: Boolean = true, collapseWs: Boolean = true): Column = {
+    var t = graft.functions.TextExpressions.unicodeNormalize(text, form)
+    if (casefold) t = lower(t)
+    if (collapseWs) t = trim(regexp_replace(t, "\\s+", " "))
+    t
+  }
+
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
 

@@ -598,4 +598,43 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(round2(("a+b", "a+b")) === 1L)
   }
+
+  test("normalizeText: NFC composes, casefolds, collapses whitespace; codegen'd") {
+    import graft.functions.TextExpressions.unicodeNormalize
+    val rows = Seq(
+      (1L, "café TIME"),      // decomposed e + U+0301
+      (2L, "caf\u00e9 time"),       // precomposed é — same canonical form
+      (3L, "a  b\t c"),             // whitespace runs
+      (4L, "plain ascii")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"),
+        length(unicodeNormalize(col("text"))).as("len_nfc"),
+        length(col("text")).as("len_raw"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // 1 and 2 normalize to the SAME string (the whole point: canonical
+    // equivalence becomes bytewise equality for downstream hashing)
+    assert(out(1L)._1 === out(2L)._1)
+    assert(out(1L)._1 === "caf\u00e9 time")
+    // composition shrank the decomposed doc by one code point
+    assert(out(1L)._3 - out(1L)._2 === 1)
+    assert(out(3L)._1 === "a b c")
+    assert(out(4L)._1 === "plain ascii")
+    // idempotence: normalizing a normalized corpus is a no-op
+    val once = rows.select(TextAnalysis.normalizeText(col("text")).as("t"))
+    val twice = once.select(TextAnalysis.normalizeText(col("t")).as("t"))
+    assert(once.collect().map(_.getString(0)).toSeq ===
+      twice.collect().map(_.getString(0)).toSeq)
+    // NFD is the inverse direction: expands the precomposed char
+    assert(rows.filter(col("doc_id") === 2)
+      .select(length(unicodeNormalize(col("text"), "NFD"))).head().getInt(0) === 10)
+    // stays inside whole-stage codegen — no fallback iterator in the
+    // plan (a local relation constant-folds, so assert on a real scan)
+    val plan = T.documents(spark, sf)
+      .select(TextAnalysis.normalizeText(col("text"))).queryExecution
+      .executedPlan.toString
+    // the "*(1)" star marks the Project as INSIDE a codegen stage; a
+    // CodegenFallback expression would strip it
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
