@@ -703,6 +703,30 @@ object OpsQueries {
       |  CAST(length(n) AS BIGINT) AS len_norm, md5(n) AS text_md5
       |FROM norm ORDER BY doc_id""".stripMargin
 
+  // C45: robust (median/MAD) length-outlier trimming per language —
+  // kept docs with the group stats as provenance. All comparisons are
+  // dyadic-exact (integer n_chars), so the kept SET is engine-exact,
+  // not approximately so. k = 2.0 actually trims this corpus (479 of
+  // 500 kept at sf0.01) — at the default 3.0 the gate would pass
+  // vacuously with nothing dropped.
+  def corpusOutliers(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.madTrim(T.documents(s, d), col("n_chars"), col("lang"), k = 2.0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("med").cast("double").as("med"), col("mad").cast("double").as("mad"))
+      .orderBy(col("doc_id"))
+
+  private val oCorpusOutliers =
+    """WITH med AS (
+      |  SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang),
+      |mad AS (
+      |  SELECT d.lang, median(abs(d.n_chars - m.med)) AS mad
+      |  FROM documents d JOIN med m USING (lang) GROUP BY d.lang)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  CAST(m.med AS DOUBLE) AS med, CAST(a.mad AS DOUBLE) AS mad
+      |FROM documents d JOIN med m USING (lang) JOIN mad a USING (lang)
+      |WHERE abs(d.n_chars - m.med) <= 2.0 * a.mad
+      |ORDER BY d.doc_id""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1413,6 +1437,7 @@ object OpsQueries {
     QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
+    QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

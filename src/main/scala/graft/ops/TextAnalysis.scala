@@ -380,6 +380,33 @@ object TextAnalysis {
     trim(regexp_replace(merged, " +", " "))
   }
 
+  /** Robust outlier trimming (C45) — drop rows whose `value` sits
+    * more than `k` median-absolute-deviations from its group's
+    * median: the length/size screen a curation pipeline runs per
+    * language (mean/stddev screens get dragged by the very outliers
+    * they hunt; median/MAD are 50%-breakdown robust).
+    *
+    * Exactness: medians of integers are dyadic rationals (an average
+    * of two middle values), |v − med| again dyadic, and k·mad exact
+    * for dyadic k — every comparison is bit-identical across engines,
+    * no epsilon. Scale shape: two |groups|-row aggregates (each ONE
+    * hash agg) broadcast back onto the scan; the filter is codegen'd
+    * map work. The exact per-group median sorts within the aggregation
+    * buffer — state ∝ group size; at 100 TB swap `median` for
+    * `approx_percentile(…, 0.5)` (B20 gates that path's error bound)
+    * — the trim tolerates a slightly-off center by construction.
+    *
+    * Returns the kept rows with `med`/`mad` attached as provenance.
+    */
+  def madTrim(df: DataFrame, value: Column, key: Column, k: Double = 3.0): DataFrame = {
+    val meds = df.groupBy(key.as("_k")).agg(median(value).as("med"))
+    val withMed = df.join(broadcast(meds), key === col("_k")).drop("_k")
+    val mads = withMed.groupBy(key.as("_k"))
+      .agg(median(abs(value - col("med"))).as("mad"))
+    withMed.join(broadcast(mads), key === col("_k")).drop("_k")
+      .filter(abs(value - col("med")) <= lit(k) * col("mad"))
+  }
+
   /** Canonical text normalization (C44) — the first pass of every
     * text-curation pipeline: Unicode NFC composition (decomposed
     * accent sequences fold to their canonical code points, so

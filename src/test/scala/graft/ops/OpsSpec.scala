@@ -637,4 +637,24 @@ class OpsSpec extends AnyFunSuite {
     // CodegenFallback expression would strip it
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("madTrim keeps the robust core and drops planted outliers per group") {
+    // group a: median 10, MAD 1 → k=3 keeps [7, 13]; 100 and 1 are out
+    // group b: all identical → MAD 0 → ONLY exact-median rows survive
+    val df = Seq(
+      ("a", 9L), ("a", 10L), ("a", 11L), ("a", 12L), ("a", 8L),
+      ("a", 100L), ("a", 1L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L)
+    ).toDF("g", "v")
+    val kept = TextAnalysis.madTrim(df, col("v"), col("g"), k = 3.0)
+      .select("g", "v").as[(String, Long)].collect().toSeq.sorted
+    // a: sorted 1,8,9,10,11,12,100 → med 10; |v−10| = 9,2,1,0,1,2,90 →
+    //    sorted 0,1,1,2,2,9,90 → mad 2 → keep |v−10| ≤ 6 → 8..12
+    assert(kept.filter(_._1 == "a").map(_._2) === Seq(8L, 9L, 10L, 11L, 12L))
+    // b: med 5, deviations 0,0,0,2 → mad 0 → keep only v = 5
+    assert(kept.filter(_._1 == "b").map(_._2) === Seq(5L, 5L, 5L))
+    // mean/stddev would NOT have recovered group a's core: the 100
+    // outlier drags the mean to ~21.6, which a ±1σ screen centers on.
+    // (That asymmetry is the point of the robust statistic.)
+  }
 }
