@@ -938,6 +938,42 @@ object CdcPipeline {
   def dropClonePin(sourceDir: String, destDir: String): Boolean =
     StoreFs.deleteFile(s"$sourceDir/$ClonesDir/${clonePinToken(destDir)}")
 
+  /** RESTORE (A47) — Delta `RESTORE TABLE … TO VERSION AS OF v` on
+    * the bucketed store: roll the table back to an earlier committed
+    * state by publishing a NEW version whose manifest carries the old
+    * version's bucket references — roll-FORWARD semantics. No data
+    * bytes move (the restore is one manifest write, like a shallow
+    * clone of one's own past), history is preserved (the bad versions
+    * stay readable for forensics until vacuum), time travel keeps
+    * working, and `snapshotDiff(bad, restored)` is exactly the
+    * inverse of the mistake being undone. The restored version's
+    * bucket count and schema are the OLD ones — a restore across a
+    * rebucket or schema evolution reverts those too, matching Delta.
+    *
+    * Refuses (None) when the target has no such version or any
+    * referenced bucket dir has been vacuumed — a partial restore
+    * would silently serve a torn table. Restoring the current version
+    * is a committed no-op marker (still publishes, so the intent is
+    * in the history). Returns the NEW version number.
+    */
+  def restoreSnapshot(targetDir: String, version: Long): Option[Long] = {
+    val cur = currentVersion(targetDir).getOrElse(return None)
+    if (version > cur) return None
+    manifest(targetDir, version).flatMap { m =>
+      val refRoots = m.buckets.values.toSet[String]
+        .map(ver => if (ver.contains("/")) ver else s"$targetDir/$ver")
+      if (!refRoots.forall(StoreFs.exists)) None // vacuumed out from under us
+      else {
+        val next = cur + 1
+        writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+          m.buckets, m.stats,
+          commitMeta("restore") + ("restore_of" -> version.toString)))
+        swapPointer(targetDir, next, -1L)
+        Some(next)
+      }
+    }
+  }
+
   private[graft] final case class MergeOutcome(version: Long, updated: Long)
 
   /** Merge compacted `changes` into cfg's target and publish the next

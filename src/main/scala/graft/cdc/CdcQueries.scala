@@ -955,6 +955,54 @@ object CdcQueries {
        |FROM snap WHERE event_id % 5 != 0
        |ORDER BY user_id""".stripMargin
 
+  // A47 (r8): RESTORE — roll the store back to a pre-mistake version
+  // by publishing a new version that carries the old manifest's
+  // references (one manifest write, zero data bytes). The gate makes
+  // a REAL mistake first: a predicate delete of a third of the keys
+  // (require-asserted non-vacuous), then restores past it; the served
+  // snapshot must hash-match the pre-delete state, and the restore
+  // must be a roll-FORWARD (version 3, not a pointer rewind — history
+  // keeps the bad version readable for forensics).
+  def cdcRestore(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "restore",
+      targetPath = Fixtures.dirs("restore", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    val Some((_, deleted)) =
+      CdcPipeline.deleteWhere(s, cfg.targetPath, pk, col("user_id") % 3 === 0) // v2
+    require(deleted > 0, "fixture must actually lose rows before the restore")
+    require(CdcPipeline.restoreSnapshot(cfg.targetPath, 1L).contains(3L),
+      "restore must publish a NEW version (roll-forward), not rewind the pointer")
+    CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oRestore =
+    s"""SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |WHERE rn = 1 AND op != 'd'
+       |ORDER BY user_id""".stripMargin
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -1143,6 +1191,7 @@ object CdcQueries {
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
+    QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),
     QueryDef("cdc_expectations", cdcExpectations, Some(oExpectations)),
     QueryDef("cdc_expectations_clean", cdcExpectationsClean, Some(oExpectationsClean)),

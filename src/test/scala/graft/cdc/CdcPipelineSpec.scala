@@ -236,6 +236,59 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(finalSnap.count() === 100L)
   }
 
+  test("restoreSnapshot rolls forward to the old state; refuses vacuumed versions") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(8))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 60L).map(u => (u, "u", 100L, u, 100L, s"""{"k":$u}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L) // v0
+    val d1 = Seq((1L, "u", 200L, 500L, 1100L, """{"k":111}""", 500L, 2.0))
+    CdcPipeline.run(spark, c, env(d1), log, 2000L) // v1
+    val v1Snap = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    // the mistake: delete half the table (v2)
+    val Some((_, deleted)) =
+      CdcPipeline.deleteWhere(spark, target, Seq("user_id"), col("user_id") % 2 === 0)
+    assert(deleted === 30L)
+    // restore past it — a NEW version, not a pointer rewind
+    assert(CdcPipeline.restoreSnapshot(target, 1L) === Some(3L))
+    assert(CdcPipeline.currentVersion(target) === Some(3L))
+    val restored = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(restored === v1Snap, "restored snapshot must equal the v1 state")
+    // history preserved: the bad version is still time-travel readable
+    assert(CdcPipeline.readSnapshotAt(spark, target, 2L).get.count() === 30L)
+    // the restore appears in DESCRIBE HISTORY as a zero-rewrite commit
+    val h = CdcPipeline.describeHistory(spark, target).get
+      .filter(col("version") === 3).select("op", "rewritten_buckets").head()
+    assert(h.getString(0) === "restore" && h.getInt(1) === 0)
+    // diff(v2, v3) is exactly the inverse of the mistake: 30 inserts
+    val diff = CdcPipeline.snapshotDiff(spark, target, 2L, 3L, Seq("user_id")).get
+    assert(diff.filter(col(CdcEnvelope.OpCol) === "i").count() === 30L)
+    assert(diff.filter(col(CdcEnvelope.OpCol) =!= "i").count() === 0L)
+    // vacuum keeps everything the restored manifest references
+    CdcPipeline.vacuum(target, keepVersions = 1)
+    assert(CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq === v1Snap)
+    // restoring a version whose dirs were actually vacuumed → None.
+    // Rebucket twice so v0..v3's dirs become unreferenced, vacuum them
+    // out, then ask for v1 back.
+    CdcPipeline.rebucket(spark, target, Seq("user_id"), 4)  // v4: full rewrite
+    CdcPipeline.rebucket(spark, target, Seq("user_id"), 8)  // v5: full rewrite
+    // keep v4+v5 (both self-contained rewrites) — v0..v3 become garbage
+    CdcPipeline.vacuum(target, keepVersions = 2)
+    assert(CdcPipeline.restoreSnapshot(target, 1L) === None,
+      "a restore that would serve vacuumed dirs must refuse, not tear")
+    // restore across the rebucket reverts the bucket count too
+    assert(CdcPipeline.restoreSnapshot(target, 4L) === Some(6L))
+    val m6 = CdcPipeline.describeHistory(spark, target).get
+      .filter(col("version") === 6).select("num_buckets").head().getInt(0)
+    assert(m6 === 4, "restore reverts layout (bucket count) with the data")
+  }
+
   test("loadActive accepts a table shaped exactly like the reference config_file5 DDL") {
     import spark.implicits._
     // literal column names from tables_list.sql:5-22 (mysql_-prefixed
