@@ -754,6 +754,89 @@ object CdcPipeline {
       next
     }
 
+  /** Store integrity audit (A48) — the `FSCK` analogue for the
+    * bucketed store: walk the metadata and report every inconsistency
+    * between what the manifests promise and what the filesystem
+    * holds. Driver metadata I/O only — no Spark jobs, so it runs in
+    * seconds against a 100 TB store (the data files are never read;
+    * a referenced BUCKET DIR that exists but lost data files surfaces
+    * at read time as a parquet error, which is loud — fsck's job is
+    * the silent failures: dangling references, torn publishes,
+    * stale coordination files).
+    *
+    * Findings (empty result = healthy):
+    *  - `dangling_ref` (error): a readable version's manifest
+    *    references a version dir that no longer exists — reads of
+    *    that version will fail; if it is the CURRENT version the
+    *    table is down. The restore/vacuum pairing prevents this; a
+    *    manual delete or a foreign vacuum does not.
+    *  - `torn_version` (warn): a version dir at-or-below the pointer
+    *    with no readable manifest — a publish that died between
+    *    writeBuckets and writeManifest; invisible to readers,
+    *    reclaimable.
+    *  - `orphan_inflight` (warn): a version dir ABOVE the pointer —
+    *    an in-flight publish, or one that died before its pointer
+    *    swap. Expected transiently; stale ones leak space.
+    *  - `stale_pin` (error): a clone pin referencing a version dir
+    *    that is gone — the pinned clone can no longer read; the pin
+    *    was registered after the dirs were already vacuumed, or a
+    *    manual delete bypassed vacuum.
+    *  - `stale_lock` (warn): a writer lease older than `staleMs` — a
+    *    crashed writer; the next writer breaks it, fsck just surfaces
+    *    it early.
+    *  - `bad_pointer` (error): the `_VERSION` pointer exists but does
+    *    not parse, or points at a version with no manifest.
+    */
+  def fsck(spark: SparkSession, targetDir: String,
+      staleMs: Long = 15L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    val out = Seq.newBuilder[(String, String, String, String)]
+    def report(sev: String, check: String, subject: String, detail: String): Unit =
+      out += ((sev, check, subject, detail))
+    val curOpt = scala.util.Try(currentVersion(targetDir)).toOption.flatten
+    if (StoreFs.exists(s"$targetDir/$VersionFile") && curOpt.isEmpty)
+      report("error", "bad_pointer", VersionFile, "pointer exists but does not parse")
+    curOpt.foreach { cur =>
+      if (manifest(targetDir, cur).isEmpty)
+        report("error", "bad_pointer", s"v$cur",
+          "pointer names a version with no readable manifest")
+      val versionDirs = StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
+      val versions = versionDirs.map(_.stripPrefix("v").toLong).sorted
+      versions.filter(_ > cur).foreach(v =>
+        report("warn", "orphan_inflight", s"v$v",
+          "version dir above the pointer (in-flight or abandoned publish)"))
+      versions.filter(_ <= cur).foreach { v =>
+        manifest(targetDir, v) match {
+          case None =>
+            report("warn", "torn_version", s"v$v",
+              "version dir with no readable manifest (died pre-manifest)")
+          case Some(m) =>
+            m.buckets.values.toSet[String].foreach { ref =>
+              val root = if (ref.contains("/")) ref else s"$targetDir/$ref"
+              if (!StoreFs.exists(root))
+                report("error", "dangling_ref", s"v$v",
+                  s"manifest references missing dir $ref" +
+                    (if (v == cur) " (CURRENT version — table is unreadable)" else ""))
+            }
+        }
+      }
+      // clone pins: every version dir a pin lists must still exist
+      StoreFs.listFilePaths(s"$targetDir/$ClonesDir", "").foreach { pin =>
+        StoreFs.readString(pin).split("\n").filter(_.matches("v\\d+")).foreach { ref =>
+          if (!StoreFs.exists(s"$targetDir/$ref"))
+            report("error", "stale_pin", pin.substring(pin.lastIndexOf('/') + 1),
+              s"pin references missing dir $ref (pinned clone cannot read)")
+        }
+      }
+      val lock = s"$targetDir/_LOCK"
+      if (StoreFs.exists(lock) &&
+          StoreFs.mtimeMs(lock).exists(_ < System.currentTimeMillis() - staleMs))
+        report("warn", "stale_lock", "_LOCK",
+          "writer lease past its stale window (crashed writer)")
+    }
+    out.result().toDF("severity", "check", "subject", "detail")
+  }
+
   /** Writer lease (A46) — opt-in mutual exclusion for the ONE-writer
     * contract (object doc): two concurrent publishes to the same
     * target race benignly on the version number, but the loser's work

@@ -289,6 +289,55 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(m6 === 4, "restore reverts layout (bucket count) with the data")
   }
 
+  test("fsck: healthy store is empty; each planted inconsistency is reported") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(8))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 40L).map(u => (u, "u", 100L, u, 100L, s"""{"k":$u}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L) // v0
+    val d1 = Seq((1L, "u", 200L, 500L, 1100L, """{"k":111}""", 500L, 2.0))
+    CdcPipeline.run(spark, c, env(d1), log, 2000L) // v1 (carries most of v0)
+    assert(CdcPipeline.fsck(spark, target).count() === 0L, "healthy store")
+
+    def checks(staleMs: Long = 15L * 60 * 1000): Map[String, Long] =
+      CdcPipeline.fsck(spark, target, staleMs).groupBy("check").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // orphan above the pointer
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$target/v99"))
+    // torn publish: a version dir at/below the pointer without a manifest
+    val v1Manifest = StoreFs.readString(s"$target/v1/_MANIFEST")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$target/v1/_MANIFEST"))
+    // stale pin listing a vacuumed dir
+    StoreFs.writeString(s"$target/_clones/deadbeef", "v77")
+    // stale writer lease (any lock is stale at staleMs = -1)
+    StoreFs.writeString(s"$target/_LOCK", "crashed-writer-token")
+    val got = checks(staleMs = -1L)
+    assert(got.get("orphan_inflight") === Some(1L), got.toString)
+    assert(got.get("torn_version") === Some(1L), got.toString)
+    assert(got.get("stale_pin") === Some(1L), got.toString)
+    assert(got.get("stale_lock") === Some(1L), got.toString)
+    // v1 lost its manifest, so the pointer names a manifest-less version
+    assert(got.get("bad_pointer") === Some(1L), got.toString)
+    // a FRESH lock is not stale at the default window
+    assert(!checks().contains("stale_lock"))
+
+    // dangling reference: heal the torn manifest first (the store must
+    // be consistent before the next pipeline run), then remove v0,
+    // which v1/v2 carry buckets from
+    StoreFs.writeString(s"$target/v1/_MANIFEST", v1Manifest)
+    CdcPipeline.run(spark, c, env(d1), log, 3000L) // v2 re-publishes cleanly
+    StoreFs.deleteRecursive(s"$target/v0")
+    val got2 = checks()
+    assert(got2.get("dangling_ref").exists(_ >= 1L), got2.toString)
+    assert(CdcPipeline.fsck(spark, target).filter(col("check") === "dangling_ref")
+      .filter(col("detail").contains("CURRENT")).count() >= 1L,
+      "current version serving vacuumed dirs must be flagged loudly")
+  }
+
   test("loadActive accepts a table shaped exactly like the reference config_file5 DDL") {
     import spark.implicits._
     // literal column names from tables_list.sql:5-22 (mysql_-prefixed
