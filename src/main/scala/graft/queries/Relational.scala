@@ -797,6 +797,75 @@ object Relational {
       |  sum(round(o_totalprice * 100)) / 100.0 AS sum_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // B36 (r8): string scalar-function breadth — the everyday SQL string
+  // surface a migrating user leans on (split_part/translate/pad/
+  // repeat/reverse/instr/left/right/levenshtein/regexp_count), all
+  // codegen'd scalar work on one pruned scan. DuckDB lacks
+  // regexp_count, so the oracle re-expresses it as
+  // len(regexp_extract_all) — same contract.
+  def qStringFuncs(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).filter(col("c_custkey") % 10 === 0)
+      .createOrReplaceTempView("graft_b36_customer")
+    s.sql(
+      """SELECT c_custkey,
+        |  split_part(c_name, '#', 2) AS name_id,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        |  lpad(CAST(c_nationkey AS STRING), 4, '0') AS nat_pad,
+        |  repeat(left(c_mktsegment, 2), 2) AS seg_rep,
+        |  reverse(right(c_name, 4)) AS name_rev,
+        |  instr(c_name, '#') AS hash_pos,
+        |  levenshtein(c_mktsegment, 'MACHINERY') AS lev,
+        |  regexp_count(c_name, '0') AS zeros
+        |FROM graft_b36_customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val oStringFuncs =
+    """SELECT c_custkey,
+      |  split_part(c_name, '#', 2) AS name_id,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+      |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_pad,
+      |  repeat(left(c_mktsegment, 2), 2) AS seg_rep,
+      |  reverse(right(c_name, 4)) AS name_rev,
+      |  CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+      |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS lev,
+      |  CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS zeros
+      |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin
+
+  // B37 (r8): datetime scalar-function breadth — truncation, field
+  // extraction, calendar arithmetic (month-end clamping!), day
+  // difference. Exported as strings/integers so the gate is
+  // bit-exact. Engine mapping pinned where conventions differ:
+  // Spark dayofweek is 1-based Sunday-first, DuckDB dow is 0-based
+  // Sunday-first (oracle adds 1); add_months clamps Jan 31 + 1 →
+  // Feb 28 exactly like DuckDB's +INTERVAL.
+  def qDatetimeFuncs(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).filter(col("o_orderkey") % 25 === 0)
+      .createOrReplaceTempView("graft_b37_orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS month_start,
+        |  dayofweek(o_orderdate) AS dow,
+        |  weekofyear(o_orderdate) AS woy,
+        |  dayofyear(o_orderdate) AS doy,
+        |  quarter(o_orderdate) AS qtr,
+        |  date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS month_end,
+        |  date_format(add_months(o_orderdate, 1), 'yyyy-MM-dd') AS next_month,
+        |  datediff(DATE '1999-01-01', o_orderdate) AS days_to_99
+        |FROM graft_b37_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val oDatetimeFuncs =
+    """SELECT o_orderkey,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  CAST(extract(dow FROM o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+      |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      |  CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99
+      |FROM orders WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -830,5 +899,7 @@ object Relational {
     QueryDef("q_lateral_topn", qLateralTopn, Some(oLateralTopn)),
     QueryDef("q_percentile_cont", qPercentileCont, Some(oPercentileCont)),
     QueryDef("q_histogram", qHistogram, Some(oHistogram)),
+    QueryDef("q_string_funcs", qStringFuncs, Some(oStringFuncs)),
+    QueryDef("q_datetime_funcs", qDatetimeFuncs, Some(oDatetimeFuncs)),
   )
 }
