@@ -180,6 +180,54 @@ object OpsQueries {
       |  (id = min(comp)) AS is_canonical
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // C46: leakage-safe split — near-dup clusters assigned to ONE side.
+  // The oracle re-derives EVERYTHING: the exact all-pairs Jaccard
+  // graph, the recursive-CTE components, the representative fallback,
+  // and the mod-prime bucket arithmetic — one hash compare pins the
+  // whole composition.
+  def splitLeakageSafeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val pairs = Dedup.ngramJaccardVerify(Dedup.minhashCandidates(docs), docs)
+      .select("id_a", "id_b")
+    Packing.splitLeakageSafe(docs, pairs)
+      .select(col("doc_id"), col("rep_id"), col("split_bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oSplitLeakageSafe =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |                range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+      |    END AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      len(list_intersect(a.sh, b.sh))
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      |  WHERE jaccard >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM e
+      |  UNION
+      |  SELECT e.dst AS id, r.comp FROM reach r JOIN e ON e.src = r.id),
+      |canon AS (SELECT id AS doc_id, min(comp) AS canonical_id FROM reach GROUP BY id),
+      |rep AS (
+      |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS rep_id
+      |  FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id)
+      |SELECT doc_id, rep_id, b AS split_bucket,
+      |  CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, rep_id,
+      |        ((rep_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+      |      FROM rep) t
+      |ORDER BY doc_id""".stripMargin
+
   // C5 scale path (primary): LSH buckets → exact cosine verify. Same
   // oracle as dedup_embedding — the hash compare proves the bucketed
   // path reproduces the exact all-pairs result (100% recall at the
@@ -1438,6 +1486,7 @@ object OpsQueries {
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
+    QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

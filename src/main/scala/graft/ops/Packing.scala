@@ -40,6 +40,36 @@ object Packing {
           .otherwise(lit("test")))
   }
 
+  /** Leakage-safe split (C46): assign train/val/test by the near-dup
+    * CLUSTER, not the document — the split boundary must never run
+    * between two near-duplicates, or the eval set silently contains
+    * paraphrases of training documents (the within-corpus twin of
+    * decontamination; C24/C40 guard against external benchmarks, this
+    * guards the corpus against its own split). Every doc's split
+    * bucket is computed from its cluster representative id (the
+    * connected-component min — C13); unclustered docs are their own
+    * singleton representative, so their assignment is IDENTICAL to
+    * plain [[splitAssign]] — adding dedup information only ever moves
+    * clustered docs, never reshuffles the rest.
+    *
+    * `pairs` is any verified near-dup edge list (id_a, id_b) — n-gram
+    * Jaccard, SimHash, embedding cosine. Scale shape: components over
+    * the EDGE list only (∝ dup pairs, ≪ corpus), then ONE key join of
+    * the cluster map back onto the corpus (AQE broadcasts it when
+    * small) + the same codegen'd mod-prime bucket as every other
+    * split/sample op — so leakage-safe splits compose with stratified
+    * sampling and mixtures on unchanged membership arithmetic.
+    */
+  def splitLeakageSafe(docs: DataFrame, pairs: DataFrame,
+      trainPermille: Int = 980, valPermille: Int = 10): DataFrame = {
+    val canon = Clusters.canonicalAssignment(pairs)
+      .select(col("doc_id"), col("canonical_id"))
+    val withRep = docs.join(canon, Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("canonical_id"), col("doc_id")))
+      .drop("canonical_id")
+    splitAssign(withRep, col("rep_id"), trainPermille, valPermille)
+  }
+
   /** The split/sample bucket: overflow-free mod-prime hash of the id
     * onto [0, 1000) — shared by splitAssign and sampleStratified so
     * sampling and splitting stay consistent and engine-reproducible.

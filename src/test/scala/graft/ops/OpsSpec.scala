@@ -638,6 +638,40 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("splitLeakageSafe: clusters never straddle a split; singletons match splitAssign") {
+    val docs = T.documents(spark, sf)
+    val pairs = Dedup.ngramJaccardVerify(Dedup.minhashCandidates(docs), docs)
+      .select("id_a", "id_b")
+    assert(pairs.count() > 0, "fixture must have near-dup pairs")
+    val safe = Packing.splitLeakageSafe(docs, pairs, trainPermille = 500,
+      valPermille = 250) // aggressive split so straddling would be likely
+    // every cluster representative maps to exactly one split
+    val perRep = safe.groupBy("rep_id").agg(countDistinct("split").as("nsplits"))
+    assert(perRep.filter(col("nsplits") > 1).count() === 0L,
+      "a near-dup cluster must land entirely on one side")
+    // the naive per-doc split DOES straddle at least one cluster here —
+    // the property is not vacuous on this corpus
+    val naive = Packing.splitAssign(docs, col("doc_id"), 500, 250)
+      .select(col("doc_id"), col("split"))
+    val canon = Clusters.canonicalAssignment(pairs)
+      .select(col("doc_id"), col("canonical_id"))
+    val naiveStraddles = naive.join(canon, "doc_id")
+      .groupBy("canonical_id").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(naiveStraddles > 0, "fixture must make the naive split leak")
+    // docs in no cluster keep their plain splitAssign bucket exactly
+    val clustered = canon.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val safeMap = safe.select("doc_id", "split_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naiveMap = Packing.splitAssign(docs, col("doc_id"), 500, 250)
+      .select("doc_id", "split_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val singles = safeMap.keySet -- clustered
+    assert(singles.nonEmpty)
+    assert(singles.forall(id => safeMap(id) === naiveMap(id)),
+      "unclustered docs must be assigned exactly as plain splitAssign")
+  }
+
   test("madTrim keeps the robust core and drops planted outliers per group") {
     // group a: median 10, MAD 1 → k=3 keeps [7, 13]; 100 and 1 are out
     // group b: all identical → MAD 0 → ONLY exact-median rows survive
