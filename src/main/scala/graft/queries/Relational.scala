@@ -866,6 +866,37 @@ object Relational {
       |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99
       |FROM orders WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin
 
+  // B38 (r8): ROWS-framed moving window (trailing 4-row average) —
+  // the moving-average idiom; complements B24's value-RANGE frame.
+  // Exactness: the frame sum/count are integers, exported alongside
+  // the round(,6)-ed average so the division is pinned; frame order
+  // (ts, event_id) is total.
+  def qMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    T.events(s, d).filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"),
+        sum(cents).over(w).as("frame_cents"),
+        count(lit(1)).over(w).cast("long").as("frame_n"))
+      .withColumn("moving_avg",
+        round(col("frame_cents") / (lit(100.0) * col("frame_n")), 6))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val oMovingAvg =
+    """SELECT user_id, event_id, frame_cents, frame_n,
+      |  round(frame_cents / (100.0 * frame_n), 6) AS moving_avg
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS frame_cents,
+      |    CAST(count(*) OVER w AS BIGINT) AS frame_n
+      |  FROM events WHERE user_id % 20 = 0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) t
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -901,5 +932,6 @@ object Relational {
     QueryDef("q_histogram", qHistogram, Some(oHistogram)),
     QueryDef("q_string_funcs", qStringFuncs, Some(oStringFuncs)),
     QueryDef("q_datetime_funcs", qDatetimeFuncs, Some(oDatetimeFuncs)),
+    QueryDef("q_moving_avg", qMovingAvg, Some(oMovingAvg)),
   )
 }
