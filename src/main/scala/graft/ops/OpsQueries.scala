@@ -775,6 +775,25 @@ object OpsQueries {
       |WHERE abs(d.n_chars - m.med) <= 2.0 * a.mad
       |ORDER BY d.doc_id""".stripMargin
 
+  // C47: per-doc salient terms (integer-exact tf-idf variant) —
+  // top-3 tokens per document by tf·10⁹ div df, ties by token.
+  def textTfidfTopK(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfIdfTopK(T.documents(s, d), 3)
+      .orderBy(col("doc_id"), col("rn"))
+
+  private val oTextTfidf =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok)
+      |SELECT doc_id, CAST(rn AS INT) AS rn, tok, tf, df, score FROM (
+      |  SELECT t.doc_id, t.tok, t.tf, d.df,
+      |    (t.tf * 1000000000) // d.df AS score,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY (t.tf * 1000000000) // d.df DESC, t.tok) AS rn
+      |  FROM tf t JOIN dfq d USING (tok)) x
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1487,6 +1506,7 @@ object OpsQueries {
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),
+    QueryDef("text_tfidf_topk", textTfidfTopK, Some(oTextTfidf)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

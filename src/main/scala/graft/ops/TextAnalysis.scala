@@ -380,6 +380,34 @@ object TextAnalysis {
     trim(regexp_replace(merged, " +", " "))
   }
 
+  /** Per-document salient terms (C47) — the tf-idf keyword pass: each
+    * doc's top-k tokens by term frequency penalized by corpus
+    * document frequency. The score here is the integer-exact variant
+    * `tf · 10⁹ div df` (idf' = 1/df): same "frequent here, rare
+    * everywhere" ordering intent as log-idf, but every comparison is
+    * integer arithmetic, so the ranking — and therefore the exported
+    * top-k — is engine-exact with no float-log cross-engine drift
+    * (production swaps in `tf · ln(N/df)` when interoperating with
+    * existing scores; the plumbing is identical).
+    *
+    * Scale shape: ONE corpus explode feeding two hash aggs — (doc,
+    * token) term counts and token document frequencies (∝ vocab) —
+    * a key join of the two, then a per-DOC window for the top-k:
+    * partitions are single documents, so window state is bounded by
+    * a doc's distinct tokens, never corpus-sized.
+    */
+  def tfIdfTopK(docs: DataFrame, k: Int, text: Column = col("text")): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(tokens(text)).as("tok"))
+    val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("score", expr("(tf * CAST(1000000000 AS BIGINT)) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"), col("score"))
+  }
+
   /** Robust outlier trimming (C45) — drop rows whose `value` sits
     * more than `k` median-absolute-deviations from its group's
     * median: the length/size screen a curation pipeline runs per
