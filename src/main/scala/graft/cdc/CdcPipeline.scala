@@ -754,6 +754,74 @@ object CdcPipeline {
       next
     }
 
+  /** ALTER TABLE … DROP COLUMN (A49) — METADATA-ONLY on the bucketed
+    * store: publish a new version that carries every bucket by
+    * reference with a NARROWED pinned schema. Zero data bytes move —
+    * the Delta-with-column-mapping behavior, reached here without a
+    * name-indirection layer because every read already goes through
+    * the manifest's pinned schema (`readBuckets` passes it to the
+    * parquet reader, which simply never materializes unlisted
+    * columns). Old versions keep their manifests, so time travel
+    * still serves the column and RESTORE resurrects it. Carried
+    * stats entries for dropped columns are stripped (a later
+    * `readRange` on the dropped column fails loudly at analysis —
+    * never a silent wrong prune). PK columns refuse: the merge keys
+    * on them.
+    */
+  def dropColumns(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      drop: Seq[String]): Option[Long] = {
+    require(drop.nonEmpty, "dropColumns needs at least one column")
+    require(!drop.exists(pkCols.contains),
+      s"cannot drop PK columns: ${drop.filter(pkCols.contains).mkString(",")}")
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val schema = m.schema
+      val missing = drop.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
+      val newSchema = StructType(schema.fields.filterNot(f => drop.contains(f.name)))
+      require(newSchema.nonEmpty, "cannot drop every column")
+      val next = currentVersion(targetDir).get + 1
+      writeManifest(targetDir, next, Manifest(m.numBuckets, newSchema.json,
+        m.buckets,
+        m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
+        commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(","))))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+  }
+
+  /** ALTER TABLE … RENAME COLUMN (A49) — a FULL-REWRITE publish: the
+    * parquet files key columns by NAME and the store deliberately has
+    * no column-mapping indirection (one fewer layer every read pays
+    * for), so a rename is one read → rename → republish, the same
+    * honest price Delta charges without column mapping. Bucket
+    * ROUTING is unchanged even when a PK column is renamed (the hash
+    * is over values, not names — `pkCols` here are the PRE-rename
+    * names; pass the new name to later calls). Tracked stats follow
+    * the rename. Old versions still read under the old name.
+    */
+  def renameColumn(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      from: String, to: String): Option[Long] = {
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val schema = m.schema
+      require(schema.fieldNames.contains(from), s"no such column: $from")
+      require(!schema.fieldNames.contains(to), s"column exists: $to")
+      val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
+        .withColumnRenamed(from, to)
+      val newPk = pkCols.map(c => if (c == from) to else c)
+      val next = currentVersion(targetDir).get + 1
+      val dir = s"$targetDir/v$next"
+      writeBuckets(snap, newPk, m.numBuckets, dir)
+      val trackCols = m.stats.values.flatMap(_.keys).toSeq.distinct
+        .map(c => if (c == from) to else c)
+      writeManifest(targetDir, next, Manifest(m.numBuckets, snap.schema.json,
+        writtenBuckets(dir).map(_ -> s"v$next").toMap,
+        bucketStats(spark, dir, trackCols),
+        commitMeta("rename-column") + ("renamed" -> s"$from>$to")))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+  }
+
   /** Store integrity audit (A48) — the `FSCK` analogue for the
     * bucketed store: walk the metadata and report every inconsistency
     * between what the manifests promise and what the filesystem

@@ -338,6 +338,59 @@ class CdcPipelineSpec extends AnyFunSuite {
       "current version serving vacuumed dirs must be flagged loudly")
   }
 
+  test("dropColumns is metadata-only and reversible; renameColumn rewrites with stable routing") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(8), statsCols = Seq("event_id"))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 50L).map(u => (u, "u", 100L, u, 100L, s"""{"k":$u}""", u, 1.5))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L) // v0
+    val before = CdcPipeline.readSnapshot(spark, target).get
+
+    // DROP: zero-copy — the new version holds ONLY a manifest, and the
+    // read resolves into the same files as before
+    val filesBefore = before.inputFiles.toSet
+    assert(CdcPipeline.dropColumns(spark, target, Seq("user_id"), Seq("value"))
+      === Some(1L))
+    val dropped = CdcPipeline.readSnapshot(spark, target).get
+    assert(!dropped.columns.contains("value"))
+    assert(dropped.inputFiles.toSet === filesBefore, "drop must move zero data bytes")
+    assert(StoreFs.listDirNames(s"$target/v1") === Seq(), "v1 holds only the manifest")
+    assert(dropped.count() === 50L)
+    // time travel still serves the column; RESTORE resurrects it
+    assert(CdcPipeline.readSnapshotAt(spark, target, 0L).get.columns.contains("value"))
+    assert(CdcPipeline.restoreSnapshot(target, 0L) === Some(2L))
+    assert(CdcPipeline.readSnapshot(spark, target).get.columns.contains("value"))
+    // PK columns refuse
+    intercept[IllegalArgumentException] {
+      CdcPipeline.dropColumns(spark, target, Seq("user_id"), Seq("user_id"))
+    }
+
+    // RENAME: full rewrite, values identical, key routing stable
+    assert(CdcPipeline.renameColumn(spark, target, Seq("user_id"), "k", "payload_k")
+      === Some(3L))
+    val renamed = CdcPipeline.readSnapshot(spark, target).get
+    assert(renamed.columns.contains("payload_k") && !renamed.columns.contains("k"))
+    assert(renamed.select(sum("payload_k")).head().getLong(0) ===
+      before.select(sum("k")).head().getLong(0))
+    // key lookup prunes on the new layout (routing unchanged)
+    val keys = Seq(7L).toDF("user_id")
+    val hit = CdcPipeline.readKeys(spark, target, Seq("user_id"), keys).get
+    assert(hit.count() === 1L && hit.head().getAs[Long]("payload_k") === 7L)
+    // tracked stats survived the rewrite: range read on event_id prunes
+    val pruned = CdcPipeline.readRange(spark, target, "event_id", Some(1L), Some(2L)).get
+    assert(pruned.count() === 2L)
+    assert(pruned.inputFiles.length < renamed.inputFiles.length,
+      "stats index must have followed the rewrite")
+    // renaming a PK column keeps routing because the hash is over values
+    assert(CdcPipeline.renameColumn(spark, target, Seq("user_id"), "user_id", "uid")
+      === Some(4L))
+    val hit2 = CdcPipeline.readKeys(spark, target, Seq("uid"), Seq(9L).toDF("uid")).get
+    assert(hit2.count() === 1L)
+  }
+
   test("loadActive accepts a table shaped exactly like the reference config_file5 DDL") {
     import spark.implicits._
     // literal column names from tables_list.sql:5-22 (mysql_-prefixed
