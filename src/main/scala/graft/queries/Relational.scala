@@ -897,6 +897,41 @@ object Relational {
       |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) t
       |ORDER BY user_id, event_id""".stripMargin
 
+  // B39 (r8): null-aware NOT IN — the classic three-valued-logic trap
+  // (one NULL in the subquery makes every NOT IN row UNKNOWN → the
+  // result is EMPTY), planned by Spark as a null-aware anti join
+  // rather than a row-at-a-time subquery. The gate pins BOTH branches
+  // in one result: the NULL-bearing subquery must yield zero
+  // survivors, the NULL-free one the true anti-join count — an engine
+  // that "fixes" NOT IN to act like NOT EXISTS breaks the first row.
+  def qNotInNulls(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("graft_b39_orders")
+    T.customer(s, d).createOrReplaceTempView("graft_b39_customer")
+    s.sql(
+      """SELECT 'with_null' AS variant, count(*) AS n FROM graft_b39_orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+        |   FROM graft_b39_customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'no_null', count(*) FROM graft_b39_orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM graft_b39_customer
+        |   WHERE c_mktsegment = 'BUILDING' AND c_custkey % 100 != 0)
+        |ORDER BY variant""".stripMargin)
+  }
+
+  private val oNotInNulls =
+    """SELECT 'with_null' AS variant, count(*) AS n FROM orders
+      |WHERE o_custkey NOT IN
+      |  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+      |   FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'no_null', count(*) FROM orders
+      |WHERE o_custkey NOT IN
+      |  (SELECT c_custkey FROM customer
+      |   WHERE c_mktsegment = 'BUILDING' AND c_custkey % 100 != 0)
+      |ORDER BY variant""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -933,5 +968,6 @@ object Relational {
     QueryDef("q_string_funcs", qStringFuncs, Some(oStringFuncs)),
     QueryDef("q_datetime_funcs", qDatetimeFuncs, Some(oDatetimeFuncs)),
     QueryDef("q_moving_avg", qMovingAvg, Some(oMovingAvg)),
+    QueryDef("q_not_in_nulls", qNotInNulls, Some(oNotInNulls)),
   )
 }
