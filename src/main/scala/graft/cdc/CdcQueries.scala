@@ -1003,6 +1003,68 @@ object CdcQueries {
        |WHERE rn = 1 AND op != 'd'
        |ORDER BY user_id""".stripMargin
 
+  // A50 (r8): incrementally maintained JOIN view — the enrichment
+  // star-join kept as a materialized store with delta-cost
+  // maintenance on BOTH sides. The gate drives the full lifecycle:
+  // bootstrap (fact ⨝ customer), a fact window merged through
+  // applyFactDelta, then a dim delta (segment rewrite on every 10th
+  // customer + DELETE of a disjoint ninth) through the fk index. The
+  // served view must hash-match the oracle's one-shot join of the
+  // recomputed fact state against the mutated dim — deleted dim keys
+  // must read as NULL dim columns, never drop fact rows.
+  def cdcJoinView(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    def withFk(df: DataFrame): DataFrame =
+      df.withColumn("cust_fk", expr("event_id % 1500"))
+    val ev = T.events(s, d)
+    val cust = T.customer(s, d)
+    val spec = JoinView.JoinViewSpec(
+      viewDir = Fixtures.dirs("joinview", 1).head,
+      factPk = Seq("user_id"), fkCol = "cust_fk", dimPk = "c_custkey",
+      dimCols = Seq("c_mktsegment", "c_nationkey"), numBuckets = 16)
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val fact0 = withFk(SnapshotMerge.fromHistory(proj(history),
+      Seq("user_id"), Seq("user_id", "k", "event_id", "value")))
+    JoinView.bootstrap(s, spec, fact0, cust)
+    val chg1 = withFk(ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), Seq("user_id")))
+    JoinView.applyFactDelta(s, spec, chg1, cust, Some(chg1.count()))
+    val dimUp = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_mktsegment", lit("MOVED"))
+      .withColumn(CdcEnvelope.OpCol, lit("u"))
+    val dimDel = cust.filter(col("c_custkey") % 10 =!= 0 && col("c_custkey") % 9 === 4)
+      .withColumn(CdcEnvelope.OpCol, lit("d"))
+    JoinView.applyDimDelta(s, spec,
+      dimUp.unionByName(dimDel)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col(CdcEnvelope.OpCol)))
+    JoinView.read(s, spec).get
+      .select("user_id", "cust_fk", "k", "event_id", "value",
+        "c_mktsegment", "c_nationkey")
+      .orderBy(col("user_id"))
+  }
+
+  private val oJoinView =
+    s"""WITH snap AS (SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd'),
+       |dim AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+       |    c_nationkey
+       |  FROM customer
+       |  WHERE NOT (c_custkey % 10 != 0 AND c_custkey % 9 = 4))
+       |SELECT s.user_id, s.event_id % 1500 AS cust_fk, s.k, s.event_id, s.value,
+       |  d.c_mktsegment, d.c_nationkey
+       |FROM snap s LEFT JOIN dim d ON s.event_id % 1500 = d.c_custkey
+       |ORDER BY s.user_id""".stripMargin
+
   // A29 (r5): SCD Type-2 history — every version of every PK with its
   // half-open validity interval; a delete closes the current slice
   // and opens none. The one-shot build (window-lead per PK) is the
@@ -1192,6 +1254,7 @@ object CdcQueries {
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
     QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
+    QueryDef("cdc_join_view", cdcJoinView, Some(oJoinView)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),
     QueryDef("cdc_expectations", cdcExpectations, Some(oExpectations)),
     QueryDef("cdc_expectations_clean", cdcExpectationsClean, Some(oExpectationsClean)),
