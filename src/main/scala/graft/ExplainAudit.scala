@@ -22,7 +22,9 @@ object ExplainAudit {
         "sample_token_budget", "sample_mixture", "dedup_semantic_keep",
         "text_lm_score", "decontaminate_semantic", "q_string_agg",
         "cdc_expectations", "pack_chunks_sliding",
-        "q_recursive_cte", "q_lateral_topn", "q_percentile_cont", "q_histogram")) {
+        "q_recursive_cte", "q_lateral_topn", "q_percentile_cont", "q_histogram",
+        "text_bpe_pairs", "text_normalize", "corpus_outliers", "split_leakage_safe",
+        "text_tfidf_topk", "q_moving_avg", "q_not_in_nulls")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able

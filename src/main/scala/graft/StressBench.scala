@@ -583,6 +583,46 @@ object StressBench {
         s"rewrite must be bounded by the keys' buckets: $rewritten")
       StoreFs.deleteRecursive(dir)
     }
+
+    // A50 (r8): maintained join view at 10M facts — the dim-side
+    // delta must touch only the fact buckets the fk index names, and
+    // the fact-side delta must cost ∝ delta. Facts keyed by
+    // (user_id, pos); 100k distinct fks, one dim row each; a handful
+    // of fks get a single referer so the dim probe isolates pruning.
+    locally {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-stress-jv").toString
+      val spec = graft.cdc.JoinView.JoinViewSpec(dir,
+        Seq("user_id", CdcEnvelope.PosCol), "fk", "dk", Seq("seg"), numBuckets = 64)
+      val facts = big.select(col("user_id"), col(CdcEnvelope.PosCol),
+          col("event_id"), col("value"))
+        // rare fks 0..9 get exactly one referer each (pos 0..9);
+        // everything else hashes into 100k common fks
+        .withColumn("fk", when(col(CdcEnvelope.PosCol) < 10, col(CdcEnvelope.PosCol))
+          .otherwise(pmod(col("event_id"), lit(100000L)) + 10L))
+      val dim = spark.range(0L, 100010L).select(col("id").as("dk"),
+        concat(lit("seg"), col("id") % 37).as("seg"))
+      time("join view bootstrap: 10M facts x 100k dims, 64 buckets") {
+        graft.cdc.JoinView.bootstrap(spark, spec, facts, dim)
+      }
+      val delta = facts.filter(col(CdcEnvelope.PosCol) % 1000000 === 17)
+        .withColumn("value", col("value") + 1).withColumn("__op", lit("u"))
+      time(s"join view fact delta (${delta.count()} rows)") {
+        graft.cdc.JoinView.applyFactDelta(spark, spec, delta, dim, Some(100L))
+      }
+      val vBefore = graft.cdc.CdcPipeline.currentVersion(dir).get
+      time("join view dim delta (1 rare fk, 1 referer)") {
+        graft.cdc.JoinView.applyDimDelta(spark, spec,
+          Seq((3L, "HOT", "u")).toDF("dk", "seg", "__op"))
+      }
+      val mPrev = graft.cdc.CdcPipeline.manifest(dir, vBefore).get
+      val mNext = graft.cdc.CdcPipeline.manifest(dir,
+        graft.cdc.CdcPipeline.currentVersion(dir).get).get
+      val rewrote = mNext.buckets.count { case (bk, v) => !mPrev.buckets.get(bk).contains(v) }
+      println(s"[stress] join view dim delta rewrote $rewrote/64 buckets")
+      assert(rewrote <= 2, s"single-referer dim delta must be bucket-pruned: $rewrote")
+      StoreFs.deleteRecursive(dir)
+    }
     spark.stop()
   }
 }
