@@ -98,6 +98,44 @@ class JoinViewSpec extends AnyFunSuite {
     assert(hist.getInt(0) < 16, s"dim merge must not rewrite every bucket: $hist")
   }
 
+  test("rollup over the maintained join view advances by view diffs (IVM composition)") {
+    // The A23 single-table IVM composes with A50: the view's
+    // snapshotDiff between maintained versions IS a CDC change set,
+    // so an aggregate grouped by a DIM attribute (sum of fact payload
+    // per segment — the star-schema rollup) advances incrementally
+    // through fact AND dim deltas, never rescanning the view.
+    val spec = JoinView.JoinViewSpec(tmp(), Seq("pk"), "fk", "dk", Seq("seg"), numBuckets = 8)
+    val fact0 = (1L to 100L).map(pk => (pk, (pk % 5) + 1, pk))
+    val dim0 = (1L to 6L).map(k => (k, s"seg${k % 3}"))
+    JoinView.bootstrap(spark, spec, factDf(fact0), dimDf(dim0))
+    def viewAt(v: Long) = CdcPipeline.readSnapshotAt(spark, spec.viewDir, v).get
+    var state = IncrementalAgg.fromSnapshot(viewAt(0L), Seq("seg"), "pay")
+      .localCheckpoint(true)
+    def advance(vPrev: Long, vNew: Long): Unit = {
+      val diff = CdcPipeline.snapshotDiff(spark, spec.viewDir, vPrev, vNew, Seq("pk")).get
+      state = IncrementalAgg.applyDelta(state, viewAt(vPrev), diff,
+        Seq("pk"), Seq("seg"), "pay").localCheckpoint(true)
+    }
+    // fact delta: moves + deletes
+    JoinView.applyFactDelta(spark, spec,
+      Seq((7L, 2L, 700L), (101L, 3L, 1010L)).toDF("pk", "fk", "pay")
+        .withColumn("__op", lit("u"))
+        .unionByName(Seq(9L).toDF("pk").withColumn("fk", lit(null).cast("long"))
+          .withColumn("pay", lit(null).cast("long")).withColumn("__op", lit("d"))),
+      dimDf(dim0), Some(3L))
+    advance(0L, 1L)
+    // dim delta: seg flip moves whole groups
+    JoinView.applyDimDelta(spark, spec, Seq((2L, "segX", "u")).toDF("dk", "seg", "__op"))
+    advance(1L, 2L)
+    val got = state.select("seg", "sum_pay").collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    val want = IncrementalAgg.fromSnapshot(
+        JoinView.read(spark, spec).get, Seq("seg"), "pay")
+      .select("seg", "sum_pay").collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(got === want, s"maintained rollup diverged: $got vs $want")
+  }
+
   test("index false positives after an fk change stay conservative; rebuildIndex restores exactness") {
     val spec = JoinView.JoinViewSpec(tmp(), Seq("pk"), "fk", "dk", Seq("seg"), numBuckets = 8)
     JoinView.bootstrap(spark, spec, factDf(Seq((1L, 5L, 10L), (2L, 6L, 20L))),
