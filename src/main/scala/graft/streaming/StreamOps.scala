@@ -109,4 +109,50 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming near-dup ingestion (C48) — the continuous form of
+    * C32's incremental MinHash loop: `readStream` over a landing
+    * directory of document parquet; every micro-batch is LSH-hashed
+    * ONCE, probed against the postings accumulated by all prior
+    * batches, and appended — the corpus is never re-hashed, per-batch
+    * cost ∝ batch (the 100 TB ingest loop, now with checkpointed
+    * exactly-once batch tracking instead of a hand-rolled cursor).
+    *
+    * Output layout is overwrite-idempotent per micro-batch: pairs
+    * land in `pairsDir/batch=<id>/`, postings in
+    * `indexDir/batch=<id>/` — a crash-replayed batch rewrites the
+    * identical content, so the union across batch dirs is
+    * exactly-once without a transactional sink. `Trigger.AvailableNow`
+    * drains everything present and stops (the scheduled-ingest mode);
+    * rerunning with the same checkpoint processes only NEW landing
+    * files.
+    */
+  def drainMinhashIngest(spark: org.apache.spark.sql.SparkSession,
+      landingDir: String, indexDir: String, pairsDir: String,
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType,
+      lsh: graft.ops.Dedup.MinHashLsh = graft.ops.Dedup.MinHashLsh()): Unit = {
+    val q = spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val priorDirs = graft.cdc.StoreFs.listDirNames(indexDir)
+          .filter(_.startsWith("batch="))
+          // a replayed batch must probe the SAME prior state it saw
+          // first time — its own (possibly torn) output is excluded
+          .filter(_.stripPrefix("batch=").toLong != id)
+          .map(d => s"$indexDir/$d")
+        val index =
+          if (priorDirs.isEmpty) graft.ops.Dedup.minhashEntries(batch.limit(0))
+          else s.read.parquet(priorDirs: _*)
+        val (pairs, entries) = graft.ops.Dedup.incrementalMinhash(batch, index, lsh = lsh)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$id")
+        entries.write.mode("overwrite").parquet(s"$indexDir/batch=$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -621,4 +621,45 @@ class CdcStreamSpec extends AnyFunSuite {
     // 3's left have no partner; 999/998 pair on key 9 (same instant)
     assert(got === Set((1L, 11L, 101L), (1L, 12L, 102L), (9L, 998L, 999L)))
   }
+
+  test("streaming minhash ingest: drained batches equal the one-shot candidate set; restart drains only new files") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def tmp() = Files.createTempDirectory("graft-smi").toString
+    val landing = tmp(); val index = tmp(); val pairsDir = tmp(); val ckpt = tmp()
+    val docs = graft.Tables.documents(spark, graft.LocalSpark.sf)
+    val schema = docs.schema
+    val oneShot = graft.ops.Dedup.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty)
+
+    def land(part: Long): Unit =
+      docs.filter(col("doc_id") % 3 === part).write.mode("append").parquet(landing)
+    def drained(): Set[(Long, Long)] = {
+      val dirs = graft.cdc.StoreFs.listDirNames(pairsDir).filter(_.startsWith("batch="))
+      if (dirs.isEmpty) Set.empty
+      else spark.read.parquet(dirs.map(d => s"$pairsDir/$d"): _*)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+
+    land(0)
+    graft.streaming.StreamOps.drainMinhashIngest(spark, landing, index, pairsDir,
+      ckpt, schema)
+    val after1 = drained()
+    land(1); land(2)
+    graft.streaming.StreamOps.drainMinhashIngest(spark, landing, index, pairsDir,
+      ckpt, schema)
+    assert(drained() === oneShot,
+      s"streamed=${drained().size} oneshot=${oneShot.size}")
+    assert(after1.subsetOf(oneShot) && after1.size < oneShot.size,
+      "first drain must be a strict prefix of the candidate set")
+    // a third drain with nothing new must add no batch dirs
+    val dirsBefore = graft.cdc.StoreFs.listDirNames(pairsDir).toSet
+    graft.streaming.StreamOps.drainMinhashIngest(spark, landing, index, pairsDir,
+      ckpt, schema)
+    val dirsAfter = graft.cdc.StoreFs.listDirNames(pairsDir).toSet
+    // an empty micro-batch may still fire once; it must carry no pairs
+    assert(drained() === oneShot, "an empty drain must not change the pair set")
+    assert((dirsAfter -- dirsBefore).size <= 1)
+  }
 }
