@@ -1104,6 +1104,46 @@ object OpsQueries {
       |WHERE t.b < r.keep_rate
       |ORDER BY t.doc_id""".stripMargin
 
+  // C49: mixture resampling with UPSAMPLING — src0 weighted 10×
+  // against 19 default-weight sources, so its demand (~9.3k tokens)
+  // far exceeds its ~1.4k supply: every src0 doc gets 6–7 copies
+  // while the rest downsample — both regimes in one gate, copy-exact.
+  def sampleMixtureUpsampleQ(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"))
+    Packing.sampleMixtureUpsample(docs, "source", "doc_id", col("tokens"),
+        Map("src0" -> 10L), defaultWeight = 1L, targetTokens = 27000L)
+      .select(col("doc_id"), col("copy_idx"), col("source"), col("tokens"),
+        col("rate_permille"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  private val oSampleMixtureUpsample =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    ((doc_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+      |  FROM documents),
+      |avail AS (
+      |  SELECT source, CAST(sum(tokens) AS BIGINT) AS avail,
+      |    CAST(CASE source WHEN 'src0' THEN 10 ELSE 1 END AS BIGINT) AS w
+      |  FROM tok GROUP BY source),
+      |r AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN avail = 0 THEN 1000
+      |      ELSE (1000 * ((27000 * w) // (SELECT sum(w) FROM avail))) // avail
+      |      END AS BIGINT) AS rate_permille
+      |  FROM avail),
+      |copies AS (
+      |  SELECT t.doc_id, t.source, t.tokens, r.rate_permille,
+      |    r.rate_permille // 1000
+      |      + CASE WHEN t.b < r.rate_permille % 1000 THEN 1 ELSE 0 END AS n_copies
+      |  FROM tok t JOIN r ON t.source = r.source)
+      |SELECT doc_id, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx,
+      |  source, tokens, rate_permille
+      |FROM copies WHERE n_copies > 0
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
   // B14: gap-based sessionization (1-hour gap) — per-user session
   // counts and the longest session, all integer outputs.
   def qSessionize(s: SparkSession, d: String): DataFrame = {
@@ -1519,6 +1559,7 @@ object OpsQueries {
     QueryDef("sample_stratified", sampleStratifiedQ, Some(oSampleStratified)),
     QueryDef("sample_token_budget", sampleTokenBudgetQ, Some(oSampleTokenBudget)),
     QueryDef("sample_mixture", sampleMixtureQ, Some(oSampleMixture)),
+    QueryDef("sample_mixture_upsample", sampleMixtureUpsampleQ, Some(oSampleMixtureUpsample)),
     QueryDef("q_approx_quantile", qApproxQuantile, Some(oApproxQuantile)),
   )
 }

@@ -205,6 +205,46 @@ object Packing {
       .filter(permilleBucket(col(idName)) < col("keep_rate"))
   }
 
+  /** Mixture resampling WITH upsampling (C49) — [[sampleMixture]]
+    * caps an under-supplied source at keep-all; an epoch-building
+    * pipeline instead DUPLICATES under-represented sources to hit the
+    * target mixture (the standard practice for high-quality small
+    * sources — wiki/books seen 2–5× per epoch). Each doc gets
+    * `n_copies = rate div 1000` plus one more when its permille
+    * bucket clears `rate mod 1000` — so for rates below 1000 the
+    * kept set is EXACTLY [[sampleMixture]]'s (bucket < rate), and
+    * above 1000 duplication is deterministic, source-fair, and
+    * composes with splits on the same bucket arithmetic. Output rows
+    * carry (`copy_idx` 1..n, `rate_permille`) so downstream packing
+    * can interleave copies instead of clustering them.
+    *
+    * All-integer arithmetic (overflow-free for any realistic token
+    * counts); one |sources|-row aggregate then a codegen'd projection
+    * + explode over the per-row copy count — no corpus shuffle.
+    */
+  def sampleMixtureUpsample(docs: DataFrame, sourceName: String, idName: String,
+      tokensCol: Column, weights: Map[String, Long], defaultWeight: Long,
+      targetTokens: Long): DataFrame = {
+    val avail = docs.groupBy(col(sourceName)).agg(sum(tokensCol).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sumW = avail.map { case (s, _) => weights.getOrElse(s, defaultWeight) }.sum
+    val rates: Map[String, Long] = avail.map { case (s, t) =>
+      val demand = targetTokens * weights.getOrElse(s, defaultWeight) / sumW
+      s -> (if (t == 0L) 1000L else 1000L * demand / t)
+    }.toMap
+    val rate = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(sourceName) <=> lit(s), lit(r)).otherwise(acc)
+    }
+    docs.withColumn("rate_permille", rate)
+      .withColumn("n_copies",
+        expr("rate_permille div 1000") +
+          when(permilleBucket(col(idName)) < col("rate_permille") % 1000, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("*"), explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .drop("n_copies")
+  }
+
   /** Split documents longer than `maxTokens` into consecutive chunks
     * (SURVEY.md §2 C14c) — the pre-pass [[packSequences]] declares as
     * the caller's job: afterwards every row fits a packing bin. Pure

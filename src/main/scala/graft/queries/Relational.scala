@@ -932,6 +932,36 @@ object Relational {
       |   WHERE c_mktsegment = 'BUILDING' AND c_custkey % 100 != 0)
       |ORDER BY variant""".stripMargin
 
+  // B40 (r8): VARIANT ingestion — Spark 4's binary semi-structured
+  // type (parse_json → variant_get): the modern replacement for
+  // string-JSON probing (B10) — parse ONCE into the columnar variant
+  // encoding, then typed path extraction without re-tokenizing the
+  // text per access. Same values as the get_json_object path by
+  // construction; the oracle extracts from the raw JSON (DuckDB has
+  // its own JSON type, not Spark's variant encoding — the CONTRACT is
+  // value equality, which is what a user migrating probes cares
+  // about). Aggregated per event_type so missing-path semantics
+  // (NULL) are exercised in the counts.
+  def qVariant(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("graft_b40_events")
+    s.sql(
+      """SELECT event_type,
+        |  sum(variant_get(v, '$.k', 'bigint')) AS sum_k,
+        |  count(variant_get(v, '$.missing', 'string')) AS n_missing,
+        |  max(variant_get(v, '$.k', 'int')) AS max_k,
+        |  count(*) AS n
+        |FROM (SELECT event_type, parse_json(props) AS v FROM graft_b40_events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val oVariant =
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(json_extract_string(props, '$.missing')) AS n_missing,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INT) AS max_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -969,5 +999,6 @@ object Relational {
     QueryDef("q_datetime_funcs", qDatetimeFuncs, Some(oDatetimeFuncs)),
     QueryDef("q_moving_avg", qMovingAvg, Some(oMovingAvg)),
     QueryDef("q_not_in_nulls", qNotInNulls, Some(oNotInNulls)),
+    QueryDef("q_variant", qVariant, Some(oVariant)),
   )
 }

@@ -672,6 +672,37 @@ class OpsSpec extends AnyFunSuite {
       "unclustered docs must be assigned exactly as plain splitAssign")
   }
 
+  test("sampleMixtureUpsample: sub-1000 rates equal sampleMixture; upsampled copies are dense") {
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"))
+    val total = docs.agg(sum("tokens")).head().getLong(0)
+    val weights = Map("src0" -> 10L)
+    val up = Packing.sampleMixtureUpsample(docs, "source", "doc_id", col("tokens"),
+      weights, 1L, total)
+    val down = Packing.sampleMixture(docs, "source", "doc_id", col("tokens"),
+      weights, 1L, total)
+    // in the downsampling regime (rate < 1000) the kept doc set is identical
+    val upDown = up.filter(col("rate_permille") < 1000)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val downSet = down.filter(col("keep_rate") < 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(upDown === downSet, "sub-1000 rates must reproduce sampleMixture exactly")
+    // src0 is under-supplied: every doc duplicated, copy_idx dense 1..n
+    val src0 = up.filter(col("source") === "src0")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_idx").as("mx"),
+        min("copy_idx").as("mn"))
+      .collect()
+    assert(src0.nonEmpty)
+    assert(src0.forall(r => r.getLong(1) >= 2L), "under-supplied source must upsample")
+    assert(src0.forall(r => r.getLong(2) === r.getLong(1) && r.getLong(3) === 1L),
+      "copy indices must be dense 1..n")
+    // tokens delivered for src0 land within one doc of its demand
+    val delivered = up.filter(col("source") === "src0").agg(sum("tokens")).head().getLong(0)
+    val demand = total * 10L / (10L + 19L)
+    assert(math.abs(delivered - demand) <= total / 100 + 700,
+      s"delivered=$delivered demand=$demand")
+  }
+
   test("madTrim keeps the robust core and drops planted outliers per group") {
     // group a: median 10, MAD 1 → k=3 keeps [7, 13]; 100 and 1 are out
     // group b: all identical → MAD 0 → ONLY exact-median rows survive
