@@ -162,6 +162,12 @@ object GraftExtensions {
         plan(graft.cdc.CdcPipeline.describeHistory(active, path).getOrElse(
           throw new IllegalArgumentException(s"no graft store at $path")))
       }),
+    (FunctionIdentifier("graft_fsck"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_fsck"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_fsck path")
+        plan(graft.cdc.CdcPipeline.fsck(active, path))
+      }),
     (FunctionIdentifier("graft_change_feed"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_change_feed"),
       (args: Seq[Expression]) => {

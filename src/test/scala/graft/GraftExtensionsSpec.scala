@@ -159,6 +159,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"update must rewrite only the matching buckets: ${hist(1)}")
     assert(spark.sql(s"SELECT commit_us FROM graft_history('$dir')")
       .collect().forall(!_.isNullAt(0)))
+    // graft_fsck: healthy store reports nothing; a planted orphan shows
+    assert(spark.sql(s"SELECT count(*) FROM graft_fsck('$dir')")
+      .collect()(0).getLong(0) === 0L)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v99"))
+    val finding = spark.sql(
+      s"SELECT check, subject FROM graft_fsck('$dir')").collect()
+    assert(finding.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("orphan_inflight", "v99")))
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 }
