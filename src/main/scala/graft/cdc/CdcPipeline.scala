@@ -174,7 +174,58 @@ object CdcPipeline {
     val tmp = s"$targetDir/.$VersionFile.tmp"
     StoreFs.writeString(tmp, s"$version $batchId")
     StoreFs.atomicReplace(tmp, s"$targetDir/$VersionFile")
+    releaseClaim(targetDir, version)
   }
+
+  /** Optimistic commit claim (A52) — ALWAYS-ON conflict detection for
+    * every version-producing write. Two concurrent writers that both
+    * compute `next = cur + 1` would otherwise write interleaved files
+    * into the SAME `v<next>` directory and the pointer race would
+    * commit the mixture — silent corruption, not the "benign race"
+    * the opt-in writer lease (A46) merely advises against. The claim
+    * is one `_commits/v<N>.claim` file taken with atomic
+    * create-no-overwrite BEFORE any data is written: the loser throws
+    * [[ConcurrentWriteException]] immediately (no wasted work, no
+    * collision); the winner's claim is deleted at pointer swap. A
+    * crashed writer's claim expires after [[commitClaimStaleMs]]
+    * (default 30 min — generous enough for a large publish; raise it
+    * before multi-hour rewrites, the same contract as the lease) and
+    * is broken by the next claimant; claims at/below the pointer are
+    * completed commits' leftovers and are swept opportunistically.
+    */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  @volatile var commitClaimStaleMs: Long = 30L * 60 * 1000
+
+  private val CommitsDir = "_commits"
+
+  private def claimPath(targetDir: String, version: Long): String =
+    s"$targetDir/$CommitsDir/v$version.claim"
+
+  private def claimVersion(targetDir: String, version: Long): Unit = {
+    val cur = currentVersion(targetDir).getOrElse(-1L)
+    StoreFs.listFilePaths(s"$targetDir/$CommitsDir", ".claim").foreach { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      scala.util.Try(name.stripPrefix("v").stripSuffix(".claim").toLong).toOption
+        .filter(_ <= cur).foreach(_ => StoreFs.deleteFile(p))
+    }
+    val claim = claimPath(targetDir, version)
+    def tryClaim(retry: Boolean): Unit =
+      if (!StoreFs.createExclusive(claim, System.currentTimeMillis().toString)) {
+        val stale = StoreFs.mtimeMs(claim)
+          .exists(_ < System.currentTimeMillis() - commitClaimStaleMs)
+        if (stale && retry) {
+          StoreFs.deleteFile(claim) // crashed writer: break and take over
+          tryClaim(retry = false)
+        } else throw new ConcurrentWriteException(
+          s"version $version of $targetDir is being published by another writer" +
+            s" ($claim${if (stale) ", stale — broken on next attempt" else ""})")
+      }
+    tryClaim(retry = true)
+  }
+
+  private def releaseClaim(targetDir: String, version: Long): Unit =
+    StoreFs.deleteFile(claimPath(targetDir, version))
 
   /** Per-bucket min/max of the declared stats columns, aggregated
     * from the files just written under `dir` — reading the
@@ -471,6 +522,7 @@ object CdcPipeline {
       batchId: Long = -1L, buckets: Option[Int] = None,
       statsCols: Seq[String] = Nil, op: String = "publish"): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
+    claimVersion(targetDir, next)
     // Bucket count is fixed at first publish (a repartition-in-place
     // of the whole target would be needed to change it; ~parallelism
     // is the right default at any scale where this runs).
@@ -495,6 +547,7 @@ object CdcPipeline {
       pkCols: Seq[String], prev: Manifest, touched: Set[Int], batchId: Long,
       statsCols: Seq[String] = Nil, op: String = "merge"): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
+    claimVersion(targetDir, next)
     val dir = s"$targetDir/v$next"
     writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
     val carried = prev.buckets -- touched
@@ -527,6 +580,7 @@ object CdcPipeline {
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
       val next = currentVersion(targetDir).get + 1
+      claimVersion(targetDir, next)
       val dir = s"$targetDir/v$next"
       writeBuckets(snap, pkCols, newBuckets, dir)
       // every bucket is rewritten, so stats recompute from scratch for
@@ -728,6 +782,7 @@ object CdcPipeline {
       val chosen = buckets.fold(m.buckets.keySet)(_ intersect m.buckets.keySet)
       val snap = readBuckets(spark, targetDir, m, chosen)
       val next = currentVersion(targetDir).get + 1
+      claimVersion(targetDir, next)
       val dir = s"$targetDir/v$next"
       val writer = snap.withColumn(BucketCol, bucketExpr(pkCols, m.numBuckets))
         .repartition(col(BucketCol))
@@ -780,6 +835,7 @@ object CdcPipeline {
       val newSchema = StructType(schema.fields.filterNot(f => drop.contains(f.name)))
       require(newSchema.nonEmpty, "cannot drop every column")
       val next = currentVersion(targetDir).get + 1
+      claimVersion(targetDir, next)
       writeManifest(targetDir, next, Manifest(m.numBuckets, newSchema.json,
         m.buckets,
         m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
@@ -809,6 +865,7 @@ object CdcPipeline {
         .withColumnRenamed(from, to)
       val newPk = pkCols.map(c => if (c == from) to else c)
       val next = currentVersion(targetDir).get + 1
+      claimVersion(targetDir, next)
       val dir = s"$targetDir/v$next"
       writeBuckets(snap, newPk, m.numBuckets, dir)
       val trackCols = m.stats.values.flatMap(_.keys).toSeq.distinct
@@ -901,6 +958,17 @@ object CdcPipeline {
           StoreFs.mtimeMs(lock).exists(_ < System.currentTimeMillis() - staleMs))
         report("warn", "stale_lock", "_LOCK",
           "writer lease past its stale window (crashed writer)")
+      // commit claims above the pointer past their stale window: a
+      // publish that died mid-write (the next writer will break it)
+      StoreFs.listFilePaths(s"$targetDir/$CommitsDir", ".claim").foreach { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val v = scala.util.Try(
+          name.stripPrefix("v").stripSuffix(".claim").toLong).toOption
+        if (v.exists(_ > cur) &&
+            StoreFs.mtimeMs(p).exists(_ < System.currentTimeMillis() - staleMs))
+          report("warn", "stale_claim", name,
+            "commit claim past its stale window (crashed publish)")
+      }
     }
     out.result().toDF("severity", "check", "subject", "detail")
   }
@@ -1116,6 +1184,7 @@ object CdcPipeline {
       if (!refRoots.forall(StoreFs.exists)) None // vacuumed out from under us
       else {
         val next = cur + 1
+        claimVersion(targetDir, next)
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("restore") + ("restore_of" -> version.toString)))

@@ -391,6 +391,48 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(hit2.count() === 1L)
   }
 
+  test("commit claims: concurrent publish fails loudly; stale claims break; normal runs leave none") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(8))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 30L).map(u => (u, "u", 100L, u, 100L, s"""{"k":$u}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L) // v0
+    // a completed commit leaves no claim behind
+    assert(StoreFs.listFilePaths(s"$target/_commits", ".claim").isEmpty,
+      "pointer swap must release the claim")
+    // another writer holds the claim for the NEXT version: every
+    // version-producing op must refuse instead of colliding in v1
+    StoreFs.createExclusive(s"$target/_commits/v1.claim",
+      System.currentTimeMillis().toString)
+    val d1 = Seq((1L, "u", 200L, 500L, 1100L, """{"k":9}""", 500L, 2.0))
+    intercept[CdcPipeline.ConcurrentWriteException] {
+      CdcPipeline.run(spark, c, env(d1), log, 2000L)
+    }
+    intercept[CdcPipeline.ConcurrentWriteException] {
+      CdcPipeline.deleteWhere(spark, target, Seq("user_id"), col("user_id") === 1L)
+    }
+    intercept[CdcPipeline.ConcurrentWriteException] {
+      CdcPipeline.restoreSnapshot(target, 0L)
+    }
+    assert(CdcPipeline.currentVersion(target) === Some(0L), "no version advanced")
+    // fsck surfaces the crashed-publish claim once it is stale
+    assert(CdcPipeline.fsck(spark, target, staleMs = -1L)
+      .filter(col("check") === "stale_claim").count() === 1L)
+    // a STALE claim (crashed writer) is broken and the publish proceeds
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$target/_commits/v1.claim"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - CdcPipeline.commitClaimStaleMs - 1000L))
+    CdcPipeline.run(spark, c, env(d1), log, 2000L) // v1 succeeds now
+    assert(CdcPipeline.currentVersion(target) === Some(1L))
+    assert(CdcPipeline.readSnapshot(spark, target).get
+      .filter(col("user_id") === 1L).select("k").as[Long].head() === 9L)
+    assert(StoreFs.listFilePaths(s"$target/_commits", ".claim").isEmpty)
+  }
+
   test("loadActive accepts a table shaped exactly like the reference config_file5 DDL") {
     import spark.implicits._
     // literal column names from tables_list.sql:5-22 (mysql_-prefixed
