@@ -1030,12 +1030,24 @@ object CdcPipeline {
         .flatMap { v =>
           manifest(targetDir, v).map { m =>
             val own = m.buckets.values.count(_ == s"v$v")
+            // snapshot size from parquet FOOTERS (A51): row/byte
+            // totals over the version's referenced bucket dirs —
+            // driver metadata I/O, zero Spark jobs; unreadable dirs
+            // degrade the version's stats to NULL, never a guess
+            val sized = m.buckets.toSeq.map { case (b, ver) =>
+              val root = if (ver.contains("/")) ver else s"$targetDir/$ver"
+              StoreFs.footerRowsBytes(s"$root/$BucketCol=$b")
+            }
+            val (rows, bytes) =
+              if (sized.forall(_.isDefined))
+                (Some(sized.flatten.map(_._1).sum), Some(sized.flatten.map(_._2).sum))
+              else (None, None)
             (v, m.meta.get("op"), m.meta.get("commit_us").map(_.toLong),
-              m.numBuckets, own, m.buckets.size - own)
+              m.numBuckets, own, m.buckets.size - own, rows, bytes)
           }
         }
         .toDF("version", "op", "commit_us", "num_buckets",
-          "rewritten_buckets", "carried_buckets")
+          "rewritten_buckets", "carried_buckets", "rows", "bytes")
     }
 
   /** Garbage-collect version directories no longer reachable: a

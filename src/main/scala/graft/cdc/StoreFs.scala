@@ -150,6 +150,32 @@ private[graft] object StoreFs {
     * — metadata I/O only, zero Spark jobs. None when any chunk lacks
     * usable stats (caller falls back to an aggregation).
     */
+  /** (row count, data bytes) of every parquet file under `dir`,
+    * recursively — row counts from the footers' block metadata, bytes
+    * from the file listing; driver metadata I/O, zero Spark jobs.
+    * None when anything is unreadable (callers degrade to NULL, never
+    * guess).
+    */
+  def footerRowsBytes(dir: String): Option[(Long, Long)] =
+    scala.util.Try {
+      val p = new Path(dir)
+      val it = fs(p).listFiles(p, true)
+      var rows = 0L
+      var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          bytes += st.getLen
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.forEach(b => rows += b.getRowCount)
+          finally r.close()
+        }
+      }
+      (rows, bytes)
+    }.toOption
+
   def footerLongRange(dir: String, column: String): Option[(Long, Long)] =
     scala.util.Try {
       val p = new Path(dir)

@@ -159,6 +159,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"update must rewrite only the matching buckets: ${hist(1)}")
     assert(spark.sql(s"SELECT commit_us FROM graft_history('$dir')")
       .collect().forall(!_.isNullAt(0)))
+    // footer-sourced snapshot sizes (A51): both versions hold all 4000
+    // rows (the update rewrote values, not cardinality), bytes > 0
+    val sizes = spark.sql(
+      s"SELECT version, rows, bytes FROM graft_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sizes.map(_._2).toSeq === Seq(4000L, 4000L), sizes.mkString(","))
+    assert(sizes.forall(_._3 > 0L))
     // graft_fsck: healthy store reports nothing; a planted orphan shows
     assert(spark.sql(s"SELECT count(*) FROM graft_fsck('$dir')")
       .collect()(0).getLong(0) === 0L)
