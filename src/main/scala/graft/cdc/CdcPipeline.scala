@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, NumericType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, NumericType, StringType, StructField, StructType}
 
 /** One incremental merge run — the whole of the reference procedure
   * `PS_SP_ETL_MERGE_JOB` (bigquery_syntex_merge_sql/merge.sql) /
@@ -57,6 +57,25 @@ object CdcPipeline {
   private val VersionFile = "_VERSION"
   private val ManifestFile = "_MANIFEST"
   private[graft] val BucketCol = "_graft_bucket"
+
+  /** Deletion-vector sidecar (A53): `<version dir>/_dv` holds one
+    * parquet row per MERGE-ON-READ-deleted row position — (bucket,
+    * data-file NAME, row index within that file). The owning
+    * manifest advertises it via `meta("dv") = <version ref>` (same
+    * "v7"-or-absolute resolution as bucket refs). The file key is the
+    * final TWO path segments (`_graft_bucket=N/part-….parquet`), not
+    * the full path, so a store survives being relocated — and not the
+    * bare name, because the dynamic-partition writer reuses one task
+    * UUID for every bucket dir it writes, making bare names COLLIDE
+    * across buckets. The bucket column lets readers prune the vector
+    * to the buckets they scan.
+    */
+  private val DvDir = "_dv"
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+  private val dvSchema = StructType(Seq(
+    StructField("bucket", IntegerType), StructField("file", StringType),
+    StructField("pos", LongType)))
 
   /** Per-version manifest: bucket id → version directory (e.g. "v3")
     * whose `_graft_bucket={id}` directory holds the bucket's current
@@ -326,7 +345,22 @@ object CdcPipeline {
     * skips footer merging.
     */
   private[graft] def readBuckets(spark: SparkSession, targetDir: String, m: Manifest,
-      buckets: Set[Int]): DataFrame = {
+      buckets: Set[Int]): DataFrame =
+    readBucketsWithPos(spark, targetDir, m, buckets).drop(DvFileCol, DvPosCol)
+
+  /** [[readBuckets]] plus the file-position identity of every row
+    * ([[DvFileCol]], [[DvPosCol]] — parquet file name + row index),
+    * with the manifest's deletion vector (if any) already ANTI-JOINED
+    * away: every reader path therefore sees merge-on-read deletes
+    * without knowing they exist. The DV side broadcasts (it is small
+    * by the A53 contract — large delete fractions belong on the
+    * copy-on-write path) and is pruned to the scanned buckets. When
+    * the manifest carries no DV the position columns are unreferenced
+    * after [[readBuckets]]' drop, so Catalyst never materializes
+    * `_metadata` and the plan is byte-identical to the pre-A53 one.
+    */
+  private[graft] def readBucketsWithPos(spark: SparkSession, targetDir: String,
+      m: Manifest, buckets: Set[Int]): DataFrame = {
     // a manifest value is either a local version dir ("v3") or — for
     // buckets carried in by a shallow clone — an absolute version dir
     // of ANOTHER store ("/path/to/source/v3"); anything containing a
@@ -337,8 +371,35 @@ object CdcPipeline {
         else s"$targetDir/$ver/$BucketCol=$b"))
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else spark.read.schema(m.schema).parquet(paths: _*)
+        .withColumn(DvFileCol, lit(null).cast(StringType))
+        .withColumn(DvPosCol, lit(null).cast(LongType))
+    else {
+      val base = spark.read.schema(m.schema).parquet(paths: _*)
+        .select(col("*"),
+          substring_index(col("_metadata.file_path"), "/", -2).as(DvFileCol),
+          col("_metadata.row_index").as(DvPosCol))
+      readDv(spark, targetDir, m, Some(buckets)) match {
+        case Some(dv) =>
+          base.join(
+            broadcast(dv.select(col("file").as(DvFileCol), col("pos").as(DvPosCol))),
+            Seq(DvFileCol, DvPosCol), "left_anti")
+        case None => base
+      }
+    }
   }
+
+  private def dvPath(targetDir: String, ref: String): String =
+    if (ref.contains("/")) s"$ref/$DvDir" else s"$targetDir/$ref/$DvDir"
+
+  /** The manifest's deletion vector, pruned to `buckets` when given —
+    * None when the version carries none.
+    */
+  private def readDv(spark: SparkSession, targetDir: String, m: Manifest,
+      buckets: Option[Set[Int]]): Option[DataFrame] =
+    m.meta.get("dv").map { ref =>
+      val df = spark.read.schema(dvSchema).parquet(dvPath(targetDir, ref))
+      buckets.fold(df)(bs => df.filter(col("bucket").isin(bs.toSeq: _*)))
+    }
 
   def readSnapshot(spark: SparkSession, targetDir: String): Option[DataFrame] =
     currentVersion(targetDir).map { v =>
@@ -443,6 +504,27 @@ object CdcPipeline {
     (from.buckets.keySet ++ to.buckets.keySet)
       .filter(b => from.buckets.get(b) != to.buckets.get(b))
 
+  /** Buckets whose VISIBLE content can differ between two manifests
+    * even though their bucket references are identical: a
+    * merge-on-read delete (A53) changes no files, only the deletion
+    * vector, so the diff must also read every bucket whose DV entries
+    * differ between the two versions. One tiny job over the two
+    * (small-by-contract) vectors; empty when the refs match (the
+    * common no-DV case short-circuits without any I/O).
+    */
+  private def dvChangedBuckets(spark: SparkSession, targetDir: String,
+      from: Manifest, to: Manifest): Set[Int] =
+    if (from.meta.get("dv") == to.meta.get("dv")) Set.empty
+    else {
+      def dvOf(m: Manifest): DataFrame =
+        readDv(spark, targetDir, m, None).getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema))
+      val a = dvOf(from)
+      val b = dvOf(to)
+      a.exceptAll(b).unionAll(b.exceptAll(a))
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    }
+
   /** Change feed between two committed versions (the CDF/
     * `table_changes` analogue of the versioned store): one row per PK
     * whose row was inserted (`i`), updated (`u` — any column
@@ -460,7 +542,7 @@ object CdcPipeline {
       toVersion: Long, pkCols: Seq[String]): Option[DataFrame] =
     (manifest(targetDir, fromVersion), manifest(targetDir, toVersion)) match {
       case (Some(mf), Some(mt)) =>
-        val touched = changedBuckets(mf, mt)
+        val touched = changedBuckets(mf, mt) ++ dvChangedBuckets(spark, targetDir, mf, mt)
         val before = readBuckets(spark, targetDir, mf, touched)
         val after = readBuckets(spark, targetDir, mt, touched)
         val cols = mt.schema.fieldNames.toSeq
@@ -558,10 +640,38 @@ object CdcPipeline {
     val freshStats = bucketStats(mergedSubset.sparkSession, dir, statsCols)
     writeManifest(targetDir, next,
       Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
-        (prev.stats -- touched) ++ freshStats, commitMeta(op)))
+        (prev.stats -- touched) ++ freshStats,
+        commitMeta(op) ++
+          carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
+            next)))
     swapPointer(targetDir, next, batchId)
     next
   }
+
+  /** Deletion-vector half of a delta publish: rewritten buckets were
+    * produced from DV-applied reads, so their entries are FOLDED into
+    * the new files; entries for buckets still carried by reference
+    * must follow those references into the new version. Returns the
+    * `dv` meta entry to add — empty when nothing remains (either no
+    * prior DV, or every remaining entry's bucket was rewritten —
+    * which is how merges and OPTIMIZE gradually retire a vector).
+    * The surviving entries rewrite into the NEW version's own dir, so
+    * a manifest's DV never references another version and vacuum
+    * cannot orphan it.
+    */
+  private def carryDv(spark: SparkSession, targetDir: String, prev: Manifest,
+      carriedBuckets: Set[Int], next: Long): Map[String, String] =
+    readDv(spark, targetDir, prev, Some(carriedBuckets)) match {
+      case Some(dv) if carriedBuckets.nonEmpty =>
+        val keep = dv.localCheckpoint()
+        if (keep.isEmpty) Map.empty
+        else {
+          keep.coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(s"$targetDir/v$next/$DvDir")
+          Map("dv" -> s"v$next")
+        }
+      case _ => Map.empty
+    }
 
   /** Change the target's frozen bucket count — the layout-maintenance
     * op for a target that outgrew its first-publish sizing (64
@@ -614,6 +724,65 @@ object CdcPipeline {
   def deleteWhere(spark: SparkSession, targetDir: String, pkCols: Seq[String],
       predicate: Column): Option[(Long, Long)] =
     rewriteWhere(spark, targetDir, pkCols, predicate, "delete")(_.filter(!predicate))
+
+  /** MERGE-ON-READ predicate DELETE (A53) — the Delta
+    * deletion-vector / Iceberg positional-delete shape on the
+    * bucketed store: instead of rewriting every bucket the predicate
+    * touches ([[deleteWhere]]'s copy-on-write price), publish a new
+    * version that carries EVERY bucket by reference and adds the
+    * matching rows' (bucket, file, row-index) positions to the
+    * version's deletion-vector sidecar. Write I/O ∝ MATCHED ROWS
+    * (a few bytes each), not affected buckets — the right trade for
+    * the small-but-wide deletes (GDPR erasure of one user spread
+    * over every bucket, trickle retention) where copy-on-write
+    * rewrites the whole table to drop 0.1% of it.
+    *
+    * Every reader path applies the vector transparently
+    * ([[readBucketsWithPos]]): snapshots, key/range reads, time
+    * travel, diffs, merges and clones all see the rows as gone.
+    * Successive MoR deletes accumulate — each commit rewrites the
+    * (small) accumulated vector into its own version dir, so a
+    * version's DV is always self-contained and vacuum can never
+    * orphan it. The read-side anti-join cost persists until a
+    * rewriting op folds the vector into the files: any merge or
+    * [[optimize]] folds rewritten buckets' entries, full rewrites
+    * ([[rebucket]], [[renameColumn]], `optimize` over all buckets)
+    * clear it entirely. Manifest bucket STATS are untouched — a DV
+    * only removes rows, so recorded min/max stay conservative
+    * supersets and pruning degrades, never lies.
+    *
+    * Returns (new version, deleted-row count) — (current version, 0)
+    * and no new version for a no-match predicate. None when the
+    * target doesn't exist. The accumulated vector coalesces to one
+    * file per commit: by contract it stays far smaller than the data
+    * (a delete fraction worth more than a few percent of the table
+    * should take the copy-on-write path and pay the rewrite once).
+    */
+  def deleteWhereMoR(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      predicate: Column): Option[(Long, Long)] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val snap = readBucketsWithPos(spark, targetDir, m, m.buckets.keySet)
+      // localCheckpoint: the hit set is both counted and written —
+      // one scan, and the checkpoint pins the positions against
+      // recomputation racing a concurrent compaction
+      val hits = snap.filter(predicate)
+        .select(bucketExpr(pkCols, m.numBuckets).as("bucket"),
+          col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        .localCheckpoint()
+      val n = hits.count()
+      if (n == 0L) (currentVersion(targetDir).get, 0L)
+      else {
+        val next = currentVersion(targetDir).get + 1
+        claimVersion(targetDir, next)
+        val all = readDv(spark, targetDir, m, None).fold(hits)(_ unionByName hits)
+        all.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$targetDir/v$next/$DvDir")
+        writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+          m.buckets, m.stats, commitMeta("delete_mor") + ("dv" -> s"v$next")))
+        swapPointer(targetDir, next, -1L)
+        (next, n)
+      }
+    }
 
   /** Predicate UPDATE (A41) — `UPDATE … SET col = expr WHERE pred`:
     * same affected-bucket discovery and delta-publish as
@@ -804,7 +973,9 @@ object CdcPipeline {
       val trackCols = (m.stats.values.flatMap(_.keys).toSeq ++ trackColsNew).distinct
       val freshStats = bucketStats(spark, dir, trackCols)
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
-        carried ++ fresh, (m.stats -- chosen) ++ freshStats, commitMeta(opLabel)))
+        carried ++ fresh, (m.stats -- chosen) ++ freshStats,
+        commitMeta(opLabel) ++
+          carryDv(spark, targetDir, m, carried.keySet, next)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -836,10 +1007,18 @@ object CdcPipeline {
       require(newSchema.nonEmpty, "cannot drop every column")
       val next = currentVersion(targetDir).get + 1
       claimVersion(targetDir, next)
+      // a metadata-only publish carries the deletion vector by COPY
+      // (it is small) into its own version dir, preserving the
+      // invariant that a manifest's DV lives with its manifest
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
       writeManifest(targetDir, next, Manifest(m.numBuckets, newSchema.json,
         m.buckets,
         m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
-        commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(","))))
+        commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(",")) ++
+          dvMeta))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -943,6 +1122,13 @@ object CdcPipeline {
                   s"manifest references missing dir $ref" +
                     (if (v == cur) " (CURRENT version — table is unreadable)" else ""))
             }
+            m.meta.get("dv").foreach { ref =>
+              if (!StoreFs.exists(dvPath(targetDir, ref)))
+                report("error", "dangling_dv", s"v$v",
+                  s"manifest advertises deletion vector $ref/$DvDir but it is missing" +
+                    (if (v == cur) " (CURRENT version — deleted rows would resurface)"
+                     else ""))
+            }
         }
       }
       // clone pins: every version dir a pin lists must still exist
@@ -1030,7 +1216,7 @@ object CdcPipeline {
         .flatMap { v =>
           manifest(targetDir, v).map { m =>
             val own = m.buckets.values.count(_ == s"v$v")
-            // snapshot size from parquet FOOTERS (A51): row/byte
+            // snapshot size from parquet FOOTERS (A45, late r8): row/byte
             // totals over the version's referenced bucket dirs —
             // driver metadata I/O, zero Spark jobs; unreadable dirs
             // degrade the version's stats to NULL, never a guess
@@ -1125,12 +1311,21 @@ object CdcPipeline {
       val resolved: Map[Int, String] = m.buckets.map { case (b, ver) =>
         b -> (if (ver.contains("/")) ver else s"$sourceDir/$ver")
       }
+      // the source's deletion vector (if any) is COPIED into the
+      // clone's own v0 — it is small, and a self-contained copy means
+      // neither the pin machinery nor the source's vacuum ever has to
+      // know the clone depends on it
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(sourceDir, ref), s"$destDir/v0/$DvDir")
+        "dv" -> "v0"
+      }.toMap
       if (deep) {
         resolved.foreach { case (b, verDir) =>
           StoreFs.copyDir(s"$verDir/$BucketCol=$b", s"$destDir/v0/$BucketCol=$b")
         }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
-          m.buckets.keySet.map(_ -> "v0").toMap, m.stats, commitMeta("deep-clone")))
+          m.buckets.keySet.map(_ -> "v0").toMap, m.stats,
+          commitMeta("deep-clone") ++ dvMeta))
       } else {
         // every store this clone's references resolve into gets a pin
         // keyed by THIS clone: source-local refs pin at sourceDir,
@@ -1150,7 +1345,7 @@ object CdcPipeline {
               names.mkString("\n"))
           }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
-          resolved, m.stats, commitMeta("clone")))
+          resolved, m.stats, commitMeta("clone") ++ dvMeta))
       }
       swapPointer(destDir, 0, -1L)
       0L
@@ -1192,14 +1387,19 @@ object CdcPipeline {
     if (version > cur) return None
     manifest(targetDir, version).flatMap { m =>
       val refRoots = m.buckets.values.toSet[String]
-        .map(ver => if (ver.contains("/")) ver else s"$targetDir/$ver")
+        .map(ver => if (ver.contains("/")) ver else s"$targetDir/$ver") ++
+        m.meta.get("dv").map(dvPath(targetDir, _)) // DV must survive too
       if (!refRoots.forall(StoreFs.exists)) None // vacuumed out from under us
       else {
         val next = cur + 1
         claimVersion(targetDir, next)
+        val dvMeta = m.meta.get("dv").map { ref =>
+          StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+          "dv" -> s"v$next"
+        }.toMap
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
-          commitMeta("restore") + ("restore_of" -> version.toString)))
+          commitMeta("restore") + ("restore_of" -> version.toString) ++ dvMeta))
         swapPointer(targetDir, next, -1L)
         Some(next)
       }

@@ -955,6 +955,61 @@ object CdcQueries {
        |FROM snap WHERE event_id % 5 != 0
        |ORDER BY user_id""".stripMargin
 
+  // A53 (r8): merge-on-read DELETE — the same retention deletes as
+  // cdc_delete_update's first half but through DELETION VECTORS: two
+  // successive MoR deletes publish versions that rewrite ZERO buckets
+  // (require-asserted on the manifests — every bucket ref still
+  // predates the deletes) and only append row positions; the served
+  // snapshot must nevertheless hash-match the oracle's plain filters
+  // over the recomputed state. One compare covering position capture,
+  // vector accumulation across commits, and the read-side anti-join.
+  def cdcDeleteMor(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "delmor",
+      targetPath = Fixtures.dirs("delmor", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    val Some((v2, n2)) =
+      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 5 === 0)
+    val Some((v3, n3)) =
+      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 11 === 0)
+    require(n2 > 0 && n3 > 0, "fixture must exercise both vector commits")
+    Seq(v2, v3).foreach { v =>
+      val m = CdcPipeline.manifest(cfg.targetPath, v).get
+      require(m.buckets.values.forall(r => r == "v0" || r == "v1"),
+        s"v$v must carry every bucket by reference (merge-on-read), got " +
+          m.buckets.values.toSet.mkString(","))
+    }
+    CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oDeleteMor =
+    s"""SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd'
+       |    AND event_id % 5 != 0 AND event_id % 11 != 0
+       |ORDER BY user_id""".stripMargin
+
   // A47 (r8): RESTORE — roll the store back to a pre-mistake version
   // by publishing a new version that carries the old manifest's
   // references (one manifest write, zero data bytes). The gate makes
@@ -1253,6 +1308,7 @@ object CdcQueries {
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
+    QueryDef("cdc_delete_mor", cdcDeleteMor, Some(oDeleteMor)),
     QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
     QueryDef("cdc_join_view", cdcJoinView, Some(oJoinView)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),

@@ -159,7 +159,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"update must rewrite only the matching buckets: ${hist(1)}")
     assert(spark.sql(s"SELECT commit_us FROM graft_history('$dir')")
       .collect().forall(!_.isNullAt(0)))
-    // footer-sourced snapshot sizes (A51): both versions hold all 4000
+    // footer-sourced snapshot sizes (A45, late r8): both versions hold all 4000
     // rows (the update rewrote values, not cardinality), bytes > 0
     val sizes = spark.sql(
       s"SELECT version, rows, bytes FROM graft_history('$dir') ORDER BY version")
