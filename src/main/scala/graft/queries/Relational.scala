@@ -962,6 +962,104 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // B41 (r8): higher-order array functions — transform/filter/
+  // aggregate/exists/zip_with/reverse, the lambda surface Spark
+  // codegen-inlines per row (no shuffle, no UDF; these are the
+  // idioms the C-series token pipelines are built from). Arrays are
+  // generated with sequence() from scalar columns so the gate is
+  // self-contained and every export integer-exact. Oracle = DuckDB's
+  // list_* family (zip_with re-expressed as the closed form
+  // Σ x·(x+1), same values).
+  def qHigherOrder(s: SparkSession, d: String): DataFrame = {
+    T.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("q"),
+        expr("aggregate(transform(sequence(1, l_linenumber), x -> x * q), " +
+          "0L, (acc, x) -> acc + x)").as("wsum"),
+        expr("size(filter(sequence(1, q), x -> x % 3 = 0))").cast("long").as("div3"),
+        expr("exists(sequence(1, l_linenumber), x -> x = 4)").as("has4"),
+        expr("array_join(reverse(sequence(1, l_linenumber)), '-')").as("rev"),
+        expr("aggregate(zip_with(sequence(1, l_linenumber), " +
+          "sequence(2, l_linenumber + 1), (a, b) -> cast(a as long) * b), " +
+          "0L, (acc, x) -> acc + x)").as("zsum"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val oHigherOrder =
+    """SELECT l_orderkey, l_linenumber, q,
+      |  CAST(list_sum(list_transform(range(1, l_linenumber + 1), x -> x * q)) AS BIGINT) AS wsum,
+      |  CAST(coalesce(len(list_filter(range(1, q + 1), x -> x % 3 = 0)), 0) AS BIGINT) AS div3,
+      |  coalesce(len(list_filter(range(1, l_linenumber + 1), x -> x = 4)), 0) > 0 AS has4,
+      |  array_to_string(list_reverse(range(1, l_linenumber + 1)), '-') AS rev,
+      |  CAST(list_sum(list_transform(range(1, l_linenumber + 1), x -> x * (x + 1))) AS BIGINT) AS zsum
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        CAST(round(l_quantity) AS BIGINT) AS q
+      |      FROM lineitem WHERE l_orderkey % 50 = 0) t
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // B42 (r8): regular-expression scalar breadth — extract (with
+  // group), extract-all (count + rejoin), replace-all, match test,
+  // and split with element access. Patterns stay in the common
+  // Java-regex ∩ RE2 subset so both engines read them identically;
+  // Spark regexp_replace is replace-ALL by default, DuckDB needs the
+  // 'g' flag — the classic cross-engine trap, pinned here.
+  def qRegexpFuncs(s: SparkSession, d: String): DataFrame = {
+    T.part(s, d).filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        expr("size(regexp_extract_all(p_name, '[aeiou]+', 0))").cast("long")
+          .as("vowel_runs"),
+        expr("array_join(filter(split(p_name, ' '), w -> length(w) = 5), ',')")
+          .as("five_letter"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("masked"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+        expr("element_at(split(p_name, ' '), -1)").as("last_word"),
+        expr("size(split(p_name, ' '))").cast("long").as("n_words"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val oRegexpFuncs =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs,
+      |  coalesce(array_to_string(list_filter(string_split(p_name, ' '), w -> len(w) = 5), ','), '') AS five_letter,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS masked,
+      |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+      |  list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS last_word,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+      |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin
+
+  // B43 (r8): UNION BY NAME with missing-column reconciliation — the
+  // schema-drift union (two extracts of the same table with
+  // different column sets and orders, unioned by NAME with NULL
+  // fill). Spark: unionByName(allowMissingColumns = true); oracle:
+  // DuckDB's UNION ALL BY NAME. The position-based UNION would
+  // misalign or reject these — this is the gate that proves the
+  // by-name path.
+  def qUnionByName(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d)
+    val a = o.filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_custkey"), lit("a").as("src"))
+    val b = o.filter(col("o_orderkey") % 40 === 20)
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_orderkey"),
+        lit("b").as("src"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"), col("src"))
+  }
+
+  private val oUnionByName =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |         o_custkey, 'a' AS src
+      |  FROM orders WHERE o_orderkey % 40 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderpriority, o_custkey, o_orderkey, 'b' AS src
+      |  FROM orders WHERE o_orderkey % 40 = 20) t
+      |ORDER BY o_orderkey, src""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1000,5 +1098,8 @@ object Relational {
     QueryDef("q_moving_avg", qMovingAvg, Some(oMovingAvg)),
     QueryDef("q_not_in_nulls", qNotInNulls, Some(oNotInNulls)),
     QueryDef("q_variant", qVariant, Some(oVariant)),
+    QueryDef("q_higher_order", qHigherOrder, Some(oHigherOrder)),
+    QueryDef("q_regexp_funcs", qRegexpFuncs, Some(oRegexpFuncs)),
+    QueryDef("q_union_by_name", qUnionByName, Some(oUnionByName)),
   )
 }
