@@ -794,6 +794,58 @@ object OpsQueries {
       |  FROM tf t JOIN dfq d USING (tok)) x
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // C50 (r8): BM25 top-k retrieval — three term queries over the
+  // corpus, scored with the log-free Robertson IDF so every factor is
+  // rational and the hash compare exact (Retrieval.bm25TopK doc).
+  // Oracle spells out the identical arithmetic with every literal
+  // cast to DOUBLE (DuckDB's bare 0.5 is DECIMAL — BIGINT + DECIMAL
+  // would diverge from Spark's double path).
+  def textBm25(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(T.documents(s, d), col("doc_id"),
+      split(lower(col("text")), " "),
+      Seq(("q1", Seq("hash", "join")),
+        ("q2", Seq("stream", "window", "merge")),
+        ("q3", Seq("vector", "scan"))),
+      k = 10)
+      .orderBy(col("query"), col("rk"))
+
+  private val oTextBm25 =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+      |qt(query, term) AS (VALUES
+      |  ('q1','hash'),('q1','join'),
+      |  ('q2','stream'),('q2','window'),('q2','merge'),
+      |  ('q3','vector'),('q3','scan')),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE term IN ('hash','join','stream','window','merge','vector','scan')
+      |       GROUP BY doc_id, term),
+      |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT q.query, t.doc_id,
+      |    CAST(round(
+      |      ((CAST(s.n AS DOUBLE) - f.df + CAST(0.5 AS DOUBLE)) /
+      |        (f.df + CAST(0.5 AS DOUBLE)))
+      |      * (t.tf * CAST(2.2 AS DOUBLE))
+      |      / (t.tf + CAST(1.2 AS DOUBLE) *
+      |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl /
+      |            (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+      |      * CAST(1e9 AS DOUBLE)) AS BIGINT) AS nano
+      |  FROM tf t JOIN dfr f USING (term) JOIN qt q USING (term)
+      |    JOIN dl d USING (doc_id) CROSS JOIN stats s),
+      |scored AS (SELECT query, doc_id, CAST(sum(nano) AS BIGINT) AS score_nano
+      |           FROM contrib GROUP BY query, doc_id),
+      |ranked AS (SELECT query, doc_id, score_nano,
+      |             CAST(row_number() OVER (PARTITION BY query
+      |               ORDER BY score_nano DESC, doc_id) AS INT) AS rk
+      |           FROM scored)
+      |SELECT query, rk, doc_id, score_nano FROM ranked
+      |WHERE rk <= 10 ORDER BY query, rk""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1547,6 +1599,7 @@ object OpsQueries {
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),
     QueryDef("text_tfidf_topk", textTfidfTopK, Some(oTextTfidf)),
+    QueryDef("text_bm25_topk", textBm25, Some(oTextBm25)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
