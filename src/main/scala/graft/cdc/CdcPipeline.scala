@@ -478,6 +478,138 @@ object CdcPipeline {
       }
     }
 
+  // ── Secondary bloom-filter point-lookup index (A54) ──────────────
+  //
+  // readKeys prunes to hash buckets, but ONLY for the PK — a point
+  // lookup on any other column ("find this trace id / url / email")
+  // must scan every bucket, and min/max stats (A36) can't prune
+  // point probes on high-cardinality columns whose per-bucket ranges
+  // all overlap. The bloom index is the standard lakehouse answer
+  // (Delta BLOOMFILTER INDEX, parquet bloom pages): one small filter
+  // per (bucket, column), built in ONE distributed pass
+  // (`BloomBuildAgg`: partial filters fill map-side, merge is
+  // bitwise OR, only |buckets| serialized filters move), stored as
+  // `v<N>/_bloom/<col>/<bucket>.bf` sidecars and advertised in the
+  // manifest meta (`bloom.<col>` → version ref). `readPoint` probes
+  // the filters DRIVER-side (metadata I/O) and reads only buckets
+  // that might contain a requested value, with the exact filter as
+  // residual — false positives cost I/O, never correctness, and a
+  // missing entry degrades to reading that bucket. Maintenance
+  // follows the stats-index discipline: delta publishes carry
+  // entries for carried buckets and DROP rewritten buckets' entries
+  // (must-read until reindexed); merge-on-read deletes keep all
+  // entries (a bloom over a superset is just extra FPs — safe).
+
+  private val BloomDir = "_bloom"
+  private def bloomMetaKey(column: String): String = s"bloom.$column"
+  private def bloomDirPath(targetDir: String, ref: String, column: String): String =
+    (if (ref.contains("/")) ref else s"$targetDir/$ref") +
+      s"/$BloomDir/${statEnc(column)}"
+
+  /** Carry bloom sidecars into version `next`: entries for
+    * `keepBuckets` copy by reference-sized driver I/O, all others
+    * drop; a column listed in `dropCols` loses its whole index.
+    * Returns the surviving `bloom.*` meta entries.
+    */
+  private def carryBlooms(targetDir: String, prev: Manifest, keepBuckets: Set[Int],
+      next: Long, dropCols: Set[String] = Set.empty): Map[String, String] =
+    prev.meta.keys.filter(_.startsWith("bloom.")).toSeq.sorted.flatMap { key =>
+      val column = key.stripPrefix("bloom.")
+      if (dropCols.contains(column)) None
+      else {
+        val srcDir = bloomDirPath(targetDir, prev.meta(key), column)
+        val copied = keepBuckets.toSeq.sorted.count { b =>
+          val src = s"$srcDir/$b.bf"
+          val found = StoreFs.exists(src)
+          if (found) StoreFs.writeBytes(
+            s"$targetDir/v$next/$BloomDir/${statEnc(column)}/$b.bf",
+            StoreFs.readBytes(src))
+          found
+        }
+        if (copied > 0) Some(key -> s"v$next") else None
+      }
+    }.toMap
+
+  /** Build (or rebuild) the bloom index for `column` over the current
+    * snapshot and publish it as a metadata version. One Spark pass;
+    * the bucket id comes from the scanned file's partition dir, so no
+    * PK columns are needed, and the scan is DV-applied — deleted rows
+    * never enter the filters. `expectedPerBucket` sizes the filters
+    * (Spark's BloomFilter formula; size from DESCRIBE HISTORY rows /
+    * numBuckets in production). String and integral columns only.
+    */
+  def buildBloomIndex(spark: SparkSession, targetDir: String, column: String,
+      expectedPerBucket: Long = 100000L, fpp: Double = 0.01): Option[Long] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val dt = m.schema.fields.find(_.name == column).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $column"))
+      val probe = dt match {
+        case StringType | LongType => col(column)
+        case _: NumericType => col(column).cast(LongType)
+        case other => throw new IllegalArgumentException(
+          s"bloom index needs a string or integral column, got $other")
+      }
+      val snap = readBucketsWithPos(spark, targetDir, m, m.buckets.keySet)
+      val bucket = substring_index(substring_index(col(DvFileCol), "/", 1), "=", -1)
+        .cast("int")
+      val entries = snap
+        .select(bucket.as("b"), probe.as("v"))
+        .groupBy("b")
+        .agg(graft.functions.BloomBuildAgg(col("v"), expectedPerBucket, fpp).as("bf"))
+        .collect()
+      val next = currentVersion(targetDir).get + 1
+      claimVersion(targetDir, next)
+      entries.foreach(r => StoreFs.writeBytes(
+        s"$targetDir/v$next/$BloomDir/${statEnc(column)}/${r.getInt(0)}.bf",
+        r.getAs[Array[Byte]](1)))
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
+      writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+        m.buckets, m.stats,
+        commitMeta("bloom-index") + ("bloom_col" -> column) ++ dvMeta ++
+          carryBlooms(targetDir, m, m.buckets.keySet, next, Set(column)) +
+          (bloomMetaKey(column) -> s"v$next")))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+
+  /** Point lookup on a NON-key column through the bloom index: reads
+    * only buckets whose filter might contain one of `values` (plus
+    * any bucket with a missing entry — degrade, never lie), then the
+    * exact `IN` filter removes bloom false positives. Without an
+    * index for the column this is an honest full scan + filter.
+    */
+  def readPoint(spark: SparkSession, targetDir: String, column: String,
+      values: Seq[Any]): Option[DataFrame] = {
+    require(values.nonEmpty, "readPoint needs at least one probe value")
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val residual: DataFrame => DataFrame = _.filter(col(column).isin(values: _*))
+      val keep = m.meta.get(bloomMetaKey(column)) match {
+        case Some(ref) =>
+          val dir = bloomDirPath(targetDir, ref, column)
+          m.buckets.keySet.filter { b =>
+            val p = s"$dir/$b.bf"
+            if (!StoreFs.exists(p)) true // missing entry: must read
+            else {
+              val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(StoreFs.readBytes(p)))
+              values.exists {
+                case s: String =>
+                  f.mightContainBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                case l: Long => f.mightContainLong(l)
+                case i: Int => f.mightContainLong(i.toLong)
+                case _ => true // unprobeable type: must read
+              }
+            }
+          }
+        case None => m.buckets.keySet
+      }
+      residual(readBuckets(spark, targetDir, m, keep))
+    }
+  }
+
   /** Time-travel: the snapshot as of `version` (≤ the current
     * pointer). Any version whose manifest survives `vacuum`'s
     * keep-window reads exactly as it was published — carried buckets
@@ -643,7 +775,8 @@ object CdcPipeline {
         (prev.stats -- touched) ++ freshStats,
         commitMeta(op) ++
           carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
-            next)))
+            next) ++
+          carryBlooms(targetDir, prev, carried.keySet, next)))
     swapPointer(targetDir, next, batchId)
     next
   }
@@ -778,7 +911,10 @@ object CdcPipeline {
         all.coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(s"$targetDir/v$next/$DvDir")
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
-          m.buckets, m.stats, commitMeta("delete_mor") + ("dv" -> s"v$next")))
+          m.buckets, m.stats,
+          commitMeta("delete_mor") + ("dv" -> s"v$next") ++
+            // blooms stay valid over a superset — just extra FPs
+            carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         (next, n)
       }
@@ -975,7 +1111,8 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         carried ++ fresh, (m.stats -- chosen) ++ freshStats,
         commitMeta(opLabel) ++
-          carryDv(spark, targetDir, m, carried.keySet, next)))
+          carryDv(spark, targetDir, m, carried.keySet, next) ++
+          carryBlooms(targetDir, m, carried.keySet, next)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1018,7 +1155,9 @@ object CdcPipeline {
         m.buckets,
         m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
         commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(",")) ++
-          dvMeta))
+          dvMeta ++
+          // a dropped column's bloom index goes with it
+          carryBlooms(targetDir, m, m.buckets.keySet, next, drop.toSet)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1318,7 +1457,13 @@ object CdcPipeline {
       val dvMeta = m.meta.get("dv").map { ref =>
         StoreFs.copyDir(dvPath(sourceDir, ref), s"$destDir/v0/$DvDir")
         "dv" -> "v0"
-      }.toMap
+      }.toMap ++
+        m.meta.keys.filter(_.startsWith("bloom.")).map { key =>
+          val column = key.stripPrefix("bloom.")
+          StoreFs.copyDir(bloomDirPath(sourceDir, m.meta(key), column),
+            s"$destDir/v0/$BloomDir/${statEnc(column)}")
+          key -> "v0"
+        }.toMap
       if (deep) {
         resolved.foreach { case (b, verDir) =>
           StoreFs.copyDir(s"$verDir/$BucketCol=$b", s"$destDir/v0/$BucketCol=$b")
@@ -1399,7 +1544,8 @@ object CdcPipeline {
         }.toMap
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
-          commitMeta("restore") + ("restore_of" -> version.toString) ++ dvMeta))
+          commitMeta("restore") + ("restore_of" -> version.toString) ++ dvMeta ++
+            carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)
       }

@@ -1010,6 +1010,61 @@ object CdcQueries {
        |    AND event_id % 5 != 0 AND event_id % 11 != 0
        |ORDER BY user_id""".stripMargin
 
+  // A54 (r8): secondary bloom-filter point lookup — the merged store
+  // (PK user_id) gets a bloom index on event_id (high-cardinality,
+  // NON-key: hash routing can't find it, min/max stats can't prune a
+  // point probe), then three concrete event_ids — those of users
+  // 10/20/30, fetched via the bounded readKeys path — are looked up
+  // through readPoint. Pruning is require-asserted (strictly fewer
+  // files than the full snapshot read); the oracle re-derives the
+  // same probe set with a subquery over the recomputed state, so the
+  // compare covers index build, driver-side probing, the must-read
+  // degradation rule, and the exact residual filter in one hash.
+  def cdcBloomLookup(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "bloomidx",
+      targetPath = Fixtures.dirs("bloomidx", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    CdcPipeline.buildBloomIndex(s, cfg.targetPath, "event_id",
+      expectedPerBucket = 1000L) // v2
+    val keyDf = { import s.implicits._; Seq(10L, 20L, 30L).toDF(pk.head) }
+    val probes = CdcPipeline.readKeys(s, cfg.targetPath, pk, keyDf).get
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    require(probes.nonEmpty, "fixture users must exist in the snapshot")
+    val res = CdcPipeline.readPoint(s, cfg.targetPath, "event_id", probes).get
+    val fullFiles = CdcPipeline.readSnapshot(s, cfg.targetPath).get.inputFiles.length
+    require(res.inputFiles.length < fullFiles,
+      s"bloom probe must prune buckets: read ${res.inputFiles.length} of $fullFiles files")
+    res.select("user_id", "k", "event_id", "value").orderBy(col("user_id"))
+  }
+
+  private val oBloomLookup =
+    s"""WITH snap AS (SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd')
+       |SELECT user_id, k, event_id, value FROM snap
+       |WHERE event_id IN (SELECT event_id FROM snap WHERE user_id IN (10, 20, 30))
+       |ORDER BY user_id""".stripMargin
+
   // A47 (r8): RESTORE — roll the store back to a pre-mistake version
   // by publishing a new version that carries the old manifest's
   // references (one manifest write, zero data bytes). The gate makes
@@ -1309,6 +1364,7 @@ object CdcQueries {
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
     QueryDef("cdc_delete_mor", cdcDeleteMor, Some(oDeleteMor)),
+    QueryDef("cdc_bloom_lookup", cdcBloomLookup, Some(oBloomLookup)),
     QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
     QueryDef("cdc_join_view", cdcJoinView, Some(oJoinView)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),

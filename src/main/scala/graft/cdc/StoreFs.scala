@@ -61,6 +61,24 @@ private[graft] object StoreFs {
     finally out.close()
   }
 
+  def readBytes(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val in = fs(p).open(p)
+    try org.apache.commons.io.IOUtils.toByteArray(in)
+    finally in.close()
+  }
+
+  /** Write (overwrite) a small binary sidecar, creating parents. */
+  def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val f = fs(p)
+    val parent = p.getParent
+    if (parent != null) { f.mkdirs(parent); () }
+    val out = f.create(p, true)
+    try out.write(bytes)
+    finally out.close()
+  }
+
   /** Exclusive create of a small control file: returns true iff this
     * call created it (someone else holds it → false). `create` with
     * overwrite=false is atomic on HDFS and raw local FS — the

@@ -135,3 +135,78 @@ object CmsEstimate {
   def apply(probe: Column, sketch: CountMinSketch): Column =
     toCol(CmsEstimate(toExpr(probe), serialize(sketch)))
 }
+
+/** Distributed Bloom-filter BUILD as a typed aggregate (A54's build
+  * half): `groupBy(bucket).agg(bloomAgg(col))` constructs one filter
+  * per group in a single pass — partial buffers fill map-side, merge
+  * via bitwise OR in the reduce, and only |groups| serialized
+  * filters ever move. This is how a per-bucket secondary index over
+  * 100 TB is built with shuffle ∝ (buckets × filter bytes), never
+  * rows. Insert semantics mirror [[BloomMightContain]]'s probe:
+  * strings insert their UTF-8 bytes, integral values their long —
+  * so a filter built here can be probed by that expression or by
+  * driver-side `mightContain*`.
+  */
+case class BloomBuildAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    expectedItems: Long, fpp: Double,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[BloomFilter] {
+
+  override def children: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "bloom_build"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_build needs a string or bigint input, got $t")
+  }
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buffer: BloomFilter,
+      input: org.apache.spark.sql.catalyst.InternalRow): BloomFilter = {
+    child.eval(input) match {
+      case null => ()
+      case s: UTF8String => buffer.putBinary(s.getBytes)
+      case l: java.lang.Long => buffer.putLong(l)
+      case other => throw new IllegalStateException(
+        s"bloom_build: unexpected input $other")
+    }
+    buffer
+  }
+
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = {
+    buffer.mergeInPlace(other)
+    buffer
+  }
+
+  override def eval(buffer: BloomFilter): Any = serialize(buffer)
+
+  override def serialize(buffer: BloomFilter): Array[Byte] =
+    BloomMightContain.serialize(buffer)
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : BloomBuildAgg =
+    copy(child = newChildren.head)
+}
+
+object BloomBuildAgg {
+  def apply(c: Column, expectedItems: Long, fpp: Double): Column = {
+    import graft.functions.{toCol, toExpr}
+    toCol(new BloomBuildAgg(toExpr(c), expectedItems, fpp).toAggregateExpression())
+  }
+}
