@@ -24,7 +24,8 @@ object ExplainAudit {
         "cdc_expectations", "pack_chunks_sliding",
         "q_recursive_cte", "q_lateral_topn", "q_percentile_cont", "q_histogram",
         "text_bpe_pairs", "text_normalize", "corpus_outliers", "split_leakage_safe",
-        "text_tfidf_topk", "q_moving_avg", "q_not_in_nulls")) {
+        "text_tfidf_topk", "q_moving_avg", "q_not_in_nulls",
+        "q_higher_order", "q_regexp_funcs", "q_union_by_name", "text_bm25_topk")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able

@@ -470,6 +470,66 @@ object StressBench {
         "clone range reads must prune identically against source files")
     }
 
+    // r8: merge-on-read deletion vectors (A53) + bloom point lookup
+    // (A54) at 10M rows / 64 buckets. Claims probed: a scattered
+    // 0.1% delete that TOUCHES EVERY BUCKET costs a full rewrite on
+    // the copy-on-write path but only a position sidecar on the MoR
+    // path (bytes ratio printed); the DV-applied read pays the
+    // anti-join + `_metadata` materialization — measured ~5x on a
+    // bare count(*) (the worst case: the vector-free count is nearly
+    // I/O-free) and proportionally less on payload-bearing reads;
+    // OPTIMIZE retires the cost. The bloom index prunes a secondary
+    // point probe to ~1/64 of the files.
+    locally {
+      def duBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else f.length()
+        walk(new java.io.File(p))
+      }
+      val cow = java.nio.file.Files.createTempDirectory("graft-stress-cow").toString
+      val mor = java.nio.file.Files.createTempDirectory("graft-stress-mor").toString
+      // id % 641 == 0 matches ~0.16% of rows spread over all 64 buckets
+      val rows10m = spark.range(0, n).select(col("id"),
+        concat(lit("t-"), col("id") * 2654435761L).as("tag"))
+      Seq(cow, mor).foreach { d =>
+        time(s"dv: publish 10M rows, 64 buckets (${d.takeRight(3)})") {
+          CdcPipeline.publish(rows10m, d, Seq("id"), buckets = Some(64))
+        }
+      }
+      time("dv: copy-on-write delete of 0.16% scattered over EVERY bucket") {
+        CdcPipeline.deleteWhere(spark, cow, Seq("id"), col("id") % 641 === 0)
+      }
+      time("dv: merge-on-read delete of the same rows (positions only)") {
+        CdcPipeline.deleteWhereMoR(spark, mor, Seq("id"), col("id") % 641 === 0)
+      }
+      val (cowBytes, morBytes) = (duBytes(s"$cow/v1"), duBytes(s"$mor/v1"))
+      require(morBytes * 10 < cowBytes,
+        s"MoR commit must be far smaller than the CoW rewrite: $morBytes vs $cowBytes")
+      println(f"[stress] delete commit bytes: CoW ${cowBytes / 1e6}%.1f MB vs MoR ${morBytes / 1e3}%.1f KB (${cowBytes.toDouble / morBytes}%.0f x)")
+      val nCow = time("dv: snapshot count on the rewritten (vector-free) store") {
+        CdcPipeline.readSnapshot(spark, cow).get.count()
+      }
+      val nMor = time("dv: snapshot count THROUGH the deletion vector") {
+        CdcPipeline.readSnapshot(spark, mor).get.count()
+      }
+      require(nCow == nMor, s"MoR and CoW snapshots must agree: $nCow vs $nMor")
+      time("bloom: one-pass index build on tag (10M rows, 64 buckets)") {
+        CdcPipeline.buildBloomIndex(spark, mor, "tag",
+          expectedPerBucket = 2L * n / 64)
+      }
+      val probe = "t-" + (2654435761L * 123457L)
+      val fullFiles = CdcPipeline.readSnapshot(spark, mor).get.inputFiles.length
+      val point = CdcPipeline.readPoint(spark, mor, "tag", Seq(probe)).get
+      require(point.inputFiles.length * 8 <= fullFiles,
+        s"bloom probe must prune: ${point.inputFiles.length} of $fullFiles files")
+      val hits = time("bloom: secondary point lookup through the index") {
+        point.count()
+      }
+      require(hits == 1L, s"probe must find its row through the DV store: $hits")
+      println(s"[stress] bloom point probe reads ${point.inputFiles.length} of $fullFiles files")
+    }
+
     // r5: job-log compaction — the run log must stay O(bounded) files
     // however many runs append (un-compacted, every watermark lookup
     // footer-merges one file per historical run).

@@ -846,6 +846,51 @@ object OpsQueries {
       |SELECT query, rk, doc_id, score_nano FROM ranked
       |WHERE rk <= 10 ORDER BY query, rk""".stripMargin
 
+  // C51 (r8): n-gram diversity per source — type-token ratio and
+  // distinct-bigram ratio, the cheap corpus-health signals that
+  // catch template/boilerplate sources (low diversity) before
+  // training. One explode → hash agg per measure (map-side combine;
+  // distinct via the two-level agg Spark plans for countDistinct);
+  // everything integer-exact except the two round(,6) ratios.
+  def corpusNgramDiversity(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = T.documents(s, d).select(col("source"), toks.as("toks"))
+    val unigrams = base.select(col("source"), explode(col("toks")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("tokens"), countDistinct(col("g")).as("types"))
+    val bigrams = base.select(col("source"), explode(
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("bigrams"), countDistinct(col("g")).as("bigram_types"))
+    unigrams.join(bigrams, "source")
+      .select(col("source"), col("tokens"), col("types"),
+        round(col("types") / col("tokens").cast("double"), 6).as("ttr"),
+        col("bigrams"), col("bigram_types"),
+        round(col("bigram_types") / col("bigrams").cast("double"), 6)
+          .as("bigram_ttr"))
+      .orderBy(col("source"))
+  }
+
+  private val oCorpusNgramDiversity =
+    """WITH docs AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |uni AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+      |         CAST(count(DISTINCT g) AS BIGINT) AS types
+      |  FROM (SELECT source, unnest(toks) AS g FROM docs) t GROUP BY source),
+      |bi AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS bigrams,
+      |         CAST(count(DISTINCT g) AS BIGINT) AS bigram_types
+      |  FROM (SELECT source, unnest(list_transform(range(1, len(toks)),
+      |          i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))) AS g
+      |        FROM docs) t GROUP BY source)
+      |SELECT source, tokens, types,
+      |  round(types / CAST(tokens AS DOUBLE), 6) AS ttr,
+      |  bigrams, bigram_types,
+      |  round(bigram_types / CAST(bigrams AS DOUBLE), 6) AS bigram_ttr
+      |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1600,6 +1645,8 @@ object OpsQueries {
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),
     QueryDef("text_tfidf_topk", textTfidfTopK, Some(oTextTfidf)),
     QueryDef("text_bm25_topk", textBm25, Some(oTextBm25)),
+    QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
+      Some(oCorpusNgramDiversity)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

@@ -1060,6 +1060,48 @@ object Relational {
       |  FROM orders WHERE o_orderkey % 40 = 20) t
       |ORDER BY o_orderkey, src""".stripMargin
 
+  // B44 (r8): FULL OUTER reconciliation — the two-system diff (ETL
+  // audit, migration cutover): full outer join on the key, coalesced
+  // key export, per-row match status, and the value delta where both
+  // sides exist. NULL-heavy by construction (that's the point); the
+  // status CASE pins the three-way branch both engines must agree
+  // on. Cents arithmetic keeps the delta integer-exact.
+  def qFullOuterRecon(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val a = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("ka"), cents.as("price_a"))
+    val b = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("kb"), cents.as("price_b"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(
+        coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        when(col("ka").isNotNull && col("kb").isNotNull, lit("both"))
+          .when(col("ka").isNotNull, lit("left_only"))
+          .otherwise(lit("right_only")).as("status"),
+        col("price_a"), col("price_b"),
+        (coalesce(col("price_a"), lit(0L)) - coalesce(col("price_b"), lit(0L)))
+          .as("delta_cents"))
+      .filter(col("o_orderkey") % 2 === 1) // keep the export bounded
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val oFullOuterRecon =
+    """SELECT coalesce(ka, kb) AS o_orderkey,
+      |  CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 'both'
+      |       WHEN ka IS NOT NULL THEN 'left_only'
+      |       ELSE 'right_only' END AS status,
+      |  price_a, price_b,
+      |  coalesce(price_a, 0) - coalesce(price_b, 0) AS delta_cents
+      |FROM (SELECT o_orderkey AS ka, CAST(round(o_totalprice * 100) AS BIGINT) AS price_a
+      |      FROM orders WHERE o_orderkey % 3 = 0) a
+      |FULL OUTER JOIN
+      |     (SELECT o_orderkey AS kb, CAST(round(o_totalprice * 100) AS BIGINT) AS price_b
+      |      FROM orders WHERE o_orderkey % 5 = 0) b
+      |ON ka = kb
+      |WHERE coalesce(ka, kb) % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1101,5 +1143,6 @@ object Relational {
     QueryDef("q_higher_order", qHigherOrder, Some(oHigherOrder)),
     QueryDef("q_regexp_funcs", qRegexpFuncs, Some(oRegexpFuncs)),
     QueryDef("q_union_by_name", qUnionByName, Some(oUnionByName)),
+    QueryDef("q_full_outer_recon", qFullOuterRecon, Some(oFullOuterRecon)),
   )
 }
