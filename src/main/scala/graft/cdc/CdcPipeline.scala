@@ -734,7 +734,8 @@ object CdcPipeline {
     */
   private[graft] def publish(df: DataFrame, targetDir: String, pkCols: Seq[String],
       batchId: Long = -1L, buckets: Option[Int] = None,
-      statsCols: Seq[String] = Nil, op: String = "publish"): Long = {
+      statsCols: Seq[String] = Nil, op: String = "publish",
+      swapNow: Boolean = true): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     claimVersion(targetDir, next)
     // Bucket count is fixed at first publish (a repartition-in-place
@@ -749,7 +750,7 @@ object CdcPipeline {
     writeManifest(targetDir, next, Manifest(numBuckets, df.schema.json,
       writtenBuckets(dir).map(_ -> s"v$next").toMap,
       bucketStats(df.sparkSession, dir, statsCols), commitMeta(op)))
-    swapPointer(targetDir, next, batchId)
+    if (swapNow) swapPointer(targetDir, next, batchId)
     next
   }
 
@@ -759,7 +760,8 @@ object CdcPipeline {
     */
   private[graft] def publishDelta(mergedSubset: DataFrame, targetDir: String,
       pkCols: Seq[String], prev: Manifest, touched: Set[Int], batchId: Long,
-      statsCols: Seq[String] = Nil, op: String = "merge"): Long = {
+      statsCols: Seq[String] = Nil, op: String = "merge",
+      swapNow: Boolean = true): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     claimVersion(targetDir, next)
     val dir = s"$targetDir/v$next"
@@ -777,7 +779,7 @@ object CdcPipeline {
           carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
             next) ++
           carryBlooms(targetDir, prev, carried.keySet, next)))
-    swapPointer(targetDir, next, batchId)
+    if (swapNow) swapPointer(targetDir, next, batchId)
     next
   }
 
@@ -1497,6 +1499,31 @@ object CdcPipeline {
     }
   }
 
+  /** Finish a STAGED publish (A55): point the table at `version` iff
+    * it is still ahead of the pointer — idempotent (recovery replays
+    * call it again) and regression-proof (a table that somehow moved
+    * past the staged version is left alone). Returns whether the
+    * pointer moved.
+    */
+  private[graft] def completeStaged(targetDir: String, version: Long,
+      batchId: Long): Boolean = {
+    val advance = currentVersion(targetDir).forall(_ < version) &&
+      manifest(targetDir, version).nonEmpty
+    if (advance) swapPointer(targetDir, version, batchId)
+    else releaseClaim(targetDir, version)
+    advance
+  }
+
+  /** Throw away a STAGED publish before commit: release the commit
+    * claim and delete the invisible version dir. Safe — the pointer
+    * never referenced it.
+    */
+  private[graft] def abortStaged(targetDir: String, version: Long): Unit = {
+    releaseClaim(targetDir, version)
+    StoreFs.deleteRecursive(s"$targetDir/v$version")
+    ()
+  }
+
   /** Release ONE clone's hold on ONE store's version dirs — call per
     * (store, clone) pair when that clone is deleted or has rewritten
     * every bucket it borrowed from that store. The next `vacuum`
@@ -1568,7 +1595,8 @@ object CdcPipeline {
     * construction.
     */
   private[graft] def mergeAndPublish(spark: SparkSession, cfg: CdcTableConfig,
-      changes: DataFrame, deltaRows: Long, batchId: Long = -1L): MergeOutcome = {
+      changes: DataFrame, deltaRows: Long, batchId: Long = -1L,
+      swapNow: Boolean = true): MergeOutcome = {
     val targetCols = cfg.targetCols.map(col)
     // config evolution: a target column declared after the stored
     // snapshot was written (the reference picks up upstream column
@@ -1584,7 +1612,7 @@ object CdcPipeline {
       case None =>
         val merged = SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
         MergeOutcome(publish(merged, cfg.targetPath, cfg.pk, batchId, cfg.numBuckets,
-          cfg.statsCols), 0L)
+          cfg.statsCols, swapNow = swapNow), 0L)
       case Some(v) =>
         manifest(cfg.targetPath, v) match {
           case Some(m) =>
@@ -1596,7 +1624,7 @@ object CdcPipeline {
               .matchedUpsertKeys(subset, changes, cfg.pk, Some(deltaRows)).count()
             MergeOutcome(
               publishDelta(mergeOnto(subset), cfg.targetPath, cfg.pk, m, touched, batchId,
-                cfg.statsCols),
+                cfg.statsCols, swapNow = swapNow),
               updated)
           case None => // pre-manifest flat snapshot: merge full, migrate layout
             val target = spark.read.parquet(s"${cfg.targetPath}/v$v")
@@ -1604,7 +1632,7 @@ object CdcPipeline {
               .matchedUpsertKeys(target, changes, cfg.pk, Some(deltaRows)).count()
             MergeOutcome(
               publish(mergeOnto(target), cfg.targetPath, cfg.pk, batchId, cfg.numBuckets,
-                cfg.statsCols),
+                cfg.statsCols, swapNow = swapNow),
               updated)
         }
     }

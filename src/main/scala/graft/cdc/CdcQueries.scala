@@ -1065,6 +1065,65 @@ object CdcQueries {
        |WHERE event_id IN (SELECT event_id FROM snap WHERE user_id IN (10, 20, 30))
        |ORDER BY user_id""".stripMargin
 
+  // A55 (r8): multi-table atomic commit — ONE logical run merges the
+  // same change window into TWO stores (events split by user parity,
+  // the facts+dim shape), STAGED (files + manifests written, claims
+  // held, pointers untouched — require-asserted: both snapshots still
+  // serve the old version after staging), then Txn.commit flips both.
+  // The export unions the two committed snapshots, so the hash only
+  // matches if both tables landed their window — a half-commit fails
+  // the compare. Oracle = latest-per-key over the full window (the
+  // parity split is a partition of the key space, so the union IS
+  // the single-table answer).
+  def cdcTxnCommit(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val dirs = Fixtures.dirs("txn", 3)
+    def cfgFor(i: Int) = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = s"txn$i", targetPath = dirs(i), pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(8))
+    val coord = dirs(2)
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val chg = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    val staged = (0 to 1).map { i =>
+      val cfg = cfgFor(i)
+      val side = col("user_id") % 2 === i
+      val t0 = SnapshotMerge.fromHistory(proj(history).filter(side), pk, cfg.targetCols)
+      CdcPipeline.publish(t0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+      val part = chg.filter(side)
+      val out = CdcPipeline.mergeAndPublish(s, cfg, part, part.count(),
+        swapNow = false)
+      Txn.Staged(cfg.targetPath, out.version)
+    }
+    require(staged.forall(st => CdcPipeline.currentVersion(st.targetDir).contains(0L)),
+      "staged merges must be invisible until the transaction commits")
+    Txn.commit(coord, staged)
+    require(staged.forall(st =>
+      CdcPipeline.currentVersion(st.targetDir).contains(st.version)),
+      "commit must flip every table")
+    CdcPipeline.readSnapshot(s, dirs(0)).get
+      .unionByName(CdcPipeline.readSnapshot(s, dirs(1)).get)
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oTxnCommit =
+    s"""SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd'
+       |ORDER BY user_id""".stripMargin
+
   // A47 (r8): RESTORE — roll the store back to a pre-mistake version
   // by publishing a new version that carries the old manifest's
   // references (one manifest write, zero data bytes). The gate makes
@@ -1365,6 +1424,7 @@ object CdcQueries {
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
     QueryDef("cdc_delete_mor", cdcDeleteMor, Some(oDeleteMor)),
     QueryDef("cdc_bloom_lookup", cdcBloomLookup, Some(oBloomLookup)),
+    QueryDef("cdc_txn_commit", cdcTxnCommit, Some(oTxnCommit)),
     QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
     QueryDef("cdc_join_view", cdcJoinView, Some(oJoinView)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),

@@ -1,0 +1,85 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.LocalSpark
+import java.nio.file.Files
+
+/** A55: multi-table atomic commit. Laws:
+  *
+  *  - staging is invisible: readers see the old snapshots until
+  *    commit, and the staged table rejects competing writers;
+  *  - commit flips every table;
+  *  - crash between intent and done: recover rolls FORWARD (both
+  *    tables end new), is idempotent, and marks done;
+  *  - crash before intent: nothing committed, abort reclaims;
+  *  - sweep drops only aged completed pairs.
+  */
+class TxnSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("graft").toString
+
+  private def fx(n: Int, tag: String) =
+    spark.range(0, n).select(col("id"), lit(tag).as("tag"))
+
+  test("stage → commit flips all tables; staging blocks competing writers") {
+    val (a, b, coord) = (tmp(), tmp(), tmp())
+    CdcPipeline.publish(fx(100, "a0"), a, Seq("id"), buckets = Some(4))
+    CdcPipeline.publish(fx(100, "b0"), b, Seq("id"), buckets = Some(4))
+    val va = CdcPipeline.publish(fx(100, "a1"), a, Seq("id"), swapNow = false)
+    val vb = CdcPipeline.publish(fx(100, "b1"), b, Seq("id"), swapNow = false)
+    // invisible while staged
+    assert(CdcPipeline.readSnapshot(spark, a).get.select("tag").first.getString(0) === "a0")
+    // the held claim rejects a competing writer on the staged table
+    intercept[CdcPipeline.ConcurrentWriteException] {
+      CdcPipeline.publish(fx(10, "rogue"), a, Seq("id"))
+    }
+    val id = Txn.commit(coord, Seq(Txn.Staged(a, va), Txn.Staged(b, vb)))
+    assert(StoreFs.exists(s"$coord/$id.done"))
+    assert(CdcPipeline.readSnapshot(spark, a).get.select("tag").first.getString(0) === "a1")
+    assert(CdcPipeline.readSnapshot(spark, b).get.select("tag").first.getString(0) === "b1")
+    // post-commit the table accepts writers again
+    CdcPipeline.publish(fx(10, "later"), a, Seq("id"))
+  }
+
+  test("crash between intent and done: recover rolls both forward, idempotently") {
+    val (a, b, coord) = (tmp(), tmp(), tmp())
+    CdcPipeline.publish(fx(50, "a0"), a, Seq("id"), buckets = Some(4))
+    CdcPipeline.publish(fx(50, "b0"), b, Seq("id"), buckets = Some(4))
+    val va = CdcPipeline.publish(fx(50, "a1"), a, Seq("id"), swapNow = false)
+    val vb = CdcPipeline.publish(fx(50, "b1"), b, Seq("id"), swapNow = false)
+    // simulate the crash: intent written, ONE table swapped, no done
+    StoreFs.writeString(s"$coord/txn-0000000000001-000.intent",
+      s"$a\t$va\t-1\n$b\t$vb\t-1")
+    CdcPipeline.completeStaged(a, va, -1L)
+    assert(CdcPipeline.readSnapshot(spark, a).get.select("tag").first.getString(0) === "a1")
+    assert(CdcPipeline.readSnapshot(spark, b).get.select("tag").first.getString(0) === "b0",
+      "torn state before recovery")
+    assert(Txn.recover(coord) === Seq("txn-0000000000001-000"))
+    assert(CdcPipeline.readSnapshot(spark, b).get.select("tag").first.getString(0) === "b1")
+    assert(Txn.recover(coord) === Seq.empty, "recovery is idempotent")
+  }
+
+  test("abort before intent reclaims the staged versions") {
+    val (a, coord) = (tmp(), tmp())
+    CdcPipeline.publish(fx(50, "a0"), a, Seq("id"), buckets = Some(4))
+    val va = CdcPipeline.publish(fx(50, "a1"), a, Seq("id"), swapNow = false)
+    Txn.abort(Seq(Txn.Staged(a, va)))
+    assert(!StoreFs.exists(s"$a/v$va"), "aborted version dir must be gone")
+    assert(CdcPipeline.readSnapshot(spark, a).get.select("tag").first.getString(0) === "a0")
+    // the table accepts writers again and reuses the version number
+    assert(CdcPipeline.publish(fx(50, "a2"), a, Seq("id")) === va)
+    assert(Txn.recover(coord) === Seq.empty)
+  }
+
+  test("sweep drops only aged completed pairs") {
+    val (a, coord) = (tmp(), tmp())
+    CdcPipeline.publish(fx(20, "a0"), a, Seq("id"), buckets = Some(2))
+    val va = CdcPipeline.publish(fx(20, "a1"), a, Seq("id"), swapNow = false)
+    val id = Txn.commit(coord, Seq(Txn.Staged(a, va)))
+    assert(Txn.sweep(coord, keepMs = 3600 * 1000L) === Seq.empty, "fresh pair kept")
+    assert(Txn.sweep(coord, keepMs = -1L) === Seq(id))
+    assert(!StoreFs.exists(s"$coord/$id.intent") && !StoreFs.exists(s"$coord/$id.done"))
+  }
+}
