@@ -96,7 +96,8 @@ object GraftExtensions {
   //
   // `SELECT * FROM graft_snapshot('/path')`, time travel via
   // `graft_snapshot_at(path, v)`, stat-pruned range reads via
-  // `graft_range(path, col, lo, hi)`, the commit-stamped feed via
+  // `graft_range(path, col, lo, hi)`, bloom-pruned point lookups via
+  // `graft_point(path, col, 'v1,v2')`, the commit-stamped feed via
   // `graft_change_feed(path, 'pk1,pk2', fromV, toV)`. Each builder
   // resolves at ANALYSIS time to the same LogicalPlan the DataFrame
   // API produces (SparkSession.active is the resolving session), so
@@ -153,6 +154,16 @@ object GraftExtensions {
         val column = strLit(args(1), "graft_range column")
         plan(graft.cdc.CdcPipeline.readRange(active, path, column,
           boundLit(args(2), "graft_range lo"), boundLit(args(3), "graft_range hi"))
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
+    (FunctionIdentifier("graft_point"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_point"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_point path")
+        val column = strLit(args(1), "graft_point column")
+        val values = strLit(args(2), "graft_point values csv")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        plan(graft.cdc.CdcPipeline.readPoint(active, path, column, values)
           .getOrElse(throw new IllegalArgumentException(s"no graft store at $path")))
       }),
     (FunctionIdentifier("graft_history"),

@@ -585,7 +585,17 @@ object CdcPipeline {
       values: Seq[Any]): Option[DataFrame] = {
     require(values.nonEmpty, "readPoint needs at least one probe value")
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
-      val residual: DataFrame => DataFrame = _.filter(col(column).isin(values: _*))
+      // coerce probes to the STORED type — a string "42" probing a
+      // bigint column must hash and compare as the long, not the text
+      // (the SQL TVF hands everything over as strings)
+      val dt = m.schema.fields.find(_.name == column).map(_.dataType)
+      val typed = values.map(v => (dt, v) match {
+        case (Some(LongType), s: String) => s.trim.toLong
+        case (Some(IntegerType), s: String) => s.trim.toInt
+        case (Some(StringType), x) => x.toString
+        case _ => v
+      })
+      val residual: DataFrame => DataFrame = _.filter(col(column).isin(typed: _*))
       val keep = m.meta.get(bloomMetaKey(column)) match {
         case Some(ref) =>
           val dir = bloomDirPath(targetDir, ref, column)
@@ -595,7 +605,7 @@ object CdcPipeline {
             else {
               val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
                 new java.io.ByteArrayInputStream(StoreFs.readBytes(p)))
-              values.exists {
+              typed.exists {
                 case s: String =>
                   f.mightContainBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
                 case l: Long => f.mightContainLong(l)

@@ -166,6 +166,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sizes.map(_._2).toSeq === Seq(4000L, 4000L), sizes.mkString(","))
     assert(sizes.forall(_._3 > 0L))
+    // graft_point: bloom-pruned secondary lookup through SQL; string
+    // probes coerce to the stored bigint type
+    CdcPipeline.buildBloomIndex(spark, dir, "v", expectedPerBucket = 1000L)
+    val vs = CdcPipeline.readSnapshot(spark, dir).get
+      .filter(col("id").isin(200L, 300L)).collect().map(_.getLong(1)).sorted
+    val pointRows = spark.sql(
+      s"SELECT id, v FROM graft_point('$dir', 'v', '${vs.mkString(", ")}')")
+    assert(pointRows.collect().map(_.getLong(1)).toSet === vs.toSet)
+    assert(pointRows.inputFiles.length < CdcPipeline.readSnapshot(spark, dir).get
+      .inputFiles.length, "point TVF must bloom-prune")
     // graft_fsck: healthy store reports nothing; a planted orphan shows
     assert(spark.sql(s"SELECT count(*) FROM graft_fsck('$dir')")
       .collect()(0).getLong(0) === 0L)
