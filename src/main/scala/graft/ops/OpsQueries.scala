@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
 import graft.cdc.CdcEnvelope
@@ -891,6 +892,35 @@ object OpsQueries {
       |  round(bigram_types / CAST(bigrams AS DOUBLE), 6) AS bigram_ttr
       |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin
 
+  // C52 (r8): curriculum phase assignment — order the corpus by an
+  // integer quality key (stopword density in parts-per-million:
+  // integer-exact, total order with the doc_id tie-break) and cut it
+  // into 4 training phases, highest quality first. This |docs|-row
+  // ntile window pins the SEMANTICS; the 100 TB path computes the
+  // same phase boundaries with the C35 histogram-and-boundary-bucket
+  // machinery instead of a global sort — the gate is the contract
+  // that path must reproduce.
+  def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
+    val m = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("qkey",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+    val w = Window.orderBy(col("qkey").desc, col("doc_id"))
+    m.withColumn("phase", ntile(4).over(w))
+      .select(col("doc_id"), col("qkey"), col("phase"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def oCurriculum =
+    s"""SELECT doc_id, qkey,
+       |  CAST(ntile(4) OVER (ORDER BY qkey DESC, doc_id) AS INT) AS phase
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |        t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |      * 1000000 // len(string_split(text, ' ')) AS qkey
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1647,6 +1677,7 @@ object OpsQueries {
     QueryDef("text_bm25_topk", textBm25, Some(oTextBm25)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
+    QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),

@@ -1102,6 +1102,61 @@ object Relational {
       |WHERE coalesce(ka, kb) % 2 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  // B45 (r8): running distinct count — "cumulative unique users by
+  // day", the growth-curve query. Neither engine supports
+  // COUNT(DISTINCT) OVER, and the naive self-join is O(days²); the
+  // scalable decomposition is FIRST-SEEN: min(day) per user (one
+  // hash agg over (user, type)), count by first-seen day, one
+  // running sum per type over the |types × days|-row aggregate — the
+  // window orders a config-sized frame, never the events. Both
+  // engines compute the identical decomposition; all integers.
+  def qRunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val day = expr(
+      "date_format(timestamp_micros(cast(ts div 1000 as long)), 'yyyy-MM-dd')")
+    val firstSeen = T.events(s, d)
+      .select(col("user_id"), col("event_type"), day.as("day"))
+      .groupBy("user_id", "event_type").agg(min("day").as("day"))
+    val perDay = firstSeen.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDay.withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("event_type", "day")
+  }
+
+  private val oRunningDistinct =
+    """WITH fs AS (SELECT user_id, event_type, min(strftime(ts, '%Y-%m-%d')) AS day
+      |            FROM events GROUP BY user_id, event_type),
+      |pd AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS new_users
+      |       FROM fs GROUP BY event_type, day)
+      |SELECT event_type, day, new_users,
+      |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM pd ORDER BY event_type, day""".stripMargin
+
+  // B46 (r8): ordered ARRAY aggregation — per-group sorted lists as
+  // first-class array columns (the "journey as an array" shape B30
+  // exports as a string). Spark: collect_list + sort_array (the
+  // aggregation itself is order-nondeterministic, the sort pins it);
+  // DuckDB: list(… ORDER BY …). The compare walks array elements.
+  def qSortedArrays(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      .groupBy("l_orderkey").agg(
+        sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        sort_array(collect_list(
+          concat(col("l_returnflag"), col("l_linestatus")))).as("flags"),
+        sort_array(collect_set(col("l_returnflag"))).as("flags_distinct"))
+      .orderBy(col("l_orderkey"))
+
+  private val oSortedArrays =
+    """SELECT l_orderkey,
+      |  list(l_linenumber ORDER BY l_linenumber) AS lines,
+      |  list(l_returnflag || l_linestatus ORDER BY l_returnflag || l_linestatus)
+      |    AS flags,
+      |  list_sort(list(DISTINCT l_returnflag)) AS flags_distinct
+      |FROM lineitem WHERE l_orderkey % 100 = 0
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1144,5 +1199,7 @@ object Relational {
     QueryDef("q_regexp_funcs", qRegexpFuncs, Some(oRegexpFuncs)),
     QueryDef("q_union_by_name", qUnionByName, Some(oUnionByName)),
     QueryDef("q_full_outer_recon", qFullOuterRecon, Some(oFullOuterRecon)),
+    QueryDef("q_running_distinct", qRunningDistinct, Some(oRunningDistinct)),
+    QueryDef("q_sorted_arrays", qSortedArrays, Some(oSortedArrays)),
   )
 }
