@@ -870,6 +870,45 @@ object CdcPipeline {
       predicate: Column): Option[(Long, Long)] =
     rewriteWhere(spark, targetDir, pkCols, predicate, "delete")(_.filter(!predicate))
 
+  /** (deletion-vector rows, table rows) of the current version, both
+    * from parquet FOOTERS — driver metadata I/O, zero Spark jobs
+    * (A56's policy check must be free enough to run after every MoR
+    * delete). None when there is no store, no vector, or any footer
+    * is unreadable — callers must then NOT auto-fold (degrade to
+    * explicit maintenance, never to a guessed rewrite).
+    */
+  def dvStats(targetDir: String): Option[(Long, Long)] =
+    for {
+      v <- currentVersion(targetDir)
+      m <- manifest(targetDir, v)
+      dvRef <- m.meta.get("dv")
+      (dvRows, _) <- StoreFs.footerRowsBytes(dvPath(targetDir, dvRef))
+      tableRows <- m.buckets.toSeq.sortBy(_._1).foldLeft(Option(0L)) {
+        case (acc, (b, ref)) =>
+          val root = if (ref.contains("/")) ref else s"$targetDir/$ref"
+          for (a <- acc; (r, _) <- StoreFs.footerRowsBytes(s"$root/$BucketCol=$b"))
+            yield a + r
+      }
+    } yield (dvRows, tableRows)
+
+  /** Fold the deletion vector into the data files (A56): OPTIMIZE
+    * exactly the buckets the vector touches — every entry's bucket is
+    * rewritten from a DV-applied read, so `carryDv` retires the whole
+    * vector and the read-side anti-join cost disappears. Rewrite I/O
+    * ∝ affected buckets, clustering by `sortCols` (default: the PK).
+    * Returns the folding version; None when there is no vector.
+    */
+  def foldDv(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      sortCols: Seq[String] = Nil): Option[Long] =
+    for {
+      v <- currentVersion(targetDir)
+      m <- manifest(targetDir, v)
+      dv <- readDv(spark, targetDir, m, None)
+      touched = dv.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      next <- optimize(spark, targetDir, pkCols,
+        if (sortCols.nonEmpty) sortCols else pkCols, buckets = Some(touched))
+    } yield next
+
   /** MERGE-ON-READ predicate DELETE (A53) — the Delta
     * deletion-vector / Iceberg positional-delete shape on the
     * bucketed store: instead of rewriting every bucket the predicate
@@ -902,9 +941,14 @@ object CdcPipeline {
     * file per commit: by contract it stays far smaller than the data
     * (a delete fraction worth more than a few percent of the table
     * should take the copy-on-write path and pay the rewrite once).
+    * `autoFoldPct` enforces that contract automatically (A56): when
+    * set, the commit is followed by a [[foldDv]] as soon as the
+    * vector exceeds that percentage of the table's physical rows —
+    * both counts read from parquet footers, so the check itself is
+    * free. The returned version is then the folding version.
     */
   def deleteWhereMoR(spark: SparkSession, targetDir: String, pkCols: Seq[String],
-      predicate: Column): Option[(Long, Long)] =
+      predicate: Column, autoFoldPct: Option[Int] = None): Option[(Long, Long)] =
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val snap = readBucketsWithPos(spark, targetDir, m, m.buckets.keySet)
       // localCheckpoint: the hit set is both counted and written —
@@ -928,7 +972,18 @@ object CdcPipeline {
             // blooms stay valid over a superset — just extra FPs
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
-        (next, n)
+        // A56 fold policy: once the accumulated vector crosses
+        // `autoFoldPct` percent of the table (both row counts from
+        // footers — free), pay the bucket rewrite NOW and retire the
+        // read-side anti-join. Unreadable footers skip the fold —
+        // maintenance degrades to explicit foldDv, never guesses.
+        autoFoldPct.foreach { pct =>
+          dvStats(targetDir).foreach { case (dvRows, tableRows) =>
+            if (dvRows * 100L > pct.toLong * tableRows)
+              foldDv(spark, targetDir, pkCols)
+          }
+        }
+        (currentVersion(targetDir).get, n)
       }
     }
 

@@ -128,6 +128,45 @@ class DeletionVectorSpec extends AnyFunSuite {
       "a restored vector must live in the restoring version's own dir")
   }
 
+  test("A56: dvStats from footers; auto-fold fires at the threshold, not below") {
+    val dir = tmp()
+    CdcPipeline.publish(fixture(2000), dir, Seq("id"), buckets = Some(B))
+    // 5% delete under a 10% policy: vector stays
+    val (v1, _) = CdcPipeline.deleteWhereMoR(spark, dir, Seq("id"),
+      col("id") < 100, autoFoldPct = Some(10)).get
+    assert(CdcPipeline.manifest(dir, v1).get.meta.contains("dv"),
+      "under-threshold delete must keep the vector")
+    val (dvRows, tableRows) = CdcPipeline.dvStats(dir).get
+    assert(dvRows === 100L && tableRows === 2000L)
+    // +10% more crosses the 10% policy: the returned version is the
+    // FOLD (optimize) version, the vector is gone, content correct
+    val (v2, n2) = CdcPipeline.deleteWhereMoR(spark, dir, Seq("id"),
+      col("id") >= 1800, autoFoldPct = Some(10)).get
+    assert(n2 === 200)
+    val m2 = CdcPipeline.manifest(dir, v2).get
+    assert(!m2.meta.contains("dv"), "crossing the threshold must fold the vector")
+    assert(m2.meta("op") === "optimize")
+    assert(CdcPipeline.dvStats(dir).isEmpty)
+    assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 1700)
+    // explicit foldDv with no vector is a no-op None
+    assert(CdcPipeline.foldDv(spark, dir, Seq("id")).isEmpty)
+  }
+
+  test("A56: foldDv rewrites ONLY the vector's buckets") {
+    val dir = tmp()
+    CdcPipeline.publish(fixture(4000), dir, Seq("id"), buckets = Some(B))
+    // delete rows of exactly two ids → at most two buckets in the DV
+    CdcPipeline.deleteWhereMoR(spark, dir, Seq("id"),
+      col("id") === 7L || col("id") === 8L).get
+    val before = rows(dir)
+    val v = CdcPipeline.foldDv(spark, dir, Seq("id")).get
+    val m = CdcPipeline.manifest(dir, v).get
+    val rewritten = m.buckets.values.count(_ == s"v$v")
+    assert(rewritten <= 2, s"fold must touch only the DV's buckets, rewrote $rewritten")
+    assert(!m.meta.contains("dv"))
+    assert(rows(dir) === before)
+  }
+
   test("metadata-only column drop preserves the vector; fsck flags a torn one") {
     val dir = tmp()
     CdcPipeline.publish(fixture(1000), dir, Seq("id"), buckets = Some(B))
