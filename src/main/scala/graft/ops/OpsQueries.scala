@@ -921,6 +921,49 @@ object OpsQueries {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  // C53 (r8): linear quality classifier in integer fixed-point — the
+  // fastText/CCNet-style "keep for pretraining?" filter as a scored
+  // decision, not just a rule cascade (C31): features in ppm
+  // (stopword density, punctuation density) and a capped length
+  // term, fixed integer weights, micro-scaled logit, threshold at 0.
+  // The sigmoid is monotone so the DECISION never needs it — the
+  // whole classifier stays in BIGINT arithmetic and the gate is
+  // hash-exact (a float sigmoid would differ in ulps across
+  // engines). One codegen'd map pass; weights chosen to actually
+  // split this corpus (require-asserted non-vacuous).
+  def corpusQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val m = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("logit_micro",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
+      .withColumn("keep", col("logit_micro") > 0L)
+    val split = m.groupBy("keep").count().collect()
+    require(split.length == 2,
+      s"classifier must split the corpus: ${split.mkString(",")}")
+    m.select("doc_id", "stop_ppm", "punct_ppm", "logit_micro", "keep")
+      .orderBy(col("doc_id"))
+  }
+
+  private def oQualityClassifier =
+    s"""SELECT doc_id, stop_ppm, punct_ppm,
+       |  -140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3 AS logit_micro,
+       |  (-140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3) > 0 AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |        t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |      * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |    CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |      * 1000000 // length(text) AS punct_ppm,
+       |    CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
   // C11: rolling-hash fingerprint.
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1678,6 +1721,8 @@ object OpsQueries {
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),
+    QueryDef("corpus_quality_classifier", corpusQualityClassifier,
+      Some(oQualityClassifier)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
