@@ -1157,6 +1157,34 @@ object Relational {
       |FROM lineitem WHERE l_orderkey % 100 = 0
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  // B47 (r8): JSON breadth v2 — from_json with an ARRAY schema +
+  // posexplode (B10 covers scalar extraction), and the to_json
+  // serialization direction. The array is BUILT from known columns,
+  // so the oracle checks Spark's parse → explode path against ground
+  // truth that never went through JSON — a parser bug can't cancel
+  // itself out. to_json output is byte-compared against DuckDB's
+  // (both emit compact `{"k":v}` with insertion order).
+  def qJsonArray(s: SparkSession, d: String): DataFrame = {
+    T.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(lit("[\""), col("lang"), lit("\",\""), col("source"), lit("\"]"))
+          .as("arr_json"))
+      .select(col("doc_id"),
+        posexplode(from_json(col("arr_json"), lit("array<string>")))
+          .as(Seq("pos", "element")),
+        to_json(struct(col("doc_id"), col("lang"))).as("obj_json"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  private val oJsonArray =
+    """SELECT doc_id, pos,
+      |  CASE WHEN pos = 0 THEN lang ELSE source END AS element,
+      |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang)) AS VARCHAR)
+      |    AS obj_json
+      |FROM documents CROSS JOIN (VALUES (0), (1)) p(pos)
+      |WHERE doc_id % 5 = 0
+      |ORDER BY doc_id, pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1201,5 +1229,6 @@ object Relational {
     QueryDef("q_full_outer_recon", qFullOuterRecon, Some(oFullOuterRecon)),
     QueryDef("q_running_distinct", qRunningDistinct, Some(oRunningDistinct)),
     QueryDef("q_sorted_arrays", qSortedArrays, Some(oSortedArrays)),
+    QueryDef("q_json_array", qJsonArray, Some(oJsonArray)),
   )
 }
