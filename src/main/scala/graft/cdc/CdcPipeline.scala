@@ -365,19 +365,40 @@ object CdcPipeline {
     // buckets carried in by a shallow clone — an absolute version dir
     // of ANOTHER store ("/path/to/source/v3"); anything containing a
     // separator resolves as-is
-    val paths = buckets.toSeq.sorted.flatMap(b =>
-      m.buckets.get(b).map(ver =>
-        if (ver.contains("/")) s"$ver/$BucketCol=$b"
-        else s"$targetDir/$ver/$BucketCol=$b"))
-    if (paths.isEmpty)
+    def path(b: Int, ver: String): String =
+      if (ver.contains("/")) s"$ver/$BucketCol=$b"
+      else s"$targetDir/$ver/$BucketCol=$b"
+    val chosen = buckets.toSeq.sorted.flatMap(b => m.buckets.get(b).map(b -> _))
+    if (chosen.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
         .withColumn(DvFileCol, lit(null).cast(StringType))
         .withColumn(DvPosCol, lit(null).cast(LongType))
     else {
-      val base = spark.read.schema(m.schema).parquet(paths: _*)
-        .select(col("*"),
-          substring_index(col("_metadata.file_path"), "/", -2).as(DvFileCol),
-          col("_metadata.row_index").as(DvPosCol))
+      // initial-default fill (A57): group the chosen buckets by WHICH
+      // declared defaults apply to them (ref version < declaration
+      // version ⇒ the file predates the column and its NULL means
+      // "absent", not "explicitly null") — one scan per group,
+      // usually 1–2 groups, unioned. An unparseable ref version
+      // counts as post-declaration: degrade to NULL, never overwrite
+      // a genuinely-written null.
+      val defaults = columnDefaults(m)
+      def applicable(ver: String): Seq[(String, String)] =
+        if (defaults.isEmpty) Nil
+        else refVersion(ver).toSeq.flatMap(rv =>
+          defaults.collect { case (c, declV, d) if rv < declV => (c, d) })
+      val types = m.schema.fields.map(f => f.name -> f.dataType).toMap
+      val base = chosen.groupBy { case (_, ver) => applicable(ver) }.toSeq
+        .sortBy(_._1.mkString(","))
+        .map { case (fills, grp) =>
+          val scan = spark.read.schema(m.schema)
+            .parquet(grp.map { case (b, ver) => path(b, ver) }: _*)
+            .select(col("*"),
+              substring_index(col("_metadata.file_path"), "/", -2).as(DvFileCol),
+              col("_metadata.row_index").as(DvPosCol))
+          fills.foldLeft(scan) { case (df, (c, d)) =>
+            df.withColumn(c, coalesce(col(c), lit(d).cast(types(c))))
+          }
+        }.reduce(_ unionByName _)
       readDv(spark, targetDir, m, Some(buckets)) match {
         case Some(dv) =>
           base.join(
@@ -386,6 +407,29 @@ object CdcPipeline {
         case None => base
       }
     }
+  }
+
+  /** Declared initial defaults: (column, declaration version, default
+    * literal as text). Meta shape: `coldefault.<col>` → "<declV> <value>".
+    */
+  private def columnDefaults(m: Manifest): Seq[(String, Long, String)] =
+    m.meta.collect {
+      case (k, v) if k.startsWith("coldefault.") =>
+        val Array(declV, d) = v.split(" ", 2)
+        (statDec(k.stripPrefix("coldefault.")), declV.toLong, statDec(d))
+    }.toSeq.sortBy(_._1)
+
+  /** `coldefault.*` meta entries carried verbatim into any publish
+    * that keeps pre-declaration buckets by reference. Full rewrites
+    * materialize the fill (readBuckets applies it on the way in) and
+    * start from fresh meta instead.
+    */
+  private def carryDefaults(prev: Manifest): Map[String, String] =
+    prev.meta.filter(_._1.startsWith("coldefault."))
+
+  private def refVersion(ver: String): Option[Long] = {
+    val tail = if (ver.contains("/")) ver.substring(ver.lastIndexOf('/') + 1) else ver
+    if (tail.matches("v\\d+")) Some(tail.stripPrefix("v").toLong) else None
   }
 
   private def dvPath(targetDir: String, ref: String): String =
@@ -785,7 +829,7 @@ object CdcPipeline {
     writeManifest(targetDir, next,
       Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
         (prev.stats -- touched) ++ freshStats,
-        commitMeta(op) ++
+        commitMeta(op) ++ carryDefaults(prev) ++
           carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
             next) ++
           carryBlooms(targetDir, prev, carried.keySet, next)))
@@ -969,6 +1013,7 @@ object CdcPipeline {
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("delete_mor") + ("dv" -> s"v$next") ++
+            carryDefaults(m) ++
             // blooms stay valid over a superset — just extra FPs
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
@@ -1178,6 +1223,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         carried ++ fresh, (m.stats -- chosen) ++ freshStats,
         commitMeta(opLabel) ++
+          (if (carried.nonEmpty) carryDefaults(m) else Map.empty) ++
           carryDv(spark, targetDir, m, carried.keySet, next) ++
           carryBlooms(targetDir, m, carried.keySet, next)))
       swapPointer(targetDir, next, -1L)
@@ -1222,6 +1268,8 @@ object CdcPipeline {
         m.buckets,
         m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
         commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(",")) ++
+          carryDefaults(m).filterNot { case (k, _) =>
+            drop.exists(c => k == s"coldefault.${statEnc(c)}") } ++
           dvMeta ++
           // a dropped column's bloom index goes with it
           carryBlooms(targetDir, m, m.buckets.keySet, next, drop.toSet)))
@@ -1229,6 +1277,51 @@ object CdcPipeline {
       next
     }
   }
+
+  /** ALTER TABLE … ADD COLUMN with an initial DEFAULT (A57) —
+    * METADATA-ONLY: publish a new version that carries every bucket
+    * by reference under a WIDENED schema plus a
+    * `coldefault.<col> = "<declVersion> <default>"` meta entry. Zero
+    * data bytes move. Read-time semantics are Iceberg's
+    * initial-default: files written BEFORE the declaration (bucket
+    * ref version < declaration version — the manifest knows each
+    * bucket's vintage) read the default; files written after read
+    * what the writer stored, so an explicitly-written NULL stays
+    * NULL. readBuckets resolves this per bucket group in one extra
+    * scan branch; later rewrites materialize the fill into the files
+    * and the meta entry rides along harmlessly (post-declaration refs
+    * never match it). Old versions keep their manifests: time travel
+    * reads the narrow schema, RESTORE reverts the column. Numeric or
+    * string columns; a NULL default is just ADD COLUMN (omit the
+    * default — carried files already read NULL via the pinned
+    * schema). A CONFIG-driven pipeline table must also declare the
+    * column (fieldSpecs/passthrough) — the merge publishes the
+    * config's column set, so an undeclared ad-hoc column narrows
+    * away on the next run (config is the schema authority, A13/A19).
+    */
+  def addColumnWithDefault(spark: SparkSession, targetDir: String,
+      name: String, dataType: DataType, default: Any): Option[Long] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val schema = m.schema
+      require(!schema.fieldNames.contains(name), s"column exists: $name")
+      require(dataType.isInstanceOf[NumericType] || dataType == StringType,
+        s"initial defaults support numeric or string columns, got $dataType")
+      val next = currentVersion(targetDir).get + 1
+      claimVersion(targetDir, next)
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
+      writeManifest(targetDir, next, Manifest(m.numBuckets,
+        schema.add(name, dataType).json, m.buckets, m.stats,
+        commitMeta("add-column") + ("added" -> name) ++
+          carryDefaults(m) +
+          (s"coldefault.${statEnc(name)}" ->
+            s"$next ${statEnc(String.valueOf(default))}") ++
+          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
 
   /** ALTER TABLE … RENAME COLUMN (A49) — a FULL-REWRITE publish: the
     * parquet files key columns by NAME and the store deliberately has
@@ -1514,6 +1607,14 @@ object CdcPipeline {
       s"clone destination already holds a store: $destDir")
     val v = atVersion.orElse(currentVersion(sourceDir)).getOrElse(return None)
     manifest(sourceDir, v).map { m =>
+      // a clone's version timeline restarts at v0, so the source's
+      // "declaration version vs bucket-ref version" comparison that
+      // resolves initial defaults (A57) becomes meaningless across
+      // the boundary — refuse until a rewrite (OPTIMIZE over all
+      // buckets / rebucket) has materialized the defaults into files
+      require(columnDefaults(m).isEmpty,
+        s"cannot clone a store with unmaterialized column defaults " +
+          s"(${columnDefaults(m).map(_._1).mkString(",")}): OPTIMIZE first")
       val resolved: Map[Int, String] = m.buckets.map { case (b, ver) =>
         b -> (if (ver.contains("/")) ver else s"$sourceDir/$ver")
       }
@@ -1636,7 +1737,8 @@ object CdcPipeline {
         }.toMap
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
-          commitMeta("restore") + ("restore_of" -> version.toString) ++ dvMeta ++
+          commitMeta("restore") + ("restore_of" -> version.toString) ++
+            carryDefaults(m) ++ dvMeta ++
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)

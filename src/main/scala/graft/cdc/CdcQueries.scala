@@ -1124,6 +1124,59 @@ object CdcQueries {
        |  WHERE rn = 1 AND op != 'd'
        |ORDER BY user_id""".stripMargin
 
+  // A57 (r8): metadata-only ADD COLUMN with initial DEFAULT — widen
+  // the merged store by a `score` column (zero bytes moved,
+  // require-asserted: the declaring version dir holds no bucket
+  // data), then a predicate UPDATE sets score on every 3rd event_id —
+  // which rewrites ONLY the touched buckets, materializing the
+  // default there, while untouched buckets keep resolving it at read
+  // time from the meta entry. The export therefore mixes all three
+  // row provenances (updated / materialized / meta-resolved) and the
+  // oracle is one CASE over the recomputed state.
+  def cdcAddColumn(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "addcol",
+      targetPath = Fixtures.dirs("addcol", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    val v2 = CdcPipeline.addColumnWithDefault(s, cfg.targetPath, "score",
+      LongType, 7L).get
+    require(!StoreFs.listDirNames(s"${cfg.targetPath}/v$v2")
+      .exists(_.startsWith("_graft_bucket")),
+      "ADD COLUMN must move zero data bytes")
+    CdcPipeline.updateWhere(s, cfg.targetPath, pk, col("event_id") % 3 === 0,
+      Map("score" -> (col("k") + lit(1L)))) // v3
+    CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .select("user_id", "k", "event_id", "value", "score")
+      .orderBy(col("user_id"))
+  }
+
+  private val oAddColumn =
+    s"""SELECT user_id, k, event_id, value,
+       |  CASE WHEN event_id % 3 = 0 THEN k + 1 ELSE 7 END AS score
+       |FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd'
+       |ORDER BY user_id""".stripMargin
+
   // A47 (r8): RESTORE — roll the store back to a pre-mistake version
   // by publishing a new version that carries the old manifest's
   // references (one manifest write, zero data bytes). The gate makes
@@ -1425,6 +1478,7 @@ object CdcQueries {
     QueryDef("cdc_delete_mor", cdcDeleteMor, Some(oDeleteMor)),
     QueryDef("cdc_bloom_lookup", cdcBloomLookup, Some(oBloomLookup)),
     QueryDef("cdc_txn_commit", cdcTxnCommit, Some(oTxnCommit)),
+    QueryDef("cdc_add_column", cdcAddColumn, Some(oAddColumn)),
     QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
     QueryDef("cdc_join_view", cdcJoinView, Some(oJoinView)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),
