@@ -218,6 +218,61 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_grams"), 6))
   }
 
+  /** Passage-level exact dedup with keep-first rewrite (C55) — the
+    * CCNet/RefinedWeb "line dedup" pass applied to fixed-length
+    * passages: docs split into consecutive `segTokens`-token segments
+    * (last one may be short), any segment TEXT present in ≥ `minDocs`
+    * distinct docs is corpus-duplicated, and every occurrence of a
+    * duplicated segment is DROPPED except in the single lowest-id doc
+    * containing it (keep-first — the corpus keeps exactly one copy of
+    * each duplicated passage, unlike C38 which only reports them).
+    * Docs are reassembled from their surviving segments in order.
+    *
+    * Output per doc: n_segs, n_dropped, tokens_clean (token count
+    * after the rewrite), text_clean ('' when everything was dropped —
+    * the caller decides whether an emptied doc survives).
+    *
+    * Scale shape: the segment explode is pure per-row map work
+    * (C14c's chunk-index shape); the duplicate directory is ONE hash
+    * agg keyed by segment text (map-side combine; output ∝ distinct
+    * duplicated segments, per-SPAN never per-pair) joined back on the
+    * text; the reassembly is the B30 ordered-concat shape — one
+    * per-doc hash agg collecting (idx, seg) structs, sorted and
+    * joined per group, state ∝ doc length. No windows, no corpus
+    * self-join. Production would key the directory join on
+    * xxhash64(segment) to cut shuffle width (the C38 note); raw
+    * strings here keep the oracle exact.
+    */
+  def dedupSegments(docs: DataFrame, segTokens: Int = 5, minDocs: Int = 2,
+      docId: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val base = docs.select(docId.as("doc_id"), split(text, " ").as("toks"))
+    // consecutive segTokens-slices: slice() is 1-based, i = 0..ceil(n/w)-1
+    val segs = base.select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, CAST(ceil(size(toks) / ${segTokens}.0D) AS INT) - 1), " +
+            s"i -> struct(i AS seg_idx, " +
+            s"array_join(slice(toks, i * $segTokens + 1, $segTokens), ' ') AS seg))"))
+          .as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+    val dup = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_keeper"))
+      .filter(col("_nd") >= minDocs)
+    val marked = segs.join(dup.select("seg", "_keeper"), Seq("seg"), "left")
+      .withColumn("_keep", col("_keeper").isNull || col("_keeper") === col("doc_id"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(!col("_keep"), lit(1))).as("n_dropped"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN _keep THEN " +
+            "struct(seg_idx, seg) END)), x -> x.seg)")).as("text_clean"))
+      .withColumn("tokens_clean",
+        when(col("text_clean") === "", lit(0L))
+          .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+      .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+        col("tokens_clean"), col("text_clean"))
+  }
+
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 weighted
     * by each token hash's bit; sign → bit. Pure fold — one pass over
     * the tokens, no shuffle.

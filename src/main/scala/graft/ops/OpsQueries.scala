@@ -847,6 +847,119 @@ object OpsQueries {
       |SELECT query, rk, doc_id, score_nano FROM ranked
       |WHERE rk <= 10 ORDER BY query, rk""".stripMargin
 
+  // C54 (r8): hybrid retrieval via reciprocal-rank fusion — the C50
+  // BM25 lexical lists and a dense cosine ranking (query vectors =
+  // embeddings 0..2, id space shared with doc_id) fused by the
+  // integer RRF score 10⁹ div (60 + rank). Both input rankings are
+  // engine-exact (BM25's nano-rounded contributions; dense ranks
+  // ordered by nano-rounded cosine), and the fusion itself is pure
+  // BIGINT — one hash compare covers both retrievers AND the fusion
+  // arithmetic. Oracle re-derives all three stages.
+  def textRrfFusion(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val emb = T.embeddings(s, d)
+    val lex = Retrieval.bm25TopK(docs, col("doc_id"),
+      split(lower(col("text")), " "),
+      Seq(("q1", Seq("hash", "join")),
+        ("q2", Seq("stream", "window", "merge")),
+        ("q3", Seq("vector", "scan"))),
+      k = 10).select("query", "doc_id", "rk")
+    val qvec = emb.filter(col("vec_id") < 3)
+      .select(concat(lit("q"), (col("vec_id") + 1).cast("string")).as("query"),
+        col("embedding"))
+    val dense = Retrieval.denseRanks(qvec, emb, 10)
+    Retrieval.rrfFuse(Seq(lex, dense), 10)
+      .orderBy(col("query"), col("rk"))
+  }
+
+  private val oTextRrfFusion =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+      |qt(query, term) AS (VALUES
+      |  ('q1','hash'),('q1','join'),
+      |  ('q2','stream'),('q2','window'),('q2','merge'),
+      |  ('q3','vector'),('q3','scan')),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE term IN ('hash','join','stream','window','merge','vector','scan')
+      |       GROUP BY doc_id, term),
+      |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT q.query, t.doc_id,
+      |    CAST(round(
+      |      ((CAST(s.n AS DOUBLE) - f.df + CAST(0.5 AS DOUBLE)) /
+      |        (f.df + CAST(0.5 AS DOUBLE)))
+      |      * (t.tf * CAST(2.2 AS DOUBLE))
+      |      / (t.tf + CAST(1.2 AS DOUBLE) *
+      |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl /
+      |            (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+      |      * CAST(1e9 AS DOUBLE)) AS BIGINT) AS nano
+      |  FROM tf t JOIN dfr f USING (term) JOIN qt q USING (term)
+      |    JOIN dl d USING (doc_id) CROSS JOIN stats s),
+      |lexsc AS (SELECT query, doc_id, CAST(sum(nano) AS BIGINT) AS sn
+      |          FROM contrib GROUP BY query, doc_id),
+      |lex AS (SELECT query, doc_id, rk FROM (
+      |  SELECT query, doc_id,
+      |    row_number() OVER (PARTITION BY query ORDER BY sn DESC, doc_id) AS rk
+      |  FROM lexsc) x WHERE rk <= 10),
+      |qv AS (SELECT 'q' || CAST(vec_id + 1 AS VARCHAR) AS query, embedding
+      |       FROM embeddings WHERE vec_id < 3),
+      |dense AS (SELECT query, doc_id, rk FROM (
+      |  SELECT q.query, c.vec_id AS doc_id,
+      |    row_number() OVER (PARTITION BY q.query ORDER BY
+      |      CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |        CAST(c.embedding AS DOUBLE[])) * 1e9) AS BIGINT) DESC,
+      |      c.vec_id) AS rk
+      |  FROM qv q CROSS JOIN embeddings c) t WHERE rk <= 10),
+      |u AS (SELECT query, doc_id, 1000000000 // (60 + rk) AS pts FROM lex
+      |      UNION ALL
+      |      SELECT query, doc_id, 1000000000 // (60 + rk) FROM dense),
+      |f AS (SELECT query, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_nano,
+      |        CAST(count(*) AS BIGINT) AS n_systems
+      |      FROM u GROUP BY query, doc_id)
+      |SELECT query, CAST(rk AS INT) AS rk, doc_id, rrf_nano, n_systems FROM (
+      |  SELECT query, doc_id, rrf_nano, n_systems,
+      |    row_number() OVER (PARTITION BY query
+      |      ORDER BY rrf_nano DESC, doc_id) AS rk FROM f) x
+      |WHERE rk <= 10 ORDER BY query, rk""".stripMargin
+
+  // C55 (r8): passage-level exact dedup with keep-first rewrite —
+  // 5-token segments duplicated across ≥2 docs are dropped everywhere
+  // but their lowest-id doc, docs reassembled from the survivors
+  // (Dedup.dedupSegments doc). Non-vacuous at sf0.01: the fixture
+  // corpus's planted boilerplate yields ~257 duplicated segments /
+  // ~577 occurrences. The full cleaned TEXT is exported, so the hash
+  // pins segmentation, the keep-first rule, and the reassembly order.
+  def textLineDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSegments(T.documents(s, d), segTokens = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  private val oTextLineDedup =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+      |    array_to_string(toks[(i * 5 + 1):(i * 5 + 5)], ' ') AS seg
+      |  FROM t, unnest(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT))) u(i)),
+      |dup AS (SELECT seg, min(doc_id) AS keeper FROM segs
+      |        GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+      |marked AS (
+      |  SELECT s.doc_id, s.seg_idx, s.seg,
+      |    (d.keeper IS NULL OR d.keeper = s.doc_id) AS keep
+      |  FROM segs s LEFT JOIN dup d USING (seg))
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+      |  CAST(CASE WHEN count(*) FILTER (WHERE keep) = 0 THEN 0
+      |    ELSE len(string_split(string_agg(seg, ' ' ORDER BY seg_idx)
+      |      FILTER (WHERE keep), ' ')) END AS BIGINT) AS tokens_clean,
+      |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '')
+      |    AS text_clean
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // C51 (r8): n-gram diversity per source — type-token ratio and
   // distinct-bigram ratio, the cheap corpus-health signals that
   // catch template/boilerplate sources (low diversity) before
@@ -1718,6 +1831,8 @@ object OpsQueries {
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),
     QueryDef("text_tfidf_topk", textTfidfTopK, Some(oTextTfidf)),
     QueryDef("text_bm25_topk", textBm25, Some(oTextBm25)),
+    QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
+    QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),

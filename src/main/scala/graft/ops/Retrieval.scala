@@ -71,4 +71,66 @@ object Retrieval {
       .select(col("query"), col("rk").cast("int").as("rk"),
         col("doc_id"), col("score_nano"))
   }
+
+  /** Dense retrieval ranking for a SMALL query batch (C54 substrate):
+    * each named query vector scores the whole corpus by cosine and
+    * keeps its top-k as an explicit (query, doc_id, rk) ranked list.
+    *
+    * Exactness: ranks order by `round(cosine · 10⁹)` as BIGINT (plus
+    * the doc_id tie-break), not by the raw double — the dot product
+    * is associative-order-sensitive in its last ulp across engines,
+    * and nano-rounding puts ~1e-7 of slack between the compared
+    * integers, so the exported RANKS are engine-stable even where the
+    * raw floats differ in the last bit.
+    *
+    * Scale shape: the query batch is broadcast (|queries| rows), the
+    * corpus streams through one scan, and the per-query window sees
+    * only corpus×|queries| scored rows partitioned by query. A
+    * corpus-sized query batch belongs on [[Similarity.annLshTopK]]
+    * (the C7 path) — this is the serving-time shape.
+    */
+  def denseRanks(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("query").as("query"),
+      col("embedding").as("emb_q")))
+    val c = corpus.select(col("vec_id").as("doc_id"), col("embedding").as("emb_c"))
+    val scored = c.crossJoin(q)
+      .select(col("query"), col("doc_id"),
+        round(Similarity.cosine(col("emb_q"), col("emb_c")) * lit(1e9))
+          .cast("long").as("nano_cos"))
+    val w = Window.partitionBy("query")
+      .orderBy(col("nano_cos").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query"), col("doc_id"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Reciprocal-rank fusion (C54) — Cormack, Clarke & Buettcher,
+    * "Reciprocal Rank Fusion outperforms Condorcet and individual
+    * rank learning methods" (SIGIR 2009): fuse several ranked lists
+    * keyed (query, doc_id, rk) by scoring each appearance
+    * `1/(rrfK + rank)` and summing across systems — the standard
+    * hybrid-RAG combiner for BM25 + dense lists because it needs no
+    * score calibration, only ranks.
+    *
+    * Exactness: the per-appearance score is the INTEGER
+    * `10⁹ div (rrfK + rk)` — RRF's fixed-point arithmetic is exact in
+    * BIGINT, so the fused ordering (score desc, doc_id asc) is
+    * engine-identical with no float anywhere.
+    *
+    * Scale shape: inputs are already top-k lists (|queries|·k rows
+    * per system — config-sized however big the corpus was); the union
+    * + hash agg + per-query window all run on that bounded relation.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val scored = rankings.map(_.select(col("query"), col("doc_id"),
+      expr(s"1000000000L div (${rrfK}L + CAST(rk AS BIGINT))").as("pts")))
+      .reduce(_.unionByName(_))
+    val fused = scored.groupBy("query", "doc_id")
+      .agg(sum("pts").as("rrf_nano"), count(lit(1)).as("n_systems"))
+    val w = Window.partitionBy("query")
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query"), col("rk").cast("int").as("rk"), col("doc_id"),
+        col("rrf_nano"), col("n_systems"))
+  }
 }

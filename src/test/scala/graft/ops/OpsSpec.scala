@@ -722,4 +722,46 @@ class OpsSpec extends AnyFunSuite {
     // outlier drags the mean to ~21.6, which a ±1σ screen centers on.
     // (That asymmetry is the point of the robust statistic.)
   }
+
+  test("dedupSegments: keep-first drops every later copy, reassembly is order-exact") {
+    // doc 0 and doc 2 share the segment "a b c d e"; doc 0 has the
+    // lower id so it keeps its copy. doc 1 is untouched. The short
+    // tail segment ("z") must survive and reassemble in position.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "p q r s t u v w x y"),
+      (2L, "a b c d e m n o p q z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, segTokens = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) === ((0L, 2L, 0L, 10L, "a b c d e f g h i j")))
+    assert(out(1) === ((1L, 2L, 0L, 10L, "p q r s t u v w x y")))
+    // doc 2: first segment dropped (keeper is doc 0), rest survive in order
+    assert(out(2) === ((2L, 3L, 1L, 6L, "m n o p q z")))
+
+    // a doc that is ALL duplicated segments empties to '' with count 0
+    val docs2 = Seq((0L, "a b c d e"), (5L, "a b c d e")).toDF("doc_id", "text")
+    val out2 = Dedup.dedupSegments(docs2, segTokens = 5, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect()
+    assert(out2(0) === ((0L, 1L, 0L, 5L, "a b c d e")))
+    assert(out2(1) === ((5L, 1L, 1L, 0L, "")))
+  }
+
+  test("rrfFuse: integer RRF arithmetic, cross-system agreement outranks a single #1") {
+    // doc 10 is rank 2 in BOTH systems: 2·(10⁹ div 62) = 32258064·2.
+    // doc 1 is rank 1 lexically only: 10⁹ div 61 = 16393442.
+    // Agreement wins — the property RRF exists for.
+    val lex = Seq(("q", 1L, 1), ("q", 10L, 2), ("q", 3L, 3))
+      .toDF("query", "doc_id", "rk")
+    val den = Seq(("q", 7L, 1), ("q", 10L, 2), ("q", 4L, 3))
+      .toDF("query", "doc_id", "rk")
+    val out = Retrieval.rrfFuse(Seq(lex, den), 10)
+      .orderBy("rk").as[(String, Int, Long, Long, Long)].collect()
+    assert(out.head === (("q", 1, 10L, 2L * (1000000000L / 62), 2L)))
+    assert(out.map(_._3).toSeq === Seq(10L, 1L, 7L, 3L, 4L),
+      "rank-1 singles tie at div 61 and break by doc_id; rank-3 singles follow")
+    assert(out.forall(r => r._4 === Retrieval.rrfFuse(Seq(lex, den), 10)
+      .filter(col("doc_id") === r._3).select("rrf_nano").as[Long].head()))
+  }
 }
