@@ -1185,6 +1185,212 @@ object Relational {
       |WHERE doc_id % 5 = 0
       |ORDER BY doc_id, pos""".stripMargin
 
+  // B48 (r8): map-typed column breadth — build a map event_type→count
+  // per user (map_from_entries over a sorted entry list), then derive
+  // every export THROUGH the map surface: size, element_at with a
+  // missing-key default, a map_values fold, map_filter + map_keys.
+  // The oracle computes the same numbers with conditional aggregation
+  // that never touches a map, so a construction/access/lambda bug
+  // cannot cancel itself (the B47 discipline). All per-row lambda
+  // work; one hash agg per level — no extra shuffle beyond the agg.
+  def qMapFuncs(s: SparkSession, d: String): DataFrame = {
+    val per = T.events(s, d).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val m = per.groupBy("user_id")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+    m.select(col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "error"), lit(0L)).as("error_cnt"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total"),
+        size(expr("map_filter(m, (k, v) -> v >= 10)")).as("n_heavy"),
+        expr("array_join(array_sort(map_keys(map_filter(m, (k, v) -> v >= 10))), ',')")
+          .as("heavy_types"))
+      .orderBy("user_id")
+  }
+
+  private val oMapFuncs =
+    """WITH per AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      |             FROM events GROUP BY user_id, event_type)
+      |SELECT user_id,
+      |  CAST(count(*) AS INT) AS n_types,
+      |  CAST(coalesce(sum(cnt) FILTER (WHERE event_type = 'error'), 0) AS BIGINT)
+      |    AS error_cnt,
+      |  CAST(sum(cnt) AS BIGINT) AS total,
+      |  CAST(count(*) FILTER (WHERE cnt >= 10) AS INT) AS n_heavy,
+      |  coalesce(string_agg(event_type, ',' ORDER BY event_type)
+      |    FILTER (WHERE cnt >= 10), '') AS heavy_types
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // B49 (r8): gaps-and-islands — per-user runs of CONSECUTIVE active
+  // days via the classic day − row_number() island key (one window
+  // over the per-user distinct-day relation, state ∝ active days,
+  // never events), then per-island and per-user rollups: streak
+  // count, longest streak, and the start of the longest (max-struct
+  // tie-break → the LATEST longest streak, deterministic). The
+  // sessionization idiom on the calendar axis (B14 is the
+  // event-time-gap form).
+  def qGapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = T.events(s, d).filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), expr("ts div 86400000000000L").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), col("start_day"))).as("_b"))
+      .select(col("user_id"), col("n_streaks"),
+        col("_b.len").as("longest"), col("_b.start_day").as("longest_start"))
+      .orderBy("user_id")
+  }
+
+  private val oGapsIslands =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE user_id % 10 = 0),
+      |isl AS (
+      |  SELECT user_id, day - row_number() OVER (PARTITION BY user_id
+      |    ORDER BY day) AS grp, day FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+      |    CAST(min(day) AS BIGINT) AS start_day
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS longest,
+      |  CAST(arg_max(start_day, len * 1000000000 + start_day) AS BIGINT)
+      |    AS longest_start
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // B50 (r8): regression/correlation MOMENTS as exact integers — the
+  // scalable substrate of corr/covar/regr_slope: one hash-agg pass
+  // accumulates (n, Σx, Σy, Σxy, Σx², Σy²) per group in BIGINT
+  // (x = quantity, y = whole dollars — bounded so Σy² stays ≪ 2⁶³),
+  // and the derived slope/corr are computed FROM those integers in a
+  // pinned double formula (every product correctly rounded from exact
+  // integer inputs, sqrt correctly rounded — bit-deterministic across
+  // engines given the identical association). The moments, not the
+  // derived floats, are what an incremental/distributed maintainer
+  // would store: they merge by addition.
+  def qCorrMoments(s: SparkSession, d: String): DataFrame = {
+    val x = round(col("l_quantity")).cast("long")
+    val y = expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")
+    val m = T.lineitem(s, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("sum_xy") - col("sum_x").cast("double") * col("sum_y")
+    val vx = nd * col("sum_x2") - col("sum_x").cast("double") * col("sum_x")
+    val vy = nd * col("sum_y2") - col("sum_y").cast("double") * col("sum_y")
+    m.select(col("l_returnflag"), col("n"), col("sum_x"), col("sum_y"),
+        col("sum_xy"), col("sum_x2"), col("sum_y2"),
+        round(cov / vx, 6).as("slope"),
+        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
+  private val oCorrMoments =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |    CAST(sum(x * x) AS BIGINT) AS sum_x2,
+      |    CAST(sum(y * y) AS BIGINT) AS sum_y2
+      |  FROM b GROUP BY l_returnflag)
+      |SELECT l_returnflag, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+      |  round((CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+      |    / (CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x), 6)
+      |    AS slope,
+      |  round((CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+      |    / (sqrt(CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x)
+      |     * sqrt(CAST(n AS DOUBLE) * sum_y2 - CAST(sum_y AS DOUBLE) * sum_y)), 6)
+      |    AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // B51 (r8): nth_value + IGNORE NULLS window navigation — the two
+  // gaps B25 left: nth_value(2) over the explicit whole-partition
+  // frame (the default running frame would leave row 1 NULL), and the
+  // last NON-NULL carry (last_value IGNORE NULLS over the running
+  // frame — error events contribute NULL, so the column reads "value
+  // of my latest non-error event so far", NULL until one exists).
+  // One window pass per user in (ts, event_id) total order.
+  def qNthValue(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val full = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d).filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") =!= "error", cents).as("ok_cents"))
+      .withColumn("second_cents",
+        nth_value(col("ok_cents"), 2).over(full))
+      .withColumn("last_ok_cents",
+        last(col("ok_cents"), ignoreNulls = true).over(run))
+      .drop("ts")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val oNthValue =
+    """SELECT user_id, event_id,
+      |  CASE WHEN event_type <> 'error'
+      |    THEN CAST(round(value * 100) AS BIGINT) END AS ok_cents,
+      |  nth_value(CASE WHEN event_type <> 'error'
+      |      THEN CAST(round(value * 100) AS BIGINT) END, 2)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_cents,
+      |  last_value(CASE WHEN event_type <> 'error'
+      |      THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_ok_cents
+      |FROM events WHERE user_id % 20 = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // B52 (r8): relational division with multiplicity — "users who did
+  // EVERY event type at least 10 times" (the FOR ALL quantifier SQL
+  // lacks): two hash aggs — per-(user, type) counts, then per-user
+  // `count(*) = |divisor| AND min(cnt) ≥ k` against the corpus-wide
+  // type count (a 1-row agg cross-joined in, never hardcoded). The
+  // double-NOT-EXISTS spelling re-plans as per-row subqueries;
+  // this shape is two shuffles total at any scale. Non-vacuous at
+  // sf0.01: 73 of 150 users qualify.
+  def qRelDivision(s: SparkSession, d: String): DataFrame = {
+    val per = T.events(s, d).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val nTypes = per.select(countDistinct("event_type").as("n_types"))
+    per.groupBy("user_id")
+      .agg(count(lit(1)).as("types_hit"), min("cnt").as("min_cnt"),
+        sum("cnt").as("n_events"))
+      .crossJoin(broadcast(nTypes))
+      .filter(col("types_hit") === col("n_types") && col("min_cnt") >= 10)
+      .select(col("user_id"), col("min_cnt"), col("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val oRelDivision =
+    """WITH per AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      |             FROM events GROUP BY user_id, event_type),
+      |nt AS (SELECT count(DISTINCT event_type) AS n_types FROM per)
+      |SELECT user_id, CAST(min(cnt) AS BIGINT) AS min_cnt,
+      |  CAST(sum(cnt) AS BIGINT) AS n_events
+      |FROM per CROSS JOIN nt
+      |GROUP BY user_id, n_types
+      |HAVING count(*) = n_types AND min(cnt) >= 10
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1230,5 +1436,10 @@ object Relational {
     QueryDef("q_running_distinct", qRunningDistinct, Some(oRunningDistinct)),
     QueryDef("q_sorted_arrays", qSortedArrays, Some(oSortedArrays)),
     QueryDef("q_json_array", qJsonArray, Some(oJsonArray)),
+    QueryDef("q_map_funcs", qMapFuncs, Some(oMapFuncs)),
+    QueryDef("q_gaps_islands", qGapsIslands, Some(oGapsIslands)),
+    QueryDef("q_corr_moments", qCorrMoments, Some(oCorrMoments)),
+    QueryDef("q_nth_value", qNthValue, Some(oNthValue)),
+    QueryDef("q_rel_division", qRelDivision, Some(oRelDivision)),
   )
 }
