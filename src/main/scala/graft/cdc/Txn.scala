@@ -96,6 +96,54 @@ object Txn {
     }
   }
 
+  /** Cross-table CONSISTENT READ (A59 — the read-side complement of
+    * the commit protocol): the versions pinned by the LATEST completed
+    * transaction covering ALL the requested tables. `commit`'s swap
+    * window means live pointers can transiently disagree across
+    * tables (the "atomic-eventually" caveat); reading each table via
+    * time travel at its intent-recorded version removes the race
+    * entirely — the intent file IS the cross-table snapshot
+    * descriptor, so readers who need table A and table B from the
+    * same pipeline run read exactly that, however many single-table
+    * or unrelated-transaction writes landed since.
+    *
+    * Returns None when no completed transaction covers every
+    * requested table (a partial answer would silently mix runs — the
+    * A42 refusal discipline). Monotonic: transaction ids sort by
+    * creation time, so "latest" never goes backward. The pinned
+    * versions stay readable through later delta publishes (carried
+    * references); only a full rewrite + vacuum retires them, in which
+    * case the time-travel read itself fails loudly.
+    */
+  def consistentVersions(coordDir: String,
+      tables: Seq[String]): Option[Map[String, Long]] = {
+    require(tables.nonEmpty, "no tables requested")
+    val done = StoreFs.listFilePaths(coordDir, ".done")
+      .map(p => p.substring(p.lastIndexOf('/') + 1).stripSuffix(".done"))
+      .sorted.reverse
+    done.iterator.map { id =>
+      StoreFs.readString(s"$coordDir/$id.intent").split("\n")
+        .filter(_.nonEmpty).map { line =>
+          val Array(dir, v, _) = line.split("\t")
+          dir -> v.toLong
+        }.toMap
+    }.find(m => tables.forall(m.contains))
+      .map(m => m.view.filterKeys(tables.contains).toMap)
+  }
+
+  /** Time-traveled frames at [[consistentVersions]]' pins — one
+    * DataFrame per requested table, all from the same transaction.
+    */
+  def readConsistent(spark: org.apache.spark.sql.SparkSession,
+      coordDir: String, tables: Seq[String])
+      : Option[Map[String, org.apache.spark.sql.DataFrame]] =
+    consistentVersions(coordDir, tables).map(_.map { case (dir, v) =>
+      dir -> CdcPipeline.readSnapshotAt(spark, dir, v).getOrElse(
+        throw new IllegalStateException(
+          s"transaction-pinned version v$v at $dir is no longer readable " +
+            "(retired by a full rewrite + vacuum)"))
+    })
+
   /** Drop completed intent/done pairs older than `keepMs`. */
   def sweep(coordDir: String, keepMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val now = System.currentTimeMillis()

@@ -960,6 +960,45 @@ object OpsQueries {
       |    AS text_clean
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // C56 (r8): URL parsing + per-domain rollup — the crawl-curation
+  // pass that groups documents by registrable host and paths. URLs
+  // are BUILT from known columns (the B47/C12 fixture discipline:
+  // https://<source>.example.com/<lang>/doc-<id>?ref=<id mod 7>#s<id mod 3>),
+  // then torn back apart with Spark's parse_url (HOST/PATH/QUERY
+  // with a key/REF) — while the oracle predicts every component
+  // directly from the columns and never parses, so a parser bug
+  // cannot cancel itself. Per-host rollup counts docs and distinct
+  // languages; all per-row scalar work + one hash agg.
+  def textUrlParse(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc-"), col("doc_id"),
+      lit("?ref="), col("doc_id") % 7, lit("#s"), col("doc_id") % 3)
+    val parsed = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), url.as("url"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"),
+        parse_url(col("url"), lit("REF")).as("frag"))
+    parsed.groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("path").as("n_paths"),
+        sum(col("ref").cast("long")).as("sum_ref"),
+        countDistinct("frag").as("n_frags"))
+      .orderBy("host")
+  }
+
+  private val oTextUrlParse =
+    """SELECT source || '.example.com' AS host,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT '/' || lang || '/doc-' || doc_id) AS BIGINT)
+      |    AS n_paths,
+      |  CAST(sum(doc_id % 7) AS BIGINT) AS sum_ref,
+      |  CAST(count(DISTINCT 's' || (doc_id % 3)) AS BIGINT) AS n_frags
+      |FROM documents GROUP BY source ORDER BY host""".stripMargin
+
   // C51 (r8): n-gram diversity per source — type-token ratio and
   // distinct-bigram ratio, the cheap corpus-health signals that
   // catch template/boilerplate sources (low diversity) before
@@ -1833,6 +1872,7 @@ object OpsQueries {
     QueryDef("text_bm25_topk", textBm25, Some(oTextBm25)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
+    QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),

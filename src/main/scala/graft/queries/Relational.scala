@@ -1391,6 +1391,34 @@ object Relational {
       |HAVING count(*) = n_types AND min(cnt) >= 10
       |ORDER BY user_id""".stripMargin
 
+  // B53 (r8): bitwise aggregates — bit_and / bit_or / bit_xor over a
+  // per-event 8-bit flag word (built arithmetically from event_id so
+  // both engines derive identical inputs): the permission-mask /
+  // feature-flag rollup idiom. One hash-agg pass; each bitwise
+  // aggregate combines map-side (they're commutative monoids) so
+  // shuffle rows ∝ groups. xor doubles as a cheap order-independent
+  // set checksum (the same trick the A24 diff oracle leans on).
+  def qBitwiseAgg(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_type"), (col("event_id") % 256).as("flags"),
+        col("event_id"))
+      .groupBy("event_type")
+      .agg(expr("bit_and(flags)").as("mask_and"),
+        expr("bit_or(flags)").as("mask_or"),
+        expr("bit_xor(flags)").as("mask_xor"),
+        expr("bit_xor(event_id)").as("id_checksum"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val oBitwiseAgg =
+    """SELECT event_type,
+      |  CAST(bit_and(event_id % 256) AS BIGINT) AS mask_and,
+      |  CAST(bit_or(event_id % 256) AS BIGINT) AS mask_or,
+      |  CAST(bit_xor(event_id % 256) AS BIGINT) AS mask_xor,
+      |  CAST(bit_xor(event_id) AS BIGINT) AS id_checksum,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1441,5 +1469,6 @@ object Relational {
     QueryDef("q_corr_moments", qCorrMoments, Some(oCorrMoments)),
     QueryDef("q_nth_value", qNthValue, Some(oNthValue)),
     QueryDef("q_rel_division", qRelDivision, Some(oRelDivision)),
+    QueryDef("q_bitwise_agg", qBitwiseAgg, Some(oBitwiseAgg)),
   )
 }

@@ -73,6 +73,37 @@ class TxnSpec extends AnyFunSuite {
     assert(Txn.recover(coord) === Seq.empty)
   }
 
+  test("consistent read pins the latest covering transaction, immune to later single-table writes") {
+    val (a, b, coord) = (tmp(), tmp(), tmp())
+    CdcPipeline.publish(fx(40, "a0"), a, Seq("id"), buckets = Some(4))
+    CdcPipeline.publish(fx(40, "b0"), b, Seq("id"), buckets = Some(4))
+    // txn 1 covers both tables
+    val va1 = CdcPipeline.publish(fx(40, "a1"), a, Seq("id"), swapNow = false)
+    val vb1 = CdcPipeline.publish(fx(40, "b1"), b, Seq("id"), swapNow = false)
+    Txn.commit(coord, Seq(Txn.Staged(a, va1), Txn.Staged(b, vb1)))
+    // a later SINGLE-table write advances `a` outside any transaction
+    CdcPipeline.publish(fx(40, "a2-solo"), a, Seq("id"))
+    assert(CdcPipeline.readSnapshot(spark, a).get
+      .select("tag").first.getString(0) === "a2-solo")
+    // the consistent read still serves the txn-1 PAIR
+    val pins = Txn.consistentVersions(coord, Seq(a, b)).get
+    assert(pins === Map(a -> va1, b -> vb1))
+    val frames = Txn.readConsistent(spark, coord, Seq(a, b)).get
+    assert(frames(a).select("tag").first.getString(0) === "a1")
+    assert(frames(b).select("tag").first.getString(0) === "b1")
+    // txn 2 over both: the pin advances
+    val va2 = CdcPipeline.publish(fx(40, "a3"), a, Seq("id"), swapNow = false)
+    val vb2 = CdcPipeline.publish(fx(40, "b2"), b, Seq("id"), swapNow = false)
+    Txn.commit(coord, Seq(Txn.Staged(a, va2), Txn.Staged(b, vb2)))
+    assert(Txn.consistentVersions(coord, Seq(a, b)).get === Map(a -> va2, b -> vb2))
+    // a table never covered by any transaction → None, not a partial mix
+    val c = tmp()
+    CdcPipeline.publish(fx(10, "c0"), c, Seq("id"), buckets = Some(2))
+    assert(Txn.consistentVersions(coord, Seq(a, c)) === None)
+    // empty coordinator → None
+    assert(Txn.consistentVersions(tmp(), Seq(a)) === None)
+  }
+
   test("sweep drops only aged completed pairs") {
     val (a, coord) = (tmp(), tmp())
     CdcPipeline.publish(fx(20, "a0"), a, Seq("id"), buckets = Some(2))
