@@ -179,6 +179,15 @@ object GraftExtensions {
         val path = strLit(args(0), "graft_fsck path")
         plan(graft.cdc.CdcPipeline.fsck(active, path))
       }),
+    (FunctionIdentifier("graft_audit"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_audit"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_audit path")
+        val pk = strLit(args(1), "graft_audit pk list").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        plan(graft.cdc.CdcPipeline.auditData(active, path, pk).getOrElse(
+          throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
     (FunctionIdentifier("graft_change_feed"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_change_feed"),
       (args: Seq[Expression]) => {

@@ -1458,6 +1458,59 @@ object CdcPipeline {
     out.result().toDF("severity", "check", "subject", "detail")
   }
 
+  /** DATA-level integrity audit (A60 — the scan-side complement of
+    * the metadata-only [[fsck]]): ONE distributed pass over the
+    * current snapshot verifying the two invariants every other
+    * operator silently assumes and no read path re-checks:
+    *
+    *  - **routing**: every row sits in the bucket directory its PK
+    *    hash says it should ([[bucketExpr]] vs the `_graft_bucket=N`
+    *    segment of the file it was read from). A mis-routed row is
+    *    invisible to [[readKeys]]/[[readPoint]] (they prune to the
+    *    hash-computed bucket) and silently double-counts under a
+    *    later merge — exactly the silent-wrong-answer class fsck
+    *    hunts at the metadata level.
+    *  - **PK uniqueness**: no primary key occurs twice in the
+    *    DV-applied snapshot (the latest-per-PK merge guarantees it by
+    *    construction; an interleaved torn publish breaks it).
+    *
+    * Cost is declared: one full scan + one hash agg keyed by PK
+    * (shuffle ∝ distinct keys — the audit price, run it like
+    * OPTIMIZE, not on the serving path). Reads are DV-applied, so a
+    * MoR-deleted duplicate does not false-positive. Returns one row
+    * per violation CLASS with a count and a bounded sample of
+    * offending keys — never a row per violation (an audit of a
+    * corrupted 100 TB table must not itself be 100 TB).
+    */
+  def auditData(spark: SparkSession, targetDir: String,
+      pkCols: Seq[String], sampleKeys: Int = 5): Option[DataFrame] = {
+    import spark.implicits._
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val snap = readBucketsWithPos(spark, targetDir, m, m.buckets.keySet)
+      val withBucket = snap.withColumn("_read_bucket",
+        regexp_extract(col(DvFileCol), s"$BucketCol=(\\d+)", 1).cast("int"))
+      val mis = withBucket
+        .filter(bucketExpr(pkCols, m.numBuckets) =!= col("_read_bucket"))
+        .select(concat_ws("|", pkCols.map(col): _*).as("k"))
+      val dup = snap.groupBy(pkCols.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+        .select(concat_ws("|", pkCols.map(col): _*).as("k"))
+      def cls(name: String, df: DataFrame, detail: String) = {
+        val n = df.count()
+        val sample =
+          if (n == 0) "" else df.orderBy("k").limit(sampleKeys)
+            .as[String].collect().mkString(",")
+        (if (n == 0) "ok" else "error", name, n, sample, detail)
+      }
+      Seq(
+        cls("misrouted_rows", mis,
+          "rows outside the bucket their PK hashes to (invisible to pruned lookups)"),
+        cls("duplicate_pks", dup,
+          "primary keys with >1 live row in the snapshot")
+      ).toDF("severity", "check", "violations", "sample_keys", "detail")
+    }
+  }
+
   /** Writer lease (A46) — opt-in mutual exclusion for the ONE-writer
     * contract (object doc): two concurrent publishes to the same
     * target race benignly on the version number, but the loser's work

@@ -184,6 +184,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"SELECT check, subject FROM graft_fsck('$dir')").collect()
     assert(finding.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("orphan_inflight", "v99")))
+    // graft_audit: the data-level audit through SQL — both checks ok
+    val audit = spark.sql(
+      s"SELECT check, severity, violations FROM graft_audit('$dir', 'id')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(audit.toSeq === Seq(("duplicate_pks", "ok", 0L),
+      ("misrouted_rows", "ok", 0L)))
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 }

@@ -1374,4 +1374,47 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(results("graft.broken").isLeft)
     assert(CdcPipeline.readSnapshot(spark, t1).get.count() > 0)
   }
+
+  test("auditData: healthy store is clean; a smuggled file surfaces as misrouted + duplicate") {
+    import spark.implicits._
+    val dir = tmp()
+    CdcPipeline.publish(
+      spark.range(0, 200).select(col("id"), (col("id") * 2).as("k")),
+      dir, Seq("id"), buckets = Some(4))
+    val clean = CdcPipeline.auditData(spark, dir, Seq("id")).get.collect()
+    assert(clean.length === 2)
+    assert(clean.forall(r => r.getString(0) == "ok" && r.getLong(2) == 0L),
+      s"healthy store must audit clean: ${clean.mkString(";")}")
+
+    // smuggle a copy of bucket 0's data file into bucket 1's dir:
+    // its rows hash to bucket 0 (misrouted) and still live in bucket
+    // 0 too (duplicate PKs) — the torn-interleaved-publish shape
+    val ver = CdcPipeline.currentVersion(dir).get
+    val b0 = new java.io.File(s"$dir/v$ver/_graft_bucket=0")
+    val b1 = new java.io.File(s"$dir/v$ver/_graft_bucket=1")
+    val part = b0.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath,
+      new java.io.File(b1, "part-smuggled.parquet").toPath)
+
+    val bad = CdcPipeline.auditData(spark, dir, Seq("id")).get
+      .select("check", "severity", "violations", "sample_keys")
+      .as[(String, String, Long, String)].collect().map(r => r._1 -> r).toMap
+    val smuggled = spark.read.parquet(part.getPath).count()
+    assert(bad("misrouted_rows")._2 === "error")
+    assert(bad("misrouted_rows")._3 === smuggled,
+      "every smuggled row is outside its hash bucket")
+    assert(bad("duplicate_pks")._2 === "error")
+    assert(bad("duplicate_pks")._3 === smuggled,
+      "every smuggled PK now has two live rows")
+    assert(bad("misrouted_rows")._4.nonEmpty && bad("duplicate_pks")._4.nonEmpty,
+      "bounded key samples for debugging")
+
+    // a DV-deleted duplicate must NOT false-positive: MoR-delete the
+    // smuggled rows' PKs out — the audit reads DV-applied…
+    // (deleting by predicate hits BOTH copies, so instead assert the
+    // audit count is stable across a re-run — determinism check)
+    val again = CdcPipeline.auditData(spark, dir, Seq("id")).get
+      .select("violations").as[Long].collect().toSeq.sorted
+    assert(again === Seq(smuggled, smuggled))
+  }
 }
