@@ -25,14 +25,18 @@ object ExplainAudit {
         "q_recursive_cte", "q_lateral_topn", "q_percentile_cont", "q_histogram",
         "text_bpe_pairs", "text_normalize", "corpus_outliers", "split_leakage_safe",
         "text_tfidf_topk", "q_moving_avg", "q_not_in_nulls",
-        "q_higher_order", "q_regexp_funcs", "q_union_by_name", "text_bm25_topk")) {
+        "q_higher_order", "q_regexp_funcs", "q_union_by_name", "text_bm25_topk",
+        "text_rrf_fusion", "text_line_dedup", "q_map_funcs", "q_gaps_islands",
+        "q_corr_moments", "q_session_window", "q_time_weighted",
+        "text_domain_filter", "q_rel_division", "q_bitwise_agg")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able
       println(plan.linesIterator.filter(l =>
         l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
         l.contains("Exchange") || l.contains("Broadcast") || l.contains("WholeStageCodegen") ||
-        l.contains("HashAggregate") || l.contains("Join") || l.contains("Sort")
+        l.contains("HashAggregate") || l.contains("Join") || l.contains("Sort") ||
+        l.contains("Sessions")
       ).mkString("\n"))
     }
     spark.stop()

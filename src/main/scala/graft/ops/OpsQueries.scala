@@ -999,6 +999,38 @@ object OpsQueries {
       |  CAST(count(DISTINCT 's' || (doc_id % 3)) AS BIGINT) AS n_frags
       |FROM documents GROUP BY source ORDER BY host""".stripMargin
 
+  // C57 (r8): domain-blocklist filtering — the UT1-style URL screen
+  // every crawl pipeline runs before any text processing: a host is
+  // blocked when it EQUALS a listed domain or is a subdomain of one
+  // (dot-boundary suffix — "le.com" must NOT catch "example.com").
+  // The config-sized list compiles to ONE codegen'd OR-chain on the
+  // scan (no join, no shuffle, no regex); a megarule list would swap
+  // to a broadcast join on the registrable-domain suffix — declared,
+  // same semantics. First matching rule exported for provenance.
+  // Hosts are the C56 constructed URLs, so the oracle re-derives the
+  // decision from the source column and never does suffix matching.
+  def textDomainFilter(s: SparkSession, d: String): DataFrame = {
+    // "ample.com" pins the dot boundary: every host ENDS WITH
+    // "ample.com" as a bare suffix, and none is a subdomain of it —
+    // a naive endsWith would block the whole corpus
+    val rules = Seq("src3.example.com", "ample.com", "src17.example.com")
+    val host = concat(col("source"), lit(".example.com"))
+    val rule = rules.foldRight(lit(null).cast("string")) { (r, acc) =>
+      when(host === r || host.endsWith("." + r), lit(r)).otherwise(acc)
+    }
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"), host.as("host"), rule.as("blocked_by"))
+      .withColumn("kept", col("blocked_by").isNull)
+      .orderBy("doc_id")
+  }
+
+  private val oTextDomainFilter =
+    """SELECT doc_id, source, source || '.example.com' AS host,
+      |  CASE WHEN source = 'src3' THEN 'src3.example.com'
+      |       WHEN source = 'src17' THEN 'src17.example.com' END AS blocked_by,
+      |  (source NOT IN ('src3', 'src17')) AS kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // C51 (r8): n-gram diversity per source — type-token ratio and
   // distinct-bigram ratio, the cheap corpus-health signals that
   // catch template/boilerplate sources (low diversity) before
@@ -1873,6 +1905,7 @@ object OpsQueries {
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),
+    QueryDef("text_domain_filter", textDomainFilter, Some(oTextDomainFilter)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),

@@ -1419,6 +1419,99 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // B54 (r8): time-weighted average — the TWAP/metering idiom: a
+  // value "holds" from its event until the next one, so the mean
+  // weights each observation by its holding duration, not its count
+  // (a sensor that reports once an hour and once a second must agree).
+  // One window pass per user for the lead, then one hash agg; the
+  // weighted sum Σ dur_s·cents stays in BIGINT (seconds × cents
+  // bounds the product far under 2⁶³), division pinned at the end.
+  // The final open-ended observation carries no duration and is
+  // excluded — the standard left-closed integral.
+  def qTimeWeighted(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - ts_us) div 1000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("dur_s").as("held_s"),
+        sum(col("dur_s") * col("cents")).as("weight_cents_s"))
+      .filter(col("held_s") > 0)
+      .withColumn("twa",
+        round(col("weight_cents_s") / (lit(100.0) * col("held_s")), 6))
+      .orderBy("user_id")
+  }
+
+  private val oTimeWeighted =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE user_id % 10 = 0),
+      |seg AS (
+      |  SELECT user_id, cents,
+      |    (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |      - ts_us) // 1000000 AS dur_s
+      |  FROM ev),
+      |agg AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |    CAST(sum(dur_s) AS BIGINT) AS held_s,
+      |    CAST(sum(dur_s * cents) AS BIGINT) AS weight_cents_s
+      |  FROM seg WHERE dur_s IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_segments, held_s, weight_cents_s,
+      |  round(weight_cents_s / (100.0 * held_s), 6) AS twa
+      |FROM agg WHERE held_s > 0 ORDER BY user_id""".stripMargin
+
+  // B55 (r8): native session windows — Spark's `session_window(ts,
+  // gap)` grouping operator (the engine-level form of what B14
+  // computes with explicit windows: dynamic-length sessions that
+  // extend while events arrive within the gap). Session end = last
+  // event + gap by definition; two events merge iff the later one
+  // starts strictly before the earlier window's end (diff < gap).
+  // The oracle re-derives the identical sessions with the manual
+  // gap-island construction — gating Spark's operator against first
+  // principles. Plans as one MergingSessions aggregation: a sort
+  // within partitions by (key, start), partial merge map-side — no
+  // per-event window state.
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("tsv"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), session_window(col("tsv"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents_sum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("cents_sum"))
+      .orderBy("user_id", "session_start_us")
+
+  private val oSessionWindow =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, cents,
+      |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us) >= 3600000000 THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, ts_us, cents,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  CAST(min(ts_us) AS BIGINT) AS session_start_us,
+      |  CAST(max(ts_us) + 3600000000 AS BIGINT) AS session_end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1470,5 +1563,7 @@ object Relational {
     QueryDef("q_nth_value", qNthValue, Some(oNthValue)),
     QueryDef("q_rel_division", qRelDivision, Some(oRelDivision)),
     QueryDef("q_bitwise_agg", qBitwiseAgg, Some(oBitwiseAgg)),
+    QueryDef("q_time_weighted", qTimeWeighted, Some(oTimeWeighted)),
+    QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
   )
 }

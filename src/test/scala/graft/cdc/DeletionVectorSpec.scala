@@ -180,4 +180,27 @@ class DeletionVectorSpec extends AnyFunSuite {
       .filter(col("check") === "dangling_dv").collect()
     assert(errs.nonEmpty && errs.forall(_.getAs[String]("severity") == "error"))
   }
+
+  test("fastCount serves exact counts from footers across publish, MoR, CoW, and fold") {
+    val dir = tmp()
+    def scanCount() = CdcPipeline.readSnapshot(spark, dir).get.count()
+    CdcPipeline.publish(fixture(5000), dir, Seq("id"), buckets = Some(B))
+    assert(CdcPipeline.fastCount(dir) === Some(5000L))
+    // MoR delete: footers still hold the rows, the DV subtracts them
+    CdcPipeline.deleteWhereMoR(spark, dir, Seq("id"), col("id") % 5 === 0)
+    assert(CdcPipeline.fastCount(dir) === Some(scanCount()))
+    assert(CdcPipeline.fastCount(dir) === Some(4000L))
+    // accumulate a second vector
+    CdcPipeline.deleteWhereMoR(spark, dir, Seq("id"), col("id") < 50)
+    assert(CdcPipeline.fastCount(dir) === Some(scanCount()))
+    // copy-on-write delete: rewritten buckets change the footer totals
+    CdcPipeline.deleteWhere(spark, dir, Seq("id"), col("id") >= 4900)
+    assert(CdcPipeline.fastCount(dir) === Some(scanCount()))
+    // fold retires the vector; counts unchanged
+    val st = CdcPipeline.dvStats(dir)
+    if (st.isDefined) CdcPipeline.foldDv(spark, dir, Seq("id"))
+    assert(CdcPipeline.fastCount(dir) === Some(scanCount()))
+    // no store → None, not 0
+    assert(CdcPipeline.fastCount(tmp()) === None)
+  }
 }
