@@ -1634,6 +1634,47 @@ object CdcPipeline {
     // the pin is dropped (clone references are reads from ANOTHER
     // store this vacuum cannot see — the pin file is how they count)
     val keptVersions = (math.max(0L, cur - keepVersions + 1) to cur).toSeq
+    reclaimExcept(targetDir, cur, keptVersions)
+  }
+
+  /** Time-based snapshot expiration (A62 — Iceberg
+    * `expire_snapshots(older_than)` / Delta's
+    * `delta.logRetentionDuration` on the bucketed store): retire every
+    * version whose recorded wall-clock commit time is strictly before
+    * `olderThanUs`, keeping the CURRENT version unconditionally. The
+    * count-based [[vacuum]] answers "how many readers might lag";
+    * this answers the ops question "keep no more history than N
+    * days" — both share the same reference-counted reclaim, so a
+    * version DIR carried by a kept manifest or pinned by a clone
+    * survives either policy: the reclaim never tears data a kept
+    * version reads (and an expired version whose dir survives by
+    * reference stays time-travelable — this bounds STORAGE and the
+    * version list, it is not a data-erasure tool; that's
+    * deleteWhere/Erasure). Conservative on missing evidence: a
+    * version with no
+    * parseable manifest or no `commit_us` meta (pre-A45 publishes) is
+    * KEPT — expiring on absent evidence would delete data a reader
+    * may still reach. Returns the reclaimed version numbers.
+    */
+  def expireSnapshots(targetDir: String, olderThanUs: Long): Seq[Long] = {
+    val cur = currentVersion(targetDir).getOrElse(return Nil)
+    val versions = StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
+      .map(_.stripPrefix("v").toLong).filterNot(_ > cur).sorted
+    val kept = versions.filter { v =>
+      v == cur || manifest(targetDir, v)
+        .flatMap(_.meta.get("commit_us")).map(_.toLong)
+        .forall(_ >= olderThanUs)
+    }
+    reclaimExcept(targetDir, cur, kept)
+  }
+
+  /** Shared reclaim core of [[vacuum]]/[[expireSnapshots]]: delete
+    * every version dir at or below the pointer that is neither in
+    * `keptVersions`, nor referenced by a kept manifest's carried
+    * buckets, nor listed by a registered clone pin.
+    */
+  private def reclaimExcept(targetDir: String, cur: Long,
+      keptVersions: Seq[Long]): Seq[Long] = {
     val live: Set[String] =
       keptVersions.map(v => s"v$v").toSet ++
         keptVersions.flatMap(v =>

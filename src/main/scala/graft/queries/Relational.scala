@@ -1512,6 +1512,65 @@ object Relational {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // B56 (r8): column profiling — the ANALYZE/data-quality scan behind
+  // every ingestion dashboard: per column, row count, null count,
+  // exact distinct count, and min/max (string-rendered so one schema
+  // serves every type). ONE aggregation pass over one scan computes
+  // all 4 columns × 4 measures (Spark expands the multi-distinct into
+  // grouping-id form — still a single scan); the per-column rows are
+  // then exploded from the 1-row aggregate, not re-scanned. A
+  // nullable column is derived (k NULL on every 7th event) so the
+  // null accounting is non-vacuous; at 100 TB the distinct counts
+  // would swap to HLL (B18's gated bound) — declared.
+  def qProfile(s: SparkSession, d: String): DataFrame = {
+    val base = T.events(s, d).select(col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      when(col("event_id") % 7 =!= 0,
+        get_json_object(col("props"), "$.k").cast("long")).as("k7"))
+    val cols = Seq("user_id", "event_type", "cents", "k7")
+    val measures = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val one = base.agg(measures.head, measures.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("column"), col("n"),
+      (col("n") - col(s"cnt_$c")).as("n_null"),
+      col(s"nd_$c").as("n_distinct"),
+      col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s")))
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("column")
+  }
+
+  private val oProfile =
+    """WITH base AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN event_id % 7 <> 0
+      |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k7
+      |  FROM events)
+      |SELECT 'cents' AS "column", CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) - count(cents) AS BIGINT) AS n_null,
+      |  CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
+      |  CAST(min(cents) AS VARCHAR) AS min_s, CAST(max(cents) AS VARCHAR) AS max_s
+      |FROM base
+      |UNION ALL
+      |SELECT 'event_type', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) - count(event_type) AS BIGINT),
+      |  CAST(count(DISTINCT event_type) AS BIGINT),
+      |  min(event_type), max(event_type) FROM base
+      |UNION ALL
+      |SELECT 'k7', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) - count(k7) AS BIGINT),
+      |  CAST(count(DISTINCT k7) AS BIGINT),
+      |  CAST(min(k7) AS VARCHAR), CAST(max(k7) AS VARCHAR) FROM base
+      |UNION ALL
+      |SELECT 'user_id', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) - count(user_id) AS BIGINT),
+      |  CAST(count(DISTINCT user_id) AS BIGINT),
+      |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM base
+      |ORDER BY "column"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
@@ -1565,5 +1624,6 @@ object Relational {
     QueryDef("q_bitwise_agg", qBitwiseAgg, Some(oBitwiseAgg)),
     QueryDef("q_time_weighted", qTimeWeighted, Some(oTimeWeighted)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
+    QueryDef("q_profile", qProfile, Some(oProfile)),
   )
 }

@@ -1375,6 +1375,42 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcPipeline.readSnapshot(spark, t1).get.count() > 0)
   }
 
+  test("expireSnapshots: time-based retire of unreferenced versions; referenced dirs survive") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = spark.range(0, 100).select(col("id"), lit("x").as("t"))
+    CdcPipeline.publish(df, dir, Seq("id"), buckets = Some(4))
+    Thread.sleep(5)
+    CdcPipeline.publish(df.withColumn("t", lit("y")), dir, Seq("id"))
+    Thread.sleep(5)
+    CdcPipeline.publish(df.withColumn("t", lit("z")), dir, Seq("id"))
+    val commits = CdcPipeline.describeHistory(spark, dir).get
+      .select("version", "commit_us").as[(Long, Long)].collect().toMap
+    // horizon = v2's commit: v0/v1 are strictly older, fully rewritten
+    // (unreferenced) → reclaimed; the current version survives
+    assert(CdcPipeline.expireSnapshots(dir, commits(2L)) === Seq(0L, 1L))
+    assert(CdcPipeline.readSnapshotAt(spark, dir, 1L) === None)
+    assert(CdcPipeline.readSnapshot(spark, dir).get
+      .select("t").distinct.as[String].collect().toSeq === Seq("z"))
+    // a horizon in the future still keeps the current version
+    assert(CdcPipeline.expireSnapshots(dir, Long.MaxValue) === Seq.empty)
+    assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 100L)
+
+    // carried references: a delta write keeps the old dir alive, so an
+    // expired-but-referenced version is NOT reclaimed (never tear a
+    // kept version's data) and stays readable through the carried dir
+    val d2 = tmp()
+    CdcPipeline.publish(df, d2, Seq("id"), buckets = Some(4))
+    Thread.sleep(5)
+    CdcPipeline.deleteWhere(spark, d2, Seq("id"), col("id") === 7L)
+    val c2 = CdcPipeline.describeHistory(spark, d2).get
+      .select("version", "commit_us").as[(Long, Long)].collect().toMap
+    assert(CdcPipeline.expireSnapshots(d2, c2(1L)) === Seq.empty,
+      "v0's dir is carried by v1 — reclaiming it would tear the current version")
+    assert(CdcPipeline.readSnapshot(spark, d2).get.count() === 99L)
+    assert(CdcPipeline.readSnapshotAt(spark, d2, 0L).get.count() === 100L)
+  }
+
   test("auditData: healthy store is clean; a smuggled file surfaces as misrouted + duplicate") {
     import spark.implicits._
     val dir = tmp()
