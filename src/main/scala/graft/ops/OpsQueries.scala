@@ -1031,6 +1031,39 @@ object OpsQueries {
       |  (source NOT IN ('src3', 'src17')) AS kept
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // C58 (r8): end-to-end epoch manifest — the full dataloader
+  // contract in one gate: seeded md5 permutation → key-routed shard
+  // deal → per-shard (shuffle_key, doc_id) packing into 256-token
+  // bins (Packing.epochManifest doc). EVERY row of the manifest is
+  // exported (position, bin, offset), so the hash pins the
+  // permutation, the shard deal, and the prefix-sum packing at once.
+  def packEpochManifest(s: SparkSession, d: String): DataFrame =
+    Packing.epochManifest(T.documents(s, d), col("doc_id"),
+      size(split(col("text"), " ")).cast("long"),
+      seed = "ep1", budget = 256L, shards = 4)
+      .orderBy("shard", "pos_in_shard")
+
+  private val oPackEpochManifest =
+    """WITH keyed AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents),
+      |sharded AS (
+      |  SELECT *, CAST(((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+      |    + instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) % 4 AS BIGINT)
+      |    AS shard
+      |  FROM keyed),
+      |pos AS (
+      |  SELECT doc_id, shard, tokens,
+      |    CAST(row_number() OVER w AS BIGINT) AS pos_in_shard,
+      |    CAST(sum(tokens) OVER (PARTITION BY shard
+      |      ORDER BY shuffle_key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM sharded WINDOW w AS (PARTITION BY shard ORDER BY shuffle_key, doc_id))
+      |SELECT doc_id, shard, pos_in_shard, tokens,
+      |  (cum - tokens) // 256 AS bin,
+      |  (cum - tokens) - ((cum - tokens) // 256) * 256 AS offset_in_bin
+      |FROM pos ORDER BY shard, pos_in_shard""".stripMargin
+
   // C51 (r8): n-gram diversity per source — type-token ratio and
   // distinct-bigram ratio, the cheap corpus-health signals that
   // catch template/boilerplate sources (low diversity) before
@@ -1906,6 +1939,7 @@ object OpsQueries {
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),
     QueryDef("text_domain_filter", textDomainFilter, Some(oTextDomainFilter)),
+    QueryDef("pack_epoch_manifest", packEpochManifest, Some(oPackEpochManifest)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),

@@ -298,6 +298,47 @@ object Packing {
       .drop("_n_chunks", "_c")
   }
 
+  /** End-to-end training-epoch manifest (C58) — the composition a
+    * dataloader actually consumes, built from the gated parts in one
+    * operator: C34's seeded deterministic permutation assigns each
+    * doc a shuffle key; the KEY's leading bytes route the doc to one
+    * of `shards` (so shard membership is itself a seeded permutation
+    * — different seeds re-deal the shards, same seed reproduces them
+    * bit-for-bit on any engine); within each shard, docs pack into
+    * `budget`-token bins by the C14 exclusive-prefix rule in
+    * (shuffle_key, doc_id) order. Per row: shard, position in shard,
+    * bin, token offset in bin.
+    *
+    * Scale shape: ONE window per shard over its own rows (the C14
+    * embarrassingly-parallel shape — state ∝ shard, never corpus; at
+    * 1000 executors each shard's prefix sum is an independent task
+    * chain). No global sort: the only total order is per-shard. The
+    * shard router is pure per-row arithmetic on the md5 hex (instr
+    * on the first two nibbles — deliberately lowest-common-
+    * denominator SQL so any engine reproduces the same deal).
+    */
+  def epochManifest(docs: DataFrame, idCol: Column, tokens: Column,
+      seed: String, budget: Long, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 256, s"shards must be in [1,256]: $shards")
+    val keyed = docs.select(idCol.as("doc_id"), tokens.as("tokens"))
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(shuffle_key, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(shuffle_key, 2, 1))") - 1)
+          .cast("long") % shards)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"), col("tokens"),
+        expr(s"(cum - tokens) div ${budget}L").as("bin"),
+        expr(s"(cum - tokens) - ((cum - tokens) div ${budget}L) * ${budget}L")
+          .as("offset_in_bin"))
+  }
+
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
       shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

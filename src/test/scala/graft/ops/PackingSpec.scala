@@ -188,4 +188,33 @@ class PackingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === truth)
   }
+
+  test("epochManifest: seeded deal is reproducible, seeds re-deal, packing laws hold per shard") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
+      (col("id") % 37 + 3).as("toks"))
+    def manifest(seed: String) =
+      Packing.epochManifest(docs, col("doc_id"), col("toks"), seed,
+        budget = 100L, shards = 8)
+    val m1 = manifest("s1").collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    // bit-reproducible under the same seed
+    assert(manifest("s1").collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap === m1)
+    // a different seed re-deals: shard membership must move for many docs
+    val m2 = manifest("s2").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = m1.count { case (id, (sh, _, _, _)) => m2(id) != sh }
+    assert(moved > 500, s"different seed must re-deal shards, moved only $moved")
+    // every doc appears exactly once; shards are reasonably balanced
+    assert(m1.size === 2000)
+    val byShard = m1.values.groupBy(_._1).view.mapValues(_.size)
+    assert(byShard.size === 8 && byShard.values.min > 100, byShard.toMap.toString)
+    // packing laws within each shard: positions dense from 1, offsets
+    // in [0, budget), bins non-decreasing in position order
+    m1.values.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(_._2)
+      assert(ordered.map(_._2) === (1L to ordered.size.toLong))
+      assert(ordered.forall(r => r._4 >= 0 && r._4 < 100))
+      assert(ordered.map(_._3) === ordered.map(_._3).sorted)
+    }
+  }
 }
