@@ -1613,6 +1613,47 @@ object CdcPipeline {
           "rewritten_buckets", "carried_buckets", "rows", "bytes")
     }
 
+  /** Schema history (A63 — the schema-evolution audit DESCRIBE
+    * HISTORY doesn't give: WHAT changed shape, when): one row per
+    * still-readable version × field, each tagged `added` /
+    * `type_changed` / `kept` against the previous readable version,
+    * plus a `dropped` row (carrying the old type) for fields that
+    * vanished — so "when did column X appear/disappear/retype" is one
+    * filter, and a reader pinned to an old schema can see exactly
+    * which versions still serve it. RENAME surfaces as its honest
+    * drop+add pair (the store deliberately has no name-mapping layer
+    * — A49). Driver metadata only: manifests' pinned schemas, zero
+    * Spark jobs; versions without a readable manifest are skipped
+    * (fsck reports them).
+    */
+  def describeSchemaHistory(spark: SparkSession,
+      targetDir: String): Option[DataFrame] =
+    currentVersion(targetDir).map { cur =>
+      import spark.implicits._
+      val versions = StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
+        .map(_.stripPrefix("v").toLong).filter(_ <= cur).sorted
+      val schemas = versions.flatMap(v =>
+        manifest(targetDir, v).map(m =>
+          v -> m.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap))
+      val rows = Seq.newBuilder[(Long, String, String, String)]
+      schemas.zipWithIndex.foreach { case ((v, cols), i) =>
+        val prev = if (i == 0) Map.empty[String, String] else schemas(i - 1)._2
+        cols.toSeq.sortBy(_._1).foreach { case (name, tpe) =>
+          val change = prev.get(name) match {
+            case None if i == 0 => "initial"
+            case None => "added"
+            case Some(`tpe`) => "kept"
+            case Some(_) => "type_changed"
+          }
+          rows += ((v, name, tpe, change))
+        }
+        prev.toSeq.sortBy(_._1).foreach { case (name, tpe) =>
+          if (!cols.contains(name)) rows += ((v, name, tpe, "dropped"))
+        }
+      }
+      rows.result().toDF("version", "field", "type", "change")
+    }
+
   /** Garbage-collect version directories no longer reachable: a
     * version dir is LIVE iff it is the current version, one of the
     * `keepVersions` most recent (time-travel/reader grace window), or

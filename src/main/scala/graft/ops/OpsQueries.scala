@@ -1064,6 +1064,64 @@ object OpsQueries {
       |  (cum - tokens) - ((cum - tokens) // 256) * 256 AS offset_in_bin
       |FROM pos ORDER BY shard, pos_in_shard""".stripMargin
 
+  // C59 (r8): corpus distribution drift — the "did the new crawl
+  // shift the token distribution" report run before swapping a
+  // training corpus: token shares (integer ppm) in corpus A (sources
+  // 0-9) vs corpus B (sources 10-19), top movers by absolute ppm
+  // delta. One explode → per-(token, side) hash agg (output ∝ vocab),
+  // a 2-row total agg broadcast back, the only sort the vocab-sized
+  // top-k window. All-integer arithmetic: cnt·10⁶ div side_total, so
+  // the exported deltas and the top-50 cut are engine-exact.
+  def corpusDrift(s: SparkSession, d: String): DataFrame = {
+    val side = when(substring(col("source"), 4, 10).cast("int") < 10, "a")
+      .otherwise("b")
+    val toks = T.documents(s, d)
+      .select(side.as("side"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("side", "tok").agg(count(lit(1)).as("cnt"))
+    val totals = toks.groupBy("side").agg(count(lit(1)).as("total"))
+    val ppm = counts.join(broadcast(totals), "side")
+      .select(col("tok"), col("side"),
+        expr("cnt * 1000000L div total").as("ppm"), col("cnt"))
+    val wide = ppm.groupBy("tok")
+      .agg(coalesce(max(when(col("side") === "a", col("ppm"))), lit(0L)).as("ppm_a"),
+        coalesce(max(when(col("side") === "a", col("cnt"))), lit(0L)).as("cnt_a"),
+        coalesce(max(when(col("side") === "b", col("ppm"))), lit(0L)).as("ppm_b"),
+        coalesce(max(when(col("side") === "b", col("cnt"))), lit(0L)).as("cnt_b"))
+      .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
+    val w = Window.orderBy(abs(col("delta_ppm")).desc, col("tok"))
+    wide.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select("rk", "tok", "cnt_a", "ppm_a", "cnt_b", "ppm_b", "delta_ppm")
+      .orderBy("rk")
+  }
+
+  private val oCorpusDrift =
+    """WITH toks AS (
+      |  SELECT CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10
+      |    THEN 'a' ELSE 'b' END AS side,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |counts AS (SELECT side, tok, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM toks GROUP BY side, tok),
+      |totals AS (SELECT side, CAST(count(*) AS BIGINT) AS total
+      |           FROM toks GROUP BY side),
+      |ppm AS (SELECT tok, side, cnt, cnt * 1000000 // total AS ppm
+      |        FROM counts JOIN totals USING (side)),
+      |wide AS (
+      |  SELECT tok,
+      |    CAST(coalesce(max(CASE WHEN side = 'a' THEN ppm END), 0) AS BIGINT) AS ppm_a,
+      |    CAST(coalesce(max(CASE WHEN side = 'a' THEN cnt END), 0) AS BIGINT) AS cnt_a,
+      |    CAST(coalesce(max(CASE WHEN side = 'b' THEN ppm END), 0) AS BIGINT) AS ppm_b,
+      |    CAST(coalesce(max(CASE WHEN side = 'b' THEN cnt END), 0) AS BIGINT) AS cnt_b
+      |  FROM ppm GROUP BY tok),
+      |ranked AS (
+      |  SELECT tok, cnt_a, ppm_a, cnt_b, ppm_b, ppm_a - ppm_b AS delta_ppm,
+      |    CAST(row_number() OVER (ORDER BY abs(ppm_a - ppm_b) DESC, tok) AS BIGINT)
+      |      AS rk
+      |  FROM wide)
+      |SELECT rk, tok, cnt_a, ppm_a, cnt_b, ppm_b, delta_ppm
+      |FROM ranked WHERE rk <= 50 ORDER BY rk""".stripMargin
+
   // C51 (r8): n-gram diversity per source — type-token ratio and
   // distinct-bigram ratio, the cheap corpus-health signals that
   // catch template/boilerplate sources (low diversity) before
@@ -1940,6 +1998,7 @@ object OpsQueries {
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),
     QueryDef("text_domain_filter", textDomainFilter, Some(oTextDomainFilter)),
     QueryDef("pack_epoch_manifest", packEpochManifest, Some(oPackEpochManifest)),
+    QueryDef("corpus_drift", corpusDrift, Some(oCorpusDrift)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),

@@ -1411,6 +1411,30 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcPipeline.readSnapshotAt(spark, d2, 0L).get.count() === 100L)
   }
 
+  test("describeSchemaHistory tags every field change across add/drop/rename") {
+    import spark.implicits._
+    val dir = tmp()
+    CdcPipeline.publish(spark.range(0, 20)
+      .select(col("id"), lit(1L).as("k")), dir, Seq("id"), buckets = Some(2))
+    CdcPipeline.addColumnWithDefault(spark, dir, "w",
+      org.apache.spark.sql.types.LongType, 7L)          // v1: + w
+    CdcPipeline.dropColumns(spark, dir, Seq("id"), Seq("k"))  // v2: - k
+    CdcPipeline.renameColumn(spark, dir, Seq("id"), "w", "weight") // v3: w→weight
+    val h = CdcPipeline.describeSchemaHistory(spark, dir).get
+      .as[(Long, String, String, String)].collect().toSet
+    assert(h.filter(_._1 == 0L).map(r => (r._2, r._4)) ===
+      Set(("id", "initial"), ("k", "initial")))
+    assert(h.filter(_._1 == 1L).map(r => (r._2, r._4)) ===
+      Set(("id", "kept"), ("k", "kept"), ("w", "added")))
+    assert(h.filter(_._1 == 2L).map(r => (r._2, r._4)) ===
+      Set(("id", "kept"), ("w", "kept"), ("k", "dropped")))
+    // rename is the honest drop+add pair
+    assert(h.filter(_._1 == 3L).map(r => (r._2, r._4)) ===
+      Set(("id", "kept"), ("weight", "added"), ("w", "dropped")))
+    // dropped rows carry the OLD type for forensics
+    assert(h.find(r => r._1 == 2L && r._2 == "k").get._3 === "bigint")
+  }
+
   test("auditData: healthy store is clean; a smuggled file surfaces as misrouted + duplicate") {
     import spark.implicits._
     val dir = tmp()
