@@ -1613,6 +1613,82 @@ object CdcPipeline {
           "rewritten_buckets", "carried_buckets", "rows", "bytes")
     }
 
+  /** What [[maintain]] should do and when (A64). Every knob is the
+    * trigger for one maintenance primitive; `None`/empty disables it.
+    */
+  final case class MaintenancePolicy(
+      dvFoldPct: Option[Int] = Some(10),
+      smallFilesPerBucket: Option[Int] = Some(4),
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L,
+      keepVersions: Option[Int] = Some(3),
+      expireOlderThanUs: Option[Long] = None)
+
+  /** What [[maintain]] actually did. A fully-idle store yields the
+    * all-empty report — calling maintain in a loop is free.
+    */
+  final case class MaintenanceReport(
+      foldedDvVersion: Option[Long],
+      optimizedBuckets: Set[Int], optimizeVersion: Option[Long],
+      expired: Seq[Long], vacuumed: Seq[Long])
+
+  /** One-call maintenance driver (A64 — the scheduler slot every
+    * lakehouse grows: Delta's auto-compaction + log retention,
+    * Iceberg's maintenance actions — composed from the store's own
+    * gated primitives, in the order that avoids wasted work):
+    *
+    *  1. fold the deletion vector when it crosses `dvFoldPct` of the
+    *     table (A56 — footer stats, free check; folding first so the
+    *     small-file pass sees the folded layout),
+    *  2. OPTIMIZE exactly the buckets fragmented past
+    *     `smallFilesPerBucket` files (A40; `sortCols` default = the
+    *     PK — pure compaction when no better clustering is declared),
+    *  3. expire pre-horizon snapshots (A62), 4. vacuum to
+    *     `keepVersions` (A21).
+    *
+    * The whole pass runs under the writer lease (A46) so it can never
+    * race the pipeline's own publishes; each step is individually
+    * idempotent and trigger-gated, so maintain on an idle store is a
+    * metadata-only no-op (the report says exactly what fired).
+    * Returns None when there is no store.
+    */
+  def maintain(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      policy: MaintenancePolicy = MaintenancePolicy()): Option[MaintenanceReport] =
+    currentVersion(targetDir).map { _ =>
+      withWriterLease(targetDir) {
+        val folded = policy.dvFoldPct.flatMap { pct =>
+          dvStats(targetDir).flatMap { case (dvRows, tableRows) =>
+            if (tableRows > 0 && dvRows * 100 >= pct.toLong * tableRows)
+              foldDv(spark, targetDir, pkCols, policy.sortCols)
+            else None
+          }
+        }
+        val frag: Set[Int] = policy.smallFilesPerBucket match {
+          case None => Set.empty
+          case Some(limit) =>
+            (for {
+              v <- currentVersion(targetDir).toSeq
+              m <- manifest(targetDir, v).toSeq
+              (b, ref) <- m.buckets.toSeq
+              root = if (ref.contains("/")) ref else s"$targetDir/$ref"
+              if StoreFs.listFilePaths(s"$root/$BucketCol=$b", ".parquet")
+                .size > limit
+            } yield b).toSet
+        }
+        val optV =
+          if (frag.isEmpty) None
+          else optimize(spark, targetDir, pkCols,
+            sortCols = if (policy.sortCols.nonEmpty) policy.sortCols else pkCols,
+            maxRecordsPerFile = policy.maxRecordsPerFile,
+            buckets = Some(frag))
+        val expired = policy.expireOlderThanUs
+          .map(expireSnapshots(targetDir, _)).getOrElse(Seq.empty)
+        val vacuumed = policy.keepVersions
+          .map(vacuum(targetDir, _)).getOrElse(Seq.empty)
+        MaintenanceReport(folded, frag, optV, expired, vacuumed)
+      }
+    }
+
   /** Schema history (A63 — the schema-evolution audit DESCRIBE
     * HISTORY doesn't give: WHAT changed shape, when): one row per
     * still-readable version × field, each tagged `added` /

@@ -142,4 +142,67 @@ object ChangeFeeds {
         .option("pathGlobFilter", "*.parquet")
         .parquet(s"${Scd2Store.closedPath(cfg)}/d*/${CdcPipeline.BucketCol}=*")
     }
+
+  /** Continuous change-feed EXPORT (A65 — the missing half of the
+    * Delta streaming source: the MAIN store's per-commit row changes
+    * as an APPEND-ONLY directory the file-source streaming contract
+    * consumes directly): each committed version in (cursor, current]
+    * materializes its op-tagged changes (A42's one-step feed) into
+    * its own `commit=<v>` dir, written to a `_tmp` sibling first and
+    * RENAMED in — readers never see a half-written commit.
+    * Exactly-once: the A34 process-then-commit cursor advances only
+    * after every dir landed; a crash before the commit re-exports the
+    * same versions, and an already-present final dir is SKIPPED (its
+    * content is deterministic — same diff of the same manifests), so
+    * the replay converges without rewriting delivered files (rewrites
+    * would re-deliver under the file-source contract).
+    *
+    * First call registers the baseline at the CURRENT version and
+    * exports nothing (consumers bootstrap from the snapshot — the
+    * consumeSnapshotDiff contract); every later call exports exactly
+    * the new commits. I/O ∝ buckets the per-step manifests disagree
+    * on, never #steps × target. A vacuumed step fails loudly
+    * (re-baseline), never a silent gap.
+    */
+  def exportChangeFeed(spark: SparkSession, targetDir: String, feedDir: String,
+      pkCols: Seq[String], consumer: String = "cdf-export"): Seq[Long] =
+    CdcPipeline.currentVersion(targetDir) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        position(targetDir, consumer) match {
+          case None => commit(targetDir, consumer, cur); Seq.empty
+          case Some(pos) if pos >= cur => Seq.empty
+          case Some(pos) =>
+            val exported = ((pos + 1) to cur).map { v =>
+              val dst = s"$feedDir/commit=$v"
+              if (!StoreFs.exists(dst)) {
+                val step = CdcPipeline.readChangeFeed(spark, targetDir,
+                  pkCols, v - 1, v).getOrElse(throw new IllegalStateException(
+                    s"version ${v - 1} of $targetDir is gone (vacuumed); " +
+                      s"consumer '$consumer' must re-baseline"))
+                val tmp = s"$feedDir/_tmp_commit=$v"
+                StoreFs.deleteRecursive(tmp)
+                step.write.mode("overwrite").parquet(tmp)
+                StoreFs.atomicReplace(tmp, dst)
+              }
+              v
+            }
+            commit(targetDir, consumer, cur)
+            exported
+        }
+    }
+
+  /** Structured-streaming reader over an [[exportChangeFeed]] feed:
+    * commit dirs are append-only and rename-published, so the file
+    * source delivers each commit's changes exactly once per
+    * checkpoint, with kill+resume for free. None before the first
+    * exported commit (no schema to read yet).
+    */
+  def changeFeedStream(spark: SparkSession, feedDir: String): Option[DataFrame] =
+    if (StoreFs.listDirNames(feedDir).exists(_.startsWith("commit=")))
+      Some(spark.readStream
+        .schema(spark.read.parquet(s"$feedDir/commit=*").schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$feedDir/commit=*"))
+    else None
 }

@@ -1411,6 +1411,66 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcPipeline.readSnapshotAt(spark, d2, 0L).get.count() === 100L)
   }
 
+  test("maintain: trigger-gated fold + compaction + retention in one leased pass; idle store no-ops") {
+    import spark.implicits._
+    val dir = tmp()
+    // publish from many partitions → bucket dirs hold several files
+    CdcPipeline.publish(spark.range(0, 4000).repartition(16)
+      .select(col("id"), (col("id") % 31).as("k")), dir, Seq("id"),
+      buckets = Some(4))
+    // MoR-delete 20% so the 10% fold threshold fires; the fold's own
+    // rewrite covers every bucket the DV touches (here: all), so the
+    // small-file pass finds nothing left — fold-then-compact ordering
+    CdcPipeline.deleteWhereMoR(spark, dir, Seq("id"), col("id") % 5 === 0)
+    val before = CdcPipeline.readSnapshot(spark, dir).get
+      .select("id", "k").collect().map(_.toSeq).toSet
+
+    val r = CdcPipeline.maintain(spark, dir, Seq("id"),
+      CdcPipeline.MaintenancePolicy(smallFilesPerBucket = Some(1),
+        keepVersions = Some(1))).get
+    assert(r.foldedDvVersion.isDefined, "20% DV must cross the 10% threshold")
+    assert(r.vacuumed.nonEmpty, "keepVersions=1 reclaims the superseded versions")
+
+    // fragmentation WITHOUT a DV: publishes write one file per bucket
+    // by construction, so fragment deliberately via an OPTIMIZE with a
+    // small maxRecordsPerFile (the A40 row-group-splitting knob) —
+    // then the small-file pass must fire on its own
+    val dirB = tmp()
+    CdcPipeline.publish(spark.range(0, 4000)
+      .select(col("id"), (col("id") % 31).as("k")), dirB, Seq("id"),
+      buckets = Some(4))
+    CdcPipeline.optimize(spark, dirB, Seq("id"), sortCols = Seq("k"),
+      maxRecordsPerFile = 200L)
+    val rB = CdcPipeline.maintain(spark, dirB, Seq("id"),
+      CdcPipeline.MaintenancePolicy(smallFilesPerBucket = Some(1))).get
+    assert(rB.foldedDvVersion.isEmpty && rB.optimizedBuckets.nonEmpty,
+      s"multi-file buckets must compact: $rB")
+    val vB = CdcPipeline.currentVersion(dirB).get
+    rB.optimizedBuckets.foreach { b =>
+      assert(StoreFs.listFilePaths(s"$dirB/v$vB/_graft_bucket=$b", ".parquet")
+        .size <= 1)
+    }
+    // content identical; every bucket now one file; DV retired
+    assert(CdcPipeline.readSnapshot(spark, dir).get
+      .select("id", "k").collect().map(_.toSeq).toSet === before)
+    val v = CdcPipeline.currentVersion(dir).get
+    (0 until 4).foreach { b =>
+      val files = StoreFs.listFilePaths(s"$dir/v$v/_graft_bucket=$b", ".parquet")
+      assert(files.size <= 1, s"bucket $b still fragmented: ${files.size}")
+    }
+    assert(CdcPipeline.dvStats(dir).isEmpty, "fold must retire the vector")
+
+    // second pass: nothing left to do — the all-idle report
+    val r2 = CdcPipeline.maintain(spark, dir, Seq("id"),
+      CdcPipeline.MaintenancePolicy(smallFilesPerBucket = Some(1),
+        keepVersions = Some(1))).get
+    assert(r2 === CdcPipeline.MaintenanceReport(None, Set.empty, None,
+      Seq.empty, Seq.empty))
+    assert(CdcPipeline.currentVersion(dir).get === v, "idle maintain publishes nothing")
+    // no store → None
+    assert(CdcPipeline.maintain(spark, tmp(), Seq("id")) === None)
+  }
+
   test("describeSchemaHistory tags every field change across add/drop/rename") {
     import spark.implicits._
     val dir = tmp()

@@ -215,4 +215,56 @@ class ChangeFeedsSpec extends AnyFunSuite {
     assert((seen.toSet & afterFirst) === Set.empty,
       "already-delivered dirs must not re-deliver from the same checkpoint")
   }
+
+  test("exportChangeFeed: rename-published commit dirs, cursor exactly-once, crash-replay converges") {
+    import spark.implicits._
+    val (dir, feed) = (tmp(), tmp() + "/feed")
+    def snap(n: Int, tag: String) = spark.range(0, n)
+      .select(col("id"), lit(tag).as("t"))
+    CdcPipeline.publish(snap(100, "a"), dir, Seq("id"), buckets = Some(4))
+    // first call = baseline registration, exports nothing
+    assert(ChangeFeeds.exportChangeFeed(spark, dir, feed, Seq("id")) === Seq.empty)
+    CdcPipeline.deleteWhere(spark, dir, Seq("id"), col("id") < 10)   // v1
+    CdcPipeline.updateWhere(spark, dir, Seq("id"),
+      col("id") === 50L, Map("t" -> lit("upd")))                     // v2
+    assert(ChangeFeeds.exportChangeFeed(spark, dir, feed, Seq("id")) === Seq(1L, 2L))
+    // feed content ≡ the pull feed over the same range
+    val pulled = CdcPipeline.readChangeFeed(spark, dir, Seq("id"), 0L, 2L).get
+      .collect().map(_.toSeq).toSet
+    val fed = spark.read.parquet(s"$feed/commit=*").collect().map(_.toSeq).toSet
+    assert(fed === pulled)
+    // idempotent when current
+    assert(ChangeFeeds.exportChangeFeed(spark, dir, feed, Seq("id")) === Seq.empty)
+    // crash between dirs and cursor commit: rewind the cursor — the
+    // replay SKIPS present dirs (no rewrite = no re-delivery) and ends
+    // at the same state
+    val filesBefore = StoreFs.listFilePaths(s"$feed/commit=2", ".parquet").toSet
+    StoreFs.writeString(s"$dir/_cursors/cdf-export", "0")
+    assert(ChangeFeeds.exportChangeFeed(spark, dir, feed, Seq("id")) === Seq(1L, 2L))
+    assert(StoreFs.listFilePaths(s"$feed/commit=2", ".parquet").toSet === filesBefore,
+      "an already-published commit dir must not be rewritten on replay")
+    // streaming drain sees both commits once; a later export adds only its own
+    val ckpt = tmp() + "/ckpt"
+    def drain(): Set[Seq[Any]] = {
+      val got = scala.collection.mutable.Set.empty[Seq[Any]]
+      val q = ChangeFeeds.changeFeedStream(spark, feed).get
+        .writeStream
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            got ++= batch.collect().map(_.toSeq); ()
+        }
+        .start()
+      q.awaitTermination()
+      got.toSet
+    }
+    val d1 = drain()
+    assert(d1 === pulled)
+    CdcPipeline.deleteWhere(spark, dir, Seq("id"), col("id") === 99L) // v3
+    assert(ChangeFeeds.exportChangeFeed(spark, dir, feed, Seq("id")) === Seq(3L))
+    // a fresh query on the SAME checkpoint resumes past delivered files
+    val d2 = drain()
+    assert(d2.size === 1 && !d1.contains(d2.head),
+      s"second drain must deliver ONLY commit 3's one change, got $d2")
+  }
 }
