@@ -683,6 +683,58 @@ object StressBench {
       assert(rewrote <= 2, s"single-referer dim delta must be bucket-pruned: $rewrote")
       StoreFs.deleteRecursive(dir)
     }
+
+    // C55 (late r8): passage-level dedup at corpus scale — the fixture
+    // corpus replicated 10·mult× (every duplicated segment's doc
+    // frequency multiplies with it, the boilerplate-world shape). The
+    // duplicate directory stays ∝ DISTINCT duplicated segments, so
+    // cost grows with the corpus, not with dup multiplicity.
+    {
+      val reps = 10 * mult
+      val docsBig = Tables.documents(spark, "/root/testdata/sf0.1")
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .select((col("doc_id") + col("rep") * 10000L).as("doc_id"), col("text"))
+      val nd = 500L * reps
+      time(f"segment dedup over ${nd / 1000}%dk docs (every segment ${reps}x-duplicated)") {
+        graft.ops.Dedup.dedupSegments(docsBig, segTokens = 5, minDocs = 2)
+          .agg(sum("n_dropped")).collect()
+      }
+    }
+
+    // C58 (late r8): epoch manifest at 10M docs — per-shard window
+    // chains only; the probe pins shard balance and wall time.
+    {
+      val docs10m = spark.range(0, n).select(col("id").as("doc_id"),
+        (pmod(col("id"), lit(41)) + 5).as("toks"))
+      val m = time(s"epoch manifest: ${n / 1000000}M docs, 16 shards, 4096-token bins") {
+        val df = graft.ops.Packing.epochManifest(docs10m, col("doc_id"),
+          col("toks"), "probe", 4096L, 16)
+        df.groupBy("shard").agg(count(lit(1)).as("docs"), max("bin").as("bins"))
+          .collect()
+      }
+      val sizes = m.map(_.getLong(1))
+      assert(sizes.min > n / 32, s"shard deal must balance: ${sizes.mkString(",")}")
+      println(s"[stress] epoch manifest shards: min ${sizes.min} max ${sizes.max} docs")
+    }
+
+    // A60 (late r8): data audit of a 10M-row store — one scan + one
+    // PK-keyed agg, the declared audit price.
+    {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_audit").toString
+      val facts = spark.range(0, n).select(col("id"), (col("id") % 97).as("k"))
+      graft.cdc.CdcPipeline.publish(facts, dir, Seq("id"), buckets = Some(64))
+      val rep = time(s"auditData: ${n / 1000000}M rows / 64 buckets (scan + PK agg)") {
+        graft.cdc.CdcPipeline.auditData(spark, dir, Seq("id")).get.collect()
+      }
+      assert(rep.forall(_.getString(0) == "ok"), rep.mkString(";"))
+      // A64: idle maintain is metadata-only — milliseconds against any size
+      time("maintain (idle store, all triggers cold)") {
+        graft.cdc.CdcPipeline.maintain(spark, dir, Seq("id"),
+          graft.cdc.CdcPipeline.MaintenancePolicy(smallFilesPerBucket = Some(4)))
+      }
+      StoreFs.deleteRecursive(dir)
+    }
     spark.stop()
   }
 }

@@ -963,6 +963,65 @@ object CdcQueries {
   // snapshot must nevertheless hash-match the oracle's plain filters
   // over the recomputed state. One compare covering position capture,
   // vector accumulation across commits, and the read-side anti-join.
+  /** A64 gate: the one-call maintenance driver on a real store — v0
+    * publish, v1 incremental merge, deliberate fragmentation (A40's
+    * maxRecordsPerFile), a 20% MoR delete, then ONE `maintain` pass:
+    * the DV fold must fire (10% threshold), vacuum must reclaim, and
+    * the SERVED CONTENT must be exactly what it was before maintenance
+    * — the oracle recomputes the merged-minus-deleted state from the
+    * raw events, so a maintenance pass that loses or resurrects a row
+    * breaks the hash. Reference anchor: the scheduler slot around
+    * merge.sql's procedure (maintenance between runs).
+    */
+  def cdcMaintain(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "maint",
+      targetPath = Fixtures.dirs("maint", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    CdcPipeline.optimize(s, cfg.targetPath, pk, sortCols = Seq("event_id"),
+      maxRecordsPerFile = 20L) // v2: fragmented layout
+    val Some((_, nDel)) =
+      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 5 === 0) // v3
+    require(nDel > 0, "fixture must delete something")
+    val rep = CdcPipeline.maintain(s, cfg.targetPath, pk,
+      CdcPipeline.MaintenancePolicy(dvFoldPct = Some(10),
+        smallFilesPerBucket = Some(2), keepVersions = Some(1))).get
+    require(rep.foldedDvVersion.isDefined, s"20% DV must fold: $rep")
+    require(CdcPipeline.dvStats(cfg.targetPath).isEmpty, "vector must be retired")
+    require(rep.vacuumed.nonEmpty, "keepVersions=1 must reclaim")
+    require(CdcPipeline.fastCount(cfg.targetPath).contains(
+      CdcPipeline.readSnapshot(s, cfg.targetPath).get.count()),
+      "footer count must agree after maintenance")
+    CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oMaintain =
+    s"""SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd' AND event_id % 5 != 0
+       |ORDER BY user_id""".stripMargin
+
   def cdcDeleteMor(s: SparkSession, d: String): DataFrame = {
     def proj(e: DataFrame): DataFrame =
       TypedProjection.project(e, CdcEnvelope.DataCol,
@@ -1476,6 +1535,7 @@ object CdcQueries {
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
     QueryDef("cdc_delete_mor", cdcDeleteMor, Some(oDeleteMor)),
+    QueryDef("cdc_maintain", cdcMaintain, Some(oMaintain)),
     QueryDef("cdc_bloom_lookup", cdcBloomLookup, Some(oBloomLookup)),
     QueryDef("cdc_txn_commit", cdcTxnCommit, Some(oTxnCommit)),
     QueryDef("cdc_add_column", cdcAddColumn, Some(oAddColumn)),
