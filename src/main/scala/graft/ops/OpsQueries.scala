@@ -1064,6 +1064,107 @@ object OpsQueries {
       |  (cum - tokens) - ((cum - tokens) // 256) * 256 AS offset_in_bin
       |FROM pos ORDER BY shard, pos_in_shard""".stripMargin
 
+  // C60 (r8): the full curation loop as ONE gated query — passage
+  // dedup (C55) → integer quality logit on the CLEANED text (C53's
+  // arithmetic) → quality-prioritized token-budget selection (C35,
+  // logit bucketized to the low-cardinality prio its histogram path
+  // requires) → epoch manifest (C58) over the kept set. Every stage
+  // is individually gated; this pins their COMPOSITION — schema
+  // hand-offs, the cleaned-token recount feeding the budget, the
+  // budget feeding the shard deal — under one hash. The oracle
+  // re-derives the entire chain in a single CTE pipeline.
+  def corpusPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val cleaned = Dedup.dedupSegments(T.documents(s, d), segTokens = 5, minDocs = 2)
+      .filter(col("tokens_clean") > 0)
+      .select(col("doc_id"), col("text_clean").as("text"), col("tokens_clean"))
+    // divisors guarded with greatest(…, 1): the tokens_clean > 0
+    // filter removes every 0-token row, but Catalyst may collapse the
+    // projection past it and (under ANSI) evaluate the division on
+    // rows it is about to drop — the guard never changes a surviving
+    // row (n_tokens ≥ 1 there)
+    val scored = TextAnalysis.qualityMetrics(cleaned, col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div greatest(n_chars_m, 1)"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("logit_micro",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
+      .filter(col("logit_micro") > 0L)
+      .withColumn("prio", expr("logit_micro div 100000L"))
+    val kept = Packing.selectTokenBudget(
+      scored.select(col("doc_id"), col("prio"), col("tokens_clean")),
+      "prio", "tokens_clean", "doc_id", budget = 8000L)
+    val (nScored, nKept) = (scored.count(), kept.count())
+    require(nKept > 0 && nKept < nScored,
+      s"budget must bind mid-corpus: kept $nKept of $nScored")
+    Packing.epochManifest(kept, col("doc_id"), col("tokens_clean"),
+      seed = "e2e", budget = 256L, shards = 4)
+      .orderBy("shard", "pos_in_shard")
+  }
+
+  private def oCorpusPipelineE2e =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+       |    array_to_string(toks[(i * 5 + 1):(i * 5 + 5)], ' ') AS seg
+       |  FROM t, unnest(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT))) u(i)),
+       |dup AS (SELECT seg, min(doc_id) AS keeper FROM segs
+       |        GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+       |marked AS (
+       |  SELECT s.doc_id, s.seg_idx, s.seg,
+       |    (d.keeper IS NULL OR d.keeper = s.doc_id) AS keep
+       |  FROM segs s LEFT JOIN dup d USING (seg)),
+       |cleaned AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_clean
+       |  FROM (SELECT doc_id,
+       |          coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+       |            FILTER (WHERE keep), '') AS text
+       |        FROM marked GROUP BY doc_id) c
+       |  WHERE text <> ''),
+       |scored0 AS (
+       |  SELECT doc_id, tokens_clean,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains(${stopListSql("en")}, x))) AS BIGINT)
+       |      * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |    CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |      * 1000000 // length(text) AS punct_ppm,
+       |    CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |  FROM cleaned),
+       |scored AS (
+       |  SELECT doc_id, tokens_clean,
+       |    (-140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3) // 100000 AS prio
+       |  FROM scored0
+       |  WHERE -140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3 > 0),
+       |kept AS (
+       |  SELECT doc_id, tokens_clean FROM (
+       |    SELECT doc_id, tokens_clean,
+       |      sum(tokens_clean) OVER (ORDER BY prio DESC, doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM scored) b
+       |  WHERE cum <= 8000),
+       |keyed AS (
+       |  SELECT doc_id, tokens_clean AS tokens,
+       |    md5('e2e:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+       |  FROM kept),
+       |sharded AS (
+       |  SELECT *, CAST(((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+       |    + instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) % 4 AS BIGINT)
+       |    AS shard
+       |  FROM keyed),
+       |pos AS (
+       |  SELECT doc_id, shard, tokens,
+       |    CAST(row_number() OVER w AS BIGINT) AS pos_in_shard,
+       |    CAST(sum(tokens) OVER (PARTITION BY shard
+       |      ORDER BY shuffle_key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM sharded WINDOW w AS (PARTITION BY shard ORDER BY shuffle_key, doc_id))
+       |SELECT doc_id, shard, pos_in_shard, tokens,
+       |  (cum - tokens) // 256 AS bin,
+       |  (cum - tokens) - ((cum - tokens) // 256) * 256 AS offset_in_bin
+       |FROM pos ORDER BY shard, pos_in_shard""".stripMargin
+
   // C59 (r8): corpus distribution drift — the "did the new crawl
   // shift the token distribution" report run before swapping a
   // training corpus: token shares (integer ppm) in corpus A (sources
@@ -1999,6 +2100,7 @@ object OpsQueries {
     QueryDef("text_domain_filter", textDomainFilter, Some(oTextDomainFilter)),
     QueryDef("pack_epoch_manifest", packEpochManifest, Some(oPackEpochManifest)),
     QueryDef("corpus_drift", corpusDrift, Some(oCorpusDrift)),
+    QueryDef("corpus_pipeline_e2e", corpusPipelineE2e, Some(oCorpusPipelineE2e)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),
