@@ -101,7 +101,13 @@ object CdcPipeline {
         * the DESCRIBE HISTORY substrate. Absent on pre-r8 versions;
         * readers must treat every key as optional.
         */
-      meta: Map[String, String] = Map.empty) {
+      meta: Map[String, String] = Map.empty,
+      /** Which version dir this manifest was READ from (-1 when
+        * constructed in memory). Not serialized — the reader stamps
+        * it so delta publishes can verify their base is still the
+        * current version at commit time (the A66 stale-base check).
+        */
+      readVersion: Long = -1L) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -153,7 +159,8 @@ object CdcPipeline {
           case _ => ()
         }
       }
-      Some(Manifest(nb, schema, bs.result(), st.toMap, me.result()))
+      Some(Manifest(nb, schema, bs.result(), st.toMap, me.result(),
+        readVersion = version))
     }
   }
 
@@ -818,6 +825,20 @@ object CdcPipeline {
       swapNow: Boolean = true): Long = {
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     claimVersion(targetDir, next)
+    // Stale-base check (A66): `prev` is the manifest this delta was
+    // DERIVED from. If the pointer advanced past it between the read
+    // and this commit, the carried references (and the folded DV)
+    // would silently drop the intervening commit — the lost-update
+    // race the same-number claim alone cannot see, because the
+    // winner's claim is released at its pointer swap. Refuse; the
+    // caller re-derives against the new current (retryOnConflict).
+    if (prev.readVersion >= 0 && next != prev.readVersion + 1) {
+      releaseClaim(targetDir, next)
+      throw new ConcurrentWriteException(
+        s"base version v${prev.readVersion} of $targetDir is no longer " +
+          s"current (pointer is at v${next - 1}): a concurrent commit " +
+          "landed after this delta was derived — re-derive and retry")
+    }
     val dir = s"$targetDir/v$next"
     writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
     val carried = prev.buckets -- touched
@@ -1612,6 +1633,38 @@ object CdcPipeline {
         .toDF("version", "op", "commit_us", "num_buckets",
           "rewritten_buckets", "carried_buckets", "rows", "bytes")
     }
+
+  /** Optimistic concurrency completion (A66 — the retry half of the
+    * commit protocol; A52's claims DETECT the version race, this
+    * SERIALIZES the loser): re-run `body` after a backoff whenever it
+    * loses a commit claim. Correct by construction for every
+    * snapshot-in/version-out operation this store exposes
+    * (deleteWhere/updateWhere/optimize/merge/maintain): each reads
+    * the CURRENT snapshot and publishes its successor, so a re-run
+    * against the winner's committed state IS a serial execution
+    * after the winner — no conflict matrix needed, because no op
+    * here writes state derived from a stale read (the Delta
+    * read-set/write-set check exists for engines that would
+    * otherwise commit stale derivations; our loser recomputes from
+    * scratch, paying its own delta-sized cost again instead).
+    * Deliberately NOT a spin against a held writer LEASE (A46): a
+    * lease signals a long maintenance bracket — callers decide;
+    * claims signal a momentary commit race — retry is the answer.
+    * Throws the last ConcurrentWriteException after `maxRetries`.
+    */
+  def retryOnConflict[T](maxRetries: Int = 5, backoffMs: Long = 50L)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** What [[maintain]] should do and when (A64). Every knob is the
     * trigger for one maintenance primitive; `None`/empty disables it.

@@ -104,6 +104,42 @@ class TxnSpec extends AnyFunSuite {
     assert(Txn.consistentVersions(tmp(), Seq(a)) === None)
   }
 
+  test("retryOnConflict serializes a loser behind a racing staged commit") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    CdcPipeline.publish(fx(200, "base"), dir, Seq("id"), buckets = Some(4))
+    // writer A stages v1 and HOLDS the claim (mid-commit)
+    val va = CdcPipeline.publish(fx(200, "a1"), dir, Seq("id"), swapNow = false)
+    // writer B races a predicate delete: first attempts lose the claim,
+    // the retry after A's commit applies on top of A's state
+    val b = scala.concurrent.Future {
+      CdcPipeline.retryOnConflict(maxRetries = 20, backoffMs = 100L) {
+        CdcPipeline.deleteWhere(spark, dir, Seq("id"), col("id") < 50L)
+      }
+    }(scala.concurrent.ExecutionContext.global)
+    // a plain (un-retried) competing write fails immediately meanwhile
+    intercept[CdcPipeline.ConcurrentWriteException] {
+      CdcPipeline.publish(fx(10, "rogue"), dir, Seq("id"))
+    }
+    Thread.sleep(300)
+    CdcPipeline.completeStaged(dir, va, -1L)
+    val Some((vb, nDel)) =
+      scala.concurrent.Await.result(b, scala.concurrent.duration.Duration("60s"))
+    assert(vb > va && nDel === 50L)
+    // serial equivalence: B's delete ran against A's committed state
+    val fin = CdcPipeline.readSnapshot(spark, dir).get
+    assert(fin.count() === 150L)
+    assert(fin.select("tag").distinct.collect().map(_.getString(0)).toSeq === Seq("a1"))
+    // exhausted retries rethrow: stage a new claim and pin retries at 0
+    val vc = CdcPipeline.publish(fx(10, "c"), dir, Seq("id"), swapNow = false)
+    intercept[CdcPipeline.ConcurrentWriteException] {
+      CdcPipeline.retryOnConflict(maxRetries = 0) {
+        CdcPipeline.deleteWhere(spark, dir, Seq("id"), col("id") >= 190L)
+      }
+    }
+    CdcPipeline.abortStaged(dir, vc)
+  }
+
   test("sweep drops only aged completed pairs") {
     val (a, coord) = (tmp(), tmp())
     CdcPipeline.publish(fx(20, "a0"), a, Seq("id"), buckets = Some(2))
