@@ -250,6 +250,30 @@ object CdcPipeline {
     tryClaim(retry = true)
   }
 
+  /** Claim the successor of `base` and verify base is STILL the
+    * current version after the claim (A66): the claim-then-check
+    * closes the read→derive→commit race for every full-rewrite and
+    * metadata publish path, exactly as publishDelta's readVersion
+    * check does for delta publishes — without it, a commit landing
+    * between the manifest read and the claim would be silently
+    * overwritten by state derived from the stale manifest (the
+    * racer's claim is already released at its swap, so the
+    * same-number claim alone never fires).
+    */
+  private def claimNextFrom(targetDir: String, base: Long): Long = {
+    val next = base + 1
+    claimVersion(targetDir, next)
+    val cur = currentVersion(targetDir).getOrElse(-1L)
+    if (cur != base) {
+      releaseClaim(targetDir, next)
+      throw new ConcurrentWriteException(
+        s"base version v$base of $targetDir is no longer current " +
+          s"(pointer is at v$cur): a concurrent commit landed after this " +
+          "operation read its snapshot — re-derive and retry")
+    }
+    next
+  }
+
   private def releaseClaim(targetDir: String, version: Long): Unit =
     StoreFs.deleteFile(claimPath(targetDir, version))
 
@@ -608,8 +632,7 @@ object CdcPipeline {
         .groupBy("b")
         .agg(graft.functions.BloomBuildAgg(col("v"), expectedPerBucket, fpp).as("bf"))
         .collect()
-      val next = currentVersion(targetDir).get + 1
-      claimVersion(targetDir, next)
+      val next = claimNextFrom(targetDir, m.readVersion)
       entries.foreach(r => StoreFs.writeBytes(
         s"$targetDir/v$next/$BloomDir/${statEnc(column)}/${r.getInt(0)}.bf",
         r.getAs[Array[Byte]](1)))
@@ -899,8 +922,7 @@ object CdcPipeline {
     require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
-      val next = currentVersion(targetDir).get + 1
-      claimVersion(targetDir, next)
+      val next = claimNextFrom(targetDir, m.readVersion)
       val dir = s"$targetDir/v$next"
       writeBuckets(snap, pkCols, newBuckets, dir)
       // every bucket is rewritten, so stats recompute from scratch for
@@ -1051,8 +1073,7 @@ object CdcPipeline {
       val n = hits.count()
       if (n == 0L) (currentVersion(targetDir).get, 0L)
       else {
-        val next = currentVersion(targetDir).get + 1
-        claimVersion(targetDir, next)
+        val next = claimNextFrom(targetDir, m.readVersion)
         val all = readDv(spark, targetDir, m, None).fold(hits)(_ unionByName hits)
         all.coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(s"$targetDir/v$next/$DvDir")
@@ -1244,8 +1265,7 @@ object CdcPipeline {
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val chosen = buckets.fold(m.buckets.keySet)(_ intersect m.buckets.keySet)
       val snap = readBuckets(spark, targetDir, m, chosen)
-      val next = currentVersion(targetDir).get + 1
-      claimVersion(targetDir, next)
+      val next = claimNextFrom(targetDir, m.readVersion)
       val dir = s"$targetDir/v$next"
       val writer = snap.withColumn(BucketCol, bucketExpr(pkCols, m.numBuckets))
         .repartition(col(BucketCol))
@@ -1301,8 +1321,7 @@ object CdcPipeline {
       require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
       val newSchema = StructType(schema.fields.filterNot(f => drop.contains(f.name)))
       require(newSchema.nonEmpty, "cannot drop every column")
-      val next = currentVersion(targetDir).get + 1
-      claimVersion(targetDir, next)
+      val next = claimNextFrom(targetDir, m.readVersion)
       // a metadata-only publish carries the deletion vector by COPY
       // (it is small) into its own version dir, preserving the
       // invariant that a manifest's DV lives with its manifest
@@ -1352,8 +1371,7 @@ object CdcPipeline {
       require(!schema.fieldNames.contains(name), s"column exists: $name")
       require(dataType.isInstanceOf[NumericType] || dataType == StringType,
         s"initial defaults support numeric or string columns, got $dataType")
-      val next = currentVersion(targetDir).get + 1
-      claimVersion(targetDir, next)
+      val next = claimNextFrom(targetDir, m.readVersion)
       val dvMeta = m.meta.get("dv").map { ref =>
         StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
         "dv" -> s"v$next"
@@ -1388,8 +1406,7 @@ object CdcPipeline {
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
         .withColumnRenamed(from, to)
       val newPk = pkCols.map(c => if (c == from) to else c)
-      val next = currentVersion(targetDir).get + 1
-      claimVersion(targetDir, next)
+      val next = claimNextFrom(targetDir, m.readVersion)
       val dir = s"$targetDir/v$next"
       writeBuckets(snap, newPk, m.numBuckets, dir)
       val trackCols = m.stats.values.flatMap(_.keys).toSeq.distinct
@@ -2018,8 +2035,9 @@ object CdcPipeline {
         m.meta.get("dv").map(dvPath(targetDir, _)) // DV must survive too
       if (!refRoots.forall(StoreFs.exists)) None // vacuumed out from under us
       else {
-        val next = cur + 1
-        claimVersion(targetDir, next)
+        // restore derives from an OLD manifest by design; its base is
+        // the CURRENT pointer captured at entry (A66 claim-then-check)
+        val next = claimNextFrom(targetDir, cur)
         val dvMeta = m.meta.get("dv").map { ref =>
           StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
           "dv" -> s"v$next"
