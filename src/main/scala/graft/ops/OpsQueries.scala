@@ -1165,6 +1165,42 @@ object OpsQueries {
        |  (cum - tokens) - ((cum - tokens) // 256) * 256 AS offset_in_bin
        |FROM pos ORDER BY shard, pos_in_shard""".stripMargin
 
+  // C61 (r8): SFT pair formatting — the supervised-fine-tuning prep
+  // pass that turns documents into chat-templated (instruction,
+  // response) training rows: instruction = first 12 tokens, response
+  // = the rest capped at 48 (token-boundary truncation, the C14c
+  // slice idiom), rendered through a fixed chat template; docs too
+  // short to yield a response drop out (486 of 500 survive at sf0.01
+  // — non-vacuous both ways). Pure per-row map work on one scan — no shuffle at
+  // any corpus size; the md5 of every rendered string is exported so
+  // the hash pins slicing, truncation, AND the template bytes.
+  def sftFormat(s: SparkSession, d: String): DataFrame = {
+    val out = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 12)
+      .select(col("doc_id"),
+        expr("array_join(slice(toks, 1, 12), ' ')").as("instr"),
+        expr("array_join(slice(toks, 13, 48), ' ')").as("resp"),
+        (col("n") - 12 > 48).as("truncated"),
+        least(col("n") - 12, lit(48)).cast("long").as("n_resp_toks"))
+      .select(col("doc_id"), col("truncated"), col("n_resp_toks"),
+        md5(concat(lit("<|user|>\n"), col("instr"),
+          lit("\n<|assistant|>\n"), col("resp"), lit("<|end|>"))).as("pair_md5"))
+      .orderBy("doc_id")
+    out
+  }
+
+  private val oSftFormat =
+    """SELECT doc_id,
+      |  (len(toks) - 12 > 48) AS truncated,
+      |  CAST(least(len(toks) - 12, 48) AS BIGINT) AS n_resp_toks,
+      |  md5('<|user|>' || chr(10) || array_to_string(toks[1:12], ' ')
+      |    || chr(10) || '<|assistant|>' || chr(10)
+      |    || array_to_string(toks[13:60], ' ') || '<|end|>') AS pair_md5
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+      |WHERE len(toks) > 12 ORDER BY doc_id""".stripMargin
+
   // C59 (r8): corpus distribution drift — the "did the new crawl
   // shift the token distribution" report run before swapping a
   // training corpus: token shares (integer ppm) in corpus A (sources
@@ -2101,6 +2137,7 @@ object OpsQueries {
     QueryDef("pack_epoch_manifest", packEpochManifest, Some(oPackEpochManifest)),
     QueryDef("corpus_drift", corpusDrift, Some(oCorpusDrift)),
     QueryDef("corpus_pipeline_e2e", corpusPipelineE2e, Some(oCorpusPipelineE2e)),
+    QueryDef("sft_format", sftFormat, Some(oSftFormat)),
     QueryDef("corpus_ngram_diversity", corpusNgramDiversity,
       Some(oCorpusNgramDiversity)),
     QueryDef("corpus_curriculum", corpusCurriculum, Some(oCurriculum)),
