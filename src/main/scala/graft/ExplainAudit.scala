@@ -28,7 +28,9 @@ object ExplainAudit {
         "q_higher_order", "q_regexp_funcs", "q_union_by_name", "text_bm25_topk",
         "text_rrf_fusion", "text_line_dedup", "q_map_funcs", "q_gaps_islands",
         "q_corr_moments", "q_session_window", "q_time_weighted",
-        "text_domain_filter", "q_rel_division", "q_bitwise_agg")) {
+        "text_domain_filter", "q_rel_division", "q_bitwise_agg",
+        "corpus_drift", "sft_format", "q_profile", "pack_epoch_manifest",
+        "corpus_pipeline_e2e")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able
