@@ -43,7 +43,29 @@ private[graft] object StoreFs {
     fs(p).exists(p)
   }
 
-  def readString(path: String): String = {
+  /** On the LOCAL checksum FS, `atomicReplace`'s rename moves the
+    * data file and its `.crc` sidecar as TWO metadata ops — a reader
+    * landing between them sees new bytes against the old checksum
+    * (observed as a transient ChecksumException under the N-writer
+    * race). The window is microseconds and self-heals; control-file
+    * reads retry through it. HDFS renames are one atomic op
+    * (checksums live server-side), so the retry never fires there.
+    */
+  private def readRetrying[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(2L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def readString(path: String): String = readRetrying {
     val p = new Path(path)
     val in = fs(p).open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
@@ -61,7 +83,7 @@ private[graft] object StoreFs {
     finally out.close()
   }
 
-  def readBytes(path: String): Array[Byte] = {
+  def readBytes(path: String): Array[Byte] = readRetrying {
     val p = new Path(path)
     val in = fs(p).open(p)
     try org.apache.commons.io.IOUtils.toByteArray(in)
@@ -80,23 +102,45 @@ private[graft] object StoreFs {
   }
 
   /** Exclusive create of a small control file: returns true iff this
-    * call created it (someone else holds it → false). `create` with
-    * overwrite=false is atomic on HDFS and raw local FS — the
-    * mutual-exclusion primitive the writer lease builds on.
+    * call created it (someone else holds it → false) — the
+    * mutual-exclusion primitive the writer lease and commit claims
+    * build on. On HDFS `create(overwrite = false)` is atomic at the
+    * namenode; on the LOCAL schemes Hadoop's ChecksumFileSystem
+    * implements it as exists-then-create — a TOCTOU window two racing
+    * threads both pass (observed: two writers both "claimed" a
+    * version and interleaved one dir's `_temporary`), so local paths
+    * go through java.nio CREATE_NEW (O_CREAT|O_EXCL — atomic at the
+    * kernel) instead.
     */
   def createExclusive(path: String, s: String): Boolean = {
     val p = new Path(path)
-    val f = fs(p)
-    val parent = p.getParent
-    if (parent != null) { f.mkdirs(parent); () }
-    try {
-      val out = f.create(p, /* overwrite = */ false)
-      try out.write(s.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if exists(path) => false
+    val uri = p.toUri
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    if (scheme == "file" || scheme == "raw") {
+      val nio = java.nio.file.Paths.get(uri.getPath)
+      try {
+        Option(nio.getParent)
+          .foreach(d => { java.nio.file.Files.createDirectories(d); () })
+        java.nio.file.Files.write(nio, s.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      val f = fs(p)
+      val parent = p.getParent
+      if (parent != null) { f.mkdirs(parent); () }
+      try {
+        val out = f.create(p, /* overwrite = */ false)
+        try out.write(s.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if exists(path) => false
+      }
     }
   }
 

@@ -141,4 +141,32 @@ class StoreFsSchemeSpec extends AnyFunSuite {
     assert(new java.io.File(s"$probe/.y.crc").exists,
       "file:// (checksum FS) does write them — the two schemes differ for real")
   }
+
+  test("createExclusive is atomic under thread races: exactly one winner per path") {
+    // Hadoop's local ChecksumFileSystem implements create(overwrite =
+    // false) as exists-then-create — a TOCTOU hole that let two
+    // writers both claim a version (caught by the N-writer race
+    // test); the nio CREATE_NEW path must admit exactly one winner.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      (0 until 50).foreach { round =>
+        val path = s"$dir/claim-$round"
+        val start = new CountDownLatch(1)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val done = new CountDownLatch(16)
+        (0 until 16).foreach { t =>
+          pool.execute { () =>
+            start.await()
+            if (StoreFs.createExclusive(path, s"t$t")) { wins.incrementAndGet(); () }
+            done.countDown()
+          }
+        }
+        start.countDown()
+        assert(done.await(30, TimeUnit.SECONDS))
+        assert(wins.get() === 1, s"round $round: ${wins.get()} winners")
+      }
+    } finally { pool.shutdownNow(); StoreFs.deleteRecursive(dir) }
+  }
 }
