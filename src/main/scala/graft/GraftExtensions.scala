@@ -179,6 +179,13 @@ object GraftExtensions {
         val path = strLit(args(0), "graft_fsck path")
         plan(graft.cdc.CdcPipeline.fsck(active, path))
       }),
+    (FunctionIdentifier("graft_schema_history"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_schema_history"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_schema_history path")
+        plan(graft.cdc.CdcPipeline.describeSchemaHistory(active, path).getOrElse(
+          throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
     (FunctionIdentifier("graft_audit"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_audit"),
       (args: Seq[Expression]) => {

@@ -184,6 +184,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"SELECT check, subject FROM graft_fsck('$dir')").collect()
     assert(finding.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("orphan_inflight", "v99")))
+    // graft_schema_history: the A63 evolution audit through SQL — this
+    // fixture never altered its schema, so every version reads
+    // initial/kept and nothing else
+    val sh = spark.sql(s"SELECT DISTINCT change FROM graft_schema_history('$dir')")
+      .collect().map(_.getString(0)).toSet
+    assert(sh === Set("initial", "kept"), sh.toString)
     // graft_audit: the data-level audit through SQL — both checks ok
     val audit = spark.sql(
       s"SELECT check, severity, violations FROM graft_audit('$dir', 'id')")
