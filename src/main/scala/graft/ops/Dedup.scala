@@ -246,6 +246,9 @@ object Dedup {
   def dedupSegments(docs: DataFrame, segTokens: Int = 5, minDocs: Int = 2,
       docId: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (a 1 would drop every segment everywhere " +
+        s"but its own doc — not a dedup), got $minDocs")
     // one greedy regex pass splits the text into consecutive
     // segTokens-token segments directly — ~5× cheaper than
     // split→transform→slice→array_join (measured on the 100k-doc
@@ -265,7 +268,7 @@ object Dedup {
     // plans a two-level expand that shuffles the string keys twice
     // (measured 2.4× slower on the 100k-doc probe)
     val dup =
-      if (minDocs <= 2)
+      if (minDocs == 2)
         segs.groupBy("seg")
           .agg(min(col("doc_id")).as("_keeper"), max(col("doc_id")).as("_max"))
           .filter(col("_max") =!= col("_keeper"))
