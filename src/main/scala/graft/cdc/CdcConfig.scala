@@ -243,7 +243,7 @@ object CdcConfig {
           if (bad.nonEmpty) throw new IllegalArgumentException(
             s"rollup segments after the value list must be one of " +
               s"${kinds.map(_ + "=").mkString("/")}, got: $entry")
-          def of(kind: String): Seq[String] = extras.filter(_.startsWith(kind + "="))
+          def of(kind: String): Seq[String] = extras.toIndexedSeq.filter(_.startsWith(kind + "="))
             .flatMap(p => split(p.stripPrefix(kind + "=")))
           RollupSpec(parts(0), split(parts(1)), split(parts(2)),
             minCols = of("min"), maxCols = of("max"),

@@ -1116,7 +1116,7 @@ object CdcPipeline {
         "a PK change re-routes the row's bucket — express it as delete+insert via MERGE")
     rewriteWhere(spark, targetDir, pkCols, predicate, "update") { subset =>
       val types = subset.schema.fields.map(f => f.name -> f.dataType).toMap
-      subset.select(subset.columns.map { c =>
+      subset.select(subset.columns.toIndexedSeq.map { c =>
         set.get(c).map(e => when(predicate, e.cast(types(c))).otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }: _*)

@@ -80,7 +80,7 @@ object Scd2 {
     val closedNow = open.drop(To)
       .join(broadcast(firstEvt), pkCols)
       .withColumnRenamed("_first_ts", To)
-      .select(history.columns.map(col): _*)
+      .select(history.columns.toIndexedSeq.map(col): _*)
     val stillOpen = open.join(broadcast(firstEvt.select(pkCols.map(col): _*)),
       pkCols, "left_anti")
     history.filter(col(To).isNotNull)

@@ -95,7 +95,7 @@ object SnapshotMerge {
     }
     val upserts = changes
       .filter(col(CdcEnvelope.OpCol) =!= lit(CdcEnvelope.Delete))
-      .select(changes.columns.filterNot(meta.contains).map(col): _*)
+      .select(changes.columns.toIndexedSeq.filterNot(meta.contains).map(col): _*)
     target
       .join(changedKeys, pkCols, "left_anti")
       .unionByName(upserts, allowMissingColumns = true)
