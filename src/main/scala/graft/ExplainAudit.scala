@@ -30,7 +30,7 @@ object ExplainAudit {
         "q_corr_moments", "q_session_window", "q_time_weighted",
         "text_domain_filter", "q_rel_division", "q_bitwise_agg",
         "corpus_drift", "sft_format", "q_profile", "pack_epoch_manifest",
-        "corpus_pipeline_e2e")) {
+        "corpus_pipeline_e2e", "q_try_funcs")) {
       println(s"========== $name ==========")
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       // keep it grep-able

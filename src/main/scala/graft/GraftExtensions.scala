@@ -147,6 +147,15 @@ object GraftExtensions {
         plan(graft.cdc.CdcPipeline.readSnapshotAt(active, path, v).getOrElse(
           throw new IllegalArgumentException(s"no version $v at $path")))
       }),
+    (FunctionIdentifier("graft_snapshot_ts"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_snapshot_ts"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_snapshot_ts path")
+        val ts = longLit(args(1), "graft_snapshot_ts commit_us")
+        plan(graft.cdc.CdcPipeline.readSnapshotAsOfTime(active, path, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"no commit at or before $ts µs at $path")))
+      }),
     (FunctionIdentifier("graft_range"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_range"),
       (args: Seq[Expression]) => {

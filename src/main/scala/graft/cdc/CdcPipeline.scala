@@ -169,7 +169,7 @@ object CdcPipeline {
   private def statDec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def writeManifest(targetDir: String, version: Long, m: Manifest): Unit = {
+  private[cdc] def writeManifest(targetDir: String, version: Long, m: Manifest): Unit = {
     val sb = new StringBuilder
     sb.append(s"numBuckets=${m.numBuckets}\n")
     sb.append(s"schema=${m.schemaJson}\n")
@@ -709,6 +709,45 @@ object CdcPipeline {
           val d = s"$targetDir/v$version"
           if (StoreFs.exists(d)) Some(spark.read.parquet(d)) else None
       }
+    }
+
+  /** Time-travel by TIMESTAMP (A67 — Delta `TIMESTAMP AS OF` /
+    * Iceberg snapshot-as-of-time on the bucketed store; the reference
+    * keys its windows by wall-clock too, step-8:170–181): serve the
+    * LATEST committed version whose recorded `commit_us` is <=
+    * `tsUs`. Choosing the version is driver metadata only (manifest
+    * meta, zero Spark jobs); the read itself is `readSnapshotAt`, so
+    * carried buckets, deletion vectors, and column defaults all apply
+    * identically. Versions with no parseable manifest or no
+    * `commit_us` meta (pre-A45 publishes) cannot be placed on the
+    * time axis and are SKIPPED — time travel degrades to the explicit
+    * version API for them, never a guess. None when `tsUs` precedes
+    * every placeable commit: "before the table existed" must not
+    * silently serve the earliest state (the refusal discipline).
+    * Commit times come from the committing writer's clock; under the
+    * one-writer-at-a-time commit protocol (A52/A66) they are monotone
+    * in version order per host, and the tie-break is max VERSION
+    * among qualifying commits, so equal-timestamp commits resolve to
+    * the later one (Delta's behavior).
+    */
+  def readSnapshotAsOfTime(spark: SparkSession, targetDir: String,
+      tsUs: Long): Option[DataFrame] =
+    versionAsOfTime(targetDir, tsUs).flatMap(readSnapshotAt(spark, targetDir, _))
+
+  /** The version `readSnapshotAsOfTime` would serve — exposed so
+    * callers can compose the time axis with the version-keyed
+    * surfaces ("what changed since yesterday 09:00" =
+    * `readChangeFeed(versionAsOfTime(t).get, currentVersion.get)`).
+    */
+  def versionAsOfTime(targetDir: String, tsUs: Long): Option[Long] =
+    currentVersion(targetDir).flatMap { cur =>
+      StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
+        .map(_.stripPrefix("v").toLong).filter(_ <= cur)
+        .filter(v => manifest(targetDir, v)
+          .flatMap(_.meta.get("commit_us"))
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .exists(_ <= tsUs))
+        .sorted.lastOption
     }
 
   /** Buckets whose content can differ between two manifests. A bucket
@@ -1855,13 +1894,34 @@ object CdcPipeline {
     reclaimExcept(targetDir, cur, kept)
   }
 
-  /** Shared reclaim core of [[vacuum]]/[[expireSnapshots]]: delete
-    * every version dir at or below the pointer that is neither in
-    * `keptVersions`, nor referenced by a kept manifest's carried
-    * buckets, nor listed by a registered clone pin.
+  /** VACUUM DRY RUN (A68 — Delta's `VACUUM … DRY RUN` safety
+    * surface): exactly the versions the same-parameter [[vacuum]]
+    * would reclaim, with the bytes each would free — computed by the
+    * IDENTICAL liveness walk (kept window + carried-bucket references
+    * + clone pins), so the preview can never disagree with the
+    * delete; nothing is touched. Driver metadata I/O only (manifests
+    * + one content summary per doomed dir, zero Spark jobs) — the
+    * "what would this reclaim, and is it about to eat something
+    * big?" check an operator runs before GC'ing a 100 TB store.
+    * Returns (version, bytes) sorted by version.
     */
-  private def reclaimExcept(targetDir: String, cur: Long,
-      keptVersions: Seq[Long]): Seq[Long] = {
+  def vacuumPreview(targetDir: String, keepVersions: Int = 2): Seq[(Long, Long)] = {
+    val cur = currentVersion(targetDir).getOrElse(return Nil)
+    val keptVersions = (math.max(0L, cur - keepVersions + 1) to cur).toSeq
+    reclaimable(targetDir, cur, keptVersions)
+      .map(d => (d.stripPrefix("v").toLong, StoreFs.treeBytes(s"$targetDir/$d")))
+      .sortBy(_._1)
+  }
+
+  /** Shared liveness walk of [[vacuum]]/[[expireSnapshots]]/
+    * [[vacuumPreview]]: every version dir at or below the pointer
+    * that is neither in `keptVersions`, nor referenced by a kept
+    * manifest's carried buckets, nor listed by a registered clone
+    * pin. Pure — the reclaimers delete what this returns, the
+    * dry run only reports it.
+    */
+  private def reclaimable(targetDir: String, cur: Long,
+      keptVersions: Seq[Long]): Seq[String] = {
     val live: Set[String] =
       keptVersions.map(v => s"v$v").toSet ++
         keptVersions.flatMap(v =>
@@ -1869,12 +1929,20 @@ object CdcPipeline {
         StoreFs.listFilePaths(s"$targetDir/$ClonesDir", "")
           .flatMap(p => StoreFs.readString(p).split("\n"))
           .filter(_.matches("v\\d+"))
-    val versionDirs = StoreFs.listDirNames(targetDir)
+    StoreFs.listDirNames(targetDir)
       .filter(_.matches("v\\d+"))
       // never touch versions ABOVE the pointer: v{cur+1} may be an
       // in-flight publish that hasn't swapped the pointer yet
       .filterNot(_.stripPrefix("v").toLong > cur)
-    val doomed = versionDirs.filterNot(live)
+      .filterNot(live)
+  }
+
+  /** Shared reclaim core of [[vacuum]]/[[expireSnapshots]]: delete
+    * what [[reclaimable]] lists.
+    */
+  private def reclaimExcept(targetDir: String, cur: Long,
+      keptVersions: Seq[Long]): Seq[Long] = {
+    val doomed = reclaimable(targetDir, cur, keptVersions)
     doomed.foreach(d => StoreFs.deleteRecursive(s"$targetDir/$d"))
     doomed.map(_.stripPrefix("v").toLong).sorted
   }

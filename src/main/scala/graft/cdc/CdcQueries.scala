@@ -738,6 +738,60 @@ object CdcQueries {
        |   OR b.value IS DISTINCT FROM a.value
        |ORDER BY user_id""".stripMargin
 
+  // A67 (r8): timestamp time travel — the same two-version store as
+  // cdc_snapshot_diff, then the snapshot AS OF the wall-clock instant
+  // v0 committed, read back from the manifest meta driver-side (the
+  // data-derived-bounds discipline: no wall-clock literal could be
+  // deterministic). The time-axis read must resolve to v0's state
+  // even though v1 is current — an engine that rounds toward the
+  // newest version, skips the carried-bucket resolution, or mis-picks
+  // on the <= boundary breaks the hash. require()s pin the fixture
+  // assumptions LOUDLY: v1 commits strictly after v0 (publishes are
+  // seconds apart; an equal-microsecond collision would silently
+  // serve v1) and the resolved version is 0.
+  def cdcTimeTravelTs(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "ttts",
+      targetPath = Fixtures.dirs("ttts", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    val commits = CdcPipeline.describeHistory(s, cfg.targetPath).get
+      .select(col("version"), col("commit_us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // 2-row driver metadata
+    require(commits(1L) > commits(0L),
+      s"fixture commits collided in one microsecond: $commits")
+    require(CdcPipeline.versionAsOfTime(cfg.targetPath, commits(0L)).contains(0L),
+      s"as-of ${commits(0L)} must resolve to v0, got " +
+        CdcPipeline.versionAsOfTime(cfg.targetPath, commits(0L)))
+    CdcPipeline.readSnapshotAsOfTime(s, cfg.targetPath, commits(0L)).get
+      .select(col("user_id"), col("k"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val oTimeTravelTs =
+    s"""SELECT user_id, k, event_id, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |        FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |WHERE rn = 1 AND op != 'd'
+       |ORDER BY user_id""".stripMargin
+
   // A36 (r7): data-skipping stats — build a REAL two-version bucketed
   // store (v0 from the pre-W0 history with the stats index, v1 via an
   // incremental merge so the manifest mixes fresh and carried stat
@@ -1529,6 +1583,7 @@ object CdcQueries {
     QueryDef("cdc_incr_agg_minmax", cdcIncrAggMinmax, Some(oIncrAggMinmax)),
     QueryDef("cdc_incr_agg_hll", cdcIncrAggHll, Some(oIncrAggHll)),
     QueryDef("cdc_snapshot_diff", cdcSnapshotDiff, Some(oSnapshotDiff)),
+    QueryDef("cdc_time_travel_ts", cdcTimeTravelTs, Some(oTimeTravelTs)),
     QueryDef("cdc_stats_prune", cdcStatsPrune, Some(oStatsPrune)),
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),

@@ -197,6 +197,17 @@ private[graft] object StoreFs {
     fs(p).delete(p, false)
   }
 
+  /** Total bytes of every file under `path`, recursively — driver
+    * metadata I/O (one content summary call), zero Spark jobs; 0 for
+    * a missing path. Feeds the vacuum dry-run's per-version
+    * reclaimable-bytes report.
+    */
+  def treeBytes(path: String): Long = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+  }
+
   /** Recursive directory copy (deep-clone path) — Hadoop `FileUtil`
     * so it works across schemes, including src and dst on different
     * filesystems.

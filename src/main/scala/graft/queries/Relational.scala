@@ -1571,8 +1571,59 @@ object Relational {
       |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM base
       |ORDER BY "column"""".stripMargin
 
+  // B57 (r8): error-safe `try_*` arithmetic — the ANSI-safety surface
+  // (try_divide / try_cast / try_element_at / try_add / try_multiply):
+  // each returns NULL where strict evaluation would raise (divide by
+  // zero, malformed cast, out-of-bounds index, BIGINT overflow),
+  // INDEPENDENT of spark.sql.ansi.enabled — the contract that lets a
+  // 100 TB scan survive one bad row instead of dying at task 94 312.
+  // All per-row codegen'd scalar work on one pruned scan. Every NULL
+  // branch is non-vacuous by construction (den hits 0 every third
+  // line, every fourth partkey's string is unparseable, the probe
+  // index overruns 7-line orders, overflow toggles on partkey
+  // arithmetic). The oracle re-expresses each guard explicitly —
+  // NULLIF, TRY_CAST, bounds CASE, and HUGEINT-widened overflow
+  // checks (computed in HUGEINT so DuckDB's eager vectorized CASE
+  // branches cannot themselves overflow) — so an engine that wraps,
+  // errors, or mis-rounds any edge breaks the hash. safe_div stays
+  // exact: the surviving denominators are 1 and 2, every quotient a
+  // dyadic rational.
+  def qTryFuncs(s: SparkSession, d: String): DataFrame = {
+    T.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(cents, l_linenumber % 3)").as("safe_div"),
+        expr("try_cast(CASE WHEN l_partkey % 4 = 0 THEN concat('x', l_partkey) " +
+          "ELSE cast(l_partkey AS string) END AS bigint)").as("safe_cast"),
+        expr("cast(try_element_at(sequence(1, l_linenumber), " +
+          "cast(l_suppkey % 9 + 1 AS int)) AS bigint)").as("safe_elem"),
+        expr("try_add(9223372036854775807 - l_partkey % 10, " +
+          "cast(l_linenumber AS bigint))").as("safe_add"),
+        expr("try_multiply(4611686018427387903 + l_partkey % 3, 2L)").as("safe_mul"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val oTryFuncs =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(cents AS DOUBLE) / nullif(l_linenumber % 3, 0) AS safe_div,
+      |  TRY_CAST(CASE WHEN l_partkey % 4 = 0 THEN 'x' || l_partkey
+      |           ELSE CAST(l_partkey AS VARCHAR) END AS BIGINT) AS safe_cast,
+      |  CAST(list_extract(range(1, l_linenumber + 1), l_suppkey % 9 + 1) AS BIGINT) AS safe_elem,
+      |  CAST(CASE WHEN l_linenumber <= l_partkey % 10
+      |       THEN CAST(9223372036854775807 AS HUGEINT) - (l_partkey % 10) + l_linenumber
+      |       END AS BIGINT) AS safe_add,
+      |  CAST(CASE WHEN l_partkey % 3 = 0
+      |       THEN (CAST(4611686018427387903 AS HUGEINT) + (l_partkey % 3)) * 2
+      |       END AS BIGINT) AS safe_mul
+      |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |      FROM lineitem WHERE l_orderkey % 50 = 0) t
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
+    QueryDef("q_try_funcs", qTryFuncs, Some(oTryFuncs)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
     QueryDef("q3_topk", q3Topk, Some(oQ3)),
     QueryDef("q5_multijoin", q5Multijoin, Some(oQ5)),

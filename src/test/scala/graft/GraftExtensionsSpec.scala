@@ -133,6 +133,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"SELECT sum(v) FROM graft_snapshot('$dir') WHERE id < 10")
       .as[Long].collect()(0)
     assert(newSum === oldSum + 10L * 100000L)
+    // timestamp time travel (A67): as-of v0's own commit instant reads
+    // v0's values; a pre-creation instant refuses at analysis
+    val t0 = CdcPipeline.manifest(dir, 0L).get.meta("commit_us").toLong
+    val tsSum = spark.sql(
+      s"SELECT sum(v) FROM graft_snapshot_ts('$dir', $t0) WHERE id < 10")
+      .as[Long].collect()(0)
+    assert(tsSum === oldSum)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot_ts('$dir', ${t0 - 1})").collect()
+    }
     // stat-pruned range: equals the filter, touches only matching buckets
     val ranged = spark.sql(
       s"SELECT id, v FROM graft_range('$dir', 'v', 3000, 3999)")

@@ -236,6 +236,40 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(finalSnap.count() === 100L)
   }
 
+  test("vacuum dry run (A68): preview lists exactly what vacuum reclaims with real sizes, deleting nothing") {
+    import spark.implicits._
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(32))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 100L).map(u => (u, "u", 100L, u, 100L, s"""{"k":$u}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L) // v0: full
+    (1 to 3).foreach { i =>
+      val d = Seq((i.toLong, "u", 100L + i, 500L + i, 1000L + i * 100L,
+        s"""{"k":${1000 + i}}""", 500L + i, 9.0))
+      CdcPipeline.run(spark, c, env(d), log, 1000L + i * 200L)
+    }
+    val preview = CdcPipeline.vacuumPreview(target, keepVersions = 1)
+    // the dry run deletes nothing and sizes every doomed dir honestly
+    preview.foreach { case (v, bytes) =>
+      assert(StoreFs.exists(s"$target/v$v"), s"dry run must not touch v$v")
+      assert(bytes > 0L, s"v$v must report its real reclaimable bytes")
+    }
+    assert(!preview.map(_._1).contains(0L), "v0 is carried-referenced: not reclaimable")
+    assert(!preview.map(_._1).contains(3L), "the current version is never reclaimable")
+    val before = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    // the preview IS the reclaim set: same-parameter vacuum deletes
+    // exactly the listed versions, and an immediate re-preview is empty
+    val deleted = CdcPipeline.vacuum(target, keepVersions = 1)
+    assert(preview.map(_._1) === deleted)
+    assert(CdcPipeline.vacuumPreview(target, keepVersions = 1).isEmpty)
+    val after = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(after === before, "neither preview nor vacuum changes the visible snapshot")
+  }
+
   test("restoreSnapshot rolls forward to the old state; refuses vacuumed versions") {
     import spark.implicits._
     val target = tmp(); val log = tmp()
@@ -500,6 +534,39 @@ class CdcPipelineSpec extends AnyFunSuite {
       .select(CdcPipeline.bucketExpr(Seq("user_id"), 16).as("b"))
       .as[Int].collect().toSet
     assert(changedPkBuckets.subsetOf(touched))
+  }
+
+  test("timestamp time travel (A67): latest commit at-or-before t; pre-creation refuses; unplaceable versions skipped") {
+    import spark.implicits._
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(8))
+    val r1 = CdcPipeline.run(spark, c, env, log, w1)
+    val r2 = CdcPipeline.run(spark, c, env, log, w2)
+    def commitUs(v: Long): Long =
+      CdcPipeline.manifest(target, v).get.meta("commit_us").toLong
+    val t1 = commitUs(r1.version); val t2 = commitUs(r2.version)
+    assert(t2 > t1, "sequential publishes are milliseconds apart")
+    // before the first commit: refuse — never silently serve the earliest state
+    assert(CdcPipeline.versionAsOfTime(target, t1 - 1) === None)
+    assert(CdcPipeline.readSnapshotAsOfTime(spark, target, t1 - 1).isEmpty)
+    // at the first commit and anywhere short of the second: v1's state
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val v1Keys = keys(CdcPipeline.readSnapshotAt(spark, target, r1.version).get)
+    assert(CdcPipeline.versionAsOfTime(target, t1).contains(r1.version))
+    assert(CdcPipeline.versionAsOfTime(target, t2 - 1).contains(r1.version))
+    assert(keys(CdcPipeline.readSnapshotAsOfTime(spark, target, t1).get) === v1Keys)
+    // at/after the newest commit: the current version
+    assert(CdcPipeline.versionAsOfTime(target, t2).contains(r2.version))
+    assert(CdcPipeline.versionAsOfTime(target, Long.MaxValue).contains(r2.version))
+    assert(keys(CdcPipeline.readSnapshotAsOfTime(spark, target, Long.MaxValue).get) ===
+      keys(CdcPipeline.readSnapshot(spark, target).get))
+    // a manifest with no commit_us (pre-A45) is unplaceable on the time
+    // axis: skipped, resolution falls to the newest PLACEABLE commit
+    val m2 = CdcPipeline.manifest(target, r2.version).get
+    CdcPipeline.writeManifest(target, r2.version, m2.copy(meta = m2.meta - "commit_us"))
+    assert(CdcPipeline.versionAsOfTime(target, Long.MaxValue).contains(r1.version))
   }
 
   test("rebucket resizes the frozen layout; content survives and later deltas use the new count") {
