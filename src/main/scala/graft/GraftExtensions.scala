@@ -204,6 +204,17 @@ object GraftExtensions {
         plan(graft.cdc.CdcPipeline.auditData(active, path, pk).getOrElse(
           throw new IllegalArgumentException(s"no graft store at $path")))
       }),
+    (FunctionIdentifier("graft_vacuum_preview"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_vacuum_preview"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_vacuum_preview path")
+        val keep = if (args.length > 1)
+          longLit(args(1), "graft_vacuum_preview keepVersions").toInt else 2
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.vacuumPreview(path, keep)
+          .toDF("version", "reclaimable_bytes"))
+      }),
     (FunctionIdentifier("graft_change_feed"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_change_feed"),
       (args: Seq[Expression]) => {

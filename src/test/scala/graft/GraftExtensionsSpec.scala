@@ -143,6 +143,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_snapshot_ts('$dir', ${t0 - 1})").collect()
     }
+    // vacuum dry run through SQL ≡ the Scala preview (and deletes nothing)
+    val pv = spark.sql(
+      s"SELECT version, reclaimable_bytes FROM graft_vacuum_preview('$dir', 1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pv === CdcPipeline.vacuumPreview(dir, 1))
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot_at('$dir', 0)")
+      .as[Long].collect()(0) === 4000L, "the preview must not have vacuumed v0")
     // stat-pruned range: equals the filter, touches only matching buckets
     val ranged = spark.sql(
       s"SELECT id, v FROM graft_range('$dir', 'v', 3000, 3999)")
