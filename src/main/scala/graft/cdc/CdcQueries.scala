@@ -1019,8 +1019,10 @@ object CdcQueries {
   // vector accumulation across commits, and the read-side anti-join.
   /** A64 gate: the one-call maintenance driver on a real store — v0
     * publish, v1 incremental merge, deliberate fragmentation (A40's
-    * maxRecordsPerFile), a 20% MoR delete, then ONE `maintain` pass:
-    * the DV fold must fire (10% threshold), vacuum must reclaim, and
+    * maxRecordsPerFile), a ~50% MoR delete, then ONE `maintain` pass:
+    * the DV fold must fire (10% threshold; the ~50% `%2` delete clears
+    * it at every SF — the tiny sf0.001 snapshot is only 12 rows, where
+    * a sparser predicate lands under threshold), vacuum must reclaim, and
     * the SERVED CONTENT must be exactly what it was before maintenance
     * — the oracle recomputes the merged-minus-deleted state from the
     * raw events, so a maintenance pass that loses or resurrects a row
@@ -1052,12 +1054,12 @@ object CdcQueries {
     CdcPipeline.optimize(s, cfg.targetPath, pk, sortCols = Seq("event_id"),
       maxRecordsPerFile = 20L) // v2: fragmented layout
     val Some((_, nDel)) =
-      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 5 === 0) // v3
+      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 2 === 0) // v3
     require(nDel > 0, "fixture must delete something")
     val rep = CdcPipeline.maintain(s, cfg.targetPath, pk,
       CdcPipeline.MaintenancePolicy(dvFoldPct = Some(10),
         smallFilesPerBucket = Some(2), keepVersions = Some(1))).get
-    require(rep.foldedDvVersion.isDefined, s"20% DV must fold: $rep")
+    require(rep.foldedDvVersion.isDefined, s"~50% DV must fold: $rep")
     require(CdcPipeline.dvStats(cfg.targetPath).isEmpty, "vector must be retired")
     require(rep.vacuumed.nonEmpty, "keepVersions=1 must reclaim")
     require(CdcPipeline.fastCount(cfg.targetPath).contains(
@@ -1073,7 +1075,7 @@ object CdcQueries {
        |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
        |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
-       |  WHERE rn = 1 AND op != 'd' AND event_id % 5 != 0
+       |  WHERE rn = 1 AND op != 'd' AND event_id % 2 != 0
        |ORDER BY user_id""".stripMargin
 
   def cdcDeleteMor(s: SparkSession, d: String): DataFrame = {
@@ -1098,10 +1100,12 @@ object CdcQueries {
     val chg1 = ChangeCompaction.compactForMerge(
       proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    // %2 then %3: both non-empty even in the 12-row sf0.001 snapshot
+    // (a %5/%11 pair leaves the second vector commit empty there)
     val Some((v2, n2)) =
-      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 5 === 0)
+      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 2 === 0)
     val Some((v3, n3)) =
-      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 11 === 0)
+      CdcPipeline.deleteWhereMoR(s, cfg.targetPath, pk, col("event_id") % 3 === 0)
     require(n2 > 0 && n3 > 0, "fixture must exercise both vector commits")
     Seq(v2, v3).foreach { v =>
       val m = CdcPipeline.manifest(cfg.targetPath, v).get
@@ -1120,7 +1124,7 @@ object CdcQueries {
        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
        |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
        |  WHERE rn = 1 AND op != 'd'
-       |    AND event_id % 5 != 0 AND event_id % 11 != 0
+       |    AND event_id % 2 != 0 AND event_id % 3 != 0
        |ORDER BY user_id""".stripMargin
 
   // A54 (r8): secondary bloom-filter point lookup — the merged store
