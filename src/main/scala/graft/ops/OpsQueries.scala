@@ -25,14 +25,104 @@ object OpsQueries {
     """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
-  // C2: MinHash+LSH candidate pairs (rows-only: Spark xxhash64 seeds
-  // the permutations; not oracle-portable).
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashCandidates(T.documents(s, d)).orderBy(col("id_a"), col("id_b"))
+  /** Exact all-pairs n-gram Jaccard ≥ `minJ` truth over a capped doc
+    * universe — the shared truth side of the C2/C32 recall gates and
+    * the C4b ground-truth query. The cap bounds the O(N²) compare at
+    * bench SF (the universe is the FULL corpus at the driver's
+    * correctness SF); the formula mirrors the DuckDB oracle
+    * word-shingle arithmetic term for term, so the truth pairs
+    * hash-match across engines (the C4 pattern).
+    */
+  private def jaccardTruth(docs: DataFrame, minJ: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
 
-  // C3: SimHash near-dup pairs (rows-only).
-  def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(T.documents(s, d)).orderBy(col("id_a"), col("id_b"))
+  /** DuckDB side of [[jaccardTruth]] (parameterized clone of the C4b
+    * oracle): truth pairs with J ≥ `minJ` among doc_id < `cap`.
+    */
+  private def oJaccardTruth(cap: Int, minJ: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
+       |         ELSE list_distinct(list_transform(
+       |                range(1, len(string_split(text, ' ')) - 1),
+       |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+       |    END AS sh
+       |  FROM documents WHERE doc_id < $cap),
+       |truth AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      round(len(list_intersect(a.sh, b.sh))
+       |            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+       |  WHERE jaccard >= $minJ)""".stripMargin
+
+  // C2 (gate upgraded r9, was rows-only): MinHash+LSH recall vs the
+  // exact J≥0.5 truth. The candidate set itself is Spark-hash-seeded
+  // (not oracle-portable), but its RECALL against oracle-re-derivable
+  // truth is: one row per TRUE pair with a found flag the banding is
+  // measured to satisfy on this corpus (found=1 for every pair —
+  // the same 100%-recall fact the C4 gate proves end-to-end). A
+  // banding/bucketing regression now flips found to 0 and the hash
+  // mismatches; before r9 the driver could not tell candidates from
+  // garbage. Universe capped at 500 docs = the full corpus at the
+  // driver's correctness SF; the cap only bounds the O(N²) truth at
+  // bench SF.
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).filter(col("doc_id") < 500)
+    val cands = Dedup.minhashCandidates(docs)
+      .select(col("id_a"), col("id_b"), lit(1).as("c"))
+    jaccardTruth(docs, 0.5).join(cands, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        coalesce(col("c"), lit(0)).as("found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val oDedupMinhashLsh =
+    oJaccardTruth(500, 0.5) +
+      "\nSELECT id_a, id_b, jaccard, 1 AS found FROM truth ORDER BY id_a, id_b"
+
+  // C3 (gate upgraded r9, was rows-only): SimHash banding LAW export.
+  // The fingerprints are Spark-hash-seeded, so the pairs themselves
+  // are not oracle-portable — but the pigeonhole law is exact: 4
+  // bands × 16 bits guarantee every Hamming≤3 pair shares a band, so
+  // the banded+verified pair set must EQUAL the brute-force all-pairs
+  // Hamming≤3 truth (OpsSpec proves this at test SF; this gate proves
+  // it at the driver's SF and exports the integers). n_missed > 0 ⇒
+  // banding lost a pair (bucket cap tripped or band math broke);
+  // n_extra > 0 ⇒ the Hamming verify filter broke; has_pairs pins the
+  // gate non-vacuous (this corpus has near-dup pairs). Universe
+  // capped at 2000 docs to bound the O(N²) xor scan at bench SF.
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).filter(col("doc_id") < 2000)
+    val banded = Dedup.simhashPairs(docs)
+      .select(col("id_a"), col("id_b"), lit(1).as("b"))
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+    val brute = sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    brute.join(banded, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("b").isNull, 1).otherwise(0)), lit(0))
+          .cast("bigint").as("n_missed"),
+        coalesce(sum(when(col("t").isNull, 1).otherwise(0)), lit(0))
+          .cast("bigint").as("n_extra"),
+        (count(lit(1)) > 0).as("has_pairs"))
+  }
+
+  private val oDedupSimhash =
+    """SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra,
+      |  TRUE AS has_pairs""".stripMargin
 
   // C4: exact n-gram Jaccard verification over the LSH candidates.
   // Oracle-gated since r2: the oracle is the ALL-PAIRS J≥0.5 truth, so
@@ -99,19 +189,9 @@ object OpsQueries {
   // oracle-gated ground truth the C4 LSH+verify path approximates.
   // Jaccard is a ratio of two integers, so both engines compute the
   // identical double: the threshold needs no float margin.
-  def textJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d).filter(col("doc_id") < 500)
-      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= 0.4)
-      .select("id_a", "id_b", "jaccard")
+  def textJaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardTruth(T.documents(s, d).filter(col("doc_id") < 500), 0.4)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   private val oTextJaccardPairs =
     """WITH sh AS (
@@ -362,40 +442,169 @@ object OpsQueries {
       |  FROM scored) t
       |WHERE rnk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
 
-  // C7: LSH-bucketed ANN (rows-only: buckets from Spark xxhash64).
+  // C7 (gate upgraded r9, was rows-only): LSH-bucketed ANN,
+  // self-retrieval invariant. Buckets are Spark-hash-seeded, so the
+  // retrieved sets are not oracle-portable — but with the query
+  // vectors INCLUDED in the corpus, exact guarantees emerge the
+  // oracle can predict: an identical vector lands in identical sign
+  // buckets in every table (a candidate by construction, no
+  // probability involved), exact-cosine scoring must rank it first
+  // (no other pair on this corpus reaches cosine 0.99), and the
+  // bucket fan-out must yield a full top-5. So per query the gate
+  // exports self_top1 (bucketing + scoring + ranking end-to-end) and
+  // n_results (candidate generation breadth) — both deterministic.
+  // The honest recall-vs-brute-force measure stays in OpsSpec.
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
-    Similarity.annLshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
-      .orderBy(col("query_id"), col("rnk"))
+    Similarity.annLshTopK(e.filter(col("vec_id") < 10), e, 5)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_results"),
+        max(when(col("rnk") === 1 && col("neighbor_id") === col("query_id"), 1)
+          .otherwise(0)).as("self_top1"))
+      .orderBy(col("query_id"))
   }
 
-  // C26 (r4): PQ ANN, two-stage (ADC shortlist → exact rerank).
-  // Rows-only: codebooks are float-seeded k-means, not SQL-expressible;
-  // the recall gate vs brute force lives in OpsSpec (0.92 at refine=4
-  // on this corpus; ADC-only 0.62).
+  private val oAnnLsh =
+    """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, 1 AS self_top1
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** Recall summary of an ANN result against the exact brute-force
+    * top-k truth — the shared export of the C26/C30 gates. One row:
+    * n_truth and n_retrieved the oracle RE-DERIVES from the parquet
+    * (truth cardinality via the same exact top-k SQL that gates C6;
+    * retrieved = |queries|·k), plus a recall-floor boolean pinned
+    * under the corpus-measured recall. The exact per-pair sets are
+    * codebook-seeded and not oracle-portable; the floor turns a
+    * recall regression into a hash mismatch instead of an invisible
+    * quality drop.
+    */
+  private def annRecallSummary(retrieved: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, floorPct: Int): DataFrame = {
+    val truth = Similarity.cosineTopK(queries, corpus, k)
+    truth
+      .join(retrieved.select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+          .distinct(),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0)).cast("bigint").as("n_hits"))
+      .select(col("n_truth"),
+        (col("n_hits") * 100 >= col("n_truth") * floorPct)
+          .as(s"recall_ge_$floorPct"))
+  }
+
+  /** Oracle for [[annRecallSummary]]: DuckDB re-derives n_truth via
+    * the exact top-k CTE (the C6 oracle's shape) and predicts the
+    * floor holds.
+    */
+  private def oAnnRecallSummary(floorPct: Int): String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+       |                 c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rnk <= 5)
+       |SELECT count(*) AS n_truth, TRUE AS recall_ge_$floorPct FROM truth""".stripMargin
+
+  // C26 (r4; gate upgraded r9, was rows-only): PQ ANN, two-stage
+  // (ADC shortlist → exact rerank). Codebooks are float-seeded
+  // k-means, not SQL-expressible — the gate exports the recall
+  // summary vs the oracle-re-derived exact truth instead (floor 60%,
+  // measured 0.92 at refine=4 on this corpus; the margin absorbs
+  // corpus-draw variance across SFs). Full per-query recall
+  // measurement stays in OpsSpec.
   def annPq(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
     val c = e.filter(col("vec_id") >= 10)
     val model = Pq.fitDf(c.orderBy(col("vec_id")), m = 16, k = 64, iters = 10)
-    Pq.adcTopKRerank(q, Pq.encode(c, model), c, model, 5)
-      .orderBy(col("query_id"), col("rnk"))
+    val pq = Pq.adcTopKRerank(q, Pq.encode(c, model), c, model, 5)
+    annRecallSummary(pq, q, c, 5, 60)
   }
 
-  // C16∘C26 (r5): IVF×PQ — probe-limited ADC over inverted lists of
-  // PQ codes + exact rerank. Rows-only (float-seeded codebooks);
-  // the OpsSpec gate proves recall ≥ plain IVF at the same probe
-  // budget and ADC-scored rows ∝ probed lists.
+  private val oAnnPq = oAnnRecallSummary(60)
+
+  // C16∘C26 (r5; gate upgraded r9, was rows-only): IVF×PQ —
+  // probe-limited ADC over inverted lists of PQ codes + exact
+  // rerank. A probe budget of 4/32 lists CAPS recall well below the
+  // whole-corpus C26 floor (plain IVF reaches only 14/50 on this
+  // corpus — the lists the truth lives in simply aren't all probed),
+  // so a fixed floor would gate the corpus, not the code. The exact
+  // law is the spec's: at the same probe budget, ADC-shortlist +
+  // exact rerank must not lose recall vs plain IVF's full-list exact
+  // search. BOTH sides of that inequality are exportable — plain
+  // IVF is deterministic SQL (the C16 oracle re-derives ivf_hits
+  // exactly, quantizer and probes included), and pq_ge_ivf pins the
+  // law at the driver's SF. n_truth comes from the same brute-force
+  // truth CTE that gates C6.
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
     val c = e.filter(col("vec_id") >= 10)
     val cent = e.filter(col("vec_id") >= 10 && col("vec_id") < 42)
     val model = Pq.fitDf(c.orderBy(col("vec_id")), m = 16, k = 64, iters = 10)
-    Pq.ivfPqTopK(q, Pq.ivfPqIndex(c, cent, model), c, cent, model,
-        topK = 5, nprobe = 4)
-      .orderBy(col("query_id"), col("rnk"))
+    val ivfPq = Pq.ivfPqTopK(q, Pq.ivfPqIndex(c, cent, model), c, cent, model,
+      topK = 5, nprobe = 4)
+    val truth = Similarity.cosineTopK(q, c, 5)
+    val ivf = Similarity.annIvfTopK(q, c, cent, 5, 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("iv"))
+    truth
+      .join(ivfPq.select(col("query_id"), col("neighbor_id"), lit(1).as("pq"))
+          .distinct(),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("iv")), lit(0)).cast("bigint").as("ivf_hits"),
+        (coalesce(sum(col("pq")), lit(0)) >= coalesce(sum(col("iv")), lit(0)))
+          .as("pq_ge_ivf"))
   }
+
+  private val oAnnIvfPq =
+    """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+      |              WHERE vec_id >= 10 AND vec_id < 42),
+      |corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+      |qry AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |assign AS (
+      |  SELECT neighbor_id, cid FROM (
+      |    SELECT c.vec_id AS neighbor_id, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                        CAST(ct.embedding AS DOUBLE[])) DESC,
+      |                 ct.cid) AS r
+      |    FROM corp c CROSS JOIN cent ct) t WHERE r = 1),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.vec_id AS query_id, ct.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(ct.embedding AS DOUBLE[])) DESC,
+      |                 ct.cid) AS r
+      |    FROM qry q CROSS JOIN cent ct) t WHERE r <= 4),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+      |                 a.neighbor_id) AS rnk
+      |    FROM probes p JOIN assign a ON p.cid = a.cid
+      |    JOIN qry q ON q.vec_id = p.query_id
+      |    JOIN corp c ON c.vec_id = a.neighbor_id) t WHERE rnk <= 5),
+      |truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) t
+      |  WHERE rnk <= 5)
+      |SELECT (SELECT count(*) FROM truth) AS n_truth,
+      |  (SELECT count(*) FROM ivf JOIN truth USING (query_id, neighbor_id))
+      |    AS ivf_hits,
+      |  TRUE AS pq_ge_ivf""".stripMargin
 
   // C8: language ID.
   def textLangid(s: SparkSession, d: String): DataFrame =
@@ -448,16 +657,40 @@ object OpsQueries {
        |FROM lang l JOIN tok t ON l.doc_id = t.doc_id
        |GROUP BY 1 ORDER BY lang""".stripMargin
 
-  // C32 (r5): incremental minhash ingestion — two batches through the
-  // postings index; rows-only (Spark-hash-seeded like C2), the
-  // equality-with-one-shot gate lives in OpsSpec.
+  // C32 (r5; gate upgraded r9, was rows-only): incremental minhash
+  // ingestion — two batches through the postings index. The pair set
+  // is Spark-hash-seeded (not oracle-portable), so the gate exports
+  // what IS: for every exact J≥0.5 truth pair (oracle re-derives it),
+  // a found flag from the incremental path AND one from the one-shot
+  // path — both measured 1 on this corpus (C4's 100%-recall fact),
+  // and any divergence between the two paths (the OpsSpec
+  // batch-order-equality law, here checked at the driver's SF on the
+  // truth subset) flips a flag and fails the hash. Universe capped at
+  // 500 docs (= full corpus at correctness SF); batch split at 250
+  // keeps cross-batch pairs in play.
   def dedupMinhashIncremental(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
+    val docs = T.documents(s, d).filter(col("doc_id") < 500)
     val empty = Dedup.minhashEntries(docs.limit(0))
     val (p1, e1) = Dedup.incrementalMinhash(docs.filter(col("doc_id") < 250), empty)
     val (p2, _) = Dedup.incrementalMinhash(docs.filter(col("doc_id") >= 250), e1)
-    p1.unionByName(p2).orderBy(col("id_a"), col("id_b"))
+    val inc = p1.unionByName(p2)
+      .select(col("id_a"), col("id_b"), lit(1).as("i"))
+    val oneShot = Dedup.minhashCandidates(docs)
+      .select(col("id_a"), col("id_b"), lit(1).as("o"))
+    jaccardTruth(docs, 0.5)
+      .join(inc, Seq("id_a", "id_b"), "left")
+      .join(oneShot, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        coalesce(col("i"), lit(0)).as("found_incremental"),
+        coalesce(col("o"), lit(0)).as("found_oneshot"))
+      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private val oDedupMinhashIncremental =
+    oJaccardTruth(500, 0.5) +
+      """
+        |SELECT id_a, id_b, jaccard, 1 AS found_incremental, 1 AS found_oneshot
+        |FROM truth ORDER BY id_a, id_b""".stripMargin
 
   // C31 (r5): the end-to-end quality gate — the kept corpus after
   // language/length/quality/repetition screening, one codegen'd
@@ -2086,9 +2319,10 @@ object OpsQueries {
     QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
     QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
-    QueryDef("dedup_minhash_lsh", dedupMinhashLsh, None),
-    QueryDef("dedup_minhash_incremental", dedupMinhashIncremental, None),
-    QueryDef("dedup_simhash", dedupSimhash, None),
+    QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(oDedupMinhashLsh)),
+    QueryDef("dedup_minhash_incremental", dedupMinhashIncremental,
+      Some(oDedupMinhashIncremental)),
+    QueryDef("dedup_simhash", dedupSimhash, Some(oDedupSimhash)),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard, Some(oDedupNgramJaccard)),
     QueryDef("text_dup_spans", textDupSpans, Some(oTextDupSpans)),
     QueryDef("text_dup_span_frac", textDupSpanFrac, Some(oTextDupSpanFrac)),
@@ -2099,10 +2333,10 @@ object OpsQueries {
     QueryDef("dedup_semantic_keep", dedupSemanticKeep, Some(oDedupSemanticKeep)),
     QueryDef("decontaminate_semantic", decontaminateSemantic, Some(oDecontaminateSemantic)),
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
-    QueryDef("ann_lsh", annLsh, None),
+    QueryDef("ann_lsh", annLsh, Some(oAnnLsh)),
     QueryDef("ann_ivf", annIvf, Some(oAnnIvf)),
-    QueryDef("ann_pq", annPq, None),
-    QueryDef("ann_ivf_pq", annIvfPq, None),
+    QueryDef("ann_pq", annPq, Some(oAnnPq)),
+    QueryDef("ann_ivf_pq", annIvfPq, Some(oAnnIvfPq)),
     QueryDef("text_langid", textLangid, Some(oTextLangid)),
     QueryDef("corpus_stats", corpusStats, Some(oCorpusStats)),
     QueryDef("corpus_filtered", corpusFiltered, Some(oCorpusFiltered)),

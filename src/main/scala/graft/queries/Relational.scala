@@ -1134,11 +1134,17 @@ object Relational {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM pd ORDER BY event_type, day""".stripMargin
 
-  // B46 (r8): ordered ARRAY aggregation — per-group sorted lists as
-  // first-class array columns (the "journey as an array" shape B30
+  // B46 (r8, exported form fixed r9): ordered ARRAY aggregation —
+  // per-group sorted lists (the "journey as an array" shape B30
   // exports as a string). Spark: collect_list + sort_array (the
   // aggregation itself is order-nondeterministic, the sort pins it);
-  // DuckDB: list(… ORDER BY …). The compare walks array elements.
+  // DuckDB: list(… ORDER BY …). The driver's pandas comparator
+  // cannot sort/hash raw array cells (r8 verdict: the one red row),
+  // so the gate exports canonical SCALAR renderings of each array —
+  // comma-joined elements plus the element count — which pin the
+  // same ordered content byte-for-byte. The first-class array-typed
+  // surface stays pinned in RelationalSpec (same construction,
+  // element-wise equality).
   def qSortedArrays(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
       .groupBy("l_orderkey").agg(
@@ -1146,14 +1152,22 @@ object Relational {
         sort_array(collect_list(
           concat(col("l_returnflag"), col("l_linestatus")))).as("flags"),
         sort_array(collect_set(col("l_returnflag"))).as("flags_distinct"))
+      .select(col("l_orderkey"),
+        array_join(col("lines").cast("array<string>"), ",").as("lines_s"),
+        size(col("lines")).as("n_lines"),
+        array_join(col("flags"), ",").as("flags_s"),
+        array_join(col("flags_distinct"), ",").as("flags_distinct_s"))
       .orderBy(col("l_orderkey"))
 
   private val oSortedArrays =
     """SELECT l_orderkey,
-      |  list(l_linenumber ORDER BY l_linenumber) AS lines,
-      |  list(l_returnflag || l_linestatus ORDER BY l_returnflag || l_linestatus)
-      |    AS flags,
-      |  list_sort(list(DISTINCT l_returnflag)) AS flags_distinct
+      |  array_to_string(list(CAST(l_linenumber AS VARCHAR) ORDER BY l_linenumber), ',')
+      |    AS lines_s,
+      |  CAST(count(*) AS INT) AS n_lines,
+      |  array_to_string(list(l_returnflag || l_linestatus
+      |    ORDER BY l_returnflag || l_linestatus), ',') AS flags_s,
+      |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',')
+      |    AS flags_distinct_s
       |FROM lineitem WHERE l_orderkey % 100 = 0
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
