@@ -585,6 +585,14 @@ object CdcPipeline {
     * `keepBuckets` copy by reference-sized driver I/O, all others
     * drop; a column listed in `dropCols` loses its whole index.
     * Returns the surviving `bloom.*` meta entries.
+    *
+    * The meta KEY survives even when zero sidecars do (a publish that
+    * rewrote every bucket): it is the declaration "this column is
+    * bloom-indexed", which readPoint treats identically to
+    * all-entries-missing (every bucket must-read — degrade, never
+    * lie) and which [[maintain]]'s rebuild trigger needs to SEE the
+    * fully-degraded index; dropping the key made that degradation
+    * permanent and invisible (r8 verdict #2).
     */
   private def carryBlooms(targetDir: String, prev: Manifest, keepBuckets: Set[Int],
       next: Long, dropCols: Set[String] = Set.empty): Map[String, String] =
@@ -593,15 +601,13 @@ object CdcPipeline {
       if (dropCols.contains(column)) None
       else {
         val srcDir = bloomDirPath(targetDir, prev.meta(key), column)
-        val copied = keepBuckets.toSeq.sorted.count { b =>
+        keepBuckets.toSeq.sorted.foreach { b =>
           val src = s"$srcDir/$b.bf"
-          val found = StoreFs.exists(src)
-          if (found) StoreFs.writeBytes(
+          if (StoreFs.exists(src)) StoreFs.writeBytes(
             s"$targetDir/v$next/$BloomDir/${statEnc(column)}/$b.bf",
             StoreFs.readBytes(src))
-          found
         }
-        if (copied > 0) Some(key -> s"v$next") else None
+        Some(key -> s"v$next")
       }
     }.toMap
 
@@ -728,7 +734,11 @@ object CdcPipeline {
     * one-writer-at-a-time commit protocol (A52/A66) they are monotone
     * in version order per host, and the tie-break is max VERSION
     * among qualifying commits, so equal-timestamp commits resolve to
-    * the later one (Delta's behavior).
+    * the later one (Delta's behavior). A timestamp AFTER the latest
+    * placeable commit serves that latest commit — Iceberg's
+    * as-of-time semantics (Delta instead errors past the newest
+    * commit; callers wanting that refusal can compare against
+    * `currentVersion` first).
     */
   def readSnapshotAsOfTime(spark: SparkSession, targetDir: String,
       tsUs: Long): Option[DataFrame] =
@@ -738,17 +748,42 @@ object CdcPipeline {
     * callers can compose the time axis with the version-keyed
     * surfaces ("what changed since yesterday 09:00" =
     * `readChangeFeed(versionAsOfTime(t).get, currentVersion.get)`).
+    *
+    * Versions that cannot be placed on the time axis (no parseable
+    * manifest or no `commit_us` meta — pre-A45 publishes) are skipped,
+    * which can silently resolve to an OLDER state than the skipped
+    * version represents. Rather than guess, this surfaces the hazard:
+    * [[unplaceableVersions]] lists exactly the skipped versions so a
+    * caller (or audit) can decide whether time travel is trustworthy
+    * on this store; `readSnapshotAsOfTime` keeps serving the placeable
+    * answer (r8 ADVICE).
     */
   def versionAsOfTime(targetDir: String, tsUs: Long): Option[Long] =
     currentVersion(targetDir).flatMap { cur =>
       StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
         .map(_.stripPrefix("v").toLong).filter(_ <= cur)
-        .filter(v => manifest(targetDir, v)
-          .flatMap(_.meta.get("commit_us"))
-          .flatMap(s => scala.util.Try(s.toLong).toOption)
-          .exists(_ <= tsUs))
+        .filter(v => commitUsOf(targetDir, v).exists(_ <= tsUs))
         .sorted.lastOption
     }
+
+  private def commitUsOf(targetDir: String, v: Long): Option[Long] =
+    manifest(targetDir, v)
+      .flatMap(_.meta.get("commit_us"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  /** Committed versions `versionAsOfTime` cannot place on the time
+    * axis (unparseable manifest / missing `commit_us`). Non-empty
+    * means a time-travel read may resolve past states that skip these
+    * versions — the caller's signal to fall back to the explicit
+    * version API for them.
+    */
+  def unplaceableVersions(targetDir: String): Seq[Long] =
+    currentVersion(targetDir).map { cur =>
+      StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
+        .map(_.stripPrefix("v").toLong).filter(_ <= cur)
+        .filterNot(v => commitUsOf(targetDir, v).isDefined)
+        .sorted
+    }.getOrElse(Nil)
 
   /** Buckets whose content can differ between two manifests. A bucket
     * carried by reference points at the SAME immutable files in both
@@ -1731,7 +1766,18 @@ object CdcPipeline {
       sortCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
       keepVersions: Option[Int] = Some(3),
-      expireOlderThanUs: Option[Long] = None)
+      expireOlderThanUs: Option[Long] = None,
+      /** Rebuild a column's bloom index (A54) once MORE than this
+        * percentage of the current buckets lack a sidecar — delta
+        * publishes and OPTIMIZE drop rewritten buckets' entries
+        * (degrade-never-lie), so a store that merges nightly loses
+        * point-lookup pruning bucket by bucket unless something
+        * reindexes (r8 verdict #2). The check is driver metadata
+        * only; the rebuild is [[buildBloomIndex]]'s one Spark pass.
+        */
+      bloomRebuildPct: Option[Int] = Some(30),
+      bloomExpectedPerBucket: Long = 100000L,
+      bloomFpp: Double = 0.01)
 
   /** What [[maintain]] actually did. A fully-idle store yields the
     * all-empty report — calling maintain in a loop is free.
@@ -1739,6 +1785,7 @@ object CdcPipeline {
   final case class MaintenanceReport(
       foldedDvVersion: Option[Long],
       optimizedBuckets: Set[Int], optimizeVersion: Option[Long],
+      bloomRebuilt: Seq[String],
       expired: Seq[Long], vacuumed: Seq[Long])
 
   /** One-call maintenance driver (A64 — the scheduler slot every
@@ -1752,7 +1799,10 @@ object CdcPipeline {
     *  2. OPTIMIZE exactly the buckets fragmented past
     *     `smallFilesPerBucket` files (A40; `sortCols` default = the
     *     PK — pure compaction when no better clustering is declared),
-    *  3. expire pre-horizon snapshots (A62), 4. vacuum to
+    *  3. rebuild any bloom index (A54) degraded past
+    *     `bloomRebuildPct` missing sidecars — after the rewrites so
+    *     the new filters cover the layout they produced,
+    *  4. expire pre-horizon snapshots (A62), 5. vacuum to
     *     `keepVersions` (A21).
     *
     * The whole pass runs under the writer lease (A46) so it can never
@@ -1790,11 +1840,33 @@ object CdcPipeline {
             sortCols = if (policy.sortCols.nonEmpty) policy.sortCols else pkCols,
             maxRecordsPerFile = policy.maxRecordsPerFile,
             buckets = Some(frag))
+        // bloom reindex AFTER fold/optimize so the fresh filters cover
+        // the layout those rewrites just produced (indexing first
+        // would drop the new entries again in the same pass). The
+        // missing-fraction check is sidecar existence against the
+        // CURRENT manifest — driver metadata I/O, zero Spark jobs.
+        val bloomRebuilt: Seq[String] = policy.bloomRebuildPct match {
+          case None => Nil
+          case Some(pct) =>
+            val degraded = for {
+              v <- currentVersion(targetDir).toSeq
+              m <- manifest(targetDir, v).toSeq
+              key <- m.meta.keys.filter(_.startsWith("bloom.")).toSeq.sorted
+              column = key.stripPrefix("bloom.")
+              dir = bloomDirPath(targetDir, m.meta(key), column)
+              missing = m.buckets.keySet.count(b => !StoreFs.exists(s"$dir/$b.bf"))
+              if m.buckets.nonEmpty &&
+                missing.toLong * 100 > pct.toLong * m.buckets.size
+            } yield column
+            degraded.foreach(c => buildBloomIndex(spark, targetDir, c,
+              policy.bloomExpectedPerBucket, policy.bloomFpp))
+            degraded
+        }
         val expired = policy.expireOlderThanUs
           .map(expireSnapshots(targetDir, _)).getOrElse(Seq.empty)
         val vacuumed = policy.keepVersions
           .map(vacuum(targetDir, _)).getOrElse(Seq.empty)
-        MaintenanceReport(folded, frag, optV, expired, vacuumed)
+        MaintenanceReport(folded, frag, optV, bloomRebuilt, expired, vacuumed)
       }
     }
 
@@ -1858,8 +1930,12 @@ object CdcPipeline {
     // carried-bucket references are live too, not just its own dir;
     // version dirs pinned by registered shallow clones stay live until
     // the pin is dropped (clone references are reads from ANOTHER
-    // store this vacuum cannot see — the pin file is how they count)
-    val keptVersions = (math.max(0L, cur - keepVersions + 1) to cur).toSeq
+    // store this vacuum cannot see — the pin file is how they count).
+    // keepVersions is clamped to ≥1: the CURRENT version is never
+    // reclaimable, so a non-positive window would contradict the
+    // invariant the liveness walk enforces (r8 ADVICE).
+    val keep = math.max(1, keepVersions)
+    val keptVersions = (math.max(0L, cur - keep + 1) to cur).toSeq
     reclaimExcept(targetDir, cur, keptVersions)
   }
 
@@ -1907,7 +1983,10 @@ object CdcPipeline {
     */
   def vacuumPreview(targetDir: String, keepVersions: Int = 2): Seq[(Long, Long)] = {
     val cur = currentVersion(targetDir).getOrElse(return Nil)
-    val keptVersions = (math.max(0L, cur - keepVersions + 1) to cur).toSeq
+    // same ≥1 clamp as vacuum — the preview must NEVER list a version
+    // the delete would refuse to touch (the current one).
+    val keep = math.max(1, keepVersions)
+    val keptVersions = (math.max(0L, cur - keep + 1) to cur).toSeq
     reclaimable(targetDir, cur, keptVersions)
       .map(d => (d.stripPrefix("v").toLong, StoreFs.treeBytes(s"$targetDir/$d")))
       .sortBy(_._1)
@@ -2000,11 +2079,15 @@ object CdcPipeline {
         StoreFs.copyDir(dvPath(sourceDir, ref), s"$destDir/v0/$DvDir")
         "dv" -> "v0"
       }.toMap ++
-        m.meta.keys.filter(_.startsWith("bloom.")).map { key =>
+        m.meta.keys.filter(_.startsWith("bloom.")).flatMap { key =>
           val column = key.stripPrefix("bloom.")
-          StoreFs.copyDir(bloomDirPath(sourceDir, m.meta(key), column),
-            s"$destDir/v0/$BloomDir/${statEnc(column)}")
-          key -> "v0"
+          val src = bloomDirPath(sourceDir, m.meta(key), column)
+          // a fully-degraded index (key kept as a rebuild declaration,
+          // zero surviving sidecars — see carryBlooms) has no dir to
+          // copy; the clone still inherits the declaration
+          if (StoreFs.exists(src))
+            StoreFs.copyDir(src, s"$destDir/v0/$BloomDir/${statEnc(column)}")
+          Some(key -> "v0")
         }.toMap
       if (deep) {
         resolved.foreach { case (b, verDir) =>

@@ -105,6 +105,71 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(probed.size < full.size)
   }
 
+  test("maintain auto-rebuilds a degraded bloom index; healthy and idle passes are no-ops") {
+    val dir = tmp()
+    CdcPipeline.publish(fixture(4000), dir, Seq("id"), buckets = Some(B))
+    CdcPipeline.buildBloomIndex(spark, dir, "tag", expectedPerBucket = 1000L).get
+    // isolate the bloom step: no fold/compaction/vacuum interference
+    val policy = CdcPipeline.MaintenancePolicy(dvFoldPct = None,
+      smallFilesPerBucket = None, keepVersions = None,
+      bloomRebuildPct = Some(30), bloomExpectedPerBucket = 1000L)
+
+    // healthy index: below-threshold degradation (1/8 buckets) must NOT fire
+    val m0 = CdcPipeline.manifest(dir, CdcPipeline.currentVersion(dir).get).get
+    val b0 = CdcPipeline.readBuckets(spark, dir, m0, Set(0))
+      .withColumn("tag", concat(col("tag"), lit("-y")))
+    CdcPipeline.publishDelta(b0, dir, Seq("id"), m0, Set(0), batchId = -1L)
+    val rHealthy = CdcPipeline.maintain(spark, dir, Seq("id"), policy).get
+    assert(rHealthy.bloomRebuilt.isEmpty,
+      s"12.5% missing must stay under the 30% trigger: $rHealthy")
+
+    // nightly-merge degradation: rewrite 3 more buckets (4/8 = 50% missing)
+    val m1 = CdcPipeline.manifest(dir, CdcPipeline.currentVersion(dir).get).get
+    val b123 = CdcPipeline.readBuckets(spark, dir, m1, Set(1, 2, 3))
+      .withColumn("tag", concat(col("tag"), lit("-z")))
+    CdcPipeline.publishDelta(b123, dir, Seq("id"), m1, Set(1, 2, 3), batchId = -1L)
+    val r = CdcPipeline.maintain(spark, dir, Seq("id"), policy).get
+    assert(r.bloomRebuilt === Seq("tag"), s"50% missing must rebuild: $r")
+    // pruning restored: a selective probe reads a strict file subset,
+    // and rewritten-bucket content resolves through the FRESH filters
+    val mNow = CdcPipeline.manifest(dir, CdcPipeline.currentVersion(dir).get).get
+    val zRow = CdcPipeline.readBuckets(spark, dir, mNow, Set(1))
+      .select("id", "tag").head()
+    val full = CdcPipeline.readSnapshot(spark, dir).get.inputFiles.toSet
+    val probed = CdcPipeline.readPoint(spark, dir, "tag",
+      Seq(zRow.getString(1))).get.inputFiles.toSet
+    assert(probed.subsetOf(full) && probed.size < full.size,
+      s"rebuild must restore pruning: ${probed.size} of ${full.size}")
+    assert(lookup(dir, "tag", Seq(zRow.getString(1))) === Set(zRow.getLong(0)))
+
+    // idle: nothing degraded → metadata-only no-op, version unchanged
+    val vIdle = CdcPipeline.currentVersion(dir).get
+    val r2 = CdcPipeline.maintain(spark, dir, Seq("id"), policy).get
+    assert(r2.bloomRebuilt.isEmpty)
+    assert(CdcPipeline.currentVersion(dir).get === vIdle)
+
+    // full rewrite (every bucket): the meta key must SURVIVE as a
+    // declaration (r8 verdict #2 — the degradation used to become
+    // permanent and invisible here) and maintain must still rebuild
+    val m2 = CdcPipeline.manifest(dir, vIdle).get
+    val all = CdcPipeline.readBuckets(spark, dir, m2, m2.buckets.keySet)
+      .withColumn("tag", concat(col("tag"), lit("-w")))
+    CdcPipeline.publishDelta(all, dir, Seq("id"), m2, m2.buckets.keySet,
+      batchId = -1L)
+    val mAfter = CdcPipeline.manifest(dir, CdcPipeline.currentVersion(dir).get).get
+    assert(mAfter.meta.contains("bloom.tag"),
+      "a 100%-rewrite publish must keep the index declaration")
+    val r3 = CdcPipeline.maintain(spark, dir, Seq("id"), policy).get
+    assert(r3.bloomRebuilt === Seq("tag"))
+    val wRow = CdcPipeline.readSnapshot(spark, dir).get
+      .select("id", "tag").head()
+    val full3 = CdcPipeline.readSnapshot(spark, dir).get.inputFiles.toSet
+    val probed3 = CdcPipeline.readPoint(spark, dir, "tag",
+      Seq(wRow.getString(1))).get.inputFiles.toSet
+    assert(probed3.size < full3.size, "pruning must recover after full rewrite")
+    assert(lookup(dir, "tag", Seq(wRow.getString(1))) === Set(wRow.getLong(0)))
+  }
+
   test("deletion-vector rows never resurface through the bloom path") {
     val dir = tmp()
     CdcPipeline.publish(fixture(2000), dir, Seq("id"), buckets = Some(B))

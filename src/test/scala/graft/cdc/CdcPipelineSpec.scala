@@ -1532,7 +1532,7 @@ class CdcPipelineSpec extends AnyFunSuite {
       CdcPipeline.MaintenancePolicy(smallFilesPerBucket = Some(1),
         keepVersions = Some(1))).get
     assert(r2 === CdcPipeline.MaintenanceReport(None, Set.empty, None,
-      Seq.empty, Seq.empty))
+      Seq.empty, Seq.empty, Seq.empty))
     assert(CdcPipeline.currentVersion(dir).get === v, "idle maintain publishes nothing")
     // no store → None
     assert(CdcPipeline.maintain(spark, tmp(), Seq("id")) === None)

@@ -158,4 +158,46 @@ class JoinViewSpec extends AnyFunSuite {
     JoinView.applyDimDelta(spark, spec, Seq((6L, "B2", "u")).toDF("dk", "seg", "__op"))
     assert(viewRows(spec) === Set((1L, 6L, 11L, Some("B2")), (2L, 6L, 20L, Some("B2"))))
   }
+
+  test("maintainIndex fires on the metadata stale bound and restores exact pruning; healthy view is a no-op") {
+    val spec = JoinView.JoinViewSpec(tmp(), Seq("pk"), "fk", "dk", Seq("seg"), numBuckets = 8)
+    // every fact row references a DISTINCT fk, so index pairs == view
+    // rows exactly and the stale LOWER BOUND (indexRows − viewRows)
+    // equals the true stale count — the bound's tight case
+    val fact = (1L to 100L).map(pk => (pk, pk, pk * 10))
+    val dim = (1L to 100L).map(k => (k, s"s$k"))
+    JoinView.bootstrap(spark, spec, factDf(fact), dimDf(dim))
+
+    // healthy: zero stale pairs → metadata-only no-op
+    val vIdle = CdcPipeline.currentVersion(s"${spec.viewDir}/_fkindex").get
+    assert(!JoinView.maintainIndex(spark, spec, maxStalePct = 20))
+    assert(CdcPipeline.currentVersion(s"${spec.viewDir}/_fkindex").get === vIdle,
+      "healthy maintainIndex must publish nothing")
+
+    // delete 30% of the fact rows: their index pairs go stale, the
+    // footer bound sees exactly 30/100 > 20% and must fire
+    val dels = (1L to 30L).map(pk => pk)
+    JoinView.applyFactDelta(spark, spec,
+      dels.toDF("pk").withColumn("fk", lit(null).cast("long"))
+        .withColumn("pay", lit(null).cast("long")).withColumn("__op", lit("d")),
+      dimDf(dim), Some(dels.size.toLong))
+    def indexFks: Set[Long] =
+      CdcPipeline.readSnapshot(spark, s"${spec.viewDir}/_fkindex").get
+        .collect().map(_.getLong(0)).toSet
+    assert(dels.forall(indexFks.contains), "stale pairs expected pre-maintain")
+    assert(JoinView.maintainIndex(spark, spec, maxStalePct = 20),
+      "30% provable staleness must cross the 20% bound")
+    assert(dels.forall(d => !indexFks.contains(d)),
+      "rebuild must drop every abandoned fk")
+    // pruning is exact again: a dim change to a surviving key touches
+    // only its referer's bucket, and a second maintainIndex is idle
+    assert(!JoinView.maintainIndex(spark, spec, maxStalePct = 20))
+    JoinView.applyDimDelta(spark, spec, Seq((77L, "UPD", "u")).toDF("dk", "seg", "__op"))
+    val hist = CdcPipeline.describeHistory(spark, spec.viewDir).get
+      .filter(col("op") === "join-view-dim")
+      .select("rewritten_buckets").head()
+    assert(hist.getInt(0) === 1, s"exact index must prune to one bucket: $hist")
+    assert(JoinView.read(spark, spec).get
+      .filter(col("fk") === 77L && col("seg") === "UPD").count() === 1L)
+  }
 }
