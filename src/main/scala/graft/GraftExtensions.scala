@@ -30,8 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Int-range-checked integer literal — a BIGINT literal beyond Int
+    * range must error, not `.toInt`-wrap into a nonsense (possibly
+    * negative) value (r8 ADVICE on graft_vacuum_preview's keep
+    * argument).
+    */
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
+    case Literal(v: Long, _) =>
+      if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+        s"$what out of Int range: $v")
+      else v.toInt
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
@@ -209,7 +218,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val path = strLit(args(0), "graft_vacuum_preview path")
         val keep = if (args.length > 1)
-          longLit(args(1), "graft_vacuum_preview keepVersions").toInt else 2
+          intLit(args(1), "graft_vacuum_preview keepVersions") else 2
         val spark = active
         import spark.implicits._
         plan(graft.cdc.CdcPipeline.vacuumPreview(path, keep)
@@ -226,6 +235,193 @@ object GraftExtensions {
         plan(graft.cdc.CdcPipeline.readChangeFeed(active, path, pk, from, to).getOrElse(
           throw new IllegalArgumentException(
             s"change feed ($from, $to] unavailable at $path (vacuumed or missing)")))
+      })) ++ mutationFunctions
+
+  // ---- procedure-style mutation TVFs: the store's WRITE surface in
+  //      plain SQL (r8 verdict #4) ----
+  //
+  // The read TVFs above make the store queryable from SQL; these make
+  // it MAINTAINABLE: `SELECT * FROM graft_merge(path, pks, sourceSql)`,
+  // graft_delete_where / graft_update_where / graft_optimize /
+  // graft_maintain / graft_vacuum. The reference's only user is a SQL
+  // one — its whole pipeline is a stored procedure
+  // (bigquery_syntex_merge_sql/merge.sql:1) — so without these a pure
+  // SQL user could read the store but never change it. Each executes
+  // the corresponding Scala op (A38/A41/A40/A64/A21 — same gates,
+  // claims, and leases; SQL is a veneer, not a second write path) and
+  // resolves to a LocalRelation of the op's report row(s).
+  //
+  // Procedure semantics, Delta-style caveat: the builder runs at
+  // ANALYSIS time, so the op executes when the statement is analyzed
+  // — an EXPLAIN of a mutation TVF performs the mutation. That is the
+  // documented cost of procedure TVFs without a parser fork; Spark's
+  // own DSv2 DELETE/MERGE commands would need the store to become a
+  // DSv2 Table, the designed follow-up (SURVEY §7).
+
+  private def csvArg(e: Expression, what: String): Seq[String] =
+    strLit(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def predArg(e: Expression, what: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(strLit(e, what))
+
+  /** `"colA = expr; colB = expr"` → SET map. Semicolon-separated so
+    * assignment expressions may themselves contain commas
+    * (`greatest(a, b)`); split on the FIRST `=` of each assignment so
+    * `=` inside the expression (e.g. `<=`) survives — good enough
+    * because a column name cannot contain `=`.
+    */
+  private def setArg(e: Expression, what: String): Map[String, org.apache.spark.sql.Column] =
+    strLit(e, what).split(";").map(_.trim).filter(_.nonEmpty).map { a =>
+      val i = a.indexOf('=')
+      if (i <= 0) throw new IllegalArgumentException(
+        s"$what assignment must be 'col = expr', got '$a'")
+      a.substring(0, i).trim -> org.apache.spark.sql.functions.expr(a.substring(i + 1).trim)
+    }.toMap
+
+  // lazy: referenced by tableFunctions' initializer above it
+  private lazy val mutationFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    // graft_create(path, 'pk1,pk2', sourceSql[, numBuckets]) →
+    // bootstrap a NEW store from a query — the CREATE TABLE AS of the
+    // bucketed store, completing the pure-SQL lifecycle (create →
+    // read → merge/delete/update → maintain → vacuum). Refuses to
+    // overwrite an existing store. Returns (version).
+    (FunctionIdentifier("graft_create"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_create"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_create path")
+        val pk = csvArg(args(1), "graft_create pk list")
+        val srcSql = strLit(args(2), "graft_create source SQL")
+        val buckets = if (args.length > 3)
+          Some(intLit(args(3), "graft_create numBuckets")) else None
+        val spark = active
+        if (graft.cdc.CdcPipeline.currentVersion(path).isDefined)
+          throw new IllegalArgumentException(
+            s"graft store already exists at $path — merge into it instead")
+        val v = graft.cdc.CdcPipeline.publish(spark.sql(srcSql), path, pk,
+          buckets = buckets)
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_merge(path, 'pk1,pk2', sourceSql): UPSERT merge of the
+    // sourceSql rows into the store — rows whose `__op` column (if
+    // present) is 'd' delete their key instead. Touched buckets come
+    // from the SOURCE keys, so I/O is delta-sized like every other
+    // store merge; the MergeInto builder (A38) supplies the
+    // one-join/one-projection plan and the ANSI duplicate-source
+    // rejection. Returns (version, source_rows).
+    (FunctionIdentifier("graft_merge"),
+      new ExpressionInfo("graft.cdc.MergeInto", "graft_merge"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_merge path")
+        val pk = csvArg(args(1), "graft_merge pk list")
+        val srcSql = strLit(args(2), "graft_merge source SQL")
+        val spark = active
+        import graft.cdc.{CdcPipeline, MergeInto}
+        import org.apache.spark.sql.functions.lit
+        val cur = CdcPipeline.currentVersion(path).getOrElse(
+          throw new IllegalArgumentException(s"no graft store at $path"))
+        val m = CdcPipeline.manifest(path, cur).getOrElse(
+          throw new IllegalArgumentException(s"no manifest for v$cur at $path"))
+        val source = spark.sql(srcSql)
+        val srcRows = source.count()
+        val touched = source
+          .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val v =
+          if (touched.isEmpty) cur
+          else {
+            val subset = CdcPipeline.readBuckets(spark, path, m, touched)
+            val hasOp = source.columns.contains(graft.cdc.CdcEnvelope.OpCol)
+            val opCol = MergeInto.src(graft.cdc.CdcEnvelope.OpCol)
+            val mi0 = MergeInto(subset, source, pk)
+            val mi =
+              if (hasOp)
+                mi0.whenMatchedDelete(opCol === lit("d"))
+                  .whenMatchedUpdateAll()
+                  .whenNotMatchedInsertAll(opCol =!= lit("d"))
+              else mi0.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            // __op is the verb, not a target column: drop it from the
+            // UPDATE/INSERT column maps (updateAll/insertAll map only
+            // TARGET columns, so nothing references it except the
+            // clause conditions above)
+            CdcPipeline.publishDelta(mi.run(), path, pk, m, touched,
+              batchId = -1L, op = "sql-merge")
+          }
+        import spark.implicits._
+        plan(Seq((v, srcRows)).toDF("version", "source_rows"))
+      }),
+    // graft_delete_where(path, 'pk', predicateSql) → A41 copy-on-write
+    // predicate DELETE. Returns (version, deleted_rows).
+    (FunctionIdentifier("graft_delete_where"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_delete_where"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_delete_where path")
+        val pk = csvArg(args(1), "graft_delete_where pk list")
+        val pred = predArg(args(2), "graft_delete_where predicate")
+        val spark = active
+        val (v, n) = graft.cdc.CdcPipeline.deleteWhere(spark, path, pk, pred)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq((v, n)).toDF("version", "deleted_rows"))
+      }),
+    // graft_update_where(path, 'pk', predicateSql, 'col = expr; …')
+    // → A41 predicate UPDATE. Returns (version, updated_rows).
+    (FunctionIdentifier("graft_update_where"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_update_where"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_update_where path")
+        val pk = csvArg(args(1), "graft_update_where pk list")
+        val pred = predArg(args(2), "graft_update_where predicate")
+        val set = setArg(args(3), "graft_update_where SET")
+        val spark = active
+        val (v, n) = graft.cdc.CdcPipeline.updateWhere(spark, path, pk, pred, set)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq((v, n)).toDF("version", "updated_rows"))
+      }),
+    // graft_optimize(path, 'pk'[, 'sortCol1,sortCol2']) → A40 file
+    // clustering (sort default = the PK). Returns (version).
+    (FunctionIdentifier("graft_optimize"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_optimize"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_optimize path")
+        val pk = csvArg(args(1), "graft_optimize pk list")
+        val sortCols = if (args.length > 2)
+          csvArg(args(2), "graft_optimize sort list") else pk
+        val spark = active
+        val v = graft.cdc.CdcPipeline.optimize(spark, path, pk, sortCols)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_maintain(path, 'pk') → the A64 one-call driver under its
+    // default policy. Returns the report as one row.
+    (FunctionIdentifier("graft_maintain"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_maintain"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_maintain path")
+        val pk = csvArg(args(1), "graft_maintain pk list")
+        val spark = active
+        val r = graft.cdc.CdcPipeline.maintain(spark, path, pk)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq((r.foldedDvVersion, r.optimizedBuckets.toSeq.sorted,
+          r.optimizeVersion, r.bloomRebuilt, r.expired, r.vacuumed))
+          .toDF("folded_dv_version", "optimized_buckets", "optimize_version",
+            "bloom_rebuilt", "expired", "vacuumed"))
+      }),
+    // graft_vacuum(path[, keepVersions]) → A21 reclaim (the DRY RUN
+    // twin is graft_vacuum_preview). One row per reclaimed version.
+    (FunctionIdentifier("graft_vacuum"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_vacuum"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_vacuum path")
+        val keep = if (args.length > 1)
+          intLit(args(1), "graft_vacuum keepVersions") else 2
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.vacuum(path, keep).toDF("reclaimed_version"))
       }))
 
   /** Register into an already-built session (tests, REPLs). */

@@ -215,4 +215,77 @@ class GraftExtensionsSpec extends AnyFunSuite {
       ("misrouted_rows", "ok", 0L)))
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
+
+  test("pure-SQL store lifecycle: create → merge → delete → update → optimize → maintain → vacuum") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlw").toString
+
+    // CREATE TABLE AS — SQL only, 8 buckets
+    val v0 = spark.sql(
+      s"""SELECT version FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 3 AS v, CAST(id % 5 AS STRING) AS tag FROM range(0, 1000)', 8)"""
+        .stripMargin).collect()(0).getLong(0)
+    assert(v0 === 0L)
+    assert(CdcPipeline.fastCount(dir).contains(1000L))
+    // refuses to clobber
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_create('$dir', 'id', 'SELECT 1 AS id')").collect()
+    }
+
+    // MERGE: 10 updates, 5 inserts, 3 __op='d' deletes — one statement
+    // (string literals inside the nested source SQL use double quotes
+    // so they survive the outer single-quoted argument)
+    val mr = spark.sql(
+      s"""SELECT * FROM graft_merge('$dir', 'id',
+         |  'SELECT id, id * 100 AS v, CAST("m" AS STRING) AS tag,
+         |          CASE WHEN id >= 20 AND id < 23 THEN "d" ELSE "u" END AS __op
+         |   FROM range(10, 23) UNION ALL
+         |   SELECT id, id * 100, "new", "u" FROM range(1000, 1005)')"""
+        .stripMargin).collect()(0)
+    assert(mr.getLong(1) === 18L, "source_rows")
+    val afterMerge = spark.sql(
+      s"SELECT count(*), sum(CASE WHEN v = id * 100 AND id >= 10 THEN 1 ELSE 0 END) " +
+        s"FROM graft_snapshot('$dir')").collect()(0)
+    assert(afterMerge.getLong(0) === 1000L + 5 - 3)
+    assert(afterMerge.getLong(1) === 15L, "10 updated + 5 inserted rows carry v = id*100")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir') WHERE id IN (20, 21, 22)")
+      .collect()(0).getLong(0) === 0L, "__op='d' rows must delete")
+
+    // DELETE FROM … WHERE
+    val dr = spark.sql(
+      s"SELECT * FROM graft_delete_where('$dir', 'id', 'id >= 900 AND id < 1000')")
+      .collect()(0)
+    assert(dr.getLong(1) === 100L)
+    // UPDATE … SET (semicolon-separated assignments, commas inside)
+    val ur = spark.sql(
+      s"""SELECT * FROM graft_update_where('$dir', 'id', 'id < 5',
+         |  'v = greatest(v, 7); tag = upper(tag)')""".stripMargin).collect()(0)
+    assert(ur.getLong(1) === 5L)
+    val updated = spark.sql(
+      s"SELECT v, tag FROM graft_snapshot('$dir') WHERE id = 0").collect()(0)
+    assert(updated.getLong(0) === 7L && updated.getString(1) === "0")
+
+    // OPTIMIZE clusters by tag; maintain under defaults is then idle
+    // (no DV, nothing fragmented); vacuum reclaims the old versions
+    spark.sql(s"SELECT * FROM graft_optimize('$dir', 'id', 'tag')").collect()
+    val main = spark.sql(s"SELECT * FROM graft_maintain('$dir', 'id')").collect()(0)
+    assert(main.isNullAt(0) && main.getSeq[Int](1).isEmpty,
+      s"fresh-optimized store: maintain must not re-fold or re-compact: $main")
+    val reclaimed = spark.sql(s"SELECT * FROM graft_vacuum('$dir', 1)")
+      .collect().map(_.getLong(0))
+    assert(reclaimed.nonEmpty, "vacuum to keep=1 must reclaim superseded versions")
+
+    // the state that survived all SQL verbs is exactly the model
+    val expect = (0L until 1000L).filterNot(i => i >= 900 || (i >= 20 && i < 23))
+      .map { i =>
+        val v0 = if (i >= 10 && i < 20) i * 100 else i * 3
+        val v = if (i < 5) math.max(v0, 7L) else v0
+        val tag = if (i >= 10 && i < 20) "m" else (i % 5).toString
+        (i, v, tag)
+      } ++ (1000L until 1005L).map(i => (i, i * 100, "new"))
+    val got = spark.sql(s"SELECT id, v, tag FROM graft_snapshot('$dir')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === expect.toSet)
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
 }
