@@ -178,6 +178,115 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic PATTERNED image fixture (r9, the perceptual-dedup
+    * twin of [[synthPng]]'s single gray): pixel (x, y) carries gray
+    * `(seed·37 + x·11 + y·23) mod 256`, so two images with the same
+    * seed have IDENTICAL pixels regardless of the container they are
+    * encoded into (`png` and `bmp` are both lossless for
+    * TYPE_INT_RGB) and different seeds differ in most pixels. That
+    * is exactly the fixture perceptual dedup needs: same-seed
+    * images must collide on any pixel-derived hash, cross-seed
+    * images must not.
+    */
+  def synthPatternImage(width: Int, height: Int, seed: Int,
+      format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = (seed * 37 + x * 11 + y * 23) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of an image — the standard cheap
+    * perceptual fingerprint (Krawetz's aHash/dHash family; what image
+    * dedup pipelines compute before grouping): decode, box-average
+    * the luma plane onto a 9×8 grid (integer-bounded boxes — fully
+    * deterministic, no AWT rescaler involved), then bit (y·8 + x) is
+    * set iff cell (x+1, y) is brighter than cell (x, y). Identical
+    * pixels → identical hash no matter the container; small edits
+    * flip few bits (Hamming-near hashes — [[graft.ops.Dedup.simhashPairs]]'
+    * banding applies unchanged if near-dup grouping is wanted). None
+    * when no installed reader decodes the bytes (quarantine, as
+    * imageInfo).
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth; val h = img.getHeight
+    if (w == 0 || h == 0) return None
+    val grid = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0.0; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = if (n == 0) 0.0 else sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val y = i / 8; val x = i % 8
+      if (grid(y)(x + 1) > grid(y)(x)) hash |= (1L << i)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  final case class MediaHash(media_id: Long, dhash: Long)
+
+  /** (media_id, dhash) per decodable blob — the perceptual-dedup key
+    * pass: one size-budgeted decode per blob (same partitioning
+    * discipline as [[extractFeatures]]), then grouping duplicates is
+    * a plain hash aggregation on the 8-byte key — shuffle ∝ blobs,
+    * never bytes. Undecodable rows quarantine (flatMap drop).
+    */
+  def extractDHash(media: DataFrame,
+      targetPartitionBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val totalBytes = media.agg(sum(length(col("bytes")))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetPartitionBytes).toInt)
+    media.select(col("media_id"), col("bytes"))
+      .repartition(parts)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        dHash64(bytes).map(MediaHash(id, _))
+      })
+      .toDF()
+  }
+
   final case class AudioInfo(media_id: Long, sample_rate: Int, channels: Int,
     frames: Long, encoding: String)
 

@@ -1811,6 +1811,58 @@ object OpsQueries {
        |  count(*) FILTER (b < CASE WHEN lang = 'en' THEN 100 ELSE 500 END) AS n_sampled
        |FROM b GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // C63 (r9): cluster-balanced sampling — the embedding-space twin of
+  // C20's metadata strata: quantize the corpus onto a fixed-size
+  // centroid table (the C16 training-free quantizer — broadcastable
+  // at any corpus size), then cap each cluster's contribution with a
+  // seeded deterministic order. This is the topic-diversity sampler a
+  // pretraining mix runs when metadata strata don't exist: without
+  // it, the dominant embedding cluster floods the sample. Scale
+  // shape: one broadcast cross of corpus × 16 centroids (never
+  // corpus × corpus), one window per cluster; sample size ∝
+  // clusters · cap. Assignment, seeded order, and per-cluster caps
+  // are all exact SQL — the oracle re-derives everything.
+  def sampleClusterBalanced(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("emb_c"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("emb_c")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cid"))
+    val seeded = Window.partitionBy("cid")
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#42"))), col("vec_id"))
+    assigned
+      .withColumn("pick", row_number().over(seeded))
+      .withColumn("n_cluster", count(lit(1)).over(Window.partitionBy("cid")))
+      .filter(col("pick") <= 5)
+      .select(col("cid"), col("pick"), col("vec_id"), col("n_cluster"))
+      .orderBy(col("cid"), col("pick"))
+  }
+
+  private val oSampleClusterBalanced =
+    """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+      |              WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                               CAST(c.embedding AS DOUBLE[])) DESC,
+      |        c.cid) AS r
+      |    FROM embeddings e CROSS JOIN cent c) t WHERE r = 1),
+      |sized AS (
+      |  SELECT vec_id, cid,
+      |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_cluster,
+      |    CAST(row_number() OVER (PARTITION BY cid
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42'), vec_id) AS INT) AS pick
+      |  FROM assign)
+      |SELECT cid, pick, vec_id, n_cluster FROM sized
+      |WHERE pick <= 5 ORDER BY cid, pick""".stripMargin
+
   // C14c: long-document chunk splitting — the pre-pass packSequences
   // declares as the caller's job. Pure per-row map work (explode over
   // chunk indices + token slicing), chunk identity (doc_id,
@@ -2267,6 +2319,49 @@ object OpsQueries {
       |FROM documents WHERE doc_id % 7 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // C62 (r9): perceptual-hash image dedup — the pixel-level
+  // duplicate detection every multimodal training pipeline runs
+  // (the same photo arrives as a PNG and a BMP/JPEG re-encode; byte
+  // hashing can never see it). Fixture: 8 pattern classes, each
+  // rendered into BOTH containers (lossless for these pixels), so
+  // the dHash grouping must (a) collide same-pixel images ACROSS
+  // container formats and (b) separate the 8 classes — the oracle
+  // re-derives groups from the fixture arithmetic alone, so a hash
+  // collision, a decode drift, or a grouping bug all break it.
+  // n_formats = 2 per group is the cross-container proof (sniffed
+  // from the bytes by the real header parse, not the label). Scale
+  // shape: one size-budgeted decode pass, then dedup is a hash agg
+  // on an 8-byte key — shuffle ∝ blobs, never bytes.
+  def multimodalImageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .as[Long]
+      .map { id =>
+        val fmt = if ((id / 8) % 2 == 0) "png" else "bmp"
+        (id, s"image/$fmt",
+          Multimodal.synthPatternImage(24, 16, (id % 8).toInt, fmt))
+      }
+      .toDF("media_id", "media_type", "bytes")
+    Multimodal.extractDHash(media)
+      .join(Multimodal.extractDims(media), "media_id")
+      .groupBy("dhash")
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("format")).as("n_formats"),
+        max(col("width")).as("width"), max(col("height")).as("height"))
+      .select("keep_id", "n_members", "n_formats", "width", "height")
+      .orderBy("keep_id")
+  }
+
+  private val oMultimodalImageDedup =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_members,
+      |  count(DISTINCT (doc_id // 8) % 2) AS n_formats,
+      |  24 AS width, 16 AS height
+      |FROM documents WHERE doc_id % 5 = 0
+      |GROUP BY doc_id % 8 ORDER BY keep_id""".stripMargin
+
   // C12b (r8): the non-image modality — WAV audio rendered in-flight
   // (PCM-16, rate/channels/frames arithmetic functions of doc_id via
   // the JDK's own writer), then probed BACK through extractAudioInfo
@@ -2335,6 +2430,8 @@ object OpsQueries {
     QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),
     QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
     QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),
+    QueryDef("multimodal_image_dedup", multimodalImageDedup,
+      Some(oMultimodalImageDedup)),
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(oDedupMinhashLsh)),
     QueryDef("dedup_minhash_incremental", dedupMinhashIncremental,
@@ -2404,6 +2501,8 @@ object OpsQueries {
     QueryDef("q_hll_incremental", qHllIncremental, Some(oHllIncremental)),
     QueryDef("q_quantile_incremental", qQuantileIncremental, Some(oQuantileIncremental)),
     QueryDef("sample_stratified", sampleStratifiedQ, Some(oSampleStratified)),
+    QueryDef("sample_cluster_balanced", sampleClusterBalanced,
+      Some(oSampleClusterBalanced)),
     QueryDef("sample_token_budget", sampleTokenBudgetQ, Some(oSampleTokenBudget)),
     QueryDef("sample_mixture", sampleMixtureQ, Some(oSampleMixture)),
     QueryDef("sample_mixture_upsample", sampleMixtureUpsampleQ, Some(oSampleMixtureUpsample)),

@@ -160,4 +160,37 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
     assert(got.toSeq === Seq((1L, 1920, 1080, 60000L, "isom")))
   }
+
+  test("dHash64: container-invariant on identical pixels, distinct across patterns, quarantines junk") {
+    // the perceptual-dedup LAW: same pixels → same hash regardless of
+    // the (lossless) container; the 8 fixture pattern classes → 8
+    // distinct hashes (a collision here would merge dedup groups)
+    val seeds = 0 until 8
+    val png = seeds.map(p => Multimodal.dHash64(
+      Multimodal.synthPatternImage(24, 16, p, "png")).get)
+    val bmp = seeds.map(p => Multimodal.dHash64(
+      Multimodal.synthPatternImage(24, 16, p, "bmp")).get)
+    assert(png === bmp, "same pixels must hash identically across containers")
+    assert(png.distinct.size === 8, s"pattern classes must not collide: $png")
+    // resolution invariance direction: a TRUE 2× upscale (pixel
+    // doubling) box-averages onto nearly the same 9×8 grid —
+    // Hamming-near, the property that makes dHash a PERCEPTUAL hash
+    // (banding on it via simhashPairs' machinery would group
+    // rescales); not exactly equal because 9 ∤ 24 makes the grid
+    // boxes land on slightly different pixel boundaries
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.synthPatternImage(24, 16, 3, "png")))
+    val up = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      up.setRGB(x, y, src.getRGB(x / 2, y / 2))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(up, "png", baos)
+    val big = Multimodal.dHash64(baos.toByteArray).get
+    assert(java.lang.Long.bitCount(big ^ png(3)) <= 8,
+      s"2x upscale must stay Hamming-near: ${java.lang.Long.bitCount(big ^ png(3))}")
+    // undecodable bytes quarantine, never throw
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.dHash64(Multimodal.synthWav(8000, 1, 10)) === None)
+  }
 }
