@@ -611,16 +611,24 @@ object CdcPipeline {
       }
     }.toMap
 
-  /** Build (or rebuild) the bloom index for `column` over the current
-    * snapshot and publish it as a metadata version. One Spark pass;
-    * the bucket id comes from the scanned file's partition dir, so no
-    * PK columns are needed, and the scan is DV-applied — deleted rows
-    * never enter the filters. `expectedPerBucket` sizes the filters
-    * (Spark's BloomFilter formula; size from DESCRIBE HISTORY rows /
-    * numBuckets in production). String and integral columns only.
+  /** Build (or rebuild) the bloom index for `column` and publish it
+    * as a metadata version. One Spark pass over `buckets` (default:
+    * every bucket — the full build); the bucket id comes from the
+    * scanned file's partition dir, so no PK columns are needed, and
+    * the scan is DV-applied — deleted rows never enter the filters.
+    * Buckets OUTSIDE the scanned set keep their existing sidecars by
+    * carry — that is the incremental REPAIR path (r9): after a merge
+    * drops a handful of rewritten buckets' entries, re-indexing costs
+    * I/O ∝ the degraded buckets, not the table (the same ∝-delta
+    * discipline as every other maintenance op; a full-snapshot rescan
+    * to heal 3 of 64 buckets would never fly at 100 TB).
+    * `expectedPerBucket` sizes the filters (Spark's BloomFilter
+    * formula; size from DESCRIBE HISTORY rows / numBuckets in
+    * production). String and integral columns only.
     */
   def buildBloomIndex(spark: SparkSession, targetDir: String, column: String,
-      expectedPerBucket: Long = 100000L, fpp: Double = 0.01): Option[Long] =
+      expectedPerBucket: Long = 100000L, fpp: Double = 0.01,
+      buckets: Option[Set[Int]] = None): Option[Long] =
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val dt = m.schema.fields.find(_.name == column).map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(s"no such column: $column"))
@@ -630,15 +638,35 @@ object CdcPipeline {
         case other => throw new IllegalArgumentException(
           s"bloom index needs a string or integral column, got $other")
       }
-      val snap = readBucketsWithPos(spark, targetDir, m, m.buckets.keySet)
+      val scanSet = buckets.map(_.intersect(m.buckets.keySet))
+        .getOrElse(m.buckets.keySet)
+      val snap = readBucketsWithPos(spark, targetDir, m, scanSet)
       val bucket = substring_index(substring_index(col(DvFileCol), "/", 1), "=", -1)
         .cast("int")
-      val entries = snap
-        .select(bucket.as("b"), probe.as("v"))
-        .groupBy("b")
-        .agg(graft.functions.BloomBuildAgg(col("v"), expectedPerBucket, fpp).as("bf"))
-        .collect()
+      val entries =
+        if (scanSet.isEmpty) Array.empty[Row]
+        else snap
+          .select(bucket.as("b"), probe.as("v"))
+          .groupBy("b")
+          .agg(graft.functions.BloomBuildAgg(col("v"), expectedPerBucket, fpp).as("bf"))
+          .collect()
       val next = claimNextFrom(targetDir, m.readVersion)
+      // OTHER columns' sidecars carry over every bucket (the data is
+      // unchanged — an index build invalidates nothing); THIS
+      // column's carry depends on the mode: full build replaces all
+      // (no carry), incremental repair carries the UNscanned buckets'
+      // surviving sidecars, then the fresh builds land on top — a
+      // rebuilt bucket never keeps a stale filter
+      val carried = carryBlooms(targetDir, m, m.buckets.keySet, next, Set(column))
+      if (buckets.nonEmpty) m.meta.get(bloomMetaKey(column)).foreach { ref =>
+        val srcDir = bloomDirPath(targetDir, ref, column)
+        (m.buckets.keySet -- scanSet).toSeq.sorted.foreach { b =>
+          val src = s"$srcDir/$b.bf"
+          if (StoreFs.exists(src)) StoreFs.writeBytes(
+            s"$targetDir/v$next/$BloomDir/${statEnc(column)}/$b.bf",
+            StoreFs.readBytes(src))
+        }
+      }
       entries.foreach(r => StoreFs.writeBytes(
         s"$targetDir/v$next/$BloomDir/${statEnc(column)}/${r.getInt(0)}.bf",
         r.getAs[Array[Byte]](1)))
@@ -649,8 +677,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         m.buckets, m.stats,
         commitMeta("bloom-index") + ("bloom_col" -> column) ++ dvMeta ++
-          carryBlooms(targetDir, m, m.buckets.keySet, next, Set(column)) +
-          (bloomMetaKey(column) -> s"v$next")))
+          carried + (bloomMetaKey(column) -> s"v$next")))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1854,13 +1881,18 @@ object CdcPipeline {
               key <- m.meta.keys.filter(_.startsWith("bloom.")).toSeq.sorted
               column = key.stripPrefix("bloom.")
               dir = bloomDirPath(targetDir, m.meta(key), column)
-              missing = m.buckets.keySet.count(b => !StoreFs.exists(s"$dir/$b.bf"))
+              missing = m.buckets.keySet.filter(b => !StoreFs.exists(s"$dir/$b.bf"))
               if m.buckets.nonEmpty &&
-                missing.toLong * 100 > pct.toLong * m.buckets.size
-            } yield column
-            degraded.foreach(c => buildBloomIndex(spark, targetDir, c,
-              policy.bloomExpectedPerBucket, policy.bloomFpp))
-            degraded
+                missing.size.toLong * 100 > pct.toLong * m.buckets.size
+            } yield (column, missing)
+            // incremental repair: scan ONLY the degraded buckets,
+            // carry the surviving sidecars — heal I/O ∝ what degraded
+            degraded.foreach { case (c, missing) =>
+              buildBloomIndex(spark, targetDir, c,
+                policy.bloomExpectedPerBucket, policy.bloomFpp,
+                buckets = Some(missing))
+            }
+            degraded.map(_._1)
         }
         val expired = policy.expireOlderThanUs
           .map(expireSnapshots(targetDir, _)).getOrElse(Seq.empty)

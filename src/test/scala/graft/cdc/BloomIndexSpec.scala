@@ -105,6 +105,44 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(probed.size < full.size)
   }
 
+  test("incremental bloom repair scans only the degraded buckets and carries the rest byte-identically") {
+    val dir = tmp()
+    CdcPipeline.publish(fixture(4000), dir, Seq("id"), buckets = Some(B))
+    val vFull = CdcPipeline.buildBloomIndex(spark, dir, "tag",
+      expectedPerBucket = 1000L).get
+    // remember the surviving buckets' sidecar bytes
+    def sidecar(v: Long, b: Int): Option[Array[Byte]] = {
+      val p = s"$dir/v$v/_bloom/tag/$b.bf"
+      if (StoreFs.exists(p)) Some(StoreFs.readBytes(p)) else None
+    }
+    val before = (0 until B).map(b => b -> sidecar(vFull, b)).toMap
+    // rewrite buckets 1 and 4 with changed tags (their entries drop)
+    val m = CdcPipeline.manifest(dir, CdcPipeline.currentVersion(dir).get).get
+    val chg = CdcPipeline.readBuckets(spark, dir, m, Set(1, 4))
+      .withColumn("tag", concat(col("tag"), lit("-r")))
+    CdcPipeline.publishDelta(chg, dir, Seq("id"), m, Set(1, 4), batchId = -1L)
+    // repair ONLY the degraded buckets
+    val vRep = CdcPipeline.buildBloomIndex(spark, dir, "tag",
+      expectedPerBucket = 1000L, buckets = Some(Set(1, 4))).get
+    // carried buckets byte-identical to the original build; repaired
+    // buckets have fresh (present) sidecars
+    (0 until B).foreach { b =>
+      if (b == 1 || b == 4) assert(sidecar(vRep, b).isDefined, s"bucket $b must be rebuilt")
+      else assert(sidecar(vRep, b).map(_.toSeq) === before(b).map(_.toSeq),
+        s"bucket $b must carry, not rebuild")
+    }
+    // and the repaired index answers correctly: a changed tag is
+    // findable with pruning, its pre-change form is gone
+    val row = CdcPipeline.readBuckets(spark, dir,
+      CdcPipeline.manifest(dir, vRep).get, Set(1)).select("id", "tag").head()
+    assert(lookup(dir, "tag", Seq(row.getString(1))) === Set(row.getLong(0)))
+    assert(lookup(dir, "tag", Seq(row.getString(1).stripSuffix("-r"))) === Set.empty)
+    val full = CdcPipeline.readSnapshot(spark, dir).get.inputFiles.toSet
+    val probed = CdcPipeline.readPoint(spark, dir, "tag", Seq(row.getString(1))).get
+      .inputFiles.toSet
+    assert(probed.size < full.size, "repair must restore pruning")
+  }
+
   test("maintain auto-rebuilds a degraded bloom index; healthy and idle passes are no-ops") {
     val dir = tmp()
     CdcPipeline.publish(fixture(4000), dir, Seq("id"), buckets = Some(B))
