@@ -735,6 +735,47 @@ object StressBench {
       }
       StoreFs.deleteRecursive(dir)
     }
+
+    // A70 (r9): bloom-index heal I/O ∝ degraded buckets — after a
+    // delta drops 3/64 buckets' sidecars, maintain's incremental
+    // repair must cost a fraction of the full build (which scans the
+    // whole 10M-row store), and the healed index must answer point
+    // lookups with pruning restored.
+    {
+      val P = graft.cdc.CdcPipeline
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_bloom").toString
+      val facts = spark.range(0, n).select(col("id"),
+        concat(lit("t-"), col("id") * 7919L).as("tag"))
+      P.publish(facts, dir, Seq("id"), buckets = Some(64))
+      def secs[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tFull) = secs(P.buildBloomIndex(spark, dir, "tag",
+        expectedPerBucket = math.max(1000L, n / 32)).get)
+      println(f"[stress] bloom full build (${n / 1e6}%.1f M rows / 64 buckets): $tFull%.2f s")
+      val m = P.manifest(dir, P.currentVersion(dir).get).get
+      val chg = P.readBuckets(spark, dir, m, Set(1, 2, 3))
+        .withColumn("tag", concat(col("tag"), lit("-x")))
+      P.publishDelta(chg, dir, Seq("id"), m, Set(1, 2, 3), batchId = -1L)
+      val (rep, tHeal) = secs(P.maintain(spark, dir, Seq("id"),
+        P.MaintenancePolicy(dvFoldPct = None, smallFilesPerBucket = None,
+          keepVersions = None, bloomRebuildPct = Some(1),
+          bloomExpectedPerBucket = math.max(1000L, n / 32))).get)
+      println(f"[stress] bloom heal of 3/64 buckets via maintain: $tHeal%.2f s")
+      assert(rep.bloomRebuilt == Seq("tag"), s"heal must fire: $rep")
+      assert(tHeal < tFull * 0.5,
+        f"3/64 heal must cost a fraction of the full build: $tHeal%.2f vs $tFull%.2f")
+      val probe = P.readBuckets(spark, dir,
+        P.manifest(dir, P.currentVersion(dir).get).get, Set(1))
+        .select("id", "tag").limit(1).collect()(0)
+      val found = P.readPoint(spark, dir, "tag", Seq(probe.getString(1))).get
+      assert(found.inputFiles.length <
+        P.readSnapshot(spark, dir).get.inputFiles.length,
+        "healed index must prune")
+      assert(found.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(probe.getLong(0)))
+      StoreFs.deleteRecursive(dir)
+    }
     spark.stop()
   }
 }

@@ -1097,6 +1097,71 @@ object OpsQueries {
       |SELECT query, rk, doc_id, score_nano FROM ranked
       |WHERE rk <= 10 ORDER BY query, rk""".stripMargin
 
+  // C64 (r9): hard-negative mining — the contrastive-training prep
+  // pass a retrieval/embedding fine-tune needs: anchor queries are
+  // docs themselves (every 17th ≡ 3; query terms = the doc's first 3
+  // tokens), the positive is the source doc, and the hard negatives
+  // are the top BM25-ranked OTHER docs — lexically close but not the
+  // answer, exactly what contrastive losses want. Data-derived
+  // queries exercise the bm25TopKQueries DataFrame path (broadcast
+  // semi-join term filter instead of a literal IN). All arithmetic is
+  // the C50 nano-rounded rational BM25, so the oracle re-derives the
+  // entire chain: query construction, scoring, positive exclusion,
+  // negative re-ranking.
+  def mineHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val toks = split(lower(col("text")), " ")
+    val qt = docs.filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id").as("query"), explode(slice(toks, 1, 3)).as("term"))
+    val ranked = Retrieval.bm25TopKQueries(docs, col("doc_id"), toks, qt, k = 5)
+    val negW = Window.partitionBy("query").orderBy(col("rk"))
+    ranked.filter(col("doc_id") =!= col("query"))
+      .withColumn("neg_rank", row_number().over(negW))
+      .filter(col("neg_rank") <= 3)
+      .select(col("query").as("qid"), col("neg_rank").cast("int").as("neg_rank"),
+        col("doc_id").as("neg_doc_id"), col("score_nano"))
+      .orderBy(col("qid"), col("neg_rank"))
+  }
+
+  private val oMineHardNegatives =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |qt AS (SELECT doc_id AS query, unnest(toks[1:3]) AS term
+      |       FROM docs WHERE doc_id % 17 = 3),
+      |toksx AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toksx
+      |       WHERE term IN (SELECT DISTINCT term FROM qt)
+      |       GROUP BY doc_id, term),
+      |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT q.query, t.doc_id,
+      |    CAST(round(
+      |      ((CAST(s.n AS DOUBLE) - f.df + CAST(0.5 AS DOUBLE)) /
+      |        (f.df + CAST(0.5 AS DOUBLE)))
+      |      * (t.tf * CAST(2.2 AS DOUBLE))
+      |      / (t.tf + CAST(1.2 AS DOUBLE) *
+      |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl /
+      |            (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+      |      * CAST(1e9 AS DOUBLE)) AS BIGINT) AS nano
+      |  FROM tf t JOIN dfr f USING (term) JOIN qt q USING (term)
+      |    JOIN dl d USING (doc_id) CROSS JOIN stats s),
+      |scored AS (SELECT query, doc_id, CAST(sum(nano) AS BIGINT) AS score_nano
+      |           FROM contrib GROUP BY query, doc_id),
+      |ranked AS (SELECT query, doc_id, score_nano,
+      |             row_number() OVER (PARTITION BY query
+      |               ORDER BY score_nano DESC, doc_id) AS rk
+      |           FROM scored),
+      |negs AS (SELECT query, doc_id, score_nano,
+      |           CAST(row_number() OVER (PARTITION BY query ORDER BY rk) AS INT)
+      |             AS neg_rank
+      |         FROM ranked WHERE rk <= 5 AND doc_id != query)
+      |SELECT query AS qid, neg_rank, doc_id AS neg_doc_id, score_nano
+      |FROM negs WHERE neg_rank <= 3 ORDER BY qid, neg_rank""".stripMargin
+
   // C54 (r8): hybrid retrieval via reciprocal-rank fusion — the C50
   // BM25 lexical lists and a dense cosine ranking (query vectors =
   // embeddings 0..2, id space shared with doc_id) fused by the
@@ -2478,6 +2543,7 @@ object OpsQueries {
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),
     QueryDef("text_tfidf_topk", textTfidfTopK, Some(oTextTfidf)),
     QueryDef("text_bm25_topk", textBm25, Some(oTextBm25)),
+    QueryDef("mine_hard_negatives", mineHardNegatives, Some(oMineHardNegatives)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),

@@ -40,16 +40,29 @@ object Retrieval {
       queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val terms = queries.flatMap(_._2).distinct
-    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("query", "term")
+    bm25TopKQueries(docs, docId, toks,
+      queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query", "term"), k)
+  }
 
+  /** [[bm25TopK]] with the query batch as a DATAFRAME of (query,
+    * term) rows — for queries derived from data (C64's doc-anchored
+    * mining) rather than a hand-written list. The query column keeps
+    * its own type (string name or numeric qid). Scale shape
+    * unchanged: the term filter becomes a broadcast semi-join (the
+    * batch is small by the serving contract, like denseRanks'), the
+    * postings shuffle still carries queried terms only. Repeated
+    * (query, term) rows contribute twice — standard BM25 multiset
+    * query semantics.
+    */
+  def bm25TopKQueries(docs: DataFrame, docId: Column, toks: Column,
+      qterms: DataFrame, k: Int): DataFrame = {
     val base = docs.select(docId.as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
     // postings of the queried terms ONLY — the explode is map-side
-    // work and the filter cuts the stream before the tf shuffle
+    // work and the semi-join cuts the stream before the tf shuffle
     val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val stats = base.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
