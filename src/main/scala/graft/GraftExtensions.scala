@@ -422,6 +422,50 @@ object GraftExtensions {
         val spark = active
         import spark.implicits._
         plan(graft.cdc.CdcPipeline.vacuum(path, keep).toDF("reclaimed_version"))
+      }),
+    // graft_restore(path, version) → A47 roll-forward RESTORE (a new
+    // version carrying the old state's references; history preserved).
+    // Returns (restored_as).
+    (FunctionIdentifier("graft_restore"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_restore"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_restore path")
+        val v = longLit(args(1), "graft_restore version")
+        val spark = active
+        val restored = graft.cdc.CdcPipeline.restoreSnapshot(path, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot restore $path to v$v (missing store, future version, " +
+              "or vacuumed state)"))
+        import spark.implicits._
+        plan(Seq(restored).toDF("restored_as"))
+      }),
+    // graft_expire(path, olderThanUs) → A62 time-based snapshot
+    // expiration. One row per reclaimed version.
+    (FunctionIdentifier("graft_expire"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_expire"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_expire path")
+        val ts = longLit(args(1), "graft_expire olderThanUs")
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.expireSnapshots(path, ts)
+          .toDF("reclaimed_version"))
+      }),
+    // graft_bloom_index(path, column[, expectedPerBucket[, fpp
+    // as 1/x]]) → A54 full index build; the point-lookup read side is
+    // graft_point. Returns (version).
+    (FunctionIdentifier("graft_bloom_index"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_bloom_index"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_bloom_index path")
+        val column = strLit(args(1), "graft_bloom_index column")
+        val expected = if (args.length > 2)
+          longLit(args(2), "graft_bloom_index expectedPerBucket") else 100000L
+        val spark = active
+        val v = graft.cdc.CdcPipeline.buildBloomIndex(spark, path, column, expected)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
       }))
 
   /** Register into an already-built session (tests, REPLs). */

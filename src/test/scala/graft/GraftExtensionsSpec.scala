@@ -286,6 +286,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val got = spark.sql(s"SELECT id, v, tag FROM graft_snapshot('$dir')")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got === expect.toSet)
+
+    // graft_bloom_index + pruned graft_point from SQL only
+    spark.sql(s"SELECT * FROM graft_bloom_index('$dir', 'v', 2000)").collect()
+    val pt = spark.sql(s"SELECT id FROM graft_point('$dir', 'v', '123')")
+    assert(pt.collect().map(_.getLong(0)).toSet === Set(41L)) // 41*3 = 123
+    assert(pt.inputFiles.length <
+      CdcPipeline.readSnapshot(spark, dir).get.inputFiles.length,
+      "SQL-built bloom index must prune")
+    // graft_restore: roll back to the pre-bloom state by version,
+    // then the snapshot still reads (references carried forward)
+    val curBefore = CdcPipeline.currentVersion(dir).get
+    val restoredAs = spark.sql(
+      s"SELECT * FROM graft_restore('$dir', ${curBefore - 1})")
+      .collect()(0).getLong(0)
+    assert(restoredAs === curBefore + 1, "restore publishes a NEW version")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .collect()(0).getLong(0) === got.size.toLong)
+    // future version refuses
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_restore('$dir', 99)").collect()
+    }
+    // graft_expire: everything older than now except what the kept
+    // window references — at minimum it must not touch the current
+    // version and the table must still read
+    spark.sql(s"SELECT * FROM graft_expire('$dir', ${System.currentTimeMillis * 1000L})")
+      .collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .collect()(0).getLong(0) === got.size.toLong)
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 }
