@@ -1706,6 +1706,37 @@ object OpsQueries {
       |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // C65 (r9): hashing-trick feature vectorization — the fixed-width
+  // sparse featurizer a quality classifier (C53) trains on when the
+  // vocabulary is unbounded: feature index = portable rolling hash of
+  // the token (C11's polynomial, exact in both engines — no
+  // Spark-seeded hash leaks into the contract) mod 512, value = count.
+  // One explode + one hash agg per corpus — shuffle ∝ (doc, bucket)
+  // pairs, the same shape at any scale; downstream consumers get a
+  // stable integer feature space with the standard hashing-trick
+  // collision trade.
+  def textHashedFeatures(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+        pmod(TextAnalysis.fingerprint(col("term")), lit(512L)).as("feature_idx"))
+      .groupBy("doc_id", "feature_idx").agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("feature_idx"))
+
+  private val oTextHashedFeatures =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |h AS (SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(term) + 1),
+      |        i -> CAST(ascii(substr(term, i::INT, 1)) AS BIGINT))),
+      |    (a, c) -> (a * 31 + c) % 1000000007) % 512 AS feature_idx
+      |  FROM t)
+      |SELECT doc_id, feature_idx, count(*) AS n
+      |FROM h GROUP BY doc_id, feature_idx
+      |ORDER BY doc_id, feature_idx""".stripMargin
+
   // C14: token-budget sequence packing — whitespace tokens, 512-token
   // sequences, 8 shards. All-integer outputs, exact oracle.
   def packSequences(s: SparkSession, d: String): DataFrame =
@@ -2558,6 +2589,8 @@ object OpsQueries {
     QueryDef("corpus_quality_classifier", corpusQualityClassifier,
       Some(oQualityClassifier)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
+    QueryDef("text_hashed_features", textHashedFeatures,
+      Some(oTextHashedFeatures)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
     QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),
