@@ -395,6 +395,20 @@ object GraftExtensions {
         import spark.implicits._
         plan(Seq(v).toDF("version"))
       }),
+    // graft_zorder(path, 'pk', 'zcol1,zcol2') → A43 multi-dimension
+    // Z-order clustering (2-4 numeric dims). Returns (version).
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_zorder"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_zorder path")
+        val pk = csvArg(args(1), "graft_zorder pk list")
+        val zCols = csvArg(args(2), "graft_zorder z-column list")
+        val spark = active
+        val v = graft.cdc.CdcPipeline.optimizeZorder(spark, path, pk, zCols)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
     // graft_maintain(path, 'pk') → the A64 one-call driver under its
     // default policy. Returns the report as one row.
     (FunctionIdentifier("graft_maintain"),

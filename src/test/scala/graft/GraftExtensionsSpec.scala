@@ -287,6 +287,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got === expect.toSet)
 
+    // graft_zorder: 2-dim clustering from SQL; content unchanged and
+    // the range TVF still stat-prunes on the clustered column
+    spark.sql(s"SELECT * FROM graft_zorder('$dir', 'id', 'v,id')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .collect()(0).getLong(0) === got.size.toLong)
+
     // graft_bloom_index + pruned graft_point from SQL only
     spark.sql(s"SELECT * FROM graft_bloom_index('$dir', 'v', 2000)").collect()
     val pt = spark.sql(s"SELECT id FROM graft_point('$dir', 'v', '123')")
