@@ -1737,6 +1737,179 @@ object OpsQueries {
       |FROM h GROUP BY doc_id, feature_idx
       |ORDER BY doc_id, feature_idx""".stripMargin
 
+  // C66 (r9): int8 scalar quantization of the embedding column — the
+  // 4× compression pass a vector store applies before ANN serving.
+  // Codes are exact integers (floor of identical IEEE doubles in both
+  // engines), the reconstruction error a strict left fold in index
+  // order, so every export hash-matches: the md5 over the code string
+  // pins all 64 codes of every vector.
+  def embedQuantizeInt8(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(T.embeddings(s, d), col("embedding"))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        round(col("vmin"), 6).as("vmin_r"),
+        round(col("vmax"), 6).as("vmax_r"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        array_max(col("codes")).as("code_max"),
+        md5(array_join(transform(col("codes"), _.cast("string")), ","))
+          .as("codes_md5"),
+        round(col("abs_err_sum"), 6).as("err_r"))
+      .orderBy(col("vec_id"))
+
+  private val oEmbedQuantizeInt8 =
+    """WITH m AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |b AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM m),
+      |c AS (
+      |  SELECT vec_id, v, vmin, vmax,
+      |    CASE WHEN vmax = vmin
+      |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(v, x ->
+      |        CAST(floor((x - vmin) * 255.0 / (vmax - vmin) + 0.5) AS BIGINT))
+      |    END AS codes
+      |  FROM b)
+      |SELECT vec_id,
+      |  CAST(len(codes) AS BIGINT) AS n_dims,
+      |  round(vmin, 6) AS vmin_r,
+      |  round(vmax, 6) AS vmax_r,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  list_max(codes) AS code_max,
+      |  md5(array_to_string(codes, ',')) AS codes_md5,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(v) + 1),
+      |      i -> abs(v[i] - (vmin + codes[i] * (vmax - vmin) / 255.0)))),
+      |    (a, e) -> a + e), 6) AS err_r
+      |FROM c ORDER BY vec_id""".stripMargin
+
+  // C67 (r9): length-bucketed batching — shard, sort by length within
+  // the shard, cut into 32-doc batches; per-batch pad-waste report.
+  // All-integer outputs; the only sort is per-shard.
+  def packLengthBatches(s: SparkSession, d: String): DataFrame =
+    Packing.lengthBucketedBatches(T.documents(s, d),
+        size(TextAnalysis.tokens(col("text"))).cast("long"), 32, 4)
+      .orderBy(col("shard"), col("batch"))
+
+  private val oPackLengthBatches =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 4 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT shard, tokens,
+      |    (row_number() OVER (PARTITION BY shard ORDER BY tokens, doc_id) - 1)
+      |      // 32 AS batch
+      |  FROM t)
+      |SELECT shard, CAST(batch AS BIGINT) AS batch,
+      |  count(*) AS n_docs, min(tokens) AS min_toks, max(tokens) AS max_toks,
+      |  CAST(sum(tokens) AS BIGINT) AS sum_toks,
+      |  count(*) * max(tokens) - CAST(sum(tokens) AS BIGINT) AS pad_waste
+      |FROM r GROUP BY shard, batch ORDER BY shard, batch""".stripMargin
+
+  // C69 (r9): DPO preference-pair construction — the
+  // quality-classifier-ranked (chosen, rejected) pair prep a
+  // preference-tuning run consumes: per prompt bucket (source), chosen
+  // = the highest C53 integer logit, rejected = the lowest (doc_id
+  // tie-break), kept only when the margin is strictly positive. The
+  // rendered-template md5 pins both texts and the template bytes; the
+  // margin stays in exact BIGINT micro units. Scale shape: one metrics
+  // scan + two rank-1 windows per bucket — no joins beyond the
+  // bucket-keyed pair-up, shuffle ∝ corpus.
+  def dpoPairs(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("logit_micro",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
+      .select("source", "doc_id", "text", "logit_micro")
+    val wBest = Window.partitionBy(col("source"))
+      .orderBy(col("logit_micro").desc, col("doc_id"))
+    val wWorst = Window.partitionBy(col("source"))
+      .orderBy(col("logit_micro").asc, col("doc_id"))
+    val chosen = scored.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("doc_id").as("chosen_id"),
+        col("text").as("chosen_text"), col("logit_micro").as("chosen_logit"))
+    val rejected = scored.withColumn("rn", row_number().over(wWorst))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("doc_id").as("rejected_id"),
+        col("text").as("rejected_text"), col("logit_micro").as("rejected_logit"))
+    chosen.join(rejected, "source")
+      .filter(col("chosen_logit") > col("rejected_logit"))
+      .select(col("source"), col("chosen_id"), col("rejected_id"),
+        (col("chosen_logit") - col("rejected_logit")).as("margin_micro"),
+        md5(concat(lit("<|prompt|>"), col("source"),
+          lit("\n<|chosen|>\n"), col("chosen_text"),
+          lit("\n<|rejected|>\n"), col("rejected_text"))).as("pair_md5"))
+      .orderBy(col("source"))
+  }
+
+  private def oDpoPairs =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id, text,
+       |    -140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3 AS logit
+       |  FROM (
+       |    SELECT source, doc_id, text,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |        * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |      CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |        * 1000000 // length(text) AS punct_ppm,
+       |      CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |    FROM documents) t),
+       |rk AS (
+       |  SELECT source, doc_id, text, logit,
+       |    row_number() OVER (PARTITION BY source ORDER BY logit DESC, doc_id) AS rb,
+       |    row_number() OVER (PARTITION BY source ORDER BY logit ASC, doc_id) AS rw
+       |  FROM scored),
+       |ch AS (SELECT source, doc_id AS chosen_id, text AS ct, logit AS cl
+       |       FROM rk WHERE rb = 1),
+       |rj AS (SELECT source, doc_id AS rejected_id, text AS rt, logit AS rl
+       |       FROM rk WHERE rw = 1)
+       |SELECT source, chosen_id, rejected_id, cl - rl AS margin_micro,
+       |  md5('<|prompt|>' || source || chr(10) || '<|chosen|>' || chr(10) || ct
+       |    || chr(10) || '<|rejected|>' || chr(10) || rt) AS pair_md5
+       |FROM ch JOIN rj USING (source) WHERE cl > rl
+       |ORDER BY source""".stripMargin
+
+  // C68 (r9): tokenizer fertility per language — the "how many
+  // subword tokens does this tokenizer spend per word / per char on
+  // each language" report a multilingual data mix is balanced with
+  // (fertility imbalance silently re-weights the mix in token space).
+  // One scan, |langs|-row hash agg, integer-ppm ratios — engine-exact.
+  def textFertility(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("bpe_tokens * 1000000L div ws_tokens"))
+      .withColumn("chars_per_bpe_ppm",
+        expr("n_chars * 1000000L div bpe_tokens"))
+      .orderBy(col("lang"))
+
+  private def oTextFertility =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))) AS BIGINT)
+       |    * 1000000 // CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS fertility_ppm,
+       |  CAST(sum(length(text)) AS BIGINT) * 1000000
+       |    // CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))) AS BIGINT) AS chars_per_bpe_ppm
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // C14: token-budget sequence packing — whitespace tokens, 512-token
   // sequences, 8 shards. All-integer outputs, exact oracle.
   def packSequences(s: SparkSession, d: String): DataFrame =
@@ -2589,6 +2762,10 @@ object OpsQueries {
     QueryDef("corpus_quality_classifier", corpusQualityClassifier,
       Some(oQualityClassifier)),
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
+    QueryDef("embed_quantize_int8", embedQuantizeInt8, Some(oEmbedQuantizeInt8)),
+    QueryDef("pack_length_batches", packLengthBatches, Some(oPackLengthBatches)),
+    QueryDef("dpo_pairs", dpoPairs, Some(oDpoPairs)),
+    QueryDef("text_fertility", textFertility, Some(oTextFertility)),
     QueryDef("text_hashed_features", textHashedFeatures,
       Some(oTextHashedFeatures)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),

@@ -352,4 +352,34 @@ object Packing {
         expr(s"(cum - tokens) - ((cum - tokens) div ${budget}L) * ${budget}L")
           .as("offset_in_seq"))
   }
+
+  /** Length-bucketed batching (SURVEY.md §2 C67) — the
+    * padding-minimization pass an inference/training data loader
+    * runs: every batch pads its documents to the batch max, so
+    * batching docs of SIMILAR length is what keeps the pad waste
+    * near zero (random batching wastes ~40% of compute on pad
+    * tokens for typical length distributions). Docs shard by
+    * `doc_id % shards`, sort by (tokens, doc_id) WITHIN the shard,
+    * and cut into fixed-size batches in that order.
+    *
+    * Scale shape: the only sort is per-shard inside a window — no
+    * global ordering, so shards scale out independently; the
+    * per-batch report is a hash agg on (shard, batch). All-integer
+    * outputs (pad_waste = n_docs · max − sum is exact).
+    */
+  def lengthBucketedBatches(docs: DataFrame, tokens: Column,
+      batchSize: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("tokens"), col("doc_id"))
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        tokens.as("tokens"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch", expr(s"cast((__rn - 1) div $batchSize as bigint)"))
+      .groupBy(col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tokens")).as("min_toks"),
+        max(col("tokens")).as("max_toks"),
+        sum(col("tokens")).as("sum_toks"))
+      .withColumn("pad_waste", col("n_docs") * col("max_toks") - col("sum_toks"))
+  }
 }

@@ -362,4 +362,35 @@ object Similarity {
       .select(col("cid").as("vec_id")).distinct()
     corpus.join(contaminated, Seq("vec_id"), "left_anti")
   }
+
+  /** Int8 scalar quantization of an embedding column (SURVEY.md §2
+    * C66) — the 4× storage/bandwidth compression every large vector
+    * store applies before ANN serving: per-vector asymmetric SQ with
+    * code_i = floor((x_i − min) · 255 / (max − min) + 0.5) in [0, 255]
+    * (degenerate max == min vectors quantize to all-zero codes), plus
+    * the dequantized absolute reconstruction error summed in strict
+    * index order (a sequential left fold, so the double is
+    * bit-reproducible on any engine — no parallel-reduction
+    * reordering leaks into the contract).
+    *
+    * Pure per-row map work on one scan: no shuffle at any corpus
+    * size, codes ship as 1 byte/dim where the float ships 4.
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: Column): DataFrame =
+    emb
+      .withColumn("__v", transform(vecCol, _.cast("double")))
+      .withColumn("vmin", array_min(col("__v")))
+      .withColumn("vmax", array_max(col("__v")))
+      .withColumn("codes",
+        when(col("vmax") === col("vmin"),
+          transform(col("__v"), _ => lit(0L)))
+        .otherwise(transform(col("__v"), x =>
+          floor((x - col("vmin")) * lit(255.0d) / (col("vmax") - col("vmin"))
+            + lit(0.5d)).cast("long"))))
+      .withColumn("abs_err_sum",
+        expr("""aggregate(
+                  zip_with(__v, codes,
+                    (x, c) -> abs(x - (vmin + c * (vmax - vmin) / 255.0D))),
+                  0.0D, (a, e) -> a + e)"""))
+      .drop("__v")
 }

@@ -454,6 +454,57 @@ object Relational {
       |  count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // B58 (r9): mode + discrete percentiles — the "most frequent value"
+  // and "actual-element quantile" aggregate surface. mode uses the
+  // DETERMINISTIC tie-break (lowest value wins), so the export is
+  // engine-exact even on tied frequencies; percentile_disc is the SQL
+  // standard (first value whose cume_dist ≥ q) and returns a real
+  // data element, never an interpolation — the oracle re-derives both
+  // from first principles (count-argmax with min tie-break;
+  // cume_dist threshold) rather than trusting DuckDB's own
+  // tie/quantile conventions. One hash agg + one sort-agg pass.
+  def qModeDisc(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        mode(col("l_linestatus"), deterministic = true).as("mode_ls"),
+        mode(round(col("l_quantity")).cast("long"), deterministic = true)
+          .as("mode_qty"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("q25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("q50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val oModeDisc =
+    """WITH cs AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+      |            FROM lineitem GROUP BY 1, 2),
+      |ms AS (SELECT l_returnflag, min(l_linestatus) AS mode_ls FROM (
+      |  SELECT l_returnflag, l_linestatus, n,
+      |    max(n) OVER (PARTITION BY l_returnflag) AS mx FROM cs) t
+      |  WHERE n = mx GROUP BY 1),
+      |cq AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qv,
+      |    count(*) AS n FROM lineitem GROUP BY 1, 2),
+      |mq AS (SELECT l_returnflag, min(qv) AS mode_qty FROM (
+      |  SELECT l_returnflag, qv, n,
+      |    max(n) OVER (PARTITION BY l_returnflag) AS mx FROM cq) t
+      |  WHERE n = mx GROUP BY 1),
+      |cd AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+      |    cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS c
+      |  FROM lineitem),
+      |pd AS (SELECT l_returnflag,
+      |    min(CASE WHEN c >= 0.25 THEN v END) AS q25,
+      |    min(CASE WHEN c >= 0.5  THEN v END) AS q50,
+      |    min(CASE WHEN c >= 0.75 THEN v END) AS q75,
+      |    count(*) AS n
+      |  FROM cd GROUP BY 1)
+      |SELECT l_returnflag, mode_ls, mode_qty, q25, q50, q75, n
+      |FROM ms JOIN mq USING (l_returnflag) JOIN pd USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   // B23 (r4): LATERAL-style explode with ordinality (LATERAL VIEW
   // posexplode ≙ UNNEST WITH ORDINALITY) — the array-to-rows surface.
   // split+posexplode stay in one WholeStageCodegen span; the only
@@ -1657,6 +1708,7 @@ object Relational {
     QueryDef("q_setops_all", qSetopsAll, Some(oSetopsAll)),
     QueryDef("q_null_semantics", qNullSemantics, Some(oNullSemantics)),
     QueryDef("q_median", qMedian, Some(oMedian)),
+    QueryDef("q_mode_disc", qModeDisc, Some(oModeDisc)),
     QueryDef("q_explode_ordinality", qExplodeOrdinality, Some(oExplodeOrdinality)),
     QueryDef("q_range_window", qRangeWindow, Some(oRangeWindow)),
     QueryDef("q_lag_lead", qLagLead, Some(oLagLead)),

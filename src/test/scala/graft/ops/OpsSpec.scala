@@ -764,4 +764,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r._4 === Retrieval.rrfFuse(Seq(lex, den), 10)
       .filter(col("doc_id") === r._3).select("rrf_nano").as[Long].head()))
   }
+
+  test("quantizeInt8: code range, endpoint mapping, error bound, degenerate vectors") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)),         // linear ramp
+      (2L, Array(-5.5f, 0.25f, 7.75f, -1.0f)),     // mixed signs
+      (3L, Array(4.0f, 4.0f, 4.0f, 4.0f)),         // degenerate span
+      (4L, Array(1e-6f, -1e-6f, 0.0f, 5e-7f))      // tiny span
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, col("embedding"))
+      .select($"vec_id", $"vmin", $"vmax", $"codes", $"abs_err_sum")
+      .as[(Long, Double, Double, Seq[Long], Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    q.values.foreach { case (id, vmin, vmax, codes, err) =>
+      assert(codes.forall(c => c >= 0 && c <= 255), s"vec $id codes out of range")
+      if (vmax > vmin) {
+        // endpoints map to the rail codes, error per element ≤ scale/2
+        val scale = (vmax - vmin) / 255.0
+        assert(codes.min === 0L && codes.max === 255L, s"vec $id endpoint codes")
+        assert(err <= codes.size * scale / 2 + 1e-12, s"vec $id err $err > bound")
+      } else {
+        assert(codes.forall(_ === 0L) && err === 0.0, s"vec $id degenerate")
+      }
+    }
+    // exact reconstruction of a ramp that lands on code lattice points
+    assert(q(1L)._4 === Seq(0L, 85L, 170L, 255L))
+    assert(q(1L)._5 === 0.0)
+  }
 }

@@ -217,4 +217,37 @@ class PackingSpec extends AnyFunSuite {
       assert(ordered.map(_._3) === ordered.map(_._3).sorted)
     }
   }
+
+  test("lengthBucketedBatches: partition laws, batch sizing, and pad-waste dominance over random batching") {
+    val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
+      (pmod(col("id") * 131, lit(480)) + 20).as("len"))
+    val batches = Packing.lengthBucketedBatches(docs, col("len"), 32, 4)
+      .select($"shard", $"batch", $"n_docs", $"min_toks", $"max_toks",
+        $"sum_toks", $"pad_waste")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // conservation: every doc lands in exactly one batch
+    assert(batches.map(_._3).sum === 3000L)
+    assert(batches.map(_._6).sum ===
+      docs.agg(sum("len")).as[Long].collect()(0))
+    // every batch is full except possibly the last per shard
+    batches.groupBy(_._1).foreach { case (sh, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2) === ordered.indices.map(_.toLong),
+        s"shard $sh batches not dense")
+      assert(ordered.init.forall(_._3 === 32L), s"shard $sh has a short non-final batch")
+    }
+    // pad-waste arithmetic holds row by row
+    assert(batches.forall(b => b._7 === b._3 * b._5 - b._6))
+    // length-sorted batching must beat doc_id-ordered batching on waste
+    val naive = spark.range(0, 3000).select(col("id").as("doc_id"),
+        (pmod(col("id") * 131, lit(480)) + 20).as("len"),
+        pmod(col("id"), lit(4)).as("shard"),
+        expr("cast((id div 4) div 32 as bigint)").as("batch"))
+      .groupBy("shard", "batch")
+      .agg((count(lit(1)) * max("len") - sum("len")).as("waste"))
+      .agg(sum("waste")).as[Long].collect()(0)
+    val sorted = batches.map(_._7).sum
+    assert(sorted < naive / 4,
+      s"length-sorted waste $sorted should be well under naive $naive")
+  }
 }
