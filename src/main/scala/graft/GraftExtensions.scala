@@ -325,6 +325,14 @@ object GraftExtensions {
           throw new IllegalArgumentException(s"no manifest for v$cur at $path"))
         val source = spark.sql(srcSql)
         val srcRows = source.count()
+        // A71: CHECK constraints gate the introduced rows before the
+        // merge plan even builds (same induction as the Scala path)
+        CdcPipeline.enforceConstraints(m,
+          if (source.columns.contains(graft.cdc.CdcEnvelope.OpCol))
+            source.filter(org.apache.spark.sql.functions
+              .col(graft.cdc.CdcEnvelope.OpCol) =!= lit("d"))
+              .drop(graft.cdc.CdcEnvelope.OpCol)
+          else source, path)
         val touched = source
           .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
@@ -480,6 +488,46 @@ object GraftExtensions {
           .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
         import spark.implicits._
         plan(Seq(v).toDF("version"))
+      }),
+    // graft_add_constraint(path, name, predicateSql) → A71 ALTER TABLE
+    // ADD CONSTRAINT … CHECK: validates the whole current snapshot,
+    // then publishes the declaration metadata-only. Returns (version).
+    (FunctionIdentifier("graft_add_constraint"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_add_constraint"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_add_constraint path")
+        val name = strLit(args(1), "graft_add_constraint name")
+        val pred = strLit(args(2), "graft_add_constraint predicate")
+        val spark = active
+        val v = graft.cdc.CdcPipeline.addCheckConstraint(spark, path, name, pred)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_drop_constraint(path, name) → A71 DROP CONSTRAINT,
+    // metadata-only. Returns (version).
+    (FunctionIdentifier("graft_drop_constraint"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_drop_constraint"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_drop_constraint path")
+        val name = strLit(args(1), "graft_drop_constraint name")
+        val v = graft.cdc.CdcPipeline.dropCheckConstraint(path, name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no constraint '$name' on graft store at $path"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_constraints(path) → the declared CHECK constraints of the
+    // current version, one (name, predicate) row each.
+    (FunctionIdentifier("graft_constraints"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_constraints"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_constraints path")
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.checkConstraints(path).toSeq.sorted
+          .toDF("name", "predicate"))
       }))
 
   /** Register into an already-built session (tests, REPLs). */

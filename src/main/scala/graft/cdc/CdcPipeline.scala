@@ -676,7 +676,12 @@ object CdcPipeline {
       }.toMap
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         m.buckets, m.stats,
+        // defaults/constraints carry like every other metadata-only
+        // publish (pre-r9 this dropped coldefault.*, so an index build
+        // on a defaulted table silently lost the fill — regression
+        // pinned in CdcPipelineSpec)
         commitMeta("bloom-index") + ("bloom_col" -> column) ++ dvMeta ++
+          carryDefaults(m) ++ carryConstraints(m) ++
           carried + (bloomMetaKey(column) -> s"v$next")))
       swapPointer(targetDir, next, -1L)
       next
@@ -974,7 +979,7 @@ object CdcPipeline {
     writeManifest(targetDir, next,
       Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
         (prev.stats -- touched) ++ freshStats,
-        commitMeta(op) ++ carryDefaults(prev) ++
+        commitMeta(op) ++ carryDefaults(prev) ++ carryConstraints(prev) ++
           carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
             next) ++
           carryBlooms(targetDir, prev, carried.keySet, next)))
@@ -1031,7 +1036,8 @@ object CdcPipeline {
       val statsCols = m.stats.values.flatMap(_.keys).toSeq.distinct
       writeManifest(targetDir, next, Manifest(newBuckets, m.schemaJson,
         writtenBuckets(dir).map(_ -> s"v$next").toMap,
-        bucketStats(spark, dir, statsCols), commitMeta("rebucket")))
+        bucketStats(spark, dir, statsCols),
+        commitMeta("rebucket") ++ carryConstraints(m)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1181,7 +1187,7 @@ object CdcPipeline {
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("delete_mor") + ("dv" -> s"v$next") ++
-            carryDefaults(m) ++
+            carryDefaults(m) ++ carryConstraints(m) ++
             // blooms stay valid over a superset — just extra FPs
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
@@ -1242,7 +1248,14 @@ object CdcPipeline {
         val touched = hits.keySet
         val subset = readBuckets(spark, targetDir, m, touched)
         val statsCols = m.stats.values.flatMap(_.keys).toSeq.distinct
-        val next = publishDelta(rewrite(subset), targetDir, pkCols, m, touched,
+        val rewritten = rewrite(subset)
+        // A71: an UPDATE introduces new cell values — enforce the
+        // table's CHECK constraints on the rewritten subset before
+        // publishing (unmodified rows pass by induction; the agg
+        // rides the subset already being rewritten). DELETEs only
+        // remove rows and skip the check.
+        if (op == "update") enforceConstraints(m, rewritten, targetDir)
+        val next = publishDelta(rewritten, targetDir, pkCols, m, touched,
           batchId = -1L, statsCols, op = op)
         (next, hits.values.sum)
       }
@@ -1389,7 +1402,7 @@ object CdcPipeline {
       val freshStats = bucketStats(spark, dir, trackCols)
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         carried ++ fresh, (m.stats -- chosen) ++ freshStats,
-        commitMeta(opLabel) ++
+        commitMeta(opLabel) ++ carryConstraints(m) ++
           (if (carried.nonEmpty) carryDefaults(m) else Map.empty) ++
           carryDv(spark, targetDir, m, carried.keySet, next) ++
           carryBlooms(targetDir, m, carried.keySet, next)))
@@ -1422,6 +1435,15 @@ object CdcPipeline {
       require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
       val newSchema = StructType(schema.fields.filterNot(f => drop.contains(f.name)))
       require(newSchema.nonEmpty, "cannot drop every column")
+      // A71 dependency guard: a CHECK constraint referencing a dropped
+      // column would dangle — refuse (drop the constraint first)
+      val dropLc = drop.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val dangling = constraintsOf(m).filter {
+        case (_, p) => constraintRefs(p).exists(dropLc.contains)
+      }
+      require(dangling.isEmpty,
+        "cannot drop column(s) referenced by CHECK constraint(s): " +
+          s"${dangling.keys.toSeq.sorted.mkString(",")} — drop the constraint first")
       val next = claimNextFrom(targetDir, m.readVersion)
       // a metadata-only publish carries the deletion vector by COPY
       // (it is small) into its own version dir, preserving the
@@ -1434,6 +1456,7 @@ object CdcPipeline {
         m.buckets,
         m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
         commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(",")) ++
+          carryConstraints(m) ++
           carryDefaults(m).filterNot { case (k, _) =>
             drop.exists(c => k == s"coldefault.${statEnc(c)}") } ++
           dvMeta ++
@@ -1480,7 +1503,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets,
         schema.add(name, dataType).json, m.buckets, m.stats,
         commitMeta("add-column") + ("added" -> name) ++
-          carryDefaults(m) +
+          carryDefaults(m) ++ carryConstraints(m) +
           (s"coldefault.${statEnc(name)}" ->
             s"$next ${statEnc(String.valueOf(default))}") ++
           dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
@@ -1504,6 +1527,15 @@ object CdcPipeline {
       val schema = m.schema
       require(schema.fieldNames.contains(from), s"no such column: $from")
       require(!schema.fieldNames.contains(to), s"column exists: $to")
+      // A71 dependency guard: constraint predicates are stored as SQL
+      // text and would silently dangle under a renamed column
+      val fromLc = from.toLowerCase(java.util.Locale.ROOT)
+      val renRefs = constraintsOf(m).filter {
+        case (_, p) => constraintRefs(p).contains(fromLc)
+      }
+      require(renRefs.isEmpty,
+        s"cannot rename column referenced by CHECK constraint(s): " +
+          s"${renRefs.keys.toSeq.sorted.mkString(",")} — drop the constraint first")
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
         .withColumnRenamed(from, to)
       val newPk = pkCols.map(c => if (c == from) to else c)
@@ -1515,9 +1547,153 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets, snap.schema.json,
         writtenBuckets(dir).map(_ -> s"v$next").toMap,
         bucketStats(spark, dir, trackCols),
-        commitMeta("rename-column") + ("renamed" -> s"$from>$to")))
+        commitMeta("rename-column") + ("renamed" -> s"$from>$to") ++
+          carryConstraints(m)))
       swapPointer(targetDir, next, -1L)
       next
+    }
+  }
+
+  // ==== A71: persistent CHECK constraints ===========================
+  // The Delta `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)`
+  // surface: a named SQL predicate attached to the TABLE (carried in
+  // the manifest meta as `constraint.<name>`), validated against the
+  // whole snapshot when declared and enforced on every subsequent
+  // DATA-CHANGING write — the reference's only integrity mechanism is
+  // the all-or-nothing batch failure (merge.sql:441–457); a table
+  // constraint makes the invariant part of the table, not of one
+  // pipeline's config. Deliberately distinct from A39 expectations:
+  //  - CHECK follows the SQL standard — a NULL predicate PASSES
+  //    (constraints state invariants; unknowns are not violations),
+  //    where expectations are quality gates and fail NULLs.
+  //  - CHECK refuses the COMMIT (nothing published, store untouched);
+  //    expectations divert rows and let the batch proceed.
+  // Enforcement is delta-sized by induction: rows already in the
+  // store passed when written (declaration validates the full
+  // snapshot once), so each write checks only the rows it introduces
+  // — merge upserts, post-SET update rows — never the carried 100 TB.
+  // Zero Spark jobs when a table declares no constraints (the common
+  // case: one driver-side manifest-meta check).
+
+  final class ConstraintViolationException(val table: String,
+      val counts: Map[String, Long])
+    extends RuntimeException(
+      s"CHECK constraint violated for $table: " +
+        counts.toSeq.sortBy(_._1).map { case (n, c) => s"$n=$c" }.mkString(", "))
+
+  private val ConstraintPrefix = "constraint."
+
+  private def constraintsOf(m: Manifest): Map[String, String] =
+    m.meta.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** `constraint.*` meta carried verbatim into any publish that keeps
+    * the table's identity (delta publishes, rebucket, rename — the
+    * rename GUARDS that no constraint references the renamed column,
+    * so carrying verbatim stays sound).
+    */
+  private def carryConstraints(prev: Manifest): Map[String, String] =
+    prev.meta.filter(_._1.startsWith(ConstraintPrefix))
+
+  /** Declared constraints of the current version: name → predicate
+    * SQL. Empty when the store doesn't exist or declares none.
+    */
+  def checkConstraints(targetDir: String): Map[String, String] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v))
+      .map(constraintsOf).getOrElse(Map.empty)
+
+  /** Lower-cased top-level column names a constraint predicate
+    * references (parse-level, no session needed) — the drop/rename
+    * guard's dependency check.
+    */
+  private def constraintRefs(predicate: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+
+  /** ADD CONSTRAINT: validate the CURRENT snapshot satisfies the
+    * predicate (one column-pruned scan counting violations — the same
+    * full-table proof Delta runs at declaration), then publish a
+    * METADATA-ONLY version carrying `constraint.<name>`. Zero data
+    * bytes move; old versions are unconstrained history. Throws
+    * [[ConstraintViolationException]] when existing rows violate
+    * (nothing published), IllegalArgumentException on a duplicate
+    * name. None when the target doesn't exist.
+    */
+  def addCheckConstraint(spark: SparkSession, targetDir: String,
+      name: String, predicate: String): Option[Long] = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name must be path-safe: $name")
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      require(!constraintsOf(m).contains(name),
+        s"constraint exists: $name (drop it first to redefine)")
+      val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
+      val bad = snap.filter(!coalesce(expr(predicate), lit(true))).count()
+      if (bad > 0)
+        throw new ConstraintViolationException(targetDir, Map(name -> bad))
+      val next = claimNextFrom(targetDir, m.readVersion)
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
+      writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+        m.buckets, m.stats,
+        commitMeta("add-constraint") ++ carryDefaults(m) ++
+          carryConstraints(m) + (s"$ConstraintPrefix$name" -> predicate) ++
+          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+  }
+
+  /** DROP CONSTRAINT — metadata-only. None when the store or the
+    * constraint doesn't exist (idempotent-friendly: probe with
+    * [[checkConstraints]]).
+    */
+  def dropCheckConstraint(targetDir: String, name: String): Option[Long] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).flatMap { m =>
+      if (!constraintsOf(m).contains(name)) None
+      else {
+        val next = claimNextFrom(targetDir, m.readVersion)
+        val dvMeta = m.meta.get("dv").map { ref =>
+          StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+          "dv" -> s"v$next"
+        }.toMap
+        writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+          m.buckets, m.stats,
+          commitMeta("drop-constraint") + ("unconstrained" -> name) ++
+            carryDefaults(m) ++
+            (carryConstraints(m) - s"$ConstraintPrefix$name") ++
+            dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+        swapPointer(targetDir, next, -1L)
+        Some(next)
+      }
+    }
+
+  /** Enforce `m`'s constraints on the rows a write INTRODUCES (merge
+    * upserts / post-SET update rows). ONE conditional-aggregate pass
+    * computes every constraint's violation count (|constraints|
+    * cells, the A39 shape); throws with the full per-name diagnosis
+    * BEFORE anything is written. Driver-only no-op when the manifest
+    * declares none.
+    */
+  private[graft] def enforceConstraints(m: Manifest, rows: DataFrame,
+      table: String): Unit = {
+    val cs = constraintsOf(m)
+    if (cs.nonEmpty) {
+      val cells = cs.toSeq.sortBy(_._1).map { case (n, p) =>
+        sum(when(!coalesce(expr(p), lit(true)), 1L).otherwise(0L)).as(n)
+      }
+      val r = rows.agg(cells.head, cells.tail: _*).collect()(0)
+      val violated = cs.keys.toSeq.sorted.zipWithIndex.collect {
+        case (n, i) if !r.isNullAt(i) && r.getLong(i) > 0 => n -> r.getLong(i)
+      }.toMap
+      if (violated.nonEmpty)
+        throw new ConstraintViolationException(table, violated)
     }
   }
 
@@ -2127,7 +2303,7 @@ object CdcPipeline {
         }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
           m.buckets.keySet.map(_ -> "v0").toMap, m.stats,
-          commitMeta("deep-clone") ++ dvMeta))
+          commitMeta("deep-clone") ++ dvMeta ++ carryConstraints(m)))
       } else {
         // every store this clone's references resolve into gets a pin
         // keyed by THIS clone: source-local refs pin at sourceDir,
@@ -2147,7 +2323,8 @@ object CdcPipeline {
               names.mkString("\n"))
           }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
-          resolved, m.stats, commitMeta("clone") ++ dvMeta))
+          resolved, m.stats, commitMeta("clone") ++ dvMeta ++
+            carryConstraints(m)))
       }
       swapPointer(destDir, 0, -1L)
       0L
@@ -2228,7 +2405,10 @@ object CdcPipeline {
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("restore") + ("restore_of" -> version.toString) ++
-            carryDefaults(m) ++ dvMeta ++
+            // constraints restore WITH the state: the rolled-back
+            // version's constraint set (not the abandoned head's) is
+            // what its data provably satisfies
+            carryDefaults(m) ++ carryConstraints(m) ++ dvMeta ++
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)
@@ -2273,6 +2453,16 @@ object CdcPipeline {
       case Some(v) =>
         manifest(cfg.targetPath, v) match {
           case Some(m) =>
+            // A71: CHECK constraints gate the rows this merge
+            // INTRODUCES (upserts only — deletes carry no payload).
+            // Delta-sized by induction; zero jobs when none declared.
+            if (constraintsOf(m).nonEmpty)
+              enforceConstraints(m,
+                (if (changes.columns.contains(CdcEnvelope.OpCol))
+                  changes.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete)
+                else changes).select(
+                  cfg.targetCols.filter(changes.columns.contains).map(col): _*),
+                cfg.targetPath)
             val touched = changes
               .select(bucketExpr(cfg.pk, m.numBuckets).as("b"))
               .distinct().collect().map(_.getInt(0)).toSet

@@ -322,4 +322,56 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === got.size.toLong)
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
+
+  test("SQL CHECK constraints: add → list → refuse violating merge/update → drop re-opens") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlc").toString
+    spark.sql(
+      s"""SELECT * FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 2 AS v FROM range(0, 100)', 4)""".stripMargin).collect()
+    // declaration validates the snapshot: a predicate current rows
+    // violate refuses and declares nothing
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_add_constraint('$dir', 'big_v', 'v > 10')")
+        .collect()
+    }
+    assert(spark.sql(s"SELECT * FROM graft_constraints('$dir')").count() === 0L)
+    val v = spark.sql(
+      s"SELECT * FROM graft_add_constraint('$dir', 'nonneg_v', 'v >= 0')")
+      .collect()(0).getLong(0)
+    assert(v === 1L)
+    val listed = spark.sql(s"SELECT * FROM graft_constraints('$dir')").collect()
+    assert(listed.map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("nonneg_v", "v >= 0")))
+    // violating SQL merge refuses and publishes nothing
+    intercept[Exception] {
+      spark.sql(
+        s"""SELECT * FROM graft_merge('$dir', 'id',
+           |  'SELECT CAST(500 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS v')"""
+          .stripMargin).collect()
+    }
+    assert(CdcPipeline.currentVersion(dir) === Some(1L))
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .collect()(0).getLong(0) === 100L)
+    // clean merge passes and carries the declaration
+    spark.sql(
+      s"""SELECT * FROM graft_merge('$dir', 'id',
+         |  'SELECT CAST(500 AS BIGINT) AS id, CAST(9 AS BIGINT) AS v')"""
+        .stripMargin).collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft_constraints('$dir')")
+      .collect()(0).getLong(0) === 1L)
+    // violating SQL update refuses; after DROP it goes through
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_update_where('$dir', 'id', 'id = 0', 'v = -5')")
+        .collect()
+    }
+    spark.sql(s"SELECT * FROM graft_drop_constraint('$dir', 'nonneg_v')").collect()
+    spark.sql(
+      s"SELECT * FROM graft_update_where('$dir', 'id', 'id = 0', 'v = -5')")
+      .collect()
+    assert(spark.sql(s"SELECT v FROM graft_snapshot('$dir') WHERE id = 0")
+      .collect()(0).getLong(0) === -5L)
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
 }
