@@ -1910,6 +1910,73 @@ object OpsQueries {
        |    // CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))) AS BIGINT) AS chars_per_bpe_ppm
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // C70 (r9): temperature-scaled mixture sampling — α = 1/2 over the
+  // language mix. The rate is sqrt(n_min/n_g) (IEEE sqrt: correctly
+  // rounded, so floor(rate·1e6) is the same BIGINT on any engine —
+  // the reason the exponent surface is dyadic, not pow()), the keep
+  // decision the shared ppm bucket. Oracle re-derives counts, rates,
+  // and every keep decision.
+  def sampleTemperatureQ(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
+    Packing.sampleTemperature(docs, col("lang"), col("doc_id"), quarters = 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        first(col("n_group")).as("n_total"),
+        first(col("rate_ppm")).as("rate_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  private val oSampleTemperature =
+    """WITH c AS (SELECT lang, count(*) AS n_group FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_group) AS n_min FROM c),
+      |r AS (SELECT lang, n_group,
+      |        CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_group) * 1000000.0)
+      |          AS BIGINT) AS rate_ppm
+      |      FROM c, m)
+      |SELECT d.lang AS lang, count(*) AS n_sampled,
+      |  max(r.n_group) AS n_total, max(r.rate_ppm) AS rate_ppm
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE ((d.doc_id % 1000000007) * 554862419) % 1000000007 % 1000000
+      |        < r.rate_ppm
+      |GROUP BY 1 ORDER BY d.lang""".stripMargin
+
+  // C71 (r9): token-budget corpus selection — keep the best docs
+  // (score = capped chars/10) until 50k whitespace tokens are spent.
+  // The Spark side runs the scale-correct two-level cut (bucket agg →
+  // tiny cumulative window → boundary bucket only resolved per-doc);
+  // the oracle runs the plain global running-sum definition — their
+  // EQUALITY is the point (the two-level rewrite provably computes
+  // the textbook semantics). Per-bucket integer sums + an md5 over
+  // the kept ids pin membership exactly.
+  def selectTokenBudgetQ(s: SparkSession, d: String): DataFrame =
+    Packing.selectByTokenBudget(T.documents(s, d), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"),
+        expr("least(n_chars div 10, 500L)"),
+        budget = 50000L, bucketWidth = 10)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("tokens")).as("toks_kept"),
+        md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))), ","))
+          .as("ids_md5"))
+      .orderBy(col("b"))
+
+  private val oSelectTokenBudget =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    least(n_chars // 10, 500) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, tokens, score, score // 10 AS b,
+      |    sum(tokens) OVER (ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM t)
+      |SELECT b, count(*) AS n_kept, CAST(sum(tokens) AS BIGINT) AS toks_kept,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+      |    ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+      |FROM r WHERE run <= 50000
+      |GROUP BY b ORDER BY b""".stripMargin
+
   // C14: token-budget sequence packing — whitespace tokens, 512-token
   // sequences, 8 shards. All-integer outputs, exact oracle.
   def packSequences(s: SparkSession, d: String): DataFrame =
@@ -2764,6 +2831,8 @@ object OpsQueries {
     QueryDef("text_fingerprint", textFingerprint, Some(oTextFingerprint)),
     QueryDef("embed_quantize_int8", embedQuantizeInt8, Some(oEmbedQuantizeInt8)),
     QueryDef("pack_length_batches", packLengthBatches, Some(oPackLengthBatches)),
+    QueryDef("sample_temperature", sampleTemperatureQ, Some(oSampleTemperature)),
+    QueryDef("select_token_budget", selectTokenBudgetQ, Some(oSelectTokenBudget)),
     QueryDef("dpo_pairs", dpoPairs, Some(oDpoPairs)),
     QueryDef("text_fertility", textFertility, Some(oTextFertility)),
     QueryDef("text_hashed_features", textHashedFeatures,

@@ -353,6 +353,112 @@ object Packing {
           .as("offset_in_seq"))
   }
 
+  /** Per-million deterministic bucket — [[permilleBucket]] at ppm
+    * granularity, for sampling rates permille can't express (the
+    * temperature sampler's rates). The multiplier is LARGE
+    * (5.5e8, not permilleBucket's 1e6-scale M): sequential ids then
+    * wrap the prime every ~2 steps, so even a 100-id window
+    * equidistributes at ppm granularity — with a small multiplier the
+    * pre-wrap sequence is an arithmetic progression with step
+    * M mod 1e6 = 3 and a sequential-id corpus lands ENTIRELY under
+    * any realistic rate (measured: decile spread 997–1002 per 1000
+    * expected over 10k sequential ids). Overflow-free:
+    * (P−1)·M ≈ 5.5e17 < 2^63.
+    */
+  def ppmBucket(idCol: Column): Column = {
+    val P = 1000000007L
+    val M = 554862419L
+    pmod(pmod(idCol.cast("long"), lit(P)) * lit(M), lit(P)) % lit(1000000L)
+  }
+
+  /** Temperature-scaled mixture sampling (SURVEY.md §2 C70) — the
+    * mT5/XLM-R α-sampling that rebalances a multilingual (or
+    * multi-source) mix: sampled sizes follow p_g^α instead of the raw
+    * p_g, so dominant groups are down-weighted without starving rare
+    * ones. Realized as a per-row Bernoulli keep at group rate
+    * (n_min / n_g)^(1−α) — the rarest group keeps everything, a group
+    * k× larger keeps k^(α−1) of itself, giving sampled counts ∝ n^α.
+    *
+    * Exactness contract: the exponent is dyadic — `quarters`/4 with
+    * quarters ∈ {1,2,3} (α = 3/4, 1/2, 1/4) — so the rate computes as
+    * a COMPOSITION OF SQRT (x^(1/2)=sqrt, x^(1/4)=sqrt∘sqrt,
+    * x^(3/4)=sqrt·sqrt∘sqrt). IEEE requires sqrt and multiply
+    * correctly rounded, so the double is bit-identical on any engine
+    * — unlike pow(), which libms round differently in the last ulp
+    * and would flip floor(rate·1e6) at boundaries. The keep decision
+    * is then integer: [[ppmBucket]](id) < floor(rate·1e6).
+    *
+    * Scale shape: ONE |groups|-row count agg (map-side combined)
+    * broadcast back onto the scan + a codegen'd filter — no per-row
+    * shuffle at any corpus size.
+    */
+  def sampleTemperature(docs: DataFrame, groupCol: Column, idCol: Column,
+      quarters: Int): DataFrame = {
+    require(quarters >= 1 && quarters <= 3,
+      s"exponent must be 1..3 quarters (α = 3/4, 1/2, 1/4): $quarters")
+    def dyadic(x: Column): Column = quarters match {
+      case 2 => sqrt(x)
+      case 1 => sqrt(sqrt(x))
+      case 3 => sqrt(x) * sqrt(sqrt(x))
+    }
+    val counts = docs.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("n_group"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_group")).as("n_min"))))
+      .withColumn("rate_ppm",
+        floor(dyadic(col("n_min").cast("double") / col("n_group")) * 1e6)
+          .cast("long"))
+    docs.join(broadcast(rates), groupCol <=> col("__g"))
+      .filter(ppmBucket(idCol) < col("rate_ppm"))
+      .drop("__g")
+  }
+
+  /** Token-budget corpus selection (SURVEY.md §2 C71) — "take the
+    * best documents until the training budget is spent": rank by an
+    * integer quality score, keep from the top until cumulative tokens
+    * reach `budget`. The naïve form is ONE global sort + running sum
+    * over the corpus — a single-task window at 100 TB. This is the
+    * two-level form: bucket scores by `bucketWidth`, aggregate tokens
+    * per bucket (|buckets| ≤ score-range/width rows — config-sized),
+    * run the cumulative cut over THAT (tiny window), then resolve
+    * only the one BOUNDARY bucket with a per-doc window confined to
+    * its rows. Buckets above the cut keep everything with no window
+    * at all; buckets below drop entirely at the filter.
+    *
+    * Greedy cut semantics (deterministic, integer-exact): docs order
+    * by (score DESC, id) — a doc that would straddle the boundary is
+    * dropped, as is everything after it in the boundary bucket.
+    */
+  def selectByTokenBudget(docs: DataFrame, idCol: Column, tokens: Column,
+      score: Column, budget: Long, bucketWidth: Int): DataFrame = {
+    require(budget > 0 && bucketWidth > 0)
+    val base = docs.select(idCol.as("doc_id"), tokens.as("tokens"),
+      score.as("score"), expr(s"${scoreBucketSql("score", bucketWidth)}").as("b"))
+    val cumW = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = base.groupBy("b").agg(sum(col("tokens")).as("b_toks"))
+      .withColumn("cum", sum(col("b_toks")).over(cumW))
+    val docW = Window.partitionBy(col("b"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(buckets), Seq("b"))
+      .filter(col("cum") - col("b_toks") < budget) // below-cut buckets drop
+      .withColumn("kept",
+        when(col("cum") <= budget, lit(true)) // whole bucket fits
+          .otherwise( // boundary bucket: per-doc running cut
+            sum(col("tokens")).over(docW) <= lit(budget) - (col("cum") - col("b_toks"))))
+      .filter(col("kept"))
+      .select(col("doc_id"), col("tokens"), col("score"), col("b"))
+  }
+
+  /** `floor(score / width)` as SQL text so Spark and the oracle share
+    * the literal integer-division bucketing (scores may be negative:
+    * `div` truncates toward zero in both engines — callers pass
+    * non-negative scores to keep buckets monotone).
+    */
+  private def scoreBucketSql(col: String, width: Int): String =
+    s"$col div $width"
+
   /** Length-bucketed batching (SURVEY.md §2 C67) — the
     * padding-minimization pass an inference/training data loader
     * runs: every batch pads its documents to the batch max, so

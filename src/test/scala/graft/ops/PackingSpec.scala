@@ -218,6 +218,56 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleTemperature: rarest group fully kept, rates monotone, sampled counts track n^alpha") {
+    // group A: 10000 ids, group B: 100 ids → n_min = 100
+    val docs = spark.range(0, 10100).select(col("id").as("doc_id"),
+      when(col("id") < 10000, lit("A")).otherwise(lit("B")).as("g"))
+    val kept = Packing.sampleTemperature(docs, col("g"), col("doc_id"), quarters = 2)
+      .groupBy("g").agg(count(lit(1)).as("n"), first("rate_ppm").as("r"))
+      .as[(String, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    // rate(B) = floor(sqrt(100/100)*1e6) = 1e6 → every ppm bucket < 1e6 keeps
+    assert(kept("B") === ((100L, 1000000L)), "rarest group keeps everything")
+    // rate(A) = floor(sqrt(100/10000)*1e6) = 100000 ppm
+    assert(kept("A")._2 === 100000L)
+    // n^alpha law: expected kept(A) = 10000 * 0.1 = 1000; the
+    // mod-prime bucket equidistributes, so the realized count is near
+    assert(kept("A")._1 > 800L && kept("A")._1 < 1200L,
+      s"kept(A)=${kept("A")._1} should track sqrt scaling (~1000)")
+    // invalid exponents refuse
+    intercept[IllegalArgumentException] {
+      Packing.sampleTemperature(docs, col("g"), col("doc_id"), quarters = 4)
+    }
+  }
+
+  test("selectByTokenBudget: two-level cut equals the global running-sum definition; budget tight") {
+    val docs = spark.range(0, 5000).select(col("id").as("doc_id"),
+      (pmod(col("id") * 7919, lit(97)) + 3).as("toks"),
+      pmod(col("id") * 131, lit(300)).as("score")) // heavy score ties
+    val budget = 40000L
+    val kept = Packing.selectByTokenBudget(docs, col("doc_id"), col("toks"),
+        col("score"), budget, bucketWidth = 16)
+      .select("doc_id").as[Long].collect().toSet
+    // the textbook single-window definition
+    val naive = docs
+      .withColumn("run", sum(col("toks")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("run") <= budget).select("doc_id").as[Long].collect().toSet
+    assert(kept === naive, "two-level rewrite must equal the global definition")
+    // budget is respected and tight: kept tokens ≤ budget, and the
+    // next doc in priority order would push past it
+    val tokOf = docs.select("doc_id", "toks").as[(Long, Long)].collect().toMap
+    val total = kept.toSeq.map(tokOf).sum
+    assert(total <= budget)
+    val ordered = docs.select("doc_id", "toks", "score")
+      .as[(Long, Long, Long)].collect()
+      .sortBy(t => (-t._3, t._1))
+    val firstDropped = ordered.find(t => !kept.contains(t._1)).get
+    assert(total + firstDropped._2 > budget, "greedy cut must be tight")
+  }
+
   test("lengthBucketedBatches: partition laws, batch sizing, and pad-waste dominance over random batching") {
     val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
       (pmod(col("id") * 131, lit(480)) + 20).as("len"))
