@@ -528,6 +528,49 @@ object GraftExtensions {
         import spark.implicits._
         plan(graft.cdc.CdcPipeline.checkConstraints(path).toSeq.sorted
           .toDF("name", "predicate"))
+      }),
+    // graft_add_generated(path, name, typeDdl, exprSql) → A72 virtual
+    // generated column (computed on read, zero stored bytes).
+    // Returns (version).
+    (FunctionIdentifier("graft_add_generated"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_add_generated"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_add_generated path")
+        val name = strLit(args(1), "graft_add_generated name")
+        val ddl = strLit(args(2), "graft_add_generated type DDL")
+        val e = strLit(args(3), "graft_add_generated expression")
+        val v = graft.cdc.CdcPipeline.addGeneratedColumn(path, name,
+          org.apache.spark.sql.types.DataType.fromDDL(ddl), e)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_drop_generated(path, name) → drop the A72 declaration,
+    // metadata-only. Returns (version).
+    (FunctionIdentifier("graft_drop_generated"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_drop_generated"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_drop_generated path")
+        val name = strLit(args(1), "graft_drop_generated name")
+        val v = graft.cdc.CdcPipeline.dropGeneratedColumn(path, name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no generated column '$name' on graft store at $path"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_generated(path) → declared generated columns, one
+    // (name, type, expression) row each.
+    (FunctionIdentifier("graft_generated"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_generated"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_generated path")
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.generatedColumns(path).toSeq
+          .map { case (n, (t, e)) => (n, t.simpleString, e) }.sorted
+          .toDF("name", "type", "expression"))
       }))
 
   /** Register into an already-built session (tests, REPLs). */

@@ -479,9 +479,21 @@ object CdcPipeline {
   def readSnapshot(spark: SparkSession, targetDir: String): Option[DataFrame] =
     currentVersion(targetDir).map { v =>
       manifest(targetDir, v) match {
-        case Some(m) => readBuckets(spark, targetDir, m, m.buckets.keySet)
+        case Some(m) =>
+          applyVirtual(readBuckets(spark, targetDir, m, m.buckets.keySet), m)
         case None => spark.read.parquet(s"$targetDir/v$v") // pre-manifest layout
       }
+    }
+
+  /** Append `m`'s virtual generated columns (A72) — one codegen'd
+    * projection; identity when none declared. Applied by the PUBLIC
+    * reader surface only: internal rewrite paths (merge subsets,
+    * rebucket, optimize) read PHYSICAL rows so a computed column is
+    * never accidentally materialized into files.
+    */
+  private def applyVirtual(df: DataFrame, m: Manifest): DataFrame =
+    virtualCols(m).foldLeft(df) {
+      case (d, (n, t, e)) => d.withColumn(n, expr(e).cast(t))
     }
 
   /** Point/key lookup against the current snapshot: reads ONLY the
@@ -510,8 +522,8 @@ object CdcPipeline {
           val touched = typedKeys
             .select(bucketExpr(pkCols, m.numBuckets).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
-          readBuckets(spark, targetDir, m, touched)
-            .join(broadcast(typedKeys), pkCols, "left_semi")
+          applyVirtual(readBuckets(spark, targetDir, m, touched)
+            .join(broadcast(typedKeys), pkCols, "left_semi"), m)
         case None => // pre-manifest flat layout: no pruning possible
           spark.read.parquet(s"$targetDir/v$v")
             .join(broadcast(keys.select(pkCols.map(col): _*)), pkCols, "left_semi")
@@ -548,7 +560,7 @@ object CdcPipeline {
               case _ => true // unknown stats: must read
             }
           }
-          residual(readBuckets(spark, targetDir, m, keep))
+          residual(applyVirtual(readBuckets(spark, targetDir, m, keep), m))
         case None => residual(spark.read.parquet(s"$targetDir/v$v"))
       }
     }
@@ -681,7 +693,7 @@ object CdcPipeline {
         // on a defaulted table silently lost the fill — regression
         // pinned in CdcPipelineSpec)
         commitMeta("bloom-index") + ("bloom_col" -> column) ++ dvMeta ++
-          carryDefaults(m) ++ carryConstraints(m) ++
+          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++
           carried + (bloomMetaKey(column) -> s"v$next")))
       swapPointer(targetDir, next, -1L)
       next
@@ -728,7 +740,7 @@ object CdcPipeline {
           }
         case None => m.buckets.keySet
       }
-      residual(readBuckets(spark, targetDir, m, keep))
+      residual(applyVirtual(readBuckets(spark, targetDir, m, keep), m))
     }
   }
 
@@ -742,7 +754,8 @@ object CdcPipeline {
   def readSnapshotAt(spark: SparkSession, targetDir: String, version: Long): Option[DataFrame] =
     currentVersion(targetDir).filter(version <= _).flatMap { _ =>
       manifest(targetDir, version) match {
-        case Some(m) => Some(readBuckets(spark, targetDir, m, m.buckets.keySet))
+        case Some(m) =>
+          Some(applyVirtual(readBuckets(spark, targetDir, m, m.buckets.keySet), m))
         case None =>
           val d = s"$targetDir/v$version"
           if (StoreFs.exists(d)) Some(spark.read.parquet(d)) else None
@@ -980,6 +993,7 @@ object CdcPipeline {
       Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
         (prev.stats -- touched) ++ freshStats,
         commitMeta(op) ++ carryDefaults(prev) ++ carryConstraints(prev) ++
+          carryVirtual(prev) ++
           carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
             next) ++
           carryBlooms(targetDir, prev, carried.keySet, next)))
@@ -1037,7 +1051,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(newBuckets, m.schemaJson,
         writtenBuckets(dir).map(_ -> s"v$next").toMap,
         bucketStats(spark, dir, statsCols),
-        commitMeta("rebucket") ++ carryConstraints(m)))
+        commitMeta("rebucket") ++ carryConstraints(m) ++ carryVirtual(m)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1187,7 +1201,7 @@ object CdcPipeline {
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("delete_mor") + ("dv" -> s"v$next") ++
-            carryDefaults(m) ++ carryConstraints(m) ++
+            carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++
             // blooms stay valid over a superset — just extra FPs
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
@@ -1223,6 +1237,13 @@ object CdcPipeline {
         "a PK change re-routes the row's bucket — express it as delete+insert via MERGE")
     rewriteWhere(spark, targetDir, pkCols, predicate, "update") { subset =>
       val types = subset.schema.fields.map(f => f.name -> f.dataType).toMap
+      // a SET key that is not a stored column would silently no-op
+      // (and a virtual generated column, A72, is COMPUTED — assigning
+      // it has nothing to write): refuse loudly instead
+      val unknown = set.keys.filterNot(types.contains)
+      require(unknown.isEmpty,
+        s"SET targets non-stored column(s): ${unknown.toSeq.sorted.mkString(",")}" +
+          " (generated columns are computed on read — update their inputs)")
       subset.select(subset.columns.toIndexedSeq.map { c =>
         set.get(c).map(e => when(predicate, e.cast(types(c))).otherwise(col(c)).as(c))
           .getOrElse(col(c))
@@ -1402,7 +1423,7 @@ object CdcPipeline {
       val freshStats = bucketStats(spark, dir, trackCols)
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         carried ++ fresh, (m.stats -- chosen) ++ freshStats,
-        commitMeta(opLabel) ++ carryConstraints(m) ++
+        commitMeta(opLabel) ++ carryConstraints(m) ++ carryVirtual(m) ++
           (if (carried.nonEmpty) carryDefaults(m) else Map.empty) ++
           carryDv(spark, targetDir, m, carried.keySet, next) ++
           carryBlooms(targetDir, m, carried.keySet, next)))
@@ -1444,6 +1465,13 @@ object CdcPipeline {
       require(dangling.isEmpty,
         "cannot drop column(s) referenced by CHECK constraint(s): " +
           s"${dangling.keys.toSeq.sorted.mkString(",")} — drop the constraint first")
+      // same dependency guard for virtual generated columns (A72)
+      val danglingVirt = virtualCols(m).filter {
+        case (_, _, e) => constraintRefs(e).exists(dropLc.contains)
+      }
+      require(danglingVirt.isEmpty,
+        "cannot drop column(s) referenced by generated column(s): " +
+          s"${danglingVirt.map(_._1).sorted.mkString(",")} — drop the generated column first")
       val next = claimNextFrom(targetDir, m.readVersion)
       // a metadata-only publish carries the deletion vector by COPY
       // (it is small) into its own version dir, preserving the
@@ -1456,7 +1484,7 @@ object CdcPipeline {
         m.buckets,
         m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
         commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(",")) ++
-          carryConstraints(m) ++
+          carryConstraints(m) ++ carryVirtual(m) ++
           carryDefaults(m).filterNot { case (k, _) =>
             drop.exists(c => k == s"coldefault.${statEnc(c)}") } ++
           dvMeta ++
@@ -1493,6 +1521,8 @@ object CdcPipeline {
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val schema = m.schema
       require(!schema.fieldNames.contains(name), s"column exists: $name")
+      require(!virtualCols(m).exists(_._1 == name),
+        s"generated column exists: $name")
       require(dataType.isInstanceOf[NumericType] || dataType == StringType,
         s"initial defaults support numeric or string columns, got $dataType")
       val next = claimNextFrom(targetDir, m.readVersion)
@@ -1503,7 +1533,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets,
         schema.add(name, dataType).json, m.buckets, m.stats,
         commitMeta("add-column") + ("added" -> name) ++
-          carryDefaults(m) ++ carryConstraints(m) +
+          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) +
           (s"coldefault.${statEnc(name)}" ->
             s"$next ${statEnc(String.valueOf(default))}") ++
           dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
@@ -1536,6 +1566,12 @@ object CdcPipeline {
       require(renRefs.isEmpty,
         s"cannot rename column referenced by CHECK constraint(s): " +
           s"${renRefs.keys.toSeq.sorted.mkString(",")} — drop the constraint first")
+      val renVirt = virtualCols(m).filter {
+        case (n, _, e) => n == from || n == to || constraintRefs(e).contains(fromLc)
+      }
+      require(renVirt.isEmpty,
+        s"cannot rename a generated column or one its expression references: " +
+          s"${renVirt.map(_._1).sorted.mkString(",")} — drop the generated column first")
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
         .withColumnRenamed(from, to)
       val newPk = pkCols.map(c => if (c == from) to else c)
@@ -1548,7 +1584,7 @@ object CdcPipeline {
         writtenBuckets(dir).map(_ -> s"v$next").toMap,
         bucketStats(spark, dir, trackCols),
         commitMeta("rename-column") + ("renamed" -> s"$from>$to") ++
-          carryConstraints(m)))
+          carryConstraints(m) ++ carryVirtual(m)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1631,6 +1667,14 @@ object CdcPipeline {
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       require(!constraintsOf(m).contains(name),
         s"constraint exists: $name (drop it first to redefine)")
+      // write-time enforcement sees PHYSICAL rows only — a predicate
+      // over a virtual column (A72) could never be checked there
+      val virt = virtualCols(m).map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+      val onVirtual = constraintRefs(predicate).intersect(virt)
+      require(onVirtual.isEmpty,
+        s"CHECK may reference only physical columns; generated: " +
+          onVirtual.toSeq.sorted.mkString(",") +
+          " — constrain the expression's physical inputs instead")
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
       val bad = snap.filter(!coalesce(expr(predicate), lit(true))).count()
       if (bad > 0)
@@ -1642,7 +1686,7 @@ object CdcPipeline {
       }.toMap
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         m.buckets, m.stats,
-        commitMeta("add-constraint") ++ carryDefaults(m) ++
+        commitMeta("add-constraint") ++ carryDefaults(m) ++ carryVirtual(m) ++
           carryConstraints(m) + (s"$ConstraintPrefix$name" -> predicate) ++
           dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
       swapPointer(targetDir, next, -1L)
@@ -1666,8 +1710,101 @@ object CdcPipeline {
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("drop-constraint") + ("unconstrained" -> name) ++
-            carryDefaults(m) ++
+            carryDefaults(m) ++ carryVirtual(m) ++
             (carryConstraints(m) - s"$ConstraintPrefix$name") ++
+            dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+        swapPointer(targetDir, next, -1L)
+        Some(next)
+      }
+    }
+
+  // ==== A72: virtual generated columns ==============================
+  // The Delta GENERATED-column surface, taken VIRTUAL (computed on
+  // read, zero stored bytes — BigQuery/Trino "expression column"
+  // style): `colvirt.<name>` meta carries (type JSON, SQL expr) and
+  // EVERY reader path appends the column via one codegen'd projection
+  // on the scan ([[readBucketsWithPos]]), so snapshots, key/range/
+  // point lookups, time travel and diffs all see it without a single
+  // rewritten file. Deliberately decoupled from the PHYSICAL schema:
+  // a merge that republishes the config's column set cannot narrow a
+  // virtual column away, and a full rewrite that happens to
+  // materialize the computed values changes nothing — the expression
+  // stays authoritative (readers recompute over whatever is stored).
+  // Time travel before the declaration reads without the column (old
+  // manifests lack the meta) — the A57 vintage semantic for free.
+
+  private val VirtualPrefix = "colvirt."
+
+  /** Declared virtual columns: (name, type, expr SQL). */
+  private def virtualCols(m: Manifest): Seq[(String, DataType, String)] =
+    m.meta.collect {
+      case (k, v) if k.startsWith(VirtualPrefix) =>
+        val Array(t, e) = v.split(" ", 2)
+        (k.stripPrefix(VirtualPrefix), DataType.fromJson(statDec(t)), statDec(e))
+    }.toSeq.sortBy(_._1)
+
+  private def carryVirtual(prev: Manifest): Map[String, String] =
+    prev.meta.filter(_._1.startsWith(VirtualPrefix))
+
+  /** Declared virtual columns of the current version: name →
+    * (type, expression SQL). Empty when none / no store.
+    */
+  def generatedColumns(targetDir: String): Map[String, (DataType, String)] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v))
+      .map(m => virtualCols(m).map { case (n, t, e) => n -> ((t, e)) }.toMap)
+      .getOrElse(Map.empty)
+
+  /** ADD a virtual generated column — METADATA-ONLY (one manifest,
+    * zero data bytes, zero Spark jobs). The expression may reference
+    * only PHYSICAL columns (chaining virtual-on-virtual would make
+    * read-side evaluation order-dependent — declare the composed
+    * expression instead). None when the store doesn't exist.
+    */
+  def addGeneratedColumn(targetDir: String, name: String,
+      dataType: DataType, exprSql: String): Option[Long] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val phys = m.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      require(!m.schema.fieldNames.contains(name), s"column exists: $name")
+      require(!virtualCols(m).exists(_._1 == name),
+        s"generated column exists: $name")
+      val refs = constraintRefs(exprSql)
+      val bad = refs -- phys
+      require(bad.isEmpty,
+        s"generated column may reference only physical columns; unknown: " +
+          bad.toSeq.sorted.mkString(","))
+      val next = claimNextFrom(targetDir, m.readVersion)
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
+      writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+        m.buckets, m.stats,
+        commitMeta("add-generated") + ("generated" -> name) ++
+          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) +
+          (s"$VirtualPrefix$name" ->
+            s"${statEnc(dataType.json)} ${statEnc(exprSql)}") ++
+          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+
+  /** DROP a virtual generated column — metadata-only. None when the
+    * store or the column doesn't exist.
+    */
+  def dropGeneratedColumn(targetDir: String, name: String): Option[Long] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).flatMap { m =>
+      if (!virtualCols(m).exists(_._1 == name)) None
+      else {
+        val next = claimNextFrom(targetDir, m.readVersion)
+        val dvMeta = m.meta.get("dv").map { ref =>
+          StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+          "dv" -> s"v$next"
+        }.toMap
+        writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+          m.buckets, m.stats,
+          commitMeta("drop-generated") + ("ungenerated" -> name) ++
+            carryDefaults(m) ++ carryConstraints(m) ++
+            (carryVirtual(m) - s"$VirtualPrefix$name") ++
             dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)
@@ -2303,7 +2440,8 @@ object CdcPipeline {
         }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
           m.buckets.keySet.map(_ -> "v0").toMap, m.stats,
-          commitMeta("deep-clone") ++ dvMeta ++ carryConstraints(m)))
+          commitMeta("deep-clone") ++ dvMeta ++ carryConstraints(m) ++
+            carryVirtual(m)))
       } else {
         // every store this clone's references resolve into gets a pin
         // keyed by THIS clone: source-local refs pin at sourceDir,
@@ -2324,7 +2462,7 @@ object CdcPipeline {
           }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
           resolved, m.stats, commitMeta("clone") ++ dvMeta ++
-            carryConstraints(m)))
+            carryConstraints(m) ++ carryVirtual(m)))
       }
       swapPointer(destDir, 0, -1L)
       0L
@@ -2408,7 +2546,7 @@ object CdcPipeline {
             // constraints restore WITH the state: the rolled-back
             // version's constraint set (not the abandoned head's) is
             // what its data provably satisfies
-            carryDefaults(m) ++ carryConstraints(m) ++ dvMeta ++
+            carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ dvMeta ++
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)

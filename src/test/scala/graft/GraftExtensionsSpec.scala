@@ -374,4 +374,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === -5L)
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
+
+  test("SQL generated columns: add → read computes → list → drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlg").toString
+    spark.sql(
+      s"""SELECT * FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 2 AS v FROM range(0, 50)', 4)""".stripMargin).collect()
+    val ver = spark.sql(
+      s"SELECT * FROM graft_add_generated('$dir', 'v10', 'BIGINT', 'v * 10')")
+      .collect()(0).getLong(0)
+    assert(ver === 1L)
+    assert(spark.sql(s"SELECT v10 FROM graft_snapshot('$dir') WHERE id = 3")
+      .collect()(0).getLong(0) === 60L)
+    val listed = spark.sql(s"SELECT * FROM graft_generated('$dir')").collect()
+    assert(listed.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      === Seq(("v10", "bigint", "v * 10")))
+    spark.sql(s"SELECT * FROM graft_drop_generated('$dir', 'v10')").collect()
+    assert(!spark.sql(s"SELECT * FROM graft_snapshot('$dir')")
+      .columns.contains("v10"))
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_drop_generated('$dir', 'v10')").collect()
+    }
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
 }
