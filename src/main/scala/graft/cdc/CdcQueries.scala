@@ -1372,6 +1372,66 @@ object CdcQueries {
        |  WHERE rn = 1 AND op != 'd'
        |ORDER BY user_id""".stripMargin
 
+  // A71+A72 (r9): CHECK constraints + virtual generated columns on
+  // the real merged store. The gate EXERCISES enforcement, not just
+  // declaration: a violating merge must refuse with the pointer
+  // unmoved (require-asserted), the clean merge then lands, and the
+  // exported snapshot carries a computed column no file stores — the
+  // oracle re-derives the merged state AND the expression in SQL, so
+  // constraint survival, refusal semantics, and read-side compute all
+  // ride one hash.
+  def cdcConstraintsGenerated(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "congen",
+      targetPath = Fixtures.dirs("congen", 1).head,
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    CdcPipeline.addCheckConstraint(s, cfg.targetPath, "nonneg_event",
+      "event_id >= 0") // v1 — validates the whole v0 snapshot
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    // a poisoned delta must refuse the COMMIT and move nothing
+    val bad = chg1.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete)
+      .limit(1).withColumn("event_id", lit(-5L))
+    val before = CdcPipeline.currentVersion(cfg.targetPath).get
+    val refused =
+      try { CdcPipeline.mergeAndPublish(s, cfg, bad, 1L); false }
+      catch { case _: CdcPipeline.ConstraintViolationException => true }
+    require(refused, "violating merge must throw")
+    require(CdcPipeline.currentVersion(cfg.targetPath).get == before,
+      "refused merge must not publish")
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v2 — clean
+    require(CdcPipeline.checkConstraints(cfg.targetPath).contains("nonneg_event"),
+      "constraint must survive the delta publish")
+    CdcPipeline.addGeneratedColumn(cfg.targetPath, "k2e", LongType,
+      "k * 2 + event_id % 7") // v3 — metadata-only
+    CdcPipeline.readSnapshot(s, cfg.targetPath).get
+      .select("user_id", "k", "event_id", "value", "k2e")
+      .orderBy(col("user_id"))
+  }
+
+  private val oConstraintsGenerated =
+    s"""SELECT user_id, k, event_id, value, k * 2 + event_id % 7 AS k2e
+       |FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd'
+       |ORDER BY user_id""".stripMargin
+
   // A47 (r8): RESTORE — roll the store back to a pre-mistake version
   // by publishing a new version that carries the old manifest's
   // references (one manifest write, zero data bytes). The gate makes
@@ -1691,6 +1751,8 @@ object CdcQueries {
     QueryDef("cdc_bloom_lookup", cdcBloomLookup, Some(oBloomLookup)),
     QueryDef("cdc_txn_commit", cdcTxnCommit, Some(oTxnCommit)),
     QueryDef("cdc_add_column", cdcAddColumn, Some(oAddColumn)),
+    QueryDef("cdc_constraints_generated", cdcConstraintsGenerated,
+      Some(oConstraintsGenerated)),
     QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
     QueryDef("cdc_join_view", cdcJoinView, Some(oJoinView)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),
