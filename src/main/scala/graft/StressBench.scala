@@ -776,6 +776,46 @@ object StressBench {
         Set(probe.getLong(0)))
       StoreFs.deleteRecursive(dir)
     }
+
+    // CHECK constraints + virtual generated columns (A71/A72) at 10M
+    // rows / 64 buckets. Claims probed: the DECLARATION pays the
+    // full-snapshot validation scan exactly once; write-time
+    // enforcement is DELTA-sized (a 10k-row check must cost a small
+    // fraction of the declaration's 10M-row scan — induction, never a
+    // re-scan of the table); and a computed column aggregates at the
+    // same price as the inlined expression (it IS the same codegen'd
+    // projection on the scan).
+    {
+      val P = graft.cdc.CdcPipeline
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stress_congen").toString
+      val facts = spark.range(0, n).select(col("id"),
+        (col("id") % 1000L).as("v"))
+      P.publish(facts, dir, Seq("id"), buckets = Some(64))
+      def secs[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tDecl) = secs(P.addCheckConstraint(spark, dir, "nonneg_v", "v >= 0").get)
+      println(f"[stress] constraint declaration scan (${n / 1e6}%.1f M rows): $tDecl%.2f s")
+      val m = P.manifest(dir, P.currentVersion(dir).get).get
+      val delta = spark.range(0, 10000).select(col("id"),
+        (col("id") % 1000L).as("v"))
+      val (_, tEnf) = secs(P.enforceConstraints(m, delta, dir))
+      println(f"[stress] write-time enforcement of a 10k-row delta: $tEnf%.2f s")
+      assert(tEnf < math.max(0.5, tDecl / 5),
+        f"enforcement must be delta-sized, not a table re-scan: $tEnf%.2f vs declaration $tDecl%.2f")
+      P.addGeneratedColumn(dir, "v2",
+        org.apache.spark.sql.types.LongType, "v * 2 + 1")
+      val (sVirt, tVirt) = secs(P.readSnapshot(spark, dir).get
+        .agg(sum(col("v2"))).head().getLong(0))
+      val (sPhys, tPhys) = secs(P.readSnapshot(spark, dir).get
+        .agg(sum(expr("v * 2 + 1"))).head().getLong(0))
+      assert(sVirt == sPhys, s"computed column must equal its expression: $sVirt vs $sPhys")
+      println(f"[stress] 10M-row agg over generated column: $tVirt%.2f s (inlined expr: $tPhys%.2f s)")
+      assert(tVirt < math.max(1.0, tPhys * 3),
+        f"virtual column must ride the scan, not re-derive: $tVirt%.2f vs $tPhys%.2f")
+      StoreFs.deleteRecursive(dir)
+    }
     spark.stop()
   }
 }

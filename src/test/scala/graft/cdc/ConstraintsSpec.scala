@@ -135,6 +135,29 @@ class ConstraintsSpec extends AnyFunSuite {
       .filter(col("value") === -1L).count() === 1L)
   }
 
+  test("streaming micro-batch merge is gated too: a violating batch fails BEFORE publishing") {
+    val dir = tmp(); mkStore(dir)
+    CdcPipeline.addCheckConstraint(spark, dir, "pos_value", "value > 0")
+    val c = cfg(dir)
+    def envBatch(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("id", "name", "value")
+        .withColumn(CdcEnvelope.OpCol, lit("u"))
+        .withColumn(CdcEnvelope.TsCol, lit(1000L))
+        .withColumn(CdcEnvelope.PosCol, monotonically_increasing_id())
+        .withColumn(CdcEnvelope.LoadTsCol, lit(1000L))
+        .withColumn(CdcEnvelope.DataCol, lit("{}"))
+    val before = CdcPipeline.currentVersion(dir).get
+    intercept[CdcPipeline.ConstraintViolationException] {
+      graft.streaming.CdcStream.mergeBatchToTarget(
+        envBatch((9L, "x", -3L)), batchId = 1L, c)
+    }
+    assert(CdcPipeline.currentVersion(dir).get === before,
+      "violating micro-batch must not publish")
+    assert(graft.streaming.CdcStream.mergeBatchToTarget(
+      envBatch((9L, "x", 3L)), batchId = 1L, c))
+    assert(snap(dir)(9L) === (("x", 3L)))
+  }
+
   test("declaration survives rebucket/optimize/bloom-index; RESTORE reverts to the restored state's set") {
     val dir = tmp(); mkStore(dir)
     CdcPipeline.addCheckConstraint(spark, dir, "pos_value", "value > 0") // v1
