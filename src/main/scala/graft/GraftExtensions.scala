@@ -560,6 +560,17 @@ object GraftExtensions {
         import spark.implicits._
         plan(Seq(v).toDF("version"))
       }),
+    // graft_detail(path) → A73 DESCRIBE DETAIL: one-row operational
+    // summary (layout, footer/live rows, metadata inventory) from
+    // driver metadata + footers only.
+    (FunctionIdentifier("graft_detail"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_detail"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_detail path")
+        val spark = active
+        plan(graft.cdc.CdcPipeline.describeDetail(spark, path)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
     // graft_generated(path) → declared generated columns, one
     // (name, type, expression) row each.
     (FunctionIdentifier("graft_generated"),

@@ -1718,6 +1718,51 @@ object CdcPipeline {
       }
     }
 
+  /** DESCRIBE DETAIL (A73) — the one-row operational summary every
+    * lakehouse serves (`DESCRIBE DETAIL` in Delta, `metadata` tables
+    * in Iceberg): physical layout (buckets/files/bytes), footer row
+    * count with the DV-adjusted LIVE count (A61's arithmetic), and
+    * the full declared-metadata inventory — constraints (A71),
+    * generated columns (A72), column defaults (A57), bloom-indexed
+    * columns (A54), DV presence (A53) — plus the last commit's op and
+    * time. Driver metadata + parquet-footer I/O ONLY (zero Spark
+    * jobs): seconds against a 100 TB store, because nothing here
+    * reads data pages.
+    */
+  def describeDetail(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    for {
+      v <- currentVersion(targetDir)
+      m <- manifest(targetDir, v)
+    } yield {
+      val per = m.buckets.toSeq.sortBy(_._1).map { case (b, ref) =>
+        val root = if (ref.contains("/")) ref else s"$targetDir/$ref"
+        val dir = s"$root/$BucketCol=$b"
+        val rb = StoreFs.footerRowsBytes(dir).getOrElse((0L, 0L))
+        (rb._1, rb._2, StoreFs.listFilePaths(dir, ".parquet").size.toLong)
+      }
+      val rows = per.map(_._1).sum
+      val dvRows = m.meta.get("dv")
+        .flatMap(r => StoreFs.footerRowsBytes(dvPath(targetDir, r)))
+        .map(_._1).getOrElse(0L)
+      val readable = (0L to v).count(manifest(targetDir, _).isDefined).toLong
+      import spark.implicits._
+      Seq((v, m.numBuckets.toLong, per.map(_._3).sum, per.map(_._2).sum,
+        rows, rows - dvRows, dvRows,
+        m.schema.fields.length.toLong,
+        constraintsOf(m).keys.toSeq.sorted.mkString(","),
+        virtualCols(m).map(_._1).mkString(","),
+        columnDefaults(m).map(_._1).mkString(","),
+        m.meta.keys.filter(_.startsWith("bloom.")).toSeq
+          .map(_.stripPrefix("bloom.")).sorted.mkString(","),
+        m.meta.getOrElse("op", ""),
+        m.meta.get("commit_us").map(_.toLong).getOrElse(-1L),
+        readable))
+        .toDF("version", "num_buckets", "num_files", "bytes",
+          "footer_rows", "live_rows", "dv_rows", "schema_fields",
+          "constraints", "generated_columns", "column_defaults",
+          "bloom_columns", "last_op", "commit_us", "readable_versions")
+    }
+
   // ==== A72: virtual generated columns ==============================
   // The Delta GENERATED-column surface, taken VIRTUAL (computed on
   // read, zero stored bytes — BigQuery/Trino "expression column"
