@@ -1977,6 +1977,39 @@ object OpsQueries {
       |FROM r WHERE run <= 50000
       |GROUP BY b ORDER BY b""".stripMargin
 
+  // C72 (r9): sliding-window chunking — 64-token chunks, stride 48
+  // (25% overlap). The md5 over every chunk's text pins the exact
+  // window boundaries and the short final window; integer counts pin
+  // the coverage arithmetic.
+  def textChunk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkDocs(T.documents(s, d), col("doc_id"), col("text"), 64, 48)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_chunk_toks"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val oTextChunk =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, toks, n,
+      |    greatest(0, CAST(ceil((n - 64) / 48.0) AS BIGINT) * 48) AS last_start
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, n AS n_tokens,
+      |    CAST(g.start_tok AS BIGINT) AS start_tok,
+      |    CAST(g.start_tok / 48 AS BIGINT) AS chunk_idx,
+      |    array_to_string(list_slice(toks, g.start_tok + 1, g.start_tok + 64), ' ')
+      |      AS chunk_text
+      |  FROM s, LATERAL (SELECT unnest(generate_series(0, last_start, 48))
+      |                   AS start_tok) g)
+      |SELECT doc_id, chunk_idx, start_tok,
+      |  least(64, n_tokens - start_tok) AS n_chunk_toks, n_tokens,
+      |  md5(chunk_text) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // C14: token-budget sequence packing — whitespace tokens, 512-token
   // sequences, 8 shards. All-integer outputs, exact oracle.
   def packSequences(s: SparkSession, d: String): DataFrame =
@@ -2833,6 +2866,7 @@ object OpsQueries {
     QueryDef("pack_length_batches", packLengthBatches, Some(oPackLengthBatches)),
     QueryDef("sample_temperature", sampleTemperatureQ, Some(oSampleTemperature)),
     QueryDef("select_token_budget", selectTokenBudgetQ, Some(oSelectTokenBudget)),
+    QueryDef("text_chunk", textChunk, Some(oTextChunk)),
     QueryDef("dpo_pairs", dpoPairs, Some(oDpoPairs)),
     QueryDef("text_fertility", textFertility, Some(oTextFertility)),
     QueryDef("text_hashed_features", textHashedFeatures,

@@ -453,6 +453,41 @@ object TextAnalysis {
     t
   }
 
+  /** Sliding-window document chunking (SURVEY.md §2 C72) — the
+    * RAG-index / long-document-split prep: each doc cuts into
+    * `chunkTokens`-token windows advancing by `strideTokens`
+    * (stride < chunk ⇒ overlapping context, the retrieval-quality
+    * trade every RAG pipeline tunes). Chunk count =
+    * 1 + max(0, ceil((n − chunk)/stride)) — a doc shorter than one
+    * chunk is still ONE chunk (nothing silently dropped), the last
+    * window may run short, and every token position is covered.
+    *
+    * Scale shape: split + posexplode over a per-doc integer sequence,
+    * all codegen'd — shuffle-free row expansion ∝ output chunks, the
+    * same scan the tokenization already pays. Deterministic integer
+    * boundaries, so the expansion is oracle-exact on any engine.
+    */
+  def chunkDocs(docs: DataFrame, idCol: Column, text: Column,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk: chunk=$chunkTokens stride=$strideTokens")
+    docs
+      .select(idCol.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__lastStart",
+        greatest(lit(0L),
+          expr(s"cast(ceil((__n - ${chunkTokens}L) / ${strideTokens}D) as long)" +
+            s" * ${strideTokens}L")))
+      .select(col("doc_id"), col("__toks"), col("__n").as("n_tokens"),
+        posexplode(expr(s"sequence(0L, __lastStart, ${strideTokens}L)"))
+          .as(Seq("chunk_idx", "start_tok")))
+      .withColumn("chunk_text",
+        expr(s"array_join(slice(__toks, cast(start_tok + 1 as int), $chunkTokens), ' ')"))
+      .withColumn("n_chunk_toks",
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("start_tok")))
+      .drop("__toks")
+  }
+
   def charCodes(text: Column): Column =
     transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long"))
 

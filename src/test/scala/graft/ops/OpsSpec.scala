@@ -765,6 +765,35 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("doc_id") === r._3).select("rrf_nano").as[Long].head()))
   }
 
+  test("chunkDocs: full coverage, overlap arithmetic, short docs, disjoint partition at stride=chunk") {
+    val docs = Seq(
+      (1L, (0 until 200).map(i => s"w$i").mkString(" ")), // 200 toks
+      (2L, (0 until 64).map(i => s"x$i").mkString(" ")),  // exactly one chunk
+      (3L, "just three tokens"),                          // short doc
+      (4L, (0 until 65).map(i => s"y$i").mkString(" "))   // one past the boundary
+    ).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkDocs(docs, col("doc_id"), col("text"), 64, 48)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_chunk_toks", $"n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDoc = ch.groupBy(_._1)
+    // chunk counts: 200 → ceil((200-64)/48)=3 → 4 chunks; 64 → 1; 3 → 1; 65 → 2
+    assert(byDoc.view.mapValues(_.length).toMap === Map(1L -> 4, 2L -> 1, 3L -> 1, 4L -> 2))
+    // every token position covered; starts advance by exactly the stride
+    byDoc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3) === sorted.indices.map(_ * 48L))
+      val n = sorted.head._5
+      assert(sorted.last._3 + sorted.last._4 === n, "last chunk must reach the end")
+      assert(sorted.forall(r => r._4 === math.min(64L, n - r._3)))
+    }
+    // stride == chunk: a disjoint exact partition of the tokens
+    val flat = TextAnalysis.chunkDocs(docs, col("doc_id"), col("text"), 64, 64)
+      .groupBy("doc_id").agg(sum("n_chunk_toks").as("covered"),
+        first("n_tokens").as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(flat.forall(r => r._2 === r._3), s"disjoint chunks must tile exactly: ${flat.toSeq}")
+  }
+
   test("quantizeInt8: code range, endpoint mapping, error bound, degenerate vectors") {
     val vecs = Seq(
       (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)),         // linear ramp
