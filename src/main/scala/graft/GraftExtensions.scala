@@ -571,6 +571,18 @@ object GraftExtensions {
         plan(graft.cdc.CdcPipeline.describeDetail(spark, path)
           .getOrElse(throw new IllegalArgumentException(s"no graft store at $path")))
       }),
+    // graft_symlink_manifest(path) → A74 GENERATE
+    // symlink_format_manifest: one row per exported data-file path.
+    (FunctionIdentifier("graft_symlink_manifest"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_symlink_manifest"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_symlink_manifest path")
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.generateSymlinkManifest(path)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+          .toDF("file"))
+      }),
     // graft_generated(path) → declared generated columns, one
     // (name, type, expression) row each.
     (FunctionIdentifier("graft_generated"),

@@ -1718,6 +1718,43 @@ object CdcPipeline {
       }
     }
 
+  /** GENERATE symlink-format manifest (A74) — Delta's `GENERATE
+    * symlink_format_manifest`: write the CURRENT snapshot's data-file
+    * list to `_symlink_format_manifest/manifest` (one absolute path
+    * per line, atomically replaced) so engines that can't walk the
+    * version store — Presto/Trino/Hive external tables, a plain
+    * parquet reader — serve the exact committed snapshot. Driver
+    * metadata I/O only.
+    *
+    * Honesty guard: a raw file list CANNOT express merge-on-read
+    * state — deletion-vector rows would resurrect (A53) and
+    * unmaterialized column defaults would read NULL (A57) — so
+    * generation REFUSES while either is outstanding (fold the DV /
+    * OPTIMIZE the fills first; both are one maintenance call).
+    * Virtual generated columns (A72) are presentation-layer and
+    * simply absent from the external view — narrower, never wrong.
+    * Returns the file list, None when the store doesn't exist.
+    */
+  def generateSymlinkManifest(targetDir: String): Option[Seq[String]] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      require(!m.meta.contains("dv"),
+        "cannot export a symlink manifest while a deletion vector is " +
+          "outstanding: external readers would resurrect deleted rows — " +
+          "fold it first (foldDv / maintain)")
+      require(columnDefaults(m).isEmpty,
+        "cannot export a symlink manifest with unmaterialized column " +
+          "defaults: external readers would see NULL — OPTIMIZE first")
+      val files = m.buckets.toSeq.sortBy(_._1).flatMap { case (b, ref) =>
+        val root = if (ref.contains("/")) ref else s"$targetDir/$ref"
+        StoreFs.listFilePaths(s"$root/$BucketCol=$b", ".parquet").sorted
+      }
+      val dir = s"$targetDir/_symlink_format_manifest"
+      val tmp = s"$dir/.manifest.tmp"
+      StoreFs.writeString(tmp, files.mkString("\n"))
+      StoreFs.atomicReplace(tmp, s"$dir/manifest")
+      files
+    }
+
   /** DESCRIBE DETAIL (A73) — the one-row operational summary every
     * lakehouse serves (`DESCRIBE DETAIL` in Delta, `metadata` tables
     * in Iceberg): physical layout (buckets/files/bytes), footer row
