@@ -1977,6 +1977,58 @@ object OpsQueries {
       |FROM r WHERE run <= 50000
       |GROUP BY b ORDER BY b""".stripMargin
 
+  // C73 (r9): stride-scheduled mixture interleave over the language
+  // mix. Exports the first 100 schedule slots (order-sensitive: pos
+  // is part of the row) plus per-language counts within three prefix
+  // windows — the balance the interleave exists to provide. Integer
+  // stride keys + md5 per-source order: the oracle re-derives the
+  // ENTIRE schedule.
+  def mixtureInterleaveQ(s: SparkSession, d: String): DataFrame = {
+    val sched = Packing.mixtureInterleave(T.documents(s, d),
+        col("lang"), col("doc_id"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("stride_key"), col("source"), col("k"))).cast("long"))
+    val head = sched.filter(col("pos") <= 100)
+      .select(lit("slot").as("kind"), col("pos"),
+        col("source"), col("doc_id"))
+    val prefixes = sched
+      .select(explode(array(lit(100L), lit(500L), lit(2000L))).as("win"),
+        col("pos"), col("source"))
+      .filter(col("pos") <= col("win"))
+      .groupBy(col("win"), col("source"))
+      .agg(count(lit(1)).as("n_in_prefix"))
+      .select(lit("prefix").as("kind"), col("win").as("pos"),
+        col("source"), col("n_in_prefix").as("doc_id"))
+    head.unionByName(prefixes).orderBy(col("kind"), col("pos"), col("source"))
+  }
+
+  private val oMixtureInterleave =
+    """WITH base AS (
+      |  SELECT lang AS source, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#ilv'), doc_id) - 1 AS k,
+      |    count(*) OVER (PARTITION BY lang) AS w
+      |  FROM documents),
+      |sched AS (
+      |  SELECT source, doc_id, k,
+      |    (2*k + 1) * 1000000000000 // (2 * w) AS stride_key
+      |  FROM base),
+      |pos AS (
+      |  SELECT source, doc_id,
+      |    CAST(row_number() OVER (ORDER BY stride_key, source, k) AS BIGINT)
+      |      AS pos
+      |  FROM sched),
+      |head AS (
+      |  SELECT 'slot' AS kind, pos, source, doc_id FROM pos WHERE pos <= 100),
+      |pref AS (
+      |  SELECT 'prefix' AS kind, CAST(w.win AS BIGINT) AS pos, p.source,
+      |    count(*) AS doc_id
+      |  FROM pos p, (VALUES (100), (500), (2000)) AS w(win)
+      |  WHERE p.pos <= w.win GROUP BY 1, 2, 3)
+      |SELECT kind, pos, source, doc_id FROM head
+      |UNION ALL SELECT kind, pos, source, doc_id FROM pref
+      |ORDER BY kind, pos, source""".stripMargin
+
   // C72 (r9): sliding-window chunking — 64-token chunks, stride 48
   // (25% overlap). The md5 over every chunk's text pins the exact
   // window boundaries and the short final window; integer counts pin
@@ -2867,6 +2919,7 @@ object OpsQueries {
     QueryDef("sample_temperature", sampleTemperatureQ, Some(oSampleTemperature)),
     QueryDef("select_token_budget", selectTokenBudgetQ, Some(oSelectTokenBudget)),
     QueryDef("text_chunk", textChunk, Some(oTextChunk)),
+    QueryDef("mixture_interleave", mixtureInterleaveQ, Some(oMixtureInterleave)),
     QueryDef("dpo_pairs", dpoPairs, Some(oDpoPairs)),
     QueryDef("text_fertility", textFertility, Some(oTextFertility)),
     QueryDef("text_hashed_features", textHashedFeatures,

@@ -413,6 +413,48 @@ object Packing {
       .drop("__g")
   }
 
+  /** Stride-scheduled mixture interleave (SURVEY.md §2 C73) — the
+    * deterministic weighted round-robin a data loader runs so an
+    * epoch's sources are SPREAD through the stream instead of read in
+    * blocks (block order = the batch distribution drifts per source
+    * over the epoch; interleave = every training window sees the
+    * declared mix). Classic stride scheduling: source s with weight
+    * w_s emits its k-th item at virtual time (2k+1)/(2·w_s); sorting
+    * all items by that time interleaves sources proportionally with
+    * per-source prefix deviation ≤ 1 item from the ideal quota.
+    *
+    * Exactness: the virtual time is computed as the INTEGER
+    * (2k+1)·10^12 div (2·w_s) — identical BIGINT on any engine, ties
+    * broken by (source, k); the per-source emission order is the
+    * seeded md5 shuffle (C34's portable order). Each source's weight
+    * is its row count — the self-proportional epoch interleave;
+    * compose with C70's temperature sampling first to interleave a
+    * rebalanced mix.
+    *
+    * Scale shape: one |sources|-row count agg broadcast back, one
+    * per-source window for k (partitioned — no global state), one
+    * codegen'd key projection. The returned `stride_key` IS the
+    * schedule: consumers range-partition/sort by it — the key is
+    * ~uniform on [0, 10^12), so repartitionByRange balances without
+    * any single-task global window. (Materializing a dense global
+    * `pos` is a two-pass prefix-offset job the consumer rarely needs.)
+    */
+  def mixtureInterleave(docs: DataFrame, sourceCol: Column,
+      idCol: Column, seed: String = "ilv"): DataFrame = {
+    val base = docs.select(sourceCol.as("__src"), idCol.as("doc_id"))
+    val perSrc = Window.partitionBy(col("__src"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit("#" + seed))),
+        col("doc_id"))
+    val counts = base.groupBy(col("__src")).agg(count(lit(1)).as("w"))
+    base
+      .withColumn("k", row_number().over(perSrc).cast("long") - 1L)
+      .join(broadcast(counts), "__src")
+      .withColumn("stride_key",
+        expr("(2*k + 1) * 1000000000000L div (2 * w)"))
+      .select(col("__src").as("source"), col("doc_id"), col("k"),
+        col("w"), col("stride_key"))
+  }
+
   /** Token-budget corpus selection (SURVEY.md §2 C71) — "take the
     * best documents until the training budget is spent": rank by an
     * integer quality score, keep from the top until cumulative tokens

@@ -268,6 +268,39 @@ class PackingSpec extends AnyFunSuite {
     assert(total + firstDropped._2 > budget, "greedy cut must be tight")
   }
 
+  test("mixtureInterleave: every prefix holds each source near its quota; conservation; determinism") {
+    // heavily skewed mix: 1000 / 100 / 10
+    val docs = spark.range(0, 1110).select(col("id").as("doc_id"),
+      when(col("id") < 1000, lit("A"))
+        .when(col("id") < 1100, lit("B")).otherwise(lit("C")).as("src"))
+    val sched = Packing.mixtureInterleave(docs, col("src"), col("doc_id"))
+      .select($"source", $"doc_id", $"k", $"stride_key")
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(t => (t._4, t._1, t._3))
+    assert(sched.length === 1110 && sched.map(_._2).toSet.size === 1110,
+      "every doc scheduled exactly once")
+    // stride-scheduling balance: in EVERY prefix, each source's count
+    // stays within 2 of its proportional quota
+    val weights = Map("A" -> 1000.0, "B" -> 100.0, "C" -> 10.0)
+    val total = 1110.0
+    val counts = scala.collection.mutable.Map("A" -> 0, "B" -> 0, "C" -> 0)
+    sched.zipWithIndex.foreach { case ((s, _, _, _), i) =>
+      counts(s) += 1
+      val p = i + 1
+      weights.foreach { case (src, w) =>
+        val quota = p * w / total
+        assert(math.abs(counts(src) - quota) <= 2.0,
+          s"prefix $p: $src has ${counts(src)} vs quota $quota")
+      }
+    }
+    // determinism: a second run is byte-identical
+    val again = Packing.mixtureInterleave(docs, col("src"), col("doc_id"))
+      .select($"source", $"doc_id", $"k", $"stride_key")
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(t => (t._4, t._1, t._3))
+    assert(again.toSeq === sched.toSeq)
+  }
+
   test("lengthBucketedBatches: partition laws, batch sizing, and pad-waste dominance over random batching") {
     val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
       (pmod(col("id") * 131, lit(480)) + 20).as("len"))
