@@ -777,6 +777,45 @@ object StressBench {
       StoreFs.deleteRecursive(dir)
     }
 
+    // r9 loader-op probes at 10M docs: the claims are all "no global
+    // state" shapes — temperature sampling is one |groups|-row agg
+    // broadcast back onto a scan filter; budget selection's only
+    // per-doc window is confined to the one boundary bucket; the
+    // interleave's windows are per-source; chunking is a shuffle-free
+    // row expansion. Each must run in seconds at 10M docs.
+    {
+      import graft.ops.{Packing, TextAnalysis}
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+        (pmod(col("id") * 131, lit(97)) + 3).as("toks"),
+        pmod(col("id") * 7919, lit(500)).as("score"),
+        concat(lit("s"), pmod(col("id"), lit(12))).as("src")).localCheckpoint()
+      def secs[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (kept, tTemp) = secs(Packing.sampleTemperature(docs,
+        col("src"), col("doc_id"), quarters = 2).count())
+      println(f"[stress] temperature sampling (12 groups, α=1/2): $tTemp%.2f s, kept $kept")
+      assert(tTemp < 30, f"temperature sampling must be scan-bound: $tTemp%.2f")
+      val (nb, tBud) = secs(Packing.selectByTokenBudget(docs, col("doc_id"),
+        col("toks"), col("score"), budget = n * 10, bucketWidth = 10).count())
+      println(f"[stress] token-budget selection (two-level cut): $tBud%.2f s, kept $nb")
+      assert(tBud < 60, f"budget cut must avoid the global window: $tBud%.2f")
+      val (ni, tIlv) = secs(Packing.mixtureInterleave(docs,
+        col("src"), col("doc_id")).count())
+      println(f"[stress] mixture interleave key assignment (12 sources): $tIlv%.2f s over $ni docs")
+      assert(ni == n && tIlv < 60)
+      // chunking on 1M real-text docs (synthesized ~60-token texts,
+      // 16/8 windows → ~7 chunks/doc row expansion)
+      val texts = spark.range(0, n / 10).select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(1, 60), i -> concat('w', (id + i) % 1000)), ' ')")
+          .as("text"))
+      val (nc, tCh) = secs(TextAnalysis.chunkDocs(texts, col("doc_id"),
+        col("text"), 16, 8).count())
+      println(f"[stress] chunking 1M docs into 16/8 windows: $tCh%.2f s, $nc chunks")
+      assert(nc == (n / 10) * 7 && tCh < 60,
+        s"chunk count must be exact: $nc, time $tCh")
+    }
+
     // CHECK constraints + virtual generated columns (A71/A72) at 10M
     // rows / 64 buckets. Claims probed: the DECLARATION pays the
     // full-snapshot validation scan exactly once; write-time
