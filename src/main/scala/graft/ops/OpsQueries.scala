@@ -2029,6 +2029,59 @@ object OpsQueries {
       |UNION ALL SELECT kind, pos, source, doc_id FROM pref
       |ORDER BY kind, pos, source""".stripMargin
 
+  // C70∘C73 composition (r9): the rebalanced interleaved epoch a
+  // loader actually consumes — temperature-sample the language mix
+  // (α=1/2), then stride-interleave the KEPT set so every training
+  // window holds the rebalanced proportions. The oracle re-derives
+  // the whole chain (counts → sqrt rates → ppm keeps → per-source
+  // md5 order → integer stride keys → global schedule), so one hash
+  // covers the composition's every joint.
+  def epochMixInterleave(s: SparkSession, d: String): DataFrame = {
+    val kept = Packing.sampleTemperature(
+      T.documents(s, d).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), quarters = 2)
+    val sched = Packing.mixtureInterleave(kept, col("lang"), col("doc_id"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("stride_key"), col("source"), col("k"))).cast("long"))
+    val head = sched.filter(col("pos") <= 50)
+      .select(lit("slot").as("kind"), col("pos"), col("source"), col("doc_id"))
+    val prefix = sched.filter(col("pos") <= 500)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in_500"), max(col("w")).as("w"))
+      .select(lit("prefix").as("kind"), col("n_in_500").as("pos"),
+        col("source"), col("w").as("doc_id"))
+    head.unionByName(prefix).orderBy(col("kind"), col("pos"), col("source"))
+  }
+
+  private val oEpochMixInterleave =
+    """WITH c AS (SELECT lang, count(*) AS n_group FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_group) AS n_min FROM c),
+      |r AS (SELECT lang, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_group)
+      |        * 1000000.0) AS BIGINT) AS rate_ppm FROM c, m),
+      |kept AS (
+      |  SELECT d.lang AS source, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
+      |  WHERE ((d.doc_id % 1000000007) * 554862419) % 1000000007 % 1000000
+      |          < r.rate_ppm),
+      |base AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#ilv'), doc_id) - 1 AS k,
+      |    count(*) OVER (PARTITION BY source) AS w
+      |  FROM kept),
+      |pos AS (
+      |  SELECT source, doc_id, w,
+      |    CAST(row_number() OVER (ORDER BY
+      |      (2*k + 1) * 1000000000000 // (2 * w), source, k) AS BIGINT) AS pos
+      |  FROM base),
+      |head AS (SELECT 'slot' AS kind, pos, source, doc_id
+      |         FROM pos WHERE pos <= 50),
+      |pref AS (SELECT 'prefix' AS kind, count(*) AS pos, source,
+      |           max(w) AS doc_id
+      |         FROM pos WHERE pos <= 500 GROUP BY source)
+      |SELECT kind, pos, source, doc_id FROM head
+      |UNION ALL SELECT kind, pos, source, doc_id FROM pref
+      |ORDER BY kind, pos, source""".stripMargin
+
   // C72 (r9): sliding-window chunking — 64-token chunks, stride 48
   // (25% overlap). The md5 over every chunk's text pins the exact
   // window boundaries and the short final window; integer counts pin
@@ -2920,6 +2973,8 @@ object OpsQueries {
     QueryDef("select_token_budget", selectTokenBudgetQ, Some(oSelectTokenBudget)),
     QueryDef("text_chunk", textChunk, Some(oTextChunk)),
     QueryDef("mixture_interleave", mixtureInterleaveQ, Some(oMixtureInterleave)),
+    QueryDef("epoch_mix_interleave", epochMixInterleave,
+      Some(oEpochMixInterleave)),
     QueryDef("dpo_pairs", dpoPairs, Some(oDpoPairs)),
     QueryDef("text_fertility", textFertility, Some(oTextFertility)),
     QueryDef("text_hashed_features", textHashedFeatures,

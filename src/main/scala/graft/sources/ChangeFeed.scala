@@ -122,6 +122,94 @@ object ChangeFeed {
         col(dataCol).as(CdcEnvelope.DataCol)): _*)
   }
 
+  /** Maxwell change-record schema (Zendesk's MySQL binlog format —
+    * one JSON object per ROW event), payload typed by `valueSchema`.
+    */
+  def maxwellSchema(valueSchema: StructType): StructType = StructType(Seq(
+    StructField("database", StringType, nullable = true),
+    StructField("table", StringType, nullable = true),
+    StructField("type", StringType, nullable = true),
+    StructField("ts", LongType, nullable = true), // epoch SECONDS
+    StructField("xid", LongType, nullable = true),
+    StructField("position", StringType, nullable = true), // "file:offset"
+    StructField("data", valueSchema, nullable = true),
+    StructField("old", valueSchema, nullable = true)))
+
+  /** Maxwell JSON → envelope (A15's third format): `type`
+    * insert/update/bootstrap-insert → 'u', delete → 'd' (a Maxwell
+    * DELETE carries the FULL deleted row in `data`, unlike Debezium's
+    * before/after split — no branch needed); event time is `ts`
+    * epoch-SECONDS (×1e6 to the envelope µs); position = the binlog
+    * offset parsed from "file:offset" with the transaction id as
+    * fallback. DDL / heartbeat records (no `data`, or a type outside
+    * the row-event set) are dropped — they carry no row to merge.
+    */
+  def fromMaxwellJson(raw: DataFrame, jsonCol: String, valueSchema: StructType,
+      pk: Seq[String], loadTsUs: Option[Column] = None): DataFrame = {
+    val rec = from_json(col(jsonCol), maxwellSchema(valueSchema))
+    val rowTypes = Seq("insert", "update", "delete", "bootstrap-insert")
+    val payload = rec.getField("data")
+    val tsUs = rec.getField("ts") * lit(1000000L)
+    raw
+      .where(rec.getField("type").isin(rowTypes: _*) && payload.isNotNull)
+      .select(
+        pk.map(k => payload.getField(k).as(k)) ++ Seq(
+          when(rec.getField("type") === lit("delete"), lit(CdcEnvelope.Delete))
+            .otherwise(lit(CdcEnvelope.Upsert)).as(CdcEnvelope.OpCol),
+          tsUs.as(CdcEnvelope.TsCol),
+          coalesce(
+            substring_index(rec.getField("position"), ":", -1).cast("long"),
+            rec.getField("xid"), lit(0L)).as(CdcEnvelope.PosCol),
+          loadTsUs.getOrElse(tsUs).as(CdcEnvelope.LoadTsCol),
+          to_json(payload).as(CdcEnvelope.DataCol)): _*)
+  }
+
+  /** Canal change-record schema (Alibaba's canal-json, the flat form
+    * Flink CDC consumes): one record per STATEMENT, `data` an ARRAY
+    * of affected rows.
+    */
+  def canalSchema(valueSchema: StructType): StructType = StructType(Seq(
+    StructField("database", StringType, nullable = true),
+    StructField("table", StringType, nullable = true),
+    StructField("type", StringType, nullable = true), // INSERT/UPDATE/DELETE
+    StructField("isDdl", BooleanType, nullable = true),
+    StructField("id", LongType, nullable = true), // canal batch id
+    StructField("es", LongType, nullable = true), // event time MS
+    StructField("ts", LongType, nullable = true), // processing time MS
+    StructField("data", ArrayType(valueSchema), nullable = true),
+    StructField("old", ArrayType(valueSchema), nullable = true)))
+
+  /** Canal JSON → envelope (A15's fourth format): each record fans
+    * out via posexplode of its row ARRAY (a multi-row UPDATE is one
+    * Canal record, N envelope rows); DELETE rows carry the full row
+    * in `data` like Maxwell. Event time `es` (ms → µs); position =
+    * batch id ⊕ in-batch index (id·2²⁰ + idx — monotone across and
+    * within batches, the total tiebreak compaction needs); DDL
+    * records (`isDdl`) drop. The explode is codegen'd Generate on
+    * the parse projection — no shuffle, rows ∝ affected rows.
+    */
+  def fromCanalJson(raw: DataFrame, jsonCol: String, valueSchema: StructType,
+      pk: Seq[String], loadTsUs: Option[Column] = None): DataFrame = {
+    val rec = from_json(col(jsonCol), canalSchema(valueSchema))
+    val parsed = raw
+      .where(!coalesce(rec.getField("isDdl"), lit(false)) &&
+        rec.getField("data").isNotNull)
+      .select(rec.as("_graft_rec"))
+      .select(col("_graft_rec"),
+        posexplode(col("_graft_rec.data")).as(Seq("_graft_idx", "_graft_row")))
+    val r = col("_graft_rec")
+    val tsUs = r.getField("es") * lit(1000L)
+    parsed.select(
+      pk.map(k => col("_graft_row").getField(k).as(k)) ++ Seq(
+        when(r.getField("type") === lit("DELETE"), lit(CdcEnvelope.Delete))
+          .otherwise(lit(CdcEnvelope.Upsert)).as(CdcEnvelope.OpCol),
+        tsUs.as(CdcEnvelope.TsCol),
+        (coalesce(r.getField("id"), lit(0L)) * lit(1048576L) +
+          col("_graft_idx")).as(CdcEnvelope.PosCol),
+        loadTsUs.getOrElse(tsUs).as(CdcEnvelope.LoadTsCol),
+        to_json(col("_graft_row")).as(CdcEnvelope.DataCol)): _*)
+  }
+
   /** The driver's events parquet as a change feed (SURVEY.md §4).
     * `tsToNanos` absorbs the dataset's ts-column generation (nanos
     * read as BIGINT vs TIMESTAMP micros) before the envelope mapping.

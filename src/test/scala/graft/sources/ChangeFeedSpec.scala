@@ -108,4 +108,52 @@ class ChangeFeedSpec extends AnyFunSuite {
       .select("id", "v").as[(Long, String)].collect().sorted.toSeq
     assert(snap === Seq((1L, "b")), "id 1 at latest value, id 2 deleted")
   }
+
+  test("Maxwell JSON → envelope: full-row deletes, seconds→µs, position parse, ddl drop") {
+    val maxwell = Seq(
+      """{"database":"db","table":"t","type":"insert","ts":1000,"xid":11,"position":"bin.000006:800911","data":{"id":1,"v":"a"}}""",
+      """{"database":"db","table":"t","type":"update","ts":2000,"xid":12,"position":"bin.000006:800950","data":{"id":1,"v":"b"},"old":{"v":"a"}}""",
+      """{"database":"db","table":"t","type":"bootstrap-insert","ts":500,"xid":null,"position":null,"data":{"id":3,"v":"s"}}""",
+      """{"database":"db","table":"t","type":"insert","ts":1000,"xid":13,"position":"bin.000006:801000","data":{"id":2,"v":"x"}}""",
+      """{"database":"db","table":"t","type":"delete","ts":3000,"xid":14,"position":"bin.000006:801100","data":{"id":2,"v":"x"}}""",
+      """{"database":"db","table":"t","type":"table-create","ts":4000,"sql":"CREATE TABLE t2 (...)"}"""
+    ).toDF("j")
+    val env = ChangeFeed.fromMaxwellJson(maxwell, "j", valueSchema, Seq("id"))
+    assert(env.count() === 5, "ddl record must drop")
+    // position: binlog offset where present, xid fallback absent both → 0
+    val pos = env.select("id", CdcEnvelope.PosCol).as[(Long, Long)].collect()
+    assert(pos.contains((1L, 800911L)) && pos.contains((3L, 0L)))
+    // seconds → µs
+    assert(env.filter(col("id") === 1L && col(CdcEnvelope.OpCol) === "u")
+      .agg(max(CdcEnvelope.TsCol)).as[Long].head() === 2000000000L)
+    val snap = SnapshotMerge.fromHistory(env, Seq("id"),
+      Seq("id", CdcEnvelope.DataCol))
+    val got = snap.select(col("id"),
+        get_json_object(col(CdcEnvelope.DataCol), "$.v").as("v"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, "b"), (3L, "s")), "delete applied, latest wins")
+  }
+
+  test("Canal JSON → envelope: multi-row batches fan out in order, DELETE rows, ddl drop") {
+    val canal = Seq(
+      // one INSERT statement affecting two rows — one canal record
+      """{"database":"db","table":"t","type":"INSERT","isDdl":false,"id":7,"es":1000,"ts":1001,"data":[{"id":1,"v":"a"},{"id":2,"v":"x"}]}""",
+      """{"database":"db","table":"t","type":"UPDATE","isDdl":false,"id":8,"es":2000,"ts":2001,"data":[{"id":1,"v":"b"}],"old":[{"v":"a"}]}""",
+      """{"database":"db","table":"t","type":"DELETE","isDdl":false,"id":9,"es":3000,"ts":3001,"data":[{"id":2,"v":"x"}]}""",
+      """{"database":"db","table":"t","type":"CREATE","isDdl":true,"id":10,"es":4000,"ts":4001,"sql":"ALTER TABLE ..."}"""
+    ).toDF("j")
+    val env = ChangeFeed.fromCanalJson(canal, "j", valueSchema, Seq("id"))
+    assert(env.count() === 4, "2-row insert fans out; ddl drops")
+    // batch-id ⊕ index position is monotone and in-batch ordered
+    assert(env.filter(col("id") === 1L).select(CdcEnvelope.PosCol)
+      .as[Long].collect().toSet === Set(7L * 1048576L + 0L, 8L * 1048576L + 0L))
+    assert(env.filter(col("id") === 2L).select(CdcEnvelope.PosCol)
+      .as[Long].collect().toSet === Set(7L * 1048576L + 1L, 9L * 1048576L + 0L))
+    val snap = SnapshotMerge.fromHistory(env, Seq("id"),
+      Seq("id", CdcEnvelope.DataCol))
+    val got = snap.select(col("id"),
+        get_json_object(col(CdcEnvelope.DataCol), "$.v").as("v"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, "b")), "id 2 deleted by the DELETE record")
+  }
 }
