@@ -429,9 +429,10 @@ object GraftExtensions {
           .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
         import spark.implicits._
         plan(Seq((r.foldedDvVersion, r.optimizedBuckets.toSeq.sorted,
-          r.optimizeVersion, r.bloomRebuilt, r.expired, r.vacuumed))
+          r.optimizeVersion, r.bloomRebuilt, r.expired, r.vacuumed,
+          r.manifestFiles))
           .toDF("folded_dv_version", "optimized_buckets", "optimize_version",
-            "bloom_rebuilt", "expired", "vacuumed"))
+            "bloom_rebuilt", "expired", "vacuumed", "manifest_files"))
       }),
     // graft_vacuum(path[, keepVersions]) → A21 reclaim (the DRY RUN
     // twin is graft_vacuum_preview). One row per reclaimed version.

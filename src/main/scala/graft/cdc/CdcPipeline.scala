@@ -2199,7 +2199,19 @@ object CdcPipeline {
         */
       bloomRebuildPct: Option[Int] = Some(30),
       bloomExpectedPerBucket: Long = 100000L,
-      bloomFpp: Double = 0.01)
+      bloomFpp: Double = 0.01,
+      /** Regenerate the A74 symlink-format manifest at the END of the
+        * pass (Delta's `symlinkFormatManifest.enabled` auto-mode), so
+        * external engines track the table without a separate step.
+        * Runs only when the final state is exportable — no deletion
+        * vector, no unmaterialized defaults (the pass itself often
+        * clears a DV via the fold step); otherwise skipped, reported
+        * as None, and any PREVIOUS manifest is left in place (stale
+        * but consistent — it lists a still-readable old version until
+        * vacuum outruns it, which `keepVersions` ≥ 2 prevents within
+        * one pass).
+        */
+      symlinkManifest: Boolean = false)
 
   /** What [[maintain]] actually did. A fully-idle store yields the
     * all-empty report — calling maintain in a loop is free.
@@ -2208,7 +2220,11 @@ object CdcPipeline {
       foldedDvVersion: Option[Long],
       optimizedBuckets: Set[Int], optimizeVersion: Option[Long],
       bloomRebuilt: Seq[String],
-      expired: Seq[Long], vacuumed: Seq[Long])
+      expired: Seq[Long], vacuumed: Seq[Long],
+      /** Files exported to the symlink manifest this pass (None =
+        * auto-manifest off, or the state was not exportable).
+        */
+      manifestFiles: Option[Int] = None)
 
   /** One-call maintenance driver (A64 — the scheduler slot every
     * lakehouse grows: Delta's auto-compaction + log retention,
@@ -2293,7 +2309,16 @@ object CdcPipeline {
           .map(expireSnapshots(targetDir, _)).getOrElse(Seq.empty)
         val vacuumed = policy.keepVersions
           .map(vacuum(targetDir, _)).getOrElse(Seq.empty)
-        MaintenanceReport(folded, frag, optV, bloomRebuilt, expired, vacuumed)
+        // auto-manifest LAST: it must describe the state this pass
+        // leaves behind, and the fold step above may have just made
+        // the table exportable
+        val manifestFiles =
+          if (!policy.symlinkManifest) None
+          else currentVersion(targetDir).flatMap(manifest(targetDir, _))
+            .filter(m => !m.meta.contains("dv") && columnDefaults(m).isEmpty)
+            .flatMap(_ => generateSymlinkManifest(targetDir).map(_.size))
+        MaintenanceReport(folded, frag, optV, bloomRebuilt, expired, vacuumed,
+          manifestFiles)
       }
     }
 

@@ -52,6 +52,39 @@ class SymlinkManifestSpec extends AnyFunSuite {
       === rows(CdcPipeline.readSnapshot(spark, dir).get))
   }
 
+  test("maintain auto-manifest: exports after its own fold makes the state exportable; skips when it can't") {
+    val dir = tmp()
+    CdcPipeline.publish(
+      spark.range(0, 100).select(col("id"), (col("id") * 3).as("v")),
+      dir, Seq("id"), buckets = Some(4))
+    CdcPipeline.deleteWhereMoR(spark, dir, Seq("id"), col("id") < 30) // 30% DV
+    val pol = CdcPipeline.MaintenancePolicy(dvFoldPct = Some(10),
+      smallFilesPerBucket = None, keepVersions = Some(3),
+      symlinkManifest = true)
+    val rep = CdcPipeline.maintain(spark, dir, Seq("id"), pol).get
+    assert(rep.foldedDvVersion.isDefined, s"30% DV must fold: $rep")
+    assert(rep.manifestFiles.exists(_ > 0),
+      s"the pass folded the DV, so the manifest must export: $rep")
+    val files = StoreFs.readString(s"$dir/_symlink_format_manifest/manifest")
+      .split("\n").toSeq
+    assert(files.length === rep.manifestFiles.get)
+    assert(rows(spark.read.parquet(files: _*))
+      === rows(CdcPipeline.readSnapshot(spark, dir).get))
+    // not exportable (unmaterialized default): skipped, old manifest intact
+    CdcPipeline.addColumnWithDefault(spark, dir,
+      "flag", org.apache.spark.sql.types.LongType, 9L)
+    val rep2 = CdcPipeline.maintain(spark, dir, Seq("id"), pol).get
+    assert(rep2.manifestFiles.isEmpty, s"unexportable state must skip: $rep2")
+    assert(StoreFs.readString(s"$dir/_symlink_format_manifest/manifest")
+      .split("\n").toSeq === files, "previous manifest left in place")
+    // policy off: no export even when exportable
+    val dir2 = tmp()
+    CdcPipeline.publish(spark.range(0, 10).select(col("id"), col("id").as("v")),
+      dir2, Seq("id"), buckets = Some(2))
+    CdcPipeline.maintain(spark, dir2, Seq("id"))
+    assert(!StoreFs.exists(s"$dir2/_symlink_format_manifest/manifest"))
+  }
+
   test("refuses while a DV or an unmaterialized default is outstanding; fold/optimize re-opens") {
     val dir = tmp()
     CdcPipeline.publish(
