@@ -2082,6 +2082,27 @@ object OpsQueries {
       |UNION ALL SELECT kind, pos, source, doc_id FROM pref
       |ORDER BY kind, pos, source""".stripMargin
 
+  // C74 (r9): dense global positions via the two-pass prefix-offset
+  // form — pos is a pure function of the TOTAL order (partitioning
+  // only changes how it's computed), so the oracle checks it with the
+  // textbook row_number the implementation deliberately avoids. The
+  // whole 2000-doc assignment hash-matches, not just a sample.
+  def epochPositions(s: SparkSession, d: String): DataFrame =
+    Packing.materializePositions(
+      T.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("#ep9"))).as("ek")),
+      Seq(col("ek"), col("doc_id")), partitions = 8)
+      .select(col("doc_id"), col("pos"))
+      .orderBy(col("pos"))
+
+  private val oEpochPositions =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#ep9'), doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM documents ORDER BY pos""".stripMargin
+
   // C72 (r9): sliding-window chunking — 64-token chunks, stride 48
   // (25% overlap). The md5 over every chunk's text pins the exact
   // window boundaries and the short final window; integer counts pin
@@ -2975,6 +2996,7 @@ object OpsQueries {
     QueryDef("mixture_interleave", mixtureInterleaveQ, Some(oMixtureInterleave)),
     QueryDef("epoch_mix_interleave", epochMixInterleave,
       Some(oEpochMixInterleave)),
+    QueryDef("epoch_positions", epochPositions, Some(oEpochPositions)),
     QueryDef("dpo_pairs", dpoPairs, Some(oDpoPairs)),
     QueryDef("text_fertility", textFertility, Some(oTextFertility)),
     QueryDef("text_hashed_features", textHashedFeatures,

@@ -455,6 +455,57 @@ object Packing {
         col("w"), col("stride_key"))
   }
 
+  /** Dense global positions WITHOUT a single-task window (SURVEY.md
+    * §2 C74 — the scale path C73's interleave declares for consumers
+    * that need a materialized 0..n−1 `pos`, e.g. writing an epoch
+    * order column): the textbook `row_number() OVER (ORDER BY …)`
+    * plans one WindowExec over ONE partition — the whole corpus
+    * serialized through a single task. This is the classic two-pass
+    * form instead:
+    *
+    *  1. range-repartition + sort within partitions on the total
+    *     order (the parallel sort Spark already does for ORDER BY),
+    *     eagerly checkpointed so both passes see ONE materialization;
+    *  2. per-partition row counts → a |partitions|-row driver
+    *     cumulative sum → broadcast exclusive offsets back;
+    *  3. pos = partition offset + index within the partition, where
+    *     the index comes from `monotonically_increasing_id`'s
+    *     within-partition counter (consecutive from 0 per partition —
+    *     pinned by the law spec, which fails loudly if the engine
+    *     ever changes that contract) — so NO WindowExec appears
+    *     anywhere in the plan.
+    *
+    * `order` must be a TOTAL order (include a tiebreak) for a
+    * deterministic assignment. Cost: one shuffle + one checkpoint
+    * write + a driver array of |partitions| longs — at 100 TB the
+    * single-task window this replaces is not slower, it is dead.
+    */
+  def materializePositions(df: DataFrame, order: Seq[Column],
+      partitions: Int = 0): DataFrame = {
+    val np = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(np, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"), min(col("__mid")).as("mid0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = parts.scanLeft((-1, 0L, 0L)) {
+      case ((_, acc, _), (pid, cnt, mid0)) => (pid, acc + cnt, mid0)
+    }.tail.zip(parts).map { case ((pid, cumEnd, mid0), (_, cnt, _)) =>
+      (pid, cumEnd - cnt, mid0)
+    }
+    val offDf = df.sparkSession.createDataFrame(
+      offsets.toSeq.map { case (p, off, m0) => (p, off, m0) })
+      .toDF("__pid", "__off", "__mid0")
+    sorted.join(broadcast(offDf), "__pid")
+      .withColumn("pos", col("__off") + (col("__mid") - col("__mid0")))
+      .drop("__pid", "__mid", "__off", "__mid0")
+  }
+
   /** Token-budget corpus selection (SURVEY.md §2 C71) — "take the
     * best documents until the training budget is spent": rank by an
     * integer quality score, keep from the top until cumulative tokens

@@ -301,6 +301,25 @@ class PackingSpec extends AnyFunSuite {
     assert(again.toSeq === sched.toSeq)
   }
 
+  test("materializePositions: equals the global-window row_number with NO WindowExec in the plan") {
+    val df = spark.range(0, 50000).select(col("id").as("doc_id"),
+      pmod(col("id") * 7919, lit(1000)).as("key")) // heavy ties
+    val order = Seq(col("key"), col("doc_id")) // total order via tiebreak
+    val out = Packing.materializePositions(df, order, partitions = 16)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "the two-pass form must not plan a WindowExec")
+    val got = out.select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // the textbook definition
+    val expect = df.withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key"), col("doc_id"))).cast("long") - 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(got === expect, "two-pass positions must equal the global window")
+    // permutation law (also pins monotonically_increasing_id's
+    // consecutive-within-partition contract this relies on)
+    assert(got.values.toSeq.sorted === (0L until 50000L))
+  }
+
   test("lengthBucketedBatches: partition laws, batch sizing, and pad-waste dominance over random batching") {
     val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
       (pmod(col("id") * 131, lit(480)) + 20).as("len"))
