@@ -804,6 +804,27 @@ object StressBench {
         col("src"), col("doc_id")).count())
       println(f"[stress] mixture interleave key assignment (12 sources): $tIlv%.2f s over $ni docs")
       assert(ni == n && tIlv < 60)
+      // dense positions: the two-pass prefix-offset form vs the
+      // textbook single-task global window, SAME result (equality
+      // join-asserted) — the measured case for C74's existence
+      val order = Seq(col("score"), col("doc_id"))
+      val (twoPass, tTwo) = secs {
+        val p = Packing.materializePositions(docs, order, partitions = 32)
+          .select(col("doc_id"), col("pos")).localCheckpoint()
+        p.count(); p
+      }
+      val (win, tWin) = secs {
+        val w = docs.withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(order: _*)).cast("long") - 1)
+          .select(col("doc_id"), col("pos").as("pos_w")).localCheckpoint()
+        w.count(); w
+      }
+      val agree = twoPass.join(win, "doc_id")
+        .filter(col("pos") === col("pos_w")).count()
+      assert(agree == n, s"two-pass must equal the window: $agree of $n")
+      println(f"[stress] dense positions at 10M: two-pass $tTwo%.2f s vs single-task window $tWin%.2f s")
+
       // chunking on 1M real-text docs (synthesized ~60-token texts,
       // 16/8 windows → ~7 chunks/doc row expansion)
       val texts = spark.range(0, n / 10).select(col("id").as("doc_id"),
