@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality (SURVEY.md §2 C75): the host-level
+  * PageRank screen a web-corpus curation pipeline runs before any
+  * text processing — crawl-quality work (RefinedWeb, CCNet lineage)
+  * ranks registrable hosts by link centrality and uses the rank as a
+  * keep/weight signal, because spam farms have text statistics a
+  * per-document filter can't see but link profiles it can. The
+  * reference has no graph surface; this is the standard power
+  * iteration re-expressed as fixed-point BIGINT arithmetic so the
+  * result is engine-exact (no float accumulation order in the
+  * contract).
+  *
+  * Arithmetic contract (what the DuckDB oracle re-derives):
+  *
+  *  - ranks are scaled BIGINTs, `rank_0 = scale` (default 10^12);
+  *  - a node's per-edge share is `(rank DIV outw) * weight` — the
+  *    division FIRST, so the intermediate never exceeds the rank
+  *    and a 10^12-scaled rank times a large edge multiplicity
+  *    cannot overflow; truncating integer division is identical on
+  *    the JVM and DuckDB for the non-negative values ranks are;
+  *  - `rank_{k+1} = base + (dampNum * Σ shares) DIV dampDen` with
+  *    `base = ((dampDen − dampNum) * scale) DIV dampDen` — damping
+  *    kept rational (85/100), never a double.
+  *
+  * Scale shape (100 TB crawl): the EDGE list is the big input —
+  * one hash agg over (src, dst) pairs builds weighted edges
+  * (shuffle ∝ distinct host pairs, far below document count); each
+  * iteration is one join of the |hosts|-row rank state onto the
+  * edge list + one hash agg back to |hosts| rows — K fixed
+  * iterations = K edge-sized shuffles, state two longs per host,
+  * never anything per-document after the edge agg. Rank state is
+  * `localCheckpoint`ed each round so the K-deep lineage never
+  * re-executes and the per-round plan stays constant-size (the
+  * standard iterative-algorithm discipline; on a cluster this is
+  * `checkpoint` to reliable storage). Dangling mass (edges into
+  * hosts that link out nowhere) is dropped, not redistributed — the
+  * declared simplification; redistribution adds one |nodes|-row agg
+  * per iteration with the same shapes.
+  */
+object Graphs {
+
+  /** Fixed-iteration integer PageRank over a weighted edge list.
+    *
+    * @param edges columns `src: string, dst: string, weight: long`
+    *              (weight ≥ 1; self-loops allowed but conventionally
+    *              filtered by the caller)
+    * @return one row per node: `node, rank` (scaled BIGINT)
+    */
+  def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outw = edges.groupBy("src").agg(sum("weight").as("outw"))
+    // weight and out-weight are loop-invariant: join once, reuse K times.
+    val linked = edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("weight"), col("outw"))
+      .localCheckpoint(true)
+    val base = ((dampDen - dampNum) * scale) / dampDen
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var k = 0
+    while (k < iters) {
+      val contribs = ranks.join(linked, ranks("node") === linked("src"))
+        .select(col("dst").as("node"),
+          (expr("rank DIV outw") * col("weight")).as("share"))
+        .groupBy("node").agg(sum("share").as("mass"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(mass, 0L)) DIV $dampDen"))
+            .as("rank"))
+        .localCheckpoint(true)
+      k += 1
+    }
+    ranks
+  }
+}

@@ -2921,7 +2921,87 @@ object OpsQueries {
       |FROM documents WHERE doc_id % 13 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // C75 (r9): host-graph PageRank centrality — the crawl-curation
+  // link signal (Graphs.pageRankInt doc). The link graph is BUILT
+  // from known columns (the C56 fixture discipline): every document
+  // links its own host (source.example.com's source label) to host
+  // 'src'||((doc_id*7+3) % 20) — a deterministic, skewed, cyclic
+  // 20-node graph with self-loops dropped — so the oracle re-derives
+  // the EDGE LIST from first principles and then replays the exact
+  // three-iteration fixed-point BIGINT arithmetic the implementation
+  // defines (division-first shares, 85/100 rational damping). Ranks,
+  // degree profile, and the centrality ORDER are all pinned; the
+  // final |hosts|-row ranking window is post-aggregation state,
+  // never per-document.
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val e0 = T.documents(s, d).select(col("source").as("src"),
+      concat(lit("src"), (col("doc_id") * 7 + 3) % 20).as("dst"))
+    val edges = e0.filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    val ranks = Graphs.pageRankInt(edges, iters = 3)
+    val outd = edges.groupBy("src").agg(count(lit(1)).as("n_out"),
+      sum("weight").as("out_w"))
+    val ind = edges.groupBy("dst").agg(sum("weight").as("in_w"))
+    ranks
+      .join(outd.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(ind.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node").as("host"), col("rank"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rank").desc, col("host"))).cast("long"))
+      .orderBy("rk")
+  }
+
+  /** One DuckDB power-iteration step over the shared `le` CTE —
+    * chained K times by [[oGraphPagerank]] (mirrors
+    * `Graphs.pageRankInt`'s loop body term for term).
+    */
+  private def oPrStep(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node,
+       |    CAST(150000000000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT)
+       |      AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT le.dst AS node, sum((r.rank // le.outw) * le.weight) AS mass
+       |    FROM $prev r JOIN le ON r.node = le.src GROUP BY le.dst) m
+       |  USING (node))""".stripMargin
+
+  private val oGraphPagerank =
+    s"""WITH e0 AS (
+       |  SELECT source AS src,
+       |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+       |  FROM documents),
+       |edges AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+       |  FROM e0 WHERE src <> dst GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src),
+       |le AS (SELECT e.src, e.dst, e.weight, o.outw
+       |       FROM edges e JOIN outw o USING (src)),
+       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+       |${oPrStep("r0", "r1")},
+       |${oPrStep("r1", "r2")},
+       |${oPrStep("r2", "r3")},
+       |deg AS (
+       |  SELECT n.node,
+       |    CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
+       |    CAST(coalesce(o.out_w, 0) AS BIGINT) AS out_w,
+       |    CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT src AS node, count(*) AS n_out, sum(weight) AS out_w
+       |             FROM edges GROUP BY src) o USING (node)
+       |  LEFT JOIN (SELECT dst AS node, sum(weight) AS in_w
+       |             FROM edges GROUP BY dst) i USING (node))
+       |SELECT r.node AS host, r.rank, d.n_out, d.out_w, d.in_w,
+       |  CAST(row_number() OVER (ORDER BY r.rank DESC, r.node) AS BIGINT) AS rk
+       |FROM r3 r JOIN deg d ON r.node = d.node
+       |ORDER BY rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_pagerank", graphPagerank, Some(oGraphPagerank)),
     QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),
     QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
     QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.LocalSpark
+
+/** Laws for the C75 link-graph centrality (Graphs.pageRankInt).
+  * The driver gate (`graph_pagerank`) pins the full fixed-point
+  * arithmetic against DuckDB; these specs pin the ALGEBRA on graphs
+  * small enough to hand-compute.
+  */
+class GraphsSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+  private val Base = 150000000000L // ((100-85)*scale) DIV 100
+
+  private def ranks(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] =
+    Graphs.pageRankInt(edges.toDF("src", "dst", "weight"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("one iteration on A->B matches the hand computation") {
+    // A emits its whole rank to B; A keeps only the base term.
+    val r = ranks(Seq(("a", "b", 1L)), iters = 1)
+    assert(r("a") === Base)
+    assert(r("b") === Base + (85L * Scale) / 100L)
+  }
+
+  test("two iterations on A->B: B's second-round mass is A's base rank") {
+    val r = ranks(Seq(("a", "b", 1L)), iters = 2)
+    assert(r("a") === Base)
+    assert(r("b") === Base + (85L * Base) / 100L)
+  }
+
+  test("a 2-cycle is symmetric and conserves scaled mass up to truncation") {
+    val r = ranks(Seq(("a", "b", 1L), ("b", "a", 1L)), iters = 4)
+    assert(r("a") === r("b"))
+    // full mass recirculates: each node's fixpoint is base/(1-0.85) = scale,
+    // minus integer-truncation loss (< 1 unit per DIV per round)
+    assert(r("a") <= Scale && r("a") > Scale - 10L)
+  }
+
+  test("star graph: the center outranks every leaf and order is by in-weight") {
+    val edges = Seq(("l1", "hub", 3L), ("l2", "hub", 1L), ("l3", "hub", 1L),
+      ("hub", "l1", 1L))
+    val r = ranks(edges, iters = 3)
+    assert(Seq("l2", "l3").forall(l => r("hub") > r(l)))
+    // l1 receives the hub's full emission; l2/l3 receive nothing
+    assert(r("l1") > r("l2") && r("l2") === r("l3"))
+  }
+
+  test("edge weights steer mass: the heavier target gets the larger share") {
+    val r = ranks(Seq(("a", "b", 3L), ("a", "c", 1L)), iters = 1)
+    assert(r("b") > r("c"))
+    // shares are (rank DIV outw) * weight: 3/4 and 1/4 of the emitted unit
+    val unit = Scale / 4L
+    assert(r("b") === Base + (85L * (3L * unit)) / 100L)
+    assert(r("c") === Base + (85L * unit) / 100L)
+  }
+
+  test("a dangling sink absorbs mass but never emits (declared leak)") {
+    val r = ranks(Seq(("a", "sink", 1L), ("sink2", "a", 1L)), iters = 2)
+    // sink has no out-edges: present as a node, receives, total mass shrinks
+    assert(r.keySet === Set("a", "sink", "sink2"))
+    assert(r.values.sum < 3L * Scale)
+    assert(r("sink") > Base)
+  }
+
+  test("ranks are invariant to the input partitioning") {
+    val edges = (0L until 200L).map(i => (s"h${i % 23}", s"h${(i * 7 + 3) % 23}", 1L + i % 5))
+      .filter { case (s, d, _) => s != d }
+    val one = ranks(edges, iters = 3)
+    val shuffled = Graphs.pageRankInt(
+      scala.util.Random.shuffle(edges).toDF("src", "dst", "weight").repartition(7),
+      iters = 3).as[(String, Long)].collect().toMap
+    assert(one === shuffled)
+  }
+}
