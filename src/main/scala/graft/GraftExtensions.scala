@@ -359,6 +359,25 @@ object GraftExtensions {
         import spark.implicits._
         plan(Seq((v, srcRows)).toDF("version", "source_rows"))
       }),
+    // graft_copy_into(path, 'pk1,pk2', landingDir[, format]) → A75
+    // idempotent bulk file ingestion: every not-yet-ingested data
+    // file under landingDir upserts by PK; re-running is a zero-job
+    // no-op (the COPY INTO loop a scheduler drives in pure SQL).
+    // Returns (version, files_ingested, files_skipped, rows_ingested).
+    (FunctionIdentifier("graft_copy_into"),
+      new ExpressionInfo("graft.cdc.CopyInto", "graft_copy_into"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_copy_into path")
+        val pk = csvArg(args(1), "graft_copy_into pk list")
+        val landing = strLit(args(2), "graft_copy_into landing dir")
+        val fmt = if (args.length > 3)
+          strLit(args(3), "graft_copy_into format") else "parquet"
+        val spark = active
+        val r = graft.cdc.CopyInto.copyIntoDir(spark, path, pk, landing, fmt)
+        import spark.implicits._
+        plan(Seq((r.version, r.filesIngested, r.filesSkipped, r.rowsIngested))
+          .toDF("version", "files_ingested", "files_skipped", "rows_ingested"))
+      }),
     // graft_delete_where(path, 'pk', predicateSql) → A41 copy-on-write
     // predicate DELETE. Returns (version, deleted_rows).
     (FunctionIdentifier("graft_delete_where"),

@@ -1720,7 +1720,65 @@ object CdcQueries {
        |FROM events
        |WHERE $dWin AND event_id % 10 != 0 AND user_id % 97 != 13""".stripMargin
 
+  // A75 (r9): COPY INTO — idempotent bulk file ingestion. The gate
+  // drives the full loader loop on a real store: bootstrap (even
+  // doc_ids) → copy TWO landed parquet files (disjoint PK sets —
+  // %3==0 upserts, %3==1 inserts) → re-copy the same files (the
+  // require pins the no-op: 2 skipped, pointer unmoved) → an
+  // updateWhere bumps the %3==0 rows → a third copy offers a NEW
+  // file (%7==2) PLUS the first file again. The ledger honesty is
+  // OBSERVABLE in the final state: if the re-offered file were
+  // re-applied it would revert the update's +10, so the oracle's
+  // CASE arithmetic only matches when the skip actually happened.
+  def cdcCopyInto(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val dirs = Fixtures.dirs("copyinto", 4)
+    val (store, land1, land2, land3) = (dirs(0), dirs(1), dirs(2), dirs(3))
+    def landing(df: DataFrame, dir: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val pk = Seq("doc_id")
+    CdcPipeline.publish(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("v")),
+      store, pk, buckets = Some(8))
+    landing(docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") + 1000L).as("v")), land1)
+    landing(docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("lang"), (col("n_chars") + 2000L).as("v")), land2)
+    val f1 = StoreFs.listFilePaths(land1, ".parquet")
+    val f2 = StoreFs.listFilePaths(land2, ".parquet")
+    val r1 = CopyInto.copyInto(s, store, pk, f1 ++ f2)
+    require(r1.filesIngested == (f1 ++ f2).size.toLong,
+      s"copy1 must ingest all fresh files, got $r1")
+    val r2 = CopyInto.copyInto(s, store, pk, f1 ++ f2)
+    require(r2.filesIngested == 0L && r2.filesSkipped == (f1 ++ f2).size.toLong
+        && r2.version == r1.version && r2.rowsIngested == 0L,
+      s"re-copy must be a full no-op, got $r2")
+    CdcPipeline.updateWhere(s, store, pk, col("doc_id") % 3 === 0,
+      Map("v" -> (col("v") + lit(10L))))
+    landing(docs.filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id"), col("lang"), (col("n_chars") + 7000L).as("v")), land3)
+    val f3 = StoreFs.listFilePaths(land3, ".parquet")
+    val r3 = CopyInto.copyInto(s, store, pk, f3 ++ f1)
+    require(r3.filesIngested == f3.size.toLong
+        && r3.filesSkipped == f1.size.toLong,
+      s"copy3 must skip the re-offered ingested file, got $r3")
+    CdcPipeline.readSnapshot(s, store).get
+      .select("doc_id", "lang", "v").orderBy("doc_id")
+  }
+
+  private val oCopyInto =
+    """SELECT doc_id, lang,
+      |  CAST(CASE WHEN doc_id % 7 = 2 THEN n_chars + 7000
+      |            WHEN doc_id % 3 = 0 THEN n_chars + 1010
+      |            WHEN doc_id % 3 = 1 THEN n_chars + 2000
+      |            ELSE n_chars END AS BIGINT) AS v
+      |FROM documents
+      |WHERE doc_id % 2 = 0 OR doc_id % 3 IN (0, 1) OR doc_id % 7 = 2
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_copy_into", cdcCopyInto, Some(oCopyInto)),
     QueryDef("cdc_parse", cdcParse, Some(oParse)),
     QueryDef("cdc_scd2", cdcScd2, Some(oScd2)),
     QueryDef("cdc_window", cdcWindow, Some(oWindow)),

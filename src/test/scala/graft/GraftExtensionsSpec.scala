@@ -323,6 +323,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 
+  test("SQL COPY INTO: create → copy landing dir → no-op re-copy → incremental landing") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlcopy").toString
+    val land = java.nio.file.Files.createTempDirectory("graft-sqlland").toString
+    spark.sql(s"""SELECT * FROM graft_create('$dir', 'id',
+      'SELECT id, id * 2 AS v FROM range(0, 100)', 8)""").collect()
+    spark.range(100, 110).selectExpr("id", "id * 5 AS v")
+      .coalesce(1).write.mode("append").parquet(land)
+    val r1 = spark.sql(
+      s"SELECT * FROM graft_copy_into('$dir', 'id', '$land')").collect()(0)
+    assert(r1.getLong(1) === 1L && r1.getLong(3) === 10L, s"copy1: $r1")
+    assert(CdcPipeline.fastCount(dir).contains(110L))
+    // re-copy: everything skipped, version unchanged
+    val r2 = spark.sql(
+      s"SELECT * FROM graft_copy_into('$dir', 'id', '$land')").collect()(0)
+    assert(r2.getLong(0) === r1.getLong(0) && r2.getLong(1) === 0L
+      && r2.getLong(2) === 1L, s"re-copy: $r2")
+    // a later landing file: only it ingests
+    spark.range(110, 115).selectExpr("id", "id * 5 AS v")
+      .coalesce(1).write.mode("append").parquet(land)
+    val r3 = spark.sql(
+      s"SELECT * FROM graft_copy_into('$dir', 'id', '$land')").collect()(0)
+    assert(r3.getLong(1) === 1L && r3.getLong(2) === 1L && r3.getLong(3) === 5L)
+    assert(CdcPipeline.fastCount(dir).contains(115L))
+  }
+
   test("SQL CHECK constraints: add → list → refuse violating merge/update → drop re-opens") {
     import graft.cdc.CdcPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-sqlc").toString
