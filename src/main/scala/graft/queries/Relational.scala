@@ -1686,7 +1686,62 @@ object Relational {
       |      FROM lineitem WHERE l_orderkey % 50 = 0) t
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // B59 (r9): market-basket frequent pairs — the co-occurrence /
+  // association-rule surface (support, directional confidence, lift)
+  // every retail/affinity warehouse serves. Baskets are orders, items
+  // are distinct parts per order; the candidate pass is the classic
+  // within-basket self-join (shuffle ON the basket key, per-basket
+  // work C(n,2) — bounded by the basket-size cap the data model
+  // enforces; a heavy-tailed catalog would pre-cap items per basket,
+  // declared, before the quadratic step). All rule metrics are
+  // integer ppm (truncating DIV — engine-exact); the 1-row basket
+  // total joins by broadcast (declared stats crossJoin), item counts
+  // by broadcast hash join on the part key.
+  def qBasketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = T.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val totals = items.agg(countDistinct("ok").as("n_baskets"))
+    val itemCnt = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(itemCnt.select(col("pk").as("pa"), col("n_item").as("n_a"))), "pa")
+      .join(broadcast(itemCnt.select(col("pk").as("pb"), col("n_item").as("n_b"))), "pb")
+      .crossJoin(broadcast(totals))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000L DIV n_baskets").as("support_ppm"),
+        expr("n_ab * 1000000L DIV n_a").as("conf_ab_ppm"),
+        expr("n_ab * 1000000L DIV n_b").as("conf_ba_ppm"),
+        expr("(n_ab * n_baskets * 1000000L) DIV (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+  }
+
+  private val oBasketPairs =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+      |cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2)
+      |SELECT pa, pb, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+      |  n_ab * 1000000 // n_baskets AS support_ppm,
+      |  n_ab * 1000000 // ca.n_item AS conf_ab_ppm,
+      |  n_ab * 1000000 // cb.n_item AS conf_ba_ppm,
+      |  (n_ab * n_baskets * 1000000) // (ca.n_item * cb.n_item) AS lift_ppm
+      |FROM pairs
+      |JOIN cnt ca ON ca.pk = pa
+      |JOIN cnt cb ON cb.pk = pb
+      |CROSS JOIN tot
+      |ORDER BY n_ab DESC, pa, pb""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q_try_funcs", qTryFuncs, Some(oTryFuncs)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),
