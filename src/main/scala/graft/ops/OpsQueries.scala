@@ -1737,6 +1737,81 @@ object OpsQueries {
       |FROM h GROUP BY doc_id, feature_idx
       |ORDER BY doc_id, feature_idx""".stripMargin
 
+  // C76 (r9): hashed n-gram importance scoring — the DSIR-family
+  // data-selection signal ("Data Selection for Language Models via
+  // Importance Resampling", Xie et al. 2023): score every raw doc by
+  // how much its hashed-bigram profile looks like the TARGET
+  // distribution (here: the English subcorpus) versus the raw corpus
+  // overall, then keep/weight by the score. The published method uses
+  // log-likelihood ratios of hashed n-gram models; this is the
+  // integer-exact variant — per-bucket weight = ppm_target −
+  // ppm_raw (truncating DIV, no transcendental in the contract), doc
+  // score = Σ over its bigram occurrences of the bucket weight.
+  // Scale shape: one explode ∝ corpus tokens → doc×bucket hash agg
+  // (the C65 shape), ONE 1024-row bucket table with both counts (a
+  // single conditional-agg pass — no second corpus scan), totals by
+  // declared 1-row broadcast crossJoin, weights broadcast back onto
+  // the doc×bucket pairs. Docs under 2 tokens have no bigrams and are
+  // excluded by construction (declared).
+  def textImportance(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val db = docs
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextAnalysis.fingerprint(col("bg")), lit(1024L)).as("bkt"))
+      .groupBy("doc_id", "lang", "bkt").agg(count(lit(1)).as("c"))
+    val buckets = db.groupBy("bkt").agg(
+      sum("c").as("n_r"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_t"))
+    val totals = buckets.agg(sum("n_r").as("tot_r"), sum("n_t").as("tot_t"))
+    val weights = buckets.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (expr("n_t * 1000000L DIV tot_t") - expr("n_r * 1000000L DIV tot_r"))
+          .as("w"))
+    db.join(broadcast(weights), "bkt")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("w")).as("score"))
+      .withColumn("kept", col("score") > 0L)
+      .orderBy("doc_id")
+  }
+
+  private val oTextImportance =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+      |      AS bg
+      |  FROM toks),
+      |db AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(bg) + 1),
+      |          i -> CAST(ascii(substr(bg, i::INT, 1)) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007) % 1024 AS bkt,
+      |    count(*) AS c
+      |  FROM bg GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT bkt, CAST(sum(c) AS BIGINT) AS n_r,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS n_t
+      |  FROM db GROUP BY bkt),
+      |tot AS (SELECT CAST(sum(n_r) AS BIGINT) AS tot_r,
+      |               CAST(sum(n_t) AS BIGINT) AS tot_t FROM buckets),
+      |w AS (SELECT bkt, n_t * 1000000 // tot_t - n_r * 1000000 // tot_r AS w
+      |      FROM buckets CROSS JOIN tot)
+      |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(db.c * w.w) AS BIGINT) AS score,
+      |  CAST(sum(db.c * w.w) AS BIGINT) > 0 AS kept
+      |FROM db JOIN w USING (bkt)
+      |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+
   // C66 (r9): int8 scalar quantization of the embedding column — the
   // 4× compression pass a vector store applies before ANN serving.
   // Codes are exact integers (floor of identical IEEE doubles in both
@@ -3081,6 +3156,7 @@ object OpsQueries {
     QueryDef("text_fertility", textFertility, Some(oTextFertility)),
     QueryDef("text_hashed_features", textHashedFeatures,
       Some(oTextHashedFeatures)),
+    QueryDef("text_importance", textImportance, Some(oTextImportance)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
     QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sample_cluster_balanced", // corpus × 16-centroid broadcast cross
     "mine_hard_negatives", "text_bm25_topk", "text_rrf_fusion", // 1-row stats crossJoin
     "q_profile", // 1-row global-stats crossJoin
-    "q_basket_pairs" // 1-row basket-total crossJoin
+    "q_basket_pairs", // 1-row basket-total crossJoin
+    "text_importance" // 1-row corpus-totals crossJoin
   )
 
   test("no undeclared cartesian product in any B/C query plan") {

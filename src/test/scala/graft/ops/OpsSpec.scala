@@ -821,4 +821,23 @@ class OpsSpec extends AnyFunSuite {
     assert(q(1L)._4 === Seq(0L, 85L, 170L, 255L))
     assert(q(1L)._5 === 0.0)
   }
+
+  test("textImportance: the hashed-bigram contrast actually separates the target language") {
+    // The gate hash-pins the arithmetic; this pins the SIGNAL — the
+    // importance score must rank the target (English) subcorpus above
+    // the rest on average, or the selection pass selects nothing.
+    val r = OpsQueries.textImportance(spark, sf)
+      .join(T.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("score").cast("double")).as("mean_score"))
+      .collect().map(x => (x.getBoolean(0), x.getDouble(1))).toMap
+    assert(r(true) > r(false),
+      s"mean score en=${r(true)} must exceed non-en=${r(false)}")
+    assert(r(true) > 0.0, "target docs must score positive on average")
+    // and every doc with >= 2 tokens is scored exactly once
+    val n = OpsQueries.textImportance(spark, sf).count()
+    val expected = T.documents(spark, sf)
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 2).count()
+    assert(n === expected)
+  }
 }
