@@ -1777,7 +1777,65 @@ object CdcQueries {
       |WHERE doc_id % 2 = 0 OR doc_id % 3 IN (0, 1) OR doc_id % 7 = 2
       |ORDER BY doc_id""".stripMargin
 
+  // A76 (r9): identity columns — GENERATED ALWAYS surrogate keys.
+  // Bootstrap (even doc_ids, sid dense 1..n by doc_id via the C74
+  // two-pass form) → declare (high-water seeds from max) → merge 1
+  // (%3 docs, NO sid in the source: even ones keep their sid and
+  // update payload, odd ones allocate n+1.. in pk order) → merge 2
+  // (%5==1 docs: previously-inserted rows keep their merge-1 ids —
+  // the "ids are forever" half of the law — new ones continue above).
+  // The oracle re-derives every sid from set arithmetic alone
+  // (row_numbers over the three disjoint insert cohorts), so a
+  // re-allocation, a rewound high-water, or an unstable order each
+  // break the hash.
+  def cdcIdentity(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val store = Fixtures.dirs("identity", 1).head
+    val pk = Seq("doc_id")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars").as("v"))
+    CdcPipeline.publish(
+      graft.ops.Packing.materializePositions(evens, Seq(col("doc_id")))
+        .select(col("doc_id"), (col("pos") + 1L).as("sid"), col("v")),
+      store, pk, buckets = Some(8))
+    IdentityColumns.declare(s, store, "sid")
+    IdentityColumns.mergeWithIdentity(s, store, pk,
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1000L).as("v")), "sid")
+    IdentityColumns.mergeWithIdentity(s, store, pk,
+      docs.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), (col("n_chars") + 5000L).as("v")), "sid")
+    CdcPipeline.readSnapshot(s, store).get
+      .select("doc_id", "sid", "v").orderBy("doc_id")
+  }
+
+  private val oIdentity =
+    """WITH evens AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS sid
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |n0 AS (SELECT count(*) AS n FROM evens),
+      |ins1 AS (
+      |  SELECT doc_id, (SELECT n FROM n0) + row_number() OVER (ORDER BY doc_id)
+      |    AS sid
+      |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0),
+      |n1 AS (SELECT count(*) AS n FROM ins1),
+      |ins2 AS (
+      |  SELECT doc_id, (SELECT n FROM n0) + (SELECT n FROM n1)
+      |    + row_number() OVER (ORDER BY doc_id) AS sid
+      |  FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 3 != 0 AND doc_id % 5 = 1),
+      |sids AS (
+      |  SELECT * FROM evens UNION ALL SELECT * FROM ins1
+      |  UNION ALL SELECT * FROM ins2)
+      |SELECT d.doc_id, CAST(s.sid AS BIGINT) AS sid,
+      |  CAST(CASE WHEN d.doc_id % 5 = 1 THEN d.n_chars + 5000
+      |            WHEN d.doc_id % 3 = 0 THEN d.n_chars + 1000
+      |            ELSE d.n_chars END AS BIGINT) AS v
+      |FROM documents d JOIN sids s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_identity", cdcIdentity, Some(oIdentity)),
     QueryDef("cdc_copy_into", cdcCopyInto, Some(oCopyInto)),
     QueryDef("cdc_parse", cdcParse, Some(oParse)),
     QueryDef("cdc_scd2", cdcScd2, Some(oScd2)),
