@@ -876,6 +876,10 @@ object StressBench {
         f"virtual column must ride the scan, not re-derive: $tVirt%.2f vs $tPhys%.2f")
       StoreFs.deleteRecursive(dir)
     }
+    // r9 new-op probes (C75/A75/C76/A76) — section shared with the
+    // standalone `graft.StressBenchNew` main for a faster loop.
+    StressBenchNew.run(spark, n)
+
     spark.stop()
   }
 }

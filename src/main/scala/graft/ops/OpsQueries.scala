@@ -1753,8 +1753,14 @@ object OpsQueries {
   // declared 1-row broadcast crossJoin, weights broadcast back onto
   // the doc×bucket pairs. Docs under 2 tokens have no bigrams and are
   // excluded by construction (declared).
-  def textImportance(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
+  def textImportance(s: SparkSession, d: String): DataFrame =
+    textImportanceOn(T.documents(s, d))
+
+  /** C76 core over any (doc_id, lang, text) frame — also driven by
+    * the StressBench 1M-doc probe.
+    */
+  def textImportanceOn(input: DataFrame): DataFrame = {
+    val docs = input
       .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val db = docs
