@@ -1740,8 +1740,108 @@ object Relational {
       |CROSS JOIN tot
       |ORDER BY n_ab DESC, pa, pb""".stripMargin
 
+  // B60 (r9): ordered funnel analysis — the product-analytics staple
+  // (view → click → purchase, each step strictly AFTER the previous
+  // one for the same user). The stage chain is the standard
+  // peel-off: stage k+1 = one type-filtered scan joined to stage k's
+  // per-user frontier timestamp (shuffle on user_id, frontier rows ∝
+  // users — broadcastable for selective funnels), min-agg back to a
+  // frontier. No per-user event sorting, no collect_list of event
+  // streams. Conversion rates in integer ppm; time-to-convert sums
+  // in exact µs.
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2.select("user_id", "t2"), "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2"))
+    val n1 = s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_click"),
+        sum(col("t2") - col("t1")).as("us_view_to_click"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchase"),
+        sum(col("t3") - col("t2")).as("us_click_to_purchase"))))
+    n1.select(col("n_view"), col("n_click"), col("n_purchase"),
+      expr("n_click * 1000000L DIV n_view").as("conv_click_ppm"),
+      expr("n_purchase * 1000000L DIV n_click").as("conv_purchase_ppm"),
+      col("us_view_to_click"), col("us_click_to_purchase"))
+  }
+
+  private val oFunnel =
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t1) AS t1
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(s2.t2) AS t2
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+      |  (SELECT count(*) FROM s2) * 1000000
+      |    // (SELECT count(*) FROM s1) AS conv_click_ppm,
+      |  (SELECT count(*) FROM s3) * 1000000
+      |    // (SELECT count(*) FROM s2) AS conv_purchase_ppm,
+      |  (SELECT CAST(sum(t2 - t1) AS BIGINT) FROM s2) AS us_view_to_click,
+      |  (SELECT CAST(sum(t3 - t2) AS BIGINT) FROM s3) AS us_click_to_purchase""".stripMargin
+
+  // B61 (r9): retention cohorts — the other product-analytics staple:
+  // users cohorted by first-seen epoch-week (pure integer µs DIV
+  // week, no calendar functions in the contract), then each cohort's
+  // distinct active users at week offsets 0..3. One per-user min-agg
+  // builds the cohort map (shuffle ∝ users), one join stamps events
+  // with their cohort (shuffle ∝ events), one distinct-agg builds the
+  // matrix (∝ cohorts × offsets). Retention in integer ppm of the
+  // cohort size.
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val wk = 604800000000L
+    val ev = T.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $wk").as("w"))
+    val cohort = ev.groupBy("user_id").agg(min("w").as("c0"))
+    val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohort, "user_id")
+      .withColumn("week_offset", col("w") - col("c0"))
+      .filter(col("week_offset") <= 3)
+      .groupBy("c0", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "c0")
+      .select(col("c0").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_size"),
+        expr("n_active * 1000000L DIV cohort_size").as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val oRetention =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+      |cohort AS (SELECT user_id, min(w) AS c0 FROM ev GROUP BY user_id),
+      |sizes AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_size
+      |          FROM cohort GROUP BY c0),
+      |m AS (
+      |  SELECT c.c0, e.w - c.c0 AS week_offset,
+      |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |  WHERE e.w - c.c0 <= 3 GROUP BY c.c0, e.w - c.c0)
+      |SELECT m.c0 AS cohort_week, m.week_offset, m.n_active, s.cohort_size,
+      |  m.n_active * 1000000 // s.cohort_size AS retention_ppm
+      |FROM m JOIN sizes s ON m.c0 = s.c0
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
+    QueryDef("q_funnel", qFunnel, Some(oFunnel)),
+    QueryDef("q_retention", qRetention, Some(oRetention)),
     QueryDef("q_filter_project", qFilterProject, Some(oFilterProject)),
     QueryDef("q_try_funcs", qTryFuncs, Some(oTryFuncs)),
     QueryDef("q1_agg", q1Agg, Some(oQ1)),

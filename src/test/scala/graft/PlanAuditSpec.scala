@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "mine_hard_negatives", "text_bm25_topk", "text_rrf_fusion", // 1-row stats crossJoin
     "q_profile", // 1-row global-stats crossJoin
     "q_basket_pairs", // 1-row basket-total crossJoin
-    "text_importance" // 1-row corpus-totals crossJoin
+    "text_importance", // 1-row corpus-totals crossJoin
+    "q_funnel" // 1-row stage-count crossJoins
   )
 
   test("no undeclared cartesian product in any B/C query plan") {
