@@ -436,15 +436,50 @@ object GraftExtensions {
         import spark.implicits._
         plan(Seq(v).toDF("version"))
       }),
-    // graft_maintain(path, 'pk') → the A64 one-call driver under its
-    // default policy. Returns the report as one row.
+    // graft_set_property(path, key, value) / graft_unset_property
+    // (path, key) / graft_properties(path) → A77 TBLPROPERTIES.
+    (FunctionIdentifier("graft_set_property"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_set_property"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_set_property path")
+        val key = strLit(args(1), "graft_set_property key")
+        val value = strLit(args(2), "graft_set_property value")
+        val spark = active
+        val v = graft.cdc.CdcPipeline.setTableProperties(path, Map(key -> value))
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    (FunctionIdentifier("graft_unset_property"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_unset_property"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_unset_property path")
+        val key = strLit(args(1), "graft_unset_property key")
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.unsetTableProperties(path, Seq(key)).toSeq
+          .toDF("version"))
+      }),
+    (FunctionIdentifier("graft_properties"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_properties"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_properties path")
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.tableProperties(path).toSeq.sorted
+          .toDF("key", "value"))
+      }),
+    // graft_maintain(path, 'pk') → the A64 one-call driver; since r9
+    // the policy resolves from the table's own `graft.maintain.*`
+    // properties (A77 — Delta's table-flag auto modes), defaults when
+    // unset. Returns the report as one row.
     (FunctionIdentifier("graft_maintain"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_maintain"),
       (args: Seq[Expression]) => {
         val path = strLit(args(0), "graft_maintain path")
         val pk = csvArg(args(1), "graft_maintain pk list")
         val spark = active
-        val r = graft.cdc.CdcPipeline.maintain(spark, path, pk)
+        val r = graft.cdc.CdcPipeline.maintainAuto(spark, path, pk)
           .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
         import spark.implicits._
         plan(Seq((r.foldedDvVersion, r.optimizedBuckets.toSeq.sorted,

@@ -693,7 +693,7 @@ object CdcPipeline {
         // on a defaulted table silently lost the fill — regression
         // pinned in CdcPipelineSpec)
         commitMeta("bloom-index") + ("bloom_col" -> column) ++ dvMeta ++
-          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++
+          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++
           carried + (bloomMetaKey(column) -> s"v$next")))
       swapPointer(targetDir, next, -1L)
       next
@@ -993,7 +993,7 @@ object CdcPipeline {
       Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
         (prev.stats -- touched) ++ freshStats,
         commitMeta(op) ++ carryDefaults(prev) ++ carryConstraints(prev) ++
-          carryVirtual(prev) ++
+          carryVirtual(prev) ++ carryProps(prev) ++
           carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
             next) ++
           carryBlooms(targetDir, prev, carried.keySet, next)))
@@ -1051,7 +1051,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(newBuckets, m.schemaJson,
         writtenBuckets(dir).map(_ -> s"v$next").toMap,
         bucketStats(spark, dir, statsCols),
-        commitMeta("rebucket") ++ carryConstraints(m) ++ carryVirtual(m)))
+        commitMeta("rebucket") ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1201,7 +1201,7 @@ object CdcPipeline {
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("delete_mor") + ("dv" -> s"v$next") ++
-            carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++
+            carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++
             // blooms stay valid over a superset — just extra FPs
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
@@ -1423,7 +1423,7 @@ object CdcPipeline {
       val freshStats = bucketStats(spark, dir, trackCols)
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         carried ++ fresh, (m.stats -- chosen) ++ freshStats,
-        commitMeta(opLabel) ++ carryConstraints(m) ++ carryVirtual(m) ++
+        commitMeta(opLabel) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++
           (if (carried.nonEmpty) carryDefaults(m) else Map.empty) ++
           carryDv(spark, targetDir, m, carried.keySet, next) ++
           carryBlooms(targetDir, m, carried.keySet, next)))
@@ -1484,7 +1484,7 @@ object CdcPipeline {
         m.buckets,
         m.stats.map { case (b, cols) => b -> (cols -- drop) }.filter(_._2.nonEmpty),
         commitMeta("drop-columns") + ("dropped" -> drop.sorted.mkString(",")) ++
-          carryConstraints(m) ++ carryVirtual(m) ++
+          carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++
           carryDefaults(m).filterNot { case (k, _) =>
             drop.exists(c => k == s"coldefault.${statEnc(c)}") } ++
           dvMeta ++
@@ -1533,7 +1533,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets,
         schema.add(name, dataType).json, m.buckets, m.stats,
         commitMeta("add-column") + ("added" -> name) ++
-          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) +
+          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) +
           (s"coldefault.${statEnc(name)}" ->
             s"$next ${statEnc(String.valueOf(default))}") ++
           dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
@@ -1584,7 +1584,7 @@ object CdcPipeline {
         writtenBuckets(dir).map(_ -> s"v$next").toMap,
         bucketStats(spark, dir, trackCols),
         commitMeta("rename-column") + ("renamed" -> s"$from>$to") ++
-          carryConstraints(m) ++ carryVirtual(m)))
+          carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1686,7 +1686,7 @@ object CdcPipeline {
       }.toMap
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         m.buckets, m.stats,
-        commitMeta("add-constraint") ++ carryDefaults(m) ++ carryVirtual(m) ++
+        commitMeta("add-constraint") ++ carryDefaults(m) ++ carryVirtual(m) ++ carryProps(m) ++
           carryConstraints(m) + (s"$ConstraintPrefix$name" -> predicate) ++
           dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
       swapPointer(targetDir, next, -1L)
@@ -1710,13 +1710,127 @@ object CdcPipeline {
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("drop-constraint") + ("unconstrained" -> name) ++
-            carryDefaults(m) ++ carryVirtual(m) ++
+            carryDefaults(m) ++ carryVirtual(m) ++ carryProps(m) ++
             (carryConstraints(m) - s"$ConstraintPrefix$name") ++
             dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)
       }
     }
+
+  // ——— Table properties (A77 — Delta TBLPROPERTIES) ———————————————
+  // Versioned key→value metadata on the table: `prop.<key>` manifest
+  // entries, carried across every publish kind like constraints and
+  // generated columns, REVERTED by RESTORE (they are per-version log
+  // state, exactly Delta's semantics — contrast the A76 identity
+  // sidecar, which is deliberately global). The `graft.maintain.*`
+  // namespace is live configuration: [[maintainAuto]] resolves its
+  // policy from stored properties, which is how Delta's
+  // `autoOptimize`/`symlinkFormatManifest.enabled` table flags work.
+
+  private[cdc] val PropPrefix = "prop."
+
+  private def propsOf(m: Manifest): Map[String, String] =
+    m.meta.collect { case (k, v) if k.startsWith(PropPrefix) =>
+      k.stripPrefix(PropPrefix) -> statDec(v) }
+
+  private def carryProps(prev: Manifest): Map[String, String] =
+    prev.meta.view.filterKeys(_.startsWith(PropPrefix)).toMap
+
+  /** Current table properties (empty when none or no store). */
+  def tableProperties(targetDir: String): Map[String, String] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v))
+      .map(propsOf).getOrElse(Map.empty)
+
+  /** SET TBLPROPERTIES — metadata-only new version; last write wins
+    * per key. Values are arbitrary strings (encoded like stats, so
+    * newlines/pipes survive).
+    */
+  def setTableProperties(targetDir: String,
+      props: Map[String, String]): Option[Long] = {
+    require(props.nonEmpty, "no properties to set")
+    props.keys.foreach(k => require(k.nonEmpty && !k.exists(_.isWhitespace),
+      s"property key must be non-empty and whitespace-free: '$k'"))
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      val next = claimNextFrom(targetDir, m.readVersion)
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
+      writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+        m.buckets, m.stats,
+        commitMeta("set-properties") ++ carryDefaults(m) ++ carryVirtual(m) ++
+          carryConstraints(m) ++ carryProps(m) ++
+          props.map { case (k, v) => s"$PropPrefix$k" -> statEnc(v) } ++
+          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+  }
+
+  /** UNSET TBLPROPERTIES — metadata-only; None when the store is
+    * missing or no listed key is set (idempotent-friendly).
+    */
+  def unsetTableProperties(targetDir: String,
+      keys: Seq[String]): Option[Long] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).flatMap { m =>
+      val present = propsOf(m).keySet.intersect(keys.toSet)
+      if (present.isEmpty) None
+      else {
+        val next = claimNextFrom(targetDir, m.readVersion)
+        val dvMeta = m.meta.get("dv").map { ref =>
+          StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+          "dv" -> s"v$next"
+        }.toMap
+        writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+          m.buckets, m.stats,
+          commitMeta("unset-properties") ++ carryDefaults(m) ++
+            carryVirtual(m) ++ carryConstraints(m) ++
+            (carryProps(m) -- keys.map(PropPrefix + _)) ++
+            dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+        swapPointer(targetDir, next, -1L)
+        Some(next)
+      }
+    }
+
+  /** Resolve a [[MaintenancePolicy]] from the `graft.maintain.*`
+    * table properties over `base` (unset keys keep base's value):
+    * integer knobs `dvFoldPct`, `smallFilesPerBucket`, `keepVersions`,
+    * `bloomRebuildPct` (value `off` disables the step), boolean
+    * `symlinkManifest`, csv `sortCols`. A malformed value throws —
+    * a property-driven scheduler must fail loudly, not silently run
+    * the default.
+    */
+  def policyFromProperties(targetDir: String,
+      base: MaintenancePolicy = MaintenancePolicy()): MaintenancePolicy = {
+    val p = tableProperties(targetDir)
+    def intKnob(key: String, cur: Option[Int]): Option[Int] =
+      p.get(s"graft.maintain.$key") match {
+        case None => cur
+        case Some("off") => None
+        case Some(v) => Some(v.toInt)
+      }
+    base.copy(
+      dvFoldPct = intKnob("dvFoldPct", base.dvFoldPct),
+      smallFilesPerBucket = intKnob("smallFilesPerBucket", base.smallFilesPerBucket),
+      keepVersions = intKnob("keepVersions", base.keepVersions),
+      bloomRebuildPct = intKnob("bloomRebuildPct", base.bloomRebuildPct),
+      sortCols = p.get("graft.maintain.sortCols")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.sortCols),
+      symlinkManifest = p.get("graft.maintain.symlinkManifest")
+        .map(_.toBoolean).getOrElse(base.symlinkManifest))
+  }
+
+  /** [[maintain]] with the policy resolved from table properties —
+    * the scheduler entry point (Delta's table-flag auto modes): the
+    * table declares its own maintenance configuration, the scheduler
+    * just calls this everywhere.
+    */
+  def maintainAuto(spark: SparkSession, targetDir: String,
+      pkCols: Seq[String]): Option[MaintenanceReport] =
+    currentVersion(targetDir).flatMap(_ =>
+      maintain(spark, targetDir, pkCols, policyFromProperties(targetDir)))
 
   /** GENERATE symlink-format manifest (A74) — Delta's `GENERATE
     * symlink_format_manifest`: write the CURRENT snapshot's data-file
@@ -1791,13 +1905,16 @@ object CdcPipeline {
         columnDefaults(m).map(_._1).mkString(","),
         m.meta.keys.filter(_.startsWith("bloom.")).toSeq
           .map(_.stripPrefix("bloom.")).sorted.mkString(","),
+        propsOf(m).toSeq.sorted.map { case (k, pv) => s"$k=$pv" }
+          .mkString(","),
         m.meta.getOrElse("op", ""),
         m.meta.get("commit_us").map(_.toLong).getOrElse(-1L),
         readable))
         .toDF("version", "num_buckets", "num_files", "bytes",
           "footer_rows", "live_rows", "dv_rows", "schema_fields",
           "constraints", "generated_columns", "column_defaults",
-          "bloom_columns", "last_op", "commit_us", "readable_versions")
+          "bloom_columns", "properties", "last_op", "commit_us",
+          "readable_versions")
     }
 
   // ==== A72: virtual generated columns ==============================
@@ -1862,7 +1979,7 @@ object CdcPipeline {
       writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
         m.buckets, m.stats,
         commitMeta("add-generated") + ("generated" -> name) ++
-          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) +
+          carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) +
           (s"$VirtualPrefix$name" ->
             s"${statEnc(dataType.json)} ${statEnc(exprSql)}") ++
           dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
@@ -1886,7 +2003,7 @@ object CdcPipeline {
           m.buckets, m.stats,
           commitMeta("drop-generated") + ("ungenerated" -> name) ++
             carryDefaults(m) ++ carryConstraints(m) ++
-            (carryVirtual(m) - s"$VirtualPrefix$name") ++
+            (carryVirtual(m) ++ carryProps(m) - s"$VirtualPrefix$name") ++
             dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)
@@ -2548,7 +2665,7 @@ object CdcPipeline {
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
           m.buckets.keySet.map(_ -> "v0").toMap, m.stats,
           commitMeta("deep-clone") ++ dvMeta ++ carryConstraints(m) ++
-            carryVirtual(m)))
+            carryVirtual(m) ++ carryProps(m)))
       } else {
         // every store this clone's references resolve into gets a pin
         // keyed by THIS clone: source-local refs pin at sourceDir,
@@ -2569,7 +2686,7 @@ object CdcPipeline {
           }
         writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
           resolved, m.stats, commitMeta("clone") ++ dvMeta ++
-            carryConstraints(m) ++ carryVirtual(m)))
+            carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m)))
       }
       swapPointer(destDir, 0, -1L)
       0L
@@ -2653,7 +2770,7 @@ object CdcPipeline {
             // constraints restore WITH the state: the rolled-back
             // version's constraint set (not the abandoned head's) is
             // what its data provably satisfies
-            carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ dvMeta ++
+            carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++ dvMeta ++
             carryBlooms(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)
