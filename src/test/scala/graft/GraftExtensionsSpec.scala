@@ -349,6 +349,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(CdcPipeline.fastCount(dir).contains(115L))
   }
 
+  test("SQL table properties: set → list → maintain reads them → unset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlprop").toString
+    spark.sql(s"""SELECT * FROM graft_create('$dir', 'id',
+      'SELECT id, id * 2 AS v FROM range(0, 200)', 4)""").collect()
+    spark.sql(s"SELECT * FROM graft_set_property('$dir', 'owner', 'sql-team')").collect()
+    spark.sql(
+      s"SELECT * FROM graft_set_property('$dir', 'graft.maintain.keepVersions', 'off')")
+      .collect()
+    val props = spark.sql(s"SELECT * FROM graft_properties('$dir')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props === Map("owner" -> "sql-team",
+      "graft.maintain.keepVersions" -> "off"))
+    // graft_maintain resolves policy from the properties (all-off here
+    // apart from defaults that have no work): must be a clean no-op row
+    val rep = spark.sql(s"SELECT * FROM graft_maintain('$dir', 'id')").collect()
+    assert(rep.length === 1)
+    spark.sql(s"SELECT * FROM graft_unset_property('$dir', 'owner')").collect()
+    val after = spark.sql(s"SELECT * FROM graft_properties('$dir')")
+      .collect().map(_.getString(0)).toSet
+    assert(after === Set("graft.maintain.keepVersions"))
+  }
+
   test("SQL CHECK constraints: add → list → refuse violating merge/update → drop re-opens") {
     import graft.cdc.CdcPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-sqlc").toString
