@@ -753,6 +753,38 @@ object OpsQueries {
        |    AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // C77: explicit Gopher rule screen — named per-rule booleans + the
+  // conjunction; thresholds cross-multiplied so the keep decision is
+  // pure integer arithmetic (see TextAnalysis.gopherRules). The
+  // corpus splits 379 kept / 121 dropped at sf0.01 with every rule
+  // contributing drops, so the oracle hash pins real decisions on
+  // both sides of each threshold.
+  def textGopherRules(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherRules(T.documents(s, d)).orderBy(col("doc_id"))
+
+  private val oTextGopherRules =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n,
+      |    length(replace(text, ' ', '')) AS wlen,
+      |    length(text) - length(replace(text, '#', '')) AS nhash,
+      |    (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+      |    len(list_intersect(string_split(lower(text), ' '),
+      |        ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS nstop
+      |  FROM documents)
+      |SELECT doc_id, n AS n_words, wlen AS sum_word_len,
+      |  (n >= 15 AND n <= 1000) AS r_word_count,
+      |  (3 * n <= wlen AND wlen <= 5 * n) AS r_mean_word_len,
+      |  (10 * (nhash + nell) < n) AS r_symbol_ratio,
+      |  (5 * nalpha >= 4 * n) AS r_alpha_words,
+      |  (nstop >= 1) AS r_stopwords,
+      |  ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
+      |   AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
+      |   AND (nstop >= 1)) AS kept
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // C22 (r3): Gopher-style repetition signals — duplicate-word /
   // duplicate-trigram fractions and top-bigram coverage, the
   // pretrain-corpus repetition filters (see
@@ -3119,6 +3151,7 @@ object OpsQueries {
     QueryDef("split_assign", splitAssign, Some(oSplitAssign)),
     QueryDef("shuffle_deterministic", shuffleDeterministicQ, Some(oShuffleDeterministic)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
+    QueryDef("text_gopher_rules", textGopherRules, Some(oTextGopherRules)),
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),
     QueryDef("text_decontaminate_bloom", textDecontaminateBloom, Some(oTextDecontaminate)),

@@ -203,6 +203,56 @@ object TextAnalysis {
         col("quality_score") >= minQuality && col("lang_pred") =!= "und")
   }
 
+  /** Gopher-style explicit rule screen (SURVEY.md §2 C77 — the
+    * per-rule document filter of Rae et al. 2021 §A1.1 / RefinedWeb
+    * §3.1, distinct from [[qualityMetrics]]' numeric signals and
+    * [[qualityFilter]]'s composite gate): each rule is a named
+    * BOOLEAN column so a pipeline can audit WHICH rule dropped a
+    * document — the operational difference between a filter you can
+    * tune and one you can only rerun.
+    *
+    * Rules (all integer-exact — ratio thresholds are cross-multiplied
+    * so no float division enters the keep decision):
+    *  - word_count:    minWords ≤ |tokens| ≤ maxWords
+    *  - mean_word_len: minMeanLen ≤ (non-space chars)/|tokens| ≤
+    *                   maxMeanLen, as bounds·n ≤ wlen comparisons
+    *  - symbol_ratio:  ('#' + '…'-as-'...') occurrences < 10% of
+    *                   tokens, as 10·symbols < n
+    *  - alpha_words:   ≥ 80% of tokens contain an ASCII letter,
+    *                   as 5·alpha ≥ 4·n
+    *  - stopwords:     ≥ minStops DISTINCT English stopwords present
+    *                   (the cheap lang/coherence proxy)
+    *
+    * Scale shape: every rule is a per-row codegen'd expression over
+    * the tokenize the scan already pays — ONE pass, zero shuffle,
+    * embarrassingly parallel at any corpus size. Total word length is
+    * `length(replace(text, " ", ""))` — the sum of token lengths
+    * without a per-element lambda fold.
+    */
+  def gopherRules(docs: DataFrame, text: Column = col("text"),
+      minWords: Int = 15, maxWords: Int = 1000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 5,
+      minStops: Int = 1): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val wlen = length(regexp_replace(text, lit(" "), lit("")))
+    val nHash = length(text) - length(regexp_replace(text, lit("#"), lit("")))
+    val nEll = (length(text) - length(regexp_replace(text, lit("\\.\\.\\."), lit("")))) / lit(3)
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val stops = Stopwords.head._2 // en
+    val nStop = size(array_intersect(split(lower(text), " "), array(stops.map(lit): _*)))
+    val rWord = n >= lit(minWords) && n <= lit(maxWords)
+    val rMean = lit(minMeanLen) * n <= wlen && wlen <= lit(maxMeanLen) * n
+    val rSym = lit(10) * (nHash + nEll) < n
+    val rAlpha = lit(5) * nAlpha >= lit(4) * n
+    val rStop = nStop >= lit(minStops)
+    docs.select(col("doc_id"), n.as("n_words"), wlen.as("sum_word_len"),
+      rWord.as("r_word_count"), rMean.as("r_mean_word_len"),
+      rSym.as("r_symbol_ratio"), rAlpha.as("r_alpha_words"),
+      rStop.as("r_stopwords"),
+      (rWord && rMean && rSym && rAlpha && rStop).as("kept"))
+  }
+
   /** End-to-end decontamination: the *filtered corpus* — every corpus
     * doc whose distinct-overlapping-n-gram count against the benchmark
     * is ≤ `maxOverlap`, with that count kept as provenance

@@ -840,4 +840,43 @@ class OpsSpec extends AnyFunSuite {
       .filter(size(TextAnalysis.tokens(col("text"))) >= 2).count()
     assert(n === expected)
   }
+
+  test("gopherRules: each rule trips on exactly its planted violation; kept is the conjunction") {
+    val ok = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs high above the trees"
+    // Each doc violates EXACTLY one rule relative to `ok`.
+    val docs = Seq(
+      (0L, ok),                                                // all pass
+      (1L, "the cats and dogs sat upon the mats here"),        // < 15 words
+      (2L, ("the " + "abcdefghijklmnop " * 20).trim),          // mean word len > 5
+      (3L, ok + " " + (1 to 30).map(_ => "a###").mkString(" ")), // symbols
+      (4L, ok.split(' ').map(w => if (w == "the") w else "1234").mkString(" ")), // alpha
+      (5L, ok.replace("the", "zzz").replace("and", "qqq")
+             .replace("over", "ppp").replace("into", "kkk"))   // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long): Seq[Boolean] = (3 to 7).map(i => r(id).getBoolean(i))
+    assert(flags(0).forall(identity) && r(0L).getBoolean(8))
+    // planted docs: exactly ONE rule trips each
+    assert(flags(1).count(!_) === 1 && flags(2).count(!_) === 1 &&
+      flags(3).count(!_) === 1 && flags(4).count(!_) === 1 &&
+      flags(5).count(!_) === 1)
+    assert(!r(1L).getBoolean(3) && !r(1L).getBoolean(8))   // word_count
+    assert(!r(3L).getBoolean(5) && !r(3L).getBoolean(8))   // symbol_ratio
+    assert(!r(4L).getBoolean(6) && !r(4L).getBoolean(8))   // alpha_words
+    assert(!r(5L).getBoolean(7) && !r(5L).getBoolean(8))   // stopwords
+    // mean-word-length: doc 2 pushes mean above maxMeanLen
+    assert(!r(2L).getBoolean(4) && !r(2L).getBoolean(8))
+    // kept ≡ conjunction of the five flags, on every row
+    r.values.foreach { row =>
+      assert(row.getBoolean(8) === (3 to 7).forall(row.getBoolean))
+    }
+    // corpus law: the default thresholds keep SOME and drop SOME, and
+    // every rule contributes at least one drop somewhere or passes all
+    val corpus = TextAnalysis.gopherRules(T.documents(spark, sf)).cache()
+    val kept = corpus.filter(col("kept")).count()
+    assert(kept > 0 && kept < corpus.count())
+    corpus.unpersist()
+  }
 }
