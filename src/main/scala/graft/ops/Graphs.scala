@@ -79,4 +79,56 @@ object Graphs {
     }
     ranks
   }
+
+  /** Multi-source BFS hop distances (SURVEY.md §2 C79): the
+    * crawl-frontier / link-neighborhood query next to [[pageRankInt]]
+    * — "how many hops is every host from the seed set", the signal
+    * behind crawl-depth priors, spam-neighborhood quarantine
+    * (everything ≤ k hops from a blocklisted seed), and
+    * link-proximity features. Directed edges, unit hop cost.
+    *
+    * Classic distributed BFS, NOT Dijkstra state-per-edge: the state
+    * is `visited` (node, dist) and the per-round work is ONE join of
+    * the frontier onto the edge list + a distinct + an anti-join
+    * against visited — shuffle ∝ edges leaving the frontier, never
+    * the whole graph. Rounds are bounded by `maxHops` and exit early
+    * when the frontier empties (`isEmpty` is a driver action on an
+    * already-aggregated frame — the standard iterative-driver
+    * discipline, same as [[pageRankInt]]'s fixed K). State is
+    * `localCheckpoint`ed per round so lineage stays constant-size
+    * (cluster form: reliable checkpoint). Unreached nodes are ABSENT
+    * from the result by declaration (a left join against the node
+    * universe reintroduces them with a sentinel if a dense output is
+    * wanted — |nodes|-row work, caller's choice).
+    *
+    * BFS invariant the laws pin: a node's dist is the MINIMUM hop
+    * count over all paths from any seed — the anti-join guarantees a
+    * node is assigned in the first round that reaches it and never
+    * reassigned.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var k = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select("node")
+        k += 1
+        if (k > maxHops) done = true
+      }
+    }
+    visited
+  }
 }

@@ -785,6 +785,112 @@ object OpsQueries {
       |   AND (nstop >= 1)) AS kept
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // C78: Flesch readability — milli-scaled integer FRE/FKGL so the
+  // float coefficients never enter the contract; the oracle re-derives
+  // word/sentence/syllable counts and the DIV arithmetic per doc, and
+  // the corpus lands in ≥2 distinct bands so the CASE cut points are
+  // exercised on real decisions.
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.readability(T.documents(s, d)).orderBy(col("doc_id"))
+
+  private val oTextReadability =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    greatest(len(string_split(text, ' ')), 1) AS w,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+      |    greatest(len(regexp_extract_all(text, '[aeiouAEIOU]+')), 1) AS y
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+      |    206835 - (1015 * w) // s - (84600 * y) // w AS fre_milli,
+      |    (390 * w) // s + (11800 * y) // w - 15590 AS fkgl_milli
+      |  FROM m)
+      |SELECT *, CASE WHEN fre_milli >= 90000 THEN 'very_easy'
+      |  WHEN fre_milli >= 60000 THEN 'plain'
+      |  WHEN fre_milli >= 30000 THEN 'difficult'
+      |  ELSE 'very_difficult' END AS band
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // C80: Luhn-validated card redaction — the payment string is BUILT
+  // from known columns (C56 discipline): a 15-digit PAN from doc_id
+  // arithmetic, its Luhn check digit computed IN the query, and odd
+  // doc_ids corrupted at a non-doubled position (Δsum = ±5, always
+  // invalid) — so the corpus is half valid/half invalid and the
+  // oracle re-derives the PAN, the check digit, the corruption, the
+  // per-run Luhn verdicts, and the masked text character for
+  // character. A short `ref` run rides along to pin the
+  // candidate-length screen.
+  def textLuhnScrub(s: SparkSession, d: String): DataFrame = {
+    val pan = concat(lit("4"),
+      lpad((col("doc_id") * 97 + 12345).cast("string"), 14, "0"))
+    val s15 = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, i) => {
+      val dd = pan.substr(i, lit(1)).cast("int")
+      acc + when(i % 2 === 1, lit(2) * dd - when(dd >= 5, 9).otherwise(0))
+        .otherwise(dd)
+    })
+    val card0 = concat(pan, ((lit(10) - s15 % 10) % 10).cast("string"))
+    val card = when(col("doc_id") % 2 === 1,
+      concat(card0.substr(lit(1), lit(7)),
+        ((card0.substr(lit(8), lit(1)).cast("int") + 5) % 10).cast("string"),
+        card0.substr(lit(9), lit(8)))).otherwise(card0)
+    val synth = T.documents(s, d).select(col("doc_id"),
+      concat(lit("pay "), card, lit(" ref "), col("doc_id").cast("string"),
+        lit(" end")).as("text"))
+    TextAnalysis.luhnScrub(synth)
+      .select("doc_id", "n_digit_runs", "n_candidates", "n_valid", "redacted")
+      .orderBy("doc_id")
+  }
+
+  private val oTextLuhnScrub =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    '4' || lpad(CAST(doc_id * 97 + 12345 AS VARCHAR), 14, '0') AS pan
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, pan || CAST(
+      |    (10 - (list_sum(list_transform(range(1, 16), i ->
+      |      CASE WHEN i % 2 = 1 THEN
+      |        2 * CAST(substr(pan, i::int, 1) AS INT)
+      |          - CASE WHEN CAST(substr(pan, i::int, 1) AS INT) >= 5
+      |            THEN 9 ELSE 0 END
+      |      ELSE CAST(substr(pan, i::int, 1) AS INT) END)) % 10)) % 10
+      |    AS VARCHAR) AS card0
+      |  FROM c),
+      |mut AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN
+      |      substr(card0, 1, 7)
+      |      || CAST((CAST(substr(card0, 8, 1) AS INT) + 5) % 10 AS VARCHAR)
+      |      || substr(card0, 9, 8)
+      |    ELSE card0 END AS card
+      |  FROM k),
+      |t AS (
+      |  SELECT doc_id,
+      |    'pay ' || card || ' ref ' || CAST(doc_id AS VARCHAR) || ' end' AS text
+      |  FROM mut),
+      |r AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract_all(text, '[0-9]+') AS runs,
+      |    list_filter(regexp_extract_all(text, '[0-9]+'),
+      |      x -> length(x) BETWEEN 13 AND 19) AS cand
+      |  FROM t),
+      |v AS (
+      |  SELECT doc_id, text, runs, cand,
+      |    list_filter(cand, x ->
+      |      (list_sum(list_transform(range(1, length(x) + 1), i ->
+      |        CASE WHEN (length(x) - i) % 2 = 0
+      |        THEN CAST(substr(x, i::int, 1) AS INT)
+      |        ELSE 2 * CAST(substr(x, i::int, 1) AS INT)
+      |          - CASE WHEN CAST(substr(x, i::int, 1) AS INT) >= 5
+      |            THEN 9 ELSE 0 END END)) % 10) = 0) AS valid
+      |  FROM r)
+      |SELECT doc_id,
+      |  CAST(len(runs) AS BIGINT) AS n_digit_runs,
+      |  CAST(len(cand) AS BIGINT) AS n_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_valid,
+      |  list_reduce(list_prepend(text, valid),
+      |    (a, b) -> replace(a, b, '[CARD]')) AS redacted
+      |FROM v ORDER BY doc_id""".stripMargin
+
   // C22 (r3): Gopher-style repetition signals — duplicate-word /
   // duplicate-trigram fractions and top-bigram coverage, the
   // pretrain-corpus repetition filters (see
@@ -3113,8 +3219,63 @@ object OpsQueries {
        |FROM r3 r JOIN deg d ON r.node = d.node
        |ORDER BY rk""".stripMargin
 
+  // C79 (r9): multi-source BFS hop distances over a host graph
+  // (Graphs.bfsHops doc — crawl-depth priors / spam-neighborhood
+  // quarantine). The graph is BUILT from known columns (C56/C75
+  // fixture discipline): every document adds h(doc_id%40) →
+  // h((7·doc_id+3)%40) and h(doc_id%40) → h((3·doc_id+1)%40) — a
+  // deterministic out-degree-2 functional graph where many nodes are
+  // reachable at SEVERAL depths, so the min-dist/anti-join law is
+  // exercised on real collisions. Seeds h0, h1; 4 hops. The oracle
+  // replays the BFS as four chained frontier CTEs.
+  def graphBfsHops(s: SparkSession, d: String): DataFrame = {
+    val doc = T.documents(s, d)
+    val edges = doc.select(
+        concat(lit("h"), col("doc_id") % 40).as("src"),
+        concat(lit("h"), (col("doc_id") * 7 + 3) % 40).as("dst"))
+      .union(doc.select(
+        concat(lit("h"), col("doc_id") % 40).as("src"),
+        concat(lit("h"), (col("doc_id") * 3 + 1) % 40).as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val seeds = s.range(2).select(concat(lit("h"), col("id")).as("node"))
+    Graphs.bfsHops(edges, seeds, maxHops = 4)
+      .select(col("node").as("host"), col("dist"))
+      .orderBy("dist", "host")
+  }
+
+  /** One DuckDB BFS round: frontier k = unvisited successors of
+    * visited set k−1; visited k = union. Mirrors `Graphs.bfsHops`.
+    */
+  private def oBfsStep(k: Int): String =
+    s"""f$k AS (
+       |  SELECT DISTINCT e.dst AS node FROM edges e
+       |  JOIN v${k - 1} v ON e.src = v.node
+       |  WHERE e.dst NOT IN (SELECT node FROM v${k - 1})),
+       |v$k AS (
+       |  SELECT node, dist FROM v${k - 1}
+       |  UNION ALL SELECT node, CAST($k AS BIGINT) FROM f$k)""".stripMargin
+
+  private val oGraphBfsHops =
+    s"""WITH e0 AS (
+       |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+       |    'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR),
+       |    'h' || CAST((doc_id * 3 + 1) % 40 AS VARCHAR)
+       |  FROM documents),
+       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |v0 AS (SELECT 'h0' AS node, CAST(0 AS BIGINT) AS dist
+       |       UNION ALL SELECT 'h1', 0),
+       |${oBfsStep(1)},
+       |${oBfsStep(2)},
+       |${oBfsStep(3)},
+       |${oBfsStep(4)}
+       |SELECT node AS host, dist FROM v4 ORDER BY dist, host""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("graph_pagerank", graphPagerank, Some(oGraphPagerank)),
+    QueryDef("graph_bfs_hops", graphBfsHops, Some(oGraphBfsHops)),
     QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),
     QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
     QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),
@@ -3152,6 +3313,8 @@ object OpsQueries {
     QueryDef("shuffle_deterministic", shuffleDeterministicQ, Some(oShuffleDeterministic)),
     QueryDef("text_quality", textQuality, Some(oTextQuality)),
     QueryDef("text_gopher_rules", textGopherRules, Some(oTextGopherRules)),
+    QueryDef("text_readability", textReadability, Some(oTextReadability)),
+    QueryDef("text_luhn_scrub", textLuhnScrub, Some(oTextLuhnScrub)),
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),
     QueryDef("text_decontaminate_bloom", textDecontaminateBloom, Some(oTextDecontaminate)),

@@ -253,6 +253,83 @@ object TextAnalysis {
       (rWord && rMean && rSym && rAlpha && rStop).as("kept"))
   }
 
+  /** Readability scoring (SURVEY.md §2 C78 — the Flesch reading-ease /
+    * Flesch–Kincaid grade-level pair every curation pipeline uses as a
+    * difficulty prior for curriculum ordering and audience bucketing):
+    * sentence count = maximal `[.!?]+` runs, syllable proxy = maximal
+    * vowel-group runs (the standard cheap approximation — exact
+    * hyphenation needs a dictionary; the proxy is deterministic and
+    * engine-portable), and both scores kept as MILLI-scaled integers
+    * with truncating DIV so the famous float coefficients (206.835,
+    * 1.015, 84.6 / 0.39, 11.8, 15.59) become exact integer arithmetic:
+    * fre_milli  = 206835 − 1015·w DIV s − 84600·y DIV w
+    * fkgl_milli = 390·w DIV s + 11800·y DIV w − 15590.
+    * All three counts clamp to ≥1 so degenerate rows score instead of
+    * dividing by zero. `band` buckets fre_milli at the conventional
+    * 90/60/30 cut points.
+    *
+    * Scale shape: two regexp_extract_all passes + one split over the
+    * scan — per-row codegen'd projection, zero shuffle, embarrassingly
+    * parallel at any corpus size.
+    */
+  def readability(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val w = greatest(size(tokens(text)), lit(1)).cast("long")
+    val s = greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+    val y = greatest(size(regexp_extract_all(text, lit("[aeiouAEIOU]+"), lit(0))), lit(1)).cast("long")
+    docs.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        y.as("n_syllables"))
+      .withColumn("fre_milli",
+        expr("206835L - (1015L * n_words) DIV n_sentences - (84600L * n_syllables) DIV n_words"))
+      .withColumn("fkgl_milli",
+        expr("(390L * n_words) DIV n_sentences + (11800L * n_syllables) DIV n_words - 15590L"))
+      .withColumn("band",
+        when(col("fre_milli") >= 90000L, "very_easy")
+          .when(col("fre_milli") >= 60000L, "plain")
+          .when(col("fre_milli") >= 30000L, "difficult")
+          .otherwise("very_difficult"))
+  }
+
+  /** Checksum-validated card-number redaction (SURVEY.md §2 C80 —
+    * PII v2, the precision upgrade over C17's pattern scrub): a bare
+    * `[0-9]{13,19}` regex over a web corpus redacts order numbers,
+    * tracking codes, and timestamps wholesale; real payment-card PANs
+    * are separable because they carry a Luhn check digit. This op
+    * extracts every MAXIMAL digit run, keeps runs of card length
+    * (13–19) as candidates, validates each with the Luhn mod-10
+    * checksum, and rewrites the text with ONLY the validated runs
+    * masked — per-rule counts retained as audit columns (the C77
+    * discipline: a redactor you can tune, not just rerun).
+    *
+    * Luhn, integer-exact: digit i (1-based from the left, length n)
+    * contributes d if (n−i) is even, else 2d−9·[d≥5]; valid iff the
+    * sum ≡ 0 (mod 10). Entirely codegen'd HOFs — regexp_extract_all →
+    * filter → nested aggregate over `sequence(1, n)` — per-row work ∝
+    * text length, zero shuffle, no UDF.
+    */
+  def luhnScrub(docs: DataFrame, text: Column = col("text"),
+      mask: String = "[CARD]"): DataFrame = {
+    def luhnOk(r: Column): Column = {
+      val n = length(r)
+      val s = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+        val d = r.substr(i, lit(1)).cast("int")
+        acc + when((n - i) % 2 === 0, d)
+          .otherwise(lit(2) * d - when(d >= 5, 9).otherwise(0))
+      })
+      s % 10 === 0
+    }
+    val runs = regexp_extract_all(text, lit("[0-9]+"), lit(0))
+    val cand = filter(runs, r => length(r) >= 13 && length(r) <= 19)
+    val valid = filter(cand, r => luhnOk(r))
+    docs
+      .withColumn("n_digit_runs", size(runs).cast("long"))
+      .withColumn("n_candidates", size(cand).cast("long"))
+      .withColumn("valid_runs", valid)
+      .withColumn("n_valid", size(col("valid_runs")).cast("long"))
+      .withColumn("redacted",
+        aggregate(col("valid_runs"), text, (acc, r) => replace(acc, r, lit(mask))))
+      .drop("valid_runs")
+  }
+
   /** End-to-end decontamination: the *filtered corpus* — every corpus
     * doc whose distinct-overlapping-n-gram count against the benchmark
     * is ≤ `maxOverlap`, with that count kept as provenance

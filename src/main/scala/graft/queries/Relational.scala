@@ -1838,7 +1838,106 @@ object Relational {
       |FROM m JOIN sizes s ON m.c0 = s.c0
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // B62 (r9): event-sequence pattern matching — MATCH_RECOGNIZE-lite
+  // (the SQL:2016 row-pattern operator Spark lacks; Flink/Trino/Oracle
+  // serve it natively). Pattern here: view (click)+ purchase,
+  // CONTIGUOUS in the per-user ordered stream (strictly stronger than
+  // B60's funnel, which allows arbitrary interleaving), with AFTER
+  // MATCH SKIP semantics given by segmenting at every 'view'. The
+  // re-expression: one per-user running count of 'view' rows assigns
+  // every event a segment id (window over the user partition — the
+  // same shuffle any per-user op pays); per segment, the ordered
+  // type-initial string is built with the B30 sort_array/concat_ws
+  // idiom and the pattern becomes an anchored REGEX on that string —
+  // '^vc+p' — whose match length locates the closing purchase, joined
+  // back by within-segment row_number to price the span in exact µs.
+  // Scale shape: segment strings are bounded by inter-view gaps (a
+  // pathological no-view firehose would cap the collect, declared);
+  // everything else is hash aggs and one key join ∝ events. Ties in
+  // the stream order break by event_id, so the symbol string — and
+  // therefore every match — is engine-deterministic.
+  def qEventPattern(s: SparkSession, d: String): DataFrame =
+    eventPatternMatches(T.events(s, d).select(col("user_id"),
+      col("event_id"), expr("ts div 1000").as("us"),
+      expr("substring(event_type, 1, 1)").as("sym")))
+
+  /** B62 core over a (user_id, event_id, us, sym) stream — separated
+    * so laws can plant exact sequences. See [[qEventPattern]].
+    */
+  def eventPatternMatches(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = ev.withColumn("seg",
+        sum(when(col("sym") === "v", 1L).otherwise(0L)).over(w))
+      .filter(col("seg") >= 1)
+    val wseg = Window.partitionBy("user_id", "seg").orderBy("us", "event_id")
+    val pos = seg.withColumn("rn", row_number().over(wseg))
+    val segs = pos.groupBy("user_id", "seg").agg(
+      concat_ws("", transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("sym")))),
+        x => x.getField("sym"))).as("symstr"),
+      min("us").as("t_start"))
+    val m = segs.withColumn("mlen",
+      length(regexp_extract(col("symstr"), "^vc+p", 0)))
+    val ends = m.filter(col("mlen") >= 3)
+      .join(pos.select("user_id", "seg", "rn", "us"), Seq("user_id", "seg"))
+      .filter(col("rn") === col("mlen"))
+    val agg = ends.groupBy("user_id").agg(
+      count(lit(1)).as("n_matches"),
+      sum(col("mlen") - 2).as("n_clicks_matched"),
+      sum(col("us") - col("t_start")).as("span_us"))
+    segs.groupBy("user_id").agg(count(lit(1)).as("n_segments"))
+      .join(agg, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_segments"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_clicks_matched"), lit(0L)).as("n_clicks_matched"),
+        coalesce(col("span_us"), lit(0L)).as("span_us"))
+      .orderBy("user_id")
+  }
+
+  private val oEventPattern =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    substr(event_type, 1, 1) AS sym FROM events),
+      |seg AS (
+      |  SELECT *, sum(CASE WHEN sym = 'v' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM ev),
+      |pos AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, seg
+      |                               ORDER BY us, event_id) AS rn
+      |  FROM seg WHERE seg >= 1),
+      |segs AS (
+      |  SELECT user_id, seg,
+      |    string_agg(sym, '' ORDER BY us, event_id) AS symstr,
+      |    min(us) AS t_start
+      |  FROM pos GROUP BY user_id, seg),
+      |m AS (
+      |  SELECT user_id, seg, t_start,
+      |    length(coalesce(regexp_extract(symstr, '^vc+p'), '')) AS mlen
+      |  FROM segs),
+      |ends AS (
+      |  SELECT m.user_id AS uid, m.mlen, p.us - m.t_start AS span
+      |  FROM m JOIN pos p
+      |    ON p.user_id = m.user_id AND p.seg = m.seg AND p.rn = m.mlen
+      |  WHERE m.mlen >= 3),
+      |agg AS (
+      |  SELECT uid, CAST(count(*) AS BIGINT) AS n_matches,
+      |    CAST(sum(mlen - 2) AS BIGINT) AS n_clicks_matched,
+      |    CAST(sum(span) AS BIGINT) AS span_us
+      |  FROM ends GROUP BY uid),
+      |su AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments
+      |       FROM segs GROUP BY user_id)
+      |SELECT su.user_id, su.n_segments,
+      |  coalesce(a.n_matches, 0) AS n_matches,
+      |  coalesce(a.n_clicks_matched, 0) AS n_clicks_matched,
+      |  coalesce(a.span_us, 0) AS span_us
+      |FROM su LEFT JOIN agg a ON su.user_id = a.uid
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
     QueryDef("q_funnel", qFunnel, Some(oFunnel)),
     QueryDef("q_retention", qRetention, Some(oRetention)),

@@ -76,4 +76,34 @@ class GraphsSpec extends AnyFunSuite {
       iters = 3).as[(String, Long)].collect().toMap
     assert(one === shuffled)
   }
+
+  private def bfs(edges: Seq[(String, String)], seeds: Seq[String],
+      maxHops: Int): Map[String, Long] =
+    Graphs.bfsHops(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+      .as[(String, Long)].collect().toMap
+
+  test("bfsHops: min-dist over all paths — a shortcut edge wins over the long path") {
+    // a→b→c→d plus shortcut a→c: c is 1 hop, d is 2, never 2/3.
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c")
+    assert(bfs(e, Seq("a"), 5) ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
+  test("bfsHops: multi-seed takes the nearest seed; unreachable nodes absent; directed") {
+    // x→y→z, q→z; seeds x,q: z is 1 (via q) not 2. w isolated as a
+    // SOURCE only (w→x) — never reached (edges are directed).
+    val e = Seq("x" -> "y", "y" -> "z", "q" -> "z", "w" -> "x")
+    val r = bfs(e, Seq("x", "q"), 5)
+    assert(r === Map("x" -> 0L, "q" -> 0L, "y" -> 1L, "z" -> 1L))
+    assert(!r.contains("w"))
+  }
+
+  test("bfsHops: maxHops truncates; hop 0 is just the seed set; cycles terminate") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    assert(bfs(e, Seq("a"), 1) === Map("a" -> 0L, "b" -> 1L))
+    assert(bfs(e, Seq("a"), 0) === Map("a" -> 0L))
+    // the 3-cycle does not loop forever; d found at 3
+    assert(bfs(e, Seq("a"), 10) ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
 }

@@ -879,4 +879,56 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < corpus.count())
     corpus.unpersist()
   }
+
+  test("readability: hand-computed FRE/FKGL, clamps, and band ordering") {
+    val docs = Seq(
+      (0L, "Hello world. It is good."),
+      (1L, ""), // degenerate: all counts clamp to 1
+      (2L, "Incomprehensibility characterization! Institutionalization recontextualizes heterogeneous epistemological."),
+      (3L, "a b! c") // 3 one-letter words, 1 sentence run, 1 vowel
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 0: w=5 s=2 y=6 → fre = 206835 - 5075/2 - 507600/5
+    assert(r(0L).getLong(1) === 5L && r(0L).getLong(2) === 2L && r(0L).getLong(3) === 6L)
+    assert(r(0L).getLong(4) === 206835L - 2537L - 101520L)
+    assert(r(0L).getLong(5) === 975L + 14160L - 15590L)
+    assert(r(0L).getString(6) === "very_easy")
+    // empty text: every count clamps to 1, formulas still defined
+    assert(r(1L).getLong(1) === 1L && r(1L).getLong(2) === 1L && r(1L).getLong(3) === 1L)
+    assert(r(1L).getLong(4) === 206835L - 1015L - 84600L)
+    // polysyllabic monster reads strictly harder than the plain doc
+    assert(r(2L).getLong(4) < r(0L).getLong(4))
+    assert(r(2L).getString(6) === "very_difficult")
+    // w=3 s=1 y=1: fre = 206835 - 3045/1 - 84600/3
+    assert(r(3L).getLong(4) === 206835L - 3045L - 28200L)
+    // corpus law: real docs occupy >= 2 distinct bands, all rows scored
+    val corpus = TextAnalysis.readability(T.documents(spark, sf))
+    assert(corpus.count() === T.documents(spark, sf).count())
+    assert(corpus.select("band").distinct().count() >= 2)
+  }
+
+  test("luhnScrub: checksum separates PANs from equally-long junk; only valid runs masked") {
+    val valid16 = "4532015112830366" // passes Luhn
+    val invalid16 = "4532015112830367" // last digit flipped
+    val valid13 = "4222222222222" // 13-digit Visa test number
+    val docs = Seq(
+      (0L, s"pay $valid16 now"),
+      (1L, s"order $invalid16 shipped"),
+      (2L, "ref 123456789012 and 12345678901234567890"), // 12 + 20 digits: no candidates
+      (3L, s"two cards $valid16 and $valid13 here"),
+      (4L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.luhnScrub(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def counts(id: Long) = (r(id).getLong(2), r(id).getLong(3), r(id).getLong(4))
+    assert(counts(0L) === ((1L, 1L, 1L)))
+    assert(r(0L).getString(5) === "pay [CARD] now")
+    assert(counts(1L) === ((1L, 1L, 0L))) // candidate but checksum fails
+    assert(r(1L).getString(5) === s"order $invalid16 shipped") // untouched
+    assert(counts(2L) === ((2L, 0L, 0L))) // wrong lengths never candidates
+    assert(counts(3L) === ((2L, 2L, 2L)))
+    assert(r(3L).getString(5) === "two cards [CARD] and [CARD] here")
+    assert(counts(4L) === ((0L, 0L, 0L)))
+  }
 }
