@@ -2570,9 +2570,16 @@ object CdcPipeline {
     */
   private def reclaimable(targetDir: String, cur: Long,
       keptVersions: Seq[Long]): Seq[String] = {
+    // tagged versions (A78) are named state: they and their carried
+    // bucket references stay live — a tag must stay READABLE, not
+    // merely listed — until dropTag
+    val tagged = taggedVersions(targetDir)
     val live: Set[String] =
       keptVersions.map(v => s"v$v").toSet ++
         keptVersions.flatMap(v =>
+          manifest(targetDir, v).map(_.buckets.values.toSet).getOrElse(Set.empty)) ++
+        tagged.map(v => s"v$v") ++
+        tagged.flatMap(v =>
           manifest(targetDir, v).map(_.buckets.values.toSet).getOrElse(Set.empty)) ++
         StoreFs.listFilePaths(s"$targetDir/$ClonesDir", "")
           .flatMap(p => StoreFs.readString(p).split("\n"))
@@ -2775,6 +2782,198 @@ object CdcPipeline {
         swapPointer(targetDir, next, -1L)
         Some(next)
       }
+    }
+  }
+
+  // ==== A78: named refs — tags, branches, write-audit-publish ====
+
+  private val RefsDir = "_refs"
+  private def tagPath(targetDir: String, name: String): String =
+    s"$targetDir/$RefsDir/tag.${statEnc(name)}"
+  private def branchRefPath(targetDir: String, name: String): String =
+    s"$targetDir/$RefsDir/branch.${statEnc(name)}"
+  private val UpstreamFile = "_upstream"
+
+  /** TAG (A78 — Iceberg `CREATE TAG` / Delta's named-version idiom):
+    * give a committed version a durable NAME. A tag is one ref file
+    * (`_refs/tag.<name>` → version) taken with atomic
+    * create-no-overwrite, so concurrent same-name taggers race
+    * safely; duplicates refuse loudly. The load-bearing part is GC
+    * integration: [[vacuum]]/[[expireSnapshots]]/[[vacuumPreview]]
+    * share ONE liveness walk ([[reclaimable]]) and that walk counts
+    * every tagged version AND its carried bucket references live — a
+    * tagged version stays fully READABLE (not merely listed) until
+    * [[dropTag]], which is what makes tags usable as audit pins and
+    * reproducible-training-run anchors on a store that GCs nightly.
+    * Returns the tagged version; None when the store (or requested
+    * version) has no manifest.
+    */
+  def createTag(targetDir: String, name: String,
+      version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(currentVersion(targetDir)).getOrElse(return None)
+    if (manifest(targetDir, v).isEmpty) return None
+    require(StoreFs.createExclusive(tagPath(targetDir, name), v.toString),
+      s"tag '$name' already exists on $targetDir")
+    Some(v)
+  }
+
+  def tagVersion(targetDir: String, name: String): Option[Long] = {
+    val p = tagPath(targetDir, name)
+    if (StoreFs.exists(p))
+      scala.util.Try(StoreFs.readString(p).trim.toLong).toOption
+    else None
+  }
+
+  def dropTag(targetDir: String, name: String): Boolean =
+    StoreFs.deleteFile(tagPath(targetDir, name))
+
+  /** Time travel by NAME: `readSnapshotAt` the tagged version. */
+  def readSnapshotAtTag(spark: SparkSession, targetDir: String,
+      name: String): Option[DataFrame] =
+    tagVersion(targetDir, name).flatMap(readSnapshotAt(spark, targetDir, _))
+
+  /** All named refs on a store: ("tag", name, "v<N>") and
+    * ("branch", name, branchDir), name-sorted within kind.
+    */
+  def listRefs(targetDir: String): Seq[(String, String, String)] =
+    StoreFs.listFilePaths(s"$targetDir/$RefsDir", "").flatMap { p =>
+      val f = p.substring(p.lastIndexOf('/') + 1)
+      f.split("\\.", 2) match {
+        case Array("tag", enc) =>
+          Some(("tag", statDec(enc), s"v${StoreFs.readString(p).trim}"))
+        case Array("branch", enc) =>
+          Some(("branch", statDec(enc), StoreFs.readString(p).split("\n")(0)))
+        case _ => None
+      }
+    }.sortBy(r => (r._1, r._2))
+
+  /** Versions pinned by tags — shared with [[reclaimable]] so every
+    * GC policy honors them.
+    */
+  private def taggedVersions(targetDir: String): Seq[Long] =
+    StoreFs.listFilePaths(s"$targetDir/$RefsDir", "")
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("tag."))
+      .flatMap(p => scala.util.Try(StoreFs.readString(p).trim.toLong).toOption)
+
+  /** BRANCH (A78 — Iceberg branch refs; the isolation half of
+    * write-audit-publish): fork the store's current state into its
+    * own writable lineage. The fork is a shallow [[cloneSnapshot]]
+    * (ONE manifest write, zero data bytes, pins keep the source's
+    * vacuum honest), plus two records: the source-side ref
+    * (`_refs/branch.<name>` → branchDir + fork version, atomic
+    * create so duplicate names refuse) and the branch-side
+    * `_upstream` file ([[publishBranch]]'s fast-forward contract).
+    * The branch is a full store — every operator (MERGE, DELETE,
+    * expectations, OPTIMIZE, audits) works on it unchanged; that is
+    * the A of WAP. Returns the fork version.
+    */
+  def createBranch(sourceDir: String, branchDir: String,
+      name: String): Option[Long] = {
+    val forkV = currentVersion(sourceDir).getOrElse(return None)
+    require(StoreFs.createExclusive(branchRefPath(sourceDir, name),
+      s"$branchDir\n$forkV"),
+      s"branch '$name' already exists on $sourceDir")
+    cloneSnapshot(sourceDir, branchDir) match {
+      case Some(_) =>
+        StoreFs.writeString(s"$branchDir/$UpstreamFile", s"$sourceDir\n$forkV")
+        Some(forkV)
+      case None =>
+        StoreFs.deleteFile(branchRefPath(sourceDir, name))
+        None
+    }
+  }
+
+  /** (upstream dir, fork version) recorded at [[createBranch]]. */
+  def branchUpstream(branchDir: String): Option[(String, Long)] = {
+    val p = s"$branchDir/$UpstreamFile"
+    if (!StoreFs.exists(p)) None
+    else {
+      val t = StoreFs.readString(p).split("\n")
+      Some((t(0), t(1).trim.toLong))
+    }
+  }
+
+  /** PUBLISH a branch back to its upstream — the P of
+    * write-audit-publish, fast-forward-only (the Iceberg
+    * `fast_forward` procedure's semantics): iff the upstream pointer
+    * still sits at the fork version, commit the branch's CURRENT
+    * state there as ONE new version; if any commit landed upstream
+    * since the fork, throw [[ConcurrentWriteException]] — silently
+    * merging divergent lineages is exactly the lost update A66
+    * exists to kill (re-branch and replay instead). Cost discipline:
+    * buckets the branch never rewrote still reference the upstream's
+    * OWN version dirs (rewired from the clone's absolute refs back
+    * to relative — zero bytes); buckets the branch wrote are COPIED
+    * into the new upstream version dir (bytes ∝ branch delta, and
+    * the upstream never depends on the branch's directory — the pin
+    * direction stays branch→source, so dropping the branch after
+    * publish is always safe). DV and bloom sidecars ride along the
+    * same way; constraints/virtual columns/properties carry from the
+    * BRANCH (the audited state is what publishes). The upstream
+    * commit is claim-checked ([[claimNextFrom]]) like every other
+    * publish. Returns the new upstream version.
+    */
+  def publishBranch(branchDir: String): Option[Long] = {
+    val (sourceDir, forkV) = branchUpstream(branchDir).getOrElse(return None)
+    val cur = currentVersion(sourceDir).getOrElse(return None)
+    if (cur != forkV)
+      throw new ConcurrentWriteException(
+        s"upstream $sourceDir moved to v$cur since the branch forked at " +
+          s"v$forkV: fast-forward refused — re-branch from the new head " +
+          "and replay")
+    val bv = currentVersion(branchDir).getOrElse(return None)
+    manifest(branchDir, bv).map { bm =>
+      require(columnDefaults(bm).isEmpty,
+        "cannot fast-forward a branch with unmaterialized column defaults" +
+          ": OPTIMIZE the branch first")
+      val next = claimNextFrom(sourceDir, cur)
+      val srcPrefix = s"$sourceDir/"
+      val rewired = bm.buckets.map { case (b, ref) =>
+        val abs = if (ref.contains("/")) ref else s"$branchDir/$ref"
+        if (abs.startsWith(srcPrefix) &&
+            abs.stripPrefix(srcPrefix).matches("v\\d+"))
+          b -> abs.stripPrefix(srcPrefix) // untouched: upstream's own dir
+        else {
+          StoreFs.copyDir(s"$abs/$BucketCol=$b",
+            s"$sourceDir/v$next/$BucketCol=$b")
+          b -> s"v$next" // branch-written: copy ∝ branch delta
+        }
+      }
+      val dvMeta = bm.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(branchDir, ref), s"$sourceDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
+      val bloomMeta = bm.meta.keys.filter(_.startsWith("bloom."))
+        .flatMap { key =>
+          val column = key.stripPrefix("bloom.")
+          val src = bloomDirPath(branchDir, bm.meta(key), column)
+          if (StoreFs.exists(src))
+            StoreFs.copyDir(src, s"$sourceDir/v$next/$BloomDir/${statEnc(column)}")
+          Some(key -> s"v$next")
+        }.toMap
+      writeManifest(sourceDir, next, Manifest(bm.numBuckets, bm.schemaJson,
+        rewired, bm.stats,
+        commitMeta("branch-publish") + ("branch_of" -> branchDir) ++
+          carryDefaults(bm) ++ carryConstraints(bm) ++ carryVirtual(bm) ++
+          carryProps(bm) ++ dvMeta ++ bloomMeta))
+      swapPointer(sourceDir, next, -1L)
+      next
+    }
+  }
+
+  /** Drop a branch ref: removes the source-side name and the
+    * branch's clone pins on the source (the branch directory itself
+    * is the caller's to delete — it may still be wanted as a plain
+    * store). After an unpublished drop the next source vacuum may
+    * reclaim what only the branch was keeping alive.
+    */
+  def dropBranch(sourceDir: String, name: String): Boolean = {
+    val p = branchRefPath(sourceDir, name)
+    if (!StoreFs.exists(p)) false
+    else {
+      val branchDir = StoreFs.readString(p).split("\n")(0)
+      dropClonePin(sourceDir, branchDir)
+      StoreFs.deleteFile(p)
     }
   }
 

@@ -1480,6 +1480,66 @@ object CdcQueries {
        |WHERE rn = 1 AND op != 'd'
        |ORDER BY user_id""".stripMargin
 
+  // A78 (r9): write-audit-publish through a named branch. The gate
+  // drives the full WAP lifecycle on real store machinery: bootstrap
+  // (v0) → tag → branch (zero-copy fork) → the W0..W1 CDC window
+  // merged INTO THE BRANCH while the upstream provably stays at v0 →
+  // fsck audit on the branch → fast-forward publish. The served
+  // upstream snapshot must hash-match the oracle's one-shot
+  // latest-per-PK over BOTH windows — a leaked branch write, a
+  // mis-rewired bucket ref, or a publish that lost the branch delta
+  // each breaks the hash. Intermediate invariants (upstream pinned at
+  // v0 pre-publish, tag still naming v0 after) are require-asserted.
+  def cdcBranchWap(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val Seq(srcDir, brDir) = Fixtures.dirs("branchwap", 2)
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "branchwap",
+      targetPath = brDir, // the MERGE lands on the branch
+      pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, srcDir, pk, buckets = cfg.numBuckets) // v0
+    require(CdcPipeline.createTag(srcDir, "pre-wap").contains(0L),
+      "tag must name the bootstrap version")
+    require(CdcPipeline.createBranch(srcDir, brDir + "/b", "ingest").contains(0L),
+      "branch must fork at v0")
+    val bcfg = cfg.copy(targetPath = brDir + "/b")
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, bcfg, chg1, chg1.count()) // branch v1
+    require(CdcPipeline.currentVersion(srcDir).contains(0L),
+      "branch writes must not move the upstream pointer")
+    require(CdcPipeline.fsck(s, bcfg.targetPath)
+      .filter(col("severity") === "error").isEmpty,
+      "branch must audit clean before publish")
+    require(CdcPipeline.publishBranch(bcfg.targetPath).contains(1L),
+      "fast-forward must publish upstream v1")
+    require(CdcPipeline.tagVersion(srcDir, "pre-wap").contains(0L),
+      "the tag still names the pre-WAP state")
+    CdcPipeline.readSnapshot(s, srcDir).get
+      .select("user_id", "k", "event_id", "value")
+      .orderBy(col("user_id"))
+  }
+
+  private val oBranchWap =
+    s"""SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |WHERE rn = 1 AND op != 'd'
+       |ORDER BY user_id""".stripMargin
+
   // A50 (r8): incrementally maintained JOIN view — the enrichment
   // star-join kept as a materialized store with delta-cost
   // maintenance on BOTH sides. The gate drives the full lifecycle:
@@ -1870,6 +1930,7 @@ object CdcQueries {
     QueryDef("cdc_constraints_generated", cdcConstraintsGenerated,
       Some(oConstraintsGenerated)),
     QueryDef("cdc_restore", cdcRestore, Some(oRestore)),
+    QueryDef("cdc_branch_wap", cdcBranchWap, Some(oBranchWap)),
     QueryDef("cdc_join_view", cdcJoinView, Some(oJoinView)),
     QueryDef("cdc_change_feed", cdcChangeFeed, Some(oChangeFeed)),
     QueryDef("cdc_expectations", cdcExpectations, Some(oExpectations)),
