@@ -649,6 +649,93 @@ object GraftExtensions {
         plan(graft.cdc.CdcPipeline.generatedColumns(path).toSeq
           .map { case (n, (t, e)) => (n, t.simpleString, e) }.sorted
           .toDF("name", "type", "expression"))
+      }),
+    // ---- A78 named refs: the tag/branch lifecycle in plain SQL ----
+    // graft_refs(path) → every named ref, (kind, name, target).
+    (FunctionIdentifier("graft_refs"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_refs"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_refs path")
+        val spark = active
+        import spark.implicits._
+        plan(graft.cdc.CdcPipeline.listRefs(path).toDF("kind", "name", "target"))
+      }),
+    // graft_snapshot_tag(path, name) → time travel by NAME.
+    (FunctionIdentifier("graft_snapshot_tag"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_snapshot_tag"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_snapshot_tag path")
+        val name = strLit(args(1), "graft_snapshot_tag name")
+        plan(graft.cdc.CdcPipeline.readSnapshotAtTag(active, path, name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no tag '$name' on graft store at $path")))
+      }),
+    // graft_create_tag(path, name[, version]) → pin a version by
+    // name; vacuum keeps it readable until graft_drop_tag. Returns
+    // (name, version).
+    (FunctionIdentifier("graft_create_tag"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_create_tag"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_create_tag path")
+        val name = strLit(args(1), "graft_create_tag name")
+        val v = if (args.length > 2)
+          Some(longLit(args(2), "graft_create_tag version")) else None
+        val tagged = graft.cdc.CdcPipeline.createTag(path, name, v)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no such version to tag on graft store at $path"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq((name, tagged)).toDF("name", "version"))
+      }),
+    // graft_drop_tag(path, name) → release the pin. Returns (dropped).
+    (FunctionIdentifier("graft_drop_tag"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_drop_tag"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_drop_tag path")
+        val name = strLit(args(1), "graft_drop_tag name")
+        val spark = active
+        import spark.implicits._
+        plan(Seq(graft.cdc.CdcPipeline.dropTag(path, name)).toDF("dropped"))
+      }),
+    // graft_create_branch(path, branchPath, name) → zero-copy
+    // writable fork (the W of WAP). Returns (fork_version).
+    (FunctionIdentifier("graft_create_branch"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_create_branch"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_create_branch path")
+        val branch = strLit(args(1), "graft_create_branch branchPath")
+        val name = strLit(args(2), "graft_create_branch name")
+        val v = graft.cdc.CdcPipeline.createBranch(path, branch, name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no graft store at $path"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq(v).toDF("fork_version"))
+      }),
+    // graft_publish_branch(branchPath) → fast-forward the audited
+    // branch state upstream (the P of WAP); refuses if the upstream
+    // moved since the fork. Returns (version).
+    (FunctionIdentifier("graft_publish_branch"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_publish_branch"),
+      (args: Seq[Expression]) => {
+        val branch = strLit(args(0), "graft_publish_branch branchPath")
+        val v = graft.cdc.CdcPipeline.publishBranch(branch)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no branch store at $branch (missing _upstream record)"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_drop_branch(path, name) → drop the ref + the branch's
+    // pins on the source. Returns (dropped).
+    (FunctionIdentifier("graft_drop_branch"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_drop_branch"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_drop_branch path")
+        val name = strLit(args(1), "graft_drop_branch name")
+        val spark = active
+        import spark.implicits._
+        plan(Seq(graft.cdc.CdcPipeline.dropBranch(path, name)).toDF("dropped"))
       }))
 
   /** Register into an already-built session (tests, REPLs). */

@@ -445,4 +445,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
+
+  test("SQL refs: tag → snapshot_tag → branch → merge on branch → publish → drop (A78 WAP)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlrefs").toString
+    val br = java.nio.file.Files.createTempDirectory("graft-sqlrefs-b").toString + "/b"
+    spark.sql(
+      s"""SELECT version FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 2 AS v FROM range(0, 500)', 8)""".stripMargin).collect()
+    // tag the bootstrap, then fork a branch — all SQL
+    val tag = spark.sql(s"SELECT * FROM graft_create_tag('$dir', 'rc1')").collect()(0)
+    assert(tag.getString(0) === "rc1" && tag.getLong(1) === 0L)
+    assert(spark.sql(s"SELECT * FROM graft_create_branch('$dir', '$br', 'wap')")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql(s"SELECT kind, name FROM graft_refs('$dir') ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("branch", "wap"), ("tag", "rc1")))
+    // write on the BRANCH; upstream must not see it
+    spark.sql(
+      s"""SELECT * FROM graft_merge('$br', 'id',
+         |  'SELECT id, id * 1000 AS v, "u" AS __op FROM range(0, 50)')"""
+        .stripMargin).collect()
+    assert(spark.sql(s"SELECT max(v) FROM graft_snapshot('$dir')")
+      .collect()(0).getLong(0) === 998L, "branch write must not leak upstream")
+    // publish, then the upstream serves the branch state and the tag
+    // still time-travels to the pre-WAP state
+    assert(spark.sql(s"SELECT * FROM graft_publish_branch('$br')")
+      .collect()(0).getLong(0) === 1L)
+    assert(spark.sql(s"SELECT max(v) FROM graft_snapshot('$dir')")
+      .collect()(0).getLong(0) === 49000L)
+    assert(spark.sql(s"SELECT max(v) FROM graft_snapshot_tag('$dir', 'rc1')")
+      .collect()(0).getLong(0) === 998L)
+    // drop both refs; snapshot_tag then refuses
+    assert(spark.sql(s"SELECT * FROM graft_drop_branch('$dir', 'wap')")
+      .collect()(0).getBoolean(0))
+    assert(spark.sql(s"SELECT * FROM graft_drop_tag('$dir', 'rc1')")
+      .collect()(0).getBoolean(0))
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot_tag('$dir', 'rc1')").collect()
+    }
+    graft.cdc.StoreFs.deleteRecursive(dir)
+    graft.cdc.StoreFs.deleteRecursive(br)
+  }
 }
