@@ -891,6 +891,37 @@ object OpsQueries {
       |    (a, b) -> replace(a, b, '[CARD]')) AS redacted
       |FROM v ORDER BY doc_id""".stripMargin
 
+  // C81: cross-source n-gram duplication matrix — which sources
+  // republish each other (TextAnalysis.crossSourceNgramOverlap doc).
+  // The synthetic corpus's 20 sources share a varied, sparse 5-gram
+  // matrix (~32 nonzero pairs at sf0.01 with counts from 1 to 143),
+  // so the oracle hash pins real containment arithmetic, not a
+  // degenerate all-zero or all-dense table.
+  def textCrossSourceOverlap(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.crossSourceNgramOverlap(T.documents(s, d), n = 5)
+      .orderBy(col("src_a"), col("src_b"))
+
+  private val oTextCrossSourceOverlap =
+    """WITH g AS (
+      |  SELECT DISTINCT source, unnest(list_transform(
+      |    range(0, greatest(0, len(string_split(text, ' ')) - 4)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))) AS gram
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+      |        FROM g GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b, p.n_shared, ta.n_grams AS n_a,
+      |  tb.n_grams AS n_b,
+      |  p.n_shared * 1000000 // least(ta.n_grams, tb.n_grams) AS overlap_ppm
+      |FROM pairs p
+      |JOIN tot ta ON ta.source = p.src_a
+      |JOIN tot tb ON tb.source = p.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   // C22 (r3): Gopher-style repetition signals — duplicate-word /
   // duplicate-trigram fractions and top-bigram coverage, the
   // pretrain-corpus repetition filters (see
@@ -3315,6 +3346,8 @@ object OpsQueries {
     QueryDef("text_gopher_rules", textGopherRules, Some(oTextGopherRules)),
     QueryDef("text_readability", textReadability, Some(oTextReadability)),
     QueryDef("text_luhn_scrub", textLuhnScrub, Some(oTextLuhnScrub)),
+    QueryDef("text_cross_source_overlap", textCrossSourceOverlap,
+      Some(oTextCrossSourceOverlap)),
     QueryDef("text_repetition", textRepetition, Some(oTextRepetition)),
     QueryDef("text_decontaminate", textDecontaminate, Some(oTextDecontaminate)),
     QueryDef("text_decontaminate_bloom", textDecontaminateBloom, Some(oTextDecontaminate)),

@@ -330,6 +330,47 @@ object TextAnalysis {
       .drop("valid_runs")
   }
 
+  /** Cross-source n-gram duplication matrix (SURVEY.md §2 C81 — the
+    * corpus-provenance audit BETWEEN sources, where C24/C25 screen a
+    * corpus against an external benchmark and C38/C55 find spans
+    * within documents: "which of my crawl sources are republishing
+    * each other", the signal behind source-level dedup priority and
+    * license-contamination triage): per source, the DISTINCT set of
+    * word n-grams; per source PAIR, how many n-grams they share, with
+    * overlap_ppm = shared·10⁶ DIV min(|A|,|B|) (containment of the
+    * smaller side — a tiny mirror inside a huge crawl still scores
+    * high, which is the point).
+    *
+    * Scale shape: postings-shaped — one tokenize+explode ∝ corpus
+    * tokens, a distinct keyed on (source, gram), then a self-join ON
+    * THE GRAM (shuffle ∝ distinct postings; per-gram work is
+    * |sources sharing it|², bounded by the source count, never
+    * documents²); totals broadcast back onto the |pairs| matrix.
+    */
+  def crossSourceNgramOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val slots = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+    val grams = docs.select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE transform(sequence(0, size(toks) - $n),
+           |  i -> concat_ws(' ', $slots)) END""".stripMargin)).as("gram"))
+      .distinct()
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n_grams").as("n_a"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n_grams").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("n_shared * 1000000L DIV least(n_a, n_b)").as("overlap_ppm"))
+  }
+
   /** End-to-end decontamination: the *filtered corpus* — every corpus
     * doc whose distinct-overlapping-n-gram count against the benchmark
     * is ≤ `maxOverlap`, with that count kept as provenance

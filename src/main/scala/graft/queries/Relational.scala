@@ -1936,8 +1936,64 @@ object Relational {
       |FROM su LEFT JOIN agg a ON su.user_id = a.uid
       |ORDER BY user_id""".stripMargin
 
+  // B63 (r9): rolling robust anomaly detection — the metric-stream
+  // outlier screen (median + MAD over a trailing window, the robust
+  // replacement for mean/σ that one spike can't poison). Spark has no
+  // EXACT windowed median (percentile_approx only); the re-expression
+  // materializes the 21-row trailing frame with collect_list over a
+  // ROWS window, sorts it, and indexes the lower median — per-row
+  // work O(w log w) with w=21 declared, all codegen'd array
+  // functions, the window shuffle is the same per-key sort any
+  // rolling op pays. Values are exact cents (round(value*100) — the
+  // established integer-cents idiom) so median, MAD, and the 5×MAD
+  // verdict are pure BIGINT decisions; both engines index the SAME
+  // sorted multiset so lower-median ties are engine-exact. MAD=0
+  // frames (constant history) never flag — the standard guard.
+  def qAnomalyMad(s: SparkSession, d: String): DataFrame =
+    rollingMadAnomalies(T.events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_c")))
+      .orderBy("event_id")
+
+  /** B63 core over a (user_id, event_id, us, v_c) stream — separated
+    * so laws can plant exact windows. See [[qAnomalyMad]].
+    */
+  def rollingMadAnomalies(ev: DataFrame, window: Int = 20,
+      k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(-window, Window.currentRow)
+    ev.withColumn("f", sort_array(collect_list(col("v_c")).over(w)))
+      .withColumn("med_c",
+        expr("element_at(f, CAST((size(f) + 1) div 2 AS INT))"))
+      .withColumn("mad_c", expr(
+        "element_at(array_sort(transform(f, x -> abs(x - med_c)))," +
+          " CAST((size(f) + 1) div 2 AS INT))"))
+      .select(col("user_id"), col("event_id"), col("v_c"), col("med_c"),
+        col("mad_c"),
+        (abs(col("v_c") - col("med_c")) > lit(k) * col("mad_c") &&
+          col("mad_c") > 0).as("is_anomaly"))
+  }
+
+  private val oAnomalyMad =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, v_c,
+      |    list_sort(list(v_c) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS fr
+      |  FROM ev),
+      |m AS (SELECT *, fr[(len(fr) + 1) // 2] AS med_c FROM f),
+      |d AS (SELECT *,
+      |  list_sort(list_transform(fr, x -> abs(x - med_c)))[(len(fr) + 1) // 2]
+      |    AS mad_c FROM m)
+      |SELECT user_id, event_id, v_c, med_c, mad_c,
+      |  (abs(v_c - med_c) > 5 * mad_c AND mad_c > 0) AS is_anomaly
+      |FROM d ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
+    QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
     QueryDef("q_funnel", qFunnel, Some(oFunnel)),
     QueryDef("q_retention", qRetention, Some(oRetention)),

@@ -931,4 +931,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L).getString(5) === "two cards [CARD] and [CARD] here")
     assert(counts(4L) === ((0L, 0L, 0L)))
   }
+
+  test("crossSourceNgramOverlap: shared grams counted once per source; containment of the smaller side") {
+    val docs = Seq(
+      // sources A and B share exactly ONE 3-gram ("x y z"); A repeats
+      // it in two docs (distinct-per-source: still counts once)
+      (0L, "x y z p q r", "A"),
+      (1L, "m m x y z", "A"),
+      (2L, "x y z k l m n", "B"),
+      // C shares nothing 3-gram-long with anyone
+      (3L, "u v w u v", "C"),
+      // D is a strict subset mirror of B's grams
+      (4L, "x y z k l", "D")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.crossSourceNgramOverlap(docs, n = 3).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // A: grams {xyz,yzp,zpq,pqr, mmx,mxy,xyz(dup)} → 6 distinct
+    // B: {xyz,yzk,zkl,klm,lmn} → 5; D: {xyz,yzk,zkl} → 3
+    assert(r(("A", "B")).getLong(2) === 1L) // only "x y z"
+    assert(r(("A", "B")).getLong(3) === 6L && r(("A", "B")).getLong(4) === 5L)
+    assert(r(("A", "B")).getLong(5) === 1000000L / 5L) // ppm vs min side
+    assert(r(("B", "D")).getLong(2) === 3L) // D fully contained in B
+    assert(r(("B", "D")).getLong(5) === 1000000L) // containment = 100%
+    assert(!r.contains(("A", "C")) && !r.contains(("B", "C")))
+    assert(r.keys.forall { case (a, b) => a < b }, "matrix is upper-triangular")
+  }
 }

@@ -45,6 +45,35 @@ class RelationalLawsSpec extends AnyFunSuite {
     assert(r(6L) === ((1L, 1L, 1L, 20L)))
   }
 
+  test("rollingMadAnomalies: hand-computed medians/MADs; spike flags, level shift absorbs") {
+    // user 1: steady 100s, one 10x spike at t=5, steady after — the
+    // spike flags (|1000-100| > 5*0), wait: MAD=0 guard... plant
+    // non-constant history so MAD>0: values alternate 100/102.
+    val base = (1L to 9L).map(i =>
+      (1L, i, i * 10L, if (i % 2 == 0) 102L else 100L))
+    val rows = (base :+ ((1L, 10L, 100L, 1000L)))
+      .toDF("user_id", "event_id", "us", "v_c")
+    val r = Relational.rollingMadAnomalies(rows, window = 20, k = 5)
+      .collect().map(x => x.getLong(1) -> x).toMap
+    // at event 10: frame = 5x100, 4x102, 1000 sorted → median = 100
+    // (lower median of 10 = 5th), deviations sorted: 0,0,0,0,0,2,2,2,2,900
+    // → MAD = 0 at the 5th... recompute: (10+1)/2 = 5 → dev[5] = 0.
+    // MAD=0 guard suppresses — document the guard in the assertion.
+    assert(r(10L).getLong(3) === 100L && r(10L).getLong(4) === 0L)
+    assert(!r(10L).getBoolean(5), "MAD=0 frames never flag by design")
+    // make MAD positive: window=4 → frame at event 10 = last 5 values
+    // {102,100,102,100,1000}... sorted {100,100,102,102,1000}: med=102,
+    // devs {0,0,2,2,898} sorted → mad=2; |1000-102|=898 > 10 → flags
+    val r4 = Relational.rollingMadAnomalies(rows, window = 4, k = 5)
+      .collect().map(x => x.getLong(1) -> x).toMap
+    assert(r4(10L).getLong(3) === 102L && r4(10L).getLong(4) === 2L)
+    assert(r4(10L).getBoolean(5), "the spike must flag against live MAD")
+    // steady rows never flag
+    assert((1L to 9L).forall(i => !r4(i).getBoolean(5)))
+    // singleton frame: median = the value itself, MAD 0, no flag
+    assert(r4(1L).getLong(3) === 100L && !r4(1L).getBoolean(5))
+  }
+
   test("eventPatternMatches: order ties break by event_id, deterministically") {
     // same timestamp everywhere: event_id alone defines the stream.
     // v c p in event_id order = one match even with equal us.
