@@ -879,6 +879,8 @@ object StressBench {
     // r9 new-op probes (C75/A75/C76/A76) — section shared with the
     // standalone `graft.StressBenchNew` main for a faster loop.
     StressBenchNew.run(spark, n)
+    // r9 late-batch probes (A78/C79/B62/B63/C81).
+    StressBenchNew2.run(spark, n)
 
     spark.stop()
   }

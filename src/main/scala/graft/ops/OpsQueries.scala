@@ -1129,6 +1129,47 @@ object OpsQueries {
       |  CAST(len(string_split(m, ' ')) AS BIGINT) AS n_tokens
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  // C82: the multi-round BPE trainer — SIX chained count→argmax→merge
+  // rounds (TextAnalysis.bpeTrain doc); the exported artifact is the
+  // merge table itself. The oracle replays all six rounds as chained
+  // CTEs — pair counts over the current corpus, the same (cnt DESC,
+  // a, b) winner, the same double-space greedy rewrite — so a drift
+  // in ANY round's counts, tie-break, or merge semantics cascades
+  // into every later round and breaks the hash.
+  def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val merges = TextAnalysis.bpeTrain(T.documents(s, d), rounds = 6)
+    import s.implicits._
+    merges.toDF("round", "a", "b", "cnt").orderBy("round")
+  }
+
+  /** One DuckDB BPE round: pair counts over t{k−1} (t0 = documents),
+    * deterministic winner w$k, rewritten corpus t$k. Mirrors
+    * `TextAnalysis.bpeTrain`'s loop body term for term.
+    */
+  private def oBpeRound(k: Int): String = {
+    val prev = if (k == 1) "documents" else s"t${k - 1}"
+    s"""p$k AS (
+       |  SELECT ts[i] AS a, ts[i + 1] AS b
+       |  FROM (SELECT string_split(text, ' ') AS ts FROM $prev) tk$k,
+       |    LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+       |w$k AS (SELECT a, b, cnt FROM (
+       |  SELECT a, b, count(*) AS cnt FROM p$k GROUP BY a, b
+       |  ORDER BY cnt DESC, a, b LIMIT 1)),
+       |t$k AS (
+       |  SELECT doc_id, trim(regexp_replace(
+       |    replace(' ' || replace(text, ' ', '  ') || ' ',
+       |      ' ' || (SELECT a FROM w$k) || '  ' || (SELECT b FROM w$k) || ' ',
+       |      ' ' || (SELECT a FROM w$k) || '+' || (SELECT b FROM w$k) || ' '),
+       |    ' +', ' ', 'g')) AS text
+       |  FROM $prev)""".stripMargin
+  }
+
+  private val oTextBpeTrain =
+    s"""WITH ${(1 to 6).map(oBpeRound).mkString(",\n")}
+       |${(1 to 6).map(k =>
+          s"SELECT $k AS round, a, b, cnt FROM w$k").mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
   // C44: canonical text normalization. The fixture corpus is pure
   // ASCII (NFC would be vacuous), so the gate first INJECTS the mess
   // normalization exists to clean — decomposed accents (a + U+0301) on
@@ -3358,6 +3399,7 @@ object OpsQueries {
     QueryDef("text_vocab_oov", textVocabOov, Some(oTextVocabOov)),
     QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
+    QueryDef("text_bpe_train", textBpeTrain, Some(oTextBpeTrain)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),

@@ -548,6 +548,48 @@ object TextAnalysis {
     trim(regexp_replace(merged, " +", " "))
   }
 
+  /** Multi-round BPE training (SURVEY.md §2 C82 — the actual
+    * tokenizer-training loop over C43's single round): `rounds`
+    * iterations of count-adjacent-pairs → argmax (cnt DESC, a, b —
+    * deterministic tie-break) → greedy non-overlapping merge-apply,
+    * returning the MERGE TABLE [(round, a, b, cnt)] — the artifact a
+    * tokenizer trainer actually ships. The merge table is vocab-sized
+    * DRIVER state by design (one 1-row collect per round, like C23's
+    * k-means centroids); the distributed work per round is exactly
+    * C43's shapes — one pair explode ∝ corpus tokens into a hash agg
+    * ∝ distinct pairs, then one codegen'd map rewrite — and the
+    * corpus is localCheckpoint'ed each round so the K-deep rewrite
+    * lineage never re-executes (cluster form: reliable checkpoint).
+    * Total cost = K corpus passes, the textbook BPE price; stops
+    * early when no adjacent pair remains.
+    *
+    * Invariant the laws pin: each round's merge removes one token
+    * per GREEDY NON-OVERLAPPING occurrence — equal to `cnt` for
+    * pairs with a ≠ b, strictly less on self-adjacent runs (the
+    * statistic counts "x x x" as two (x,x) pairs, the rewrite fuses
+    * one — the standard BPE count/apply asymmetry).
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = docs.select(col("doc_id"), col("text"))
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val top = bpePairStats(cur, 1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top.head
+        out += ((k, r.getString(0), r.getString(1), r.getLong(2)))
+        cur = cur.withColumn("text",
+          applyBpeMerge(col("text"), r.getString(0), r.getString(1)))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    out.result()
+  }
+
   /** Per-document salient terms (C47) — the tf-idf keyword pass: each
     * doc's top-k tokens by term frequency penalized by corpus
     * document frequency. The score here is the integer-exact variant

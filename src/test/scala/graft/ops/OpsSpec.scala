@@ -956,4 +956,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!r.contains(("A", "C")) && !r.contains(("B", "C")))
     assert(r.keys.forall { case (a, b) => a < b }, "matrix is upper-triangular")
   }
+
+  test("bpeTrain: hand-traced rounds, greedy non-overlap, count/apply asymmetry") {
+    // round 1: the STATISTIC counts overlapping pairs — "x x x x" has
+    // three (x,x) pairs + one in doc 1 → cnt 4; the greedy rewrite
+    // fuses only the two non-overlapping occurrences in doc 0 + one
+    // in doc 1 (the standard BPE count/apply asymmetry).
+    val docs = Seq(
+      (0L, "x x x x y"),
+      (1L, "x x y z")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 2)
+    assert(merges.head === ((1, "x", "x", 4L)))
+    // after round 1: "x+x x+x y" / "x+x y z" — pairs: (x+x,x+x):1,
+    // (x+x,y):2, (y,z):1 → round-2 winner (x+x, y) cnt 2
+    assert(merges(1) === ((2, "x+x", "y", 2L)))
+    // conservation: round 1 (self-pair, one triple+ run) removes 3
+    // tokens (< cnt 4); round 2 (a ≠ b) removes exactly cnt = 2
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(size(TextAnalysis.tokens(col("text"))))).head().getLong(0)
+    assert(total(docs) === 9L)
+    val after1 = docs.withColumn("text",
+      TextAnalysis.applyBpeMerge(col("text"), "x", "x"))
+    assert(total(after1) === 6L, "greedy self-pair merge removes 3, not cnt=4")
+    val after2 = after1.withColumn("text",
+      TextAnalysis.applyBpeMerge(col("text"), "x+x", "y"))
+    assert(total(after2) === 4L, "a != b merge removes exactly cnt")
+    // early stop: a corpus with no adjacent pairs trains zero rounds
+    val singles = Seq((0L, "x"), (1L, "y")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(singles, rounds = 3).isEmpty)
+  }
 }
