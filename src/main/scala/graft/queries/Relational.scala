@@ -1991,9 +1991,100 @@ object Relational {
       |  (abs(v_c - med_c) > 5 * mad_c AND mad_c > 0) AS is_anomaly
       |FROM d ORDER BY event_id""".stripMargin
 
+  // B64 (r9): A/B experiment analysis — the experimentation readout
+  // every product warehouse serves: deterministic variant assignment
+  // (the engine-portable ppm id bucket with the LARGE multiplier —
+  // the 1e6-scale multiplier fails to equidistribute sequential ids,
+  // see C34's note), per-variant exposure/conversion counts
+  // (conversion = a purchase strictly after the user's FIRST view —
+  // exposure-gated, B60's peel-off shape), and the 2×2 chi-square
+  // statistic kept EXACT: χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is a
+  // ratio of count products, so chi2_milli is computed as
+  // q·1000 + (r·1000) DIV den with (q, r) = divmod(num, den) — pure
+  // BIGINT at any realistic cell size, no float variance formula.
+  // Scale shape: one per-user min-agg + one distinct semi-side (both
+  // shuffle ∝ users), then a single 1-row global agg; the statistic
+  // is driver-sized arithmetic ON that row.
+  def qExperimentAb(s: SparkSession, d: String): DataFrame =
+    experimentAb(T.events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("us")))
+
+  /** B64 core over a (user_id, event_type, us) stream — separated so
+    * laws can plant exact 2×2 tables. See [[qExperimentAb]].
+    */
+  def experimentAb(ev: DataFrame): DataFrame = {
+    val exposed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(exposed, "user_id").filter(col("us") > col("t0"))
+      .select("user_id").distinct().withColumn("cv", lit(1L))
+    exposed.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("cv"), lit(0L)).as("converted"))
+      .withColumn("va",
+        expr("(user_id * 554862419L) % 1000000 < 500000"))
+      .agg(
+        sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("va"), col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("va"), col("converted")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * 1000000L DIV n_a").as("rate_a_ppm"),
+        expr("conv_b * 1000000L DIV n_b").as("rate_b_ppm"),
+        expr("conv_a * 1000000L DIV n_a - conv_b * 1000000L DIV n_b")
+          .as("diff_ppm"),
+        expr("""(n_a + n_b) * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                DIV greatest(n_a * n_b * (conv_a + conv_b)
+                             * (n_a - conv_a + n_b - conv_b), 1L) * 1000L
+              + ((n_a + n_b) * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                 * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                 % greatest(n_a * n_b * (conv_a + conv_b)
+                            * (n_a - conv_a + n_b - conv_b), 1L)) * 1000L
+                DIV greatest(n_a * n_b * (conv_a + conv_b)
+                             * (n_a - conv_a + n_b - conv_b), 1L)""")
+          .as("chi2_milli"))
+  }
+
+  private val oExperimentAb =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |exposed AS (
+      |  SELECT user_id, min(us) AS t0 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |conv AS (
+      |  SELECT DISTINCT e.user_id FROM ev e JOIN exposed x USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us > x.t0),
+      |base AS (
+      |  SELECT x.user_id,
+      |    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted,
+      |    (x.user_id * 554862419) % 1000000 < 500000 AS va
+      |  FROM exposed x LEFT JOIN conv c ON x.user_id = c.user_id),
+      |agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN va THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT va THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM base),
+      |m AS (
+      |  SELECT *,
+      |    (n_a + n_b) AS nn,
+      |    (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b) AS det,
+      |    greatest(n_a * n_b * (conv_a + conv_b)
+      |             * (n_a - conv_a + n_b - conv_b), 1) AS den
+      |  FROM agg)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  conv_a * 1000000 // n_a AS rate_a_ppm,
+      |  conv_b * 1000000 // n_b AS rate_b_ppm,
+      |  conv_a * 1000000 // n_a - conv_b * 1000000 // n_b AS diff_ppm,
+      |  (nn * det * det // den) * 1000
+      |    + ((nn * det * det % den) * 1000) // den AS chi2_milli
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
     QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
+    QueryDef("q_experiment_ab", qExperimentAb, Some(oExperimentAb)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
     QueryDef("q_funnel", qFunnel, Some(oFunnel)),
     QueryDef("q_retention", qRetention, Some(oRetention)),

@@ -74,6 +74,39 @@ class RelationalLawsSpec extends AnyFunSuite {
     assert(r4(1L).getLong(3) === 100L && !r4(1L).getBoolean(5))
   }
 
+  test("experimentAb: exposure gating, deterministic variants, hand-checked chi-square") {
+    // pick user ids whose variant we derive with the same formula the
+    // operator uses, then plant conversions to a known 2x2 table
+    def variantA(u: Long): Boolean = (u * 554862419L) % 1000000L < 500000L
+    val users = (1L to 40L)
+    val as = users.filter(variantA)
+    val bs = users.filterNot(variantA)
+    assert(as.nonEmpty && bs.nonEmpty, "both variants must be populated")
+    // all users exposed (view at t=10); conversions: every A user,
+    // no B user. One B user purchases BEFORE the view (must not count)
+    // and one unexposed user purchases (must be excluded entirely).
+    val rows =
+      users.map(u => (u, "view", 10L)) ++
+        as.map(u => (u, "purchase", 20L)) ++
+        Seq((bs.head, "purchase", 5L), (999L, "purchase", 30L))
+    val r = Relational.experimentAb(
+      rows.toDF("user_id", "event_type", "us")).collect()(0)
+    val (na, ca, nb, cb) = (as.size.toLong, as.size.toLong, bs.size.toLong, 0L)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((na, ca, nb, cb)))
+    assert(r.getLong(4) === 1000000L && r.getLong(5) === 0L)
+    assert(r.getLong(6) === 1000000L)
+    // chi2 for the fully-separated table: N*(ad-bc)^2/(n_a*n_b*(a+c)*(b+d))
+    val nn = na + nb
+    val det = ca * (nb - cb) - (na - ca) * cb
+    val den = math.max(na * nb * (ca + cb) * (na - ca + nb - cb), 1L)
+    val expected = (nn * det * det / den) * 1000L +
+      ((nn * det * det % den) * 1000L) / den
+    assert(r.getLong(7) === expected)
+    // perfectly separated 2x2 has chi2 = N exactly: sanity anchor
+    assert(expected === nn * 1000L)
+  }
+
   test("eventPatternMatches: order ties break by event_id, deterministically") {
     // same timestamp everywhere: event_id alone defines the stream.
     // v c p in event_id order = one match even with equal us.
