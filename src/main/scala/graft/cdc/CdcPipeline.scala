@@ -1819,7 +1819,10 @@ object CdcPipeline {
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.sortCols),
       symlinkManifest = p.get("graft.maintain.symlinkManifest")
-        .map(_.toBoolean).getOrElse(base.symlinkManifest))
+        .map(_.toBoolean).getOrElse(base.symlinkManifest),
+      ttlColumn = p.get("graft.ttl.column").orElse(base.ttlColumn),
+      ttlMaxAgeUs = p.get("graft.ttl.maxAgeUs").map(_.toLong)
+        .orElse(base.ttlMaxAgeUs))
   }
 
   /** [[maintain]] with the policy resolved from table properties —
@@ -2328,7 +2331,26 @@ object CdcPipeline {
         * vacuum outruns it, which `keepVersions` ≥ 2 prevents within
         * one pass).
         */
-      symlinkManifest: Boolean = false)
+      symlinkManifest: Boolean = false,
+      /** Row-level TTL (A79 — the data-retention policy BigTable/HBase
+        * serve natively and lakehouses run as scheduled DELETEs):
+        * drop rows whose `ttlColumn` (a BIGINT epoch-µs column) is
+        * older than `ttlMaxAgeUs` at pass time. Trigger gating is
+        * FREE when the column carries manifest stats (A36): the pass
+        * runs the delete only if some bucket's recorded minimum
+        * predates the cutoff — a store with nothing expired skips
+        * with zero Spark jobs; stat-less buckets check conservatively
+        * (one column-pruned scan, which is what the delete pays
+        * anyway). The delete itself is A41's copy-on-write path —
+        * rewrites ∝ buckets holding expired rows.
+        */
+      ttlColumn: Option[String] = None,
+      ttlMaxAgeUs: Option[Long] = None,
+      /** Pass-time "now" for the TTL cutoff — injectable so tests and
+        * replayed maintenance windows are deterministic; None = wall
+        * clock.
+        */
+      ttlNowUs: Option[Long] = None)
 
   /** What [[maintain]] actually did. A fully-idle store yields the
     * all-empty report — calling maintain in a loop is free.
@@ -2341,13 +2363,20 @@ object CdcPipeline {
       /** Files exported to the symlink manifest this pass (None =
         * auto-manifest off, or the state was not exportable).
         */
-      manifestFiles: Option[Int] = None)
+      manifestFiles: Option[Int] = None,
+      /** (version, rows) of the TTL delete this pass (None = TTL off
+        * or the stats pre-check proved nothing expired).
+        */
+      ttlDeleted: Option[(Long, Long)] = None)
 
   /** One-call maintenance driver (A64 — the scheduler slot every
     * lakehouse grows: Delta's auto-compaction + log retention,
     * Iceberg's maintenance actions — composed from the store's own
     * gated primitives, in the order that avoids wasted work):
     *
+    *  0. TTL-delete rows past `ttlColumn`/`ttlMaxAgeUs` (A79 —
+    *     manifest-stats trigger, free when nothing expired; rows
+    *     dropped here never pay the passes below),
     *  1. fold the deletion vector when it crosses `dvFoldPct` of the
     *     table (A56 — footer stats, free check; folding first so the
     *     small-file pass sees the folded layout),
@@ -2370,6 +2399,29 @@ object CdcPipeline {
       policy: MaintenancePolicy = MaintenancePolicy()): Option[MaintenanceReport] =
     currentVersion(targetDir).map { _ =>
       withWriterLease(targetDir) {
+        // TTL delete FIRST (A79): rows dropped here never pay the
+        // fold/compaction work below. The trigger is a manifest-stats
+        // walk — free — and conservative where stats are unknown.
+        val ttlDeleted = (policy.ttlColumn, policy.ttlMaxAgeUs) match {
+          case (Some(c), Some(age)) =>
+            val now = policy.ttlNowUs
+              .getOrElse(System.currentTimeMillis() * 1000L)
+            val cutoff = now - age
+            val maybeExpired =
+              currentVersion(targetDir).flatMap(manifest(targetDir, _))
+                .forall(m => m.buckets.keys.exists { b =>
+                  m.stats.get(b).flatMap(_.get(c)) match {
+                    case Some((lo, _)) =>
+                      scala.util.Try(BigDecimal(lo)).toOption
+                        .forall(_ < BigDecimal(cutoff))
+                    case None => true // unknown stats: must check
+                  }
+                })
+            if (!maybeExpired) None
+            else deleteWhere(spark, targetDir, pkCols, col(c) < lit(cutoff))
+              .filter(_._2 > 0L)
+          case _ => None
+        }
         val folded = policy.dvFoldPct.flatMap { pct =>
           dvStats(targetDir).flatMap { case (dvRows, tableRows) =>
             if (tableRows > 0 && dvRows * 100 >= pct.toLong * tableRows)
@@ -2435,7 +2487,7 @@ object CdcPipeline {
             .filter(m => !m.meta.contains("dv") && columnDefaults(m).isEmpty)
             .flatMap(_ => generateSymlinkManifest(targetDir).map(_.size))
         MaintenanceReport(folded, frag, optV, bloomRebuilt, expired, vacuumed,
-          manifestFiles)
+          manifestFiles, ttlDeleted)
       }
     }
 
