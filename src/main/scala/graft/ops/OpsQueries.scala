@@ -1170,6 +1170,40 @@ object OpsQueries {
           s"SELECT $k AS round, a, b, cnt FROM w$k").mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
 
+  // C83: sentence segmentation. The fixture corpus has NO punctuation
+  // (C44's situation again), so the gate INJECTS terminators
+  // deterministically on both engines — every 7th token gets '.',
+  // every 11th (non-7th) '!' — then segments; docs land at 1..7
+  // sentences each with real multi-terminator boundaries, so the
+  // split rule, ordinality, and per-sentence token counts are all
+  // pinned on non-degenerate decisions.
+  def textSentences(s: SparkSession, d: String): DataFrame = {
+    val injected = T.documents(s, d).select(col("doc_id"),
+      trim(array_join(transform(TextAnalysis.tokens(col("text")),
+        (w, i) => concat(w, when((i + 1) % 7 === 0, lit(". "))
+          .when((i + 1) % 11 === 0, lit("! ")).otherwise(lit(" ")))),
+        "")).as("text"))
+    TextAnalysis.segmentSentences(injected).orderBy("doc_id", "sent_idx")
+  }
+
+  private val oTextSentences =
+    """WITH t AS (
+      |  SELECT doc_id, trim(list_aggregate(list_transform(
+      |    string_split(text, ' '),
+      |    (x, i) -> x || CASE WHEN i % 7 = 0 THEN '. '
+      |                        WHEN i % 11 = 0 THEN '! '
+      |                        ELSE ' ' END), 'string_agg', '')) AS text
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+      |    x -> x <> '') AS arr
+      |  FROM t)
+      |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, arr[i] AS sentence,
+      |  CAST(len(string_split(arr[i], ' ')) AS BIGINT) AS n_tokens
+      |FROM s, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+      |ORDER BY doc_id, sent_idx""".stripMargin
+
   // C44: canonical text normalization. The fixture corpus is pure
   // ASCII (NFC would be vacuous), so the gate first INJECTS the mess
   // normalization exists to clean — decomposed accents (a + U+0301) on
@@ -3400,6 +3434,7 @@ object OpsQueries {
     QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
     QueryDef("text_bpe_train", textBpeTrain, Some(oTextBpeTrain)),
+    QueryDef("text_sentences", textSentences, Some(oTextSentences)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),

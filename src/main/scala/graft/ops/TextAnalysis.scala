@@ -548,6 +548,28 @@ object TextAnalysis {
     trim(regexp_replace(merged, " +", " "))
   }
 
+  /** Sentence segmentation (SURVEY.md §2 C83 — the pre-pass under
+    * sentence-level dedup, chunk-boundary snapping, and per-sentence
+    * quality scoring; C72's chunker cuts at TOKEN offsets, this cuts
+    * at linguistic boundaries): a sentence is a maximal run of
+    * non-terminator characters plus its trailing `[.!?]+` run —
+    * expressed as ONE `regexp_extract_all(text, '[^.!?]+[.!?]*')`
+    * (RE2-safe: no lookbehind, so the same pattern runs on every
+    * engine), trimmed, empties dropped, exploded WITH ORDINALITY so
+    * each sentence keeps its 0-based position. A terminator-free
+    * document is one sentence — the honest fallback.
+    *
+    * Scale shape: per-row regexp + shuffle-free row expansion ∝
+    * output sentences (posexplode), all codegen'd.
+    */
+  def segmentSentences(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.select(col("doc_id"), posexplode(filter(
+        transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+          s => trim(s)),
+        s => s =!= "")).as(Seq("sent_idx", "sentence")))
+      .select(col("doc_id"), col("sent_idx").cast("long"), col("sentence"),
+        size(tokens(col("sentence"))).cast("long").as("n_tokens"))
+
   /** Multi-round BPE training (SURVEY.md §2 C82 — the actual
     * tokenizer-training loop over C43's single round): `rounds`
     * iterations of count-adjacent-pairs → argmax (cnt DESC, a, b —

@@ -986,4 +986,28 @@ class OpsSpec extends AnyFunSuite {
     val singles = Seq((0L, "x"), (1L, "y")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeTrain(singles, rounds = 3).isEmpty)
   }
+
+  test("segmentSentences: boundaries, ordinality, terminator runs, honest fallbacks") {
+    val docs = Seq(
+      (0L, "One two. Three four! Five"),
+      (1L, "no terminators at all"),
+      (2L, "Really?! Yes... ok."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.segmentSentences(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getString(2), x.getLong(3))))
+      .toMap
+    assert(r((0L, 0L)) === (("One two.", 2L)))
+    assert(r((0L, 1L)) === (("Three four!", 2L)))
+    assert(r((0L, 2L)) === (("Five", 1L)))
+    // a terminator-free doc is ONE sentence
+    assert(r((1L, 0L)) === (("no terminators at all", 4L)))
+    assert(!r.contains((1L, 1L)))
+    // multi-terminator runs stay attached to their sentence
+    assert(r((2L, 0L)) === (("Really?!", 1L)))
+    assert(r((2L, 1L)) === (("Yes...", 1L)))
+    assert(r((2L, 2L)) === (("ok.", 1L)))
+    // empty text yields zero rows
+    assert(!r.keys.exists(_._1 === 3L))
+  }
 }
