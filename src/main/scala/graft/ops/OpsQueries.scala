@@ -647,6 +647,48 @@ object OpsQueries {
 
   private val oTextLangid = oTextLangidBody + "\nORDER BY doc_id"
 
+  // C84: language-ID confusion matrix — the EVAL surface over C8's
+  // predictor: the labeled corpus (`lang`) vs the prediction, one
+  // cell per (true, pred) pair with per-true-language recall ppm.
+  // Classifier ops without an eval readout can't be tuned; this is
+  // the readout, and at sf0.01 the matrix has real off-diagonal mass
+  // (stopword-based ID confuses short docs), so the hash pins
+  // misclassifications, not a trivial diagonal.
+  def evalLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = T.documents(s, d)
+      .select(col("lang").as("lang_true"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang_true").agg(sum("n").as("n_true"))
+    cells.join(broadcast(totals), "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"), col("n_true"),
+        expr("n * 1000000L DIV n_true").as("recall_ppm"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
+  private val oEvalLangidConfusion = {
+    val scores = TextAnalysis.Stopwords.map { case (l, _) =>
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains(${stopListSql(l)}, t))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.init.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT lang AS lang_true,
+       |  $scores
+       |FROM documents),
+       |p AS (SELECT lang_true,
+       |  CASE WHEN m = 0 THEN 'und' $pick ELSE '${langs.last}' END AS lang_pred
+       |  FROM (SELECT lang_true, s_${langs.mkString(", s_")}, $m AS m FROM s) t),
+       |c AS (SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |      FROM p GROUP BY 1, 2),
+       |tot AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS n_true
+       |        FROM c GROUP BY 1)
+       |SELECT c.lang_true, c.lang_pred, c.n, tot.n_true,
+       |  c.n * 1000000 // tot.n_true AS recall_ppm
+       |FROM c JOIN tot USING (lang_true)
+       |ORDER BY lang_true, lang_pred""".stripMargin
+  }
+
   // C15: per-language corpus statistics — the profile report a
   // training-data pipeline emits per snapshot (doc counts, token
   // volume, token median, longest doc). Integer/median-exact outputs.
@@ -3435,6 +3477,8 @@ object OpsQueries {
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
     QueryDef("text_bpe_train", textBpeTrain, Some(oTextBpeTrain)),
     QueryDef("text_sentences", textSentences, Some(oTextSentences)),
+    QueryDef("eval_langid_confusion", evalLangidConfusion,
+      Some(oEvalLangidConfusion)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),

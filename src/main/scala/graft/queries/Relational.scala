@@ -2081,10 +2081,57 @@ object Relational {
       |    + ((nn * det * det % den) * 1000) // den AS chi2_milli
       |FROM m""".stripMargin
 
+  // B65 (r9): period-over-period reporting — the week-over-week
+  // revenue delta every BI layer serves. Weekly revenue as exact
+  // integer cents (the established idiom), weeks as pure integer
+  // epoch-µs DIV week (no calendar functions in the contract), the
+  // delta as lag + ppm with truncation toward zero on BOTH engines
+  // (verified: DuckDB `//` and Spark DIV agree on negatives). The
+  // lag window is GLOBAL but post-aggregation — |weeks| rows, the
+  // declared driver-sized report state, never per-order.
+  def qPeriodOverPeriod(s: SparkSession, d: String): DataFrame =
+    wowDeltas(T.orders(s, d)
+      .select(expr(
+        // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC, so
+        // the cast matches DuckDB's epoch_us over the naive timestamp
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000")
+        .as("week"),
+        col("o_totalprice"))
+      .groupBy("week")
+      .agg(expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("rev_c"),
+        count(lit(1)).as("n_orders")))
+      .orderBy("week")
+
+  /** B65 core over a (week, rev_c, n_orders) relation — separated so
+    * laws can plant exact deltas. See [[qPeriodOverPeriod]].
+    */
+  def wowDeltas(weekly: DataFrame): DataFrame =
+    weekly.withColumn("prev_rev_c",
+        lag("rev_c", 1).over(Window.orderBy("week")))
+      .withColumn("wow_ppm", expr(
+        """CASE WHEN prev_rev_c IS NULL OR prev_rev_c = 0 THEN NULL
+          |ELSE (rev_c - prev_rev_c) * 1000000L DIV prev_rev_c END"""
+          .stripMargin))
+
+  private val oPeriodOverPeriod =
+    """WITH wk AS (
+      |  SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT week, rev_c, n_orders,
+      |  lag(rev_c) OVER (ORDER BY week) AS prev_rev_c,
+      |  CASE WHEN lag(rev_c) OVER (ORDER BY week) IS NULL
+      |         OR lag(rev_c) OVER (ORDER BY week) = 0 THEN NULL
+      |    ELSE (rev_c - lag(rev_c) OVER (ORDER BY week)) * 1000000
+      |         // lag(rev_c) OVER (ORDER BY week) END AS wow_ppm
+      |FROM wk ORDER BY week""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
     QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
     QueryDef("q_experiment_ab", qExperimentAb, Some(oExperimentAb)),
+    QueryDef("q_period_over_period", qPeriodOverPeriod, Some(oPeriodOverPeriod)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
     QueryDef("q_funnel", qFunnel, Some(oFunnel)),
     QueryDef("q_retention", qRetention, Some(oRetention)),

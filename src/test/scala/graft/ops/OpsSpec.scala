@@ -1010,4 +1010,28 @@ class OpsSpec extends AnyFunSuite {
     // empty text yields zero rows
     assert(!r.keys.exists(_._1 === 3L))
   }
+
+  test("langid confusion: planted misclassifications land in the right cells") {
+    // labeled en but written with German stopwords → (en, de) cell;
+    // labeled de classified correctly; no-stopword doc → (fr, und)
+    val docs = Seq(
+      (0L, "der hund und die katze ist nicht hier", "en"),
+      (1L, "der das und ist nicht gut", "de"),
+      (2L, "the cat and the dog is in a house", "en"),
+      (3L, "xyz qqq zzz", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val cells = docs.select(col("lang").as("lang_true"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_true", "lang_pred").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells(("en", "de")) === 1L)
+    assert(cells(("en", "en")) === 1L)
+    assert(cells(("de", "de")) === 1L)
+    assert(cells(("fr", "und")) === 1L)
+    // the corpus-level gate has real off-diagonal mass: sanity check
+    val corpus = T.documents(spark, sf).select(col("lang"),
+      TextAnalysis.langId(col("text")).as("p"))
+    assert(corpus.filter(col("lang") =!= col("p")).count() > 0)
+    assert(corpus.filter(col("lang") === col("p")).count() > 0)
+  }
 }

@@ -107,6 +107,21 @@ class RelationalLawsSpec extends AnyFunSuite {
     assert(expected === nn * 1000L)
   }
 
+  test("wowDeltas: ppm arithmetic incl. negative truncation; first week NULL; zero guard") {
+    val weekly = Seq(
+      (1L, 100L, 5L), (2L, 300L, 7L), (3L, 100L, 2L), (4L, 0L, 0L), (5L, 50L, 1L)
+    ).toDF("week", "rev_c", "n_orders")
+    val r = Relational.wowDeltas(weekly).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).isNullAt(4), "first period has no prior")
+    assert(r(2L).getLong(4) === 2000000L) // +200%
+    // -200/300: truncation toward zero gives -666666 (floor would be
+    // -666667) — THE case that distinguishes the two engines' DIV
+    assert(r(3L).getLong(4) === -666666L)
+    assert(r(4L).getLong(4) === -1000000L)
+    assert(r(5L).isNullAt(4), "division by a zero prior is NULL, not an error")
+  }
+
   test("eventPatternMatches: order ties break by event_id, deterministically") {
     // same timestamp everywhere: event_id alone defines the stream.
     // v c p in event_id order = one match even with equal us.
