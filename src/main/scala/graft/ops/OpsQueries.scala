@@ -1802,6 +1802,68 @@ object OpsQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
       |WHERE len(toks) > 12 ORDER BY doc_id""".stripMargin
 
+  // C85: SFT loss-mask offsets — what the training loader actually
+  // consumes next to C61's rendered pair: the exact CHARACTER span of
+  // the response inside the rendered template (prompt-loss masking),
+  // token counts per side, and the mask fraction in ppm. The gate is
+  // SELF-VERIFYING: `offsets_valid` re-slices the rendered string at
+  // the claimed offsets and compares to the response — a drifted
+  // template length or an off-by-one makes the exported boolean (and
+  // the oracle's identical re-derivation) flip. Pure per-row codegen
+  // arithmetic over lengths; zero shuffle.
+  def sftLossMask(s: SparkSession, d: String): DataFrame = {
+    val base = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 12)
+      .select(col("doc_id"),
+        expr("array_join(slice(toks, 1, 12), ' ')").as("instr"),
+        expr("array_join(slice(toks, 13, 48), ' ')").as("resp"))
+    val prompt = concat(lit("<|user|>\n"), col("instr"),
+      lit("\n<|assistant|>\n"))
+    val rendered = concat(prompt, col("resp"), lit("<|end|>"))
+    base.select(col("doc_id"),
+        length(prompt).cast("long").as("resp_start"),
+        length(col("resp")).cast("long").as("resp_len"),
+        length(rendered).cast("long").as("total_len"),
+        expr("CAST(length(resp) AS BIGINT) * 1000000L").as("_num"),
+        rendered.as("_r"), col("resp").as("_resp"))
+      .select(col("doc_id"), col("resp_start"), col("resp_len"),
+        col("total_len"),
+        expr("_num DIV total_len").as("mask_ppm"),
+        (expr("substring(_r, CAST(resp_start + 1 AS INT), CAST(resp_len AS INT))")
+          === col("_resp")).as("offsets_valid"),
+        md5(col("_r")).as("rendered_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val oSftLossMask =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    array_to_string(toks[1:12], ' ') AS instr,
+      |    array_to_string(toks[13:60], ' ') AS resp
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+      |  WHERE len(toks) > 12),
+      |r AS (
+      |  SELECT doc_id,
+      |    '<|user|>' || chr(10) || instr || chr(10) || '<|assistant|>'
+      |      || chr(10) AS prompt,
+      |    resp
+      |  FROM base),
+      |m AS (
+      |  SELECT doc_id, resp,
+      |    CAST(length(prompt) AS BIGINT) AS resp_start,
+      |    CAST(length(resp) AS BIGINT) AS resp_len,
+      |    prompt || resp || '<|end|>' AS rendered
+      |  FROM r)
+      |SELECT doc_id, resp_start, resp_len,
+      |  CAST(length(rendered) AS BIGINT) AS total_len,
+      |  resp_len * 1000000 // length(rendered) AS mask_ppm,
+      |  substr(rendered, (resp_start + 1)::INT, resp_len::INT) = resp
+      |    AS offsets_valid,
+      |  md5(rendered) AS rendered_md5
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // C59 (r8): corpus distribution drift — the "did the new crawl
   // shift the token distribution" report run before swapping a
   // training corpus: token shares (integer ppm) in corpus A (sources
@@ -3479,6 +3541,7 @@ object OpsQueries {
     QueryDef("text_sentences", textSentences, Some(oTextSentences)),
     QueryDef("eval_langid_confusion", evalLangidConfusion,
       Some(oEvalLangidConfusion)),
+    QueryDef("sft_loss_mask", sftLossMask, Some(oSftLossMask)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),

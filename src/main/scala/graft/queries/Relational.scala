@@ -2127,8 +2127,65 @@ object Relational {
       |         // lag(rev_c) OVER (ORDER BY week) END AS wow_ppm
       |FROM wk ORDER BY week""".stripMargin
 
+  // B66 (r9): click-path transition matrix — the first-order Markov
+  // model of user navigation (product analytics' "where do users go
+  // from X", the input to path-flow diagrams and next-step
+  // prediction): per user, consecutive event pairs within a 30-min
+  // session gap (lead over the per-user order — the same one-pass
+  // window shape as B25, composed with B14's gap rule), then ONE
+  // hash agg to the |types|² matrix with per-from-state totals
+  // broadcast back for integer-ppm transition probabilities. Rows
+  // whose successor is beyond the gap (or absent — last event per
+  // user) emit nothing.
+  def qPathTransitions(s: SparkSession, d: String): DataFrame =
+    pathTransitions(T.events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"), col("event_type")))
+
+  /** B66 core over a (user_id, event_id, us, event_type) stream —
+    * separated so laws can plant exact paths. See [[qPathTransitions]].
+    */
+  def pathTransitions(events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = events
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .filter(col("next_type").isNotNull &&
+        col("next_us") - col("us") <= gapUs)
+    val cells = ev.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("from_type").agg(sum("n").as("n_from"))
+    cells.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 1000000L DIV n_from").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val oPathTransitions =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts), event_id) AS next_type,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                             ORDER BY epoch_us(ts), event_id) AS next_us
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM ev
+      |  WHERE next_type IS NOT NULL AND next_us - us <= 1800000000
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |        FROM cells GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, t.n_from,
+      |  c.n * 1000000 // t.n_from AS p_ppm
+      |FROM cells c JOIN tot t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
+    QueryDef("q_path_transitions", qPathTransitions, Some(oPathTransitions)),
     QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
     QueryDef("q_experiment_ab", qExperimentAb, Some(oExperimentAb)),
     QueryDef("q_period_over_period", qPeriodOverPeriod, Some(oPeriodOverPeriod)),

@@ -1034,4 +1034,15 @@ class OpsSpec extends AnyFunSuite {
     assert(corpus.filter(col("lang") =!= col("p")).count() > 0)
     assert(corpus.filter(col("lang") === col("p")).count() > 0)
   }
+
+  test("sft_loss_mask: every exported offset re-slices to the response; spans cover the template") {
+    val r = OpsQueries.sftLossMask(spark, sf)
+    assert(r.filter(!col("offsets_valid")).count() === 0L,
+      "claimed offsets must re-slice to the exact response on every row")
+    // span arithmetic: resp_start + resp_len + len('<|end|>') = total
+    assert(r.filter(col("resp_start") + col("resp_len") + 7 =!= col("total_len"))
+      .count() === 0L)
+    // mask fraction strictly between 0 and 1 on every row
+    assert(r.filter(col("mask_ppm") <= 0 || col("mask_ppm") >= 1000000).count() === 0L)
+  }
 }

@@ -122,6 +122,26 @@ class RelationalLawsSpec extends AnyFunSuite {
     assert(r(5L).isNullAt(4), "division by a zero prior is NULL, not an error")
   }
 
+  test("pathTransitions: gap rule, last-event emits nothing, per-from ppm") {
+    val events = Seq(
+      // user 1: a→b (in gap), b→c (in gap), c is last
+      (1L, 1L, 0L, "a"), (1L, 2L, 100L, "b"), (1L, 3L, 200L, "c"),
+      // user 2: a→b but BEYOND the gap → no transition; b→b in gap
+      (2L, 1L, 0L, "a"), (2L, 2L, 5000L, "b"), (2L, 3L, 5100L, "b"),
+      // user 3: a→c (another a-transition, to pin the ppm denominator)
+      (3L, 1L, 0L, "a"), (3L, 2L, 50L, "c")
+    ).toDF("user_id", "event_id", "us", "event_type")
+    val r = Relational.pathTransitions(events, gapUs = 1000L).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(("a", "b")) === ((1L, 2L, 500000L)))
+    assert(r(("a", "c")) === ((1L, 2L, 500000L)))
+    // from-state 'b' totals 2 transitions ACROSS users (1 b→c, 1 b→b)
+    assert(r(("b", "c")) === ((1L, 2L, 500000L)))
+    assert(r(("b", "b")) === ((1L, 2L, 500000L)))
+    assert(r.size === 4, "out-of-gap and stream-final pairs emit nothing")
+  }
+
   test("eventPatternMatches: order ties break by event_id, deterministically") {
     // same timestamp everywhere: event_id alone defines the stream.
     // v c p in event_id order = one match even with equal us.
