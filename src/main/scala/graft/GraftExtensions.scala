@@ -650,6 +650,16 @@ object GraftExtensions {
           .map { case (n, (t, e)) => (n, t.simpleString, e) }.sorted
           .toDF("name", "type", "expression"))
       }),
+    // graft_files(path) → A80 per-file metadata listing (Iceberg's
+    // table$files): bucket, version ref, path, footer rows, bytes.
+    (FunctionIdentifier("graft_files"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_files"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_files path")
+        plan(graft.cdc.CdcPipeline.describeFiles(active, path)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no graft store at $path")))
+      }),
     // ---- A78 named refs: the tag/branch lifecycle in plain SQL ----
     // graft_refs(path) → every named ref, (kind, name, target).
     (FunctionIdentifier("graft_refs"),

@@ -2491,6 +2491,35 @@ object CdcPipeline {
       }
     }
 
+  /** Per-file metadata listing (A80 — Iceberg's `table$files`
+    * metadata table; the per-file granularity under A73's DESCRIBE
+    * DETAIL totals): one row per LIVE data file of the current
+    * snapshot — bucket, owning version ref (how many generations the
+    * file has been carried), absolute path, footer row count, bytes.
+    * The ops surface for small-file diagnosis ("which buckets
+    * fragment"), carry-age auditing, and external inventory. Driver
+    * metadata + parquet footers only, zero Spark jobs — the same
+    * honesty discipline as fastCount: counts come from footers, not
+    * a scan, and a deletion vector means footer rows OVERCOUNT live
+    * rows, so the listing refuses (fold first) rather than lie.
+    */
+  def describeFiles(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    for {
+      v <- currentVersion(targetDir)
+      m <- manifest(targetDir, v)
+    } yield {
+      import spark.implicits._
+      require(!m.meta.contains("dv"),
+        "describeFiles counts footer rows; a deletion vector is " +
+          "outstanding and live rows would overcount — fold it first " +
+          "(foldDv / maintain)")
+      m.buckets.toSeq.sortBy(_._1).flatMap { case (b, ref) =>
+        val root = if (ref.contains("/")) ref else s"$targetDir/$ref"
+        StoreFs.footerPerFile(s"$root/$BucketCol=$b")
+          .sortBy(_._1).map { case (f, r, by) => (b, ref, f, r, by) }
+      }.toDF("bucket", "version_ref", "file", "rows", "bytes")
+    }
+
   /** Schema history (A63 — the schema-evolution audit DESCRIBE
     * HISTORY doesn't give: WHAT changed shape, when): one row per
     * still-readable version × field, each tagged `added` /

@@ -249,6 +249,32 @@ private[graft] object StoreFs {
       (rows, bytes)
     }.toOption
 
+  /** Per-FILE (absolute path, footer row count, bytes) of every
+    * parquet file under `dir`, recursively — the per-file granularity
+    * under [[footerRowsBytes]]'s totals. Driver metadata I/O, zero
+    * Spark jobs; unreadable trees yield empty (callers degrade to an
+    * absent listing, never guess).
+    */
+  def footerPerFile(dir: String): Seq[(String, Long, Long)] =
+    scala.util.Try {
+      val p = new Path(dir)
+      val it = fs(p).listFiles(p, true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          var rows = 0L
+          try r.getFooter.getBlocks.forEach(b => rows += b.getRowCount)
+          finally r.close()
+          out += ((st.getPath.toString, rows, st.getLen))
+        }
+      }
+      out.result()
+    }.getOrElse(Seq.empty)
+
   def footerLongRange(dir: String, column: String): Option[(Long, Long)] =
     scala.util.Try {
       val p = new Path(dir)
