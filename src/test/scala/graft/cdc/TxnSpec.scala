@@ -113,7 +113,7 @@ class TxnSpec extends AnyFunSuite {
     // writer B races a predicate delete: first attempts lose the claim,
     // the retry after A's commit applies on top of A's state
     val b = scala.concurrent.Future {
-      CdcPipeline.retryOnConflict(maxRetries = 20, backoffMs = 100L) {
+      CdcPipeline.retryOnConflict(maxRetries = 60, backoffMs = 100L) {
         CdcPipeline.deleteWhere(spark, dir, Seq("id"), col("id") < 50L)
       }
     }(scala.concurrent.ExecutionContext.global)
@@ -124,7 +124,7 @@ class TxnSpec extends AnyFunSuite {
     Thread.sleep(300)
     CdcPipeline.completeStaged(dir, va, -1L)
     val Some((vb, nDel)) =
-      scala.concurrent.Await.result(b, scala.concurrent.duration.Duration("60s"))
+      scala.concurrent.Await.result(b, scala.concurrent.duration.Duration("240s"))
     assert(vb > va && nDel === 50L)
     // serial equivalence: B's delete ran against A's committed state
     val fin = CdcPipeline.readSnapshot(spark, dir).get
@@ -152,13 +152,13 @@ class TxnSpec extends AnyFunSuite {
     // stale-base refusal + retry. Any lost update leaves extra rows.
     val writers = (0 until 3).map { r =>
       Future {
-        CdcPipeline.retryOnConflict(maxRetries = 30, backoffMs = 150L) {
+        CdcPipeline.retryOnConflict(maxRetries = 100, backoffMs = 150L) {
           CdcPipeline.deleteWhere(spark, dir, Seq("id"),
             col("id") < 300L && col("id") % 3 === r.toLong)
         }
       }
     }
-    val results = writers.map(Await.result(_, Duration("120s")))
+    val results = writers.map(Await.result(_, Duration("300s")))
     assert(results.flatten.map(_._2).sum === 300L,
       s"each writer deletes its full class exactly once: $results")
     assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 600L)
