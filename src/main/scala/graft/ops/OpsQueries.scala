@@ -1864,6 +1864,33 @@ object OpsQueries {
       |  md5(rendered) AS rendered_md5
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // C86: k-anonymity audit — the privacy readout next to C17/C80's
+  // redaction: a document is re-identifiable not through explicit
+  // PII but through QUASI-IDENTIFIER combinations (language × source
+  // × length band here — the classic Sweeney result). k = how many
+  // corpus docs share a doc's QI tuple; k below threshold flags a
+  // release risk. ONE window count over the QI partition (a single
+  // shuffle keyed by the tuple, no join) — the same shape at any
+  // corpus size; the threshold verdict is a codegen'd comparison.
+  def privacyKAnon(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang", "source", "len_band")
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_band"))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("doc_id"), col("lang"), col("source"), col("len_band"),
+        col("k"), (col("k") < 5).as("risky"))
+      .orderBy("doc_id")
+  }
+
+  private val oPrivacyKAnon =
+    """SELECT doc_id, lang, source, n_chars // 100 AS len_band,
+      |  CAST(count(*) OVER (PARTITION BY lang, source, n_chars // 100)
+      |    AS BIGINT) AS k,
+      |  count(*) OVER (PARTITION BY lang, source, n_chars // 100) < 5
+      |    AS risky
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // C59 (r8): corpus distribution drift — the "did the new crawl
   // shift the token distribution" report run before swapping a
   // training corpus: token shares (integer ppm) in corpus A (sources
@@ -3542,6 +3569,7 @@ object OpsQueries {
     QueryDef("eval_langid_confusion", evalLangidConfusion,
       Some(oEvalLangidConfusion)),
     QueryDef("sft_loss_mask", sftLossMask, Some(oSftLossMask)),
+    QueryDef("privacy_k_anon", privacyKAnon, Some(oPrivacyKAnon)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),

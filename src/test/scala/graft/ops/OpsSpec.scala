@@ -1045,4 +1045,19 @@ class OpsSpec extends AnyFunSuite {
     // mask fraction strictly between 0 and 1 on every row
     assert(r.filter(col("mask_ppm") <= 0 || col("mask_ppm") >= 1000000).count() === 0L)
   }
+
+  test("privacy_k_anon: k counts the QI-tuple cohort; threshold flags exactly k < 5") {
+    val r = OpsQueries.privacyKAnon(spark, sf).cache()
+    // k is self-consistent: every (lang, source, band) group has
+    // exactly k rows all reporting that same k
+    val bad = r.groupBy("lang", "source", "len_band", "k")
+      .count().filter(col("count") =!= col("k")).count()
+    assert(bad === 0L, "each cohort's rows must all carry the cohort size")
+    assert(r.filter(col("risky") =!= (col("k") < 5)).count() === 0L)
+    // the synthetic corpus has both safe and risky docs — the verdict
+    // is exercised on both sides
+    assert(r.filter(col("risky")).count() > 0L)
+    assert(r.filter(!col("risky")).count() > 0L)
+    r.unpersist()
+  }
 }
