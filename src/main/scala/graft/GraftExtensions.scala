@@ -660,6 +660,21 @@ object GraftExtensions {
           .getOrElse(throw new IllegalArgumentException(
             s"no graft store at $path")))
       }),
+    // graft_create_like(path, destPath) → A81 schema-only clone: a
+    // NEW empty store carrying schema/buckets/constraints/virtual
+    // columns/properties, none of the data. Returns (version).
+    (FunctionIdentifier("graft_create_like"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_create_like"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_create_like path")
+        val dest = strLit(args(1), "graft_create_like destPath")
+        val v = graft.cdc.CdcPipeline.createLike(path, dest)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no graft store at $path"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
     // ---- A78 named refs: the tag/branch lifecycle in plain SQL ----
     // graft_refs(path) → every named ref, (kind, name, target).
     (FunctionIdentifier("graft_refs"),

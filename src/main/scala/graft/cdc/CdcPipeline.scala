@@ -2781,6 +2781,33 @@ object CdcPipeline {
     }
   }
 
+  /** CREATE TABLE LIKE (A81 — Delta's schema-only clone): a NEW empty
+    * store carrying the source's SHAPE — schema, bucket count, CHECK
+    * constraints, virtual generated columns, table properties — but
+    * none of its data, history, or pins. One manifest write; the
+    * first merge into it is an ordinary bootstrap-sized publish and
+    * is already constraint-gated by the carried declarations. NOT
+    * carried, by design: column DEFAULTS (their declaration-version
+    * semantics compare against data versions that don't exist here —
+    * same refusal reasoning as cloneSnapshot, but an empty table can
+    * simply drop them: there are no pre-declaration rows to read),
+    * bloom/dv sidecars (no data), and the identity high-water (a new
+    * table allocates from its seed). Refuses an existing dest.
+    */
+  def createLike(sourceDir: String, destDir: String): Option[Long] = {
+    require(!StoreFs.exists(s"$destDir/$VersionFile"),
+      s"createLike destination already holds a store: $destDir")
+    val v = currentVersion(sourceDir).getOrElse(return None)
+    manifest(sourceDir, v).map { m =>
+      writeManifest(destDir, 0, Manifest(m.numBuckets, m.schemaJson,
+        Map.empty, Map.empty,
+        commitMeta("create-like") + ("like_of" -> sourceDir) ++
+          carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m)))
+      swapPointer(destDir, 0, -1L)
+      0L
+    }
+  }
+
   /** Finish a STAGED publish (A55): point the table at `version` iff
     * it is still ahead of the pointer — idempotent (recovery replays
     * call it again) and regression-proof (a table that somehow moved

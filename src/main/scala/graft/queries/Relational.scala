@@ -2183,9 +2183,47 @@ object Relational {
       |FROM cells c JOIN tot t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // B67 (r9): equi-DEPTH histogram — the quantile-bucket summary B35's
+  // equi-width version can't give on skewed money data (uniform-width
+  // bins put 90% of orders in one bar). The textbook form is
+  // ntile(10) OVER (ORDER BY v) — a single-task global window at any
+  // scale. The scale-sound re-expression: decile BOUNDARIES from one
+  // percentile_disc aggregate (ANSI discrete percentile — "smallest
+  // value with cume_dist ≥ p", tie semantics verified identical in
+  // DuckDB's quantile_disc), broadcast back as a 1-row stats
+  // crossJoin (declared), bucket = codegen'd count of boundaries
+  // strictly below the value (boundary-equal values fall LOW —
+  // deterministic), then one hash agg. Money exact in integer cents.
+  def qEquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+    val bounds = o.agg(expr("array(" + (1 to 9).map(k =>
+      s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY c)").mkString(", ")
+      + ")").as("bs"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("c"), expr(
+        "aggregate(bs, 0, (acc, b) -> acc + CASE WHEN c > b THEN 1 ELSE 0 END)")
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("c").as("min_c"), max("c").as("max_c"),
+        sum("c").as("sum_c"))
+      .orderBy("bucket")
+  }
+
+  private val oEquidepthHist =
+    """WITH o AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |b AS (SELECT quantile_disc(c,
+      |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM o)
+      |SELECT CAST(len(list_filter(bs, x -> c > x)) AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(c) AS min_c, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS sum_c
+      |FROM o, b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
     QueryDef("q_path_transitions", qPathTransitions, Some(oPathTransitions)),
+    QueryDef("q_equidepth_hist", qEquidepthHist, Some(oEquidepthHist)),
     QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
     QueryDef("q_experiment_ab", qExperimentAb, Some(oExperimentAb)),
     QueryDef("q_period_over_period", qPeriodOverPeriod, Some(oPeriodOverPeriod)),

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_profile", // 1-row global-stats crossJoin
     "q_basket_pairs", // 1-row basket-total crossJoin
     "text_importance", // 1-row corpus-totals crossJoin
-    "q_funnel" // 1-row stage-count crossJoins
+    "q_funnel", // 1-row stage-count crossJoins
+    "q_equidepth_hist" // 1-row decile-boundary crossJoin
   )
 
   test("no undeclared cartesian product in any B/C query plan") {

@@ -102,6 +102,40 @@ class RefsSpec extends AnyFunSuite {
       "upstream reads must survive branch deletion")
   }
 
+  test("createLike: schema-only clone — shape and declarations carry, data does not") {
+    val src = tmp(); val dst = tmp() + "/like"
+    CdcPipeline.publish(fixture(1000, 8), src, Seq("id"), buckets = Some(8))
+    CdcPipeline.addCheckConstraint(spark, src, "nonneg", "v >= 0")
+    CdcPipeline.addGeneratedColumn(src, "v2",
+      org.apache.spark.sql.types.LongType, "v * 2")
+    CdcPipeline.setTableProperties(src, Map("graft.maintain.keepVersions" -> "5"))
+    assert(CdcPipeline.createLike(src, dst) === Some(0L))
+    // empty but fully SHAPED: schema + virtual column, zero rows
+    val snap = CdcPipeline.readSnapshot(spark, dst).get
+    assert(snap.count() === 0L)
+    assert(snap.columns.toSeq === Seq("id", "v", "v2"))
+    assert(CdcPipeline.checkConstraints(dst).contains("nonneg"))
+    assert(CdcPipeline.tableProperties(dst)
+      .get("graft.maintain.keepVersions") === Some("5"))
+    // the carried constraint gates the FIRST write into the new table
+    // (enforceConstraints is what every gated write path calls)
+    val m0 = CdcPipeline.manifest(dst, 0).get
+    intercept[CdcPipeline.ConstraintViolationException] {
+      CdcPipeline.enforceConstraints(m0,
+        spark.range(0, 4).select(col("id"), lit(-1L).as("v")), dst)
+    }
+    // clean writes land; source unaffected throughout
+    CdcPipeline.publishDelta(
+      spark.range(0, 4).select(col("id"), (col("id") * 10L).as("v")),
+      dst, Seq("id"), CdcPipeline.manifest(dst, 0).get,
+      Set(0, 1, 2, 3, 4, 5, 6, 7), batchId = -1L)
+    assert(CdcPipeline.readSnapshot(spark, dst).get.count() === 4L)
+    assert(CdcPipeline.readSnapshot(spark, src).get.count() === 1000L)
+    // refuses to clobber
+    intercept[IllegalArgumentException] { CdcPipeline.createLike(src, dst) }
+    StoreFs.deleteRecursive(src); StoreFs.deleteRecursive(dst)
+  }
+
   test("branch WAP: upstream motion after the fork refuses the fast-forward") {
     val src = tmp(); val br = tmp() + "/branch"
     CdcPipeline.publish(fixture(2000, 4), src, Seq("id"), buckets = Some(4)) // v0
