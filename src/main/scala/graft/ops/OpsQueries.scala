@@ -689,6 +689,53 @@ object OpsQueries {
        |ORDER BY lang_true, lang_pred""".stripMargin
   }
 
+  // C87: sample-coverage diversity eval — the embedding-space readout
+  // for a selection strategy (C20/C35/C63 pick subsets; this measures
+  // how well a subset COVERS the space it was drawn from): every
+  // non-sample vector's best cosine to ANY sample vector, bucketed
+  // into deciles — a coreset that covers well has the mass in high
+  // deciles, a redundant one leaves a long low tail. Sample = the
+  // deterministic large-multiplier ppm bucket (engine-portable);
+  // scoring = the C6 brute-force shape (broadcast the SMALL sample,
+  // stream the corpus — work ∝ N·|sample|, never N²); bucket
+  // arithmetic rides the bit-identical cosine both engines already
+  // prove on the ANN gates (exact top-k ordering over thousands of
+  // near ties).
+  def evalSampleDiversity(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val sample = e.filter(expr("(vec_id * 554862419L) % 1000000 < 16000"))
+      .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+    val rest = e.filter(expr("(vec_id * 554862419L) % 1000000 >= 16000"))
+    rest.crossJoin(broadcast(sample))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("semb")).as("cos"))
+      .groupBy("vec_id").agg(max("cos").as("best"))
+      .select(expr("CAST(floor(best * 10) AS INT)").as("decile"),
+        expr("CAST(floor(best * 1000000) AS BIGINT)").as("ppm"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), min("ppm").as("min_ppm"),
+        max("ppm").as("max_ppm"))
+      .orderBy("decile")
+  }
+
+  private val oEvalSampleDiversity =
+    """WITH s AS (
+      |  SELECT vec_id AS sid, embedding FROM embeddings
+      |  WHERE (vec_id * 554862419) % 1000000 < 16000),
+      |r AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE (vec_id * 554862419) % 1000000 >= 16000),
+      |b AS (
+      |  SELECT r.vec_id,
+      |    max(list_cosine_similarity(CAST(r.embedding AS DOUBLE[]),
+      |                               CAST(s.embedding AS DOUBLE[]))) AS best
+      |  FROM r, s GROUP BY r.vec_id)
+      |SELECT CAST(floor(best * 10) AS INT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(floor(best * 1000000)) AS BIGINT) AS min_ppm,
+      |  CAST(max(floor(best * 1000000)) AS BIGINT) AS max_ppm
+      |FROM b GROUP BY 1 ORDER BY decile""".stripMargin
+
   // C15: per-language corpus statistics — the profile report a
   // training-data pipeline emits per snapshot (doc counts, token
   // volume, token median, longest doc). Integer/median-exact outputs.
@@ -3570,6 +3617,8 @@ object OpsQueries {
       Some(oEvalLangidConfusion)),
     QueryDef("sft_loss_mask", sftLossMask, Some(oSftLossMask)),
     QueryDef("privacy_k_anon", privacyKAnon, Some(oPrivacyKAnon)),
+    QueryDef("eval_sample_diversity", evalSampleDiversity,
+      Some(oEvalSampleDiversity)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),

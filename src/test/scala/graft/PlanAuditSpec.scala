@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_basket_pairs", // 1-row basket-total crossJoin
     "text_importance", // 1-row corpus-totals crossJoin
     "q_funnel", // 1-row stage-count crossJoins
-    "q_equidepth_hist" // 1-row decile-boundary crossJoin
+    "q_equidepth_hist", // 1-row decile-boundary crossJoin
+    "eval_sample_diversity" // broadcast ppm-bucket sample, C6's shape
   )
 
   test("no undeclared cartesian product in any B/C query plan") {

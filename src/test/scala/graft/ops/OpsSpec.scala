@@ -1060,4 +1060,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r.filter(!col("risky")).count() > 0L)
     r.unpersist()
   }
+
+  test("eval_sample_diversity: buckets partition the corpus; a self-covering sample maxes out") {
+    val r = OpsQueries.evalSampleDiversity(spark, sf).cache()
+    val total = r.agg(sum("n")).head().getLong(0)
+    val sampleN = T.embeddings(spark, sf)
+      .filter(expr("(vec_id * 554862419L) % 1000000 < 16000")).count()
+    assert(total === T.embeddings(spark, sf).count() - sampleN,
+      "every non-sample vector lands in exactly one decile")
+    // ppm ranges nest inside their decile
+    assert(r.filter(col("min_ppm") < col("decile") * 100000L ||
+      col("max_ppm") >= (col("decile") + 1) * 100000L).count() === 0L)
+    r.unpersist()
+    // law: scoring a set against ITSELF puts everything in the top
+    // bucket (cos(v, v) = 1)
+    val e = T.embeddings(spark, sf).limit(50)
+    val self = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("sid"),
+        col("embedding").as("semb"))))
+      .select(col("vec_id"),
+        graft.ops.Similarity.cosine(col("embedding"), col("semb")).as("c"))
+      .groupBy("vec_id").agg(max("c").as("best"))
+    assert(self.filter(col("best") < 0.999999).count() === 0L)
+  }
 }
