@@ -2220,10 +2220,72 @@ object Relational {
       |  min(c) AS min_c, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS sum_c
       |FROM o, b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // B68 (r9): last-touch attribution — "which channel gets credit for
+  // each purchase", the marketing-analytics staple: every purchase is
+  // attributed to the user's most recent NON-purchase event within a
+  // 1-hour lookback, else 'direct'. The lookback is ONE
+  // last_value(IGNORE NULLS) window over the preceding frame (B51's
+  // navigation surface composed with a per-row verdict) — no
+  // self-join of purchases against the event stream; both engines'
+  // IGNORE NULLS semantics are already pinned by B51. Share ppm via
+  // a declared 1-row total crossJoin.
+  def qAttribution(s: SparkSession, d: String): DataFrame =
+    lastTouchAttribution(T.events(s, d).select(col("user_id"),
+      col("event_id"), expr("ts div 1000").as("us"), col("event_type")))
+
+  /** B68 core over a (user_id, event_id, us, event_type) stream —
+    * separated so laws can plant exact touches. See [[qAttribution]].
+    */
+  def lastTouchAttribution(ev: DataFrame,
+      lookbackUs: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchUs = when(col("event_type") =!= "purchase", col("us"))
+    val p = ev
+      .withColumn("prev_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("prev_us", last(touchUs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("prev_type").isNotNull &&
+          col("us") - col("prev_us") <= lookbackUs, col("prev_type"))
+          .otherwise(lit("direct")))
+    val cells = p.groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+    cells.crossJoin(broadcast(cells.agg(sum("n_purchases").as("total"))))
+      .select(col("channel"), col("n_purchases"),
+        expr("n_purchases * 1000000L DIV total").as("share_ppm"))
+      .orderBy("channel")
+  }
+
+  private val oAttribution =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us
+      |  FROM events),
+      |p AS (
+      |  SELECT CASE WHEN prev_type IS NOT NULL
+      |    AND us - prev_us <= 3600000000 THEN prev_type
+      |    ELSE 'direct' END AS channel
+      |  FROM ev WHERE event_type = 'purchase'),
+      |cells AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases
+      |          FROM p GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS total FROM cells)
+      |SELECT channel, n_purchases,
+      |  n_purchases * 1000000 // total AS share_ppm
+      |FROM cells, tot ORDER BY channel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
     QueryDef("q_path_transitions", qPathTransitions, Some(oPathTransitions)),
     QueryDef("q_equidepth_hist", qEquidepthHist, Some(oEquidepthHist)),
+    QueryDef("q_attribution", qAttribution, Some(oAttribution)),
     QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
     QueryDef("q_experiment_ab", qExperimentAb, Some(oExperimentAb)),
     QueryDef("q_period_over_period", qPeriodOverPeriod, Some(oPeriodOverPeriod)),

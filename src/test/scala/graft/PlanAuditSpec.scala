@@ -43,7 +43,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_importance", // 1-row corpus-totals crossJoin
     "q_funnel", // 1-row stage-count crossJoins
     "q_equidepth_hist", // 1-row decile-boundary crossJoin
-    "eval_sample_diversity" // broadcast ppm-bucket sample, C6's shape
+    "eval_sample_diversity", // broadcast ppm-bucket sample, C6's shape
+    "q_attribution" // 1-row purchase-total crossJoin
   )
 
   test("no undeclared cartesian product in any B/C query plan") {

@@ -142,6 +142,22 @@ class RelationalLawsSpec extends AnyFunSuite {
     assert(r.size === 4, "out-of-gap and stream-final pairs emit nothing")
   }
 
+  test("lastTouchAttribution: lookback window, direct fallbacks, shared touch, ppm shares") {
+    val events = Seq(
+      (1L, 1L, 0L, "click"), (1L, 2L, 50L, "purchase"),   // attributed: click
+      (2L, 1L, 0L, "view"), (2L, 2L, 5000L, "purchase"),  // out of window: direct
+      (3L, 1L, 0L, "purchase"),                           // no prior touch: direct
+      // two purchases share ONE view touch (both within window)
+      (4L, 1L, 0L, "view"), (4L, 2L, 10L, "purchase"), (4L, 3L, 20L, "purchase")
+    ).toDF("user_id", "event_id", "us", "event_type")
+    val r = Relational.lastTouchAttribution(events, lookbackUs = 1000L)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("click") === ((1L, 200000L)))
+    assert(r("direct") === ((2L, 400000L)))
+    assert(r("view") === ((2L, 400000L)))
+    assert(r.values.map(_._1).sum === 5L)
+  }
+
   test("eventPatternMatches: order ties break by event_id, deterministically") {
     // same timestamp everywhere: event_id alone defines the stream.
     // v c p in event_id order = one match even with equal us.
