@@ -317,4 +317,37 @@ object Dedup {
         bit_count(col("pay_a").bitwiseXOR(col("pay_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** C88: edit-distance near-duplicate verification — the
+    * character-level confirmation pass (catches reorder-resistant
+    * token-set false positives and char-level typo dups that token
+    * shingles miss). Candidates come from deterministic blocking on
+    * (source, length DIV `bucketChars`) — a length-difference bound
+    * is implied by the shared bucket, so the quadratic step is
+    * bucket-local, never corpus-wide (at production scale the
+    * candidate feed would be C2's LSH pairs; the blocked feed here
+    * is what an oracle can re-derive). `levenshtein` is Spark's
+    * codegen'd DP kernel, cost O(len²) per pair — bounded by the
+    * blocking, and the docs themselves bound len. Similarity is
+    * integer ppm of the longer side; `is_near` applies
+    * `verdictPpm`. Empty-vs-empty guards through greatest(..., 1).
+    */
+  def editDistancePairs(docs: DataFrame, bucketChars: Int = 32,
+      verdictPpm: Long = 700000L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      length(col("text")).cast("long").as("len"))
+      .withColumn("bucket", expr(s"len div $bucketChars"))
+    val a = base.select(col("doc_id").as("id_a"), col("source"),
+      col("bucket"), col("text").as("text_a"), col("len").as("len_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("source"),
+      col("bucket"), col("text").as("text_b"), col("len").as("len_b"))
+    a.join(b, Seq("source", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("source"), col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("dist"),
+        col("len_a"), col("len_b"))
+      .withColumn("sim_ppm", expr(
+        "1000000L - dist * 1000000L DIV greatest(len_a, len_b, 1L)"))
+      .withColumn("is_near", (col("sim_ppm") >= verdictPpm).cast("long"))
+  }
 }

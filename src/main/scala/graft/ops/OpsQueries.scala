@@ -3557,7 +3557,96 @@ object OpsQueries {
        |${oBfsStep(4)}
        |SELECT node AS host, dist FROM v4 ORDER BY dist, host""".stripMargin
 
+  // C88: edit-distance near-dup verification — character-level
+  // confirmation over deterministically-blocked candidates (the
+  // oracle-portable feed; production wires C2's LSH pairs in). The
+  // universe is capped at 2000 docs (full corpus at the driver's
+  // correctness SF; bounds the bucket-quadratic step at bench SF —
+  // the same C3 discipline). Every output is exact integer:
+  // levenshtein distance, char lengths, truncating-ppm similarity,
+  // and the ≥0.7 verdict flag.
+  def dedupEditDistance(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(T.documents(s, d).filter(col("doc_id") < 2000))
+      .orderBy("id_a", "id_b")
+
+  private val oDedupEditDistance =
+    """WITH b AS (
+      |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len,
+      |    length(text) // 32 AS bucket
+      |  FROM documents WHERE doc_id < 2000),
+      |p AS (
+      |  SELECT a.source AS source, a.doc_id AS id_a, b2.doc_id AS id_b,
+      |    CAST(levenshtein(a.text, b2.text) AS BIGINT) AS dist,
+      |    a.len AS len_a, b2.len AS len_b
+      |  FROM b a JOIN b b2
+      |    ON a.source = b2.source AND a.bucket = b2.bucket
+      |    AND a.doc_id < b2.doc_id)
+      |SELECT source, id_a, id_b, dist, len_a, len_b,
+      |  1000000 - dist * 1000000 // greatest(len_a, len_b, 1) AS sim_ppm,
+      |  CASE WHEN 1000000 - dist * 1000000 // greatest(len_a, len_b, 1)
+      |       >= 700000 THEN 1 ELSE 0 END AS is_near
+      |FROM p ORDER BY id_a, id_b""".stripMargin
+
+  // C89: chat-template / special-token leakage audit. The synthetic
+  // corpus is clean, so the gate INJECTS the five marker families
+  // deterministically on both engines (the C83/C44 injected-fixture
+  // discipline): doc_id‰17 appends an <|endoftext|>-style special
+  // token, ‰23 prepends [INST], ‰29 appends a ### heading, ‰31
+  // appends a {{moustache}}, ‰37 prepends <s> — overlaps are real
+  // multi-marker docs. Per-source report: per-marker doc counts,
+  // any-marker count, integer-ppm leakage rate.
+  def textTemplateLeakage(s: SparkSession, d: String): DataFrame = {
+    val t0 = col("text")
+    val t1 = when(col("doc_id") % 17 === 0,
+      concat(t0, lit(" <|endoftext|>"))).otherwise(t0)
+    val t2 = when(col("doc_id") % 23 === 0,
+      concat(lit("[INST] "), t1)).otherwise(t1)
+    val t3 = when(col("doc_id") % 29 === 0,
+      concat(t2, lit(" ### Response:"))).otherwise(t2)
+    val t4 = when(col("doc_id") % 31 === 0,
+      concat(t3, lit(" {{user}}"))).otherwise(t3)
+    val t5 = when(col("doc_id") % 37 === 0,
+      concat(lit("<s> "), t4)).otherwise(t4)
+    TextAnalysis.templateLeakage(
+      T.documents(s, d).select(col("source"), t5.as("text")))
+      .orderBy("source")
+  }
+
+  private val oTextTemplateLeakage =
+    """WITH inj AS (
+      |  SELECT source,
+      |    (CASE WHEN doc_id % 37 = 0 THEN '<s> ' ELSE '' END)
+      |    || (CASE WHEN doc_id % 23 = 0 THEN '[INST] ' ELSE '' END)
+      |    || text
+      |    || (CASE WHEN doc_id % 17 = 0 THEN ' <|endoftext|>' ELSE '' END)
+      |    || (CASE WHEN doc_id % 29 = 0 THEN ' ### Response:' ELSE '' END)
+      |    || (CASE WHEN doc_id % 31 = 0 THEN ' {{user}}' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |fl AS (
+      |  SELECT source,
+      |    CASE WHEN contains(text, '<|') THEN 1 ELSE 0 END AS f_special,
+      |    CASE WHEN contains(text, '[INST]') THEN 1 ELSE 0 END AS f_inst,
+      |    CASE WHEN contains(text, '###') THEN 1 ELSE 0 END AS f_heading,
+      |    CASE WHEN contains(text, '<s>') THEN 1 ELSE 0 END AS f_bos,
+      |    CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS f_moustache
+      |  FROM inj)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(f_special) AS BIGINT) AS n_special,
+      |  CAST(sum(f_inst) AS BIGINT) AS n_inst,
+      |  CAST(sum(f_heading) AS BIGINT) AS n_heading,
+      |  CAST(sum(f_bos) AS BIGINT) AS n_bos,
+      |  CAST(sum(f_moustache) AS BIGINT) AS n_moustache,
+      |  CAST(sum(greatest(f_special, f_inst, f_heading, f_bos,
+      |                    f_moustache)) AS BIGINT) AS n_flagged,
+      |  CAST(sum(greatest(f_special, f_inst, f_heading, f_bos, f_moustache))
+      |    * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+      |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_edit_distance", dedupEditDistance, Some(oDedupEditDistance)),
+    QueryDef("text_template_leakage", textTemplateLeakage,
+      Some(oTextTemplateLeakage)),
     QueryDef("graph_pagerank", graphPagerank, Some(oGraphPagerank)),
     QueryDef("graph_bfs_hops", graphBfsHops, Some(oGraphBfsHops)),
     QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),

@@ -731,4 +731,34 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.functions.TextExpressions.rollingHash(text)
+
+  /** C89: chat-template / special-token leakage markers — the
+    * artifacts that poison pre-training text when formatted SFT or
+    * assistant transcripts leak into a web corpus. Substring probes,
+    * deliberately coarse ("<|" catches every <|im_start|>-style
+    * token family).
+    */
+  val templateMarkers: Seq[(String, String)] = Seq(
+    "special" -> "<|", "inst" -> "[INST]", "heading" -> "###",
+    "bos" -> "<s>", "moustache" -> "{{")
+
+  /** C89 core: per-source leakage audit. One codegen'd projection
+    * computes every marker flag per row (instr — no regex), then ONE
+    * map-side-combinable hash agg to |sources| rows: per-marker doc
+    * counts, any-marker count, and an integer-ppm leakage rate.
+    * Scale shape: scan-bounded, report is |sources| rows.
+    */
+  def templateLeakage(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val flags = templateMarkers.map { case (k, m) =>
+      (instr(text, m) > 0).cast("long").as(s"f_$k") }
+    val anyFlag = greatest(templateMarkers.map(km => col(s"f_${km._1}")): _*)
+    docs.select(col("source") +: flags: _*)
+      .withColumn("f_any", anyFlag)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        templateMarkers.map { case (k, _) =>
+          sum(col(s"f_$k")).as(s"n_$k") } :+
+          sum(col("f_any")).as("n_flagged"): _*)
+      .withColumn("flagged_ppm", expr("n_flagged * 1000000L DIV n_docs"))
+  }
 }

@@ -2281,7 +2281,273 @@ object Relational {
       |  n_purchases * 1000000 // total AS share_ppm
       |FROM cells, tot ORDER BY channel""".stripMargin
 
+  // B69 (r9): per-group linear trend + next-period forecast — the
+  // "is revenue trending up, and what do we expect tomorrow" report
+  // every metrics warehouse serves (the closed-form least-squares
+  // fit, not an iterative model). Two hash aggs: (priority, day) →
+  // daily cents, then per-priority regression moments (n, Σx, Σy,
+  // Σxy, Σxx) — the same exact-integer-moment discipline as B50.
+  // Days are SHIFTED to x' = day − min(day) before the moment agg
+  // (one global 1-row min, broadcast — the declared stats join):
+  // unshifted epoch-day moments overflow BIGINT at n·Σxy ≈ 2e19 for
+  // two years of sf0.1 revenue; shifted they bound at ~8e17. Slope
+  // is exported in milli-cents/day via the two-step quotient+
+  // remainder idiom (B64's chi2_milli pattern) because a direct
+  // ×1000 pre-divide can overflow; the forecast composes mean +
+  // slope·(x_next − x̄) with declared truncation points mirrored
+  // verbatim in the oracle. Scale shape: moment aggs are map-side
+  // combinable; the report is |groups| rows.
+  def qTrendForecast(s: SparkSession, d: String): DataFrame =
+    trendForecast(T.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"),
+        col("o_totalprice"))
+      .groupBy("prio", "day")
+      .agg(expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("y_c")))
+
+  /** B69 core over a (prio, day, y_c) relation — separated so laws
+    * can plant exact lines/steps. See [[qTrendForecast]].
+    */
+  def trendForecast(daily: DataFrame): DataFrame = {
+    val minDay = daily.agg(min("day").as("day0"))
+    daily.crossJoin(broadcast(minDay))
+      .select(col("prio"), (col("day") - col("day0")).as("x"), col("y_c"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y_c").as("sy"),
+        expr("CAST(sum(x * y_c) AS BIGINT)").as("sxy"),
+        expr("CAST(sum(x * x) AS BIGINT)").as("sxx"),
+        max("x").as("xmax"))
+      .select(col("prio"), col("n"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("den"),
+        col("sy"), col("sx"), col("xmax"))
+      .select(col("prio"), col("n"),
+        expr("(num DIV den) * 1000 + ((num % den) * 1000) DIV den")
+          .as("slope_mc_per_day"),
+        expr("sy DIV n").as("mean_day_c"),
+        col("sx"), col("xmax"))
+      .select(col("prio"), col("n"), col("slope_mc_per_day"),
+        col("mean_day_c"),
+        expr("""mean_day_c + (slope_mc_per_day * (n * (xmax + 1) - sx))
+                DIV (1000 * n)""").as("forecast_next_c"))
+      .orderBy("prio")
+  }
+
+  private val oTrendForecast =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio,
+      |    epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y_c
+      |  FROM orders GROUP BY 1, 2),
+      |d0 AS (SELECT min(day) AS day0 FROM daily),
+      |mom AS (
+      |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(day - day0) AS BIGINT) AS sx,
+      |    CAST(sum(y_c) AS BIGINT) AS sy,
+      |    CAST(sum((day - day0) * y_c) AS BIGINT) AS sxy,
+      |    CAST(sum((day - day0) * (day - day0)) AS BIGINT) AS sxx,
+      |    CAST(max(day - day0) AS BIGINT) AS xmax
+      |  FROM daily, d0 GROUP BY 1),
+      |sl AS (
+      |  SELECT prio, n, (n * sxy - sx * sy) AS num,
+      |    (n * sxx - sx * sx) AS den, sy, sx, xmax FROM mom),
+      |st AS (
+      |  SELECT prio, n,
+      |    (num // den) * 1000 + ((num % den) * 1000) // den
+      |      AS slope_mc_per_day,
+      |    sy // n AS mean_day_c, sx, xmax FROM sl)
+      |SELECT prio, n, slope_mc_per_day, mean_day_c,
+      |  mean_day_c + (slope_mc_per_day * (n * (xmax + 1) - sx))
+      |    // (1000 * n) AS forecast_next_c
+      |FROM st ORDER BY prio""".stripMargin
+
+  // B70 (r9): Benford first-digit audit — the classic
+  // fraud/data-quality screen (does a value column's leading-digit
+  // distribution follow log10(1+1/d)?). ONE pruned scan → cents →
+  // leading digit via bigint→string cast (identical formatting both
+  // engines for positive integers) → 9-row hash agg; observed shares
+  // as truncating ppm against the BIGINT Benford constants
+  // floor(1e6·log10(1+1/d)) pinned as literals on BOTH sides (no
+  // runtime float log anywhere), per-digit squared-deviation
+  // contribution in the integer chi-square shape of B64. Scale
+  // shape: map-side combinable agg to 9 rows; the 1-row total joins
+  // back by broadcast.
+  def qBenfordDigits(s: SparkSession, d: String): DataFrame =
+    benfordAudit(T.orders(s, d).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
+
+  /** B70 core over a positive (cents) relation — separated so laws
+    * can plant exact digit distributions. See [[qBenfordDigits]].
+    */
+  def benfordAudit(cents: DataFrame): DataFrame = {
+    val exp = "CASE digit WHEN 1 THEN 301029L WHEN 2 THEN 176091L " +
+      "WHEN 3 THEN 124938L WHEN 4 THEN 96910L WHEN 5 THEN 79181L " +
+      "WHEN 6 THEN 66946L WHEN 7 THEN 57991L WHEN 8 THEN 51152L " +
+      "ELSE 45757L END"
+    val digits = cents
+      .select(expr(
+        "CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L DIV total").as("obs_ppm"),
+        expr(exp).as("exp_ppm"))
+      .withColumn("dev_contrib", expr(
+        "((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) DIV exp_ppm"))
+      .orderBy("digit")
+  }
+
+  private val oBenfordDigits =
+    """WITH dg AS (
+      |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM dg),
+      |obs AS (
+      |  SELECT digit, n, n * 1000000 // total AS obs_ppm,
+      |    CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+      |      WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |      WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+      |      ELSE 45757 END AS exp_ppm
+      |  FROM dg, tot)
+      |SELECT digit, n, obs_ppm, exp_ppm,
+      |  ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm
+      |    AS dev_contrib
+      |FROM obs ORDER BY digit""".stripMargin
+
+  // B71 (r9): CUSUM change-point detection — "when did the level of
+  // this metric shift", the ops/metrics staple. Classic CUSUM needs
+  // S_t = Σ(y_i − ȳ), a float mean; the re-expression scales by n
+  // (dev_i = y_i·n − total) so every partial sum is EXACT integer —
+  // argmax|S| is invariant under the positive scaling. Shapes: one
+  // map-side-combinable (day) agg, a declared 1-row stats crossJoin
+  // for (n, total), then the cumulative window over the |days|-row
+  // POST-AGGREGATION report (B65's declared global-window state —
+  // never per-order), and a second 1-row crossJoin for the peak
+  // verdict. Overflow bound: |dev| ≤ total ≈ 3e12 cents at sf0.1,
+  // × 730 days ≈ 2e15 ≪ 2⁶³.
+  def qChangepoint(s: SparkSession, d: String): DataFrame =
+    cusumChangepoint(T.orders(s, d)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("day"),
+        col("o_totalprice"))
+      .groupBy("day")
+      .agg(expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("y_c")))
+      .orderBy("day")
+
+  /** B71 core over a (day, y_c) relation — separated so laws can
+    * plant exact level shifts. See [[qChangepoint]].
+    */
+  def cusumChangepoint(daily: DataFrame): DataFrame = {
+    val tot = daily.agg(count(lit(1)).as("n"), sum("y_c").as("total"))
+    val s = daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("y_c"), expr("y_c * n - total").as("dev"))
+      .withColumn("s_scaled", sum("dev").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peak = s.agg(max(abs(col("s_scaled"))).as("peak"))
+    s.crossJoin(broadcast(peak))
+      .select(col("day"), col("y_c"), col("s_scaled"),
+        (abs(col("s_scaled")) === col("peak")).cast("long").as("is_peak"))
+  }
+
+  private val oChangepoint =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y_c
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(y_c) AS BIGINT) AS total FROM daily),
+      |s AS (SELECT day, y_c,
+      |  CAST(sum(y_c * n - total) OVER (ORDER BY day) AS BIGINT)
+      |    AS s_scaled
+      |  FROM daily, t),
+      |p AS (SELECT max(abs(s_scaled)) AS peak FROM s)
+      |SELECT day, y_c, s_scaled,
+      |  CASE WHEN abs(s_scaled) = peak THEN 1 ELSE 0 END AS is_peak
+      |FROM s, p ORDER BY day""".stripMargin
+
+  // B72 (r9): RFM customer segmentation — recency/frequency/monetary
+  // quintile scores, the marketing-segmentation staple. The textbook
+  // ntile(5)×3 is three single-task global sorts at any scale; the
+  // re-expression reuses B67's boundary discipline: ONE
+  // percentile_disc aggregate computes all 12 quintile boundaries
+  // (4 per metric), broadcast back as a declared 1-row stats
+  // crossJoin, scores assigned by codegen'd
+  // count-of-boundaries-below (boundary-equal falls LOW —
+  // deterministic, and tie-heavy metrics like frequency give every
+  // tied customer the SAME score, which ntile cannot). Recency is
+  // inverted (most recent = 5). Shapes: per-customer hash agg, two
+  // 1-row broadcasts, report ∝ |customers|.
+  def qRfm(s: SparkSession, d: String): DataFrame =
+    rfmSegments(T.orders(s, d).select(col("o_custkey").as("custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("day"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
+      .orderBy("custkey")
+
+  /** B72 core over a (custkey, day, cents) relation — separated so
+    * laws can plant exact quintiles and ties. See [[qRfm]].
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    def qArr(c: String) = expr("array(" + Seq(2, 4, 6, 8).map(k =>
+      s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY $c)").mkString(", ")
+      + ")")
+    def score(v: String, bs: String) = expr(
+      s"1L + aggregate($bs, 0L, (acc, b) -> acc + CASE WHEN $v > b THEN 1L ELSE 0L END)")
+    val base = orders.groupBy("custkey").agg(
+      max("day").as("last_day"), count(lit(1)).as("freq"),
+      sum("cents").as("mon_c"))
+    val maxDay = base.agg(max("last_day").as("day_max"))
+    val cust = base.crossJoin(broadcast(maxDay))
+      .select(col("custkey"), (col("day_max") - col("last_day")).as("r_days"),
+        col("freq"), col("mon_c"))
+    val bounds = cust.agg(qArr("r_days").as("rb"), qArr("freq").as("fb"),
+      qArr("mon_c").as("mb"))
+    cust.crossJoin(broadcast(bounds))
+      .select(col("custkey"), col("r_days"), col("freq"), col("mon_c"),
+        (lit(6L) - score("r_days", "rb")).as("r_score"),
+        score("freq", "fb").as("f_score"),
+        score("mon_c", "mb").as("m_score"))
+      .withColumn("segment",
+        expr("r_score * 100L + f_score * 10L + m_score"))
+  }
+
+  private val oRfm =
+    """WITH base AS (
+      |  SELECT o_custkey AS custkey,
+      |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS mon_c
+      |  FROM orders GROUP BY 1),
+      |md AS (SELECT max(last_day) AS day_max FROM base),
+      |cust AS (
+      |  SELECT custkey, day_max - last_day AS r_days, freq, mon_c
+      |  FROM base, md),
+      |b AS (SELECT
+      |  quantile_disc(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+      |  quantile_disc(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+      |  quantile_disc(mon_c, [0.2, 0.4, 0.6, 0.8]) AS mb FROM cust),
+      |sc AS (
+      |  SELECT custkey, r_days, freq, mon_c,
+      |    6 - (1 + len(list_filter(rb, x -> r_days > x))) AS r_score,
+      |    1 + len(list_filter(fb, x -> freq > x)) AS f_score,
+      |    1 + len(list_filter(mb, x -> mon_c > x)) AS m_score
+      |  FROM cust, b)
+      |SELECT custkey, r_days, freq, mon_c,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+      |FROM sc ORDER BY custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_changepoint", qChangepoint, Some(oChangepoint)),
+    QueryDef("q_rfm", qRfm, Some(oRfm)),
+    QueryDef("q_trend_forecast", qTrendForecast, Some(oTrendForecast)),
+    QueryDef("q_benford", qBenfordDigits, Some(oBenfordDigits)),
     QueryDef("q_event_pattern", qEventPattern, Some(oEventPattern)),
     QueryDef("q_path_transitions", qPathTransitions, Some(oPathTransitions)),
     QueryDef("q_equidepth_hist", qEquidepthHist, Some(oEquidepthHist)),

@@ -1083,4 +1083,55 @@ class OpsSpec extends AnyFunSuite {
       .groupBy("vec_id").agg(max("c").as("best"))
     assert(self.filter(col("best") < 0.999999).count() === 0L)
   }
+
+  test("editDistancePairs: known distances, blocking excludes cross-bucket, verdict threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      // same source+bucket (len 6,7 → bucket 0 at 32 chars): kitten/sitting d=3
+      (1L, "s1", "kitten"), (2L, "s1", "sitting"),
+      // identical pair → d=0, sim 1e6, is_near 1; bucket 2 (len 70)
+      // keeps them out of the kitten pair's bucket 0
+      (3L, "s1", "y" * 70), (4L, "s1", "y" * 70),
+      // same source, different length bucket (len 6 vs 40) → NO pair
+      (5L, "s2", "short1"),
+      (6L, "s2", "x" * 40),
+      // same bucket, different source → NO pair
+      (7L, "s3", "kitten")
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.editDistancePairs(docs).collect()
+      .map(x => (x.getLong(1), x.getLong(2)) -> x).toMap
+    assert(r.keySet === Set((1L, 2L), (3L, 4L)))
+    val kit = r((1L, 2L))
+    assert(kit.getLong(3) === 3L) // levenshtein(kitten,sitting)
+    assert(kit.getLong(6) === 1000000L - 3L * 1000000L / 7L)
+    assert(kit.getLong(7) === 0L) // 571428 ppm < 700000
+    val same = r((3L, 4L))
+    assert(same.getLong(3) === 0L && same.getLong(6) === 1000000L
+      && same.getLong(7) === 1L)
+  }
+
+  test("templateLeakage: markers flag per family, multi-marker doc counts once in n_flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "clean text here"),
+      ("a", "leaked <|im_start|> token"),
+      ("a", "[INST] do the thing [/INST] <s> and {{name}}"), // 4 families, one doc
+      ("b", "### Heading then prose"),
+      ("b", "clean again")
+    ).toDF("source", "text")
+    val r = TextAnalysis.templateLeakage(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) === 3L) // n_docs
+    assert(a.getLong(2) === 1L) // special <|
+    assert(a.getLong(3) === 1L) // inst
+    assert(a.getLong(4) === 0L) // heading
+    assert(a.getLong(5) === 1L) // bos <s>
+    assert(a.getLong(6) === 1L) // moustache
+    assert(a.getLong(7) === 2L, "the 4-family doc counts once")
+    assert(a.getLong(8) === 2L * 1000000L / 3L)
+    val b = r("b")
+    assert(b.getLong(4) === 1L && b.getLong(7) === 1L
+      && b.getLong(8) === 500000L)
+  }
 }

@@ -165,4 +165,56 @@ class RelationalLawsSpec extends AnyFunSuite {
     val r = Relational.eventPatternMatches(rows).collect()
     assert(r.length === 1 && r.head.getLong(2) === 1L)
   }
+
+  test("trendForecast: exact line is recovered exactly; day-shift invariance") {
+    // y = 1000 + 250·x planted on days 100..104 for group "lin";
+    // slope must come out exactly 250000 milli-cents/day and the
+    // forecast exactly 1000 + 250·5 = 2250 (the fit is exact, so
+    // every truncation step divides cleanly).
+    val lin = (0L to 4L).map(x => ("lin", 100L + x, 1000L + 250L * x))
+    // group "flat": constant 700 → slope 0, forecast 700.
+    val flat = (0L to 3L).map(x => ("flat", 100L + x, 700L))
+    val r = Relational.trendForecast((lin ++ flat).toDF("prio", "day", "y_c"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("lin").getLong(2) === 250000L)
+    assert(r("lin").getLong(4) === 2250L)
+    assert(r("flat").getLong(2) === 0L)
+    assert(r("flat").getLong(4) === 700L)
+    // shift the calendar by 10 000 days: slope and forecast identical
+    val shifted = Relational.trendForecast(
+      (lin ++ flat).map { case (p, d, y) => (p, d + 10000L, y) }
+        .toDF("prio", "day", "y_c"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(shifted("lin").getLong(2) === 250000L)
+    assert(shifted("lin").getLong(4) === 2250L)
+  }
+
+  test("trendForecast: negative slope truncates toward zero in the milli step") {
+    // y = 1000 − 100·x/3-ish: days 0,1,2 with y 1000, 999, 997 →
+    // n=3 Sx=3 Sy=2996 Sxy=2993 Sxx=5; num=3·2993−3·2996=−9, den=6
+    // → slope = −9/6 = −1.5 → two-step: (−9 DIV 6)·1000 +
+    // ((−9 % 6)·1000) DIV 6 = −1000 + (−3000 DIV 6) = −1500.
+    val r = Relational.trendForecast(
+      Seq(("g", 0L, 1000L), ("g", 1L, 999L), ("g", 2L, 997L))
+        .toDF("prio", "day", "y_c")).collect()
+    assert(r.head.getLong(2) === -1500L)
+  }
+
+  test("benfordAudit: planted digit counts yield exact ppm and deviation rows") {
+    // 301029 ppm expected for digit 1; plant 3 ones, 1 two, 1 nine
+    // out of 5 values → obs 600000, 200000, 200000.
+    val cents = Seq(100L, 17L, 1999L, 2L, 9L).toDF("cents")
+    val r = Relational.benfordAudit(cents).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 2L, 9L))
+    assert(r(1L).getLong(1) === 3L && r(1L).getLong(2) === 600000L)
+    assert(r(1L).getLong(3) === 301029L)
+    assert(r(1L).getLong(4) ===
+      (600000L - 301029L) * (600000L - 301029L) / 301029L)
+    assert(r(9L).getLong(3) === 45757L)
+    // a single-digit corpus saturates obs_ppm at exactly 1e6
+    val exact = Relational.benfordAudit(
+      (1 to 10).map(_ => 100L).toDF("cents")).collect()
+    assert(exact.length === 1 && exact.head.getLong(2) === 1000000L)
+  }
 }
