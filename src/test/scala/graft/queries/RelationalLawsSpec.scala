@@ -217,4 +217,35 @@ class RelationalLawsSpec extends AnyFunSuite {
       (1 to 10).map(_ => 100L).toDF("cents")).collect()
     assert(exact.length === 1 && exact.head.getLong(2) === 1000000L)
   }
+
+  test("cusumChangepoint: planted level shift peaks exactly at the shift day") {
+    // 10,10,10 then 20,20,20: total 90, n 6 → dev = ±30,
+    // S = −30,−60,−90,−60,−30,0 → unique peak |S|=90 at day 3.
+    val daily = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("day", "y_c")
+    val r = Relational.cusumChangepoint(daily).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(3L).getLong(2) === -90L && r(3L).getLong(3) === 1L)
+    assert(Seq(1L, 2L, 4L, 5L, 6L).forall(d => r(d).getLong(3) === 0L))
+    assert(r(6L).getLong(2) === 0L, "CUSUM returns to zero at the end")
+    // flat series: every partial sum is 0 → every day ties the peak
+    val flat = Relational.cusumChangepoint(
+      Seq((1L, 5L), (2L, 5L)).toDF("day", "y_c")).collect()
+    assert(flat.forall(x => x.getLong(2) === 0L && x.getLong(3) === 1L))
+  }
+
+  test("rfmSegments: boundary quintiles, tie-heavy frequency collapses, recency inversion") {
+    // five customers: distinct monetary 100..500 staircases m 1..5;
+    // freq ties [1,1,1,1,2] → all boundaries 1, so freq=1 → f 1 and
+    // freq=2 → f 5 (boundary-equal falls LOW); recency 0..4 days →
+    // r 5..1 inverted.
+    val orders = Seq(
+      (1L, 10L, 100L), (2L, 9L, 200L), (3L, 8L, 300L), (4L, 7L, 400L),
+      (5L, 6L, 250L), (5L, 5L, 250L)
+    ).toDF("custkey", "day", "cents")
+    val r = Relational.rfmSegments(orders).collect()
+      .map(x => x.getLong(0) -> x.getLong(7)).toMap
+    assert(r === Map(1L -> 511L, 2L -> 412L, 3L -> 313L, 4L -> 214L,
+      5L -> 155L))
+  }
 }
