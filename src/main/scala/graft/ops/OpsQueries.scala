@@ -3643,7 +3643,130 @@ object OpsQueries {
       |    * 1000000 // count(*) AS BIGINT) AS flagged_ppm
       |FROM fl GROUP BY source ORDER BY source""".stripMargin
 
+  // C90 (r9): deterministic quality-weighted sampling — keep each
+  // doc with probability ∝ its integer quality weight, the mixture
+  // knob between exact stratified rates (C20) and α-temperature
+  // resampling (C70). Engine-reproducible Bernoulli draw: the
+  // uniform is the first five md5 nibbles of "wsamp1:<doc_id>"
+  // (C34's portable digest order, the C58 instr nibble arithmetic —
+  // deliberately lowest-common-denominator SQL), reduced mod 10⁶;
+  // keep iff u_ppm < w·120000, so w=5 docs sample at 60% and w=1 at
+  // 12% — same seed reproduces the exact sample on any engine,
+  // growth only adds draws. Weight = 1 + min(4, n_chars/100): an
+  // integer derived from the data, standing in for any upstream
+  // quality score. Shapes: pure per-row projection, zero shuffles;
+  // the export orders by doc_id only for the gate.
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val nib = (i: Int) =>
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val u = s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + " +
+      s"${nib(4)}) * 16 + ${nib(5)}) % 1000000"
+    T.documents(s, d)
+      .select(col("doc_id"),
+        expr("1L + least(4L, n_chars DIV 100)").as("w"),
+        md5(concat(lit("wsamp1:"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("w"), expr(s"CAST($u AS BIGINT)").as("u_ppm"))
+      .withColumn("kept", (col("u_ppm") < col("w") * lit(120000L)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val oSampleWeighted = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH k AS (
+       |  SELECT doc_id, 1 + least(4, n_chars // 100) AS w,
+       |    md5('wsamp1:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents)
+       |SELECT doc_id, CAST(w AS BIGINT) AS w,
+       |  CAST(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 +
+       |    ${nib(4)}) * 16 + ${nib(5)}) % 1000000 AS BIGINT) AS u_ppm,
+       |  CAST(CASE WHEN ((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)})
+       |    * 16 + ${nib(4)}) * 16 + ${nib(5)}) % 1000000 < w * 120000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // C91 (r9): compressibility proxy — distinct-vs-total character
+  // 4-gram ratio per document, the cheap stand-in for "would gzip
+  // crush this" that flags templated/looping text a word-level
+  // repetition screen (C22) misses (character-level loops, repeated
+  // separators). One codegen'd per-row projection: enumerate the
+  // len−3 grams with sequence+transform (array bounded by doc
+  // length — no explode, no shuffle), count distinct in place with
+  // array_distinct; ratio as truncating ppm. Low ratio = repetitive.
+  // Scale: embarrassingly parallel over a 2-column pruned scan.
+  def textCompressibility(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")
+          .as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("ratio_ppm", expr("n_distinct * 1000000L DIV n_grams"))
+      .orderBy("doc_id")
+
+  private val oTextCompressibility =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [substr(text, i, 4) for i in range(1, length(text) - 2)] AS l
+      |  FROM documents WHERE length(text) >= 4)
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_distinct(l)) * 1000000 // len(l) AS BIGINT)
+      |    AS ratio_ppm
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // C92 (r9): fixed-centroid cluster assignment — route every vector
+  // to its nearest of k pinned centroids (cosine argmax), the
+  // serving half of IVF/k-means topic bucketing exposed as its own
+  // gate: with centroids = the k lowest vec_ids (a deterministic
+  // stand-in for C23-trained centroids, which the oracle could not
+  // re-train), the assignment is pure data. Ties and float-margin
+  // flips are broken by centroid id through an integer-packed argmin
+  // ((1−cos)·2⁴⁰ + cid — identical packing both engines, so even a
+  // bit-for-bit cosine tie resolves the same way). Scale: k
+  // centroids broadcast, ONE streaming pass over the corpus, per-row
+  // k-term argmax folded map-side — the IVF route step's exact
+  // shape. Export = assignment detail rows (the strongest hash).
+  def annCentroidAssign(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("emb_c"))
+    e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding").as("emb_q"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Similarity.cosine(col("emb_q"), col("emb_c")).as("cos"))
+      .groupBy("vec_id")
+      .agg(min(expr(
+        "CAST(round((1.0d - cos) * 1099511627776d) AS BIGINT) * 64 + cid"))
+        .as("packed"))
+      .select(col("vec_id"), expr("packed % 64").as("centroid"))
+      .orderBy("vec_id")
+  }
+
+  private val oAnnCentroidAssign =
+    """WITH c AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS emb_c
+      |  FROM embeddings WHERE vec_id < 8),
+      |s AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.emb_c)
+      |      AS cos
+      |  FROM embeddings e, c WHERE e.vec_id >= 8)
+      |SELECT vec_id,
+      |  CAST(min(CAST(round((1.0 - cos) * 1099511627776) AS BIGINT) * 64
+      |    + cid) % 64 AS BIGINT) AS centroid
+      |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sample_weighted", sampleWeighted, Some(oSampleWeighted)),
+    QueryDef("text_compressibility", textCompressibility,
+      Some(oTextCompressibility)),
+    QueryDef("ann_centroid_assign", annCentroidAssign,
+      Some(oAnnCentroidAssign)),
     QueryDef("dedup_edit_distance", dedupEditDistance, Some(oDedupEditDistance)),
     QueryDef("text_template_leakage", textTemplateLeakage,
       Some(oTextTemplateLeakage)),

@@ -2515,6 +2515,197 @@ object Relational {
         expr("r_score * 100L + f_score * 10L + m_score"))
   }
 
+  // B73 (r9): Pareto concentration audit — "what share of revenue do
+  // the top-decile customers hold", the 80/20 staple. The textbook
+  // per-segment DESC sort + running share is a per-segment global
+  // sort at any scale; the re-expression reuses B67/B72's boundary
+  // discipline: the 90th-percentile per-customer-revenue boundary per
+  // segment (ONE percentile_disc agg over the per-customer rollup,
+  // segment-count rows), broadcast back, then ONE conditional-agg
+  // pass (the B28 FILTER shape) splits count/revenue above vs at-or-
+  // below it. Boundary-equal falls LOW (excluded from the top set) —
+  // deterministic under ties. All sums are exact integer cents
+  // bounded by the segment total; share as truncating ppm. Shapes:
+  // per-(segment, custkey) hash agg with map-side combine, a
+  // |segments|-row broadcast, report ∝ |segments|.
+  def qParetoShare(s: SparkSession, d: String): DataFrame = {
+    val cust = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("rev_c"))
+    val bounds = cust.groupBy("segment").agg(
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY rev_c)").as("b"))
+    cust.join(broadcast(bounds), "segment")
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        count(when(col("rev_c") > col("b"), 1)).as("n_top"),
+        sum("rev_c").as("total_c"),
+        coalesce(sum(when(col("rev_c") > col("b"), col("rev_c"))), lit(0L))
+          .as("top_c"))
+      .withColumn("share_ppm", expr("top_c * 1000000L DIV total_c"))
+      .orderBy("segment")
+  }
+
+  private val oParetoShare =
+    """WITH cust AS (
+      |  SELECT c_mktsegment AS segment, c_custkey,
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |b AS (SELECT segment, quantile_disc(rev_c, 0.9) AS b
+      |      FROM cust GROUP BY 1)
+      |SELECT cust.segment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(count(*) FILTER (WHERE rev_c > b) AS BIGINT) AS n_top,
+      |  CAST(sum(rev_c) AS BIGINT) AS total_c,
+      |  CAST(coalesce(sum(rev_c) FILTER (WHERE rev_c > b), 0) AS BIGINT)
+      |    AS top_c,
+      |  CAST(coalesce(sum(rev_c) FILTER (WHERE rev_c > b), 0) * 1000000
+      |    // sum(rev_c) AS BIGINT) AS share_ppm
+      |FROM cust JOIN b ON cust.segment = b.segment
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // B74 (r9): Herfindahl–Hirschman market-concentration index —
+  // supplier revenue shares per supplier nation, the antitrust/
+  // vendor-risk rollup. Shares as truncating ppm of the nation
+  // total; HHI = Σ share² with ONE final floor — exact integer
+  // throughout, and Σ share_ppm² ≤ max_share · Σ share_ppm ≤ 10¹²
+  // regardless of row count, so the arithmetic never outgrows int64
+  // at ANY scale. Shapes: per-supplier hash agg over lineitem
+  // (map-side combine, shuffle ∝ |suppliers|), one shuffle join to
+  // the supplier dim (supplier ≪ lineitem), a |nations|-row
+  // broadcast for totals, report ∝ |nations|.
+  def qHhi(s: SparkSession, d: String): DataFrame = {
+    val sup = T.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(revExpr)).cast("long").as("rev_c"))
+      .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("nationkey"), col("rev_c"))
+    val tot = sup.groupBy("nationkey").agg(sum("rev_c").as("nat_total"))
+    sup.join(broadcast(tot), "nationkey")
+      .select(col("nationkey"), col("rev_c"),
+        expr("rev_c * 1000000L DIV nat_total").as("share_ppm"))
+      .groupBy("nationkey")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        max("share_ppm").as("top_share_ppm"),
+        expr("sum(share_ppm * share_ppm) DIV 1000000L").as("hhi_ppm"))
+      .orderBy("nationkey")
+  }
+
+  private val oHhi =
+    """WITH sup AS (
+      |  SELECT s_nationkey AS nationkey,
+      |    CAST(sum(round(l_extendedprice * (1.0 - l_discount) * 100.0))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY l_suppkey, s_nationkey),
+      |t AS (SELECT nationkey, CAST(sum(rev_c) AS BIGINT) AS nat_total
+      |      FROM sup GROUP BY 1),
+      |sh AS (
+      |  SELECT sup.nationkey, rev_c * 1000000 // nat_total AS share_ppm
+      |  FROM sup JOIN t ON sup.nationkey = t.nationkey)
+      |SELECT CAST(nationkey AS BIGINT) AS nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+      |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+      |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // B75 (r9): weighted median — the quantity-weighted median unit
+  // price per return flag (each price counted with its shipped
+  // quantity, the inventory-valuation form a plain median gets
+  // wrong). Exact and sort-bounded: collapse to DISTINCT (flag,
+  // price-cents) with summed weights first (hash agg, map-side
+  // combine — the window then runs over ∝ |distinct prices| rows,
+  // never ∝ |lineitem|), cumulative weight per flag ordered by
+  // price, lower weighted median = smallest price whose doubled
+  // cumulative weight reaches the total. All integer (quantities are
+  // integral); deterministic under ties by construction (ordering is
+  // by the grouped price value itself).
+  def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val g = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+      .agg(expr("CAST(sum(round(l_quantity)) AS BIGINT)").as("w"))
+    val cum = g.withColumn("cw", sum("w").over(
+      Window.partitionBy("l_returnflag").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = g.groupBy("l_returnflag").agg(sum("w").as("w_total"))
+    cum.join(broadcast(tot), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        max("w_total").as("w_total"),
+        min(when(col("cw") * 2 >= col("w_total"), col("price_c")))
+          .as("wmedian_c"))
+      .orderBy("l_returnflag")
+  }
+
+  private val oWeightedMedian =
+    """WITH g AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(sum(round(l_quantity)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, price_c, w,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c)
+      |      AS BIGINT) AS cw
+      |  FROM g),
+      |t AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS w_total
+      |      FROM g GROUP BY 1)
+      |SELECT c.l_returnflag,
+      |  max(w_total) AS w_total,
+      |  min(CASE WHEN cw * 2 >= w_total THEN price_c END) AS wmedian_c
+      |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // B76 (r9): new-vs-returning decomposition — per order month, the
+  // order count and revenue split between customers in their FIRST
+  // month and returning ones (the growth-accounting view every
+  // subscription/commerce dashboard leads with). First month per
+  // customer is a hash agg on the same key the split join uses, so
+  // the shuffle is co-keyed (custkey) and the month rollup is a
+  // second map-side-combinable agg; every order in a customer's
+  // first month counts as new (deterministic, multi-order firsts
+  // included). Exact integer cents + yyyymm keys.
+  def qNewVsReturning(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_custkey"),
+      expr("year(o_orderdate) * 100 + month(o_orderdate)").cast("long")
+        .as("ym"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("ym").as("first_ym"))
+    o.join(first, "o_custkey")
+      .withColumn("is_new", (col("ym") === col("first_ym")).cast("boolean"))
+      .groupBy("ym")
+      .agg(
+        count(when(col("is_new"), 1)).as("n_new"),
+        count(when(!col("is_new"), 1)).as("n_ret"),
+        coalesce(sum(when(col("is_new"), col("cents"))), lit(0L))
+          .as("rev_new_c"),
+        coalesce(sum(when(!col("is_new"), col("cents"))), lit(0L))
+          .as("rev_ret_c"))
+      .orderBy("ym")
+  }
+
+  private val oNewVsReturning =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      |      AS ym,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(ym) AS first_ym FROM o GROUP BY 1)
+      |SELECT ym,
+      |  CAST(count(*) FILTER (WHERE ym = first_ym) AS BIGINT) AS n_new,
+      |  CAST(count(*) FILTER (WHERE ym <> first_ym) AS BIGINT) AS n_ret,
+      |  CAST(coalesce(sum(cents) FILTER (WHERE ym = first_ym), 0)
+      |    AS BIGINT) AS rev_new_c,
+      |  CAST(coalesce(sum(cents) FILTER (WHERE ym <> first_ym), 0)
+      |    AS BIGINT) AS rev_ret_c
+      |FROM o JOIN f USING (o_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val oRfm =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
@@ -2613,5 +2804,9 @@ object Relational {
     QueryDef("q_time_weighted", qTimeWeighted, Some(oTimeWeighted)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
+    QueryDef("q_pareto_share", qParetoShare, Some(oParetoShare)),
+    QueryDef("q_hhi", qHhi, Some(oHhi)),
+    QueryDef("q_weighted_median", qWeightedMedian, Some(oWeightedMedian)),
+    QueryDef("q_new_vs_returning", qNewVsReturning, Some(oNewVsReturning)),
   )
 }
