@@ -810,6 +810,62 @@ object CdcQueries {
        |   OR b.value IS DISTINCT FROM a.value
        |ORDER BY user_id""".stripMargin
 
+  // A82 (r9): incremental store-to-store replication — a replica
+  // bootstrapped from the source's v0, then converged through the
+  // committed change feed after the (W0, W1] merge window lands as
+  // the source's v1. The EXPORT is the replica's served snapshot:
+  // hash-equality against the recomputed merged source state proves
+  // the feed-replay path (diff → final-per-key compaction →
+  // touched-bucket apply) reproduces the merge it never saw.
+  // require()s pin the modes and the delta shape LOUDLY: the
+  // incremental commit must rewrite ONLY buckets holding changed keys
+  // (≤ the change set's own bucket count — an unconditional full
+  // rewrite would pass the hash and hide a broken incremental path;
+  // the sparse-span strict-subset law lives in ReplicationSpec).
+  def cdcReplicate(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val dirs = Fixtures.dirs("replicate", 2)
+    val srcDir = dirs.head
+    val dstDir = dirs(1) + "/replica"
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "replicate", targetPath = srcDir, pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    val r0 = Replication.replicate(s, srcDir, dstDir, pk).get
+    require(r0.mode == "bootstrap" && r0.srcVersion == 0L,
+      s"expected a bootstrap of src v0, got $r0")
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
+    val r1 = Replication.replicate(s, srcDir, dstDir, pk).get
+    require(r1.mode == "incremental" && r1.srcVersion == 1L,
+      s"expected an incremental replay to src v1, got $r1")
+    val m = CdcPipeline.manifest(dstDir, r1.dstVersion).get
+    val expectTouched = chg1
+      .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
+      .distinct().count()
+    require(m.buckets.values.count(_ == s"v${r1.dstVersion}") <= expectTouched,
+      "the incremental replicate commit must rewrite ONLY buckets holding " +
+        "changed keys (rewrite I/O ∝ delta, never the replica)")
+    CdcPipeline.readSnapshot(s, dstDir).get
+      .select(col("user_id"), col("event_id").as("src_event_id"),
+        col("k"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val oReplicate = oMerge
+
   // A67 (r8): timestamp time travel — the same two-version store as
   // cdc_snapshot_diff, then the snapshot AS OF the wall-clock instant
   // v0 committed, read back from the manifest meta driver-side (the
@@ -1916,6 +1972,7 @@ object CdcQueries {
     QueryDef("cdc_incr_agg_minmax", cdcIncrAggMinmax, Some(oIncrAggMinmax)),
     QueryDef("cdc_incr_agg_hll", cdcIncrAggHll, Some(oIncrAggHll)),
     QueryDef("cdc_snapshot_diff", cdcSnapshotDiff, Some(oSnapshotDiff)),
+    QueryDef("cdc_replicate", cdcReplicate, Some(oReplicate)),
     QueryDef("cdc_time_travel_ts", cdcTimeTravelTs, Some(oTimeTravelTs)),
     QueryDef("cdc_stats_prune", cdcStatsPrune, Some(oStatsPrune)),
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
