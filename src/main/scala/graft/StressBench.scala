@@ -882,6 +882,8 @@ object StressBench {
     // r9 late-batch probes (A78/C79/B62/B63/C81).
     StressBenchNew2.run(spark, n)
 
+    StressBenchNew3.run(spark, n)
+
     spark.stop()
   }
 }

@@ -127,10 +127,21 @@ object Replication {
     // upsert, one churned five times ships once
     val valueCols = feed.columns.toSeq.filterNot(c =>
       pkCols.contains(c) || c == "_commit_version")
+    // cached: the compacted span is delta-sized and drives THREE
+    // actions (count, touched-bucket collect, the merge write) —
+    // uncached each would recompute the feed's bucket-diff joins
     val changes = feed.groupBy(pkCols.map(col): _*)
       .agg(expr("max_by(struct(" + valueCols.mkString(", ") +
         "), _commit_version)").as("_s"))
       .select(pkCols.map(col) ++ valueCols.map(c => col(s"_s.$c").as(c)): _*)
+      .cache()
+    try applyChanges(spark, srcDir, dstDir, pkCols, srcV, feed, changes)
+    finally changes.unpersist()
+  }
+
+  private def applyChanges(spark: SparkSession, srcDir: String, dstDir: String,
+      pkCols: Seq[String], srcV: Long, feed: DataFrame,
+      changes: DataFrame): ReplicateOutcome = {
     val changeRows = changes.count()
     if (changeRows == 0L) {
       // metadata-only source commits (tags, describe-level ops) carry
