@@ -544,6 +544,37 @@ object GraftExtensions {
         import spark.implicits._
         plan(Seq(v).toDF("version"))
       }),
+    // graft_ndv_index(path, 'c1,c2,…') → A83 ANALYZE: build (or
+    // rebuild) the per-bucket NDV sketch index for the listed
+    // columns, published as a metadata version. Returns (version).
+    (FunctionIdentifier("graft_ndv_index"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_ndv_index"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_ndv_index path")
+        val cols = strLit(args(1), "graft_ndv_index columns")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val spark = active
+        val v = graft.cdc.CdcPipeline.buildNdvIndex(spark, path, cols)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+        import spark.implicits._
+        plan(Seq(v).toDF("version"))
+      }),
+    // graft_ndv(path, column) → the column's NDV estimate with honest
+    // coverage: (column, estimate, covered_buckets, total_buckets).
+    (FunctionIdentifier("graft_ndv"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_ndv"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_ndv path")
+        val column = strLit(args(1), "graft_ndv column")
+        val spark = active
+        val r = graft.cdc.CdcPipeline.ndvStats(spark, path, column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"column $column of $path is not NDV-indexed"))
+        import spark.implicits._
+        plan(Seq((r.column, r.estimate, r.coveredBuckets.toLong,
+          r.totalBuckets.toLong))
+          .toDF("column", "estimate", "covered_buckets", "total_buckets"))
+      }),
     // graft_add_constraint(path, name, predicateSql) → A71 ALTER TABLE
     // ADD CONSTRAINT … CHECK: validates the whole current snapshot,
     // then publishes the declaration metadata-only. Returns (version).

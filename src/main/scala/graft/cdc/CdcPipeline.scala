@@ -588,6 +588,37 @@ object CdcPipeline {
   // entries (a bloom over a superset is just extra FPs — safe).
 
   private val BloomDir = "_bloom"
+  private val NdvDir = "_ndv"
+  private def ndvMetaKey(column: String): String = s"ndv.$column"
+  private def ndvDirPath(targetDir: String, ref: String, column: String): String =
+    (if (ref.contains("/")) ref else s"$targetDir/$ref") +
+      s"/$NdvDir/${statEnc(column)}"
+
+  /** Carry NDV sketch sidecars into version `next` — the same
+    * discipline as [[carryBlooms]]: entries for `keepBuckets` copy by
+    * driver I/O, rewritten buckets' entries DROP (their distinct set
+    * changed — a stale sketch would lie), a column in `dropCols`
+    * loses its whole index, and the `ndv.*` meta KEY survives even
+    * fully degraded so [[ndvStats]] reports partial coverage and
+    * [[maintain]]'s heal trigger can see it.
+    */
+  private def carryNdv(targetDir: String, prev: Manifest, keepBuckets: Set[Int],
+      next: Long, dropCols: Set[String] = Set.empty): Map[String, String] =
+    prev.meta.keys.filter(_.startsWith("ndv.")).toSeq.sorted.flatMap { key =>
+      val column = key.stripPrefix("ndv.")
+      if (dropCols.contains(column)) None
+      else {
+        val srcDir = ndvDirPath(targetDir, prev.meta(key), column)
+        keepBuckets.toSeq.sorted.foreach { b =>
+          val src = s"$srcDir/$b.hll"
+          if (StoreFs.exists(src)) StoreFs.writeBytes(
+            s"$targetDir/v$next/$NdvDir/${statEnc(column)}/$b.hll",
+            StoreFs.readBytes(src))
+        }
+        Some(key -> s"v$next")
+      }
+    }.toMap
+
   private def bloomMetaKey(column: String): String = s"bloom.$column"
   private def bloomDirPath(targetDir: String, ref: String, column: String): String =
     (if (ref.contains("/")) ref else s"$targetDir/$ref") +
@@ -694,6 +725,7 @@ object CdcPipeline {
         // pinned in CdcPipelineSpec)
         commitMeta("bloom-index") + ("bloom_col" -> column) ++ dvMeta ++
           carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++
+          carryNdv(targetDir, m, m.buckets.keySet, next) ++
           carried + (bloomMetaKey(column) -> s"v$next")))
       swapPointer(targetDir, next, -1L)
       next
@@ -743,6 +775,119 @@ object CdcPipeline {
       residual(applyVirtual(readBuckets(spark, targetDir, m, keep), m))
     }
   }
+
+  /** Build (or incrementally repair) per-bucket NDV sketches for
+    * `columns` and publish them as a metadata version (A83 — the
+    * ANALYZE/compute-statistics surface: the column cardinalities a
+    * cost-based planner, a join-strategy heuristic, or a capacity
+    * dashboard needs, kept FRESH at delta cost instead of recomputed
+    * by a nightly full scan). One Spark pass over `buckets` (default
+    * all) computes a DataSketches HLL per (column, bucket) via
+    * `hll_sketch_agg` — partials fill map-side, shuffle ∝ buckets ×
+    * sketch bytes, never rows; the scan is DV-applied so deleted
+    * rows never count. Sketches land as `v<N>/_ndv/<col>/<b>.hll`
+    * sidecars; per-bucket granularity is what makes the index
+    * maintainable: delta publishes DROP rewritten buckets' entries
+    * and carry the rest (degrade-never-lie), so repairing after a
+    * merge re-sketches ONLY the degraded buckets (`buckets =
+    * Some(missing)` — the A70 incremental-heal shape), and the
+    * table-level estimate is the UNION of bucket sketches (HLL union
+    * is exact over its own merges — no double counting across
+    * buckets).
+    */
+  def buildNdvIndex(spark: SparkSession, targetDir: String, columns: Seq[String],
+      buckets: Option[Set[Int]] = None): Option[Long] = {
+    require(columns.nonEmpty, "buildNdvIndex needs at least one column")
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
+      columns.foreach(c => require(m.schema.fieldNames.contains(c),
+        s"no such column: $c"))
+      val scanSet = buckets.map(_.intersect(m.buckets.keySet))
+        .getOrElse(m.buckets.keySet)
+      val snap = readBucketsWithPos(spark, targetDir, m, scanSet)
+      val bucket = substring_index(substring_index(col(DvFileCol), "/", 1), "=", -1)
+        .cast("int")
+      val entries =
+        if (scanSet.isEmpty) Array.empty[Row]
+        else snap
+          .groupBy(bucket.as("b"))
+          .agg(hll_sketch_agg(col(columns.head)).as(columns.head),
+            columns.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
+          .collect()
+      val next = claimNextFrom(targetDir, m.readVersion)
+      // other columns' sketches carry everywhere; the rebuilt columns
+      // carry only OUTSIDE the scanned set (incremental repair), and
+      // the fresh sketches land on top
+      val carried = carryNdv(targetDir, m, m.buckets.keySet, next, columns.toSet)
+      if (buckets.nonEmpty) columns.foreach { c =>
+        m.meta.get(ndvMetaKey(c)).foreach { ref =>
+          val srcDir = ndvDirPath(targetDir, ref, c)
+          (m.buckets.keySet -- scanSet).toSeq.sorted.foreach { b =>
+            val src = s"$srcDir/$b.hll"
+            if (StoreFs.exists(src)) StoreFs.writeBytes(
+              s"$targetDir/v$next/$NdvDir/${statEnc(c)}/$b.hll",
+              StoreFs.readBytes(src))
+          }
+        }
+      }
+      entries.foreach { r =>
+        val b = r.getInt(0)
+        columns.zipWithIndex.foreach { case (c, i) =>
+          Option(r.get(i + 1)).foreach(sk => StoreFs.writeBytes(
+            s"$targetDir/v$next/$NdvDir/${statEnc(c)}/$b.hll",
+            sk.asInstanceOf[Array[Byte]]))
+        }
+      }
+      val dvMeta = m.meta.get("dv").map { ref =>
+        StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
+        "dv" -> s"v$next"
+      }.toMap
+      writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
+        m.buckets, m.stats,
+        commitMeta("ndv-index") + ("ndv_cols" -> columns.sorted.mkString(",")) ++
+          dvMeta ++ carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++
+          carryProps(m) ++ carryBlooms(targetDir, m, m.buckets.keySet, next) ++
+          carried ++ columns.map(c => ndvMetaKey(c) -> s"v$next")))
+      swapPointer(targetDir, next, -1L)
+      next
+    }
+  }
+
+  /** One column's NDV statistics: estimate + honest coverage. */
+  final case class NdvReport(column: String, estimate: Long,
+      coveredBuckets: Int, totalBuckets: Int) {
+    def fullCoverage: Boolean = coveredBuckets == totalBuckets
+  }
+
+  /** The table-level NDV estimate for an indexed column: union the
+    * surviving per-bucket sketches (one config-sized Spark
+    * aggregation over |buckets| sketch blobs — `hll_union_agg` →
+    * `hll_sketch_estimate`). Coverage is reported honestly: buckets
+    * whose entry was dropped by a rewrite are NOT guessed at — the
+    * estimate covers exactly `coveredBuckets` of `totalBuckets`, and
+    * a consumer wanting the full number heals first ([[maintain]]'s
+    * `ndvRebuildPct` or an explicit incremental [[buildNdvIndex]]).
+    * None when the column is not NDV-indexed.
+    */
+  def ndvStats(spark: SparkSession, targetDir: String,
+      column: String): Option[NdvReport] =
+    currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).flatMap { m =>
+      m.meta.get(ndvMetaKey(column)).map { ref =>
+        val dir = ndvDirPath(targetDir, ref, column)
+        val present = m.buckets.keySet.toSeq.sorted.flatMap { b =>
+          val p = s"$dir/$b.hll"
+          if (StoreFs.exists(p)) Some(StoreFs.readBytes(p)) else None
+        }
+        val est =
+          if (present.isEmpty) 0L
+          else {
+            import spark.implicits._
+            present.toDF("sk")
+              .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+              .collect()(0).getLong(0)
+          }
+        NdvReport(column, est, present.size, m.buckets.size)
+      }
+    }
 
   /** Time-travel: the snapshot as of `version` (≤ the current
     * pointer). Any version whose manifest survives `vacuum`'s
@@ -996,7 +1141,8 @@ object CdcPipeline {
           carryVirtual(prev) ++ carryProps(prev) ++
           carryDv(mergedSubset.sparkSession, targetDir, prev, carried.keySet,
             next) ++
-          carryBlooms(targetDir, prev, carried.keySet, next)))
+          carryBlooms(targetDir, prev, carried.keySet, next) ++
+          carryNdv(targetDir, prev, carried.keySet, next)))
     if (swapNow) swapPointer(targetDir, next, batchId)
     next
   }
@@ -1198,12 +1344,17 @@ object CdcPipeline {
         val all = readDv(spark, targetDir, m, None).fold(hits)(_ unionByName hits)
         all.coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(s"$targetDir/v$next/$DvDir")
+        val dvB = all.select("bucket").distinct().collect()
+          .map(_.getInt(0)).toSet
         writeManifest(targetDir, next, Manifest(m.numBuckets, m.schemaJson,
           m.buckets, m.stats,
           commitMeta("delete_mor") + ("dv" -> s"v$next") ++
             carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++
-            // blooms stay valid over a superset — just extra FPs
-            carryBlooms(targetDir, m, m.buckets.keySet, next)))
+            // blooms stay valid over a superset — just extra FPs;
+            // NDV sketches over a superset become upper bounds — a
+            // MoR delete DROPS every DV'd bucket's entry instead
+            carryBlooms(targetDir, m, m.buckets.keySet, next) ++
+            carryNdv(targetDir, m, m.buckets.keySet -- dvB, next)))
         swapPointer(targetDir, next, -1L)
         // A56 fold policy: once the accumulated vector crosses
         // `autoFoldPct` percent of the table (both row counts from
@@ -1426,7 +1577,8 @@ object CdcPipeline {
         commitMeta(opLabel) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) ++
           (if (carried.nonEmpty) carryDefaults(m) else Map.empty) ++
           carryDv(spark, targetDir, m, carried.keySet, next) ++
-          carryBlooms(targetDir, m, carried.keySet, next)))
+          carryBlooms(targetDir, m, carried.keySet, next) ++
+          carryNdv(targetDir, m, carried.keySet, next)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1488,8 +1640,9 @@ object CdcPipeline {
           carryDefaults(m).filterNot { case (k, _) =>
             drop.exists(c => k == s"coldefault.${statEnc(c)}") } ++
           dvMeta ++
-          // a dropped column's bloom index goes with it
-          carryBlooms(targetDir, m, m.buckets.keySet, next, drop.toSet)))
+          // a dropped column's bloom and NDV indexes go with it
+          carryBlooms(targetDir, m, m.buckets.keySet, next, drop.toSet) ++
+          carryNdv(targetDir, m, m.buckets.keySet, next, drop.toSet)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1536,7 +1689,8 @@ object CdcPipeline {
           carryDefaults(m) ++ carryConstraints(m) ++ carryVirtual(m) ++ carryProps(m) +
           (s"coldefault.${statEnc(name)}" ->
             s"$next ${statEnc(String.valueOf(default))}") ++
-          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next) ++
+          carryNdv(targetDir, m, m.buckets.keySet, next)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1688,7 +1842,8 @@ object CdcPipeline {
         m.buckets, m.stats,
         commitMeta("add-constraint") ++ carryDefaults(m) ++ carryVirtual(m) ++ carryProps(m) ++
           carryConstraints(m) + (s"$ConstraintPrefix$name" -> predicate) ++
-          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next) ++
+          carryNdv(targetDir, m, m.buckets.keySet, next)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -1712,7 +1867,8 @@ object CdcPipeline {
           commitMeta("drop-constraint") + ("unconstrained" -> name) ++
             carryDefaults(m) ++ carryVirtual(m) ++ carryProps(m) ++
             (carryConstraints(m) - s"$ConstraintPrefix$name") ++
-            dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+            dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next) ++
+            carryNdv(targetDir, m, m.buckets.keySet, next)))
         swapPointer(targetDir, next, -1L)
         Some(next)
       }
@@ -1762,7 +1918,8 @@ object CdcPipeline {
         commitMeta("set-properties") ++ carryDefaults(m) ++ carryVirtual(m) ++
           carryConstraints(m) ++ carryProps(m) ++
           props.map { case (k, v) => s"$PropPrefix$k" -> statEnc(v) } ++
-          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next)))
+          dvMeta ++ carryBlooms(targetDir, m, m.buckets.keySet, next) ++
+          carryNdv(targetDir, m, m.buckets.keySet, next)))
       swapPointer(targetDir, next, -1L)
       next
     }
@@ -2320,6 +2477,12 @@ object CdcPipeline {
       bloomRebuildPct: Option[Int] = Some(30),
       bloomExpectedPerBucket: Long = 100000L,
       bloomFpp: Double = 0.01,
+      /** Repair a column's NDV sketch index (A83) once MORE than this
+        * percentage of the current buckets lack a sidecar — the same
+        * degrade-then-heal discipline as `bloomRebuildPct`, priced ∝
+        * the degraded buckets via the incremental [[buildNdvIndex]].
+        */
+      ndvRebuildPct: Option[Int] = Some(30),
       /** Regenerate the A74 symlink-format manifest at the END of the
         * pass (Delta's `symlinkFormatManifest.enabled` auto-mode), so
         * external engines track the table without a separate step.
@@ -2367,7 +2530,11 @@ object CdcPipeline {
       /** (version, rows) of the TTL delete this pass (None = TTL off
         * or the stats pre-check proved nothing expired).
         */
-      ttlDeleted: Option[(Long, Long)] = None)
+      ttlDeleted: Option[(Long, Long)] = None,
+      /** Columns whose NDV sketch index (A83) was incrementally
+        * repaired this pass.
+        */
+      ndvRebuilt: Seq[String] = Nil)
 
   /** One-call maintenance driver (A64 — the scheduler slot every
     * lakehouse grows: Delta's auto-compaction + log retention,
@@ -2474,6 +2641,28 @@ object CdcPipeline {
             }
             degraded.map(_._1)
         }
+        val ndvRebuilt: Seq[String] = policy.ndvRebuildPct match {
+          case None => Nil
+          case Some(pct) =>
+            val degraded = for {
+              v <- currentVersion(targetDir).toSeq
+              m <- manifest(targetDir, v).toSeq
+              key <- m.meta.keys.filter(_.startsWith("ndv.")).toSeq.sorted
+              column = key.stripPrefix("ndv.")
+              dir = ndvDirPath(targetDir, m.meta(key), column)
+              missing = m.buckets.keySet.filter(b => !StoreFs.exists(s"$dir/$b.hll"))
+              if m.buckets.nonEmpty &&
+                missing.size.toLong * 100 > pct.toLong * m.buckets.size
+            } yield (column, missing)
+            // one incremental repair pass covers ALL degraded columns
+            // sharing a bucket scan when their missing sets coincide;
+            // repairs stay per-column to keep each scan ∝ its own
+            // degradation
+            degraded.foreach { case (c, missing) =>
+              buildNdvIndex(spark, targetDir, Seq(c), buckets = Some(missing))
+            }
+            degraded.map(_._1)
+        }
         val expired = policy.expireOlderThanUs
           .map(expireSnapshots(targetDir, _)).getOrElse(Seq.empty)
         val vacuumed = policy.keepVersions
@@ -2487,7 +2676,7 @@ object CdcPipeline {
             .filter(m => !m.meta.contains("dv") && columnDefaults(m).isEmpty)
             .flatMap(_ => generateSymlinkManifest(targetDir).map(_.size))
         MaintenanceReport(folded, frag, optV, bloomRebuilt, expired, vacuumed,
-          manifestFiles, ttlDeleted)
+          manifestFiles, ttlDeleted, ndvRebuilt)
       }
     }
 

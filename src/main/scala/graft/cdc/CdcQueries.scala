@@ -866,6 +866,82 @@ object CdcQueries {
 
   private val oReplicate = oMerge
 
+  // A83 (r9): ANALYZE NDV statistics — per-bucket HLL sketches built
+  // at v0, degraded honestly by the (W0, W1] merge (rewritten
+  // buckets' entries drop — require-asserted), then healed through
+  // maintain()'s policy trigger. The EXPORT pins the lifecycle with
+  // engine-computed verdict booleans the oracle re-derives as
+  // constants (the cdc_incr_agg_hll pattern): per column, the exact
+  // NDV of the post-merge state (hash-matched against DuckDB's
+  // count(DISTINCT)), estimate-within-5%-of-exact, and
+  // full-coverage-after-heal. A stubbed estimate or a heal that
+  // rescans nothing (stale sketches of pre-merge k values would miss
+  // the +10000 shift and blow the 5% bound) fails the gate.
+  def cdcNdv(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "ndv", targetPath = Fixtures.dirs("ndv", 1).head, pk = pk,
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(16))
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
+    CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
+    CdcPipeline.buildNdvIndex(s, cfg.targetPath, Seq("k", "event_id"))        // v1
+    require(CdcPipeline.ndvStats(s, cfg.targetPath, "k").exists(_.fullCoverage))
+    val chg1 = ChangeCompaction.compactForMerge(
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+    CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count())                   // v2
+    val degraded = CdcPipeline.ndvStats(s, cfg.targetPath, "k").get
+    require(degraded.coveredBuckets < degraded.totalBuckets,
+      "the merge must drop rewritten buckets' NDV entries")
+    CdcPipeline.maintain(s, cfg.targetPath, pk, CdcPipeline.MaintenancePolicy(
+      dvFoldPct = None, smallFilesPerBucket = None, keepVersions = None,
+      bloomRebuildPct = None, ndvRebuildPct = Some(1)))
+    val snap = CdcPipeline.readSnapshot(s, cfg.targetPath).get
+    val exact = snap.agg(
+      countDistinct(col("k")).as("k"),
+      countDistinct(col("event_id")).as("e")).collect()(0)
+    val reps = Seq("k" -> exact.getLong(0), "event_id" -> exact.getLong(1)).map {
+      case (c, ex) =>
+        val r = CdcPipeline.ndvStats(s, cfg.targetPath, c).get
+        (c, ex, math.abs(r.estimate - ex) <= math.max(1L, ex / 20),
+          r.fullCoverage)
+    }
+    import s.implicits._
+    reps.toDF("column", "exact_ndv", "estimate_ok", "full_coverage")
+      .orderBy("column")
+  }
+
+  private val oNdv =
+    s"""WITH tgt AS (SELECT user_id, event_id, k, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM (SELECT user_id, event_id, $dK AS k, value, $dOp AS op, ts
+       |          FROM events WHERE ts <= TIMESTAMP '2024-01-10') h) hh
+       |  WHERE rn2 = 1 AND op != 'd'),
+       |chg AS (SELECT user_id, event_id, k, value, op FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn3
+       |    FROM events WHERE $dWin) w
+       |  WHERE rn3 = 1),
+       |m AS (
+       |  SELECT t.user_id, t.event_id, t.k FROM tgt t
+       |  WHERE t.user_id NOT IN (SELECT user_id FROM chg)
+       |  UNION ALL
+       |  SELECT c.user_id, c.event_id, c.k FROM chg c WHERE c.op != 'd')
+       |SELECT 'event_id' AS "column", count(DISTINCT event_id) AS exact_ndv,
+       |  TRUE AS estimate_ok, TRUE AS full_coverage FROM m
+       |UNION ALL
+       |SELECT 'k', count(DISTINCT k), TRUE, TRUE FROM m
+       |ORDER BY "column"""".stripMargin
+
   // A67 (r8): timestamp time travel — the same two-version store as
   // cdc_snapshot_diff, then the snapshot AS OF the wall-clock instant
   // v0 committed, read back from the manifest meta driver-side (the
@@ -1973,6 +2049,7 @@ object CdcQueries {
     QueryDef("cdc_incr_agg_hll", cdcIncrAggHll, Some(oIncrAggHll)),
     QueryDef("cdc_snapshot_diff", cdcSnapshotDiff, Some(oSnapshotDiff)),
     QueryDef("cdc_replicate", cdcReplicate, Some(oReplicate)),
+    QueryDef("cdc_ndv", cdcNdv, Some(oNdv)),
     QueryDef("cdc_time_travel_ts", cdcTimeTravelTs, Some(oTimeTravelTs)),
     QueryDef("cdc_stats_prune", cdcStatsPrune, Some(oStatsPrune)),
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
