@@ -3761,7 +3761,85 @@ object OpsQueries {
       |    + cid) % 64 AS BIGINT) AS centroid
       |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // C93 (r9): dedup savings report — the per-source accounting that
+  // justifies a dedup pass before anyone runs it: how many rows and
+  // characters does exact dedup reclaim, attributed to the source of
+  // each NON-KEEPER copy (duplicates cross sources, so the group key
+  // is the global text hash and the keeper is the C1 min-doc_id
+  // canonical). Shapes: ONE md5 hash agg for keepers (map-side
+  // combine), one co-keyed join back on the hash, one source rollup
+  // — shuffle ∝ corpus rows, state ∝ sources. Exact integers;
+  // savings as truncating ppm of the source's characters.
+  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+    val keep = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    docs.join(keep, "h")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("doc_id") =!= col("keep_id"), 1)).as("n_dupes"),
+        sum("n_chars").as("chars_total"),
+        coalesce(sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))),
+          lit(0L)).as("chars_saved"))
+      .withColumn("savings_ppm",
+        expr("chars_saved * 1000000L DIV chars_total"))
+      .orderBy("source")
+  }
+
+  private val oDedupSavings =
+    """WITH k AS (
+      |  SELECT md5(text) AS h, min(doc_id) AS keep_id
+      |  FROM documents GROUP BY 1)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE doc_id <> keep_id) AS BIGINT)
+      |    AS n_dupes,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(coalesce(sum(n_chars) FILTER (WHERE doc_id <> keep_id), 0)
+      |    AS BIGINT) AS chars_saved,
+      |  CAST(coalesce(sum(n_chars) FILTER (WHERE doc_id <> keep_id), 0)
+      |    * 1000000 // sum(n_chars) AS BIGINT) AS savings_ppm
+      |FROM documents JOIN k ON md5(text) = h
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // C94 (r9): per-source length-percentile report — the p50/p90/p99
+  // document sizes a dataloader planner sizes batches and truncation
+  // budgets from (C45's MAD trims outliers; this reports the
+  // distribution shape per source). ONE percentile_disc aggregate
+  // computes all three boundaries + min/max per source (the B67
+  // boundary discipline — no per-source sort materializes rows),
+  // hash agg to |sources| rows. Exact: percentile_disc returns an
+  // actual stored value, identical both engines.
+  def corpusLengthPercentiles(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+          .as("p50"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+          .as("p90"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+          .as("p99"),
+        max("n_chars").as("max_chars"))
+      .orderBy("source")
+
+  private val oCorpusLengthPercentiles =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(n_chars) AS min_chars,
+      |  quantile_disc(n_chars, 0.5) AS p50,
+      |  quantile_disc(n_chars, 0.9) AS p90,
+      |  quantile_disc(n_chars, 0.99) AS p99,
+      |  max(n_chars) AS max_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_savings", dedupSavings, Some(oDedupSavings)),
+    QueryDef("corpus_length_percentiles", corpusLengthPercentiles,
+      Some(oCorpusLengthPercentiles)),
     QueryDef("sample_weighted", sampleWeighted, Some(oSampleWeighted)),
     QueryDef("text_compressibility", textCompressibility,
       Some(oTextCompressibility)),

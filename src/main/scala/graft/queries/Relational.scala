@@ -2706,6 +2706,113 @@ object Relational {
       |FROM o JOIN f USING (o_custkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // B77 (r9): ABC classification — rank suppliers within each nation
+  // by revenue, classify by cumulative share (A ≤ 70%, B ≤ 90%, C
+  // rest), the inventory/vendor-tiering staple. The cumulative order
+  // is inherent to the metric, so the window runs PARTITIONED BY
+  // NATION over the per-supplier POST-AGGREGATION report (state ∝
+  // suppliers per nation, parallel across nations — never a global
+  // single-task sort, and never ∝ lineitem). Deterministic under
+  // ties (rev DESC, suppkey); cumulative share as truncating ppm of
+  // the nation total via a |nations|-row broadcast.
+  def qAbcClass(s: SparkSession, d: String): DataFrame = {
+    val sup = T.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(revExpr)).cast("long").as("rev_c"))
+      .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("nationkey"),
+        col("l_suppkey").as("suppkey"), col("rev_c"))
+    val tot = sup.groupBy("nationkey").agg(sum("rev_c").as("nat_total"))
+    sup.join(broadcast(tot), "nationkey")
+      .withColumn("cum_c", sum("rev_c").over(
+        Window.partitionBy("nationkey")
+          .orderBy(col("rev_c").desc, col("suppkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("nationkey"), col("suppkey"), col("rev_c"),
+        expr("cum_c * 1000000L DIV nat_total").as("cum_ppm"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= 700000L, "A")
+          .when(col("cum_ppm") <= 900000L, "B").otherwise("C"))
+      .orderBy("nationkey", "suppkey")
+  }
+
+  private val oAbcClass =
+    """WITH sup AS (
+      |  SELECT s_nationkey AS nationkey, l_suppkey AS suppkey,
+      |    CAST(sum(round(l_extendedprice * (1.0 - l_discount) * 100.0))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT nationkey, CAST(sum(rev_c) AS BIGINT) AS nat_total
+      |      FROM sup GROUP BY 1),
+      |c AS (
+      |  SELECT sup.nationkey, suppkey, rev_c,
+      |    CAST(sum(rev_c) OVER (PARTITION BY sup.nationkey
+      |      ORDER BY rev_c DESC, suppkey) * 1000000 // nat_total
+      |      AS BIGINT) AS cum_ppm
+      |  FROM sup JOIN t ON sup.nationkey = t.nationkey)
+      |SELECT CAST(nationkey AS BIGINT) AS nationkey, suppkey, rev_c,
+      |  cum_ppm,
+      |  CASE WHEN cum_ppm <= 700000 THEN 'A'
+      |       WHEN cum_ppm <= 900000 THEN 'B' ELSE 'C' END AS abc_class
+      |FROM c ORDER BY nationkey, suppkey""".stripMargin
+
+  // B78 (r9): cohort LTV curve — cumulative revenue per (first-order
+  // cohort month, months-of-age), normalized per cohort member: the
+  // lifetime-value view B61's retention matrix counts heads for.
+  // Cohort assignment is a hash agg on the SAME key as the split
+  // join (co-keyed custkey shuffle, B76's shape); the (cohort, age)
+  // rollup is map-side-combinable; the cumulative window runs over
+  // the |cohorts × ages| POST-AGGREGATION report partitioned by
+  // cohort. Integer month arithmetic (y·12+m), exact cents, per-head
+  // LTV as floor division by the cohort's member count.
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_custkey"),
+      expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").cast("long")
+        .as("mix"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("mix").as("cohort_mix"))
+    val sizes = first.groupBy("cohort_mix")
+      .agg(count(lit(1)).as("cohort_size"))
+    o.join(first, "o_custkey")
+      .groupBy(col("cohort_mix"), (col("mix") - col("cohort_mix")).as("age"))
+      .agg(sum("cents").as("rev_c"))
+      .withColumn("cum_rev_c", sum("rev_c").over(
+        Window.partitionBy("cohort_mix").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), "cohort_mix")
+      .select(
+        expr("cohort_mix DIV 12 * 100 + cohort_mix % 12 + 1").as("cohort_ym"),
+        col("age"), col("rev_c"), col("cum_rev_c"), col("cohort_size"),
+        expr("cum_rev_c DIV cohort_size").as("ltv_per_head_c"))
+      .orderBy("cohort_ym", "age")
+  }
+
+  private val oCohortLtv =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS mix,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(mix) AS cohort_mix FROM o GROUP BY 1),
+      |sz AS (SELECT cohort_mix, CAST(count(*) AS BIGINT) AS cohort_size
+      |       FROM f GROUP BY 1),
+      |r AS (
+      |  SELECT cohort_mix, mix - cohort_mix AS age,
+      |    CAST(sum(cents) AS BIGINT) AS rev_c
+      |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort_mix, age, rev_c,
+      |    CAST(sum(rev_c) OVER (PARTITION BY cohort_mix ORDER BY age)
+      |      AS BIGINT) AS cum_rev_c
+      |  FROM r)
+      |SELECT cohort_mix // 12 * 100 + cohort_mix % 12 + 1 AS cohort_ym,
+      |  age, rev_c, cum_rev_c, cohort_size,
+      |  cum_rev_c // cohort_size AS ltv_per_head_c
+      |FROM c JOIN sz USING (cohort_mix)
+      |ORDER BY cohort_ym, age""".stripMargin
+
   private val oRfm =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
@@ -2808,5 +2915,7 @@ object Relational {
     QueryDef("q_hhi", qHhi, Some(oHhi)),
     QueryDef("q_weighted_median", qWeightedMedian, Some(oWeightedMedian)),
     QueryDef("q_new_vs_returning", qNewVsReturning, Some(oNewVsReturning)),
+    QueryDef("q_abc_class", qAbcClass, Some(oAbcClass)),
+    QueryDef("q_cohort_ltv", qCohortLtv, Some(oCohortLtv)),
   )
 }
