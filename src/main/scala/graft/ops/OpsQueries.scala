@@ -3836,7 +3836,56 @@ object OpsQueries {
       |  max(n_chars) AS max_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // C95 (r9): embedding hygiene screen — the pre-index sanity pass
+  // every vector pipeline needs: per label, how many vectors are
+  // zero-norm (cosine-undefined — they silently poison ANN indexes),
+  // carry a non-finite component, or are mis-dimensioned, plus the
+  // squared-norm distribution (p50/min/max). Norms are exported as
+  // round(‖v‖²·10⁴) integers: both engines fold the f32 components
+  // in index order through double accumulation — identical IEEE op
+  // sequence — so the rounded fixed-point value is bit-stable (the
+  // C5 margin discipline, with a 10⁻¹² boundary-flip exposure at
+  // 1e-4 resolution). ONE codegen'd per-row projection (no explode),
+  // hash agg to |labels| rows.
+  def embedHygiene(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        expr("size(embedding)").cast("long").as("dims"),
+        expr("CAST(round(aggregate(embedding, 0D, " +
+          "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 10000D) " +
+          "AS BIGINT)").as("norm2_e4"),
+        expr("exists(embedding, x -> isnan(x))").as("bad"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("norm2_e4") === 0L, 1)).as("n_zero_norm"),
+        count(when(col("bad"), 1)).as("n_nonfinite"),
+        count(when(col("dims") =!= 64L, 1)).as("n_misdim"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2_e4) AS BIGINT)")
+          .as("p50_norm2_e4"),
+        min("norm2_e4").as("min_norm2_e4"),
+        max("norm2_e4").as("max_norm2_e4"))
+      .orderBy("label")
+
+  private val oEmbedHygiene =
+    """WITH v AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(len(embedding) AS BIGINT) AS dims,
+      |    CAST(round(list_reduce(list_prepend(0.0,
+      |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]),
+      |      (a, b) -> a + b) * 10000) AS BIGINT) AS norm2_e4,
+      |    len([x FOR x IN embedding IF isnan(CAST(x AS DOUBLE))]) > 0 AS bad
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(count(*) FILTER (WHERE norm2_e4 = 0) AS BIGINT) AS n_zero_norm,
+      |  CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_nonfinite,
+      |  CAST(count(*) FILTER (WHERE dims <> 64) AS BIGINT) AS n_misdim,
+      |  quantile_disc(norm2_e4, 0.5) AS p50_norm2_e4,
+      |  min(norm2_e4) AS min_norm2_e4,
+      |  max(norm2_e4) AS max_norm2_e4
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("embed_hygiene", embedHygiene, Some(oEmbedHygiene)),
     QueryDef("dedup_savings", dedupSavings, Some(oDedupSavings)),
     QueryDef("corpus_length_percentiles", corpusLengthPercentiles,
       Some(oCorpusLengthPercentiles)),

@@ -2813,6 +2813,74 @@ object Relational {
       |FROM c JOIN sz USING (cohort_mix)
       |ORDER BY cohort_ym, age""".stripMargin
 
+  // B79 (r9): seasonal index — each calendar month's revenue share
+  // against a flat year (ppm of 1e6 = no seasonality), the
+  // demand-planning staple under B69's trend line. ONE pruned scan →
+  // 12-row map-side-combinable hash agg → declared 1-row total
+  // crossJoin; index = month_rev · 12 · 10⁶ / total with one
+  // truncating division — exact integer throughout.
+  def qSeasonalIndex(s: SparkSession, d: String): DataFrame = {
+    val m = T.orders(s, d)
+      .groupBy(month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("rev_c"))
+    val tot = m.agg(sum("rev_c").as("total_c"))
+    m.crossJoin(broadcast(tot))
+      .select(col("m"), col("n_orders"), col("rev_c"),
+        expr("rev_c * 12L * 1000000L DIV total_c").as("index_ppm"))
+      .orderBy("m")
+  }
+
+  private val oSeasonalIndex =
+    """WITH m AS (
+      |  SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM m)
+      |SELECT m, n_orders, rev_c,
+      |  rev_c * 12 * 1000000 // total_c AS index_ppm
+      |FROM m, t ORDER BY m""".stripMargin
+
+  // B80 (r9): fulfillment-latency percentiles — order-to-ship day
+  // gaps per order priority (the SLA view): one co-keyed orderkey
+  // join (lineitem ⨝ orders — both sides shuffle on the same key,
+  // no broadcast needed at any scale), integer day arithmetic, then
+  // the B67 boundary discipline computes p50/p90/p99 + mean in ONE
+  // hash agg per priority — no per-priority sort materializes rows.
+  def qFulfillmentLatency(s: SparkSession, d: String): DataFrame = {
+    def pd(q: String) =
+      expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY gap_days) AS BIGINT)")
+    T.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+          .as("ship_day"))
+      .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        (col("ship_day") - col("order_day")).as("gap_days"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_lines"),
+        pd("0.5").as("p50"), pd("0.9").as("p90"), pd("0.99").as("p99"),
+        expr("sum(gap_days) DIV count(*)").as("mean_days"))
+      .orderBy("prio")
+  }
+
+  private val oFulfillmentLatency =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS prio,
+      |    epoch_us(l_shipdate) // 86400000000
+      |      - epoch_us(o_orderdate) // 86400000000 AS gap_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT prio, CAST(count(*) AS BIGINT) AS n_lines,
+      |  quantile_disc(gap_days, 0.5) AS p50,
+      |  quantile_disc(gap_days, 0.9) AS p90,
+      |  quantile_disc(gap_days, 0.99) AS p99,
+      |  CAST(sum(gap_days) // count(*) AS BIGINT) AS mean_days
+      |FROM g GROUP BY prio ORDER BY prio""".stripMargin
+
   private val oRfm =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
@@ -2917,5 +2985,8 @@ object Relational {
     QueryDef("q_new_vs_returning", qNewVsReturning, Some(oNewVsReturning)),
     QueryDef("q_abc_class", qAbcClass, Some(oAbcClass)),
     QueryDef("q_cohort_ltv", qCohortLtv, Some(oCohortLtv)),
+    QueryDef("q_seasonal_index", qSeasonalIndex, Some(oSeasonalIndex)),
+    QueryDef("q_fulfillment_latency", qFulfillmentLatency,
+      Some(oFulfillmentLatency)),
   )
 }
