@@ -1972,6 +1972,7 @@ object CdcPipeline {
       smallFilesPerBucket = intKnob("smallFilesPerBucket", base.smallFilesPerBucket),
       keepVersions = intKnob("keepVersions", base.keepVersions),
       bloomRebuildPct = intKnob("bloomRebuildPct", base.bloomRebuildPct),
+      ndvRebuildPct = intKnob("ndvRebuildPct", base.ndvRebuildPct),
       sortCols = p.get("graft.maintain.sortCols")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.sortCols),

@@ -3884,7 +3884,40 @@ object OpsQueries {
       |  max(norm2_e4) AS max_norm2_e4
       |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  // C96 (r9): dedup threshold sensitivity — pair counts and affected
+  // docs at a LADDER of Jaccard thresholds from one truth
+  // computation, the tuning evidence behind choosing C2's τ (too low
+  // merges distinct docs, too high leaves near-dups; the report
+  // shows where the cliff is). Reuses the session-cached capped
+  // truth (τ=0.2 floor) — ONE O(cap²) pass shared with the recall
+  // gates — then a 5-row ladder crossJoin + conditional agg; at
+  // production scale the input would be C2's LSH pairs, same report
+  // shape.
+  def dedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardTruthCached(s, d, 500, 0.2)
+    val taus = Seq(200000L, 300000L, 420000L, 500000L, 700000L)
+    val ladder = taus.map(t => (t, t / 1e6)).toDF("tau_ppm", "tau")
+    pairs.crossJoin(broadcast(ladder))
+      .filter(col("jaccard") >= col("tau"))
+      .groupBy("tau_ppm")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_docs_dropped"))
+      .orderBy("tau_ppm")
+  }
+
+  private val oDedupThresholdSweep =
+    s"""${oJaccardTruth(500, 0.2)}
+       |SELECT tau_ppm, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_dropped
+       |FROM truth, (SELECT unnest([200000, 300000, 420000, 500000,
+       |  700000]) AS tau_ppm) t
+       |WHERE jaccard >= tau_ppm / 1000000.0
+       |GROUP BY tau_ppm ORDER BY tau_ppm""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_threshold_sweep", dedupThresholdSweep,
+      Some(oDedupThresholdSweep)),
     QueryDef("embed_hygiene", embedHygiene, Some(oEmbedHygiene)),
     QueryDef("dedup_savings", dedupSavings, Some(oDedupSavings)),
     QueryDef("corpus_length_percentiles", corpusLengthPercentiles,

@@ -2881,6 +2881,56 @@ object Relational {
       |  CAST(sum(gap_days) // count(*) AS BIGINT) AS mean_days
       |FROM g GROUP BY prio ORDER BY prio""".stripMargin
 
+  // B81 (r9): leaderboard rank movers — each customer's within-month
+  // revenue rank and its change vs their previous ACTIVE month (the
+  // "fastest risers" dynamics B65's metric deltas can't see: rank is
+  // relative, so a customer can grow revenue and still fall). Two
+  // window passes over the per-(customer, month) POST-AGGREGATION
+  // report: rank partitioned BY MONTH (parallel across months,
+  // deterministic tie order rev DESC then custkey), lag partitioned
+  // BY CUSTOMER ordered by month. Export filtered to moves of ≥ 50
+  // places (a deterministic integer screen keeping the report
+  // mover-sized).
+  def qRankMovers(s: SparkSession, d: String): DataFrame = {
+    val cm = T.orders(s, d)
+      .groupBy(col("o_custkey"),
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+          .as("ym"))
+      .agg(expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("rev_c"))
+    val ranked = cm.withColumn("rnk", row_number().over(
+      Window.partitionBy("ym").orderBy(col("rev_c").desc, col("o_custkey")))
+      .cast("long"))
+    ranked
+      .withColumn("prev_rnk", lag("rnk", 1).over(
+        Window.partitionBy("o_custkey").orderBy("ym")))
+      .filter(col("prev_rnk").isNotNull)
+      .withColumn("delta", col("prev_rnk") - col("rnk"))
+      .filter(abs(col("delta")) >= 50L)
+      .select(col("o_custkey"), col("ym"), col("rev_c"), col("rnk"),
+        col("prev_rnk"), col("delta"))
+      .orderBy("o_custkey", "ym")
+  }
+
+  private val oRankMovers =
+    """WITH cm AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      |      AS ym,
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT o_custkey, ym, rev_c,
+      |    CAST(row_number() OVER (PARTITION BY ym
+      |      ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS rnk
+      |  FROM cm),
+      |l AS (
+      |  SELECT o_custkey, ym, rev_c, rnk,
+      |    lag(rnk) OVER (PARTITION BY o_custkey ORDER BY ym) AS prev_rnk
+      |  FROM r)
+      |SELECT o_custkey, ym, rev_c, rnk, prev_rnk, prev_rnk - rnk AS delta
+      |FROM l WHERE prev_rnk IS NOT NULL AND abs(prev_rnk - rnk) >= 50
+      |ORDER BY o_custkey, ym""".stripMargin
+
   private val oRfm =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
@@ -2988,5 +3038,6 @@ object Relational {
     QueryDef("q_seasonal_index", qSeasonalIndex, Some(oSeasonalIndex)),
     QueryDef("q_fulfillment_latency", qFulfillmentLatency,
       Some(oFulfillmentLatency)),
+    QueryDef("q_rank_movers", qRankMovers, Some(oRankMovers)),
   )
 }
