@@ -142,14 +142,27 @@ object Replication {
   private def applyChanges(spark: SparkSession, srcDir: String, dstDir: String,
       pkCols: Seq[String], srcV: Long, feed: DataFrame,
       changes: DataFrame): ReplicateOutcome = {
-    val changeRows = changes.count()
-    if (changeRows == 0L) {
-      // metadata-only source commits (tags, describe-level ops) carry
-      // no row changes: advance the cursor without a replica version
-      commitCursor(dstDir, srcDir, srcV)
-      return ReplicateOutcome(srcV,
+    val applied = applyCompacted(spark, dstDir, pkCols, changes,
+      feed.columns.toSeq.filterNot(c =>
+        c == CdcEnvelope.OpCol || c == "_commit_version"))
+    commitCursor(dstDir, srcDir, srcV)
+    applied match {
+      case Some((v, n)) => ReplicateOutcome(srcV, v, "incremental", n)
+      case None => ReplicateOutcome(srcV,
         CdcPipeline.currentVersion(dstDir).getOrElse(-1L), "incremental", 0L)
     }
+  }
+
+  /** Apply a compacted op-tagged change set (one row per key, `__op`
+    * + `dataCols` payload) onto the replica as ONE touched-bucket
+    * delta commit. None (no version) for an empty set — metadata-only
+    * source commits advance cursors without version churn.
+    */
+  private def applyCompacted(spark: SparkSession, dstDir: String,
+      pkCols: Seq[String], changes: DataFrame,
+      dataCols: Seq[String]): Option[(Long, Long)] = {
+    val changeRows = changes.count()
+    if (changeRows == 0L) return None
     val m = CdcPipeline.currentVersion(dstDir)
       .flatMap(v => CdcPipeline.manifest(dstDir, v)).getOrElse(
         throw new IllegalStateException(s"replica $dstDir lost its manifest"))
@@ -160,8 +173,6 @@ object Replication {
     // additive source schema evolution flows through: a feed carrying
     // columns the replica has never seen routes via mergeEvolving
     // (old replica rows read NULL, the published schema widens)
-    val dataCols = feed.columns.toSeq.filterNot(c =>
-      c == CdcEnvelope.OpCol || c == "_commit_version")
     val merged =
       if (dataCols.forall(subset.columns.contains) &&
           subset.columns.forall(dataCols.contains))
@@ -171,7 +182,83 @@ object Replication {
           changes.drop("_commit_version"), pkCols, Some(changeRows))
     val v = CdcPipeline.publishDelta(merged.select(dataCols.map(col): _*),
       dstDir, pkCols, m, touched, batchId = -1L, op = "replicate")
-    commitCursor(dstDir, srcDir, srcV)
-    ReplicateOutcome(srcV, v, "incremental", changeRows)
+    Some((v, changeRows))
+  }
+
+  private def feedCursorPath(dstDir: String): String =
+    s"$dstDir/_replication/feed.cursor"
+
+  /** The streaming replica's committed (feed path, applied source
+    * commit version); None before the first applied micro-batch.
+    */
+  def appliedFeed(dstDir: String): Option[(String, Long)] = {
+    val p = feedCursorPath(dstDir)
+    if (!StoreFs.exists(p)) None
+    else {
+      val Array(f, v) = StoreFs.readString(p).trim.split("\n")
+      Some((f, v.toLong))
+    }
+  }
+
+  /** Continuous replication (A84): consume an [[ChangeFeeds.exportChangeFeed]]
+    * directory as a stream and keep the replica converged — the
+    * composition of the A65 append-only export (exactly-once commit
+    * dirs, kill+resume via the checkpoint) with A82's compacted
+    * touched-bucket apply, inside `foreachBatch`. Each micro-batch
+    * compacts to final per-key state (its commits apply as ONE
+    * replica version); a high-water feed cursor drops rows at or
+    * below the applied commit, so a REPLAYED micro-batch (crash
+    * between the publish and the checkpoint commit) either re-applies
+    * the identical span (content-convergent, the A82 argument) or
+    * no-ops. Commit dirs are rename-published in strictly increasing
+    * version order by ONE exporter cursor, so a listing that saw
+    * commit v has seen every earlier commit — an older commit can
+    * never FIRST appear after a newer one was applied, which is what
+    * makes the high-water filter lossless (empty in-between commits
+    * export zero rows and need no row-level contiguity). The replica
+    * must be bootstrapped
+    * first (A82 `replicate` or a deep clone at the export baseline).
+    */
+  def replicateStream(spark: SparkSession, feedDir: String, dstDir: String,
+      pkCols: Seq[String], checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : Option[org.apache.spark.sql.streaming.StreamingQuery] = {
+    require(CdcPipeline.currentVersion(dstDir).isDefined,
+      s"$dstDir must be bootstrapped before streaming replication")
+    ChangeFeeds.changeFeedStream(spark, feedDir).map { feed =>
+      feed.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val applied = appliedFeed(dstDir) match {
+            case Some((f, v)) =>
+              require(f == feedDir,
+                s"$dstDir stream-replicates $f, not $feedDir")
+              v
+            case None => Long.MinValue
+          }
+          val fresh = batch.filter(col("_commit_version") > applied)
+          val hi = fresh.agg(max("_commit_version")).collect()(0)
+          if (!hi.isNullAt(0)) {
+            val hiV = hi.getLong(0)
+            val valueCols = fresh.columns.toSeq.filterNot(pkCols.contains)
+            val changes = fresh.groupBy(pkCols.map(col): _*)
+              .agg(expr("max_by(struct(" + valueCols.mkString(", ") +
+                "), _commit_version)").as("_s"))
+              .select(pkCols.map(col) ++
+                valueCols.map(c => col(s"_s.$c").as(c)): _*)
+              .cache()
+            try applyCompacted(spark, dstDir, pkCols, changes,
+              fresh.columns.toSeq.filterNot(c =>
+                c == CdcEnvelope.OpCol || c == "_commit_version"))
+            finally changes.unpersist()
+            val p = feedCursorPath(dstDir)
+            StoreFs.writeString(p + ".tmp", s"$feedDir\n$hiV")
+            StoreFs.atomicReplace(p + ".tmp", p)
+          }
+        }
+        .start()
+    }
   }
 }

@@ -105,6 +105,46 @@ class ReplicationSpec extends AnyFunSuite {
     assert(Replication.appliedSource(dst) === Some((src, 2L)))
   }
 
+  test("streaming replication: export feed → foreachBatch apply converges, kill+resume incremental") {
+    val src = tmp(); val dst = tmp() + "/replica"
+    val feed = tmp() + "/feed"; val ckpt = tmp() + "/ckpt"
+    CdcPipeline.publish(fixture(400), src, Seq("id"), buckets = Some(4))
+    // baseline the exporter at v0, bootstrap the replica at v0
+    assert(ChangeFeeds.exportChangeFeed(spark, src, feed, Seq("id")) === Seq.empty)
+    Replication.replicate(spark, src, dst, Seq("id"))
+
+    // two source commits, exported as commit=1 / commit=2 dirs
+    advance(src, ups = Seq((1L, 111L), (500L, 555L)), dels = Seq(2L))
+    advance(src, ups = Seq((1L, 112L)), dels = Seq(3L))
+    assert(ChangeFeeds.exportChangeFeed(spark, src, feed, Seq("id")) === Seq(1L, 2L))
+
+    val q1 = Replication.replicateStream(spark, feed, dst, Seq("id"), ckpt).get
+    q1.awaitTermination()
+    assert(rows(dst) === rows(src), "drained stream must converge the replica")
+    assert(Replication.appliedFeed(dst) === Some((feed, 2L)))
+    // one AvailableNow batch applied both commits as ONE replica commit
+    val hist = CdcPipeline.describeHistory(spark, dst).get
+      .filter(col("op") === "replicate").count()
+    assert(hist === 1L)
+
+    // resume after another commit: only the new span applies
+    advance(src, ups = Seq((7L, 777L)), dels = Nil)
+    ChangeFeeds.exportChangeFeed(spark, src, feed, Seq("id"))
+    val q2 = Replication.replicateStream(spark, feed, dst, Seq("id"), ckpt).get
+    q2.awaitTermination()
+    assert(rows(dst) === rows(src))
+    assert(Replication.appliedFeed(dst) === Some((feed, 3L)))
+
+    // a REPLAYED batch (rewound feed cursor, fresh checkpoint) is
+    // content-convergent: re-applying the delivered spans changes
+    // nothing observable
+    StoreFs.writeString(s"$dst/_replication/feed.cursor", s"$feed\n0")
+    val q3 = Replication.replicateStream(spark, feed, dst, Seq("id"),
+      tmp() + "/ckpt2").get
+    q3.awaitTermination()
+    assert(rows(dst) === rows(src))
+  }
+
   test("refusals: non-replica destination; foreign source") {
     val src = tmp(); val other = tmp()
     CdcPipeline.publish(fixture(50), src, Seq("id"), buckets = Some(2))
