@@ -3915,7 +3915,119 @@ object OpsQueries {
        |WHERE jaccard >= tau_ppm / 1000000.0
        |GROUP BY tau_ppm ORDER BY tau_ppm""".stripMargin
 
+  // C97 (r9): cross-lingual duplicate screen — exact-content pairs
+  // whose two copies carry DIFFERENT language tags (copied/boiler-
+  // plate text mislabeled by langid, or machine-translated spans
+  // that survived verbatim — rows a per-language pipeline would
+  // train twice): from C1's md5 groups, count pairs per unordered
+  // (lang_a < lang_b) combination. Shapes: one md5+lang distinct
+  // hash agg, one co-keyed self-join on the hash restricted to
+  // lang_a < lang_b (pairs ∝ dup groups, never corpus²), rollup ∝
+  // |lang pairs|.
+  def dedupCrossLang(s: SparkSession, d: String): DataFrame = {
+    // the clean synthetic corpus has no cross-language exact dups, so
+    // the gate PLANTS them deterministically on both engines (the
+    // C89/C98 fixture discipline): every ‰41 doc's text collapses to
+    // one of 7 shared boilerplate strings while keeping its language
+    // tag — guaranteed cross-lang groups, and a 0-row report can no
+    // longer pass vacuously
+    val docs = T.documents(s, d).select(
+      when(col("doc_id") % 41 === 0,
+        concat(lit("shared-boilerplate-"), (col("doc_id") % 7).cast("string")))
+        .otherwise(col("text")).as("text"),
+      col("lang"))
+    val g = docs.select(md5(col("text")).as("h"), col("lang")).distinct()
+    g.select(col("h"), col("lang").as("lang_a"))
+      .join(g.select(col("h"), col("lang").as("lang_b")), "h")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  private val oDedupCrossLang =
+    """WITH inj AS (
+      |  SELECT CASE WHEN doc_id % 41 = 0
+      |    THEN 'shared-boilerplate-' || CAST(doc_id % 7 AS VARCHAR)
+      |    ELSE text END AS text, lang
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT md5(text) AS h, lang FROM inj)
+      |SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared_texts
+      |FROM g a JOIN g b ON a.h = b.h AND a.lang < b.lang
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // C98 (r9): conversation turn-structure audit — the SFT-ingest
+  // validation that rejects malformed transcripts BEFORE templating
+  // (C61 renders, C85 masks; neither checks the role sequence):
+  // must start with 'user', strictly alternate, end with
+  // 'assistant'. The clean synthetic corpus gets transcripts BUILT
+  // deterministically on both engines (2 + doc_id%4 turns) with
+  // violations PLANTED at ‰13 (a doubled role at turn 1) and ‰17
+  // (a truncated final user turn) — the C89 fixture discipline. The
+  // audit itself is generic array logic: adjacent-equal count via a
+  // zip of the list with its own tail, first/last element checks —
+  // ONE codegen'd projection, hash agg to |sources| rows.
+  def sftTurnAudit(s: SparkSession, d: String): DataFrame = {
+    val roles = expr(
+      """transform(sequence(0, CAST(1 + doc_id % 4 AS INT)),
+        |  i -> CASE WHEN doc_id % 13 = 0 AND i = 1 THEN 'user'
+        |            WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+        |""".stripMargin)
+    val t = T.documents(s, d)
+      .select(col("doc_id"), col("source"), roles.as("r"))
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 === 0,
+          expr("slice(r, 1, size(r) - 1)")).otherwise(col("r")).as("roles"))
+      .withColumn("n_turns", size(col("roles")).cast("long"))
+      .withColumn("bad_start", col("roles")(0) =!= "user")
+      .withColumn("bad_end",
+        expr("element_at(roles, -1)") =!= "assistant")
+      .withColumn("n_repeats", expr(
+        """aggregate(zip_with(slice(roles, 1, size(roles) - 1),
+          |  slice(roles, 2, size(roles) - 1), (a, b) -> CASE WHEN a = b
+          |  THEN 1L ELSE 0L END), 0L, (acc, x) -> acc + x)""".stripMargin))
+    t.groupBy("source")
+      .agg(count(lit(1)).as("n_convs"),
+        sum(expr("CAST(bad_start AS LONG)")).as("n_bad_start"),
+        sum(expr("CAST(bad_end AS LONG)")).as("n_bad_end"),
+        count(when(col("n_repeats") > 0L, 1)).as("n_bad_alternation"),
+        sum("n_turns").as("turns_total"))
+      .orderBy("source")
+  }
+
+  private val oSftTurnAudit =
+    """WITH r0 AS (
+      |  SELECT doc_id, source,
+      |    [CASE WHEN doc_id % 13 = 0 AND i = 1 THEN 'user'
+      |          WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+      |     FOR i IN range(0, CAST(2 + doc_id % 4 AS INT))] AS r
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 17 = 0 THEN r[1:len(r)-1] ELSE r END AS roles
+      |  FROM r0),
+      |a AS (
+      |  SELECT source, CAST(len(roles) AS BIGINT) AS n_turns,
+      |    roles[1] <> 'user' AS bad_start,
+      |    roles[len(roles)] <> 'assistant' AS bad_end,
+      |    len([i FOR i IN range(1, len(roles))
+      |         IF roles[i] = roles[i + 1]]) AS n_repeats
+      |  FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_convs,
+      |  CAST(sum(CASE WHEN bad_start THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bad_start,
+      |  CAST(sum(CASE WHEN bad_end THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bad_end,
+      |  CAST(count(*) FILTER (WHERE n_repeats > 0) AS BIGINT)
+      |    AS n_bad_alternation,
+      |  CAST(sum(n_turns) AS BIGINT) AS turns_total
+      |FROM a GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_cross_lang", dedupCrossLang, Some(oDedupCrossLang)),
+    QueryDef("sft_turn_audit", sftTurnAudit, Some(oSftTurnAudit)),
     QueryDef("dedup_threshold_sweep", dedupThresholdSweep,
       Some(oDedupThresholdSweep)),
     QueryDef("embed_hygiene", embedHygiene, Some(oEmbedHygiene)),

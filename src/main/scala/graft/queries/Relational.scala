@@ -2931,6 +2931,42 @@ object Relational {
       |FROM l WHERE prev_rnk IS NOT NULL AND abs(prev_rnk - rnk) >= 50
       |ORDER BY o_custkey, ym""".stripMargin
 
+  // B82 (r9): top-k WITH TIES — every supplier whose within-nation
+  // revenue DENSE rank ≤ 3 (ANSI FETCH FIRST k ROWS WITH TIES per
+  // group): B19's bounded hash agg deliberately breaks ties; this is
+  // the complementary contract where equal revenues must ALL
+  // surface. dense_rank runs over the per-supplier POST-AGGREGATION
+  // report partitioned by nation (parallel across nations, state ∝
+  // suppliers per nation, never ∝ lineitem); revenue in exact cents
+  // so tie groups are well-defined.
+  def qTopkWithTies(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(revExpr)).cast("long").as("rev_c"))
+      .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("nationkey"),
+        col("l_suppkey").as("suppkey"), col("rev_c"))
+      .withColumn("rnk", dense_rank().over(
+        Window.partitionBy("nationkey").orderBy(col("rev_c").desc))
+        .cast("long"))
+      .filter(col("rnk") <= 3L)
+      .orderBy("nationkey", "rnk", "suppkey")
+
+  private val oTopkWithTies =
+    """WITH sup AS (
+      |  SELECT s_nationkey AS nationkey, l_suppkey AS suppkey,
+      |    CAST(sum(round(l_extendedprice * (1.0 - l_discount) * 100.0))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT CAST(nationkey AS BIGINT) AS nationkey, suppkey, rev_c,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT nationkey, suppkey, rev_c,
+      |        dense_rank() OVER (PARTITION BY nationkey
+      |          ORDER BY rev_c DESC) AS rnk
+      |      FROM sup) t
+      |WHERE rnk <= 3 ORDER BY nationkey, rnk, suppkey""".stripMargin
+
   private val oRfm =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
@@ -3039,5 +3075,6 @@ object Relational {
     QueryDef("q_fulfillment_latency", qFulfillmentLatency,
       Some(oFulfillmentLatency)),
     QueryDef("q_rank_movers", qRankMovers, Some(oRankMovers)),
+    QueryDef("q_topk_with_ties", qTopkWithTies, Some(oTopkWithTies)),
   )
 }
