@@ -2967,6 +2967,81 @@ object Relational {
       |      FROM sup) t
       |WHERE rnk <= 3 ORDER BY nationkey, rnk, suppkey""".stripMargin
 
+  // B83 (r9): multi-touch LINEAR attribution — every purchase splits
+  // exactly 10⁶ ppm of credit equally across its distinct preceding
+  // touches inside the lookback (B68's last-touch gives the final
+  // click everything; linear is the other bookend every marketing
+  // stack reports). Exactness: base = 10⁶ DIV n per touch, the
+  // division REMAINDER goes to the LAST touch (deterministic by
+  // (us, event_id)), so per-purchase credit sums to exactly 10⁶ and
+  // the channel totals are exact integers. Shapes: one co-keyed
+  // purchase×touch self-join per user (both sides shuffle on
+  // user_id; pairs ∝ touches within lookback, never events²), one
+  // per-purchase hash agg for (n, last), one channel rollup;
+  // touchless purchases credit 'direct' in full via anti-join.
+  def qAttributionLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val lookbackUs = 3600000000L
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("us").as("pus"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("tid"), col("us").as("tus"),
+        col("event_type").as("channel"))
+    val pairs = p.join(t, Seq("user_id"))
+      .filter((col("tus") < col("pus") ||
+        (col("tus") === col("pus") && col("tid") < col("pid"))) &&
+        col("pus") - col("tus") <= lookbackUs)
+    val perP = pairs.groupBy("pid")
+      .agg(count(lit(1)).as("n_touches"),
+        expr("max_by(tid, struct(tus, tid))").as("last_tid"))
+    val creditRows = pairs.join(perP, "pid")
+      .select(col("channel"),
+        (expr("1000000L DIV n_touches") +
+          when(col("tid") === col("last_tid"),
+            expr("1000000L - (1000000L DIV n_touches) * n_touches"))
+            .otherwise(0L)).as("credit_ppm"))
+    val direct = p.join(pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+      .select(lit("direct").as("channel"), lit(1000000L).as("credit_ppm"))
+    creditRows.unionByName(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum("credit_ppm").as("credit_ppm_sum"))
+      .orderBy("channel")
+  }
+
+  private val oAttributionLinear =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS pid, us AS pus FROM ev
+      |      WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS tid, us AS tus,
+      |        event_type AS channel FROM ev
+      |      WHERE event_type <> 'purchase'),
+      |pairs AS (
+      |  SELECT p.user_id, pid, pus, tid, tus, channel
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |  WHERE (tus < pus OR (tus = pus AND tid < pid))
+      |    AND pus - tus <= 3600000000),
+      |perp AS (
+      |  SELECT pid, CAST(count(*) AS BIGINT) AS n_touches,
+      |    arg_max(tid, lpad(CAST(tus AS VARCHAR), 20, '0')
+      |      || lpad(CAST(tid AS VARCHAR), 20, '0')) AS last_tid
+      |  FROM pairs GROUP BY 1),
+      |credits AS (
+      |  SELECT channel,
+      |    1000000 // n_touches +
+      |      CASE WHEN tid = last_tid
+      |        THEN 1000000 - (1000000 // n_touches) * n_touches
+      |        ELSE 0 END AS credit_ppm
+      |  FROM pairs JOIN perp USING (pid)
+      |  UNION ALL
+      |  SELECT 'direct', 1000000 FROM p
+      |  WHERE pid NOT IN (SELECT pid FROM pairs))
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+      |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
+      |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val oRfm =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
@@ -3076,5 +3151,7 @@ object Relational {
       Some(oFulfillmentLatency)),
     QueryDef("q_rank_movers", qRankMovers, Some(oRankMovers)),
     QueryDef("q_topk_with_ties", qTopkWithTies, Some(oTopkWithTies)),
+    QueryDef("q_attribution_linear", qAttributionLinear,
+      Some(oAttributionLinear)),
   )
 }
