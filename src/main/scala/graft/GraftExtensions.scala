@@ -544,6 +544,37 @@ object GraftExtensions {
         import spark.implicits._
         plan(Seq(v).toDF("version"))
       }),
+    // graft_replicate(srcPath, dstPath, 'pk1,pk2') → A82: converge
+    // the replica at dstPath to srcPath's current committed version
+    // (bootstrap on first call). Returns (mode, src_version,
+    // dst_version, change_rows).
+    (FunctionIdentifier("graft_replicate"),
+      new ExpressionInfo("graft.cdc.Replication", "graft_replicate"),
+      (args: Seq[Expression]) => {
+        val src = strLit(args(0), "graft_replicate srcPath")
+        val dst = strLit(args(1), "graft_replicate dstPath")
+        val pk = strLit(args(2), "graft_replicate pk")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val spark = active
+        val r = graft.cdc.Replication.replicate(spark, src, dst, pk)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $src"))
+        import spark.implicits._
+        plan(Seq((r.mode, r.srcVersion, r.dstVersion, r.changeRows))
+          .toDF("mode", "src_version", "dst_version", "change_rows"))
+      }),
+    // graft_replica_status(dstPath) → the replica's committed
+    // (source path, applied source version) cursor.
+    (FunctionIdentifier("graft_replica_status"),
+      new ExpressionInfo("graft.cdc.Replication", "graft_replica_status"),
+      (args: Seq[Expression]) => {
+        val dst = strLit(args(0), "graft_replica_status dstPath")
+        val (src, v) = graft.cdc.Replication.appliedSource(dst)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$dst is not a replica (no replication cursor)"))
+        val spark = active
+        import spark.implicits._
+        plan(Seq((src, v)).toDF("source_path", "applied_src_version"))
+      }),
     // graft_ndv_index(path, 'c1,c2,…') → A83 ANALYZE: build (or
     // rebuild) the per-bucket NDV sketch index for the listed
     // columns, published as a metadata version. Returns (version).

@@ -4025,7 +4025,52 @@ object OpsQueries {
       |  CAST(sum(n_turns) AS BIGINT) AS turns_total
       |FROM a GROUP BY source ORDER BY source""".stripMargin
 
+  // C99 (r9): shard-balance audit over the epoch manifest — the
+  // pre-flight check that C58's seeded shard deal actually spreads
+  // tokens evenly (a skewed shard = one slow data-parallel rank
+  // every step of the epoch): per shard, doc and token totals plus
+  // the signed ppm deviation from a perfectly even deal —
+  // dev = tokens·shards·10⁶/total − 10⁶, one integer division on a
+  // possibly-negative numerator (Spark DIV and DuckDB // both
+  // truncate toward zero — verified, not assumed). Composition
+  // gate: chains C58's
+  // manifest (individually gated) into a |shards|-row rollup + one
+  // 1-row total broadcast.
+  def epochShardBalance(s: SparkSession, d: String): DataFrame = {
+    val m = Packing.epochManifest(T.documents(s, d), col("doc_id"),
+      size(split(col("text"), " ")).cast("long"),
+      seed = "ep1", budget = 256L, shards = 4)
+    val perShard = m.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+    perShard.crossJoin(broadcast(perShard.agg(sum("tokens").as("total"))))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr("(tokens * 4L * 1000000L - total * 1000000L) DIV total")
+          .as("dev_ppm"))
+      .orderBy("shard")
+  }
+
+  private val oEpochShardBalance =
+    """WITH keyed AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents),
+      |sharded AS (
+      |  SELECT *, CAST(((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+      |    + instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) % 4 AS BIGINT)
+      |    AS shard
+      |  FROM keyed),
+      |ps AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(tokens) AS BIGINT) AS tokens
+      |  FROM sharded GROUP BY 1),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM ps)
+      |SELECT shard, n_docs, tokens,
+      |  (tokens * 4 * 1000000 - total * 1000000) // total AS dev_ppm
+      |FROM ps, t ORDER BY shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("epoch_shard_balance", epochShardBalance,
+      Some(oEpochShardBalance)),
     QueryDef("dedup_cross_lang", dedupCrossLang, Some(oDedupCrossLang)),
     QueryDef("sft_turn_audit", sftTurnAudit, Some(oSftTurnAudit)),
     QueryDef("dedup_threshold_sweep", dedupThresholdSweep,

@@ -3042,6 +3042,61 @@ object Relational {
       |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
       |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // B84 (r9): box-plot statistics — per return flag over unit-price
+  // cents: quartiles, IQR, the 1.5·IQR Tukey whisker bounds, and
+  // outlier counts beyond each whisker. TWO passes in the B67
+  // boundary discipline: one percentile_disc agg computes q1/median/
+  // q3 per flag (|flags| rows, broadcast back), one conditional-agg
+  // pass (B28 FILTER shape) counts whisker violations — no
+  // per-group sort ever materializes rows. All integer: whisker =
+  // q1 − (3·iqr) DIV 2 (both engines truncate toward zero).
+  def qBoxplot(s: SparkSession, d: String): DataFrame = {
+    def pd(q: String) =
+      expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY price_c) AS BIGINT)")
+    val rows = T.lineitem(s, d).select(col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+    val q = rows.groupBy("l_returnflag")
+      .agg(pd("0.25").as("q1"), pd("0.5").as("med"), pd("0.75").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("whisker_lo", expr("q1 - (3L * iqr) DIV 2"))
+      .withColumn("whisker_hi", expr("q3 + (3L * iqr) DIV 2"))
+    rows.join(broadcast(q), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        max("q1").as("q1"), max("med").as("med"), max("q3").as("q3"),
+        max("iqr").as("iqr"),
+        max("whisker_lo").as("whisker_lo"), max("whisker_hi").as("whisker_hi"),
+        count(when(col("price_c") < col("whisker_lo"), 1)).as("n_outliers_lo"),
+        count(when(col("price_c") > col("whisker_hi"), 1)).as("n_outliers_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  private val oBoxplot =
+    """WITH r AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |q AS (
+      |  SELECT l_returnflag,
+      |    quantile_disc(price_c, 0.25) AS q1,
+      |    quantile_disc(price_c, 0.5) AS med,
+      |    quantile_disc(price_c, 0.75) AS q3
+      |  FROM r GROUP BY 1),
+      |b AS (
+      |  SELECT l_returnflag, q1, med, q3, q3 - q1 AS iqr,
+      |    q1 - (3 * (q3 - q1)) // 2 AS whisker_lo,
+      |    q3 + (3 * (q3 - q1)) // 2 AS whisker_hi
+      |  FROM q)
+      |SELECT r.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  max(q1) AS q1, max(med) AS med, max(q3) AS q3, max(iqr) AS iqr,
+      |  max(whisker_lo) AS whisker_lo, max(whisker_hi) AS whisker_hi,
+      |  CAST(count(*) FILTER (WHERE price_c < whisker_lo) AS BIGINT)
+      |    AS n_outliers_lo,
+      |  CAST(count(*) FILTER (WHERE price_c > whisker_hi) AS BIGINT)
+      |    AS n_outliers_hi
+      |FROM r JOIN b ON r.l_returnflag = b.l_returnflag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val oRfm =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
@@ -3153,5 +3208,6 @@ object Relational {
     QueryDef("q_topk_with_ties", qTopkWithTies, Some(oTopkWithTies)),
     QueryDef("q_attribution_linear", qAttributionLinear,
       Some(oAttributionLinear)),
+    QueryDef("q_boxplot", qBoxplot, Some(oBoxplot)),
   )
 }

@@ -145,6 +145,25 @@ class ReplicationSpec extends AnyFunSuite {
     assert(rows(dst) === rows(src))
   }
 
+  test("SQL TVFs: graft_replicate drives the full cycle, graft_replica_status reads the cursor") {
+    val src = tmp(); val dst = tmp() + "/replica"
+    CdcPipeline.publish(fixture(100), src, Seq("id"), buckets = Some(4))
+    graft.GraftExtensions.register(spark)
+
+    val r0 = spark.sql(s"SELECT * FROM graft_replicate('$src', '$dst', 'id')")
+      .collect()(0)
+    assert(r0.getAs[String]("mode") === "bootstrap")
+    advance(src, ups = Seq((1L, 111L)), dels = Seq(2L))
+    val r1 = spark.sql(s"SELECT * FROM graft_replicate('$src', '$dst', 'id')")
+      .collect()(0)
+    assert(r1.getAs[String]("mode") === "incremental" &&
+      r1.getAs[Long]("change_rows") === 2L)
+    assert(rows(dst) === rows(src))
+    val st = spark.sql(s"SELECT * FROM graft_replica_status('$dst')").collect()(0)
+    assert(st.getAs[String]("source_path") === src &&
+      st.getAs[Long]("applied_src_version") === 1L)
+  }
+
   test("refusals: non-replica destination; foreign source") {
     val src = tmp(); val other = tmp()
     CdcPipeline.publish(fixture(50), src, Seq("id"), buckets = Some(2))
