@@ -67,5 +67,60 @@ object StressBenchNew3 {
         f"of bootstrap), noop poll $tNoop%.3f s")
       StoreFs.deleteRecursive(src); StoreFs.deleteRecursive(dst)
     }
+
+    // C90/C91/C93/C98: the new per-row loader ops at 1M docs
+    // (~30-word synthetic texts, every 10th doc an exact dup of its
+    // neighbor). All are single-scan shapes: C90/C91/C98 are pure
+    // codegen projections + a small agg, C93 adds one co-keyed hash
+    // join — throughput should be scan-bound, wall-clock ∝ docs.
+    {
+      val docs1m = n / 10
+      val docs = spark.range(0, docs1m).select(
+        col("id").as("doc_id"),
+        (col("id") % 20).cast("string").as("source"),
+        expr("""array_join(transform(sequence(1, 30),
+          |  i -> substring(md5(concat(CAST(CASE WHEN id % 10 = 9
+          |    THEN id - 1 ELSE id END AS STRING), ':', CAST(i AS STRING))),
+          |    1, 5)), ' ')""".stripMargin).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .localCheckpoint()
+      def gate(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] $name over ${docs1m / 1e6}%.1f M docs: " +
+          f"$secs%.1f s ($rows rows, ${docs1m / secs / 1e6}%.2f M docs/s)")
+      }
+      gate("compressibility (C91)") {
+        docs.filter(length(col("text")) >= 4)
+          .select(col("doc_id"),
+            expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")
+              .as("g"))
+          .select(size(col("g")).cast("long").as("n_grams"),
+            size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+          .groupBy().sum("n_grams", "n_distinct")
+      }
+      gate("weighted sampling (C90)") {
+        val nib = (i: Int) =>
+          s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+        val u = s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + " +
+          s"${nib(4)}) * 16 + ${nib(5)}) % 1000000"
+        docs.select(col("doc_id"),
+          expr("1L + least(4L, n_chars DIV 100)").as("w"),
+          md5(concat(lit("wsamp1:"), col("doc_id").cast("string"))).as("h"))
+          .select(col("w"), expr(s"CAST($u AS BIGINT)").as("u_ppm"))
+          .filter(col("u_ppm") < col("w") * lit(120000L))
+          .groupBy("w").count()
+      }
+      gate("dedup savings (C93)") {
+        val keyed = docs.select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("h"))
+        val keep = keyed.groupBy("h").agg(min("doc_id").as("keep_id"))
+        keyed.join(keep, "h")
+          .groupBy("source")
+          .agg(count(when(col("doc_id") =!= col("keep_id"), 1)).as("n_dupes"))
+      }
+      docs.unpersist()
+    }
   }
 }
