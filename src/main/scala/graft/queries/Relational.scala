@@ -3125,6 +3125,131 @@ object Relational {
       |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
       |FROM sc ORDER BY custkey""".stripMargin
 
+  // B85 (r9): survival analysis — the Kaplan–Meier risk table for
+  // repeat purchase. Subject = customer, event = the SECOND order,
+  // duration = days from first to second order; one-order customers
+  // are right-CENSORED at the corpus horizon (max order date). Output
+  // is the per-30-day-bucket risk table: n_at_risk (cumulative
+  // survivors entering the bucket), n_events, n_censored, and the
+  // conditional survival of the bucket in integer ppm — the exact
+  // inputs a K-M curve multiplies (the cumulative product itself is
+  // float-order-sensitive, so the gate pins the risk table, not the
+  // curve). Shape: two per-customer MIN aggs (customers ≪ orders)
+  // chained by one broadcast join, a 1-row horizon agg, then every
+  // window runs over the ~80-row bucket table — nothing per-order
+  // ever sorts.
+  def qSurvival(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_custkey").as("custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+    val first = o.groupBy("custkey").agg(min("day").as("d1"))
+    val second = o.join(broadcast(first), "custkey")
+      .filter(col("day") > col("d1"))
+      .groupBy("custkey").agg(min("day").as("d2"))
+    val horizon = o.agg(max("day").as("h"))
+    val durations = first.join(second, Seq("custkey"), "left").crossJoin(broadcast(horizon))
+      .select(
+        when(col("d2").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_event"),
+        (coalesce(col("d2"), col("h")) - col("d1")).as("dur_days"))
+      .select(col("is_event"), expr("dur_days DIV 30").as("bucket"))
+    val cells = durations.groupBy("bucket")
+      .agg(sum("is_event").as("n_events"),
+        sum(lit(1L) - col("is_event")).as("n_censored"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    cells
+      .withColumn("n_at_risk",
+        expr("sum(n_events + n_censored) OVER ()")
+          - coalesce(sum(col("n_events") + col("n_censored")).over(w), lit(0L)))
+      .select(col("bucket"), col("n_at_risk"), col("n_events"), col("n_censored"),
+        expr("(n_at_risk - n_events) * 1000000 DIV n_at_risk").as("cond_surv_ppm"))
+      .orderBy("bucket")
+  }
+
+  private val oSurvival =
+    """WITH o AS (SELECT o_custkey AS custkey,
+      |    epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+      |f AS (SELECT custkey, min(day) AS d1 FROM o GROUP BY 1),
+      |s2 AS (SELECT o.custkey, min(o.day) AS d2
+      |       FROM o JOIN f ON o.custkey = f.custkey
+      |       WHERE o.day > f.d1 GROUP BY 1),
+      |h AS (SELECT max(day) AS h FROM o),
+      |dur AS (
+      |  SELECT CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS is_event,
+      |    (coalesce(d2, h.h) - d1) // 30 AS bucket
+      |  FROM f LEFT JOIN s2 ON f.custkey = s2.custkey CROSS JOIN h),
+      |cells AS (
+      |  SELECT bucket, CAST(sum(is_event) AS BIGINT) AS n_events,
+      |    CAST(sum(1 - is_event) AS BIGINT) AS n_censored
+      |  FROM dur GROUP BY 1)
+      |SELECT bucket,
+      |  CAST(sum(n_events + n_censored) OVER ()
+      |    - coalesce(sum(n_events + n_censored) OVER (ORDER BY bucket
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS n_at_risk,
+      |  n_events, n_censored,
+      |  CAST((sum(n_events + n_censored) OVER ()
+      |    - coalesce(sum(n_events + n_censored) OVER (ORDER BY bucket
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n_events)
+      |    * 1000000
+      |    // (sum(n_events + n_censored) OVER ()
+      |       - coalesce(sum(n_events + n_censored) OVER (ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS BIGINT)
+      |    AS cond_surv_ppm
+      |FROM cells ORDER BY bucket""".stripMargin
+
+  // B86 (r9): referential-integrity audit — the dbt-`relationships` /
+  // FK-constraint validation sweep a warehouse runs over every load:
+  // one row per declared child→parent edge with child cardinality,
+  // orphan count, and orphan ppm. Each edge is ONE left-anti join;
+  // dimension parents broadcast (region/nation/customer/supplier/
+  // part), the two fact-side edges shuffle on the key they'd join on
+  // anyway. The union is |edges| rows — audit output, not data.
+  def qFkAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+      val p0 = parent.select(col(parentKey)).distinct()
+      val p = if (bcast) broadcast(p0) else p0
+      val orphans = child.select(col(childKey))
+        .join(p, col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          expr("coalesce(n_orphans * 1000000 DIV nullif(n_child, 0), 0)").as("orphan_ppm"))
+    }
+    val li = T.lineitem(s, d); val ord = T.orders(s, d)
+    edge("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey", bcast = false)
+      .union(edge("lineitem.partkey->part", li, "l_partkey", T.part(s, d), "p_partkey", bcast = true))
+      .union(edge("lineitem.suppkey->supplier", li, "l_suppkey", T.supplier(s, d), "s_suppkey", bcast = true))
+      .union(edge("orders.custkey->customer", ord, "o_custkey", T.customer(s, d), "c_custkey", bcast = true))
+      .union(edge("customer.nationkey->nation", T.customer(s, d), "c_nationkey", T.nation(s, d), "n_nationkey", bcast = true))
+      .union(edge("supplier.nationkey->nation", T.supplier(s, d), "s_nationkey", T.nation(s, d), "n_nationkey", bcast = true))
+      .union(edge("nation.regionkey->region", T.nation(s, d), "n_regionkey", T.region(s, d), "r_regionkey", bcast = true))
+      .orderBy("relation")
+  }
+
+  private val oFkAudit = {
+    def e(name: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS relation,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+         |   WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS n_orphans""".stripMargin
+    val edges = Seq(
+      e("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      e("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      e("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      e("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      e("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      e("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      e("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH edges AS (
+       |$edges)
+       |SELECT relation, n_child, n_orphans,
+       |  CAST(coalesce(n_orphans * 1000000 // nullif(n_child, 0), 0) AS BIGINT)
+       |    AS orphan_ppm
+       |FROM edges ORDER BY relation""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_changepoint", qChangepoint, Some(oChangepoint)),
     QueryDef("q_rfm", qRfm, Some(oRfm)),
@@ -3209,5 +3334,7 @@ object Relational {
     QueryDef("q_attribution_linear", qAttributionLinear,
       Some(oAttributionLinear)),
     QueryDef("q_boxplot", qBoxplot, Some(oBoxplot)),
+    QueryDef("q_survival", qSurvival, Some(oSurvival)),
+    QueryDef("q_fk_audit", qFkAudit, Some(oFkAudit)),
   )
 }
