@@ -182,7 +182,112 @@ object CdcPipeline {
     m.meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
       sb.append(s"meta.${statEnc(k)}=${statEnc(v)}\n")
     }
+    // A85: tamper-evident commit chain. The two chain lines are
+    // appended LAST so the hash covers every byte above them; the
+    // manifest parser ignores unknown keys, so pre-chain readers and
+    // pre-chain manifests both keep working. Parent resolution:
+    // version 0 anchors at "genesis"; a parent written before the
+    // chain existed records "unchained" (verifyChain reports the
+    // boundary instead of pretending lineage it cannot prove).
+    val parent =
+      if (version == 0L) ChainGenesis
+      else chainHashOf(targetDir, version - 1).getOrElse(ChainUnchained)
+    val body = sb.toString
+    sb.append(s"$ChainParentKey=$parent\n")
+    sb.append(s"$ChainHashKey=${md5Hex(parent + "\n" + body)}\n")
     StoreFs.writeString(s"$targetDir/v$version/$ManifestFile", sb.toString)
+  }
+
+  private[cdc] val ChainParentKey = "chain.parent"
+  private[cdc] val ChainHashKey = "chain.hash"
+  private[cdc] val ChainGenesis = "genesis"
+  private[cdc] val ChainUnchained = "unchained"
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The recorded `chain.hash` of a version's manifest, if the
+    * manifest exists and carries one.
+    */
+  private def chainHashOf(targetDir: String, version: Long): Option[String] = {
+    val p = s"$targetDir/v$version/$ManifestFile"
+    if (!StoreFs.exists(p)) None
+    else StoreFs.readString(p).split("\n")
+      .collectFirst { case l if l.startsWith(s"$ChainHashKey=") =>
+        l.stripPrefix(s"$ChainHashKey=") }
+  }
+
+  /** One verifyChain finding: which version, what is wrong. */
+  final case class ChainIssue(version: Long, kind: String, detail: String)
+
+  /** A85 — tamper-evident commit-chain audit: every manifest records
+    * an md5 over its own body salted with its parent's recorded
+    * chain hash, so the readable history forms a hash chain
+    * (the git-commit-DAG integrity idea applied to table versions).
+    * `verifyChain` recomputes every link from the bytes on disk and
+    * reports:
+    *
+    *  - `body-tampered` — the manifest's bytes no longer match its
+    *    recorded hash (an edited bucket ref, a doctored stats range);
+    *  - `link-broken` — a manifest's recorded parent differs from the
+    *    parent manifest's recorded hash (a silently REPLACED version:
+    *    each side self-consistent, lineage severed);
+    *  - `unchained` — a pre-chain manifest (informational; the chain
+    *    starts at the first chained version).
+    *
+    * Metadata-only: reads manifests, runs zero Spark jobs, never
+    * looks at data files (FSCK/auditData own file-level integrity).
+    * Vacuumed prefixes are fine — verification starts at the first
+    * readable version, whose parent line is recorded but
+    * unverifiable (reported as nothing: absence of the parent is a
+    * GC fact, not tampering).
+    */
+  def verifyChain(targetDir: String): Seq[ChainIssue] = {
+    val versions = StoreFs.listDirNames(targetDir).filter(_.matches("v\\d+"))
+      .map(_.stripPrefix("v").toLong)
+      .filter(v => StoreFs.exists(s"$targetDir/v$v/$ManifestFile")).sorted
+    val issues = Seq.newBuilder[ChainIssue]
+    // version → recorded chain hash of the previous chained manifest
+    var prev: Option[(Long, Option[String])] = None
+    versions.foreach { v =>
+      val text = StoreFs.readString(s"$targetDir/v$v/$ManifestFile")
+      val marker = s"\n$ChainParentKey="
+      val at = text.indexOf(marker)
+      if (at < 0) {
+        issues += ChainIssue(v, "unchained", "manifest predates the commit chain")
+        prev = Some((v, None))
+      } else {
+        val body = text.substring(0, at + 1)
+        val tail = text.substring(at + 1).split("\n")
+        def line(k: String) = tail.collectFirst {
+          case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=") }
+        (line(ChainParentKey), line(ChainHashKey)) match {
+          case (Some(par), Some(h)) =>
+            if (md5Hex(par + "\n" + body) != h)
+              issues += ChainIssue(v, "body-tampered",
+                "manifest bytes do not match their recorded chain hash")
+            prev match {
+              case Some((pv, Some(ph))) if pv == v - 1 && par != ph =>
+                issues += ChainIssue(v, "link-broken",
+                  s"recorded parent $par != v$pv chain hash $ph")
+              case Some((pv, None)) if pv == v - 1 && par != ChainUnchained =>
+                issues += ChainIssue(v, "link-broken",
+                  s"recorded parent $par but v$pv is unchained")
+              case None if v == 0L && par != ChainGenesis =>
+                issues += ChainIssue(v, "link-broken",
+                  s"v0 parent must be '$ChainGenesis', found $par")
+              case _ => ()
+            }
+            prev = Some((v, Some(h)))
+          case _ =>
+            issues += ChainIssue(v, "unchained",
+              "manifest carries no complete chain record")
+            prev = Some((v, None))
+        }
+      }
+    }
+    issues.result()
   }
 
   /** Commit metadata for the version a maintenance op is publishing. */

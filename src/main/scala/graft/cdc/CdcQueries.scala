@@ -2026,7 +2026,48 @@ object CdcQueries {
       |FROM documents d JOIN sids s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // A86 (r9): policy-secured snapshot read — a row filter evaluated
+  // on RAW rows (pushed into the scan) plus column masks that see the
+  // raw row and cast back to the stored type: k generalizes to its
+  // decade bucket, event_id redacts to -1 for high user ids THROUGH a
+  // cross-column mask, value nulls out entirely. The store is the
+  // real bucketed snapshot of the full canonical history; the oracle
+  // recomputes the merged state and applies the same policy in SQL.
+  def cdcSecuredRead(s: SparkSession, d: String): DataFrame = {
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val pk = Seq("user_id")
+    val target = Fixtures.dirs("secured", 1).head
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W1 + 1) * 1000L)))
+    val snap = SnapshotMerge.fromHistory(proj(history), pk,
+      Seq("user_id", "k", "event_id", "value"))
+    CdcPipeline.publish(snap, target, pk, buckets = Some(16)) // v0
+    Security.readSecured(s, target, SecurityPolicy(
+      rowFilter = Some("user_id % 7 != 0"),
+      masks = Map(
+        "k" -> "k DIV 10 * 10",
+        "event_id" -> "CASE WHEN user_id < 50 THEN event_id ELSE -1 END",
+        "value" -> "CAST(NULL AS DOUBLE)"))).get
+      .orderBy(col("user_id"))
+  }
+
+  private val oSecuredRead =
+    s"""WITH snap AS (SELECT user_id, k, event_id, value FROM (
+       |    SELECT user_id, event_id, $dK AS k, value, $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20') h
+       |  WHERE rn = 1 AND op != 'd')
+       |SELECT user_id, k // 10 * 10 AS k,
+       |  CASE WHEN user_id < 50 THEN event_id ELSE CAST(-1 AS BIGINT) END AS event_id,
+       |  CAST(NULL AS DOUBLE) AS value
+       |FROM snap WHERE user_id % 7 != 0 ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_secured_read", cdcSecuredRead, Some(oSecuredRead)),
     QueryDef("cdc_identity", cdcIdentity, Some(oIdentity)),
     QueryDef("cdc_copy_into", cdcCopyInto, Some(oCopyInto)),
     QueryDef("cdc_parse", cdcParse, Some(oParse)),

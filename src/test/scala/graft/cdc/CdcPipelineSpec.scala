@@ -372,6 +372,76 @@ class CdcPipelineSpec extends AnyFunSuite {
       "current version serving vacuumed dirs must be flagged loudly")
   }
 
+  test("verifyChain: intact history is clean; body edits, silent version replacement, and pre-chain manifests are each reported") {
+    import spark.implicits._
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(path: String): (String, String, String) = {
+      val text = StoreFs.readString(path)
+      val at = text.indexOf("\nchain.parent=")
+      assert(at > 0, s"manifest at $path carries no chain record")
+      val body = text.substring(0, at + 1)
+      val tail = text.substring(at + 1).split("\n")
+      def line(k: String) = tail.find(_.startsWith(s"$k=")).get.stripPrefix(s"$k=")
+      (body, line("chain.parent"), line("chain.hash"))
+    }
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(8))
+    def env(rows: Seq[(Long, String, Long, Long, Long, String, Long, Double)]) =
+      rows.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+        CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
+    val initial = (1L to 40L).map(u => (u, "u", 100L, u, 100L, s"""{"k":$u}""", u, 1.0))
+    CdcPipeline.run(spark, c, env(initial), log, 1000L) // v0
+    CdcPipeline.run(spark, c,
+      env(Seq((1L, "u", 200L, 500L, 1100L, """{"k":1}""", 500L, 2.0))), log, 2000L) // v1
+    CdcPipeline.run(spark, c,
+      env(Seq((2L, "u", 300L, 600L, 2100L, """{"k":2}""", 600L, 3.0))), log, 3000L) // v2
+    assert(CdcPipeline.verifyChain(target).isEmpty, "intact history")
+
+    // every manifest links to its parent's recorded hash
+    val (_, p1, h0ByChild) = split(s"$target/v1/_MANIFEST")
+    val (_, _, h0) = split(s"$target/v0/_MANIFEST")
+    assert(p1 === h0, "child records the parent's chain hash")
+    assert(h0ByChild.nonEmpty)
+
+    // 1) body tampering: edit a byte of v1's body, keep its chain lines
+    val m1 = s"$target/v1/_MANIFEST"
+    val (body1, par1, hash1) = split(m1)
+    StoreFs.writeString(m1, body1.replaceFirst("numBuckets=8", "numBuckets=9")
+      + s"chain.parent=$par1\nchain.hash=$hash1\n")
+    val tampered = CdcPipeline.verifyChain(target)
+    assert(tampered.map(i => (i.version, i.kind)) === Seq((1L, "body-tampered")),
+      tampered.toString)
+
+    // 2) silent replacement: forge a SELF-CONSISTENT v1 (recomputed
+    // hash over the edited body) — v1 itself verifies, but v2's
+    // recorded parent no longer matches: the chain pins the lineage
+    val forgedBody = body1.replaceFirst("numBuckets=8", "numBuckets=9")
+    StoreFs.writeString(m1, forgedBody
+      + s"chain.parent=$par1\nchain.hash=${md5(par1 + "\n" + forgedBody)}\n")
+    val forged = CdcPipeline.verifyChain(target)
+    assert(forged.map(i => (i.version, i.kind)) === Seq((2L, "link-broken")),
+      forged.toString)
+    StoreFs.writeString(m1, body1 + s"chain.parent=$par1\nchain.hash=$hash1\n")
+    assert(CdcPipeline.verifyChain(target).isEmpty, "restored bytes verify again")
+
+    // 3) pre-chain manifests: a store whose v0 predates the chain is
+    // reported informationally, and a child publish records the
+    // "unchained" sentinel instead of pretending lineage
+    val target2 = tmp(); val c2 = cfg(target2).copy(numBuckets = Some(4))
+    CdcPipeline.run(spark, c2, env(initial), log, 1000L) // v0
+    val m0 = s"$target2/v0/_MANIFEST"
+    val (body0, _, _) = split(m0)
+    StoreFs.writeString(m0, body0) // strip the chain record = legacy manifest
+    CdcPipeline.run(spark, c2,
+      env(Seq((1L, "u", 200L, 500L, 1100L, """{"k":9}""", 500L, 2.0))), log, 2000L) // v1
+    val legacy = CdcPipeline.verifyChain(target2)
+    assert(legacy.map(i => (i.version, i.kind)) === Seq((0L, "unchained")),
+      legacy.toString)
+    val (_, p1b, _) = split(s"$target2/v1/_MANIFEST")
+    assert(p1b === "unchained", "child of a pre-chain parent records the sentinel")
+  }
+
   test("dropColumns is metadata-only and reversible; renameColumn rewrites with stable routing") {
     import spark.implicits._
     val target = tmp(); val log = tmp()
