@@ -2066,7 +2066,88 @@ object CdcQueries {
        |  CAST(NULL AS DOUBLE) AS value
        |FROM snap WHERE user_id % 7 != 0 ORDER BY user_id""".stripMargin
 
+  // A87 (r9): partial-update (sparse) merge — column-level LWW. The
+  // base snapshot is the full-field state at W0; the delta window's
+  // events are rewritten into SPARSE patches (field `a` = k only on
+  // even event_ids, field `b` = value cents only on event_ids
+  // divisible by 3 — so patches carry {a}, {b}, {a,b}, or nothing),
+  // deletes stay tombstones. Each field must independently take the
+  // latest event that SET it, deletes must not leak pre-delete
+  // values into resurrected rows, and untouched base rows carry.
+  def cdcMergePartial(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val baseHist = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    val base = SnapshotMerge.fromHistory(
+      baseHist
+        .withColumn("a", get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("long"))
+        .withColumn("b", expr("CAST(round(value * 100) AS BIGINT)")),
+      Seq("user_id"), Seq("user_id", "a", "b"))
+    val sparse = CdcEnvelope.eventsWindowed(ev, W0, W1)
+      .withColumn(CdcEnvelope.DataCol, to_json(struct(
+        when(col("event_id") % 2 === 0,
+          get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("long")).as("a"),
+        when(col("event_id") % 3 === 0,
+          expr("CAST(round(value * 100) AS BIGINT)")).as("b")),
+        Map("ignoreNullFields" -> "true")))
+    PartialMerge.merge(sparse, base, Seq("user_id"),
+      Seq(FieldSpec("a", Cast(LongType)), FieldSpec("b", Cast(LongType))))
+      .orderBy(col("user_id"))
+  }
+
+  private val oMergePartial =
+    s"""WITH win AS (
+       |  SELECT user_id, epoch_us(ts) AS t, event_id AS pos,
+       |    $dOp AS op,
+       |    CASE WHEN event_id % 2 = 0 THEN $dK END AS a_val,
+       |    CASE WHEN event_id % 3 = 0
+       |         THEN CAST(round(value * 100) AS BIGINT) END AS b_val
+       |  FROM events WHERE $dWin),
+       |base AS (
+       |  SELECT user_id, a, b FROM (
+       |    SELECT user_id, $dK AS a, CAST(round(value * 100) AS BIGINT) AS b,
+       |      $dOp AS op,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-10') h
+       |  WHERE rn = 1 AND op != 'd'),
+       |ld AS (
+       |  SELECT user_id, t AS ld_t, pos AS ld_pos FROM (
+       |    SELECT user_id, t, pos, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY t DESC, pos DESC) AS rn
+       |    FROM win WHERE op = 'd') x WHERE rn = 1),
+       |aft AS (
+       |  SELECT w.* FROM win w LEFT JOIN ld ON w.user_id = ld.user_id
+       |  WHERE w.op = 'u' AND (ld_t IS NULL OR (w.t, w.pos) > (ld_t, ld_pos))),
+       |lwa AS (
+       |  SELECT user_id, a_val FROM (
+       |    SELECT user_id, a_val, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY t DESC, pos DESC) AS rn
+       |    FROM aft WHERE a_val IS NOT NULL) x WHERE rn = 1),
+       |lwb AS (
+       |  SELECT user_id, b_val FROM (
+       |    SELECT user_id, b_val, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY t DESC, pos DESC) AS rn
+       |    FROM aft WHERE b_val IS NOT NULL) x WHERE rn = 1),
+       |touch AS (SELECT DISTINCT user_id FROM aft),
+       |live AS (
+       |  SELECT coalesce(t.user_id, b.user_id) AS user_id,
+       |    b.user_id IS NOT NULL AS has_base,
+       |    t.user_id IS NOT NULL AS touched,
+       |    ld.ld_t IS NOT NULL AS deleted,
+       |    b.a AS base_a, b.b AS base_b
+       |  FROM base b FULL JOIN touch t ON b.user_id = t.user_id
+       |  LEFT JOIN ld ON coalesce(t.user_id, b.user_id) = ld.user_id)
+       |SELECT user_id,
+       |  coalesce(lwa.a_val,
+       |    CASE WHEN NOT deleted AND has_base THEN base_a END) AS a,
+       |  coalesce(lwb.b_val,
+       |    CASE WHEN NOT deleted AND has_base THEN base_b END) AS b
+       |FROM live LEFT JOIN lwa USING (user_id) LEFT JOIN lwb USING (user_id)
+       |WHERE touched OR (has_base AND NOT deleted)
+       |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_merge_partial", cdcMergePartial, Some(oMergePartial)),
     QueryDef("cdc_secured_read", cdcSecuredRead, Some(oSecuredRead)),
     QueryDef("cdc_identity", cdcIdentity, Some(oIdentity)),
     QueryDef("cdc_copy_into", cdcCopyInto, Some(oCopyInto)),

@@ -123,6 +123,12 @@ object TypedProjection {
   def column(data: Column, spec: FieldSpec): Column =
     fromValue(get_json_object(data, "$." + spec.field), spec)
 
+  /** The rule applied to an already-extracted string value (public
+    * for operators that argmax the RAW string first and type the one
+    * surviving value after — PartialMerge's column-level LWW).
+    */
+  def value(v: Column, spec: FieldSpec): Column = fromValue(v, spec)
+
   /** The rule applied to an already-extracted string value. */
   private def fromValue(v: Column, spec: FieldSpec): Column = {
     val c = spec.rule match {

@@ -1,0 +1,102 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.LocalSpark
+import graft.cdc.TypedProjection.{Cast, FieldSpec}
+
+/** A87: column-level last-writer-wins merge of sparse patches. The
+  * laws: each field independently takes the latest event that SET
+  * it; deletes never leak pre-delete values into resurrected rows; a
+  * field-less upsert still asserts existence; and when every patch
+  * is a full-row image the result degenerates to the row-level
+  * SnapshotMerge (the pin that keeps the two merge surfaces from
+  * drifting).
+  */
+class PartialMergeSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private val fields = Seq(FieldSpec("a", Cast(LongType)), FieldSpec("b", Cast(LongType)))
+
+  private def env(rows: (Long, String, Long, Long, String)*) =
+    rows.toSeq.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+      CdcEnvelope.PosCol, CdcEnvelope.DataCol)
+
+  private def base(rows: (Long, java.lang.Long, java.lang.Long)*) =
+    rows.toSeq.toDF("user_id", "a", "b")
+
+  private def got(e: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+    PartialMerge.merge(e, b, Seq("user_id"), fields)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+
+  test("per-field LWW: each field takes the latest event that set it; unset fields fall back to base") {
+    val e = env(
+      (1L, "u", 100L, 1L, """{"a":10}"""),
+      (1L, "u", 200L, 2L, """{"b":20}"""),
+      (1L, "u", 300L, 3L, """{"a":30}"""),  // a from t=300, b from t=200
+      (2L, "u", 100L, 4L, """{"b":99}"""),  // b patched, a carries from base
+      (5L, "u", 100L, 5L, """{"a":50,"b":51}""")) // sparse insert, no base row
+    val b = base((1L, 1L, 2L), (2L, 3L, 4L), (9L, 7L, 8L))
+    assert(got(e, b) === Seq(
+      (1L, Some(30L), Some(20L)),
+      (2L, Some(3L), Some(99L)),
+      (5L, Some(50L), Some(51L)),
+      (9L, Some(7L), Some(8L)))) // untouched base carries
+  }
+
+  test("deletes: tombstone kills the row; resurrect never leaks pre-delete values; touch-only resurrect is all-NULL") {
+    val e = env(
+      (1L, "u", 100L, 1L, """{"a":10,"b":11}"""),
+      (1L, "d", 200L, 2L, "{}"),
+      (1L, "u", 300L, 3L, """{"b":33}"""),  // resurrected: a must be NULL, not 10 or base
+      (2L, "d", 100L, 4L, "{}"),            // deleted base row, never resurrected
+      (3L, "d", 100L, 5L, "{}"),
+      (3L, "u", 200L, 6L, "{}"))            // field-less touch after delete: exists, all NULL
+    val b = base((1L, 1L, 2L), (2L, 3L, 4L))
+    assert(got(e, b) === Seq(
+      (1L, None, Some(33L)),
+      (3L, None, None)))
+  }
+
+  test("tiebreak: same timestamp resolves by position, strictly after a same-ts delete") {
+    val e = env(
+      (1L, "u", 100L, 1L, """{"a":1}"""),
+      (1L, "d", 100L, 2L, "{}"),
+      (1L, "u", 100L, 3L, """{"a":3}""")) // pos 3 > delete pos 2 → survives
+    assert(got(e, base()) === Seq((1L, Some(3L), None)))
+  }
+
+  test("full-row patches degenerate to the row-level SnapshotMerge") {
+    val r = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val u = r.nextInt(20).toLong
+      val op = if (r.nextInt(5) == 0) "d" else "u"
+      (u, op, (100 + i).toLong, i.toLong,
+        s"""{"a":${r.nextInt(100)},"b":${r.nextInt(100)}}""")
+    }
+    val e = env(rows: _*)
+    val b = base((0L until 10L).map(u => (u, java.lang.Long.valueOf(u), java.lang.Long.valueOf(u * 2))): _*)
+    val partial = got(e, b)
+    val typed = e
+      .withColumn("a", get_json_object(col(CdcEnvelope.DataCol), "$.a").cast("long"))
+      .withColumn("b", get_json_object(col(CdcEnvelope.DataCol), "$.b").cast("long"))
+    val compacted = ChangeCompaction.compactForMerge(typed, Seq("user_id"))
+    val rowLevel = SnapshotMerge.merge(b, compacted, Seq("user_id"))
+      .orderBy("user_id").collect()
+      .map(r2 => (r2.getLong(0), Option(r2.get(1)), Option(r2.get(2)))).toSeq
+    assert(partial === rowLevel,
+      "full-row patches must reproduce row-level merge exactly")
+  }
+
+  test("base with undeclared columns is refused") {
+    val e = env((1L, "u", 100L, 1L, """{"a":1}"""))
+    val badBase = base((1L, 1L, 2L)).withColumn("extra", lit(0L))
+    val err = intercept[IllegalArgumentException] {
+      PartialMerge.merge(e, badBase, Seq("user_id"), fields)
+    }
+    assert(err.getMessage.contains("extra"))
+  }
+}
