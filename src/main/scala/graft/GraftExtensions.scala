@@ -197,6 +197,36 @@ object GraftExtensions {
         val path = strLit(args(0), "graft_fsck path")
         plan(graft.cdc.CdcPipeline.fsck(active, path))
       }),
+    // graft_secured(path, rowFilterSql, 'col = maskExpr; ...'): the
+    // A86 policy read from pure SQL. Empty row filter = none; the
+    // mask list uses the same semicolon/first-`=` assignment syntax
+    // as graft_update_where's SET argument.
+    (FunctionIdentifier("graft_secured"),
+      new ExpressionInfo("graft.cdc.Security", "graft_secured"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_secured path")
+        val rf = strLit(args(1), "graft_secured row filter").trim
+        val masks = strLit(args(2), "graft_secured masks")
+          .split(";").map(_.trim).filter(_.nonEmpty).map { a =>
+            val i = a.indexOf('=')
+            require(i > 0, s"graft_secured mask needs 'col = expr', got: $a")
+            a.take(i).trim -> a.drop(i + 1).trim
+          }.toMap
+        val policy = graft.cdc.SecurityPolicy(
+          rowFilter = if (rf.isEmpty) None else Some(rf), masks = masks)
+        plan(graft.cdc.Security.readSecured(active, path, policy).getOrElse(
+          throw new IllegalArgumentException(s"no graft store at $path")))
+      }),
+    // graft_verify_chain(path): the A85 commit-chain audit from SQL —
+    // one row per finding, zero rows = intact lineage.
+    (FunctionIdentifier("graft_verify_chain"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_verify_chain"),
+      (args: Seq[Expression]) => {
+        val path = strLit(args(0), "graft_verify_chain path")
+        val issues = graft.cdc.CdcPipeline.verifyChain(path)
+        plan(active.createDataFrame(issues.map(i => (i.version, i.kind, i.detail)))
+          .toDF("version", "kind", "detail"))
+      }),
     (FunctionIdentifier("graft_schema_history"),
       new ExpressionInfo("graft.cdc.CdcPipeline", "graft_schema_history"),
       (args: Seq[Expression]) => {

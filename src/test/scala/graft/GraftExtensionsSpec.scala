@@ -216,6 +216,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 
+  test("SQL policy read and commit-chain audit: graft_secured / graft_verify_chain") {
+    import graft.cdc.{CdcPipeline, StoreFs}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-sec").toString
+    val df = spark.range(0, 100).select(col("id"),
+      (col("id") % 10).as("region"), (col("id") * 7).as("salary"))
+    CdcPipeline.publish(df, dir, Seq("id"), buckets = Some(4))
+    CdcPipeline.updateWhere(spark, dir, Seq("id"),
+      col("id") === 5, Map("salary" -> (col("salary") + 1L)))
+
+    // policy read from pure SQL: raw-row filter + two masks
+    val sec = spark.sql(
+      s"""SELECT * FROM graft_secured('$dir', 'id < 50',
+         |  'salary = CASE WHEN region < 5 THEN salary ELSE -1 END; region = 99')
+         |ORDER BY id""".stripMargin).collect()
+    assert(sec.length === 50)
+    assert(sec.forall(_.getLong(1) === 99L))
+    assert(sec.filter(_.getLong(0) % 10 >= 5).forall(_.getLong(2) === -1L))
+    assert(sec.find(_.getLong(0) === 3L).get.getLong(2) === 21L)
+
+    // intact two-version chain audits clean from SQL
+    assert(spark.sql(s"SELECT * FROM graft_verify_chain('$dir')").count() === 0L)
+    // tamper a manifest byte → the SQL audit reports it
+    val m = s"$dir/v0/_MANIFEST"
+    StoreFs.writeString(m, StoreFs.readString(m)
+      .replaceFirst("numBuckets=4", "numBuckets=5"))
+    val bad = spark.sql(
+      s"SELECT version, kind FROM graft_verify_chain('$dir')").collect()
+    assert(bad.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "body-tampered")))
+  }
+
   test("pure-SQL store lifecycle: create → merge → delete → update → optimize → maintain → vacuum") {
     import graft.cdc.CdcPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-sqlw").toString
