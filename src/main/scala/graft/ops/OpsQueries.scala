@@ -4197,5 +4197,78 @@ object OpsQueries {
     QueryDef("sample_mixture", sampleMixtureQ, Some(oSampleMixture)),
     QueryDef("sample_mixture_upsample", sampleMixtureUpsampleQ, Some(oSampleMixtureUpsample)),
     QueryDef("q_approx_quantile", qApproxQuantile, Some(oApproxQuantile)),
+    QueryDef("corpus_datacard", corpusDatacard, Some(oCorpusDatacard)),
   )
+
+  // C100 (r9): the corpus DATACARD — the one-table-per-source report
+  // a dataset release ships (HuggingFace dataset cards / Datasheets
+  // for Datasets): volume (docs, chars, whitespace tokens), length
+  // shape (mean via integer DIV, true median via percentile_disc),
+  // language mix (count + modal language with min tie-break + its
+  // ppm share), and exact-duplicate burden (md5 groups → dup ppm).
+  // Three bounded aggregations over ONE scan each — per-source, per-
+  // (source, lang), per-(source, text-hash) — joined on the tiny
+  // source key; every derived number is integer arithmetic. The
+  // composition surface: each ingredient is gated on its own
+  // elsewhere (C10/C15/C94/C1), the datacard pins them ASSEMBLED.
+  def corpusDatacard(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"), col("text"))
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("n_chars_total"),
+      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+        .as("p50_chars"))
+      .withColumn("mean_chars", expr("n_chars_total DIV n_docs"))
+    val langCounts = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("lang"))
+    val langs = langCounts
+      .withColumn("r", row_number().over(wl))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_langs"),
+        max(when(col("r") === 1, col("lang"))).as("top_lang"),
+        max(when(col("r") === 1, col("n"))).as("top_lang_n"))
+    val dups = docs.groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source").agg(sum(col("n") - 1).as("n_dup_docs"))
+    base.join(langs, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        col("n_tokens"), col("mean_chars"), col("p50_chars"),
+        col("n_langs"), col("top_lang"),
+        expr("top_lang_n * 1000000 DIV n_docs").as("top_lang_ppm"),
+        col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  // lazy: declared below the defs list that captures it
+  private lazy val oCorpusDatacard =
+    """WITH base AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars
+      |  FROM documents GROUP BY 1),
+      |lc AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+      |langs AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+      |    max(CASE WHEN r = 1 THEN lang END) AS top_lang,
+      |    max(CASE WHEN r = 1 THEN n END) AS top_lang_n
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |          ORDER BY n DESC, lang) AS r FROM lc) t GROUP BY 1),
+      |dups AS (
+      |  SELECT source, CAST(sum(n - 1) AS BIGINT) AS n_dup_docs FROM (
+      |    SELECT source, md5(text) AS h, count(*) AS n
+      |    FROM documents GROUP BY 1, 2) t GROUP BY 1)
+      |SELECT base.source, n_docs, n_chars_total, n_tokens,
+      |  n_chars_total // n_docs AS mean_chars, p50_chars,
+      |  n_langs, top_lang,
+      |  CAST(top_lang_n * 1000000 // n_docs AS BIGINT) AS top_lang_ppm,
+      |  n_dup_docs,
+      |  CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm
+      |FROM base JOIN langs ON base.source = langs.source
+      |JOIN dups ON base.source = dups.source
+      |ORDER BY base.source""".stripMargin
 }

@@ -3250,7 +3250,42 @@ object Relational {
        |FROM edges ORDER BY relation""".stripMargin
   }
 
+  // B87 (r9): join-key skew report — the diagnostic a 100 TB shuffle
+  // plan is tuned from: per candidate join key, the cardinality, the
+  // hottest key's row count and corpus share, and how many times the
+  // hottest key exceeds the mean (the direct salting-factor input;
+  // AQE's skew-join split threshold is keyed off exactly this shape).
+  // Per column: ONE per-key hash agg (map-side combined — the same
+  // shuffle a join on that key would pay) collapsed by a 1-row agg;
+  // the report is |columns| rows. All integer ppm/×100 arithmetic.
+  def qSkewReport(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+    def one(c: String): DataFrame =
+      li.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+          max("n").as("max_key_rows"))
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          expr("max_key_rows * 1000000 DIV n_rows").as("top1_share_ppm"),
+          expr("max_key_rows * n_keys * 100 DIV n_rows").as("max_over_avg_x100"))
+    one("l_orderkey").union(one("l_partkey")).union(one("l_suppkey"))
+      .orderBy("key_col")
+  }
+
+  private val oSkewReport = {
+    def one(c: String) =
+      s"""SELECT '$c' AS key_col, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(n) AS BIGINT) AS max_key_rows,
+         |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top1_share_ppm,
+         |  CAST(max(n) * count(*) * 100 // sum(n) AS BIGINT) AS max_over_avg_x100
+         |FROM (SELECT $c, count(*) AS n FROM lineitem GROUP BY 1) t""".stripMargin
+    Seq(one("l_orderkey"), one("l_partkey"), one("l_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_skew_report", qSkewReport, Some(oSkewReport)),
     QueryDef("q_changepoint", qChangepoint, Some(oChangepoint)),
     QueryDef("q_rfm", qRfm, Some(oRfm)),
     QueryDef("q_trend_forecast", qTrendForecast, Some(oTrendForecast)),
