@@ -994,6 +994,44 @@ object CdcPipeline {
       }
     }
 
+  /** A88 — planner-grade equi-join size estimate between two stores. */
+  final case class JoinEstimate(rowsA: Long, rowsB: Long,
+      ndvA: Long, ndvB: Long, estimatedRows: Long,
+      fullCoverage: Boolean)
+
+  /** Estimate `|A ⋈ B|` on an equi-key from METADATA ONLY — the
+    * System R containment estimate `|A|·|B| / max(ndv_A, ndv_B)`
+    * every cost-based optimizer starts from, sourced entirely from
+    * artifacts the store already maintains: row counts from parquet
+    * footers ([[fastCount]] — exact, DV-adjusted) and NDVs from the
+    * A83 per-bucket HLL index ([[ndvStats]] — union of surviving
+    * sketches). Zero data I/O: at 100 TB this answers "can the build
+    * side broadcast / how many shuffle partitions does this join
+    * need" in seconds, before any scan is scheduled.
+    *
+    * Honesty: None when either store lacks a committed version, a
+    * footer is unreadable, or the column is not NDV-indexed on
+    * either side — never a guess. Partial sketch coverage (buckets
+    * dropped by rewrites and not yet healed) UNDERestimates the NDV
+    * and so OVERestimates the join — conservative for admission
+    * decisions — and is surfaced via `fullCoverage` so a caller
+    * wanting tight numbers heals first (maintain's ndvRebuildPct).
+    * Zero-NDV sides (empty store) estimate 0.
+    */
+  def estimateJoinRows(spark: SparkSession, dirA: String, dirB: String,
+      column: String): Option[JoinEstimate] =
+    for {
+      ra <- fastCount(dirA)
+      rb <- fastCount(dirB)
+      na <- ndvStats(spark, dirA, column)
+      nb <- ndvStats(spark, dirB, column)
+    } yield {
+      val denom = math.max(na.estimate, nb.estimate)
+      val est = if (denom == 0L) 0L else (BigInt(ra) * BigInt(rb) / denom).toLong
+      JoinEstimate(ra, rb, na.estimate, nb.estimate, est,
+        na.fullCoverage && nb.fullCoverage)
+    }
+
   /** Time-travel: the snapshot as of `version` (≤ the current
     * pointer). Any version whose manifest survives `vacuum`'s
     * keep-window reads exactly as it was published — carried buckets

@@ -117,4 +117,31 @@ class NdvIndexSpec extends AnyFunSuite {
     assert(CdcPipeline.ndvStats(spark, dir, "k").isDefined,
       "other columns' indexes survive the drop")
   }
+
+  test("A88 estimateJoinRows: metadata-only containment estimate lands near the actual join; unindexed side refuses") {
+    val dirA = tmp(); val dirB = tmp()
+    // A: keys 0..999, each exactly twice (2000 rows). B: keys 0..499,
+    // once each. Actual |A ⋈ B| = 500 matched keys × 2 × 1 = 1000;
+    // System R estimate = 2000·500 / max(1000, 500) = 1000.
+    val a = spark.range(0, 2000).select(col("id"), (col("id") % 1000L).as("k"))
+    val b = spark.range(10000, 10500).select(col("id"), (col("id") - 10000L).as("k"))
+    CdcPipeline.publish(a, dirA, Seq("id"), buckets = Some(8))
+    CdcPipeline.publish(b, dirB, Seq("id"), buckets = Some(4))
+    CdcPipeline.buildNdvIndex(spark, dirA, Seq("k"))
+    // unindexed B side → None, never a guess
+    assert(CdcPipeline.estimateJoinRows(spark, dirA, dirB, "k").isEmpty)
+    CdcPipeline.buildNdvIndex(spark, dirB, Seq("k"))
+
+    val est = CdcPipeline.estimateJoinRows(spark, dirA, dirB, "k").get
+    assert(est.rowsA === 2000L && est.rowsB === 500L, "footer-exact row counts")
+    assert(est.fullCoverage)
+    val actual = CdcPipeline.readSnapshot(spark, dirA).get.select("k")
+      .join(CdcPipeline.readSnapshot(spark, dirB).get.select("k"), "k").count()
+    assert(actual === 1000L)
+    // within HLL tolerance of the true containment estimate
+    assert(math.abs(est.estimatedRows - actual) <= actual / 10,
+      s"estimate ${est.estimatedRows} vs actual $actual")
+    // the decision this feeds: B is the broadcast side by row count
+    assert(est.rowsB < est.rowsA)
+  }
 }
