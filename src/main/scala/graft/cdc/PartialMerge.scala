@@ -89,4 +89,46 @@ object PartialMerge {
         coalesce(latest, carried).as(f.as)
       }: _*)
   }
+
+  /** The store integration: apply a sparse window to the versioned
+    * bucketed store with DELTA pricing — read only the buckets the
+    * window's PKs hash into, partial-merge onto that subset, publish
+    * rewritten buckets and carry the rest by reference (the same
+    * contract as the row-level `mergeAndPublish`). First call
+    * bootstraps from an empty typed base. Returns the committed
+    * version.
+    *
+    * Cross-window contract (identical to the row-level pipeline's
+    * watermark contract): windows must partition event time
+    * monotonically — the published state keeps no per-field
+    * timestamps, so a later window replaying OLDER events than an
+    * already-applied one would overwrite newer values.
+    */
+  def mergeAndPublish(spark: org.apache.spark.sql.SparkSession, targetDir: String,
+      pkCols: Seq[String], fields: Seq[FieldSpec], env: DataFrame,
+      batchId: Long = -1L, numBuckets: Option[Int] = None,
+      statsCols: Seq[String] = Nil): Long = {
+    def emptyBase = {
+      val typed = fields.foldLeft(env.select(pkCols.map(col): _*).limit(0)) {
+        (d, f) => d.withColumn(f.as,
+          lit(null).cast(TypedProjection.outputType(f.rule)))
+      }
+      typed
+    }
+    CdcPipeline.currentVersion(targetDir) match {
+      case None =>
+        CdcPipeline.publish(merge(env, emptyBase, pkCols, fields), targetDir,
+          pkCols, batchId, numBuckets, statsCols)
+      case Some(v) =>
+        val m = CdcPipeline.manifest(targetDir, v).getOrElse(
+          throw new IllegalStateException(s"no manifest at $targetDir v$v"))
+        val touched = env
+          .select(CdcPipeline.bucketExpr(pkCols, m.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val subset = CdcPipeline.readBuckets(spark, targetDir, m, touched)
+          .select((pkCols ++ fields.map(_.as)).map(col): _*)
+        CdcPipeline.publishDelta(merge(env, subset, pkCols, fields), targetDir,
+          pkCols, m, touched, batchId, statsCols)
+    }
+  }
 }

@@ -91,6 +91,52 @@ class PartialMergeSpec extends AnyFunSuite {
       "full-row patches must reproduce row-level merge exactly")
   }
 
+  test("store integration: windowed replay ≡ one-shot; each window rewrites only its touched buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pm").toString
+    val r = new scala.util.Random(11)
+    // 3 time-ordered windows of sparse patches over 40 PKs
+    val all = (1 to 600).map { i =>
+      val u = r.nextInt(40).toLong
+      val op = if (r.nextInt(8) == 0) "d" else "u"
+      val fieldsJson =
+        if (op == "d") "{}"
+        else (Seq.empty[String]
+          ++ (if (r.nextBoolean()) Seq(s""""a":${r.nextInt(100)}""") else Nil)
+          ++ (if (r.nextInt(3) == 0) Seq(s""""b":${r.nextInt(100)}""") else Nil))
+          .mkString("{", ",", "}")
+      (u, op, (1000 + i).toLong, i.toLong, fieldsJson)
+    }
+    val windows = all.grouped(200).toSeq
+    var versions = Seq.empty[Long]
+    windows.zipWithIndex.foreach { case (w, i) =>
+      versions :+= PartialMerge.mergeAndPublish(spark, dir, Seq("user_id"),
+        fields, env(w: _*), batchId = i.toLong, numBuckets = Some(8))
+    }
+    assert(versions === Seq(0L, 1L, 2L))
+
+    val replayed = CdcPipeline.readSnapshot(spark, dir).get
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSeq
+    val oneShot = got(env(all: _*),
+      base((0L until 0L).map(u => (u, null: java.lang.Long, null: java.lang.Long)): _*))
+    assert(replayed === oneShot, "windowed store replay ≡ one-shot partial merge")
+
+    // delta pricing: a 2-PK window rewrites ≤ 2 buckets, carries the rest
+    val before = CdcPipeline.manifest(dir, 2L).get
+    PartialMerge.mergeAndPublish(spark, dir, Seq("user_id"), fields,
+      env((1L, "u", 9000L, 9000L, """{"a":777}"""),
+        (2L, "u", 9001L, 9001L, """{"b":888}""")))
+    val after = CdcPipeline.manifest(dir, 3L).get
+    val rewritten = after.buckets.filter { case (b, ref) =>
+      before.buckets.get(b) != Some(ref) }.keySet
+    assert(rewritten.size <= 2, s"rewrote $rewritten for a 2-PK window")
+    val snap = CdcPipeline.readSnapshot(spark, dir).get
+    assert(snap.filter(col("user_id") === 1L).select("a")
+      .collect()(0).getLong(0) === 777L)
+    assert(snap.filter(col("user_id") === 2L).select("b")
+      .collect()(0).getLong(0) === 888L)
+  }
+
   test("base with undeclared columns is refused") {
     val e = env((1L, "u", 100L, 1L, """{"a":1}"""))
     val badBase = base((1L, 1L, 2L)).withColumn("extra", lit(0L))
