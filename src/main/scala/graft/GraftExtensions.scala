@@ -389,6 +389,31 @@ object GraftExtensions {
         import spark.implicits._
         plan(Seq((v, srcRows)).toDF("version", "source_rows"))
       }),
+    // graft_merge_partial(path, 'pk1,pk2', 'a bigint, b double',
+    // sourceSql) → A87 column-level-LWW sparse merge from pure SQL.
+    // The source SQL must produce the envelope columns (__op,
+    // __ts_us, __pos, data-JSON); fields declare name + Spark DDL
+    // type, each cast through the standard projection rule.
+    (FunctionIdentifier("graft_merge_partial"),
+      new ExpressionInfo("graft.cdc.PartialMerge", "graft_merge_partial"),
+      (args: Seq[Expression]) => {
+        import graft.cdc.TypedProjection.{Cast, FieldSpec}
+        val path = strLit(args(0), "graft_merge_partial path")
+        val pk = csvArg(args(1), "graft_merge_partial pk list")
+        val fields = csvArg(args(2), "graft_merge_partial fields").map { fs =>
+          val parts = fs.trim.split("\\s+", 2)
+          require(parts.length == 2,
+            s"graft_merge_partial field needs 'name type', got: $fs")
+          FieldSpec(parts(0),
+            Cast(org.apache.spark.sql.types.DataType.fromDDL(parts(1))))
+        }
+        val spark = active
+        val env = spark.sql(strLit(args(3), "graft_merge_partial source SQL"))
+        val srcRows = env.count()
+        val v = graft.cdc.PartialMerge.mergeAndPublish(spark, path, pk, fields, env)
+        import spark.implicits._
+        plan(Seq((v, srcRows)).toDF("version", "source_rows"))
+      }),
     // graft_copy_into(path, 'pk1,pk2', landingDir[, format]) → A75
     // idempotent bulk file ingestion: every not-yet-ingested data
     // file under landingDir upserts by PK; re-running is a zero-job

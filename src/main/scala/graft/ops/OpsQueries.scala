@@ -4198,7 +4198,74 @@ object OpsQueries {
     QueryDef("sample_mixture_upsample", sampleMixtureUpsampleQ, Some(oSampleMixtureUpsample)),
     QueryDef("q_approx_quantile", qApproxQuantile, Some(oApproxQuantile)),
     QueryDef("corpus_datacard", corpusDatacard, Some(oCorpusDatacard)),
+    QueryDef("graph_triangles", graphTriangles, Some(oGraphTriangles)),
   )
+
+  // C101 (r9): triangle counting + local clustering coefficient over
+  // the same synthetic source-link graph the BFS/pagerank gates use —
+  // the third classic distributed-graph primitive (community density
+  // / spam-farm detection on a web-derived link graph). Edges
+  // canonicalize undirected as (least, greatest) and dedup; each
+  // triangle x<y<z is enumerated exactly once by two co-keyed joins
+  // plus the closing-edge semi join — at scale this is the standard
+  // 2-shuffle triangle join (no per-node adjacency materialization,
+  // no driver graph), with the heavy-hitter mitigation being the
+  // same degree-ordered canonicalization. Clustering coefficient is
+  // integer ppm: 2·tri·10⁶ DIV (deg·(deg−1)).
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val raw = T.documents(s, d).select(col("source").as("u"),
+      concat(lit("src"), (col("doc_id") * 7 + 3) % 20).as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = raw.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct()
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"),
+        "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("""CASE WHEN degree >= 2
+               |  THEN coalesce(n_triangles, 0L) * 2000000 DIV (degree * (degree - 1))
+               |  ELSE 0L END""".stripMargin).as("clustering_ppm"))
+      .orderBy("node")
+  }
+
+  private lazy val oGraphTriangles =
+    """WITH raw AS (
+      |  SELECT source AS u,
+      |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS v
+      |  FROM documents),
+      |e0 AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |  FROM raw WHERE u != v),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM e0 e3
+      |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+      |pn AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) t GROUP BY 1)
+      |SELECT deg.node, degree,
+      |  CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CAST(CASE WHEN degree >= 2
+      |    THEN coalesce(n_triangles, 0) * 2000000 // (degree * (degree - 1))
+      |    ELSE 0 END AS BIGINT) AS clustering_ppm
+      |FROM deg LEFT JOIN pn ON deg.node = pn.node
+      |ORDER BY deg.node""".stripMargin
 
   // C100 (r9): the corpus DATACARD — the one-table-per-source report
   // a dataset release ships (HuggingFace dataset cards / Datasheets

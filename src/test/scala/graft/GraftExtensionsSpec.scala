@@ -248,6 +248,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq((0L, "body-tampered")))
   }
 
+  test("SQL sparse merge: graft_merge_partial bootstraps and patches column-wise") {
+    import graft.cdc.CdcPipeline
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pm-sql").toString
+    // bootstrap: two PKs, each field set by a different event
+    Seq((1L, "u", 100L, 1L, """{"a":10}"""),
+        (1L, "u", 200L, 2L, """{"b":20}"""),
+        (2L, "u", 100L, 3L, """{"a":7,"b":8}"""))
+      .toDF("id", "__op", "__ts_us", "__pos", "data")
+      .createOrReplaceTempView("pm_src1")
+    spark.sql(
+      s"""SELECT * FROM graft_merge_partial('$dir', 'id', 'a bigint, b bigint',
+         |  'SELECT * FROM pm_src1')""".stripMargin).collect()
+    // patch window: b on PK 1, delete PK 2
+    Seq((1L, "u", 300L, 4L, """{"b":99}"""),
+        (2L, "d", 300L, 5L, "{}"))
+      .toDF("id", "__op", "__ts_us", "__pos", "data")
+      .createOrReplaceTempView("pm_src2")
+    val rep = spark.sql(
+      s"""SELECT * FROM graft_merge_partial('$dir', 'id', 'a bigint, b bigint',
+         |  'SELECT * FROM pm_src2')""".stripMargin).collect()(0)
+    assert(rep.getLong(0) === 1L && rep.getLong(1) === 2L)
+    val snap = CdcPipeline.readSnapshot(spark, dir).get.orderBy("id").collect()
+    assert(snap.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 10L, 99L)), "a carried column-wise, b patched, PK 2 deleted")
+  }
+
   test("pure-SQL store lifecycle: create → merge → delete → update → optimize → maintain → vacuum") {
     import graft.cdc.CdcPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-sqlw").toString
