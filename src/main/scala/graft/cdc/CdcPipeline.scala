@@ -2410,6 +2410,14 @@ object CdcPipeline {
             }
         }
       }
+      // A85 commit chain: tampered bodies and severed lineage surface
+      // in the one-stop audit ("unchained" legacy manifests stay out
+      // of fsck — they are a fact, not a defect; verifyChain reports
+      // them for callers who care about the boundary)
+      verifyChain(targetDir).filter(_.kind != "unchained").foreach { i =>
+        report("error", s"chain_${i.kind.replace('-', '_')}", s"v${i.version}",
+          i.detail)
+      }
       // clone pins: every version dir a pin lists must still exist
       StoreFs.listFilePaths(s"$targetDir/$ClonesDir", "").foreach { pin =>
         StoreFs.readString(pin).split("\n").filter(_.matches("v\\d+")).foreach { ref =>

@@ -422,8 +422,13 @@ class CdcPipelineSpec extends AnyFunSuite {
     val forged = CdcPipeline.verifyChain(target)
     assert(forged.map(i => (i.version, i.kind)) === Seq((2L, "link-broken")),
       forged.toString)
+    // the one-stop fsck audit surfaces the severed lineage too
+    assert(CdcPipeline.fsck(spark, target)
+      .filter(col("check") === "chain_link_broken").count() === 1L)
     StoreFs.writeString(m1, body1 + s"chain.parent=$par1\nchain.hash=$hash1\n")
     assert(CdcPipeline.verifyChain(target).isEmpty, "restored bytes verify again")
+    assert(CdcPipeline.fsck(spark, target)
+      .filter(col("check").startsWith("chain_")).count() === 0L)
 
     // 3) pre-chain manifests: a store whose v0 predates the chain is
     // reported informationally, and a child publish records the
