@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import graft.cdc.{CdcEnvelope, CdcPipeline, CdcTableConfig, ChangeCompaction, Scd2Store, SnapshotMerge, TypedProjection}
+import graft.cdc.{CdcEnvelope, CdcPipeline, CdcTableConfig, ChangeCompaction, PartialMerge, Scd2Store, SnapshotMerge, TypedProjection}
 
 /** Structured-Streaming form of the CDC pipeline (SURVEY.md §2
   * A11/A12): the reference's scheduled stored-procedure loop becomes
@@ -121,6 +121,42 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         mergeBatchToTarget(batch.toDF(), batchId, cfg)
+        ()
+      }
+      .start()
+
+  /** A87 streaming: sparse patch stream → versioned target with
+    * column-level last-writer-wins, batchId-idempotent exactly like
+    * the row-level sink (a replayed micro-batch is skipped by the
+    * pointer's recorded batchId; the partial merge itself is also
+    * idempotent under same-window re-application, so the two crash
+    * windows — before and after the checkpoint — both converge).
+    * Monotone micro-batches satisfy the cross-window contract
+    * documented on [[graft.cdc.PartialMerge.mergeAndPublish]] as long
+    * as the SOURCE delivers event time monotonically across batches
+    * (Kafka per-partition order, file-source landing order).
+    */
+  def partialMergeBatchToTarget(batch: DataFrame, batchId: Long,
+      targetDir: String, pkCols: Seq[String],
+      fields: Seq[TypedProjection.FieldSpec],
+      numBuckets: Option[Int] = None): Boolean =
+    if (CdcPipeline.lastCommittedBatch(targetDir).exists(_ >= batchId)) false
+    else {
+      PartialMerge.mergeAndPublish(batch.sparkSession, targetDir, pkCols,
+        fields, batch, batchId, numBuckets)
+      true
+    }
+
+  /** The production sink for [[partialMergeBatchToTarget]]. */
+  def startPartialMergeToTarget(env: DataFrame, targetDir: String,
+      pkCols: Seq[String], fields: Seq[TypedProjection.FieldSpec],
+      checkpoint: String, numBuckets: Option[Int] = None): StreamingQuery =
+    env.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        partialMergeBatchToTarget(batch.toDF(), batchId, targetDir, pkCols,
+          fields, numBuckets)
         ()
       }
       .start()

@@ -66,6 +66,49 @@ class CdcStreamSpec extends AnyFunSuite {
     SnapshotStore.clear(cfg.targetPath)
   }
 
+  test("streaming sparse partial merge: kill+resume equals one-shot column-level LWW") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val fields = Seq(
+      TypedProjection.FieldSpec("a", TypedProjection.Cast(org.apache.spark.sql.types.LongType)),
+      TypedProjection.FieldSpec("b", TypedProjection.Cast(org.apache.spark.sql.types.LongType)))
+    val b1: Seq[(Long, String, Long, Long, String)] = Seq(
+      (1L, "u", 100L, 1L, """{"a":10}"""),
+      (1L, "u", 200L, 2L, """{"b":20}"""),
+      (2L, "u", 100L, 3L, """{"a":7,"b":8}"""))
+    val b2: Seq[(Long, String, Long, Long, String)] = Seq(
+      (1L, "u", 300L, 4L, """{"b":99}"""),  // column patch
+      (2L, "d", 300L, 5L, "{}"),            // delete
+      (3L, "u", 300L, 6L, """{"a":5}"""))   // sparse insert
+    def toEnv(m: MemoryStream[(Long, String, Long, Long, String)]) = m.toDF().toDF("user_id", CdcEnvelope.OpCol,
+      CdcEnvelope.TsCol, CdcEnvelope.PosCol, CdcEnvelope.DataCol)
+    val target = Files.createTempDirectory("graft-pm-tgt").toString
+    val ckpt = Files.createTempDirectory("graft-pm-ckpt").toString
+
+    val mem = MemoryStream[(Long, String, Long, Long, String)]
+    val q1 = CdcStream.startPartialMergeToTarget(toEnv(mem), target, Seq("user_id"),
+      fields, ckpt, numBuckets = Some(4))
+    mem.addData(b1: _*); q1.processAllAvailable(); q1.stop() // kill
+
+    val q2 = CdcStream.startPartialMergeToTarget(toEnv(mem), target, Seq("user_id"),
+      fields, ckpt, numBuckets = Some(4))
+    try { mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val streamed = CdcPipeline.readSnapshot(spark, target).get
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(streamed === Seq((1L, Some(10L), Some(99L)), (3L, Some(5L), None)),
+      "a carried column-wise across the restart, b patched, PK 2 deleted")
+
+    // replayed batch (same batchId) is a no-op: version stays put
+    val v = CdcPipeline.currentVersion(target).get
+    assert(!CdcStream.partialMergeBatchToTarget(
+      b2.toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+        CdcEnvelope.PosCol, CdcEnvelope.DataCol),
+      batchId = 1L, target, Seq("user_id"), fields))
+    assert(CdcPipeline.currentVersion(target).get === v)
+  }
+
   test("production sink: Debezium stream -> versioned parquet, kill+resume equals batch") {
     import org.apache.spark.sql.types._
     import spark.implicits._
