@@ -68,6 +68,53 @@ object StressBenchNew3 {
       StoreFs.deleteRecursive(src); StoreFs.deleteRecursive(dst)
     }
 
+    // A87: sparse partial merge at 10M rows — a 5-PK patch window
+    // must price ∝ the touched buckets (read + rewrite ≤ 5 of 64),
+    // never the table. A85: verifyChain over the resulting 3-version
+    // history is metadata-only (no Spark jobs — milliseconds at any
+    // data size).
+    {
+      import graft.cdc.{PartialMerge, TypedProjection}
+      val dir = java.nio.file.Files.createTempDirectory("stress-pm").toString
+      val fields = Seq(
+        TypedProjection.FieldSpec("a", TypedProjection.Cast(
+          org.apache.spark.sql.types.LongType)),
+        TypedProjection.FieldSpec("b", TypedProjection.Cast(
+          org.apache.spark.sql.types.LongType)))
+      val boot = spark.range(0, n).select(col("id").as("user_id"),
+        lit("u").as(CdcEnvelope.OpCol), lit(100L).as(CdcEnvelope.TsCol),
+        col("id").as(CdcEnvelope.PosCol),
+        concat(lit("""{"a":"""), col("id") % 1000L, lit(""","b":"""),
+          col("id") % 97L, lit("}")).as(CdcEnvelope.DataCol))
+      val (_, tBoot) = secs {
+        PartialMerge.mergeAndPublish(spark, dir, Seq("user_id"), fields, boot,
+          numBuckets = Some(64))
+      }
+      val patch = Seq.tabulate(5)(i =>
+          (i * 1000L + 1L, "u", 200L, n + i, s"""{"a":${888000 + i}}"""))
+        .toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
+          CdcEnvelope.PosCol, CdcEnvelope.DataCol)
+      val (v1, tPatch) = secs {
+        PartialMerge.mergeAndPublish(spark, dir, Seq("user_id"), fields, patch)
+      }
+      val m0 = P.manifest(dir, 0L).get
+      val m1 = P.manifest(dir, v1).get
+      val rewritten = m1.buckets.count { case (b, ref) => m0.buckets.get(b) != Some(ref) }
+      assert(rewritten <= 5, s"5-PK patch rewrote $rewritten buckets")
+      val patchBytes = StoreFs.treeBytes(s"$dir/v$v1")
+      val bootBytes = StoreFs.treeBytes(s"$dir/v0")
+      PartialMerge.mergeAndPublish(spark, dir, Seq("user_id"), fields,
+        patch.withColumn(CdcEnvelope.TsCol, lit(300L))
+          .withColumn(CdcEnvelope.PosCol, col(CdcEnvelope.PosCol) + 10L)) // v2
+      val (issues, tChain) = secs { P.verifyChain(dir) }
+      assert(issues.isEmpty, issues.toString)
+      println(f"[stress] partial merge on ${n / 1e6}%.1f M rows/64 buckets: " +
+        f"bootstrap $tBoot%.1f s ($bootBytes b), 5-PK patch $tPatch%.1f s " +
+        f"($rewritten/64 buckets, $patchBytes b = ${patchBytes * 100.0 / bootBytes}%.2f%% " +
+        f"of bootstrap); verifyChain over 3 versions $tChain%.3f s")
+      StoreFs.deleteRecursive(dir)
+    }
+
     // C90/C91/C93/C98: the new per-row loader ops at 1M docs
     // (~30-word synthetic texts, every 10th doc an exact dup of its
     // neighbor). All are single-scan shapes: C90/C91/C98 are pure
