@@ -217,6 +217,24 @@ object GraftExtensions {
         plan(graft.cdc.Security.readSecured(active, path, policy).getOrElse(
           throw new IllegalArgumentException(s"no graft store at $path")))
       }),
+    // graft_estimate_join(pathA, pathB, col): the A88 metadata-only
+    // join-size estimate from SQL — one row (rows/ndv/estimate/
+    // coverage), errors when either side lacks the NDV index.
+    (FunctionIdentifier("graft_estimate_join"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_estimate_join"),
+      (args: Seq[Expression]) => {
+        val a = strLit(args(0), "graft_estimate_join pathA")
+        val b = strLit(args(1), "graft_estimate_join pathB")
+        val c = strLit(args(2), "graft_estimate_join column")
+        val spark = active
+        val e = graft.cdc.CdcPipeline.estimateJoinRows(spark, a, b, c).getOrElse(
+          throw new IllegalArgumentException(
+            s"estimate unavailable: missing store, footer, or NDV index on '$c'"))
+        import spark.implicits._
+        plan(Seq((e.rowsA, e.rowsB, e.ndvA, e.ndvB, e.estimatedRows, e.fullCoverage))
+          .toDF("rows_a", "rows_b", "ndv_a", "ndv_b", "estimated_rows",
+            "full_coverage"))
+      }),
     // graft_verify_chain(path): the A85 commit-chain audit from SQL —
     // one row per finding, zero rows = intact lineage.
     (FunctionIdentifier("graft_verify_chain"),

@@ -143,5 +143,11 @@ class NdvIndexSpec extends AnyFunSuite {
       s"estimate ${est.estimatedRows} vs actual $actual")
     // the decision this feeds: B is the broadcast side by row count
     assert(est.rowsB < est.rowsA)
+
+    // the SQL surface returns the same numbers
+    graft.GraftExtensions.register(spark)
+    val sql = spark.sql(
+      s"SELECT * FROM graft_estimate_join('$dirA', '$dirB', 'k')").collect()(0)
+    assert(sql.getLong(0) === est.rowsA && sql.getLong(4) === est.estimatedRows)
   }
 }

@@ -137,6 +137,57 @@ class PartialMergeSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 888L)
   }
 
+  test("randomized law: merge ≡ a driver-side reference model over 200 random sparse histories") {
+    // Reference model: literal per-PK event replay in plain Scala —
+    // independent of every Spark mechanism the operator uses.
+    def reference(evs: Seq[(Long, String, Long, Long, String)],
+        b: Map[Long, (Option[Long], Option[Long])]): Map[Long, (Option[Long], Option[Long])] = {
+      val byPk = evs.groupBy(_._1)
+      val pks = byPk.keySet ++ b.keySet
+      pks.flatMap { pk =>
+        val h = byPk.getOrElse(pk, Nil).sortBy(e => (e._3, e._4))
+        val lastDel = h.filter(_._2 == "d").lastOption.map(e => (e._3, e._4))
+        val ord = Ordering.Tuple2[Long, Long]
+        val after = h.filter(e => e._2 == "u" &&
+          lastDel.forall(ld => ord.gt((e._3, e._4), ld)))
+        def field(k: String): Option[Long] = {
+          val set = after.flatMap { e =>
+            val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(e._5)
+            m.map(_.group(1).toLong)
+          }
+          set.lastOption.orElse(
+            if (lastDel.isEmpty) b.get(pk).flatMap(v => if (k == "a") v._1 else v._2)
+            else None)
+        }
+        val exists = after.nonEmpty || (b.contains(pk) && lastDel.isEmpty)
+        if (exists) Some(pk -> (field("a"), field("b"))) else None
+      }.toMap
+    }
+    val r = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val evs = (1 to 200).map { i =>
+        val u = r.nextInt(15).toLong
+        val op = if (r.nextInt(6) == 0) "d" else "u"
+        val js =
+          if (op == "d") "{}"
+          else (Seq.empty[String]
+            ++ (if (r.nextBoolean()) Seq(s""""a":${r.nextInt(50)}""") else Nil)
+            ++ (if (r.nextBoolean()) Seq(s""""b":${r.nextInt(50)}""") else Nil))
+            .mkString("{", ",", "}")
+        // random ts with collisions; pos is the unique tiebreak
+        (u, op, (r.nextInt(20) * 10).toLong, i.toLong, js)
+      }
+      val baseMap = (0L until 8L).map(u =>
+        u -> (Some(u * 10): Option[Long], Some(u * 20): Option[Long])).toMap
+      val expected = reference(evs, baseMap)
+      val actual = got(env(evs: _*),
+        base(baseMap.toSeq.map { case (k, (a, b0)) =>
+          (k, a.map(java.lang.Long.valueOf).orNull, b0.map(java.lang.Long.valueOf).orNull)
+        }: _*)).map(t => t._1 -> (t._2.map(_.asInstanceOf[Long]), t._3.map(_.asInstanceOf[Long]))).toMap
+      assert(actual === expected, s"trial $trial diverged from the reference model")
+    }
+  }
+
   test("base with undeclared columns is refused") {
     val e = env((1L, "u", 100L, 1L, """{"a":1}"""))
     val badBase = base((1L, 1L, 2L)).withColumn("extra", lit(0L))
