@@ -96,15 +96,24 @@ object Bench {
     // tail truncated r7's per-query entries (first 16 lost), so the
     // complete record also lands in a committed file the judge can
     // always read (r7 verdict #4).
+    // Read the PREV artifact's bytes BEFORE writing the new record —
+    // pointing SPARK_GRAFT_PREV_BENCH at the default record path
+    // otherwise compares the run against itself (observed r9: a
+    // delta table of uniform +0.00).
+    val prevBytes = sys.env.get("SPARK_GRAFT_PREV_BENCH").flatMap { prevPath =>
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath))))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prev record unreadable: $e"); None }
+    }
     val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(recordPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] record write skipped: $e") }
     // Per-query delta vs a previous bench artifact (regression catch;
     // stderr only, so the driver's one-line JSON contract holds).
-    sys.env.get("SPARK_GRAFT_PREV_BENCH").foreach { prevPath =>
+    prevBytes.foreach { prev =>
       try {
-        val prev = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)))
         // tolerate a raw bench line OR one embedded (escaped) in a
         // driver artifact, hence the optional backslash before ":
         val pat = java.util.regex.Pattern.compile("\"([a-z0-9_]+)\\\\?\":(-?[0-9.]+)")
