@@ -61,6 +61,21 @@ class SecuritySpec extends AnyFunSuite {
       s"row filter must push down, plan was:\n$plan")
   }
 
+  test("securedView composes with time travel: a policy over v0 sees the OLD rows, masked") {
+    val dir = store()
+    CdcPipeline.updateWhere(spark, dir, Seq("id"),
+      col("id") === 7, Map("salary" -> (col("salary") + 1000L))) // v1
+    val policy = SecurityPolicy(rowFilter = Some("id = 7"),
+      masks = Map("region" -> "-1"))
+    val v0 = Security.securedView(
+      CdcPipeline.readSnapshotAt(spark, dir, 0L).get, policy).collect()(0)
+    val v1 = Security.readSecured(spark, dir, policy).get.collect()(0)
+    assert(v0.getLong(2) === 49L && v1.getLong(2) === 1049L,
+      "the policy wraps ANY reader: time travel serves the old value")
+    assert(v0.getLong(1) === -1L && v1.getLong(1) === -1L,
+      "masks apply identically on both versions")
+  }
+
   test("unknown mask column refuses; empty policy is the identity") {
     val dir = store()
     val e = intercept[IllegalArgumentException] {
