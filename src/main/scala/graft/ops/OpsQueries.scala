@@ -253,7 +253,7 @@ object OpsQueries {
 
   private val oDedupClusters =
     """WITH RECURSIVE
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
       |         ELSE list_distinct(list_transform(
@@ -261,14 +261,14 @@ object OpsQueries {
       |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
       |    END AS sh
       |  FROM documents),
-      |p AS (
+      |p AS MATERIALIZED (
       |  SELECT id_a, id_b FROM (
       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |      len(list_intersect(a.sh, b.sh))
       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
       |  WHERE jaccard >= 0.5),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |reach AS (
       |  SELECT src AS id, src AS comp FROM e
@@ -294,7 +294,7 @@ object OpsQueries {
 
   private val oSplitLeakageSafe =
     """WITH RECURSIVE
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
       |         ELSE list_distinct(list_transform(
@@ -302,14 +302,14 @@ object OpsQueries {
       |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
       |    END AS sh
       |  FROM documents),
-      |p AS (
+      |p AS MATERIALIZED (
       |  SELECT id_a, id_b FROM (
       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |      len(list_intersect(a.sh, b.sh))
       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
       |  WHERE jaccard >= 0.5),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |reach AS (
       |  SELECT src AS id, src AS comp FROM e
@@ -374,12 +374,12 @@ object OpsQueries {
 
   private val oDedupSemanticKeep =
     """WITH RECURSIVE
-      |p AS (
+      |p AS MATERIALIZED (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                               CAST(b.embedding AS DOUBLE[])) >= 0.42),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |reach AS (
       |  SELECT src AS id, src AS comp FROM e
@@ -1234,17 +1234,24 @@ object OpsQueries {
   /** One DuckDB BPE round: pair counts over t{k−1} (t0 = documents),
     * deterministic winner w$k, rewritten corpus t$k. Mirrors
     * `TextAnalysis.bpeTrain`'s loop body term for term.
+    *
+    * Every CTE is MATERIALIZED: t(k) is referenced twice (by p(k+1)
+    * and t(k+1)), so DuckDB's default CTE inlining re-evaluates the
+    * whole regexp-rewrite chain 2^rounds times — 653 s at sf0.01 vs
+    * 0.5 s materialized (measured). The oracle board must stay cheap
+    * or the driver's correctness run times out (see the empty
+    * CORRECTNESS_r09.json post-mortem).
     */
   private def oBpeRound(k: Int): String = {
     val prev = if (k == 1) "documents" else s"t${k - 1}"
-    s"""p$k AS (
+    s"""p$k AS MATERIALIZED (
        |  SELECT ts[i] AS a, ts[i + 1] AS b
        |  FROM (SELECT string_split(text, ' ') AS ts FROM $prev) tk$k,
        |    LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
-       |w$k AS (SELECT a, b, cnt FROM (
+       |w$k AS MATERIALIZED (SELECT a, b, cnt FROM (
        |  SELECT a, b, count(*) AS cnt FROM p$k GROUP BY a, b
        |  ORDER BY cnt DESC, a, b LIMIT 1)),
-       |t$k AS (
+       |t$k AS MATERIALIZED (
        |  SELECT doc_id, trim(regexp_replace(
        |    replace(' ' || replace(text, ' ', '  ') || ' ',
        |      ' ' || (SELECT a FROM w$k) || '  ' || (SELECT b FROM w$k) || ' ',

@@ -50,6 +50,8 @@ def frame_rows(df):
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    record_path = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -63,32 +65,46 @@ def main():
     for name in names:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name); continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name)
+            record[name] = {"status": "fail", "reason": "no spark output"}; continue
         spark_df = pq.read_table(files[0]).to_pandas()
         if name not in oracles:
             print(f"ROWS {name}: rows={len(spark_df)} (no oracle)")
+            record[name] = {"status": "rows_only", "rows": len(spark_df)}
             continue
         try:
             duck_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; fails.append(name); continue
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; fails.append(name)
+            record[name] = {"status": "fail", "reason": f"oracle SQL error: {e}"[:300]}; continue
         sc, sr, sk = frame_rows(spark_df)
         dc, dr, dk = frame_rows(duck_df)
         if sc != dc:
-            print(f"FAIL {name}: columns {sc} != {dc}"); n_fail += 1; fails.append(name); continue
+            print(f"FAIL {name}: columns {sc} != {dc}"); n_fail += 1; fails.append(name)
+            record[name] = {"status": "fail", "reason": f"columns {sc} != {dc}"[:300]}; continue
         if sk != dk:
             print(f"FAIL {name}: dtype kinds differ: spark={list(zip(sc, sk))} duck={list(zip(dc, dk))}")
-            n_fail += 1; fails.append(name); continue
+            n_fail += 1; fails.append(name)
+            record[name] = {"status": "fail", "reason": "dtype kinds differ"}; continue
         if len(sr) != len(dr):
-            print(f"FAIL {name}: rowcount {len(sr)} != {len(dr)}"); n_fail += 1; fails.append(name); continue
+            print(f"FAIL {name}: rowcount {len(sr)} != {len(dr)}"); n_fail += 1; fails.append(name)
+            record[name] = {"status": "fail", "reason": f"rowcount {len(sr)} != {len(dr)}"}; continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first at {i}:\n  spark={a}\n  duck ={b}")
-            n_fail += 1; fails.append(name); continue
+            n_fail += 1; fails.append(name)
+            record[name] = {"status": "fail", "reason": f"{len(bad)}/{len(sr)} rows differ"}; continue
         print(f"PASS {name}: {len(sr)} rows")
         n_pass += 1
+        record[name] = {"status": "pass", "rows": len(sr)}
     print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else ""))
+    if record_path:
+        out = {"sfdir": sfdir, "n_pass": n_pass, "n_fail": n_fail,
+               "queries": record}
+        with open(record_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {record_path}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
