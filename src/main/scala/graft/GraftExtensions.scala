@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberToLatestBy)
+    // Statement-level DML on graft stores (MERGE INTO / UPDATE /
+    // DELETE FROM graft.`path`) — parser wrap, delegate-first; see
+    // graft.plans.GraftSqlDml. Unlike functions/TVFs, a parser can
+    // only be injected at session BUILD time (runtime register(s)
+    // cannot add it).
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

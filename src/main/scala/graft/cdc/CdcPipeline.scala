@@ -56,6 +56,7 @@ object CdcPipeline {
 
   private val VersionFile = "_VERSION"
   private val ManifestFile = "_MANIFEST"
+  private val PkFile = "_PK"
   private[graft] val BucketCol = "_graft_bucket"
 
   /** Deletion-vector sidecar (A53): `<version dir>/_dv` holds one
@@ -124,6 +125,27 @@ object CdcPipeline {
   }
 
   def currentVersion(targetDir: String): Option[Long] = pointer(targetDir).map(_._1)
+
+  /** The store's primary-key columns, recorded once in a store-level
+    * `_PK` sidecar. Like the bucket count, the PK is a LAYOUT
+    * invariant — every bucket is pk-hash-addressed — so it belongs to
+    * the store, not to a version. Written at first publish (and
+    * healed by any later publish for stores predating the sidecar);
+    * consumers are the SQL DML statements (`MERGE INTO` / `UPDATE` /
+    * `DELETE FROM graft.{path}`), which unlike the procedure TVFs
+    * carry no pk-list argument. None = store absent or pre-sidecar
+    * and never rewritten.
+    */
+  def pkColumns(targetDir: String): Option[Seq[String]] = {
+    val p = s"$targetDir/$PkFile"
+    if (StoreFs.exists(p))
+      Some(StoreFs.readString(p).trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    else None
+  }
+
+  private def recordPk(targetDir: String, pkCols: Seq[String]): Unit =
+    if (pkCols.nonEmpty && !StoreFs.exists(s"$targetDir/$PkFile"))
+      StoreFs.writeString(s"$targetDir/$PkFile", pkCols.mkString(","))
 
   /** Highest streaming batchId committed into this target (-1 when the
     * target was only ever written by batch runs).
@@ -1238,6 +1260,7 @@ object CdcPipeline {
       .getOrElse(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val dir = s"$targetDir/v$next"
     writeBuckets(df, pkCols, numBuckets, dir)
+    recordPk(targetDir, pkCols)
     writeManifest(targetDir, next, Manifest(numBuckets, df.schema.json,
       writtenBuckets(dir).map(_ -> s"v$next").toMap,
       bucketStats(df.sparkSession, dir, statsCols), commitMeta(op)))
@@ -1271,6 +1294,7 @@ object CdcPipeline {
     }
     val dir = s"$targetDir/v$next"
     writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
+    recordPk(targetDir, pkCols)
     val carried = prev.buckets -- touched
     val fresh = writtenBuckets(dir).map(_ -> s"v$next").toMap
     // stats mirror the bucket pointers: recomputed for rewritten

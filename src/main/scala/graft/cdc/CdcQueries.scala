@@ -254,6 +254,46 @@ object CdcQueries {
              |FROM graft_snapshot('$dir') ORDER BY user_id""".stripMargin)
   }
 
+  // A69 (r10): the statement-level SQL DML path — the SAME merge as
+  // cdc_sql_merge, but written as a real ANSI `MERGE INTO
+  // graft.{dir}` statement (the reference's actual UX,
+  // bigquery_syntex_merge_sql/merge.sql:403–436) instead of the
+  // graft_merge procedure TVF. The parser injected by GraftExtensions
+  // rewrites the parsed MergeIntoTable onto the A38 MergeInto builder
+  // + publishDelta; the store PK comes from the `_PK` sidecar, and
+  // the ON clause is validated against it. Same DuckDB oracle as
+  // cdc_merge/cdc_sql_merge — parser veneer, TVF veneer, and Scala
+  // path must be bit-identical.
+  def cdcSqlDml(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    SnapshotMerge.fromHistory(proj(history), Seq("user_id"),
+        Seq("user_id", "event_id", "k", "value"))
+      .createOrReplaceTempView("sqldml_target")
+    ChangeCompaction.compactForMerge(
+        proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), Seq("user_id"))
+      .createOrReplaceTempView("sqldml_changes")
+    val Seq(dir) = Fixtures.dirs("sql_dml", 1)
+    s.sql(s"SELECT * FROM graft_create('$dir', 'user_id', " +
+      "'SELECT * FROM sqldml_target', 8)").collect()
+    val merged = s.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_changes AS c
+         |ON t.user_id = c.user_id
+         |WHEN MATCHED AND c.${CdcEnvelope.OpCol} = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND c.${CdcEnvelope.OpCol} != 'd' THEN INSERT *"""
+        .stripMargin).collect()(0)
+    require(merged.getLong(0) == 1L, s"statement merge must publish v1: $merged")
+    s.sql(s"""SELECT user_id, event_id AS src_event_id, k, value
+             |FROM graft_snapshot('$dir') ORDER BY user_id""".stripMargin)
+  }
+
   // A38: generic conditional-clause MERGE INTO (MergeInto) — same
   // target/changes fixture as cdc_merge, but the clauses go beyond
   // the reference's fixed upsert+delete pair: delete on 'd', update
@@ -2159,6 +2199,7 @@ object CdcQueries {
     QueryDef("cdc_deletes", cdcDeletes, Some(oDeletes)),
     QueryDef("cdc_merge", cdcMerge, Some(oMerge)),
     QueryDef("cdc_sql_merge", cdcSqlMerge, Some(oMerge)),
+    QueryDef("cdc_sql_dml", cdcSqlDml, Some(oMerge)),
     QueryDef("cdc_merge_into", cdcMergeInto, Some(oMergeInto)),
     QueryDef("cdc_typed_projection", cdcTypedProjection, Some(oTypedProjection)),
     QueryDef("cdc_typed_projection_v2", cdcTypedProjectionV2, Some(oTypedProjectionV2)),

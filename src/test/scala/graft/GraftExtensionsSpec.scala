@@ -545,4 +545,79 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.cdc.StoreFs.deleteRecursive(dir)
     graft.cdc.StoreFs.deleteRecursive(br)
   }
+
+  test("statement-level DML: MERGE INTO / UPDATE / DELETE FROM / EXPLAIN on graft.`path`") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    spark.sql(
+      s"""SELECT * FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 3 AS v, CAST(id % 5 AS STRING) AS tag FROM range(0, 100)', 8)"""
+        .stripMargin).collect()
+    // the _PK sidecar is written by the bootstrap publish — it is
+    // what lets the statements below omit a pk-list argument
+    assert(CdcPipeline.pkColumns(dir).contains(Seq("id")))
+
+    // source: updates for 10..19, deletes for 20..22, inserts 100..104
+    spark.sql(
+      """SELECT id, id * 100 AS v, 'm' AS tag,
+        |  CASE WHEN id >= 20 AND id < 23 THEN 'd' ELSE 'u' END AS __op
+        |FROM range(10, 23)
+        |UNION ALL SELECT id, id * 100, 'new', 'u' FROM range(100, 105)"""
+        .stripMargin).createOrReplaceTempView("dml_src")
+
+    // EXPLAIN first: must render the command WITHOUT mutating
+    val explained = spark.sql(s"EXPLAIN DELETE FROM graft.`$dir` WHERE id >= 0")
+      .collect()(0).getString(0)
+    assert(explained.contains("GraftDeleteCommand"), explained)
+    assert(CdcPipeline.currentVersion(dir).contains(0L), "EXPLAIN must not run the delete")
+
+    val mr = spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING dml_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.__op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v, tag = upper(t.tag)
+         |WHEN NOT MATCHED AND s.__op != 'd' THEN INSERT (id, v, tag) VALUES (s.id, s.v, s.tag)"""
+        .stripMargin).collect()(0)
+    assert(mr.getLong(0) === 1L && mr.getLong(1) === 18L, s"(version, source_rows): $mr")
+    // matched updates keep the TARGET tag (uppercased), take the source v
+    val u10 = spark.sql(s"SELECT v, tag FROM graft_snapshot('$dir') WHERE id = 10").collect()(0)
+    assert(u10.getLong(0) === 1000L && u10.getString(1) === "0")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir') WHERE id IN (20, 21, 22)")
+      .collect()(0).getLong(0) === 0L, "WHEN MATCHED … THEN DELETE")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir') WHERE id >= 100")
+      .collect()(0).getLong(0) === 5L, "insert clause")
+
+    // UPDATE statement (unqualified refs resolve against the snapshot)
+    val ur = spark.sql(s"UPDATE graft.`$dir` SET v = v + 1, tag = 'x' WHERE id < 3")
+      .collect()(0)
+    assert(ur.getLong(1) === 3L)
+    assert(spark.sql(s"SELECT v, tag FROM graft_snapshot('$dir') WHERE id = 0")
+      .collect()(0).getLong(0) === 1L)
+
+    // DELETE statement with a target alias in the predicate
+    val dr = spark.sql(s"DELETE FROM graft.`$dir` AS t WHERE t.id >= 90 AND t.id < 100")
+      .collect()(0)
+    assert(dr.getLong(1) === 10L)
+
+    // final state vs the scalar model of all three statements
+    val got = spark.sql(s"SELECT id, v FROM graft_snapshot('$dir') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = ((0L until 100L) ++ (100L until 105L))
+      .filterNot(i => (i >= 20 && i < 23) || (i >= 90 && i < 100))
+      .map { i =>
+        val v0 = if ((i >= 10 && i < 23) || i >= 100) i * 100 else i * 3
+        val v1 = if (i < 3) v0 + 1 else v0
+        (i, v1)
+      }
+    assert(got === expect)
+
+    // a MERGE whose ON clause is not the store PK is refused
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` AS t USING dml_src AS s ON t.v = s.v
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("must equal the store PK"))
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
 }
