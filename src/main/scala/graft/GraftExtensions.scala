@@ -241,6 +241,20 @@ object GraftExtensions {
           .toDF("rows_a", "rows_b", "ndv_a", "ndv_b", "estimated_rows",
             "full_coverage"))
       }),
+    // graft_join(pathA, pathB, col): store-to-store equi-join with
+    // the physical strategy chosen by the A90 metadata admission
+    // (broadcast the smaller side when its footer bytes fit,
+    // shuffled-hash otherwise) — the A88 estimate consuming itself.
+    (FunctionIdentifier("graft_join"),
+      new ExpressionInfo("graft.cdc.CdcPipeline", "graft_join"),
+      (args: Seq[Expression]) => {
+        val a = strLit(args(0), "graft_join pathA")
+        val b = strLit(args(1), "graft_join pathB")
+        val c = strLit(args(2), "graft_join column")
+        plan(graft.cdc.CdcPipeline.readJoin(active, a, b, c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft_join: no store at $a or $b")))
+      }),
     // graft_verify_chain(path): the A85 commit-chain audit from SQL —
     // one row per finding, zero rows = intact lineage.
     (FunctionIdentifier("graft_verify_chain"),
@@ -396,7 +410,7 @@ object GraftExtensions {
             val subset = CdcPipeline.readBuckets(spark, path, m, touched)
             val hasOp = source.columns.contains(graft.cdc.CdcEnvelope.OpCol)
             val opCol = MergeInto.src(graft.cdc.CdcEnvelope.OpCol)
-            val mi0 = MergeInto(subset, source, pk)
+            val mi0 = MergeInto(subset, source, pk).sourceRows(srcRows)
             val mi =
               if (hasOp)
                 mi0.whenMatchedDelete(opCol === lit("d"))

@@ -884,6 +884,8 @@ object StressBench {
 
     StressBenchNew3.run(spark, n)
 
+    StressBenchNew4.run(spark, n)
+
     spark.stop()
   }
 }

@@ -657,6 +657,32 @@ object CdcPipeline {
       }
     }
 
+  /** [[readKeys]] with the key set itself STORE-backed — the lookup
+    * side's size is then known from parquet footers before any job
+    * runs, and the plan is chosen by admission instead of hope
+    * (r9 verdict #3): a small key store takes the classic path
+    * (bucket-pruned scan + broadcast semi join, I/O ∝ |keys|
+    * buckets); a key store over `maxBytes` skips BOTH the broadcast
+    * (driver OOM at 10M+ keys) and the driver-side touched-bucket
+    * collect (a saturating bucket set is all cost, no pruning) and
+    * semi-joins the full snapshot shuffled-hash on the pk — the
+    * plan that is actually right when the "lookup" is a quarter of
+    * the table. None when either store is absent.
+    */
+  def readKeysFromStore(spark: SparkSession, targetDir: String,
+      pkCols: Seq[String], keysDir: String,
+      maxBytes: Long = BroadcastAdmissionBytes): Option[DataFrame] =
+    for {
+      (_, kBytes) <- footerTotals(keysDir)
+      keys <- readSnapshot(spark, keysDir)
+      result <-
+        if (kBytes <= maxBytes) readKeys(spark, targetDir, pkCols, keys)
+        else readSnapshot(spark, targetDir).map(
+          _.hint("shuffle_hash")
+            .join(keys.select(pkCols.map(col): _*).hint("shuffle_hash"),
+              pkCols, "left_semi"))
+    } yield result
+
   /** Range read over a NON-key column through the manifest's
     * data-skipping stats (the lakehouse file-stats pattern — Delta
     * `stats`, Iceberg manifest bounds — re-expressed on the bucketed
@@ -1054,6 +1080,69 @@ object CdcPipeline {
         na.fullCoverage && nb.fullCoverage)
     }
 
+  /** Broadcast admission ceiling for a store-backed join side, in
+    * ON-DISK bytes (parquet-compressed). Deliberately below Spark's
+    * 8 GB broadcast hard limit by a wide margin: columnar compression
+    * commonly expands 3–10× in memory, and the driver holds the
+    * build side twice during construction. 64 MB compressed ≈ the
+    * conservative end of Delta's own file-size-based admission.
+    */
+  val BroadcastAdmissionBytes: Long = 64L << 20
+
+  /** Cost-based join admission from store METADATA alone (r9 verdict
+    * #3 — the A88 estimate finally consuming itself): decide the
+    * physical strategy of `storeA ⋈ storeB ON col` before any scan
+    * is scheduled. Inputs are parquet-footer totals ([[footerTotals]]
+    * — exact rows, on-disk bytes) and, when both sides carry the A83
+    * NDV index, the System R output estimate ([[estimateJoinRows]]).
+    *
+    * Decision: broadcast the SMALLER side iff its bytes fit under
+    * `maxBytes`; otherwise shuffled-hash (never sort-merge — the
+    * SnapshotMerge r2 measurement stands: SMJ sorts the full-width
+    * big side for no benefit on hash-joinable keys). The NDV estimate
+    * rides along for the caller ("will the OUTPUT explode") — it
+    * does not veto a broadcast, because build-side admission is an
+    * INPUT-size question; None estimate (unindexed column) leaves
+    * the bytes decision intact rather than blocking it.
+    */
+  final case class JoinAdmission(
+      broadcastSide: Option[String], // "a" | "b" | None = shuffle both
+      rowsA: Long, bytesA: Long, rowsB: Long, bytesB: Long,
+      estimate: Option[JoinEstimate])
+
+  def admitJoin(spark: SparkSession, dirA: String, dirB: String,
+      column: String, maxBytes: Long = BroadcastAdmissionBytes): Option[JoinAdmission] =
+    for {
+      (ra, ba) <- footerTotals(dirA)
+      (rb, bb) <- footerTotals(dirB)
+    } yield {
+      val side =
+        if (ba <= bb && ba <= maxBytes) Some("a")
+        else if (bb < ba && bb <= maxBytes) Some("b")
+        else None
+      JoinAdmission(side, ra, ba, rb, bb,
+        estimateJoinRows(spark, dirA, dirB, column))
+    }
+
+  /** `storeA ⋈ storeB ON col` with the strategy [[admitJoin]] chose —
+    * the store-to-store join a SQL user reaches via
+    * `graft_join(pathA, pathB, col)`. Equi-inner-join; both reads go
+    * through the full manifest machinery (DVs, virtual columns). The
+    * un-broadcast side is explicitly `shuffle_hash`-hinted so a
+    * stats-blind Catalyst cannot fall back to sort-merge.
+    */
+  def readJoin(spark: SparkSession, dirA: String, dirB: String,
+      column: String, maxBytes: Long = BroadcastAdmissionBytes): Option[DataFrame] =
+    for {
+      adm <- admitJoin(spark, dirA, dirB, column, maxBytes)
+      a <- readSnapshot(spark, dirA)
+      b <- readSnapshot(spark, dirB)
+    } yield adm.broadcastSide match {
+      case Some("a") => b.join(broadcast(a), Seq(column))
+      case Some("b") => a.join(broadcast(b), Seq(column))
+      case _ => a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq(column))
+    }
+
   /** Time-travel: the snapshot as of `version` (≤ the current
     * pointer). Any version whose manifest survives `vacuum`'s
     * keep-window reads exactly as it was published — carried buckets
@@ -1422,20 +1511,33 @@ object CdcPipeline {
     * footer is unreadable — degrade to the scan, never a guess.
     */
   def fastCount(targetDir: String): Option[Long] =
+    footerTotals(targetDir).map(_._1)
+
+  /** (live rows, on-disk bytes) of the current snapshot, from parquet
+    * footers + manifest only — the same zero-data-I/O walk as
+    * [[fastCount]], additionally summing file sizes. Rows are
+    * DV-adjusted (MoR-deleted rows excluded); bytes are the raw
+    * compressed footprint of the referenced files (DV'd rows still
+    * occupy their bytes until folded) — the conservative direction
+    * for broadcast admission. None on any unreadable footer.
+    */
+  def footerTotals(targetDir: String): Option[(Long, Long)] =
     for {
       v <- currentVersion(targetDir)
       m <- manifest(targetDir, v)
-      tableRows <- m.buckets.toSeq.sortBy(_._1).foldLeft(Option(0L)) {
+      totals <- m.buckets.toSeq.sortBy(_._1).foldLeft(Option((0L, 0L))) {
         case (acc, (b, ref)) =>
           val root = if (ref.contains("/")) ref else s"$targetDir/$ref"
-          for (a <- acc; (r, _) <- StoreFs.footerRowsBytes(s"$root/$BucketCol=$b"))
-            yield a + r
+          for {
+            (ar, ab) <- acc
+            (r, by) <- StoreFs.footerRowsBytes(s"$root/$BucketCol=$b")
+          } yield (ar + r, ab + by)
       }
       dvRows <- m.meta.get("dv") match {
         case None => Some(0L)
         case Some(ref) => StoreFs.footerRowsBytes(dvPath(targetDir, ref)).map(_._1)
       }
-    } yield tableRows - dvRows
+    } yield (totals._1 - dvRows, totals._2)
 
   /** Fold the deletion vector into the data files (A56): OPTIMIZE
     * exactly the buckets the vector touches — every entry's bucket is

@@ -29,12 +29,14 @@ final class MergeInto private (
     target: DataFrame, source: DataFrame, on: Seq[String],
     matched: Seq[MergeInto.MatchedClause],
     notMatched: Seq[MergeInto.InsertClause],
-    dupCheck: Boolean) {
+    dupCheck: Boolean,
+    srcRows: Option[Long]) {
   import MergeInto._
 
   private def copied(m: Seq[MatchedClause] = matched,
-      nm: Seq[InsertClause] = notMatched, dc: Boolean = dupCheck) =
-    new MergeInto(target, source, on, m, nm, dc)
+      nm: Seq[InsertClause] = notMatched, dc: Boolean = dupCheck,
+      sr: Option[Long] = srcRows) =
+    new MergeInto(target, source, on, m, nm, dc, sr)
 
   /** UPDATE SET clause: columns absent from `set` carry the target
     * value. Expressions may reference both sides via tgt()/src().
@@ -63,6 +65,17 @@ final class MergeInto private (
 
   def skipDuplicateSourceCheck(): MergeInto = copied(dc = false)
 
+  /** Declare the source's row count (the caller usually has it — the
+    * TVF/statement paths count the source anyway, and a store-backed
+    * source reads it from parquet footers for free): the join then
+    * gets an EXPLICIT strategy instead of hoping AQE sizes an
+    * in-flight delta correctly — broadcast the prefixed source under
+    * [[MergeInto.BroadcastSourceRows]], shuffled-hash above it (never
+    * sort-merge; the SnapshotMerge r2 measurement). Unset = the
+    * pre-r10 behavior (Catalyst + AQE decide).
+    */
+  def sourceRows(n: Long): MergeInto = copied(sr = Some(n))
+
   /** The merged snapshot. One join + one codegen'd projection/filter;
     * plus (unless skipped) one aggregation over the source for the
     * ANSI duplicate-key rejection.
@@ -89,9 +102,22 @@ final class MergeInto private (
       .reduce(_ && _)
     // No insert clause → unmatched source rows are no-ops: left-outer
     // keeps the join broadcast-eligible for delta-sized sources.
+    // Admission by declared source size (r9 verdict #3): a LEFT
+    // OUTER's non-preserved (source) side is broadcast-legal, so a
+    // delta-sized source broadcasts and the target never shuffles; a
+    // FULL OUTER preserves both sides — broadcast is illegal there,
+    // so the declared-big (or any full-outer) source pins
+    // shuffled-hash rather than letting a stats-blind planner pick a
+    // full-width sort-merge.
+    val sHinted = srcRows match {
+      case Some(n) if n <= BroadcastSourceRows && notMatched.isEmpty =>
+        broadcast(s)
+      case Some(_) => s.hint("shuffle_hash")
+      case None => s
+    }
     val joined =
-      if (notMatched.isEmpty) t.join(s, joinCond, "left_outer")
-      else t.join(s, joinCond, "full_outer")
+      if (notMatched.isEmpty) t.join(sHinted, joinCond, "left_outer")
+      else t.join(sHinted, joinCond, "full_outer")
     val isMatched = col("_t_present") && col("_s_present")
 
     // First matching clause decides survival; no firing clause = carry.
@@ -130,6 +156,12 @@ object MergeInto {
   private[cdc] val TPrefix = "_merge_t_"
   private[cdc] val SPrefix = "_merge_s_"
 
+  /** Source-size ceiling for the explicit broadcast pick in
+    * [[MergeInto.sourceRows]] — same threshold as SnapshotMerge's
+    * delta heuristic (measured there at 10 M rows, StressBench r2).
+    */
+  val BroadcastSourceRows: Long = SnapshotMerge.LargeDeltaRows
+
   private[cdc] final case class MatchedClause(
     condition: Column, set: Map[String, Column], delete: Boolean)
   private[cdc] final case class InsertClause(
@@ -142,5 +174,6 @@ object MergeInto {
   def src(c: String): Column = col(s"$SPrefix$c")
 
   def apply(target: DataFrame, source: DataFrame, on: Seq[String]): MergeInto =
-    new MergeInto(target, source, on, Seq.empty, Seq.empty, dupCheck = true)
+    new MergeInto(target, source, on, Seq.empty, Seq.empty, dupCheck = true,
+      srcRows = None)
 }

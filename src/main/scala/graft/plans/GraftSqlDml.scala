@@ -283,7 +283,7 @@ object GraftSqlDml {
         if (touched.isEmpty) cur
         else {
           val subset = CdcPipeline.readBuckets(spark, path, m, touched)
-          val mi = clauses(MergeInto(subset, source, pk), srcCols)
+          val mi = clauses(MergeInto(subset, source, pk).sourceRows(srcRows), srcCols)
           val merged = mi.run()
           // A71 induction: CHECK constraints gate the rewritten
           // subset (arbitrary SET expressions can violate them even
