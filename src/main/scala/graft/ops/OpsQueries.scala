@@ -3594,6 +3594,36 @@ object OpsQueries {
       |       >= 700000 THEN 1 ELSE 0 END AS is_near
       |FROM p ORDER BY id_a, id_b""".stripMargin
 
+  // C2∘C88 (r10): the production-shape edit-distance dedup — LSH
+  // candidates → levenshtein confirm (the path editDistancePairs'
+  // own doc declares for production; dedup_edit_distance stays the
+  // blocked-feed truth). The oracle is the EXACT all-pairs truth at
+  // the same integer verdict, prefiltered only by the length bound
+  // edit distance itself implies (dist ≥ |len_a − len_b|, so
+  // sim ≥ 0.7 forces the lengths within 30%) — a hash match proves
+  // the MinHash candidate feed missed NO true near pair on this
+  // corpus AND the confirm arithmetic matches DuckDB. Universe
+  // capped at 350 docs to bound the oracle's quadratic DP.
+  def dedupLshEditVerify(s: SparkSession, d: String): DataFrame =
+    Dedup.lshEditVerify(T.documents(s, d).filter(col("doc_id") < 350))
+      .orderBy("id_a", "id_b")
+
+  private val oDedupLshEditVerify =
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS l
+      |  FROM documents WHERE doc_id < 350),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+      |    a.l AS len_a, b.l AS len_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |    AND abs(a.l - b.l) * 1000000 <= 300000 * greatest(a.l, b.l, 1))
+      |SELECT id_a, id_b, dist, len_a, len_b,
+      |  1000000 - dist * 1000000 // greatest(len_a, len_b, 1) AS sim_ppm
+      |FROM p
+      |WHERE 1000000 - dist * 1000000 // greatest(len_a, len_b, 1) >= 700000
+      |ORDER BY id_a, id_b""".stripMargin
+
   // C89: chat-template / special-token leakage audit. The synthetic
   // corpus is clean, so the gate INJECTS the five marker families
   // deterministically on both engines (the C83/C44 injected-fixture
@@ -4092,6 +4122,7 @@ object OpsQueries {
     QueryDef("ann_centroid_assign", annCentroidAssign,
       Some(oAnnCentroidAssign)),
     QueryDef("dedup_edit_distance", dedupEditDistance, Some(oDedupEditDistance)),
+    QueryDef("dedup_lsh_edit_verify", dedupLshEditVerify, Some(oDedupLshEditVerify)),
     QueryDef("text_template_leakage", textTemplateLeakage,
       Some(oTextTemplateLeakage)),
     QueryDef("graph_pagerank", graphPagerank, Some(oGraphPagerank)),
