@@ -1597,12 +1597,40 @@ object CdcPipeline {
     */
   def deleteWhereMoR(spark: SparkSession, targetDir: String, pkCols: Seq[String],
       predicate: Column, autoFoldPct: Option[Int] = None): Option[(Long, Long)] =
+    deleteMoR(spark, targetDir, pkCols, _.filter(predicate), autoFoldPct)
+
+  /** [[deleteWhereMoR]] with the doomed subjects supplied as a
+    * DataFrame instead of a literal predicate (r9 verdict #5 — the
+    * GDPR-queue scale path): the hit scan is a LEFT SEMI join
+    * against the distinct key set, broadcast under
+    * [[BroadcastAdmissionBytes]]-scale batches and shuffled-hash
+    * above (`broadcastKeys = false`). A 10k-subject batch as an
+    * `isin` list would compile 10k literals into one codegen'd
+    * predicate — brushing the JVM's 64 KB method ceiling and
+    * re-JITting every batch; the semi join is one hashed build
+    * whatever the batch size. `keys` is a one-column DataFrame of
+    * subject values matched against `targetCol`.
+    */
+  def deleteKeysMoR(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      targetCol: String, keys: DataFrame, autoFoldPct: Option[Int] = None,
+      broadcastKeys: Boolean = true): Option[(Long, Long)] = {
+    require(keys.columns.length == 1,
+      s"deleteKeysMoR keys must be one column, got ${keys.columns.mkString(",")}")
+    val keySet = keys.toDF(targetCol).distinct()
+    val hinted = if (broadcastKeys) broadcast(keySet) else keySet.hint("shuffle_hash")
+    deleteMoR(spark, targetDir, pkCols,
+      _.join(hinted, Seq(targetCol), "left_semi"), autoFoldPct)
+  }
+
+  private def deleteMoR(spark: SparkSession, targetDir: String, pkCols: Seq[String],
+      hitFilter: DataFrame => DataFrame,
+      autoFoldPct: Option[Int]): Option[(Long, Long)] =
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val snap = readBucketsWithPos(spark, targetDir, m, m.buckets.keySet)
       // localCheckpoint: the hit set is both counted and written —
       // one scan, and the checkpoint pins the positions against
       // recomputation racing a concurrent compaction
-      val hits = snap.filter(predicate)
+      val hits = hitFilter(snap)
         .select(bucketExpr(pkCols, m.numBuckets).as("bucket"),
           col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
         .localCheckpoint()

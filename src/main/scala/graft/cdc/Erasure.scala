@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * making the retry a no-op. That idempotence is what lets the
   * coordination stay a one-line cursor file instead of a 2PC.
   *
-  * Batch contract: one erasure batch's subject keys collect to the
-  * driver (they parameterize the delete predicate). GDPR queues are
-  * human-scale — thousands, not billions; a bulk purge beyond that
-  * belongs on [[CdcPipeline.deleteWhere]] with a predicate, not on a
-  * per-subject queue.
+  * Batch contract: the subject keys stay a DataFrame end to end —
+  * the delete is [[CdcPipeline.deleteKeysMoR]]'s broadcast semi
+  * join, so a 10k-subject batch costs one hashed build, not a
+  * 10k-literal codegen'd predicate. GDPR queues are human-scale —
+  * thousands, not billions; a bulk purge beyond broadcast scale
+  * belongs on [[CdcPipeline.deleteWhere]] with a predicate, or
+  * `deleteKeysMoR(broadcastKeys = false)`.
   */
 object Erasure {
 
@@ -52,14 +54,20 @@ object Erasure {
         targetDb = "", targetTable = "", targetPath = queueDir,
         pk = queuePk, fieldSpecs = Nil),
       consumer) { diff =>
+      // The subjects stay a DataFrame end to end (r9 verdict #5): a
+      // 10k-subject batch as an isin literal list would compile 10k
+      // operands into one codegen'd predicate — deleteKeysMoR's
+      // broadcast semi join is one hashed build at any batch size.
+      // localCheckpoint pins the batch so the count and the delete
+      // see the same rows.
       val subjects = diff.filter(col(CdcEnvelope.OpCol) === "i")
-        .select(subjectCol).distinct()
-        .collect().map(_.get(0)).toSeq
-      if (subjects.nonEmpty) {
-        val (_, erased) = CdcPipeline.deleteWhereMoR(spark, targetDir, targetPk,
-          col(targetCol).isin(subjects: _*), autoFoldPct)
+        .select(subjectCol).distinct().localCheckpoint()
+      val nSubjects = subjects.count()
+      if (nSubjects > 0L) {
+        val (_, erased) = CdcPipeline.deleteKeysMoR(spark, targetDir, targetPk,
+          targetCol, subjects, autoFoldPct)
           .getOrElse(throw new IllegalStateException(s"no store at $targetDir"))
-        out = Some((subjects.size.toLong, erased))
+        out = Some((nSubjects, erased))
       } else out = Some((0L, 0L))
     }
     out

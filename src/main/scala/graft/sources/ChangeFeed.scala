@@ -87,7 +87,7 @@ object ChangeFeed {
     fromDebeziumJson(spark.read.text(path), "value", valueSchema, pk)
 
   /** Streaming variant: a file-source stream of Debezium JSON lines,
-    * ready for CdcStream.startMerge.
+    * ready for CdcStream.startMergeToTarget.
     */
   def debeziumJsonLinesStream(spark: SparkSession, path: String, valueSchema: StructType,
       pk: Seq[String]): DataFrame =

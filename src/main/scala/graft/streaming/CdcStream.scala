@@ -184,25 +184,6 @@ object CdcStream {
       .start()
       .awaitTermination()
 
-  /** Test/demo streaming merge into the in-memory `SnapshotStore`
-    * (driver-side; see SnapshotStore docs) — specs assert stream-end
-    * state equals the batch result without filesystem churn. The
-    * production path is `startMergeToTarget`.
-    */
-  def startMerge(env: DataFrame, cfg: CdcTableConfig, checkpoint: String)(
-      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
-    env.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val changes = compactBatch(batch.toDF(), cfg)
-        SnapshotStore.merge(cfg, changes, batchId)
-        onBatch(SnapshotStore.get(cfg.targetPath).orNull, batchId)
-        ()
-      }
-      .start()
-  }
-
   final case class DedupEvent(key: Long, pos: Long)
   final case class TimedEvent(key: Long, pos: Long, eventTime: java.sql.Timestamp)
 
@@ -258,36 +239,4 @@ object CdcStream {
           }
       }
   }
-}
-
-/** Driver-local snapshot state for streaming tests — maps a target
-  * path to its current merged snapshot (collected rows + schema kept
-  * as a DataFrame). Stands in for the parquet/Delta target so specs
-  * can assert convergence without filesystem races. Tracks the last
-  * applied batchId per target so a replayed micro-batch is skipped —
-  * the same guard the production versioned-parquet path gets from
-  * the version pointer.
-  */
-object SnapshotStore {
-  private val store = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
-
-  def get(path: String): Option[DataFrame] = store.get(path).map(_._1)
-  def lastBatch(path: String): Option[Long] = store.get(path).map(_._2)
-
-  def merge(cfg: CdcTableConfig, changes: DataFrame, batchId: Long = -1L): Unit = synchronized {
-    if (store.get(cfg.targetPath).exists(_._2 >= batchId) && batchId >= 0) return
-    val next = store.get(cfg.targetPath) match {
-      case Some((target, _)) => SnapshotMerge.merge(target, changes, cfg.pk)
-      case None => SnapshotMerge.fromHistory(changes, cfg.pk, cfg.targetCols)
-    }
-    // Materialize: foreachBatch DataFrames are only valid within the
-    // batch, so pin the rows.
-    val spark = changes.sparkSession
-    val rows = next.select(cfg.targetCols.map(col): _*).collect().toSeq
-    val schema = next.select(cfg.targetCols.map(col): _*).schema
-    store.put(cfg.targetPath,
-      (spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema), batchId))
-  }
-
-  def clear(path: String): Unit = store.remove(path)
 }

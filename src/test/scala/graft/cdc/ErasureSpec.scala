@@ -91,4 +91,40 @@ class ErasureSpec extends AnyFunSuite {
       "an all-noop retry must not publish a version")
     assert(CdcPipeline.readSnapshot(spark, target).get.count() === 270)
   }
+
+  test("10k-subject batch: one semi-join delete, MoR commit, no bucket rewrite") {
+    val target = tmp(); val queue = tmp()
+    // 40k rows over 20k users; PK = row id, 8 buckets
+    CdcPipeline.publish(
+      spark.range(0, 40000).select(col("id"), (col("id") % 20000).as("user_id")),
+      target, Seq("id"), buckets = Some(8))
+    CdcPipeline.publish(
+      Seq((0L, -1L)).toDF("req_id", "user_id"), queue, Seq("req_id"),
+      buckets = Some(2))
+    assert(Erasure.apply(spark, queue, Seq("req_id"), "user_id",
+      target, Seq("id"), "user_id") === None)
+    // enqueue 10,000 subjects (users 0..9999) in one batch — the
+    // scale an isin literal list cannot carry (r9 verdict #5)
+    val m = CdcPipeline.manifest(queue, CdcPipeline.currentVersion(queue).get).get
+    CdcPipeline.publishDelta(
+      CdcPipeline.readSnapshot(spark, queue).get.unionByName(
+        spark.range(0, 10000).select((col("id") + 1).as("req_id"),
+          col("id").as("user_id"))),
+      queue, Seq("req_id"), m, m.buckets.keySet, batchId = -1L)
+    val dataFilesBefore =
+      CdcPipeline.readSnapshot(spark, target).get.inputFiles.toSet
+    val Some((nReq, nRows)) = Erasure.apply(spark, queue, Seq("req_id"), "user_id",
+      target, Seq("id"), "user_id")
+    assert(nReq === 10000L && nRows === 20000L)
+    val left = CdcPipeline.readSnapshot(spark, target).get
+    assert(left.count() === 20000L)
+    assert(left.filter(col("user_id") < 10000).count() === 0L)
+    // merge-on-read: the DATA files are untouched (DV sidecar only)
+    val tm = CdcPipeline.manifest(target, CdcPipeline.currentVersion(target).get).get
+    assert(tm.meta.contains("dv") && tm.meta("op") === "delete_mor")
+    // the post-erase read adds the DV sidecar to its scan — the DATA
+    // files themselves must be exactly the pre-erase set
+    assert(left.inputFiles.filterNot(_.contains("/_dv/")).toSet === dataFilesBefore,
+      "a MoR erase must not rewrite any data file")
+  }
 }

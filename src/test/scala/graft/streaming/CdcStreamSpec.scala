@@ -45,7 +45,7 @@ class CdcStreamSpec extends AnyFunSuite {
     val env = mem.toDF().toDF("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol,
       CdcEnvelope.PosCol, CdcEnvelope.LoadTsCol, CdcEnvelope.DataCol, "event_id", "value")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val q = CdcStream.startMerge(env, cfg, ckpt)()
+    val q = StreamTestkit.startMerge(env, cfg, ckpt)()
     try {
       mem.addData(batch1: _*); q.processAllAvailable()
       mem.addData(batch2: _*); q.processAllAvailable()
