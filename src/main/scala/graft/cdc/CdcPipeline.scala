@@ -216,7 +216,7 @@ object CdcPipeline {
       else chainHashOf(targetDir, version - 1).getOrElse(ChainUnchained)
     val body = sb.toString
     sb.append(s"$ChainParentKey=$parent\n")
-    sb.append(s"$ChainHashKey=${md5Hex(parent + "\n" + body)}\n")
+    sb.append(s"$ChainHashKey=${chainHex(parent + "\n" + body)}\n")
     StoreFs.writeString(s"$targetDir/v$version/$ManifestFile", sb.toString)
   }
 
@@ -225,6 +225,19 @@ object CdcPipeline {
   private[cdc] val ChainGenesis = "genesis"
   private[cdc] val ChainUnchained = "unchained"
 
+  /** Chain hash = SHA-256 (r9 ADVICE: MD5 is collision-broken — an
+    * attacker could craft two manifests with one hash, defeating
+    * even the honest-mistake guarantee). Pre-r10 manifests carry MD5
+    * hashes; verifyChain accepts either, so upgrading a store never
+    * flags its own history.
+    */
+  private def chainHex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Legacy (pre-r10) chain hash, kept only so verifyChain can
+    * validate histories written before the SHA-256 switch.
+    */
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -244,9 +257,18 @@ object CdcPipeline {
   final case class ChainIssue(version: Long, kind: String, detail: String)
 
   /** A85 — tamper-evident commit-chain audit: every manifest records
-    * an md5 over its own body salted with its parent's recorded
+    * a SHA-256 over its own body salted with its parent's recorded
     * chain hash, so the readable history forms a hash chain
     * (the git-commit-DAG integrity idea applied to table versions).
+    *
+    * Trust model (the git model, stated plainly): the chain hashes
+    * live in the same writable files they protect and carry no
+    * secret, so an attacker with WRITE access can re-hash the whole
+    * chain after editing it. What the chain detects is naive edits,
+    * bit rot, and severed/replaced versions; TAMPER-evidence against
+    * a writer requires anchoring the head hash externally (print it
+    * to an audit log, a write-once store, or a signature) — exactly
+    * as a git repo's integrity hangs off an externally-known HEAD.
     * `verifyChain` recomputes every link from the bytes on disk and
     * reports:
     *
@@ -286,7 +308,11 @@ object CdcPipeline {
           case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=") }
         (line(ChainParentKey), line(ChainHashKey)) match {
           case (Some(par), Some(h)) =>
-            if (md5Hex(par + "\n" + body) != h)
+            // SHA-256 since r10; 32-hex-char hashes are legacy MD5
+            val expect =
+              if (h.length == 32) md5Hex(par + "\n" + body)
+              else chainHex(par + "\n" + body)
+            if (expect != h)
               issues += ChainIssue(v, "body-tampered",
                 "manifest bytes do not match their recorded chain hash")
             prev match {
@@ -990,6 +1016,20 @@ object CdcPipeline {
             sk.asInstanceOf[Array[Byte]]))
         }
       }
+      // Zero-cardinality sentinel (r9 ADVICE): a SCANNED bucket can
+      // legitimately produce no sketch — fully DV-deleted (no rows
+      // survive the anti-join) or an all-NULL column (hll_sketch_agg
+      // → null). Without a file, coverage never reaches full and
+      // maintain()'s ndvRebuildPct trigger re-runs the heal on every
+      // pass, committing a version each time without converging. An
+      // EMPTY .hll file records "scanned, zero cardinality";
+      // ndvStats counts it as covered and excludes it from the union.
+      columns.foreach { c =>
+        scanSet.toSeq.sorted.foreach { b =>
+          val p = s"$targetDir/v$next/$NdvDir/${statEnc(c)}/$b.hll"
+          if (!StoreFs.exists(p)) StoreFs.writeBytes(p, Array.emptyByteArray)
+        }
+      }
       val dvMeta = m.meta.get("dv").map { ref =>
         StoreFs.copyDir(dvPath(targetDir, ref), s"$targetDir/v$next/$DvDir")
         "dv" -> s"v$next"
@@ -1030,11 +1070,14 @@ object CdcPipeline {
           val p = s"$dir/$b.hll"
           if (StoreFs.exists(p)) Some(StoreFs.readBytes(p)) else None
         }
+        // zero-length files are the zero-cardinality sentinel (see
+        // buildNdvIndex): covered, but not a union input
+        val sketches = present.filter(_.nonEmpty)
         val est =
-          if (present.isEmpty) 0L
+          if (sketches.isEmpty) 0L
           else {
             import spark.implicits._
-            present.toDF("sk")
+            sketches.toDF("sk")
               .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
               .collect()(0).getLong(0)
           }

@@ -122,6 +122,21 @@ object PartialMerge {
       case Some(v) =>
         val m = CdcPipeline.manifest(targetDir, v).getOrElse(
           throw new IllegalStateException(s"no manifest at $targetDir v$v"))
+        // The store's schema must be EXACTLY pk + declared fields
+        // (r9 ADVICE): the subset pre-select below would otherwise
+        // narrow a wider store before merge() could apply its
+        // documented refusal — publishDelta then commits the
+        // narrowed schema, and the undeclared columns silently
+        // vanish from reads (lost for good once their buckets
+        // rewrite). Refuse loudly instead; a wider target needs its
+        // extra fields declared (or a row-level merge).
+        val storeCols = m.schema.fields.map(_.name).toSet
+        val declared = (pkCols ++ fields.map(_.as)).toSet
+        require(storeCols == declared,
+          s"sparse merge field list (${declared.toSeq.sorted.mkString(",")}) " +
+            s"must cover the target's schema exactly " +
+            s"(${storeCols.toSeq.sorted.mkString(",")} at $targetDir) — " +
+            "undeclared columns would be dropped from the published schema")
         val touched = env
           .select(CdcPipeline.bucketExpr(pkCols, m.numBuckets).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet

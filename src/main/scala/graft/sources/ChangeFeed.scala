@@ -122,6 +122,27 @@ object ChangeFeed {
         col(dataCol).as(CdcEnvelope.DataCol)): _*)
   }
 
+  /** JSON-lines file feeds of Maxwell / Canal records, batch and
+    * streaming (r9 verdict #7 — the same file-source drive the
+    * Debezium dialect has, so all three dialects run the identical
+    * kill+resume e2e through `CdcStream.startMergeToTarget`).
+    */
+  def maxwellJsonLines(spark: SparkSession, path: String, valueSchema: StructType,
+      pk: Seq[String]): DataFrame =
+    fromMaxwellJson(spark.read.text(path), "value", valueSchema, pk)
+
+  def maxwellJsonLinesStream(spark: SparkSession, path: String, valueSchema: StructType,
+      pk: Seq[String]): DataFrame =
+    fromMaxwellJson(spark.readStream.text(path), "value", valueSchema, pk)
+
+  def canalJsonLines(spark: SparkSession, path: String, valueSchema: StructType,
+      pk: Seq[String]): DataFrame =
+    fromCanalJson(spark.read.text(path), "value", valueSchema, pk)
+
+  def canalJsonLinesStream(spark: SparkSession, path: String, valueSchema: StructType,
+      pk: Seq[String]): DataFrame =
+    fromCanalJson(spark.readStream.text(path), "value", valueSchema, pk)
+
   /** Maxwell change-record schema (Zendesk's MySQL binlog format —
     * one JSON object per ROW event), payload typed by `valueSchema`.
     */

@@ -92,6 +92,37 @@ class NdvIndexSpec extends AnyFunSuite {
     assert(rep2.ndvRebuilt === Nil)
   }
 
+  test("heal converges on a fully-DV-deleted bucket (zero-cardinality sentinel, r9 ADVICE)") {
+    val dir = tmp()
+    CdcPipeline.publish(fixture(20000), dir, Seq("id"), buckets = Some(8))
+    CdcPipeline.buildNdvIndex(spark, dir, Seq("k"))
+    // kill EVERY row of buckets 0 and 1 via MoR delete — those
+    // buckets' NDV entries drop (sketches cannot subtract), and the
+    // subsequent heal SCANS them but finds no surviving rows
+    val doomed = CdcPipeline.readSnapshot(spark, dir).get
+      .filter(pmod(hash(col("id")), lit(8)).isin(0, 1)).select("id")
+    CdcPipeline.deleteKeysMoR(spark, dir, Seq("id"), "id", doomed)
+    assert(CdcPipeline.ndvStats(spark, dir, "k").get.coveredBuckets === 6)
+
+    // 2/8 = 25% missing > 20% policy → heal fires once…
+    val pol = CdcPipeline.MaintenancePolicy(dvFoldPct = None,
+      smallFilesPerBucket = None, keepVersions = None,
+      bloomRebuildPct = None, ndvRebuildPct = Some(20))
+    val rep = CdcPipeline.maintain(spark, dir, Seq("id"), pol).get
+    assert(rep.ndvRebuilt === Seq("k"))
+    val healed = CdcPipeline.ndvStats(spark, dir, "k").get
+    assert(healed.fullCoverage,
+      s"empty-scan buckets must count as covered: $healed")
+
+    // …and only once: without the sentinel the empty buckets never
+    // get a sidecar and this loop re-publishes a version forever
+    val vAfter = CdcPipeline.currentVersion(dir).get
+    val rep2 = CdcPipeline.maintain(spark, dir, Seq("id"), pol).get
+    assert(rep2.ndvRebuilt === Nil, "heal must converge")
+    assert(CdcPipeline.currentVersion(dir).get === vAfter,
+      "a converged heal must not commit a new version")
+  }
+
   test("MoR delete drops DV'd buckets' entries; dropped column loses its index; SQL TVFs") {
     val dir = tmp()
     CdcPipeline.publish(fixture(20000), dir, Seq("id"), buckets = Some(8))

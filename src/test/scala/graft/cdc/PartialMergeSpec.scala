@@ -196,4 +196,24 @@ class PartialMergeSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("extra"))
   }
+
+  test("store integration refuses a wider target schema (r9 ADVICE: no silent narrowing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pm-wide").toString
+    // target carries an UNDECLARED column `extra` next to pk + a + b
+    CdcPipeline.publish(
+      spark.range(0, 20).select(col("id").as("user_id"),
+        col("id").as("a"), (col("id") * 2).as("b"),
+        concat(lit("x"), col("id")).as("extra")),
+      dir, Seq("user_id"), buckets = Some(4))
+    val e = intercept[IllegalArgumentException] {
+      PartialMerge.mergeAndPublish(spark, dir, Seq("user_id"), fields,
+        env((1L, "u", 100L, 1L, """{"a":9}""")))
+    }
+    assert(e.getMessage.contains("must cover the target's schema exactly"))
+    // and the store is untouched — no narrowed version was published
+    assert(CdcPipeline.currentVersion(dir).contains(0L))
+    assert(CdcPipeline.readSnapshot(spark, dir).get.columns.toSet ===
+      Set("user_id", "a", "b", "extra"))
+    StoreFs.deleteRecursive(dir)
+  }
 }

@@ -182,6 +182,114 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(CdcPipeline.currentVersion(pCfg.targetPath).get === vBefore)
   }
 
+  test("production sink: Maxwell stream -> versioned parquet, kill+resume equals batch") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val valueSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("k", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val mCfg = CdcTableConfig(
+      cdcTable = "mxw_cdc", sourcePath = "mxw", targetDb = "graft",
+      targetTable = "t", targetPath = Files.createTempDirectory("graft-mxw-tgt").toString,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(
+        TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("event_id", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("value", TypedProjection.Cast(DoubleType))))
+    def rec(typ: String, uid: Long, k: Long, eid: Long, v: Double, tsSec: Long, pos: Long): String =
+      s"""{"database":"app","table":"t","type":"$typ","ts":$tsSec,"xid":$pos,""" +
+        s""""position":"binlog.000001:$pos","data":{"user_id":$uid,"k":$k,"event_id":$eid,"value":$v}}"""
+    val file1 = Seq(
+      rec("insert", 1, 10, 1, 1.0, 100, 1),
+      rec("insert", 2, 20, 2, 2.0, 100, 2),
+      rec("bootstrap-insert", 3, 30, 3, 3.0, 100, 3),
+      // heartbeat/DDL noise: must drop, not poison the merge
+      """{"database":"app","table":"t","type":"heartbeat","ts":100}""")
+    val file2 = Seq(
+      rec("delete", 2, 20, 4, 2.0, 200, 4),
+      rec("update", 3, 31, 5, 3.5, 200, 5),
+      rec("insert", 4, 40, 6, 4.0, 200, 6))
+    val inDir = Files.createTempDirectory("graft-mxw").toString
+    val ckpt = Files.createTempDirectory("graft-mxw-ckpt").toString
+    def startQuery() = CdcStream.startMergeToTarget(
+      graft.sources.ChangeFeed.maxwellJsonLinesStream(spark, inDir, valueSchema, Seq("user_id")),
+      mCfg, ckpt)
+    Files.write(java.nio.file.Paths.get(inDir, "f1.jsonl"),
+      file1.mkString("\n").getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(CdcPipeline.currentVersion(mCfg.targetPath).nonEmpty)
+    // kill + resume from the same checkpoint: file2 arrives while down
+    Files.write(java.nio.file.Paths.get(inDir, "f2.jsonl"),
+      file2.mkString("\n").getBytes)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = CdcPipeline.readSnapshot(spark, mCfg.targetPath).get
+      .orderBy("user_id").select("user_id", "k", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === Seq((1L, 10L, 1L, 1.0), (3L, 31L, 5L, 3.5), (4L, 40L, 6L, 4.0)))
+    // batch reference over the same feed
+    val all = graft.sources.ChangeFeed.maxwellJsonLines(spark, inDir, valueSchema, Seq("user_id"))
+    val projected = TypedProjection.project(all, CdcEnvelope.DataCol, mCfg.fieldSpecs,
+      keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol))
+    val batchRef = SnapshotMerge.fromHistory(projected, Seq("user_id"), mCfg.targetCols)
+      .orderBy("user_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === batchRef)
+  }
+
+  test("production sink: Canal stream -> versioned parquet, kill+resume equals batch") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val valueSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("k", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val cCfg = CdcTableConfig(
+      cdcTable = "cnl_cdc", sourcePath = "cnl", targetDb = "graft",
+      targetTable = "t", targetPath = Files.createTempDirectory("graft-cnl-tgt").toString,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(
+        TypedProjection.FieldSpec("k", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("event_id", TypedProjection.Cast(LongType)),
+        TypedProjection.FieldSpec("value", TypedProjection.Cast(DoubleType))))
+    def row(uid: Long, k: Long, eid: Long, v: Double): String =
+      s"""{"user_id":$uid,"k":$k,"event_id":$eid,"value":$v}"""
+    def rec(typ: String, rows: Seq[String], esMs: Long, id: Long): String =
+      s"""{"database":"app","table":"t","type":"$typ","isDdl":false,"id":$id,""" +
+        s""""es":$esMs,"ts":${esMs + 1},"data":[${rows.mkString(",")}],"old":null}"""
+    // one multi-row INSERT statement (fans out via posexplode) + DDL noise
+    val file1 = Seq(
+      rec("INSERT", Seq(row(1, 10, 1, 1.0), row(2, 20, 2, 2.0), row(3, 30, 3, 3.0)),
+        100000L, 1L),
+      """{"database":"app","table":"t","type":"CREATE","isDdl":true,"id":2,"es":100001,"ts":100002,"data":null,"old":null}""")
+    val file2 = Seq(
+      rec("DELETE", Seq(row(2, 20, 4, 2.0)), 200000L, 3L),
+      rec("UPDATE", Seq(row(3, 31, 5, 3.5)), 200000L, 4L),
+      rec("INSERT", Seq(row(4, 40, 6, 4.0)), 200000L, 5L))
+    val inDir = Files.createTempDirectory("graft-cnl").toString
+    val ckpt = Files.createTempDirectory("graft-cnl-ckpt").toString
+    def startQuery() = CdcStream.startMergeToTarget(
+      graft.sources.ChangeFeed.canalJsonLinesStream(spark, inDir, valueSchema, Seq("user_id")),
+      cCfg, ckpt)
+    Files.write(java.nio.file.Paths.get(inDir, "f1.jsonl"),
+      file1.mkString("\n").getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    Files.write(java.nio.file.Paths.get(inDir, "f2.jsonl"),
+      file2.mkString("\n").getBytes)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = CdcPipeline.readSnapshot(spark, cCfg.targetPath).get
+      .orderBy("user_id").select("user_id", "k", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === Seq((1L, 10L, 1L, 1.0), (3L, 31L, 5L, 3.5), (4L, 40L, 6L, 4.0)))
+    val all = graft.sources.ChangeFeed.canalJsonLines(spark, inDir, valueSchema, Seq("user_id"))
+    val projected = TypedProjection.project(all, CdcEnvelope.DataCol, cCfg.fieldSpecs,
+      keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol))
+    val batchRef = SnapshotMerge.fromHistory(projected, Seq("user_id"), cCfg.targetCols)
+      .orderBy("user_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === batchRef)
+  }
+
   test("streaming SCD2: history maintained per micro-batch survives kill+resume and equals the one-shot") {
     import org.apache.spark.sql.types._
     val valueSchema = StructType(Seq(
