@@ -1300,6 +1300,100 @@ object OpsQueries {
       |FROM s, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
       |ORDER BY doc_id, sent_idx""".stripMargin
 
+  // C102 (r10): HTML/markup stripping — the first transform every
+  // web-scraped corpus runs. The fixture corpus is plain text, so
+  // the gate WRAPS it in deterministic markup on both engines (the
+  // C44 injected-fixture discipline): a real tag skeleton, per-token
+  // <br/> on every 4th doc, a comment, and the five named entities —
+  // then strips. The md5 pins tag removal, one-level entity decode
+  // (&amp;lt; style double-encoding must NOT double-decode — decode
+  // order is fixed with &amp; last), and whitespace collapse.
+  def textHtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val spaced = when(col("doc_id") % 4 === 0,
+      replace(col("text"), lit(" "), lit(" <br/> "))).otherwise(col("text"))
+    val html = concat(
+      lit("<html><head><title>t</title></head><body><p id=\""),
+      col("doc_id"), lit("\">"), spaced,
+      lit("</p><div>&lt;x&gt; &quot;y&quot; &amp;z &nbsp;w &amp;lt;keep</div>" +
+        "<!-- end --></body></html>"))
+    T.documents(s, d)
+      .select(col("doc_id"), length(html).cast("long").as("len_html"),
+        TextAnalysis.stripHtml(html).as("clean"))
+      .select(col("doc_id"), col("len_html"),
+        length(col("clean")).cast("long").as("len_clean"),
+        md5(col("clean")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextHtmlStrip =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>t</title></head><body><p id="' || doc_id || '">' ||
+      |    CASE WHEN doc_id % 4 = 0 THEN replace(text, ' ', ' <br/> ')
+      |         ELSE text END ||
+      |    '</p><div>&lt;x&gt; &quot;y&quot; &amp;z &nbsp;w &amp;lt;keep</div>' ||
+      |    '<!-- end --></body></html>' AS html
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(length(html) AS BIGINT) AS len_html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(regexp_replace(html, '<!--.*?-->', ' ', 'g'),
+      |          '<[^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM h)
+      |SELECT doc_id, len_html, CAST(length(clean) AS BIGINT) AS len_clean,
+      |  md5(clean) AS text_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // C103 (r10): encoding-damage (mojibake) screen — the corpus-hygiene
+  // check for UTF-8-decoded-as-Latin-1 artifacts ('Ã¡'-class: 'Ã'
+  // followed by a continuation-range char) and U+FFFD replacement
+  // characters. Clean fixture corpus → the damage is INJECTED
+  // deterministically on both engines: every 7th doc gets its 'a's
+  // Latin-1-mangled, every 11th gains two replacement chars; overlap
+  // docs carry both. Integer counts + ppm rate, map-only at any scale.
+  def textMojibake(s: SparkSession, d: String): DataFrame = {
+    val t1 = when(col("doc_id") % 7 === 0,
+      replace(col("text"), lit("a"), lit("Ã¡"))).otherwise(col("text"))
+    val raw = when(col("doc_id") % 11 === 0,
+      concat(t1, lit(" �x�"))).otherwise(t1)
+    val (latin1, repl) = TextAnalysis.mojibakeStats(raw)
+    T.documents(s, d)
+      .select(col("doc_id"), length(raw).cast("long").as("n_chars"),
+        latin1.cast("long").as("n_latin1"), repl.cast("long").as("n_replacement"))
+      .select(col("doc_id"), col("n_chars"), col("n_latin1"), col("n_replacement"),
+        (col("n_latin1") + col("n_replacement") > 0).as("is_damaged"),
+        expr("(n_latin1 + n_replacement) * 1000000L div greatest(n_chars, 1L)")
+          .as("damage_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oTextMojibake =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN t1 || ' �x�' ELSE t1 END AS raw
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 7 = 0
+      |           THEN replace(text, 'a', chr(195) || chr(161))
+      |           ELSE text END AS t1
+      |    FROM documents) a),
+      |m AS (
+      |  SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(raw,
+      |      chr(195) || '[' || chr(128) || '-' || chr(191) || ']')) AS BIGINT)
+      |      AS n_latin1,
+      |    CAST(len(regexp_extract_all(raw, chr(65533))) AS BIGINT)
+      |      AS n_replacement
+      |  FROM inj)
+      |SELECT doc_id, n_chars, n_latin1, n_replacement,
+      |  (n_latin1 + n_replacement) > 0 AS is_damaged,
+      |  (n_latin1 + n_replacement) * 1000000 // greatest(n_chars, 1) AS damage_ppm
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // C44: canonical text normalization. The fixture corpus is pure
   // ASCII (NFC would be vacuous), so the gate first INJECTS the mess
   // normalization exists to clean — decomposed accents (a + U+0301) on
@@ -4187,6 +4281,8 @@ object OpsQueries {
     QueryDef("eval_sample_diversity", evalSampleDiversity,
       Some(oEvalSampleDiversity)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
+    QueryDef("text_html_strip", textHtmlStrip, Some(oTextHtmlStrip)),
+    QueryDef("text_mojibake", textMojibake, Some(oTextMojibake)),
     QueryDef("corpus_outliers", corpusOutliers, Some(oCorpusOutliers)),
     QueryDef("split_leakage_safe", splitLeakageSafeQ, Some(oSplitLeakageSafe)),
     QueryDef("text_tfidf_topk", textTfidfTopK, Some(oTextTfidf)),

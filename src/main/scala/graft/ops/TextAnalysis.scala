@@ -677,6 +677,37 @@ object TextAnalysis {
     * the custom `UnicodeNormalize` expression — Spark has none);
     * no shuffle at any corpus size.
     */
+  /** HTML/markup stripping (SURVEY.md §2 C102, r10) — the first
+    * transform every web-scraped corpus runs: drop comments, then
+    * tags, decode the common named entities, collapse the whitespace
+    * the markup left behind. Pure codegen'd regexp/replace chain —
+    * zero shuffles, scales as a map. Entity decode order matters and
+    * is fixed: `&amp;` LAST, so `&amp;lt;` decodes to the literal
+    * `&lt;` (one level, the HTML spec's behavior), never
+    * double-decodes to `<`.
+    */
+  def stripHtml(html: Column): Column = {
+    val noComments = regexp_replace(html, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Encoding-damage (mojibake) screen (SURVEY.md §2 C103, r10):
+    * count the two dominant real-world signatures — UTF-8 bytes
+    * decoded as Latin-1 (the 'Ã¡'-class artifacts: 'Ã' followed by a
+    * continuation-range char) and U+FFFD replacement characters (a
+    * decoder already gave up) — and rate them per million chars.
+    * One regexp count + one char count per doc, map-only at any
+    * scale; the verdict threshold is the caller's.
+    */
+  def mojibakeStats(text: Column): (Column, Column) = (
+    regexp_count(text, lit("Ã[-¿]")),
+    regexp_count(text, lit("�")))
+
   def normalizeText(text: Column, form: String = "NFC",
       casefold: Boolean = true, collapseWs: Boolean = true): Column = {
     var t = graft.functions.TextExpressions.unicodeNormalize(text, form)

@@ -133,12 +133,68 @@ object GraftSqlDml {
           throw new IllegalArgumentException(
             "MERGE INTO graft.{path}: WHEN NOT MATCHED BY SOURCE is not supported")
         GraftMergeCommand(path, alias, aliasOf(m.sourceTable),
-          new PlanHolder(m.sourceTable), new ExprHolder(Seq(m.mergeCondition)),
+          new PlanHolder(rewriteRelations(m.sourceTable)),
+          new ExprHolder(Seq(m.mergeCondition)),
           new ActionsHolder(m.matchedActions),
           new ActionsHolder(m.notMatchedActions)): LogicalPlan
       }.getOrElse(plan)
-    case _ => plan
+    case i: InsertIntoStatement =>
+      graftTarget(i.table).map { case (path, _) =>
+        require(i.partitionSpec.isEmpty,
+          "INSERT INTO graft.{path}: PARTITION spec is not supported — " +
+            "the store's layout is pk-hash buckets, not directory partitions")
+        GraftInsertCommand(path, i.overwrite, i.userSpecifiedCols, i.byName,
+          new PlanHolder(rewriteRelations(i.query))): LogicalPlan
+      }.getOrElse(plan)
+    case other => rewriteRelations(other)
   }
+
+  /** `graft.{path}` as a plain RELATION anywhere in a query — the
+    * Delta `delta.{path}` read convention, without the
+    * `graft_snapshot('…')` TVF ceremony — plus SQL time travel:
+    * `SELECT … FROM graft.{path} VERSION AS OF 3` (A24) and
+    * `… TIMESTAMP AS OF '2024-06-01'` (A67). Each occurrence
+    * resolves at parse time to the same LogicalPlan the DataFrame
+    * API produces (manifest pruning, DVs, virtual columns, defaults
+    * all apply); `transformUpWithSubqueries` reaches relations
+    * inside scalar/EXISTS subqueries too. Non-graft relations pass
+    * through untouched.
+    */
+  private def rewriteRelations(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        (tt.relation match {
+          case u: UnresolvedRelation => graftTarget(u)
+          case _ => None
+        }).map { case (path, _) =>
+          val spark = SparkSession.active
+          val df = (tt.version, tt.timestamp) match {
+            case (Some(v), _) =>
+              CdcPipeline.readSnapshotAt(spark, path, v.toLong).getOrElse(
+                throw new IllegalArgumentException(
+                  s"no version $v at $path (vacuumed or never existed)"))
+            case (_, Some(tsExpr)) =>
+              val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+                tsExpr, org.apache.spark.sql.types.TimestampType,
+                Option(spark.sessionState.conf.sessionLocalTimeZone))
+              require(cast.foldable,
+                s"TIMESTAMP AS OF must be a literal expression, got $tsExpr")
+              val tsUs = cast.eval().asInstanceOf[Long]
+              CdcPipeline.readSnapshotAsOfTime(spark, path, tsUs).getOrElse(
+                throw new IllegalArgumentException(
+                  s"no commit at or before timestamp $tsExpr at $path"))
+            case _ => throw new IllegalArgumentException(
+              "time travel needs VERSION AS OF or TIMESTAMP AS OF")
+          }
+          df.queryExecution.logical
+        }.getOrElse(tt)
+      case u: UnresolvedRelation =>
+        graftTarget(u).map { case (path, _) =>
+          CdcPipeline.readSnapshot(SparkSession.active, path).getOrElse(
+            throw new IllegalArgumentException(s"no graft store at $path"))
+            .queryExecution.logical
+        }.getOrElse(u)
+    }
 
   // ---- shared pieces ----
 
@@ -206,6 +262,90 @@ object GraftSqlDml {
       val (v, n) = CdcPipeline.updateWhere(spark, path, pkOf(path), pred, set)
         .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
       Seq(Row(v, n))
+    }
+  }
+
+  /** INSERT INTO / INSERT OVERWRITE graft.{path} — the remaining
+    * classic DML verb. `INSERT INTO` is an insert-ONLY merge with
+    * ANSI PK semantics: a source key already present in the store is
+    * a duplicate-key ERROR (the store is PK-addressed — silently
+    * upserting would make INSERT an alias for MERGE, and appending a
+    * second row per key would corrupt the layout's
+    * one-row-per-key invariant); cost is the usual touched-bucket
+    * delta publish. `INSERT OVERWRITE` replaces the snapshot
+    * entirely (Delta's table-overwrite semantics) as one full
+    * publish. A column list (`INSERT INTO t (a, b)`) maps the query
+    * positionally onto those columns, absent target columns take
+    * NULL; `BY NAME` maps by name. Everything casts to the stored
+    * column types. Returns (version, inserted_rows).
+    */
+  final case class GraftInsertCommand(path: String, overwrite: Boolean,
+      cols: Seq[String], byName: Boolean, query: PlanHolder)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(longAttr("version"), longAttr("inserted_rows"))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val pk = pkOf(path)
+      val cur = CdcPipeline.currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"no graft store at $path"))
+      val m = CdcPipeline.manifest(path, cur).getOrElse(
+        throw new IllegalArgumentException(s"no manifest for v$cur at $path"))
+      val stored = m.schema.fields.map(f => f.name -> f.dataType).toMap
+      val tgtCols = m.schema.fieldNames.toSeq
+      val q0 = GraftBridge.dataFrame(spark, query.plan)
+      def fill(named: DataFrame): DataFrame = {
+        val have = named.columns.toSet
+        val missingPk = pk.filterNot(have.contains)
+        require(missingPk.isEmpty,
+          s"INSERT must supply the PK columns; missing: ${missingPk.mkString(",")}")
+        named.select(tgtCols.map(c =>
+          (if (have.contains(c)) col(c) else lit(null)).cast(stored(c)).as(c)): _*)
+      }
+      val source =
+        if (cols.nonEmpty) {
+          require(cols.length == q0.columns.length,
+            s"INSERT column list has ${cols.length} columns, query produces ${q0.columns.length}")
+          val unknown = cols.filterNot(tgtCols.contains)
+          require(unknown.isEmpty, s"unknown INSERT columns: ${unknown.mkString(",")}")
+          fill(q0.toDF(cols: _*))
+        } else if (byName) fill(q0)
+        else {
+          require(q0.columns.length == tgtCols.length,
+            s"INSERT query produces ${q0.columns.length} columns, table has ${tgtCols.length} " +
+              "(use a column list or BY NAME for partial inserts)")
+          fill(q0.toDF(tgtCols: _*))
+        }
+      CdcPipeline.enforceConstraints(m, source, path)
+      if (overwrite) {
+        val n = source.count()
+        val v = CdcPipeline.publish(source, path, pk, op = "sql-insert-overwrite")
+        Seq(Row(v, n))
+      } else {
+        val srcRows = source.count()
+        val touched = source
+          .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val v =
+          if (touched.isEmpty) cur
+          else {
+            val subset = CdcPipeline.readBuckets(spark, path, m, touched)
+            val dup = subset.join(
+              org.apache.spark.sql.functions.broadcast(
+                source.select(pk.map(col): _*)), pk, "left_semi")
+              .limit(1).collect()
+            require(dup.isEmpty,
+              s"INSERT INTO $path: duplicate key " +
+                s"(${pk.mkString(",")}) = (${dup.headOption.map(_.toSeq.mkString(",")).getOrElse("")}) " +
+                "already exists — use MERGE INTO to upsert")
+            val merged = MergeInto(subset, source, pk).sourceRows(srcRows)
+              .whenNotMatchedInsertAll().run()
+            CdcPipeline.publishDelta(merged, path, pk, m, touched,
+              batchId = -1L, op = "sql-insert")
+          }
+        Seq(Row(v, srcRows))
+      }
     }
   }
 

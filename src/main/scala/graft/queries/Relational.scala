@@ -1493,6 +1493,43 @@ object Relational {
   // bounds the product far under 2⁶³), division pinned at the end.
   // The final open-ended observation carries no duration and is
   // excluded — the standard left-closed integral.
+  // B88 (r10): exponentially weighted moving average — the classic
+  // time-series smoother (metric dashboards, anomaly baselines) that
+  // plain window sums cannot express because the weight depends on
+  // BOTH the summed row and the current row. Re-expression: one hash
+  // agg collects each key's ordered (ts, id, value) series, then a
+  // codegen'd `aggregate` fold runs the recurrence s ← s/2 + v/2 —
+  // sequential per KEY but embarrassingly parallel across keys,
+  // which is the right shape at 100 TB (a per-key series fits memory
+  // long before the corpus does; state ∝ one group's events). α is
+  // FIXED at 1/2 so every multiply is a power-of-two scale — exact
+  // in binary floating point — and the one rounding per addition
+  // happens in the same order in any engine: the hash compare is
+  // then bit-exact with DuckDB's list_reduce, no cents idiom needed.
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("value"))
+    ev.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+        col("value").as("v")))).as("arr"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n_events"),
+        expr("""aggregate(slice(transform(arr, x -> x.v), 2, size(arr) - 1),
+                          element_at(transform(arr, x -> x.v), 1),
+                          (acc, x) -> acc * 0.5d + x * 0.5d)""").as("ewma"))
+      .orderBy("user_id")
+  }
+
+  private val oEwma =
+    """WITH s AS (
+      |  SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vals
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+      |  list_reduce(vals, (acc, x) ->
+      |    acc * CAST(0.5 AS DOUBLE) + x * CAST(0.5 AS DOUBLE)) AS ewma
+      |FROM s ORDER BY user_id""".stripMargin
+
   def qTimeWeighted(s: SparkSession, d: String): DataFrame = {
     val ev = T.events(s, d).filter(col("user_id") % 10 === 0)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
@@ -3353,6 +3390,7 @@ object Relational {
     QueryDef("q_rel_division", qRelDivision, Some(oRelDivision)),
     QueryDef("q_bitwise_agg", qBitwiseAgg, Some(oBitwiseAgg)),
     QueryDef("q_time_weighted", qTimeWeighted, Some(oTimeWeighted)),
+    QueryDef("q_ewma", qEwma, Some(oEwma)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
     QueryDef("q_pareto_share", qParetoShare, Some(oParetoShare)),

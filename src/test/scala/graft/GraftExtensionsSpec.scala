@@ -620,4 +620,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must equal the store PK"))
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
+
+  test("statement-level INSERT, direct graft.`path` relations, and SQL time travel") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-ins").toString
+    spark.sql(
+      s"""SELECT * FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 3 AS v, CAST(id % 5 AS STRING) AS tag FROM range(0, 50)', 4)"""
+        .stripMargin).collect()
+
+    // graft.`path` as a plain relation — no TVF ceremony
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").collect()(0).getLong(0) === 50L)
+    // …anywhere in a query, including a scalar subquery
+    assert(spark.sql(
+      s"SELECT (SELECT max(v) FROM graft.`$dir`) - (SELECT min(v) FROM graft.`$dir`) AS span")
+      .collect()(0).getLong(0) === 147L)
+
+    // INSERT INTO: positional, new keys only
+    val ins = spark.sql(
+      s"INSERT INTO graft.`$dir` SELECT id, id * 3 AS v, 'n' AS tag FROM range(50, 60)")
+      .collect()(0)
+    assert(ins.getLong(0) === 1L && ins.getLong(1) === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").collect()(0).getLong(0) === 60L)
+
+    // duplicate PK refused (ANSI semantics on a PK-addressed store)
+    val dup = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir` SELECT 5 AS id, 1 AS v, 'x' AS tag").collect()
+    }
+    assert(dup.getMessage.contains("duplicate key"), dup.getMessage)
+
+    // column-list insert: absent target columns take NULL
+    spark.sql(s"INSERT INTO graft.`$dir` (id, v) SELECT id, id FROM range(100, 103)").collect()
+    val partial = spark.sql(
+      s"SELECT v, tag FROM graft.`$dir` WHERE id = 100").collect()(0)
+    assert(partial.getLong(0) === 100L && partial.isNullAt(1))
+
+    // SQL time travel: the bootstrap version still reads as published
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 0")
+      .collect()(0).getLong(0) === 50L)
+    // a timestamp far in the future serves the latest committed state
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$dir` TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .collect()(0).getLong(0) === 63L)
+
+    // INSERT OVERWRITE replaces the snapshot wholesale
+    val ow = spark.sql(
+      s"INSERT OVERWRITE graft.`$dir` SELECT id, id AS v, 'o' AS tag FROM range(0, 7)")
+      .collect()(0)
+    assert(ow.getLong(1) === 7L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").collect()(0).getLong(0) === 7L)
+    // …and the pre-overwrite state is still one VERSION AS OF away
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 2")
+      .collect()(0).getLong(0) === 63L)
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
 }
