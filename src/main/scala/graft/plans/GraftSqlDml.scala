@@ -136,7 +136,8 @@ object GraftSqlDml {
           new PlanHolder(rewriteRelations(m.sourceTable)),
           new ExprHolder(Seq(m.mergeCondition)),
           new ActionsHolder(m.matchedActions),
-          new ActionsHolder(m.notMatchedActions)): LogicalPlan
+          new ActionsHolder(m.notMatchedActions),
+          m.withSchemaEvolution): LogicalPlan
       }.getOrElse(plan)
     case i: InsertIntoStatement =>
       graftTarget(i.table).map { case (path, _) =>
@@ -357,7 +358,8 @@ object GraftSqlDml {
   final case class GraftMergeCommand(path: String, targetAlias: Option[String],
       sourceAlias: Option[String], sourcePlan: PlanHolder,
       mergeCondition: ExprHolder, matchedActions: ActionsHolder,
-      notMatchedActions: ActionsHolder) extends LeafRunnableCommand {
+      notMatchedActions: ActionsHolder,
+      withSchemaEvolution: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(longAttr("version"), longAttr("source_rows"))
 
@@ -422,7 +424,24 @@ object GraftSqlDml {
       val v =
         if (touched.isEmpty) cur
         else {
-          val subset = CdcPipeline.readBuckets(spark, path, m, touched)
+          val subset0 = CdcPipeline.readBuckets(spark, path, m, touched)
+          // MERGE WITH SCHEMA EVOLUTION (Delta's surface): source
+          // columns the target lacks are ADDED — the subset widens
+          // with NULL-typed columns before the merge, so UPDATE SET */
+          // INSERT * carry them, and publishDelta commits the widened
+          // schema (carried buckets read the new columns as NULL —
+          // the A19/A57 additive-evolution machinery). Without the
+          // flag, unknown source columns are simply ignored (the
+          // clause maps are target-column-driven).
+          val subset = if (!withSchemaEvolution) subset0 else {
+            val have = subset0.columns.map(_.toLowerCase).toSet
+            source.schema.fields
+              .filterNot(f => have.contains(f.name.toLowerCase) ||
+                f.name == CdcEnvelope.OpCol)
+              .foldLeft(subset0)((d, f) =>
+                d.withColumn(f.name, org.apache.spark.sql.functions
+                  .lit(null).cast(f.dataType)))
+          }
           val mi = clauses(MergeInto(subset, source, pk).sourceRows(srcRows), srcCols)
           val merged = mi.run()
           // A71 induction: CHECK constraints gate the rewritten

@@ -674,4 +674,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 63L)
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds source columns; plain MERGE ignores them") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-sev").toString
+    spark.sql(s"SELECT * FROM graft_create('$dir', 'id', 'SELECT id, id * 2 AS v FROM range(0, 30)', 4)")
+      .collect()
+    spark.sql("SELECT id, id * 100 AS v, concat('w', id) AS w FROM range(25, 35)")
+      .createOrReplaceTempView("sev_src")
+
+    // plain MERGE: the unknown column `w` is ignored (target-driven maps)
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING sev_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(CdcPipeline.readSnapshot(spark, dir).get.columns.toSet === Set("id", "v"))
+
+    // WITH SCHEMA EVOLUTION: `w` joins the schema; untouched rows read NULL
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` AS t USING sev_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val snap = CdcPipeline.readSnapshot(spark, dir).get
+    assert(snap.columns.toSet === Set("id", "v", "w"))
+    assert(snap.count() === 35L)
+    val evolved = snap.orderBy("id").collect()
+    assert(evolved(26).getString(2) === "w26", "merged rows carry the new column")
+    assert(evolved(3).isNullAt(2), "pre-evolution rows read NULL for the new column")
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
 }
