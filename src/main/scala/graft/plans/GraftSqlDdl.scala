@@ -1,0 +1,245 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, CheckConstraint}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, LongType}
+
+import graft.cdc.{CdcPipeline, StoreFs}
+import GraftSqlDml.PlanHolder
+
+/** Statement-level SQL DDL on the versioned store (A91, r10) — the
+  * lifecycle verbs around [[GraftSqlDml]]'s DML:
+  *
+  *   CREATE TABLE graft.`/p` TBLPROPERTIES('pk'='id'[, 'buckets'='8'])
+  *     AS SELECT …                         -- bootstrap (graft_create)
+  *   DROP TABLE [IF EXISTS] graft.`/p`    -- delete the store
+  *   ALTER TABLE graft.`/p` ADD COLUMN c BIGINT DEFAULT 7   -- A57
+  *   ALTER TABLE graft.`/p` DROP COLUMN c                   -- A49
+  *   ALTER TABLE graft.`/p` RENAME COLUMN a TO b            -- A49
+  *   ALTER TABLE graft.`/p` SET TBLPROPERTIES(…) / UNSET    -- A77
+  *   ALTER TABLE graft.`/p` ADD CONSTRAINT n CHECK (…)      -- A71
+  *   ALTER TABLE graft.`/p` DROP CONSTRAINT n
+  *
+  * Same design as the DML path: Spark's parser produces the
+  * catalyst DDL nodes; a graft-qualified target rewrites onto a lazy
+  * command executing the existing Scala op — one implementation,
+  * TVF + statement veneers. The CTAS PK comes from TBLPROPERTIES
+  * ('pk'), mirroring how every lakehouse smuggles layout through
+  * properties; it is then recorded in the `_PK` sidecar so DML
+  * statements need no repeat.
+  */
+object GraftSqlDdl {
+
+  /** Store path when `plan` names a graft.{path} table (DDL nodes
+    * wrap the identifier in UnresolvedTable / UnresolvedIdentifier /
+    * UnresolvedTableOrView depending on the verb).
+    */
+  private def tablePath(plan: LogicalPlan): Option[String] = plan match {
+    case t: UnresolvedTable if isGraft(t.multipartIdentifier) =>
+      Some(t.multipartIdentifier(1))
+    case i: UnresolvedIdentifier if isGraft(i.nameParts) =>
+      Some(i.nameParts(1))
+    case tv: UnresolvedTableOrView if isGraft(tv.multipartIdentifier) =>
+      Some(tv.multipartIdentifier(1))
+    case r: UnresolvedRelation if isGraft(r.multipartIdentifier) =>
+      Some(r.multipartIdentifier(1))
+    case _ => None
+  }
+
+  private def isGraft(parts: Seq[String]): Boolean =
+    parts.length == 2 && parts.head.equalsIgnoreCase("graft")
+
+  private def longAttr(n: String) =
+    AttributeReference(n, LongType, nullable = false)()
+
+  private def fieldName(f: org.apache.spark.sql.catalyst.analysis.FieldName): String =
+    f match {
+      case UnresolvedFieldName(parts) =>
+        require(parts.length == 1,
+          s"nested field ${parts.mkString(".")} is not supported — the store schema is flat")
+        parts.head
+      case other => throw new IllegalArgumentException(s"unexpected field ref: $other")
+    }
+
+  /** DDL rewrite hook — Some(command) when the statement targets a
+    * graft store, None to fall through to the caller.
+    */
+  def rewrite(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case c: CreateTableAsSelect =>
+      tablePath(c.name).map { path =>
+        require(c.partitioning.isEmpty,
+          "CREATE TABLE graft.{path}: PARTITIONED BY is not supported — " +
+            "the layout is pk-hash buckets ('buckets' TBLPROPERTY)")
+        val ifNotExists = c.ignoreIfExists
+        // at parse time the spec is UnresolvedTableSpec; both impls
+        // expose the TBLPROPERTIES map
+        val props = c.tableSpec match {
+          case s: TableSpec => s.properties
+          case s: UnresolvedTableSpec => s.properties
+          case other => throw new IllegalArgumentException(
+            s"unexpected table spec: $other")
+        }
+        val pk = props.get("pk").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            "CREATE TABLE graft.{path} needs TBLPROPERTIES('pk'='col[,col]') — " +
+              "the store layout is pk-hash-addressed"))
+        val buckets = props.get("buckets").map(_.trim.toInt)
+        GraftCtasCommand(path, pk, buckets, props - "pk" - "buckets",
+          ifNotExists, new PlanHolder(c.query)): LogicalPlan
+      }
+    case DropTable(child, ifExists, _) =>
+      tablePath(child).map(GraftDropTableCommand(_, ifExists): LogicalPlan)
+    case a @ AddColumns(tbl, cols) =>
+      tablePath(tbl).map { path =>
+        val adds = cols.map { c =>
+          require(c.path.isEmpty && c.position.isEmpty,
+            "ADD COLUMN: nested fields / FIRST|AFTER positions are not supported")
+          val default = c.default.map { d =>
+            require(d.child.foldable,
+              s"ADD COLUMN DEFAULT must be a literal, got ${d.originalSQL}")
+            d.child.eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case other => other
+            }
+          }
+          (c.colName, c.dataType, default.getOrElse(throw new IllegalArgumentException(
+            s"ADD COLUMN ${c.colName}: a DEFAULT literal is required — the " +
+              "store fills carried buckets from the declared default " +
+              "(A57's metadata-only contract); evolve nullable columns " +
+              "through a schema-evolving MERGE instead")))
+        }
+        GraftAddColumnsCommand(path, adds): LogicalPlan
+      }
+    case DropColumns(tbl, fields, _) =>
+      tablePath(tbl).map(path =>
+        GraftDropColumnsCommand(path, fields.map(fieldName)): LogicalPlan)
+    case RenameColumn(tbl, field, newName) =>
+      tablePath(tbl).map(path =>
+        GraftRenameColumnCommand(path, fieldName(field), newName): LogicalPlan)
+    case SetTableProperties(tbl, props) =>
+      tablePath(tbl).map(GraftSetPropsCommand(_, props, unset = Nil): LogicalPlan)
+    case UnsetTableProperties(tbl, keys, _) =>
+      tablePath(tbl).map(GraftSetPropsCommand(_, Map.empty, unset = keys): LogicalPlan)
+    // the parser wraps the target under a Filter(NOT cond, relation)
+    // (the analyzer's no-rows-violate probe) — dig the relation out
+    case AddCheckConstraint(probe, cc) =>
+      probe.collectFirst { case r: UnresolvedRelation => r }
+        .flatMap(tablePath).map { path =>
+        val name = Option(cc.userProvidedName).getOrElse(
+          s"chk_${Integer.toHexString(cc.condition.hashCode).take(8)}")
+        GraftAddConstraintCommand(path, name, cc.condition): LogicalPlan
+      }
+    case DropConstraint(tbl, name, ifExists, _) =>
+      tablePath(tbl).map(GraftDropConstraintCommand(_, name, ifExists): LogicalPlan)
+    case _ => None
+  }
+
+  final case class GraftCtasCommand(path: String, pk: Seq[String],
+      buckets: Option[Int], props: Map[String, String], ifNotExists: Boolean,
+      query: PlanHolder) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      CdcPipeline.currentVersion(path) match {
+        case Some(v) if ifNotExists => Seq(Row(v))
+        case Some(_) => throw new IllegalArgumentException(
+          s"graft store already exists at $path — MERGE/INSERT into it instead")
+        case None =>
+          val df = GraftBridge.dataFrame(spark, query.plan)
+          val missing = pk.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"CTAS query lacks the declared pk columns: ${missing.mkString(",")}")
+          val v = CdcPipeline.publish(df, path, pk, buckets = buckets)
+          if (props.nonEmpty) CdcPipeline.setTableProperties(path, props)
+          Seq(Row(v))
+      }
+    }
+  }
+
+  final case class GraftDropTableCommand(path: String, ifExists: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("dropped", BooleanType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      CdcPipeline.currentVersion(path) match {
+        case Some(_) => StoreFs.deleteRecursive(path); Seq(Row(true))
+        case None if ifExists => Seq(Row(false))
+        case None => throw new IllegalArgumentException(s"no graft store at $path")
+      }
+  }
+
+  final case class GraftAddColumnsCommand(path: String,
+      adds: Seq[(String, org.apache.spark.sql.types.DataType, Any)])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = adds.map { case (name, dt, default) =>
+        CdcPipeline.addColumnWithDefault(spark, path, name, dt, default)
+          .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+      }.last
+      Seq(Row(v))
+    }
+  }
+
+  final case class GraftDropColumnsCommand(path: String, cols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = CdcPipeline.dropColumns(spark, path, GraftSqlDml.pkOf(path), cols)
+        .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+      Seq(Row(v))
+    }
+  }
+
+  final case class GraftRenameColumnCommand(path: String, from: String, to: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val pk = GraftSqlDml.pkOf(path)
+      val v = CdcPipeline.renameColumn(spark, path, pk, from, to)
+        .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
+      // the PK sidecar must follow a renamed key column (layout
+      // invariant: values unchanged, name changed)
+      if (pk.contains(from))
+        StoreFs.writeString(s"$path/_PK",
+          pk.map(c => if (c == from) to else c).mkString(","))
+      Seq(Row(v))
+    }
+  }
+
+  final case class GraftSetPropsCommand(path: String,
+      props: Map[String, String], unset: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v =
+        if (unset.nonEmpty) CdcPipeline.unsetTableProperties(path, unset)
+        else CdcPipeline.setTableProperties(path, props)
+      Seq(Row(v.getOrElse(throw new IllegalArgumentException(
+        s"no graft store at $path"))))
+    }
+  }
+
+  final case class GraftAddConstraintCommand(path: String, name: String,
+      predicate: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(CdcPipeline.addCheckConstraint(spark, path, name, predicate)
+        .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))))
+  }
+
+  final case class GraftDropConstraintCommand(path: String, name: String,
+      ifExists: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] =
+      CdcPipeline.dropCheckConstraint(path, name) match {
+        case Some(v) => Seq(Row(v))
+        case None if ifExists =>
+          Seq(Row(CdcPipeline.currentVersion(path).getOrElse(
+            throw new IllegalArgumentException(s"no graft store at $path"))))
+        case None => throw new IllegalArgumentException(
+          s"no constraint '$name' at $path")
+      }
+  }
+}

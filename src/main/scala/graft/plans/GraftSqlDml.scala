@@ -147,7 +147,11 @@ object GraftSqlDml {
         GraftInsertCommand(path, i.overwrite, i.userSpecifiedCols, i.byName,
           new PlanHolder(rewriteRelations(i.query))): LogicalPlan
       }.getOrElse(plan)
-    case other => rewriteRelations(other)
+    case other =>
+      // DDL verbs (CREATE/DROP TABLE, ALTER TABLE …) route through
+      // the A91 DDL rewrite; everything else gets the relation
+      // rewrite (graft.{path} as a plain readable table)
+      GraftSqlDdl.rewrite(other).getOrElse(rewriteRelations(other))
   }
 
   /** `graft.{path}` as a plain RELATION anywhere in a query — the
