@@ -1493,6 +1493,115 @@ object Relational {
   // bounds the product far under 2⁶³), division pinned at the end.
   // The final open-ended observation carries no duration and is
   // excluded — the standard left-closed integral.
+  // B89 (r10): business-day arithmetic — SLA/latency reporting in
+  // working days, the classic calendar op warehouses ship as
+  // NETWORKDAYS. Closed form, no calendar table and no per-day
+  // explode: f(d) = 5·(n div 7) + least(n mod 7, 5) counts business
+  // days from an anchor MONDAY to d (n = days since the anchor), so
+  // a span is f(end) − f(start) — two datediffs and integer
+  // arithmetic per row, fully codegen'd, join + agg is the only
+  // shuffle. The anchor (1990-01-01, a Monday) predates every date
+  // in the data so n stays non-negative — Spark's `div` truncates
+  // toward zero while DuckDB's `//` floors, and keeping n ≥ 0 keeps
+  // the two semantics identical (the hash compare would catch any
+  // drift).
+  def qBusinessDays(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("n_ship", datediff(col("l_shipdate"), lit("1990-01-01")))
+      .withColumn("n_ord", datediff(col("o_orderdate"), lit("1990-01-01")))
+      .withColumn("bdays",
+        (lit(5) * expr("n_ship div 7") + least(expr("n_ship % 7"), lit(5))) -
+          (lit(5) * expr("n_ord div 7") + least(expr("n_ord % 7"), lit(5))))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("bdays")).cast("long").as("sum_bdays"),
+        max(col("bdays")).cast("long").as("max_bdays"),
+        min(col("bdays")).cast("long").as("min_bdays"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val oBusinessDays =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority,
+      |    date_diff('day', DATE '1990-01-01', l.l_shipdate) AS n_ship,
+      |    date_diff('day', DATE '1990-01-01', o.o_orderdate) AS n_ord
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |b AS (
+      |  SELECT o_orderpriority,
+      |    (5 * (n_ship // 7) + least(n_ship % 7, 5)) -
+      |    (5 * (n_ord // 7) + least(n_ord % 7, 5)) AS bdays
+      |  FROM j)
+      |SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(bdays) AS BIGINT) AS sum_bdays,
+      |  CAST(max(bdays) AS BIGINT) AS max_bdays,
+      |  CAST(min(bdays) AS BIGINT) AS min_bdays
+      |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // B90 (r10): largest-remainder allocation — prorate an order's
+  // total across its lines so the integer cents sum EXACTLY to the
+  // total (billing/revenue-recognition's classic constraint, where
+  // naive rounding leaks cents): base = floor(T·qᵢ/Q), then the
+  // T − Σbase leftover cents go one each to the lines with the
+  // largest division remainders (tie: lowest line number — fully
+  // deterministic). One window over the ORDER's lines (partition =
+  // order key, group sizes ≤ 7 in TPC-H — no skew), integers end to
+  // end. Universe: every 50th order, keeping the export bounded at
+  // bench SF.
+  def qAllocation(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val o = T.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+    val w = Window.partitionBy("l_orderkey")
+    // this synthetic lineitem reuses l_linenumber within an order, so
+    // the deterministic tie-break needs l_partkey as the final key
+    val wr = Window.partitionBy("l_orderkey")
+      .orderBy(col("rem").desc, col("l_linenumber"), col("l_partkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("qty_sum", sum(col("qty")).over(w))
+      .withColumn("base", expr("total_cents * qty div qty_sum"))
+      .withColumn("rem", expr("(total_cents * qty) % qty_sum"))
+      .withColumn("leftover", col("total_cents") - sum(col("base")).over(w))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  private val oAllocation =
+    """WITH li AS (
+      |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+      |    CAST(l.l_quantity AS BIGINT) AS qty,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_orderkey % 50 = 0),
+      |calc AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, qty, total_cents,
+      |    sum(qty) OVER (PARTITION BY l_orderkey) AS qty_sum
+      |  FROM li),
+      |base AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    total_cents * qty // qty_sum AS base,
+      |    (total_cents * qty) % qty_sum AS rem,
+      |    total_cents - sum(total_cents * qty // qty_sum)
+      |      OVER (PARTITION BY l_orderkey) AS leftover
+      |  FROM calc),
+      |ranked AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, base, leftover,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY rem DESC, l_linenumber, l_partkey) AS rk
+      |  FROM base)
+      |SELECT l_orderkey, l_linenumber, l_partkey,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_cents
+      |FROM ranked ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+
   // B88 (r10): exponentially weighted moving average — the classic
   // time-series smoother (metric dashboards, anomaly baselines) that
   // plain window sums cannot express because the weight depends on
@@ -3391,6 +3500,8 @@ object Relational {
     QueryDef("q_bitwise_agg", qBitwiseAgg, Some(oBitwiseAgg)),
     QueryDef("q_time_weighted", qTimeWeighted, Some(oTimeWeighted)),
     QueryDef("q_ewma", qEwma, Some(oEwma)),
+    QueryDef("q_business_days", qBusinessDays, Some(oBusinessDays)),
+    QueryDef("q_allocation", qAllocation, Some(oAllocation)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
     QueryDef("q_pareto_share", qParetoShare, Some(oParetoShare)),
