@@ -736,6 +736,106 @@ object OpsQueries {
       |  CAST(max(floor(best * 1000000)) AS BIGINT) AS max_ppm
       |FROM b GROUP BY 1 ORDER BY decile""".stripMargin
 
+  // C104 (r10): BLEU-style pairwise n-gram overlap — the standard
+  // surface-similarity readout between a CANDIDATE and a REFERENCE
+  // text (model-output eval, paraphrase mining, near-dup triage
+  // between dedup's verdicts). Pairing is deterministic: candidate
+  // doc_id vs doc_id+1 (the adjacent doc — a fixture stand-in for
+  // the real candidate/reference key), reported by the candidate's
+  // source. Per pair: CLIPPED
+  // unigram/bigram precision (BLEU's modified precision — each
+  // candidate n-gram credits at most its reference multiplicity:
+  // matched = Σ_t min(cnt_cand(t), cnt_ref(t))) and the length ratio
+  // BLEU's brevity penalty reads, all integer ppm — no float, no
+  // geometric mean (exp/log would break cross-engine hashing; the
+  // per-order precisions are the lossless export). Shape: explode to
+  // (pair, n-gram) counts → hash agg → equi-join candidate×reference
+  // counts on (pair, n-gram) → sum(min). Work ∝ total tokens, shuffle
+  // keyed by (pair, n-gram) — no per-doc quadratic, no driver state;
+  // at 100 TB this is three hash aggs and an equi-join, the same
+  // plan at any corpus size.
+  def evalNgramOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val pairs = docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("pid"), col("a.source").as("source"),
+        col("a.toks").as("ct"), col("b.toks").as("rt"))
+    def bigrams(c: String): org.apache.spark.sql.Column = expr(
+      s"CASE WHEN size($c) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+        s"ELSE transform(sequence(0, size($c) - 2), " +
+        s"i -> concat($c[i], ' ', $c[i + 1])) END")
+    val grams = pairs.select(col("pid"), col("ct").as("cg"), col("rt").as("rg"))
+      .unionAll(pairs.select(col("pid") + 1000000L,
+        bigrams("ct").as("cg"), bigrams("rt").as("rg")))
+    val cc = grams.select(col("pid"), explode(col("cg")).as("tok"))
+      .groupBy("pid", "tok").agg(count(lit(1)).as("c"))
+    val rc = grams.select(col("pid"), explode(col("rg")).as("tok"))
+      .groupBy("pid", "tok").agg(count(lit(1)).as("r"))
+    val matched = cc.join(rc, Seq("pid", "tok"))
+      .groupBy("pid").agg(sum(least(col("c"), col("r"))).as("m"))
+    val base = pairs.select(col("pid"), col("source"),
+      size(col("ct")).cast("long").as("n1c"),
+      size(col("rt")).cast("long").as("n1r"),
+      greatest(size(col("ct")) - 1, lit(0)).cast("long").as("n2c"))
+    base
+      .join(matched.select(col("pid"), col("m").as("m1")), Seq("pid"), "left")
+      .join(matched.select((col("pid") - 1000000L).as("pid"),
+        col("m").as("m2")), Seq("pid"), "left")
+      .na.fill(0L, Seq("m1", "m2"))
+      .select(col("source"),
+        expr("m1 * 1000000L div n1c").as("p1_ppm"),
+        expr("m2 * 1000000L div greatest(n2c, 1L)").as("p2_ppm"),
+        expr("n1c * 1000000L div greatest(n1r, 1L)").as("lr_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(p1_ppm) div count(1)").as("mean_p1_ppm"),
+        expr("sum(p2_ppm) div count(1)").as("mean_p2_ppm"),
+        min(col("p1_ppm")).as("min_p1_ppm"),
+        max(col("p1_ppm")).as("max_p1_ppm"),
+        expr("sum(lr_ppm) div count(1)").as("mean_lr_ppm"))
+      .orderBy("source")
+  }
+
+  private val oEvalNgramOverlap =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS pid, a.source, a.toks AS ct, b.toks AS rt
+      |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      |grams AS MATERIALIZED (
+      |  SELECT pid, ct AS cg, rt AS rg FROM pairs
+      |  UNION ALL
+      |  SELECT pid + 1000000,
+      |    list_transform(range(1, len(ct)), i -> ct[i] || ' ' || ct[i + 1]),
+      |    list_transform(range(1, len(rt)), i -> rt[i] || ' ' || rt[i + 1])
+      |  FROM pairs),
+      |cu AS (
+      |  SELECT pid, tok, count(*) AS c
+      |  FROM (SELECT pid, unnest(cg) AS tok FROM grams) GROUP BY pid, tok),
+      |ru AS (
+      |  SELECT pid, tok, count(*) AS r
+      |  FROM (SELECT pid, unnest(rg) AS tok FROM grams) GROUP BY pid, tok),
+      |m AS MATERIALIZED (
+      |  SELECT pid, sum(least(c, r)) AS m
+      |  FROM cu JOIN ru USING (pid, tok) GROUP BY pid),
+      |per AS (
+      |  SELECT p.source,
+      |    coalesce(m1.m, 0) * 1000000 // len(p.ct) AS p1_ppm,
+      |    coalesce(m2.m, 0) * 1000000
+      |      // greatest(len(p.ct) - 1, 1) AS p2_ppm,
+      |    len(p.ct) * 1000000 // greatest(len(p.rt), 1) AS lr_ppm
+      |  FROM pairs p
+      |  LEFT JOIN m m1 ON m1.pid = p.pid
+      |  LEFT JOIN m m2 ON m2.pid = p.pid + 1000000)
+      |SELECT source, count(*) AS n_pairs,
+      |  CAST(sum(p1_ppm) // count(*) AS BIGINT) AS mean_p1_ppm,
+      |  CAST(sum(p2_ppm) // count(*) AS BIGINT) AS mean_p2_ppm,
+      |  CAST(min(p1_ppm) AS BIGINT) AS min_p1_ppm,
+      |  CAST(max(p1_ppm) AS BIGINT) AS max_p1_ppm,
+      |  CAST(sum(lr_ppm) // count(*) AS BIGINT) AS mean_lr_ppm
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   // C15: per-language corpus statistics — the profile report a
   // training-data pipeline emits per snapshot (doc counts, token
   // volume, token median, longest doc). Integer/median-exact outputs.
@@ -4280,6 +4380,7 @@ object OpsQueries {
     QueryDef("privacy_k_anon", privacyKAnon, Some(oPrivacyKAnon)),
     QueryDef("eval_sample_diversity", evalSampleDiversity,
       Some(oEvalSampleDiversity)),
+    QueryDef("eval_ngram_overlap", evalNgramOverlap, Some(oEvalNgramOverlap)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("text_html_strip", textHtmlStrip, Some(oTextHtmlStrip)),
     QueryDef("text_mojibake", textMojibake, Some(oTextMojibake)),

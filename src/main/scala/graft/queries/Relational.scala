@@ -1602,6 +1602,135 @@ object Relational {
       |    AS alloc_cents
       |FROM ranked ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
 
+  // B91 (r10): sweep-line peak concurrency — "how many order lines
+  // were OPEN AT ONCE per supplier" (an interval = order placed →
+  // line shipped; the same shape answers rooms double-booked,
+  // sessions live, connections open — capacity planning's staple).
+  // The classic re-expression avoids both the per-day explode (a
+  // 90-day open line would fan 90×) and the self-join (quadratic in
+  // overlaps): each interval becomes TWO delta events (+1 at the
+  // order date, −1 the day AFTER shipping — endpoints inclusive), a
+  // per-(supplier, day) hash agg nets same-day events FIRST (killing
+  // intra-day ordering ambiguity — end-of-day occupancy is
+  // order-free), and one running sum per supplier walks the day
+  // axis. Partition = one supplier's DISTINCT ACTIVE DAYS (≤ the
+  // calendar span however many lines it has — the 100 TB shape:
+  // window state bounded by the calendar, not the data); peak day =
+  // first day attaining the peak, deterministic.
+  def qMaxConcurrent(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val deltas = li.select(col("l_suppkey"),
+        col("o_orderdate").cast("date").as("dt"), lit(1L).as("delta"))
+      .unionAll(li.select(col("l_suppkey"),
+        date_add(col("l_shipdate"), 1).as("dt"), lit(-1L).as("delta")))
+    val daily = deltas.groupBy("l_suppkey", "dt")
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
+    val wRun = Window.partitionBy("l_suppkey").orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_suppkey")
+    daily
+      .withColumn("running", sum(col("net")).over(wRun))
+      .withColumn("peak", max(col("running")).over(wAll))
+      .withColumn("n_shipments", sum(col("starts")).over(wAll))
+      .filter(col("running") === col("peak"))
+      .groupBy("l_suppkey")
+      .agg(max(col("peak")).cast("long").as("peak_concurrent"),
+        min(col("dt")).cast("timestamp").as("peak_date"),
+        max(col("n_shipments")).cast("long").as("n_shipments"))
+      .orderBy("l_suppkey")
+  }
+
+  private val oMaxConcurrent =
+    """WITH li AS MATERIALIZED (
+      |  SELECT l.l_suppkey, l.l_shipdate, o.o_orderdate
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |deltas AS (
+      |  SELECT l_suppkey, CAST(o_orderdate AS DATE) AS dt, 1 AS delta FROM li
+      |  UNION ALL
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) + 1, -1 FROM li),
+      |daily AS (
+      |  SELECT l_suppkey, dt, sum(delta) AS net,
+      |    sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS starts
+      |  FROM deltas GROUP BY l_suppkey, dt),
+      |run AS (
+      |  SELECT l_suppkey, dt,
+      |    sum(net) OVER (PARTITION BY l_suppkey ORDER BY dt
+      |      ROWS UNBOUNDED PRECEDING) AS running,
+      |    sum(starts) OVER (PARTITION BY l_suppkey) AS n_shipments
+      |  FROM daily),
+      |peak AS (
+      |  SELECT l_suppkey, dt, running, n_shipments,
+      |    max(running) OVER (PARTITION BY l_suppkey) AS pk
+      |  FROM run)
+      |SELECT l_suppkey, CAST(max(pk) AS BIGINT) AS peak_concurrent,
+      |  CAST(min(dt) AS TIMESTAMP) AS peak_date,
+      |  CAST(max(n_shipments) AS BIGINT) AS n_shipments
+      |FROM peak WHERE running = pk
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  // B92 (r10): blocked exact nearest-neighbor — "nearest in-country
+  // depot per customer" (logistics assignment, store-locator rollups).
+  // Coordinates are a deterministic integer grid derived from the
+  // keys (the tables carry no geography; two LCG-style multipliers
+  // spread keys over a 100k×100k grid identically in both engines),
+  // so the distance is EXACT BIGINT squared-Euclidean — no trig, no
+  // float argmin flips near ties. The block key (nation) bounds the
+  // quadratic: candidates = customers × suppliers WITHIN one nation,
+  // supplier side broadcast (dims are small); per-customer argmin is
+  // a row_number over ≤ |suppliers in nation| candidates with a
+  // deterministic (dist², suppkey) tie-break. At 100 TB with BOTH
+  // sides large the same plan swaps the nation block for grid-cell
+  // buckets + neighbor-cell expansion (the C2 LSH band shape);
+  // the nation block is the exact-answer variant a business rule
+  // ("in-country only") makes closed-form.
+  def qSpatialNn(s: SparkSession, d: String): DataFrame = {
+    val cust = T.customer(s, d).filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_custkey") * 48271L % 100000L).as("cx"),
+        (col("c_custkey") * 69621L % 100000L).as("cy"))
+    val supp = T.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        (col("s_suppkey") * 48271L % 100000L).as("sx"),
+        (col("s_suppkey") * 69621L % 100000L).as("sy"))
+    val wNn = Window.partitionBy("c_custkey")
+      .orderBy(col("dist2"), col("s_suppkey"))
+    cust.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
+      .withColumn("dist2",
+        (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+          (col("cy") - col("sy")) * (col("cy") - col("sy")))
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+        col("s_suppkey").as("nn_suppkey"), col("dist2").cast("long").as("dist2"))
+      .orderBy("c_custkey")
+  }
+
+  private val oSpatialNn =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    c_custkey * 48271 % 100000 AS cx,
+      |    c_custkey * 69621 % 100000 AS cy
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |supp AS (
+      |  SELECT s_suppkey, s_nationkey,
+      |    s_suppkey * 48271 % 100000 AS sx,
+      |    s_suppkey * 69621 % 100000 AS sy
+      |  FROM supplier),
+      |cand AS (
+      |  SELECT c_custkey, c_nationkey, s_suppkey,
+      |    (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2,
+      |    row_number() OVER (PARTITION BY c_custkey
+      |      ORDER BY (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy),
+      |        s_suppkey) AS rn
+      |  FROM cust JOIN supp ON c_nationkey = s_nationkey)
+      |SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  s_suppkey AS nn_suppkey, CAST(dist2 AS BIGINT) AS dist2
+      |FROM cand WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+
   // B88 (r10): exponentially weighted moving average — the classic
   // time-series smoother (metric dashboards, anomaly baselines) that
   // plain window sums cannot express because the weight depends on
@@ -3502,6 +3631,8 @@ object Relational {
     QueryDef("q_ewma", qEwma, Some(oEwma)),
     QueryDef("q_business_days", qBusinessDays, Some(oBusinessDays)),
     QueryDef("q_allocation", qAllocation, Some(oAllocation)),
+    QueryDef("q_max_concurrent", qMaxConcurrent, Some(oMaxConcurrent)),
+    QueryDef("q_spatial_nn", qSpatialNn, Some(oSpatialNn)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
     QueryDef("q_pareto_share", qParetoShare, Some(oParetoShare)),
