@@ -48,7 +48,11 @@ import graft.cdc.{CdcEnvelope, CdcPipeline, MergeInto}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlDml.rewrite(delegate.parsePlan(sqlText))
+    // Maintenance verbs (OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE)
+    // are NOT in the delegate's grammar — front-parse them (A92);
+    // everything else delegates and rewrites as before.
+    GraftSqlMaintenance.parse(sqlText).getOrElse(
+      GraftSqlDml.rewrite(delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.LocalSpark
+import graft.cdc.{CdcPipeline, StoreFs}
+
+/** A92: the statement-level maintenance verbs (OPTIMIZE / VACUUM /
+  * DESCRIBE HISTORY / RESTORE) — front-parsed (they are not in
+  * Spark's grammar), each a veneer over the same Scala op its TVF
+  * twin calls; non-graft statements fall through to the delegate
+  * parser untouched.
+  */
+class GraftSqlMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = { val s = LocalSpark.spark; graft.GraftExtensions.register(s); s }
+
+  test("OPTIMIZE / ZORDER / DESCRIBE HISTORY / RESTORE / VACUUM statement lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    StoreFs.deleteRecursive(dir)
+
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir` TBLPROPERTIES('pk'='id', 'buckets'='4')
+         |AS SELECT id, id * 2 AS v FROM range(0, 40)""".stripMargin).collect()
+    spark.sql(s"UPDATE graft.`$dir` SET v = v + 1 WHERE id < 5").collect()
+    val sumAfterUpdate = CdcPipeline.readSnapshot(spark, dir).get
+      .agg(sum("v")).collect()(0).getLong(0)
+
+    // bare OPTIMIZE clusters by the _PK sidecar key; content unchanged
+    val v2 = spark.sql(s"OPTIMIZE graft.`$dir`").collect()
+    assert(v2.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(CdcPipeline.readSnapshot(spark, dir).get
+      .agg(sum("v")).collect()(0).getLong(0) === sumAfterUpdate)
+
+    // ZORDER BY two dims; content unchanged again
+    val v3 = spark.sql(s"OPTIMIZE graft.`$dir` ZORDER BY (id, v)").collect()
+    assert(v3.map(_.getLong(0)).toSeq === Seq(3L))
+    assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 40L)
+
+    // DESCRIBE HISTORY: newest first, one row per version, op labels
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$dir`").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L, 0L))
+    assert(hist.head.getString(1) === "zorder")
+
+    // RESTORE to the CTAS state: a NEW version (4) with v0's content
+    val v4 = spark.sql(s"RESTORE TABLE graft.`$dir` TO VERSION AS OF 0").collect()
+    assert(v4.map(_.getLong(0)).toSeq === Seq(4L))
+    val restored = CdcPipeline.readSnapshot(spark, dir).get
+    assert(restored.filter(col("id") < 5 && col("v") % 2 =!= 0).count() === 0L)
+    assert(restored.count() === 40L)
+
+    // DRY RUN lists reclaimable (version, bytes) and touches nothing
+    val dry = spark.sql(s"VACUUM graft.`$dir` RETAIN 2 VERSIONS DRY RUN").collect()
+    assert(dry.forall(_.getLong(1) > 0L))
+    val dryVersions = dry.map(_.getLong(0)).toSet
+    assert(dryVersions.nonEmpty && dryVersions.subsetOf(Set(1L, 2L, 3L)))
+    assert(CdcPipeline.readSnapshotAt(spark, dir, 3L).isDefined) // untouched
+
+    // the real VACUUM reclaims exactly what the preview listed;
+    // current version (and what it references) stays fully readable
+    val gone = spark.sql(s"VACUUM graft.`$dir` RETAIN 2 VERSIONS").collect()
+      .map(_.getLong(0)).toSet
+    assert(gone === dryVersions)
+    assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 40L)
+
+    // unknown version: RESTORE emits no row rather than guessing
+    assert(spark.sql(s"RESTORE TABLE graft.`$dir` TO VERSION AS OF 99").collect().isEmpty)
+
+    StoreFs.deleteRecursive(dir)
+  }
+
+  test("non-graft OPTIMIZE falls through to the delegate parser and fails there") {
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("OPTIMIZE some_table")
+    }
+  }
+}
