@@ -1622,10 +1622,14 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    val deltas = li.select(col("l_suppkey"),
-        col("o_orderdate").cast("date").as("dt"), lit(1L).as("delta"))
-      .unionAll(li.select(col("l_suppkey"),
-        date_add(col("l_shipdate"), 1).as("dt"), lit(-1L).as("delta")))
+    // one explode, not a unionAll of two selects — the union form
+    // executes the scan+join TWICE (each branch re-reads both
+    // tables); the inline 2-element array keeps it one pass
+    val deltas = li.select(col("l_suppkey"), explode(array(
+        struct(col("o_orderdate").cast("date").as("dt"), lit(1L).as("delta")),
+        struct(date_add(col("l_shipdate"), 1).as("dt"), lit(-1L).as("delta"))))
+        .as("e"))
+      .select(col("l_suppkey"), col("e.dt").as("dt"), col("e.delta").as("delta"))
     val daily = deltas.groupBy("l_suppkey", "dt")
       .agg(sum(col("delta")).as("net"),
         sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
