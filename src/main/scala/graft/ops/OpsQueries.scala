@@ -836,6 +836,125 @@ object OpsQueries {
       |  CAST(sum(lr_ppm) // count(*) AS BIGINT) AS mean_lr_ppm
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // C105 (r10): n-gram CONTAINMENT screen — the asymmetric overlap
+  // Jaccard misses: a short doc fully quoted inside a long one scores
+  // tiny Jaccard (union is huge) but containment |A∩B|/|A| ≈ 1. This
+  // is how pipelines catch boilerplate inclusion, quote extraction,
+  // and doc-in-doc wrapping that symmetric near-dup screens pass.
+  // Directed by construction (C(A→B) ≠ C(B→A)); integer ppm against
+  // the same word-shingle sets as the C4 Jaccard family. This gate is
+  // the capped all-pairs TRUTH (the C4b pattern — the full corpus at
+  // the driver's SF); the production path feeds C2's LSH candidates
+  // into the same verify, exactly as dedup_lsh_edit_verify does for
+  // edit distance.
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = T.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("size(array_intersect(sh_a, sh_b)) * 1000000L div size(sh_a)")
+          .as("containment_ppm"),
+        size(col("sh_a")).cast("long").as("n_sh_a"),
+        size(col("sh_b")).cast("long").as("n_sh_b"))
+      .filter(col("containment_ppm") >= 500000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oDedupContainment =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |                range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+      |    END AS sh
+      |  FROM documents WHERE doc_id < 500)
+      |SELECT id_a, id_b, containment_ppm, n_sh_a, n_sh_b FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+      |      // len(a.sh) AS containment_ppm,
+      |    CAST(len(a.sh) AS BIGINT) AS n_sh_a,
+      |    CAST(len(b.sh) AS BIGINT) AS n_sh_b
+      |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id) t
+      |WHERE containment_ppm >= 500000
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // C106 (r10): classifier calibration readout — the reliability
+  // table every learned quality filter ships with: bucket the C53
+  // linear classifier's integer logit into fixed-width bins and read
+  // the C77 Gopher rule verdict's agreement rate per bin; a
+  // well-calibrated score shows kept_ppm rising monotonically with
+  // the bin. All integers; the bin key is SHIFTED non-negative before
+  // the integer divide because Spark's `div` truncates toward zero
+  // while DuckDB's `//` floors — they agree only for non-negative
+  // operands (the B89 discipline). Two metadata-light scans + one
+  // doc_id equi-join + one hash agg; report size ∝ bins, never docs.
+  def evalCalibration(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("logit_micro",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
+      .select(col("doc_id"), col("logit_micro"))
+    val g = TextAnalysis.gopherRules(T.documents(s, d))
+      .select(col("doc_id"), col("kept"))
+    q.join(g, "doc_id")
+      .withColumn("bin", expr("(logit_micro + 4000000L) div 25000L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("logit_micro")).as("min_logit"),
+        max(col("logit_micro")).as("max_logit"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000L div n"))
+      .select("bin", "n", "n_kept", "kept_ppm", "min_logit", "max_logit")
+      .orderBy("bin")
+  }
+
+  private val oEvalCalibration =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    -140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3 AS logit_micro
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |        * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |      CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |        * 1000000 // length(text) AS punct_ppm,
+       |      CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |    FROM documents) t),
+       |g AS (
+       |  SELECT doc_id,
+       |    ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
+       |     AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
+       |     AND (nstop >= 1)) AS kept
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(string_split(text, ' ')) AS n,
+       |      length(replace(text, ' ', '')) AS wlen,
+       |      length(text) - length(replace(text, '#', '')) AS nhash,
+       |      (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+       |      len(list_filter(string_split(text, ' '),
+       |          w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+       |      len(list_intersect(string_split(lower(text), ' '),
+       |          ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS nstop
+       |    FROM documents) m)
+       |SELECT (logit_micro + 4000000) // 25000 AS bin,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |    AS BIGINT) AS kept_ppm,
+       |  min(logit_micro) AS min_logit,
+       |  max(logit_micro) AS max_logit
+       |FROM q JOIN g USING (doc_id)
+       |GROUP BY 1 ORDER BY bin""".stripMargin
+
   // C15: per-language corpus statistics — the profile report a
   // training-data pipeline emits per snapshot (doc counts, token
   // volume, token median, longest doc). Integer/median-exact outputs.
@@ -3625,6 +3744,51 @@ object OpsQueries {
       |FROM documents WHERE doc_id % 13 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // C107 (r10): frame-sampling schedule — the manifest a video
+  // training pipeline emits per clip (which timestamps to decode)
+  // BEFORE any pixel work is scheduled: uniform sampling with a cap
+  // (n = min(1 + duration/400ms, 8); offset_k = duration·k/n, floor
+  // arithmetic — every engine agrees). The duration comes from the
+  // REAL C12c box walk over the ISO BMFF container, not from the
+  // fixture formula — a broken mvhd parse breaks every offset — and
+  // the explode is metadata-sized (≤8 rows per clip; the pixel decode
+  // those offsets feed is the documented out-of-container stub, the
+  // schedule and its Spark plumbing are the real, tested part).
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 13 === 0)
+      .as[Long]
+      .map { id =>
+        (id, "video/mp4",
+          Multimodal.synthMp4((320 + (id % 8) * 160).toInt,
+            (180 + (id % 8) * 90).toInt, 1000L + (id % 120) * 500L))
+      }
+      .toDF("media_id", "media_type", "bytes")
+    Multimodal.extractVideoInfo(media)
+      .select(col("media_id").as("doc_id"), col("duration_ms"))
+      .withColumn("n_frames",
+        least(lit(1L) + expr("duration_ms div 400L"), lit(8L)))
+      .select(col("doc_id"), col("duration_ms"), col("n_frames"),
+        explode(expr("sequence(0L, n_frames - 1L)")).as("frame_idx"))
+      .withColumn("offset_ms", expr("duration_ms * frame_idx div n_frames"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val oMultimodalFrames =
+    """WITH v AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(1000 + (doc_id % 120) * 500 AS BIGINT) AS duration_ms,
+      |    least(1 + CAST(1000 + (doc_id % 120) * 500 AS BIGINT) // 400, 8)
+      |      AS n_frames
+      |  FROM documents WHERE doc_id % 13 = 0)
+      |SELECT doc_id, duration_ms, n_frames,
+      |  CAST(f AS BIGINT) AS frame_idx,
+      |  duration_ms * f // n_frames AS offset_ms
+      |FROM v, unnest(range(0, CAST(n_frames AS INT))) AS t(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // C75 (r9): host-graph PageRank centrality — the crawl-curation
   // link signal (Graphs.pageRankInt doc). The link graph is BUILT
   // from known columns (the C56 fixture discipline): every document
@@ -4324,6 +4488,9 @@ object OpsQueries {
     QueryDef("multimodal_dims", multimodalDims, Some(oMultimodalDims)),
     QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
     QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),
+    QueryDef("multimodal_frames", multimodalFrames, Some(oMultimodalFrames)),
+    QueryDef("dedup_containment", dedupContainment, Some(oDedupContainment)),
+    QueryDef("eval_calibration", evalCalibration, Some(oEvalCalibration)),
     QueryDef("multimodal_image_dedup", multimodalImageDedup,
       Some(oMultimodalImageDedup)),
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
