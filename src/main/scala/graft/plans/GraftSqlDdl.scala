@@ -92,6 +92,8 @@ object GraftSqlDdl {
       }
     case DropTable(child, ifExists, _) =>
       tablePath(child).map(GraftDropTableCommand(_, ifExists): LogicalPlan)
+    case s: ShowCreateTable =>
+      tablePath(s.child).map(GraftShowCreateCommand(_): LogicalPlan)
     case a @ AddColumns(tbl, cols) =>
       tablePath(tbl).map { path =>
         val adds = cols.map { c =>
@@ -241,5 +243,37 @@ object GraftSqlDdl {
         case None => throw new IllegalArgumentException(
           s"no constraint '$name' at $path")
       }
+  }
+
+  /** SHOW CREATE TABLE graft.{path} — renders a statement that would
+    * REBUILD the store through this same SQL surface: CTAS skeleton
+    * with the live schema, pk/buckets/properties folded into
+    * TBLPROPERTIES (the layout rides properties on the way in, so it
+    * rides them on the way out), plus one ALTER per CHECK constraint.
+    * Column name matches Spark's own SHOW CREATE TABLE output.
+    */
+  final case class GraftShowCreateCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("createtab_stmt", org.apache.spark.sql.types.StringType,
+        nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cur = CdcPipeline.currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"no graft store at $path"))
+      val m = CdcPipeline.manifest(path, cur).getOrElse(
+        throw new IllegalArgumentException(s"unreadable manifest v$cur at $path"))
+      val cols = m.schema.fields
+        .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+      val pk = CdcPipeline.pkColumns(path).map(_.mkString(",")).getOrElse("")
+      val props = Seq(s"'pk'='$pk'", s"'buckets'='${m.numBuckets}'") ++
+        CdcPipeline.tableProperties(path).toSeq.sortBy(_._1)
+          .map { case (k, v) => s"'$k'='$v'" }
+      val alters = CdcPipeline.checkConstraints(path).toSeq.sortBy(_._1)
+        .map { case (n, cond) =>
+          s"ALTER TABLE graft.`$path` ADD CONSTRAINT $n CHECK ($cond);" }
+      val stmt = (Seq(s"CREATE TABLE graft.`$path` (", cols, ")",
+        s"TBLPROPERTIES(${props.mkString(", ")});") ++ alters).mkString("\n")
+      Seq(Row(stmt))
+    }
   }
 }

@@ -46,6 +46,8 @@ object GraftSqlMaintenance {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+graft\.`([^`]+)`\s*;?\s*$""".r
   private val restoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val cloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+graft\.`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+graft\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
 
   /** Some(command) when `sqlText` is a maintenance statement on a
     * graft store; None to delegate to the session parser.
@@ -60,6 +62,9 @@ object GraftSqlMaintenance {
       Some(GraftVacuumCommand(path, keep, dryRun = dry != null))
     case historyRe(path) => Some(GraftHistoryCommand(path))
     case restoreRe(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+    case cloneRe(dst, mode, src, ver) =>
+      Some(GraftCloneCommand(src, dst, deep = mode.equalsIgnoreCase("DEEP"),
+        atVersion = Option(ver).map(_.toLong)))
     case _ => None
   }
 
@@ -122,6 +127,19 @@ object GraftSqlMaintenance {
           "CAST(rows AS BIGINT) AS rows",
           "CAST(bytes AS BIGINT) AS bytes").collect().toSeq
       }.getOrElse(Seq.empty)
+  }
+
+  /** CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF n] —
+    * A37's zero-copy snapshot clone as Delta's statement: SHALLOW
+    * references the source's bucket files through a pin the source's
+    * vacuum honors; DEEP copies them. Emits the clone's version (0 —
+    * a clone's timeline restarts).
+    */
+  final case class GraftCloneCommand(src: String, dst: String,
+      deep: Boolean, atVersion: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] =
+      CdcPipeline.cloneSnapshot(src, dst, deep, atVersion).map(Row(_)).toSeq
   }
 
   /** RESTORE TABLE … TO VERSION AS OF n: A47 — a NEW version whose

@@ -68,6 +68,36 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     StoreFs.deleteRecursive(dir)
   }
 
+  test("SHOW CREATE TABLE round-trips; SHALLOW CLONE statement clones zero-copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-showddl").toString
+    StoreFs.deleteRecursive(dir)
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir` TBLPROPERTIES('pk'='id', 'buckets'='2', 'team'='x')
+         |AS SELECT id, CAST(id AS DOUBLE) / 2 AS score FROM range(0, 10)""".stripMargin)
+      .collect()
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT nonneg CHECK (id >= 0)").collect()
+
+    val stmt = spark.sql(s"SHOW CREATE TABLE graft.`$dir`").collect()(0).getString(0)
+    assert(stmt.contains(s"CREATE TABLE graft.`$dir`"))
+    assert(stmt.contains("id BIGINT"))
+    assert(stmt.contains("score DOUBLE"))
+    assert(stmt.contains("'pk'='id'") && stmt.contains("'buckets'='2'") &&
+      stmt.contains("'team'='x'"))
+    assert(stmt.contains("ADD CONSTRAINT nonneg CHECK"))
+
+    val cloneDir = s"${dir}_clone"
+    val v = spark.sql(s"CREATE TABLE graft.`$cloneDir` SHALLOW CLONE graft.`$dir`")
+      .collect()
+    assert(v.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(CdcPipeline.readSnapshot(spark, cloneDir).get.count() === 10L)
+    // shallow: the clone's v0 references the source's files (no copy)
+    val ownBytes = StoreFs.treeBytes(s"$cloneDir/v0")
+    assert(ownBytes < StoreFs.treeBytes(s"$dir/v0"),
+      s"shallow clone copied data ($ownBytes bytes)")
+
+    StoreFs.deleteRecursive(dir); StoreFs.deleteRecursive(cloneDir)
+  }
+
   test("non-graft OPTIMIZE falls through to the delegate parser and fails there") {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
       spark.sql("OPTIMIZE some_table")
