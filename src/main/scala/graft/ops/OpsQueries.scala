@@ -1967,6 +1967,55 @@ object OpsQueries {
       |  CAST(count(DISTINCT 's' || (doc_id % 3)) AS BIGINT) AS n_frags
       |FROM documents GROUP BY source ORDER BY host""".stripMargin
 
+  // C108 (r10): canonical-URL dedup — the crawl-frontier staple: the
+  // same page arrives as http/https, with/without www, host case
+  // garbled, tracking params appended, trailing slash — URL-level
+  // dedup BEFORE any fetch or text compare collapses them. The messy
+  // URL is BUILT from known columns (C56 fixture discipline) so the
+  // oracle re-derives the canonical form from FIRST PRINCIPLES and
+  // never re-runs the string surgery — a broken canonicalizer breaks
+  // the hash. Each group of 4 same-source docs (doc_id ≡ mod 20 is
+  // the source; div 80 is the page) exercises all four mess forms:
+  // clean https / http+utm / WWW+upper-host / http+slash+utm. The
+  // chain (parse_url, lower, two anchored regexp_replace) is map-only
+  // codegen; the dedup is one hash agg on the canonical string —
+  // corpus-linear at any scale.
+  def dedupUrl(s: SparkSession, d: String): DataFrame = {
+    val v = expr("(doc_id div 20) % 4")
+    val page = expr("doc_id div 80")
+    val url = concat(
+      when(v === 0 || v === 2, lit("https")).otherwise(lit("http")),
+      lit("://"),
+      when(v === 2, concat(lit("WWW."), upper(col("source"))))
+        .otherwise(col("source")),
+      lit(".Example.COM/p/"), page,
+      when(v === 3, lit("/")).otherwise(lit("")),
+      lit("?id="), page,
+      when(v === 1 || v === 3,
+        concat(lit("&utm_source=feed&utm_campaign=c"), col("doc_id") % 9))
+        .otherwise(lit("")))
+    T.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
+          "^www\\.", "").as("host"),
+        regexp_replace(parse_url(col("url"), lit("PATH")), "/$", "").as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("id"))
+      .select(col("doc_id"),
+        concat(lit("https://"), col("host"), col("path"),
+          lit("?id="), col("id")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+      .orderBy("keep_id")
+  }
+
+  private val oDedupUrl =
+    """SELECT 'https://' || source || '.example.com/p/' || (doc_id // 80)
+      |    || '?id=' || (doc_id // 80) AS canonical_url,
+      |  min(doc_id) AS keep_id, count(*) AS n_variants
+      |FROM documents
+      |GROUP BY 1 ORDER BY keep_id""".stripMargin
+
   // C57 (r8): domain-blocklist filtering — the UT1-style URL screen
   // every crawl pipeline runs before any text processing: a host is
   // blocked when it EQUALS a listed domain or is a subdomain of one
@@ -4490,6 +4539,7 @@ object OpsQueries {
     QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),
     QueryDef("multimodal_frames", multimodalFrames, Some(oMultimodalFrames)),
     QueryDef("dedup_containment", dedupContainment, Some(oDedupContainment)),
+    QueryDef("dedup_url", dedupUrl, Some(oDedupUrl)),
     QueryDef("eval_calibration", evalCalibration, Some(oEvalCalibration)),
     QueryDef("multimodal_image_dedup", multimodalImageDedup,
       Some(oMultimodalImageDedup)),

@@ -1735,6 +1735,62 @@ object Relational {
       |  s_suppkey AS nn_suppkey, CAST(dist2 AS BIGINT) AS dist2
       |FROM cand WHERE rn = 1 ORDER BY c_custkey""".stripMargin
 
+  // B93 (r10): clamped running balance — warehouse stock with
+  // stock-outs: balance ← max(0, balance + delta), the recurrence NO
+  // window frame can express (the clamp makes each step depend on the
+  // clamped previous step, not on any prefix sum — once inventory
+  // floors at zero, later receipts start from 0, so
+  // final ≠ max(0, Σdelta)). Same re-expression as B88's EWMA: one
+  // hash agg collects each part's events, sorted by a TOTAL
+  // deterministic key (day, order, line, delta — this lineitem reuses
+  // line numbers, the B90 lesson), then a codegen'd `aggregate` fold
+  // runs the clamp — sequential per PART, parallel across parts,
+  // state ∝ one part's events (the right 100 TB shape). Receipts =
+  // even lines, issues = odd lines (deterministic sign fixture);
+  // the unclamped aggregates ride along so the export pins BOTH the
+  // plain sums and the genuinely sequential clamp result.
+  def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
+    val ev = T.lineitem(s, d).select(col("l_partkey"),
+      datediff(col("l_shipdate"), lit("1990-01-01")).cast("long").as("day"),
+      col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+      when(col("l_linenumber") % 2 === 0, col("l_quantity"))
+        .otherwise(-col("l_quantity")).cast("long").as("delta"))
+    ev.groupBy("l_partkey")
+      .agg(sort_array(collect_list(struct(col("day"), col("ok"), col("ln"),
+          col("delta")))).as("evs"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("delta") > 0, col("delta")).otherwise(0L)).as("received"),
+        sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).as("issued"))
+      .withColumn("final_balance",
+        expr("aggregate(evs, 0L, (s, e) -> greatest(0L, s + e.delta))"))
+      .select("l_partkey", "n_events", "received", "issued", "final_balance")
+      .orderBy("l_partkey")
+  }
+
+  private val oInventoryBalance =
+    """WITH ev AS (
+      |  SELECT l_partkey,
+      |    date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS day,
+      |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+      |    CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_quantity AS BIGINT)
+      |         ELSE -CAST(l_quantity AS BIGINT) END AS delta
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_partkey,
+      |    list_sort(list({'day': day, 'ok': ok, 'ln': ln, 'delta': delta}))
+      |      AS evs,
+      |    count(*) AS n_events,
+      |    CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT)
+      |      AS received,
+      |    CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) AS BIGINT)
+      |      AS issued
+      |  FROM ev GROUP BY l_partkey)
+      |SELECT l_partkey, n_events, received, issued,
+      |  CAST(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(evs, e -> e.delta)),
+      |    (a, c) -> greatest(0, a + c)) AS BIGINT) AS final_balance
+      |FROM g ORDER BY l_partkey""".stripMargin
+
   // B88 (r10): exponentially weighted moving average — the classic
   // time-series smoother (metric dashboards, anomaly baselines) that
   // plain window sums cannot express because the weight depends on
@@ -3637,6 +3693,7 @@ object Relational {
     QueryDef("q_allocation", qAllocation, Some(oAllocation)),
     QueryDef("q_max_concurrent", qMaxConcurrent, Some(oMaxConcurrent)),
     QueryDef("q_spatial_nn", qSpatialNn, Some(oSpatialNn)),
+    QueryDef("q_inventory_balance", qInventoryBalance, Some(oInventoryBalance)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
     QueryDef("q_pareto_share", qParetoShare, Some(oParetoShare)),
