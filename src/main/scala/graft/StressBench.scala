@@ -886,6 +886,8 @@ object StressBench {
 
     StressBenchNew4.run(spark, n)
 
+    StressBenchNew5.run(spark, n)
+
     spark.stop()
   }
 }
