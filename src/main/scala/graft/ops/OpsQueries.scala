@@ -1750,6 +1750,77 @@ object OpsQueries {
       |SELECT query, rk, doc_id, score_nano FROM ranked
       |WHERE rk <= 10 ORDER BY query, rk""".stripMargin
 
+  // C109 (r10): NDCG ranking-quality eval — the metric every
+  // retrieval stack (C50 BM25, C54 RRF) reports. Graded relevance is
+  // a deterministic label (rel = doc_id·7 mod 4; gain = 2^rel − 1),
+  // and the log2 discounts — the one genuinely irrational piece —
+  // are PRE-SCALED micro-integer literals shared verbatim by both
+  // engines (round(1e6/log2(i+1)), i ≤ 10), so DCG/IDCG are exact
+  // integer sums and NDCG an integer ppm divide: no float ever
+  // crosses the engine boundary (the C78 readability trick). IDCG
+  // reranks the RETRIEVED set (permutation quality — answers "did
+  // the ranker order what it found correctly"). Cost on top of the
+  // ranking: one k-row window per query + two k-row aggs; evaluation
+  // state ∝ queries × k, never corpus.
+  def evalNdcg(s: SparkSession, d: String): DataFrame = {
+    val discCase = "CASE rk WHEN 1 THEN 1000000L WHEN 2 THEN 630930L " +
+      "WHEN 3 THEN 500000L WHEN 4 THEN 430677L WHEN 5 THEN 386853L " +
+      "WHEN 6 THEN 356207L WHEN 7 THEN 333333L WHEN 8 THEN 315465L " +
+      "WHEN 9 THEN 301030L ELSE 289065L END"
+    val ranked = Retrieval.bm25TopK(T.documents(s, d), col("doc_id"),
+      split(lower(col("text")), " "),
+      Seq(("q1", Seq("hash", "join")),
+        ("q2", Seq("stream", "window", "merge")),
+        ("q3", Seq("vector", "scan"))),
+      k = 10)
+      .withColumn("gain", expr("CAST(pow(2, (doc_id * 7) % 4) AS BIGINT) - 1L"))
+    val wIdeal = Window.partitionBy("query")
+      .orderBy(col("gain").desc, col("doc_id"))
+    ranked
+      .withColumn("dcg_part", expr(s"gain * ($discCase)"))
+      .withColumn("irk", row_number().over(wIdeal))
+      .withColumn("idcg_part",
+        expr(s"gain * (${discCase.replace("CASE rk", "CASE irk")})"))
+      .groupBy("query")
+      .agg(sum(col("dcg_part")).as("dcg_micro"),
+        sum(col("idcg_part")).as("idcg_micro"),
+        count(lit(1)).as("k"))
+      .withColumn("ndcg_ppm",
+        expr("CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000000L div idcg_micro ELSE 0L END"))
+      .select("query", "k", "dcg_micro", "idcg_micro", "ndcg_ppm")
+      .orderBy("query")
+  }
+
+  private val oEvalNdcg = {
+    val disc = "CASE %s WHEN 1 THEN 1000000 WHEN 2 THEN 630930 " +
+      "WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 " +
+      "WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465 " +
+      "WHEN 9 THEN 301030 ELSE 289065 END"
+    val bm25Body = oTextBm25.stripSuffix("ORDER BY query, rk")
+      .replaceFirst("(?s)SELECT query, rk, doc_id, score_nano FROM ranked\\s+WHERE rk <= 10\\s*$",
+        "SELECT query, rk, doc_id FROM ranked WHERE rk <= 10")
+    s"""WITH topk AS ($bm25Body),
+       |g AS (
+       |  SELECT query, rk, doc_id,
+       |    CAST(power(2, (doc_id * 7) % 4) AS BIGINT) - 1 AS gain
+       |  FROM topk),
+       |ideal AS (
+       |  SELECT query, rk, gain,
+       |    row_number() OVER (PARTITION BY query
+       |      ORDER BY gain DESC, doc_id) AS irk
+       |  FROM g),
+       |agg AS (
+       |  SELECT query, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(gain * (${disc.format("rk")})) AS BIGINT) AS dcg_micro,
+       |    CAST(sum(gain * (${disc.format("irk")})) AS BIGINT) AS idcg_micro
+       |  FROM ideal GROUP BY query)
+       |SELECT query, k, dcg_micro, idcg_micro,
+       |  CASE WHEN idcg_micro > 0
+       |    THEN CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT)
+       |    ELSE 0 END AS ndcg_ppm
+       |FROM agg ORDER BY query""".stripMargin
+  }
+
   // C64 (r9): hard-negative mining — the contrastive-training prep
   // pass a retrieval/embedding fine-tune needs: anchor queries are
   // docs themselves (every 17th ≡ 3; query terms = the doc's first 3
@@ -4598,6 +4669,7 @@ object OpsQueries {
     QueryDef("eval_sample_diversity", evalSampleDiversity,
       Some(oEvalSampleDiversity)),
     QueryDef("eval_ngram_overlap", evalNgramOverlap, Some(oEvalNgramOverlap)),
+    QueryDef("eval_ndcg", evalNdcg, Some(oEvalNdcg)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("text_html_strip", textHtmlStrip, Some(oTextHtmlStrip)),
     QueryDef("text_mojibake", textMojibake, Some(oTextMojibake)),
