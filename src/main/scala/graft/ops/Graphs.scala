@@ -106,6 +106,37 @@ object Graphs {
     * node is assigned in the first round that reaches it and never
     * reassigned.
     */
+  /** Distributed min-label connected components over an UNDIRECTED
+    * view of `edges` (string src/dst): labels start at the node id;
+    * each round every node takes the min over itself + its
+    * neighbors' labels — the standard large-graph CC shape (state ∝
+    * nodes, one shuffle per round, `localCheckpoint` cuts the
+    * iterative lineage exactly like [[bfsHops]]). Rounds are FIXED at
+    * `iters` so the result is engine-replayable (an oracle can chain
+    * the same k rounds); convergence needs rounds ≥ the diameter of
+    * the label-propagation tree, so the caller exports/asserts the
+    * returned `prev_label` stability instead of trusting it.
+    */
+  def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var lab = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var prev = lab
+    for (_ <- 1 to iters) {
+      prev = lab
+      val nbr = und.join(lab, und("a") === lab("node"))
+        .groupBy(und("b").as("node")).agg(min(col("label")).as("nl"))
+      lab = lab.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    lab.join(prev.withColumnRenamed("label", "prev_label"), "node")
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst")).distinct()

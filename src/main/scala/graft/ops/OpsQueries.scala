@@ -2378,6 +2378,95 @@ object OpsQueries {
       |    AS risky
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // C110 (r10): l-diversity audit — k-anonymity's (C86) necessary
+  // companion: a group can be k-large yet leak everything if all its
+  // members share ONE sensitive value (the homogeneity attack
+  // k-anonymity cannot see). Quasi-identifiers = (nation, segment) on
+  // customers; sensitive = the account-balance band; per QI group the
+  // export carries k, l = |distinct sensitive values|, and both
+  // verdicts — exactly the table a release review reads. One hash agg
+  // with a distinct-count, group-sized output at any corpus size.
+  def privacyLDiversity(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("bal_band")).as("l"),
+        min(col("bal_band")).as("min_band"),
+        max(col("bal_band")).as("max_band"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment"), col("k"), col("l"),
+        (col("k") >= 5).as("k_anonymous"), (col("l") >= 3).as("l_diverse"),
+        col("min_band"), col("max_band"))
+      .orderBy("nationkey", "c_mktsegment")
+
+  private val oPrivacyLDiversity =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS k,
+      |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+      |    AS BIGINT) AS l,
+      |  count(*) >= 5 AS k_anonymous,
+      |  count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) >= 3
+      |    AS l_diverse,
+      |  min(CAST(floor(c_acctbal / 2000) AS BIGINT)) AS min_band,
+      |  max(CAST(floor(c_acctbal / 2000) AS BIGINT)) AS max_band
+      |FROM customer
+      |GROUP BY 1, 2 ORDER BY nationkey, c_mktsegment""".stripMargin
+
+  // C111 (r10): connected components over the host graph — the
+  // crawl-curation grouping signal PageRank (C75) and BFS (C79) do
+  // not give: which hosts form one linked cluster (mirror families,
+  // link farms — per-component caps are a standard curation rule).
+  // Same deterministic fixture edges as C75; Graphs.connectedComponents
+  // runs FIXED-round min-label propagation (one shuffle per round,
+  // state ∝ nodes, localCheckpoint-cut lineage — the shape that holds
+  // at a billion hosts), and the gate exports per-component size AND
+  // the last-round change count, so convergence is part of the
+  // hashed contract, not an assumption. The oracle replays the exact
+  // k rounds as chained CTEs.
+  def graphComponents(s: SparkSession, d: String): DataFrame = {
+    val e0 = T.documents(s, d)
+      .select(col("source").as("src"),
+        concat(lit("src"), (col("doc_id") * 7 + 3) % 20).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    Graphs.connectedComponents(e0, iters = 6)
+      .groupBy(col("label").as("root"))
+      .agg(count(lit(1)).as("n_hosts"),
+        sum(when(col("label") =!= col("prev_label"), 1L).otherwise(0L))
+          .as("n_changed_last_round"),
+        min(col("node")).as("first_host"),
+        max(col("node")).as("last_host"))
+      .orderBy("root")
+  }
+
+  private val oGraphComponents = {
+    def round(k: Int): String =
+      s"""l$k AS MATERIALIZED (
+         |  SELECT c.node, least(c.label, coalesce(nb.nl, c.label)) AS label
+         |  FROM l${k - 1} c LEFT JOIN (
+         |    SELECT u.b AS node, min(c2.label) AS nl
+         |    FROM und u JOIN l${k - 1} c2 ON u.a = c2.node GROUP BY u.b) nb
+         |  USING (node))""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT source AS src,
+       |    'src' || ((doc_id * 7 + 3) % 20) AS dst
+       |  FROM documents WHERE source <> 'src' || ((doc_id * 7 + 3) % 20)),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT src AS a, dst AS b FROM e0
+       |    UNION ALL SELECT dst AS a, src AS b FROM e0)),
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS label FROM (SELECT DISTINCT a AS node FROM und)),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT l6.label AS root, CAST(count(*) AS BIGINT) AS n_hosts,
+       |  CAST(sum(CASE WHEN l6.label <> l5.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_changed_last_round,
+       |  min(l6.node) AS first_host, max(l6.node) AS last_host
+       |FROM l6 JOIN l5 ON l6.node = l5.node
+       |GROUP BY 1 ORDER BY root""".stripMargin
+  }
+
   // C59 (r8): corpus distribution drift — the "did the new crawl
   // shift the token distribution" report run before swapping a
   // training corpus: token shares (integer ppm) in corpus A (sources
@@ -4666,6 +4755,8 @@ object OpsQueries {
       Some(oEvalLangidConfusion)),
     QueryDef("sft_loss_mask", sftLossMask, Some(oSftLossMask)),
     QueryDef("privacy_k_anon", privacyKAnon, Some(oPrivacyKAnon)),
+    QueryDef("privacy_l_diversity", privacyLDiversity, Some(oPrivacyLDiversity)),
+    QueryDef("graph_components", graphComponents, Some(oGraphComponents)),
     QueryDef("eval_sample_diversity", evalSampleDiversity,
       Some(oEvalSampleDiversity)),
     QueryDef("eval_ngram_overlap", evalNgramOverlap, Some(oEvalNgramOverlap)),

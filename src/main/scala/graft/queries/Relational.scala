@@ -1791,6 +1791,87 @@ object Relational {
       |    (a, c) -> greatest(0, a + c)) AS BIGINT) AS final_balance
       |FROM g ORDER BY l_partkey""".stripMargin
 
+  // B94 (r10): chi-squared contingency audit — "are priority and
+  // status independent?" (the segmentation-vs-outcome association
+  // check every experimentation/reporting stack runs). Exact integer
+  // re-expression of Σ (O−E)²/E: with E = rt·ct/N, each cell's term
+  // scales to ((O·N − rt·ct)² div (rt·ct)) · 10⁶ div N — an integer
+  // division chain both engines execute identically (the div-order is
+  // part of the contract; magnitudes stay < 2⁶³ at bench SF because
+  // the square lands before the 10⁶ scale). One hash agg for cells,
+  // two config-sized margin aggs broadcast back — the contingency
+  // table is |priorities × statuses| regardless of row count.
+  def qChiSquared(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_orderpriority").as("p"),
+      col("o_orderstatus").as("st"))
+    val cells = o.groupBy("p", "st").agg(count(lit(1)).as("obs"))
+    val rt = o.groupBy("p").agg(count(lit(1)).as("rt"))
+    val ct = o.groupBy("st").agg(count(lit(1)).as("ct"))
+    val n = o.agg(count(lit(1)).as("n"))
+    cells.join(broadcast(rt), "p").join(broadcast(ct), "st")
+      .crossJoin(broadcast(n))
+      .select(col("p"), col("st"), col("obs"),
+        expr("rt * ct * 1000L div n").as("expected_milli"),
+        expr("((obs * n - rt * ct) * (obs * n - rt * ct) div (rt * ct)) " +
+          "* 1000000L div n").as("chi_micro"))
+      .orderBy("p", "st")
+  }
+
+  private val oChiSquared =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS p, o_orderstatus AS st FROM orders),
+      |cells AS (SELECT p, st, CAST(count(*) AS BIGINT) AS obs
+      |          FROM o GROUP BY p, st),
+      |rt AS (SELECT p, CAST(count(*) AS BIGINT) AS rt FROM o GROUP BY p),
+      |ct AS (SELECT st, CAST(count(*) AS BIGINT) AS ct FROM o GROUP BY st),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o)
+      |SELECT p, st, obs,
+      |  rt * ct * 1000 // n AS expected_milli,
+      |  ((obs * n - rt * ct) * (obs * n - rt * ct) // (rt * ct))
+      |    * 1000000 // n AS chi_micro
+      |FROM cells JOIN rt USING (p) JOIN ct USING (st) CROSS JOIN n
+      |ORDER BY p, st""".stripMargin
+
+  // B95 (r10): time-decayed scoring — the recency-weighted feature
+  // every engagement/churn model starts from: weight halves every 180
+  // days of age. The decay is a RIGHT SHIFT (cents >> (age div 180),
+  // capped at 40): exact integer arithmetic, no float pow in the
+  // contract, and the map-side expression keeps the whole thing one
+  // scan + one join + one hash agg. As-of date is a fixed literal
+  // AFTER all data (ages stay ≥ 0 — the B89 truncate-vs-floor
+  // discipline).
+  def qDecayWindow(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      least(expr("datediff(date'1999-01-01', o_orderdate) div 180"), lit(40L))
+        .as("sh"))
+      .select(col("o_custkey"), expr("shiftright(cents, CAST(sh AS INT))")
+        .as("decayed"), col("cents"))
+    val c = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("decayed")).as("decayed_cents"),
+        sum(col("cents")).as("raw_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val oDecayWindow =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    least(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+      |      // 180, 40) AS sh
+      |  FROM orders)
+      |SELECT c.c_mktsegment,
+      |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o.cents >> sh) AS BIGINT) AS decayed_cents,
+      |  CAST(sum(o.cents) AS BIGINT) AS raw_cents
+      |FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   // B88 (r10): exponentially weighted moving average — the classic
   // time-series smoother (metric dashboards, anomaly baselines) that
   // plain window sums cannot express because the weight depends on
@@ -3694,6 +3775,8 @@ object Relational {
     QueryDef("q_max_concurrent", qMaxConcurrent, Some(oMaxConcurrent)),
     QueryDef("q_spatial_nn", qSpatialNn, Some(oSpatialNn)),
     QueryDef("q_inventory_balance", qInventoryBalance, Some(oInventoryBalance)),
+    QueryDef("q_chi_squared", qChiSquared, Some(oChiSquared)),
+    QueryDef("q_decay_window", qDecayWindow, Some(oDecayWindow)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
     QueryDef("q_pareto_share", qParetoShare, Some(oParetoShare)),
