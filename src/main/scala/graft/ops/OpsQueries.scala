@@ -955,6 +955,121 @@ object OpsQueries {
        |FROM q JOIN g USING (doc_id)
        |GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // C112 (r10): classifier precision/recall — C106's calibration
+  // table answers "is the score monotone"; this is the other report a
+  // filter review needs: the 2×2 confusion of the C53 keep decision
+  // against the C77 rule verdict, with precision/recall/F1 in integer
+  // ppm (F1 = 2PR/(P+R) computed on the ppm integers — one rounding,
+  // same place, both engines). One doc_id equi-join + one 1-row agg;
+  // the report is four counters at any corpus size.
+  def evalClassifierPr(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("pred",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L) > 0L)
+      .select(col("doc_id"), col("pred"))
+    val g = TextAnalysis.gopherRules(T.documents(s, d))
+      .select(col("doc_id"), col("kept").as("actual"))
+    q.join(g, "doc_id")
+      .agg(
+        sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm",
+        expr("tp * 1000000L div greatest(tp + fp, 1L)"))
+      .withColumn("recall_ppm",
+        expr("tp * 1000000L div greatest(tp + fn, 1L)"))
+      .withColumn("f1_ppm",
+        expr("2L * precision_ppm * recall_ppm " +
+          "div greatest(precision_ppm + recall_ppm, 1L)"))
+  }
+
+  private val oEvalClassifierPr =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (-140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3) > 0 AS pred
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |        * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |      CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |        * 1000000 // length(text) AS punct_ppm,
+       |      CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |    FROM documents) t),
+       |g AS (
+       |  SELECT doc_id,
+       |    ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
+       |     AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
+       |     AND (nstop >= 1)) AS actual
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(string_split(text, ' ')) AS n,
+       |      length(replace(text, ' ', '')) AS wlen,
+       |      length(text) - length(replace(text, '#', '')) AS nhash,
+       |      (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+       |      len(list_filter(string_split(text, ' '),
+       |          w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+       |      len(list_intersect(string_split(lower(text), ' '),
+       |          ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS nstop
+       |    FROM documents) m),
+       |c AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM q JOIN g USING (doc_id)),
+       |pr AS (
+       |  SELECT *, tp * 1000000 // greatest(tp + fp, 1) AS precision_ppm,
+       |    tp * 1000000 // greatest(tp + fn, 1) AS recall_ppm
+       |  FROM c)
+       |SELECT tp, fp, fn, tn, precision_ppm, recall_ppm,
+       |  2 * precision_ppm * recall_ppm
+       |    // greatest(precision_ppm + recall_ppm, 1) AS f1_ppm
+       |FROM pr""".stripMargin
+
+  // C113 (r10): temporal train/test split with an EMBARGO — the
+  // leakage control time-series ML needs that C18's hash split and
+  // C46's graph-closure split do not give: train strictly BEFORE the
+  // cut, test strictly AFTER cut + embargo, the embargo window
+  // DROPPED so near-boundary leakage (labels computed over a trailing
+  // window crossing the cut) cannot happen. Cut/embargo are fixed
+  // literals; assignment is one map-side comparison per row, and the
+  // export aggregates per (split, event_type) with each split's time
+  // extremes so the oracle re-proves the boundary invariants
+  // train_max < cut ≤ embargo ≤ test_min — the CONTRACT, hashed.
+  def splitTemporalQ(s: SparkSession, d: String): DataFrame = {
+    val cutUs = 1705708800000000L      // 2024-01-20T00:00:00Z in µs
+    val embargoUs = 3L * 86400000000L  // 3 days
+    T.events(s, d)
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+      .withColumn("split",
+        when(col("us") < cutUs, "train")
+          .when(col("us") >= cutUs + embargoUs, "test")
+          .otherwise("embargo"))
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .orderBy("split", "event_type")
+  }
+
+  private val oSplitTemporal =
+    """SELECT CASE WHEN epoch_us(ts) < 1705708800000000 THEN 'train'
+      |  WHEN epoch_us(ts) >= 1705708800000000 + 3 * 86400000000 THEN 'test'
+      |  ELSE 'embargo' END AS split,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY split, event_type""".stripMargin
+
   // C15: per-language corpus statistics — the profile report a
   // training-data pipeline emits per snapshot (doc counts, token
   // volume, token median, longest doc). Integer/median-exact outputs.
@@ -4701,6 +4816,8 @@ object OpsQueries {
     QueryDef("dedup_containment", dedupContainment, Some(oDedupContainment)),
     QueryDef("dedup_url", dedupUrl, Some(oDedupUrl)),
     QueryDef("eval_calibration", evalCalibration, Some(oEvalCalibration)),
+    QueryDef("eval_classifier_pr", evalClassifierPr, Some(oEvalClassifierPr)),
+    QueryDef("split_temporal", splitTemporalQ, Some(oSplitTemporal)),
     QueryDef("multimodal_image_dedup", multimodalImageDedup,
       Some(oMultimodalImageDedup)),
     QueryDef("dedup_exact", dedupExact, Some(oDedupExact)),
