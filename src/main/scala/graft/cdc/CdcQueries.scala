@@ -294,6 +294,47 @@ object CdcQueries {
              |FROM graft_snapshot('$dir') ORDER BY user_id""".stripMargin)
   }
 
+  // A38b (r10): WHEN NOT MATCHED BY SOURCE — Delta's third MERGE
+  // clause family, driven end-to-end as the classic FULL-SYNC
+  // statement (upsert everything the source carries, DELETE whatever
+  // it no longer does): after the merge the store must equal the
+  // window's upsert set EXACTLY, which is precisely the oracle the
+  // A4 upserts gate already states — so one oracle pins both the
+  // upsert machinery and the by-source delete's WHOLE-TABLE scope
+  // (the statement path widens to ALL buckets for it: W0-snapshot
+  // keys live in buckets the source never touches, and a
+  // touched-bucket-pruned plan would silently keep them).
+  def cdcMergeFullSync(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    def proj(e: DataFrame): DataFrame =
+      TypedProjection.project(e, CdcEnvelope.DataCol,
+        Seq(FieldSpec("k", Cast(LongType))),
+        keep = Seq("user_id", CdcEnvelope.OpCol, CdcEnvelope.TsCol, CdcEnvelope.PosCol,
+          CdcEnvelope.LoadTsCol, "event_id", "value"))
+    val ev = T.events(s, d)
+    val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
+    SnapshotMerge.fromHistory(proj(history), Seq("user_id"),
+        Seq("user_id", "event_id", "k", "value"))
+      .createOrReplaceTempView("fullsync_target")
+    ChangeCompaction.upsertSet(CdcEnvelope.eventsWindowed(ev, W0, W1), Seq("user_id"))
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col(CdcEnvelope.DataCol), "$.k").cast("bigint").as("k"),
+        col("value"))
+      .createOrReplaceTempView("fullsync_src")
+    val Seq(dir) = Fixtures.dirs("merge_full_sync", 1)
+    s.sql(s"SELECT * FROM graft_create('$dir', 'user_id', " +
+      "'SELECT * FROM fullsync_target', 8)").collect()
+    val merged = s.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING fullsync_src AS c
+         |ON t.user_id = c.user_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()(0)
+    require(merged.getLong(0) == 1L, s"full-sync merge must publish v1: $merged")
+    s.sql(s"""SELECT user_id, event_id, k, value
+             |FROM graft_snapshot('$dir') ORDER BY user_id""".stripMargin)
+  }
+
   // A38: generic conditional-clause MERGE INTO (MergeInto) — same
   // target/changes fixture as cdc_merge, but the clauses go beyond
   // the reference's fixed upsert+delete pair: delete on 'd', update
@@ -2200,6 +2241,7 @@ object CdcQueries {
     QueryDef("cdc_merge", cdcMerge, Some(oMerge)),
     QueryDef("cdc_sql_merge", cdcSqlMerge, Some(oMerge)),
     QueryDef("cdc_sql_dml", cdcSqlDml, Some(oMerge)),
+    QueryDef("cdc_merge_full_sync", cdcMergeFullSync, Some(oUpserts)),
     QueryDef("cdc_merge_into", cdcMergeInto, Some(oMergeInto)),
     QueryDef("cdc_typed_projection", cdcTypedProjection, Some(oTypedProjection)),
     QueryDef("cdc_typed_projection_v2", cdcTypedProjectionV2, Some(oTypedProjectionV2)),

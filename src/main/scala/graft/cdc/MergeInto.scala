@@ -29,14 +29,16 @@ final class MergeInto private (
     target: DataFrame, source: DataFrame, on: Seq[String],
     matched: Seq[MergeInto.MatchedClause],
     notMatched: Seq[MergeInto.InsertClause],
+    bySource: Seq[MergeInto.MatchedClause],
     dupCheck: Boolean,
     srcRows: Option[Long]) {
   import MergeInto._
 
   private def copied(m: Seq[MatchedClause] = matched,
-      nm: Seq[InsertClause] = notMatched, dc: Boolean = dupCheck,
+      nm: Seq[InsertClause] = notMatched,
+      bs: Seq[MatchedClause] = bySource, dc: Boolean = dupCheck,
       sr: Option[Long] = srcRows) =
-    new MergeInto(target, source, on, m, nm, dc, sr)
+    new MergeInto(target, source, on, m, nm, bs, dc, sr)
 
   /** UPDATE SET clause: columns absent from `set` carry the target
     * value. Expressions may reference both sides via tgt()/src().
@@ -63,6 +65,22 @@ final class MergeInto private (
   def whenNotMatchedInsertAll(condition: Column = lit(true)): MergeInto =
     whenNotMatchedInsert(target.columns.map(c => c -> src(c)).toMap, condition)
 
+  /** WHEN NOT MATCHED BY SOURCE THEN UPDATE SET … (Delta's third
+    * clause family): fires on TARGET rows no source row matched.
+    * SET expressions may reference the target side only (the source
+    * side is all-NULL there by construction). Scale note for
+    * store-backed callers: a by-source clause has WHOLE-TABLE scope —
+    * touched-bucket pruning is invalid with one present (every
+    * target row must meet the join), which the statement path
+    * enforces by widening to all buckets.
+    */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+      condition: Column = lit(true)): MergeInto =
+    copied(bs = bySource :+ MatchedClause(condition, set, delete = false))
+
+  def whenNotMatchedBySourceDelete(condition: Column = lit(true)): MergeInto =
+    copied(bs = bySource :+ MatchedClause(condition, Map.empty, delete = true))
+
   def skipDuplicateSourceCheck(): MergeInto = copied(dc = false)
 
   /** Declare the source's row count (the caller usually has it — the
@@ -82,7 +100,8 @@ final class MergeInto private (
     */
   def run(): DataFrame = {
     require(on.nonEmpty, "MERGE needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs a clause")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "MERGE needs a clause")
     if (dupCheck) {
       val dup = source.groupBy(on.map(col): _*).count()
         .filter(col("count") > 1).limit(1).collect()
@@ -127,8 +146,13 @@ final class MergeInto private (
     val insertKeep = notMatched.foldRight(lit(false)) { (cl, rest) =>
       when(cl.condition, lit(true)).otherwise(rest)
     }
+    // by-source clauses: target rows no source row matched; no
+    // firing clause = carry (same first-match-wins fold as matched)
+    val bySourceKeep = bySource.foldRight(lit(true)) { (cl, rest) =>
+      when(cl.condition, lit(!cl.delete)).otherwise(rest)
+    }
     val keep = when(isMatched, matchedKeep)
-      .when(col("_t_present"), lit(true))
+      .when(col("_t_present"), bySourceKeep)
       .otherwise(insertKeep)
 
     val outCols = tCols.map { c =>
@@ -143,8 +167,12 @@ final class MergeInto private (
             cl.values.get(c).map(_.cast(fields(c)))
               .getOrElse(lit(null).cast(fields(c)))).otherwise(rest)
       }
+      val bySourceValue = bySource.foldRight(carry) { (cl, rest) =>
+        when(cl.condition,
+          cl.set.get(c).map(_.cast(fields(c))).getOrElse(carry)).otherwise(rest)
+      }
       when(isMatched, matchedValue)
-        .when(col("_t_present"), carry)
+        .when(col("_t_present"), bySourceValue)
         .otherwise(insertValue)
         .as(c)
     }
@@ -174,6 +202,6 @@ object MergeInto {
   def src(c: String): Column = col(s"$SPrefix$c")
 
   def apply(target: DataFrame, source: DataFrame, on: Seq[String]): MergeInto =
-    new MergeInto(target, source, on, Seq.empty, Seq.empty, dupCheck = true,
-      srcRows = None)
+    new MergeInto(target, source, on, Seq.empty, Seq.empty, Seq.empty,
+      dupCheck = true, srcRows = None)
 }

@@ -133,15 +133,13 @@ object GraftSqlDml {
       }.getOrElse(plan)
     case m: MergeIntoTable =>
       graftTarget(m.targetTable).map { case (path, alias) =>
-        if (m.notMatchedBySourceActions.nonEmpty)
-          throw new IllegalArgumentException(
-            "MERGE INTO graft.{path}: WHEN NOT MATCHED BY SOURCE is not supported")
         GraftMergeCommand(path, alias, aliasOf(m.sourceTable),
           new PlanHolder(rewriteRelations(m.sourceTable)),
           new ExprHolder(Seq(m.mergeCondition)),
           new ActionsHolder(m.matchedActions),
           new ActionsHolder(m.notMatchedActions),
-          m.withSchemaEvolution): LogicalPlan
+          m.withSchemaEvolution,
+          new ActionsHolder(m.notMatchedBySourceActions)): LogicalPlan
       }.getOrElse(plan)
     case i: InsertIntoStatement =>
       graftTarget(i.table).map { case (path, _) =>
@@ -367,7 +365,9 @@ object GraftSqlDml {
       sourceAlias: Option[String], sourcePlan: PlanHolder,
       mergeCondition: ExprHolder, matchedActions: ActionsHolder,
       notMatchedActions: ActionsHolder,
-      withSchemaEvolution: Boolean = false) extends LeafRunnableCommand {
+      withSchemaEvolution: Boolean = false,
+      bySourceActions: ActionsHolder = new ActionsHolder(Seq.empty))
+    extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(longAttr("version"), longAttr("source_rows"))
 
@@ -426,9 +426,17 @@ object GraftSqlDml {
       val source = GraftBridge.dataFrame(spark, sourcePlan.plan)
       val srcCols = source.columns.toSet
       val srcRows = source.count()
-      val touched = source
-        .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      // WHEN NOT MATCHED BY SOURCE has WHOLE-TABLE scope: every
+      // target row must meet the join to know it was NOT matched, so
+      // touched-bucket pruning (valid for the matched/insert families,
+      // whose effects land only in source-keyed buckets) would
+      // silently skip rows the clause must see — widen to all buckets.
+      val bySrc = bySourceActions.actions.nonEmpty
+      val touched =
+        if (bySrc) m.buckets.keySet.toSet
+        else source
+          .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
       val v =
         if (touched.isEmpty) cur
         else {
@@ -479,7 +487,7 @@ object GraftSqlDml {
         case (_, other) => throw new IllegalArgumentException(
           s"unsupported WHEN MATCHED action: $other")
       }
-      notMatchedActions.actions.foldLeft(withMatched) {
+      val withInserts = notMatchedActions.actions.foldLeft(withMatched) {
         case (mi, a: InsertAction) =>
           mi.whenNotMatchedInsert(
             a.assignments.map(as =>
@@ -488,6 +496,20 @@ object GraftSqlDml {
         case (mi, a: InsertStarAction) => mi.whenNotMatchedInsertAll(cond(a.condition))
         case (_, other) => throw new IllegalArgumentException(
           s"unsupported WHEN NOT MATCHED action: $other")
+      }
+      // by-source SET/condition expressions see the target side only
+      // (the source side is all-NULL on those rows by construction)
+      bySourceActions.actions.foldLeft(withInserts) {
+        case (mi, a: UpdateAction) =>
+          mi.whenNotMatchedBySourceUpdate(
+            a.assignments.map(as =>
+              assignName(as.key) -> sideRewrite(as.value, Set.empty)).toMap,
+            a.condition.map(sideRewrite(_, Set.empty)).getOrElse(lit(true)))
+        case (mi, a: DeleteAction) =>
+          mi.whenNotMatchedBySourceDelete(
+            a.condition.map(sideRewrite(_, Set.empty)).getOrElse(lit(true)))
+        case (_, other) => throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
       }
     }
   }

@@ -621,6 +621,55 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 
+  test("statement MERGE: WHEN NOT MATCHED BY SOURCE (full-sync + conditional stale-mark)") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-bysrc").toString
+    spark.sql(
+      s"""SELECT * FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 3 AS v, CAST(''live'' AS STRING) AS tag FROM range(0, 40)', 8)"""
+        .stripMargin).collect()
+
+    // full-sync: upsert the source and DELETE whatever it no longer
+    // carries — the classic snapshot-replace MERGE (whole-table scope:
+    // rows 0..9 live in buckets the source never touches, so a
+    // touched-bucket-pruned plan would silently keep them)
+    spark.sql("SELECT id, id * 7 AS v FROM range(10, 45)")
+      .createOrReplaceTempView("bysrc_src")
+    val r1 = spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING bysrc_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, 'new')
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()(0)
+    assert(r1.getLong(0) === 1L)
+    val got = spark.sql(s"SELECT id, v FROM graft_snapshot('$dir') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (10L until 45L).map(i => (i, i * 7)),
+      "store must equal the source exactly after a full-sync MERGE")
+
+    // conditional by-source UPDATE: mark (not delete) the stale rows
+    spark.sql("SELECT id, id * 9 AS v FROM range(20, 45)")
+      .createOrReplaceTempView("bysrc_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING bysrc_src2 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 15 THEN UPDATE SET tag = 'stale'"""
+        .stripMargin).collect()
+    val tags = spark.sql(
+      s"""SELECT tag, count(*) FROM graft_snapshot('$dir')
+         |GROUP BY tag ORDER BY tag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 10..14 -> stale; 15..19 unmatched but condition false -> carry
+    // their 'live' tag (matched rows 15..39 also keep it; only the
+    // first merge's inserts carry 'new')
+    assert(tags === Seq(("live", 25L), ("new", 5L), ("stale", 5L)),
+      s"got $tags")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir') WHERE v = id * 9")
+      .collect()(0).getLong(0) === 25L)
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
+
   test("statement-level INSERT, direct graft.`path` relations, and SQL time travel") {
     import graft.cdc.CdcPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-ins").toString

@@ -44,6 +44,19 @@ class MergeIntoSpec extends AnyFunSuite {
       (9L, "I", 90)))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: fires on unmatched target rows only, first match wins") {
+    val source = Seq((1L, "A", 100)).toDF("id", "name", "v")
+    val got = MergeInto(target, source, Seq("id"))
+      .whenMatchedUpdate(Map("v" -> src("v")))
+      .whenNotMatchedBySourceDelete(tgt("v") >= 40)
+      .whenNotMatchedBySourceUpdate(Map("name" -> concat(tgt("name"), lit("!"))))
+      .run().as[(Long, String, Int)].collect().toSet
+    // id=1 matched (v updated); id=4 deleted by the first by-source
+    // clause; id=2,3 renamed by the second; the source row never
+    // inserts (no insert clause) and never receives by-source effects
+    assert(got === Set((1L, "a", 100), (2L, "b!", 20), (3L, "c!", 30)))
+  }
+
   test("first matching clause wins (ANSI precedence)") {
     val source = Seq((1L, "X", 7)).toDF("id", "name", "v")
     // Both clauses match row 1; the FIRST registered must fire.
