@@ -94,6 +94,17 @@ object GraftSqlDdl {
       tablePath(child).map(GraftDropTableCommand(_, ifExists): LogicalPlan)
     case s: ShowCreateTable =>
       tablePath(s.child).map(GraftShowCreateCommand(_): LogicalPlan)
+    case t: TruncateTable =>
+      tablePath(t.table).map(GraftTruncateCommand(_): LogicalPlan)
+    case ShowTableProperties(child, key, _) =>
+      tablePath(child).map(GraftShowPropsCommand(_, key): LogicalPlan)
+    case AnalyzeColumn(child, cols, allColumns) =>
+      tablePath(child).map { path =>
+        GraftAnalyzeCommand(path, cols.getOrElse(Seq.empty), allColumns): LogicalPlan
+      }
+    case a: AnalyzeTable =>
+      tablePath(a.child).map(
+        GraftAnalyzeCommand(_, Seq.empty, allColumns = true): LogicalPlan)
     case a @ AddColumns(tbl, cols) =>
       tablePath(tbl).map { path =>
         val adds = cols.map { c =>
@@ -243,6 +254,75 @@ object GraftSqlDdl {
         case None => throw new IllegalArgumentException(
           s"no constraint '$name' at $path")
       }
+  }
+
+  /** TRUNCATE TABLE graft.{path} — a NEW empty version with the
+    * schema, layout, and declared metadata intact (history stays:
+    * time travel / RESTORE still reach the pre-truncate data until
+    * vacuumed — the versioned-store semantics, not a file unlink).
+    * Routed through the A41 predicate delete with an always-true
+    * predicate: that op already carries properties / constraints /
+    * defaults / virtual columns across the rewrite, which a fresh
+    * bootstrap publish would silently drop.
+    */
+  final case class GraftTruncateCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(longAttr("version"), longAttr("deleted_rows"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val pk = CdcPipeline.pkColumns(path).getOrElse(
+        throw new IllegalArgumentException(s"no graft store at $path"))
+      val (v, n) = CdcPipeline.deleteWhere(spark, path, pk,
+        org.apache.spark.sql.functions.lit(true)).getOrElse(
+        throw new IllegalArgumentException(s"no graft store at $path"))
+      Seq(Row(v, n))
+    }
+  }
+
+  /** SHOW TBLPROPERTIES graft.{path} [('key')] — the A77 property
+    * map as rows; a named key returns just that row (empty when
+    * absent, matching Spark's v2 behavior of erroring only for
+    * tables — a path-addressed store reports absence as no rows).
+    */
+  final case class GraftShowPropsCommand(path: String, key: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("key", org.apache.spark.sql.types.StringType,
+        nullable = false)(),
+      AttributeReference("value", org.apache.spark.sql.types.StringType,
+        nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val props = CdcPipeline.tableProperties(path)
+      key match {
+        case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+        case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+      }
+    }
+  }
+
+  /** ANALYZE TABLE graft.{path} COMPUTE STATISTICS FOR [ALL] COLUMNS
+    * … — routed onto the A83 per-bucket HLL NDV index (the store's
+    * native column-statistics artifact, consumed by A88 join-size
+    * estimation and A90 join admission). Emits the published index
+    * version and the column list.
+    */
+  final case class GraftAnalyzeCommand(path: String, cols: Seq[String],
+      allColumns: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"),
+      AttributeReference("columns", org.apache.spark.sql.types.StringType,
+        nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val target =
+        if (!allColumns) cols
+        else CdcPipeline.currentVersion(path)
+          .flatMap(v => CdcPipeline.manifest(path, v))
+          .map(_.schema.fieldNames.toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no graft store at $path"))
+      val v = CdcPipeline.buildNdvIndex(spark, path, target).getOrElse(
+        throw new IllegalArgumentException(s"no graft store at $path"))
+      Seq(Row(v, target.mkString(",")))
+    }
   }
 
   /** SHOW CREATE TABLE graft.{path} — renders a statement that would

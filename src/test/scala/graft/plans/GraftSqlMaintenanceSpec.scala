@@ -98,6 +98,44 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     StoreFs.deleteRecursive(dir); StoreFs.deleteRecursive(cloneDir)
   }
 
+  test("TRUNCATE / SHOW TBLPROPERTIES / ANALYZE statements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trunc").toString
+    StoreFs.deleteRecursive(dir)
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir` TBLPROPERTIES('pk'='id', 'buckets'='2', 'team'='x')
+         |AS SELECT id, id % 7 AS v FROM range(0, 30)""".stripMargin).collect()
+
+    // SHOW TBLPROPERTIES: all, then one key, then an absent key
+    val all = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(all === Seq(("team", "x")))
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft.`$dir` ('team')").collect()
+      .map(_.getString(1)).toSeq === Seq("x"))
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft.`$dir` ('nope')").collect().isEmpty)
+
+    // ANALYZE FOR COLUMNS builds the A83 NDV index
+    val an = spark.sql(
+      s"ANALYZE TABLE graft.`$dir` COMPUTE STATISTICS FOR COLUMNS v").collect()(0)
+    assert(an.getString(1) === "v")
+    assert(CdcPipeline.estimateJoinRows(spark, dir, dir, "v").isDefined,
+      "the NDV index must be consumable by the A88 estimator")
+
+    // TRUNCATE: empty current version, schema + properties intact,
+    // pre-truncate data still reachable by time travel
+    val tr = spark.sql(s"TRUNCATE TABLE graft.`$dir`").collect()(0)
+    assert(tr.getLong(1) === 30L)
+    assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 0L)
+    assert(CdcPipeline.readSnapshot(spark, dir).get.columns.toSeq === Seq("id", "v"))
+    assert(CdcPipeline.tableProperties(dir).get("team").contains("x"))
+    assert(CdcPipeline.readSnapshotAt(spark, dir, tr.getLong(0) - 1)
+      .map(_.count()).contains(30L), "history must survive TRUNCATE")
+    // the store still accepts statements after the truncate
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id, id AS v FROM range(0, 3)").collect()
+    assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 3L)
+
+    StoreFs.deleteRecursive(dir)
+  }
+
   test("non-graft OPTIMIZE falls through to the delegate parser and fails there") {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
       spark.sql("OPTIMIZE some_table")
