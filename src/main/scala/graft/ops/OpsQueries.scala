@@ -1035,6 +1035,97 @@ object OpsQueries {
        |    // greatest(precision_ppm + recall_ppm, 1) AS f1_ppm
        |FROM pr""".stripMargin
 
+  // C114 (r10): binned ROC-AUC — the threshold-free ranking metric
+  // for the C53 score against the C77 verdict, in the shape that
+  // HOLDS AT SCALE: exact AUC needs a global rank over every score
+  // (a corpus-wide sort), so production stacks bin first — the C106
+  // fixed-width bins reduce the corpus to a ~bins-row histogram, and
+  // the trapezoid over the descending-score cumulative (FP, TP)
+  // curve IS binned AUC (within-bin ties take the average, the
+  // standard convention). Integer end to end: AUC_ppm =
+  // Σ ΔFP·(TP+TP_prev) · 10⁶ div (2·P·N); the only window runs over
+  // BINS, never documents. Gini = 2·AUC − 1 rides along.
+  def evalAucBinned(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("logit_micro",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
+      .select(col("doc_id"), expr("(logit_micro + 4000000L) div 25000L").as("bin"))
+    val g = TextAnalysis.gopherRules(T.documents(s, d))
+      .select(col("doc_id"), col("kept"))
+    val bins = q.join(g, "doc_id")
+      .groupBy("bin")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("neg"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("tp", sum(col("pos")).over(wCum))
+      .withColumn("fp", sum(col("neg")).over(wCum))
+      .withColumn("trap",
+        col("neg") * (col("tp") + col("tp") - col("pos")))
+      .agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"),
+        count(lit(1)).as("n_bins"), sum(col("trap")).as("trap2"))
+      .select(col("p"), col("n"), col("n_bins"),
+        expr("trap2 * 1000000L div (2L * p * n)").as("auc_ppm"),
+        expr("(trap2 * 1000000L div (p * n)) - 1000000L").as("gini_ppm"))
+  }
+
+  private val oEvalAucBinned =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (-140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3 + 4000000)
+       |      // 25000 AS bin
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |        * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |      CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |        * 1000000 // length(text) AS punct_ppm,
+       |      CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |    FROM documents) t),
+       |g AS (
+       |  SELECT doc_id,
+       |    ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
+       |     AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
+       |     AND (nstop >= 1)) AS kept
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(string_split(text, ' ')) AS n,
+       |      length(replace(text, ' ', '')) AS wlen,
+       |      length(text) - length(replace(text, '#', '')) AS nhash,
+       |      (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+       |      len(list_filter(string_split(text, ' '),
+       |          w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+       |      len(list_intersect(string_split(lower(text), ' '),
+       |          ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS nstop
+       |    FROM documents) m),
+       |bins AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM q JOIN g USING (doc_id) GROUP BY bin),
+       |cum AS (
+       |  SELECT pos, neg,
+       |    CAST(sum(pos) OVER (ORDER BY bin DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+       |  FROM bins),
+       |agg AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_bins,
+       |    CAST(sum(neg * (tp + tp - pos)) AS BIGINT) AS trap2
+       |  FROM cum)
+       |SELECT p, n, n_bins,
+       |  trap2 * 1000000 // (2 * p * n) AS auc_ppm,
+       |  (trap2 * 1000000 // (p * n)) - 1000000 AS gini_ppm
+       |FROM agg""".stripMargin
+
   // C113 (r10): temporal train/test split with an EMBARGO — the
   // leakage control time-series ML needs that C18's hash split and
   // C46's graph-closure split do not give: train strictly BEFORE the
@@ -3755,6 +3846,33 @@ object OpsQueries {
       |  ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)
       |ORDER BY p.event_id""".stripMargin
 
+  // B15b (r10): FORWARD as-of — the next click at or after each
+  // purchase (re-engagement latency; Pandas merge_asof
+  // direction='forward'). Same single-sort union machinery as B15,
+  // reused through timestamp negation (Temporal.asofJoinForward) —
+  // one implementation for both directions.
+  def qAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_ts_us"),
+        col("event_id").as("next_click_id"))
+    Temporal.asofJoinForward(purchases, clicks, Seq("user_id"),
+        "ts_us", "click_ts_us", Seq("next_click_id"), "next_click_id")
+      .select("event_id", "user_id", "ts_us", "next_click_id")
+      .orderBy(col("event_id"))
+  }
+
+  private val oAsofForward =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |  c.event_id AS next_click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND epoch_us(p.ts) <= epoch_us(c.ts)
+      |ORDER BY p.event_id""".stripMargin
+
   // B16: keyed interval join — clicks within the hour before each
   // purchase of the same user, counted per purchase (LEFT so
   // zero-click purchases stay).
@@ -4878,6 +4996,7 @@ object OpsQueries {
       Some(oEvalSampleDiversity)),
     QueryDef("eval_ngram_overlap", evalNgramOverlap, Some(oEvalNgramOverlap)),
     QueryDef("eval_ndcg", evalNdcg, Some(oEvalNdcg)),
+    QueryDef("eval_auc_binned", evalAucBinned, Some(oEvalAucBinned)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("text_html_strip", textHtmlStrip, Some(oTextHtmlStrip)),
     QueryDef("text_mojibake", textMojibake, Some(oTextMojibake)),
@@ -4917,6 +5036,7 @@ object OpsQueries {
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
     QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),
+    QueryDef("q_asof_forward", qAsofForward, Some(oAsofForward)),
     QueryDef("q_interval_join", qIntervalJoin, Some(oIntervalJoin)),
     QueryDef("q_range_join", qRangeJoin, Some(oRangeJoin)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(oApproxDistinct)),

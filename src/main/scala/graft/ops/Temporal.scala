@@ -58,6 +58,25 @@ object Temporal {
       .filter(col("_is_left") === 1).drop("_is_left")
   }
 
+  /** FORWARD as-of join — the first right row at or AFTER each left
+    * row's timestamp (Pandas merge_asof direction='forward'; "next
+    * quote after the trade", "next click after the purchase").
+    * Re-expression: NEGATE both timestamp columns and run the
+    * backward [[asofJoin]] — the nearest successor under ts is the
+    * nearest predecessor under −ts, so the single sort+carry-forward
+    * machinery (and its equal-ts inclusion semantics) is reused
+    * verbatim instead of maintained twice. Timestamps must be
+    * numeric (epoch µs).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightPos: String): DataFrame =
+    asofJoin(
+      left.withColumn("_neg_lts", -col(leftTs)),
+      right.withColumn("_neg_rts", -col(rightTs)),
+      keys, "_neg_lts", "_neg_rts", payload, rightPos)
+      .drop("_neg_lts")
+
   /** Keyed interval join (a streaming-SQL staple — Flink's interval
     * join, KSQL's WITHIN): left joined to right rows of the same key
     * with rightTs ∈ [leftTs − lookbackUs, leftTs].
