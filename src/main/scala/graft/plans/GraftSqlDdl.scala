@@ -90,6 +90,21 @@ object GraftSqlDdl {
         GraftCtasCommand(path, pk, buckets, props - "pk" - "buckets",
           ifNotExists, new PlanHolder(c.query)): LogicalPlan
       }
+    case r: ReplaceTableAsSelect =>
+      tablePath(r.name).map { path =>
+        require(r.partitioning.isEmpty,
+          "CREATE OR REPLACE TABLE graft.{path}: PARTITIONED BY is not supported")
+        val props = r.tableSpec match {
+          case s: TableSpec => s.properties
+          case s: UnresolvedTableSpec => s.properties
+          case other => throw new IllegalArgumentException(
+            s"unexpected table spec: $other")
+        }
+        GraftReplaceCtasCommand(path,
+          props.get("pk").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+          props.get("buckets").map(_.trim.toInt), r.orCreate,
+          new PlanHolder(r.query)): LogicalPlan
+      }
     case DropTable(child, ifExists, _) =>
       tablePath(child).map(GraftDropTableCommand(_, ifExists): LogicalPlan)
     case s: ShowCreateTable =>
@@ -254,6 +269,51 @@ object GraftSqlDdl {
         case None => throw new IllegalArgumentException(
           s"no constraint '$name' at $path")
       }
+  }
+
+  /** CREATE OR REPLACE TABLE graft.{path} AS SELECT — a full
+    * REDEFINITION committed as the next version of an existing store
+    * (history stays time-travelable; Delta's replace semantics): the
+    * new schema is the query's, declared metadata RESETS (a
+    * redefinition must not silently carry constraints/defaults bound
+    * to columns that may no longer exist), and the PK layout
+    * invariant is enforced — replacing with a DIFFERENT pk is
+    * refused (that is a rebucket, not a replace). Absent store +
+    * OR REPLACE without IF NOT EXISTS semantics: creates when
+    * `orCreate` (Spark parses CREATE OR REPLACE with orCreate=true).
+    */
+  final case class GraftReplaceCtasCommand(path: String,
+      pkProp: Option[Seq[String]], buckets: Option[Int], orCreate: Boolean,
+      query: GraftSqlDml.PlanHolder) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val df = GraftBridge.dataFrame(spark, query.plan)
+      CdcPipeline.currentVersion(path) match {
+        case Some(_) =>
+          val pk = CdcPipeline.pkColumns(path).getOrElse(
+            throw new IllegalArgumentException(s"no _PK sidecar at $path"))
+          pkProp.foreach(p => require(
+            p.map(_.toLowerCase) == pk.map(_.toLowerCase),
+            s"REPLACE cannot change the PK (store: ${pk.mkString(",")}, " +
+              s"statement: ${p.mkString(",")}) — the bucket layout is " +
+              "pk-hash-addressed; use a new table + CLONE/rebucket instead"))
+          pk.foreach(k => require(df.columns.contains(k),
+            s"REPLACE query must produce the PK column '$k'"))
+          val m = CdcPipeline.manifest(path,
+            CdcPipeline.currentVersion(path).get).get
+          val v = CdcPipeline.publish(df, path, pk,
+            buckets = Some(buckets.getOrElse(m.numBuckets)), op = "replace")
+          Seq(Row(v))
+        case None if orCreate =>
+          val pk = pkProp.getOrElse(throw new IllegalArgumentException(
+            "CREATE OR REPLACE on a new path needs TBLPROPERTIES('pk'='…')"))
+          val v = CdcPipeline.publish(df, path, pk, buckets = buckets,
+            op = "bootstrap")
+          Seq(Row(v))
+        case None => throw new IllegalArgumentException(
+          s"no graft store at $path to replace")
+      }
+    }
   }
 
   /** TRUNCATE TABLE graft.{path} — a NEW empty version with the

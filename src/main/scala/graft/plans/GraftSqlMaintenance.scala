@@ -46,6 +46,8 @@ object GraftSqlMaintenance {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+graft\.`([^`]+)`\s*;?\s*$""".r
   private val restoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val restoreTsRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+graft\.`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val cloneRe =
     """(?is)^\s*CREATE\s+TABLE\s+graft\.`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+graft\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
 
@@ -62,6 +64,8 @@ object GraftSqlMaintenance {
       Some(GraftVacuumCommand(path, keep, dryRun = dry != null))
     case historyRe(path) => Some(GraftHistoryCommand(path))
     case restoreRe(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+    case restoreTsRe(path, ts) =>
+      Some(GraftRestoreTsCommand(path, ts))
     case cloneRe(dst, mode, src, ver) =>
       Some(GraftCloneCommand(src, dst, deep = mode.equalsIgnoreCase("DEEP"),
         atVersion = Option(ver).map(_.toLong)))
@@ -127,6 +131,35 @@ object GraftSqlMaintenance {
           "CAST(rows AS BIGINT) AS rows",
           "CAST(bytes AS BIGINT) AS bytes").collect().toSeq
       }.getOrElse(Seq.empty)
+  }
+
+  /** RESTORE TABLE … TO TIMESTAMP AS OF 'ts' — the A67 time axis
+    * composed with A47's restore: the version serving at `ts`
+    * (latest commit_us ≤ ts — the same placement rule
+    * readSnapshotAsOfTime uses, including its unplaceable-version
+    * honesty) becomes a NEW current version. Accepts epoch
+    * MICROSECONDS or UTC 'yyyy-MM-dd[ HH:mm[:ss]]'.
+    */
+  final case class GraftRestoreTsCommand(path: String, ts: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tsUs =
+        if (ts.forall(_.isDigit)) ts.toLong
+        else {
+          val norm = ts.trim.replace('T', ' ')
+          val ldt =
+            if (norm.contains(" ")) java.time.LocalDateTime.parse(
+              norm, java.time.format.DateTimeFormatter.ofPattern(
+                if (norm.count(_ == ':') == 2) "yyyy-MM-dd HH:mm:ss"
+                else "yyyy-MM-dd HH:mm"))
+            else java.time.LocalDate.parse(norm).atStartOfDay()
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        }
+      CdcPipeline.versionAsOfTime(path, tsUs)
+        .flatMap(CdcPipeline.restoreSnapshot(path, _))
+        .map(Row(_)).toSeq
+    }
   }
 
   /** CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF n] —

@@ -136,6 +136,43 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     StoreFs.deleteRecursive(dir)
   }
 
+  test("CREATE OR REPLACE redefines schema as a new version; RESTORE TO TIMESTAMP") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replace").toString
+    StoreFs.deleteRecursive(dir)
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir` TBLPROPERTIES('pk'='id', 'buckets'='2')
+         |AS SELECT id, id * 2 AS v FROM range(0, 10)""".stripMargin).collect()
+    val t0 = CdcPipeline.manifest(dir, 0L).get.meta("commit_us").toLong
+
+    // REPLACE: new schema (v dropped, w added), history intact
+    val rv = spark.sql(
+      s"""CREATE OR REPLACE TABLE graft.`$dir`
+         |AS SELECT id, CAST(id AS STRING) AS w FROM range(0, 5)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(rv === 1L)
+    val snap = CdcPipeline.readSnapshot(spark, dir).get
+    assert(snap.columns.toSeq === Seq("id", "w") && snap.count() === 5L)
+    assert(CdcPipeline.readSnapshotAt(spark, dir, 0L).map(_.count()).contains(10L),
+      "pre-replace history must stay time-travelable")
+    // changing the PK is a rebucket, not a replace — refused
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE OR REPLACE TABLE graft.`$dir`
+                   |TBLPROPERTIES('pk'='w') AS SELECT 'x' AS w""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("cannot change the PK"))
+
+    // RESTORE by timestamp: the version serving at the bootstrap's
+    // commit time is v0
+    val rr = spark.sql(
+      s"RESTORE TABLE graft.`$dir` TO TIMESTAMP AS OF '$t0'").collect()
+    assert(rr.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(CdcPipeline.readSnapshot(spark, dir).get.columns.toSeq === Seq("id", "v"))
+    assert(CdcPipeline.readSnapshot(spark, dir).get.count() === 10L)
+
+    StoreFs.deleteRecursive(dir)
+  }
+
   test("non-graft OPTIMIZE falls through to the delegate parser and fails there") {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
       spark.sql("OPTIMIZE some_table")
