@@ -1617,34 +1617,49 @@ object Relational {
   // calendar span however many lines it has — the 100 TB shape:
   // window state bounded by the calendar, not the data); peak day =
   // first day attaining the peak, deterministic.
+  /** B91 core, injectable for the laws spec: intervals (k, d0, d1x)
+    * on any ordered day axis, `d1x` EXCLUSIVE (the day after the
+    * interval ends — callers on a date axis pass date_add(end, 1),
+    * integer axes pass end + 1) → per-key (peak_concurrent,
+    * peak_day = first day attaining it, n_intervals).
+    */
+  def peakConcurrency(iv: DataFrame): DataFrame = {
+    // one explode, not a unionAll of two selects — the union form
+    // executes the upstream scan/join TWICE (each branch re-reads);
+    // the inline 2-element array keeps it one pass
+    val deltas = iv.select(col("k"), explode(array(
+        struct(col("d0").as("dt"), lit(1L).as("delta")),
+        struct(col("d1x").as("dt"), lit(-1L).as("delta")))).as("e"))
+      .select(col("k"), col("e.dt").as("dt"), col("e.delta").as("delta"))
+    val daily = deltas.groupBy("k", "dt")
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
+    val wRun = Window.partitionBy("k").orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("k")
+    daily
+      .withColumn("running", sum(col("net")).over(wRun))
+      .withColumn("peak", max(col("running")).over(wAll))
+      .withColumn("n_intervals", sum(col("starts")).over(wAll))
+      .filter(col("running") === col("peak"))
+      .groupBy("k")
+      .agg(max(col("peak")).cast("long").as("peak_concurrent"),
+        min(col("dt")).as("peak_day"),
+        max(col("n_intervals")).cast("long").as("n_intervals"))
+  }
+
   def qMaxConcurrent(s: SparkSession, d: String): DataFrame = {
     val li = T.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    // one explode, not a unionAll of two selects — the union form
-    // executes the scan+join TWICE (each branch re-reads both
-    // tables); the inline 2-element array keeps it one pass
-    val deltas = li.select(col("l_suppkey"), explode(array(
-        struct(col("o_orderdate").cast("date").as("dt"), lit(1L).as("delta")),
-        struct(date_add(col("l_shipdate"), 1).as("dt"), lit(-1L).as("delta"))))
-        .as("e"))
-      .select(col("l_suppkey"), col("e.dt").as("dt"), col("e.delta").as("delta"))
-    val daily = deltas.groupBy("l_suppkey", "dt")
-      .agg(sum(col("delta")).as("net"),
-        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
-    val wRun = Window.partitionBy("l_suppkey").orderBy("dt")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("l_suppkey")
-    daily
-      .withColumn("running", sum(col("net")).over(wRun))
-      .withColumn("peak", max(col("running")).over(wAll))
-      .withColumn("n_shipments", sum(col("starts")).over(wAll))
-      .filter(col("running") === col("peak"))
-      .groupBy("l_suppkey")
-      .agg(max(col("peak")).cast("long").as("peak_concurrent"),
-        min(col("dt")).cast("timestamp").as("peak_date"),
-        max(col("n_shipments")).cast("long").as("n_shipments"))
+    peakConcurrency(li.select(col("l_suppkey").as("k"),
+        col("o_orderdate").cast("date").as("d0"),
+        date_add(col("l_shipdate"), 1).as("d1x")))
+      .select(col("k").as("l_suppkey"),
+        col("peak_concurrent"),
+        col("peak_day").cast("timestamp").as("peak_date"),
+        col("n_intervals").as("n_shipments"))
       .orderBy("l_suppkey")
   }
 
@@ -1749,13 +1764,13 @@ object Relational {
   // even lines, issues = odd lines (deterministic sign fixture);
   // the unclamped aggregates ride along so the export pins BOTH the
   // plain sums and the genuinely sequential clamp result.
-  def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
-    val ev = T.lineitem(s, d).select(col("l_partkey"),
-      datediff(col("l_shipdate"), lit("1990-01-01")).cast("long").as("day"),
-      col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
-      when(col("l_linenumber") % 2 === 0, col("l_quantity"))
-        .otherwise(-col("l_quantity")).cast("long").as("delta"))
-    ev.groupBy("l_partkey")
+  /** B93 core, injectable for the laws spec: events
+    * (k, day, ok, ln, delta) → per-key clamped fold
+    * s ← max(0, s + delta) over the TOTAL (day, ok, ln, delta) order,
+    * plus the unclamped receipt/issue sums.
+    */
+  def clampedBalance(ev: DataFrame): DataFrame =
+    ev.groupBy("k")
       .agg(sort_array(collect_list(struct(col("day"), col("ok"), col("ln"),
           col("delta")))).as("evs"),
         count(lit(1)).as("n_events"),
@@ -1763,7 +1778,17 @@ object Relational {
         sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).as("issued"))
       .withColumn("final_balance",
         expr("aggregate(evs, 0L, (s, e) -> greatest(0L, s + e.delta))"))
-      .select("l_partkey", "n_events", "received", "issued", "final_balance")
+      .select("k", "n_events", "received", "issued", "final_balance")
+
+  def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
+    val ev = T.lineitem(s, d).select(col("l_partkey").as("k"),
+      datediff(col("l_shipdate"), lit("1990-01-01")).cast("long").as("day"),
+      col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+      when(col("l_linenumber") % 2 === 0, col("l_quantity"))
+        .otherwise(-col("l_quantity")).cast("long").as("delta"))
+    clampedBalance(ev)
+      .select(col("k").as("l_partkey"), col("n_events"), col("received"),
+        col("issued"), col("final_balance"))
       .orderBy("l_partkey")
   }
 

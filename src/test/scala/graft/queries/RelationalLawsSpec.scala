@@ -16,6 +16,64 @@ class RelationalLawsSpec extends AnyFunSuite {
   private def ev(rows: (Long, Long, Long, String)*) =
     rows.toDF("user_id", "event_id", "us", "sym")
 
+  test("clampedBalance: planted clamp chains + randomized scalar-replay law") {
+    // planted: the clamp is ORDER-sensitive — issue-before-receipt
+    // floors at 0 and the receipt starts fresh, so the same multiset
+    // of deltas yields different finals under different day orders
+    val planted = Seq(
+      (1L, 1L, 1L, 1L, -5L), (1L, 2L, 1L, 1L, 3L),   // -5 floors, +3 -> 3
+      (2L, 1L, 1L, 1L, 3L), (2L, 2L, 1L, 1L, -5L),   // 3 then -5 -> 0
+      (3L, 1L, 1L, 1L, -7L),                           // all-negative -> 0
+      (4L, 1L, 1L, 1L, 2L), (4L, 1L, 1L, 2L, -9L),    // same day, ln tie-break
+      (4L, 2L, 1L, 1L, 4L))
+      .toDF("k", "day", "ok", "ln", "delta")
+    val got = Relational.clampedBalance(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
+
+    // law: for seeded random histories the distributed fold equals a
+    // scalar foldLeft over the same total order
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (1 to 400).map { i =>
+      (i.toLong % 13, rnd.nextInt(30).toLong, rnd.nextInt(5).toLong,
+        rnd.nextInt(4).toLong, (rnd.nextInt(21) - 11).toLong)
+    }
+    val df = rows.toDF("k", "day", "ok", "ln", "delta")
+    val dist = Relational.clampedBalance(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val model = rows.groupBy(_._1).map { case (k, evs) =>
+      k -> evs.sortBy(e => (e._2, e._3, e._4, e._5))
+        .foldLeft(0L)((s, e) => math.max(0L, s + e._5))
+    }
+    assert(dist === model)
+  }
+
+  test("peakConcurrency: planted overlaps + randomized day-count law") {
+    // planted: inclusive endpoints — an interval ending on day d
+    // still counts on d; peak_day is the FIRST day attaining the peak
+    val planted = Seq(
+      (1L, 1L, 4L), (1L, 3L, 6L), (1L, 3L, 3L),  // days 3: all 3 live
+      (2L, 1L, 1L), (2L, 3L, 3L))                 // disjoint -> peak 1 at day 1
+      .toDF("k", "d0", "d1").withColumn("d1x", col("d1") + 1L).drop("d1")
+    val got = Relational.peakConcurrency(planted).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((3L, 3L, 3L)), 2L -> ((1L, 1L, 2L))))
+
+    // law: peak equals the brute-force per-day occupancy maximum
+    val rnd = new scala.util.Random(42L)
+    val ivs = (1 to 300).map { _ =>
+      val d0 = rnd.nextInt(50).toLong
+      (rnd.nextInt(7).toLong, d0, d0 + rnd.nextInt(10).toLong)
+    }
+    val df = ivs.toDF("k", "d0", "d1").withColumn("d1x", col("d1") + 1L).drop("d1")
+    val dist = Relational.peakConcurrency(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val model = ivs.groupBy(_._1).map { case (k, xs) =>
+      k -> (0L to 60L).map(day => xs.count(x => x._2 <= day && day <= x._3).toLong).max
+    }
+    assert(dist === model)
+  }
+
   test("eventPatternMatches: planted sequences match exactly the v c+ p definition") {
     // user 1: v c c p  → one match, 2 clicks, span 30
     // user 2: v c s p  → signup breaks contiguity: no match
