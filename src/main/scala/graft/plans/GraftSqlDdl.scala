@@ -120,6 +120,10 @@ object GraftSqlDdl {
     case a: AnalyzeTable =>
       tablePath(a.child).map(
         GraftAnalyzeCommand(_, Seq.empty, allColumns = true): LogicalPlan)
+    case DescribeRelation(rel, _, isExtended, _) =>
+      tablePath(rel).map(GraftDescribeCommand(_, isExtended): LogicalPlan)
+    case ShowColumns(child, _, _) =>
+      tablePath(child).map(GraftShowColumnsCommand(_): LogicalPlan)
     case a @ AddColumns(tbl, cols) =>
       tablePath(tbl).map { path =>
         val adds = cols.map { c =>
@@ -269,6 +273,57 @@ object GraftSqlDdl {
         case None => throw new IllegalArgumentException(
           s"no constraint '$name' at $path")
       }
+  }
+
+  /** DESCRIBE [EXTENDED] graft.{path} — columns in Spark's
+    * (col_name, data_type, comment) shape; EXTENDED appends the
+    * store facts (pk, buckets, version, properties, constraints) as
+    * the same-shaped metadata rows Spark emits for catalog tables.
+    */
+  final case class GraftDescribeCommand(path: String, extended: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("col_name", org.apache.spark.sql.types.StringType,
+        nullable = false)(),
+      AttributeReference("data_type", org.apache.spark.sql.types.StringType,
+        nullable = false)(),
+      AttributeReference("comment", org.apache.spark.sql.types.StringType,
+        nullable = true)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cur = CdcPipeline.currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"no graft store at $path"))
+      val m = CdcPipeline.manifest(path, cur).getOrElse(
+        throw new IllegalArgumentException(s"unreadable manifest at $path"))
+      val cols = m.schema.fields.toSeq.map(f =>
+        Row(f.name, f.dataType.sql.toLowerCase, null))
+      if (!extended) cols
+      else cols ++ Seq(
+        Row("", "", null),
+        Row("# Detailed Table Information", "", null),
+        Row("Primary Key",
+          CdcPipeline.pkColumns(path).map(_.mkString(",")).getOrElse(""), null),
+        Row("Buckets", m.numBuckets.toString, null),
+        Row("Current Version", cur.toString, null)) ++
+        CdcPipeline.tableProperties(path).toSeq.sortBy(_._1)
+          .map { case (k, v) => Row(s"Property: $k", v, null) } ++
+        CdcPipeline.checkConstraints(path).toSeq.sortBy(_._1)
+          .map { case (n, c) => Row(s"Constraint: $n", c, null) }
+    }
+  }
+
+  /** SHOW COLUMNS IN graft.{path} — bare column names. */
+  final case class GraftShowColumnsCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("col_name", org.apache.spark.sql.types.StringType,
+        nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cur = CdcPipeline.currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"no graft store at $path"))
+      CdcPipeline.manifest(path, cur).getOrElse(
+        throw new IllegalArgumentException(s"unreadable manifest at $path"))
+        .schema.fieldNames.toSeq.map(Row(_))
+    }
   }
 
   /** CREATE OR REPLACE TABLE graft.{path} AS SELECT — a full

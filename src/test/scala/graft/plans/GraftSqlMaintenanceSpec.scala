@@ -120,6 +120,16 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     assert(CdcPipeline.estimateJoinRows(spark, dir, dir, "v").isDefined,
       "the NDV index must be consumable by the A88 estimator")
 
+    // DESCRIBE / SHOW COLUMNS introspection
+    val desc = spark.sql(s"DESCRIBE graft.`$dir`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc === Seq(("id", "bigint"), ("v", "bigint")))
+    val ext = spark.sql(s"DESCRIBE EXTENDED graft.`$dir`").collect()
+      .map(_.getString(0))
+    assert(ext.contains("Primary Key") && ext.contains("Property: team"))
+    assert(spark.sql(s"SHOW COLUMNS IN graft.`$dir`").collect()
+      .map(_.getString(0)).toSeq === Seq("id", "v"))
+
     // TRUNCATE: empty current version, schema + properties intact,
     // pre-truncate data still reachable by time travel
     val tr = spark.sql(s"TRUNCATE TABLE graft.`$dir`").collect()(0)
