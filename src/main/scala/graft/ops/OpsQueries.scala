@@ -3969,6 +3969,46 @@ object OpsQueries {
       |  TRUE AS within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // B18b (r10): sketch set algebra — approximate INTERSECTION via
+  // inclusion–exclusion (|A∩B| ≈ |A|+|B|−|A∪B|, each term an HLL
+  // estimate): the audience-overlap question ("viewers who also
+  // purchased") answered without ever materializing either side. The
+  // standard caveat is part of the gate: intersection error scales
+  // with the UNION's size, not the intersection's, so the checked
+  // bound is 5% OF THE UNION — and the export carries the exact
+  // terms so the oracle re-proves both the arithmetic and the bound.
+  def qHllIntersect(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("event_type"), col("user_id"))
+    val a = ev.filter(col("event_type") === "view").select(col("user_id"))
+    val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val approx = a.agg(approx_count_distinct(col("user_id")).as("ca")).crossJoin(
+      b.agg(approx_count_distinct(col("user_id")).as("cb"))).crossJoin(
+      a.unionAll(b).agg(approx_count_distinct(col("user_id")).as("cu")))
+      .select((col("ca") + col("cb") - col("cu")).as("approx_intersect"))
+    val exact = a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("exact_intersect")).crossJoin(
+      a.agg(countDistinct(col("user_id")).as("exact_a"))).crossJoin(
+      b.agg(countDistinct(col("user_id")).as("exact_b"))).crossJoin(
+      a.unionAll(b).agg(countDistinct(col("user_id")).as("exact_union")))
+    exact.crossJoin(approx)
+      .select(col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_intersect"),
+        (abs(col("approx_intersect") - col("exact_intersect")) <=
+          col("exact_union") * lit(0.05)).as("within_5pct_of_union"))
+  }
+
+  private val oHllIntersect =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT
+      |  CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+      |  CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+      |  CAST((SELECT count(*) FROM (SELECT user_id FROM a
+      |    UNION SELECT user_id FROM b)) AS BIGINT) AS exact_union,
+      |  CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+      |    AS exact_intersect,
+      |  TRUE AS within_5pct_of_union""".stripMargin
+
   // C19: incremental distinct maintenance — sketch two disjoint
   // load-ts windows separately (as successive pipeline runs would),
   // union the sketches, and check the estimate against the exact
@@ -5040,6 +5080,7 @@ object OpsQueries {
     QueryDef("q_interval_join", qIntervalJoin, Some(oIntervalJoin)),
     QueryDef("q_range_join", qRangeJoin, Some(oRangeJoin)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(oApproxDistinct)),
+    QueryDef("q_hll_intersect", qHllIntersect, Some(oHllIntersect)),
     QueryDef("q_hll_incremental", qHllIncremental, Some(oHllIncremental)),
     QueryDef("q_quantile_incremental", qQuantileIncremental, Some(oQuantileIncremental)),
     QueryDef("sample_stratified", sampleStratifiedQ, Some(oSampleStratified)),
