@@ -1816,6 +1816,55 @@ object Relational {
       |    (a, c) -> greatest(0, a + c)) AS BIGINT) AS final_balance
       |FROM g ORDER BY l_partkey""".stripMargin
 
+  // B96 (r10): sequence-contiguity audit — the data-quality check
+  // every "line N of M" column needs (invoice lines, page numbers,
+  // shard indexes): per parent, are the child sequence numbers
+  // exactly 1..n — no duplicates, no gaps? Closed-form per group from
+  // four plain aggregates (count, distinct, min, max — dups = n −
+  // distinct; gaps = span − distinct; contiguous ⇔ min=1 ∧ gaps=0 ∧
+  // dups=0), then a four-class corpus rollup so the export is
+  // CLASS-sized, never parent-sized (the A60 report discipline).
+  // This synthetic lineitem genuinely reuses line numbers within an
+  // order, so the audit reports real findings on both sides.
+  def qSequenceAudit(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("ln")).as("nd"),
+        min(col("ln")).as("mn"), max(col("ln")).as("mx"))
+      .select(col("l_orderkey"),
+        (col("n") - col("nd")).as("dups"),
+        (col("mx") - col("mn") + 1 - col("nd")).as("gaps"),
+        (col("mn") === 1 && col("n") === col("nd") &&
+          col("mx") === col("nd")).as("contiguous"))
+      .groupBy(col("contiguous"), (col("dups") > 0).as("has_dups"),
+        (col("gaps") > 0).as("has_gaps"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("dups")).as("total_dups"),
+        sum(col("gaps")).as("total_gaps"),
+        min(col("l_orderkey")).as("example_order"))
+      .orderBy("contiguous", "has_dups", "has_gaps")
+
+  private val oSequenceAudit =
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |    count(*) - count(DISTINCT l_linenumber) AS dups,
+      |    max(l_linenumber) - min(l_linenumber) + 1
+      |      - count(DISTINCT l_linenumber) AS gaps,
+      |    (min(l_linenumber) = 1
+      |     AND count(*) = count(DISTINCT l_linenumber)
+      |     AND max(l_linenumber) = count(DISTINCT l_linenumber))
+      |      AS contiguous
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT contiguous, dups > 0 AS has_dups, gaps > 0 AS has_gaps,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(dups) AS BIGINT) AS total_dups,
+      |  CAST(sum(gaps) AS BIGINT) AS total_gaps,
+      |  min(l_orderkey) AS example_order
+      |FROM per GROUP BY 1, 2, 3
+      |ORDER BY contiguous, has_dups, has_gaps""".stripMargin
+
   // B94 (r10): chi-squared contingency audit — "are priority and
   // status independent?" (the segmentation-vs-outcome association
   // check every experimentation/reporting stack runs). Exact integer
@@ -3801,6 +3850,7 @@ object Relational {
     QueryDef("q_spatial_nn", qSpatialNn, Some(oSpatialNn)),
     QueryDef("q_inventory_balance", qInventoryBalance, Some(oInventoryBalance)),
     QueryDef("q_chi_squared", qChiSquared, Some(oChiSquared)),
+    QueryDef("q_sequence_audit", qSequenceAudit, Some(oSequenceAudit)),
     QueryDef("q_decay_window", qDecayWindow, Some(oDecayWindow)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
