@@ -4226,6 +4226,48 @@ object OpsQueries {
       |FROM documents WHERE doc_id % 13 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // C107b (r10): audio hop-window schedule — C107's analog for the
+  // audio modality (feature extraction runs on fixed windows with a
+  // hop): n_windows = (frames − win) div hop + 1 from the REAL C12b
+  // WAV header parse (win 40 / hop 25 samples against the fixture's
+  // 100–149-frame clips), offsets exploded metadata-sized. The STFT
+  // the offsets feed is the documented out-of-container stub; the
+  // schedule and its plumbing are real and hashed.
+  def multimodalAudioWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 11 === 0)
+      .as[Long]
+      .map { id =>
+        (id, "audio/wav",
+          Multimodal.synthWav((8000 + (id % 4) * 4000).toInt,
+            (1 + id % 2).toInt, (100 + id % 50).toInt))
+      }
+      .toDF("media_id", "media_type", "bytes")
+    Multimodal.extractAudioInfo(media)
+      .select(col("media_id").as("doc_id"), col("frames"))
+      .withColumn("n_windows",
+        greatest(expr("(frames - 40L) div 25L + 1L"), lit(0L)))
+      .select(col("doc_id"), col("frames"), col("n_windows"),
+        explode(expr("sequence(0L, n_windows - 1L)")).as("window_idx"))
+      .withColumn("offset_frames", col("window_idx") * 25L)
+      .orderBy("doc_id", "window_idx")
+  }
+
+  private val oMultimodalAudioWindows =
+    """WITH a AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(100 + doc_id % 50 AS BIGINT) AS frames,
+      |    greatest((CAST(100 + doc_id % 50 AS BIGINT) - 40) // 25 + 1, 0)
+      |      AS n_windows
+      |  FROM documents WHERE doc_id % 11 = 0)
+      |SELECT doc_id, frames, n_windows,
+      |  CAST(w AS BIGINT) AS window_idx,
+      |  CAST(w AS BIGINT) * 25 AS offset_frames
+      |FROM a, unnest(range(0, CAST(n_windows AS INT))) AS t(w)
+      |ORDER BY doc_id, window_idx""".stripMargin
+
   // C107 (r10): frame-sampling schedule — the manifest a video
   // training pipeline emits per clip (which timestamps to decode)
   // BEFORE any pixel work is scheduled: uniform sampling with a cap
@@ -4971,6 +5013,8 @@ object OpsQueries {
     QueryDef("multimodal_audio", multimodalAudio, Some(oMultimodalAudio)),
     QueryDef("multimodal_video", multimodalVideo, Some(oMultimodalVideo)),
     QueryDef("multimodal_frames", multimodalFrames, Some(oMultimodalFrames)),
+    QueryDef("multimodal_audio_windows", multimodalAudioWindows,
+      Some(oMultimodalAudioWindows)),
     QueryDef("dedup_containment", dedupContainment, Some(oDedupContainment)),
     QueryDef("dedup_url", dedupUrl, Some(oDedupUrl)),
     QueryDef("eval_calibration", evalCalibration, Some(oEvalCalibration)),
