@@ -2620,6 +2620,82 @@ object OpsQueries {
       |FROM customer
       |GROUP BY 1, 2 ORDER BY nationkey, c_mktsegment""".stripMargin
 
+  // C115 (r10): t-closeness audit — the third privacy lens after
+  // k-anonymity (C86) and l-diversity (C110): a group can be k-large
+  // AND l-diverse yet still leak by DISTRIBUTION (all its balances in
+  // the top bands). t-closeness bounds the Earth-Mover's Distance
+  // between each group's sensitive distribution and the global one;
+  // over ORDERED equal-width bands EMD has the exact closed form
+  // Σᵢ|cum_p(i) − cum_q(i)| / (m−1), which integerizes on the common
+  // denominator k·N: |cum_cnt·N − cum_gcnt·k| per band, summed and
+  // ppm-scaled — no float, engine-exact. Shape: a (groups × bands)
+  // grid (both config-sized) with broadcast global shares; the only
+  // window walks one group's ≤m bands.
+  def privacyTCloseness(s: SparkSession, d: String): DataFrame = {
+    val cust = T.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("band"))
+    val groups = cust.groupBy("nationkey", "seg").agg(count(lit(1)).as("k"))
+    val gband = cust.groupBy("band").agg(count(lit(1)).as("gcnt"))
+    val total = cust.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("band")).as("m"))
+    val cnts = cust.groupBy("nationkey", "seg", "band")
+      .agg(count(lit(1)).as("cnt"))
+    val grid = groups.crossJoin(broadcast(gband))
+      .join(cnts, Seq("nationkey", "seg", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(total))
+    val wCum = Window.partitionBy("nationkey", "seg").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
+      .withColumn("cum_gcnt", sum(col("gcnt")).over(wCum))
+      .withColumn("num", abs(col("cum_cnt") * col("n_total") -
+        col("cum_gcnt") * col("k")))
+      .groupBy("nationkey", "seg")
+      .agg(max(col("k")).as("k"),
+        expr("sum(num) * 1000000L div (max(k) * max(n_total) * (max(m) - 1L))")
+          .as("t_ppm"))
+      .withColumn("t_close", col("t_ppm") <= 200000L)
+      .orderBy("nationkey", "seg")
+  }
+
+  private val oPrivacyTCloseness =
+    """WITH cust AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |    c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+      |  FROM customer),
+      |groups AS (SELECT nationkey, seg, CAST(count(*) AS BIGINT) AS k
+      |           FROM cust GROUP BY 1, 2),
+      |gband AS (SELECT band, CAST(count(*) AS BIGINT) AS gcnt
+      |          FROM cust GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |               CAST(count(DISTINCT band) AS BIGINT) AS m FROM cust),
+      |cnts AS (SELECT nationkey, seg, band, CAST(count(*) AS BIGINT) AS cnt
+      |         FROM cust GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT g.nationkey, g.seg, g.k, b.band, b.gcnt,
+      |    coalesce(c.cnt, 0) AS cnt, t.n_total, t.m
+      |  FROM groups g CROSS JOIN gband b
+      |  LEFT JOIN cnts c ON c.nationkey = g.nationkey AND c.seg = g.seg
+      |    AND c.band = b.band
+      |  CROSS JOIN tot t),
+      |cum AS (
+      |  SELECT nationkey, seg, k, n_total, m,
+      |    abs(sum(cnt) OVER (PARTITION BY nationkey, seg ORDER BY band
+      |          ROWS UNBOUNDED PRECEDING) * n_total -
+      |        sum(gcnt) OVER (PARTITION BY nationkey, seg ORDER BY band
+      |          ROWS UNBOUNDED PRECEDING) * k) AS num
+      |  FROM grid)
+      |SELECT nationkey, seg, max(k) AS k,
+      |  CAST(sum(num) * 1000000 // (max(k) * max(n_total) * (max(m) - 1))
+      |    AS BIGINT) AS t_ppm,
+      |  CAST(sum(num) * 1000000 // (max(k) * max(n_total) * (max(m) - 1))
+      |    AS BIGINT) <= 200000 AS t_close
+      |FROM cum GROUP BY 1, 2 ORDER BY nationkey, seg""".stripMargin
+
   // C111 (r10): connected components over the host graph — the
   // crawl-curation grouping signal PageRank (C75) and BFS (C79) do
   // not give: which hosts form one linked cluster (mirror families,
@@ -5075,6 +5151,7 @@ object OpsQueries {
     QueryDef("sft_loss_mask", sftLossMask, Some(oSftLossMask)),
     QueryDef("privacy_k_anon", privacyKAnon, Some(oPrivacyKAnon)),
     QueryDef("privacy_l_diversity", privacyLDiversity, Some(oPrivacyLDiversity)),
+    QueryDef("privacy_t_closeness", privacyTCloseness, Some(oPrivacyTCloseness)),
     QueryDef("graph_components", graphComponents, Some(oGraphComponents)),
     QueryDef("eval_sample_diversity", evalSampleDiversity,
       Some(oEvalSampleDiversity)),
