@@ -1126,6 +1126,93 @@ object OpsQueries {
        |  (trap2 * 1000000 // (p * n)) - 1000000 AS gini_ppm
        |FROM agg""".stripMargin
 
+  // C116 (r10): Cohen's kappa — CHANCE-CORRECTED agreement between
+  // the C53 decision and the C77 verdict (accuracy flatters any pair
+  // that both say "keep" to a keep-heavy corpus; kappa subtracts the
+  // agreement two independent raters with these marginals would get
+  // for free). Exact rational arithmetic on the common denominator
+  // T²: kappa = (po·T² − pe_num) / (T² − pe_num) with
+  // pe_num = (tp+fp)(tp+fn) + (fn+tn)(fp+tn), emitted in integer ppm
+  // — the one divide lands in the same place on both engines. Same
+  // one-join + 1-row-agg shape as C112.
+  def evalCohensKappa(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("pred",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L) > 0L)
+      .select(col("doc_id"), col("pred"))
+    val g = TextAnalysis.gopherRules(T.documents(s, d))
+      .select(col("doc_id"), col("kept").as("actual"))
+    q.join(g, "doc_id")
+      .agg(
+        sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("t", expr("tp + fp + fn + tn"))
+      .withColumn("pe_num",
+        expr("(tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000L div t").as("accuracy_ppm"),
+        // kappa ∈ [−1, 1]: shift the numerator by the denominator so
+        // the integer divide runs on a NON-NEGATIVE operand (Spark
+        // `div` truncates, DuckDB `//` floors — they agree only ≥ 0),
+        // then shift back
+        expr("(((tp + tn) * t - pe_num) + (t * t - pe_num)) * 1000000L " +
+          "div (t * t - pe_num) - 1000000L").as("kappa_ppm"))
+  }
+
+  private val oEvalCohensKappa =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (-140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3) > 0 AS pred
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |        * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |      CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |        * 1000000 // length(text) AS punct_ppm,
+       |      CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |    FROM documents) t),
+       |g AS (
+       |  SELECT doc_id,
+       |    ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
+       |     AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
+       |     AND (nstop >= 1)) AS actual
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(string_split(text, ' ')) AS n,
+       |      length(replace(text, ' ', '')) AS wlen,
+       |      length(text) - length(replace(text, '#', '')) AS nhash,
+       |      (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+       |      len(list_filter(string_split(text, ' '),
+       |          w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+       |      len(list_intersect(string_split(lower(text), ' '),
+       |          ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS nstop
+       |    FROM documents) m),
+       |c AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM q JOIN g USING (doc_id)),
+       |k AS (
+       |  SELECT *, tp + fp + fn + tn AS t,
+       |    (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS pe_num
+       |  FROM c)
+       |SELECT tp, fp, fn, tn,
+       |  (tp + tn) * 1000000 // t AS accuracy_ppm,
+       |  (((tp + tn) * t - pe_num) + (t * t - pe_num)) * 1000000
+       |    // (t * t - pe_num) - 1000000 AS kappa_ppm
+       |FROM k""".stripMargin
+
   // C113 (r10): temporal train/test split with an EMBARGO — the
   // leakage control time-series ML needs that C18's hash split and
   // C46's graph-closure split do not give: train strictly BEFORE the
@@ -5158,6 +5245,7 @@ object OpsQueries {
     QueryDef("eval_ngram_overlap", evalNgramOverlap, Some(oEvalNgramOverlap)),
     QueryDef("eval_ndcg", evalNdcg, Some(oEvalNdcg)),
     QueryDef("eval_auc_binned", evalAucBinned, Some(oEvalAucBinned)),
+    QueryDef("eval_cohens_kappa", evalCohensKappa, Some(oEvalCohensKappa)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("text_html_strip", textHtmlStrip, Some(oTextHtmlStrip)),
     QueryDef("text_mojibake", textMojibake, Some(oTextMojibake)),
