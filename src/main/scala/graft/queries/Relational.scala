@@ -1816,6 +1816,118 @@ object Relational {
       |    (a, c) -> greatest(0, a + c)) AS BIGINT) AS final_balance
       |FROM g ORDER BY l_partkey""".stripMargin
 
+  // B97 (r10): sample-ratio-mismatch guardrail — the FIRST check an
+  // experiment readout runs (B64 compares conversion; SRM asks
+  // whether the assignment itself is broken — a biased splitter
+  // invalidates everything downstream): χ² goodness-of-fit of the
+  // observed arm counts against the designed 50/50, which for two
+  // equal arms collapses to (n_a − n_b)²/N — integer micro exactly.
+  // Same deterministic assignment rule as B64, so the two gates
+  // audit the same experiment. The 3.841 cut (α=0.05, 1 dof) is a
+  // shared integer literal.
+  def qAbSrm(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("user_id")).distinct()
+      .withColumn("va", expr("(user_id * 554862419L) % 1000000 < 500000"))
+      .agg(sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000L div (n_a + n_b)")
+          .as("srm_chi_micro"))
+      .withColumn("srm_detected", col("srm_chi_micro") > 3841459L)
+
+  private val oAbSrm =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN (user_id * 554862419) % 1000000 < 500000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN (user_id * 554862419) % 1000000 < 500000
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM u)
+      |SELECT n_a, n_b,
+      |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS srm_chi_micro,
+      |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841459
+      |    AS srm_detected
+      |FROM c""".stripMargin
+
+  // B98 (r10): rolling-origin forecast backtest — the eval that keeps
+  // B69's trend forecast honest: at every day t with ≥3 points of
+  // history, fit OLS on days ≤ t ONLY (running sums — no refit scans:
+  // Σ1, Σx, Σy, Σxy, Σx² accumulate in one window pass per key) and
+  // score the 1-step-ahead prediction against the next observed day.
+  // The slope/forecast arithmetic reuses B69's split integer division
+  // verbatim, so backtest and forecast can never disagree on the
+  // math. Export per key: fold count and integer-milli MAE/worst-case
+  // — report ∝ keys, the only window walks one key's days.
+  def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("event_type"),
+      expr("(ts div 1000) div 86400000000").as("day"))
+    val minDay = ev.agg(min("day").as("day0"))
+    val daily = ev.crossJoin(broadcast(minDay))
+      .select(col("event_type"), (col("day") - col("day0")).as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy("event_type").orderBy("x")
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("xn", lead(col("x"), 1).over(wl))
+      .withColumn("yn", lead(col("y"), 1).over(wl))
+      .filter(col("n") >= 3 && col("xn").isNotNull)
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("slope_milli",
+        expr("(num div den) * 1000 + ((num % den) * 1000) div den"))
+      .withColumn("pred_milli",
+        expr("(sy * 1000) div n + (slope_milli * (n * xn - sx)) div n"))
+      .withColumn("err_milli", abs(col("pred_milli") - col("yn") * 1000L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_folds"),
+        expr("sum(err_milli) div count(1)").as("mae_milli"),
+        max(col("err_milli")).as("max_err_milli"))
+      .orderBy("event_type")
+  }
+
+  private val oForecastBacktest =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |d0 AS (SELECT min(day) AS day0 FROM ev),
+      |daily AS (
+      |  SELECT event_type, day - day0 AS x, CAST(count(*) AS BIGINT) AS y
+      |  FROM ev, d0 GROUP BY 1, 2),
+      |run AS (
+      |  SELECT event_type, x, y,
+      |    CAST(count(*) OVER win AS BIGINT) AS n,
+      |    CAST(sum(x) OVER win AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER win AS BIGINT) AS sy,
+      |    CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+      |    lead(x) OVER (PARTITION BY event_type ORDER BY x) AS xn,
+      |    lead(y) OVER (PARTITION BY event_type ORDER BY x) AS yn
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY x
+      |    ROWS UNBOUNDED PRECEDING)),
+      |folds AS (
+      |  SELECT event_type,
+      |    (num // den) * 1000 + ((num % den) * 1000) // den AS slope_milli,
+      |    sy, n, sx, xn, yn
+      |  FROM (SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |        FROM run WHERE n >= 3 AND xn IS NOT NULL) t),
+      |scored AS (
+      |  SELECT event_type,
+      |    abs((sy * 1000) // n + (slope_milli * (n * xn - sx)) // n
+      |      - yn * 1000) AS err_milli
+      |  FROM folds)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_folds,
+      |  CAST(sum(err_milli) // count(*) AS BIGINT) AS mae_milli,
+      |  CAST(max(err_milli) AS BIGINT) AS max_err_milli
+      |FROM scored GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // B96 (r10): sequence-contiguity audit — the data-quality check
   // every "line N of M" column needs (invoice lines, page numbers,
   // shard indexes): per parent, are the child sequence numbers
@@ -3851,6 +3963,8 @@ object Relational {
     QueryDef("q_inventory_balance", qInventoryBalance, Some(oInventoryBalance)),
     QueryDef("q_chi_squared", qChiSquared, Some(oChiSquared)),
     QueryDef("q_sequence_audit", qSequenceAudit, Some(oSequenceAudit)),
+    QueryDef("q_ab_srm", qAbSrm, Some(oAbSrm)),
+    QueryDef("q_forecast_backtest", qForecastBacktest, Some(oForecastBacktest)),
     QueryDef("q_decay_window", qDecayWindow, Some(oDecayWindow)),
     QueryDef("q_session_window", qSessionWindow, Some(oSessionWindow)),
     QueryDef("q_profile", qProfile, Some(oProfile)),
