@@ -3936,6 +3936,66 @@ object OpsQueries {
       .orderBy(col("user_id"))
   }
 
+  // B99 (r10): peak concurrent sessions — the capacity question a
+  // sessionized stream exists to answer ("how many users were on the
+  // site AT ONCE"), composed from two already-gated cores: B14's gap
+  // sessionizer produces (user, session) → [first, last] event-time
+  // intervals on a MINUTE axis, and B91's sweep-line
+  // (Relational.peakConcurrency, key = the whole site) nets same-
+  // minute deltas and walks one running sum. The global axis is
+  // bounded by the CALENDAR (31 days × 1440 minutes here), never by
+  // sessions — the single-partition window is a ≤44k-row walk at any
+  // traffic volume.
+  def qConcurrentSessions(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("event_id"))
+    val sessions = Temporal.sessionize(ev, Seq("user_id"), "ts_us",
+        "event_id", 3600L * 1000000)
+      .groupBy("user_id", "session_id")
+      .agg(expr("min(ts_us) div 60000000L").as("d0"),
+        (expr("max(ts_us) div 60000000L") + 1L).as("d1x"))
+    graft.queries.Relational.peakConcurrency(
+        sessions.select(lit(1L).as("k"), col("d0"), col("d1x")))
+      .select(col("peak_concurrent"),
+        col("peak_day").cast("long").as("peak_minute"),
+        col("n_intervals").as("n_sessions"))
+  }
+
+  private val oConcurrentSessions =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+      |      THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    min(ts_us) // 60000000 AS d0, max(ts_us) // 60000000 + 1 AS d1x
+      |  FROM s GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT d0 AS dt, 1 AS delta FROM sess
+      |  UNION ALL SELECT d1x, -1 FROM sess),
+      |daily AS (
+      |  SELECT dt, sum(delta) AS net,
+      |    sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS starts
+      |  FROM deltas GROUP BY dt),
+      |run AS (
+      |  SELECT dt,
+      |    sum(net) OVER (ORDER BY dt ROWS UNBOUNDED PRECEDING) AS running,
+      |    sum(starts) OVER () AS n_sessions
+      |  FROM daily),
+      |peak AS (
+      |  SELECT dt, running, n_sessions, max(running) OVER () AS pk FROM run)
+      |SELECT CAST(max(pk) AS BIGINT) AS peak_concurrent,
+      |  CAST(min(dt) AS BIGINT) AS peak_minute,
+      |  CAST(max(n_sessions) AS BIGINT) AS n_sessions
+      |FROM peak WHERE running = pk""".stripMargin
+
   // B29 (r8): regular-grid resample + forward fill — per user, daily
   // buckets spanning the user's own event range; each day takes its
   // last observation (by ts, event_id), empty days carry the prior
@@ -5283,6 +5343,8 @@ object OpsQueries {
       Some(oTextHashedFeatures)),
     QueryDef("text_importance", textImportance, Some(oTextImportance)),
     QueryDef("q_sessionize", qSessionize, Some(oSessionize)),
+    QueryDef("q_concurrent_sessions", qConcurrentSessions,
+      Some(oConcurrentSessions)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
     QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),
     QueryDef("q_asof_forward", qAsofForward, Some(oAsofForward)),
