@@ -407,6 +407,45 @@ object OpsQueries {
       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) t
       |WHERE rnk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
 
+  // C6b (r10): FILTERED vector search — the modern retrieval shape
+  // (top-k among candidates passing a metadata predicate: same
+  // category, right language, allowed license). The load-bearing plan
+  // fact: the filter is not a post-pass over an unfiltered top-k
+  // (which silently under-fills k) and not a residual predicate on a
+  // cross join — the metadata column becomes the JOIN KEY, so
+  // distance work is label-partition-local (cost ∝ matching
+  // candidates, the same pruning an IVF list gives spatially). Exact
+  // within the filter by construction; same codegen'd cosine and
+  // (sim DESC, id) tie-break as C6.
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("embedding").as("qe"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("ce"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, "label")
+      .withColumn("sim", Similarity.cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("label"), col("neighbor_id"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val oAnnFiltered =
+    """SELECT query_id, label, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rnk
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id < 10 AND c.vec_id >= 10 AND q.label = c.label) t
+      |WHERE rnk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+
   // C16: IVF ANN — centroids = deterministic FIXED-SIZE corpus sample
   // (the 32 lowest corpus ids), 4 probes. Fixed M is the scale
   // contract: the quantizer's centroid table must stay broadcastable
@@ -5260,6 +5299,7 @@ object OpsQueries {
     QueryDef("dedup_semantic_keep", dedupSemanticKeep, Some(oDedupSemanticKeep)),
     QueryDef("decontaminate_semantic", decontaminateSemantic, Some(oDecontaminateSemantic)),
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),
+    QueryDef("ann_filtered", annFiltered, Some(oAnnFiltered)),
     QueryDef("ann_lsh", annLsh, Some(oAnnLsh)),
     QueryDef("ann_ivf", annIvf, Some(oAnnIvf)),
     QueryDef("ann_pq", annPq, Some(oAnnPq)),
