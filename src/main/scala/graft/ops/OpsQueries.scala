@@ -787,39 +787,52 @@ object OpsQueries {
   // matched = Σ_t min(cnt_cand(t), cnt_ref(t))) and the length ratio
   // BLEU's brevity penalty reads, all integer ppm — no float, no
   // geometric mean (exp/log would break cross-engine hashing; the
-  // per-order precisions are the lossless export). Shape: explode to
-  // (pair, n-gram) counts → hash agg → equi-join candidate×reference
-  // counts on (pair, n-gram) → sum(min). Work ∝ total tokens, shuffle
-  // keyed by (pair, n-gram) — no per-doc quadratic, no driver state;
-  // at 100 TB this is three hash aggs and an equi-join, the same
-  // plan at any corpus size.
+  // per-order precisions are the lossless export). Shape (r11 refit —
+  // the r10 plan derived grams from PAIR rows, so the documents
+  // self-join and tokenize re-executed ~5x/~10x inside one physical
+  // plan): count grams PER DOC in ONE tokenize+explode pass (gid =
+  // doc_id for unigrams, doc_id + 1M for bigrams), then equi-join the
+  // count table against ITSELF shifted by one doc (candidate gid =
+  // reference gid - 1) — the agg's exchange is canonically identical
+  // on both join sides and under the per-doc length rollup, so Spark
+  // ReuseExchange computes the explode subtree ONCE. Pair lengths come
+  // from the same count table (sum of unigram counts), so the only
+  // other documents scan is the text-pruned (doc_id, source) one.
+  // Work ∝ total tokens, join cost ∝ distinct (doc, gram); at 100 TB
+  // this is one tokenize, one shuffle keyed (doc, gram), and
+  // count-table joins — the same plan at any corpus size.
   def evalNgramOverlap(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-    val pairs = docs.as("a")
-      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-      .select(col("a.doc_id").as("pid"), col("a.source").as("source"),
-        col("a.toks").as("ct"), col("b.toks").as("rt"))
-    def bigrams(c: String): org.apache.spark.sql.Column = expr(
-      s"CASE WHEN size($c) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
-        s"ELSE transform(sequence(0, size($c) - 2), " +
-        s"i -> concat($c[i], ' ', $c[i + 1])) END")
-    val grams = pairs.select(col("pid"), col("ct").as("cg"), col("rt").as("rg"))
-      .unionAll(pairs.select(col("pid") + 1000000L,
-        bigrams("ct").as("cg"), bigrams("rt").as("rg")))
-    val cc = grams.select(col("pid"), explode(col("cg")).as("tok"))
-      .groupBy("pid", "tok").agg(count(lit(1)).as("c"))
-    val rc = grams.select(col("pid"), explode(col("rg")).as("tok"))
-      .groupBy("pid", "tok").agg(count(lit(1)).as("r"))
-    val matched = cc.join(rc, Seq("pid", "tok"))
-      .groupBy("pid").agg(sum(least(col("c"), col("r"))).as("m"))
-    val base = pairs.select(col("pid"), col("source"),
-      size(col("ct")).cast("long").as("n1c"),
-      size(col("rt")).cast("long").as("n1r"),
-      greatest(size(col("ct")) - 1, lit(0)).cast("long").as("n2c"))
+    val perDoc = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "concat(" +
+          "transform(toks, t -> named_struct('off', CAST(0 AS BIGINT), 't', t)), " +
+          "CASE WHEN size(toks) < 2 " +
+          "THEN CAST(array() AS ARRAY<STRUCT<off: BIGINT, t: STRING>>) " +
+          "ELSE transform(sequence(0, size(toks) - 2), " +
+          "i -> named_struct('off', CAST(1000000 AS BIGINT), " +
+          "'t', concat(toks[i], ' ', toks[i + 1]))) END)")).as("g"))
+      .select((col("doc_id") + col("g.off")).as("gid"), col("g.t").as("tok"))
+      .groupBy("gid", "tok").agg(count(lit(1)).as("c"))
+    val matched = perDoc
+      .join(perDoc.select((col("gid") - 1L).as("gid"), col("tok"),
+        col("c").as("r")), Seq("gid", "tok"))
+      .groupBy("gid").agg(sum(least(col("c"), col("r"))).as("m"))
+    // Per-doc token counts from the SAME aggregated table (bigram count
+    // is derivable: greatest(len - 1, 0)); split() never returns an
+    // empty array, so a doc exists ⇔ it has a unigram-length row.
+    val lens = perDoc.filter(col("gid") < 1000000L)
+      .groupBy("gid").agg(sum(col("c")).as("len"))
+    val base = T.documents(s, d).select(col("doc_id"), col("source"))
+      .join(lens.select(col("gid").as("doc_id"), col("len").as("n1c")), Seq("doc_id"))
+      .join(lens.select((col("gid") - 1L).as("doc_id"), col("len").as("n1r")),
+        Seq("doc_id"))
+      .select(col("doc_id").as("pid"), col("source"), col("n1c"), col("n1r"),
+        greatest(col("n1c") - 1L, lit(0L)).as("n2c"))
     base
-      .join(matched.select(col("pid"), col("m").as("m1")), Seq("pid"), "left")
-      .join(matched.select((col("pid") - 1000000L).as("pid"),
+      .join(matched.select(col("gid").as("pid"), col("m").as("m1")),
+        Seq("pid"), "left")
+      .join(matched.select((col("gid") - 1000000L).as("pid"),
         col("m").as("m2")), Seq("pid"), "left")
       .na.fill(0L, Seq("m1", "m2"))
       .select(col("source"),
