@@ -49,6 +49,37 @@ object Bench {
     }
     calibrationPass() // its own warm-up
     val calibration = (1 to 3).map(_ => calibrationPass()).min
+    // Second, I/O-bound calibration probe (r10 verdict #2): the pure-CPU
+    // yardstick above missed a board-wide 2.24x driver/in-repo gap in
+    // r10 — whatever slowed that box was I/O or memory bandwidth, which
+    // hash+sum over range() never touches. This probe writes a FIXED
+    // 20M-row parquet table (same bytes every run, independent of SF),
+    // then times scan+decode+agg over it. The plan cannot drift with
+    // the library (self-contained literals only). Recorded as
+    // "calibration_io" so a verdict can attribute cross-box drift to
+    // CPU vs scan bandwidth instead of guessing. The freshly-written
+    // file usually sits in page cache, so this measures parquet decode
+    // + memory bandwidth — exactly the non-CPU resource the queries
+    // contend on at local[32].
+    val ioDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_bench_cal_io").getAbsolutePath
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(20000000L)
+        .select(col("id"),
+          concat(lit("payload-"), (col("id") % 9973L).cast("string")).as("s"),
+          (col("id") % 1000003L).cast("double").as("v"))
+        .write.mode("overwrite").parquet(ioDir)
+    }
+    def calibrationIoPass(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      run(spark.read.parquet(ioDir)
+        .select(sum(hash(col("id"), col("s"), col("v"))).as("h")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationIoPass() // its own warm-up
+    val calibrationIo = (1 to 3).map(_ => calibrationIoPass()).min
     // Three timed passes for EVERY query, keep the min, GC between
     // queries: one JVM runs all queries back-to-back, so a neighbor's
     // garbage otherwise leaks into the next timing (observed 5x
@@ -83,11 +114,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"passes":$passes,"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"calibration_io":${f3(calibrationIo)},"passes":$passes,"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     // Compact fallback AFTER the full line: if the tail capture ever
     // starts mid-way through the full record again, the last complete
     // line still carries the headline total.
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"passes":$passes,"nqueries":${names.size},"failed":$fs,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"calibration_io":${f3(calibrationIo)},"passes":$passes,"nqueries":${names.size},"failed":$fs,"sf":"$sfDir"}"""
     // stdout (forwarded verbatim via run/outputStrategy := StdoutOutput)
     // plus stderr as a belt-and-braces copy for the driver's parser.
     println(line)
