@@ -1780,13 +1780,63 @@ object Relational {
         expr("aggregate(evs, 0L, (s, e) -> greatest(0L, s + e.delta))"))
       .select("k", "n_events", "received", "issued", "final_balance")
 
+  /** B93 scale path (r11 — the hot-key bound): segmented two-level
+    * clamp fold. `clampedBalance` holds state ∝ one KEY's events; a
+    * pathologically hot key is unbounded. The clamp closes under
+    * composition — each event's step f_δ(s) = max(0, s+δ) is of the
+    * form f(s) = max(b, s+a), and (f₂∘f₁)(s) = max(max(b₂, b₁+a₂),
+    * s + (a₁+a₂)), so a CONTIGUOUS run of events reduces exactly to
+    * one (a, b) pair. Level 1 therefore groups by (k, day div
+    * segWidth) — the segment id is a prefix of the total order
+    * (day, ok, ln, delta), so segments are contiguous runs — and
+    * folds each segment's sorted events into its (a, b): state ∝ one
+    * key's events IN ONE SEGMENT. Level 2 groups by k over the FEW
+    * per-segment pairs (≤ calendar/segWidth, data-independent) and
+    * applies s ← max(b, s+a) in segment order. Exact (integer
+    * arithmetic, associative composition law — proven segmented ≡
+    * sequential in RelationalLawsSpec), same schema/rows as
+    * `clampedBalance`.
+    */
+  def clampedBalanceSegmented(ev: DataFrame, segWidth: Long): DataFrame = {
+    // identity for b: an absorbing -2^62 ("-inf" that cannot underflow
+    // when a sane delta is added); after the first composed event b is
+    // always ≥ 0, so the sentinel never escapes a non-empty segment.
+    val negInf = -4611686018427387904L
+    val segs = ev.withColumn("seg", expr(s"day div ${segWidth}L"))
+      .groupBy("k", "seg")
+      .agg(sort_array(collect_list(struct(col("day"), col("ok"), col("ln"),
+          col("delta")))).as("evs"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("delta") > 0, col("delta")).otherwise(0L)).as("received"),
+        sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).as("issued"))
+      .select(col("k"), col("seg"), col("n_events"), col("received"),
+        col("issued"),
+        expr(s"""aggregate(evs, named_struct('a', 0L, 'b', ${negInf}L),
+                 (acc, e) -> named_struct('a', acc.a + e.delta,
+                                          'b', greatest(0L, acc.b + e.delta)))""")
+          .as("f"))
+    segs.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("seg"), col("f.a").as("a"),
+          col("f.b").as("b")))).as("runs"),
+        sum("n_events").as("n_events"),
+        sum("received").as("received"),
+        sum("issued").as("issued"))
+      .withColumn("final_balance",
+        expr("aggregate(runs, 0L, (s, e) -> greatest(e.b, s + e.a))"))
+      .select("k", "n_events", "received", "issued", "final_balance")
+  }
+
   def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
     val ev = T.lineitem(s, d).select(col("l_partkey").as("k"),
       datediff(col("l_shipdate"), lit("1990-01-01")).cast("long").as("day"),
       col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
       when(col("l_linenumber") % 2 === 0, col("l_quantity"))
         .otherwise(-col("l_quantity")).cast("long").as("delta"))
-    clampedBalance(ev)
+    // segWidth 256: lineitem ship-days span ~730..3300 from the epoch
+    // anchor, so each part folds ≤ ~11 segment pairs at level 2 and
+    // ≤ a 256-day window's events at level 1 — the hot-key-bounded
+    // production shape (law-spec-proven ≡ the sequential fold).
+    clampedBalanceSegmented(ev, segWidth = 256L)
       .select(col("k").as("l_partkey"), col("n_events"), col("received"),
         col("issued"), col("final_balance"))
       .orderBy("l_partkey")

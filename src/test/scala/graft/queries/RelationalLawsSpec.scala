@@ -48,6 +48,54 @@ class RelationalLawsSpec extends AnyFunSuite {
     assert(dist === model)
   }
 
+  test("clampedBalanceSegmented ≡ clampedBalance: composition law under every segment width") {
+    // The segmented fold relies on f_δ(s)=max(0,s+δ) composing as
+    // f(s)=max(b,s+a). Prove distributed-segmented ≡ distributed-
+    // sequential ≡ scalar replay on seeded random histories, across
+    // segment widths that put boundaries everywhere (1 = every day
+    // its own segment, 7/30 = mid-history cuts, 1000 = one segment,
+    // i.e. degenerate to the sequential fold).
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (1 to 600).map { i =>
+      (i.toLong % 17, rnd.nextInt(90).toLong, rnd.nextInt(5).toLong,
+        rnd.nextInt(4).toLong, (rnd.nextInt(21) - 11).toLong)
+    }
+    val df = rows.toDF("k", "day", "ok", "ln", "delta")
+    val model = rows.groupBy(_._1).map { case (k, evs) =>
+      k -> evs.sortBy(e => (e._2, e._3, e._4, e._5))
+        .foldLeft(0L)((s, e) => math.max(0L, s + e._5))
+    }
+    // non-vacuity: the clamp must actually BIND for some keys (final
+    // differs from max(0, plain sum)), or the law proves nothing
+    val plain = rows.groupBy(_._1).map { case (k, evs) =>
+      k -> math.max(0L, evs.map(_._5).sum)
+    }
+    assert(model.count { case (k, v) => v != plain(k) } > 0,
+      "fixture degenerate: clamp never changed any key's answer")
+    for (w <- Seq(1L, 7L, 30L, 1000L)) {
+      val seg = Relational.clampedBalanceSegmented(df, w).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      assert(seg.view.mapValues(_._4).toMap === model, s"segWidth=$w")
+      // the ride-along sums must survive the two-level rollup too
+      val sums = rows.groupBy(_._1).map { case (k, evs) =>
+        k -> ((evs.size.toLong, evs.map(_._5).filter(_ > 0).sum,
+          -evs.map(_._5).filter(_ < 0).sum))
+      }
+      assert(seg.view.mapValues(t => (t._1, t._2, t._3)).toMap === sums,
+        s"segWidth=$w rollup sums")
+    }
+    // adversarial boundary: a floor-then-recover chain SPLIT exactly at
+    // a segment boundary (the case a naive prefix-sum rewrite gets
+    // wrong): -5 on day 0 floors, +3 on day 1 lands in segment 2 at w=1
+    val planted = Seq((1L, 0L, 1L, 1L, -5L), (1L, 1L, 1L, 1L, 3L))
+      .toDF("k", "day", "ok", "ln", "delta")
+    for (w <- Seq(1L, 2L)) {
+      val r = Relational.clampedBalanceSegmented(planted, w).collect()
+      assert(r.head.getLong(4) === 3L, s"boundary split at segWidth=$w")
+    }
+  }
+
   test("peakConcurrency: planted overlaps + randomized day-count law") {
     // planted: inclusive endpoints — an interval ending on day d
     // still counts on d; peak_day is the FIRST day attaining the peak
