@@ -143,9 +143,29 @@ object CdcPipeline {
     else None
   }
 
+  /** The _PK sidecar is write-once; a later publish under a DIFFERENT
+    * key would rebuild the bucket layout under the new key while the
+    * SQL DML surface keeps trusting the old record for bucket
+    * addressing and ON-clause validation — wrong touched-bucket
+    * pruning with no error. Fail loudly instead (rename flows rewrite
+    * the sidecar explicitly, outside the publish path). Called BEFORE
+    * `claimVersion` so a refused write never leaves a claim behind.
+    */
+  private def validatePk(targetDir: String, pkCols: Seq[String]): Unit =
+    if (pkCols.nonEmpty && StoreFs.exists(s"$targetDir/$PkFile")) {
+      val recorded = pkColumns(targetDir).getOrElse(Seq.empty)
+      require(recorded.map(_.toLowerCase) == pkCols.map(_.toLowerCase),
+        s"store $targetDir is keyed (${recorded.mkString(", ")}) but this " +
+          s"write declares pk (${pkCols.mkString(", ")}) — a key change " +
+          "needs a new store (or an explicit column rename)")
+    }
+
   private def recordPk(targetDir: String, pkCols: Seq[String]): Unit =
-    if (pkCols.nonEmpty && !StoreFs.exists(s"$targetDir/$PkFile"))
-      StoreFs.writeString(s"$targetDir/$PkFile", pkCols.mkString(","))
+    if (pkCols.nonEmpty) {
+      if (!StoreFs.exists(s"$targetDir/$PkFile"))
+        StoreFs.writeString(s"$targetDir/$PkFile", pkCols.mkString(","))
+      else validatePk(targetDir, pkCols)
+    }
 
   /** Highest streaming batchId committed into this target (-1 when the
     * target was only ever written by batch runs).
@@ -1381,6 +1401,7 @@ object CdcPipeline {
       batchId: Long = -1L, buckets: Option[Int] = None,
       statsCols: Seq[String] = Nil, op: String = "publish",
       swapNow: Boolean = true): Long = {
+    validatePk(targetDir, pkCols)
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     claimVersion(targetDir, next)
     // Bucket count is fixed at first publish (a repartition-in-place
@@ -1408,6 +1429,7 @@ object CdcPipeline {
       pkCols: Seq[String], prev: Manifest, touched: Set[Int], batchId: Long,
       statsCols: Seq[String] = Nil, op: String = "merge",
       swapNow: Boolean = true): Long = {
+    validatePk(targetDir, pkCols)
     val next = currentVersion(targetDir).getOrElse(-1L) + 1
     claimVersion(targetDir, next)
     // Stale-base check (A66): `prev` is the manifest this delta was
@@ -2046,11 +2068,15 @@ object CdcPipeline {
     * the rename. Old versions still read under the old name.
     */
   def renameColumn(spark: SparkSession, targetDir: String, pkCols: Seq[String],
-      from: String, to: String): Option[Long] = {
+      from0: String, to: String): Option[Long] = {
     currentVersion(targetDir).flatMap(v => manifest(targetDir, v)).map { m =>
       val schema = m.schema
-      require(schema.fieldNames.contains(from), s"no such column: $from")
-      require(!schema.fieldNames.contains(to), s"column exists: $to")
+      // resolve the source name case-insensitively, like Spark column
+      // resolution — `from` below is the schema's actual spelling
+      val from = schema.fieldNames.find(_.equalsIgnoreCase(from0)).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $from0"))
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column exists: $to")
       // A71 dependency guard: constraint predicates are stored as SQL
       // text and would silently dangle under a renamed column
       val fromLc = from.toLowerCase(java.util.Locale.ROOT)
@@ -2068,7 +2094,7 @@ object CdcPipeline {
           s"${renVirt.map(_._1).sorted.mkString(",")} — drop the generated column first")
       val snap = readBuckets(spark, targetDir, m, m.buckets.keySet)
         .withColumnRenamed(from, to)
-      val newPk = pkCols.map(c => if (c == from) to else c)
+      val newPk = pkCols.map(c => if (c.equalsIgnoreCase(from)) to else c)
       val next = claimNextFrom(targetDir, m.readVersion)
       val dir = s"$targetDir/v$next"
       writeBuckets(snap, newPk, m.numBuckets, dir)

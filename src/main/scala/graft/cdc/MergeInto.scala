@@ -87,10 +87,15 @@ final class MergeInto private (
     * TVF/statement paths count the source anyway, and a store-backed
     * source reads it from parquet footers for free): the join then
     * gets an EXPLICIT strategy instead of hoping AQE sizes an
-    * in-flight delta correctly — broadcast the prefixed source under
-    * [[MergeInto.BroadcastSourceRows]], shuffled-hash above it (never
-    * sort-merge; the SnapshotMerge r2 measurement). Unset = the
-    * pre-r10 behavior (Catalyst + AQE decide).
+    * in-flight delta correctly — broadcast the prefixed source when
+    * it clears BOTH [[MergeInto.BroadcastSourceRows]] and the
+    * bytes-estimate ceiling (rows × schema defaultSize ≤
+    * [[CdcPipeline.BroadcastAdmissionBytes]] — the row threshold was
+    * calibrated for SnapshotMerge's key-columns-only broadcast, and
+    * 1 M FULL-WIDTH rows can be multiple driver-side GB), shuffled-
+    * hash otherwise (never sort-merge; the SnapshotMerge r2
+    * measurement). Unset = the pre-r10 behavior (Catalyst + AQE
+    * decide).
     */
   def sourceRows(n: Long): MergeInto = copied(sr = Some(n))
 
@@ -128,8 +133,14 @@ final class MergeInto private (
     // so the declared-big (or any full-outer) source pins
     // shuffled-hash rather than letting a stats-blind planner pick a
     // full-width sort-merge.
+    // Bytes-aware admission (r10 advice): the row ceiling alone was
+    // calibrated for key-columns-only broadcasts; here the source is
+    // FULL-WIDTH, so also require rows × schema-estimated row bytes
+    // under the same 64 MB ceiling admitJoin uses for footer bytes.
+    val estRowBytes = math.max(1L, source.schema.defaultSize.toLong)
     val sHinted = srcRows match {
-      case Some(n) if n <= BroadcastSourceRows && notMatched.isEmpty =>
+      case Some(n) if n <= BroadcastSourceRows && notMatched.isEmpty &&
+          n * estRowBytes <= CdcPipeline.BroadcastAdmissionBytes =>
         broadcast(s)
       case Some(_) => s.hint("shuffle_hash")
       case None => s

@@ -233,10 +233,13 @@ object GraftSqlDdl {
       val v = CdcPipeline.renameColumn(spark, path, pk, from, to)
         .getOrElse(throw new IllegalArgumentException(s"no graft store at $path"))
       // the PK sidecar must follow a renamed key column (layout
-      // invariant: values unchanged, name changed)
-      if (pk.contains(from))
+      // invariant: values unchanged, name changed) — matched case-
+      // insensitively, like Spark column resolution: RENAME COLUMN
+      // USER_ID on a _PK recording user_id must still rewrite the
+      // sidecar, or every later SQL DML trusts a stale key name
+      if (pk.exists(_.equalsIgnoreCase(from)))
         StoreFs.writeString(s"$path/_PK",
-          pk.map(c => if (c == from) to else c).mkString(","))
+          pk.map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(","))
       Seq(Row(v))
     }
   }

@@ -387,11 +387,15 @@ object GraftSqlDml {
 
     /** Rewrite a clause expression onto the MergeInto join's prefixed
       * columns: `t.c` → tgt(c), `s.c` → src(c); an unqualified name
-      * resolves to the source when the source has it, else the target
-      * (insert VALUES and most SET right-hand sides reference the
-      * source).
+      * resolves to the source when ONLY the source has it, to the
+      * target when only the target has it, and is REFUSED when both
+      * sides carry it — Spark/Delta raise an ambiguous-reference
+      * error there, so silently preferring one side would let the
+      * same statement return different results on this engine with
+      * no diagnostic (`UPDATE SET v = v + 1` reading the source's v).
       */
-    private def sideRewrite(e: Expression, srcCols: Set[String]): Column =
+    private def sideRewrite(e: Expression, srcCols: Set[String],
+        tgtCols: Set[String]): Column =
       toCol(e.transform {
         case a: UnresolvedAttribute =>
           val parts = a.nameParts
@@ -402,9 +406,17 @@ object GraftSqlDml {
             else if (parts.length >= 2 &&
                 sourceAlias.exists(_.equalsIgnoreCase(parts.head)))
               ("s", parts.last)
-            else if (parts.length == 1)
-              (if (srcCols.contains(parts.head)) "s" else "t", parts.head)
-            else throw new IllegalArgumentException(
+            else if (parts.length == 1) {
+              val lc = parts.head.toLowerCase
+              val inSrc = srcCols.exists(_.equalsIgnoreCase(lc))
+              val inTgt = tgtCols.exists(_.equalsIgnoreCase(lc))
+              if (inSrc && inTgt) throw new IllegalArgumentException(
+                s"MERGE clause reference `${parts.head}` is ambiguous: " +
+                  "both the target and the source carry it — qualify " +
+                  s"with the target alias (${targetAlias.getOrElse("t")}.) " +
+                  s"or the source alias (${sourceAlias.getOrElse("s")}.)")
+              (if (inSrc) "s" else "t", parts.head)
+            } else throw new IllegalArgumentException(
               s"MERGE clause reference $a matches neither the target " +
                 s"alias $targetAlias nor the source alias $sourceAlias")
           val prefixed =
@@ -432,11 +444,17 @@ object GraftSqlDml {
       // whose effects land only in source-keyed buckets) would
       // silently skip rows the clause must see — widen to all buckets.
       val bySrc = bySourceActions.actions.nonEmpty
+      val srcBuckets = source
+        .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      // By-source merges widen to manifest ∪ source buckets, not the
+      // manifest alone: into an EMPTY store (zero manifest buckets —
+      // right after TRUNCATE or a full-sync that deleted every row)
+      // the manifest set is empty, and gating on it would silently
+      // drop the WHEN NOT MATCHED inserts while reporting success.
       val touched =
-        if (bySrc) m.buckets.keySet.toSet
-        else source
-          .select(CdcPipeline.bucketExpr(pk, m.numBuckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
+        if (bySrc) m.buckets.keySet.toSet ++ srcBuckets
+        else srcBuckets
       val v =
         if (touched.isEmpty) cur
         else {
@@ -458,7 +476,8 @@ object GraftSqlDml {
                 d.withColumn(f.name, org.apache.spark.sql.functions
                   .lit(null).cast(f.dataType)))
           }
-          val mi = clauses(MergeInto(subset, source, pk).sourceRows(srcRows), srcCols)
+          val mi = clauses(MergeInto(subset, source, pk).sourceRows(srcRows),
+            srcCols, subset.columns.toSet)
           val merged = mi.run()
           // A71 induction: CHECK constraints gate the rewritten
           // subset (arbitrary SET expressions can violate them even
@@ -473,14 +492,15 @@ object GraftSqlDml {
     /** Statement clauses → builder clauses, ANSI order preserved
       * (MergeInto applies first-match-wins in insertion order).
       */
-    private def clauses(mi0: MergeInto, srcCols: Set[String]): MergeInto = {
+    private def clauses(mi0: MergeInto, srcCols: Set[String],
+        tgtCols: Set[String]): MergeInto = {
       def cond(c: Option[Expression]): Column =
-        c.map(sideRewrite(_, srcCols)).getOrElse(lit(true))
+        c.map(sideRewrite(_, srcCols, tgtCols)).getOrElse(lit(true))
       val withMatched = matchedActions.actions.foldLeft(mi0) {
         case (mi, a: UpdateAction) =>
           mi.whenMatchedUpdate(
             a.assignments.map(as =>
-              assignName(as.key) -> sideRewrite(as.value, srcCols)).toMap,
+              assignName(as.key) -> sideRewrite(as.value, srcCols, tgtCols)).toMap,
             cond(a.condition))
         case (mi, a: UpdateStarAction) => mi.whenMatchedUpdateAll(cond(a.condition))
         case (mi, a: DeleteAction) => mi.whenMatchedDelete(cond(a.condition))
@@ -491,7 +511,7 @@ object GraftSqlDml {
         case (mi, a: InsertAction) =>
           mi.whenNotMatchedInsert(
             a.assignments.map(as =>
-              assignName(as.key) -> sideRewrite(as.value, srcCols)).toMap,
+              assignName(as.key) -> sideRewrite(as.value, srcCols, tgtCols)).toMap,
             cond(a.condition))
         case (mi, a: InsertStarAction) => mi.whenNotMatchedInsertAll(cond(a.condition))
         case (_, other) => throw new IllegalArgumentException(
@@ -503,11 +523,11 @@ object GraftSqlDml {
         case (mi, a: UpdateAction) =>
           mi.whenNotMatchedBySourceUpdate(
             a.assignments.map(as =>
-              assignName(as.key) -> sideRewrite(as.value, Set.empty)).toMap,
-            a.condition.map(sideRewrite(_, Set.empty)).getOrElse(lit(true)))
+              assignName(as.key) -> sideRewrite(as.value, Set.empty, tgtCols)).toMap,
+            a.condition.map(sideRewrite(_, Set.empty, tgtCols)).getOrElse(lit(true)))
         case (mi, a: DeleteAction) =>
           mi.whenNotMatchedBySourceDelete(
-            a.condition.map(sideRewrite(_, Set.empty)).getOrElse(lit(true)))
+            a.condition.map(sideRewrite(_, Set.empty, tgtCols)).getOrElse(lit(true)))
         case (_, other) => throw new IllegalArgumentException(
           s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
       }

@@ -670,6 +670,53 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 
+  test("statement MERGE: by-source into an EMPTY store still inserts; ambiguous refs refused") {
+    import graft.cdc.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-bysrc-empty").toString
+    spark.sql(
+      s"""SELECT * FROM graft_create('$dir', 'id',
+         |  'SELECT id, id * 3 AS v FROM range(0, 20)', 8)""".stripMargin).collect()
+    // empty the store: zero manifest buckets, exactly the TRUNCATE /
+    // full-sync-deleted-everything state the r10 advice flagged
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 0").collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .collect()(0).getLong(0) === 0L)
+    spark.sql("SELECT id, id * 11 AS v FROM range(5, 9)")
+      .createOrReplaceTempView("bysrc_empty_src")
+    val r = spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING bysrc_empty_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()(0)
+    assert(r.getLong(1) === 4L)
+    val got = spark.sql(s"SELECT id, v FROM graft_snapshot('$dir') ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got === (5L until 9L).map(i => (i, i * 11)),
+      "a by-source MERGE into an empty store must not drop the inserts")
+
+    // an unqualified SET reference carried by BOTH sides is ambiguous
+    // (Spark/Delta refuse it; silently reading the source's v here
+    // would make the same statement mean different things)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` AS t USING bysrc_empty_src AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = v + 1""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // source-only and target-only unqualified names still resolve
+    spark.sql("SELECT id, id * 13 AS w FROM range(5, 7)")
+      .createOrReplaceTempView("bysrc_empty_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING bysrc_empty_src2 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = w""".stripMargin).collect()
+    assert(spark.sql(s"SELECT v FROM graft_snapshot('$dir') WHERE id = 5")
+      .collect()(0).getLong(0) === 65L)
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
+
   test("statement-level INSERT, direct graft.`path` relations, and SQL time travel") {
     import graft.cdc.CdcPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-ins").toString

@@ -542,6 +542,24 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(StoreFs.listFilePaths(s"$target/_commits", ".claim").isEmpty)
   }
 
+  test("a publish under a DIFFERENT pk than the _PK sidecar fails loudly") {
+    import spark.implicits._
+    val target = tmp()
+    val df = (1L to 10L).map(u => (u, u * 3)).toDF("user_id", "v")
+    CdcPipeline.publish(df, target, Seq("user_id"), buckets = Some(4))
+    assert(CdcPipeline.pkColumns(target).contains(Seq("user_id")))
+    // the sidecar is the layout's source of truth for the SQL DML
+    // surface — silently rebucketing under a new key would leave it
+    // stale and every later touched-bucket pruning wrong (r10 advice)
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.publish(df, target, Seq("v"))
+    }
+    assert(e.getMessage.contains("keyed"), e.getMessage)
+    // same pk spelled in a different case is the SAME key — accepted
+    CdcPipeline.publish(df, target, Seq("USER_ID"))
+    assert(CdcPipeline.currentVersion(target).contains(1L))
+  }
+
   test("loadActive accepts a table shaped exactly like the reference config_file5 DDL") {
     import spark.implicits._
     // literal column names from tables_list.sql:5-22 (mysql_-prefixed

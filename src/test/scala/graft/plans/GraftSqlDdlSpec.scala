@@ -73,8 +73,12 @@ class GraftSqlDdlSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN w2").collect()
     assert(CdcPipeline.readSnapshot(spark, dir).get.columns.toSet === Set("id", "v"))
 
-    // RENAME the PK column: the _PK sidecar follows, DML still works
-    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN id TO key").collect()
+    // RENAME the PK column: the _PK sidecar follows, DML still works.
+    // Spell the source name in a DIFFERENT case than the sidecar
+    // records — Spark resolution is case-insensitive, and an exact-
+    // match sidecar rewrite would leave a stale _PK naming a now-
+    // nonexistent column (r10 advice)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN ID TO key").collect()
     assert(CdcPipeline.pkColumns(dir).contains(Seq("key")))
     spark.sql(s"DELETE FROM graft.`$dir` WHERE key >= 35").collect()
     assert(CdcPipeline.fastCount(dir).contains(35L))
