@@ -4082,6 +4082,57 @@ object OpsQueries {
       |  ON g.user_id = pb.user_id AND g.bucket_ts = pb.bucket_ts
       |ORDER BY g.user_id, g.bucket_ts""".stripMargin
 
+  // B29b (r11): linear-interpolation resample — gapFill's other half
+  // (draw the line between surrounding observations instead of
+  // carrying the last one forward). Values as integer cents; empty
+  // buckets interpolate over bucket INDICES with truncating integer
+  // division, which the oracle emulates explicitly (DuckDB `//`
+  // floors, Spark `div` truncates — they differ on negative slopes,
+  // exactly the case a mixed-sign value column exercises).
+  def qGapInterp(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("v_c"))
+    Temporal.gapInterp(ev, Seq("user_id"), "ts_us", dayUs, "v_c",
+      struct(col("ts_us"), col("event_id")))
+      .orderBy(col("user_id"), col("bucket_ts"))
+  }
+
+  private val oGapInterp =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |              CAST(round(value * 100) AS BIGINT) AS v_c,
+      |              epoch_us(ts) // 86400000000 AS bi
+      |            FROM events WHERE value IS NOT NULL),
+      |pb AS (SELECT user_id, bi, v_c FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY user_id, bi
+      |           ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev) t
+      |       WHERE rn = 1),
+      |bounds AS (SELECT user_id, min(bi) AS lo, max(bi) AS hi
+      |           FROM ev GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 1)) AS bi
+      |         FROM bounds),
+      |j AS (SELECT g.user_id, g.bi, pb.v_c AS anchor,
+      |        last_value(pb.v_c IGNORE NULLS) OVER wp AS pv,
+      |        last_value(CASE WHEN pb.v_c IS NOT NULL THEN g.bi END
+      |          IGNORE NULLS) OVER wp AS pi,
+      |        first_value(pb.v_c IGNORE NULLS) OVER wn AS nv,
+      |        first_value(CASE WHEN pb.v_c IS NOT NULL THEN g.bi END
+      |          IGNORE NULLS) OVER wn AS ni
+      |      FROM grid g LEFT JOIN pb
+      |        ON g.user_id = pb.user_id AND g.bi = pb.bi
+      |      WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bi
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |             wn AS (PARTITION BY g.user_id ORDER BY g.bi
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, bi * 86400000000 AS bucket_ts,
+      |  CAST(CASE WHEN anchor IS NOT NULL THEN anchor
+      |       ELSE pv + (CASE WHEN (nv - pv) * (bi - pi) >= 0
+      |                  THEN ((nv - pv) * (bi - pi)) // (ni - pi)
+      |                  ELSE -(((pv - nv) * (bi - pi)) // (ni - pi)) END)
+      |       END AS BIGINT) AS v_c
+      |FROM j ORDER BY user_id, bucket_ts""".stripMargin
+
   private val oSessionize =
     """WITH g AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us,
@@ -5399,6 +5450,7 @@ object OpsQueries {
     QueryDef("q_concurrent_sessions", qConcurrentSessions,
       Some(oConcurrentSessions)),
     QueryDef("q_gap_fill", qGapFill, Some(oGapFill)),
+    QueryDef("q_gap_interp", qGapInterp, Some(oGapInterp)),
     QueryDef("q_asof_join", qAsofJoin, Some(oAsofJoin)),
     QueryDef("q_asof_forward", qAsofForward, Some(oAsofForward)),
     QueryDef("q_interval_join", qIntervalJoin, Some(oIntervalJoin)),

@@ -167,6 +167,56 @@ object Temporal {
         col("_gf_filled").as(valueCol)): _*)
   }
 
+  /** B29b (r11): regular-grid resample with LINEAR INTERPOLATION —
+    * the other half of the resampling pair (B29 `gapFill` carries the
+    * last observation forward; this draws the line between the
+    * surrounding observations, the InfluxDB/TimescaleDB `interpolate`
+    * semantics sensor/finance pipelines expect). Same grid and
+    * anchor-per-bucket construction as `gapFill`; each empty bucket
+    * then takes v_prev + (v_next − v_prev)·(i − i_prev) div
+    * (i_next − i_prev) over BUCKET INDICES (small ints — the raw-µs
+    * product would flirt with Long overflow), integer `div`
+    * truncation toward zero so the export hash-matches a truncation-
+    * emulating oracle. Buckets holding an observation keep the anchor
+    * value exactly; the grid spans [first, last] anchor per key, so
+    * every empty bucket has both neighbors (total function, no NULL
+    * rows). Scale shape: one hash agg + per-key sort windows (sort-
+    * based, spilling) — state never holds a key's events in one
+    * buffer.
+    */
+  def gapInterp(df: DataFrame, keys: Seq[String], tsCol: String, stepUs: Long,
+      valueCol: String, ordCol: Column): DataFrame = {
+    require(stepUs > 0, s"gapInterp needs a positive stepUs, got $stepUs")
+    val bucket = expr(s"`$tsCol` div ${stepUs}L") * stepUs
+    val k = keys.map(col)
+    val anchors = df
+      .withColumn("_gi_bucket", bucket)
+      .groupBy(k :+ col("_gi_bucket"): _*)
+      .agg(max_by(col(valueCol), ordCol).as("_gi_anchor"))
+    val grid = df
+      .groupBy(k: _*)
+      .agg(min(bucket).as("_gi_lo"), max(bucket).as("_gi_hi"))
+      .select(k :+ explode(sequence(col("_gi_lo"), col("_gi_hi"), lit(stepUs)))
+        .as("_gi_bucket"): _*)
+    val wPrev = Window.partitionBy(k: _*).orderBy(col("_gi_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(k: _*).orderBy(col("_gi_bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(anchors, keys :+ "_gi_bucket", "left")
+      .withColumn("_gi_i", expr(s"_gi_bucket div ${stepUs}L"))
+      .withColumn("_p_v", last(col("_gi_anchor"), ignoreNulls = true).over(wPrev))
+      .withColumn("_p_i", last(when(col("_gi_anchor").isNotNull, col("_gi_i")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("_n_v", first(col("_gi_anchor"), ignoreNulls = true).over(wNext))
+      .withColumn("_n_i", first(when(col("_gi_anchor").isNotNull, col("_gi_i")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("_gi_out", when(col("_gi_anchor").isNotNull, col("_gi_anchor"))
+        .otherwise(col("_p_v") +
+          expr("((_n_v - _p_v) * (_gi_i - _p_i)) div (_n_i - _p_i)")))
+      .select(k ++ Seq(col("_gi_bucket").as("bucket_ts"),
+        col("_gi_out").as(valueCol)): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapUs`. Adds
     * `session_id` (0-based per key, ordered by (ts, pos)).

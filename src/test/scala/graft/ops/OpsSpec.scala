@@ -499,6 +499,40 @@ class OpsSpec extends AnyFunSuite {
     assert(t === Seq((1L, 0L, 2.0)))
   }
 
+  test("gapInterp: anchors exact, gaps draw the line, negative slope truncates toward zero") {
+    // key 1 (step 10, integer values): anchors at buckets 0 (v=0) and
+    // 30 (v=9) — gaps 10,20 interpolate to 3, 6 (exact thirds);
+    // key 2: NEGATIVE slope 100→(-8) over 3 steps: per-gap
+    // (-108)*1 div 3 = -36 truncating: bucket 10 → 64, bucket 20 → 28
+    // (floor semantics would give the same here; the -1/3 case below
+    // pins truncation specifically)
+    val df = Seq(
+      (1L, 0L, 1L, 0L), (1L, 35L, 2L, 9L),
+      (2L, 0L, 3L, 100L), (2L, 30L, 4L, -8L))
+      .toDF("k", "ts", "pos", "v")
+    val got = Temporal.gapInterp(df, Seq("k"), "ts", 10L, "v",
+        struct(col("ts"), col("pos")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 0L), (1L, 10L, 3L), (1L, 20L, 6L), (1L, 30L, 9L),
+      (2L, 0L, 100L), (2L, 10L, 64L), (2L, 20L, 28L), (2L, 30L, -8L)))
+    // truncation-toward-zero pin: 0 → -1 over 3 steps: per-gap
+    // delta -1*i div 3 = 0 for i=1,2 (floor would give -1)
+    val neg = Seq((3L, 0L, 5L, 0L), (3L, 30L, 6L, -1L))
+      .toDF("k", "ts", "pos", "v")
+    val n = Temporal.gapInterp(neg, Seq("k"), "ts", 10L, "v",
+        struct(col("ts"), col("pos")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(n === Set((3L, 0L, 0L), (3L, 10L, 0L), (3L, 20L, 0L), (3L, 30L, -1L)))
+    // non-vacuity vs forward fill: the interpolated gaps above differ
+    // from what gapFill would carry (3,6 vs 0,0) — the two resamplers
+    // are genuinely different operators on the same input
+    val ff = Temporal.gapFill(df.withColumn("v", col("v").cast("double")),
+        Seq("k"), "ts", 10L, "v", struct(col("ts"), col("pos")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ff.contains((1L, 10L, 0.0)) && got.contains((1L, 10L, 3L)))
+  }
+
   test("duplicated-span detection matches a brute-force scan; planted boilerplate surfaces") {
     val rnd = new scala.util.Random(7)
     val boiler = (0 until 12).map(i => s"b$i")
