@@ -90,7 +90,11 @@ object Bench {
     // comparable. A query that throws records the sentinel -1 and is
     // listed in "failed" instead of silently skewing the total
     // (ADVICE r2).
-    val passes = 3
+    // SPARK_GRAFT_PASSES: pass-count override for OFF-BOARD scale
+    // probes (the sf1.0 top-20 point would pay 3× its multi-minute
+    // truth gates for nothing); the official driver run leaves it
+    // unset and times everything min-of-3.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>

@@ -328,11 +328,17 @@ object OpsQueries {
 
   // C5 scale path (primary): LSH buckets → exact cosine verify. Same
   // oracle as dedup_embedding — the hash compare proves the bucketed
-  // path reproduces the exact all-pairs result (100% recall at the
-  // tuned tables/planes on this corpus; measured 441/441 at sf0.1,
-  // 34/34 at sf0.01 — see Similarity.cosinePairsLsh).
+  // path reproduces the exact all-pairs result. Since r11 the gate
+  // runs the AUTO-scaled parameters (occupancy-pinned planes,
+  // recall-driven tables, Similarity.lshAutoParams): the sf1.0 probe
+  // caught fixed (24, 4) going quadratic (candidates ∝ N²/2⁴ at any
+  // N; 4.6 s → 393 s for ×10 data). At gate SFs auto resolves to the
+  // planes=4 regime the τ=0.42 oracle was tuned on, with tables ≥ the
+  // old 24 — recall can only improve, so the exact-pairs hash gate
+  // still pins it.
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.cosinePairsLsh(T.embeddings(s, d), 0.42).orderBy(col("id_a"), col("id_b"))
+    Similarity.cosinePairsLshAuto(T.embeddings(s, d), 0.42)
+      .orderBy(col("id_a"), col("id_b"))
 
   // C40: semantic decontamination — benchmark = every 10th vector,
   // corpus = the rest; kept corpus rows hash-matched against the
@@ -340,7 +346,7 @@ object OpsQueries {
   // recall AND the anti-join in one gate.
   def decontaminateSemantic(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
-    Similarity.semanticDecontaminate(
+    Similarity.semanticDecontaminateAuto(
       emb.filter(col("vec_id") % 10 =!= 0),
       emb.filter(col("vec_id") % 10 === 0), 0.42)
       .select(col("vec_id"), col("label"))
@@ -364,7 +370,7 @@ object OpsQueries {
   // resolution, AND the final filter in one hash compare.
   def dedupSemanticKeep(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
-    val pairs = Similarity.cosinePairsLsh(emb, 0.42).select("id_a", "id_b")
+    val pairs = Similarity.cosinePairsLshAuto(emb, 0.42).select("id_a", "id_b")
     val losers = Clusters.canonicalAssignment(pairs)
       .filter(!col("is_canonical")).select(col("doc_id").as("vec_id"))
     emb.select(col("vec_id"), col("label"))

@@ -70,6 +70,46 @@ object Similarity {
       .filter(col("n") > maxBucket)
       .select("tbl", "bucket")
 
+  /** Corpus-size-aware LSH parameters (r11 — the sf1.0 scale probe
+    * caught fixed (tables=24, planes=4) going quadratic: 2^4 buckets
+    * per table means candidates ∝ N²/16 at ANY corpus size, 4.6 s →
+    * 393 s for ×10 data). Planes grow with log₂(N/occupancy) so
+    * expected bucket membership stays ~`targetOccupancy` and
+    * per-table candidates stay ∝ N·occupancy; tables then rise to
+    * hold the DECLARED recall at the collision probability
+    * p = 1 − acos(τ)/π: recall = 1 − (1 − p^planes)^tables. Cost at
+    * fixed recall/τ therefore grows ~N·tables (the LSH ρ-exponent
+    * tax shows up in `tables`, not in a silent recall drop — recall
+    * is never traded without a parameter saying so). At gate scale
+    * (N ≤ ~6k with occupancy 64) this resolves to the same
+    * planes=4 neighborhood the τ=0.42 oracle was tuned on.
+    */
+  def lshAutoParams(n: Long, minCos: Double, targetRecall: Double = 0.99,
+      targetOccupancy: Long = 64L, minPlanes: Int = 4, maxPlanes: Int = 20,
+      maxTables: Int = 256): (Int, Int) = {
+    val planes = math.max(minPlanes, math.min(maxPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, minCos))) / math.Pi
+    val pc = math.pow(p, planes.toDouble)
+    val tables =
+      if (pc >= 1.0) 1
+      else math.min(maxTables, math.max(1,
+        math.ceil(math.log1p(-targetRecall) / math.log1p(-pc)).toInt))
+    (tables, planes)
+  }
+
+  /** `cosinePairsLsh` with parameters derived from the corpus size
+    * (one count job) — the shape that survives a 100× corpus: bucket
+    * occupancy pinned, recall declared.
+    */
+  def cosinePairsLshAuto(emb: DataFrame, minCos: Double,
+      targetRecall: Double = 0.99, dims: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    val (tables, planes) = lshAutoParams(emb.count(), minCos, targetRecall)
+    cosinePairsLsh(emb, minCos, tables, planes, dims, maxBucket)
+  }
+
   def cosinePairsLsh(emb: DataFrame, minCos: Double, tables: Int = 24,
       planes: Int = 4, dims: Int = 64, maxBucket: Int = 10000): DataFrame = {
     // Same bounded-bucket shape as the MinHash path (Dedup.bucketPairs):
@@ -342,6 +382,19 @@ object Similarity {
     * collision bound, hash-gated against the exact oracle at the
     * driver's τ.
     */
+  /** `semanticDecontaminate` with corpus-size-derived LSH parameters
+    * (same [[lshAutoParams]] contract as [[cosinePairsLshAuto]]):
+    * candidate volume stays ∝ tables·occupancy·|corpus| instead of
+    * ∝ |corpus|·|bench|/2^fixed-planes.
+    */
+  def semanticDecontaminateAuto(corpus: DataFrame, benchmark: DataFrame,
+      minCos: Double, targetRecall: Double = 0.99, dims: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    val (tables, planes) = lshAutoParams(corpus.count(), minCos, targetRecall)
+    semanticDecontaminate(corpus, benchmark, minCos, tables, planes, dims,
+      maxBucket)
+  }
+
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       minCos: Double, tables: Int = 24, planes: Int = 4, dims: Int = 64,
       maxBucket: Int = 10000): DataFrame = {

@@ -84,6 +84,32 @@ class OpsSpec extends AnyFunSuite {
       s"lsh=${lsh.size} truth=${truth.size} missed=${(truth -- lsh).size}")
   }
 
+  test("auto LSH params: occupancy-pinned planes, recall-driven tables, auto path exact at gate scale") {
+    // gate-scale corpora resolve into the planes=4 regime the τ=0.42
+    // oracle was tuned on, with tables ≥ the old fixed 24 (recall can
+    // only improve — the gate swap to the auto path is sound)
+    val (t200, p200) = Similarity.lshAutoParams(200L, 0.42)
+    assert(p200 === 4 && t200 >= 24, s"($t200, $p200)")
+    // planes grow logarithmically with N (occupancy stays ~64):
+    // candidates per table stay ∝ N·occupancy instead of N²/2⁴
+    val (t20k, p20k) = Similarity.lshAutoParams(20000L, 0.42)
+    assert(p20k === 9, s"planes at 20k: $p20k")
+    assert(t20k > t200, "the recall tax lands in tables, never silently in recall")
+    // declared-recall math: 1 − (1 − p^planes)^tables ≥ target (up to
+    // the table cap), p = 1 − acos(τ)/π
+    val p = 1.0 - math.acos(0.42) / math.Pi
+    val recall = 1.0 - math.pow(1.0 - math.pow(p, p20k.toDouble), t20k.toDouble)
+    assert(recall >= 0.98, s"recall bound $recall")
+    // easier τ needs far fewer tables at the same occupancy
+    val (t08, _) = Similarity.lshAutoParams(20000L, 0.8)
+    assert(t08 < t20k / 2, s"τ=0.8 tables $t08 vs τ=0.42 $t20k")
+    // the auto path reproduces the exact all-pairs set on the corpus
+    val e = T.embeddings(spark, sf)
+    val truth = Similarity.cosinePairs(e, 0.42).as[(Long, Long)].collect().toSet
+    val auto = Similarity.cosinePairsLshAuto(e, 0.42).as[(Long, Long)].collect().toSet
+    assert(auto === truth, s"auto=${auto.size} truth=${truth.size}")
+  }
+
   test("LSH ANN results are a subset-with-recall of brute-force top-k") {
     val e = T.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
