@@ -4237,19 +4237,24 @@ object OpsQueries {
       |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
 
   // B17: keyless range join — how many signup 7-day windows cover
-  // each purchase, via the day-bucketed containment join (the
-  // bucket-local plan, not a cross join).
+  // each purchase. Since r11 the COUNT shape runs the pair-free
+  // sweep decomposition (Temporal.coverageCounts — the sf1.0 probe
+  // measured the bucketed join's candidate volume growing with
+  // density²: ×30 runtime for ×10 data; the sweep is ∝ N log bucket).
+  // rangeJoinBucketed remains the generic PAIR-producing operator,
+  // law-spec-proven equal to this count on random data.
   def qRangeJoin(s: SparkSession, d: String): DataFrame = {
     val ev = T.events(s, d).select(col("event_id"),
       expr("ts div 1000").as("ts_us"), col("event_type"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("ts_us"))
     val sgn = ev.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("ts_us").as("s_start"),
+      .select(col("ts_us").as("s_start"),
         (col("ts_us") + lit(7L * 86400000000L)).as("s_end"))
-    Temporal.rangeJoinBucketed(p, "ts_us", sgn, "s_start", "s_end", 86400000000L)
-      .groupBy(col("event_id"))
-      .agg(count(col("signup_id")).as("n_windows"))
+    Temporal.coverageCounts(p, "event_id", "ts_us", sgn,
+        "s_start", "s_end", 86400000000L)
+      .filter(col("n_covering") > 0)
+      .select(col("event_id"), col("n_covering").as("n_windows"))
       .orderBy(col("event_id"))
   }
 

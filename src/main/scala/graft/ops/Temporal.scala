@@ -123,6 +123,52 @@ object Temporal {
       .drop("_bucket")
   }
 
+  /** Coverage counting WITHOUT pair materialization (r11 — B17's
+    * count-aggregated shape): for each point, how many [start, end]
+    * intervals cover it. The bucketed range JOIN's candidate volume
+    * grows with per-bucket density² (the sf1.0 probe measured ×30
+    * runtime for ×10 data on q_range_join); but a COUNT of covering
+    * intervals never needs the pairs — it is the running sum of
+    * boundary weights (start +1, end −1, evaluated inclusively) at
+    * the probe's position in the merged (t, kind) order. Two-level
+    * prefix sum: per-day-bucket sort windows (state ∝ one bucket's
+    * events, sort-based, spilling) plus one calendar-bounded window
+    * over per-day nets (the B91 sweep-line trick) — volume
+    * ∝ N log(bucket), no candidate pairs at any density.
+    *
+    * Tie semantics (matches `p.ts BETWEEN s.start AND s.end`): at
+    * equal t, starts sort before probes (inclusive start) and ends
+    * after probes (inclusive end). Points outside every interval
+    * report n_covering = 0 — filter > 0 to reproduce an inner join.
+    * Assumes non-negative epoch-µs times.
+    */
+  def coverageCounts(points: DataFrame, idCol: String, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"coverageCounts needs a positive bucketUs")
+    val ev = intervals.select(col(startCol).as("t"), lit(0).as("kind"),
+        lit(1L).as("delta"), lit(null).cast("long").as("pid"))
+      .unionAll(intervals.select(col(endCol).as("t"), lit(2).as("kind"),
+        lit(-1L).as("delta"), lit(null).cast("long").as("pid")))
+      .unionAll(points.select(col(tsCol).as("t"), lit(1).as("kind"),
+        lit(0L).as("delta"), col(idCol).cast("long").as("pid")))
+      .withColumn("bkt", expr(s"t div ${bucketUs}L"))
+    val wIntra = Window.partitionBy("bkt").orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = ev.withColumn("run", sum(col("delta")).over(wIntra))
+    // per-bucket net deltas → cumulative offset of every PRIOR bucket;
+    // the single-partition window is over ~calendar-many rows, never
+    // data-many (the B91 bound)
+    val wBkts = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy("bkt").agg(sum("delta").as("net"))
+      .withColumn("off", coalesce(sum(col("net")).over(wBkts), lit(0L)))
+      .select("bkt", "off")
+    intra.filter(col("kind") === 1)
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("pid").as(idCol), (col("run") + col("off")).as("n_covering"))
+  }
+
   /** Resample to a regular grid with forward fill (SURVEY.md §2
     * B29): per key, buckets of `stepUs` from the key's first to last
     * observation; each bucket takes the LAST observation inside it

@@ -2963,16 +2963,30 @@ object Relational {
     */
   def trendForecast(daily: DataFrame): DataFrame = {
     val minDay = daily.agg(min("day").as("day0"))
-    daily.crossJoin(broadcast(minDay))
+    val xy = daily.crossJoin(broadcast(minDay))
       .select(col("prio"), (col("day") - col("day0")).as("x"), col("y_c"))
-      .groupBy("prio")
+    // Centered moments (r11 — the sf1.0 full-board probe overflowed
+    // the raw form: n·Σxy ≈ 2.2×10¹⁹ > 2⁶³ at ×10 revenue): the slope
+    // moments are SHIFT-INVARIANT in exact integers — for any integer
+    // c, d:  n·Σ(x−c)(y−d) − Σ(x−c)·Σ(y−d) = n·Σxy − Σx·Σy — so both
+    // axes center on their integer means and every term drops by the
+    // mean's magnitude squared (n·Σx'y' ≈ 1.4×10¹⁷ here, ~×50 Long
+    // headroom; truly unbounded scale would need DECIMAL(38)
+    // internals, documented trade). Costs one extra group-sized agg +
+    // a broadcast join back — the groups relation is |prios| rows.
+    val sums = xy.groupBy("prio")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y_c").as("sy"),
-        expr("CAST(sum(x * y_c) AS BIGINT)").as("sxy"),
-        expr("CAST(sum(x * x) AS BIGINT)").as("sxx"),
         max("x").as("xmax"))
+      .select(col("prio"), col("n"), col("sx"), col("sy"), col("xmax"),
+        expr("sx DIV n").as("cx"), expr("sy DIV n").as("cy"))
+    val mom = xy.join(broadcast(sums.select("prio", "cx", "cy")), Seq("prio"))
+      .groupBy("prio")
+      .agg(expr("CAST(sum((x - cx) * (y_c - cy)) AS BIGINT)").as("sxyc"),
+        expr("CAST(sum((x - cx) * (x - cx)) AS BIGINT)").as("sxxc"))
+    sums.join(mom, Seq("prio"))
       .select(col("prio"), col("n"),
-        expr("n * sxy - sx * sy").as("num"),
-        expr("n * sxx - sx * sx").as("den"),
+        expr("n * sxyc - (sx - n * cx) * (sy - n * cy)").as("num"),
+        expr("n * sxxc - (sx - n * cx) * (sx - n * cx)").as("den"),
         col("sy"), col("sx"), col("xmax"))
       .select(col("prio"), col("n"),
         expr("(num DIV den) * 1000 + ((num % den) * 1000) DIV den")
@@ -3477,9 +3491,17 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("rev_c"))
     val tot = m.agg(sum("rev_c").as("total_c"))
+    // Two-step exact ppm (r11 — the sf1.0 full-board probe overflowed
+    // the single product: rev_c·12·10⁶ ≈ 4×10¹⁹ > 2⁶³): split the 10⁶
+    // scale into 10³·10³ around the division — exact for non-negative
+    // operands ((a·1000) div T ·1000 + ((a·1000 mod T)·1000) div T =
+    // (a·10⁶) div T), every intermediate ≤ max(rev_c·12000, total·1000)
+    // — Long-safe to ~×200 the sf1.0 corpus.
     m.crossJoin(broadcast(tot))
       .select(col("m"), col("n_orders"), col("rev_c"),
-        expr("rev_c * 12L * 1000000L DIV total_c").as("index_ppm"))
+        expr("""((rev_c * 12L * 1000L) DIV total_c) * 1000L +
+                ((rev_c * 12L * 1000L) % total_c) * 1000L DIV total_c""")
+          .as("index_ppm"))
       .orderBy("m")
   }
 
@@ -3491,7 +3513,9 @@ object Relational {
       |  FROM orders GROUP BY 1),
       |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM m)
       |SELECT m, n_orders, rev_c,
-      |  rev_c * 12 * 1000000 // total_c AS index_ppm
+      |  CAST(((rev_c * 12 * 1000) // total_c) * 1000 +
+      |       ((rev_c * 12 * 1000) % total_c) * 1000 // total_c AS BIGINT)
+      |    AS index_ppm
       |FROM m, t ORDER BY m""".stripMargin
 
   // B80 (r9): fulfillment-latency percentiles — order-to-ship day

@@ -525,6 +525,42 @@ class OpsSpec extends AnyFunSuite {
     assert(t === Seq((1L, 0L, 2.0)))
   }
 
+  test("coverageCounts: sweep ≡ bucketed range join ≡ brute force; boundary ties inclusive") {
+    // planted boundaries: point exactly AT start and AT end must count
+    // (BETWEEN semantics); just outside must not; bucket boundary
+    // crossing exercised by the 10-width bucket
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 20L), (4L, 21L), (5L, 9L))
+      .toDF("pid", "ts")
+    val ivs = Seq((10L, 20L), (15L, 35L)).toDF("s0", "s1")
+    val got = Temporal.coverageCounts(pts, "pid", "ts", ivs, "s0", "s1", 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+
+    // law: on seeded random data the sweep equals BOTH the bucketed
+    // pair join aggregated to counts and a scalar brute force
+    val rnd = new scala.util.Random(20260815L)
+    val rp = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong)).toDF("pid", "ts")
+    val rpLocal = rp.as[(Long, Long)].collect()
+    val riLocal = (1 to 200).map { _ =>
+      val s = rnd.nextInt(1000).toLong; (s, s + rnd.nextInt(60).toLong)
+    }
+    val ri = riLocal.toDF("s0", "s1")
+    val sweep = Temporal.coverageCounts(rp, "pid", "ts", ri, "s0", "s1", 37L)
+      .as[(Long, Long)].collect().toMap
+    val brute = rpLocal.map { case (pid, t) =>
+      pid -> riLocal.count(iv => iv._1 <= t && t <= iv._2).toLong
+    }.toMap
+    assert(sweep === brute)
+    val joined = Temporal.rangeJoinBucketed(rp, "ts",
+        ri.withColumn("iid", monotonically_increasing_id()), "s0", "s1", 37L)
+      .groupBy("pid").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(brute.filter(_._2 > 0L) === joined,
+      "bucketed pair join (inner) must agree on every covered point")
+    assert(brute.values.exists(_ > 1L) && brute.values.exists(_ == 0L),
+      "fixture degenerate: need multi-covered and uncovered points")
+  }
+
   test("gapInterp: anchors exact, gaps draw the line, negative slope truncates toward zero") {
     // key 1 (step 10, integer values): anchors at buckets 0 (v=0) and
     // 30 (v=9) — gaps 10,20 interpolate to 3, 6 (exact thirds);
