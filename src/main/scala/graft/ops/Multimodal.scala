@@ -346,6 +346,84 @@ object Multimodal {
     baos.toByteArray
   }
 
+  final case class PcmStats(media_id: Long, n_samples: Long, peak: Int,
+    sum_sq: Long, dc_ppm: Long, clip_n: Long)
+
+  /** Signed 16-bit PCM samples decoded from the ACTUAL container
+    * bytes through the JDK audio stack
+    * (`AudioSystem.getAudioInputStream` — the same provider chain a
+    * real WAV/AIFF/AU reader uses, honoring the container's declared
+    * endianness), interleaved frames flattened to one Int per sample.
+    * This is the step past [[audioInfo]]'s header parse: the sample
+    * payload itself is read and decoded. None for bytes no provider
+    * accepts or for non-PCM-16 encodings (quarantine, as imageInfo /
+    * audioInfo — a float or compressed stream routes to a codec
+    * worker out of container).
+    */
+  def pcmSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+            else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+          i += 1
+        }
+        Some(out)
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Per-blob PCM sample statistics (n_samples, peak |amplitude|,
+    * Σ sample², DC offset in ppm of full scale via floor-division,
+    * clipped-sample count at |v| ≥ clipAbs) — the loudness/clipping
+    * screen an audio curation pipeline runs before feature
+    * extraction. The samples NEVER leave the decode task: each blob
+    * reduces to one metadata-sized row inside `mapPartitions`, so
+    * shuffle volume is rows × 6 longs regardless of clip length
+    * (Σ v² stays Long-safe to ~2³³ samples per blob ≈ 27 h of 44.1 kHz
+    * stereo). Undecodable / non-PCM-16 rows are quarantined.
+    */
+  def extractPcmStats(media: DataFrame, clipAbs: Int = 30000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        pcmSamples(bytes).filter(_.nonEmpty).map { vs =>
+          var peak = 0
+          var sumSq = 0L
+          var sum = 0L
+          var clip = 0L
+          var i = 0
+          while (i < vs.length) {
+            val v = vs(i)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v.toLong * v
+            sum += v
+            if (a >= clipAbs) clip += 1
+            i += 1
+          }
+          // floorDiv, not /: Spark's `div` and DuckDB's `//` both
+          // floor, and a DC offset can be negative
+          PcmStats(id, vs.length.toLong, peak, sumSq,
+            Math.floorDiv(sum * 1000000L, vs.length.toLong), clip)
+        }
+      }).toDF()
+  }
+
   final case class VideoInfo(media_id: Long, width: Int, height: Int,
     duration_ms: Long, brand: String)
 

@@ -1271,6 +1271,109 @@ object OpsQueries {
        |    // (t * t - pe_num) - 1000000 AS kappa_ppm
        |FROM k""".stripMargin
 
+  // C117 (r11): Fleiss' kappa — chance-corrected agreement among n
+  // raters (C116's Cohen handles exactly 2; labeling pipelines run
+  // 3–5-way redundant annotation and report Fleiss over the item
+  // pool). Binary categories: the input is one row per item with
+  // n_pos ∈ [0, n] positive votes. Exact integer ppm throughout:
+  //   P̄  = (A − Nn) / (Nn(n−1)),  A = Σᵢ (n_pos² + (n−n_pos)²)
+  //   P̄e = B / (Nn)²,             B = C₁² + C₀²,  C₁ = Σ n_pos
+  //   κ  = (P̄−P̄e)/(1−P̄e) = ((A−Nn)·Nn − B(n−1)) / ((n−1)((Nn)²−B))
+  // (the last form divides num and den by the common Nn factor — the
+  // raw cross-multiplied form would overflow Long at sf1.0). The κ
+  // numerator can be negative (systematic disagreement), so it shifts
+  // by the denominator before the floor-division — Spark `div`
+  // truncates, DuckDB `//` floors; they agree only on non-negative
+  // operands — and the ppm scale splits 10⁶ into 10³·10³ around the
+  // division (exact; every intermediate ≤ ~2×10¹⁷ at sf1.0, Long-safe
+  // to ~×40 that corpus). All-unanimous pools (den = 0: P̄e = 1) pin
+  // κ to the 10⁶ ceiling.
+  private[graft] def fleissKappaBinary(items: DataFrame, n: Int): DataFrame =
+    items
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr(s"n_pos * n_pos + ($n - n_pos) * ($n - n_pos)")).as("a_sum"),
+        sum(col("n_pos")).as("c_pos"))
+      .withColumn("c_neg", expr(s"n_items * $n - c_pos"))
+      .withColumn("b_sum", expr("c_pos * c_pos + c_neg * c_neg"))
+      .withColumn("den",
+        expr(s"(${n - 1}) * (n_items * $n * n_items * $n - b_sum)"))
+      .withColumn("nums",
+        expr(s"(a_sum - n_items * $n) * n_items * $n - b_sum * ${n - 1} + den"))
+      .select(col("n_items"), col("a_sum"), col("c_pos"),
+        expr(s"(a_sum - n_items * $n) * 1000000L div (n_items * $n * ${n - 1})")
+          .as("pbar_ppm"),
+        expr(s"((b_sum * 1000L) div (n_items * $n * n_items * $n)) * 1000L + " +
+          s"((b_sum * 1000L) % (n_items * $n * n_items * $n)) * 1000L div " +
+          s"(n_items * $n * n_items * $n)").as("pe_ppm"),
+        expr("""CASE WHEN den = 0 THEN 1000000L ELSE
+                ((nums * 1000L) div den) * 1000L +
+                ((nums * 1000L) % den) * 1000L div den - 1000000L END""")
+          .as("kappa_ppm"))
+
+  // The gated instance: 5 raters derived from the SAME integer
+  // quality score Cohen's gate uses, at spread decision thresholds —
+  // correlated-but-not-identical judgments, the realistic shape of a
+  // redundant annotation pool.
+  def evalFleissKappa(s: SparkSession, d: String): DataFrame = {
+    val items = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("score",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
+      .select(col("doc_id"),
+        expr("""CAST(score > -100000L AS BIGINT) + CAST(score > -50000L AS BIGINT) +
+                CAST(score > 0L AS BIGINT) + CAST(score > 50000L AS BIGINT) +
+                CAST(score > 100000L AS BIGINT)""").as("n_pos"))
+    fleissKappaBinary(items, 5)
+  }
+
+  private val oEvalFleissKappa =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (-140000 + len_c * 400 + stop_ppm * 2 - punct_ppm * 3) AS score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t))) AS BIGINT)
+       |        * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+       |      CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS BIGINT)
+       |        * 1000000 // length(text) AS punct_ppm,
+       |      CAST(least(len(string_split(text, ' ')), 500) AS BIGINT) AS len_c
+       |    FROM documents) t),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(score > -100000 AS BIGINT) + CAST(score > -50000 AS BIGINT) +
+       |    CAST(score > 0 AS BIGINT) + CAST(score > 50000 AS BIGINT) +
+       |    CAST(score > 100000 AS BIGINT) AS n_pos
+       |  FROM q),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(n_pos * n_pos + (5 - n_pos) * (5 - n_pos)) AS BIGINT) AS a_sum,
+       |    CAST(sum(n_pos) AS BIGINT) AS c_pos
+       |  FROM r),
+       |k AS (
+       |  SELECT *, n_items * 5 - c_pos AS c_neg FROM agg),
+       |k2 AS (
+       |  SELECT *, c_pos * c_pos + c_neg * c_neg AS b_sum FROM k),
+       |k3 AS (
+       |  SELECT *, 4 * (n_items * 5 * n_items * 5 - b_sum) AS den,
+       |    (a_sum - n_items * 5) * n_items * 5 - b_sum * 4
+       |      + 4 * (n_items * 5 * n_items * 5 - b_sum) AS nums
+       |  FROM k2)
+       |SELECT n_items, a_sum, c_pos,
+       |  (a_sum - n_items * 5) * 1000000 // (n_items * 5 * 4) AS pbar_ppm,
+       |  ((b_sum * 1000) // (n_items * 5 * n_items * 5)) * 1000 +
+       |    ((b_sum * 1000) % (n_items * 5 * n_items * 5)) * 1000 //
+       |    (n_items * 5 * n_items * 5) AS pe_ppm,
+       |  CASE WHEN den = 0 THEN 1000000 ELSE
+       |    ((nums * 1000) // den) * 1000 +
+       |    ((nums * 1000) % den) * 1000 // den - 1000000 END AS kappa_ppm
+       |FROM k3""".stripMargin
+
   // C113 (r10): temporal train/test split with an EMBARGO — the
   // leakage control time-series ML needs that C18's hash split and
   // C46's graph-closure split do not give: train strictly BEFORE the
@@ -1749,6 +1852,31 @@ object OpsQueries {
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g)
       |SELECT a, b, count(*) AS cnt FROM pairs
       |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 100""".stripMargin
+
+  // C118 (r11): bigram next-token conditional table — per frequent
+  // context, the argmax continuation + exact-ppm conditional
+  // probability (the speculative-decoding drafter / n-gram baseline
+  // table; C43 is the GLOBAL pair ranking for a merge pick, this is
+  // the per-context conditional). minCtx=20 bounds the output to the
+  // frequent-context vocabulary at any SF.
+  def lmBigramNext(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramNextTable(T.documents(s, d), 20L)
+      .orderBy(col("context"))
+
+  private val oLmBigramNext =
+    """WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+      |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+      |      FROM pairs GROUP BY w1, w2),
+      |t AS (SELECT w1, w2, pair_n,
+      |        CAST(sum(pair_n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n,
+      |        row_number() OVER (PARTITION BY w1 ORDER BY pair_n DESC, w2) AS rn
+      |      FROM c)
+      |SELECT w1 AS context, w2 AS top_next, pair_n AS top_n, ctx_n,
+      |  pair_n * 1000000 // ctx_n AS prob_ppm
+      |FROM t WHERE rn = 1 AND ctx_n >= 20 ORDER BY context""".stripMargin
 
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
@@ -4605,6 +4733,48 @@ object OpsQueries {
       |FROM a, unnest(range(0, CAST(n_windows AS INT))) AS t(w)
       |ORDER BY doc_id, window_idx""".stripMargin
 
+  // C12d (r11): PCM sample-statistics probe — the step PAST C12b's
+  // header parse: the WAV sample payload itself is decoded through
+  // the JDK audio stack and reduced to loudness/clipping statistics
+  // per blob (the screen an audio curation pipeline runs before any
+  // feature extraction). Same render→probe→predict gate shape as the
+  // other modality probes: synthWav's PCM ramp is the closed form
+  // v_i = (i·257) mod 32768 over i < frames·channels, so the oracle
+  // predicts every decoded statistic arithmetically — a broken
+  // endianness branch, frame count, or sample parse breaks the hash.
+  def multimodalPcm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 11 === 0)
+      .as[Long]
+      .map { id =>
+        (id, "audio/wav",
+          Multimodal.synthWav((8000 + (id % 4) * 4000).toInt,
+            (1 + id % 2).toInt, (100 + id % 50).toInt))
+      }
+      .toDF("media_id", "media_type", "bytes")
+    Multimodal.extractPcmStats(media)
+      .select(col("media_id").as("doc_id"), col("n_samples"), col("peak"),
+        col("sum_sq"), col("dc_ppm"), col("clip_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oMultimodalPcm =
+    """WITH a AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST((100 + doc_id % 50) * (1 + doc_id % 2) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |s AS (
+      |  SELECT doc_id, n, (CAST(i AS BIGINT) * 257) % 32768 AS v
+      |  FROM a, unnest(range(CAST(n AS INT))) AS t(i))
+      |SELECT doc_id, n AS n_samples,
+      |  CAST(max(v) AS INT) AS peak,
+      |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+      |  CAST(sum(v) AS BIGINT) * 1000000 // n AS dc_ppm,
+      |  CAST(sum(CASE WHEN v >= 30000 THEN 1 ELSE 0 END) AS BIGINT) AS clip_n
+      |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   // C107 (r10): frame-sampling schedule — the manifest a video
   // training pipeline emits per clip (which timestamps to decode)
   // BEFORE any pixel work is scheduled: uniform sampling with a cap
@@ -5352,6 +5522,7 @@ object OpsQueries {
     QueryDef("multimodal_frames", multimodalFrames, Some(oMultimodalFrames)),
     QueryDef("multimodal_audio_windows", multimodalAudioWindows,
       Some(oMultimodalAudioWindows)),
+    QueryDef("multimodal_pcm", multimodalPcm, Some(oMultimodalPcm)),
     QueryDef("dedup_containment", dedupContainment, Some(oDedupContainment)),
     QueryDef("dedup_url", dedupUrl, Some(oDedupUrl)),
     QueryDef("eval_calibration", evalCalibration, Some(oEvalCalibration)),
@@ -5403,6 +5574,7 @@ object OpsQueries {
     QueryDef("text_heavy_hitters", textHeavyHitters, Some(oTextHeavyHitters)),
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_lm_score", textLmScore, Some(oTextLmScore)),
+    QueryDef("lm_bigram_next", lmBigramNext, Some(oLmBigramNext)),
     QueryDef("text_vocab_oov", textVocabOov, Some(oTextVocabOov)),
     QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),
@@ -5421,6 +5593,7 @@ object OpsQueries {
     QueryDef("eval_ndcg", evalNdcg, Some(oEvalNdcg)),
     QueryDef("eval_auc_binned", evalAucBinned, Some(oEvalAucBinned)),
     QueryDef("eval_cohens_kappa", evalCohensKappa, Some(oEvalCohensKappa)),
+    QueryDef("eval_fleiss_kappa", evalFleissKappa, Some(oEvalFleissKappa)),
     QueryDef("text_normalize", textNormalize, Some(oTextNormalize)),
     QueryDef("text_html_strip", textHtmlStrip, Some(oTextHtmlStrip)),
     QueryDef("text_mojibake", textMojibake, Some(oTextMojibake)),

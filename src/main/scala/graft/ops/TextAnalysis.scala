@@ -562,6 +562,40 @@ object TextAnalysis {
     * Scale shape: per-row regexp + shuffle-free row expansion ∝
     * output sentences (posexplode), all codegen'd.
     */
+  /** Bigram next-token conditional table (C118): for every context
+    * token seen ≥ `minCtx` times as a bigram left side, the most
+    * frequent continuation with its count, the context total, and the
+    * conditional probability in exact ppm — the table a speculative-
+    * decoding drafter or an n-gram smoothing baseline is built from
+    * (C43 ranks pairs GLOBALLY to pick a merge; this is the
+    * per-context conditional distribution's argmax).
+    *
+    * Scale shape: explode ∝ corpus tokens feeding TWO hash
+    * aggregations, both with map-side partial combine — no window, no
+    * join, no sort until the caller's orderBy. The argmax is ONE
+    * `min(struct(-count, token))` (count DESC, token ASC — total
+    * order, so ties are deterministic) instead of a row_number
+    * window, keeping the second agg partial-aggregable too; output is
+    * bounded by the frequent-context vocabulary, which grows
+    * sublinearly in corpus size.
+    */
+  def bigramNextTable(docs: DataFrame, minCtx: Long,
+      text: Column = col("text")): DataFrame =
+    docs.select(tokens(lower(text)).as("ts"))
+      .select(explode(expr(
+        """CASE WHEN size(ts) < 2 THEN array()
+          |ELSE transform(sequence(0, size(ts) - 2),
+          |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2)) END""".stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("context"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .groupBy("context")
+      .agg(sum(col("pair_n")).as("ctx_n"),
+        min(struct((-col("pair_n")).as("negn"), col("w2").as("w2"))).as("top"))
+      .filter(col("ctx_n") >= minCtx)
+      .select(col("context"), col("top.w2").as("top_next"),
+        (-col("top.negn")).as("top_n"), col("ctx_n"),
+        expr("(0 - top.negn) * 1000000L div ctx_n").as("prob_ppm"))
+
   def segmentSentences(docs: DataFrame, text: Column = col("text")): DataFrame =
     docs.select(col("doc_id"), posexplode(filter(
         transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),

@@ -141,6 +141,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 8000, 1, 100L, "pcm_signed")))
   }
 
+  test("pcmSamples/extractPcmStats: real sample decode, both endiannesses, stats law") {
+    // LE WAV: decoded samples equal the fixture's closed-form ramp
+    val wav = Multimodal.synthWav(8000, 2, 50) // 100 interleaved samples
+    val vs = Multimodal.pcmSamples(wav).get
+    assert(vs.length === 100)
+    assert(vs.toSeq === (0 until 100).map(i => (i * 257) % 32768))
+
+    // BE AIFF through the JDK's own writer: same samples must decode
+    // identically — proves the endianness branch against a real BE
+    // container, not a hand-flipped buffer
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, true)
+    val data = new Array[Byte](200)
+    (0 until 100).foreach { i =>
+      val v = ((i * 257) % 32768).toShort
+      data(2 * i) = ((v >> 8) & 0xff).toByte
+      data(2 * i + 1) = (v & 0xff).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 50L),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    assert(Multimodal.pcmSamples(baos.toByteArray).get.toSeq === vs.toSeq)
+
+    // quarantine: garbage, other modalities, and non-16-bit PCM
+    assert(Multimodal.pcmSamples(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.pcmSamples(Multimodal.synthPng(4, 4, 0)) === None)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val b8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](16)), fmt8, 16L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, b8)
+    assert(Multimodal.pcmSamples(b8.toByteArray) === None)
+
+    // stats law vs a direct fold over the decoded samples (clip at
+    // the query's 30000), undecodable row quarantined
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "audio/wav", wav, 0, 0),
+      Row(2L, "audio/wav", Array[Byte](9, 9), 0, 0))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.extractPcmStats(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val exp = (1L, 100L, vs.max, vs.map(v => v.toLong * v).sum,
+      Math.floorDiv(vs.map(_.toLong).sum * 1000000L, 100L),
+      vs.count(_ >= 30000).toLong)
+    assert(got.toSeq === Seq(exp))
+  }
+
   test("synthMp4/videoInfo/extractVideoInfo: BMFF box walk roundtrip") {
     val mp4 = Multimodal.synthMp4(640, 360, 5000L)
     assert(Multimodal.videoInfo(mp4) === Some((640, 360, 5000L, "isom")))

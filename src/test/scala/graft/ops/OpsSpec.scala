@@ -1230,4 +1230,37 @@ class OpsSpec extends AnyFunSuite {
     assert(b.getLong(4) === 1L && b.getLong(7) === 1L
       && b.getLong(8) === 500000L)
   }
+
+  test("fleissKappaBinary laws: planted pools hit the closed-form kappa exactly") {
+    def kappa(nPos: Seq[Long]): (Long, Long, Long) = {
+      val r = OpsQueries.fleissKappaBinary(nPos.toDF("n_pos"), 5).head()
+      (r.getAs[Long]("pbar_ppm"), r.getAs[Long]("pe_ppm"),
+        r.getAs[Long]("kappa_ppm"))
+    }
+    // unanimous, mixed categories: perfect agreement, kappa = 1
+    assert(kappa(Seq(5L, 5L, 0L, 0L)) === ((1000000L, 500000L, 1000000L)))
+    // unanimous, ONE category: P̄e = 1 (den = 0), pinned to the ceiling
+    assert(kappa(Seq(5L, 5L, 5L))._3 === 1000000L)
+    // hand-computed mixed pool: [5,4,1,0] → P̄ = .8, P̄e = .5, κ = .6
+    assert(kappa(Seq(5L, 4L, 1L, 0L)) === ((800000L, 500000L, 600000L)))
+    // systematic disagreement: [2,3] → P̄ = .4 < P̄e = .5, κ = −.2 —
+    // the negative-numerator branch of the shifted floor-division
+    assert(kappa(Seq(2L, 3L)) === ((400000L, 500000L, -200000L)))
+  }
+
+  test("bigramNextTable: counts, conditional ppm, ASC tie-break, minCtx floor, lowercase") {
+    val docs = Seq(
+      (1L, "go on go on go off"),
+      (2L, "GO on stop"), // lowercases into the same context
+      (3L, "z b z a z a z b") // context z: b and a tie at 2 → a wins
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNextTable(docs, 2L)
+      .orderBy("context")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", "z", 2L, 2L, 1000000L),
+      ("go", "on", 3L, 4L, 750000L),
+      ("on", "go", 2L, 3L, 666666L),
+      ("z", "a", 2L, 4L, 500000L))) // context b (1 pair) under the floor
+  }
 }
