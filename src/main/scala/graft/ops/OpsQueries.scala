@@ -1853,6 +1853,38 @@ object OpsQueries {
       |SELECT a, b, count(*) AS cnt FROM pairs
       |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 100""".stripMargin
 
+  // C119 (r11): vocabulary-growth (Heaps) curve — exact
+  // (docs, cum tokens, distinct tokens) at 10 corpus-prefix
+  // checkpoints in doc_id order: does more data still buy vocabulary?
+  // (C42 is the static vocab+OOV readout; this is its growth over
+  // ingest order.) See Vocab.vocabGrowthCurve for the scale shape
+  // (doc-level window ∝ docs; vocab bucketed by first-doc against
+  // broadcast thresholds — no per-checkpoint rescan).
+  def vocabGrowth(s: SparkSession, d: String): DataFrame =
+    Vocab.vocabGrowthCurve(T.documents(s, d), 10)
+
+  private val oVocabGrowth =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |o AS (SELECT doc_id, nt,
+      |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+      |    CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum_nt FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+      |cp AS (SELECT CAST(k AS BIGINT) AS decile, (CAST(k AS BIGINT) * nd) // 10 AS ck
+      |       FROM n, unnest(range(1, 11)) AS t(k)),
+      |cpr AS (SELECT cp.decile, cp.ck AS n_docs, o.doc_id AS thr,
+      |         o.cum_nt AS cum_tokens
+      |        FROM cp JOIN o ON o.rn = cp.ck),
+      |fd AS (SELECT tok, min(doc_id) AS md FROM (
+      |         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |           unnest(string_split(text, ' ')) AS tok FROM documents)
+      |       GROUP BY tok)
+      |SELECT c.decile, c.n_docs, c.cum_tokens,
+      |  CAST(count(*) AS BIGINT) AS distinct_tokens
+      |FROM cpr c JOIN fd ON fd.md <= c.thr
+      |GROUP BY c.decile, c.n_docs, c.cum_tokens
+      |ORDER BY c.decile""".stripMargin
+
   // C118 (r11): bigram next-token conditional table — per frequent
   // context, the argmax continuation + exact-ppm conditional
   // probability (the speculative-decoding drafter / n-gram baseline
@@ -5575,6 +5607,7 @@ object OpsQueries {
     QueryDef("text_tokens", textTokens, Some(oTextTokens)),
     QueryDef("text_lm_score", textLmScore, Some(oTextLmScore)),
     QueryDef("lm_bigram_next", lmBigramNext, Some(oLmBigramNext)),
+    QueryDef("vocab_growth", vocabGrowth, Some(oVocabGrowth)),
     QueryDef("text_vocab_oov", textVocabOov, Some(oTextVocabOov)),
     QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),

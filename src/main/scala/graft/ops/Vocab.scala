@@ -35,4 +35,65 @@ object Vocab {
   /** Remove a fixed token set in one pass (native expression). */
   def removeTokens(text: Column, toks: Seq[String]): Column =
     graft.functions.TextExpressions.removeTokens(text, toks)
+
+  /** Vocabulary-growth (Heaps) curve (C119): at each of `buckets`
+    * corpus-prefix checkpoints in doc_id order, the exact
+    * (docs, cumulative tokens, distinct tokens seen so far) triple —
+    * the curve that tells a tokenizer-training / corpus-sizing run
+    * whether more data still buys vocabulary (C42 is the STATIC
+    * vocab + OOV readout; this is its growth over ingest order). The
+    * Heaps exponent fit is left to the notebook on top — the exported
+    * curve is exact integers.
+    *
+    * Scale shape: per-doc token counts (map-only) feed ONE doc-level
+    * ordered window (∝ docs, never tokens — range-partitioned sort at
+    * scale); "distinct so far" needs no per-checkpoint rescan: each
+    * token reduces to its FIRST document (one hash agg ∝ vocabulary),
+    * is bucketed against the broadcast checkpoint thresholds in a
+    * single map-side expression, and a prefix sum over the
+    * `buckets`-row histogram finishes the curve. The checkpoint table
+    * itself is driver-sized config state (as the BPE winner pair).
+    */
+  def vocabGrowthCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val nDocs = perDoc.count()
+    require(nDocs >= buckets, s"need >= $buckets docs, got $nDocs")
+    // checkpoint ranks c_k = (k·N) div buckets, k = 1..buckets; the
+    // row at rank c_k carries the doc_id threshold + cumulative
+    // tokens of the k-th prefix
+    val ranks = (1 to buckets).map(k => k.toLong * nDocs / buckets)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val atRanks = perDoc
+      .withColumn("rn", row_number().over(Window.orderBy("doc_id")).cast("long"))
+      .withColumn("cum_nt", sum(col("nt")).over(w))
+      .filter(col("rn").isin(ranks.distinct: _*))
+      .select(col("rn"), col("doc_id"), col("cum_nt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cps = ranks.zipWithIndex.map { case (rn, i) =>
+      val (thr, cum) = atRanks(rn)
+      (i + 1L, rn, thr, cum) // (decile, n_docs, doc_id threshold, cum_tokens)
+    }
+    // each token's first document, bucketed to the EARLIEST checkpoint
+    // covering it: k = buckets+1 − |{thresholds ≥ first_doc}|
+    // (thresholds ascending; map-side expression over the vocab agg)
+    val thrLit = array(cps.map(c => lit(c._3)): _*)
+    val hist = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("md"))
+      .select((lit(buckets + 1L) -
+        size(filter(thrLit, t => t >= col("md"))).cast("long")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+    // cumulative distinct at each checkpoint via a ≤-join over the two
+    // `buckets`-row relations (carries forward over empty deciles)
+    val cpsDf = cps.map(c => (c._1, c._2, c._4)).toDF("decile", "n_docs", "cum_tokens")
+    cpsDf.join(hist.withColumnRenamed("decile", "hd"), col("hd") <= col("decile"))
+      .groupBy("decile", "n_docs", "cum_tokens")
+      .agg(sum("new_tokens").as("distinct_tokens"))
+      .orderBy("decile")
+  }
 }

@@ -2733,6 +2733,76 @@ object Relational {
       |    + ((nn * det * det % den) * 1000) // den AS chi2_milli
       |FROM m""".stripMargin
 
+  // B100 (r11): Mann–Whitney U rank-sum test — the NONPARAMETRIC
+  // two-sample comparison B64's chi-square (binary conversion) and a
+  // t-test (normality assumption) don't give: does variant A's
+  // per-user activity stochastically dominate B's? Exact integers
+  // under ties via DOUBLED average ranks: a tie group spanning
+  // positions [s, s+t−1] has avg rank s+(t−1)/2, so rank2 = 2s+t−1 =
+  // 2·cum − cnt + 1 is always integral; U2 = 2U = R2_a − n_a(n_a+1),
+  // and U_a/(n_a·n_b) IS the AUC / rank-biserial effect size
+  // ("probability a random A user out-actives a random B user"),
+  // exported in exact ppm. Law U2_a + U2_b = 2·n_a·n_b by
+  // construction.
+  //
+  // Scale shape: one shuffle ∝ users (per-user metric), one hash agg
+  // ∝ DISTINCT metric values, then the only window runs over that
+  // value-level relation — |distinct activity counts| rows, the
+  // declared driver-sized report state, never per-user. Σ cnt·rank2 ≤
+  // 2N² stays Long-safe past 10⁹ users.
+  def qMannWhitney(s: SparkSession, d: String): DataFrame =
+    mannWhitney(T.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("v"))
+      .select(col("v"),
+        expr("(user_id * 554862419L) % 1000000 < 500000").as("va")))
+
+  /** B100 core over a (v, va) relation — separated so laws can plant
+    * exact rank tables. See [[qMannWhitney]].
+    */
+  def mannWhitney(obs: DataFrame): DataFrame = {
+    val byValue = obs.groupBy("v").agg(
+      sum(when(col("va"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("va"), 1L).otherwise(0L)).as("cnt_b"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    byValue
+      .withColumn("cnt", col("cnt_a") + col("cnt_b"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("rank2", expr("2L * cum - cnt + 1L"))
+      .agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"),
+        sum(expr("cnt_a * rank2")).as("r2_a"))
+      .select(col("n_a"), col("n_b"), col("r2_a"),
+        expr("r2_a - n_a * (n_a + 1L)").as("u2_a"),
+        expr("2L * n_a * n_b - (r2_a - n_a * (n_a + 1L))").as("u2_b"),
+        expr("(r2_a - n_a * (n_a + 1L)) * 1000000L DIV (2L * n_a * n_b)")
+          .as("auc_a_ppm"))
+  }
+
+  private val oMannWhitney =
+    """WITH m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS v,
+      |    (user_id * 554862419) % 1000000 < 500000 AS va
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      |  FROM m GROUP BY v),
+      |r AS (
+      |  SELECT *, cnt_a + cnt_b AS cnt,
+      |    CAST(sum(cnt_a + cnt_b) OVER (ORDER BY v) AS BIGINT) AS cum
+      |  FROM g),
+      |k AS (SELECT *, 2 * cum - cnt + 1 AS rank2 FROM r),
+      |agg AS (
+      |  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+      |    CAST(sum(cnt_b) AS BIGINT) AS n_b,
+      |    CAST(sum(cnt_a * rank2) AS BIGINT) AS r2_a
+      |  FROM k)
+      |SELECT n_a, n_b, r2_a,
+      |  r2_a - n_a * (n_a + 1) AS u2_a,
+      |  2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+      |  (r2_a - n_a * (n_a + 1)) * 1000000 // (2 * n_a * n_b) AS auc_a_ppm
+      |FROM agg""".stripMargin
+
   // B65 (r9): period-over-period reporting — the week-over-week
   // revenue delta every BI layer serves. Weekly revenue as exact
   // integer cents (the established idiom), weeks as pure integer
@@ -3972,6 +4042,7 @@ object Relational {
     QueryDef("q_attribution", qAttribution, Some(oAttribution)),
     QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
     QueryDef("q_experiment_ab", qExperimentAb, Some(oExperimentAb)),
+    QueryDef("q_mann_whitney", qMannWhitney, Some(oMannWhitney)),
     QueryDef("q_period_over_period", qPeriodOverPeriod, Some(oPeriodOverPeriod)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
     QueryDef("q_funnel", qFunnel, Some(oFunnel)),

@@ -1248,6 +1248,24 @@ class OpsSpec extends AnyFunSuite {
     assert(kappa(Seq(2L, 3L)) === ((400000L, 500000L, -200000L)))
   }
 
+  test("vocabGrowthCurve: planted growth, empty-checkpoint carry-forward") {
+    // 10 docs, 5 checkpoints (2 docs each, 4 tokens each prefix step);
+    // new vocab lands in checkpoints 1,2,3,5 — checkpoint 4 introduces
+    // NOTHING, so its distinct count must carry forward, not zero out
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "c a"), (3L, "a a"), (4L, "d b"),
+      (5L, "a b"), (6L, "a b"), (7L, "a b"), (8L, "a b"), (9L, "f a")
+    ).toDF("doc_id", "text")
+    val got = Vocab.vocabGrowthCurve(docs, 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 4L, 2L),   // a, b
+      (2L, 4L, 8L, 3L),   // + c
+      (3L, 6L, 12L, 4L),  // + d
+      (4L, 8L, 16L, 4L),  // nothing new — carried forward
+      (5L, 10L, 20L, 5L))) // + f
+  }
+
   test("bigramNextTable: counts, conditional ppm, ASC tie-break, minCtx floor, lowercase") {
     val docs = Seq(
       (1L, "go on go on go off"),

@@ -354,4 +354,28 @@ class RelationalLawsSpec extends AnyFunSuite {
     assert(r === Map(1L -> 511L, 2L -> 412L, 3L -> 313L, 4L -> 214L,
       5L -> 155L))
   }
+
+  test("mannWhitney: separation, all-tied, hand-computed ties, U2 complement law") {
+    def mw(rows: (Long, Boolean)*) = {
+      val r = Relational.mannWhitney(rows.toDF("v", "va")).head()
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("u2_a"),
+        r.getAs[Long]("u2_b"), r.getAs[Long]("auc_a_ppm"))
+    }
+    // perfect separation, no ties: A={3,4} > B={1,2} → U_a = n_a·n_b, AUC 1
+    assert(mw((3L, true), (4L, true), (1L, false), (2L, false)) ===
+      ((2L, 2L, 8L, 0L, 1000000L)))
+    // all observations tied → avg ranks → AUC exactly 1/2
+    assert(mw((7L, true), (7L, true), (7L, false)) ===
+      ((2L, 1L, 2L, 2L, 500000L)))
+    // hand-computed tie mix: A={1,2}, B={2,3}; ranks 1,(2.5,2.5),4 →
+    // R_a = 3.5 → R2_a = 7, U2_a = 7 − 6 = 1, U2_b = 2·4−1 = 7,
+    // AUC = 0.5/4 = 125000 ppm
+    assert(mw((1L, true), (2L, true), (2L, false), (3L, false)) ===
+      ((2L, 2L, 1L, 7L, 125000L)))
+    // complement law on an arbitrary pool: U2_a + U2_b = 2·n_a·n_b
+    val pool = Seq((5L, true), (5L, false), (2L, true), (9L, false),
+      (9L, true), (1L, false), (5L, true))
+    val (na, nb, ua, ub, _) = mw(pool: _*)
+    assert(ua + ub === 2 * na * nb)
+  }
 }
