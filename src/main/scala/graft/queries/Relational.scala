@@ -2733,6 +2733,66 @@ object Relational {
       |    + ((nn * det * det % den) * 1000) // den AS chi2_milli
       |FROM m""".stripMargin
 
+  // B101 (r11): trailing-window distinct actives (the WAU curve —
+  // for every calendar day, how many users had ≥1 event in the
+  // trailing 7 days). The naive forms don't scale: a sliding
+  // `count(DISTINCT)` window doesn't exist, and exploding each
+  // user-day into its 7 covered days is a ×W blowup. Pair-free shape:
+  // distinct user-days → per-user ISLANDS (consecutive days < W
+  // apart — their [day, day+W−1] coverages overlap, so counting them
+  // separately would double-count the user; a gap ≥ W means disjoint
+  // coverage and a clean new interval) → each island [s, e] emits
+  // sweep boundaries +1@s / −1@(e+W) → one calendar-bounded running
+  // sum (the B91/B99 sweep core).
+  //
+  // Scale shape: distinct ∝ user-days, island windows partitioned BY
+  // USER (parallel across users, state ∝ one user's days), boundary
+  // agg ∝ islands; only the final sweep is single-partition and it is
+  // bounded by the CALENDAR, never by traffic.
+  def qWindowActives(s: SparkSession, d: String): DataFrame =
+    windowActives(T.events(s, d)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct(), 7)
+
+  /** B101 core over a distinct (user_id, day) relation — separated so
+    * laws can plant exact gap/overlap cases. See [[qWindowActives]].
+    */
+  def windowActives(userDays: DataFrame, window: Int): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("day")
+    val islands = userDays
+      .withColumn("prev", lag("day", 1).over(wUser))
+      .withColumn("brk",
+        (col("prev").isNull || col("day") - col("prev") >= window).cast("long"))
+      .withColumn("island",
+        sum("brk").over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island")
+      .agg(min("day").as("s"), max("day").as("e"))
+    val bounds = islands.select(explode(array(
+        struct(col("s").as("day"), lit(1L).as("w")),
+        struct((col("e") + window).as("day"), lit(-1L).as("w")))).as("b"))
+      .select(col("b.day"), col("b.w"))
+      .groupBy("day").agg(sum("w").as("net"))
+    val cal = userDays.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr(s"sequence(d0, d1 + ${window - 1})")).as("day"))
+    val sweep = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cal.join(bounds, Seq("day"), "left")
+      .withColumn("actives", sum(coalesce(col("net"), lit(0L))).over(sweep))
+      .select(col("day"), col("actives"))
+      .orderBy("day")
+  }
+
+  private val oWindowActives =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |cal AS (SELECT CAST(d AS BIGINT) AS day
+      |        FROM b, unnest(range(d0, d1 + 7)) AS t(d))
+      |SELECT c.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS actives
+      |FROM cal c LEFT JOIN e ON e.day BETWEEN c.day - 6 AND c.day
+      |GROUP BY c.day ORDER BY c.day""".stripMargin
+
   // B100 (r11): Mann–Whitney U rank-sum test — the NONPARAMETRIC
   // two-sample comparison B64's chi-square (binary conversion) and a
   // t-test (normality assumption) don't give: does variant A's
@@ -4043,6 +4103,7 @@ object Relational {
     QueryDef("q_anomaly_mad", qAnomalyMad, Some(oAnomalyMad)),
     QueryDef("q_experiment_ab", qExperimentAb, Some(oExperimentAb)),
     QueryDef("q_mann_whitney", qMannWhitney, Some(oMannWhitney)),
+    QueryDef("q_window_actives", qWindowActives, Some(oWindowActives)),
     QueryDef("q_period_over_period", qPeriodOverPeriod, Some(oPeriodOverPeriod)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(oBasketPairs)),
     QueryDef("q_funnel", qFunnel, Some(oFunnel)),

@@ -355,6 +355,25 @@ class RelationalLawsSpec extends AnyFunSuite {
       5L -> 155L))
   }
 
+  test("windowActives: merge-at-gap-6, split-at-gap-7 cancels, no double count") {
+    // u1: days 0,7 — gap 7 → two islands with ADJACENT coverage
+    //     ([0,6],[7,13]): the −1/+1 boundaries at day 7 must cancel
+    // u2: days 0,6 — gap 6 → ONE island ([0,12]): split would
+    //     double-count u2 on days 6..6+… the law pins it at 1
+    // u3: day 5 — single-event coverage [5,11]
+    val ud = Seq((1L, 0L), (1L, 7L), (2L, 0L), (2L, 6L), (3L, 5L))
+      .toDF("user_id", "day")
+    val got = Relational.windowActives(ud, 7)
+      .as[(Long, Long)].collect().toSeq
+    val exp = (0L to 13L).map { d =>
+      val u1 = d >= 0 && d <= 13
+      val u2 = d <= 12
+      val u3 = d >= 5 && d <= 11
+      (d, Seq(u1, u2, u3).count(identity).toLong)
+    }
+    assert(got === exp)
+  }
+
   test("mannWhitney: separation, all-tied, hand-computed ties, U2 complement law") {
     def mw(rows: (Long, Boolean)*) = {
       val r = Relational.mannWhitney(rows.toDF("v", "va")).head()
