@@ -1910,6 +1910,44 @@ object OpsQueries {
       |  pair_n * 1000000 // ctx_n AS prob_ppm
       |FROM t WHERE rn = 1 AND ctx_n >= 20 ORDER BY context""".stripMargin
 
+  // C120 (r11): Kneser–Ney bigram statistics — the continuation-count
+  // tables (N1+ — KN's "how many distinct contexts", not "how
+  // frequent") + the interpolated probability at absolute discount
+  // D = 3/4 in a pinned exact-floor integer form (≤ 2 ppm below
+  // real-valued KN; see TextAnalysis.kneserNeyTable for the headroom
+  // argument). C118 is the raw conditional argmax; this is the
+  // SMOOTHED table an n-gram LM actually serves.
+  def lmKneserNey(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.kneserNeyTable(T.documents(s, d), 20L)
+      .orderBy(col("context"))
+
+  private val oLmKneserNey =
+    """WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+      |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+      |       FROM pairs GROUP BY w1, w2),
+      |ctx AS (
+      |  SELECT w1 AS context, CAST(sum(pair_n) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n_cont
+      |  FROM pc GROUP BY w1),
+      |top AS (
+      |  SELECT w1 AS context, w2 AS top_next, pair_n AS c12,
+      |    row_number() OVER (PARTITION BY w1 ORDER BY pair_n DESC, w2) AS rn
+      |  FROM pc),
+      |pred AS (SELECT w2 AS top_next, CAST(count(*) AS BIGINT) AS n_pred
+      |         FROM pc GROUP BY w2),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM pc)
+      |SELECT c.context, t.top_next, t.c12, c.c1, c.n_cont, p.n_pred, nb.n_big,
+      |  ((4 * t.c12 - 3) * 1000000) // (4 * c.c1) +
+      |  (3 * c.n_cont * ((p.n_pred * 1000000) // nb.n_big)) // (4 * c.c1)
+      |    AS kn_ppm
+      |FROM ctx c JOIN top t ON t.context = c.context AND t.rn = 1
+      |JOIN pred p USING (top_next) CROSS JOIN nb
+      |WHERE c.c1 >= 20
+      |ORDER BY c.context""".stripMargin
+
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
   // The winning pair is vocab-sized driver state (a 1-row collect,
@@ -5608,6 +5646,7 @@ object OpsQueries {
     QueryDef("text_lm_score", textLmScore, Some(oTextLmScore)),
     QueryDef("lm_bigram_next", lmBigramNext, Some(oLmBigramNext)),
     QueryDef("vocab_growth", vocabGrowth, Some(oVocabGrowth)),
+    QueryDef("lm_kneser_ney", lmKneserNey, Some(oLmKneserNey)),
     QueryDef("text_vocab_oov", textVocabOov, Some(oTextVocabOov)),
     QueryDef("text_bpe_pairs", textBpePairs, Some(oTextBpePairs)),
     QueryDef("text_bpe_merge", textBpeMerge, Some(oTextBpeMerge)),

@@ -579,15 +579,24 @@ object TextAnalysis {
     * bounded by the frequent-context vocabulary, which grows
     * sublinearly in corpus size.
     */
-  def bigramNextTable(docs: DataFrame, minCtx: Long,
-      text: Column = col("text")): DataFrame =
+  /** Lowercased bigram pair counts — the shared base relation of the
+    * C118 conditional table and the C120 Kneser–Ney statistics: one
+    * tokenize+explode pass into one hash agg keyed by (w1, w2),
+    * map-side combined; output ∝ distinct adjacent pairs.
+    */
+  def bigramCounts(docs: DataFrame, text: Column = col("text")): DataFrame =
     docs.select(tokens(lower(text)).as("ts"))
       .select(explode(expr(
         """CASE WHEN size(ts) < 2 THEN array()
           |ELSE transform(sequence(0, size(ts) - 2),
           |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2)) END""".stripMargin)).as("p"))
-      .groupBy(col("p.w1").as("context"), col("p.w2").as("w2"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("pair_n"))
+
+  def bigramNextTable(docs: DataFrame, minCtx: Long,
+      text: Column = col("text")): DataFrame =
+    bigramCounts(docs, text)
+      .withColumnRenamed("w1", "context")
       .groupBy("context")
       .agg(sum(col("pair_n")).as("ctx_n"),
         min(struct((-col("pair_n")).as("negn"), col("w2").as("w2"))).as("top"))
@@ -595,6 +604,54 @@ object TextAnalysis {
       .select(col("context"), col("top.w2").as("top_next"),
         (-col("top.negn")).as("top_n"), col("ctx_n"),
         expr("(0 - top.negn) * 1000000L div ctx_n").as("prob_ppm"))
+
+  /** Kneser–Ney bigram statistics (C120): for every context with
+    * count ≥ `minCtx`, the continuation-count tables KN interpolation
+    * is built from — c(w1,w2*) for the argmax continuation, c(w1),
+    * N1+(w1·) (distinct continuations — the discount mass source),
+    * N1+(·w2*) (distinct PREDECESSORS of the top continuation — KN's
+    * insight: "how novel is this word's context set", not "how
+    * frequent is the word") — plus the interpolated probability at
+    * absolute discount D = 3/4 in a pinned exact-floor integer form:
+    *
+    *   kn_ppm = ((4·c12 − 3)·10⁶) div (4·c1)
+    *          + (3·n_cont·((n_pred·10⁶) div n_big)) div (4·c1)
+    *
+    * (≤ 2 ppm below real-valued KN from the two floors — the nested
+    * form is chosen for Long headroom: the inner quotient is ≤ 10⁶,
+    * so the second term is bounded by 750 000 regardless of corpus
+    * size, and the first by 10⁶ · 4c12/4c1 ≤ 10⁶.)
+    *
+    * Scale shape: THREE hash aggs over the shared pair-count relation
+    * (by w1 for context totals + argmax, by w2 for predecessor
+    * counts, one global for N1+(··)), one join of the minCtx-filtered
+    * context table against the vocab-sized predecessor table, the
+    * 1-row global broadcast — no windows, everything map-side
+    * partial-aggregable.
+    */
+  def kneserNeyTable(docs: DataFrame, minCtx: Long,
+      text: Column = col("text")): DataFrame = {
+    val pairs = bigramCounts(docs, text)
+    val byCtx = pairs
+      .groupBy(col("w1").as("context"))
+      .agg(sum(col("pair_n")).as("c1"),
+        count(lit(1)).as("n_cont"),
+        min(struct((-col("pair_n")).as("negn"), col("w2").as("w2"))).as("top"))
+      .filter(col("c1") >= minCtx)
+    val pred = pairs.groupBy(col("w2").as("top_next"))
+      .agg(count(lit(1)).as("n_pred"))
+    val nBig = pairs.agg(count(lit(1)).as("n_big"))
+    byCtx
+      .select(col("context"), col("top.w2").as("top_next"),
+        (-col("top.negn")).as("c12"), col("c1"), col("n_cont"))
+      .join(pred, Seq("top_next"))
+      .crossJoin(broadcast(nBig))
+      .select(col("context"), col("top_next"), col("c12"), col("c1"),
+        col("n_cont"), col("n_pred"), col("n_big"),
+        expr("""((4L * c12 - 3L) * 1000000L) div (4L * c1) +
+                (3L * n_cont * ((n_pred * 1000000L) div n_big)) div (4L * c1)""")
+          .as("kn_ppm"))
+  }
 
   def segmentSentences(docs: DataFrame, text: Column = col("text")): DataFrame =
     docs.select(col("doc_id"), posexplode(filter(

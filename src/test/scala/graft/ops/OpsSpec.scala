@@ -1248,6 +1248,20 @@ class OpsSpec extends AnyFunSuite {
     assert(kappa(Seq(2L, 3L)) === ((400000L, 500000L, -200000L)))
   }
 
+  test("kneserNeyTable: hand-computed continuation counts and discounted ppm") {
+    // pairs: (a,b):3 (b,a):3 (a,c):1 (b,b):1 → n_big=4
+    // ctx a: c1=4 n_cont=2 top=(b,3); pred(b)={a,b}→2
+    //   kn = ((12−3)·1e6)//16 + (3·2·((2·1e6)//4))//16 = 562500+187500
+    // ctx b: c1=4 n_cont=2 top=(a,3); pred(a)={b}→1
+    //   kn = 562500 + (6·250000)//16 = 562500+93750
+    val docs = Seq((1L, "a b a b a c"), (2L, "b b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyTable(docs, 2L).orderBy("context")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("b", "a", 3L, 4L, 2L, 1L, 4L, 656250L),
+      ("a", "b", 3L, 4L, 2L, 2L, 4L, 750000L)).sortBy(_._1))
+  }
+
   test("vocabGrowthCurve: planted growth, empty-checkpoint carry-forward") {
     // 10 docs, 5 checkpoints (2 docs each, 4 tokens each prefix step);
     // new vocab lands in checkpoints 1,2,3,5 — checkpoint 4 introduces
