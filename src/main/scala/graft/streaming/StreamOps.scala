@@ -110,6 +110,53 @@ object StreamOps {
       }
   }
 
+  final case class DayObs(user: Long, day: Long)
+  final case class WauDelta(day: Long, w: Long)
+  final case class WauState(islands: List[(Long, Long)])
+
+  /** Streaming-maintained trailing-window actives (B101's continuous
+    * form — the live WAU board): per user, the state is the COVERAGE
+    * ISLAND list ([s, e] runs of days < `window` apart — bounded by
+    * calendar/window entries per user, never by traffic); each new
+    * user-day that extends/creates/bridges islands emits sweep
+    * boundary DELTAS (compensating ±1 pairs for replaced islands, new
+    * pairs for the merged one; a day already inside an island emits
+    * nothing). The per-day NET of all emitted deltas equals the batch
+    * operator's boundary relation exactly — the calendar-bounded
+    * running sum that finishes the curve is a metadata-sized batch
+    * read over the accumulated net, the A26 streaming-rollup shape.
+    * Append-mode output: deltas are facts, never retracted —
+    * compensation is additive, so any sum over them is correct at
+    * every prefix.
+    */
+  def wauDeltasStream(obs: Dataset[DayObs], window: Int): Dataset[WauDelta] = {
+    import obs.sparkSession.implicits._
+    val w = window.toLong
+    obs.groupByKey(_.user)
+      .flatMapGroupsWithState[WauState, WauDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[DayObs], state: GroupState[WauState]) =>
+          var islands = state.getOption.map(_.islands).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[WauDelta]
+          rows.map(_.day).toSeq.distinct.sorted.foreach { d =>
+            if (!islands.exists(i => d >= i._1 && d <= i._2)) {
+              // coverage-merge: same island iff the day gap < window
+              val (merge, keep) = islands.partition(i =>
+                d >= i._1 - (w - 1) && d <= i._2 + (w - 1))
+              val ns = (d +: merge.map(_._1)).min
+              val ne = (d +: merge.map(_._2)).max
+              merge.foreach { case (s, e) =>
+                out += WauDelta(s, -1L); out += WauDelta(e + w, 1L)
+              }
+              out += WauDelta(ns, 1L); out += WauDelta(ne + w, -1L)
+              islands = ((ns, ne) :: keep).sortBy(_._1)
+            }
+          }
+          state.update(WauState(islands))
+          out.iterator
+      }
+  }
+
   /** Streaming near-dup ingestion (C48) — the continuous form of
     * C32's incremental MinHash loop: `readStream` over a landing
     * directory of document parquet; every micro-batch is LSH-hashed
