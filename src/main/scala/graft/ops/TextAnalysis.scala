@@ -631,7 +631,11 @@ object TextAnalysis {
     */
   def kneserNeyTable(docs: DataFrame, minCtx: Long,
       text: Column = col("text")): DataFrame = {
-    val pairs = bigramCounts(docs, text)
+    // three consumers (by-w1, by-w2, global) — materialize the
+    // pair-count relation ONCE (∝ distinct bigrams, corpus-sublinear)
+    // instead of re-running the corpus tokenize+explode+agg per
+    // consumer (the C104 recompute-amplification lesson)
+    val pairs = bigramCounts(docs, text).localCheckpoint(true)
     val byCtx = pairs
       .groupBy(col("w1").as("context"))
       .agg(sum(col("pair_n")).as("c1"),

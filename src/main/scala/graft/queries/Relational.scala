@@ -2768,13 +2768,19 @@ object Relational {
         sum("brk").over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "island")
       .agg(min("day").as("s"), max("day").as("e"))
+    // two consumers (calendar bounds + the sweep join) — materialize
+    // the island-sized boundary relation once instead of re-running
+    // the corpus distinct+windows per consumer; the calendar derives
+    // from the boundaries themselves (min start / max end+W), so the
+    // whole operator is ONE corpus pass
     val bounds = islands.select(explode(array(
         struct(col("s").as("day"), lit(1L).as("w")),
         struct((col("e") + window).as("day"), lit(-1L).as("w")))).as("b"))
       .select(col("b.day"), col("b.w"))
       .groupBy("day").agg(sum("w").as("net"))
-    val cal = userDays.agg(min("day").as("d0"), max("day").as("d1"))
-      .select(explode(expr(s"sequence(d0, d1 + ${window - 1})")).as("day"))
+      .localCheckpoint(true)
+    val cal = bounds.agg(min("day").as("d0"), max("day").as("d1x"))
+      .select(explode(expr("sequence(d0, d1x - 1)")).as("day"))
     val sweep = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cal.join(bounds, Seq("day"), "left")
       .withColumn("actives", sum(coalesce(col("net"), lit(0L))).over(sweep))
