@@ -1893,6 +1893,53 @@ object CdcQueries {
        |WHERE event_type <> 'error'
        |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
+  // A93 (r11): bitemporal point read — valid time × transaction time
+  // over the SCD2 store: "the rows live at valid instant V, as the
+  // store knew them at load watermark T". The fixture advances a real
+  // on-disk history across TWO windows, then reads back through the
+  // FINAL store with tx = the FIRST watermark — the reconstruction
+  // must re-open every closure the second advancement added
+  // (valid_to > T → null) and drop every slice it introduced
+  // (valid_from > T). Exact by the window contract (see
+  // Scd2Store.readHistoryAsKnownAt); the oracle re-derives the same
+  // state from the raw events truncated at T.
+  def cdcBitemporal(s: SparkSession, d: String): DataFrame = {
+    val endUs = CdcEnvelope.epochUs("2025-01-01T00:00:00Z")
+    val vUs = CdcEnvelope.epochUs("2024-01-15T00:00:00Z")
+    val Seq(storeDir, logDir) = Fixtures.dirs("bitemporal", 2)
+    val cfg = CdcTableConfig(
+      cdcTable = "events_cdc", sourcePath = "events", targetDb = "graft",
+      targetTable = "bitemporal",
+      targetPath = storeDir,
+      pk = Seq("user_id"),
+      fieldSpecs = Seq(FieldSpec("k", Cast(LongType))),
+      passthrough = Seq("event_id", "value"),
+      numBuckets = Some(8), // per-file-overhead bound, as cdc_scd2_store
+      scd2 = Some(Scd2Spec()))
+    // a third deterministic quarter (scd2store uses %4=0, range %4=1)
+    val quarter = env(s, d).filter(col("user_id") % 4 === 2).localCheckpoint(true)
+    CdcPipeline.run(s, cfg, quarter, logDir, W1)
+    CdcPipeline.run(s, cfg, quarter, logDir, endUs)
+    Scd2Store.readBitemporal(s, cfg, W1, vUs).get
+      .select(col("user_id"), col("event_id"), col("k"), col("value"),
+        col(Scd2.From), col(Scd2.To))
+      .orderBy(col("user_id"))
+  }
+
+  private val oBitemporal =
+    s"""SELECT user_id, event_id, k, value, valid_from_us, valid_to_us FROM (
+       |  SELECT user_id, event_id, $dK AS k, value, event_type,
+       |    epoch_us(ts) AS valid_from_us,
+       |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS valid_to_us
+       |  FROM events
+       |  WHERE user_id % 4 = 2 AND ts <= TIMESTAMP '2024-01-20') t
+       |WHERE event_type <> 'error'
+       |  AND valid_from_us <= epoch_us(TIMESTAMP '2024-01-15')
+       |  AND (valid_to_us IS NULL
+       |       OR valid_to_us > epoch_us(TIMESTAMP '2024-01-15'))
+       |ORDER BY user_id""".stripMargin
+
   // A32's TIME axis (r8, r7 verdict #5): `readHistoryRange` was
   // spec-only — this gate advances a REAL on-disk history across
   // THREE windows (so the store holds ≥3 closed advancement dirs
@@ -2259,6 +2306,7 @@ object CdcQueries {
     QueryDef("cdc_stats_prune", cdcStatsPrune, Some(oStatsPrune)),
     QueryDef("cdc_scd2_store", cdcScd2Store, Some(oScd2Store)),
     QueryDef("cdc_scd2_range", cdcScd2Range, Some(oScd2Range)),
+    QueryDef("cdc_bitemporal", cdcBitemporal, Some(oBitemporal)),
     QueryDef("cdc_optimize", cdcOptimize, Some(oOptimize)),
     QueryDef("cdc_delete_update", cdcDeleteUpdate, Some(oDeleteUpdate)),
     QueryDef("cdc_delete_mor", cdcDeleteMor, Some(oDeleteMor)),

@@ -269,6 +269,39 @@ object Scd2Store {
   def readAsOf(spark: SparkSession, cfg: CdcTableConfig, tsUs: Long): Option[DataFrame] =
     readHistory(spark, cfg).map(h => Scd2.asOf(h, tsUs))
 
+  /** The history as it stood when the load watermark was `txUs` —
+    * the TRANSACTION-time axis over the same persisted relation whose
+    * valid-time axis [[readAsOf]] serves. In THIS store the
+    * reconstruction is exact by the window contract, not an
+    * approximation: advancements consume strictly increasing load
+    * windows and a window (Wp, Wn] carries only events with
+    * Wp < ts ≤ Wn, so every slice with valid_from ≤ txUs had been
+    * loaded by the advancement that crossed txUs and none beyond it
+    * — transaction time is a pure function of the event-time
+    * watermark. The derived view keeps slices with valid_from ≤ txUs
+    * and RE-OPENS (valid_to → null) closures the store had not yet
+    * seen (valid_to > txUs). A store accepting out-of-order windows
+    * would need per-slice generation stamps for this read —
+    * documented trade; this pipeline's windows are ordered by
+    * construction (and `CdcPipeline.run` refuses a watermark at or
+    * below the last applied one).
+    */
+  def readHistoryAsKnownAt(spark: SparkSession, cfg: CdcTableConfig,
+      txUs: Long): Option[DataFrame] =
+    readHistory(spark, cfg).map(_
+      .filter(col(Scd2.From) <= lit(txUs))
+      .withColumn(Scd2.To,
+        when(col(Scd2.To) <= lit(txUs), col(Scd2.To))))
+
+  /** Bitemporal point read: the rows live at valid time `validUs`,
+    * as the store knew them at load watermark `txUs` — the
+    * composition of the two axes ([[readHistoryAsKnownAt]] then
+    * [[Scd2.asOf]]).
+    */
+  def readBitemporal(spark: SparkSession, cfg: CdcTableConfig,
+      txUs: Long, validUs: Long): Option[DataFrame] =
+    readHistoryAsKnownAt(spark, cfg, txUs).map(h => Scd2.asOf(h, validUs))
+
   /** Bucket-pruned key lookup over the history: the slices of the
     * requested PKs (optionally only the slice live at `asOfUs`),
     * reading ONLY the PK-hash buckets the keys route to — in the open

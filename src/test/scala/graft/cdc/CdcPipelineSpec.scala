@@ -1142,6 +1142,35 @@ class CdcPipelineSpec extends AnyFunSuite {
       "a replayed window must not advance the history twice")
   }
 
+  test("SCD2 store: bitemporal as-known-at reconstruction equals the persisted intermediate state") {
+    val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
+    val target = tmp(); val log = tmp()
+    val c = cfg(target).copy(numBuckets = Some(16), scd2 = Some(Scd2Spec()))
+
+    // life 1: advance to w1, capture the TRUE state the store held
+    assert(CdcPipeline.run(spark, c, env, log, w1).status === "SUCCESS")
+    val trueAtW1 = histRows(Scd2Store.readHistory(spark, c).get)
+
+    // life 2: advance past w1, then reconstruct as-known-at-w1 from
+    // the FINAL store — every closure the second advancement added
+    // must re-open, every slice it introduced must drop
+    assert(CdcPipeline.run(spark, c, env, log, w2).status === "SUCCESS")
+    val rebuilt = histRows(Scd2Store.readHistoryAsKnownAt(spark, c, w1).get)
+    assert(rebuilt === trueAtW1,
+      "as-known-at-w1 over the advanced store must equal the state persisted at w1")
+    assert(rebuilt !== histRows(Scd2Store.readHistory(spark, c).get),
+      "non-vacuous: the second window must actually have changed the history")
+
+    // composition law: bitemporal(tx=w1, valid=v) ≡ asOf over the
+    // reconstruction, and tx=NOW degenerates to the plain readAsOf
+    val v = w1 - 1000000L
+    val bi = Scd2Store.readBitemporal(spark, c, w1, v).get
+    assert(histRows(bi) ===
+      histRows(Scd2.asOf(Scd2Store.readHistoryAsKnownAt(spark, c, w1).get, v)))
+    assert(histRows(Scd2Store.readBitemporal(spark, c, Long.MaxValue, v).get) ===
+      histRows(Scd2Store.readAsOf(spark, c, v).get))
+  }
+
   test("SCD2 store: crash between target publish and history publish converges on replay") {
     val env = CdcEnvelope.fromEvents(T.events(spark, LocalSpark.sf))
     val target = tmp(); val log = tmp()
