@@ -137,6 +137,48 @@ object Graphs {
     lab.join(prev.withColumnRenamed("label", "prev_label"), "node")
   }
 
+  /** Synchronous label-propagation communities (LPA) over an
+    * UNDIRECTED view of `edges` (string src/dst) — the
+    * community-detection pass a corpus organizer runs where
+    * [[connectedComponents]] is too coarse (one giant component) and
+    * modularity solvers are too heavy: labels start at the node id;
+    * each round EVERY node simultaneously adopts the most frequent
+    * label among its NEIGHBORS (count DESC, label ASC — a total
+    * order, so ties are deterministic and the fixed-round result is
+    * engine-replayable; classic LPA breaks ties randomly, which no
+    * cross-engine gate could pin). Rounds are FIXED at `iters`:
+    * synchronous LPA can oscillate on bipartite-ish structure, so
+    * the contract is "the labeling after k rounds", not convergence
+    * — callers export `prev_label` stability alongside, as CC does.
+    *
+    * Scale shape: per round ONE edge⋈labels shuffle (∝ edges) into
+    * two hash aggs — (node, label) counts, then the argmax via
+    * min(struct(−count, label)) with map-side partials, no window;
+    * state ∝ nodes, `localCheckpoint` cuts the iterative lineage
+    * exactly like [[connectedComponents]]/[[bfsHops]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var lab = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var prev = lab
+    for (_ <- 1 to iters) {
+      prev = lab
+      lab = und.join(lab, und("a") === lab("node"))
+        .groupBy(und("b").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("negc"), col("label").as("label")))
+          .as("top"))
+        .select(col("node"), col("top.label").as("label"))
+        .localCheckpoint(true)
+    }
+    lab.join(prev.withColumnRenamed("label", "prev_label"), "node")
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst")).distinct()

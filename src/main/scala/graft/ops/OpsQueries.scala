@@ -3092,6 +3092,50 @@ object OpsQueries {
        |GROUP BY 1 ORDER BY root""".stripMargin
   }
 
+  // C121 (r11): label-propagation communities (LPA) — community
+  // structure where C111's components are too coarse (one giant
+  // component) and modularity solvers too heavy; deterministic
+  // variant (count DESC, label ASC ties — classic LPA ties randomly,
+  // which no cross-engine gate could pin), FIXED 4 rounds, per-node
+  // label + last-round stability exported. Same synthetic host graph
+  // as graph_components; the oracle unrolls the 4 synchronous rounds
+  // as MATERIALIZED CTEs with a windowed argmax per round.
+  def graphCommunities(s: SparkSession, d: String): DataFrame = {
+    val e0 = T.documents(s, d)
+      .select(col("source").as("src"),
+        concat(lit("src"), (col("doc_id") * 7 + 3) % 20).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    Graphs.labelPropagation(e0, iters = 4)
+      .select(col("node"), col("label"),
+        (col("label") === col("prev_label")).as("stable"))
+      .orderBy("node")
+  }
+
+  private val oGraphCommunities = {
+    def round(k: Int): String =
+      s"""l$k AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT u.b AS node, c.label,
+         |      row_number() OVER (PARTITION BY u.b
+         |        ORDER BY count(*) DESC, c.label) AS rn
+         |    FROM und u JOIN l${k - 1} c ON u.a = c.node
+         |    GROUP BY u.b, c.label) WHERE rn = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT source AS src,
+       |    'src' || ((doc_id * 7 + 3) % 20) AS dst
+       |  FROM documents WHERE source <> 'src' || ((doc_id * 7 + 3) % 20)),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT src AS a, dst AS b FROM e0
+       |    UNION ALL SELECT dst AS a, src AS b FROM e0)),
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS label FROM (SELECT DISTINCT a AS node FROM und)),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT l4.node AS node, l4.label, l4.label = l3.label AS stable
+       |FROM l4 JOIN l3 ON l4.node = l3.node
+       |ORDER BY l4.node""".stripMargin
+  }
+
   // C59 (r8): corpus distribution drift — the "did the new crawl
   // shift the token distribution" report run before swapping a
   // training corpus: token shares (integer ppm) in corpus A (sources
@@ -5659,6 +5703,7 @@ object OpsQueries {
     QueryDef("privacy_l_diversity", privacyLDiversity, Some(oPrivacyLDiversity)),
     QueryDef("privacy_t_closeness", privacyTCloseness, Some(oPrivacyTCloseness)),
     QueryDef("graph_components", graphComponents, Some(oGraphComponents)),
+    QueryDef("graph_communities", graphCommunities, Some(oGraphCommunities)),
     QueryDef("eval_sample_diversity", evalSampleDiversity,
       Some(oEvalSampleDiversity)),
     QueryDef("eval_ngram_overlap", evalNgramOverlap, Some(oEvalNgramOverlap)),

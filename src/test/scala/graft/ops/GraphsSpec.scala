@@ -106,4 +106,27 @@ class GraphsSpec extends AnyFunSuite {
     assert(bfs(e, Seq("a"), 10) ===
       Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
   }
+
+  test("labelPropagation: bridged cliques separate into two communities, hand-traced") {
+    import spark.implicits._
+    // two triangles a1a2a3 / b1b2b3 with one bridge a3-b1: LPA must
+    // NOT collapse them into one community the way min-label CC does.
+    // Hand trace of the deterministic (count DESC, label ASC) rounds:
+    // after 4 synchronous rounds the a-clique sits at label a1, the
+    // b-clique at a3 (the bridge node's id travels as the b-side
+    // community NAME — distinctness is what matters), all stable.
+    val e = Seq("a1" -> "a2", "a2" -> "a3", "a3" -> "a1",
+      "b1" -> "b2", "b2" -> "b3", "b3" -> "b1", "a3" -> "b1")
+      .toDF("src", "dst")
+    val r = Graphs.labelPropagation(e, iters = 4)
+      .as[(String, String, String)].collect()
+      .map(x => x._1 -> ((x._2, x._2 == x._3))).toMap
+    assert(r === Map(
+      "a1" -> (("a1", true)), "a2" -> (("a1", true)), "a3" -> (("a1", true)),
+      "b1" -> (("a3", true)), "b2" -> (("a3", true)), "b3" -> (("a3", true))))
+    // CC over the same graph gives ONE component — the contrast LPA exists for
+    val cc = Graphs.connectedComponents(e, iters = 6)
+      .select("label").distinct().count()
+    assert(cc === 1L)
+  }
 }
