@@ -45,14 +45,20 @@ object Vocab {
     * Heaps exponent fit is left to the notebook on top — the exported
     * curve is exact integers.
     *
-    * Scale shape: per-doc token counts (map-only) feed ONE doc-level
-    * ordered window (∝ docs, never tokens — range-partitioned sort at
-    * scale); "distinct so far" needs no per-checkpoint rescan: each
-    * token reduces to its FIRST document (one hash agg ∝ vocabulary),
-    * is bucketed against the broadcast checkpoint thresholds in a
-    * single map-side expression, and a prefix sum over the
-    * `buckets`-row histogram finishes the curve. The checkpoint table
-    * itself is driver-sized config state (as the BPE winner pair).
+    * Scale shape: per-doc token counts (map-only) feed the C74
+    * partition-wise prefix (the `Packing.materializePositions` shape,
+    * never a global unpartitioned window): range-partition + local
+    * sort by doc_id, per-partition (count, token-sum) totals collected
+    * as ≤ shuffle-partitions rows, a driver prefix over THAT, then
+    * per-partition rank/cumsum windows (one task per partition) plus
+    * the broadcast offsets — global ranks and cumulative tokens with
+    * no single-task stage anywhere. "Distinct so far" needs no
+    * per-checkpoint rescan: each token reduces to its FIRST document
+    * (one hash agg ∝ vocabulary), is bucketed against the broadcast
+    * checkpoint thresholds in a single map-side expression, and a
+    * prefix sum over the `buckets`-row histogram finishes the curve.
+    * The checkpoint table itself is driver-sized config state (as the
+    * BPE winner pair).
     */
   def vocabGrowthCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
     val spark = docs.sparkSession
@@ -60,18 +66,38 @@ object Vocab {
     import org.apache.spark.sql.expressions.Window
     val perDoc = docs.select(col("doc_id").cast("long").as("doc_id"),
       size(split(col("text"), " ")).cast("long").as("nt"))
-    val nDocs = perDoc.count()
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // range-partitioned local sort: doc_id ranges are disjoint and
+    // ordered across partition ids, so global rank/cumsum = local
+    // window value + the driver-prefixed totals of earlier partitions
+    val sorted = perDoc.repartitionByRange(np, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("snt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nDocs = parts.iterator.map(_._2).sum
     require(nDocs >= buckets, s"need >= $buckets docs, got $nDocs")
     // checkpoint ranks c_k = (k·N) div buckets, k = 1..buckets; the
     // row at rank c_k carries the doc_id threshold + cumulative
     // tokens of the k-th prefix
     val ranks = (1 to buckets).map(k => k.toLong * nDocs / buckets)
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    val atRanks = perDoc
-      .withColumn("rn", row_number().over(Window.orderBy("doc_id")).cast("long"))
-      .withColumn("cum_nt", sum(col("nt")).over(w))
+    var (rAcc, tAcc) = (0L, 0L)
+    val offs = parts.map { case (pid, n, snt) =>
+      val o = (pid, rAcc, tAcc); rAcc += n; tAcc += snt; o
+    }.toSeq
+    val offDf = broadcast(offs.toDF("__pid", "__rn0", "__nt0"))
+    val lw = Window.partitionBy("__pid").orderBy("doc_id")
+    val atRanks = sorted
+      .withColumn("lrn", row_number().over(lw).cast("long"))
+      .withColumn("lcum",
+        sum(col("nt")).over(lw.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(offDf, Seq("__pid"))
+      .select((col("lrn") + col("__rn0")).as("rn"), col("doc_id"),
+        (col("lcum") + col("__nt0")).as("cum_nt"))
       .filter(col("rn").isin(ranks.distinct: _*))
-      .select(col("rn"), col("doc_id"), col("cum_nt"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val cps = ranks.zipWithIndex.map { case (rn, i) =>
       val (thr, cum) = atRanks(rn)
