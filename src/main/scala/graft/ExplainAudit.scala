@@ -1,12 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Plan-regression audit: prints a grep-able skeleton of every registered
-  * query's physical plan (scans, exchanges, joins, aggregates, codegen
-  * spans) plus a per-query `Scan parquet` count. Covers the FULL
+  * query's physical plan (scans, exchanges, joins, aggregates, windows,
+  * codegen spans) plus a per-query `Scan parquet` count. Covers the FULL
   * `SparkEntry.queries` registry — not a hand-maintained list — so a new
   * gate is audited the day it lands. Output is committed as
   * `EXPLAIN_AUDIT.txt`; plan regressions show up as diffs.
+  *
+  * EAGER stages are audited too (r11 verdict #3): operators that run
+  * driver actions inside the builder (per-partition prefix collects,
+  * BPE training rounds, packing histograms) execute jobs BEFORE the
+  * returned DataFrame exists, so the tail plan alone hides exactly the
+  * stages where bad shapes hide — r11's single-task vocab_growth window
+  * was invisible to the old audit. A QueryExecutionListener now captures
+  * EVERY plan executed while a gate builds, deduped by plan hash, and
+  * prints each as an `eager stage` section under the query.
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
@@ -21,23 +32,52 @@ object ExplainAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val captured = new scala.collection.mutable.LinkedHashMap[Int, String]()
+    val capture = new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit = {
+        val p = qe.executedPlan.toString
+        captured.synchronized { captured.getOrElseUpdate(p.hashCode, p) }
+      }
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(capture)
+
+    def skeleton(plan: String): Seq[String] = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") || l.contains("PushedFilters") ||
+      l.contains("ReadSchema") || l.contains("Exchange") ||
+      l.contains("Broadcast") || l.contains("WholeStageCodegen") ||
+      l.contains("HashAggregate") || l.contains("Join") ||
+      l.contains("Sort") || l.contains("Window") ||
+      l.contains("Sessions")).toSeq
+    def summarize(kept: Seq[String]): String = {
+      val scans = kept.count(_.contains("Scan parquet"))
+      val reused = kept.count(_.contains("ReusedExchange"))
+      val single = kept.count(_.contains("SinglePartition"))
+      s"scans=$scans reusedExchange=$reused singlePartitionExchanges=$single"
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     for (name <- names) {
       println(s"========== $name ==========")
       try {
+        captured.synchronized { captured.clear() }
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
-        val kept = plan.linesIterator.filter(l =>
-          l.contains("Scan parquet") || l.contains("PushedFilters") ||
-          l.contains("ReadSchema") || l.contains("Exchange") ||
-          l.contains("Broadcast") || l.contains("WholeStageCodegen") ||
-          l.contains("HashAggregate") || l.contains("Join") ||
-          l.contains("Sort") || l.contains("Sessions")).toSeq
-        val scans = kept.count(_.contains("Scan parquet"))
-        val reused = kept.count(_.contains("ReusedExchange"))
-        println(s"-- scans=$scans reusedExchange=$reused")
+        // drain the async listener bus so every eager plan is in the
+        // buffer before it is read (see graftaudit.ListenerFlush)
+        org.apache.spark.graftaudit.ListenerFlush.flush(spark.sparkContext)
+        val kept = skeleton(plan)
+        println(s"-- ${summarize(kept)}")
         println(kept.mkString("\n"))
+        val eager = captured.synchronized { captured.values.toSeq }
+        eager.zipWithIndex.foreach { case (p, i) =>
+          val ek = skeleton(p)
+          println(s"---- eager stage ${i + 1}/${eager.size} ----")
+          println(s"-- ${summarize(ek)}")
+          println(ek.mkString("\n"))
+        }
       } catch {
         case e: Exception =>
           println(s"-- PLAN FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

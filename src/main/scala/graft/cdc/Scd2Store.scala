@@ -283,8 +283,11 @@ object Scd2Store {
     * seen (valid_to > txUs). A store accepting out-of-order windows
     * would need per-slice generation stamps for this read —
     * documented trade; this pipeline's windows are ordered by
-    * construction (and `CdcPipeline.run` refuses a watermark at or
-    * below the last applied one).
+    * construction: `CdcPipeline.run` derives each load as the
+    * (prev, now] window, so a non-advancing watermark yields an
+    * EMPTY window and the run is a no-op (with `Scd2Store.maintain`
+    * skipping replays via its seqKey guard) — the history never sees
+    * an out-of-order or duplicated window either way.
     */
   def readHistoryAsKnownAt(spark: SparkSession, cfg: CdcTableConfig,
       txUs: Long): Option[DataFrame] =

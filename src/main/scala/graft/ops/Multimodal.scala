@@ -394,7 +394,14 @@ object Multimodal {
     * reduces to one metadata-sized row inside `mapPartitions`, so
     * shuffle volume is rows × 6 longs regardless of clip length
     * (Σ v² stays Long-safe to ~2³³ samples per blob ≈ 27 h of 44.1 kHz
-    * stereo). Undecodable / non-PCM-16 rows are quarantined.
+    * stereo). Quarantined (dropped from the output, like imageInfo /
+    * audioInfo): undecodable bytes, non-PCM-16 encodings, AND
+    * decodable-but-empty clips (zero samples) — the empty clip has no
+    * defined peak/DC statistic (dc_ppm would divide by zero), so it
+    * routes to the same quarantine rather than fabricating an
+    * n_samples=0 row; a pipeline that must distinguish "empty" from
+    * "undecodable" diffs this output against [[extractAudioInfo]],
+    * whose header parse still reports the empty clip's frame count.
     */
   def extractPcmStats(media: DataFrame, clipAbs: Int = 30000): DataFrame = {
     val spark = media.sparkSession

@@ -1948,6 +1948,90 @@ object OpsQueries {
       |WHERE c.c1 >= 20
       |ORDER BY c.context""".stripMargin
 
+  // C122 (r12): per-doc Kneser–Ney scoring — the CCNet-style fluency
+  // readout the C120 table exists FOR: every document's bigram stream
+  // scored against the corpus KN model, exported as exact integer
+  // evidence (n_bigrams, sum_kn_ppm) + the floored avg ppm — the C39
+  // discipline with word bigrams and smoothing (see
+  // TextAnalysis.knPplScores for headroom + scale shape). Docs with
+  // < 2 tokens have no scorable bigram and drop (the C39 contract).
+  def textKnPpl(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.knPplScores(T.documents(s, d)).orderBy(col("doc_id"))
+
+  // shared CTE block: the C120 pair-level kn_ppm generalized to every
+  // (w1, w2) pair, then folded per document
+  private val oKnDocBody =
+    """toksk AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+      |          FROM documents),
+      |posk AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM toksk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+      |pck AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+      |        FROM posk GROUP BY w1, w2),
+      |ctxk AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS c1,
+      |           CAST(count(*) AS BIGINT) AS n_cont
+      |         FROM pck GROUP BY w1),
+      |predk AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_pred
+      |          FROM pck GROUP BY w2),
+      |nbk AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM pck),
+      |kpk AS (
+      |  SELECT pck.w1, pck.w2,
+      |    ((4 * pair_n - 3) * 1000000) // (4 * c1) +
+      |    (3 * n_cont * ((n_pred * 1000000) // nbk.n_big)) // (4 * c1)
+      |      AS kn_ppm
+      |  FROM pck JOIN ctxk USING (w1) JOIN predk USING (w2) CROSS JOIN nbk),
+      |kn_doc AS (
+      |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(kn_ppm) AS BIGINT) AS sum_kn_ppm,
+      |    CAST(sum(kn_ppm) // count(*) AS BIGINT) AS avg_kn_ppm
+      |  FROM posk p JOIN kpk USING (w1, w2) GROUP BY p.doc_id)""".stripMargin
+
+  private val oTextKnPpl =
+    s"""WITH $oKnDocBody
+       |SELECT doc_id, n_bigrams, sum_kn_ppm, avg_kn_ppm
+       |FROM kn_doc ORDER BY doc_id""".stripMargin
+
+  // C122∘C31 (r12): the kept corpus after BOTH the C31 language/
+  // length/quality/repetition screen AND the KN fluency band — the
+  // composed end-to-end gate a CCNet-style curation pipeline actually
+  // runs (screen on surface signals, then keep only docs whose word
+  // transitions are corpus-typical). The 33 500 ppm floor sits inside
+  // the observed avg_kn_ppm cluster at every SF (~45–60% kept), so
+  // the hash pins real decisions on both sides; the compare is
+  // integer-vs-integer — no float-boundary risk.
+  def corpusKnFiltered(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("lang_pred"))
+      .join(TextAnalysis.knPplScores(docs), Seq("doc_id"))
+      .filter(col("avg_kn_ppm") >= 33500L)
+      .select(col("doc_id"), col("n_tokens"), col("lang_pred"),
+        col("n_bigrams"), col("avg_kn_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oCorpusKnFiltered =
+    s"""WITH lang AS ($oTextLangidBody),
+       |sig AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  round(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t)))
+       |        / len(string_split(text, ' '))
+       |      + 1.0 / (1.0 + len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}'))), 6)
+       |    AS quality_score,
+       |  round(1 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS dup_word_frac
+       |FROM documents),
+       |$oKnDocBody
+       |SELECT s.doc_id, s.n_tokens, l.lang_pred, k.n_bigrams, k.avg_kn_ppm
+       |FROM sig s JOIN lang l ON s.doc_id = l.doc_id
+       |JOIN kn_doc k ON s.doc_id = k.doc_id
+       |WHERE s.n_tokens >= 20 AND s.dup_word_frac <= 0.5
+       |  AND s.quality_score >= 1.05 AND l.lang_pred <> 'und'
+       |  AND k.avg_kn_ppm >= 33500
+       |ORDER BY s.doc_id""".stripMargin
+
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
   // The winning pair is vocab-sized driver state (a 1-row collect,
@@ -2370,22 +2454,47 @@ object OpsQueries {
        |FROM agg ORDER BY query""".stripMargin
   }
 
-  // C64 (r9): hard-negative mining — the contrastive-training prep
-  // pass a retrieval/embedding fine-tune needs: anchor queries are
-  // docs themselves (every 17th ≡ 3; query terms = the doc's first 3
-  // tokens), the positive is the source doc, and the hard negatives
-  // are the top BM25-ranked OTHER docs — lexically close but not the
-  // answer, exactly what contrastive losses want. Data-derived
-  // queries exercise the bm25TopKQueries DataFrame path (broadcast
-  // semi-join term filter instead of a literal IN). All arithmetic is
-  // the C50 nano-rounded rational BM25, so the oracle re-derives the
-  // entire chain: query construction, scoring, positive exclusion,
-  // negative re-ranking.
-  def mineHardNegatives(s: SparkSession, d: String): DataFrame = {
+  // C64 (r9, capped r12): hard-negative mining — the contrastive-
+  // training prep pass a retrieval/embedding fine-tune needs: anchor
+  // queries are docs themselves (every 17th ≡ 3; query terms = the
+  // doc's first 3 tokens), the positive is the source doc, and the
+  // hard negatives are the top BM25-ranked OTHER docs — lexically
+  // close but not the answer, exactly what contrastive losses want.
+  // Data-derived queries exercise the bm25TopKQueries DataFrame path
+  // (broadcast semi-join term filter instead of a literal IN). All
+  // arithmetic is the C50 nano-rounded rational BM25, so the oracle
+  // re-derives the entire chain: anchor sampling, query construction,
+  // scoring, positive exclusion, negative re-ranking.
+  //
+  // The mined batch is CAPPED at 512 anchors (r11 verdict #2): the
+  // r9 gate let queries grow ∝ corpus, which multiplied against
+  // postings ∝ corpus made the one super-linear production line on
+  // the sf1.0 board (×15.7–×23 for ×10 data; bound-based WAND/TA
+  // pruning measured useless here — ~0% of queries settle at P ≤ 64
+  // because tf≈1 postings make every per-term contrib distribution
+  // flat). Mining is a BATCH serving workload — the contract C7
+  // declares for ANN ("corpus-sized batches belong elsewhere") holds
+  // for lexical mining too, so the gate now enforces it: anchors are
+  // a deterministic multiplicative-hash-ordered sample (uniform over
+  // the corpus, engine-portable integer arithmetic — (id mod p)·c
+  // mod p with p = 1e9+7 keeps every intermediate under 2⁶³), capped
+  // at `maxAnchors`. Cost is postings-of-512-queries ∝ corpus —
+  // linear. At sf ≤ 0.1 the cap does not bind (≤ 294 anchors), so
+  // the result set is the r9 one unchanged.
+  def mineHardNegatives(s: SparkSession, d: String): DataFrame =
+    mineHardNegativesCapped(s, d, maxAnchors = 512)
+
+  def mineHardNegativesCapped(s: SparkSession, d: String,
+      maxAnchors: Int): DataFrame = {
     val docs = T.documents(s, d)
     val toks = split(lower(col("text")), " ")
-    val qt = docs.filter(col("doc_id") % 17 === 3)
-      .select(col("doc_id").as("query"), explode(slice(toks, 1, 3)).as("term"))
+    val anchors = docs.filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id"), slice(toks, 1, 3).as("qtoks"))
+      .orderBy(col("doc_id") % 1000000007L * 2654435761L % 1000000007L,
+        col("doc_id"))
+      .limit(maxAnchors)
+    val qt = anchors
+      .select(col("doc_id").as("query"), explode(col("qtoks")).as("term"))
     val ranked = Retrieval.bm25TopKQueries(docs, col("doc_id"), toks, qt, k = 5)
     val negW = Window.partitionBy("query").orderBy(col("rk"))
     ranked.filter(col("doc_id") =!= col("query"))
@@ -2402,8 +2511,12 @@ object OpsQueries {
       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-      |qt AS (SELECT doc_id AS query, unnest(toks[1:3]) AS term
-      |       FROM docs WHERE doc_id % 17 = 3),
+      |anchors AS (SELECT doc_id, toks[1:3] AS qtoks FROM docs
+      |            WHERE doc_id % 17 = 3
+      |            ORDER BY doc_id % 1000000007 * 2654435761 % 1000000007,
+      |              doc_id
+      |            LIMIT 512),
+      |qt AS (SELECT doc_id AS query, unnest(qtoks) AS term FROM anchors),
       |toksx AS (SELECT doc_id, unnest(toks) AS term FROM docs),
       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toksx
       |       WHERE term IN (SELECT DISTINCT term FROM qt)
@@ -5719,6 +5832,8 @@ object OpsQueries {
     QueryDef("text_tfidf_topk", textTfidfTopK, Some(oTextTfidf)),
     QueryDef("text_bm25_topk", textBm25, Some(oTextBm25)),
     QueryDef("mine_hard_negatives", mineHardNegatives, Some(oMineHardNegatives)),
+    QueryDef("text_kn_ppl", textKnPpl, Some(oTextKnPpl)),
+    QueryDef("corpus_kn_filtered", corpusKnFiltered, Some(oCorpusKnFiltered)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),

@@ -585,13 +585,22 @@ object TextAnalysis {
     * map-side combined; output ∝ distinct adjacent pairs.
     */
   def bigramCounts(docs: DataFrame, text: Column = col("text")): DataFrame =
-    docs.select(tokens(lower(text)).as("ts"))
-      .select(explode(expr(
+    bigramPositions(docs, text)
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("pair_n"))
+
+  /** Per-document adjacent-bigram positions (doc_id, w1, w2) — one
+    * codegen'd transform(sequence) explode, multiset (a repeated
+    * bigram appears once per occurrence). Shared by the corpus pair
+    * counts above and the C122 per-doc scorer below.
+    */
+  def bigramPositions(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.select(col("doc_id"), tokens(lower(text)).as("ts"))
+      .select(col("doc_id"), explode(expr(
         """CASE WHEN size(ts) < 2 THEN array()
           |ELSE transform(sequence(0, size(ts) - 2),
           |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2)) END""".stripMargin)).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("pair_n"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
 
   def bigramNextTable(docs: DataFrame, minCtx: Long,
       text: Column = col("text")): DataFrame =
@@ -655,6 +664,58 @@ object TextAnalysis {
         expr("""((4L * c12 - 3L) * 1000000L) div (4L * c1) +
                 (3L * n_cont * ((n_pred * 1000000L) div n_big)) div (4L * c1)""")
           .as("kn_ppm"))
+  }
+
+  /** Per-document Kneser–Ney bigram scoring (C122) — the CCNet-style
+    * quality filter the C120 table exists FOR: score every document's
+    * bigram stream against the corpus-wide KN-smoothed model, so docs
+    * whose word transitions are corpus-typical score high and
+    * gibberish / shuffled / machine-mangled text scores low (C39 is
+    * the character-n-gram version of the same idea; this is the
+    * word-bigram one, and the smoothing means rare-but-real
+    * continuations keep the discount mass instead of scoring zero).
+    *
+    * Self-scoring (model = corpus being scored), so every doc bigram
+    * exists in the pair table and the joins are inner and lossless;
+    * docs with < 2 tokens have no bigrams and drop from the output —
+    * the C39 contract (`n_pos` there, `n_bigrams` here, counts what
+    * was scorable).
+    *
+    * Integers all the way (the C39 evidence-sum discipline): each
+    * bigram's probability is the C120 pinned exact-floor `kn_ppm`
+    * generalized from the argmax continuation to EVERY (w1, w2) pair,
+    * and a doc exports the exact `sum_kn_ppm` / `n_bigrams` evidence
+    * plus the floored `avg_kn_ppm` — hash-gateable, no floats, no
+    * logs. Headroom: kn_ppm ≤ 2·10⁶ and per-DOC bigram counts bound
+    * the sum, so sum_kn_ppm < 2·10⁶·doc_len — Long-safe for any doc
+    * under ~4·10¹² tokens (and the pair-table headroom is C120's:
+    * safe while the hottest bigram count stays under ~2.3·10¹²).
+    *
+    * Scale shape: the pair-count relation is computed ONCE and
+    * checkpointed (three aggregate consumers — the C104 lesson); the
+    * pair-level kn table is ∝ distinct bigrams (corpus-sublinear),
+    * built from two vocab-sized joins + the 1-row broadcast; scoring
+    * is ONE shuffle of the doc-bigram stream on (w1, w2) into the
+    * pair table (AQE broadcasts it when small) and one per-doc hash
+    * agg with map-side combine. No windows.
+    */
+  def knPplScores(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val pairs = bigramCounts(docs, text).localCheckpoint(true)
+    val ctx = pairs.groupBy("w1")
+      .agg(sum(col("pair_n")).as("c1"), count(lit(1)).as("n_cont"))
+    val pred = pairs.groupBy("w2").agg(count(lit(1)).as("n_pred"))
+    val nBig = pairs.agg(count(lit(1)).as("n_big"))
+    val knPair = pairs.join(ctx, Seq("w1")).join(pred, Seq("w2"))
+      .crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"),
+        expr("""((4L * pair_n - 3L) * 1000000L) div (4L * c1) +
+                (3L * n_cont * ((n_pred * 1000000L) div n_big)) div (4L * c1)""")
+          .as("kn_ppm"))
+    bigramPositions(docs, text)
+      .join(knPair, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("kn_ppm")).as("sum_kn_ppm"))
+      .withColumn("avg_kn_ppm", expr("sum_kn_ppm div n_bigrams"))
   }
 
   def segmentSentences(docs: DataFrame, text: Column = col("text")): DataFrame =

@@ -1262,6 +1262,26 @@ class OpsSpec extends AnyFunSuite {
       ("a", "b", 3L, 4L, 2L, 2L, 4L, 750000L)).sortBy(_._1))
   }
 
+  test("knPplScores: hand-computed per-doc evidence, short-doc drop") {
+    // same corpus as the kneserNeyTable test, so the pair-level table
+    // is already hand-verified there; per-pair kn_ppm:
+    //   (a,b) 750000, (b,a) 656250, (a,c) 62500+93750=156250,
+    //   (b,b) 62500+187500=250000
+    // doc 1 "a b a b a c": 2·750000 + 2·656250 + 156250 = 2968750 / 5
+    // doc 2 "b b a b":     250000 + 656250 + 750000   = 1656250 / 3
+    // doc 3 "x": one token → no bigram → dropped (the C39 contract)
+    val docs = Seq((1L, "a b a b a c"), (2L, "b b a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knPplScores(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, 2968750L, 593750L),
+      (2L, 3L, 1656250L, 552083L)))
+    // the doc riding the corpus-dominant transitions outscores the
+    // one leaning on rare ones — the fluency signal the filter keys on
+    assert(got(0)._4 > got(1)._4)
+  }
+
   test("vocabGrowthCurve: planted growth, empty-checkpoint carry-forward") {
     // 10 docs, 5 checkpoints (2 docs each, 4 tokens each prefix step);
     // new vocab lands in checkpoints 1,2,3,5 — checkpoint 4 introduces
