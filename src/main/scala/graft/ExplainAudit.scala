@@ -50,11 +50,32 @@ object ExplainAudit {
       l.contains("HashAggregate") || l.contains("Join") ||
       l.contains("Sort") || l.contains("Window") ||
       l.contains("Sessions")).toSeq
-    def summarize(kept: Seq[String]): String = {
+    // a SinglePartition exchange whose child is a PARTIAL aggregate is
+    // the canonical scalar-reduce shape (one row per upstream
+    // partition crosses the exchange) — benign at any scale. Anything
+    // else funnels real rows into one task: the C119/C52/C73 defect
+    // class this audit exists to surface. Counted from the FULL plan
+    // (the skeleton drops the child lines the classification needs).
+    def suspectSingles(plan: String): Int = {
+      val ls = plan.linesIterator.toArray
+      ls.indices.count { i =>
+        ls(i).contains("Exchange SinglePartition") && {
+          val nxt = ls.drop(i + 1).find(_.trim.nonEmpty)
+          !nxt.exists(l =>
+            (l.contains("HashAggregate(keys=[]") ||
+             l.contains("SortAggregate(key=[]") ||
+             l.contains("ObjectHashAggregate(keys=[]")) &&
+            l.contains("partial_"))
+        }
+      }
+    }
+    def summarize(kept: Seq[String], plan: String): String = {
       val scans = kept.count(_.contains("Scan parquet"))
       val reused = kept.count(_.contains("ReusedExchange"))
       val single = kept.count(_.contains("SinglePartition"))
-      s"scans=$scans reusedExchange=$reused singlePartitionExchanges=$single"
+      val suspect = suspectSingles(plan)
+      s"scans=$scans reusedExchange=$reused singlePartitionExchanges=$single" +
+        s" suspectSinglePartition=$suspect"
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -69,13 +90,13 @@ object ExplainAudit {
         // buffer before it is read (see graftaudit.ListenerFlush)
         org.apache.spark.graftaudit.ListenerFlush.flush(spark.sparkContext)
         val kept = skeleton(plan)
-        println(s"-- ${summarize(kept)}")
+        println(s"-- ${summarize(kept, plan)}")
         println(kept.mkString("\n"))
         val eager = captured.synchronized { captured.values.toSeq }
         eager.zipWithIndex.foreach { case (p, i) =>
           val ek = skeleton(p)
           println(s"---- eager stage ${i + 1}/${eager.size} ----")
-          println(s"-- ${summarize(ek)}")
+          println(s"-- ${summarize(ek, p)}")
           println(ek.mkString("\n"))
         }
       } catch {

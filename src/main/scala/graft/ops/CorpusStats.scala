@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-linguistics statistics for training-data analysis
+  * (SURVEY.md §2 C124/C125/C127): collocation mining, term
+  * burstiness, and per-source keyness — the "what is this corpus made
+  * of, and where does it deviate" readouts a data-curation run
+  * consults between dedup and packing. All three follow the repo's
+  * exact-integer discipline: every exported statistic is a pinned
+  * floor-division form both engines compute bit-identically (the
+  * kn_ppm / C78 pattern) — no floats, no logs.
+  */
+object CorpusStats {
+
+  /** Collocation mining via lift (C124): bigrams whose observed
+    * frequency beats the independence expectation — the
+    * phrase-mining / multi-word-expression pass ("new york",
+    * "machine learning") a tokenizer-vocab or entity pipeline runs.
+    * Dunning's log-likelihood is the classic score but needs logs;
+    * LIFT preserves the same over-representation ordering in pure
+    * integer arithmetic:
+    *
+    *   lift = P(w1 w2) / (P(w1·) · P(·w2))
+    *        = pair_n · N / (c1 · c2),   N = Σ pair_n
+    *
+    * exported in the pinned two-step floor form (deviation from the
+    * real-valued lift ≤ ~1 ppm-step per stage, identical in both
+    * engines):
+    *
+    *   pyx_ppm  = pair_n · 10⁶ div c1        (= P(w2 | w1) in ppm)
+    *   lift_ppm = pyx_ppm · N div c2
+    *
+    * Long headroom: pair_n·10⁶ ≤ 9.2·10¹⁸ at pair_n ≤ 9.2·10¹²; and
+    * pyx_ppm ≤ 10⁶, so pyx_ppm·N is Long-safe to N ≤ 9.2·10¹² total
+    * bigrams — the C120 family bound (shard by source beyond it).
+    *
+    * Scale shape: the pair table is checkpointed ONCE (3 consumers —
+    * the C104 lesson) and is ∝ distinct bigrams; both marginals are
+    * vocab-sized hash aggs joined back on their keys; N is a 1-row
+    * broadcast; the top-k is orderBy+limit (distributed TakeOrdered),
+    * never a global window.
+    */
+  def collocations(docs: DataFrame, minPair: Long = 5L, k: Int = 100,
+      text: Column = col("text")): DataFrame = {
+    val pc = TextAnalysis.bigramCounts(docs, text).localCheckpoint(true)
+    val left = pc.groupBy("w1").agg(sum(col("pair_n")).as("c1"))
+    val right = pc.groupBy("w2").agg(sum(col("pair_n")).as("c2"))
+    val nb = pc.agg(sum(col("pair_n")).as("n_big"))
+    pc.filter(col("pair_n") >= minPair)
+      .join(left, "w1").join(right, "w2").crossJoin(broadcast(nb))
+      .withColumn("pyx_ppm", expr("pair_n * 1000000L div c1"))
+      .withColumn("lift_ppm", expr("pyx_ppm * n_big div c2"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "pair_n", "c1", "c2", "pyx_ppm", "lift_ppm")
+  }
+
+  /** Term burstiness (C125): the variance-to-mean ratio of a term's
+    * per-document count — Church & Gale's observation that content
+    * words arrive in BURSTS (high VMR: a doc that mentions a topic
+    * mentions it repeatedly) while function words spread uniformly
+    * (VMR near its minimum). The readout that separates topical
+    * vocabulary from glue, feeding stopword induction and the C47
+    * salient-terms weighting. Zero-count documents are part of the
+    * distribution (mean and variance are over ALL n_docs documents),
+    * which the moment algebra absorbs without materializing zeros:
+    *
+    *   VMR = Var(c)/E(c) = Σc²/cf − cf/n_docs   (cf = Σc)
+    *
+    * pinned floor form (each term floored independently — both
+    * engines identical):
+    *
+    *   vmr_ppm = s2·10⁶ div cf − cf·10⁶ div n_docs
+    *
+    * Long headroom: s2·10⁶ Long-safe to Σc² ≤ 9.2·10¹² (the C120
+    * family bound; shard by source beyond it).
+    *
+    * Scale shape: one (doc_id, token) hash agg (∝ corpus tokens,
+    * partial-aggregable), one per-term agg (∝ vocabulary), a 1-row
+    * doc-count broadcast, and an orderBy+limit top-k. No windows.
+    */
+  def termBurstiness(docs: DataFrame, minDf: Long = 10L, k: Int = 100,
+      text: Column = col("text")): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(lower(text), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sum(expr("c * c")).as("s2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nd))
+      .withColumn("vmr_ppm",
+        expr("s2 * 1000000L div cf - cf * 1000000L div n_docs"))
+      .orderBy(col("vmr_ppm").desc, col("token"))
+      .limit(k)
+      .select("token", "df", "cf", "s2", "vmr_ppm")
+  }
+
+  /** Per-source keyness (C127): for every source, the tokens most
+    * over-represented against the REST of the corpus — corpus
+    * linguistics' keyword analysis, the readout that tells a mixture
+    * designer what each source actually contributes (and flags
+    * contaminated/TEMPLATED sources whose top keys are boilerplate).
+    * χ²/LLR keyness needs squares/logs that overflow any integer
+    * width at corpus scale; the RATE RATIO preserves the same
+    * per-source ordering in the pinned staged-floor form:
+    *
+    *   rate_s_ppm = a·10⁶ div t_src          (token rate inside)
+    *   rate_r_ppm = b·10⁶ div t_rest         (token rate outside)
+    *   ratio_ppm  = rate_s_ppm · t_rest div b
+    *
+    * (the ratio divides by the REST COUNT b directly rather than the
+    * floored rate, so a rest-rate that floors to 0 ppm cannot zero
+    * the denominator; b ≥ 1 is required — a token unseen outside its
+    * source has unbounded keyness and is reported by its absence).
+    * Long headroom: rate_s_ppm ≤ 10⁶ and t_rest ≤ 9.2·10¹² (the C120
+    * family bound) keep the product Long-safe.
+    *
+    * Scale shape: one (source, token) hash agg (∝ corpus tokens,
+    * partial-aggregable); source totals are a sources-sized broadcast;
+    * token totals a vocab-sized join; the per-source top-k window
+    * runs over the minCnt-FILTERED relation — ≤ t_src/minCnt rows per
+    * source by construction, so the partition is bounded by the
+    * filter, not the vocabulary.
+    */
+  def sourceKeyness(docs: DataFrame, minCnt: Long = 10L, k: Int = 5,
+      text: Column = col("text")): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(lower(text), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
+    val srcTot = st.groupBy("source").agg(sum(col("a")).as("t_src"))
+    val tokTot = st.groupBy("token").agg(sum(col("a")).as("g_tok"))
+    val allTot = st.agg(sum(col("a")).as("t_all"))
+    val scored = st
+      .join(broadcast(srcTot), "source").join(tokTot, "token")
+      .crossJoin(broadcast(allTot))
+      .withColumn("b", col("g_tok") - col("a"))
+      .withColumn("t_rest", col("t_all") - col("t_src"))
+      .filter(col("a") >= minCnt && col("b") >= 1L)
+      .withColumn("rate_s_ppm", expr("a * 1000000L div t_src"))
+      .withColumn("rate_r_ppm", expr("b * 1000000L div t_rest"))
+      .withColumn("ratio_ppm", expr("rate_s_ppm * t_rest div b"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("ratio_ppm").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "token", "a", "b", "rate_s_ppm",
+        "rate_r_ppm", "ratio_ppm")
+  }
+
+  /** Deterministic Poisson(1) bootstrap weight for (id, replicate) —
+    * the scale-correct bootstrap (Chamandy et al.'s Poisson
+    * bootstrap): resampling-with-replacement needs a global draw, but
+    * Poissonizing the replicate gives every row an INDEPENDENT
+    * per-row weight, so the whole resample is one map-side
+    * expression at any corpus size. The uniform is the C34/C70
+    * multiplicative-hash ppm ((id mod p + rep·12289)·c mod p mod 10⁶,
+    * p = 10⁹+7 — id reduced mod p BEFORE the mix, so every
+    * intermediate is Long-safe at ANY id), and the inverse CDF is a
+    * pinned integer threshold table (cumulative Poisson(1) ppm,
+    * round(Σ₀..k e⁻¹/i!·10⁶) — the C109 discount-table trick: the
+    * one irrational piece is a shared literal, so both engines
+    * compute identical weights), truncated at w = 9
+    * (P(X > 9 | λ=1) < 10⁻⁶ — the ppm grid cannot see it).
+    */
+  def poissonWeight(id: String, rep: String): Column = {
+    val u = s"(($id % 1000000007L + $rep * 12289L) % 1000000007L" +
+      s" * 554862419L) % 1000000007L % 1000000L"
+    expr(s"""CASE WHEN $u < 367879L THEN 0L WHEN $u < 735759L THEN 1L
+      WHEN $u < 919699L THEN 2L WHEN $u < 981012L THEN 3L
+      WHEN $u < 996340L THEN 4L WHEN $u < 999406L THEN 5L
+      WHEN $u < 999917L THEN 6L WHEN $u < 999990L THEN 7L
+      WHEN $u < 999999L THEN 8L ELSE 9L END""")
+  }
+
+  /** Poisson-bootstrap replicate accuracies (C128): `scored` carries
+    * one row per item with an integer 0/1 `correct` column; the
+    * output is one row per replicate b ∈ [0, reps) with the
+    * weighted-accuracy evidence (n_eff = Σw, n_correct_w = Σw·correct,
+    * acc_ppm floored) — the confidence interval is read off the
+    * sorted replicate accuracies (2.5 %/97.5 % ranks; notebook work on
+    * the exact rows, as with the C119/C123 curve exports).
+    *
+    * Scale shape: explode ×reps feeds straight into a partial
+    * aggregate in the same codegen stage — nothing reps-times the
+    * corpus is ever materialized or shuffled; the shuffle is `reps`
+    * partial rows per task and the result is `reps` rows. Long
+    * headroom: Σw ≤ 9·rows — exact to ~10¹⁸ rows.
+    */
+  def poissonBootstrapAccuracy(scored: DataFrame, idCol: Column,
+      correct: Column, reps: Int = 40): DataFrame =
+    scored.select(idCol.cast("long").as("__id"), correct.as("correct"))
+      .withColumn("b", explode(sequence(lit(0L), lit(reps - 1L))))
+      .withColumn("w", poissonWeight("__id", "b"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(expr("w * correct")).as("n_correct_w"))
+      .withColumn("acc_ppm", expr(
+        "CASE WHEN n_eff > 0 THEN n_correct_w * 1000000L div n_eff ELSE 0L END"))
+      .select("b", "n_eff", "n_correct_w", "acc_ppm")
+}

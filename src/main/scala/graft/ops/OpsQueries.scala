@@ -2032,6 +2032,252 @@ object OpsQueries {
        |  AND k.avg_kn_ppm >= 33500
        |ORDER BY s.doc_id""".stripMargin
 
+  // C123 (r12): Zipf rank–frequency + coverage curve — the vocabulary
+  // in frequency order, read out at power-of-two ranks (plus the
+  // final rank) with exact cumulative coverage in ppm: the
+  // tokenizer-vocab-size curve ("how much corpus do the top 2^k types
+  // cover?"). C119 is vocabulary growth over INGEST order; this is
+  // mass over FREQUENCY order. Global rank/cumsum via the C74
+  // partition-wise prefix (see Vocab.zipfCurve) — no single-task
+  // window; the readout is a map-side bit test, output ∝ log₂(vocab).
+  def vocabZipf(s: SparkSession, d: String): DataFrame =
+    Vocab.zipfCurve(T.documents(s, d))
+
+  private val oVocabZipf =
+    """WITH v AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |r AS (SELECT token, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+      |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt FROM v),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |        CAST(count(*) AS BIGINT) AS nv FROM v)
+      |SELECT rank, token, cnt, cum_cnt,
+      |  cum_cnt * 1000000 // total AS coverage_ppm
+      |FROM r, t WHERE (rank & (rank - 1)) = 0 OR rank = nv
+      |ORDER BY rank""".stripMargin
+
+  // C124 (r12): collocation mining via lift — bigrams beating the
+  // independence expectation, the phrase-mining / multi-word-
+  // expression pass. Lift preserves LLR's over-representation
+  // ordering in pure integer arithmetic (see CorpusStats.collocations
+  // for the pinned two-step floor form + Long headroom). The pair
+  // table is the C120 checkpointed relation; the top-k is a
+  // distributed TakeOrdered.
+  def lmCollocations(s: SparkSession, d: String): DataFrame =
+    CorpusStats.collocations(T.documents(s, d), minPair = 5L, k = 100)
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+
+  private val oLmCollocations =
+    """WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+      |pairs AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+      |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+      |       FROM pairs GROUP BY w1, w2),
+      |l AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS c1 FROM pc GROUP BY w1),
+      |r AS (SELECT w2, CAST(sum(pair_n) AS BIGINT) AS c2 FROM pc GROUP BY w2),
+      |nb AS (SELECT CAST(sum(pair_n) AS BIGINT) AS n_big FROM pc)
+      |SELECT pc.w1, pc.w2, pair_n, c1, c2,
+      |  pair_n * 1000000 // c1 AS pyx_ppm,
+      |  (pair_n * 1000000 // c1) * n_big // c2 AS lift_ppm
+      |FROM pc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nb
+      |WHERE pair_n >= 5
+      |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin
+
+  // C125 (r12): term burstiness — per-term variance-to-mean ratio of
+  // per-document counts (Church & Gale): content words burst, glue
+  // words spread. Zero-count docs are in the distribution via the
+  // moment identity VMR = Σc²/cf − cf/n_docs — never materialized
+  // (see CorpusStats.termBurstiness for the pinned floor form).
+  def termBurstiness(s: SparkSession, d: String): DataFrame =
+    CorpusStats.termBurstiness(T.documents(s, d), minDf = 10L, k = 100)
+      .orderBy(col("vmr_ppm").desc, col("token"))
+
+  private val oTermBurstiness =
+    """WITH pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM
+      |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |   FROM documents)
+      |  GROUP BY doc_id, tok),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |t AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS df,
+      |        CAST(sum(c) AS BIGINT) AS cf, CAST(sum(c * c) AS BIGINT) AS s2
+      |      FROM pd GROUP BY tok)
+      |SELECT token, df, cf, s2,
+      |  s2 * 1000000 // cf - cf * 1000000 // n_docs AS vmr_ppm
+      |FROM t, nd WHERE df >= 10
+      |ORDER BY vmr_ppm DESC, token LIMIT 100""".stripMargin
+
+  // C127 (r12): per-source keyness — each source's most
+  // over-represented tokens vs the rest of the corpus, as a staged
+  // exact rate ratio (χ²/LLR keyness overflows integer widths at
+  // corpus scale; the rate ratio preserves the per-source ordering —
+  // see CorpusStats.sourceKeyness). The per-source top-k window runs
+  // over the minCnt-filtered relation (≤ t_src/minCnt rows per
+  // source), not the vocabulary.
+  def sourceKeyness(s: SparkSession, d: String): DataFrame =
+    CorpusStats.sourceKeyness(T.documents(s, d), minCnt = 10L, k = 5)
+      .orderBy(col("source"), col("rk"))
+
+  private val oSourceKeyness =
+    """WITH st AS (SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS a
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY source, tok),
+      |ts AS (SELECT source, CAST(sum(a) AS BIGINT) AS t_src
+      |       FROM st GROUP BY source),
+      |g AS (SELECT token, CAST(sum(a) AS BIGINT) AS g_tok
+      |      FROM st GROUP BY token),
+      |tt AS (SELECT CAST(sum(a) AS BIGINT) AS t_all FROM st),
+      |e AS (SELECT st.source, st.token, a, g_tok - a AS b,
+      |        t_all - t_src AS t_rest,
+      |        a * 1000000 // t_src AS rate_s_ppm,
+      |        (g_tok - a) * 1000000 // (t_all - t_src) AS rate_r_ppm,
+      |        (a * 1000000 // t_src) * (t_all - t_src) // (g_tok - a)
+      |          AS ratio_ppm
+      |      FROM st JOIN ts USING (source) JOIN g USING (token) CROSS JOIN tt
+      |      WHERE a >= 10 AND g_tok - a >= 1),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |         ORDER BY ratio_ppm DESC, token) AS BIGINT) AS rk FROM e)
+      |SELECT source, rk, token, a, b, rate_s_ppm, rate_r_ppm, ratio_ppm
+      |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  // C126 (r12): MRR / Hit@k retrieval eval over the same BM25 run +
+  // deterministic relevance labels as the C109 NDCG gate (rel =
+  // doc_id·7 mod 4 ≥ 1) — the reciprocal-rank readout every retrieval
+  // eval reports next to NDCG. Reciprocal ranks at k ≤ 10 are exact
+  // ppm integers (10⁶ div rank), so no discount table is needed.
+  // Evaluation state ∝ queries × k, never corpus.
+  def evalMrr(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(T.documents(s, d), col("doc_id"),
+        split(lower(col("text")), " "),
+        Seq(("q1", Seq("hash", "join")),
+          ("q2", Seq("stream", "window", "merge")),
+          ("q3", Seq("vector", "scan"))),
+        k = 10)
+      .withColumn("rel",
+        expr("CASE WHEN (doc_id * 7) % 4 >= 1 THEN 1L ELSE 0L END"))
+      .groupBy("query")
+      .agg(sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1L, col("rk"))).as("__fr"),
+        max(when(col("rel") === 1L && col("rk") <= 1, 1L).otherwise(0L))
+          .as("hit1"),
+        max(when(col("rel") === 1L && col("rk") <= 5, 1L).otherwise(0L))
+          .as("hit5"),
+        max(when(col("rel") === 1L && col("rk") <= 10, 1L).otherwise(0L))
+          .as("hit10"))
+      .withColumn("first_rel_rank", coalesce(col("__fr").cast("long"), lit(0L)))
+      .withColumn("rr_ppm", expr(
+        "CASE WHEN first_rel_rank > 0 THEN 1000000L div first_rel_rank ELSE 0L END"))
+      .select("query", "n_rel", "first_rel_rank", "rr_ppm",
+        "hit1", "hit5", "hit10")
+      .orderBy("query")
+
+  private lazy val oEvalMrr = {
+    val bm25Body = oTextBm25.stripSuffix("ORDER BY query, rk")
+      .replaceFirst(
+        "(?s)SELECT query, rk, doc_id, score_nano FROM ranked\\s+WHERE rk <= 10\\s*$",
+        "SELECT query, rk, doc_id FROM ranked WHERE rk <= 10")
+    s"""WITH topk AS ($bm25Body),
+       |rel AS (SELECT query, rk,
+       |    CASE WHEN (doc_id * 7) % 4 >= 1 THEN 1 ELSE 0 END AS rel
+       |  FROM topk)
+       |SELECT query,
+       |  CAST(sum(rel) AS BIGINT) AS n_rel,
+       |  CAST(coalesce(min(CASE WHEN rel = 1 THEN rk END), 0) AS BIGINT)
+       |    AS first_rel_rank,
+       |  CAST(CASE WHEN min(CASE WHEN rel = 1 THEN rk END) IS NOT NULL
+       |    THEN 1000000 // min(CASE WHEN rel = 1 THEN rk END)
+       |    ELSE 0 END AS BIGINT) AS rr_ppm,
+       |  CAST(max(CASE WHEN rel = 1 AND rk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hit1,
+       |  CAST(max(CASE WHEN rel = 1 AND rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hit5,
+       |  CAST(max(CASE WHEN rel = 1 AND rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hit10
+       |FROM rel GROUP BY query ORDER BY query""".stripMargin
+  }
+
+  // C128 (r12): Poisson-bootstrap confidence interval for a
+  // classifier metric — does the C53 quality classifier BEAT chance
+  // against the C77 Gopher labels, with what uncertainty? The
+  // classical bootstrap resamples with replacement (a global draw);
+  // the Poisson bootstrap (the at-scale standard) gives every row an
+  // independent deterministic Poisson(1) weight per replicate, so 40
+  // resampled accuracies cost one map-side expression + a 40-row agg
+  // (see CorpusStats.poissonBootstrapAccuracy for the pinned
+  // threshold table + hash). The CI is read off the sorted replicate
+  // rows. The oracle re-derives classifier, labels, weights, and all
+  // 40 weighted accuracies.
+  def evalBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val pred = TextAnalysis.qualityMetrics(docs, col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("pred", (lit(-140000L) + col("len_c") * lit(400L) +
+        col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L)) > 0L)
+      .select("doc_id", "pred")
+    val lab = TextAnalysis.gopherRules(docs).select(col("doc_id"), col("kept"))
+    val scored = pred.join(lab, "doc_id")
+      .withColumn("correct",
+        when(col("pred") === col("kept"), 1L).otherwise(0L))
+    CorpusStats.poissonBootstrapAccuracy(scored, col("doc_id"),
+        col("correct"), reps = 40)
+      .orderBy("b")
+  }
+
+  private val oEvalBootstrapCi =
+    s"""WITH cls AS (
+       |  SELECT doc_id,
+       |    (-140000 + least(len(string_split(text, ' ')), 500) * 400
+       |     + (len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t)))
+       |        * 1000000 // len(string_split(text, ' '))) * 2
+       |     - (len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}'))
+       |        * 1000000 // length(text)) * 3) > 0 AS pred
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n,
+       |    length(replace(text, ' ', '')) AS wlen,
+       |    length(text) - length(replace(text, '#', '')) AS nhash,
+       |    (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+       |    len(list_intersect(string_split(lower(text), ' '),
+       |        ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS nstop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
+       |     AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
+       |     AND (nstop >= 1)) AS kept
+       |  FROM g),
+       |sc AS (SELECT c.doc_id,
+       |         CASE WHEN c.pred = l.kept THEN 1 ELSE 0 END AS correct
+       |       FROM cls c JOIN lab l USING (doc_id)),
+       |reps AS (SELECT doc_id, correct, CAST(b AS BIGINT) AS b
+       |         FROM sc, unnest(range(0, 40)) AS t(b)),
+       |ws AS (SELECT b, correct,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+       |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+       |         WHEN u < 999999 THEN 8 ELSE 9 END AS w
+       |  FROM (SELECT b, correct,
+       |          ((doc_id % 1000000007 + b * 12289) % 1000000007
+       |            * 554862419) % 1000000007 % 1000000 AS u
+       |        FROM reps))
+       |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CAST(sum(w * correct) AS BIGINT) AS n_correct_w,
+       |  CAST(CASE WHEN sum(w) > 0
+       |    THEN sum(w * correct) * 1000000 // sum(w) ELSE 0 END AS BIGINT)
+       |    AS acc_ppm
+       |FROM ws GROUP BY b ORDER BY b""".stripMargin
+
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
   // The winning pair is vocab-sized driver state (a 1-row collect,
@@ -3273,9 +3519,12 @@ object OpsQueries {
         coalesce(max(when(col("side") === "b", col("ppm"))), lit(0L)).as("ppm_b"),
         coalesce(max(when(col("side") === "b", col("cnt"))), lit(0L)).as("cnt_b"))
       .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
+    // top-50 movers via orderBy+limit (distributed TakeOrdered), so
+    // the rank window runs over 50 rows — never the vocab-sized
+    // relation in one task (r12 eager-audit sweep)
     val w = Window.orderBy(abs(col("delta_ppm")).desc, col("tok"))
-    wide.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 50)
+    wide.orderBy(abs(col("delta_ppm")).desc, col("tok")).limit(50)
+      .withColumn("rk", row_number().over(w).cast("long"))
       .select("rk", "tok", "cnt_a", "ppm_a", "cnt_b", "ppm_b", "delta_ppm")
       .orderBy("rk")
   }
@@ -3352,20 +3601,24 @@ object OpsQueries {
       |  round(bigram_types / CAST(bigrams AS DOUBLE), 6) AS bigram_ttr
       |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin
 
-  // C52 (r8): curriculum phase assignment — order the corpus by an
-  // integer quality key (stopword density in parts-per-million:
-  // integer-exact, total order with the doc_id tie-break) and cut it
-  // into 4 training phases, highest quality first. This |docs|-row
-  // ntile window pins the SEMANTICS; the 100 TB path computes the
-  // same phase boundaries with the C35 histogram-and-boundary-bucket
-  // machinery instead of a global sort — the gate is the contract
-  // that path must reproduce.
+  // C52 (r8, refit r12): curriculum phase assignment — order the
+  // corpus by an integer quality key (stopword density in
+  // parts-per-million: integer-exact, total order with the doc_id
+  // tie-break) and cut it into 4 training phases, highest quality
+  // first. The r8 form ran ntile(4) over an UNPARTITIONED window — a
+  // single-task stage ∝ corpus that the r12 eager-plan audit flagged
+  // (the C119 defect class); now the global rank comes from the C74
+  // partition-wise prefix (Prefix.globalRank) and the exact ntile cut
+  // is a map-side expression on that rank — same phases, hash-equal,
+  // no single-task stage.
   def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
     val m = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
       .withColumn("qkey",
         expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
-    val w = Window.orderBy(col("qkey").desc, col("doc_id"))
-    m.withColumn("phase", ntile(4).over(w))
+    val (ranked, total) = Prefix.globalRank(m, "__rn",
+      Seq(col("qkey").desc, col("doc_id")))
+    ranked.withColumn("phase",
+        Prefix.ntileFromRank("__rn", 4, total).cast("int"))
       .select(col("doc_id"), col("qkey"), col("phase"))
       .orderBy(col("doc_id"))
   }
@@ -3791,17 +4044,21 @@ object OpsQueries {
       |FROM r WHERE run <= 50000
       |GROUP BY b ORDER BY b""".stripMargin
 
-  // C73 (r9): stride-scheduled mixture interleave over the language
-  // mix. Exports the first 100 schedule slots (order-sensitive: pos
-  // is part of the row) plus per-language counts within three prefix
-  // windows — the balance the interleave exists to provide. Integer
-  // stride keys + md5 per-source order: the oracle re-derives the
-  // ENTIRE schedule.
+  // C73 (r9, refit r12): stride-scheduled mixture interleave over the
+  // language mix. Exports the first 100 schedule slots
+  // (order-sensitive: pos is part of the row) plus per-language
+  // counts within three prefix windows — the balance the interleave
+  // exists to provide. Integer stride keys + md5 per-source order:
+  // the oracle re-derives the ENTIRE schedule. The global slot
+  // position was an unpartitioned row_number window (single-task,
+  // ∝ corpus — r12 eager-audit finding); it is now the C74
+  // partition-wise prefix over the same (stride_key, source, k)
+  // total order.
   def mixtureInterleaveQ(s: SparkSession, d: String): DataFrame = {
-    val sched = Packing.mixtureInterleave(T.documents(s, d),
-        col("lang"), col("doc_id"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("stride_key"), col("source"), col("k"))).cast("long"))
+    val sched0 = Packing.mixtureInterleave(T.documents(s, d),
+      col("lang"), col("doc_id"))
+    val sched = Prefix.globalRank(sched0, "pos",
+      Seq(col("stride_key"), col("source"), col("k")))._1
     val head = sched.filter(col("pos") <= 100)
       .select(lit("slot").as("kind"), col("pos"),
         col("source"), col("doc_id"))
@@ -3854,9 +4111,9 @@ object OpsQueries {
     val kept = Packing.sampleTemperature(
       T.documents(s, d).select(col("doc_id"), col("lang")),
       col("lang"), col("doc_id"), quarters = 2)
-    val sched = Packing.mixtureInterleave(kept, col("lang"), col("doc_id"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("stride_key"), col("source"), col("k"))).cast("long"))
+    val sched = Prefix.globalRank(
+      Packing.mixtureInterleave(kept, col("lang"), col("doc_id")), "pos",
+      Seq(col("stride_key"), col("source"), col("k")))._1
     val head = sched.filter(col("pos") <= 50)
       .select(lit("slot").as("kind"), col("pos"), col("source"), col("doc_id"))
     val prefix = sched.filter(col("pos") <= 500)
@@ -5068,15 +5325,18 @@ object OpsQueries {
     val outd = edges.groupBy("src").agg(count(lit(1)).as("n_out"),
       sum("weight").as("out_w"))
     val ind = edges.groupBy("dst").agg(sum("weight").as("in_w"))
-    ranks
+    val board = ranks
       .join(outd.withColumnRenamed("src", "node"), Seq("node"), "left")
       .join(ind.withColumnRenamed("dst", "node"), Seq("node"), "left")
       .select(col("node").as("host"), col("rank"),
         coalesce(col("n_out"), lit(0L)).as("n_out"),
         coalesce(col("out_w"), lit(0L)).as("out_w"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
-      .withColumn("rk", row_number()
-        .over(Window.orderBy(col("rank").desc, col("host"))).cast("long"))
+    // the centrality leaderboard rank: ∝ hosts, so the global
+    // position comes from the C74 partition-wise prefix, not an
+    // unpartitioned window (r12 eager-audit finding)
+    Prefix.globalRank(board, "rk", Seq(col("rank").desc, col("host")))._1
+      .select("host", "rank", "n_out", "out_w", "in_w", "rk")
       .orderBy("rk")
   }
 
@@ -5834,6 +6094,12 @@ object OpsQueries {
     QueryDef("mine_hard_negatives", mineHardNegatives, Some(oMineHardNegatives)),
     QueryDef("text_kn_ppl", textKnPpl, Some(oTextKnPpl)),
     QueryDef("corpus_kn_filtered", corpusKnFiltered, Some(oCorpusKnFiltered)),
+    QueryDef("vocab_zipf", vocabZipf, Some(oVocabZipf)),
+    QueryDef("lm_collocations", lmCollocations, Some(oLmCollocations)),
+    QueryDef("term_burstiness", termBurstiness, Some(oTermBurstiness)),
+    QueryDef("source_keyness", sourceKeyness, Some(oSourceKeyness)),
+    QueryDef("eval_mrr", evalMrr, Some(oEvalMrr)),
+    QueryDef("eval_bootstrap_ci", evalBootstrapCi, Some(oEvalBootstrapCi)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),

@@ -122,4 +122,62 @@ object Vocab {
       .agg(sum("new_tokens").as("distinct_tokens"))
       .orderBy("decile")
   }
+
+  /** Zipf rank–frequency + coverage curve (C123): the vocabulary
+    * ranked by corpus frequency, read out at log-spaced ranks
+    * (1, 2, 4, … powers of two, plus the final rank) with the exact
+    * cumulative token coverage in ppm at each — the curve behind
+    * every tokenizer-vocab-size decision ("how much of the corpus do
+    * the top 2^k types cover?") and the empirical Zipf-exponent fit
+    * (notebook work on top, as with the C119 Heaps curve — the
+    * exported curve itself is exact integers; C119 is vocabulary over
+    * INGEST order, this is mass over FREQUENCY order).
+    *
+    * Scale shape: one token hash-agg (∝ vocabulary), then the global
+    * (rank, cumulative count) over the (cnt DESC, token) total order
+    * via [[graft.ops.Prefix]]'s partition-wise machinery inlined with
+    * a running count column — range-partition + local sort, driver
+    * prefix over ≤ shuffle-partitions (count, sum) rows, local
+    * windows + broadcast offsets: no single-task stage. The
+    * power-of-two readout is a map-side bit test `(rank & (rank−1)) =
+    * 0`, so output is ∝ log₂(vocabulary) rows. Long headroom:
+    * coverage scales cumulative counts by 10⁶ — exact to ~9.2·10¹²
+    * total tokens (the C120 family bound); per-source sharding splits
+    * corpora beyond that.
+    */
+  def zipfCurve(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(split(text, " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortKeys = Seq(col("cnt").desc, col("token"))
+    val sorted = vocab.repartitionByRange(np, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nTypes = parts.iterator.map(_._2).sum
+    val total = parts.iterator.map(_._3).sum
+    var (rAcc, cAcc) = (0L, 0L)
+    val offs = parts.map { case (pid, n, sc) =>
+      val o = (pid, rAcc, cAcc); rAcc += n; cAcc += sc; o
+    }.toSeq
+    val offDf = broadcast(offs.toDF("__pid", "__rn0", "__c0"))
+    val lw = Window.partitionBy("__pid").orderBy(sortKeys: _*)
+    sorted
+      .withColumn("__lrn", row_number().over(lw).cast("long"))
+      .withColumn("__lcum",
+        sum(col("cnt")).over(lw.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(offDf, Seq("__pid"))
+      .select((col("__lrn") + col("__rn0")).as("rank"), col("token"),
+        col("cnt"), (col("__lcum") + col("__c0")).as("cum_cnt"))
+      .filter(expr("(rank & (rank - 1)) = 0") || col("rank") === lit(nTypes))
+      .withColumn("coverage_ppm", expr(s"cum_cnt * 1000000L div ${total}L"))
+      .orderBy("rank")
+  }
 }

@@ -1315,4 +1315,149 @@ class OpsSpec extends AnyFunSuite {
       ("on", "go", 2L, 3L, 666666L),
       ("z", "a", 2L, 4L, 500000L))) // context b (1 pair) under the floor
   }
+
+  test("Prefix.globalRank + ntileFromRank: law vs window row_number/ntile, uneven cut") {
+    import org.apache.spark.sql.expressions.Window
+    // 10 rows, 4 groups → ntile sizes 3,3,2,2 (the uneven-cut branch)
+    val df = Seq(7L, 3L, 9L, 1L, 5L, 2L, 8L, 4L, 6L, 10L).toDF("v")
+      .repartition(7) // deliberately misaligned input layout
+    val (ranked, total) = Prefix.globalRank(df, "rn", Seq(col("v")))
+    assert(total === 10L)
+    val got = ranked
+      .withColumn("ph", Prefix.ntileFromRank("rn", 4, total).cast("int"))
+      .orderBy("v").as[(Long, Long, Int)].collect().toSeq
+    val want = df.withColumn("rn", row_number().over(Window.orderBy("v")).cast("long"))
+      .withColumn("ph", ntile(4).over(Window.orderBy("v")))
+      .orderBy("v").as[(Long, Long, Int)].collect().toSeq
+    assert(got === want)
+    // and no unpartitioned window in the prefix plan
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("zipfCurve: planted counts at power-of-two ranks; law vs window re-derivation") {
+    import org.apache.spark.sql.expressions.Window
+    // a×8 b×4 c×2 d×1 → vocab 4, total 15; kept ranks 1,2,4(=final)
+    val docs = Seq((1L, "a a a a b b c"), (2L, "a a a a b b c d"))
+      .toDF("doc_id", "text")
+    val got = Vocab.zipfCurve(docs)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 8L, 8L, 533333L),
+      (2L, "b", 4L, 12L, 800000L),
+      (4L, "d", 1L, 15L, 1000000L))) // rank 3 (c) not a power of two
+    // law on real data: the prefix machinery equals a window re-derivation
+    val real = T.documents(spark, sf)
+    val naive = real.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        Window.orderBy(col("cnt").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val nv = naive.count()
+    val total = naive.agg(sum("cnt")).as[Long].head()
+    val wantReal = naive
+      .filter(expr("(rank & (rank - 1)) = 0") || col("rank") === nv)
+      .withColumn("coverage_ppm", expr(s"cum_cnt * 1000000L div ${total}L"))
+      .select("rank", "token", "cnt", "cum_cnt", "coverage_ppm")
+      .orderBy("rank").as[(Long, String, Long, Long, Long)].collect().toSeq
+    val gotReal = Vocab.zipfCurve(real)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(gotReal === wantReal)
+  }
+
+  test("collocations: hand-computed lift, minPair floor") {
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat the dog the cat")
+    ).toDF("doc_id", "text")
+    // pairs: new→york×3 york→new×2 the→cat×2 cat→the×1 the→dog×1
+    // dog→the×1 → N=10; marginals c1: new=3 york=2 the=3 cat=1 dog=1,
+    // c2: york=3 new=2 cat=2 the=2 dog=1
+    val got = CorpusStats.collocations(docs, minPair = 2L, k = 10)
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // york→new: pyx=2e6 div 2=1000000; lift=1e6*10 div 2=5000000
+      ("york", "new", 2L, 2L, 2L, 1000000L, 5000000L),
+      // new→york: pyx=3e6 div 3=1000000; lift=1e6*10 div 3=3333333
+      ("new", "york", 3L, 3L, 3L, 1000000L, 3333333L),
+      // the→cat: pyx=2e6 div 3=666666; lift=666666*10 div 2=3333330
+      ("the", "cat", 2L, 3L, 2L, 666666L, 3333330L)))
+  }
+
+  test("termBurstiness: planted bursty vs uniform term, zero-doc mass in the moments") {
+    val docs = Seq(
+      (1L, "x x x x u"), (2L, "u y"), (3L, "u y"), (4L, "u y")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.termBurstiness(docs, minDf = 1L, k = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // x: df=1 cf=4 s2=16 → 16e6/4 − 4e6/4 = 3000000 (bursty)
+    // u: df=4 cf=4 s2=4  → 1e6 − 1e6 = 0 (uniform, one per doc)
+    // y: df=3 cf=3 s2=3  → 1e6 − 750000 = 250000
+    assert(got === Seq(
+      ("x", 1L, 4L, 16L, 3000000L),
+      ("y", 3L, 3L, 3L, 250000L),
+      ("u", 4L, 4L, 4L, 0L)))
+  }
+
+  test("sourceKeyness: planted over-representation, staged exact ratio") {
+    val docs = Seq(
+      (1L, "aa aa aa bb", "A"), (2L, "bb bb bb aa", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.sourceKeyness(docs, minCnt = 1L, k = 2)
+      .orderBy("source", "rk")
+      .as[(String, Long, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // A: aa a=3 b=1 t_src=4 t_rest=4 → rate_s=750000 rate_r=250000
+    //    ratio=750000*4 div 1 = 3000000; bb a=1 b=3 → rate_s=250000
+    //    rate_r=750000 ratio=250000*4 div 3=333333
+    assert(got === Seq(
+      ("A", 1L, "aa", 3L, 1L, 750000L, 250000L, 3000000L),
+      ("A", 2L, "bb", 1L, 3L, 250000L, 750000L, 333333L),
+      ("B", 1L, "bb", 3L, 1L, 750000L, 250000L, 3000000L),
+      ("B", 2L, "aa", 1L, 3L, 250000L, 750000L, 333333L)))
+  }
+
+  test("poissonBootstrap: unit mean weight, determinism, degenerate-accuracy laws") {
+    val ids = (1L to 2000L).toDF("id")
+    val w = ids.withColumn("b", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("w", CorpusStats.poissonWeight("id", "b"))
+    val (n, sw) = w.agg(count(lit(1)), sum("w")).as[(Long, Long)].head()
+    assert(n === 8000L)
+    assert(math.abs(sw.toDouble / n - 1.0) < 0.05,
+      s"mean Poisson(1) weight should be ~1, got ${sw.toDouble / n}")
+    // deterministic: a second evaluation is bit-identical
+    val again = ids.withColumn("b", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("w", CorpusStats.poissonWeight("id", "b"))
+      .agg(sum("w")).as[Long].head()
+    assert(again === sw)
+    // degenerate laws: all-correct → 10⁶ ppm, all-wrong → 0, per replicate
+    val allC = CorpusStats.poissonBootstrapAccuracy(
+      ids.withColumn("correct", lit(1L)), col("id"), col("correct"), reps = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(allC.length === 4)
+    allC.foreach { case (_, nEff, nc, acc) =>
+      assert(nc === nEff); assert(acc === 1000000L)
+    }
+    val allW = CorpusStats.poissonBootstrapAccuracy(
+      ids.withColumn("correct", lit(0L)), col("id"), col("correct"), reps = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    allW.foreach { case (_, _, nc, acc) => assert(nc === 0L); assert(acc === 0L) }
+  }
+
+  test("evalMrr: reciprocal-rank/hit invariants on the gated run") {
+    val got = OpsQueries.evalMrr(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (q, nRel, fr, rr, h1, h5, h10) =>
+      assert(nRel >= 0L && nRel <= 10L, q)
+      assert(fr >= 0L && fr <= 10L, q)
+      if (fr > 0) assert(rr === 1000000L / fr, q) else assert(rr === 0L, q)
+      assert(h1 <= h5 && h5 <= h10, q)
+      assert((nRel > 0) === (h10 === 1L), q)
+      if (h1 === 1L) assert(fr === 1L, q)
+    }
+  }
 }
