@@ -23,6 +23,11 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_FULL=1 prints whole plans instead of the skeleton —
+    // the drill-down mode for adjudicating a flagged section (the
+    // skeleton drops the Project/Filter lines between an exchange and
+    // its real child)
+    val full = sys.env.get("SPARK_GRAFT_FULL").contains("1")
     val spark = SparkSession.builder().master("local[8]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
@@ -50,32 +55,67 @@ object ExplainAudit {
       l.contains("HashAggregate") || l.contains("Join") ||
       l.contains("Sort") || l.contains("Window") ||
       l.contains("Sessions")).toSeq
-    // a SinglePartition exchange whose child is a PARTIAL aggregate is
-    // the canonical scalar-reduce shape (one row per upstream
-    // partition crosses the exchange) — benign at any scale. Anything
-    // else funnels real rows into one task: the C119/C52/C73 defect
-    // class this audit exists to surface. Counted from the FULL plan
-    // (the skeleton drops the child lines the classification needs).
+    // a SinglePartition exchange whose child is a PARTIAL aggregate
+    // (one row per upstream partition crosses) or a LocalLimit (≤ n
+    // rows per partition cross — the take(n)/isEmpty probe shape) is
+    // benign at any scale. Anything else funnels real rows into one
+    // task: the C119/C52/C73 defect class this audit exists to
+    // surface. Counted from the FULL plan (the skeleton drops the
+    // child lines the classification needs).
     def suspectSingles(plan: String): Int = {
       val ls = plan.linesIterator.toArray
       ls.indices.count { i =>
         ls(i).contains("Exchange SinglePartition") && {
           val nxt = ls.drop(i + 1).find(_.trim.nonEmpty)
           !nxt.exists(l =>
-            (l.contains("HashAggregate(keys=[]") ||
-             l.contains("SortAggregate(key=[]") ||
-             l.contains("ObjectHashAggregate(keys=[]")) &&
-            l.contains("partial_"))
+            ((l.contains("HashAggregate(keys=[]") ||
+              l.contains("SortAggregate(key=[]") ||
+              l.contains("ObjectHashAggregate(keys=[]")) &&
+             l.contains("partial_")) ||
+            l.contains("LocalLimit "))
         }
       }
     }
-    def summarize(kept: Seq[String], plan: String): String = {
+    // Declared bounded-domain single-partition shapes, adjudicated in
+    // SURVEY §2: the exchanged relation is ∝ a bounded domain
+    // (calendar days, value levels, fixed bins/buckets) or a
+    // gate-fixture publish — not ∝ corpus. A query here prints
+    // `declaredSinglePartition` with its reason; any OTHER query with
+    // a non-partial-agg SinglePartition prints `suspect…` and is a
+    // regression to fix, not to re-adjudicate.
+    val declared = Map(
+      "q_changepoint" -> "calendar-day cumsum (B91 sweep)",
+      "q_concurrent_sessions" -> "calendar-day boundary sweep",
+      "q_mann_whitney" -> "value-level rank relation",
+      "q_period_over_period" -> "calendar-week lag",
+      "q_range_join" -> "calendar-day prefix over day nets",
+      "q_survival" -> "duration-bucket life table",
+      "select_token_budget" -> "config-sized score buckets (C35)",
+      "eval_auc_binned" -> "fixed 400-bin grid",
+      "q_window_actives" -> "calendar-day boundary weights",
+      "q_forecast_backtest" -> "calendar-day series",
+      "q_seasonal_index" -> "calendar-month index",
+      "q_trend_forecast" -> "calendar-day regression moments",
+      "q_equidepth_hist" -> "config-sized quantile boundaries",
+      "q_benford" -> "9-digit domain",
+      "q_ab_srm" -> "2-arm contingency",
+      "q_chi_squared" -> "bounded category contingency",
+      "q_gap_fill" -> "calendar grid",
+      "q_gap_interp" -> "calendar grid",
+      "mixture_waterfill" -> "sources-sized allocation relation",
+      "multimodal_dims" -> "fixture publish repartition(1), gate-sized media",
+      "multimodal_image_dedup" -> "fixture publish repartition(1), gate-sized media")
+    def summarize(kept: Seq[String], plan: String, name: String): String = {
       val scans = kept.count(_.contains("Scan parquet"))
       val reused = kept.count(_.contains("ReusedExchange"))
       val single = kept.count(_.contains("SinglePartition"))
       val suspect = suspectSingles(plan)
-      s"scans=$scans reusedExchange=$reused singlePartitionExchanges=$single" +
-        s" suspectSinglePartition=$suspect"
+      val tail = declared.get(name) match {
+        case Some(reason) if suspect > 0 =>
+          s" suspectSinglePartition=0 declaredSinglePartition=$suspect ($reason)"
+        case _ => s" suspectSinglePartition=$suspect"
+      }
+      s"scans=$scans reusedExchange=$reused singlePartitionExchanges=$single$tail"
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -90,14 +130,14 @@ object ExplainAudit {
         // buffer before it is read (see graftaudit.ListenerFlush)
         org.apache.spark.graftaudit.ListenerFlush.flush(spark.sparkContext)
         val kept = skeleton(plan)
-        println(s"-- ${summarize(kept, plan)}")
-        println(kept.mkString("\n"))
+        println(s"-- ${summarize(kept, plan, name)}")
+        println(if (full) plan else kept.mkString("\n"))
         val eager = captured.synchronized { captured.values.toSeq }
         eager.zipWithIndex.foreach { case (p, i) =>
           val ek = skeleton(p)
           println(s"---- eager stage ${i + 1}/${eager.size} ----")
-          println(s"-- ${summarize(ek, p)}")
-          println(ek.mkString("\n"))
+          println(s"-- ${summarize(ek, p, name)}")
+          println(if (full) p else ek.mkString("\n"))
         }
       } catch {
         case e: Exception =>

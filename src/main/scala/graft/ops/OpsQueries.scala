@@ -2278,6 +2278,63 @@ object OpsQueries {
        |    AS acc_ppm
        |FROM ws GROUP BY b ORDER BY b""".stripMargin
 
+  // C129 (r12): exact-k per-stratum sample — "exactly 5 docs per
+  // source, deterministically": the count-contract complement of
+  // C20's rate-based downsample, built on the bounded-buffer
+  // TopKByOrder so no stratum ever sorts its full membership (see
+  // Packing.sampleExactK). The draw is the C34-family multiplicative
+  // permutation at full resolution; the oracle re-derives membership,
+  // rank, and draw values via a window over the same arithmetic.
+  def sampleExactK(s: SparkSession, d: String): DataFrame =
+    Packing.sampleExactK(T.documents(s, d), col("source"), col("doc_id"), 5)
+      .orderBy("stratum", "rk")
+
+  private val oSampleExactK =
+    """WITH u AS (SELECT source AS stratum, doc_id,
+      |    (doc_id % 1000000007) * 554862419 % 1000000007 AS u
+      |  FROM documents),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY stratum
+      |         ORDER BY u, doc_id) AS BIGINT) AS rk FROM u)
+      |SELECT stratum, rk, doc_id, u FROM rk WHERE rk <= 5
+      |ORDER BY stratum, rk""".stripMargin
+
+  // C130 (r12): water-filling token-budget allocation — cap dominant
+  // sources at the common level τ where Σ min(c_s, τ) fits the
+  // budget (max-min fair mixture construction; see
+  // Packing.mixtureWaterfill for the exact integer k*/τ form). The
+  // 26 000-token budget at sf0.01 funds 9 sources fully and caps 11
+  // at τ = 1330, so the hash pins decisions on both sides of the
+  // level; the oracle re-derives the prefix scan, k*, τ, and every
+  // allocation.
+  def mixtureWaterfillQ(s: SparkSession, d: String): DataFrame =
+    Packing.mixtureWaterfill(T.documents(s, d), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"), 26000L)
+      .orderBy("source")
+
+  private val oMixtureWaterfill =
+    """WITH c AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY source),
+      |o AS (SELECT source, n_toks,
+      |        CAST(row_number() OVER (ORDER BY n_toks, source) AS BIGINT) AS k,
+      |        CAST(sum(n_toks) OVER (ORDER BY n_toks, source
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(count(*) OVER () AS BIGINT) AS n,
+      |        CAST(sum(n_toks) OVER () AS BIGINT) AS total
+      |      FROM c),
+      |star AS (SELECT coalesce(max(k), 0) AS ks, coalesce(max(cum), 0) AS cks
+      |         FROM o WHERE cum + (n - k) * n_toks <= 26000),
+      |tau AS (SELECT CASE WHEN (SELECT max(total) FROM o) <= 26000 THEN NULL
+      |  ELSE (26000 - (SELECT cks FROM star))
+      |         // ((SELECT max(n) FROM o) - (SELECT ks FROM star)) END AS tau)
+      |SELECT o.source, o.n_toks,
+      |  CASE WHEN tau.tau IS NULL OR o.k <= star.ks THEN o.n_toks
+      |       ELSE least(o.n_toks, tau.tau) END AS alloc,
+      |  CASE WHEN tau.tau IS NULL OR o.k <= star.ks THEN 1000000
+      |       ELSE least(o.n_toks, tau.tau) * 1000000 // o.n_toks END AS alloc_ppm
+      |FROM o, star, tau ORDER BY o.source""".stripMargin
+
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
   // The winning pair is vocab-sized driver state (a 1-row collect,
@@ -6100,6 +6157,8 @@ object OpsQueries {
     QueryDef("source_keyness", sourceKeyness, Some(oSourceKeyness)),
     QueryDef("eval_mrr", evalMrr, Some(oEvalMrr)),
     QueryDef("eval_bootstrap_ci", evalBootstrapCi, Some(oEvalBootstrapCi)),
+    QueryDef("sample_exact_k", sampleExactK, Some(oSampleExactK)),
+    QueryDef("mixture_waterfill", mixtureWaterfillQ, Some(oMixtureWaterfill)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),

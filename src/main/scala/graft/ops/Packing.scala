@@ -413,6 +413,87 @@ object Packing {
       .drop("__g")
   }
 
+  /** Exact-k per-stratum sample (SURVEY.md §2 C129) — "give me
+    * exactly k docs per language/source, deterministically": the
+    * complement of C20's fraction-based downsample, for eval-set and
+    * probe-set construction where the CONTRACT is a count, not a
+    * rate. The draw is the C34-family multiplicative permutation at
+    * full resolution (u = (id mod p)·c mod p, p = 10⁹+7 — a bijection
+    * on [0, p), so distinct ids under p never tie; the id tiebreak
+    * covers the rest), making membership engine-reproducible and
+    * stable under corpus growth (new ids insert into the order
+    * without reshuffling survivors).
+    *
+    * Scale shape: TopKByOrder — the bounded-buffer hash aggregate, so
+    * each task ships ≤ k rows per stratum to the shuffle and NO
+    * stratum ever sorts its full membership (the window form would
+    * sort ∝ stratum size); posexplode reads the rank straight off the
+    * buffer order, no rank window at all.
+    */
+  def sampleExactK(docs: DataFrame, strataCol: Column, idCol: Column,
+      k: Int): DataFrame = {
+    val P = 1000000007L
+    val M = 554862419L
+    val u = pmod(pmod(idCol.cast("long"), lit(P)) * lit(M), lit(P))
+    docs.select(strataCol.as("stratum"), idCol.cast("long").as("doc_id"))
+      .withColumn("u", u)
+      .groupBy("stratum")
+      .agg(graft.functions.TopKByOrder(struct(col("doc_id"), col("u")),
+        -col("u"), col("doc_id"), k).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rk"),
+        col("r.doc_id").as("doc_id"), col("r.u").as("u"))
+  }
+
+  /** Water-filling token-budget allocation across sources (SURVEY.md
+    * §2 C130) — the mixture-construction step that caps dominant
+    * domains: find the level τ where funding every source up to
+    * min(c_s, τ) exactly fits the budget, so small sources keep
+    * everything and large ones are capped at a COMMON ceiling (the
+    * max-min fair allocation; iterating "cap the biggest, recurse"
+    * converges to the same τ). Exact integer form: with sources
+    * ascending by (count, name) and prefix sums cum_k,
+    * k* = max{k : cum_k + (n−k)·c_k ≤ B} (the k smallest are fully
+    * fundable with everyone else at least at c_k), then
+    * τ = (B − cum_k*) div (n − k*); the ≤ (n−k*) unallocated
+    * remainder tokens from the floor are declared, not redistributed.
+    * A budget ≥ the corpus funds everything (τ = ∞ branch).
+    *
+    * Scale shape: one per-source token agg (∝ corpus tokens,
+    * partial-aggregable) down to a SOURCES-sized relation; the
+    * rank/prefix window runs over those ≤ |sources| rows (bounded
+    * domain — the C35 config-sized-state discipline), and the k*, τ
+    * scalars broadcast back as a 1-row cross join.
+    */
+  def mixtureWaterfill(docs: DataFrame, sourceCol: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = docs.groupBy(sourceCol.as("source"))
+      .agg(sum(tokens).as("n_toks"))
+    val w = Window.orderBy(col("n_toks"), col("source"))
+    val o = c.withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_toks"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n"),
+        sum(col("n_toks")).as("total"))))
+    val star = o.filter(col("cum") + (col("n") - col("k")) * col("n_toks")
+        <= lit(budget))
+      .agg(coalesce(max(col("k")), lit(0L)).as("ks"),
+        coalesce(max(when(col("cum") + (col("n") - col("k")) * col("n_toks")
+          <= lit(budget), col("cum"))), lit(0L)).as("cks"))
+    o.crossJoin(broadcast(star))
+      .withColumn("tau",
+        when(col("total") <= lit(budget), lit(null).cast("long"))
+          .otherwise(expr(s"(${budget}L - cks) div (n - ks)")))
+      .withColumn("alloc",
+        when(col("tau").isNull || col("k") <= col("ks"), col("n_toks"))
+          .otherwise(least(col("n_toks"), col("tau"))))
+      .withColumn("alloc_ppm",
+        when(col("tau").isNull || col("k") <= col("ks"), lit(1000000L))
+          .otherwise(expr("least(n_toks, tau) * 1000000L div n_toks")))
+      .select("source", "n_toks", "alloc", "alloc_ppm")
+  }
+
   /** Stride-scheduled mixture interleave (SURVEY.md §2 C73) — the
     * deterministic weighted round-robin a data loader runs so an
     * epoch's sources are SPREAD through the stream instead of read in

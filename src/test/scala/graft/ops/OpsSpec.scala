@@ -1447,6 +1447,55 @@ class OpsSpec extends AnyFunSuite {
     allW.foreach { case (_, _, nc, acc) => assert(nc === 0L); assert(acc === 0L) }
   }
 
+  test("sampleExactK: equals window truth, no sort/window in the plan, growth-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "source")
+    val got = Packing.sampleExactK(docs, col("source"), col("doc_id"), 3)
+      .orderBy("stratum", "rk")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val P = 1000000007L
+    val want = docs
+      .withColumn("u", pmod(pmod(col("doc_id"), lit(P)) * 554862419L, lit(P)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("u", "doc_id")).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("doc_id"), col("u"))
+      .orderBy("source", "rk")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // bounded-buffer agg, not a per-stratum sort
+    val plan = Packing.sampleExactK(docs, col("source"), col("doc_id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ["), plan)
+    // growth stability: doubling the corpus only displaces, never reorders
+    val grown = Packing.sampleExactK(
+      (1L to 80L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+        .toDF("doc_id", "source"), col("source"), col("doc_id"), 3)
+      .select("stratum", "doc_id").as[(String, Long)].collect().toSet
+    val keptOld = got.map(t => (t._1, t._3)).toSet
+    // every survivor of the grown run that is an OLD id was already kept
+    assert(grown.filter(_._2 <= 40L).subsetOf(keptOld))
+  }
+
+  test("mixtureWaterfill: hand-computed level, full-funding and floor branches") {
+    val docs = (Seq.fill(10)("A") ++ Seq.fill(20)("B") ++ Seq.fill(100)("C"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source").withColumn("t", lit(1L))
+    def run(b: Long) =
+      Packing.mixtureWaterfill(docs, col("source"), col("t"), b)
+        .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    // B=60: k*=2 (A,B fully funded), tau=(60-30)/1=30 → C capped at 30
+    assert(run(60L) === Seq(("A", 10L, 10L, 1000000L),
+      ("B", 20L, 20L, 1000000L), ("C", 100L, 30L, 300000L)))
+    // B=15: k*=0, tau=15 div 3=5 → everyone capped
+    assert(run(15L) === Seq(("A", 10L, 5L, 500000L),
+      ("B", 20L, 5L, 250000L), ("C", 100L, 5L, 50000L)))
+    // B >= total: all fully funded
+    assert(run(200L) === Seq(("A", 10L, 10L, 1000000L),
+      ("B", 20L, 20L, 1000000L), ("C", 100L, 100L, 1000000L)))
+  }
+
   test("evalMrr: reciprocal-rank/hit invariants on the gated run") {
     val got = OpsQueries.evalMrr(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
