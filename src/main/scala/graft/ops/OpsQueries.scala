@@ -2335,6 +2335,94 @@ object OpsQueries {
       |       ELSE least(o.n_toks, tau.tau) * 1000000 // o.n_toks END AS alloc_ppm
       |FROM o, star, tau ORDER BY o.source""".stripMargin
 
+  // C131 (r12): Krippendorff's alpha (nominal, binary) — the
+  // agreement coefficient that HANDLES MISSING RATINGS, which is what
+  // separates it from Cohen (C116, exactly 2 complete raters) and
+  // Fleiss (C117, fixed rater count per item): real annotation
+  // batches have raters that skip items. Three threshold raters on
+  // the C53 integer quality score (θ = −50 000 / 0 / 50 000), each
+  // deterministically skipping a different 20% of docs
+  // ((doc_id + r) mod 5 = 0), so units carry m ∈ {2, 3} ratings and
+  // single-rating units drop (Krippendorff's rule). Exact integer
+  // form via the coincidence matrix: with S2 = Σ_u o_k·o_d·(2 div
+  // (m_u−1)) (integer — m−1 ∈ {1, 2} divides 2), n = Σ m_u,
+  // n_k + n_d = n:
+  //
+  //   alpha = 1 − S2·(n−1)/(2·n_k·n_d)
+  //
+  // pinned two-step floor: d1 = (S2·10⁶) div (2·n_k), alpha_ppm =
+  // 10⁶ − (d1·(n−1)) div n_d. Long headroom: S2 ≤ 6·n_k (each keep
+  // rating pairs with ≤ 2 others, coincidence factor ≤ 2) ⇒ d1 ≤
+  // 3·10⁶, so d1·(n−1) is Long-safe to n ≈ 3·10¹² ratings. Scale:
+  // the ratings relation is 3× docs (map-side explode), one per-doc
+  // hash agg, one scalar reduce — no windows, no joins.
+  def evalKrippendorff(s: SparkSession, d: String): DataFrame = {
+    val score = TextAnalysis.qualityMetrics(T.documents(s, d), col("text"))
+      .withColumn("stop_ppm",
+        expr("cast(stop_n as bigint) * 1000000 div n_tokens"))
+      .withColumn("punct_ppm",
+        expr("cast(punct_n as bigint) * 1000000 div n_chars_m"))
+      .withColumn("len_c", least(col("n_tokens"), lit(500)).cast("long"))
+      .withColumn("score",
+        lit(-140000L) + col("len_c") * lit(400L) +
+          col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
+      .select("doc_id", "score")
+    val ratings = score
+      .withColumn("r", explode(sequence(lit(1L), lit(3L))))
+      .filter(expr("(doc_id + r) % 5 != 0"))
+      .withColumn("keep", expr(
+        "CAST(score > element_at(array(-50000L, 0L, 50000L), CAST(r AS INT)) AS BIGINT)"))
+    krippendorffBinary(ratings)
+  }
+
+  /** Krippendorff's alpha over a binary `(doc_id, keep)` ratings
+    * relation (multiple rows per doc = multiple raters; missing
+    * ratings simply absent; units with < 2 ratings drop). See
+    * [[evalKrippendorff]] for the exact-integer form and headroom.
+    */
+  private[graft] def krippendorffBinary(ratings: DataFrame): DataFrame =
+    ratings.groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), sum(col("keep")).as("ok"))
+      .filter(col("m") >= 2L)
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(col("m")).as("n"),
+        sum(col("ok")).as("n_k"),
+        sum(expr("ok * (m - ok) * (2L div (m - 1L))")).as("s2"))
+      .withColumn("n_d", col("n") - col("n_k"))
+      .withColumn("alpha_ppm", expr(
+        "1000000L - ((s2 * 1000000L div (2L * n_k)) * (n - 1L)) div n_d"))
+      .select("n_units", "n", "n_k", "n_d", "s2", "alpha_ppm")
+
+  private val oEvalKrippendorff =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (-140000 + least(len(string_split(text, ' ')), 500) * 400
+       |     + (len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t)))
+       |        * 1000000 // len(string_split(text, ' '))) * 2
+       |     - (len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}'))
+       |        * 1000000 // length(text)) * 3) AS score
+       |  FROM documents),
+       |ratings AS (
+       |  SELECT doc_id,
+       |    CASE WHEN score > ([-50000, 0, 50000])[r] THEN 1 ELSE 0 END AS keep
+       |  FROM q, unnest(range(1, 4)) AS t(r)
+       |  WHERE (doc_id + r) % 5 != 0),
+       |units AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(keep) AS BIGINT) AS ok
+       |  FROM ratings GROUP BY doc_id HAVING count(*) >= 2),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(m) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS n_k,
+       |    CAST(sum(ok * (m - ok) * (2 // (m - 1))) AS BIGINT) AS s2
+       |  FROM units)
+       |SELECT n_units, n, n_k, n - n_k AS n_d, s2,
+       |  1000000 - ((s2 * 1000000 // (2 * n_k)) * (n - 1)) // (n - n_k)
+       |    AS alpha_ppm
+       |FROM agg""".stripMargin
+
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
   // The winning pair is vocab-sized driver state (a 1-row collect,
@@ -6159,6 +6247,7 @@ object OpsQueries {
     QueryDef("eval_bootstrap_ci", evalBootstrapCi, Some(oEvalBootstrapCi)),
     QueryDef("sample_exact_k", sampleExactK, Some(oSampleExactK)),
     QueryDef("mixture_waterfill", mixtureWaterfillQ, Some(oMixtureWaterfill)),
+    QueryDef("eval_krippendorff", evalKrippendorff, Some(oEvalKrippendorff)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),

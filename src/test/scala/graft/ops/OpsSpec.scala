@@ -1496,6 +1496,32 @@ class OpsSpec extends AnyFunSuite {
       ("B", 20L, 20L, 1000000L), ("C", 100L, 100L, 1000000L)))
   }
 
+  test("krippendorffBinary: hand-computed alpha with missing ratings, degenerate laws") {
+    // units: (3 keeps), (1k 1d), (1k 2d), (2d); the 1-rating unit drops
+    // S2 = 0 + 1·1·2 + 1·2·1 + 0 = 4; n=10 n_k=5 n_d=5
+    // alpha = 1 − 4·9/50 = 0.28 → pinned 280000 ppm exactly
+    val ratings = Seq(
+      (1L, 1L), (1L, 1L), (1L, 1L),
+      (2L, 1L), (2L, 0L),
+      (3L, 1L), (3L, 0L), (3L, 0L),
+      (4L, 0L), (4L, 0L),
+      (5L, 1L) // single rating — must drop
+    ).toDF("doc_id", "keep")
+    val got = OpsQueries.krippendorffBinary(ratings)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((4L, 10L, 5L, 5L, 4L, 280000L)))
+    // perfect agreement → alpha 10⁶ exactly
+    val perfect = Seq((1L, 1L), (1L, 1L), (2L, 0L), (2L, 0L))
+      .toDF("doc_id", "keep")
+    assert(OpsQueries.krippendorffBinary(perfect)
+      .select("alpha_ppm").as[Long].head() === 1000000L)
+    // systematic disagreement (every unit split) → alpha < 0
+    val split = Seq((1L, 1L), (1L, 0L), (2L, 1L), (2L, 0L))
+      .toDF("doc_id", "keep")
+    assert(OpsQueries.krippendorffBinary(split)
+      .select("alpha_ppm").as[Long].head() < 0L)
+  }
+
   test("evalMrr: reciprocal-rank/hit invariants on the gated run") {
     val got = OpsQueries.evalMrr(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
