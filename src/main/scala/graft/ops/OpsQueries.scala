@@ -2423,6 +2423,117 @@ object OpsQueries {
        |    AS alpha_ppm
        |FROM agg""".stripMargin
 
+  // C132 (r12): rank-biased overlap between the lexical and the
+  // fused ranking — Webber et al.'s top-weighted ranking-similarity
+  // measure, the eval a retrieval stack runs to answer "how much did
+  // fusion actually change the ranking?" (C109/C126 grade ONE ranking
+  // against labels; RBO compares two rankings to each other, no
+  // labels). Truncated RBO at depth k = 10 with persistence p = 1/2:
+  // the weights are dyadic rationals, so the WHOLE measure is exact
+  // integer arithmetic — rbo = Σ_d 2^(10−d)·Agr_d/(2^10−1) with
+  // Agr_d = X_d/d, and swapping the order of summation turns the
+  // prefix-overlap series into ONE pinned per-pair weight: a doc
+  // ranked ra/rb in the two lists contributes W(max(ra, rb)) where
+  // W(m) = Σ_{d≥m} 2^(10−d)·(2520/d) over the common denominator
+  // 1023·2520 = 2 577 960 (2520 = lcm(1..10)). Identical rankings
+  // sum to exactly 10⁶ ppm; disjoint to 0. Per-pair weights make the
+  // whole eval one (query, doc) join + one agg — state ∝ queries × k.
+  def evalRbo(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val emb = T.embeddings(s, d)
+    val lex = Retrieval.bm25TopK(docs, col("doc_id"),
+      split(lower(col("text")), " "),
+      Seq(("q1", Seq("hash", "join")),
+        ("q2", Seq("stream", "window", "merge")),
+        ("q3", Seq("vector", "scan"))),
+      k = 10).select("query", "doc_id", "rk")
+    val qvec = emb.filter(col("vec_id") < 3)
+      .select(concat(lit("q"), (col("vec_id") + 1).cast("string")).as("query"),
+        col("embedding"))
+    val dense = Retrieval.denseRanks(qvec, emb, 10)
+    val fused = Retrieval.rrfFuse(Seq(lex, dense), 10)
+      .select("query", "doc_id", "rk")
+    Retrieval.rbo(lex, fused).orderBy("query")
+  }
+
+  private lazy val oEvalRbo = {
+    val body = oTextRrfFusion
+      .replaceFirst(
+        "(?s)SELECT query, CAST\\(rk AS INT\\) AS rk, doc_id, rrf_nano, n_systems FROM \\(",
+        ", fused AS (SELECT query, rk, doc_id FROM (")
+      .stripSuffix("WHERE rk <= 10 ORDER BY query, rk") +
+      "WHERE rk <= 10)"
+    s"""$body,
+       |lextop AS (SELECT query, doc_id, rk FROM lex WHERE rk <= 10),
+       |pairs AS (SELECT l.query, greatest(l.rk, f2.rk) AS m
+       |          FROM lextop l JOIN fused f2 USING (query, doc_id)),
+       |wt AS (SELECT query, CAST(count(*) AS BIGINT) AS n_common,
+       |  CAST(sum(CASE m WHEN 1 THEN 1788440 WHEN 2 THEN 498200
+       |    WHEN 3 THEN 175640 WHEN 4 THEN 68120 WHEN 5 THEN 27800
+       |    WHEN 6 THEN 11672 WHEN 7 THEN 4952 WHEN 8 THEN 2072
+       |    WHEN 9 THEN 812 ELSE 252 END) AS BIGINT) AS wsum
+       |  FROM pairs GROUP BY query)
+       |SELECT q.query, coalesce(wt.n_common, 0) AS n_common,
+       |  coalesce(wt.wsum, 0) AS wsum,
+       |  coalesce(wt.wsum, 0) * 1000000 // 2577960 AS rbo_ppm
+       |FROM (SELECT DISTINCT query FROM lextop) q LEFT JOIN wt USING (query)
+       |ORDER BY q.query""".stripMargin
+  }
+
+  // C133 (r12): language-consistency / code-switching screen — C8
+  // labels the WHOLE doc; this labels each half independently and
+  // flags disagreement, the cheap detector for concatenation
+  // artifacts, template+content mixes, and code-switched documents
+  // that a whole-doc argmax averages away (a multilingual curation
+  // pipeline routes such docs to segment-level handling instead of a
+  // single-language bucket). Same deterministic stop-score argmax as
+  // C8 (first-max-in-fixed-order ties), applied to the first and
+  // second token halves; docs under 8 tokens have no meaningful half
+  // and drop. One codegen'd map pass — the halves are slices of the
+  // already-split token array; no joins, no shuffle beyond the
+  // output sort.
+  def textLangConsistency(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .withColumn("na", expr("size(ts) div 2"))
+      .select(col("doc_id"),
+        TextAnalysis.langId(expr("array_join(slice(ts, 1, na), ' ')"))
+          .as("lang_a"),
+        TextAnalysis.langId(
+          expr("array_join(slice(ts, na + 1, size(ts) - na), ' ')"))
+          .as("lang_b"))
+      .withColumn("consistent", expr("CAST(lang_a = lang_b AS BIGINT)"))
+      .orderBy("doc_id")
+
+  private val oTextLangConsistency = {
+    def scores(c: String, sfx: String) = TextAnalysis.Stopwords.map {
+      case (l, _) =>
+        s"len(list_filter(string_split($c, ' '), t -> list_contains(${stopListSql(l)}, t))) AS s_${l}_$sfx"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    def m(sfx: String) = langs.map(l => s"s_${l}_$sfx")
+      .mkString("greatest(", ", ", ")")
+    def pick(sfx: String) = langs.init
+      .map(l => s"WHEN s_${l}_$sfx = m_$sfx THEN '$l'").mkString(" ")
+    def langCase(sfx: String) =
+      s"CASE WHEN m_$sfx = 0 THEN 'und' ${pick(sfx)} ELSE '${langs.last}' END"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+       |           FROM documents),
+       |h AS (SELECT doc_id,
+       |  array_to_string(ts[1 : len(ts) // 2], ' ') AS ta,
+       |  array_to_string(ts[len(ts) // 2 + 1 : len(ts)], ' ') AS tb
+       |FROM t WHERE len(ts) >= 8),
+       |sc AS (SELECT doc_id,
+       |  ${scores("ta", "a")},
+       |  ${scores("tb", "b")}
+       |FROM h),
+       |mm AS (SELECT *, ${m("a")} AS m_a, ${m("b")} AS m_b FROM sc)
+       |SELECT doc_id, ${langCase("a")} AS lang_a, ${langCase("b")} AS lang_b,
+       |  CAST((${langCase("a")}) = (${langCase("b")}) AS BIGINT) AS consistent
+       |FROM mm ORDER BY doc_id""".stripMargin
+  }
+
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
   // The winning pair is vocab-sized driver state (a 1-row collect,
@@ -6248,6 +6359,9 @@ object OpsQueries {
     QueryDef("sample_exact_k", sampleExactK, Some(oSampleExactK)),
     QueryDef("mixture_waterfill", mixtureWaterfillQ, Some(oMixtureWaterfill)),
     QueryDef("eval_krippendorff", evalKrippendorff, Some(oEvalKrippendorff)),
+    QueryDef("eval_rbo", evalRbo, Some(oEvalRbo)),
+    QueryDef("text_lang_consistency", textLangConsistency,
+      Some(oTextLangConsistency)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),

@@ -146,4 +146,35 @@ object Retrieval {
       .select(col("query"), col("rk").cast("int").as("rk"), col("doc_id"),
         col("rrf_nano"), col("n_systems"))
   }
+
+  /** Rank-biased overlap at depth 10, persistence p = 1/2 (SURVEY.md
+    * §2 C132) between two `(query, doc_id, rk ≤ 10)` rankings —
+    * Webber et al.'s top-weighted ranking similarity, exact because
+    * the p = 1/2 weights are dyadic rationals: rbo =
+    * Σ_d 2^(10−d)·(X_d/d)/(2^10−1) with X_d the depth-d prefix
+    * overlap, and swapping the summation order turns the series into
+    * ONE pinned integer weight per common doc, W(max(ra, rb)) =
+    * Σ_{d≥m} 2^(10−d)·(2520/d) over the common denominator
+    * 1023·2520 = 2 577 960 (2520 = lcm(1..10)). Identical rankings
+    * hit exactly 10⁶ ppm; disjoint ones 0; queries with no common doc
+    * still emit a 0 row (anchored on the first ranking's query set).
+    * Scale: both inputs are |queries|·k relations, so the join + agg
+    * are eval-sized at any corpus size.
+    */
+  def rbo(a: DataFrame, b: DataFrame): DataFrame = {
+    val wCase = "CASE greatest(rk, rkb) WHEN 1 THEN 1788440L " +
+      "WHEN 2 THEN 498200L WHEN 3 THEN 175640L WHEN 4 THEN 68120L " +
+      "WHEN 5 THEN 27800L WHEN 6 THEN 11672L WHEN 7 THEN 4952L " +
+      "WHEN 8 THEN 2072L WHEN 9 THEN 812L ELSE 252L END"
+    val agg = a.join(b.select(col("query"), col("doc_id"),
+        col("rk").as("rkb")), Seq("query", "doc_id"))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_common"), sum(expr(wCase)).as("wsum"))
+    a.select("query").distinct()
+      .join(agg, Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("wsum"), lit(0L)).as("wsum"))
+      .withColumn("rbo_ppm", expr("wsum * 1000000L div 2577960L"))
+  }
 }

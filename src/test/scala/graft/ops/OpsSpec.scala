@@ -1335,6 +1335,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("Prefix.globalRank/ntileFromRank: law holds across shapes (ties, tiny n, n<groups)") {
+    import org.apache.spark.sql.expressions.Window
+    // (rows, key-modulus [small modulus ⇒ heavy ties], input partitions,
+    //  ntile groups) — includes n < groups (q=0 branch), n == groups,
+    // single row, and a 97%-tie column
+    val shapes = Seq((1, 1, 1, 4), (3, 2, 2, 4), (4, 1, 3, 4),
+      (257, 3, 7, 4), (1000, 1, 13, 7), (1000, 500, 5, 3))
+    for ((n, mod, parts, groups) <- shapes) {
+      val df = spark.range(0, n.toLong)
+        .select(col("id"), pmod(col("id") * 2654435761L, lit(mod.toLong)).as("v"))
+        .repartition(parts)
+      val (ranked, total) = Prefix.globalRank(df, "rn", Seq(col("v"), col("id")))
+      assert(total === n.toLong, s"shape $n/$mod/$parts")
+      val got = ranked
+        .withColumn("ph", Prefix.ntileFromRank("rn", groups, total).cast("int"))
+        .orderBy("id").select("id", "rn", "ph")
+        .as[(Long, Long, Int)].collect().toSeq
+      val w = Window.orderBy(col("v"), col("id"))
+      val want = df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("ph", ntile(groups).over(w))
+        .orderBy("id").select("id", "rn", "ph")
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got === want, s"shape rows=$n mod=$mod parts=$parts groups=$groups")
+    }
+  }
+
   test("zipfCurve: planted counts at power-of-two ranks; law vs window re-derivation") {
     import org.apache.spark.sql.expressions.Window
     // a×8 b×4 c×2 d×1 → vocab 4, total 15; kept ranks 1,2,4(=final)
@@ -1520,6 +1546,46 @@ class OpsSpec extends AnyFunSuite {
       .toDF("doc_id", "keep")
     assert(OpsQueries.krippendorffBinary(split)
       .select("alpha_ppm").as[Long].head() < 0L)
+  }
+
+  test("rbo: identical=10⁶ ppm exactly, reversed hand value, disjoint emits 0 row") {
+    def rank(q: String, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (q, id, i + 1) }
+        .toDF("query", "doc_id", "rk")
+    val a = rank("q", 1L to 10L)
+    assert(Retrieval.rbo(a, rank("q", 1L to 10L))
+      .select("rbo_ppm").as[Long].head() === 1000000L)
+    // reversed: m = max(r, 11−r) → [10,9,8,7,6,6,7,8,9,10], wsum =
+    // 2·(W10+W9+W8+W7+W6) = 39520 → 39520·10⁶ div 2577960 = 15329 ppm
+    val rev = Retrieval.rbo(a, rank("q", (1L to 10L).reverse))
+      .as[(String, Long, Long, Long)].head()
+    assert(rev === (("q", 10L, 39520L, 15329L)))
+    // disjoint doc sets: the query still reports, at zero
+    assert(Retrieval.rbo(a, rank("q", 11L to 20L))
+      .as[(String, Long, Long, Long)].head() === (("q", 0L, 0L, 0L)))
+  }
+
+  test("textLangConsistency: planted code-switch splits, short docs drop") {
+    val docs = Seq(
+      (1L, "the cat and a dog is here x der hund ist nicht die katze"), // en|de
+      (2L, "the cat and a dog is in the house and a bird too"), // en|en
+      (3L, "xx yy zz ww qq rr ss tt"), // und|und — consistent by equality
+      (4L, "the a of to") // 4 tokens < 8 — drops
+    ).toDF("doc_id", "text")
+    // the same half-split + argmax chain the gate runs, on planted docs
+    val base = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .withColumn("na", expr("size(ts) div 2"))
+      .select(col("doc_id"),
+        TextAnalysis.langId(expr("array_join(slice(ts, 1, na), ' ')")).as("lang_a"),
+        TextAnalysis.langId(expr("array_join(slice(ts, na + 1, size(ts) - na), ' ')")).as("lang_b"))
+      .withColumn("consistent", expr("CAST(lang_a = lang_b AS BIGINT)"))
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(base === Seq(
+      (1L, "en", "de", 0L),
+      (2L, "en", "en", 1L),
+      (3L, "und", "und", 1L)))
   }
 
   test("evalMrr: reciprocal-rank/hit invariants on the gated run") {
