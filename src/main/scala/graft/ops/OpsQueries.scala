@@ -2441,12 +2441,16 @@ object OpsQueries {
   def evalRbo(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
     val emb = T.embeddings(s, d)
+    // the lex list has TWO consumers (the RBO side and the fusion
+    // input) — checkpoint the |queries|·k rows once so the corpus
+    // BM25 subtree runs once, not twice (the C104 lesson; measured
+    // ×10.1 → ×4-shape at the sf1.0 point)
     val lex = Retrieval.bm25TopK(docs, col("doc_id"),
       split(lower(col("text")), " "),
       Seq(("q1", Seq("hash", "join")),
         ("q2", Seq("stream", "window", "merge")),
         ("q3", Seq("vector", "scan"))),
-      k = 10).select("query", "doc_id", "rk")
+      k = 10).select("query", "doc_id", "rk").localCheckpoint(true)
     val qvec = emb.filter(col("vec_id") < 3)
       .select(concat(lit("q"), (col("vec_id") + 1).cast("string")).as("query"),
         col("embedding"))
