@@ -142,10 +142,21 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] prev record unreadable: $e"); None }
     }
-    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(recordPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] record write skipped: $e") }
+    // The record FILE is written only on explicit request: either
+    // SPARK_GRAFT_RECORD=1 (committed-record refresh protocol) or an
+    // explicit SPARK_GRAFT_BENCH_OUT path. Default is print-only —
+    // three rounds running, scoped SPARK_GRAFT_ONLY= iteration runs
+    // and the driver's own sweep clobbered the committed quiet-box
+    // BENCH_LOCAL.json by side effect (r12 verdict #4); an opt-in
+    // write ends that class structurally instead of by discipline.
+    val recordPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (sys.env.get("SPARK_GRAFT_RECORD").contains("1"))
+        Some("BENCH_LOCAL.json") else None)
+    recordPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] record write skipped: $e") }
+    }
     // Per-query delta vs a previous bench artifact (regression catch;
     // stderr only, so the driver's one-line JSON contract holds).
     prevBytes.foreach { prev =>

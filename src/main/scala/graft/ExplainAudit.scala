@@ -79,40 +79,44 @@ object ExplainAudit {
     // Declared bounded-domain single-partition shapes, adjudicated in
     // SURVEY §2: the exchanged relation is ∝ a bounded domain
     // (calendar days, value levels, fixed bins/buckets) or a
-    // gate-fixture publish — not ∝ corpus. A query here prints
-    // `declaredSinglePartition` with its reason; any OTHER query with
-    // a non-partial-agg SinglePartition prints `suspect…` and is a
+    // gate-fixture publish — not ∝ corpus. Each entry carries the
+    // EXPECTED per-section suspect count (ADVICE r12): only that many
+    // are folded into `declaredSinglePartition`; any EXCESS — a
+    // newly-introduced, unrelated single-task exchange in a declared
+    // query — still prints as `suspectSinglePartition` and is a
     // regression to fix, not to re-adjudicate.
     val declared = Map(
-      "q_changepoint" -> "calendar-day cumsum (B91 sweep)",
-      "q_concurrent_sessions" -> "calendar-day boundary sweep",
-      "q_mann_whitney" -> "value-level rank relation",
-      "q_period_over_period" -> "calendar-week lag",
-      "q_range_join" -> "calendar-day prefix over day nets",
-      "q_survival" -> "duration-bucket life table",
-      "select_token_budget" -> "config-sized score buckets (C35)",
-      "eval_auc_binned" -> "fixed 400-bin grid",
-      "q_window_actives" -> "calendar-day boundary weights",
-      "q_forecast_backtest" -> "calendar-day series",
-      "q_seasonal_index" -> "calendar-month index",
-      "q_trend_forecast" -> "calendar-day regression moments",
-      "q_equidepth_hist" -> "config-sized quantile boundaries",
-      "q_benford" -> "9-digit domain",
-      "q_ab_srm" -> "2-arm contingency",
-      "q_chi_squared" -> "bounded category contingency",
-      "q_gap_fill" -> "calendar grid",
-      "q_gap_interp" -> "calendar grid",
-      "mixture_waterfill" -> "sources-sized allocation relation",
-      "multimodal_dims" -> "fixture publish repartition(1), gate-sized media",
-      "multimodal_image_dedup" -> "fixture publish repartition(1), gate-sized media")
+      "q_changepoint" -> (2, "calendar-day cumsum (B91 sweep)"),
+      "q_concurrent_sessions" -> (1, "calendar-day boundary sweep"),
+      "q_mann_whitney" -> (1, "value-level rank relation"),
+      "q_period_over_period" -> (1, "calendar-week lag"),
+      "q_range_join" -> (1, "calendar-day prefix over day nets"),
+      "q_survival" -> (1, "duration-bucket life table"),
+      "select_token_budget" -> (1, "config-sized score buckets (C35)"),
+      "eval_auc_binned" -> (1, "fixed 400-bin grid"),
+      "q_window_actives" -> (1, "calendar-day boundary weights"),
+      "q_forecast_backtest" -> (1, "calendar-day series"),
+      "q_seasonal_index" -> (1, "calendar-month index"),
+      "q_trend_forecast" -> (1, "calendar-day regression moments"),
+      "q_equidepth_hist" -> (1, "config-sized quantile boundaries"),
+      "q_benford" -> (1, "9-digit domain"),
+      "q_ab_srm" -> (1, "2-arm contingency"),
+      "q_chi_squared" -> (1, "bounded category contingency"),
+      "q_gap_fill" -> (1, "calendar grid"),
+      "q_gap_interp" -> (1, "calendar grid"),
+      "mixture_waterfill" -> (2, "sources-sized allocation relation"),
+      "multimodal_dims" -> (1, "fixture publish repartition(1), gate-sized media"),
+      "multimodal_image_dedup" -> (1, "fixture publish repartition(1), gate-sized media"))
     def summarize(kept: Seq[String], plan: String, name: String): String = {
       val scans = kept.count(_.contains("Scan parquet"))
       val reused = kept.count(_.contains("ReusedExchange"))
       val single = kept.count(_.contains("SinglePartition"))
       val suspect = suspectSingles(plan)
       val tail = declared.get(name) match {
-        case Some(reason) if suspect > 0 =>
-          s" suspectSinglePartition=0 declaredSinglePartition=$suspect ($reason)"
+        case Some((expected, reason)) if suspect > 0 =>
+          val folded = math.min(suspect, expected)
+          s" suspectSinglePartition=${suspect - folded}" +
+            s" declaredSinglePartition=$folded ($reason)"
         case _ => s" suspectSinglePartition=$suspect"
       }
       s"scans=$scans reusedExchange=$reused singlePartitionExchanges=$single$tail"

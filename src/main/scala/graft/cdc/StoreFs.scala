@@ -16,10 +16,22 @@ import java.nio.charset.StandardCharsets
   * local-disk-only.
   *
   * Atomic-replace contract, per scheme:
-  *  - `hdfs://` and `file://`: `FileContext.rename(OVERWRITE)` is an
-  *    atomic metadata op — readers see the old or the new pointer,
-  *    never a torn one. This is the contract the pointer swap relies
-  *    on.
+  *  - `hdfs://`: `FileContext.rename(OVERWRITE)` is one atomic
+  *    namenode op (`DistributedFileSystem` overrides the 3-arg
+  *    rename) — readers see the old or the new pointer, never a torn
+  *    one or a missing one.
+  *  - `file://`: Hadoop's DEFAULT 3-arg rename — the one `LocalFs`
+  *    inherits — is documented non-atomic: OVERWRITE is implemented
+  *    as delete(dst) THEN rename(src, dst), so a concurrent pointer
+  *    read lands in a window where the file does not exist
+  *    (reproduced at ~10⁵ absent sightings/6 s under reader pressure
+  *    by `StressBenchNew11`; surfaced as the r12 TxnSpec flake where
+  *    `deleteWhere` returned None mid-retry). Local replaces
+  *    therefore go through java.nio `ATOMIC_MOVE` — POSIX rename(2)
+  *    replaces the destination atomically, so the pointer is never
+  *    absent. The crc sidecar moves first, leaving only the
+  *    new-crc-vs-old-data sub-window, which is exactly the transient
+  *    ChecksumException class `readRetrying` already absorbs.
   *  - object stores (`s3a://`): rename is copy+delete, NOT atomic,
   *    but the final object PUT is — a reader sees the old pointer,
   *    the new pointer, or (in the copy window) a transient miss,
@@ -152,12 +164,35 @@ private[graft] object StoreFs {
   }
 
   /** Replace `dstPath` with `tmpPath` in one rename (see the
-    * per-scheme contract in the object doc).
+    * per-scheme contract in the object doc). On the local scheme this
+    * MUST be the kernel's rename(2), not Hadoop's delete-then-rename
+    * default — the destination being momentarily absent is the r12
+    * TxnSpec store-visibility defect.
     */
   def atomicReplace(tmpPath: String, dstPath: String): Unit = {
     val dst = new Path(dstPath)
-    val fc = FileContext.getFileContext(dst.toUri, conf)
-    fc.rename(new Path(tmpPath), dst, Options.Rename.OVERWRITE)
+    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
+    if (scheme == "file" || scheme == "raw") {
+      import java.nio.file.{Files, Paths, StandardCopyOption => Cp}
+      val srcNio = Paths.get(new Path(tmpPath).toUri.getPath)
+      val dstNio = Paths.get(dst.toUri.getPath)
+      val srcCrc = srcNio.resolveSibling("." + srcNio.getFileName + ".crc")
+      val dstCrc = dstNio.resolveSibling("." + dstNio.getFileName + ".crc")
+      // sidecar first: a reader between the two moves sees old data
+      // with the new crc — the transient ChecksumException window
+      // readRetrying handles. Moving data first would leave new data
+      // under the OLD crc, same window; but an un-checksummed tmp
+      // against a SURVIVING stale dst crc would poison every later
+      // read, so that case deletes the sidecar instead.
+      if (Files.exists(srcCrc))
+        Files.move(srcCrc, dstCrc, Cp.REPLACE_EXISTING, Cp.ATOMIC_MOVE)
+      else Files.deleteIfExists(dstCrc)
+      Files.move(srcNio, dstNio, Cp.REPLACE_EXISTING, Cp.ATOMIC_MOVE)
+      ()
+    } else {
+      val fc = FileContext.getFileContext(dst.toUri, conf)
+      fc.rename(new Path(tmpPath), dst, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Names of immediate subdirectories (empty when the path is

@@ -2390,8 +2390,15 @@ object OpsQueries {
         sum(col("ok")).as("n_k"),
         sum(expr("ok * (m - ok) * (2L div (m - 1L))")).as("s2"))
       .withColumn("n_d", col("n") - col("n_k"))
+      // Unanimity guard (ADVICE r12): n_k = 0 or n_d = 0 means every
+      // kept rating is identical — the expected-disagreement
+      // denominator is 0 and alpha is conventionally taken as perfect
+      // agreement (s2 is necessarily 0 too). Pin alpha_ppm = 10⁶
+      // instead of a null/div-by-zero, mirrored in the oracle.
       .withColumn("alpha_ppm", expr(
-        "1000000L - ((s2 * 1000000L div (2L * n_k)) * (n - 1L)) div n_d"))
+        "CASE WHEN n_k > 0 AND n_d > 0 THEN " +
+        "1000000L - ((s2 * 1000000L div (2L * n_k)) * (n - 1L)) div n_d " +
+        "ELSE 1000000L END"))
       .select("n_units", "n", "n_k", "n_d", "s2", "alpha_ppm")
 
   private val oEvalKrippendorff =
@@ -2419,8 +2426,9 @@ object OpsQueries {
        |    CAST(sum(ok * (m - ok) * (2 // (m - 1))) AS BIGINT) AS s2
        |  FROM units)
        |SELECT n_units, n, n_k, n - n_k AS n_d, s2,
-       |  1000000 - ((s2 * 1000000 // (2 * n_k)) * (n - 1)) // (n - n_k)
-       |    AS alpha_ppm
+       |  CASE WHEN n_k > 0 AND n - n_k > 0 THEN
+       |    1000000 - ((s2 * 1000000 // (2 * n_k)) * (n - 1)) // (n - n_k)
+       |  ELSE 1000000 END AS alpha_ppm
        |FROM agg""".stripMargin
 
   // C132 (r12): rank-biased overlap between the lexical and the

@@ -26,13 +26,38 @@ import org.apache.spark.sql.functions._
   * frame plus the total row count (free — the sum of the collected
   * partition counts), which rank consumers (ntile cuts, coverage
   * denominators) always need next.
+  *
+  * Durability (cluster form): `localCheckpoint()` pins the sorted
+  * relation to executor-local block storage — the right trade on
+  * local[N] and on healthy clusters (no HDFS round-trip), but a lost
+  * executor fails the job because its blocks are unrecoverable. On a
+  * long-running 1000-executor job where executor loss is routine,
+  * switch to a reliable `checkpoint()` (with
+  * `sparkContext.setCheckpointDir` on HDFS/S3) — same plan-cutting
+  * semantics, replicated storage, survives executor loss at the cost
+  * of one distributed write. Same trade as the PageRank iterate note
+  * in `ops/Graphs.scala`.
   */
 object Prefix {
+  private val TempCols = Seq("__pid", "__lrn", "__rn0")
+
   def globalRank(df: DataFrame, rankName: String,
       sort: Seq[Column]): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Reserved working columns: silently overwriting an input column
+    // named __pid/__lrn/__rn0 would corrupt both the rank and the
+    // caller's data — fail fast instead (callers control their
+    // schemas; none of the repo's relations use the __ prefix).
+    val clash = TempCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"globalRank: input already has reserved column(s) ${clash.mkString(", ")}")
+    // shuffle.partitions can legally be non-numeric ("auto" on some
+    // vendors' runtimes); fall back to the relation's own partition
+    // count rather than throwing in a library helper.
+    val np = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(math.max(df.rdd.getNumPartitions, 1))
     val sorted = df.repartitionByRange(np, sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn("__pid", spark_partition_id())

@@ -166,8 +166,15 @@ object Retrieval {
       "WHEN 2 THEN 498200L WHEN 3 THEN 175640L WHEN 4 THEN 68120L " +
       "WHEN 5 THEN 27800L WHEN 6 THEN 11672L WHEN 7 THEN 4952L " +
       "WHEN 8 THEN 2072L WHEN 9 THEN 812L ELSE 252L END"
-    val agg = a.join(b.select(col("query"), col("doc_id"),
-        col("rk").as("rkb")), Seq("query", "doc_id"))
+    // The dyadic weight table is derived FOR depth 10: a row with
+    // rk > 10 would fall into the ELSE branch (the depth-10 weight)
+    // and silently inflate wsum past the 10⁶-ppm ceiling. Enforce the
+    // truncation here rather than trusting the caller contract
+    // (ADVICE r12).
+    val a10 = a.filter(col("rk") <= 10)
+    val agg = a10.join(b.filter(col("rk") <= 10)
+        .select(col("query"), col("doc_id"), col("rk").as("rkb")),
+        Seq("query", "doc_id"))
       .groupBy("query")
       .agg(count(lit(1)).as("n_common"), sum(expr(wCase)).as("wsum"))
     a.select("query").distinct()
