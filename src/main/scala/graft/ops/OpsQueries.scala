@@ -2546,6 +2546,229 @@ object OpsQueries {
        |FROM mm ORDER BY doc_id""".stripMargin
   }
 
+  // C134 (r13): exact multinomial Naive Bayes classifier — the
+  // train-a-classifier slot (r12 verdict #3): C53 applies FIXED
+  // weights; this one FITS per-class token counts against the C77
+  // Gopher labels and scores every doc log-free on centered
+  // class-conditional RATIOS in ppm (see CorpusStats.naiveBayesScores
+  // for the model, the clamp, the measured 93–98 % fit, and the
+  // Long-headroom bounds). Self-scoring over the training corpus,
+  // the C39 discipline; the keep decision is require-asserted
+  // non-vacuous (both classes present) like C53.
+  def corpusNbClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+    // doc-sized scores, read twice (split check + output): checkpoint
+    // once so the two token passes run once, not twice
+    val m = CorpusStats.naiveBayesScores(docs, labels).localCheckpoint(true)
+    val split = m.groupBy("nb_keep").count().collect()
+    require(split.length == 2,
+      s"NB classifier must split the corpus: ${split.mkString(",")}")
+    m.orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle body: Gopher labels → per-token class counts →
+    * nano weights → per-doc margins (mirrors
+    * `CorpusStats.naiveBayesScores` term for term).
+    */
+  private val oNbBody =
+    s"""gm AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n,
+       |    length(replace(text, ' ', '')) AS wlen,
+       |    length(text) - length(replace(text, '#', '')) AS nhash,
+       |    (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+       |    len(list_intersect(string_split(lower(text), ' '),
+       |        ${stopListSql("en")})) AS nstop
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |  ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
+       |   AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
+       |   AND (nstop >= 1)) AS label
+       |  FROM gm),
+       |tkn AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents),
+       |vc AS (SELECT tok,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c0
+       |  FROM tkn JOIN g USING (doc_id) GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+       |    CAST(sum(c0) AS BIGINT) AS t0,
+       |    CAST(count(*) AS BIGINT) AS v FROM vc),
+       |wt AS (SELECT tok,
+       |    least(greatest(((c1 + 1) * 1000000000 // (t1 + v)) * 1000000
+       |        // ((c0 + 1) * 1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_ppm
+       |  FROM vc, tot),
+       |prn AS (SELECT
+       |    (CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) + 1)
+       |      * 1000000 // (count(*) + 2)
+       |    - (CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) + 1)
+       |      * 1000000 // (count(*) + 2) AS prior_ppm
+       |  FROM g),
+       |nbsc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(wt.w_ppm) AS BIGINT) AS evidence_ppm,
+       |    prn.prior_ppm
+       |  FROM tkn t JOIN wt USING (tok) CROSS JOIN prn
+       |  GROUP BY t.doc_id, prn.prior_ppm)""".stripMargin
+
+  private val oCorpusNbClassifier =
+    s"""WITH $oNbBody
+       |SELECT doc_id, n_toks, evidence_ppm, prior_ppm,
+       |  evidence_ppm > 0 AS nb_keep
+       |FROM nbsc ORDER BY doc_id""".stripMargin
+
+  // C134∘C31 (r13): the composed keep-gate — the corpus kept after
+  // BOTH the C31 surface screen AND the fitted NB classifier's keep
+  // decision (the C122∘C31 pattern with a TRAINED score instead of
+  // the KN fluency band): the CCNet loop closed in-engine —
+  // train (C134) → score → gate, with C128's bootstrap available on
+  // the resulting decisions.
+  def corpusNbFiltered(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+    TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("lang_pred"))
+      .join(CorpusStats.naiveBayesScores(docs, labels), Seq("doc_id"))
+      .filter(col("nb_keep"))
+      .select(col("doc_id"), col("n_tokens"), col("lang_pred"),
+        col("evidence_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oCorpusNbFiltered =
+    s"""WITH lang AS ($oTextLangidBody),
+       |sig AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  round(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains(${stopListSql("en")}, t)))
+       |        / len(string_split(text, ' '))
+       |      + 1.0 / (1.0 + len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}'))), 6)
+       |    AS quality_score,
+       |  round(1 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS dup_word_frac
+       |FROM documents),
+       |$oNbBody
+       |SELECT s.doc_id, s.n_tokens, l.lang_pred, k.evidence_ppm
+       |FROM sig s JOIN lang l ON s.doc_id = l.doc_id
+       |JOIN nbsc k ON s.doc_id = k.doc_id
+       |WHERE s.n_tokens >= 20 AND s.dup_word_frac <= 0.5
+       |  AND s.quality_score >= 1.05 AND l.lang_pred <> 'und'
+       |  AND k.evidence_ppm > 0
+       |ORDER BY s.doc_id""".stripMargin
+
+  // C135 (r13): segment-level language routing — C133's consumer
+  // (r12 verdict #5): C133 FLAGS code-switched docs; this op ACTS on
+  // the flag. Every flagged doc (half-langids disagree, the C133
+  // predicate) is cut into fixed 16-token windows, each window gets
+  // the C8 stop-score argmax label, and maximal runs of consecutive
+  // same-label windows collapse into SEGMENTS (gaps-and-islands on
+  // the window index) — emitting (doc_id, seg_idx, lang, n_windows,
+  // n_tokens, seg_text), each segment routable to its language
+  // bucket. Fixed-stride windows, not sentences: the router must work
+  // on punctuation-free text, and a fixed stride makes the contract
+  // engine-portable with zero injected fixtures.
+  //
+  // Scale shape: the flag + window explode are one map pass ∝ flagged
+  // tokens; the islands window and the segment agg are partitioned by
+  // doc_id — per-doc state, never a global window. seg_text
+  // reassembles deterministically from (w_idx, wtext) structs via
+  // array_sort (Spark) / ORDER BY inside string_agg (DuckDB).
+  def textSegmentLangid(s: SparkSession, d: String): DataFrame = {
+    val W = 16
+    val flagged = T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .withColumn("na", expr("size(ts) div 2"))
+      .withColumn("lang_a",
+        TextAnalysis.langId(expr("array_join(slice(ts, 1, na), ' ')")))
+      .withColumn("lang_b",
+        TextAnalysis.langId(
+          expr("array_join(slice(ts, na + 1, size(ts) - na), ' ')")))
+      .filter(col("lang_a") =!= col("lang_b"))
+    val win = flagged
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), expr(s"(size(ts) - 1) div $W"))).as("w_idx"))
+      .withColumn("wtext",
+        expr(s"array_join(slice(ts, w_idx * $W + 1, $W), ' ')"))
+      .withColumn("w_n",
+        expr(s"least(size(ts) - w_idx * $W, $W)").cast("long"))
+      .withColumn("lang", TextAnalysis.langId(col("wtext")))
+      .select("doc_id", "w_idx", "wtext", "w_n", "lang")
+    val byDoc = Window.partitionBy("doc_id").orderBy("w_idx")
+    win
+      .withColumn("prev", lag("lang", 1).over(byDoc))
+      .withColumn("chg",
+        when(col("prev").isNull || col("lang") =!= col("prev"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_idx", sum("chg").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "seg_idx", "lang")
+      .agg(count(lit(1)).as("n_windows"), sum("w_n").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("w_idx"), col("wtext")))),
+          x => x.getField("wtext")), " ").as("seg_text"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  private val oTextSegmentLangid = {
+    def scores(c: String, sfx: String) = TextAnalysis.Stopwords.map {
+      case (l, _) =>
+        s"len(list_filter(string_split($c, ' '), t -> list_contains(${stopListSql(l)}, t))) AS s_${l}_$sfx"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    def m(sfx: String) = langs.map(l => s"s_${l}_$sfx")
+      .mkString("greatest(", ", ", ")")
+    def pick(sfx: String) = langs.init
+      .map(l => s"WHEN s_${l}_$sfx = m_$sfx THEN '$l'").mkString(" ")
+    def langCase(sfx: String) =
+      s"CASE WHEN m_$sfx = 0 THEN 'und' ${pick(sfx)} ELSE '${langs.last}' END"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+       |           FROM documents),
+       |h AS (SELECT doc_id, ts,
+       |  array_to_string(ts[1 : len(ts) // 2], ' ') AS ta,
+       |  array_to_string(ts[len(ts) // 2 + 1 : len(ts)], ' ') AS tb
+       |FROM t WHERE len(ts) >= 8),
+       |sc AS (SELECT doc_id, ts,
+       |  ${scores("ta", "a")},
+       |  ${scores("tb", "b")}
+       |FROM h),
+       |mm AS (SELECT *, ${m("a")} AS m_a, ${m("b")} AS m_b FROM sc),
+       |flag AS (SELECT doc_id, ts FROM mm
+       |         WHERE (${langCase("a")}) <> (${langCase("b")})),
+       |w AS (SELECT doc_id, CAST(i AS BIGINT) AS w_idx,
+       |    array_to_string(ts[i * 16 + 1 : least((i + 1) * 16, len(ts))], ' ')
+       |      AS wtext,
+       |    CAST(least(len(ts) - i * 16, 16) AS BIGINT) AS w_n
+       |  FROM flag,
+       |    LATERAL (SELECT unnest(generate_series(0, (len(ts) - 1) // 16)) AS i) g),
+       |ws AS (SELECT doc_id, w_idx, wtext, w_n,
+       |  ${scores("wtext", "w")}
+       |FROM w),
+       |wl AS (SELECT doc_id, w_idx, wtext, w_n,
+       |    ${langCase("w")} AS lang
+       |  FROM (SELECT *, ${m("w")} AS m_w FROM ws) q),
+       |chg AS (SELECT doc_id, w_idx, wtext, w_n, lang,
+       |    CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY w_idx)
+       |      IS DISTINCT FROM lang THEN 1 ELSE 0 END AS is_chg
+       |  FROM wl),
+       |seg AS (SELECT doc_id, w_idx, wtext, w_n, lang,
+       |    CAST(sum(is_chg) OVER (PARTITION BY doc_id ORDER BY w_idx
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_idx
+       |  FROM chg)
+       |SELECT doc_id, seg_idx, lang,
+       |  CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(w_n) AS BIGINT) AS n_tokens,
+       |  string_agg(wtext, ' ' ORDER BY w_idx) AS seg_text
+       |FROM seg GROUP BY doc_id, seg_idx, lang
+       |ORDER BY doc_id, seg_idx""".stripMargin
+  }
+
   // C43 (merge application): the corpus rewritten by ONE BPE merge —
   // the top pair by (cnt DESC, a, b) — then per-doc md5 + token count.
   // The winning pair is vocab-sized driver state (a 1-row collect,
@@ -6374,6 +6597,12 @@ object OpsQueries {
     QueryDef("eval_rbo", evalRbo, Some(oEvalRbo)),
     QueryDef("text_lang_consistency", textLangConsistency,
       Some(oTextLangConsistency)),
+    QueryDef("corpus_nb_classifier", corpusNbClassifier,
+      Some(oCorpusNbClassifier)),
+    QueryDef("corpus_nb_filtered", corpusNbFiltered,
+      Some(oCorpusNbFiltered)),
+    QueryDef("text_segment_langid", textSegmentLangid,
+      Some(oTextSegmentLangid)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
     QueryDef("text_line_dedup", textLineDedup, Some(oTextLineDedup)),
     QueryDef("text_url_parse", textUrlParse, Some(oTextUrlParse)),
