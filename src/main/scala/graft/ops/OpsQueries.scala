@@ -2662,6 +2662,52 @@ object OpsQueries {
        |  AND k.evidence_ppm > 0
        |ORDER BY s.doc_id""".stripMargin
 
+  // C134∘C128 (r13): train → score → CI, closed in-engine — the
+  // Poisson-bootstrap confidence interval over the FITTED NB
+  // classifier's agreement with its Gopher training labels (C128 runs
+  // the same readout over C53's fixed weights; this is the fitted
+  // counterpart the r12 verdict asked the classifier stack to
+  // complete). Self-scored training fit, so the CI brackets the
+  // resubstitution accuracy (93–98 %); a deployment would point the
+  // same composition at a held-out split (C18/C113).
+  def evalNbBootstrap(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+    val scored = CorpusStats.naiveBayesScores(docs, labels)
+      .join(labels, "doc_id")
+      .withColumn("correct",
+        when(col("nb_keep") === col("label"), 1L).otherwise(0L))
+    CorpusStats.poissonBootstrapAccuracy(scored, col("doc_id"),
+        col("correct"), reps = 40)
+      .orderBy("b")
+  }
+
+  private val oEvalNbBootstrap =
+    s"""WITH $oNbBody,
+       |scn AS (SELECT n.doc_id,
+       |    CASE WHEN (n.evidence_ppm > 0) = g.label THEN 1 ELSE 0 END
+       |      AS correct
+       |  FROM nbsc n JOIN g USING (doc_id)),
+       |reps AS (SELECT doc_id, correct, CAST(b AS BIGINT) AS b
+       |         FROM scn, unnest(range(0, 40)) AS t(b)),
+       |ws AS (SELECT b, correct,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+       |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+       |         WHEN u < 999999 THEN 8 ELSE 9 END AS w
+       |  FROM (SELECT b, correct,
+       |          ((doc_id % 1000000007 + b * 12289) % 1000000007
+       |            * 554862419) % 1000000007 % 1000000 AS u
+       |        FROM reps))
+       |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CAST(sum(w * correct) AS BIGINT) AS n_correct_w,
+       |  CAST(CASE WHEN sum(w) > 0
+       |    THEN sum(w * correct) * 1000000 // sum(w) ELSE 0 END AS BIGINT)
+       |    AS acc_ppm
+       |FROM ws GROUP BY b ORDER BY b""".stripMargin
+
   // C135 (r13): segment-level language routing — C133's consumer
   // (r12 verdict #5): C133 FLAGS code-switched docs; this op ACTS on
   // the flag. Every flagged doc (half-langids disagree, the C133
@@ -6601,6 +6647,8 @@ object OpsQueries {
       Some(oCorpusNbClassifier)),
     QueryDef("corpus_nb_filtered", corpusNbFiltered,
       Some(oCorpusNbFiltered)),
+    QueryDef("eval_nb_bootstrap", evalNbBootstrap,
+      Some(oEvalNbBootstrap)),
     QueryDef("text_segment_langid", textSegmentLangid,
       Some(oTextSegmentLangid)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),
