@@ -67,11 +67,16 @@ object ExplainAudit {
       ls.indices.count { i =>
         ls(i).contains("Exchange SinglePartition") && {
           val nxt = ls.drop(i + 1).find(_.trim.nonEmpty)
+          // keyless aggregates emit ≤ 1 row per upstream partition
+          // into the exchange whether they carry partial_ functions
+          // or NONE AT ALL (functions=[] — a bare existence/1-row
+          // funnel, e.g. the NB prior's broadcast side): both are the
+          // benign global-agg shape
           !nxt.exists(l =>
             ((l.contains("HashAggregate(keys=[]") ||
               l.contains("SortAggregate(key=[]") ||
               l.contains("ObjectHashAggregate(keys=[]")) &&
-             l.contains("partial_")) ||
+             (l.contains("partial_") || l.contains("functions=[]"))) ||
             l.contains("LocalLimit "))
         }
       }
