@@ -66,4 +66,25 @@ class PointerVisibilitySpec extends AnyFunSuite {
       s"pointer absent ${absent.get}/${reads.get} reads across ${swaps.get} swaps")
     assert(torn.get === 0, s"torn pointer reads: ${torn.get}")
   }
+
+  test("atomicReplace with an unchecksummed tmp retires the stale dst crc") {
+    // writeString goes through the checksummed local FS, so dst has a
+    // .crc sidecar; a tmp written RAW (no sidecar) must not leave the
+    // old crc behind — new bytes under the stale checksum would fail
+    // every later read permanently, the one poisoning case the
+    // crc-first move order cannot fix by ordering alone
+    graft.LocalSpark.spark // cached hadoopConfiguration, as above
+    val dir = Files.createTempDirectory("graft_crc").toString
+    val dst = s"$dir/_VERSION"
+    StoreFs.writeString(dst, "1 -1")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "._VERSION.crc")),
+      "precondition: checksummed write creates the sidecar")
+    val tmp = java.nio.file.Paths.get(dir, "raw.tmp")
+    Files.write(tmp, "2 -1".getBytes("UTF-8")) // raw: no .crc sidecar
+    StoreFs.atomicReplace(tmp.toString, dst)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "._VERSION.crc")),
+      "stale crc must be deleted when the replacement is unchecksummed")
+    assert(StoreFs.readString(dst).trim === "2 -1")
+    StoreFs.deleteRecursive(dir)
+  }
 }
