@@ -50,6 +50,22 @@ private[graft] object StoreFs {
 
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
+  /** Scheme a path ACTUALLY resolves against: its explicit scheme,
+    * else the scheme of `fs.defaultFS` — a scheme-less store path on
+    * a cluster with `fs.defaultFS=hdfs://nn/` lives on HDFS, and
+    * routing it to the java.nio local fast paths would fail with
+    * NoSuchFileException (r13 ADVICE). Only when the DEFAULT fs is
+    * itself local does a scheme-less path take the nio branch.
+    */
+  private def effectiveScheme(p: Path): String =
+    Option(p.toUri.getScheme).getOrElse(
+      Option(FileSystem.getDefaultUri(conf).getScheme).getOrElse("file"))
+
+  private def isLocalScheme(p: Path): Boolean = {
+    val s = effectiveScheme(p)
+    s == "file" || s == "raw"
+  }
+
   def exists(path: String): Boolean = {
     val p = new Path(path)
     fs(p).exists(p)
@@ -62,26 +78,42 @@ private[graft] object StoreFs {
     * race). The window is microseconds and self-heals; control-file
     * reads retry through it. HDFS renames are one atomic op
     * (checksums live server-side), so the retry never fires there.
+    *
+    * Retry EXHAUSTION means the mismatch is not transient: a writer
+    * crash between the sidecar move and the data move leaves the new
+    * crc paired with the old data PERMANENTLY, and without recovery
+    * every later read of the control file fails until the next
+    * successful swap (r13 ADVICE). The sidecar is advisory for
+    * control files (their content self-validates at the parse layer),
+    * so exhaustion retires the orphaned crc and reads raw, once —
+    * the same retirement `atomicReplace` applies to an unchecksummed
+    * tmp against a surviving stale dst crc.
     */
-  private def readRetrying[T](f: => T): T = {
+  private def readRetrying[T](p: Path)(f: => T): T = {
     var attempt = 0
     while (true) {
       try return f
       catch {
         case e: org.apache.hadoop.fs.ChecksumException =>
           attempt += 1
-          if (attempt > 5) throw e
+          if (attempt > 5) {
+            val crc = new Path(p.getParent, "." + p.getName + ".crc")
+            if (!fs(p).delete(crc, false)) throw e
+            return f
+          }
           Thread.sleep(2L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  def readString(path: String): String = readRetrying {
+  def readString(path: String): String = {
     val p = new Path(path)
-    val in = fs(p).open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-    finally in.close()
+    readRetrying(p) {
+      val in = fs(p).open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    }
   }
 
   /** Write (overwrite) a small control file, creating parents. */
@@ -95,11 +127,13 @@ private[graft] object StoreFs {
     finally out.close()
   }
 
-  def readBytes(path: String): Array[Byte] = readRetrying {
+  def readBytes(path: String): Array[Byte] = {
     val p = new Path(path)
-    val in = fs(p).open(p)
-    try org.apache.commons.io.IOUtils.toByteArray(in)
-    finally in.close()
+    readRetrying(p) {
+      val in = fs(p).open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    }
   }
 
   /** Write (overwrite) a small binary sidecar, creating parents. */
@@ -127,8 +161,7 @@ private[graft] object StoreFs {
   def createExclusive(path: String, s: String): Boolean = {
     val p = new Path(path)
     val uri = p.toUri
-    val scheme = Option(uri.getScheme).getOrElse("file")
-    if (scheme == "file" || scheme == "raw") {
+    if (isLocalScheme(p)) {
       val nio = java.nio.file.Paths.get(uri.getPath)
       try {
         Option(nio.getParent)
@@ -171,8 +204,7 @@ private[graft] object StoreFs {
     */
   def atomicReplace(tmpPath: String, dstPath: String): Unit = {
     val dst = new Path(dstPath)
-    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
-    if (scheme == "file" || scheme == "raw") {
+    if (isLocalScheme(dst)) {
       import java.nio.file.{Files, Paths, StandardCopyOption => Cp}
       val srcNio = Paths.get(new Path(tmpPath).toUri.getPath)
       val dstNio = Paths.get(dst.toUri.getPath)
@@ -190,7 +222,12 @@ private[graft] object StoreFs {
       Files.move(srcNio, dstNio, Cp.REPLACE_EXISTING, Cp.ATOMIC_MOVE)
       ()
     } else {
-      val fc = FileContext.getFileContext(dst.toUri, conf)
+      // scheme-less paths resolve against fs.defaultFS, so hand
+      // FileContext the DEFAULT URI rather than a scheme-less one
+      val fcUri =
+        if (dst.toUri.getScheme == null) FileSystem.getDefaultUri(conf)
+        else dst.toUri
+      val fc = FileContext.getFileContext(fcUri, conf)
       fc.rename(new Path(tmpPath), dst, Options.Rename.OVERWRITE)
     }
   }

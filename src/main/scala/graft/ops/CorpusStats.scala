@@ -251,12 +251,24 @@ object CorpusStats {
     *
     * Scale shape: one explode ∝ corpus tokens → (token, class) hash
     * agg = vocab-sized model state; scoring is a second token pass
-    * hash-joined against the vocab-sized weight table (corpus-sized
+    * joined against the vocab-sized weight table (corpus-sized
     * streams are never checkpointed — two scans is the honest 100 TB
     * shape; only the doc-sized label relation, read twice, is
     * checkpointed once). Every token is in-vocabulary by construction
-    * (self-scoring, the C39 contract); scoring held-out docs would
-    * left-join with the smoothed unseen-token weight instead.
+    * (self-scoring, the C39 contract); held-out scoring with the
+    * smoothed unseen-token weight is [[naiveBayesScoresHoldout]].
+    *
+    * Scoring-join scale contract: below
+    * `spark.sql.autoBroadcastJoinThreshold` the vocab-sized weight
+    * table BROADCASTS and the scoring pass is map-side. Past it (a
+    * 100 TB-corpus vocabulary easily exceeds the threshold) the join
+    * becomes a token-keyed SHUFFLE whose hot keys are exactly the
+    * stopwords — the 10M-doc probe measured one filler token carrying
+    * 50 % of the stream — so the shuffle regime leans on AQE's
+    * skew-join split (`spark.sql.adaptive.skewJoin`, on by default
+    * here); if a single token still overflows a split, salt the token
+    * key (the C28 move). StressBenchNew12 drives this exact shape with
+    * the broadcast threshold forced to −1 (probe 4).
     */
   def naiveBayesScores(docs: DataFrame, labels: DataFrame,
       text: Column = col("text")): DataFrame = {
@@ -265,17 +277,7 @@ object CorpusStats {
       .localCheckpoint(true)
     def toks = docs.select(col("doc_id"),
       explode(split(lower(text), " ")).as("tok"))
-    val vc = toks.join(lbl, "doc_id").groupBy("tok").agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("c1"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("c0"))
-    val tot = vc.agg(sum("c1").as("t1"), sum("c0").as("t0"),
-      count(lit(1)).as("v"))
-    val w = vc.crossJoin(broadcast(tot)) // 1-row totals broadcast
-      .withColumn("w_ppm", expr(
-        "least(greatest(((c1 + 1L) * 1000000000L div (t1 + v)) * 1000000L" +
-          " div ((c0 + 1L) * 1000000000L div (t0 + v)), 15625L), 64000000L)" +
-          " - 1000000L"))
-      .select("tok", "w_ppm")
+    val (w, _) = nbWeightTable(toks, lbl)
     val pr = lbl.agg(
         sum(when(col("label"), 1L).otherwise(0L)).as("nd1"),
         count(lit(1)).as("nd"))
@@ -289,5 +291,90 @@ object CorpusStats {
       .crossJoin(broadcast(pr)) // 1-row prior broadcast
       .withColumn("nb_keep", col("evidence_ppm") > 0L)
       .select("doc_id", "n_toks", "evidence_ppm", "prior_ppm", "nb_keep")
+  }
+
+  /** Shared NB training pass: (token, class) Laplace counts over the
+    * training token stream → the vocab-sized `(tok, w_ppm)` weight
+    * table plus the 1-row guarded totals `(t1, t0, v)`.
+    *
+    * The nano headroom limit (T_c+V ≤ 10⁹, the documented exactness
+    * bound) is asserted IN-ENGINE on the totals row: past it Spark's
+    * integer `div` floors p₀ to 0 and the ratio division NULLs
+    * silently — silently dropping docs from downstream keep-gates —
+    * while DuckDB errors loudly. The `assert_true` makes both engines
+    * fail loudly at the same documented limit (r13 ADVICE).
+    */
+  private def nbWeightTable(trainToks: DataFrame,
+      lbl: DataFrame): (DataFrame, DataFrame) = {
+    val vc = trainToks.join(lbl, "doc_id").groupBy("tok").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("c0"))
+    // guard folded into the USED column so pruning can't drop it
+    def guarded(t: String) = expr(
+      s"coalesce(cast(assert_true($t + v <= 1000000000L, concat(" +
+        s"'NB nano-scale headroom exceeded: $t+v = ', $t + v, " +
+        s"' > 1e9 — raise the conditional scale or shard by source'" +
+        s")) as bigint), $t)").as(t)
+    val tot = vc.agg(sum("c1").as("t1"), sum("c0").as("t0"),
+        count(lit(1)).as("v"))
+      .select(guarded("t1"), guarded("t0"), col("v"))
+    val w = vc.crossJoin(broadcast(tot)) // 1-row totals broadcast
+      .withColumn("w_ppm", expr(
+        "least(greatest(((c1 + 1L) * 1000000000L div (t1 + v)) * 1000000L" +
+          " div ((c0 + 1L) * 1000000000L div (t0 + v)), 15625L), 64000000L)" +
+          " - 1000000L"))
+      .select("tok", "w_ppm")
+    (w, tot)
+  }
+
+  /** Held-out NB scoring (C136) — the deployment shape the C134
+    * docstring promises: TRAIN on `trainDocs` against `trainLabels`,
+    * SCORE `scoreDocs` (disjoint by construction in the gated query —
+    * the C18 split). Score-side tokens LEFT-join the weight table and
+    * vocabulary misses take the smoothed Laplace-floor weight
+    *
+    *   w_unseen_ppm = clamp((10⁹ div (T₁+V)) · 10⁶
+    *                        div (10⁹ div (T₀+V)),
+    *                        [10⁶/64, 64·10⁶]) − 10⁶
+    *
+    * — exactly [[naiveBayesScores]]'s per-token weight at c₁=c₀=0
+    * against the SAME training totals, i.e. the weight Laplace(+1)
+    * smoothing assigns any token outside the training vocabulary. The
+    * per-doc `n_unseen` is exported so a consumer can gate on OOV
+    * mass (a high-unseen doc's evidence is mostly the floor weight,
+    * not the model).
+    *
+    * Long headroom: identical to [[naiveBayesScores]] (same weight
+    * clamp, same nano guard via the shared trainer); the floor weight
+    * is one more clamped ratio, |w_unseen_ppm| ≤ 63·10⁶.
+    *
+    * Scale shape: training is the C134 pass over the train split;
+    * scoring is one token pass over the score split, LEFT-joined
+    * against the vocab-sized weight table under the same
+    * broadcast-below-threshold / AQE-skew-join-above contract as
+    * [[naiveBayesScores]], plus a 1-row floor-weight broadcast.
+    */
+  def naiveBayesScoresHoldout(trainDocs: DataFrame, trainLabels: DataFrame,
+      scoreDocs: DataFrame, text: Column = col("text")): DataFrame = {
+    val lbl = trainLabels
+      .select(col("doc_id"), col("label").cast("boolean").as("label"))
+      .localCheckpoint(true)
+    def tokify(d: DataFrame) = d.select(col("doc_id"),
+      explode(split(lower(text), " ")).as("tok"))
+    val (w, tot) = nbWeightTable(tokify(trainDocs), lbl)
+    val wu = tot.withColumn("w_unseen_ppm", expr(
+        "least(greatest((1000000000L div (t1 + v)) * 1000000L" +
+          " div (1000000000L div (t0 + v)), 15625L), 64000000L)" +
+          " - 1000000L"))
+      .select("w_unseen_ppm")
+    tokify(scoreDocs)
+      .join(w, Seq("tok"), "left")
+      .crossJoin(broadcast(wu)) // 1-row unseen-floor broadcast
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("w_ppm").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(coalesce(col("w_ppm"), col("w_unseen_ppm"))).as("evidence_ppm"))
+      .withColumn("nb_keep", col("evidence_ppm") > 0L)
+      .select("doc_id", "n_toks", "n_unseen", "evidence_ppm", "nb_keep")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
@@ -2568,11 +2568,10 @@ object OpsQueries {
     m.orderBy(col("doc_id"))
   }
 
-  /** Shared oracle body: Gopher labels → per-token class counts →
-    * nano weights → per-doc margins (mirrors
-    * `CorpusStats.naiveBayesScores` term for term).
+  /** Shared oracle CTE: the C77 Gopher labels every NB oracle trains
+    * against (relation `g(doc_id, label)`).
     */
-  private val oNbBody =
+  private val oNbLabelsCte =
     s"""gm AS (
        |  SELECT doc_id,
        |    len(string_split(text, ' ')) AS n,
@@ -2588,7 +2587,14 @@ object OpsQueries {
        |  ((n >= 15 AND n <= 1000) AND (3 * n <= wlen AND wlen <= 5 * n)
        |   AND (10 * (nhash + nell) < n) AND (5 * nalpha >= 4 * n)
        |   AND (nstop >= 1)) AS label
-       |  FROM gm),
+       |  FROM gm)""".stripMargin
+
+  /** Shared oracle body: Gopher labels → per-token class counts →
+    * nano weights → per-doc margins (mirrors
+    * `CorpusStats.naiveBayesScores` term for term).
+    */
+  private val oNbBody =
+    s"""$oNbLabelsCte,
        |tkn AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
        |        FROM documents),
        |vc AS (SELECT tok,
@@ -2672,8 +2678,12 @@ object OpsQueries {
   // same composition at a held-out split (C18/C113).
   def evalNbBootstrap(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
+    // checkpoint ONCE here: the label relation feeds both the trainer
+    // and the agreement join — an un-checkpointed second consumer
+    // would recompute gopherRules over the corpus (r13 ADVICE)
     val labels = TextAnalysis.gopherRules(docs)
       .select(col("doc_id"), col("kept").as("label"))
+      .localCheckpoint(true)
     val scored = CorpusStats.naiveBayesScores(docs, labels)
       .join(labels, "doc_id")
       .withColumn("correct",
@@ -2707,6 +2717,222 @@ object OpsQueries {
        |    THEN sum(w * correct) * 1000000 // sum(w) ELSE 0 END AS BIGINT)
        |    AS acc_ppm
        |FROM ws GROUP BY b ORDER BY b""".stripMargin
+
+  // C136 = C134∘C18 (r14, verdict #1): HELD-OUT NB scoring — the
+  // deployment shape. corpus_nb_classifier is self-scoring (every
+  // token in-vocabulary by construction, CI brackets resubstitution
+  // accuracy); this trains on the C18 deterministic mod-prime HALF
+  // (bucket < 500 — "score the held-out half", engine-reproducible,
+  // oracle-rederivable at any SF) and scores the OTHER half, where
+  // vocabulary misses are real and take the smoothed Laplace-floor
+  // weight (see CorpusStats.naiveBayesScoresHoldout for the floor
+  // form and headroom). The C46 leakage-safe variant is a drop-in
+  // swap (bucket the rep_id instead of the doc_id); the gated split
+  // uses the C18 bucket because the oracle must re-derive the split
+  // at the ×10 point too, and C46's all-pairs truth chain is already
+  // separately gated at its own declared cap.
+  //
+  // The driver corpus's two halves share one vocabulary at every SF
+  // (measured: 0 natural misses at sf0.01 AND sf0.1), so with natural
+  // text the floor path would never fire under the gate. The score
+  // side therefore appends a deterministic per-doc OOV pair
+  // (` oov<id>x oov<id>x` — digits can't collide with the generator
+  // vocabulary; the text_scrub injected-fixture precedent): every
+  // held-out doc carries exactly 2 occurrences of 1 unseen token,
+  // pinning BOTH the occurrence count and the floor weight hash-exact
+  // in the oracle. Gopher labels grade the ORIGINAL text.
+  private def oovSuffix(c: Column): Column =
+    concat(c, lit(" oov"), col("doc_id"), lit("x oov"), col("doc_id"),
+      lit("x"))
+
+  def corpusNbHoldout(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bucket = Packing.permilleBucket(col("doc_id"))
+    // labels over ALL docs, checkpointed once: the trainer's inner
+    // join restricts to the train half, the output join grades the
+    // held-out half
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+      .localCheckpoint(true)
+    CorpusStats.naiveBayesScoresHoldout(
+        docs.filter(bucket < lit(500L)), labels,
+        docs.filter(bucket >= lit(500L))
+          .withColumn("text", oovSuffix(col("text"))))
+      .join(labels, "doc_id")
+      .withColumn("correct", col("nb_keep") === col("label"))
+      .select("doc_id", "n_toks", "n_unseen", "evidence_ppm", "nb_keep",
+        "label", "correct")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared holdout-oracle body: C18 bucket split → train-half class
+    * counts → weights + the Laplace-floor unseen weight → held-out
+    * per-doc scores (mirrors `CorpusStats.naiveBayesScoresHoldout`
+    * term for term; relation `hsc`).
+    */
+  private val oNbHoldoutBody =
+    s"""$oNbLabelsCte,
+       |bkt AS (SELECT doc_id,
+       |    ((doc_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+       |  FROM documents),
+       |tkn AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents),
+       |vc AS (SELECT tok,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c0
+       |  FROM tkn JOIN g USING (doc_id) JOIN bkt USING (doc_id)
+       |  WHERE bkt.b < 500 GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+       |    CAST(sum(c0) AS BIGINT) AS t0,
+       |    CAST(count(*) AS BIGINT) AS v FROM vc),
+       |wt AS (SELECT tok,
+       |    least(greatest(((c1 + 1) * 1000000000 // (t1 + v)) * 1000000
+       |        // ((c0 + 1) * 1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_ppm
+       |  FROM vc, tot),
+       |wu AS (SELECT
+       |    least(greatest((1000000000 // (t1 + v)) * 1000000
+       |        // (1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_unseen_ppm
+       |  FROM tot),
+       |tkh AS (SELECT doc_id, unnest(string_split(lower(
+       |          text || ' oov' || doc_id || 'x oov' || doc_id || 'x'),
+       |        ' ')) AS tok
+       |        FROM documents),
+       |hsc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(CASE WHEN wt.w_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unseen,
+       |    CAST(sum(coalesce(wt.w_ppm, wu.w_unseen_ppm)) AS BIGINT)
+       |      AS evidence_ppm
+       |  FROM tkh t JOIN bkt USING (doc_id) LEFT JOIN wt USING (tok)
+       |       CROSS JOIN wu
+       |  WHERE bkt.b >= 500
+       |  GROUP BY t.doc_id)""".stripMargin
+
+  private val oCorpusNbHoldout =
+    s"""WITH $oNbHoldoutBody
+       |SELECT doc_id, h.n_toks, h.n_unseen, h.evidence_ppm,
+       |  h.evidence_ppm > 0 AS nb_keep, g.label,
+       |  (h.evidence_ppm > 0) = g.label AS correct
+       |FROM hsc h JOIN g USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // C136∘C128 (r14): held-out accuracy CI — eval_nb_bootstrap
+  // re-pointed at the HELD-OUT decisions (verdict #1's "report
+  // held-out accuracy next to the resubstitution CI"): the same
+  // 40-replicate Poisson bootstrap over correctness, but correctness
+  // is now graded on docs the trainer never saw, unseen-token floor
+  // included. Read next to eval_nb_bootstrap: the gap between the two
+  // intervals IS the resubstitution optimism.
+  def evalNbHoldoutCi(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bucket = Packing.permilleBucket(col("doc_id"))
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+      .localCheckpoint(true)
+    val scored = CorpusStats.naiveBayesScoresHoldout(
+        docs.filter(bucket < lit(500L)), labels,
+        docs.filter(bucket >= lit(500L))
+          .withColumn("text", oovSuffix(col("text"))))
+      .join(labels, "doc_id")
+      .withColumn("correct",
+        when(col("nb_keep") === col("label"), 1L).otherwise(0L))
+    CorpusStats.poissonBootstrapAccuracy(scored, col("doc_id"),
+        col("correct"), reps = 40)
+      .orderBy("b")
+  }
+
+  private val oEvalNbHoldoutCi =
+    s"""WITH $oNbHoldoutBody,
+       |scn AS (SELECT h.doc_id,
+       |    CASE WHEN (h.evidence_ppm > 0) = g.label THEN 1 ELSE 0 END
+       |      AS correct
+       |  FROM hsc h JOIN g USING (doc_id)),
+       |reps AS (SELECT doc_id, correct, CAST(b AS BIGINT) AS b
+       |         FROM scn, unnest(range(0, 40)) AS t(b)),
+       |ws AS (SELECT b, correct,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+       |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+       |         WHEN u < 999999 THEN 8 ELSE 9 END AS w
+       |  FROM (SELECT b, correct,
+       |          ((doc_id % 1000000007 + b * 12289) % 1000000007
+       |            * 554862419) % 1000000007 % 1000000 AS u
+       |        FROM reps))
+       |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CAST(sum(w * correct) AS BIGINT) AS n_correct_w,
+       |  CAST(CASE WHEN sum(w) > 0
+       |    THEN sum(w * correct) * 1000000 // sum(w) ELSE 0 END AS BIGINT)
+       |    AS acc_ppm
+       |FROM ws GROUP BY b ORDER BY b""".stripMargin
+
+  // C134∘C106 (r14, verdict #4): the calibration readout over the NB
+  // evidence — "is the 93–98 % fit well-calibrated across the
+  // evidence range, or all concentrated at the clamp?" Equi-width
+  // DECILES of the observed evidence_ppm range (1-row min/max
+  // broadcast; width floored ≥1 so the bin index lands in [0,9] by
+  // construction); per bin: doc count, Gopher-kept rate, and
+  // nb_keep↔label agreement, all exact ppm. A usable soft score shows
+  // kept_ppm rising monotonically with the bin and agreement dipping
+  // only in the sign-boundary bin; a gate-only score shows agreement
+  // concentrated at the extremes. The bin key is non-negative before
+  // the integer divide (shifted by min), so Spark's truncating `div`
+  // and DuckDB's flooring `//` agree — the B89 discipline.
+  def evalNbCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+      .localCheckpoint(true)
+    // doc-sized decision relation, 2 consumers (range agg + binning):
+    // checkpoint once so the token passes run once
+    val scored = CorpusStats.naiveBayesScores(docs, labels)
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("evidence_ppm"), col("nb_keep"),
+        col("label"))
+      .localCheckpoint(true)
+    val rng = scored.agg(min("evidence_ppm").as("min_ev"),
+        max("evidence_ppm").as("max_ev"))
+      .withColumn("bin_w",
+        expr("greatest((max_ev - min_ev) div 10L + 1L, 1L)"))
+      .select("min_ev", "bin_w")
+    scored.crossJoin(broadcast(rng)) // 1-row range broadcast
+      .withColumn("bin", expr("(evidence_ppm - min_ev) div bin_w"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("nb_keep") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"),
+        min("evidence_ppm").as("ev_lo"),
+        max("evidence_ppm").as("ev_hi"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000L div n"))
+      .withColumn("agree_ppm", expr("n_agree * 1000000L div n"))
+      .select("bin", "n", "n_kept", "kept_ppm", "n_agree", "agree_ppm",
+        "ev_lo", "ev_hi")
+      .orderBy("bin")
+  }
+
+  private val oEvalNbCalibration =
+    s"""WITH $oNbBody,
+       |j AS (SELECT n.doc_id, n.evidence_ppm,
+       |    n.evidence_ppm > 0 AS nb_keep, g.label
+       |  FROM nbsc n JOIN g USING (doc_id)),
+       |rng AS (SELECT min(evidence_ppm) AS min_ev,
+       |    greatest((max(evidence_ppm) - min(evidence_ppm)) // 10 + 1, 1)
+       |      AS bin_w
+       |  FROM j)
+       |SELECT (evidence_ppm - min_ev) // bin_w AS bin,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |    AS BIGINT) AS kept_ppm,
+       |  CAST(sum(CASE WHEN nb_keep = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(sum(CASE WHEN nb_keep = label THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS agree_ppm,
+       |  min(evidence_ppm) AS ev_lo, max(evidence_ppm) AS ev_hi
+       |FROM j CROSS JOIN rng
+       |GROUP BY 1 ORDER BY bin""".stripMargin
 
   // C135 (r13): segment-level language routing — C133's consumer
   // (r12 verdict #5): C133 FLAGS code-switched docs; this op ACTS on
@@ -6649,6 +6875,12 @@ object OpsQueries {
       Some(oCorpusNbFiltered)),
     QueryDef("eval_nb_bootstrap", evalNbBootstrap,
       Some(oEvalNbBootstrap)),
+    QueryDef("corpus_nb_holdout", corpusNbHoldout,
+      Some(oCorpusNbHoldout)),
+    QueryDef("eval_nb_holdout_ci", evalNbHoldoutCi,
+      Some(oEvalNbHoldoutCi)),
+    QueryDef("eval_nb_calibration", evalNbCalibration,
+      Some(oEvalNbCalibration)),
     QueryDef("text_segment_langid", textSegmentLangid,
       Some(oTextSegmentLangid)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),

@@ -142,6 +142,30 @@ class StoreFsSchemeSpec extends AnyFunSuite {
       "file:// (checksum FS) does write them — the two schemes differ for real")
   }
 
+  test("orphaned crc sidecar: read exhaustion retires it instead of failing forever") {
+    // a writer crash between atomicReplace's sidecar move and data
+    // move leaves a crc permanently paired with the wrong data — the
+    // mismatch never self-heals, so retry exhaustion must retire the
+    // orphan and read raw instead of failing every later read until
+    // the next successful swap (r13 ADVICE)
+    val dir = Files.createTempDirectory("graft").toString
+    val path = s"$dir/ptr"
+    StoreFs.writeString(path, "old-pointer-value")
+    // simulate the crash: swap the DATA bytes raw (same length, so the
+    // stale crc is a pure checksum mismatch), leaving the crc behind
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "new-pointer-value".getBytes("UTF-8"))
+    assert(new java.io.File(s"$dir/.ptr.crc").exists, "fixture: stale crc present")
+    assert(StoreFs.readString(path) === "new-pointer-value",
+      "exhausted read must recover the raw bytes")
+    assert(!new java.io.File(s"$dir/.ptr.crc").exists,
+      "the orphaned sidecar is retired")
+    // and the file is cleanly readable from then on
+    assert(StoreFs.readString(path) === "new-pointer-value")
+    StoreFs.deleteRecursive(dir)
+    ()
+  }
+
   test("createExclusive is atomic under thread races: exactly one winner per path") {
     // Hadoop's local ChecksumFileSystem implements create(overwrite =
     // false) as exists-then-create — a TOCTOU hole that let two

@@ -63,6 +63,59 @@ class NbSegmentSpec extends AnyFunSuite {
     assert(!out(100L).getAs[Boolean]("nb_keep"))
   }
 
+  test("held-out NB: unseen tokens take the exact Laplace-floor weight") {
+    // same planted separable corpus as the first test (T1=180, T0=60,
+    // V=7); score DISJOINT docs whose tokens mix in-vocab and unseen
+    val train = ((0L until 30L).map(i =>
+        (i, "alpha beta gamma delta alpha beta")) ++
+      (30L until 40L).map(i => (i, "omega psi chi omega psi chi")))
+      .toDF("doc_id", "text")
+    val labels = (0L until 40L).map(i => (i, i < 30L)).toDF("doc_id", "label")
+    val score = Seq(
+      (100L, "alpha beta zzznew"),
+      (101L, "zzznew zzzother")).toDF("doc_id", "text")
+    val out = CorpusStats.naiveBayesScoresHoldout(train, labels, score)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def w(c1: Long, c0: Long, t1: Long, t0: Long, v: Long): Long = {
+      val p1 = (c1 + 1) * 1000000000L / (t1 + v)
+      val p0 = (c0 + 1) * 1000000000L / (t0 + v)
+      math.min(math.max(p1 * 1000000L / p0, 15625L), 64000000L) - 1000000L
+    }
+    val floor = w(0, 0, 180, 60, 7) // the c=0 weight: (10⁹/187)·10⁶/(10⁹/67) − 10⁶
+    assert(floor < 0L) // smaller class-0 corpus → unseen leans negative
+    assert(out(100L).getAs[Long]("n_toks") === 3L)
+    assert(out(100L).getAs[Long]("n_unseen") === 1L)
+    assert(out(100L).getAs[Long]("evidence_ppm") ===
+      w(60, 0, 180, 60, 7) * 2 + floor)
+    assert(out(100L).getAs[Boolean]("nb_keep")) // in-vocab evidence dominates
+    assert(out(101L).getAs[Long]("n_unseen") === 2L)
+    assert(out(101L).getAs[Long]("evidence_ppm") === 2 * floor)
+    assert(!out(101L).getAs[Boolean]("nb_keep")) // all-OOV doc drops
+  }
+
+  test("held-out NB degenerates to self-scoring on the training docs") {
+    // left-join + floor must be a strict generalization: scoring the
+    // TRAINING corpus through the holdout path reproduces
+    // naiveBayesScores' evidence exactly, with zero unseen tokens
+    val docs = ((0L until 20L).map(i => (i, "alpha beta alpha")) ++
+      (20L until 30L).map(i => (i, "omega psi omega")))
+      .toDF("doc_id", "text")
+    val labels = (0L until 30L).map(i => (i, i < 20L)).toDF("doc_id", "label")
+    val self = CorpusStats.naiveBayesScores(docs, labels).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ho = CorpusStats.naiveBayesScoresHoldout(docs, labels, docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(ho.size === self.size)
+    ho.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_unseen") === 0L)
+      assert(r.getAs[Long]("n_toks") === self(id).getAs[Long]("n_toks"))
+      assert(r.getAs[Long]("evidence_ppm") ===
+        self(id).getAs[Long]("evidence_ppm"))
+      assert(r.getAs[Boolean]("nb_keep") ===
+        self(id).getAs[Boolean]("nb_keep"))
+    }
+  }
+
   test("NB prototyped-difference regression: shared filler does not flip the split") {
     // shared high-frequency filler in BOTH classes — the failure mode
     // that sank the additive difference form; the ratio weights keep
