@@ -62,67 +62,81 @@ object ExplainAudit {
     // task: the C119/C52/C73 defect class this audit exists to
     // surface. Counted from the FULL plan (the skeleton drops the
     // child lines the classification needs).
-    def suspectSingles(plan: String): Int = {
+    // Returns one SIGNATURE per suspect — the first non-empty line
+    // after the exchange (the operator feeding it), so the declared
+    // map below can fold by PLAN FRAGMENT instead of bare count: a
+    // declared query that loses its adjudicated exchange while
+    // gaining a new unrelated one at equal count must still surface
+    // the newcomer (ADVICE r13 — the count-based fold masked exactly
+    // that swap).
+    def suspectSingles(plan: String): Seq[String] = {
       val ls = plan.linesIterator.toArray
-      ls.indices.count { i =>
-        ls(i).contains("Exchange SinglePartition") && {
+      ls.indices.flatMap { i =>
+        if (ls(i).contains("Exchange SinglePartition")) {
           val nxt = ls.drop(i + 1).find(_.trim.nonEmpty)
           // keyless aggregates emit ≤ 1 row per upstream partition
           // into the exchange whether they carry partial_ functions
           // or NONE AT ALL (functions=[] — a bare existence/1-row
           // funnel, e.g. the NB prior's broadcast side): both are the
           // benign global-agg shape
-          !nxt.exists(l =>
+          val benign = nxt.exists(l =>
             ((l.contains("HashAggregate(keys=[]") ||
               l.contains("SortAggregate(key=[]") ||
               l.contains("ObjectHashAggregate(keys=[]")) &&
              (l.contains("partial_") || l.contains("functions=[]"))) ||
             l.contains("LocalLimit "))
-        }
+          if (benign) None else Some(nxt.map(_.trim).getOrElse(""))
+        } else None
       }
     }
     // Declared bounded-domain single-partition shapes, adjudicated in
     // SURVEY §2: the exchanged relation is ∝ a bounded domain
     // (calendar days, value levels, fixed bins/buckets) or a
     // gate-fixture publish — not ∝ corpus. Each entry carries the
-    // EXPECTED per-section suspect count (ADVICE r12): only that many
-    // are folded into `declaredSinglePartition`; any EXCESS — a
-    // newly-introduced, unrelated single-task exchange in a declared
-    // query — still prints as `suspectSinglePartition` and is a
-    // regression to fix, not to re-adjudicate.
+    // EXPECTED per-section suspect count (ADVICE r12) AND a plan
+    // FRAGMENT the suspect's signature must contain (ADVICE r13):
+    // only matching suspects fold into `declaredSinglePartition`, up
+    // to the expected count; anything else — a newly-introduced
+    // unrelated single-task exchange, even at equal count — still
+    // prints as `suspectSinglePartition` and is a regression to fix,
+    // not to re-adjudicate. Fragments are the adjudicated operators'
+    // stable keys (the grouping key / projected column of the
+    // bounded-domain relation). Entries whose suspects have since
+    // optimized away stay listed with their fragment: they fold
+    // nothing today and can never mask an unrelated newcomer.
     val declared = Map(
-      "q_changepoint" -> (2, "calendar-day cumsum (B91 sweep)"),
-      "q_concurrent_sessions" -> (1, "calendar-day boundary sweep"),
-      "q_mann_whitney" -> (1, "value-level rank relation"),
-      "q_period_over_period" -> (1, "calendar-week lag"),
-      "q_range_join" -> (1, "calendar-day prefix over day nets"),
-      "q_survival" -> (1, "duration-bucket life table"),
-      "select_token_budget" -> (1, "config-sized score buckets (C35)"),
-      "eval_auc_binned" -> (1, "fixed 400-bin grid"),
-      "q_window_actives" -> (1, "calendar-day boundary weights"),
-      "q_forecast_backtest" -> (1, "calendar-day series"),
-      "q_seasonal_index" -> (1, "calendar-month index"),
-      "q_trend_forecast" -> (1, "calendar-day regression moments"),
-      "q_equidepth_hist" -> (1, "config-sized quantile boundaries"),
-      "q_benford" -> (1, "9-digit domain"),
-      "q_ab_srm" -> (1, "2-arm contingency"),
-      "q_chi_squared" -> (1, "bounded category contingency"),
-      "q_gap_fill" -> (1, "calendar grid"),
-      "q_gap_interp" -> (1, "calendar grid"),
-      "mixture_waterfill" -> (2, "sources-sized allocation relation"),
-      "multimodal_dims" -> (1, "fixture publish repartition(1), gate-sized media"),
-      "multimodal_image_dedup" -> (1, "fixture publish repartition(1), gate-sized media"))
+      "q_changepoint" -> (2, "AS dev#", "calendar-day cumsum (B91 sweep)"),
+      "q_concurrent_sessions" -> (1, "dt#", "calendar-day boundary sweep"),
+      "q_mann_whitney" -> (1, "AS cnt#", "value-level rank relation"),
+      "q_period_over_period" -> (1, "keys=[week#", "calendar-week lag"),
+      "q_range_join" -> (1, "keys=[bkt#", "calendar-day prefix over day nets"),
+      "q_survival" -> (1, "Project [bucket#", "duration-bucket life table"),
+      "select_token_budget" -> (1, "keys=[b#", "config-sized score buckets (C35)"),
+      "eval_auc_binned" -> (1, "keys=[bin#", "fixed 400-bin grid"),
+      "q_window_actives" -> (1, "day#", "calendar-day boundary weights"),
+      "q_forecast_backtest" -> (1, "day#", "calendar-day series"),
+      "q_seasonal_index" -> (1, "month#", "calendar-month index"),
+      "q_trend_forecast" -> (1, "day#", "calendar-day regression moments"),
+      "q_equidepth_hist" -> (1, "bound#", "config-sized quantile boundaries"),
+      "q_benford" -> (1, "digit#", "9-digit domain"),
+      "q_ab_srm" -> (1, "arm#", "2-arm contingency"),
+      "q_chi_squared" -> (1, "cell#", "bounded category contingency"),
+      "q_gap_fill" -> (1, "grid#", "calendar grid"),
+      "q_gap_interp" -> (1, "grid#", "calendar grid"),
+      "mixture_waterfill" -> (2, "keys=[source#", "sources-sized allocation relation"),
+      "multimodal_dims" -> (1, "AS media_id#", "fixture publish repartition(1), gate-sized media"),
+      "multimodal_image_dedup" -> (1, "AS media_id#", "fixture publish repartition(1), gate-sized media"))
     def summarize(kept: Seq[String], plan: String, name: String): String = {
       val scans = kept.count(_.contains("Scan parquet"))
       val reused = kept.count(_.contains("ReusedExchange"))
       val single = kept.count(_.contains("SinglePartition"))
-      val suspect = suspectSingles(plan)
+      val suspects = suspectSingles(plan)
       val tail = declared.get(name) match {
-        case Some((expected, reason)) if suspect > 0 =>
-          val folded = math.min(suspect, expected)
-          s" suspectSinglePartition=${suspect - folded}" +
+        case Some((expected, fragment, reason)) if suspects.nonEmpty =>
+          val folded = suspects.count(_.contains(fragment)) min expected
+          s" suspectSinglePartition=${suspects.size - folded}" +
             s" declaredSinglePartition=$folded ($reason)"
-        case _ => s" suspectSinglePartition=$suspect"
+        case _ => s" suspectSinglePartition=${suspects.size}"
       }
       s"scans=$scans reusedExchange=$reused singlePartitionExchanges=$single$tail"
     }

@@ -32,6 +32,16 @@ import graft.ops.CorpusStats
   *    (the ratio form's defining property);
   *  - n_toks conservation: Σ n_toks = 8 · docs.
   *
+  * SHUFFLE-regime leg (r14, r13 verdict #5): the same corpus and the
+  * same truth with `autoBroadcastJoinThreshold = −1` — the regime a
+  * 100 TB-corpus vocabulary lands in when the weight table outgrows
+  * the broadcast threshold. The scoring join then shuffles the token
+  * stream on the token key with the hot filler carrying 50 % of it;
+  * AQE's skew-join split is the declared mitigation
+  * (CorpusStats.naiveBayesScores scale contract), and this leg proves
+  * the shape survives it: identical agreement/conservation, wall time
+  * reported next to the broadcast leg.
+  *
   * Runnable standalone: `sbt 'runMain graft.StressBenchNew12 [multiplier]'`
   * (multiplier 100 = 10 M docs).
   */
@@ -75,25 +85,38 @@ object StressBenchNew12 {
     val labels = spark.range(n)
       .select(col("id").as("doc_id"), (col("id") % 4 =!= 0).as("label"))
 
-    val (agg, t) = secs {
-      CorpusStats.naiveBayesScores(docs, labels)
-        .select(
-          count(lit(1)).as("docs"),
-          sum("n_toks").as("toks"),
-          sum(when(col("nb_keep") === (col("doc_id") % 4 =!= 0), 1L)
-            .otherwise(0L)).as("agree"))
-        .collect()(0)
+    def leg(tag: String): Double = {
+      val (agg, t) = secs {
+        CorpusStats.naiveBayesScores(docs, labels)
+          .select(
+            count(lit(1)).as("docs"),
+            sum("n_toks").as("toks"),
+            sum(when(col("nb_keep") === (col("doc_id") % 4 =!= 0), 1L)
+              .otherwise(0L)).as("agree"))
+          .collect()(0)
+      }
+      val (d, tok, agree) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      println(f"[stress-nb] $tag n=$n%,d docs=$d%,d tokens=$tok%,d " +
+        f"planted-class agreement=$agree%,d (${100.0 * agree / d}%.3f%%) " +
+        f"fit+score=${t}%.1f s")
+      require(d == n, s"$tag row conservation: $d != $n")
+      require(tok == 8L * n, s"$tag token conservation: $tok != ${8L * n}")
+      require(agree == n,
+        s"$tag planted truth violated: $agree of $n docs agree — the hot " +
+          "filler or the skewed prior flipped a decision")
+      t
     }
-    val (d, tok, agree) =
-      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    println(f"[stress-nb] n=$n%,d docs=$d%,d tokens=$tok%,d " +
-      f"planted-class agreement=$agree%,d (${100.0 * agree / d}%.3f%%) " +
-      f"fit+score=${t}%.1f s")
-    require(d == n, s"row conservation: $d != $n")
-    require(tok == 8L * n, s"token conservation: $tok != ${8L * n}")
-    require(agree == n,
-      s"planted truth violated: $agree of $n docs agree — the hot filler " +
-        "or the skewed prior flipped a decision")
+    val tBroadcast = leg("broadcast")
+    // shuffle regime: the weight table past the broadcast threshold —
+    // token-keyed shuffle with the 50%-one-key filler, AQE skew-join
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tShuffle =
+      try leg("shuffle")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    println(f"[stress-nb] broadcast=${tBroadcast}%.1f s " +
+      f"shuffle=${tShuffle}%.1f s (x${tShuffle / tBroadcast}%.2f)")
     println("[stress-nb] OK")
   }
 }

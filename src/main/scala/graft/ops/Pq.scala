@@ -242,10 +242,15 @@ object Pq {
     * just those rows against the float column. Queries are a bounded
     * ANN batch (ADC tables are Q·M·K driver-side floats; probes and
     * shortlist broadcast).
+    *
+    * `rerank = false` returns the top-`topK` by RAW ADC order (refine
+    * ignored, the float column never touched) — the memory-floor
+    * configuration whose recall gap vs the reranked path the
+    * 10M-vector frontier probe (StressBenchNew13) measures.
     */
   def ivfPqTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
       centroids: DataFrame, model: PqModel, topK: Int, nprobe: Int,
-      refine: Int = 4): DataFrame = {
+      refine: Int = 4, rerank: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val (m, k, dsub) = (model.m, model.k, model.dsub)
@@ -278,6 +283,13 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.SortableDoubleBits(
           dot / greatest(col("recon_norm"), lit(1e-30))).as("ord"))
+    if (!rerank)
+      return scored.groupBy("query_id")
+        .agg(graft.functions.TopKByOrder(struct(col("neighbor_id")),
+          col("ord"), col("neighbor_id"), topK).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rnk"))
     val shortlist = scored.groupBy("query_id")
       .agg(graft.functions.TopKByOrder(struct(col("neighbor_id")),
         col("ord"), col("neighbor_id"), topK * refine).as("top"))

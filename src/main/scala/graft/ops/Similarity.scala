@@ -241,19 +241,29 @@ object Similarity {
     * semantics, independent of recall.
     */
   def annIvfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    annIvfSearch(queries, ivfIndex(corpus, centroids), centroids, k, nprobe)
+
+  /** The IVF inverted lists — `(cid, neighbor_id, emb_c)`, each
+    * corpus vector under its argmax-cosine centroid. A deployment
+    * PERSISTS this and sweeps probe budgets against it; exposed
+    * separately from [[annIvfSearch]] so the 10M-vector frontier
+    * probe (StressBenchNew13) builds once per index like a deployment
+    * would, instead of re-assigning the corpus per nprobe point.
+    *
+    * Assignment shape: the r2 form was a row_number window (N·M
+    * scored rows through shuffle+sort); r4's LatestByOrder carried
+    * the EMBEDDING in the aggregate value — an array copy per
+    * CANDIDATE row, N·M of them (measured 163.7 s vs ~12 s at
+    * 100 k×196 on the PQ variant); max_by(cid, struct) plans
+    * SortAggregate and sorts the N·M stream. The shape that survives
+    * 100 TB: LatestByOrder with a SCALAR-ONLY value (the cid) —
+    * ObjectHashAggregate, map-side combine, ties to the smallest cid
+    * (the oracle's ORDER BY cos DESC, cid) — then the embedding joins
+    * back co-partitioned on the id.
+    */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
-    // Inverted lists: argmax-cosine centroid per corpus vector. The
-    // r2 form was a row_number window (N·M scored rows through
-    // shuffle+sort); r4's LatestByOrder carried the EMBEDDING in the
-    // aggregate value — an array copy per CANDIDATE row, N·M of them
-    // (measured 163.7 s vs ~12 s at 100 k×196 on the PQ variant);
-    // max_by(cid, struct) plans SortAggregate and sorts the N·M
-    // stream. The shape that survives 100 TB: LatestByOrder with a
-    // SCALAR-ONLY value (the cid) — ObjectHashAggregate, map-side
-    // combine, ties to the smallest cid (the oracle's ORDER BY cos
-    // DESC, cid) — then the embedding joins back co-partitioned on
-    // the id.
     val assign = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
       .crossJoin(broadcast(cent))
       .select(col("neighbor_id"), col("cid"),
@@ -262,9 +272,15 @@ object Similarity {
       .agg(graft.functions.LatestByOrder(struct(col("cid")),
         col("ord"), -col("cid")).as("best"))
       .select(col("neighbor_id"), col("best.cid").as("cid"))
-    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
       .join(assign.hint("shuffle_hash"), "neighbor_id")
       .select(col("cid"), col("neighbor_id"), col("emb_c"))
+  }
+
+  /** Probe-limited exact search over prebuilt [[ivfIndex]] lists. */
+  def annIvfSearch(queries: DataFrame, lists: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cid"), col("embedding").as("emb_cent"))
     // Probe set: top-nprobe centroids per query — same shape, bounded
     // top-k buffer instead of a window.
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))

@@ -104,7 +104,12 @@ def main():
         record[name] = {"status": "pass", "rows": len(sr)}
     print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else ""))
     if record_path:
+        # role disambiguates the committed record's provenance: the
+        # correctness record is the ORACLE GATE at its own SF and is
+        # not meant to match BENCH_LOCAL.json's bench SF (r13 ADVICE)
         out = {"sfdir": sfdir, "n_pass": n_pass, "n_fail": n_fail,
+               "role": f"oracle correctness gate at {sfdir} "
+                       "(independent of the bench record's SF)",
                "queries": record}
         with open(record_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
