@@ -308,25 +308,44 @@ object CorpusStats {
     */
   private def nbWeightTable(trainToks: DataFrame,
       lbl: DataFrame): (DataFrame, DataFrame) = {
+    val (m, tot) = nbModel(trainToks, lbl)
+    (m.select("tok", "w_ppm"), tot)
+  }
+
+  // guard folded into the USED column so pruning can't drop it
+  private def guardedTotal(t: String) = expr(
+    s"coalesce(cast(assert_true($t + v <= 1000000000L, concat(" +
+      s"'NB nano-scale headroom exceeded: $t+v = ', $t + v, " +
+      s"' > 1e9 — raise the conditional scale or shard by source'" +
+      s")) as bigint), $t)").as(t)
+
+  private val WPpmExpr =
+    "least(greatest(((c1 + 1L) * 1000000000L div (t1 + v)) * 1000000L" +
+      " div ((c0 + 1L) * 1000000000L div (t0 + v)), 15625L), 64000000L)" +
+      " - 1000000L"
+
+  private val WUnseenExpr =
+    "least(greatest((1000000000L div (t1 + v)) * 1000000L" +
+      " div (1000000000L div (t0 + v)), 15625L), 64000000L)" +
+      " - 1000000L"
+
+  /** The NB model WITH its per-token support: `(tok, c1, c0, w_ppm)`
+    * plus the 1-row guarded totals `(t1, t0, v)` — the introspectable
+    * form (C139 reads the support columns; scoring callers go through
+    * [[nbWeightTable]]'s `(tok, w_ppm)` projection).
+    */
+  def nbModel(trainToks: DataFrame,
+      lbl: DataFrame): (DataFrame, DataFrame) = {
     val vc = trainToks.join(lbl, "doc_id").groupBy("tok").agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("c1"),
       sum(when(col("label"), 0L).otherwise(1L)).as("c0"))
-    // guard folded into the USED column so pruning can't drop it
-    def guarded(t: String) = expr(
-      s"coalesce(cast(assert_true($t + v <= 1000000000L, concat(" +
-        s"'NB nano-scale headroom exceeded: $t+v = ', $t + v, " +
-        s"' > 1e9 — raise the conditional scale or shard by source'" +
-        s")) as bigint), $t)").as(t)
     val tot = vc.agg(sum("c1").as("t1"), sum("c0").as("t0"),
         count(lit(1)).as("v"))
-      .select(guarded("t1"), guarded("t0"), col("v"))
-    val w = vc.crossJoin(broadcast(tot)) // 1-row totals broadcast
-      .withColumn("w_ppm", expr(
-        "least(greatest(((c1 + 1L) * 1000000000L div (t1 + v)) * 1000000L" +
-          " div ((c0 + 1L) * 1000000000L div (t0 + v)), 15625L), 64000000L)" +
-          " - 1000000L"))
-      .select("tok", "w_ppm")
-    (w, tot)
+      .select(guardedTotal("t1"), guardedTotal("t0"), col("v"))
+    val m = vc.crossJoin(broadcast(tot)) // 1-row totals broadcast
+      .withColumn("w_ppm", expr(WPpmExpr))
+      .select("tok", "c1", "c0", "w_ppm")
+    (m, tot)
   }
 
   /** Held-out NB scoring (C136) — the deployment shape the C134
@@ -364,12 +383,45 @@ object CorpusStats {
     def tokify(d: DataFrame) = d.select(col("doc_id"),
       explode(split(lower(text), " ")).as("tok"))
     val (w, tot) = nbWeightTable(tokify(trainDocs), lbl)
-    val wu = tot.withColumn("w_unseen_ppm", expr(
-        "least(greatest((1000000000L div (t1 + v)) * 1000000L" +
-          " div (1000000000L div (t0 + v)), 15625L), 64000000L)" +
-          " - 1000000L"))
+    val wu = tot.withColumn("w_unseen_ppm", expr(WUnseenExpr))
       .select("w_unseen_ppm")
-    tokify(scoreDocs)
+    nbScore(scoreDocs, w, wu, text)
+  }
+
+  /** Fit the NB model once and MATERIALIZE it — the persisted-model
+    * deployment shape (fit on yesterday's labeled corpus, score every
+    * new crawl shard against the same frozen weights; the streaming
+    * ingestion path scores each micro-batch through [[nbScore]]).
+    * Returns the vocab-sized `(tok, w_ppm)` weight table and the
+    * 1-row `(w_unseen_ppm)` Laplace floor, both eagerly checkpointed
+    * so repeated scoring passes do not re-run the training aggregation
+    * (a cluster deployment writes them to parquet instead — same
+    * contract, durable storage).
+    */
+  def nbFit(trainDocs: DataFrame, trainLabels: DataFrame,
+      text: Column = col("text")): (DataFrame, DataFrame) = {
+    val lbl = trainLabels
+      .select(col("doc_id"), col("label").cast("boolean").as("label"))
+      .localCheckpoint(true)
+    val (w, tot) = nbWeightTable(
+      trainDocs.select(col("doc_id"),
+        explode(split(lower(text), " ")).as("tok")), lbl)
+    val wu = tot.withColumn("w_unseen_ppm", expr(WUnseenExpr))
+      .select("w_unseen_ppm")
+    (w.localCheckpoint(true), wu.localCheckpoint(true))
+  }
+
+  /** Score a document batch against a fitted model — the shared
+    * scoring tail of [[naiveBayesScoresHoldout]], public so a fitted
+    * `(w, wu)` pair from [[nbFit]] can score many batches (or each
+    * streaming micro-batch) without re-training. Same join contract
+    * as [[naiveBayesScores]]: weight table broadcasts below the
+    * threshold, AQE skew-join above it.
+    */
+  def nbScore(scoreDocs: DataFrame, w: DataFrame, wu: DataFrame,
+      text: Column = col("text")): DataFrame =
+    scoreDocs.select(col("doc_id"),
+        explode(split(lower(text), " ")).as("tok"))
       .join(w, Seq("tok"), "left")
       .crossJoin(broadcast(wu)) // 1-row unseen-floor broadcast
       .groupBy("doc_id")
@@ -378,5 +430,88 @@ object CorpusStats {
         sum(coalesce(col("w_ppm"), col("w_unseen_ppm"))).as("evidence_ppm"))
       .withColumn("nb_keep", col("evidence_ppm") > 0L)
       .select("doc_id", "n_toks", "n_unseen", "evidence_ppm", "nb_keep")
+
+  /** Split-conformal threshold (C138): given a calibration relation
+    * `(doc_id, s)` of nonconformity scores on TRUE-labeled items, the
+    * ⌈(1−α)(n+1)⌉-th smallest s — the distribution-free cut: gating
+    * test items at s ≤ threshold drops at most α of true items in
+    * expectation (marginal, under exchangeability of calibration and
+    * test). Rank selection runs through [[Prefix.globalRank]] (no
+    * single-task window over the calibration relation); if the rank
+    * exceeds n the threshold is Long.MaxValue (keep everything — the
+    * standard small-n degeneracy). Returns the 1-row `(thr_s)` frame
+    * plus (n_cal, k_rank) for the caller's report.
+    */
+  def conformalThreshold(cal: DataFrame,
+      alphaPpm: Long): (DataFrame, Long, Long) = {
+    val (ranked, nCal) = Prefix.globalRank(cal, "rk",
+      Seq(col("s"), col("doc_id")))
+    val kRank = ((1000000L - alphaPpm) * (nCal + 1L) + 999999L) / 1000000L
+    val thr =
+      if (kRank > nCal)
+        cal.sparkSession.range(1).select(lit(Long.MaxValue).as("thr_s"))
+      else ranked.filter(col("rk") === lit(kRank))
+        .select(col("s").as("thr_s"))
+    (thr, nCal, kRank)
+  }
+
+  /** K-fold cross-validated NB scoring (C137) — every document scored
+    * by the model trained on the OTHER k−1 folds, in ONE relational
+    * pass (no per-fold driver loop): the training token stream is the
+    * corpus replicated to each fold it trains (explode over folds,
+    * filtered off the doc's own fold — the declared ×(k−1) CV cost),
+    * per-(fold, token) Laplace counts give k vocab-sized models, and
+    * each doc's tokens LEFT-join its own fold's weights with
+    * vocabulary misses taking that fold's Laplace floor (the C136
+    * unseen contract, per fold).
+    *
+    * `fold` must be a deterministic integer column in [0, k) (the C18
+    * permille bucket div (1000/k) — engine-reproducible at any SF).
+    * `scoreText` defaults to `trainText` but the gated query passes
+    * the OOV-suffixed text so the floor path stays live in the hash
+    * gate (the C136 fixture).
+    *
+    * Long headroom: identical to [[naiveBayesScores]] per fold (each
+    * fold's totals are bounded by the full-corpus totals; the nano
+    * guard asserts per fold row). Scale shape: one explode ∝ k ×
+    * corpus tokens → (fold, token) hash agg = k vocab-sized models;
+    * scoring is one token pass joined on (fold, token); the totals
+    * and floors are k-row broadcasts.
+    */
+  def naiveBayesKfoldScores(docs: DataFrame, labels: DataFrame, k: Int,
+      fold: Column, trainText: Column = col("text"),
+      scoreText: Column = null): DataFrame = {
+    val scoreT = Option(scoreText).getOrElse(trainText)
+    val lbl = labels
+      .select(col("doc_id"), col("label").cast("boolean").as("label"))
+      .localCheckpoint(true)
+    val dk = docs.withColumn("__fold", fold.cast("long"))
+    def tokify(t: Column) = dk.select(col("doc_id"), col("__fold"),
+      explode(split(lower(t), " ")).as("tok"))
+    val trainToks = tokify(trainText)
+      .withColumn("f", explode(sequence(lit(0L), lit(k - 1L))))
+      .filter(col("f") =!= col("__fold"))
+      .select("doc_id", "f", "tok")
+    val vc = trainToks.join(lbl, "doc_id").groupBy("f", "tok").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("c0"))
+    val tot = vc.groupBy("f").agg(sum("c1").as("t1"), sum("c0").as("t0"),
+        count(lit(1)).as("v"))
+      .select(col("f"), guardedTotal("t1"), guardedTotal("t0"), col("v"))
+    val w = vc.join(broadcast(tot), "f") // k-row totals broadcast
+      .withColumn("w_ppm", expr(WPpmExpr))
+      .select("f", "tok", "w_ppm")
+    val wu = tot.withColumn("w_unseen_ppm", expr(WUnseenExpr))
+      .select("f", "w_unseen_ppm")
+    tokify(scoreT).withColumnRenamed("__fold", "f")
+      .join(w, Seq("f", "tok"), "left")
+      .join(broadcast(wu), "f") // k-row floor broadcast
+      .groupBy("doc_id", "f")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("w_ppm").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(coalesce(col("w_ppm"), col("w_unseen_ppm"))).as("evidence_ppm"))
+      .withColumn("nb_keep", col("evidence_ppm") > 0L)
+      .select(col("doc_id"), col("f").as("fold"), col("n_toks"),
+        col("n_unseen"), col("evidence_ppm"), col("nb_keep"))
   }
 }

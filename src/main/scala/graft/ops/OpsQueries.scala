@@ -2934,6 +2934,254 @@ object OpsQueries {
        |FROM j CROSS JOIN rng
        |GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // C137 = C136 ∘ k-fold (r14): 5-fold cross-validated NB accuracy —
+  // the model-selection readout after C136's single holdout: one
+  // held-out point estimates generalization, k folds estimate its
+  // VARIANCE (is 98.8 % a stable property of the recipe or luck of
+  // one split?). Folds are the C18 permille bucket div 200
+  // (deterministic, engine-reproducible at any SF); every doc is
+  // scored exactly once, by the model trained on the other 4 folds,
+  // with vocabulary misses taking that fold's Laplace floor and the
+  // C136 per-doc OOV fixture keeping the floor path live in the gate.
+  // The whole k-fold pass is ONE relational job (fold-keyed training
+  // stream, no driver loop) — see CorpusStats.naiveBayesKfoldScores
+  // for the ×(k−1) cost contract and per-fold headroom.
+  def evalNbKfold(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+      .localCheckpoint(true)
+    val fold = (Packing.permilleBucket(col("doc_id")) / lit(200)).cast("long")
+    CorpusStats.naiveBayesKfoldScores(docs, labels, 5, fold,
+        trainText = col("text"), scoreText = oovSuffix(col("text")))
+      .join(labels, "doc_id")
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nb_keep") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum("n_unseen").as("n_unseen"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000L div n"))
+      .select("fold", "n", "n_correct", "acc_ppm", "n_unseen")
+      .orderBy("fold")
+  }
+
+  private val oEvalNbKfold =
+    s"""WITH $oNbLabelsCte,
+       |bkt AS (SELECT doc_id,
+       |    ((doc_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+       |  FROM documents),
+       |fl AS (SELECT CAST(f AS BIGINT) AS f FROM unnest(range(0, 5)) t(f)),
+       |tkn AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents),
+       |vc AS (SELECT fl.f, tok,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c0
+       |  FROM tkn JOIN g USING (doc_id) JOIN bkt USING (doc_id)
+       |  CROSS JOIN fl WHERE bkt.b // 200 <> fl.f GROUP BY fl.f, tok),
+       |tot AS (SELECT f, CAST(sum(c1) AS BIGINT) AS t1,
+       |    CAST(sum(c0) AS BIGINT) AS t0,
+       |    CAST(count(*) AS BIGINT) AS v FROM vc GROUP BY f),
+       |wt AS (SELECT f, tok,
+       |    least(greatest(((c1 + 1) * 1000000000 // (t1 + v)) * 1000000
+       |        // ((c0 + 1) * 1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_ppm
+       |  FROM vc JOIN tot USING (f)),
+       |wu AS (SELECT f,
+       |    least(greatest((1000000000 // (t1 + v)) * 1000000
+       |        // (1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_unseen_ppm
+       |  FROM tot),
+       |tkh AS (SELECT doc_id, bkt.b // 200 AS f,
+       |    unnest(string_split(lower(
+       |      text || ' oov' || doc_id || 'x oov' || doc_id || 'x'),
+       |      ' ')) AS tok
+       |  FROM documents JOIN bkt USING (doc_id)),
+       |hsc AS (SELECT t.doc_id, t.f, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(CASE WHEN wt.w_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unseen,
+       |    CAST(sum(coalesce(wt.w_ppm, wu.w_unseen_ppm)) AS BIGINT)
+       |      AS evidence_ppm
+       |  FROM tkh t LEFT JOIN wt ON wt.f = t.f AND wt.tok = t.tok
+       |       JOIN wu ON wu.f = t.f
+       |  GROUP BY t.doc_id, t.f)
+       |SELECT h.f AS fold, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN (h.evidence_ppm > 0) = g.label
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN (h.evidence_ppm > 0) = g.label
+       |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       |  CAST(sum(h.n_unseen) AS BIGINT) AS n_unseen
+       |FROM hsc h JOIN g USING (doc_id)
+       |GROUP BY h.f ORDER BY fold""".stripMargin
+
+  // C138 = C136 ∘ split-conformal (r14): the DISTRIBUTION-FREE
+  // keep-gate — C136 reports accuracy, this op turns the scores into
+  // a gate with a marginal guarantee: at most α of TRUE-KEEP docs are
+  // dropped (in expectation, under exchangeability of the hash
+  // split). Standard split conformal: train on bucket<500, calibrate
+  // on [500,750), test on [750,1000); nonconformity s = −evidence;
+  // the threshold is the ⌈(1−α)(n_cal+1)⌉-th smallest calibration s
+  // over TRUE-KEEP calibration docs (α = 0.1), and a test doc is kept
+  // iff its s ≤ threshold. The rank selection runs through
+  // Prefix.globalRank (the C74 partition-wise prefix — no
+  // single-task window over the calibration relation); if the rank
+  // exceeds n_cal the threshold is +∞ and everything keeps (the small
+  // -n edge, exercised at sf0.001). Output is the 1-row deployment
+  // report: threshold, and the measured test-side false-drop rate the
+  // guarantee bounds.
+  def evalNbConformal(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bucket = Packing.permilleBucket(col("doc_id"))
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("label"))
+      .localCheckpoint(true)
+    // doc-sized decisions over cal+test, 2 consumers (cal rank, test
+    // gate): checkpoint once so the train+score token passes run once
+    val scored = CorpusStats.naiveBayesScoresHoldout(
+        docs.filter(bucket < lit(500L)), labels,
+        docs.filter(bucket >= lit(500L)))
+      .join(labels, "doc_id")
+      .withColumn("b", Packing.permilleBucket(col("doc_id")))
+      .localCheckpoint(true)
+    val cal = scored.filter(col("b") < lit(750L) && col("label"))
+      .select(col("doc_id"), (-col("evidence_ppm")).as("s"))
+    val (thr, nCal, kRank) =
+      CorpusStats.conformalThreshold(cal, alphaPpm = 100000L)
+    scored.filter(col("b") >= lit(750L))
+      .crossJoin(broadcast(thr)) // 1-row threshold broadcast
+      .withColumn("cp_keep", -col("evidence_ppm") <= col("thr_s"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("cp_keep"), 1L).otherwise(0L)).as("n_test_keep"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_test_true"),
+        sum(when(col("label") && !col("cp_keep"), 1L).otherwise(0L))
+          .as("n_false_drop"),
+        min("thr_s").as("thr_s"))
+      .withColumn("alpha_ppm", lit(100000L))
+      .withColumn("n_cal", lit(nCal))
+      .withColumn("k_rank", lit(kRank))
+      .withColumn("false_drop_ppm", expr(
+        "CASE WHEN n_test_true > 0" +
+          " THEN n_false_drop * 1000000L div n_test_true ELSE 0L END"))
+      .select("alpha_ppm", "n_cal", "k_rank", "thr_s", "n_test",
+        "n_test_keep", "n_test_true", "n_false_drop", "false_drop_ppm")
+  }
+
+  private val oEvalNbConformal =
+    s"""WITH $oNbLabelsCte,
+       |bkt AS (SELECT doc_id,
+       |    ((doc_id % 1000000007) * 1000003) % 1000000007 % 1000 AS b
+       |  FROM documents),
+       |tkn AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents),
+       |vc AS (SELECT tok,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c0
+       |  FROM tkn JOIN g USING (doc_id) JOIN bkt USING (doc_id)
+       |  WHERE bkt.b < 500 GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+       |    CAST(sum(c0) AS BIGINT) AS t0,
+       |    CAST(count(*) AS BIGINT) AS v FROM vc),
+       |wt AS (SELECT tok,
+       |    least(greatest(((c1 + 1) * 1000000000 // (t1 + v)) * 1000000
+       |        // ((c0 + 1) * 1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_ppm
+       |  FROM vc, tot),
+       |wu AS (SELECT
+       |    least(greatest((1000000000 // (t1 + v)) * 1000000
+       |        // (1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_unseen_ppm
+       |  FROM tot),
+       |csc AS (SELECT t.doc_id,
+       |    CAST(sum(coalesce(wt.w_ppm, wu.w_unseen_ppm)) AS BIGINT)
+       |      AS evidence_ppm
+       |  FROM tkn t JOIN bkt USING (doc_id) LEFT JOIN wt USING (tok)
+       |       CROSS JOIN wu
+       |  WHERE bkt.b >= 500 GROUP BY t.doc_id),
+       |j AS (SELECT c.doc_id, c.evidence_ppm, g.label, bkt.b
+       |  FROM csc c JOIN g USING (doc_id) JOIN bkt USING (doc_id)),
+       |cal AS (SELECT doc_id, -evidence_ppm AS s FROM j
+       |        WHERE b < 750 AND label),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+       |    CAST((900000 * (count(*) + 1) + 999999) // 1000000 AS BIGINT)
+       |      AS k_rank FROM cal),
+       |rkd AS (SELECT s, row_number() OVER (ORDER BY s, doc_id) AS rn
+       |        FROM cal),
+       |thr AS (SELECT CASE WHEN k.k_rank > k.n_cal
+       |      THEN 9223372036854775807
+       |      ELSE (SELECT s FROM rkd, kk WHERE rn = k_rank) END AS thr_s
+       |  FROM kk k),
+       |tst AS (SELECT j.doc_id, j.label,
+       |    (-j.evidence_ppm <= t.thr_s) AS cp_keep
+       |  FROM j CROSS JOIN thr t WHERE j.b >= 750)
+       |SELECT CAST(100000 AS BIGINT) AS alpha_ppm, k.n_cal, k.k_rank,
+       |  CAST(t.thr_s AS BIGINT) AS thr_s,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN cp_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_test_keep,
+       |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_test_true,
+       |  CAST(sum(CASE WHEN label AND NOT cp_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_drop,
+       |  CAST(CASE WHEN sum(CASE WHEN label THEN 1 ELSE 0 END) > 0
+       |    THEN sum(CASE WHEN label AND NOT cp_keep THEN 1 ELSE 0 END)
+       |      * 1000000 // sum(CASE WHEN label THEN 1 ELSE 0 END)
+       |    ELSE 0 END AS BIGINT) AS false_drop_ppm
+       |FROM tst CROSS JOIN kk k CROSS JOIN thr t
+       |GROUP BY k.n_cal, k.k_rank, t.thr_s""".stripMargin
+
+  // C139 (r14): NB model introspection — the per-class top
+  // discriminative tokens a deployment INSPECTS before shipping a
+  // trained filter (is the classifier keying on content words or on
+  // markup artifacts / PII-shaped tokens?): the fitted weight table
+  // with its per-token support exposed (CorpusStats.nbModel), a
+  // support floor (c1+c0 ≥ 20 — below it the Laplace clamp dominates
+  // and rank order is noise), top 25 keep-indicating (w_ppm desc) and
+  // top 25 drop-indicating (w_ppm asc) tokens, ties broken by token.
+  // Both top-k cuts are orderBy+limit — distributed TakeOrdered (the
+  // C59 movers discipline), never a vocab-sized single-task window;
+  // no rank column is exported (rank = read order) so the op needs no
+  // window at all.
+  def corpusNbFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val labels = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").cast("boolean").as("label"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val (m, _) = CorpusStats.nbModel(toks, labels)
+    val sup = m.filter(col("c1") + col("c0") >= lit(20L))
+    val keepTop = sup.orderBy(col("w_ppm").desc, col("tok").asc)
+      .limit(25).withColumn("side", lit("keep"))
+    val dropTop = sup.orderBy(col("w_ppm").asc, col("tok").asc)
+      .limit(25).withColumn("side", lit("drop"))
+    keepTop.unionByName(dropTop)
+      .select("side", "tok", "c1", "c0", "w_ppm")
+      .orderBy("side", "w_ppm", "tok")
+  }
+
+  private val oCorpusNbFeatures =
+    s"""WITH $oNbLabelsCte,
+       |tkn AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents),
+       |vc AS (SELECT tok,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c0
+       |  FROM tkn JOIN g USING (doc_id) GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+       |    CAST(sum(c0) AS BIGINT) AS t0,
+       |    CAST(count(*) AS BIGINT) AS v FROM vc),
+       |wtc AS (SELECT tok, c1, c0,
+       |    least(greatest(((c1 + 1) * 1000000000 // (t1 + v)) * 1000000
+       |        // ((c0 + 1) * 1000000000 // (t0 + v)), 15625), 64000000)
+       |      - 1000000 AS w_ppm
+       |  FROM vc, tot),
+       |sup AS (SELECT tok, c1, c0, w_ppm FROM wtc WHERE c1 + c0 >= 20),
+       |kp AS (SELECT 'keep' AS side, tok, c1, c0, w_ppm FROM sup
+       |       ORDER BY w_ppm DESC, tok LIMIT 25),
+       |dr AS (SELECT 'drop' AS side, tok, c1, c0, w_ppm FROM sup
+       |       ORDER BY w_ppm ASC, tok LIMIT 25)
+       |SELECT side, tok, c1, c0, w_ppm FROM kp
+       |UNION ALL SELECT side, tok, c1, c0, w_ppm FROM dr
+       |ORDER BY side, w_ppm, tok""".stripMargin
+
   // C135 (r13): segment-level language routing — C133's consumer
   // (r12 verdict #5): C133 FLAGS code-switched docs; this op ACTS on
   // the flag. Every flagged doc (half-langids disagree, the C133
@@ -6881,6 +7129,11 @@ object OpsQueries {
       Some(oEvalNbHoldoutCi)),
     QueryDef("eval_nb_calibration", evalNbCalibration,
       Some(oEvalNbCalibration)),
+    QueryDef("eval_nb_kfold", evalNbKfold, Some(oEvalNbKfold)),
+    QueryDef("eval_nb_conformal", evalNbConformal,
+      Some(oEvalNbConformal)),
+    QueryDef("corpus_nb_features", corpusNbFeatures,
+      Some(oCorpusNbFeatures)),
     QueryDef("text_segment_langid", textSegmentLangid,
       Some(oTextSegmentLangid)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),

@@ -133,6 +133,94 @@ class NbSegmentSpec extends AnyFunSuite {
     }
   }
 
+  test("k-fold scoring: each fold's scores equal the holdout path trained on the other folds") {
+    // C137 law: the one-pass fold-keyed job must be exactly k
+    // independent holdout runs — train on the other folds, score the
+    // fold — fold by fold, bit for bit
+    val docs = ((0L until 30L).map(i =>
+        (i, "alpha beta gamma delta alpha beta")) ++
+      (30L until 45L).map(i => (i, "omega psi chi omega psi chi")))
+      .toDF("doc_id", "text")
+    val labels = (0L until 45L).map(i => (i, i < 30L)).toDF("doc_id", "label")
+    val k = 3
+    val kf = CorpusStats.naiveBayesKfoldScores(docs, labels, k,
+        col("doc_id") % k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(kf.size === 45)
+    (0 until k).foreach { f =>
+      val ho = CorpusStats.naiveBayesScoresHoldout(
+          docs.filter(col("doc_id") % k =!= f), labels,
+          docs.filter(col("doc_id") % k === f))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      ho.foreach { case (id, r) =>
+        val kr = kf((id, f.toLong))
+        assert(kr.getAs[Long]("n_toks") === r.getAs[Long]("n_toks"))
+        assert(kr.getAs[Long]("n_unseen") === r.getAs[Long]("n_unseen"))
+        assert(kr.getAs[Long]("evidence_ppm") ===
+          r.getAs[Long]("evidence_ppm"), s"fold $f doc $id")
+        assert(kr.getAs[Boolean]("nb_keep") === r.getAs[Boolean]("nb_keep"))
+      }
+    }
+  }
+
+  test("conformal threshold: exact rank selection, ties, and the small-n keep-all degeneracy") {
+    // 100 calibration scores 1..100, α=0.1 → k = ⌈0.9·101⌉ = 91 →
+    // threshold = the 91st smallest = 91
+    val cal = (1L to 100L).map(i => (i, i)).toDF("doc_id", "s")
+    val (thr, n, kr) = CorpusStats.conformalThreshold(cal, 100000L)
+    assert(n === 100L && kr === 91L)
+    assert(thr.collect().map(_.getLong(0)).toSeq === Seq(91L))
+    // ties: all s equal → threshold is that value (rank picks by
+    // doc_id tie-break but the VALUE is what gates)
+    val tied = (1L to 20L).map(i => (i, 7L)).toDF("doc_id", "s")
+    val (thr2, n2, kr2) = CorpusStats.conformalThreshold(tied, 100000L)
+    assert(n2 === 20L && kr2 === 19L)
+    assert(thr2.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // small n: 5 rows → k = ⌈0.9·6⌉ = 6 > 5 → +∞ (keep everything)
+    val tiny = (1L to 5L).map(i => (i, i)).toDF("doc_id", "s")
+    val (thr3, n3, kr3) = CorpusStats.conformalThreshold(tiny, 100000L)
+    assert(n3 === 5L && kr3 === 6L)
+    assert(thr3.collect().map(_.getLong(0)).toSeq === Seq(Long.MaxValue))
+  }
+
+  test("streaming NB scoring: micro-batched scoring over a fitted model matches the batch path") {
+    // C140: fit once (the persisted-model shape), score a stream of
+    // new docs per micro-batch through the shared nbScore tail — the
+    // classifier in the ingestion path. Batch/stream equivalence is
+    // exact because each doc's tokens live in one micro-batch.
+    implicit val sq = spark.sqlContext
+    val train = ((0L until 30L).map(i =>
+        (i, "alpha beta gamma delta alpha beta")) ++
+      (30L until 40L).map(i => (i, "omega psi chi omega psi chi")))
+      .toDF("doc_id", "text")
+    val labels = (0L until 40L).map(i => (i, i < 30L)).toDF("doc_id", "label")
+    val (w, wu) = CorpusStats.nbFit(train, labels)
+    val newDocs = Seq(
+      (100L, "alpha beta zzznew"), (101L, "zzznew zzzother"),
+      (102L, "omega psi chi"), (103L, "alpha alpha beta"))
+    val expected = CorpusStats.nbScore(newDocs.toDF("doc_id", "text"), w, wu)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Any]]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        CorpusStats.nbScore(b, w, wu).collect().foreach(r =>
+          got.synchronized { got(r.getLong(0)) = r.toSeq })
+      }
+      .start()
+    try {
+      mem.addData(newDocs.take(2): _*); q.processAllAvailable()
+      mem.addData(newDocs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size === 4)
+    expected.foreach { case (id, row) =>
+      assert(got(id) === row, s"doc $id stream/batch divergence")
+    }
+  }
+
   test("segment routing: code-switched doc splits into per-language runs that tile the doc") {
     val en = "the cat and a dog of the house is to go in the yard is a "
     val de = "der hund und die katze das ist nicht der fall und das ist der hund und "
