@@ -3182,6 +3182,210 @@ object OpsQueries {
        |UNION ALL SELECT side, tok, c1, c0, w_ppm FROM dr
        |ORDER BY side, w_ppm, tok""".stripMargin
 
+  // C141 (r14): Matryoshka truncation eval — the dimension/cost dial
+  // readout for MRL-style embeddings (use the first d' dims of a
+  // 64-dim vector; how much recall does each truncation keep?): for
+  // d' ∈ {8,16,32,64}, exact cosine top-5 on the truncated prefix vs
+  // the full-dim top-5, recall = overlap. The full-dim row is the
+  // identity (recall 10⁶) by construction — a gate-side sanity pin.
+  // Same query/candidate split, codegen'd cosine and (sim DESC, id)
+  // tie-break as C6; cost = |dims| brute-force passes over the C6
+  // workload (queries ≪ corpus — the broadcast side).
+  def embedMatryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    def topk(dim: Int): DataFrame =
+      q.crossJoin(c)
+        .withColumn("sim", Similarity.cosine(
+          expr(s"slice(qe, 1, $dim)"), expr(s"slice(ce, 1, $dim)")))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    // full-dim reference read twice (3 overlap joins + its own row):
+    // bounded (queries·k rows), checkpoint once
+    val full = topk(64).localCheckpoint(true)
+    Seq(8, 16, 32, 64).map { dm =>
+      val t = if (dm == 64) full else topk(dm)
+      t.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(t.agg(count(lit(1)).as("n")))
+        .withColumn("dim", lit(dm.toLong))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall_ppm", expr("n_hits * 1000000L div n"))
+      .select("dim", "n", "n_hits", "recall_ppm")
+      .orderBy("dim")
+  }
+
+  private val oEmbedMatryoshkaEval =
+    """WITH dims AS (SELECT CAST(dm AS BIGINT) AS dim
+      |             FROM unnest([8, 16, 32, 64]) t(dm)),
+      |tk AS (SELECT dim, query_id, neighbor_id FROM (
+      |    SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY d.dim, q.vec_id
+      |        ORDER BY list_cosine_similarity(
+      |            CAST(q.embedding[1:CAST(d.dim AS INT)] AS DOUBLE[]),
+      |            CAST(c.embedding[1:CAST(d.dim AS INT)] AS DOUBLE[])) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id < 10 AND c.vec_id >= 10
+      |    CROSS JOIN dims d) t
+      |  WHERE rnk <= 5),
+      |fl AS (SELECT query_id, neighbor_id FROM tk WHERE dim = 64)
+      |SELECT t.dim, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
+      |FROM tk t LEFT JOIN fl f
+      |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      |GROUP BY t.dim ORDER BY dim""".stripMargin
+
+  // C142 (r14): binary sign quantization + Hamming search — the
+  // 32×-compression end of the embedding-quantization dial (C66 is
+  // int8 = 4×; this is 1 bit/dim): sign bits packed into two 32-bit
+  // words (NOT one 64-bit word — shiftleft(1, 63) overflows Long
+  // under ANSI arithmetic in-engine and bigint in the oracle; two
+  // half-words keep every partial sum positive and portable),
+  // distance = popcount(xor) over the words — all integers, so the
+  // gate is hash-exact INCLUDING the distance values (the float ANN
+  // gates can only export rank decisions). Top-5 per query by
+  // (hamming ASC, id), each row carrying whether the float cosine
+  // top-5 also contains it — the per-neighbor recall readout.
+  def embedQuantizeBinary(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    def packWord(off: Int) =
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(embedding, i + ${off + 1}) > 0, shiftleft(1L, i), 0L))"
+    val packed = e.selectExpr("vec_id", "embedding",
+      s"${packWord(0)} AS b_lo", s"${packWord(32)} AS b_hi")
+    val q = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+    val c = packed.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("b_lo").as("c_lo"), col("b_hi").as("c_hi"))
+    val wh = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val hamTop = q.crossJoin(c)
+      .withColumn("hamming", expr(
+        "cast(bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi) as bigint)"))
+      .withColumn("rnk", row_number().over(wh))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val floatTop = q.select("query_id", "qe").crossJoin(
+        c.select("neighbor_id", "ce"))
+      .withColumn("sim", Similarity.cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(wc))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_float_top5"))
+    hamTop.join(floatTop, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("in_float_top5",
+        coalesce(col("in_float_top5"), lit(false)))
+      .select("query_id", "neighbor_id", "hamming", "in_float_top5")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val oEmbedQuantizeBinary =
+    """WITH pk AS (SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+      |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END))
+      |      AS BIGINT) AS b_lo,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[CAST(i + 33 AS INT)] > 0
+      |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END))
+      |      AS BIGINT) AS b_hi
+      |  FROM embeddings),
+      |ham AS (SELECT query_id, neighbor_id, hamming FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      CAST(bit_count(xor(q.b_lo, c.b_lo))
+      |         + bit_count(xor(q.b_hi, c.b_hi)) AS BIGINT) AS hamming,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY bit_count(xor(q.b_lo, c.b_lo))
+      |               + bit_count(xor(q.b_hi, c.b_hi)), c.vec_id) AS rnk
+      |    FROM pk q JOIN pk c ON q.vec_id < 10 AND c.vec_id >= 10) t
+      |  WHERE rnk <= 5),
+      |ft AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id < 10 AND c.vec_id >= 10) t
+      |  WHERE rnk <= 5)
+      |SELECT h.query_id, h.neighbor_id, h.hamming,
+      |  (f.neighbor_id IS NOT NULL) AS in_float_top5
+      |FROM ham h LEFT JOIN ft f
+      |  ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+      |ORDER BY h.query_id, h.neighbor_id""".stripMargin
+
+  // C143 (r14): IVF index-health stats — the WHEN-to-retrain readout
+  // the C16 frontier assumes away (the frontier prices a GOOD index;
+  // this measures whether the index IS good): per-centroid list size,
+  // corpus share, and quantization error (mean/max centered cosine
+  // distance of members to their centroid, clamped then FLOORED to
+  // ppm per member before the integer sum — per-element rounding
+  // keeps the aggregate engine-exact, the cents idiom). Skewed shares
+  // → salt or re-train; high residual → more centroids. Same centroid
+  // rule and argmax-cosine assignment as C16 (`Similarity.ivfIndex` —
+  // the persisted-index shape), so this audits exactly the index
+  // ann_ivf serves from.
+  def annIvfStats(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 42)
+    val cent = centroids.select(col("vec_id").as("cid"),
+      col("embedding").as("emb_cent"))
+    val lists = Similarity.ivfIndex(corpus, centroids)
+    val tot = corpus.agg(count(lit(1)).as("n_total"))
+    lists.join(broadcast(cent), "cid")
+      .withColumn("cos", Similarity.cosine(col("emb_c"), col("emb_cent")))
+      .withColumn("dist_ppm", expr(
+        "cast(floor((1.0d - least(greatest(cos, -1.0d), 1.0d))" +
+          " * 1000000.0d) as bigint)"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("dist_ppm").as("sum_dist_ppm"),
+        max("dist_ppm").as("max_dist_ppm"))
+      .crossJoin(broadcast(tot)) // 1-row total broadcast
+      .withColumn("share_ppm", expr("n_vecs * 1000000L div n_total"))
+      .withColumn("avg_dist_ppm", expr("sum_dist_ppm div n_vecs"))
+      .select("cid", "n_vecs", "share_ppm", "avg_dist_ppm", "max_dist_ppm")
+      .orderBy("cid")
+  }
+
+  private val oAnnIvfStats =
+    """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+      |              WHERE vec_id >= 10 AND vec_id < 42),
+      |corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+      |assign AS (
+      |  SELECT neighbor_id, cid, dist_ppm FROM (
+      |    SELECT c.vec_id AS neighbor_id, ct.cid,
+      |      CAST(floor((1.0 - least(greatest(
+      |          list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                 CAST(ct.embedding AS DOUBLE[])),
+      |          -1.0), 1.0)) * 1000000.0) AS BIGINT) AS dist_ppm,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                        CAST(ct.embedding AS DOUBLE[])) DESC,
+      |                 ct.cid) AS r
+      |    FROM corp c CROSS JOIN cent ct) t WHERE r = 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM corp)
+      |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm,
+      |  CAST(sum(dist_ppm) // count(*) AS BIGINT) AS avg_dist_ppm,
+      |  CAST(max(dist_ppm) AS BIGINT) AS max_dist_ppm
+      |FROM assign CROSS JOIN tot
+      |GROUP BY cid, n_total ORDER BY cid""".stripMargin
+
   // C135 (r13): segment-level language routing — C133's consumer
   // (r12 verdict #5): C133 FLAGS code-switched docs; this op ACTS on
   // the flag. Every flagged doc (half-langids disagree, the C133
@@ -7134,6 +7338,11 @@ object OpsQueries {
       Some(oEvalNbConformal)),
     QueryDef("corpus_nb_features", corpusNbFeatures,
       Some(oCorpusNbFeatures)),
+    QueryDef("embed_matryoshka_eval", embedMatryoshkaEval,
+      Some(oEmbedMatryoshkaEval)),
+    QueryDef("embed_quantize_binary", embedQuantizeBinary,
+      Some(oEmbedQuantizeBinary)),
+    QueryDef("ann_ivf_stats", annIvfStats, Some(oAnnIvfStats)),
     QueryDef("text_segment_langid", textSegmentLangid,
       Some(oTextSegmentLangid)),
     QueryDef("text_rrf_fusion", textRrfFusion, Some(oTextRrfFusion)),

@@ -1588,6 +1588,24 @@ class OpsSpec extends AnyFunSuite {
       (3L, "und", "und", 1L)))
   }
 
+  test("binary quantization: sign packing and Hamming distance are hand-exact on planted vectors") {
+    import spark.implicits._
+    // q0 = +1⁶⁴; c10 flips the upper 32 signs → hamming 32; c11 flips
+    // all 64 → hamming 64. Both are the (only) float top-5 members.
+    val ones = Array.fill(64)(1.0f)
+    val half = Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)
+    val neg = Array.fill(64)(-1.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_binq").toString
+    Seq((0L, ones.toSeq, 0), (10L, half.toSeq, 0), (11L, neg.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = OpsQueries.embedQuantizeBinary(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+    assert(got === Seq((0L, 10L, 32L, true), (0L, 11L, 64L, true)))
+    graft.cdc.StoreFs.deleteRecursive(dir)
+  }
+
   test("evalMrr: reciprocal-rank/hit invariants on the gated run") {
     val got = OpsQueries.evalMrr(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
