@@ -72,7 +72,14 @@ object ExplainAudit {
     def suspectSingles(plan: String): Seq[String] = {
       val ls = plan.linesIterator.toArray
       ls.indices.flatMap { i =>
-        if (ls(i).contains("Exchange SinglePartition")) {
+        // a ReusedExchange line NAMES its reuse target ("ReusedExchange
+        // [...], Exchange SinglePartition, ...") — that is a reference
+        // to an exchange audited at its definition site, not a second
+        // exchange; flagging it double-counts and (under AQE, where the
+        // next line is a QueryStage header, not the partial agg) false-
+        // positives on benign totals reuse
+        if (ls(i).contains("Exchange SinglePartition") &&
+            !ls(i).contains("ReusedExchange")) {
           val nxt = ls.drop(i + 1).find(_.trim.nonEmpty)
           // keyless aggregates emit ≤ 1 row per upstream partition
           // into the exchange whether they carry partial_ functions

@@ -175,6 +175,73 @@ object StressBenchNew13 {
       pqLegs("pq256", pq256, pqIndex256)
     }
 
+    // Binary sign-quantization leg (C142 at scale — the 32×-compression
+    // point of the dial the PQ legs don't reach): pack once (two 32-bit
+    // sign words per vector), Hamming-shortlist R candidates per query
+    // (popcount(xor) through the same bounded top-k agg — the corpus
+    // streams as two Longs per row, not a 64-float array), exact float
+    // rerank of the shortlist → top-10. The budget knob is the
+    // SHORTLIST DEPTH R (the binary analog of nprobe), swept
+    // {10,40,160,640}; R=10 is the raw no-rerank point (rerank of a
+    // k-sized set is a reorder — identical membership).
+    val (packed, tPack) = secs {
+      def word(off: Int) =
+        s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+          s"IF(element_at(embedding, i + ${off + 1}) > 0, shiftleft(1L, i), 0L))"
+      val p = corpus.selectExpr("vec_id",
+        s"${word(0)} AS b_lo", s"${word(32)} AS b_hi").localCheckpoint(true)
+      p.count(); p
+    }
+    println(f"[ann-frontier] binary pack: $tPack%.1f s")
+    val qPack = packed.join(
+        queries.select(col("vec_id"), col("embedding").as("emb_q")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("emb_q"),
+        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+      .localCheckpoint(true)
+    val shortlists = Seq(10, 40, 160, 640)
+    shortlists.foreach { rdepth =>
+      val (rb, tb) = secs {
+        val short = packed.crossJoin(broadcast(qPack.drop("emb_q")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (-expr("cast(bit_count(q_lo ^ b_lo) + bit_count(q_hi ^ b_hi)" +
+              " as bigint)")).as("negham"))
+          .groupBy("query_id")
+          .agg(graft.functions.TopKByOrder(struct(col("neighbor_id")),
+            col("negham"), col("neighbor_id"), rdepth).as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
+          .join(broadcast(qPack.select(col("query_id"), col("emb_q"))),
+            "query_id")
+          .localCheckpoint(true) // nq·R rows, read by the rerank stream
+        // exact rerank: the corpus streams once, the shortlist is the
+        // broadcast side (nq·R rows) — float reads ∝ shortlist hits
+        recallOf(corpus
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+          .join(broadcast(short), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.SortableDoubleBits(
+              Similarity.cosine(col("emb_q"), col("emb_c"))).as("ord"))
+          .groupBy("query_id")
+          .agg(graft.functions.TopKByOrder(struct(col("neighbor_id")),
+            col("ord"), col("neighbor_id"), k).as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.neighbor_id").as("neighbor_id")))
+      }
+      points += Point("binary_rerank", rdepth, rb, tb)
+      println(f"[ann-frontier] R=$rdepth%4d  binary_rerank=${rb}%.3f (${tb}%.1f s)")
+    }
+    // nested shortlists + EXACT rerank ⇒ recall monotone in R (same
+    // theorem as exact in-list IVF: a displacer outscoring a true
+    // member is itself a true member)
+    locally {
+      val rs = points.filter(_.algo == "binary_rerank")
+        .sortBy(_.nprobe).map(_.recall)
+      rs.sliding(2).foreach { w =>
+        require(w(1) >= w(0) - 1.0 / truth.size,
+          s"binary_rerank not monotone: $rs")
+      }
+    }
+
     // laws: monotone in budget (±1 pair of float-tie jitter), exact
     // floats dominate reranked PQ dominates raw ADC, and the fixture
     // genuinely spreads neighborhoods (otherwise the sweep is vacuous)
@@ -214,6 +281,7 @@ object StressBenchNew13 {
     val json = s"""{"metric":"ann_frontier","n":$n,"queries":$nq,"k":$k,""" +
       s""""dims":$dims,"truth_s":${f3(tTruth)},"ivf_index_s":${f3(tIvf)},""" +
       s""""pq16_build_s":${f3(tPq16)},"pq256_build_s":${f3(tPq256)},""" +
+      s""""binary_pack_s":${f3(tPack)},""" +
       s""""points":$pj}"""
     println(json)
     out.foreach { p =>

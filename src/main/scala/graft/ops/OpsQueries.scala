@@ -278,6 +278,69 @@ object OpsQueries {
       |  (id = min(comp)) AS is_canonical
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // C145 = C13 ∘ weighting (r14): dedup-aware training weights — the
+  // SOFT-dedup alternative to dropping near-duplicates (the C37 hard
+  // gate): every doc keeps weight 10⁶ div cluster_size ppm, so a
+  // 5-copy near-dup cluster contributes ~one doc's worth of training
+  // mass instead of 5× (the "count every document once" recipe
+  // without discarding variants — variants still contribute their
+  // unique spans, repeated mass doesn't dominate the loss).
+  // Singletons (docs outside the pair graph) take cluster_size 1 /
+  // weight 10⁶ via the left-join fallback. Same production pair graph
+  // as C13 (LSH candidates → Jaccard verify → connected components);
+  // cluster sizes are one hash agg over the canonical assignment.
+  def dedupClusterWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val pairs = Dedup.ngramJaccardVerify(Dedup.minhashCandidates(docs), docs)
+      .select("id_a", "id_b")
+    val comp = Clusters.canonicalAssignment(pairs)
+      .select(col("doc_id"), col("canonical_id"))
+    val all = docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("canonical_id"), col("doc_id")))
+    val sizes = all.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "canonical_id")
+      .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+      .select("doc_id", "canonical_id", "cluster_size", "weight_ppm")
+      .orderBy("doc_id")
+  }
+
+  private val oDedupClusterWeights =
+    """WITH RECURSIVE
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) <= 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |                range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+      |    END AS sh
+      |  FROM documents),
+      |p AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      len(list_intersect(a.sh, b.sh))
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      |  WHERE jaccard >= 0.5),
+      |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM e
+      |  UNION
+      |  SELECT e.dst AS id, r.comp FROM reach r JOIN e ON e.src = r.id),
+      |asg AS (SELECT d.doc_id,
+      |    coalesce(min(r.comp), d.doc_id) AS canonical_id
+      |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+      |  GROUP BY d.doc_id),
+      |sz AS (SELECT canonical_id,
+      |    CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM asg GROUP BY canonical_id)
+      |SELECT a.doc_id, a.canonical_id, s.cluster_size,
+      |  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+      |FROM asg a JOIN sz s USING (canonical_id)
+      |ORDER BY a.doc_id""".stripMargin
+
   // C46: leakage-safe split — near-dup clusters assigned to ONE side.
   // The oracle re-derives EVERYTHING: the exact all-pairs Jaccard
   // graph, the recursive-CTE components, the representative fallback,
@@ -7244,6 +7307,8 @@ object OpsQueries {
     QueryDef("dedup_embedding", dedupEmbedding, Some(oDedupEmbedding)),
     QueryDef("dedup_embedding_lsh", dedupEmbeddingLsh, Some(oDedupEmbedding)),
     QueryDef("dedup_clusters", dedupClusters, Some(oDedupClusters)),
+    QueryDef("dedup_cluster_weights", dedupClusterWeights,
+      Some(oDedupClusterWeights)),
     QueryDef("dedup_semantic_keep", dedupSemanticKeep, Some(oDedupSemanticKeep)),
     QueryDef("decontaminate_semantic", decontaminateSemantic, Some(oDecontaminateSemantic)),
     QueryDef("ann_cosine_topk", annCosineTopk, Some(oAnnCosineTopk)),

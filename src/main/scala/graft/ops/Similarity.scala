@@ -277,6 +277,22 @@ object Similarity {
       .select(col("cid"), col("neighbor_id"), col("emb_c"))
   }
 
+  /** Incremental IVF maintenance (C144): fold a NEW vector batch into
+    * a persisted [[ivfIndex]] without touching the existing lists —
+    * assignment is per-vector against the FIXED centroid table, so
+    * append ≡ rebuild exactly (`ivfIndex(a ∪ b) = ivfIndex(a) ∪
+    * ivfIndex(b)`, a law OpsSpec pins) and the delta costs
+    * |batch|·M, not |corpus|·M. This is the ingestion-path shape: a
+    * crawl lands, its vectors append, searches see them immediately;
+    * the index only degrades as the DATA drifts off the frozen
+    * centroids — which is exactly what `ann_ivf_stats` (C143)
+    * measures, and when its shares/residuals drift, rebuild with
+    * fresh centroids (the one operation that IS corpus-sized).
+    */
+  def ivfAppend(lists: DataFrame, newVecs: DataFrame,
+      centroids: DataFrame): DataFrame =
+    lists.unionByName(ivfIndex(newVecs, centroids))
+
   /** Probe-limited exact search over prebuilt [[ivfIndex]] lists. */
   def annIvfSearch(queries: DataFrame, lists: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {

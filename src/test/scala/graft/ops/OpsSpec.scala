@@ -1606,6 +1606,30 @@ class OpsSpec extends AnyFunSuite {
     graft.cdc.StoreFs.deleteRecursive(dir)
   }
 
+  test("ivfAppend: incremental index append equals a full rebuild, lists and searches") {
+    import spark.implicits._
+    // fixed centroids → per-vector assignment → append ≡ rebuild is
+    // exact, and a search over either index returns identical results
+    val e = T.embeddings(spark, sf)
+    val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 42)
+    val oldBatch = e.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+    val newBatch = e.filter(col("vec_id") >= 300)
+    val queries = e.filter(col("vec_id") < 10)
+    val appended = Similarity.ivfAppend(
+      Similarity.ivfIndex(oldBatch, centroids), newBatch, centroids)
+    val rebuilt = Similarity.ivfIndex(
+      oldBatch.unionByName(newBatch), centroids)
+    def lists(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lists(appended) === lists(rebuilt))
+    def hits(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.annIvfSearch(queries, idx, centroids, 5, 4)
+        .as[(Long, Long)].collect().toSet
+    assert(hits(appended) === hits(rebuilt))
+    // the delta actually landed: appended lists contain new-batch ids
+    assert(lists(appended).exists(_._2 >= 300L))
+  }
+
   test("evalMrr: reciprocal-rank/hit invariants on the gated run") {
     val got = OpsQueries.evalMrr(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
