@@ -1,0 +1,69 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-job wall-clock attribution for ONE declared query (guide §1 —
+  * measure first): runs the query once at the given SF through the
+  * noop sink and prints every Spark job's duration with its call site,
+  * so a multi-action operator (the CDC store gates run counts, merge,
+  * rollup, SCD2 and log jobs per publish) shows where its seconds go.
+  * Driver gaps (planning, file listing, pointer I/O) appear as the
+  * difference between the job-sum and the total. Usage:
+  *
+  *   runMain graft.JobProbe <sfDir> <q1,q2,...> [passes]
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val passes = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+          rows.add((je.jobId, (System.nanoTime() - t0) / 1e9, site))
+        }
+      }
+    })
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      run(fn(spark, "/root/testdata/sf0.001")) // warm-up
+      (1 to passes).foreach { p =>
+        rows.clear()
+        val t0 = System.nanoTime()
+        run(fn(spark, sfDir))
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the listener bus drain
+        val sorted = rows.toArray(Array.empty[(Int, Double, String)]).sortBy(_._1)
+        val jobSum = sorted.map(_._2).sum
+        println(f"== $name pass $p: total $total%.3f s, ${sorted.length} jobs " +
+          f"(job-sum $jobSum%.3f s, driver gap ${total - jobSum}%.3f s)")
+        sorted.foreach { case (id, sec, site) =>
+          if (sec >= 0.010) println(f"  job $id%4d $sec%8.3f s  $site")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

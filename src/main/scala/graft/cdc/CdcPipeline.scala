@@ -3986,8 +3986,15 @@ object CdcPipeline {
       // failure path.
       val (projected, nQuarantined) = gateExpectations(projectedRaw, cfg, nowUs)
       changes = ChangeCompaction.compactForMerge(projected, cfg.pk).cache()
-      val nUps = changes.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete).count()
-      val nDel = changes.filter(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete).count()
+      // r14 (guide §1.2 — fewer passes): one aggregation job computes
+      // both op-split counts (and materializes the cache) instead of
+      // two filtered count() actions over the same cached relation.
+      val opCounts = changes.agg(
+        count(when(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete, 1)).as("u"),
+        count(when(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete, 1)).as("d"))
+        .collect()(0)
+      val nUps = opCounts.getLong(0)
+      val nDel = opCounts.getLong(1)
       val bounds = win.agg(min(col(CdcEnvelope.LoadTsCol)), max(col(CdcEnvelope.LoadTsCol))).collect()(0)
       val (cdcStart, cdcEnd) =
         if (bounds.isNullAt(0)) (nowUs, nowUs) else (bounds.getLong(0), bounds.getLong(1))

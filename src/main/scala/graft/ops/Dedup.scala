@@ -147,14 +147,27 @@ object Dedup {
   def ngramJaccardVerify(candidates: DataFrame, docs: DataFrame,
       text: Column = col("text"), minJaccard: Double = 0.5): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(text).as("sh"))
+    // r14 (guide §2.3, exact — same staged verdict as the C4b truth):
+    // one explicitly-ordered filter short-circuits per candidate —
+    // size-ratio prune (distinct arrays ⇒ J ≤ min/max; 1e-6 slack
+    // covers the round(·,6) keep-boundary), single-intersect
+    // prescreen (J ≥ τ' ⟺ I ≥ τ'/(1+τ')·(|A|+|B|), conservatively
+    // below the boundary), then the exact verdict on the rare
+    // survivors. |A∪B| = |A|+|B|−|A∩B| for distinct arrays and the
+    // division is the identical double, so round(·,6) matches the
+    // pre-r14 form bit-for-bit; hash-gated.
+    val sa = size(col("sh_a")).cast("double")
+    val sb = size(col("sh_b")).cast("double")
+    val i = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = round(i / (sa + sb - i), 6)
+    val prescreen = lit((minJaccard - 1e-6) / (1.0 + minJaccard) - 1e-6)
     candidates
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .filter((least(sa, sb) >= lit(minJaccard - 1e-6) * greatest(sa, sb)) &&
+        (i >= prescreen * (sa + sb)) &&
+        (jac >= minJaccard))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
   }
 
   /** All word n-gram positions of one corpus pass, one row per

@@ -34,13 +34,34 @@ object OpsQueries {
     * hash-match across engines (the C4 pattern).
     */
   private def jaccardTruth(docs: DataFrame, minJ: Double): DataFrame = {
+    // r14 (guide §2.3/§8 — decide with small rows, exact): the N²
+    // nested loop with per-pair array_intersect/array_union is
+    // replaced by the inverted-index co-occurrence count. Shingle
+    // arrays are DISTINCT per doc (WordShingles contract), so the
+    // shingle-keyed self-equi-join emits exactly one row per shared
+    // shingle per pair — the groupBy count IS |A∩B|, and
+    // |A∪B| = |A|+|B|−|A∩B| exactly. Pairs with |A∩B| = 0 have J = 0
+    // and could never pass minJ, so their absence from the
+    // co-occurrence table drops nothing. The division feeds the same
+    // doubles into round(·,6) as size(array_intersect)/size(
+    // array_union) did (small integers are exactly representable), so
+    // results match the pre-r14 form bit-for-bit — hash-gated. This
+    // is also the truth gate's 100 TB shape: cost ∝ shared-shingle
+    // occurrences, never N².
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6))
+    val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = ex.select(col("doc_id").as("id_a"), col("g"))
+      .join(ex.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sz.select(col("doc_id").as("id_a"), col("n").as("sa"))),
+        Seq("id_a"))
+      .join(broadcast(sz.select(col("doc_id").as("id_b"), col("n").as("sb"))),
+        Seq("id_b"))
+      .withColumn("jaccard", round(col("i").cast("double")
+        / (col("sa") + col("sb") - col("i")).cast("double"), 6))
       .filter(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
   }
@@ -969,16 +990,37 @@ object OpsQueries {
   // into the same verify, exactly as dedup_lsh_edit_verify does for
   // edit distance.
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    // r14 (guide §2.3/§8 — decide with small rows, exact): the N²
+    // nested loop with one hash-set intersection per ordered pair is
+    // replaced by the inverted-index co-occurrence count. Shingle
+    // arrays are DISTINCT per doc (WordShingles contract), so the
+    // shingle-keyed self-equi-join emits exactly one row per shared
+    // shingle per ordered pair — the groupBy count IS |A∩B|, no
+    // per-pair set op ever runs. Pairs with |A∩B| = 0 never pass the
+    // 500000-ppm verdict, so their absence from the co-occurrence
+    // table drops nothing. Sizes ride in a doc-count-sized broadcast;
+    // the ppm arithmetic is the identical truncating-div integer
+    // form. Results = the pre-r14 nested-loop form, hash-gated. At
+    // 100 TB this is also the scale shape: cost ∝ shared-shingle
+    // occurrences, never N² (hot shingles are bounded by the same
+    // degenerate-bucket reality the LSH path guards; the production
+    // feed is C2's LSH candidates either way).
     val sh = T.documents(s, d).filter(col("doc_id") < 500)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+    val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = ex.select(col("doc_id").as("id_a"), col("g"))
+      .join(ex.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sz.select(col("doc_id").as("id_a"), col("n").as("n_sh_a"))),
+        Seq("id_a"))
+      .join(broadcast(sz.select(col("doc_id").as("id_b"), col("n").as("n_sh_b"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr("size(array_intersect(sh_a, sh_b)) * 1000000L div size(sh_a)")
-          .as("containment_ppm"),
-        size(col("sh_a")).cast("long").as("n_sh_a"),
-        size(col("sh_b")).cast("long").as("n_sh_b"))
+        expr("i * 1000000L div n_sh_a").as("containment_ppm"),
+        col("n_sh_a"), col("n_sh_b"))
       .filter(col("containment_ppm") >= 500000L)
       .orderBy("id_a", "id_b")
   }
@@ -7009,13 +7051,16 @@ object OpsQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         min("n_chars").as("min_chars"),
-        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
-          .as("p50"),
-        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
-          .as("p90"),
-        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
-          .as("p99"),
+        // r14: p50/p90/p99 from ONE shared percentile buffer (see
+        // graft.functions.Percentiles); results bit-identical.
+        graft.functions.Percentiles
+          .percentileDiscArray(col("n_chars"), Seq(0.5, 0.9, 0.99)).as("ps"),
         max("n_chars").as("max_chars"))
+      .select(col("source"), col("n_docs"), col("min_chars"),
+        expr("CAST(ps[0] AS BIGINT)").as("p50"),
+        expr("CAST(ps[1] AS BIGINT)").as("p90"),
+        expr("CAST(ps[2] AS BIGINT)").as("p99"),
+        col("max_chars"))
       .orderBy("source")
 
   private val oCorpusLengthPercentiles =

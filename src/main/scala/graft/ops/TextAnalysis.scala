@@ -453,15 +453,23 @@ object TextAnalysis {
         s"""CASE WHEN length(text) < $n THEN array()
            |ELSE transform(sequence(1, length(text) - ${n - 1}),
            |  i -> substring(text, i, $n)) END""".stripMargin)).as("g"))
-      .withColumn("c", substring(col("g"), 1, n - 1))
     val pos = positions(docs)
     val modelPos = model.map(positions).getOrElse(pos)
     val cg = modelPos.groupBy("g").agg(count(lit(1)).as("cg"))
-    val cc = modelPos.groupBy("c").agg(count(lit(1)).as("cc"))
-    // inner joins: a gram absent from the model (impossible when
-    // self-scoring) drops the position — P=0 has no finite score;
-    // n_pos counts only scored positions so the caller can see loss
-    pos.join(cg, Seq("g")).join(cc, Seq("c"))
+    // r14 (guide §2.3/§2.4 — one fewer corpus pass, exact): every
+    // position's context is the (n−1)-prefix of its gram, so
+    // cc(c) = Σ_{g: prefix(g)=c} cg(g) — aggregated from the
+    // gram-vocab-sized cg table instead of a SECOND corpus explode.
+    // The per-gram weight table (cg ⋈ cc on the prefix, still
+    // vocab-sized) then attaches in ONE probe join instead of two.
+    // Identical inner-join semantics: a scored gram absent from the
+    // model drops here exactly as it dropped at the old g-join (its
+    // prefix row alone could never re-admit it).
+    val cc = cg.groupBy(substring(col("g"), 1, n - 1).as("c"))
+      .agg(sum(col("cg")).as("cc"))
+    val w = cg.withColumn("c", substring(col("g"), 1, n - 1))
+      .join(cc, Seq("c"))
+    pos.join(w, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pos"),
         sum(col("cg")).as("sum_cg"),

@@ -470,13 +470,17 @@ object Relational {
         mode(col("l_linestatus"), deterministic = true).as("mode_ls"),
         mode(round(col("l_quantity")).cast("long"), deterministic = true)
           .as("mode_qty"),
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
-          .cast("double").as("q25"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
-          .cast("double").as("q50"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)")
-          .cast("double").as("q75"),
+        // r14: q25/q50/q75 from ONE shared percentile buffer (see
+        // graft.functions.Percentiles); results bit-identical.
+        graft.functions.Percentiles
+          .percentileDiscArray(col("l_quantity"), Seq(0.25, 0.5, 0.75))
+          .as("qs"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("mode_ls"), col("mode_qty"),
+        expr("CAST(qs[0] AS DOUBLE)").as("q25"),
+        expr("CAST(qs[1] AS DOUBLE)").as("q50"),
+        expr("CAST(qs[2] AS DOUBLE)").as("q75"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   private val oModeDisc =
@@ -2985,9 +2989,11 @@ object Relational {
   def qEquidepthHist(s: SparkSession, d: String): DataFrame = {
     val o = T.orders(s, d)
       .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
-    val bounds = o.agg(expr("array(" + (1 to 9).map(k =>
-      s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY c)").mkString(", ")
-      + ")").as("bs"))
+    // r14: one shared percentile buffer for all 9 boundaries (see
+    // graft.functions.Percentiles) — was 9 independent value-map
+    // buffers updated per input row; results bit-identical.
+    val bounds = o.agg(graft.functions.Percentiles
+      .percentileDiscArray(col("c"), (1 to 9).map(_ / 10.0)).as("bs"))
     o.crossJoin(broadcast(bounds))
       .select(col("c"), expr(
         "aggregate(bs, 0, (acc, b) -> acc + CASE WHEN c > b THEN 1 ELSE 0 END)")
@@ -3294,9 +3300,10 @@ object Relational {
     * laws can plant exact quintiles and ties. See [[qRfm]].
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
-    def qArr(c: String) = expr("array(" + Seq(2, 4, 6, 8).map(k =>
-      s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY $c)").mkString(", ")
-      + ")")
+    // r14: 4 boundaries per metric from ONE shared percentile buffer
+    // (see graft.functions.Percentiles); results bit-identical.
+    def qArr(c: String) = graft.functions.Percentiles
+      .percentileDiscArray(col(c), Seq(0.2, 0.4, 0.6, 0.8))
     def score(v: String, bs: String) = expr(
       s"1L + aggregate($bs, 0L, (acc, b) -> acc + CASE WHEN $v > b THEN 1L ELSE 0L END)")
     val base = orders.groupBy("custkey").agg(
@@ -3430,12 +3437,18 @@ object Relational {
       .groupBy(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
       .agg(expr("CAST(sum(round(l_quantity)) AS BIGINT)").as("w"))
-    val cum = g.withColumn("cw", sum("w").over(
-      Window.partitionBy("l_returnflag").orderBy("price_c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = g.groupBy("l_returnflag").agg(sum("w").as("w_total"))
-    cum.join(broadcast(tot), "l_returnflag")
-      .groupBy("l_returnflag")
+    // r14 (guide §2.4 — share one exchange): the per-flag total is the
+    // same window partition's unbounded sum, so both the cumulative
+    // and the total come from ONE WindowExec over one shuffle+sort —
+    // was a second lineitem scan+agg plus a broadcast join. Identical
+    // integers (sum over the same group), hash-gated.
+    val wSpec = Window.partitionBy("l_returnflag").orderBy("price_c")
+    val cum = g
+      .withColumn("cw", sum("w").over(
+        wSpec.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("w_total", sum("w").over(
+        wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.groupBy("l_returnflag")
       .agg(
         max("w_total").as("w_total"),
         min(when(col("cw") * 2 >= col("w_total"), col("price_c")))
@@ -3661,8 +3674,6 @@ object Relational {
   // the B67 boundary discipline computes p50/p90/p99 + mean in ONE
   // hash agg per priority — no per-priority sort materializes rows.
   def qFulfillmentLatency(s: SparkSession, d: String): DataFrame = {
-    def pd(q: String) =
-      expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY gap_days) AS BIGINT)")
     T.lineitem(s, d)
       .select(col("l_orderkey"),
         expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
@@ -3675,8 +3686,16 @@ object Relational {
         (col("ship_day") - col("order_day")).as("gap_days"))
       .groupBy("prio")
       .agg(count(lit(1)).as("n_lines"),
-        pd("0.5").as("p50"), pd("0.9").as("p90"), pd("0.99").as("p99"),
+        // r14: p50/p90/p99 from ONE shared percentile buffer (see
+        // graft.functions.Percentiles); results bit-identical.
+        graft.functions.Percentiles
+          .percentileDiscArray(col("gap_days"), Seq(0.5, 0.9, 0.99)).as("ps"),
         expr("sum(gap_days) DIV count(*)").as("mean_days"))
+      .select(col("prio"), col("n_lines"),
+        expr("CAST(ps[0] AS BIGINT)").as("p50"),
+        expr("CAST(ps[1] AS BIGINT)").as("p90"),
+        expr("CAST(ps[2] AS BIGINT)").as("p99"),
+        col("mean_days"))
       .orderBy("prio")
   }
 
@@ -3863,12 +3882,18 @@ object Relational {
   // per-group sort ever materializes rows. All integer: whisker =
   // q1 − (3·iqr) DIV 2 (both engines truncate toward zero).
   def qBoxplot(s: SparkSession, d: String): DataFrame = {
-    def pd(q: String) =
-      expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY price_c) AS BIGINT)")
     val rows = T.lineitem(s, d).select(col("l_returnflag"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+    // r14: q1/med/q3 from ONE shared percentile buffer per group (see
+    // graft.functions.Percentiles) — was 3 independent value-map
+    // buffers over every lineitem row; results bit-identical.
     val q = rows.groupBy("l_returnflag")
-      .agg(pd("0.25").as("q1"), pd("0.5").as("med"), pd("0.75").as("q3"))
+      .agg(graft.functions.Percentiles
+        .percentileDiscArray(col("price_c"), Seq(0.25, 0.5, 0.75)).as("qs"))
+      .select(col("l_returnflag"),
+        expr("CAST(qs[0] AS BIGINT)").as("q1"),
+        expr("CAST(qs[1] AS BIGINT)").as("med"),
+        expr("CAST(qs[2] AS BIGINT)").as("q3"))
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("whisker_lo", expr("q1 - (3L * iqr) DIV 2"))
       .withColumn("whisker_hi", expr("q3 + (3L * iqr) DIV 2"))
