@@ -34,8 +34,12 @@ object JobProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        starts.put(js.jobId, (System.nanoTime(), site))
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+          .getOrElse("?")
+        val stages = js.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != '\n')}[${si.numTasks}]").mkString(" | ")
+        starts.put(js.jobId, (System.nanoTime(), s"$site :: $stages"))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>

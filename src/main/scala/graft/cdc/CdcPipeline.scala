@@ -3975,6 +3975,7 @@ object CdcPipeline {
       return RunResult("SKIPPED", 0, 0, 0, 0, 0, currentVersion(cfg.targetPath).getOrElse(-1))
     val startUs = JobLog.lastWatermark(spark, logDir, cfg)
     var changes: DataFrame = null
+    var projected: DataFrame = null
     try {
       val win = CdcEnvelope.window(source, startUs, nowUs, cfg.partitionField)
       val projectedRaw = TypedProjection.project(win, CdcEnvelope.DataCol, cfg.fieldSpecs,
@@ -3984,7 +3985,13 @@ object CdcPipeline {
       // here, before any write, and land in the job log as a FAILED
       // run via the catch below — the reference's all-or-nothing
       // failure path.
-      val (projected, nQuarantined) = gateExpectations(projectedRaw, cfg, nowUs)
+      // r14 (guide §5 — cache what is reused AND expensive): the gated
+      // window projection (JSON field extraction per row) feeds the
+      // compaction, the merge AND the SCD2 history advance — without
+      // the cache each consumer re-parses the window's props. Delta-
+      // sized (one window of changes), unpersisted in the finally.
+      val (projectedGated, nQuarantined) = gateExpectations(projectedRaw, cfg, nowUs)
+      projected = projectedGated.cache()
       changes = ChangeCompaction.compactForMerge(projected, cfg.pk).cache()
       // r14 (guide §1.2 — fewer passes): one aggregation job computes
       // both op-split counts (and materializes the cache) instead of
@@ -4034,7 +4041,10 @@ object CdcPipeline {
           java.util.UUID.randomUUID().toString, cfg.cdcTable, cfg.targetDb, cfg.targetTable,
           startUs, nowUs, nowUs, "FAILED", String.valueOf(e.getMessage), 0, 0, 0))
         throw e
-    } finally if (changes != null) changes.unpersist()
+    } finally {
+      if (changes != null) changes.unpersist()
+      if (projected != null) projected.unpersist()
+    }
   }
 
   /** Run every active config against its source — the platform loop

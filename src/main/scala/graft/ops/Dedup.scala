@@ -47,10 +47,17 @@ object Dedup {
     */
   private[ops] def bucketPairs(keyed: DataFrame, maxBucket: Int,
       payload: Column = lit(0L)): DataFrame =
-    keyed.groupBy("band", "bucket")
+    // r14 (guide §2.5 — AQE sizes by BYTES and the explode below
+    // multiplies them): the member-list aggregate output is tiny, so
+    // AQE coalesced the reduce to one partition and the (interpreted)
+    // pair-expansion lambda ran single-task — measured as the 3.5 s
+    // stage of dedup_embedding_lsh at sf0.1. Spread the bucket rows
+    // (one small row per bucket) so the |B|²/2 expansion engages every
+    // core; pair sets are unchanged.
+    Spread(keyed.groupBy("band", "bucket")
       .agg(graft.functions.BoundedCollectLongPairs(
         col("doc_id"), payload, maxBucket).as("ms"))
-      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2))
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
           |  transform(slice(ms, i + 2, size(ms)), y ->
@@ -183,7 +190,10 @@ object Dedup {
          |ELSE transform(sequence(0, size(_toks) - $n),
          |  i -> ${(0 until n).map(j => s"_toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")})
          |END""".stripMargin
-    docs.select(col("doc_id"), split(text, " ").as("_toks"))
+    // r14: spread before the gram explode — the corpus scans as one
+    // partition (single row group) and the per-position concat ran
+    // single-task (Spread).
+    Spread(docs.select(col("doc_id"), split(text, " ").as("_toks")))
       .select(col("doc_id"), explode(expr(g)).as("gram"))
   }
 
@@ -378,11 +388,20 @@ object Dedup {
     val base = docs.select(col("doc_id"), col("source"), col("text"),
       length(col("text")).cast("long").as("len"))
       .withColumn("bucket", expr(s"len div $bucketChars"))
+    // r14 (guide §2.5/§2.6 — engage every core): the doc corpus scans
+    // as ONE partition (single small parquet file), the bucket side
+    // broadcasts, and the levenshtein projection then runs in that one
+    // task — measured 2×6.6 s single-task stages at sf0.1 (the second
+    // is the orderBy's range-sample recompute). Spreading the stream
+    // side over defaultParallelism (scale-adaptive, = cores locally)
+    // parallelizes the O(len²) DP kernel; results are per-row exact,
+    // unchanged.
     val a = base.select(col("doc_id").as("id_a"), col("source"),
       col("bucket"), col("text").as("text_a"), col("len").as("len_a"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val b = base.select(col("doc_id").as("id_b"), col("source"),
       col("bucket"), col("text").as("text_b"), col("len").as("len_b"))
-    a.join(b, Seq("source", "bucket"))
+    a.join(broadcast(b), Seq("source", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("source"), col("id_a"), col("id_b"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("dist"),

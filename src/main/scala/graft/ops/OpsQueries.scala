@@ -6929,8 +6929,12 @@ object OpsQueries {
   // array_distinct; ratio as truncating ppm. Low ratio = repetitive.
   // Scale: embarrassingly parallel over a 2-column pruned scan.
   def textCompressibility(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    // r14: spread the scan — the per-doc gram enumeration +
+    // array_distinct is the dominant CPU and ran single-task on the
+    // one-row-group corpus file (Spread).
+    Spread(T.documents(s, d)
       .filter(length(col("text")) >= 4)
+      .select("doc_id", "text"))
       .select(col("doc_id"),
         expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")
           .as("g"))

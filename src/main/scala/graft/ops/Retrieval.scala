@@ -57,7 +57,11 @@ object Retrieval {
     */
   def bm25TopKQueries(docs: DataFrame, docId: Column, toks: Column,
       qterms: DataFrame, k: Int): DataFrame = {
-    val base = docs.select(docId.as("doc_id"), toks.as("toks"))
+    // r14: spread the tokenized corpus — a single-row-group scan is
+    // one partition, so the token explode + semi-join + partial tf
+    // aggregation ran single-task (measured 3.8 s of
+    // mine_hard_negatives at sf0.1; see Spread).
+    val base = Spread(docs.select(docId.as("doc_id"), toks.as("toks")))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
     // postings of the queried terms ONLY — the explode is map-side
     // work and the semi-join cuts the stream before the tf shuffle

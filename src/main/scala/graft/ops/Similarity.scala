@@ -30,7 +30,9 @@ object Similarity {
     * O(N²); the exact reference for the LSH variants.
     */
   def cosinePairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    // r14: spread the stream side — a single-row-group corpus scans as
+    // one partition and the O(N²) cosine loop ran single-task (Spread).
+    val a = Spread(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
@@ -119,6 +121,9 @@ object Similarity {
     // pattern) arrives NULL and is dropped instead of expanding B²
     // pairs on one task. The r4 form self-joined the keyed relation:
     // correct, but unguarded and it hashed every vector twice.
+    // (r14 note: spreading the scan before this explode was measured
+    // SLOWER at sf0.1 — the hashing is not the dominant cost here and
+    // the extra exchange is pure overhead; left as-is.)
     val keyed = emb.select(col("vec_id").as("doc_id"),
         explode(lshTableBuckets(col("embedding"), tables, planes, dims)).as("tb"))
       .select(col("doc_id"), col("tb.tbl").as("band"), col("tb.bucket").as("bucket"))

@@ -448,7 +448,11 @@ object TextAnalysis {
     */
   def charLmScore(docs: DataFrame, model: Option[DataFrame] = None,
       n: Int = 3): DataFrame = {
-    def positions(df: DataFrame): DataFrame = df
+    // r14: spread before the position explode — the corpus scans as
+    // one partition (single row group) and the per-char substring
+    // enumeration ran single-task (Spread).
+    def positions(df: DataFrame): DataFrame = Spread(
+      df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN length(text) < $n THEN array()
            |ELSE transform(sequence(1, length(text) - ${n - 1}),

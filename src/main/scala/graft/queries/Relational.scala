@@ -1831,11 +1831,14 @@ object Relational {
   }
 
   def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
-    val ev = T.lineitem(s, d).select(col("l_partkey").as("k"),
+    // r14: spread the scan — the per-(k,seg) collect_list partial agg
+    // ran in the single scan task of the one-row-group lineitem file
+    // (measured 1.85 s of the 2.6 s total; see graft.ops.Spread).
+    val ev = graft.ops.Spread(T.lineitem(s, d).select(col("l_partkey").as("k"),
       datediff(col("l_shipdate"), lit("1990-01-01")).cast("long").as("day"),
       col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
       when(col("l_linenumber") % 2 === 0, col("l_quantity"))
-        .otherwise(-col("l_quantity")).cast("long").as("delta"))
+        .otherwise(-col("l_quantity")).cast("long").as("delta")))
     // segWidth 256: lineitem ship-days span ~730..3300 from the epoch
     // anchor, so each part folds ≤ ~11 segment pairs at level 2 and
     // ≤ a 256-day window's events at level 1 — the hot-key-bounded
