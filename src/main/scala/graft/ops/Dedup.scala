@@ -46,18 +46,21 @@ object Dedup {
     * per-doc hot path.
     */
   private[ops] def bucketPairs(keyed: DataFrame, maxBucket: Int,
-      payload: Column = lit(0L)): DataFrame =
+      payload: Column = lit(0L), spreadExpand: Boolean = false): DataFrame = {
     // r14 (guide §2.5 — AQE sizes by BYTES and the explode below
     // multiplies them): the member-list aggregate output is tiny, so
-    // AQE coalesced the reduce to one partition and the (interpreted)
-    // pair-expansion lambda ran single-task — measured as the 3.5 s
-    // stage of dedup_embedding_lsh at sf0.1. Spread the bucket rows
-    // (one small row per bucket) so the |B|²/2 expansion engages every
-    // core; pair sets are unchanged.
-    Spread(keyed.groupBy("band", "bucket")
+    // AQE coalesces the reduce to one partition and the (interpreted)
+    // pair-expansion lambda runs single-task. `spreadExpand` inserts a
+    // bucket-row exchange before the expansion so it engages every
+    // core — opt-in from the DEEP-table caller (cosinePairsLsh, whose
+    // expansion measured 3.5 s single-task at sf0.1); the shallow
+    // minhash/simhash paths measured a net TAX from the extra
+    // exchange and stay direct. Pair sets are unchanged either way.
+    val buckets = keyed.groupBy("band", "bucket")
       .agg(graft.functions.BoundedCollectLongPairs(
         col("doc_id"), payload, maxBucket).as("ms"))
-      .filter(col("ms").isNotNull && size(col("ms")) >= 2))
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
+    (if (spreadExpand) Spread(buckets) else buckets)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
           |  transform(slice(ms, i + 2, size(ms)), y ->
@@ -65,6 +68,7 @@ object Dedup {
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.pay_a"), col("p.pay_b"))
       .distinct()
+  }
 
   /** MinHash+LSH banding parameters: signature length = bands ·
     * rowsPerBand minhash permutations. A distinct type (rather than

@@ -4061,7 +4061,8 @@ object OpsQueries {
       .limit(maxAnchors)
     val qt = anchors
       .select(col("doc_id").as("query"), explode(col("qtoks")).as("term"))
-    val ranked = Retrieval.bm25TopKQueries(docs, col("doc_id"), toks, qt, k = 5)
+    val ranked = Retrieval.bm25TopKQueries(docs, col("doc_id"), toks, qt, k = 5,
+      spreadCorpus = true)
     val negW = Window.partitionBy("query").orderBy(col("rk"))
     ranked.filter(col("doc_id") =!= col("query"))
       .withColumn("neg_rank", row_number().over(negW))

@@ -56,12 +56,16 @@ object Retrieval {
     * query semantics.
     */
   def bm25TopKQueries(docs: DataFrame, docId: Column, toks: Column,
-      qterms: DataFrame, k: Int): DataFrame = {
-    // r14: spread the tokenized corpus — a single-row-group scan is
-    // one partition, so the token explode + semi-join + partial tf
-    // aggregation ran single-task (measured 3.8 s of
-    // mine_hard_negatives at sf0.1; see Spread).
-    val base = Spread(docs.select(docId.as("doc_id"), toks.as("toks")))
+      qterms: DataFrame, k: Int, spreadCorpus: Boolean = false): DataFrame = {
+    // r14: `spreadCorpus` spreads the tokenized corpus — a
+    // single-row-group scan is one partition, so the token explode +
+    // semi-join + partial tf aggregation runs single-task. Opt-in
+    // from the LARGE-anchor-batch caller (mine_hard_negatives, whose
+    // tf build measured 3.8 s single-task at sf0.1); the handful-of-
+    // queries callers (text_bm25_topk, rrf, eval_{ndcg,mrr}) measured
+    // a net TAX from the extra exchange and stay direct.
+    val base0 = docs.select(docId.as("doc_id"), toks.as("toks"))
+    val base = (if (spreadCorpus) Spread(base0) else base0)
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
     // postings of the queried terms ONLY — the explode is map-side
     // work and the semi-join cuts the stream before the tf shuffle

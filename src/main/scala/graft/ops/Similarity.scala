@@ -127,7 +127,8 @@ object Similarity {
     val keyed = emb.select(col("vec_id").as("doc_id"),
         explode(lshTableBuckets(col("embedding"), tables, planes, dims)).as("tb"))
       .select(col("doc_id"), col("tb.tbl").as("band"), col("tb.bucket").as("bucket"))
-    val cand = Dedup.bucketPairs(keyed, maxBucket).select("id_a", "id_b")
+    val cand = Dedup.bucketPairs(keyed, maxBucket, spreadExpand = true)
+      .select("id_a", "id_b")
     val e = emb.select(col("vec_id"), col("embedding"))
     cand.join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")

@@ -761,7 +761,12 @@ object TextAnalysis {
     */
   def bpeTrain(docs: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var cur = docs.select(col("doc_id"), col("text"))
+    // r14: spread once at entry — every round's pair explode + count
+    // and merge rewrite then runs on all cores (the eager
+    // localCheckpoint per round preserves the spread partitioning;
+    // the one-row-group corpus otherwise pins the whole loop to one
+    // task — see Spread).
+    var cur = Spread(docs.select(col("doc_id"), col("text")))
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var k = 1
     var done = false
