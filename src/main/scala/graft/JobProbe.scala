@@ -26,15 +26,20 @@ object JobProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
           .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
         val stages = js.stageInfos.map(si =>
@@ -44,6 +49,7 @@ object JobProbe {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
           rows.add((je.jobId, (System.nanoTime() - t0) / 1e9, site))
+          spans.add((t0, System.nanoTime(), site))
         }
       }
     })
@@ -55,9 +61,11 @@ object JobProbe {
       run(fn(spark, "/root/testdata/sf0.001")) // warm-up
       (1 to passes).foreach { p =>
         rows.clear()
+        spans.clear()
         val t0 = System.nanoTime()
         run(fn(spark, sfDir))
-        val total = (System.nanoTime() - t0) / 1e9
+        val tEnd = System.nanoTime()
+        val total = (tEnd - t0) / 1e9
         Thread.sleep(200) // let the listener bus drain
         val sorted = rows.toArray(Array.empty[(Int, Double, String)]).sortBy(_._1)
         val jobSum = sorted.map(_._2).sum
@@ -66,6 +74,27 @@ object JobProbe {
         sorted.foreach { case (id, sec, site) =>
           if (sec >= 0.010) println(f"  job $id%4d $sec%8.3f s  $site")
         }
+        // Gap attribution: idle driver time before each job charged to
+        // that job's label (planning happens before submission); the
+        // tail after the last job charged to "(end)". Labels collapse
+        // to their first " :: " token.
+        val byStart = spans.toArray(Array.empty[(Long, Long, String)]).sortBy(_._1)
+        var cursor = t0
+        val gapBy = scala.collection.mutable.Map.empty[String, Double]
+        val runBy = scala.collection.mutable.Map.empty[String, Double]
+        byStart.foreach { case (s0, e0, site) =>
+          val lbl = site.split(" :: ").head
+          if (s0 > cursor) gapBy(lbl) = gapBy.getOrElse(lbl, 0.0) + (s0 - cursor) / 1e9
+          runBy(lbl) = runBy.getOrElse(lbl, 0.0) + (math.min(e0, tEnd) - math.max(s0, cursor)).max(0L) / 1e9
+          cursor = math.max(cursor, e0)
+        }
+        if (tEnd > cursor) gapBy("(end)") = gapBy.getOrElse("(end)", 0.0) + (tEnd - cursor) / 1e9
+        println(f"  -- gap/run by label (pass $p):")
+        (gapBy.keySet ++ runBy.keySet).toSeq
+          .sortBy(l => -(gapBy.getOrElse(l, 0.0) + runBy.getOrElse(l, 0.0)))
+          .foreach { l =>
+            println(f"  gap ${gapBy.getOrElse(l, 0.0)}%7.3f s  run ${runBy.getOrElse(l, 0.0)}%7.3f s  $l")
+          }
       }
     }
     spark.stop()

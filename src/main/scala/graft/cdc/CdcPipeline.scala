@@ -49,6 +49,18 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, NumericType,
   */
 object CdcPipeline {
 
+  /** Label every Spark job a pipeline phase launches (guide §1.5 —
+    * a store run is many small actions; without labels the UI and
+    * JobProbe show only anonymized AQE call sites). Thread-local and
+    * restored on exit, so concurrent runs label independently.
+    */
+  private[graft] def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   final case class RunResult(
       status: String, inserted: Long, updated: Long, deleted: Long,
       windowStartUs: Long, windowEndUs: Long, version: Long,
@@ -1412,11 +1424,15 @@ object CdcPipeline {
       .orElse(buckets)
       .getOrElse(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val dir = s"$targetDir/v$next"
-    writeBuckets(df, pkCols, numBuckets, dir)
+    labeled(df.sparkSession, "store.publish: bucket write") {
+      writeBuckets(df, pkCols, numBuckets, dir)
+    }
     recordPk(targetDir, pkCols)
     writeManifest(targetDir, next, Manifest(numBuckets, df.schema.json,
       writtenBuckets(dir).map(_ -> s"v$next").toMap,
-      bucketStats(df.sparkSession, dir, statsCols), commitMeta(op)))
+      labeled(df.sparkSession, "store.publish: bucket stats") {
+        bucketStats(df.sparkSession, dir, statsCols)
+      }, commitMeta(op)))
     if (swapNow) swapPointer(targetDir, next, batchId)
     next
   }
@@ -1447,14 +1463,18 @@ object CdcPipeline {
           "landed after this delta was derived — re-derive and retry")
     }
     val dir = s"$targetDir/v$next"
-    writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
+    labeled(mergedSubset.sparkSession, "store.publishDelta: bucket write") {
+      writeBuckets(mergedSubset, pkCols, prev.numBuckets, dir)
+    }
     recordPk(targetDir, pkCols)
     val carried = prev.buckets -- touched
     val fresh = writtenBuckets(dir).map(_ -> s"v$next").toMap
     // stats mirror the bucket pointers: recomputed for rewritten
     // buckets, carried by reference otherwise (their content did not
     // change, so neither did their min/max)
-    val freshStats = bucketStats(mergedSubset.sparkSession, dir, statsCols)
+    val freshStats = labeled(mergedSubset.sparkSession, "store.publishDelta: bucket stats") {
+      bucketStats(mergedSubset.sparkSession, dir, statsCols)
+    }
     writeManifest(targetDir, next,
       Manifest(prev.numBuckets, mergedSubset.schema.json, carried ++ fresh,
         (prev.stats -- touched) ++ freshStats,
@@ -3696,12 +3716,16 @@ object CdcPipeline {
                 else changes).select(
                   cfg.targetCols.filter(changes.columns.contains).map(col): _*),
                 cfg.targetPath)
-            val touched = changes
-              .select(bucketExpr(cfg.pk, m.numBuckets).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSet
+            val touched = labeled(spark, "store.merge: touched buckets") {
+              changes
+                .select(bucketExpr(cfg.pk, m.numBuckets).as("b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+            }
             val subset = readBuckets(spark, cfg.targetPath, m, touched)
-            val updated = SnapshotMerge
-              .matchedUpsertKeys(subset, changes, cfg.pk, Some(deltaRows)).count()
+            val updated = labeled(spark, "store.merge: matched keys") {
+              SnapshotMerge
+                .matchedUpsertKeys(subset, changes, cfg.pk, Some(deltaRows)).count()
+            }
             MergeOutcome(
               publishDelta(mergeOnto(subset), cfg.targetPath, cfg.pk, m, touched, batchId,
                 cfg.statsCols, swapNow = swapNow),
@@ -3973,7 +3997,9 @@ object CdcPipeline {
       logDir: String, nowUs: Long): RunResult = {
     if (!cfg.isActive) // is_active gate, merge.sql:92–94
       return RunResult("SKIPPED", 0, 0, 0, 0, 0, currentVersion(cfg.targetPath).getOrElse(-1))
-    val startUs = JobLog.lastWatermark(spark, logDir, cfg)
+    val startUs = labeled(spark, "cdc.run: watermark") {
+      JobLog.lastWatermark(spark, logDir, cfg)
+    }
     var changes: DataFrame = null
     var projected: DataFrame = null
     try {
@@ -3996,20 +4022,36 @@ object CdcPipeline {
       // r14 (guide §1.2 — fewer passes): one aggregation job computes
       // both op-split counts (and materializes the cache) instead of
       // two filtered count() actions over the same cached relation.
-      val opCounts = changes.agg(
-        count(when(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete, 1)).as("u"),
-        count(when(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete, 1)).as("d"))
-        .collect()(0)
+      val opCounts = labeled(spark, "cdc.run: op counts") {
+        changes.agg(
+          count(when(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete, 1)).as("u"),
+          count(when(col(CdcEnvelope.OpCol) === CdcEnvelope.Delete, 1)).as("d"))
+          .collect()(0)
+      }
       val nUps = opCounts.getLong(0)
       val nDel = opCounts.getLong(1)
-      val bounds = win.agg(min(col(CdcEnvelope.LoadTsCol)), max(col(CdcEnvelope.LoadTsCol))).collect()(0)
+      // r15 (guide §2.4 — don't rescan what is already materialized):
+      // with no expectations declared the gated projection has exactly
+      // the window's rows (TypedProjection is row-preserving and keeps
+      // LoadTsCol), so the load_ts bounds come from the CACHED
+      // projection instead of re-running the window scan + JSON parse.
+      // With expectations the quarantine may have removed the extreme
+      // rows, so the original window is aggregated as before.
+      val boundsSrc = if (cfg.expectations.isEmpty) projected else win
+      val bounds = labeled(spark, "cdc.run: window bounds") {
+        boundsSrc.agg(min(col(CdcEnvelope.LoadTsCol)), max(col(CdcEnvelope.LoadTsCol))).collect()(0)
+      }
       val (cdcStart, cdcEnd) =
         if (bounds.isNullAt(0)) (nowUs, nowUs) else (bounds.getLong(0), bounds.getLong(1))
-      val outcome = mergeAndPublish(spark, cfg, changes, nUps + nDel)
+      val outcome = labeled(spark, "cdc.run: merge+publish") {
+        mergeAndPublish(spark, cfg, changes, nUps + nDel)
+      }
       // this window's changes produced the now-current version, so the
       // declared rollups advance by delta (reference: the derived-table
       // refresh inside the procedure, merge.sql:520–581)
-      maintainRollups(spark, cfg, changes, Some(nUps + nDel), changesMatchCurrent = true)
+      labeled(spark, "cdc.run: rollups") {
+        maintainRollups(spark, cfg, changes, Some(nUps + nDel), changesMatchCurrent = true)
+      }
       // the SCD2 history advances by the UNcompacted window (every
       // event keeps its slice), keyed on the window end: a crash-
       // replay of this window re-merges the target idempotently but
@@ -4020,9 +4062,11 @@ object CdcPipeline {
       // seqIsLoadTs: the window end IS a load_ts bound, so a replay
       // whose scheduler passed fresh wall-clock (superset window,
       // larger seqKey) applies only the not-yet-applied suffix.
-      Scd2Store.maintain(spark, cfg, projected, seqKey = nowUs,
-        targetExistedBefore = startUs > 0, windowEmpty = nUps + nDel == 0,
-        seqIsLoadTs = true)
+      labeled(spark, "cdc.run: scd2 advance") {
+        Scd2Store.maintain(spark, cfg, projected, seqKey = nowUs,
+          targetExistedBefore = startUs > 0, windowEmpty = nUps + nDel == 0,
+          seqIsLoadTs = true)
+      }
       autoVacuum(cfg)
       // insert/update split: updated = upserts whose PK pre-existed
       // in the target; inserted = genuinely new PKs (the reference
@@ -4030,9 +4074,11 @@ object CdcPipeline {
       val inserted = nUps - outcome.updated
       // Watermark advances to the *window end*, not max(load_ts) —
       // an empty window must still move time forward.
-      JobLog.append(spark, logDir, JobLog.RunRecord(
-        java.util.UUID.randomUUID().toString, cfg.cdcTable, cfg.targetDb, cfg.targetTable,
-        cdcStart, nowUs, nowUs, "SUCCESS", "", inserted, outcome.updated, nDel))
+      labeled(spark, "cdc.run: job log append") {
+        JobLog.append(spark, logDir, JobLog.RunRecord(
+          java.util.UUID.randomUUID().toString, cfg.cdcTable, cfg.targetDb, cfg.targetTable,
+          cdcStart, nowUs, nowUs, "SUCCESS", "", inserted, outcome.updated, nDel))
+      }
       RunResult("SUCCESS", inserted, outcome.updated, nDel, startUs, nowUs, outcome.version,
         nQuarantined)
     } catch {

@@ -97,7 +97,12 @@ object CdcQueries {
 
   // A1: envelope parse + default-cast typed projection.
   def cdcParse(s: SparkSession, d: String): DataFrame =
-    TypedProjection.project(env(s, d), CdcEnvelope.DataCol,
+    // r15: the one-row-group scan pins the per-row JSON parse to a
+    // single task, and the final orderBy's range sampler evaluates the
+    // projection twice — spread the scan so both passes parallelize
+    // (input-size-derived width; see graft.ops.Spread.byBytes).
+    TypedProjection.project(graft.ops.Spread.byBytes(env(s, d), 128L << 10),
+        CdcEnvelope.DataCol,
         Seq(FieldSpec("k", Cast(LongType))),
         keep = Seq("event_id", "user_id", CdcEnvelope.OpCol, CdcEnvelope.PosCol))
       .withColumnRenamed(CdcEnvelope.OpCol, "op")
@@ -411,7 +416,9 @@ object CdcQueries {
     // Hoist k into its own projection: referenced 4× below, and
     // CollapseProject won't inline a multiply-referenced non-cheap
     // expression — so props is JSON-scanned once, not 4×.
-    val e = T.events(s, d)
+    // r15: spread the one-row-group scan — the JSON build+re-parse
+    // kernel ran single-task, twice (orderBy range sampling).
+    val e = graft.ops.Spread.byBytes(T.events(s, d), 128L << 10)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
     val k = col("k")
     val tsUtc = timestamp_micros(expr("ts div 1000"))
@@ -457,7 +464,9 @@ object CdcQueries {
   // (step-8:308–311 NULLIF(...,'null')), and bool parsing.
   def cdcTypedProjectionV2(s: SparkSession, d: String): DataFrame = {
     import TypedProjection._
-    val e = T.events(s, d)
+    // r15: spread as in cdcTypedProjection — single-task JSON kernel,
+    // evaluated twice by the orderBy sampler.
+    val e = graft.ops.Spread.byBytes(T.events(s, d), 128L << 10)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
     val k = col("k")
     val withJson = e.select(
@@ -589,7 +598,9 @@ object CdcQueries {
   // __op/__ts_ns/__source_pos inline (merge.sql:307–349), parsed by
   // ChangeFeed.landedTable in one from_json pass.
   def cdcLandedParse(s: SparkSession, d: String): DataFrame = {
-    val ev = T.events(s, d)
+    // r15: spread as in cdcTypedProjection — the JSON round-trip ran
+    // in the single scan task.
+    val ev = graft.ops.Spread.byBytes(T.events(s, d), 128L << 10)
     val landed = ev.select(
       to_json(struct(
         col("user_id"),
@@ -854,7 +865,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     CdcPipeline.snapshotDiff(s, cfg.targetPath, 0L, 1L, pk).get
       .withColumnRenamed(CdcEnvelope.OpCol, "op")
@@ -927,7 +938,7 @@ object CdcQueries {
     require(r0.mode == "bootstrap" && r0.srcVersion == 0L,
       s"expected a bootstrap of src v0, got $r0")
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     val r1 = Replication.replicate(s, srcDir, dstDir, pk).get
     require(r1.mode == "incremental" && r1.srcVersion == 1L,
@@ -978,7 +989,7 @@ object CdcQueries {
     CdcPipeline.buildNdvIndex(s, cfg.targetPath, Seq("k", "event_id"))        // v1
     require(CdcPipeline.ndvStats(s, cfg.targetPath, "k").exists(_.fullCoverage))
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count())                   // v2
     val degraded = CdcPipeline.ndvStats(s, cfg.targetPath, "k").get
     require(degraded.coveredBuckets < degraded.totalBuckets,
@@ -1054,7 +1065,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     val commits = CdcPipeline.describeHistory(s, cfg.targetPath).get
       .select(col("version"), col("commit_us")).collect()
@@ -1105,7 +1116,7 @@ object CdcQueries {
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets,
       statsCols = cfg.statsCols) // v0: every bucket gets a stat entry
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1: fresh + carried
     // bounds = the middle third of the state's event_id span, derived
     // from the data so the range selects real rows at every SF
@@ -1156,10 +1167,10 @@ object CdcQueries {
     CdcPipeline.publish(SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols),
       cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     val chg2 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W1, W2)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W1, W2)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg2, chg2.count()) // v2
     CdcPipeline.readChangeFeed(s, cfg.targetPath, pk, 0L, 2L).get
       .withColumnRenamed(CdcEnvelope.OpCol, "op")
@@ -1231,7 +1242,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     CdcPipeline.optimize(s, cfg.targetPath, pk, Seq("event_id"),
       maxRecordsPerFile = 500L) // v2: clustered + learned stats
@@ -1272,7 +1283,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     CdcPipeline.deleteWhere(s, cfg.targetPath, pk, col("event_id") % 5 === 0) // v2
     CdcPipeline.updateWhere(s, cfg.targetPath, pk, col("event_id") % 7 === 0,
@@ -1389,7 +1400,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     // %2 then %3: both non-empty even in the 12-row sf0.001 snapshot
     // (a %5/%11 pair leaves the second vector commit empty there)
@@ -1448,7 +1459,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     CdcPipeline.buildBloomIndex(s, cfg.targetPath, "event_id",
       expectedPerBucket = 1000L) // v2
@@ -1501,7 +1512,7 @@ object CdcQueries {
     val coord = dirs(2)
     val history = CdcEnvelope.fromEvents(ev.filter(col("ts") < lit((W0 + 1) * 1000L)))
     val chg = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     val staged = (0 to 1).map { i =>
       val cfg = cfgFor(i)
       val side = col("user_id") % 2 === i
@@ -1561,7 +1572,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     val v2 = CdcPipeline.addColumnWithDefault(s, cfg.targetPath, "score",
       LongType, 7L).get
@@ -1615,7 +1626,7 @@ object CdcQueries {
     CdcPipeline.addCheckConstraint(s, cfg.targetPath, "nonneg_event",
       "event_id >= 0") // v1 — validates the whole v0 snapshot
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     // a poisoned delta must refuse the COMMIT and move nothing
     val bad = chg1.filter(col(CdcEnvelope.OpCol) =!= CdcEnvelope.Delete)
       .limit(1).withColumn("event_id", lit(-5L))
@@ -1673,7 +1684,7 @@ object CdcQueries {
     val target0 = SnapshotMerge.fromHistory(proj(history), pk, cfg.targetCols)
     CdcPipeline.publish(target0, cfg.targetPath, pk, buckets = cfg.numBuckets) // v0
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, cfg, chg1, chg1.count()) // v1
     val Some((_, deleted)) =
       CdcPipeline.deleteWhere(s, cfg.targetPath, pk, col("user_id") % 3 === 0) // v2
@@ -1729,7 +1740,7 @@ object CdcQueries {
       "branch must fork at v0")
     val bcfg = cfg.copy(targetPath = brDir + "/b")
     val chg1 = ChangeCompaction.compactForMerge(
-      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk)
+      proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), pk).localCheckpoint(true)
     CdcPipeline.mergeAndPublish(s, bcfg, chg1, chg1.count()) // branch v1
     require(CdcPipeline.currentVersion(srcDir).contains(0L),
       "branch writes must not move the upstream pointer")
@@ -1788,6 +1799,7 @@ object CdcQueries {
     }.head)
     val chg1 = withFk(ChangeCompaction.compactForMerge(
       proj(CdcEnvelope.eventsWindowed(ev, W0, W1)), Seq("user_id")))
+      .localCheckpoint(true)
     JoinView.applyFactDelta(s, spec, chg1, cust, Some(chg1.count()))
     val dimUp = cust.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_mktsegment", lit("MOVED"))

@@ -46,16 +46,68 @@ object JobLog {
   /** Previous watermark for this (cdc_table, target), epoch if none —
     * exactly COALESCE(MAX(CDC_END_TS), '1970-01-01') of the
     * reference (merge.sql:114).
+    *
+    * r15 (guide §1.2 / §5 — the driver gap between a store run's many
+    * small jobs is planning, and the log is one row per run): reads
+    * the log files driver-side through parquet-java instead of a
+    * Spark read+agg job. The directory is bounded at O(autoCompactAt)
+    * tiny files by [[compact]], so this is strictly metadata-scale
+    * I/O; the MAX-over-SUCCESS-rows semantics (and the 0-when-absent
+    * epoch) are unchanged, and files written by either the old Spark
+    * path or [[append]]'s writer parse identically.
     */
-  def lastWatermark(spark: SparkSession, logDir: String, cfg: CdcTableConfig): Long =
-    read(spark, logDir).map { df =>
-      val r = df.filter(col("cdc_table") === cfg.cdcTable &&
-          col("target_db") === cfg.targetDb &&
-          col("target_table") === cfg.targetTable &&
-          col("run_status") === "SUCCESS")
-        .agg(max(col("cdc_end_us"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }.getOrElse(0L)
+  def lastWatermark(spark: SparkSession, logDir: String, cfg: CdcTableConfig): Long = {
+    val files = parquetFiles(logDir)
+    if (files.isEmpty) return 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    var mx = 0L
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f))
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          def str(n: String): String =
+            if (g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0)
+              g.getString(n, 0) else null
+          def lng(n: String): Option[Long] =
+            if (g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0)
+              Some(g.getLong(n, 0)) else None
+          if (str("cdc_table") == cfg.cdcTable &&
+              str("target_db") == cfg.targetDb &&
+              str("target_table") == cfg.targetTable &&
+              str("run_status") == "SUCCESS")
+            lng("cdc_end_us").foreach(v => mx = math.max(mx, v))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    mx
+  }
+
+  /** Parquet schema of one run row — field names, order and types
+    * exactly as `Seq(rec).toDF()` wrote them (optional int64 /
+    * binary-UTF8), so directories mixing old Spark-written files and
+    * [[append]]'s driver-written ones read identically (mergeSchema,
+    * DuckDB, parquet-java all see one schema).
+    */
+  private val rowSchema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  optional binary run_id (UTF8);
+      |  optional binary cdc_table (UTF8);
+      |  optional binary target_db (UTF8);
+      |  optional binary target_table (UTF8);
+      |  optional int64 cdc_start_us;
+      |  optional int64 cdc_end_us;
+      |  optional int64 insert_ts_us;
+      |  optional binary run_status (UTF8);
+      |  optional binary error_msg (UTF8);
+      |  optional int64 records_inserted;
+      |  optional int64 records_updated;
+      |  optional int64 records_deleted;
+      |}""".stripMargin)
 
   /** Appends one run row — and keeps the directory bounded: every
     * append leaves one more small file, so a target merged every
@@ -66,11 +118,44 @@ object JobLog {
     * state is O(autoCompactAt) files regardless of run count. Pass
     * `autoCompactAt = 0` to disable (callers that schedule `compact`
     * themselves).
+    *
+    * r15: the one-row file is written driver-side with parquet-java
+    * (same columns, types and snappy codec as the Spark write it
+    * replaces) — a Spark job for one row cost a full plan+schedule
+    * cycle per merge run. Crash contract unchanged: the row is
+    * written under a temp name and atomically renamed into place
+    * ([[StoreFs.atomicReplace]]), so a concurrent or later reader
+    * never sees a partial file.
     */
   def append(spark: SparkSession, logDir: String, rec: RunRecord,
       autoCompactAt: Int = 64): Unit = {
-    import spark.implicits._
-    Seq(rec).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(logDir)
+    // Fresh name per APPEND (not per run_id): a crash-replayed run
+    // must land as a second file/row — exactly what the Spark write
+    // did — so the crash window stays "duplicates, never lost", and
+    // compact()'s run_id dedup heals it.
+    val fileId = java.util.UUID.randomUUID().toString
+    val name = s"part-$fileId.snappy.parquet"
+    val tmp = s"$logDir/.graft-tmp-$fileId"
+    val g = new org.apache.parquet.example.data.simple.SimpleGroup(rowSchema)
+    def s(n: String, v: String): Unit = if (v != null) { g.append(n, v); () }
+    def l(n: String, v: Long): Unit = { g.append(n, v); () }
+    s("run_id", rec.run_id); s("cdc_table", rec.cdc_table)
+    s("target_db", rec.target_db); s("target_table", rec.target_table)
+    l("cdc_start_us", rec.cdc_start_us); l("cdc_end_us", rec.cdc_end_us)
+    l("insert_ts_us", rec.insert_ts_us)
+    s("run_status", rec.run_status); s("error_msg", rec.error_msg)
+    l("records_inserted", rec.records_inserted)
+    l("records_updated", rec.records_updated)
+    l("records_deleted", rec.records_deleted)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(tmp))
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(rowSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try w.write(g) finally w.close()
+    StoreFs.atomicReplace(tmp, s"$logDir/$name")
     if (autoCompactAt > 0) { compact(spark, logDir, minFiles = autoCompactAt); () }
   }
 

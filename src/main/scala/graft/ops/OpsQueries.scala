@@ -4059,10 +4059,16 @@ object OpsQueries {
       .orderBy(col("doc_id") % 1000000007L * 2654435761L % 1000000007L,
         col("doc_id"))
       .limit(maxAnchors)
+    // r15: the anchor batch is ≤ maxAnchors rows but its lineage is a
+    // corpus-wide sort-limit; it is broadcast TWICE inside the scorer
+    // (term semi-join + query join). Checkpoint the exploded terms once
+    // (≤ 3·maxAnchors rows) so the sort-limit runs once, not per
+    // broadcast (guide §1.2).
     val qt = anchors
       .select(col("doc_id").as("query"), explode(col("qtoks")).as("term"))
+      .localCheckpoint(true)
     val ranked = Retrieval.bm25TopKQueries(docs, col("doc_id"), toks, qt, k = 5,
-      spreadCorpus = true)
+      spreadCorpus = true, pinPostings = true)
     val negW = Window.partitionBy("query").orderBy(col("rk"))
     ranked.filter(col("doc_id") =!= col("query"))
       .withColumn("neg_rank", row_number().over(negW))
@@ -4410,10 +4416,17 @@ object OpsQueries {
           col("stop_ppm") * lit(2L) - col("punct_ppm") * lit(3L))
       .filter(col("logit_micro") > 0L)
       .withColumn("prio", expr("logit_micro div 100000L"))
+    // r15 (guide §1.2 — don't recompute what you already paid for):
+    // the dedup+quality pipeline fed THREE separate evaluations — the
+    // two require() counts and the returned manifest plan. Checkpoint
+    // the doc-sized scored projection once; the counts and the final
+    // manifest all read the materialized rows. Values unchanged.
+    val scoredSlim = scored.select(col("doc_id"), col("prio"), col("tokens_clean"))
+      .localCheckpoint(true)
     val kept = Packing.selectTokenBudget(
-      scored.select(col("doc_id"), col("prio"), col("tokens_clean")),
+      scoredSlim,
       "prio", "tokens_clean", "doc_id", budget = 8000L)
-    val (nScored, nKept) = (scored.count(), kept.count())
+    val (nScored, nKept) = (scoredSlim.count(), kept.count())
     require(nKept > 0 && nKept < nScored,
       s"budget must bind mid-corpus: kept $nKept of $nScored")
     Packing.epochManifest(kept, col("doc_id"), col("tokens_clean"),

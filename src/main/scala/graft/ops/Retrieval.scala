@@ -56,7 +56,8 @@ object Retrieval {
     * query semantics.
     */
   def bm25TopKQueries(docs: DataFrame, docId: Column, toks: Column,
-      qterms: DataFrame, k: Int, spreadCorpus: Boolean = false): DataFrame = {
+      qterms: DataFrame, k: Int, spreadCorpus: Boolean = false,
+      pinPostings: Boolean = false): DataFrame = {
     // r14: `spreadCorpus` spreads the tokenized corpus — a
     // single-row-group scan is one partition, so the token explode +
     // semi-join + partial tf aggregation runs single-task. Opt-in
@@ -69,9 +70,23 @@ object Retrieval {
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
     // postings of the queried terms ONLY — the explode is map-side
     // work and the semi-join cuts the stream before the tf shuffle
-    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    val tf0 = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // r15 (guide §1.2): tf feeds BOTH the df broadcast and the scoring
+    // stream — without pinning, the corpus token explode + semi-join +
+    // aggregation runs once per consumer. `pinPostings` materializes
+    // the postings-sized tf once; opt-in from the large-anchor-batch
+    // caller (mine_hard_negatives — |postings| bounded by the queried
+    // terms), the handful-of-terms callers stay lazy (a checkpoint job
+    // would cost more than the re-run it saves there).
+    val tf = if (pinPostings) tf0.localCheckpoint(true) else tf0
+    // The checkpoint pins whatever partitioning AQE coalesced the tf
+    // aggregation to (bytes-tiny → ~1 partition), but the scoring join
+    // below does per-posting CPU work — respread it so the heavy
+    // stage keeps its parallelism (measured: 1.6 s on 2 tasks without
+    // this). The df side stays direct: it is one small aggregation.
+    val tfScore = if (pinPostings) Spread(tf) else tf
     val dfr = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val stats = base.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
 
@@ -80,7 +95,7 @@ object Retrieval {
       (col("df") + lit(0.5))
     val den = col("tf") + lit(1.2) *
       (lit(0.25) + lit(0.75) * col("dl") / avgdl)
-    val contrib = tf.join(broadcast(dfr), "term").join(broadcast(qterms), "term")
+    val contrib = tfScore.join(broadcast(dfr), "term").join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
       .withColumn("nano",
         round(idf * (col("tf") * lit(2.2)) / den * lit(1e9)).cast("long"))
