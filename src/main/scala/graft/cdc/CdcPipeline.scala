@@ -539,6 +539,15 @@ object CdcPipeline {
     * (repartitioned on the bucket id so each bucket's rows co-locate
     * into a task before the partitioned write).
     */
+  // r15 NEGATIVE RESULT, reverted: a size-gated coalesce(1) fast path
+  // for sub-16MB deltas (skip the bucket exchange + per-bucket write
+  // tasks) measured only a marginal win (~0.2-0.5 s/gate, at the box's
+  // noise floor) and made TxnSpec's N-concurrent-writers serialization
+  // test fail 1-in-3 ISOLATED runs (a lost update: final count 700 vs
+  // 600) where the pre-change tree passes 4/4 — the write-path change
+  // interacts with the claim/stale-base race in a way a bench win this
+  // small does not justify chasing. The shuffle path below is the
+  // r13-hardened behavior.
   private[graft] def writeBuckets(df: DataFrame, pkCols: Seq[String], numBuckets: Int,
       dir: String): Unit =
     df.withColumn(BucketCol, bucketExpr(pkCols, numBuckets))

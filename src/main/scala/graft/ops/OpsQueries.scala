@@ -892,6 +892,15 @@ object OpsQueries {
   // this is one tokenize, one shuffle keyed (doc, gram), and
   // count-table joins — the same plan at any corpus size.
   def evalNgramOverlap(s: SparkSession, d: String): DataFrame = {
+    // r15 NEGATIVE RESULT, left as-was: the gram-count relation feeds
+    // five subtree copies, each a single-task explode+aggregate over
+    // the one-row-group scan — but AQE overlaps those five jobs across
+    // cores (JobProbe: job-sum 4.6 s vs 2.2 s wall), and BOTH remedies
+    // measured slower than leaving it alone (checkpoint the shared
+    // tables: 1.55 → 1.84 s — the eager barriers serialize the overlap;
+    // spread the scan: 1.55 → 1.86 s — the exchange outweighs the
+    // per-copy parallelism). Duplication hidden by concurrency is not
+    // worth removing at this size.
     val perDoc = T.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(

@@ -98,7 +98,13 @@ object TextAnalysis {
     * degenerate n-gram denominators.
     */
   def repetitionSignals(docs: DataFrame, text: Column = col("text")): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(text).as("toks"))
+    // r15: the gram-array kernels (distinct-trigram per row, bigram
+    // explode+count) ran as chained single-task jobs on the
+    // one-row-group scan (JobProbe: 0.6 + 0.3 + 0.4 s serial) — spread
+    // the tokenized rows by input size; both consumers reuse the one
+    // exchange.
+    val toks = Spread.byBytes(docs.select(col("doc_id"), tokens(text).as("toks")),
+      64L << 10)
     def grams(n: Int): String =
       s"""CASE WHEN size(toks) < $n THEN array()
          |ELSE transform(sequence(0, size(toks) - $n),
@@ -170,7 +176,11 @@ object TextAnalysis {
     val bg = grams(benchmark).select("gram").distinct()
     val nGrams = math.max(expectedGrams.getOrElse(bg.count()), 1L)
     val filter = bg.stat.bloomFilter("gram", nGrams, fpp)
-    grams(corpus)
+    // r15: the corpus-side shingle explode + bloom probe ran in the
+    // single scan task of the one-row-group input — spread by input
+    // size (at production sizes this is a full-parallelism spread;
+    // see Spread.byBytes).
+    grams(graft.ops.Spread.byBytes(corpus, 64L << 10))
       .filter(graft.functions.BloomMightContain(col("gram"), filter))
       .join(bg, "gram")
       .groupBy("doc_id")

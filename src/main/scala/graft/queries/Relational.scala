@@ -1657,9 +1657,13 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    peakConcurrency(li.select(col("l_suppkey").as("k"),
-        col("o_orderdate").cast("date").as("d0"),
-        date_add(col("l_shipdate"), 1).as("d1x")))
+    // r15: the broadcast join + 2-way interval explode + daily partial
+    // aggregation all ran in the 3 scan tasks (measured 1.15 s) —
+    // spread the joined interval set by input size first.
+    peakConcurrency(graft.ops.Spread.byBytes(
+        li.select(col("l_suppkey").as("k"),
+          col("o_orderdate").cast("date").as("d0"),
+          date_add(col("l_shipdate"), 1).as("d1x")), 256L << 10))
       .select(col("k").as("l_suppkey"),
         col("peak_concurrent"),
         col("peak_day").cast("timestamp").as("peak_date"),
@@ -1833,12 +1837,14 @@ object Relational {
   def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
     // r14: spread the scan — the per-(k,seg) collect_list partial agg
     // ran in the single scan task of the one-row-group lineitem file
-    // (measured 1.85 s of the 2.6 s total; see graft.ops.Spread).
-    val ev = graft.ops.Spread(T.lineitem(s, d).select(col("l_partkey").as("k"),
+    // (measured 1.85 s of the 2.6 s total). r15: width from input
+    // size (Spread.byBytes; the driver's scaling run showed the flat
+    // 32-way spread anti-scaling at this input size).
+    val ev = graft.ops.Spread.byBytes(T.lineitem(s, d).select(col("l_partkey").as("k"),
       datediff(col("l_shipdate"), lit("1990-01-01")).cast("long").as("day"),
       col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
       when(col("l_linenumber") % 2 === 0, col("l_quantity"))
-        .otherwise(-col("l_quantity")).cast("long").as("delta")))
+        .otherwise(-col("l_quantity")).cast("long").as("delta")), 512L << 10)
     // segWidth 256: lineitem ship-days span ~730..3300 from the epoch
     // anchor, so each part folds ≤ ~11 segment pairs at level 2 and
     // ≤ a 256-day window's events at level 1 — the hot-key-bounded
@@ -2357,8 +2363,15 @@ object Relational {
   // total joins by broadcast (declared stats crossJoin), item counts
   // by broadcast hash join on the part key.
   def qBasketPairs(s: SparkSession, d: String): DataFrame = {
+    // r15 (guide §1.2): the distinct-(basket, item) relation feeds FOUR
+    // consumers (both self-join sides, the per-item counts, the basket
+    // total) and the alias-renamed subtrees defeated exchange reuse —
+    // JobProbe showed the distinct's map side executing 3×. Checkpoint
+    // it once; it is the compacted basket-item incidence (≤ one row
+    // per (order, part)), strictly smaller than lineitem.
     val items = T.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(true)
     val totals = items.agg(countDistinct("ok").as("n_baskets"))
     val itemCnt = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")
@@ -3436,7 +3449,12 @@ object Relational {
   // integral); deterministic under ties by construction (ordering is
   // by the grouped price value itself).
   def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
-    val g = T.lineitem(s, d)
+    // r15: the 3-row-group scan pinned the (flag, price) partial
+    // aggregation to 3 tasks (measured 0.87 s of the query) — spread
+    // by input size first (see Spread.byBytes).
+    val g = graft.ops.Spread.byBytes(
+        T.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity")), 512L << 10)
       .groupBy(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
       .agg(expr("CAST(sum(round(l_quantity)) AS BIGINT)").as("w"))
